@@ -1,0 +1,80 @@
+"""Misc transforms: merge (coalesce), filldown (ffill), rownumber, filterrows.
+
+Semantics parity: reference ``lib/glue_scripts/lib/datatransform_misc.py``
+(merge :7-35, filldown :37-74, rownumber :76-98, filterrows :100-113).
+
+Scale note: with no ``partition`` key, filldown/rownumber are *global*
+sequential operations — the window degenerates to a single partition, which
+is a deliberate semantic (total ordering) but a single-task bottleneck at
+100 TB.  Both accept an optional ``partition`` list (same as the reference's
+rownumber) so large datasets can scope the ordering to a key and keep the
+work distributed; specs for big tables should always set it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..context import RunContext
+
+
+def transform_merge(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, source_list, default?, empty_string_is_null?=false}]`` —
+    first-non-null merge of columns, optional constant fallback."""
+    cols: dict[str, Column] = {}
+    for entry in spec:
+        sources: list[Column | str] = [
+            F.when(F.col(name) == "", None).otherwise(F.col(name))
+            if entry.get("empty_string_is_null", False)
+            else F.col(name)
+            for name in entry["source_list"]
+        ]
+        if "default" in entry:
+            sources.append(F.lit(entry["default"]))
+        cols[entry["field"]] = F.coalesce(*sources)
+    ctx.log_lineage("merge", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_filldown(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, sort?, partition?}]`` — forward-fill nulls with the last
+    non-null value in sort order (pandas ``ffill`` semantics).
+
+    Single pass per entry: ``last(field, ignorenulls=True)`` over a running
+    window ordered by the sort columns.
+    """
+    for entry in spec:
+        sort_columns = entry.get("sort") or [F.lit(1)]
+        partition_columns = entry.get("partition") or [F.lit(1)]
+        window = (
+            Window.partitionBy(*partition_columns)
+            .orderBy(*sort_columns)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = df.withColumn(
+            entry["field"], F.last(F.col(entry["field"]), ignorenulls=True).over(window)
+        )
+        ctx.log_lineage("filldown", df=df, transform=[entry])
+    return df
+
+
+def transform_rownumber(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, partition?, sort?}]`` — 1-based row number, optionally
+    per-partition and sorted."""
+    for entry in spec:
+        sort_columns = entry.get("sort") or [F.lit(1)]
+        partition_columns = entry.get("partition") or [F.lit(1)]
+        window = Window.partitionBy(*partition_columns).orderBy(*sort_columns)
+        df = df.withColumn(entry["field"], F.row_number().over(window))
+        ctx.log_lineage("rownumber", df=df, transform=[entry])
+    return df
+
+
+def transform_filterrows(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{condition}]`` — keep rows matching each SQL WHERE condition
+    (conjunction across entries, applied in order)."""
+    for entry in spec:
+        df = df.filter(entry["condition"])
+    ctx.log_lineage("filterrows", df=df, transform=spec)
+    return df

@@ -1,0 +1,225 @@
+"""Insurance premium math: enddate, policymonths, expandpolicymonths,
+earnedpremium, addcolumns, multiplycolumns, flipsign.
+
+Semantics parity: reference ``lib/glue_scripts/lib/datatransform_premium.py``
+(enddate :48-69, policymonths :72-95, expandpolicymonths :116-159,
+earnedpremium :204-240, addcolumns :243-256, flipsign :259-275,
+multiplycolumns :278-300).
+
+Physical design difference from the reference: the reference computes the
+calendar-month walk (``rrule``-based month list, normalized month count,
+earned premium) in row-at-a-time Python UDFs.  Here every one of those is a
+native Catalyst expression — ``sequence()`` for the month explode,
+month-index arithmetic for normalization, decimal arithmetic for earned
+premium — so the whole family stays inside whole-stage codegen and scales
+with zero Python serialization overhead.  The unit tests pin the outputs to
+the reference's own expected values (e.g. 12+6 expanded rows, 750.00 /
+70.35 products).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add, mul
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..context import RunContext
+
+
+def add_columns(*source_columns: str) -> Column:
+    """Sum an arbitrary number of columns, nulls counted as 0 (native)."""
+    return reduce(add, [F.coalesce(F.col(c), F.lit(0)) for c in source_columns])
+
+
+def _month_index(date_col: Column) -> Column:
+    return F.year(date_col) * 12 + F.month(date_col)
+
+
+def months_between_normalized_col(expiration: Column, effective: Column) -> Column:
+    """Whole-month count between two dates with floor-style rounding.
+
+    Equivalent to the reference's rrule month walk
+    (``datatransform_premium.py:30-45``): count month-starts from the
+    effective month through (expiration - 1 month), falling back to the
+    expiration month itself for policies of one month or less; never
+    negative.  Pure month-index arithmetic — no UDF.
+    """
+    delta = _month_index(expiration) - _month_index(effective)
+    return (
+        F.when(expiration.isNull() | effective.isNull(), F.lit(None))
+        .when(F.add_months(expiration, -1) < effective, F.greatest(F.lit(0), delta + 1))
+        .otherwise(F.greatest(F.lit(0), delta))
+        .cast("int")
+    )
+
+
+def earnedpremium_straightline_col(
+    premium: Column, effective: Column, expiration: Column, period_start: Column, period_end: Column
+) -> Column:
+    """Straight-line monthly earned premium = premium / normalized months.
+
+    Null when any input is null, the policy period is invalid (zero
+    normalized months), or the period end falls outside
+    [effective, first-day-of-expiration-month] — matching
+    ``datatransform_premium.py:162-178``.
+    """
+    months = months_between_normalized_col(expiration, effective)
+    any_null = (
+        premium.isNull()
+        | effective.isNull()
+        | expiration.isNull()
+        | period_start.isNull()
+        | period_end.isNull()
+    )
+    out_of_period = (period_end < effective) | (period_end > F.trunc(expiration, "month"))
+    return (
+        F.when(any_null | out_of_period | (months <= 0), F.lit(None))
+        .otherwise(premium / months)
+        .cast("decimal(16,2)")
+    )
+
+
+def earnedpremium_byday_col(
+    premium: Column, effective: Column, expiration: Column, period_start: Column, period_end: Column
+) -> Column:
+    """Day-proportional earned premium = premium × days-in-period /
+    days-in-policy (both inclusive +1), clamped to the policy window.
+    Null outside the policy period or for invalid dates
+    (``datatransform_premium.py:181-201``)."""
+    any_null = (
+        premium.isNull()
+        | effective.isNull()
+        | expiration.isNull()
+        | period_start.isNull()
+        | period_end.isNull()
+    )
+    invalid = (
+        (period_end < effective)
+        | (period_start > expiration)
+        | (F.datediff(expiration, effective) < 0)
+    )
+    start = F.greatest(period_start, effective)
+    end = F.least(period_end, expiration)
+    ratio = (F.datediff(end, start) + 1) / (F.datediff(expiration, effective) + 1)
+    return (
+        F.when(any_null | invalid, F.lit(None)).otherwise(premium * ratio).cast("decimal(16,2)")
+    )
+
+
+def transform_enddate(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, start_date, num_months}]`` — start date plus an integer
+    month-count column (``add_months``)."""
+    cols = {
+        entry["field"]: F.add_months(F.col(entry["start_date"]), F.col(entry["num_months"]))
+        for entry in spec
+    }
+    ctx.log_lineage("enddate", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_policymonths(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, policy_effective_date, policy_expiration_date,
+    normalized?=false}]`` — month span; fractional ``months_between`` as
+    decimal(16,2), or whole-month normalized count as int."""
+    cols: dict[str, Column] = {}
+    for entry in spec:
+        effective = F.col(entry["policy_effective_date"])
+        expiration = F.col(entry["policy_expiration_date"])
+        if entry.get("normalized", False):
+            cols[entry["field"]] = months_between_normalized_col(expiration, effective)
+        else:
+            cols[entry["field"]] = F.months_between(expiration, effective).cast("decimal(16,2)")
+    ctx.log_lineage("policymonths", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_expandpolicymonths(df: DataFrame, spec: dict, ctx: RunContext) -> DataFrame:
+    """One row per active policy month (1-based index, month start + end).
+
+    ``{policy_effective_date, policy_expiration_date, uniqueid_field?,
+    policy_month_start_field, policy_month_end_field, policy_month_index}``
+
+    Native row generator: ``sequence(trunc(effective,'MM'), expiration,
+    interval 1 month)`` + ``posexplode_outer`` — no Python UDF, rows are
+    generated executor-side so the expansion scales linearly.  Rows with
+    null/invalid policy dates survive with a null month (outer explode),
+    exactly like the reference (``datatransform_premium.py:116-159``).
+    """
+    unique_field = spec.get("uniqueid_field", spec.get("uniqueid"))
+    if unique_field:
+        df = df.withColumn(unique_field, F.expr("uuid()"))
+
+    effective = F.col(spec["policy_effective_date"])
+    expiration = F.col(spec["policy_expiration_date"])
+    months = F.when(
+        effective.isNotNull()
+        & expiration.isNotNull()
+        & (expiration >= F.trunc(effective, "month")),
+        F.expr(
+            f"sequence(trunc({spec['policy_effective_date']}, 'MM'),"
+            f" {spec['policy_expiration_date']}, interval 1 month)"
+        ),
+    )
+    index_field = spec["policy_month_index"]
+    start_field = spec["policy_month_start_field"]
+    df = (
+        df.withColumn("__policy_months", months)
+        .selectExpr("*", f"posexplode_outer(__policy_months) as ({index_field}, `{start_field}`)")
+        .drop("__policy_months")
+        .withColumns(
+            {
+                spec["policy_month_end_field"]: F.last_day(F.col(start_field)),
+                index_field: F.col(index_field) + 1,
+            }
+        )
+    )
+    ctx.log_lineage("expandpolicymonths", df=df, transform=[spec])
+    return df
+
+
+def transform_earnedpremium(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, written_premium_list, policy_effective_date,
+    policy_expiration_date, period_start_date, period_end_date,
+    byday?=false}]`` — monthly earned premium."""
+    cols: dict[str, Column] = {}
+    for entry in spec:
+        fn = earnedpremium_byday_col if entry.get("byday", False) else earnedpremium_straightline_col
+        cols[entry["field"]] = fn(
+            add_columns(*entry["written_premium_list"]),
+            F.col(entry["policy_effective_date"]),
+            F.col(entry["policy_expiration_date"]),
+            F.col(entry["period_start_date"]),
+            F.col(entry["period_end_date"]),
+        )
+    ctx.log_lineage("earnedpremium", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_addcolumns(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, source_columns}]`` — sum columns (nulls → 0)."""
+    cols = {entry["field"]: add_columns(*entry["source_columns"]) for entry in spec}
+    ctx.log_lineage("addcolumns", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_multiplycolumns(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, source_columns, empty_value?=1}]`` — product of columns,
+    nulls replaced by ``empty_value``."""
+    cols: dict[str, Column] = {}
+    for entry in spec:
+        empty_value = entry.get("empty_value", 1)
+        cols[entry["field"]] = reduce(
+            mul, [F.coalesce(F.col(c), F.lit(empty_value)) for c in entry["source_columns"]]
+        )
+    ctx.log_lineage("multiplycolumns", df=df, transform=spec)
+    return df.withColumns(cols)
+
+
+def transform_flipsign(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, source?}]`` — negate a numeric column, optionally into a
+    new column."""
+    cols = {entry["field"]: -df[entry.get("source", entry["field"])] for entry in spec}
+    ctx.log_lineage("flipsign", df=df, transform=spec)
+    return df.withColumns(cols)

@@ -1,0 +1,372 @@
+"""Data-quality rule engine: a DQDL-subset compiler targeting Spark columns.
+
+Re-expresses the reference's Glue Data Quality integration
+(``lib/glue_scripts/lib/dataquality_check.py``; ruleset grammar per
+``docs/data_quality.md:150-241`` and the shipped
+``lib/glue_scripts/dq-rules/*.json``) as a self-contained rule compiler:
+
+- Ruleset JSON: stages ``before_transform`` / ``after_transform`` /
+  ``after_sparksql``, each with ``warn_rules`` / ``quarantine_rules`` /
+  ``halt_rules``.
+- **warn**: evaluate, record results, continue.
+- **quarantine**: split pass/fail rows; failed rows gain a
+  ``quarantine_timestamp`` and are written to
+  ``<table>_quarantine_<stage>``; abort if *all* rows quarantined.
+- **halt**: always evaluated last, on the **pre-quarantine** DataFrame
+  (a quarantined row can still trip a halt rule); any failure raises.
+
+Rule types: ``ColumnValues <col> matches '<re>' | <op> <val> | in [..] |
+between a and b``, ``ColumnDataType <col> = '<TYPE>'``,
+``Completeness <col> <op> <frac>``, ``IsComplete``, ``IsUnique``,
+``ColumnExists``, ``RowCount <op> <n>``, ``Uniqueness <col> <op> <frac>``,
+composite ``(A) and (B)`` / ``(A) or (B)``, and ``CustomSql '<sql>'`` in
+aggregate (scalar comparison) and row-level (key-set semi-join) forms; the
+incoming dataset is always aliased ``primary``.
+
+Execution design (scale): every non-CustomSql rule compiles to either a
+row-level boolean ``Column`` or an aggregate expression; *all* aggregate
+expressions for a stage are evaluated in ONE ``df.agg(...)`` job (single
+pass, map-side partial aggregation).  Row-level quarantine is a single
+``filter`` each way — no per-rule jobs, no driver loops over rows.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_QUOTED = r"(?:'([^']*)'|\"([^\"]*)\")"
+_OPS = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__", "=": "__eq__", "!=": "__ne__"}
+
+
+def _pick(match_groups: tuple) -> str:
+    return next(g for g in match_groups if g is not None)
+
+
+def _literal(token: str) -> Any:
+    token = token.strip()
+    if token.startswith(("'", '"')):
+        return token[1:-1]
+    if re.fullmatch(r"[+-]?\d+", token):
+        return int(token)
+    if re.fullmatch(r"[+-]?\d*\.\d+([eE][+-]?\d+)?", token):
+        return float(token)
+    return token
+
+
+@dataclass
+class CompiledRule:
+    """One rule compiled against a concrete DataFrame."""
+
+    text: str
+    #: row-level pass predicate (None for aggregate-only rules)
+    predicate: Column | None = None
+    #: aggregate pass expression(s): named Columns folded into the stage agg
+    agg_exprs: dict[str, Column] = field(default_factory=dict)
+    #: decide pass/fail from the agg row; default = predicate has no failures
+    agg_eval: Callable[[dict], bool] | None = None
+    #: schema-level outcome decided at compile time (ColumnExists)
+    static_result: bool | None = None
+    #: deferred CustomSql evaluation (needs spark.sql)
+    custom_sql: str | None = None
+    custom_sql_compare: tuple[str, Any, Any] | None = None  # (op, value, value2)
+
+
+@dataclass
+class RuleOutcome:
+    rule: str
+    passed: bool
+    observed: Any = None
+
+
+class DQRuleError(RuntimeError):
+    pass
+
+
+def _fail_count_name(index: int) -> str:
+    return f"__dq_fail_{index}"
+
+
+class RuleCompiler:
+    """Compile one rule string against a DataFrame's schema."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.columns = set(df.columns)
+
+    # -- public ----------------------------------------------------------
+    def compile(self, rule_text: str) -> CompiledRule:
+        rule_text = rule_text.strip()
+        if rule_text.startswith("("):
+            return self._compile_composite(rule_text)
+        return self._compile_single(rule_text)
+
+    # -- composite (A) and (B) -------------------------------------------
+    def _split_composite(self, text: str) -> tuple[list[str], list[str]]:
+        parts: list[str] = []
+        joiners: list[str] = []
+        depth = 0
+        current = ""
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            if ch == "(":
+                depth += 1
+                if depth == 1:
+                    i += 1
+                    continue
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    parts.append(current.strip())
+                    current = ""
+                    rest = text[i + 1 :].lstrip()
+                    joiner_match = re.match(r"(and|or)\b", rest, re.IGNORECASE)
+                    if joiner_match:
+                        joiners.append(joiner_match.group(1).lower())
+                        i = text.index(rest, i + 1) + joiner_match.end()
+                        continue
+                    i += 1
+                    continue
+            if depth >= 1:
+                current += ch
+            i += 1
+        return parts, joiners
+
+    def _compile_composite(self, text: str) -> CompiledRule:
+        parts, joiners = self._split_composite(text)
+        if not parts:
+            raise DQRuleError(f"Unparseable composite rule: {text}")
+        compiled = [self._compile_single(p) for p in parts]
+        out = CompiledRule(text=text)
+        predicate: Column | None = None
+        for index, sub in enumerate(compiled):
+            out.agg_exprs.update(sub.agg_exprs)
+            sub_pred = sub.predicate
+            if sub_pred is None and sub.static_result is not None:
+                sub_pred = F.lit(sub.static_result)
+            if predicate is None:
+                predicate = sub_pred
+            elif sub_pred is not None:
+                joiner = joiners[index - 1] if index - 1 < len(joiners) else "and"
+                predicate = (predicate | sub_pred) if joiner == "or" else (predicate & sub_pred)
+        out.predicate = predicate
+        statics = [s.static_result for s in compiled if s.static_result is not None]
+        evals = [s.agg_eval for s in compiled if s.agg_eval is not None]
+        if statics or evals:
+            def _eval(agg_row: dict, statics=statics, evals=evals, joiners=joiners) -> bool:
+                results = list(statics) + [e(agg_row) for e in evals]
+                combined = results[0]
+                for j, value in zip(joiners, results[1:]):
+                    combined = (combined or value) if j == "or" else (combined and value)
+                return combined
+
+            out.agg_eval = _eval
+        if any(s.custom_sql for s in compiled):
+            raise DQRuleError("CustomSql cannot appear inside a composite rule")
+        return out
+
+    # -- single rules -----------------------------------------------------
+    def _compile_single(self, text: str) -> CompiledRule:
+        head_match = re.match(r"(\w+)\s*(.*)$", text, re.DOTALL)
+        if not head_match:
+            raise DQRuleError(f"Unparseable rule: {text}")
+        head, rest = head_match.group(1), head_match.group(2).strip()
+        handler = getattr(self, f"_rule_{head.lower()}", None)
+        if handler is None:
+            raise DQRuleError(f"Unsupported rule type: {head}")
+        return handler(text, rest)
+
+    def _column(self, token: str) -> str:
+        name = _literal(token) if token.startswith(("'", '"')) else token
+        return str(name)
+
+    def _require_column(self, name: str, rule: str) -> None:
+        if name not in self.columns:
+            raise DQRuleError(f"Column '{name}' not found (rule: {rule})")
+
+    def _rule_columnvalues(self, text: str, rest: str) -> CompiledRule:
+        col_match = re.match(rf"{_QUOTED}\s+(.*)$", rest, re.DOTALL) or re.match(
+            r"(\S+)\s+(.*)$", rest, re.DOTALL
+        )
+        if not col_match:
+            raise DQRuleError(f"Unparseable ColumnValues rule: {text}")
+        groups = col_match.groups()
+        name = self._column(f"'{_pick(groups[:-1])}'" if len(groups) > 2 else groups[0])
+        condition = groups[-1].strip()
+        self._require_column(name, text)
+        column = F.col(f"`{name}`")
+
+        matches = re.fullmatch(rf"matches\s+{_QUOTED}", condition, re.DOTALL)
+        if matches:
+            predicate = column.cast("string").rlike(_pick(matches.groups()))
+            return self._predicate_rule(text, predicate)
+
+        in_list = re.fullmatch(r"in\s*\[(.*)\]", condition, re.DOTALL)
+        if in_list:
+            return self._predicate_rule(text, column.isin(self._relist(in_list.group(1))))
+
+        between = re.fullmatch(r"between\s+(\S+)\s+and\s+(\S+)", condition)
+        if between:
+            low, high = _literal(between.group(1)), _literal(between.group(2))
+            return self._predicate_rule(text, (column > low) & (column < high))
+
+        op_match = re.fullmatch(rf"(>=|<=|!=|=|>|<)\s+({_QUOTED}|\S+)", condition)
+        if op_match:
+            value = _literal(op_match.group(2))
+            predicate = getattr(column, _OPS[op_match.group(1)])(F.lit(value))
+            return self._predicate_rule(text, predicate)
+        raise DQRuleError(f"Unparseable ColumnValues condition: {condition}")
+
+    @staticmethod
+    def _relist(body: str) -> list[Any]:
+        values: list[Any] = []
+        for match in re.finditer(rf"{_QUOTED}|([^,\s\[\]]+)", body):
+            if match.group(1) is not None:
+                values.append(match.group(1))
+            elif match.group(2) is not None:
+                values.append(match.group(2))
+            elif match.group(3):
+                values.append(_literal(match.group(3)))
+        return values
+
+    def _predicate_rule(self, text: str, predicate: Column) -> CompiledRule:
+        """ColumnValues-style rule: nulls count as non-compliant."""
+        safe = F.coalesce(predicate.cast("boolean"), F.lit(False))
+        index = abs(hash(text)) % (10**9)
+        name = _fail_count_name(index)
+        rule = CompiledRule(text=text, predicate=safe)
+        rule.agg_exprs[name] = F.sum(F.when(~safe, 1).otherwise(0))
+        rule.agg_eval = lambda agg_row, name=name: (agg_row.get(name) or 0) == 0
+        return rule
+
+    def _rule_columndatatype(self, text: str, rest: str) -> CompiledRule:
+        match = re.fullmatch(rf"{_QUOTED}\s*=\s*{_QUOTED}", rest) or re.fullmatch(
+            rf"(\S+)\s*=\s*{_QUOTED}", rest
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable ColumnDataType rule: {text}")
+        groups = match.groups()
+        name = self._column(f"'{_pick(groups[:2])}'") if len(groups) > 3 else self._column(groups[0])
+        wanted = _pick(groups[-2:]).upper()
+        self._require_column(name, text)
+        column = F.col(f"`{name}`")
+        actual = self.df.schema[name].dataType.simpleString().upper()
+        if actual == wanted or (wanted == "DATE" and actual == "DATE") or (
+            wanted == "TIMESTAMP" and actual.startswith("TIMESTAMP")
+        ):
+            # Already that type — every row complies.
+            predicate = F.lit(True)
+        elif wanted == "DATE":
+            predicate = (
+                column.isNull()
+                | column.cast("string").try_cast("date").isNotNull()
+                | F.try_to_timestamp(column.cast("string")).isNotNull()
+            )
+        elif wanted == "TIMESTAMP":
+            predicate = column.isNull() | F.try_to_timestamp(column.cast("string")).isNotNull()
+        else:
+            predicate = column.isNull() | column.cast("string").try_cast(wanted.lower()).isNotNull()
+        # Null values cannot violate a type expectation → count as compliant.
+        rule = CompiledRule(text=text, predicate=F.coalesce(predicate, F.lit(True)))
+        index = abs(hash(text)) % (10**9)
+        name_key = _fail_count_name(index)
+        rule.agg_exprs[name_key] = F.sum(F.when(~rule.predicate, 1).otherwise(0))
+        rule.agg_eval = lambda agg_row, name_key=name_key: (agg_row.get(name_key) or 0) == 0
+        return rule
+
+    def _rule_completeness(self, text: str, rest: str) -> CompiledRule:
+        match = re.fullmatch(rf"(?:{_QUOTED}|(\S+))\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest)
+        if not match:
+            raise DQRuleError(f"Unparseable Completeness rule: {text}")
+        name = self._column(f"'{_pick(match.groups()[:3])}'")
+        op, threshold = match.group(4), float(match.group(5))
+        self._require_column(name, text)
+        key = f"__dq_complete_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = (
+            F.count(F.col(f"`{name}`")) / F.greatest(F.count(F.lit(1)), F.lit(1))
+        ).cast("double")
+        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                  "=": "__eq__", "!=": "__ne__"}
+        rule.agg_eval = lambda agg_row, key=key, op=op, threshold=threshold: getattr(
+            float(agg_row.get(key) or 0.0), py_ops[op]
+        )(threshold)
+        return rule
+
+    def _rule_iscomplete(self, text: str, rest: str) -> CompiledRule:
+        name = self._column(rest.strip())
+        self._require_column(name, text)
+        predicate = F.col(f"`{name}`").isNotNull()
+        return self._predicate_rule(text, predicate)
+
+    def _rule_columnexists(self, text: str, rest: str) -> CompiledRule:
+        name = self._column(rest.strip())
+        return CompiledRule(text=text, static_result=name in self.columns)
+
+    def _rule_rowcount(self, text: str, rest: str) -> CompiledRule:
+        match = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(\d+)", rest)
+        if not match:
+            raise DQRuleError(f"Unparseable RowCount rule: {text}")
+        op, value = match.group(1), int(match.group(2))
+        key = f"__dq_rowcount_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = F.count(F.lit(1))
+        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                  "=": "__eq__", "!=": "__ne__"}
+        rule.agg_eval = lambda agg_row, key=key: getattr(int(agg_row.get(key) or 0), py_ops[op])(value)
+        return rule
+
+    def _rule_uniqueness(self, text: str, rest: str) -> CompiledRule:
+        match = re.fullmatch(rf"(?:{_QUOTED}|(\S+))\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest)
+        if not match:
+            raise DQRuleError(f"Unparseable Uniqueness rule: {text}")
+        name = self._column(f"'{_pick(match.groups()[:3])}'")
+        op, threshold = match.group(4), float(match.group(5))
+        self._require_column(name, text)
+        key = f"__dq_unique_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = (
+            F.count_distinct(F.col(f"`{name}`")) / F.greatest(F.count(F.col(f"`{name}`")), F.lit(1))
+        ).cast("double")
+        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                  "=": "__eq__", "!=": "__ne__"}
+        rule.agg_eval = lambda agg_row, key=key: getattr(
+            float(agg_row.get(key) or 0.0), py_ops[op]
+        )(threshold)
+        return rule
+
+    def _rule_isunique(self, text: str, rest: str) -> CompiledRule:
+        name = self._column(rest.strip())
+        self._require_column(name, text)
+        key = f"__dq_isuniq_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = (
+            F.count_distinct(F.col(f"`{name}`")) - F.count(F.col(f"`{name}`"))
+        )
+        rule.agg_eval = lambda agg_row, key=key: int(agg_row.get(key) or 0) == 0
+        return rule
+
+    def _rule_customsql(self, text: str, rest: str) -> CompiledRule:
+        match = re.match(rf"{_QUOTED}\s*(.*)$", rest, re.DOTALL)
+        if not match:
+            raise DQRuleError(f"Unparseable CustomSql rule: {text}")
+        sql = _pick(match.groups()[:2])
+        condition = (match.group(3) or "").strip()
+        rule = CompiledRule(text=text, custom_sql=sql)
+        if condition:
+            between = re.fullmatch(r"between\s+(\S+)\s+and\s+(\S+)", condition)
+            if between:
+                rule.custom_sql_compare = (
+                    "between", _literal(between.group(1)), _literal(between.group(2))
+                )
+            else:
+                op_match = re.fullmatch(rf"(>=|<=|!=|=|>|<)\s+({_QUOTED}|\S+)", condition)
+                if not op_match:
+                    raise DQRuleError(f"Unparseable CustomSql condition: {condition}")
+                rule.custom_sql_compare = (op_match.group(1), _literal(op_match.group(2)), None)
+        return rule

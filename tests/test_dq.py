@@ -1,0 +1,139 @@
+"""DQ rule engine: grammar, warn/quarantine/halt actions, CustomSql forms.
+
+Conformance model: the reference's shipped ruleset
+``lib/glue_scripts/dq-rules/dq-SyntheticGeneralData-PolicyData.json`` and the
+stage/action matrix in ``dataquality_check.py``."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_insurancelake_etl_spark.plans.dq import RuleCompiler
+from aws_insurancelake_etl_spark.plans.dq_runner import (
+    DataQualityHaltError,
+    DataQualityQuarantineAllRowsError,
+    run_dq_stage,
+)
+
+
+def policy_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "1/2/22", "New", 1000.0, "2022-01-01"),
+            (2, "bad", "Renewal", -5.0, "2022-02-01"),
+            (3, "3/4/22", "Other", 2000000.0, None),
+        ],
+        "PolicyNumber int, StartDate string, NewOrRenewal string, "
+        "WrittenPremiumAmount double, EffectiveDate string",
+    )
+
+
+def test_columnvalues_matches_and_quarantine(spark, ctx):
+    df = policy_df(spark)
+    rules = {"before_transform": {"quarantine_rules": [
+        r"ColumnValues 'StartDate' matches '\d{1,2}/\d{1,2}/\d\d'"
+    ]}}
+    out, result = run_dq_stage(df, rules, "before_transform", ctx)
+    assert result.quarantined_count == 1
+    assert sorted(r["PolicyNumber"] for r in out.collect()) == [1, 3]
+    assert "quarantine_timestamp" in result.quarantine_df.columns
+
+
+def test_columnvalues_ops_in_list_warn(spark, ctx):
+    df = policy_df(spark)
+    rules = {"after_transform": {"warn_rules": [
+        "ColumnValues \"WrittenPremiumAmount\" >= 0",
+        "ColumnValues 'WrittenPremiumAmount' < 10000000",
+        "ColumnValues 'NewOrRenewal' in [ 'New', 'Renewal' ]",
+        "Completeness 'EffectiveDate' > 0.50",
+    ]}}
+    out, result = run_dq_stage(df, rules, "after_transform", ctx)
+    passed = {o.rule: o.passed for o in result.outcomes}
+    assert passed["ColumnValues \"WrittenPremiumAmount\" >= 0"] is False  # -5
+    assert passed["ColumnValues 'WrittenPremiumAmount' < 10000000"] is True
+    assert passed["ColumnValues 'NewOrRenewal' in [ 'New', 'Renewal' ]"] is False
+    assert passed["Completeness 'EffectiveDate' > 0.50"] is True
+    assert out.count() == 3  # warn never filters
+
+
+def test_halt_composite_and_customsql(spark, ctx):
+    df = policy_df(spark)
+    rules = {"after_transform": {"halt_rules": [
+        "(ColumnExists 'PolicyNumber') and (IsComplete 'PolicyNumber')",
+        "CustomSql 'SELECT COUNT(*) FROM primary WHERE WrittenPremiumAmount < -1000' = 0",
+    ]}}
+    out, result = run_dq_stage(df, rules, "after_transform", ctx)
+    assert out.count() == 3
+
+    bad_rules = {"after_transform": {"halt_rules": [
+        "CustomSql 'SELECT COUNT(*) FROM primary WHERE WrittenPremiumAmount < 0' = 0",
+    ]}}
+    with pytest.raises(DataQualityHaltError):
+        run_dq_stage(df, bad_rules, "after_transform", ctx)
+
+
+def test_halt_sees_prequarantine_rows(spark, ctx):
+    df = policy_df(spark)
+    rules = {"after_transform": {
+        "quarantine_rules": ["ColumnValues 'WrittenPremiumAmount' >= 0"],
+        "halt_rules": [
+            "CustomSql 'SELECT COUNT(*) FROM primary WHERE WrittenPremiumAmount < 0' = 0"
+        ],
+    }}
+    # The negative-premium row is quarantined AND still trips the halt rule.
+    with pytest.raises(DataQualityHaltError):
+        run_dq_stage(df, rules, "after_transform", ctx)
+
+
+def test_customsql_rowlevel_quarantine(spark, ctx):
+    df = policy_df(spark)
+    rules = {"after_sparksql": {"quarantine_rules": [
+        "CustomSql 'SELECT PolicyNumber FROM primary WHERE WrittenPremiumAmount <= 1500000'"
+    ]}}
+    out, result = run_dq_stage(df, rules, "after_sparksql", ctx)
+    assert result.quarantined_count == 1
+    assert sorted(r["PolicyNumber"] for r in out.collect()) == [1, 2]
+
+
+def test_all_rows_quarantined_aborts(spark, ctx):
+    df = policy_df(spark)
+    rules = {"after_transform": {"quarantine_rules": [
+        "ColumnValues 'WrittenPremiumAmount' > 99999999"
+    ]}}
+    with pytest.raises(DataQualityQuarantineAllRowsError):
+        run_dq_stage(df, rules, "after_transform", ctx)
+
+
+def test_columndatatype_on_strings(spark, ctx):
+    df = spark.createDataFrame(
+        [("2022-01-01", "2022-01-01 10:00:00"), ("nope", "also-nope"), (None, None)],
+        "d string, t string",
+    )
+    compiler = RuleCompiler(df)
+    rule_d = compiler.compile("ColumnDataType 'd' = 'DATE'")
+    rule_t = compiler.compile("ColumnDataType 't' = 'TIMESTAMP'")
+    got = df.select(
+        rule_d.predicate.alias("pd"), rule_t.predicate.alias("pt")
+    ).collect()
+    assert [r["pd"] for r in got] == [True, False, True]  # null complies
+    assert [r["pt"] for r in got] == [True, False, True]
+
+
+def test_rowcount_uniqueness(spark, ctx):
+    df = policy_df(spark)
+    rules = {"before_transform": {"warn_rules": [
+        "RowCount >= 3",
+        "Uniqueness 'PolicyNumber' = 1.0",
+        "IsUnique 'PolicyNumber'",
+    ]}}
+    _, result = run_dq_stage(df, rules, "before_transform", ctx)
+    assert all(o.passed for o in result.outcomes)
+
+
+def test_missing_column_is_rule_error(spark, ctx):
+    df = policy_df(spark)
+    compiler = RuleCompiler(df)
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError
+
+    with pytest.raises(DQRuleError, match="not found"):
+        compiler.compile("ColumnValues 'NoSuchColumn' >= 0")
