@@ -1,0 +1,131 @@
+"""Entity-match queries: exact composite-key match and Spark-native blocked
+fuzzy matching (SURVEY §2.4; reference ``etl_consume_entity_match.py``).
+
+The reference's fuzzy path collects both sides to pandas
+(``etl_consume_entity_match.py:244-245``) — a driver-memory cliff at scale.
+Here the same level/blocking/threshold semantics run as a distributed plan:
+equi-join on the blocking key → per-pair similarity scoring with native
+expressions → best-match-per-incoming via a window.  Candidate-pair count is
+bounded by the blocking key's selectivity, never |A|×|B|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@register(
+    "em_exact_match",
+    """
+    SELECT i.c_custkey AS custkey, i.source_system,
+           COALESCE(p.global_id,
+                    md5('new-' || CAST(i.c_custkey AS VARCHAR) || '-' || i.source_system))
+               AS global_id,
+           (p.global_id IS NOT NULL) AS matched
+    FROM (
+        SELECT c_custkey, CAST(c_custkey % 3 AS VARCHAR) AS source_system FROM customer
+    ) i
+    LEFT JOIN (
+        SELECT c_custkey, CAST(c_custkey % 3 AS VARCHAR) AS source_system,
+               md5(CAST(c_custkey AS VARCHAR)) AS global_id
+        FROM customer WHERE c_custkey % 2 = 0
+    ) p ON i.c_custkey = p.c_custkey AND i.source_system = p.source_system
+    """,
+)
+def em_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact match: left-outer join on (source_primary_key, source_system_key)
+    with coalesced global id — new entities get a deterministic id here so
+    the oracle can reproduce it (production uses ``uuid()``)."""
+    cust = t(spark, sf_dir, "customer")
+    incoming = cust.select(
+        "c_custkey", (F.col("c_custkey") % 3).cast("string").alias("source_system")
+    )
+    primary = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("p_custkey"),
+            (F.col("c_custkey") % 3).cast("string").alias("p_source_system"),
+            F.md5(F.col("c_custkey").cast("string")).alias("p_global_id"),
+        )
+    )
+    joined = incoming.join(
+        primary,
+        (incoming.c_custkey == primary.p_custkey)
+        & (incoming.source_system == primary.p_source_system),
+        "left",
+    )
+    return joined.select(
+        F.col("c_custkey").alias("custkey"),
+        "source_system",
+        F.coalesce(
+            F.col("p_global_id"),
+            F.md5(F.concat(F.lit("new-"), F.col("c_custkey").cast("string"),
+                           F.lit("-"), F.col("source_system"))),
+        ).alias("global_id"),
+        F.col("p_global_id").isNotNull().alias("matched"),
+    )
+
+
+@register(
+    "em_fuzzy_blocked",
+    """
+    SELECT custkey, matched_custkey, similarity FROM (
+        SELECT i.c_custkey AS custkey, p.c_custkey AS matched_custkey,
+               ROUND(1.0 - levenshtein(i.c_name, p.c_name)
+                   / GREATEST(length(i.c_name), length(p.c_name)), 4) AS similarity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY i.c_custkey
+                   ORDER BY 1.0 - levenshtein(i.c_name, p.c_name)
+                       / GREATEST(length(i.c_name), length(p.c_name)) DESC,
+                       p.c_custkey
+               ) AS rn
+        FROM (SELECT * FROM customer WHERE c_custkey % 2 = 1) i
+        JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) p
+          ON i.c_nationkey = p.c_nationkey
+    ) WHERE rn = 1 AND similarity >= 0.85
+    """,
+)
+def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage, fully distributed: block on nationkey,
+    score candidate pairs with edit-distance similarity (JVM-side
+    ``levenshtein``), keep each incoming row's best match over threshold."""
+    cust = t(spark, sf_dir, "customer")
+    incoming = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("i_name"),
+        F.col("c_nationkey").alias("block"),
+    )
+    primary = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("matched_custkey"),
+        F.col("c_name").alias("p_name"),
+        F.col("c_nationkey").alias("block"),
+    )
+    similarity = 1.0 - F.levenshtein("i_name", "p_name") / F.greatest(
+        F.length("i_name"), F.length("p_name")
+    )
+    w = Window.partitionBy("custkey").orderBy(F.desc("similarity"), "matched_custkey")
+    return (
+        incoming.join(primary, "block")
+        .select("custkey", "matched_custkey", similarity.alias("similarity"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("similarity") >= 0.85))
+        .select("custkey", "matched_custkey", F.round("similarity", 4).alias("similarity"))
+    )

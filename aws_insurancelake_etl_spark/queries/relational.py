@@ -1,0 +1,510 @@
+"""Relational core queries: scans, joins, aggregation, windows, set ops,
+reshaping (SURVEY §2.1, §2.4-§2.9).
+
+Decimal discipline: monetary math is cast to explicit decimal types before
+aggregation in BOTH engines (exact, order-independent) and surfaced as
+rounded doubles, so distributed Spark sums hash-match single-threaded DuckDB.
+
+Plan notes per query are in docstrings; bench.py asserts the big ones keep
+broadcast joins / pushed filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import read_events
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6))
+                * (1 + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan, hash aggregate with map-side partials.
+    The shipdate filter reaches the parquet scan (PushedFilters)."""
+    line = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc_price = (price * (1 - _dec("l_discount", 18, 4))).cast("decimal(18,6)")
+    charge = (disc_price * (1 + _dec("l_tax", 18, 4))).cast("decimal(18,6)")
+    return (
+        line.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REVENUE_DEC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+    " AS DECIMAL(18,6))"
+)
+
+
+def _revenue_col():
+    return (
+        _dec("l_extendedprice") * (1 - _dec("l_discount", 18, 4))
+    ).cast("decimal(18,6)")
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM({_REVENUE_DEC}), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (customer) broadcasts into the
+    orders⋈lineitem join; top-k via global sort of a tiny aggregate."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    line = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(_revenue_col()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_revenue",
+    f"""
+    SELECT n_name, CAST(ROUND(SUM({_REVENUE_DEC}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join: all three dimensions broadcast; lineitem never
+    shuffles before the final (small) aggregation."""
+    line = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        line.join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue_col()), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)), 2) AS DOUBLE)
+               AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown + column pruning: the scan reads 5 columns and
+    PushedFilters carries both range predicates."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-03-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(_revenue_col(), 2).cast("double").alias("net_price"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 5000
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension chain entirely via broadcast hash joins — zero shuffles."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(o_orderstatus, 'ALL') AS order_status,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+           COUNT(*) AS order_count
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup in one pass (Spark expands grouping sets; partial
+    aggregation still applies)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    joined.createOrReplaceTempView("__gs_joined")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(o_orderstatus, 'ALL') AS order_status,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+               COUNT(*) AS order_count
+        FROM __gs_joined
+        GROUP BY GROUPING SETS ((r_name, o_orderstatus), (r_name), ())
+        """
+    )
+
+
+@register(
+    "window_rank_orders",
+    """
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned window (one shuffle on the partition key) — the
+    `rownumber` transform's scalable form."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_filldown",
+    """
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM events
+    """,
+)
+def window_filldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `filldown` (ffill) transform in its partitioned, scalable form:
+    nulls (here: error events) take the last non-null value per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") != "error", F.col("value"))
+    return read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.last(masked, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@register(
+    "setops_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — re-expressed by Catalyst as a left-anti join."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey")
+    )
+    big = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.exceptAll(big.distinct()).distinct()
+
+
+@register(
+    "setops_union_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def setops_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    machinery = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return machinery.intersect(urgent)
+
+
+@register(
+    "explode_order_months",
+    """
+    SELECT o_orderkey,
+           generate_subscripts(months, 1) AS month_index,
+           strftime(unnest(months), '%Y-%m-%d') AS month_start
+    FROM (
+        SELECT o_orderkey,
+               generate_series(date_trunc('month', o_orderdate),
+                               o_orderdate + INTERVAL 2 MONTH,
+                               INTERVAL 1 MONTH) AS months
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    """,
+)
+def explode_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generator: native `sequence` + 1-based `posexplode` — the
+    expandpolicymonths operator's core on order dates."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    months = F.expr(
+        "sequence(trunc(cast(o_orderdate as date), 'MM'),"
+        " add_months(cast(o_orderdate as date), 2), interval 1 month)"
+    )
+    return (
+        orders.select("o_orderkey", months.alias("__months"))
+        .selectExpr("o_orderkey", "posexplode(__months) as (month_index, month_start)")
+        .select(
+            "o_orderkey",
+            (F.col("month_index") + 1).cast("bigint").alias("month_index"),
+            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+        )
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via the native `stack` generator (UNPIVOT)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "stack(3, 'quantity', cast(l_quantity as double),"
+            " 'price', cast(l_extendedprice as double),"
+            " 'discount', cast(l_discount as double)) as (measure, value)",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS total_f,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS total_o,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit value list (no extra pass to discover
+    pivot values; single shuffle)."""
+    pivoted = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(_dec("o_totalprice")), 2).cast("double"))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_o"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_p"),
+    )
+
+
+@register(
+    "distinct_flag_status",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year
+    FROM lineitem
+    """,
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a projection (`dropDuplicates` on a full row)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .dropDuplicates()
+    )
+
+
+@register(
+    "kv_pivot_map_agg",
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+    FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    """,
+)
+def kv_pivot_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's key-value pivot pattern (GROUP BY + collect_list +
+    map_from_arrays, ``docs/using_sql.md:499-532``), surfaced as a sorted
+    string so the map content is oracle-comparable."""
+    counts = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(F.collect_list(F.concat_ws(":", "event_type", "cnt"))),
+        ).alias("type_counts")
+    )

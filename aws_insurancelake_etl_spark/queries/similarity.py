@@ -1,0 +1,184 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``).
+
+Brute-force cosine top-k is the exactness baseline; the IVF-style variant
+prunes the candidate set with a coarse partition (here the ``label`` column
+stands in for a centroid assignment) — at 100 TB you'd precompute centroid
+ids the same way and partition the table by them, so the search touches one
+partition instead of the full corpus.
+
+All dot products are explicit double-precision ``aggregate(zip_with(...))``
+expressions — JVM-side, no UDF — and the DuckDB oracle computes the same
+sequential sum via ``list_zip``/``list_sum`` with explicit casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dot(a: str, b: str) -> Column:
+    """Double-precision dot product of two float-array columns (native)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+_COSINE_SQL = (
+    f"{_dot_sql('q.embedding', 'c.embedding')}"
+    f" / (sqrt({_dot_sql('q.embedding', 'q.embedding')})"
+    f" * sqrt({_dot_sql('c.embedding', 'c.embedding')}))"
+)
+
+
+def _cosine_col() -> Column:
+    return dot("q_emb", "c_emb") / (
+        F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ) WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors: broadcast the tiny
+    query set against the corpus, rank per query.  This is the exact
+    baseline every ANN variant is measured against."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    cosine = _cosine_col()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "ann_ivf_label_topk",
+    f"""
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+        FROM embeddings q
+        JOIN embeddings c ON q.label = c.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ) WHERE rn <= 5
+    """,
+)
+def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned search: candidates restricted to the query's coarse
+    partition (label = centroid assignment), then exact cosine rank inside
+    it.  The equi-join on label is the partition prune."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").alias("c_emb"), "label")
+    cosine = _cosine_col()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND({_COSINE_SQL}, 4) AS cosine
+    FROM embeddings q JOIN embeddings c
+      ON q.label = c.label AND q.vec_id < c.vec_id
+    WHERE {_COSINE_SQL} >= 0.95
+    """,
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label so the
+    pairwise comparison stays within partitions."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "label")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"),
+                   F.col("label").alias("label_b"))
+    cosine = _cosine_col()
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cosine.alias("cosine_raw"))
+        .where(F.col("cosine_raw") >= 0.95)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "emb_label_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(sqrt({_dot_sql('e.embedding', 'e.embedding')}), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM embeddings e GROUP BY label
+    """,
+)
+def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm statistics per label; per-row norms are rounded into
+    decimals before averaging so the distributed sum is order-independent."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.round(F.sqrt(dot("embedding", "embedding")), 6)
+        .cast("decimal(18,6)")
+        .alias("norm"),
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("norm").cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,380 @@
+"""Text-analysis and deduplication operators over the ``documents`` table:
+token stats, quality scoring, language ID, fingerprinting, exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Scale design: everything is expressed as explode → window/groupBy plans that
+shuffle on ``doc_id`` or ``shingle`` (both well-distributed), never
+collecting documents to the driver.  MinHash signatures are 8 conditional
+``min`` aggregates in ONE groupBy pass; LSH candidate generation joins on
+band keys only, so pair count is bounded by bucket collisions, not |D|².
+Hash functions are md5-derived 32-bit ints so the DuckDB oracle reproduces
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB CTE producing (doc_id, pos, token); Spark twin in _tokens().
+_TOKS_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents
+    )
+"""
+
+# Word 3-gram shingle set per document (distinct).
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + """,
+    sh AS (
+        SELECT DISTINCT doc_id, token || ' ' || lead1 || ' ' || lead2 AS shingle
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS lead1,
+                   LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS lead2
+            FROM toks
+        ) WHERE lead2 IS NOT NULL
+    )
+"""
+)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, token) — pos is 1-based to match generate_subscripts."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"))
+        .withColumn("pos", F.col("pos") + 1)
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        _tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            "token",
+            F.lead("token", 1).over(w).alias("lead1"),
+            F.lead("token", 2).over(w).alias("lead2"),
+        )
+        .where(F.col("lead2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "lead1", "lead2").alias("shingle"))
+        .distinct()
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT token) AS n_distinct,
+           ROUND(SUM(length(token)) * 1.0 / COUNT(*), 4) AS avg_token_len
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): one explode + one groupBy."""
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct("token").alias("n_distinct"),
+            F.round(F.sum(F.length("token")) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "avg_token_len"
+            ),
+        )
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 4) AS diversity,
+           ROUND(SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS stopword_ratio,
+           ROUND(COUNT(DISTINCT token) * 0.5 / COUNT(*)
+                 + (1 - SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END) * 1.0
+                    / COUNT(*)) * 0.5, 4) AS quality
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity + stopword ratio, one pass."""
+    is_stop = F.col("token").isin(*_STOPWORDS).cast("int")
+    toks = _tokens(spark, sf_dir)
+    return toks.groupBy("doc_id").agg(
+        F.round(F.count_distinct("token") * 1.0 / F.count(F.lit(1)), 4).alias("diversity"),
+        F.round(F.sum(is_stop) * 1.0 / F.count(F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            F.count_distinct("token") * 0.5 / F.count(F.lit(1))
+            + (1 - F.sum(is_stop) * 1.0 / F.count(F.lit(1))) * 0.5,
+            4,
+        ).alias("quality"),
+    )
+
+
+_LANG_LISTS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "la", "los", "que", "y"),
+}
+
+
+def _lang_case_sql() -> str:
+    counts = {
+        lang: f"SUM(CASE WHEN token IN ({', '.join(repr(w) for w in words)}) THEN 1 ELSE 0 END)"
+        for lang, words in _LANG_LISTS.items()
+    }
+    return f"""
+    SELECT doc_id,
+           {counts['en']} AS score_en,
+           {counts['de']} AS score_de,
+           {counts['es']} AS score_es,
+           CASE WHEN {counts['en']} >= {counts['de']} AND {counts['en']} >= {counts['es']}
+                    THEN 'en'
+                WHEN {counts['de']} >= {counts['es']} THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM toks GROUP BY doc_id
+    """
+
+
+@register("text_langid", f"WITH {_TOKS_CTE} {_lang_case_sql()}")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic: per-language stopword hit counts, argmax with
+    deterministic tie-break (en > de > es)."""
+    toks = _tokens(spark, sf_dir)
+    scores = {
+        lang: F.sum(F.col("token").isin(*words).cast("int"))
+        for lang, words in _LANG_LISTS.items()
+    }
+    agg = toks.groupBy("doc_id").agg(
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+    )
+    return agg.select(
+        "doc_id",
+        "score_en",
+        "score_de",
+        "score_es",
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+        .alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fingerprint"),
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep the lowest doc_id per content hash."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 4) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs: shingle-join intersection counts
+    (shuffle key = shingle) ÷ union sizes; ≥ 0.5 are near-dups.  At scale the
+    shingle join IS the LSH-free exact path; MinHash below is the approximate
+    path with bounded candidates."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jaccard >= 0.5)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+_N_HASHES = 8
+
+
+def _minhash_agg_sql() -> str:
+    mins = ", ".join(
+        f"MIN(('0x' || substr(md5('{seed}:' || shingle), 1, 8))::BIGINT) AS h{seed}"
+        for seed in range(_N_HASHES)
+    )
+    return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+@register("dedup_minhash_signature", f"WITH {_SHINGLES_CTE} {_minhash_agg_sql()}")
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: 8 md5-seeded 32-bit min-hashes per document,
+    computed as 8 ``min`` aggregates in ONE groupBy pass over the shingle
+    set (no per-hash shuffles)."""
+    sh = _shingles(spark, sf_dir)
+    mins = [
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 8),
+                   16, 10).cast("bigint")
+        ).alias(f"h{seed}")
+        for seed in range(_N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _minhash_pairs_sql() -> str:
+    bands = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    unions = "\n        UNION\n".join(
+        f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.h{i} = b.h{i} AND a.h{j} = b.h{j} AND a.doc_id < b.doc_id"""
+        for i, j in bands
+    )
+    return f"WITH {_SHINGLES_CTE}, sig AS ({_minhash_agg_sql()}) {unions}"
+
+
+@register("dedup_minhash_pairs", _minhash_pairs_sql())
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 2 rows; documents sharing any band bucket
+    become candidate pairs (union-dedup).  Each band join shuffles only the
+    8-int signature table."""
+    sig = dedup_minhash_signature(spark, sf_dir)
+    bands = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    pairs = None
+    for i, j in bands:
+        a = sig.alias("a")
+        b = sig.alias("b")
+        band = (
+            a.join(
+                b,
+                (F.col(f"a.h{i}") == F.col(f"b.h{i}"))
+                & (F.col(f"a.h{j}") == F.col(f"b.h{j}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        pairs = band if pairs is None else pairs.union(band)
+    return pairs.distinct()
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    token_hash = "('0x' || substr(md5(token), 1, 8))::BIGINT"
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ({token_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    dtoks AS (SELECT DISTINCT doc_id, token FROM toks)
+    SELECT doc_id, {bit_terms} AS simhash
+    FROM dtoks GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct token set: per-bit majority vote of
+    md5-derived token hashes, folded into one integer — all 16 bit-votes are
+    aggregates in a single groupBy."""
+    dtoks = _tokens(spark, sf_dir).select("doc_id", "token").distinct()
+    token_hash = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(token_hash, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    agg = dtoks.groupBy("doc_id").agg(*bit_cols)
+    simhash = sum(F.col(f"bit{b}") for b in range(_SIMHASH_BITS))
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))

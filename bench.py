@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via the no-op sink (all operators execute,
+nothing is collected to the driver).  A warmup run of the first query
+absorbs JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_insurancelake_etl_spark.queries import all_queries  # noqa: E402
+from aws_insurancelake_etl_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_revenue",
+    "scan_filter_project",
+    "agg_grouping_sets",
+    "window_running_sum",
+    "window_rank_orders",
+    "kv_pivot_map_agg",
+    "tr_earnedpremium",
+    "tr_hash_redact",
+    "em_fuzzy_blocked",
+    "text_token_stats",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="insurancelake-bench",
+                          extra_confs={"spark.ui.enabled": "false"})
+    queries = all_queries()
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    materialize(queries[HEADLINE[0]](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
