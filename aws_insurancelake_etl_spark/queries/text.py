@@ -13,8 +13,10 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators import dedup as D
 
 QUERIES = {}
 ORACLE = {}
@@ -63,28 +65,12 @@ _SHINGLES_CTE = (
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, token) — pos is 1-based to match generate_subscripts."""
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"))
-        .withColumn("pos", F.col("pos") + 1)
-    )
+    return D.tokenize(t(spark, sf_dir, "documents"))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        _tokens(spark, sf_dir)
-        .select(
-            "doc_id",
-            "token",
-            F.lead("token", 1).over(w).alias("lead1"),
-            F.lead("token", 2).over(w).alias("lead2"),
-        )
-        .where(F.col("lead2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "token", "lead1", "lead2").alias("shingle"))
-        .distinct()
-    )
+    return D.shingles(t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -225,11 +211,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, keep the lowest doc_id per content hash."""
-    return (
-        t(spark, sf_dir, "documents")
-        .groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
-    )
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -254,25 +236,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle key = shingle) ÷ union sizes; ≥ 0.5 are near-dups.  At scale the
     shingle join IS the LSH-free exact path; MinHash below is the approximate
     path with bounded candidates."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jaccard = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jaccard >= 0.5)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
-    )
+    return D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
 
 
 _N_HASHES = 8
@@ -291,51 +255,36 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: 8 md5-seeded 32-bit min-hashes per document,
     computed as 8 ``min`` aggregates in ONE groupBy pass over the shingle
     set (no per-hash shuffles)."""
-    sh = _shingles(spark, sf_dir)
-    mins = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))), 1, 8),
-                   16, 10).cast("bigint")
-        ).alias(f"h{seed}")
-        for seed in range(_N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return D.minhash_signatures(_shingles(spark, sf_dir), n_hashes=_N_HASHES)
 
 
 def _minhash_pairs_sql() -> str:
     bands = [(0, 1), (2, 3), (4, 5), (6, 7)]
-    unions = "\n        UNION\n".join(
-        f"""
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sig a JOIN sig b
-          ON a.h{i} = b.h{i} AND a.h{j} = b.h{j} AND a.doc_id < b.doc_id"""
-        for i, j in bands
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {n} AS band_id,"
+        f" CAST(h{i} AS VARCHAR) || '_' || CAST(h{j} AS VARCHAR) AS band_key FROM sig"
+        for n, (i, j) in enumerate(bands)
     )
-    return f"WITH {_SHINGLES_CTE}, sig AS ({_minhash_agg_sql()}) {unions}"
+    return f"""
+    WITH {_SHINGLES_CTE}, sig AS ({_minhash_agg_sql()}),
+    bands AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
 
 
 @register("dedup_minhash_pairs", _minhash_pairs_sql())
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 4 bands × 2 rows; documents sharing any band bucket
-    become candidate pairs (union-dedup).  Each band join shuffles only the
-    8-int signature table."""
+    """LSH banding: 4 bands × 2 rows, melted to (doc, band_id, band_key)
+    rows so ONE self-join on the band key yields all candidate pairs — the
+    signature pipeline runs once, and the shuffle key (band_key) is
+    uniformly hash-distributed.  This is the shape that survives scale: the
+    join input is 4 small rows per document, never the shingle sets."""
     sig = dedup_minhash_signature(spark, sf_dir)
-    bands = [(0, 1), (2, 3), (4, 5), (6, 7)]
-    pairs = None
-    for i, j in bands:
-        a = sig.alias("a")
-        b = sig.alias("b")
-        band = (
-            a.join(
-                b,
-                (F.col(f"a.h{i}") == F.col(f"b.h{i}"))
-                & (F.col(f"a.h{j}") == F.col(f"b.h{j}"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        )
-        pairs = band if pairs is None else pairs.union(band)
-    return pairs.distinct()
+    return D.lsh_candidate_pairs(sig, n_hashes=_N_HASHES, band_size=2)
 
 
 _SIMHASH_BITS = 16
@@ -361,20 +310,4 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over the distinct token set: per-bit majority vote of
     md5-derived token hashes, folded into one integer — all 16 bit-votes are
     aggregates in a single groupBy."""
-    dtoks = _tokens(spark, sf_dir).select("doc_id", "token").distinct()
-    token_hash = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
-    bit_cols = [
-        F.when(
-            F.sum(
-                F.when(F.shiftright(token_hash, b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            )
-            > 0,
-            F.lit(1 << b),
-        )
-        .otherwise(0)
-        .alias(f"bit{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    agg = dtoks.groupBy("doc_id").agg(*bit_cols)
-    simhash = sum(F.col(f"bit{b}") for b in range(_SIMHASH_BITS))
-    return agg.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    return D.simhash(t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)

@@ -1,0 +1,85 @@
+"""Structured Streaming ingest: the event-driven micro-batch pipeline
+re-expressed as a file-source stream.
+
+The reference has no streaming engine — ingestion is S3-event → Lambda →
+Step Functions → Glue, one file per run
+(``state_machine_trigger/lambda_handler.py:85-248``).  The Spark-native
+equivalent is a file-source stream with ``trigger(availableNow=True)``:
+every new file in the drop directory becomes a micro-batch, the same
+per-file semantics without the AWS control plane, with checkpointed
+exactly-once sink writes.
+
+``windowed_event_counts`` adds the standard late-data pattern (watermark +
+tumbling window) the reference's users would need for streaming analytics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def micro_batch_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    output_path: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    file_format: str = "csv",
+    options: dict | None = None,
+) -> StreamingQuery:
+    """Drop-directory ingest: each new file is processed exactly once
+    (checkpointed), transformed, and appended to a Parquet lake path.
+
+    Runs with ``availableNow`` so it drains all pending files then stops —
+    the batch-pipeline contract, but restart-safe and incremental.
+    """
+    reader = (
+        spark.readStream.format(file_format)
+        .schema(schema)
+        .options(**(options or {"header": "true"}))
+    )
+    df = reader.load(source_dir)
+    if transform is not None:
+        df = transform(df)
+    return (
+        df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", output_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    timestamp_col: str = "ts",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a streaming DataFrame.
+
+    Late rows beyond the watermark are dropped and window state is evicted —
+    bounded state at any scale."""
+    return (
+        events.withWatermark(timestamp_col, watermark)
+        .groupBy(F.window(F.col(timestamp_col), window_duration), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )

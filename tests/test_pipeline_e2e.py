@@ -1,0 +1,154 @@
+"""End-to-end pipeline: CSV drop → mapping → DQ → transforms → partitioned
+Cleanse table → Spark SQL → Consume table + view (mirrors the reference's
+job-level integration tests, ``test/test_etl_collect_to_cleanse.py`` /
+``test_etl_cleanse_to_consume.py``)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from aws_insurancelake_etl_spark.config import DatasetConfig, load_dataset_config
+from aws_insurancelake_etl_spark.context import RunContext
+from aws_insurancelake_etl_spark.plans.lineage import LineageLog
+from aws_insurancelake_etl_spark.plans.pipeline import cleanse_to_consume, collect_to_cleanse
+
+CSV = """PolicyNumber,EffectiveDate,ExpirationDate,WrittenPremium,InsuredName,StateCd,NewRenewal
+101,2022-01-01,2022-12-31,12000.50,acme corp,TX,New
+102,2022-03-15,2023-03-15,"4,500.00",beta llc,CA,Renewal
+103,2022-06-01,2023-06-01,-50.00,gamma inc,ZZ,New
+"""
+
+SPEC = {
+    "input_spec": {"csv": {"header": True}},
+    "transform_spec": {
+        "date": [
+            {"field": "effectivedate", "format": "yyyy-MM-dd"},
+            {"field": "expirationdate", "format": "yyyy-MM-dd"},
+        ],
+        "currency": [{"field": "writtenpremium", "format": "10,2"}],
+        "titlecase": ["insuredname"],
+        "lookup": [
+            {"field": "statename", "source": "statecd", "lookup": "StateCd",
+             "nomatch": "N/A"}
+        ],
+        "policymonths": [
+            {"field": "policymonths", "policy_effective_date": "effectivedate",
+             "policy_expiration_date": "expirationdate", "normalized": True}
+        ],
+        "literal": {"lineofbusiness": "general"},
+    },
+}
+
+MAPPING = """SourceName,DestName,Threshold,Scorer
+PolicyNumber,policynumber,,
+EffectiveDate,effectivedate,,
+ExpirationDate,expirationdate,,
+WrittenPremium,writtenpremium,,
+InsuredName,insuredname,,
+StateCd,statecd,,
+NewOrRenewal,neworrenewal,85,ratio
+"""
+
+DQ = {
+    # NOTE: before_transform runs after schema mapping (reference order:
+    # etl_collect_to_cleanse.py:252-268), so rules see mapped column names.
+    "before_transform": {
+        "warn_rules": ["Completeness 'policynumber' > 0.9"],
+    },
+    "after_transform": {
+        "quarantine_rules": ["ColumnValues 'writtenpremium' >= 0"],
+        "halt_rules": ["(ColumnExists 'policynumber') and (IsComplete 'policynumber')"],
+    },
+}
+
+
+@pytest.fixture()
+def config_dir(tmp_path):
+    d = tmp_path / "etl-config"
+    d.mkdir()
+    (d / "testdb-policies.json").write_text(json.dumps(SPEC))
+    (d / "testdb-policies.csv").write_text(MAPPING)
+    (d / "dq-testdb-policies.json").write_text(json.dumps(DQ))
+    (d / "spark-testdb-policies.sql").write_text(
+        "SELECT policynumber, statename, writtenpremium, policymonths,"
+        " year, month, day FROM {database}.{table} WHERE writtenpremium > 5000"
+    )
+    (d / "view-testdb-policies.sql").write_text(
+        "CREATE OR REPLACE VIEW {database}.policy_summary AS"
+        " SELECT policynumber, writtenpremium FROM {database}.policies_consume"
+    )
+    return str(d)
+
+
+def test_collect_to_cleanse_and_consume(spark, tmp_path, config_dir):
+    source = tmp_path / "drop" / "policies-20220301.csv"
+    source.parent.mkdir()
+    source.write_text(CSV)
+
+    ctx = RunContext(
+        spark=spark,
+        args={"base_file_name": source.name, "execution_id": "run-1"},
+        lineage=LineageLog(execution_id="run-1", dataset="testdb/policies"),
+    )
+    ctx.lookups.put_values("StateCd", {"TX": "Texas", "CA": "California"})
+    config = load_dataset_config(config_dir, "testdb", "policies")
+    assert config.spark_sql is not None
+
+    result = collect_to_cleanse(
+        ctx,
+        str(source),
+        database="testdb",
+        table="policies",
+        config=config,
+        partition={"year": "2022", "month": "03", "day": "01"},
+    )
+
+    cleansed = spark.table("testdb.policies")
+    rows = {r["policynumber"]: r for r in cleansed.collect()}
+    # negative premium row quarantined
+    assert set(rows) == {101, 102}
+    assert rows[101]["statename"] == "Texas"
+    assert rows[101]["insuredname"] == "Acme Corp"
+    assert str(rows[102]["writtenpremium"]) == "4500.00"
+    assert rows[101]["policymonths"] == 11
+    assert rows[101]["year"] == 2022 or str(rows[101]["year"]) == "2022"
+    # fuzzy-mapped column made it through
+    assert "neworrenewal" in cleansed.columns
+    # quarantine table exists with the bad row
+    quarantined = spark.table("testdb.policies_quarantine_after_transform")
+    assert quarantined.count() == 1
+    assert "quarantine_timestamp" in quarantined.columns
+
+    # ---- consume stage ----
+    consume = cleanse_to_consume(
+        ctx,
+        "CREATE TABLE policies_consume AS " + config.spark_sql,
+        database="testdb",
+        table="policies",
+        config=config,
+        substitutions={"database": "testdb", "table": "policies"},
+    )
+    assert consume.table == "policies_consume"
+    out = spark.table("testdb.policies_consume")
+    assert [r["policynumber"] for r in out.collect()] == [101]
+    view = spark.sql("SELECT * FROM testdb.policy_summary")
+    assert view.count() == 1
+
+    # lineage captured read/write/transform events in order
+    ops = [e["operation"] for e in ctx.lineage.events]
+    assert "read" in ops and "write" in ops and "mapping" in ops
+
+    # re-run same partition is idempotent (partition cleared first)
+    collect_to_cleanse(
+        ctx, str(source), "testdb", "policies", config,
+        {"year": "2022", "month": "03", "day": "01"},
+    )
+    assert spark.table("testdb.policies").count() == 2
+
+
+def test_missing_config_gracefully_empty(tmp_path):
+    cfg = load_dataset_config(str(tmp_path), "nodb", "notable")
+    assert cfg.transform_spec == {} and cfg.mapping == [] and cfg.spark_sql is None
+    assert isinstance(cfg, DatasetConfig)

@@ -1,0 +1,121 @@
+"""Structured Streaming ingest + multimodal column plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_insurancelake_etl_spark.operators.multimodal import (
+    decode_and_featurize,
+    extract_media_metadata,
+    sniff_content_type_bytes,
+)
+from aws_insurancelake_etl_spark.streaming.ingest import (
+    micro_batch_ingest,
+    windowed_event_counts,
+)
+
+
+def test_micro_batch_ingest_drains_files(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "batch1.csv").write_text("id,amount\n1,10\n2,20\n")
+    (src / "batch2.csv").write_text("id,amount\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("amount", T.IntegerType())]
+    )
+    out_dir = str(tmp_path / "lake")
+    query = micro_batch_ingest(
+        spark,
+        str(src),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_path=out_dir,
+        transform=lambda df: df.withColumn("amount2", F.col("amount") * 2),
+    )
+    query.awaitTermination(120)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == 3
+    assert {r["amount2"] for r in result.collect()} == {20, 40, 60}
+
+    # A restart with one new file processes ONLY the new file (checkpoint).
+    (src / "batch3.csv").write_text("id,amount\n4,40\n")
+    query2 = micro_batch_ingest(
+        spark, str(src), schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), output_path=out_dir,
+        transform=lambda df: df.withColumn("amount2", F.col("amount") * 2),
+    )
+    query2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 4
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "e.csv").write_text(
+        "ts,event_type,value\n"
+        "2024-01-01 00:01:00,click,1.0\n"
+        "2024-01-01 00:02:00,click,2.0\n"
+        "2024-01-01 00:15:00,view,3.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.format("csv").schema(schema).option("header", "true").load(str(src))
+    windowed = windowed_event_counts(stream)
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = {(r["event_type"], str(r["window_start"])): r["n_events"]
+            for r in spark.sql("select * from win_counts").collect()}
+    assert rows[("click", "2024-01-01 00:00:00")] == 2
+    assert rows[("view", "2024-01-01 00:10:00")] == 1
+
+
+JPEG = b"\xff\xd8\xff\xe0" + b"\x01\x02\x03\x04" * 10
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x05\x06" * 20
+
+
+def test_sniff_content_type():
+    assert sniff_content_type_bytes(JPEG) == "image/jpeg"
+    assert sniff_content_type_bytes(PNG) == "image/png"
+    assert sniff_content_type_bytes(b"plainbytes") == "application/octet-stream"
+    assert sniff_content_type_bytes(None) == "unknown"
+
+
+def _media_df(spark):
+    return spark.createDataFrame(
+        [(1, bytearray(JPEG)), (2, bytearray(PNG))],
+        T.StructType(
+            [T.StructField("media_id", T.LongType()),
+             T.StructField("payload", T.BinaryType())]
+        ),
+    )
+
+
+def test_extract_media_metadata(spark):
+    out = {r["media_id"]: r for r in extract_media_metadata(_media_df(spark)).collect()}
+    assert out[1]["content_type"] == "image/jpeg"
+    assert out[2]["content_type"] == "image/png"
+    assert out[1]["n_bytes"] == len(JPEG)
+    assert len(out[1]["content_sha256"]) == 64
+
+
+def test_decode_and_featurize_stub(spark):
+    out = {r["media_id"]: r["feature"] for r in decode_and_featurize(_media_df(spark)).collect()}
+    assert len(out[1]) == 8
+    assert abs(sum(out[1]) - 1.0) < 1e-6  # normalized histogram
+    # Deterministic: same payload → same feature.
+    again = {r["media_id"]: r["feature"] for r in decode_and_featurize(_media_df(spark)).collect()}
+    assert out == again

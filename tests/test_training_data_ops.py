@@ -1,0 +1,104 @@
+"""Training-data pipeline operators as library functions: dedup family,
+text analysis, embedding similarity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.operators import dedup as D
+from aws_insurancelake_etl_spark.operators import similarity as S
+from aws_insurancelake_etl_spark.operators import textanalysis as TA
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tokenize_and_shingles(spark):
+    toks = D.tokenize(docs(spark))
+    assert toks.where("doc_id = 1").count() == 9
+    assert toks.where("doc_id = 1 and pos = 1").collect()[0]["token"] == "the"
+    sh = D.shingles(docs(spark))
+    assert sh.where("doc_id = 1").count() == 7  # 9 tokens → 7 distinct 3-grams
+    shingle_set = {r["shingle"] for r in sh.where("doc_id = 1").collect()}
+    assert "the quick brown" in shingle_set
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(docs(spark))
+    dup_row = [r for r in out.collect() if r["n_copies"] == 2][0]
+    assert dup_row["keeper_doc_id"] == 1
+    assert out.count() == 3
+
+
+def test_jaccard_and_lsh_pipeline_agree(spark):
+    sh = D.shingles(docs(spark))
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(sh, 0.5).collect()}
+    assert (1, 4) in exact_pairs  # identical docs
+    assert (1, 2) in exact_pairs  # near-dup
+    # the verified LSH pipeline returns a subset of exact pairs w/ jaccard
+    verified = D.near_dup_pipeline(docs(spark), jaccard_threshold=0.5)
+    v_pairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert v_pairs <= exact_pairs
+    assert (1, 4) in v_pairs  # identical signatures always collide
+
+
+def test_simhash_identical_docs_equal(spark):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs(spark)).collect()}
+    assert out[1] == out[4]
+    assert 0 <= out[1] < 2**16
+    assert out[1] != out[3]
+
+
+def test_token_stats_quality_langid_fingerprint(spark):
+    df = docs(spark)
+    stats = {r["doc_id"]: r for r in TA.token_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 9
+    assert stats[1]["n_distinct"] == 8  # 'the' twice
+
+    quality = {r["doc_id"]: r for r in TA.quality_score(df).collect()}
+    assert 0 < quality[1]["quality"] <= 1
+    assert quality[1]["stopword_ratio"] > 0
+
+    langid = {r["doc_id"]: r for r in TA.language_id(df).collect()}
+    assert langid[1]["lang_pred"] == "en"
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprint(df).collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[2]
+
+
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [1.0, 0.01, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_and_near_dup(spark):
+    emb = vectors(spark)
+    topk = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=2)
+    got = [(r["vec_id"], r["cosine"]) for r in topk.orderBy(F.desc("cosine")).collect()]
+    ids = [v for v, _ in got]
+    assert ids[0] == 4  # closest to e1
+    assert set(ids) == {2, 4}
+
+    pruned = S.cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=5,
+                           partition_col="label")
+    assert {r["vec_id"] for r in pruned.collect()} == {2, 4}  # label 0 only
+
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.99, block_col="label")
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs.collect()} == {(1, 4)}
