@@ -100,5 +100,5 @@ def test_cosine_topk_and_near_dup(spark):
                            partition_col="label")
     assert {r["vec_id"] for r in pruned.collect()} == {2, 4}  # label 0 only
 
-    pairs = S.cosine_near_dup_pairs(emb, threshold=0.99, block_col="label")
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.999, block_col="label")
     assert {(r["vec_a"], r["vec_b"]) for r in pairs.collect()} == {(1, 4)}
