@@ -594,3 +594,117 @@ def tr_jsonexpandmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "event_id", "kv_index", "kv_key", F.col("kv").alias("kv_value")
     )
+
+
+@register(
+    "tr_fixedwidth_slice",
+    """
+    SELECT trim(substr(line, 1, 10)) AS policy_id,
+           trim(substr(line, 11, 12)) AS amount_str,
+           trim(substr(line, 23, 10)) AS status
+    FROM (
+        SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, ' ')
+               || lpad(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 12, ' ')
+               || rpad(o_orderstatus, 10, ' ') AS line
+        FROM orders WHERE o_orderkey % 30 = 0
+    )
+    """,
+)
+def tr_fixedwidth_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width scan semantics (reference ``etl_collect_to_cleanse.py:
+    138-152``): cumulative-width substr slices + trim, applied to rows
+    rendered as fixed-width lines.  Same per-column projection the
+    fixed-width reader builds from the mapping CSV widths."""
+    from ..sources.readers import read_fixed_width  # noqa: PLC0415 (shape reference)
+
+    lines = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 30 == 0)
+        .select(
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), 10, " "),
+                F.lpad(F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 12, " "),
+                F.rpad(F.col("o_orderstatus"), 10, " "),
+            ).alias("value")
+        )
+    )
+    mapping = [
+        {"sourcename": "f1", "destname": "policy_id", "width": "10"},
+        {"sourcename": "f2", "destname": "amount_str", "width": "12"},
+        {"sourcename": "f3", "destname": "status", "width": "10"},
+    ]
+    from functools import reduce  # noqa: PLC0415
+
+    columns = []
+    for index, field_data in enumerate(mapping):
+        start = reduce(lambda acc, row: acc + int(row["width"]), mapping[:index], 0) + 1
+        columns.append(
+            F.trim(F.col("value").substr(start, int(field_data["width"]))).alias(
+                field_data["destname"]
+            )
+        )
+    return lines.select(columns)
+
+
+@register(
+    "dq_profile_orders",
+    """
+    SELECT 'o_custkey' AS column_name,
+           ROUND(COUNT(o_custkey) * 1.0 / COUNT(*), 6) AS completeness,
+           ROUND(COUNT(DISTINCT o_custkey) * 1.0 / COUNT(o_custkey), 6) AS uniqueness
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           ROUND(COUNT(o_orderstatus) * 1.0 / COUNT(*), 6),
+           ROUND(COUNT(DISTINCT o_orderstatus) * 1.0 / COUNT(o_orderstatus), 6)
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ engine's Completeness/Uniqueness aggregates surfaced as a
+    profile query (one pass per column set, map-side partials)."""
+    orders = t(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.round(F.count(F.col(col)) * 1.0 / F.count(F.lit(1)), 6).alias("completeness"),
+            F.round(
+                F.count_distinct(F.col(col)) * 1.0 / F.count(F.col(col)), 6
+            ).alias("uniqueness"),
+        )
+
+    return profile("o_custkey").unionByName(profile("o_orderstatus"))
+
+
+@register(
+    "agg_numeric_audit",
+    """
+    SELECT COUNT(*) AS row_count,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_quantity,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_extendedprice,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_discount,
+           CAST(ROUND(SUM(CAST(l_tax AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_tax
+    FROM lineitem
+    """,
+)
+def agg_numeric_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage numeric-audit control totals (``datalineage.py:135-145``):
+    row count + per-numeric-column sums in ONE aggregate job."""
+    line = t(spark, sf_dir, "lineitem")
+    return line.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_quantity"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_extendedprice"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("sum_discount"),
+        F.round(F.sum(F.col("l_tax").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("sum_tax"),
+    )

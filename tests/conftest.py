@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -19,6 +20,7 @@ def spark():
         app_name="insurancelake-etl-tests",
         master="local[4]",
         shuffle_partitions=4,
+        warehouse_dir=tempfile.mkdtemp(prefix="spark-wh-"),
         extra_confs={"spark.ui.enabled": "false"},
     )
     yield session
