@@ -105,8 +105,15 @@ def em_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy record linkage, fully distributed: block on nationkey,
-    score candidate pairs with edit-distance similarity (JVM-side
-    ``levenshtein``), keep each incoming row's best match over threshold."""
+    score candidate pairs with edit-distance similarity, keep each incoming
+    row's best match over threshold.
+
+    Plan notes (the 100 TB shape): pairs whose length difference already
+    rules out the similarity floor are pruned before the edit distance is
+    computed; best-match selection is ``max(struct(sim, -key))`` — a hash
+    aggregate with map-side partial combine — instead of a row_number
+    window, so the shuffle carries one candidate per (incoming ×
+    map-partition), not every scored pair."""
     cust = t(spark, sf_dir, "customer")
     incoming = cust.filter(F.col("c_custkey") % 2 == 1).select(
         F.col("c_custkey").alias("custkey"),
@@ -118,14 +125,29 @@ def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("p_name"),
         F.col("c_nationkey").alias("block"),
     )
-    similarity = 1.0 - F.levenshtein("i_name", "p_name") / F.greatest(
-        F.length("i_name"), F.length("p_name")
-    )
-    w = Window.partitionBy("custkey").orderBy(F.desc("similarity"), "matched_custkey")
+    max_len = F.greatest(F.length("i_name"), F.length("p_name"))
+    # sim >= 0.85 ⇒ lev <= 0.15*max_len, and lev >= |len diff| always:
+    # prune pairs by length difference BEFORE computing edit distance.
+    len_diff = F.abs(F.length("i_name") - F.length("p_name"))
+    lev = F.levenshtein(F.col("i_name"), F.col("p_name"))
+    similarity = 1.0 - lev / max_len
+    best = F.max(
+        F.struct(
+            F.col("similarity").alias("sim"),
+            (-F.col("matched_custkey")).alias("neg_key"),
+            F.col("matched_custkey").alias("matched_custkey"),
+        )
+    ).alias("best")
     return (
         incoming.join(primary, "block")
+        .where(len_diff <= max_len * 0.15)
         .select("custkey", "matched_custkey", similarity.alias("similarity"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("similarity") >= 0.85))
-        .select("custkey", "matched_custkey", F.round("similarity", 4).alias("similarity"))
+        .where(F.col("similarity") >= 0.85)
+        .groupBy("custkey")
+        .agg(best)
+        .select(
+            "custkey",
+            F.col("best.matched_custkey").alias("matched_custkey"),
+            F.round("best.sim", 4).alias("similarity"),
+        )
     )
