@@ -1,0 +1,109 @@
+"""File readers (input_spec options) + transform registry dispatch."""
+
+from __future__ import annotations
+
+import json
+
+from aws_insurancelake_etl_spark.operators.registry import (
+    apply_transform_spec,
+    available_transforms,
+    get_transform,
+)
+from aws_insurancelake_etl_spark.sources.readers import read_fixed_width, read_input
+
+
+def test_csv_default_and_custom_delimiter(spark, tmp_path):
+    f = tmp_path / "data.csv"
+    f.write_text("a,b\n1,x\n2,y\n")
+    df = read_input(spark, str(f))
+    assert df.columns == ["a", "b"] and df.count() == 2
+
+    g = tmp_path / "data2.csv"
+    g.write_text("a|b\n1|x\n")
+    df2 = read_input(spark, str(g), {"pipe": {}})
+    assert df2.columns == ["a", "b"] and df2.count() == 1
+
+
+def test_tsv_no_header(spark, tmp_path):
+    f = tmp_path / "data.tsv"
+    f.write_text("1\tx\n2\ty\n")
+    df = read_input(spark, str(f), {"tsv": {"header": False}})
+    assert df.columns == ["_c0", "_c1"]
+    assert df.count() == 2
+
+
+def test_json_multiline(spark, tmp_path):
+    f = tmp_path / "data.json"
+    f.write_text(json.dumps([{"id": 1, "nested": {"x": "a"}}, {"id": 2, "nested": {"x": "b"}}]))
+    df = read_input(spark, str(f), {"json": {"multiline": True}})
+    assert df.count() == 2
+    assert df.select("nested.x").collect()[0][0] == "a"
+
+
+def test_jsonl_prefers_decimal(spark, tmp_path):
+    f = tmp_path / "data.jsonl"
+    f.write_text('{"id": 1, "amount": 10.55}\n{"id": 2, "amount": 20.10}\n')
+    df = read_input(spark, str(f))
+    assert df.schema["amount"].dataType.typeName() == "decimal"
+
+
+def test_xml_row_tag(spark, tmp_path):
+    f = tmp_path / "data.xml"
+    f.write_text(
+        "<rows><policy><id>1</id><name>a</name></policy>"
+        "<policy><id>2</id><name>b</name></policy></rows>"
+    )
+    df = read_input(spark, str(f), {"xml": {"row_tag": "policy"}})
+    assert df.count() == 2 and set(df.columns) == {"id", "name"}
+
+
+def test_fixed_width(spark, tmp_path):
+    f = tmp_path / "data.txt"
+    f.write_text("  123ACME      99\n  456BETA      11\n")
+    mapping = [
+        {"sourcename": "id", "destname": "policy_id", "width": "5"},
+        {"sourcename": "nm", "destname": "name", "width": "10"},
+        {"sourcename": "zz", "destname": "Null", "width": "2"},
+        {"sourcename": "v", "destname": "val", "width": "1"},
+    ]
+    df = read_fixed_width(spark, str(f), mapping)
+    assert df.columns == ["policy_id", "name", "val"]
+    rows = df.collect()
+    assert rows[0]["policy_id"] == "123" and rows[0]["name"] == "ACME"
+
+
+def test_excel_via_pandas(spark, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+    except ModuleNotFoundError:
+        import pytest
+
+        pytest.skip("no openpyxl in environment")
+    import pandas as pd
+
+    f = tmp_path / "wb.xlsx"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(f, index=False)
+    df = read_input(spark, str(f), {"excel": {"sheet_names": ["0"], "data_address": "A1"}})
+    assert df.count() == 2
+
+
+def test_registry_dispatch_suffix_and_unknown(spark, ctx):
+    assert get_transform("date") is not None
+    assert get_transform("date:2") is get_transform("date")
+    assert get_transform("nosuchtransform") is None
+    assert "expandpolicymonths" in available_transforms()
+
+    df = spark.createDataFrame([("2022-01-01", "x")], "d string, s string")
+    out = apply_transform_spec(
+        df,
+        {
+            "date": [{"field": "d", "format": "yyyy-MM-dd"}],
+            "literal": {"tag": "v1"},
+            "literal:2": {"tag2": "v2"},
+            "bogus_transform": [{"whatever": 1}],
+        },
+        ctx,
+    )
+    row = out.collect()[0]
+    assert str(row["d"]) == "2022-01-01"
+    assert row["tag"] == "v1" and row["tag2"] == "v2"
