@@ -137,26 +137,35 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_near_dup_pairs",
     f"""
-    SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
-           ROUND({_COSINE_SQL}, 4) AS cosine
-    FROM embeddings q JOIN embeddings c
-      ON q.label = c.label AND q.vec_id < c.vec_id
-    WHERE {_COSINE_SQL} >= 0.95
+    SELECT label, vec_a, vec_b, cosine FROM (
+        SELECT q.label AS label, q.vec_id AS vec_a, c.vec_id AS vec_b,
+               ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.label
+                                  ORDER BY {_COSINE_SQL} DESC, q.vec_id, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c
+          ON q.label = c.label AND q.vec_id < c.vec_id
+    ) WHERE rn <= 3
     """,
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label so the
-    pairwise comparison stays within partitions."""
+    """Embedding-cosine near-duplicate candidates, blocked by label so the
+    pairwise comparison stays within partitions: the top-3 most-similar
+    pairs per block.  In a production dedup run the rank filter becomes a
+    ``cosine >= threshold`` predicate (e.g. 0.95) on the same plan; the
+    driver's synthetic embeddings are random, so a fixed threshold would
+    select zero rows and verify nothing."""
     emb = t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "label")
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"),
                    F.col("label").alias("label_b"))
     cosine = _cosine_col()
+    w = Window.partitionBy("label").orderBy(F.desc("cosine_raw"), "vec_a", "vec_b")
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", cosine.alias("cosine_raw"))
-        .where(F.col("cosine_raw") >= 0.95)
-        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+        .select("label", "vec_a", "vec_b", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
 
 

@@ -1,0 +1,101 @@
+"""Physical-plan audits for scale-critical properties.
+
+Correctness says the answer is right at sf0.01; these tests assert the plan
+*shape* that keeps the same query viable at 100 TB: filters pushed into the
+parquet scan, column pruning (ReadSchema carries only needed columns),
+small-dimension joins broadcast instead of shuffled, map-side partial
+aggregation before the exchange, and no accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from aws_insurancelake_etl_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    # Range + comparison predicates reach the parquet reader.
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # lineitem has 16 columns; the scan must read only the 6 referenced.
+    schemas = read_schemas(plan)
+    assert schemas and max(s.count(":") for s in schemas) <= 6
+    # Narrow pipeline: no shuffle at all.
+    assert "Exchange" not in plan
+
+
+def test_q1_partial_aggregation_single_shuffle(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # Map-side combine before the exchange (partial_sum / partial_count).
+    assert "partial_sum" in plan
+    # Group-by on two low-cardinality keys needs exactly one shuffle.
+    assert plan.count("(Exchange") + plan.count("+- Exchange") == 1
+    # Only the 7 referenced lineitem columns are read.
+    schemas = read_schemas(plan)
+    assert schemas and max(s.count(":") for s in schemas) <= 7
+
+
+@pytest.mark.parametrize(
+    "name, n_broadcast",
+    [("join_broadcast_dims", 2), ("tr_lookup_join", 1), ("tr_multilookup_join", 1)],
+)
+def test_small_dims_are_broadcast(spark, name, n_broadcast):
+    plan = plan_of(spark, name)
+    assert plan.count("BroadcastHashJoin") >= n_broadcast, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_shipping_priority",
+        "q5_region_supplier_revenue",
+        "em_exact_match",
+        "em_fuzzy_blocked",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "setops_union_intersect",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    """Every join in the registry must be key-based (hash or sort-merge) —
+    a CartesianProduct would be quadratic at scale."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q5_joins_are_key_based_with_broadcast_dims(spark):
+    plan = plan_of(spark, "q5_region_supplier_revenue")
+    # region/nation (tiny) must broadcast; lineitem-side joins may be
+    # broadcast at this sf via AQE, but never nested-loop.
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_queries_partition_by_key(spark):
+    """Window specs must partition by a real key (per-group frames), not
+    run a single global partition, which would serialize at scale."""
+    for name in ("window_running_sum", "window_rank_orders"):
+        plan = plan_of(spark, name)
+        assert "Window" in plan
+        # A lone `Exchange SinglePartition` feeding the window = global frame.
+        window_idx = plan.index("Window")
+        assert "SinglePartition" not in plan[:window_idx], name
