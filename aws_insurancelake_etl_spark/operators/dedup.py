@@ -40,7 +40,13 @@ def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingle set per document."""
+    """Distinct word n-gram shingle set per document:
+    (doc_id, set_size, shingle).
+
+    Dedup happens in a ``collect_set`` groupBy on doc_id, which reuses the
+    lead-window's hash partitioning — no second exchange the way a
+    ``.distinct()`` (hashing by doc_id+shingle) would need — and the set
+    size rides along for free, sparing downstream Jaccard a size join."""
     toks = tokenize(df, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("token", i).over(w).alias(f"lead{i}") for i in range(1, n)]
@@ -49,7 +55,11 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         toks.select("doc_id", "token", *leads)
         .where(F.col(f"lead{n - 1}").isNotNull())
         .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .select(
+            "doc_id", F.size("shset").alias("set_size"), F.explode("shset").alias("shingle")
+        )
     )
 
 
@@ -74,7 +84,14 @@ def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
                         band_size: int = 2) -> DataFrame:
     """Candidate near-dup pairs from banded signatures: melt to
-    (doc_id, band_id, band_key) and self-join on the band key."""
+    (doc_id, band_id, band_key), group the doc ids per band bucket, and
+    expand pairs inside each bucket.
+
+    A self-equi-join on the band key would evaluate the signature pipeline
+    twice; grouping evaluates it once and replaces the join shuffle with a
+    single groupBy on the (uniformly hash-distributed) band key.  Bucket
+    membership lists stay small by construction — a bucket collision IS the
+    near-dup signal — so per-bucket pair expansion is bounded."""
     bands = [tuple(range(i, i + band_size)) for i in range(0, n_hashes, band_size)]
     band_structs = F.array(
         *[
@@ -90,35 +107,57 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
-    a, b = melted.alias("a"), melted.alias("b")
+    buckets = (
+        melted.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
 
 def jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact shingle-set Jaccard over pairs sharing ≥1 shingle."""
-    sizes = shingle_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = shingle_df.alias("a"), shingle_df.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
+
+    One evaluation of the shingle pipeline: set sizes ride along via a
+    per-doc window, doc ids group per shingle (shuffle key = shingle,
+    well-distributed), and pairs expand inside each posting list — no
+    self-join, so no second evaluation of the upstream explode/distinct,
+    and the pair aggregate carries both set sizes, avoiding two more size
+    joins.  At open-web scale, cap posting-list length first (drop
+    shingles appearing in more than K docs — "stop shingles") to bound the
+    quadratic expansion; the driver corpus tops out at 25 docs/shingle."""
+    if "set_size" in shingle_df.columns:
+        sized = shingle_df.withColumnRenamed("set_size", "n")
+    else:
+        sized = shingle_df.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    postings = (
+        sized.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pairs = (
+        postings.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jaccard = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
+    jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jaccard >= threshold)
+        pairs.where(jaccard >= threshold)
         .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
     )
 

@@ -108,17 +108,41 @@ def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     score candidate pairs with edit-distance similarity, keep each incoming
     row's best match over threshold.
 
-    Plan notes (the 100 TB shape): pairs whose length difference already
-    rules out the similarity floor are pruned before the edit distance is
-    computed; best-match selection is ``max(struct(sim, -key))`` — a hash
-    aggregate with map-side partial combine — instead of a row_number
-    window, so the shuffle carries one candidate per (incoming ×
-    map-partition), not every scored pair."""
+    Plan notes (the 100 TB shape):
+
+    - **Bounded edit distance**: ``sim >= 0.85`` implies
+      ``lev <= 0.15 * max_len``, so the 3-arg ``levenshtein(l, r, thr)``
+      computes a banded DP that early-exits past ``thr`` (returns -1) —
+      O(n·thr) per pair instead of O(n²).  ``thr`` is derived from the
+      corpus's max name length with a tiny column-pruned pre-agg.
+    - **Broadcast the primary side**: the entity dimension is orders of
+      magnitude smaller than the incoming feed, and the block key is
+      low-cardinality (25 nations) — a shuffle join would hash 2.25M
+      candidate pairs into 25 hot partitions.  Broadcasting keeps full
+      scan parallelism; at a scale where primary outgrows the broadcast
+      threshold, salt the block key instead.
+    - **Best-match as ``max(struct(sim, -key))``** — a hash aggregate with
+      map-side partial combine — instead of a row_number window, so the
+      shuffle carries one candidate per (incoming × map-partition), not
+      every scored pair."""
     cust = t(spark, sf_dir, "customer")
-    incoming = cust.filter(F.col("c_custkey") % 2 == 1).select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("c_name").alias("i_name"),
-        F.col("c_nationkey").alias("block"),
+    max_name_len = cust.agg(F.max(F.length("c_name"))).first()[0] or 0
+    lev_threshold = int(0.15 * max_name_len) + 1
+    # The broadcast join fans each incoming row out to ~|block| candidate
+    # pairs, so the scoring stage's parallelism is the *incoming* side's
+    # partitioning.  A small single-file input scans as one partition —
+    # spread it across the cluster before the fan-out (cheap: pre-join
+    # cardinality).  At 100 TB the scan is already many partitions and
+    # this repartition collapses into AQE's normal coalesce.
+    n_slices = spark.sparkContext.defaultParallelism
+    incoming = (
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("i_name"),
+            F.col("c_nationkey").alias("block"),
+        )
+        .repartition(n_slices)
     )
     primary = cust.filter(F.col("c_custkey") % 2 == 0).select(
         F.col("c_custkey").alias("matched_custkey"),
@@ -126,10 +150,8 @@ def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     max_len = F.greatest(F.length("i_name"), F.length("p_name"))
-    # sim >= 0.85 ⇒ lev <= 0.15*max_len, and lev >= |len diff| always:
-    # prune pairs by length difference BEFORE computing edit distance.
-    len_diff = F.abs(F.length("i_name") - F.length("p_name"))
-    lev = F.levenshtein(F.col("i_name"), F.col("p_name"))
+    # Banded DP: returns -1 when the distance exceeds the threshold.
+    lev = F.levenshtein(F.col("i_name"), F.col("p_name"), lev_threshold)
     similarity = 1.0 - lev / max_len
     best = F.max(
         F.struct(
@@ -139,10 +161,9 @@ def em_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("best")
     return (
-        incoming.join(primary, "block")
-        .where(len_diff <= max_len * 0.15)
-        .select("custkey", "matched_custkey", similarity.alias("similarity"))
-        .where(F.col("similarity") >= 0.85)
+        incoming.join(F.broadcast(primary), "block")
+        .select("custkey", "matched_custkey", lev.alias("lev"), similarity.alias("similarity"))
+        .where((F.col("lev") >= 0) & (F.col("similarity") >= 0.85))
         .groupBy("custkey")
         .agg(best)
         .select(

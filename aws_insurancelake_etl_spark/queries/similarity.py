@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 QUERIES = {}
 ORACLE = {}
 
@@ -83,7 +85,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    corpus = spread(spark, emb).select("vec_id", F.col("embedding").alias("c_emb"))
     cosine = _cosine_col()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
     return (
@@ -119,7 +121,7 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
     )
-    corpus = emb.select("vec_id", F.col("embedding").alias("c_emb"), "label")
+    corpus = spread(spark, emb).select("vec_id", F.col("embedding").alias("c_emb"), "label")
     cosine = _cosine_col()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
     return (
@@ -155,13 +157,19 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's synthetic embeddings are random, so a fixed threshold would
     select zero rows and verify nothing."""
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "label")
+    # label is ~10 distinct values: a shuffle join would hash every candidate
+    # pair into 10 hot partitions.  Spread the probe side for parallelism and
+    # broadcast the candidate side; past the broadcast threshold, salt the
+    # block key instead.
+    a = spread(spark, emb).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("q_emb"), "label")
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("c_emb"),
                    F.col("label").alias("label_b"))
     cosine = _cosine_col()
     w = Window.partitionBy("label").orderBy(F.desc("cosine_raw"), "vec_a", "vec_b")
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(F.broadcast(b),
+               (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("label", "vec_a", "vec_b", cosine.alias("cosine_raw"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from .util import spread
 
 QUERIES = {}
 ORACLE = {}
@@ -63,14 +64,20 @@ _SHINGLES_CTE = (
 )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread to one partition per core: the tokenize explode is
+    the fan-out stage, so its input partitioning caps all parallelism."""
+    return spread(spark, t(spark, sf_dir, "documents"))
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, token) — pos is 1-based to match generate_subscripts."""
-    return D.tokenize(t(spark, sf_dir, "documents"))
+    return D.tokenize(_docs(spark, sf_dir))
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document."""
-    return D.shingles(t(spark, sf_dir, "documents"))
+    return D.shingles(_docs(spark, sf_dir))
 
 
 @register(
@@ -196,7 +203,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text."""
-    return t(spark, sf_dir, "documents").select(
+    return _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fingerprint"),
     )
@@ -211,7 +218,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy, keep the lowest doc_id per content hash."""
-    return D.exact_dedup(t(spark, sf_dir, "documents"))
+    return D.exact_dedup(_docs(spark, sf_dir))
 
 
 @register(
@@ -310,4 +317,4 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over the distinct token set: per-bit majority vote of
     md5-derived token hashes, folded into one integer — all 16 bit-votes are
     aggregates in a single groupBy."""
-    return D.simhash(t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    return D.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)

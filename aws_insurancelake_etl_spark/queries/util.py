@@ -10,6 +10,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure at least one partition per core before a fan-out stage.
+
+    A small single-file parquet scans as ONE partition, so everything up to
+    the first shuffle (explode, pairwise scoring after a broadcast join)
+    would run on one core.  Repartitioning costs one pass over the
+    *pre-fan-out* rows — negligible next to the work it parallelizes.  At
+    100 TB the scan already yields thousands of partitions and this is a
+    no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table is written with nanosecond parquet timestamps, which
     Spark's vectorized reader rejects.  Read ``ts`` as nanos-since-epoch and
