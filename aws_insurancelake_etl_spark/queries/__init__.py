@@ -12,6 +12,8 @@ Organization mirrors SURVEY.md §2's operator inventory:
 - ``entity``      — entity-match joins (exact composite-key + blocked fuzzy)
 - ``text``        — text analysis + dedup family over ``documents``
 - ``similarity``  — embedding similarity / ANN over ``embeddings``
+- ``events``      — time-series ops over ``events`` (as-of join,
+  sessionization, range join, JSON extraction)
 """
 
 from __future__ import annotations
@@ -20,9 +22,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import entity, relational, similarity, text, transforms
+from . import entity, events, relational, similarity, text, transforms
 
-_MODULES = (relational, transforms, entity, text, similarity)
+_MODULES = (relational, transforms, entity, text, similarity, events)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

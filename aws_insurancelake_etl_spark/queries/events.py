@@ -1,0 +1,224 @@
+"""Event-stream queries over the ``events`` table
+(``event_id, ts, user_id, event_type, value, props``): as-of join,
+gap-based sessionization, range join, and JSON property extraction —
+the time-series operators a training-data / clickstream pipeline needs
+that plain TPC-H shapes don't cover.
+
+Scale design notes:
+
+- **As-of join without a join**: the classic as-of (each probe row matched
+  to the latest reference row at-or-before it) is expressed as a union of
+  the two tagged streams + one ``last(ignorenulls)`` running window per
+  user — a single shuffle on the (high-cardinality) user key, no
+  candidate-pair blowup, no range-join quadratic.  The DuckDB oracle uses
+  its native ``ASOF JOIN`` — two completely different implementations that
+  must agree bit-for-bit.
+- **Sessionization** is two windows + one groupBy, all partitioned by
+  user_id; this is the batch twin of the Structured Streaming
+  session-window operator in ``streaming/``.
+- **Range join**: band tables are tiny by nature — broadcast them and let
+  the non-equi predicate evaluate map-side; never shuffle the fact table
+  for a 4-row dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import read_events
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+@register(
+    "evt_asof_last_purchase",
+    """
+    SELECT e.event_id, e.user_id,
+           p.event_id AS purchase_event_id,
+           (epoch_us(e.ts) - epoch_us(p.ts)) / 1000000 AS secs_since_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id, event_id, ts FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the same user's most recent
+    purchase at-or-before it.  Implemented join-free: tag the two streams,
+    union, and run one ``last(ignorenulls)`` window ordered by (ts, tag) —
+    purchases sort before errors on ts ties so equality matches, and
+    same-timestamp purchases keep the max event_id (mirrored in the
+    oracle's dedup subquery so both sides are deterministic)."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        "event_id",
+    )
+    merged = purchases.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "p_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "p_event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("lp", last_purchase)
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("lp.p_event_id").alias("purchase_event_id"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("lp.ts")) / F.lit(1000000)
+            ).alias("secs_since_purchase"),
+        )
+    )
+
+
+@register(
+    "evt_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000 AS duration_secs,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def evt_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag to flag session
+    starts, running sum to number sessions, one groupBy for per-session
+    stats.  Everything partitions by user_id — the same key end-to-end, so
+    Catalyst plans a single exchange for all three steps."""
+    ev = read_events(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Microsecond-exact gap: casting timestamps to long would truncate to
+    # seconds and disagree with the oracle on gaps straddling the boundary.
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_lag)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_idx", F.sum("new_session").over(w_sum))
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000)
+        ).alias("duration_secs"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+_BANDS = [(0.0, 2.5, "low"), (2.5, 5.0, "mid"), (5.0, 7.5, "high"), (7.5, 1e9, "top")]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS)
+
+
+@register(
+    "evt_range_join_bands",
+    f"""
+    SELECT b.band, e.event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES {_BANDS_SQL}) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band, e.event_type
+    """,
+)
+def evt_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a band dimension: broadcast the 4-row band table
+    and evaluate the interval predicate map-side (BroadcastNestedLoopJoin
+    over a tiny build side = a filtered cross of 4 rows — the correct plan;
+    shuffling the fact table here would be the mistake)."""
+    ev = read_events(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "evt_json_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INT) // 10
+    """,
+)
+def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a property out of the JSON string
+    column with the native ``get_json_object`` (JVM-side, codegen'd — not a
+    Python UDF) and aggregate by its bucket."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(F.floor(k / 10).cast("bigint").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")) / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("avg_value"),
+        )
+    )

@@ -508,3 +508,101 @@ def kv_pivot_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.concat_ws(":", "event_type", "cnt"))),
         ).alias("type_counts")
     )
+
+
+@register(
+    "q4_order_priority_semi",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_returnflag = 'R' AND l.l_quantity > 30
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — LEFT SEMI join (EXISTS): qualifying lineitems
+    (large returned items; the synthetic table has no commit/receipt
+    dates) select orders without duplicating them, so no post-join
+    distinct and the probe side streams through the hash relation once."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "anti_customers_no_orders",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY n.n_name
+    """,
+)
+def anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent-priority
+    order (every synthetic customer has *some* order), counted by nation.
+    Anti join + broadcast nation dim — the quarantine/exclusion shape the
+    reference's DQ engine uses, as a first-class operator.  The priority
+    filter pushes into the orders scan before the anti join builds."""
+    cust = t(spark, sf_dir, "customer")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q18_top_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_top_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — top-k over a grouped HAVING: aggregate lineitem by
+    orderkey FIRST (map-side combine shrinks the shuffle), filter on the
+    aggregate, then a bounded TakeOrdered instead of a global sort."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > 250)
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_orderkey", "o_orderdate",
+                F.round("qty", 2).cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )

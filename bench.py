@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "q18_top_large_orders",
+    "evt_asof_last_purchase",
+    "evt_sessionize",
 ]
 
 
