@@ -14,6 +14,8 @@ Organization mirrors SURVEY.md §2's operator inventory:
 - ``similarity``  — embedding similarity / ANN over ``embeddings``
 - ``events``      — time-series ops over ``events`` (as-of join,
   sessionization, range join, JSON extraction)
+- ``pipeline_ops`` — engine machinery in the gate: full Collect-to-Cleanse
+  run, DQDL quarantine split, Structured Streaming windowed aggregation
 """
 
 from __future__ import annotations
@@ -22,9 +24,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import entity, events, relational, similarity, text, transforms
+from . import entity, events, pipeline_ops, relational, similarity, text, transforms
 
-_MODULES = (relational, transforms, entity, text, similarity, events)
+_MODULES = (relational, transforms, entity, text, similarity, events, pipeline_ops)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,209 @@
+"""Engine-machinery queries: the full Collect-to-Cleanse pipeline, the DQDL
+quarantine split, and a Structured Streaming windowed aggregation — the
+non-relational surfaces of SURVEY §2/§3 (config-driven pipeline, DQ engine,
+streaming) wired into the driver's differential gate with real oracles.
+
+Each entry runs the actual engine code path (``plans.pipeline``,
+``plans.dq.RuleCompiler``, ``streaming.ingest``), not a reimplementation;
+the oracle reproduces only the *expected output* in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import load_dataset_config
+from ..context import RunContext
+from ..plans.dq import RuleCompiler
+from ..plans.lineage import LineageLog
+from ..plans.pipeline import collect_to_cleanse
+from ..streaming.ingest import windowed_event_counts
+from .util import read_events, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+_PIPE_SPEC = {
+    "input_spec": {"csv": {"header": True}},
+    "transform_spec": {
+        "changetype": {"acct_balance": "Decimal(16,2)"},
+        "literal": {"lineofbusiness": "retail"},
+        "filterrows": [{"condition": "acct_balance >= 0"}],
+    },
+}
+
+_PIPE_MAPPING = """SourceName,DestName,Threshold,Scorer
+c_custkey,customer_id,,
+c_name,name,,
+c_nationkey,Null,,
+c_acctbal,acct_balance,,
+c_mktsegment,market_segment,,
+"""
+
+_PIPE_DQ = {
+    "after_transform": {
+        "quarantine_rules": ["ColumnValues 'market_segment' != 'MACHINERY'"],
+        "halt_rules": ["(ColumnExists 'customer_id') and (IsComplete 'customer_id')"],
+    }
+}
+
+
+@register(
+    "pipeline_collect_to_cleanse",
+    """
+    SELECT c_custkey AS customer_id,
+           c_name AS name,
+           CAST(CAST(c_acctbal AS DECIMAL(16,2)) AS DOUBLE) AS acct_balance,
+           c_mktsegment AS market_segment,
+           'retail' AS lineofbusiness,
+           '2024' AS year, '06' AS month, '15' AS day
+    FROM customer
+    WHERE c_acctbal >= 0 AND c_mktsegment <> 'MACHINERY'
+    """,
+)
+def pipeline_collect_to_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole config-driven Collect-to-Cleanse stage as one gate query:
+    customer exported to a raw CSV drop file, then CSV scan → mapping CSV
+    (rename + column drop) → changetype/literal/filterrows transforms →
+    DQDL quarantine + halt rules → partition-column injection → partitioned
+    warehouse write.  The returned DataFrame is the cleansed table content;
+    the oracle states the expected result in plain SQL.  Every run uses a
+    throwaway database/warehouse namespace so reruns never trip the
+    schema-evolution gate."""
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"gate-pipeline-{run_id}-")
+    source = f"{tmp}/drop/customers-20240615.csv"
+    (
+        t(spark, sf_dir, "customer")
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(f"{tmp}/drop")
+    )
+    # Spark writes part files; the pipeline reads the directory (same rows).
+    shutil.rmtree(f"{tmp}/drop/_temporary", ignore_errors=True)
+    source = f"{tmp}/drop"
+
+    config_dir = f"{tmp}/etl-config"
+    db = f"gatedb_{run_id}"
+    import os
+
+    os.makedirs(config_dir)
+    with open(f"{config_dir}/{db}-customers.json", "w") as fh:
+        json.dump(_PIPE_SPEC, fh)
+    with open(f"{config_dir}/{db}-customers.csv", "w") as fh:
+        fh.write(_PIPE_MAPPING)
+    with open(f"{config_dir}/dq-{db}-customers.json", "w") as fh:
+        json.dump(_PIPE_DQ, fh)
+
+    ctx = RunContext(
+        spark=spark,
+        args={"base_file_name": "customers-20240615.csv", "execution_id": f"gate-{run_id}"},
+        lineage=LineageLog(execution_id=f"gate-{run_id}", dataset=f"{db}/customers"),
+    )
+    config = load_dataset_config(config_dir, db, "customers")
+    result = collect_to_cleanse(
+        ctx,
+        source,
+        database=db,
+        table="customers",
+        config=config,
+        partition={"year": "2024", "month": "06", "day": "15"},
+    )
+    return result.df.select(
+        "customer_id",
+        "name",
+        F.col("acct_balance").cast("double").alias("acct_balance"),
+        "market_segment",
+        "lineofbusiness",
+        "year",
+        "month",
+        "day",
+    )
+
+
+@register(
+    "dq_quarantine_split",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE NOT (o_totalprice >= 50000 AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ engine's quarantine path: a composite DQDL rule string is
+    compiled by the real ``RuleCompiler`` into a row predicate, and the
+    failing split (what the engine writes to ``<table>_quarantine_<stage>``)
+    is returned.  Compiles to a plain Catalyst filter — quarantine costs one
+    predicate evaluation, not a second pass."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    rule = RuleCompiler(orders).compile(
+        "(ColumnValues 'o_totalprice' >= 50000)"
+        " and (ColumnValues 'o_orderpriority' in ['1-URGENT', '2-HIGH'])"
+    )
+    assert rule.predicate is not None
+    return orders.filter(~rule.predicate)
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the gate: the events table replayed through
+    a file-source stream (``availableNow`` drains it and stops), aggregated
+    with the watermarked tumbling-window operator, landed in a memory sink,
+    and compared against a batch SQL oracle — streaming and batch must
+    agree exactly (decimal partial sums make the aggregation
+    order-independent across micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    # FileStreamSource wants a drop *directory* (the unit of arrival), not a
+    # bare file — stage the table as one dropped file, like the reference's
+    # S3-event ingest.
+    drop_dir = tempfile.mkdtemp(prefix="gate-stream-drop-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop_dir)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    )
+    windowed = windowed_event_counts(stream)
+    sink = f"gate_stream_{uuid.uuid4().hex[:12]}"
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

@@ -73,7 +73,9 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(timestamp_col), window_duration), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # decimal partial sums are exact → order-independent across
+            # micro-batches (a double sum would drift with batch order)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
