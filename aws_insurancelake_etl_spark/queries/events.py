@@ -222,3 +222,44 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value"),
         )
     )
+
+
+@register(
+    "evt_salted_hotkey_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def evt_salted_hotkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via salting: event_type has only 5 distinct
+    values, so a direct groupBy funnels the whole table into 5 reducers.
+    The salted two-stage plan splits each key across 16 sub-groups first;
+    the oracle is the plain GROUP BY — salting must not change results."""
+    from ..operators.skew import salted_agg
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "total_value_dec": ("sum", F.col("value_dec")),
+            "min_user": ("min", F.col("user_id")),
+            "max_user": ("max", F.col("user_id")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "min_user",
+        "max_user",
+    )
