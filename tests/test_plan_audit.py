@@ -90,6 +90,33 @@ def test_q5_joins_are_key_based_with_broadcast_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_join_is_join_free(spark):
+    """The as-of query must compile to union + window (one exchange on
+    user_id), never a range join whose candidate set is quadratic."""
+    plan = plan_of(spark, "evt_asof_last_purchase")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
+
+
+def test_salted_agg_two_stage_shape(spark):
+    """Salted hot-key aggregation: two aggregate stages (partial over
+    keys+salt, final over keys) and the salt column never escapes."""
+    plan = plan_of(spark, "evt_salted_hotkey_agg")
+    assert plan.count("HashAggregate") >= 4
+    df = all_queries()["evt_salted_hotkey_agg"](spark, SF_DIR)
+    assert "__salt" not in df.columns
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18 must shrink lineitem with a pre-join aggregate (partial_sum
+    before any join), then TakeOrdered instead of a global sort."""
+    plan = plan_of(spark, "q18_top_large_orders")
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_window_queries_partition_by_key(spark):
     """Window specs must partition by a real key (per-group frames), not
     run a single global partition, which would serialize at scale."""
