@@ -182,6 +182,35 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
+def jaccard_for_pairs(
+    shingle_df: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard evaluated ONLY for the given (doc_a, doc_b) pairs.
+
+    Each pair pulls its two shingle sets by doc-id join and counts the
+    intersection — cost is bounded by the candidate pairs' shingle volume,
+    never the corpus's pairwise structure.  This is the verify stage of
+    candidate-generation pipelines (LSH, blocking, ANN)."""
+    a = shingle_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("na"),
+        F.col("shingle").alias("sh_a"),
+    )
+    b = shingle_df.select(
+        F.col("doc_id").alias("__b_id"), F.col("set_size").alias("nb"),
+        F.col("shingle").alias("sh_b"),
+    )
+    jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("__b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .drop("__b_id")
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(jaccard >= threshold)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
 def near_dup_pipeline(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -192,8 +221,9 @@ def near_dup_pipeline(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — the standard
-    two-stage near-dup pipeline (approximate recall, exact precision)."""
+    two-stage near-dup pipeline (approximate recall, exact precision).
+    The verify stage computes Jaccard only for candidate pairs, so total
+    cost is signatures + bucket collisions — independent of |D|²."""
     sh = shingles(df, id_col, text_col, shingle_n)
     candidates = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, band_size)
-    verified = jaccard_pairs(sh, jaccard_threshold)
-    return candidates.join(verified, ["doc_a", "doc_b"])
+    return jaccard_for_pairs(sh, candidates, jaccard_threshold)

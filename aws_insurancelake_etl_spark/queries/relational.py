@@ -707,3 +707,39 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+               AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated aggregate subquery decorrelated into a
+    self-aggregation join: per-part average computed once (map-side partial
+    over the same scan), then re-joined on partkey.  Both sides shuffle on
+    the SAME key, so Catalyst aligns the exchanges; no per-row subquery
+    execution ever happens."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pa_partkey"))
+        .where(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0, 2
+            ).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -318,3 +318,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived token hashes, folded into one integer — all 16 bit-votes are
     aggregates in a single groupBy."""
     return D.simhash(_docs(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_SHINGLES_CTE}, sig AS ({_minhash_agg_sql()}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) FROM sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    exact AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(i.overlap * 1.0 / (sa.n + sb.n - i.overlap), 4) AS jaccard
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) i JOIN sizes sa ON i.doc_a = sa.doc_id
+            JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.5
+    )
+    SELECT c.doc_a, c.doc_b, e.jaccard
+    FROM cands c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard two-stage near-dup pipeline as ONE gate query: MinHash
+    LSH proposes candidate pairs (bounded by band-bucket collisions), exact
+    shingle Jaccard verifies them (approximate recall, exact precision).
+    At scale the verify stage touches only the candidate pairs' shingle
+    sets, never all pairs."""
+    return D.near_dup_pipeline(_docs(spark, sf_dir), jaccard_threshold=0.5)
