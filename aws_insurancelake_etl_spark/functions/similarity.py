@@ -28,11 +28,14 @@ def jaro_winkler_py(s1: str | None, s2: str | None) -> float:
     """Standard Jaro-Winkler similarity (prefix scale 0.1, prefix cap 4)."""
     if s1 is None or s2 is None:
         return 0.0
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
+    # Empty = missing value: no match evidence, score 0 (rapidfuzz/DuckDB
+    # convention — and the safe choice for record linkage, where an empty
+    # field must never count as a perfect match).
     if not len1 or not len2:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     matches1 = [False] * len1
     matches2 = [False] * len2
@@ -56,9 +59,16 @@ def jaro_winkler_py(s1: str | None, s2: str | None) -> float:
             if s1[i] != s2[k]:
                 transpositions += 1
             k += 1
+    # Mismatched-position count can be odd (a 3-cycle); the rapidfuzz /
+    # jellyfish family floors the half-count — match that variant so scores
+    # are bit-identical to common engines (incl. the DuckDB oracle).
     jaro = (
-        matches / len1 + matches / len2 + (matches - transpositions / 2) / matches
+        matches / len1 + matches / len2 + (matches - transpositions // 2) / matches
     ) / 3
+    # Winkler prefix boost applies only above the classic 0.7 threshold
+    # (rapidfuzz/jellyfish/DuckDB behavior).
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a != b:
