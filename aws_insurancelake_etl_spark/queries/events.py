@@ -263,3 +263,28 @@ def evt_salted_hotkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_user",
         "max_user",
     )
+
+
+@register(
+    "evt_lag_delta",
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(CAST(value AS DECIMAL(18,2))
+                - LAG(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS DOUBLE)
+               AS value_delta
+    FROM events
+    """,
+)
+def evt_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag delta — the lag/lead analytic family over the event
+    stream, partitioned by the high-cardinality user key (no global
+    window), ties broken by event_id."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(v - F.lag(v).over(w), 2).cast("double").alias("value_delta"),
+    )

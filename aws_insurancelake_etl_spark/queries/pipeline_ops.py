@@ -207,3 +207,39 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "mm_media_metadata",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'ID3'
+                        ELSE 'RIFF' END || text)) AS n_bytes,
+           CASE doc_id % 3 WHEN 0 THEN 'image/gif' WHEN 1 THEN 'audio/mp3'
+                ELSE 'audio/wav' END AS content_type,
+           sha256(CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'ID3'
+                  ELSE 'RIFF' END || text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction in the gate: synthesize binary media
+    payloads from the documents table (deterministic magic-number header +
+    utf-8 text bytes), then run the real ``extract_media_metadata`` path —
+    native byte length + sha256, content-type sniffing via an Arrow
+    ``mapInPandas`` batch pass over the first 8 bytes only.  The oracle
+    reconstructs the same bytes in SQL; the binary payload column itself
+    never ships to Python."""
+    from ..operators.multimodal import extract_media_metadata
+
+    docs = t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
+        .otherwise(F.lit("RIFF"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header.cast("binary"), F.col("text").cast("binary")).alias("payload"),
+    )
+    return extract_media_metadata(media)
