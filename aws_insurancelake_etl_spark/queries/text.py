@@ -92,16 +92,20 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer): one explode + one groupBy."""
+    """Token counting — fully narrow: per-document stats are array
+    expressions over the split, so the whole query is a map with zero
+    shuffles (the explode+groupBy formulation shuffles every token)."""
     return (
-        _tokens(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count_distinct("token").alias("n_distinct"),
-            F.round(F.sum(F.length("token")) * 1.0 / F.count(F.lit(1)), 4).alias(
-                "avg_token_len"
-            ),
+        D.token_array(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+            F.round(
+                F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") * 1.0
+                / F.size("toks"),
+                4,
+            ).alias("avg_token_len"),
         )
     )
 
@@ -125,17 +129,16 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: lexical diversity + stopword ratio, one pass."""
-    is_stop = F.col("token").isin(*_STOPWORDS).cast("int")
-    toks = _tokens(spark, sf_dir)
-    return toks.groupBy("doc_id").agg(
-        F.round(F.count_distinct("token") * 1.0 / F.count(F.lit(1)), 4).alias("diversity"),
-        F.round(F.sum(is_stop) * 1.0 / F.count(F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(
-            F.count_distinct("token") * 0.5 / F.count(F.lit(1))
-            + (1 - F.sum(is_stop) * 1.0 / F.count(F.lit(1))) * 0.5,
-            4,
-        ).alias("quality"),
+    """Quality scoring — narrow array expressions, zero shuffles."""
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS)
+    n = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    n_stop = F.expr(f"size(filter(toks, t -> t IN ({stop_list})))")
+    return D.token_array(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round(n_distinct * 1.0 / n, 4).alias("diversity"),
+        F.round(n_stop * 1.0 / n, 4).alias("stopword_ratio"),
+        F.round(n_distinct * 0.5 / n + (1 - n_stop * 1.0 / n) * 0.5, 4).alias("quality"),
     )
 
 
@@ -166,14 +169,17 @@ def _lang_case_sql() -> str:
 
 @register("text_langid", f"WITH {_TOKS_CTE} {_lang_case_sql()}")
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID heuristic: per-language stopword hit counts, argmax with
-    deterministic tie-break (en > de > es)."""
-    toks = _tokens(spark, sf_dir)
+    """Language ID heuristic — per-language stopword hits as narrow array
+    filters (zero shuffles), argmax with deterministic tie-break
+    (en > de > es)."""
     scores = {
-        lang: F.sum(F.col("token").isin(*words).cast("int"))
+        lang: F.expr(
+            f"size(filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        ).cast("long")
         for lang, words in _LANG_LISTS.items()
     }
-    agg = toks.groupBy("doc_id").agg(
+    agg = D.token_array(_docs(spark, sf_dir)).select(
+        "doc_id",
         scores["en"].alias("score_en"),
         scores["de"].alias("score_de"),
         scores["es"].alias("score_es"),
@@ -262,7 +268,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: 8 md5-seeded 32-bit min-hashes per document,
     computed as 8 ``min`` aggregates in ONE groupBy pass over the shingle
     set (no per-hash shuffles)."""
-    return D.minhash_signatures(_shingles(spark, sf_dir), n_hashes=_N_HASHES)
+    return D.minhash_signatures(_docs(spark, sf_dir), n_hashes=_N_HASHES)
 
 
 def _minhash_pairs_sql() -> str:
