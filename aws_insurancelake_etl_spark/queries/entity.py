@@ -218,3 +218,107 @@ def em_jaro_winkler_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n_matches"), F.max("jw").alias("best_score"))
     )
+
+
+@register(
+    "em_full_flow",
+    """
+    WITH incoming AS (
+        SELECT c_custkey, c_name, CAST(c_nationkey AS VARCHAR) AS block_nk,
+               CAST(c_custkey % 3 AS VARCHAR) AS src_system,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN md5('pre-' || CAST(c_custkey AS VARCHAR)) END AS globalid
+        FROM customer
+    ),
+    prim AS (
+        SELECT c_custkey, c_name, CAST(c_nationkey AS VARCHAR) AS block_nk,
+               CAST(c_custkey % 3 AS VARCHAR) AS src_system,
+               md5(CAST(c_custkey AS VARCHAR)) AS globalid
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    pre AS (SELECT c_custkey, globalid FROM incoming WHERE globalid IS NOT NULL),
+    exact AS (
+        SELECT i.c_custkey, p.globalid
+        FROM incoming i JOIN prim p
+          ON i.c_custkey = p.c_custkey AND i.src_system = p.src_system
+        WHERE i.globalid IS NULL
+    ),
+    fuzzy AS (
+        SELECT c_custkey, globalid FROM (
+            SELECT i.c_custkey, p.globalid,
+                   ROW_NUMBER() OVER (PARTITION BY i.c_custkey ORDER BY p.globalid) AS rn
+            FROM incoming i JOIN prim p ON i.block_nk = p.block_nk
+            WHERE i.globalid IS NULL
+              AND NOT EXISTS (SELECT 1 FROM exact e WHERE e.c_custkey = i.c_custkey)
+              AND 1.0 - levenshtein(i.c_name, p.c_name) * 1.0
+                  / GREATEST(length(i.c_name), length(p.c_name)) >= 0.85
+        ) WHERE rn = 1
+    )
+    SELECT c_custkey AS custkey, globalid FROM pre
+    UNION ALL SELECT c_custkey, globalid FROM exact
+    UNION ALL SELECT c_custkey, globalid FROM fuzzy
+    UNION ALL
+    SELECT c_custkey, md5('new-' || CAST(c_custkey AS VARCHAR))
+    FROM incoming i
+    WHERE globalid IS NULL
+      AND NOT EXISTS (SELECT 1 FROM exact e WHERE e.c_custkey = i.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM fuzzy f WHERE f.c_custkey = i.c_custkey)
+    """,
+)
+def em_full_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Consume-Entity-Match flow
+    (``etl_consume_entity_match.py:404-431``) through the real
+    ``entity_match`` operator: prematched pass-through → exact
+    (pk, source-system) match → one blocked fuzzy level (levenshtein
+    comparator, threshold-gated, best-match window, gid tie-break) →
+    deterministic new-id fill → unionByName of the four streams.  The
+    oracle restates all four streams in SQL; ids are md5-derived instead
+    of uuid() so both engines agree."""
+    from ..operators.entitymatch import entity_match
+
+    cust = t(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("string").alias("block_nk"),
+        (F.col("c_custkey") % 3).cast("string").alias("src_system"),
+    )
+    incoming = base.withColumn(
+        "globalid",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.md5(F.concat(F.lit("pre-"), F.col("c_custkey").cast("string"))),
+        ),
+    )
+    primary = base.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "globalid", F.md5(F.col("c_custkey").cast("string"))
+    )
+    spec = {
+        "global_id_field": "globalid",
+        "exact_match_fields": {
+            "source_primary_key": "c_custkey",
+            "source_system_key": "src_system",
+        },
+        "levels": [
+            {
+                "blocks": ["block_nk"],
+                "threshold": 0.9,
+                "fields": [
+                    {
+                        "fieldname": "c_name",
+                        "type": "string",
+                        "method": "levenshtein",
+                        "threshold": 0.85,
+                        "weight": 1,
+                    }
+                ],
+            }
+        ],
+    }
+    out = entity_match(
+        incoming,
+        primary,
+        spec,
+        new_id_column=F.md5(F.concat(F.lit("new-"), F.col("c_custkey").cast("string"))),
+    )
+    return out.select(F.col("c_custkey").alias("custkey"), "globalid")
