@@ -623,8 +623,8 @@ def q18_top_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+               OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     )
     GROUP BY supp_nation, cust_nation, yr
     """,
@@ -635,7 +635,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join on the two broadcast attrs, but each nation dim is ALSO
     pre-filtered to the two relevant nations so the disjunction prunes the
     big-side rows at the earliest key-carrying join, not at the end."""
-    pair = ("NATION_1", "NATION_2")
+    # Pair chosen to have cross-trades even at the sf0.001 smoke scale
+    # (an empty result verifies nothing and empty-frame compares are
+    # dtype-brittle).
+    pair = ("NATION_18", "NATION_19")
     nation = t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
     supplier = t(spark, sf_dir, "supplier")
     customer = t(spark, sf_dir, "customer")
