@@ -53,8 +53,11 @@ def main() -> None:
                           extra_confs={"spark.ui.enabled": "false"})
     queries = all_queries()
 
-    # Warmup: JVM + codegen + parquet footer caches.
-    materialize(queries[HEADLINE[0]](spark, sf_dir))
+    # Warmup: one full pass materializes every query once so the timed pass
+    # measures steady state (JIT-compiled codegen, parquet footer caches,
+    # broadcast relations) instead of first-run JVM noise.
+    for name in HEADLINE:
+        materialize(queries[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
