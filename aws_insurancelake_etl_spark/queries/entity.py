@@ -11,7 +11,7 @@ bounded by the blocking key's selectivity, never |A|×|B|.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES = {}

@@ -24,7 +24,7 @@ from ..plans.dq import RuleCompiler
 from ..plans.lineage import LineageLog
 from ..plans.pipeline import collect_to_cleanse
 from ..streaming.ingest import windowed_event_counts
-from .util import read_events, t
+from .util import t
 
 QUERIES = {}
 ORACLE = {}

@@ -615,8 +615,6 @@ def tr_fixedwidth_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     138-152``): cumulative-width substr slices + trim, applied to rows
     rendered as fixed-width lines.  Same per-column projection the
     fixed-width reader builds from the mapping CSV widths."""
-    from ..sources.readers import read_fixed_width  # noqa: PLC0415 (shape reference)
-
     lines = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 30 == 0)
