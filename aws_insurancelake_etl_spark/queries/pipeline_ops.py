@@ -243,3 +243,60 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header.cast("binary"), F.col("text").cast("binary")).alias("payload"),
     )
     return extract_media_metadata(media)
+
+
+@register(
+    "pipeline_cleanse_to_consume",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price,
+           '2024' AS year, '06' AS month, '15' AS day
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_cleanse_to_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cleanse-to-Consume stage as a gate query: a cleanse table is
+    staged in a throwaway database, then the real ``cleanse_to_consume``
+    runs a SQL file body with ``{database}.{table}`` substitution and a
+    ``CREATE TABLE ... AS`` target override (the reference's
+    ``etl_cleanse_to_consume.py:126-147`` contract), rewrites the consume
+    table, and the returned DataFrame is the materialized result.  The
+    oracle restates the SQL against the raw table."""
+    from ..context import RunContext
+    from ..plans.pipeline import cleanse_to_consume
+    from ..plans.writer import add_partition_columns
+
+    run_id = uuid.uuid4().hex[:12]
+    db = f"gatedb2_{run_id}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    cleansed = add_partition_columns(
+        t(spark, sf_dir, "orders"),
+        {"year": "2024", "month": "06", "day": "15"},
+        execution_id=f"gate-{run_id}",
+    )
+    cleansed.write.mode("overwrite").format("parquet").saveAsTable(f"{db}.orders_cleansed")
+
+    sql_body = (
+        "CREATE TABLE orders_consume AS "
+        "SELECT o_orderpriority AS priority, COUNT(*) AS n_orders, "
+        "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) "
+        "AS total_price, year, month, day "
+        "FROM {database}.{table} WHERE o_orderstatus = 'O' "
+        "GROUP BY o_orderpriority, year, month, day"
+    )
+    ctx = RunContext(spark=spark, args={"execution_id": f"gate-{run_id}"})
+    result = cleanse_to_consume(
+        ctx,
+        sql_body,
+        database=db,
+        table="orders_cleansed",
+        substitutions={"database": db, "table": "orders_cleansed"},
+    )
+    assert result.table == "orders_consume"
+    return spark.table(f"{db}.orders_consume").select(
+        "priority", "n_orders", "total_price", "year", "month", "day"
+    )
