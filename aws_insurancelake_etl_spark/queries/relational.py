@@ -806,3 +806,109 @@ def setops_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return building.subtract(urgent)
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT yr,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0 END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's market share inside a region per
+    year: conditional decimal sums in a single aggregation over a 6-table
+    join (all dims broadcast; lineitem⋈orders is the only big join).  The
+    share division happens once per group, after exact decimal totals."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n2 = nation.select("n_nationkey", "n_regionkey")
+    cust_in_region = (
+        cust.join(F.broadcast(n2), cust.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    base = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.year("o_orderdate").alias("yr"), volume.alias("volume"), "supp_nation")
+    )
+    share_num = F.sum(F.when(F.col("supp_nation") == "NATION_19",
+                             F.col("volume")).otherwise(F.lit(0).cast("decimal(18,4)")))
+    return base.groupBy("yr").agg(
+        F.round(share_num / F.sum("volume"), 6).cast("double").alias("mkt_share")
+    )
+
+
+@register(
+    "q22_wealthy_inactive",
+    """
+    SELECT c_nationkey AS nation_key, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-subquery threshold + anti join: customers
+    above the average positive balance with no urgent orders.  The scalar
+    average is one tiny aggregate broadcast into the filter (no per-row
+    subquery); the NOT EXISTS is a left-anti join against the
+    priority-pruned orders scan."""
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    # Anti-join against urgent orders: a date-window variant is empty at
+    # the smallest SF (every synthetic customer orders continuously), and
+    # empty gate results verify nothing.
+    recent = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
