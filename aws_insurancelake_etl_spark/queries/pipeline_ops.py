@@ -300,3 +300,43 @@ def pipeline_cleanse_to_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(f"{db}.orders_consume").select(
         "priority", "n_orders", "total_price", "year", "month", "day"
     )
+
+
+@register(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming in the gate: the events table replayed as
+    one micro-batch through ``applyInPandasWithState`` (per-user running
+    totals in group state), update-mode memory sink.  With a single batch
+    the final emission per user equals the batch GROUP BY — which is
+    exactly what the oracle states."""
+    from ..streaming.ingest import stateful_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    drop_dir = tempfile.mkdtemp(prefix="gate-stateful-drop-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop_dir)
+        .select("user_id", "value")
+    )
+    out = stateful_user_totals(stream)
+    sink = f"gate_stateful_{uuid.uuid4().hex[:12]}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gate-stateful-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

@@ -85,3 +85,39 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stateful_user_totals(events: DataFrame, id_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals kept in
+    ``applyInPandasWithState`` group state across micro-batches.
+
+    Each update emits the user's cumulative (n_events, total_value) so
+    far; state is one tiny tuple per user — bounded by |users|, not by
+    stream length — and survives batch boundaries via the checkpoint.
+    This is the extension point for stateful logic Spark's built-in
+    windows can't express (custom session rules, decaying counters,
+    cross-event sequences)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -118,3 +118,41 @@ def test_decode_and_featurize_stub(spark):
     # Deterministic: same payload → same feature.
     again = {r["media_id"]: r["feature"] for r in decode_and_featurize(_media_df(spark)).collect()}
     assert out == again
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    from aws_insurancelake_etl_spark.streaming.ingest import stateful_user_totals
+
+    src = tmp_path / "evt"
+    src.mkdir()
+    (src / "b1.csv").write_text("user_id,value\n1,10.5\n1,2.0\n2,1.0\n")
+    (src / "b2.csv").write_text("user_id,value\n1,7.5\n2,3.0\n3,9.0\n")
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .csv(str(src))
+    )
+    out = stateful_user_totals(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.table("stateful_totals").collect()
+    # state accumulated ACROSS batches: the final emission per user is the
+    # running total over both files
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 20.0)
+    assert final[2] == (2, 4.0)
+    assert final[3] == (1, 9.0)
+    # user 1 appears in both batches -> two emissions (running state visible)
+    assert sum(1 for r in rows if r["user_id"] == 1) == 2
