@@ -24,9 +24,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import entity, events, pipeline_ops, relational, similarity, text, transforms
+from . import (
+    entity,
+    events,
+    pipeline_ops,
+    relational,
+    similarity,
+    text,
+    tpch_extra,
+    transforms,
+)
 
-_MODULES = (relational, transforms, entity, text, similarity, events, pipeline_ops)
+_MODULES = (
+    relational,
+    tpch_extra,
+    transforms,
+    entity,
+    text,
+    similarity,
+    events,
+    pipeline_ops,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,582 @@
+"""Remaining TPC-H query shapes (Q2, Q6, Q9-Q16, Q20, Q21), adapted to the
+driver's tables.
+
+The synthetic schema has no ``partsupp`` and no commit/receipt dates, so the
+classic queries that need them are re-targeted at ``lineitem`` as the supply
+relation — each docstring states the adaptation.  What matters for coverage
+is the *plan shape* each query exercises:
+
+- Q2   correlated-MIN subquery decorrelated into a self-aggregation join
+- Q6   pure scan + filter + ungrouped aggregate (pushdown showcase)
+- Q9   multi-join expression profit aggregate
+- Q10  fact-fact join + top-k by aggregate
+- Q11  HAVING against a global scalar subquery
+- Q12  CASE-bucketed aggregation after a fact-fact join
+- Q13  LEFT OUTER join + two-level aggregation (distribution of counts)
+- Q14  conditional-ratio aggregate (promo share)
+- Q15  aggregate view joined against its own MAX (scalar subquery)
+- Q16  COUNT(DISTINCT) with a NOT-IN (anti-join) exclusion
+- Q20  nested semi-join chain (suppliers of well-stocked promo parts)
+- Q21  multi-EXISTS/NOT-EXISTS with supplier-inequality correlation
+
+Reference parity: the reference engine exposes arbitrary Spark SQL in its
+Cleanse-to-Consume stage (``etl_cleanse_to_consume.py:145-147``), so every
+one of these is a query its users could run; they gate-check that our SQL
+surface matches DuckDB semantics exactly.
+
+Decimal discipline follows ``relational.py``: per-row double arithmetic is
+cast to decimal before SUM (exact, order-independent across partitions),
+surfaced as rounded doubles with identical aliases in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import _dec, t
+
+QUERIES = {}
+ORACLE = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _rev():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the canonical pushdown query: every predicate reaches the
+    parquet scan as a PushedFilter, only 4 columns are read, and the
+    ungrouped aggregate is one map-side partial + a single-row exchange."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    disc_rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return li.agg(
+        F.round(F.sum(disc_rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q2_min_price_supplier",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           CAST(ROUND(CAST(mp.min_price AS DECIMAL(18,2)), 2) AS DOUBLE) AS min_price
+    FROM part p
+    JOIN (
+        SELECT l_partkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    ) mp ON mp.l_partkey = p.p_partkey
+    JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_extendedprice = mp.min_price
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+    GROUP BY ALL
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp → lineitem is the supply relation): for
+    each small STANDARD part, the European supplier(s) quoting the minimum
+    extended price.  The correlated MIN subquery is decorrelated into a
+    per-part aggregation re-joined on the SAME shuffle key (partkey), so
+    Catalyst aligns the two exchanges; supplier/nation/region broadcast.
+    Ties (several suppliers at the min) keep all rows in both engines;
+    dropDuplicates collapses repeat quotes from the same supplier."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    min_price = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(min_price, (F.col("l_partkey") == F.col("mp_partkey"))
+                & (F.col("l_extendedprice") == F.col("min_price")))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "nation",
+            F.round(F.col("min_price").cast("decimal(18,2)"), 2)
+            .cast("double").alias("min_price"),
+        )
+        .dropDuplicates()
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, yr, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS yr,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    - 0.5 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4)) AS amount
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY nation, yr
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per supplier-nation per year (supply cost
+    stands in as half the part's retail price, absent partsupp).  Part is
+    pre-filtered by the LIKE and broadcast, as are supplier+nation; the only
+    big-side shuffle is lineitem⋈orders.  The profit expression is computed
+    per row in double and cast to decimal before the sum."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", F.year("o_orderdate").alias("yr"), amount.alias("amount"))
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(ROUND(SUM({_REV}), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — revenue lost to returns per customer, top 20.
+    Both selective filters (order-date window, returnflag) push into their
+    scans before the lineitem⋈orders shuffle; customer and nation broadcast;
+    the final top-k compiles to TakeOrderedAndProject (no global sort)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    SELECT l_partkey AS partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+        SELECT 1.2 * AVG(val) FROM (
+            SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+            FROM lineitem GROUP BY l_partkey
+        )
+    )
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a global scalar subquery: parts
+    whose traded value exceeds 1.2x the mean per-part value (lineitem
+    stands in for partsupp; a mean-relative threshold stays non-empty at
+    every scale factor, where TPC-H's fixed fraction empties out).  The
+    scalar is one tiny aggregate-of-the-aggregate broadcast into the
+    filter — computed once, not per group."""
+    li = t(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(price).alias("value_dec")
+    )
+    total = per_part.agg((F.avg("value_dec") * 1.2).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_dec") > F.col("threshold"))
+        .select("partkey", F.round("value_dec", 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@register(
+    "q12_priority_lines",
+    """
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-bucketed counts after a fact-fact join (the
+    synthetic schema has no shipmode, so returnflag groups and order
+    priority buckets).  The date window pushes into the lineitem scan;
+    orders projects just two columns into the join."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts via a
+    LEFT OUTER join (customers with zero qualifying orders must appear with
+    c_count=0, which an inner join would lose).  First aggregation keys on
+    the join key itself (no extra shuffle after the join); the second input
+    is one row per customer-count, tiny."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(ROUND(
+               100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                ELSE CAST(0 AS DECIMAL(18,4)) END)
+               / SUM({_REV}), 6) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promo share of one month's revenue: a
+    conditional-ratio aggregate over a broadcast join.  Part carries only
+    (partkey, is-promo) into the join; division happens once on the final
+    exact decimal totals, so the ratio is partition-order independent."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(_rev()), 6)
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — an aggregate view joined against its own MAX.
+    The revenue-per-supplier aggregate is computed once and cached (it
+    feeds both the MAX scalar and the equality filter); exact decimal
+    totals make the equality safe where double sums would tie-break
+    nondeterministically."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= "1996-01-01")
+               & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue_dec"))
+    ).cache()
+    try:
+        top = rev.agg(F.max("total_revenue_dec").alias("max_rev"))
+        supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return (
+            rev.join(F.broadcast(top))
+            .where(F.col("total_revenue_dec") == F.col("max_rev"))
+            .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+            .select(
+                "s_suppkey", "s_name",
+                F.round("total_revenue_dec", 2).cast("double").alias("total_revenue"),
+            )
+            .orderBy("s_suppkey")
+        )
+    finally:
+        # Unpersist lazily-safe: the returned plan re-reads from the cached
+        # blocks while they exist and falls back to recompute otherwise.
+        rev.unpersist(blocking=False)
+
+
+@register(
+    "q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size IN (5, 15, 25, 35, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < -500
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — COUNT(DISTINCT supplier) per (brand, size) with a
+    NOT-IN exclusion (deep-debt suppliers).  The NOT IN compiles to a
+    left-anti join against a broadcast of the (tiny, non-null-key) excluded
+    set; count-distinct expands to a two-phase aggregate, keyed first on
+    (brand, size, suppkey) so the distinct happens map-side."""
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < -500)
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q20_promo_part_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 50
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested semi-join chain: suppliers who moved more
+    than 50 units of some 'small…' part in 1996.  The inner block is an
+    aggregation (grouped on supplier AND part so the HAVING is per-pair),
+    then a LEFT SEMI join keeps each supplier once — no post-join distinct,
+    no row duplication.  Part is pre-filtered by the LIKE and broadcast."""
+    part = t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qualified = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_sole_failing_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — correlated EXISTS + NOT-EXISTS with a supplier
+    inequality: lines returned ('R') on finalized orders where OTHER
+    suppliers participated but NONE of them had returns (this supplier
+    alone failed the order).  Both correlations become semi/anti joins on
+    orderkey with the suppkey-inequality as a residual condition — the
+    probe never duplicates rows, and all three lineitem branches share one
+    scan shape.  Supplier broadcasts into the final name lookup."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    orders_f = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("l3_orderkey"),
+                F.col("l_suppkey").alias("l3_suppkey"))
+    )
+    survivors = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        survivors.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
