@@ -279,3 +279,63 @@ def near_dup_pipeline(
     signatures = minhash_signatures(df, n_hashes, id_col, text_col, shingle_n)
     candidates = lsh_candidate_pairs(signatures, n_hashes, band_size)
     return jaccard_for_pairs(sh, candidates, jaccard_threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Group duplicate PAIRS into duplicate CLUSTERS: (node, cluster_id)
+    where cluster_id is the minimum node id reachable through the pair
+    graph.  This is the step after every pair generator (Jaccard, LSH,
+    SimHash, embedding near-dup) — "keep one doc per cluster" needs the
+    transitive closure, since near-duplicate pairs chain (a~b, b~c with
+    a,c never compared).
+
+    Algorithm: iterative min-label propagation on the symmetrized edge
+    list.  Each round is one shuffle-join (edges ⋈ labels on the edge key)
+    + a min-aggregation per node; the driver checks a one-row convergence
+    flag and stops when no label changed (≤ graph diameter rounds — dup
+    clusters are shallow, so 2-4 rounds in practice).  ``localCheckpoint``
+    truncates the lineage each round so the plan does not grow with the
+    iteration count — the standard Spark iterative-algorithm discipline.
+
+    At 100 TB scale the same loop holds: state is one (node, label) row
+    per document and edges shuffle on node id; for adversarial graphs with
+    long chains, swap in the large-star/small-star edge-rewriting variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) which converges in O(log^2 n) rounds — the per-round Spark
+    primitives (join + groupBy.min) are identical.
+    """
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).localCheckpoint()
+        any_changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if any_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

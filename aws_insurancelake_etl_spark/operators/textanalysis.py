@@ -94,3 +94,84 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             "fingerprint"
         ),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each row hashes to one of
+    ``buckets`` via md5(seed:id) and survives iff its bucket falls below
+    the stratum's rate.  Unlike ``df.sample`` this is REPRODUCIBLE across
+    runs, engines, and partitionings (no RNG state, no partition-order
+    dependence) — the property a training-data pipeline needs so a corpus
+    re-sample is stable under repartition/backfill, and an oracle can
+    replay it.  Fully narrow: zero shuffles, the rate map compiles to a
+    CASE expression (no join for small maps)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    rate = F.lit(default_rate)
+    for key, r in rates.items():
+        rate = F.when(F.col(strata_col) == key, F.lit(r)).otherwise(rate)
+    return df.where(bucket < (rate * buckets).cast("bigint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf-idf with a
+    RATIO idf (n_docs / doc_freq) instead of the log variant: every score
+    is then exact integer arithmetic in doubles — identical across
+    engines, so rankings (and their ties, broken by term asc) are fully
+    deterministic for differential checking.  Plan: one shuffle keyed on
+    token (doc-frequency aggregate, broadcast back), one keyed on doc_id
+    (tf + the top-k window) — document-frequency counts are tiny relative
+    to the corpus, exactly the shape that scales."""
+    toks = tokenize(df, id_col, text_col)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.col("n_docs") / F.col("doc_freq"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            "doc_freq",
+            F.round("score", 4).alias("score"),
+            "rank",
+        )
+    )

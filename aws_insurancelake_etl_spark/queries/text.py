@@ -368,3 +368,112 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the verify stage touches only the candidate pairs' shingle
     sets, never all pairs."""
     return D.near_dup_pipeline(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+@register(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    szs AS (SELECT cluster_id AS sz_cluster, COUNT(*) AS cluster_size
+            FROM cc GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id, szs.cluster_size
+    FROM cc JOIN szs ON cc.cluster_id = szs.sz_cluster
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via distributed connected
+    components (iterative min-label propagation; see
+    ``operators/dedup.connected_components``).  The transitive closure is
+    what "keep one per cluster" actually needs — pairs alone under-merge
+    when duplicates chain (a~b, b~c with a,c never directly compared); the
+    sf corpus genuinely has 3- and 4-document chains.  The DuckDB oracle
+    computes the same closure with a recursive CTE — two completely
+    different fixpoint engines agreeing on every cluster assignment."""
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = cc.groupBy(F.col("cluster_id").alias("sz_cluster")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(F.broadcast(sizes), cc.cluster_id == sizes.sz_cluster)
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
+@register(
+    "text_stratified_sample",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000
+        < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+               * 10000 AS BIGINT)
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (50% en / 25% de / 10% rest) via
+    md5 bucketing — reproducible across runs, engines, and partitionings
+    (no RNG, no partition-order dependence), which is what makes corpus
+    re-samples stable under backfill.  Fully narrow: zero shuffles."""
+    from ..operators import textanalysis as T
+
+    return T.stratified_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (
+        SELECT token, COUNT(*) AS doc_freq
+        FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token AS term, tf.tf, dfreq.doc_freq,
+               tf.tf * n.n_docs * 1.0 / dfreq.doc_freq AS score
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, doc_freq, ROUND(score, 4) AS score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (ratio idf:
+    n_docs/doc_freq — exact in doubles, so cross-engine rankings and
+    tie-breaks are deterministic).  Two shuffles total: one on token for
+    document frequencies, one on doc_id for tf + the top-k window."""
+    from ..operators import textanalysis as T
+
+    return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)

@@ -114,10 +114,19 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregation re-joined on the SAME shuffle key (partkey), so
     Catalyst aligns the two exchanges; supplier/nation/region broadcast.
     Ties (several suppliers at the min) keep all rows in both engines;
-    dropDuplicates collapses repeat quotes from the same supplier."""
-    li = t(spark, sf_dir, "lineitem")
+    dropDuplicates collapses repeat quotes from the same supplier.
+
+    Scale note: lineitem is pre-pruned by a broadcast semi-join against the
+    filtered part set BEFORE the per-part MIN, so at 100 TB the aggregation
+    shuffles only the qualifying parts' rows, not every part's (restricting
+    a per-part MIN to a subset of parts cannot change the minima)."""
     part = t(spark, sf_dir, "part").where(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
     )
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")

@@ -102,3 +102,53 @@ def test_cosine_topk_and_near_dup(spark):
 
     pairs = S.cosine_near_dup_pairs(emb, threshold=0.999, block_col="label")
     assert {(r["vec_a"], r["vec_b"]) for r in pairs.collect()} == {(1, 4)}
+
+
+def test_connected_components_merges_chains(spark):
+    # Path graph 1-2-3-4 plus isolated pair 10-11: transitive closure must
+    # put 1..4 in ONE cluster even though (1,3),(1,4),(2,4) were never pairs.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_cycle(spark):
+    pairs = spark.createDataFrame([(5, 6), (6, 7), (7, 5)], "doc_a long, doc_b long")
+    cc = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert cc == {5: 5, 6: 5, 7: 5}
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept1 = TA.stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}).collect()
+    kept2 = TA.stratified_sample(
+        df.repartition(7), "lang", {"en": 0.5, "de": 0.1}
+    ).collect()
+    # Deterministic under repartitioning.
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    en = sum(1 for r in kept1 if r["lang"] == "en")
+    de = sum(1 for r in kept1 if r["lang"] == "de")
+    assert 0.4 < en / 1000 < 0.6
+    assert 0.05 < de / 1000 < 0.16
+    # default_rate=0 drops unlisted strata entirely.
+    assert all(r["lang"] in ("en", "de") for r in kept1)
+
+
+def test_tfidf_top_terms_ranks_characteristic_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple common"),
+            (2, "banana banana common common"),
+            (3, "cherry common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TA.tfidf_top_terms(df, k=1)
+    top = {r["doc_id"]: r["term"] for r in out.collect()}
+    # 'common' appears in every doc (idf=1) and never wins over a unique term.
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
