@@ -294,20 +294,26 @@ def connected_components(
     transitive closure, since near-duplicate pairs chain (a~b, b~c with
     a,c never compared).
 
-    Algorithm: iterative min-label propagation on the symmetrized edge
-    list.  Each round is one shuffle-join (edges ⋈ labels on the edge key)
-    + a min-aggregation per node; the driver checks a one-row convergence
-    flag and stops when no label changed (≤ graph diameter rounds — dup
-    clusters are shallow, so 2-4 rounds in practice).  ``localCheckpoint``
-    truncates the lineage each round so the plan does not grow with the
-    iteration count — the standard Spark iterative-algorithm discipline.
+    Algorithm: min-label propagation on the symmetrized edge list, with
+    ADAPTIVE pointer jumping.  Each round takes the min over (own label,
+    neighbors' labels); from round ``jump_after`` on, also
+    label-of-own-label — the pointer-doubling term that collapses chains
+    geometrically (O(log diameter) rounds).  The hybrid is measured, not
+    guessed: near-dup graphs are almost always shallow (diameter ≤ 3), and
+    the extra labels⋈labels join per round costs MORE than the rounds it
+    saves there, so the cheap path runs first and doubling only engages on
+    graphs deep enough to still be unconverged.  The driver checks a
+    one-row convergence flag and stops when no label changed.
+    ``localCheckpoint`` truncates the lineage each round so the plan does
+    not grow with the iteration count — the standard Spark
+    iterative-algorithm discipline.
 
     At 100 TB scale the same loop holds: state is one (node, label) row
-    per document and edges shuffle on node id; for adversarial graphs with
-    long chains, swap in the large-star/small-star edge-rewriting variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) which converges in O(log^2 n) rounds — the per-round Spark
-    primitives (join + groupBy.min) are identical.
+    per document and both joins shuffle on node/label ids; for adversarial
+    graphs, the large-star/small-star edge-rewriting variant (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) also
+    shrinks the EDGE set per round — the per-round Spark primitives
+    (join + groupBy.min) are identical.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = fwd.union(
@@ -318,21 +324,30 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
+    jump_after = 3
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+        joined = labels.join(neighbor_min, "node", "left")
+        candidates = [
+            F.col("label"),
+            F.coalesce(F.col("nbr_label"), F.col("label")),
+        ]
+        changed = F.col("nbr_label") < F.col("label")
+        if i >= jump_after:
+            parent = labels.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
+            joined = joined.join(parent, labels.label == F.col("p_node"), "left")
+            candidates.append(F.coalesce(F.col("p_label"), F.col("label")))
+            changed = changed | (F.col("p_label") < F.col("label"))
+        updated = joined.select(
+            "node",
+            F.least(*candidates).alias("label"),
+            changed.alias("__changed"),
         ).localCheckpoint()
         any_changed = updated.where(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")

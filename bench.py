@@ -39,6 +39,10 @@ HEADLINE = [
     "q18_top_large_orders",
     "evt_asof_last_purchase",
     "evt_sessionize",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_sole_failing_supplier",
+    "dedup_cluster_components",
 ]
 
 
