@@ -124,10 +124,64 @@ def decode_and_featurize(
     return work.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, id_col: str = "media_id",
-                      binary_col: str = "payload", every_n: int = 30) -> DataFrame:
-    """Video frame sampling requires a codec not present in this container."""
-    raise NotImplementedError(
-        "Video frame sampling needs an ffmpeg/pyav decoder; wire one through "
-        "decode_and_featurize(real_decoder=...) when available"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "payload",
+    frame_size: int = 256,
+    max_frames: int = 8,
+    real_decoder=None,
+    target_rows_per_partition: int = 1024,
+) -> DataFrame:
+    """Frame sampling: one media row fans out to up to ``max_frames`` frame
+    rows, each carrying (1-based index, byte offset, size, sha256) — the
+    row-generator shape every video/audio chunking pipeline needs.
+
+    ``real_decoder(payload: bytes) -> list[bytes]`` plugs in an actual
+    demuxer (ffmpeg/pyav — not present in this container); the default is a
+    DETERMINISTIC FAKE that windows the payload into fixed-size byte
+    strides, so the distributed plumbing (repartition before fan-out, Arrow
+    batch iteration, per-frame schema, offset bookkeeping) is real and
+    oracle-checkable.  Frames are hashed, never returned as payload
+    columns — downstream filters touch scalars only.
+    """
+    if not df.isStreaming:
+        n_parts = max(1, df.count() // target_rows_per_partition)
+        df = df.repartition(n_parts)
+    work = df.select(F.col(id_col).alias("media_id"), F.col(binary_col).alias("payload"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_index", "frame_offset", "n_frame_bytes",
+                    "frame_sha256")}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                if real_decoder is not None:
+                    frames = list(real_decoder(data))[:max_frames]
+                    offsets = [-1] * len(frames)  # codec frames have no byte offset
+                else:
+                    offsets = list(range(0, len(data), frame_size))[:max_frames]
+                    frames = [data[o:o + frame_size] for o in offsets]
+                for i, (off, frame) in enumerate(zip(offsets, frames)):
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(i + 1)
+                    out["frame_offset"].append(off)
+                    out["n_frame_bytes"].append(len(frame))
+                    out["frame_sha256"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return work.mapInPandas(sample, FRAME_SCHEMA)

@@ -23,7 +23,7 @@ from ..context import RunContext
 from ..plans.dq import RuleCompiler
 from ..plans.lineage import LineageLog
 from ..plans.pipeline import collect_to_cleanse
-from ..streaming.ingest import windowed_event_counts
+from ..streaming.ingest import streaming_dedup, windowed_event_counts
 from .util import t
 
 QUERIES = {}
@@ -340,3 +340,88 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "stream_dedup_replay",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
+    FROM events
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery made exactly-once: the events table is
+    dropped TWICE into the stream source (a full redelivery, the failure
+    mode the reference's S3→Lambda trigger retries create) and
+    ``streaming_dedup`` collapses the replay by event_id across
+    micro-batches.  The batch oracle is simply the original table — if
+    dedup state failed across batch boundaries, every row would appear
+    twice and the row-count check would fail."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    drop_dir = tempfile.mkdtemp(prefix="gate-stream-dedup-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    shutil.copy(path, f"{drop_dir}/events-001.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")  # force the replay into its own batch
+        .parquet(drop_dir)
+    )
+    deduped = streaming_dedup(stream, keys=("event_id",)).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)"), 2).cast("double").alias("value"),
+    )
+    sink = f"gate_stream_dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT media_id, frame_index, frame_offset, n_frame_bytes, frame_sha256
+    FROM (
+        SELECT doc_id AS media_id,
+               (CASE doc_id % 3 WHEN 0 THEN 'GIF8' WHEN 1 THEN 'ID3'
+                ELSE 'RIFF' END) || text AS s
+        FROM documents
+    ), UNNEST(generate_series(0,
+          least(CAST(ceil(length(s) / 256.0) AS BIGINT), 8) - 1)) AS t(i),
+    LATERAL (SELECT i + 1 AS frame_index, i * 256 AS frame_offset,
+                    length(substring(s, CAST(i*256+1 AS BIGINT), 256))
+                        AS n_frame_bytes,
+                    sha256(substring(s, CAST(i*256+1 AS BIGINT), 256))
+                        AS frame_sha256) f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling in the gate: synthetic media payloads (header + text
+    bytes, all-ASCII so byte offsets == char offsets) fan out to fixed-
+    stride frame rows via the real ``sample_frames`` mapInPandas path —
+    1-based indexes, byte offsets, per-frame sha256.  The oracle slices the
+    same windows in SQL with generate_series + substring; a wrong stride,
+    cap, or hash would mismatch on every row."""
+    from ..operators.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("GIF8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
+        .otherwise(F.lit("RIFF"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header.cast("binary"), F.col("text").cast("binary")).alias("payload"),
+    )
+    return sample_frames(media, frame_size=256, max_frames=8)

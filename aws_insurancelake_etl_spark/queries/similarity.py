@@ -199,3 +199,49 @@ def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.sum("norm").cast("double") / F.count(F.lit(1)), 6).alias("avg_norm"),
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    SELECT label, dim,
+           ROUND(CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS centroid
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS comp
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the 'train the coarse quantizer' step
+    of an IVF index (one k-means averaging pass with labels as the
+    assignment).  Melt to (label, dim, component) rows and aggregate per
+    (label, dim): one shuffle keyed on a perfectly distributed composite
+    key, partial aggregation map-side — at 100 TB this is the canonical
+    way to average vectors without collecting them.  Components are
+    rounded into decimals pre-sum so the distributed total is
+    order-independent and matches DuckDB exactly."""
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding")).alias("dim0", "component"),
+        )
+        .select(
+            "label",
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            F.round(F.col("component").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("comp_dec"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum("comp_dec").cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+    )

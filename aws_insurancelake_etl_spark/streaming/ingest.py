@@ -121,3 +121,32 @@ def stateful_user_totals(events: DataFrame, id_col: str = "user_id",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    timestamp_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once semantics over an at-least-once stream: drop replayed
+    rows by key across micro-batch boundaries (file redelivery, source
+    retries — the reference's S3-event ingest redelivers on Lambda retry).
+
+    Two modes, one state-size trade:
+    - ``watermark=None``: global ``dropDuplicates`` — exact forever, state
+      grows with |keys| (right for bounded key spaces or replay-window
+      drains);
+    - with ``timestamp_col`` + ``watermark``:
+      ``dropDuplicatesWithinWatermark`` — state is evicted once the
+      watermark passes a key's event time, so state stays bounded by the
+      redelivery window instead of stream length.  The right default at
+      100 TB/day: redeliveries arrive within minutes, not days.
+    """
+    if watermark is not None:
+        if timestamp_col is None:
+            raise ValueError("watermarked dedup needs timestamp_col")
+        return events.withWatermark(timestamp_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))

@@ -156,3 +156,79 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     assert final[3] == (1, 9.0)
     # user 1 appears in both batches -> two emissions (running state visible)
     assert sum(1 for r in rows if r["user_id"] == 1) == 2
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from aws_insurancelake_etl_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # b2 fully replays b1 (redelivery) and adds one new event.
+    (src / "b1.csv").write_text("event_id,value\n1,10.0\n2,20.0\n")
+    (src / "b2.csv").write_text("event_id,value\n1,10.0\n2,20.0\n3,30.0\n")
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # replay lands in its own micro-batch
+        .option("header", True)
+        .csv(str(src))
+    )
+    out = streaming_dedup(stream, keys=("event_id",))
+    query = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.table("dedup_sink").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_sample_frames_strides_and_cap(spark):
+    import hashlib
+
+    payload = b"GIF8" + b"x" * 600  # 604 bytes -> frames of 256/256/92
+    big = b"y" * 5000  # would be 20 frames -> capped at 8
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(big))],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    from aws_insurancelake_etl_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(df, frame_size=256, max_frames=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    f1 = sorted(by_media[1], key=lambda r: r["frame_index"])
+    assert [(r["frame_index"], r["frame_offset"], r["n_frame_bytes"]) for r in f1] == [
+        (1, 0, 256), (2, 256, 256), (3, 512, 92)
+    ]
+    assert f1[0]["frame_sha256"] == hashlib.sha256(payload[:256]).hexdigest()
+    assert len(by_media[2]) == 8  # max_frames cap
+
+
+def test_sample_frames_pluggable_decoder(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(b"abcdef"))],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    from aws_insurancelake_etl_spark.operators.multimodal import sample_frames
+
+    def fake_codec(data: bytes):
+        return [data[:2], data[2:4]]
+
+    rows = sample_frames(df, real_decoder=fake_codec).collect()
+    assert [(r["frame_index"], r["frame_offset"], r["n_frame_bytes"]) for r in rows] == [
+        (1, -1, 2), (2, -1, 2)
+    ]
