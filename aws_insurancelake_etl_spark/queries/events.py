@@ -288,3 +288,58 @@ def evt_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(v - F.lag(v).over(w), 2).cast("double").alias("value_delta"),
     )
+
+
+@register(
+    "evt_gap_fill_daily",
+    """
+    WITH bounds AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY user_id
+    ),
+    days AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    counts AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           COALESCE(c.n, 0) AS n_events,
+           CAST(COALESCE(ROUND(c.v, 2), 0) AS DOUBLE) AS total_value
+    FROM days d LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+    """,
+)
+def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense daily spine per user (sequence +
+    explode between each user's first and last activity) left-joined
+    against the real daily aggregates, zeros filled in — the densification
+    every ML feature pipeline needs before rolling windows.  Both the spine
+    and the aggregate shuffle on (user_id[, day]) so the join's exchanges
+    align; spine size is users x span, never events x span."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    counts = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
+    )
+    return (
+        spine.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce(F.round("v", 2), F.lit(0)).cast("double").alias("total_value"),
+        )
+    )

@@ -31,7 +31,7 @@ surfaced as rounded doubles with identical aliases in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .relational import _dec, t
@@ -619,5 +619,68 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
             F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "window_analytics_deciles",
+    """
+    SELECT c_custkey,
+           ntile(10) OVER w AS decile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2))
+                - CAST(lag(c_acctbal, 1, 0.0) OVER w AS DECIMAL(18,2)), 2)
+               AS DOUBLE) AS bal_gap
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_analytics_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics over ONE shared global window: decile bucket,
+    percent_rank, cume_dist, and the gap to the previous balance (lag) in a
+    single pass.  A global ORDER BY window is the one legitimately
+    single-partition window shape — Spark range-partitions the sort, but
+    rank functions then need the full order; at 100 TB you'd shard this by
+    a partition column (as `window_rank_orders` does) or approximate with
+    percentile buckets.  Kept in the gate because the reference's SQL stage
+    exposes exactly this surface for reporting tables."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    prev = F.lag(F.col("c_acctbal"), 1, 0.0).over(w).cast("decimal(18,2)")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(bal - prev, 2).cast("double").alias("bal_gap"),
+    )
+
+
+@register(
+    "agg_price_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 30000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(MIN(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(ROUND(MAX(o_totalprice), 2) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram as a plain bucketed aggregation — the explicit
+    FLOOR form pushes entirely into map-side partial aggregation (bucket
+    count is bounded, so the exchange carries one row per bucket per
+    partition regardless of data volume)."""
+    bucket = F.floor(F.col("o_totalprice") / 30000).cast("bigint")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
         )
     )
