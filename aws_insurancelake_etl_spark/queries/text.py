@@ -232,9 +232,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -351,7 +354,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(i.overlap * 1.0 / (sa.n + sb.n - i.overlap), 4) AS jaccard
         FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                  FROM sh) a
+            JOIN (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                  FROM sh) b
+              ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ) i JOIN sizes sa ON i.doc_a = sa.doc_id
             JOIN sizes sb ON i.doc_b = sb.doc_id
@@ -375,9 +382,12 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     pairs AS (
