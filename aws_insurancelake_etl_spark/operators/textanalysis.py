@@ -8,7 +8,7 @@ map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokenize
@@ -174,4 +174,83 @@ def tfidf_top_terms(
             F.round("score", 4).alias("score"),
             "rank",
         )
+    )
+
+
+# GPT-2-ish pre-tokenizer classes, restricted to a regex subset whose
+# semantics are identical in every RE2/Java-regex engine (no lookarounds,
+# no \p classes): letter runs, digit runs, single non-alnum marks.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_WORD = r"[A-Za-z]+"
+_BPE_NUMBER = r"[0-9]+"
+_BPE_MARK = r"[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sub-word-style token accounting with a BPE-ish pre-tokenizer split
+    (letter runs / digit runs / punctuation marks — the GPT-2 pattern
+    minus engine-specific \\p classes).  The per-class counts and the
+    chars-per-token ratio are the standard corpus-budget statistics a
+    training pipeline reports.  Fully narrow: four ``regexp_extract_all``
+    + ``size`` expressions per row, zero shuffles, codegen'd."""
+    n_tokens = F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_PATTERN), 0))
+    n_words = F.size(F.regexp_extract_all(text_col, F.lit(_BPE_WORD), 0))
+    n_numbers = F.size(F.regexp_extract_all(text_col, F.lit(_BPE_NUMBER), 0))
+    n_marks = F.size(F.regexp_extract_all(text_col, F.lit(_BPE_MARK), 0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("bigint").alias("n_bpe_tokens"),
+        n_words.cast("bigint").alias("n_word_tokens"),
+        n_numbers.cast("bigint").alias("n_number_tokens"),
+        n_marks.cast("bigint").alias("n_punct_tokens"),
+        F.when(n_tokens > 0,
+               F.round(F.length(text_col) * 1.0 / n_tokens, 4)).alias(
+            "chars_per_token"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum; the
+    distinct minima are the fingerprint set.  Guarantees any shared
+    substring of length >= k+w-1 contributes a shared fingerprint —
+    position-robust overlap detection that plain shingle sets lose.
+
+    Plan: positions explode from a ``sequence`` (no UDF), one shuffle on
+    doc_id for the ordered min-window, distinct reuses the same
+    partitioning.  Hashes are 60-bit md5 prefixes (see
+    ``dedup.shingle_hash60``) so DuckDB replays them exactly.
+    """
+    from .dedup import shingle_hash60
+
+    n_grams = F.length(text_col) - k + 1
+    grams = (
+        df.where(F.length(text_col) >= k + w - 1)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text"),
+            F.posexplode(F.expr(f"sequence(1, length({text_col}) - {k} + 1)"))
+            .alias("__i", "pos"),
+            n_grams.alias("__n"),
+        )
+        .select(
+            "doc_id", "pos", "__n",
+            shingle_hash60(F.col("__text").substr(F.col("pos"), F.lit(k))).alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("__n") - (w - 1))  # full windows only
+        .select("doc_id", "fp")
+        .distinct()
     )

@@ -487,3 +487,70 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textanalysis as T
 
     return T.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "text_bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct_tokens,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) > 0
+                THEN ROUND(length(text) * 1.0
+                     / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 4)
+           END AS chars_per_token
+    FROM documents
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token accounting (letter runs / digit runs /
+    punctuation marks — the GPT-2 pre-tokenizer classes in an
+    engine-portable regex subset).  Narrow: four regexp_extract_all +
+    size expressions, zero shuffles."""
+    from ..operators.textanalysis import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_winnowing_stats",
+    """
+    WITH grams AS (
+        SELECT doc_id, i AS pos, length(text) - 8 + 1 AS n,
+               ('0x' || substr(md5(substring(text, CAST(i AS BIGINT), 8)), 1, 15))::BIGINT
+                   AS h
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 8 + 1)) AS t(i)
+        WHERE length(text) >= 8 + 4 - 1
+    ),
+    mins AS (
+        SELECT doc_id, pos, n,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 3
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint sets per document: char-8-gram rolling
+    hashes, min of each 4-hash window, distinct — any shared substring of
+    length >= 11 yields a shared fingerprint.  Surfaced as per-doc
+    (count, min, max) so the gate result stays compact while every
+    fingerprint still influences the hash check.  DuckDB replays the
+    identical k-gram/window/hash pipeline."""
+    from ..operators.textanalysis import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

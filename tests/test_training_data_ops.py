@@ -152,3 +152,46 @@ def test_tfidf_top_terms_ranks_characteristic_terms(spark):
     top = {r["doc_id"]: r["term"] for r in out.collect()}
     # 'common' appears in every doc (idf=1) and never wins over a unique term.
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_bpe_token_stats_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 pies (3.14)."), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TA.bpe_token_stats(df).collect()}
+    r1 = rows[1]
+    # Hello world pies = 3 words; 42 3 14 = 3 numbers; , ! ( . ) . = 6 marks
+    assert r1["n_word_tokens"] == 3
+    assert r1["n_number_tokens"] == 3
+    assert r1["n_punct_tokens"] == 6
+    assert r1["n_bpe_tokens"] == 12
+    assert rows[2]["n_bpe_tokens"] == 0 and rows[2]["chars_per_token"] is None
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    # Docs share a 40-char substring embedded at different positions; with
+    # k=8, w=4 any shared run >= 11 chars must contribute >= 1 common
+    # fingerprint.  Doc 3 is unrelated.
+    shared = "the common passage that both documents quote"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "xxxxxxxxxx " + shared + " yyyy zz"),
+            # No 8-char substring of doc 3 occurs in docs 1/2 (disjoint
+            # character runs), so zero shared fingerprints expected.
+            (3, "zzzzqqqqwwwweeeerrrrttttyyyyuuuu0011223344556677"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = TA.winnowing_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+
+
+def test_winnowing_skips_too_short_docs(spark):
+    df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert TA.winnowing_fingerprints(df, k=8, w=4).count() == 0
