@@ -146,19 +146,18 @@ def tfidf_top_terms(
     toks = tokenize(df, id_col, text_col)
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        toks.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-    )
-    from pyspark.sql import Window
-
+    # tf already holds exactly one row per (doc, token): document frequency
+    # is a COUNT window over tf partitioned by token — one exchange on
+    # token, and the tokenize/explode pipeline runs exactly once (a
+    # groupBy-and-rejoin formulation re-runs the whole explode, because
+    # column pruning turns the second branch into a distinct whose
+    # exchange Catalyst cannot reuse).
+    w_tok = Window.partitionBy("token")
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("token")
     )
     return (
-        tf.join(dfreq, "token")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(w_tok))
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
