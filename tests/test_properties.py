@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the scale-path operators whose
+correctness is an algebraic claim, not an example: salted ops must equal
+their unsalted twins on ANY input, connected components must equal a
+union-find reference, deterministic sampling must be a pure row predicate.
+
+The reference has no property tests (SURVEY.md §5); this is part of the
+"stronger than reference" test plan.  Examples are kept small and few —
+each example pays a full Spark job — but hypothesis explores the corner
+shapes (empty, single row, all-one-key, duplicate rows) that fixed
+fixtures miss.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.operators import dedup as D
+from aws_insurancelake_etl_spark.operators import textanalysis as TA
+from aws_insurancelake_etl_spark.operators.skew import salted_agg, salted_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key (few values => hot keys)
+        st.integers(min_value=-100, max_value=100),  # measure
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, data):
+    df = spark.createDataFrame(data, "k int, v int") if data else \
+        spark.createDataFrame([], "k int, v int")
+    salted = salted_agg(
+        df, ["k"], {"total": ("sum", F.col("v")), "n": ("count", F.lit(1))},
+        n_salts=4,
+    )
+    plain = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+@given(
+    fact=st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=20),
+    dim=st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=6),
+)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, fact, dim):
+    dim = list(dict.fromkeys(dim))  # dimension keys unique
+    f = spark.createDataFrame([(k,) for k in fact], "k int") if fact else \
+        spark.createDataFrame([], "k int")
+    d = spark.createDataFrame([(k, k * 10) for k in dim], "k int, attr int") if dim \
+        else spark.createDataFrame([], "k int, attr int")
+    salted = salted_join(f, d, on=["k"], n_salts=3)
+    plain = f.join(d, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to final minima
+    return {n: find(n) for n in parent}
+
+
+@given(pairs=edges)
+@settings(**SETTINGS)
+def test_connected_components_equals_union_find(spark, pairs):
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+    want = _union_find_components(pairs)
+    assert got == want
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=0,
+                 max_size=30, unique=True),
+    rate=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_is_pure_row_predicate(spark, ids, rate):
+    """Membership depends only on (id, rate) — never on the surrounding
+    rows — so sampling commutes with filtering: sample(S) == sample(all) ∩ S."""
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id long, lang string") \
+        if ids else spark.createDataFrame([], "doc_id long, lang string")
+    kept_all = {r["doc_id"] for r in
+                TA.stratified_sample(df, "lang", {"x": rate}).collect()}
+    half = df.where(F.col("doc_id") % 2 == 0)
+    kept_half = {r["doc_id"] for r in
+                 TA.stratified_sample(half, "lang", {"x": rate}).collect()}
+    assert kept_half == {i for i in kept_all if i % 2 == 0}
+    if rate == 1.0:
+        assert kept_all == set(ids)
+    if rate == 0.0:
+        assert kept_all == set()
