@@ -102,7 +102,8 @@ def run_pipeline(
             primary_table = f"{database}_consume.{entitymatch_spec['primary_entity_table']}"
             if spark.catalog.tableExists(primary_table):
                 primary = spark.table(primary_table)
-                matched = entity_match(consume.df, primary, entitymatch_spec)
+                matched = entity_match(consume.df, primary, entitymatch_spec,
+                                       persist_intermediates=True)
                 merge_into_primary(
                     spark, matched, primary_table, entitymatch_spec["global_id_field"]
                 )
