@@ -425,3 +425,72 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(header.cast("binary"), F.col("text").cast("binary")).alias("payload"),
     )
     return sample_frames(media, frame_size=256, max_frames=8)
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 600000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f')
+               AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming NATIVE session windows (``session_window`` with
+    a 10-minute gap) over the replayed events stream: state merges
+    overlapping per-event windows across micro-batches; a session closes
+    when no event lands within the gap.  The DuckDB oracle derives the
+    same sessions batch-wise (lag > gap → boundary, running-sum session
+    ids, min/max per session) — the streaming-merge and batch-window
+    formulations must produce identical (start, end, count) triples.
+    Timestamps are micro-second precision in both engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    drop_dir = tempfile.mkdtemp(prefix="gate-stream-sess-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(drop_dir)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+        )
+    )
+    sink = f"gate_stream_sess_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
