@@ -336,9 +336,11 @@ def connected_components(
     (join + groupBy.min) are identical.
     """
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # No distinct: duplicate edges cannot change a min-aggregation, and
+    # deduping them would cost a full shuffle of the edge list.
     edges = fwd.union(
         pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
