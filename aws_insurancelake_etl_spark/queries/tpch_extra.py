@@ -684,3 +684,85 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "scd2_customer_history",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment,
+               DATE '2024-06-01' AS eff
+        FROM customer
+        WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+        WHERE u.c_acctbal <> c.c_acctbal OR u.c_mktsegment <> c.c_mktsegment
+    )
+    SELECT c_custkey, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS acctbal, c_mktsegment,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d') AS valid_to
+    FROM (
+        -- open rows that stay open (no update, or a no-op update)
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, c.valid_to
+        FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        -- changed keys: old version closes at the effective date
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+               DATE '2024-06-01'
+        FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        -- ...and the new version opens there
+        SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, u.eff, CAST(NULL AS DATE)
+        FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    )
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned-history apply (``operators/scd.scd2_apply``): a
+    snapshot where every 5th customer's balance moved (and every 7th got a
+    no-op re-send) lands on an open dimension — changed keys close their
+    old version and open a new one, no-op updates cause NO version churn,
+    history rows pass through.  One full-outer join on the key decides all
+    cases.  The oracle restates the four streams in SQL; the no-op rows
+    (custkey % 7, not % 5) prove change detection is attribute-level, not
+    key-level."""
+    from ..operators.scd import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        cust.where((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1000)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("2024-06-01").cast("date").alias("effective_date"),
+        )
+    )
+    out = scd2_apply(
+        current, updates,
+        key_cols=["c_custkey"],
+        attr_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )

@@ -109,3 +109,42 @@ def test_entity_match_full_flow(spark):
     assert got["C7"] == "gid-1"  # fuzzy-matched to John Smith
     assert got["C9"] == "new-C9"
     assert out.count() == 4
+
+
+def test_scd2_apply_version_semantics(spark):
+    from aws_insurancelake_etl_spark.operators.scd import scd2_apply
+    from pyspark.sql import functions as F
+
+    current = spark.createDataFrame(
+        [
+            # closed history row must pass through untouched
+            (1, 100.0, "2019-01-01", "2020-01-01"),
+            (1, 150.0, "2020-01-01", None),   # open, will change
+            (2, 200.0, "2020-01-01", None),   # open, no-op update
+            (3, 300.0, "2020-01-01", None),   # open, no update at all
+        ],
+        "k long, bal double, valid_from string, valid_to string",
+    ).select("k", "bal", F.to_date("valid_from").alias("valid_from"),
+             F.to_date("valid_to").alias("valid_to"))
+    updates = spark.createDataFrame(
+        [
+            (1, 175.0, "2024-06-01"),  # changed
+            (2, 200.0, "2024-06-01"),  # no-op
+            (4, 400.0, "2024-06-01"),  # brand-new key
+        ],
+        "k long, bal double, effective_date string",
+    ).withColumn("effective_date", F.to_date("effective_date"))
+
+    out = scd2_apply(current, updates, key_cols=["k"], attr_cols=["bal"])
+    rows = sorted(
+        (r["k"], r["bal"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 100.0, "2019-01-01", "2020-01-01"),  # history untouched
+        (1, 150.0, "2020-01-01", "2024-06-01"),  # old version closed
+        (1, 175.0, "2024-06-01", "None"),        # new version open
+        (2, 200.0, "2020-01-01", "None"),        # no-op: NO churn
+        (3, 300.0, "2020-01-01", "None"),        # untouched open row
+        (4, 400.0, "2024-06-01", "None"),        # new key inserted
+    ]
