@@ -53,6 +53,18 @@ def test_changetype_cast_and_json(spark, ctx):
     assert row["s"] == '{"f1":"x","f2":1}'
 
 
+def test_changetype_struct_simplestring_renames_nested_fields(spark, ctx):
+    # Reference behavior (docs/transforms.md:177): casting to a struct<...>
+    # simpleString re-declares nested field NAMES in place.
+    df = spark.createDataFrame(
+        [((1, "a"),)], "s struct<old1:int,old2:string>"
+    )
+    out = transform_changetype(df, {"s": "struct<new1:int,new2:string>"}, ctx)
+    assert out.schema["s"].dataType.simpleString() == "struct<new1:int,new2:string>"
+    row = out.collect()[0]
+    assert row["s"]["new1"] == 1 and row["s"]["new2"] == "a"
+
+
 def test_implieddecimal(spark, ctx):
     df = spark.createDataFrame(
         [("1234567", "-98765")], "a string, b string"
