@@ -128,3 +128,44 @@ def test_stratified_sample_is_pure_row_predicate(spark, ids, rate):
         assert kept_all == set(ids)
     if rate == 0.0:
         assert kept_all == set()
+
+
+@given(
+    base=st.dictionaries(st.integers(min_value=0, max_value=6),
+                         st.integers(min_value=0, max_value=3),
+                         min_size=1, max_size=6),
+    upd=st.dictionaries(st.integers(min_value=0, max_value=8),
+                        st.integers(min_value=0, max_value=3),
+                        min_size=0, max_size=6),
+)
+@settings(**SETTINGS)
+def test_scd2_invariants(spark, base, upd):
+    """After any apply: every key has exactly one open row, and re-applying
+    the same updates is a no-op (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.operators.scd import scd2_apply
+
+    current = spark.createDataFrame(
+        [(k, float(v), "2020-01-01", None) for k, v in base.items()],
+        "k long, bal double, valid_from string, valid_to string",
+    ).select("k", "bal", F.to_date("valid_from").alias("valid_from"),
+             F.to_date("valid_to").alias("valid_to"))
+    updates = spark.createDataFrame(
+        [(k, float(v), "2024-06-01") for k, v in upd.items()],
+        "k long, bal double, effective_date string",
+    ).withColumn("effective_date", F.to_date("effective_date")) if upd else \
+        spark.createDataFrame([], "k long, bal double, effective_date date")
+
+    once = scd2_apply(current, updates, ["k"], ["bal"])
+    rows1 = sorted(map(tuple, once.collect()))
+    # exactly one open version per key
+    open_counts = {}
+    for k, _, _, vt in rows1:
+        if vt is None:
+            open_counts[k] = open_counts.get(k, 0) + 1
+    assert set(open_counts) == set(base) | set(upd)
+    assert all(c == 1 for c in open_counts.values())
+    # idempotence: same updates again change nothing
+    twice = scd2_apply(once, updates, ["k"], ["bal"])
+    assert sorted(map(tuple, twice.collect())) == rows1
