@@ -88,3 +88,19 @@ def jaro_winkler(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return _jaro_winkler_udf(a, b)
+
+
+def token_sort_key(col: Column | str) -> Column:
+    """Canonical token order: lowercase, split on whitespace, sort, rejoin.
+    Word-order-insensitive string comparison reduces to comparing these
+    keys — fully native (split/array_sort/concat_ws stay in codegen)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(" ", F.array_sort(F.split(F.lower(F.trim(col)), r"\s+")))
+
+
+def token_sort_similarity(a: Column | str, b: Column | str) -> Column:
+    """rapidfuzz-style ``token_sort_ratio`` (scaled 0-1): levenshtein
+    similarity of the token-sorted forms, so "MARY JANE DOE" matches
+    "Doe Mary Jane" at 1.0 — the reorder-robust scorer record linkage
+    wants for name fields."""
+    return levenshtein_similarity(token_sort_key(a), token_sort_key(b))

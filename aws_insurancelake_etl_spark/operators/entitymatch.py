@@ -31,7 +31,11 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.similarity import jaro_winkler, levenshtein_similarity
+from ..functions.similarity import (
+    jaro_winkler,
+    levenshtein_similarity,
+    token_sort_similarity,
+)
 
 _SLICE_RE = re.compile(r"(\w+)\[(\d*):(\d*)\]")
 
@@ -95,6 +99,8 @@ def _field_score(field: dict) -> Column:
             raw = jaro_winkler(left, right)
         elif method in ("levenshtein", "lcs"):
             raw = levenshtein_similarity(left, right)
+        elif method == "token_sort":
+            raw = token_sort_similarity(left, right)
         else:
             raise ValueError(f"Unsupported string comparator method: {method}")
         threshold = field.get("threshold")

@@ -322,3 +322,52 @@ def em_full_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_id_column=F.md5(F.concat(F.lit("new-"), F.col("c_custkey").cast("string"))),
     )
     return out.select(F.col("c_custkey").alias("custkey"), "globalid")
+
+
+@register(
+    "em_token_sort_scores",
+    r"""
+    SELECT custkey, matched_custkey, ROUND(sim, 4) AS similarity
+    FROM (
+        SELECT i.c_custkey AS custkey, p.c_custkey AS matched_custkey,
+               1.0 - levenshtein(
+                   array_to_string(list_sort(string_split_regex(lower(trim(i.c_name)), '\s+')), ' '),
+                   array_to_string(list_sort(string_split_regex(lower(trim(p.c_name)), '\s+')), ' ')
+               ) * 1.0 / GREATEST(
+                   length(array_to_string(list_sort(string_split_regex(lower(trim(i.c_name)), '\s+')), ' ')),
+                   length(array_to_string(list_sort(string_split_regex(lower(trim(p.c_name)), '\s+')), ' '))
+               ) AS sim
+        FROM (SELECT * FROM customer WHERE c_custkey % 2 = 1) i
+        JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) p
+          ON i.c_nationkey = p.c_nationkey AND i.c_mktsegment = p.c_mktsegment
+    )
+    WHERE sim >= 0.8
+    """,
+)
+def em_token_sort_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-style token_sort similarity as a NATIVE expression
+    (lowercase → split → array_sort → rejoin → levenshtein ratio): the
+    word-order-robust scorer for name fields, third comparator method of
+    the fuzzy-match spec (``method: token_sort``).  Blocked on
+    (nation, segment) so candidate pairs stay bounded; DuckDB rebuilds the
+    identical canonical forms with list_sort."""
+    from ..functions.similarity import token_sort_similarity
+
+    cust = t(spark, sf_dir, "customer")
+    inc = cust.where(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("i_name"),
+        "c_nationkey", "c_mktsegment",
+    )
+    prim = cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("matched_custkey"),
+        F.col("c_name").alias("p_name"),
+        "c_nationkey", "c_mktsegment",
+    )
+    sim = token_sort_similarity(F.col("i_name"), F.col("p_name"))
+    return (
+        inc.join(F.broadcast(prim), ["c_nationkey", "c_mktsegment"])
+        .select("custkey", "matched_custkey", sim.alias("sim"))
+        .where(F.col("sim") >= 0.8)
+        .select("custkey", "matched_custkey", F.round("sim", 4).alias("similarity"))
+    )

@@ -148,3 +148,27 @@ def test_scd2_apply_version_semantics(spark):
         (3, 300.0, "2020-01-01", "None"),        # untouched open row
         (4, 400.0, "2024-06-01", "None"),        # new key inserted
     ]
+
+
+def test_fuzzy_match_token_sort_method(spark):
+    from aws_insurancelake_etl_spark.operators.entitymatch import fuzzy_match_level
+
+    unmatched = spark.createDataFrame(
+        [(1, "doe mary jane", "B1", None)],
+        "id long, name string, blk string, gid string",
+    )
+    primary = spark.createDataFrame(
+        [("g1", "Mary Jane Doe", "B1"), ("g2", "Totally Other", "B1")],
+        "gid string, name string, blk string",
+    )
+    level = {
+        "blocks": ["blk"],
+        "threshold": 0.9,
+        "fields": [{"fieldname": "name", "type": "string",
+                    "method": "token_sort", "threshold": 0.95, "weight": 1}],
+    }
+    matched, still = fuzzy_match_level(
+        unmatched, primary, level, {"global_id_field": "gid"}
+    )
+    assert [r["gid"] for r in matched.collect()] == ["g1"]
+    assert still.count() == 0
