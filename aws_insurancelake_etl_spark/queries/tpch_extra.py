@@ -766,3 +766,29 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
     )
+
+
+@register(
+    "feat_zscore_by_segment",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                 / STDDEV_SAMP(c_acctbal) OVER w, 4) AS acctbal_z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def feat_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (z-score within market segment) —
+    the normalize step every feature pipeline runs before training.  The
+    unordered PARTITION BY window computes both moments in ONE pass and
+    shuffles once on the group key (a groupBy-then-rejoin costs the same
+    shuffle plus a join); round-4 output absorbs the sub-ulp differences
+    between distributed and sequential moment accumulation."""
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp(
+        "c_acctbal"
+    ).over(w)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.round(z, 4).alias("acctbal_z")
+    )
