@@ -343,3 +343,62 @@ def evt_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.round("v", 2), F.lit(0)).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "evt_multi_grain_rollup",
+    """
+    SELECT grain,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM (
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type, value
+        FROM events
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type, value FROM events
+    )
+    GROUP BY grain, bucket, event_type
+    """,
+)
+def evt_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same event stream
+    aggregated at BOTH hourly and daily grain in one job — the
+    materialization a time-series store keeps per retention tier.  Spark
+    side: one scan, a grain-tagged explode (2 rows/event), one shuffle on
+    (grain, bucket, type) with map-side partials; at 100 TB you'd write
+    each grain out partitioned by bucket date and serve queries from the
+    coarsest grain that answers them.  Decimal partial sums keep the
+    distributed totals exact."""
+    ev = read_events(spark, sf_dir)
+    tagged = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour").alias("grain"),
+                    F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("day").alias("grain"),
+                    F.date_trunc("day", F.col("ts")).alias("bucket"),
+                ),
+            )
+        ).alias("g"),
+        "event_type",
+        "value",
+    )
+    return (
+        tagged.select("g.grain", "g.bucket", "event_type", "value")
+        .groupBy("grain", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type", "n_events", "total_value",
+        )
+    )
