@@ -912,3 +912,52 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "setops_union_aligned_feed",
+    """
+    SELECT 'order' AS record_type, o_orderkey AS record_key,
+           strftime(o_orderdate, '%Y-%m-%d') AS record_date,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS amount,
+           o_orderpriority AS detail, CAST(NULL AS BIGINT) AS line_number
+    FROM orders WHERE o_orderkey % 50 = 0
+    UNION ALL
+    SELECT 'line', l_orderkey, strftime(l_shipdate, '%Y-%m-%d'),
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 2) AS DOUBLE),
+           l_returnflag, CAST(l_linenumber AS BIGINT)
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def setops_union_aligned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's documented UNION schema-alignment pattern
+    (``docs/using_sql.md:330-371``): heterogeneous tables unify into one
+    feed by tagging a record_type and padding missing columns with typed
+    literal placeholders.  UNION ALL (no dedup shuffle — the aligned
+    streams are disjoint by construction); both scans keep their
+    pushed-down filters."""
+    orders = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.lit("order").alias("record_type"),
+            F.col("o_orderkey").alias("record_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("record_date"),
+            F.round(_dec("o_totalprice"), 2).cast("double").alias("amount"),
+            F.col("o_orderpriority").alias("detail"),
+            F.lit(None).cast("bigint").alias("line_number"),
+        )
+    )
+    lines = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 50 == 0)
+        .select(
+            F.lit("line").alias("record_type"),
+            F.col("l_orderkey").alias("record_key"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("record_date"),
+            F.round(_dec("l_extendedprice"), 2).cast("double").alias("amount"),
+            F.col("l_returnflag").alias("detail"),
+            F.col("l_linenumber").cast("bigint").alias("line_number"),
+        )
+    )
+    return orders.unionByName(lines)
