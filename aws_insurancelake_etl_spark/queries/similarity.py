@@ -245,3 +245,96 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+_RP_PLANES = 8
+
+
+@register(
+    "emb_rp_lsh_signatures",
+    f"""
+    WITH comps AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6))
+                   AS comp
+        FROM embeddings
+    ),
+    weights AS (
+        SELECT p.plane, d.dim,
+               (('0x' || substr(md5('rp:' || p.plane || ':' || d.dim), 1, 8))::BIGINT
+                % 1001) - 500 AS w
+        FROM (SELECT unnest(generate_series(0, {_RP_PLANES - 1})) AS plane) p,
+             (SELECT DISTINCT dim FROM comps) d
+    ),
+    dots AS (
+        SELECT c.vec_id, c.label, w.plane, SUM(c.comp * w.w) AS dot
+        FROM comps c JOIN weights w ON c.dim = w.dim
+        GROUP BY c.vec_id, c.label, w.plane
+    ),
+    sigs AS (
+        SELECT vec_id, label,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY plane) AS signature
+        FROM dots GROUP BY vec_id, label
+    )
+    SELECT s.vec_id, s.label, s.signature,
+           COUNT(*) OVER (PARTITION BY s.signature) AS bucket_size
+    FROM sigs s
+    """,
+)
+def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH for embeddings (SimHash for vectors): each
+    vector's sign pattern against {_RP_PLANES} md5-derived integer
+    hyperplanes is its bucket key — cosine-similar vectors collide with
+    high probability, so candidate generation is a bucket self-join, never
+    |V|².  This is the third ANN path next to brute-force top-k and
+    IVF-style pruning: no training step, works on inserts.  Components are
+    rounded into decimals before the weighted sum so the SIGN of each dot
+    is exact and identical across engines (a float sum near zero could
+    flip between distributed and sequential accumulation).  Plan: melt to
+    (vec, dim, comp), broadcast the (dim, plane, weight) table, one
+    shuffle on (vec, plane), one on vec — both well-distributed."""
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    comps = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim0", "comp_f"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("comp_f").cast("double"), 6).cast("decimal(18,6)").alias("comp"),
+    )
+    n_dims = emb.select(F.size("embedding").alias("n")).limit(1).collect()[0]["n"]
+    planes = spark.range(_RP_PLANES).select(F.col("id").alias("plane"))
+    dims = spark.range(1, n_dims + 1).select(F.col("id").alias("dim"))
+    weights = planes.crossJoin(dims).select(
+        "plane", "dim",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("rp"), "plane", "dim")), 1, 8
+                ),
+                16, 10,
+            ).cast("bigint") % 1001 - 500
+        ).alias("w"),
+    )
+    dots = (
+        comps.join(F.broadcast(weights), "dim")
+        .groupBy("vec_id", "label", "plane")
+        .agg(F.sum(F.col("comp") * F.col("w")).alias("dot"))
+    )
+    sigs = (
+        dots.withColumn("bit", F.when(F.col("dot") >= 0, "1").otherwise("0"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(
+                    F.collect_list(F.struct("plane", "bit"))
+                ), lambda s: s["bit"])
+            ).alias("signature")
+        )
+    )
+    return sigs.select(
+        "vec_id", "label", "signature",
+        F.count(F.lit(1)).over(Window.partitionBy("signature")).alias("bucket_size"),
+    )
