@@ -304,9 +304,8 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.round(F.col("comp_f").cast("double"), 6).cast("decimal(18,6)").alias("comp"),
     )
-    n_dims = emb.select(F.size("embedding").alias("n")).limit(1).collect()[0]["n"]
     planes = spark.range(_RP_PLANES).select(F.col("id").alias("plane"))
-    dims = spark.range(1, n_dims + 1).select(F.col("id").alias("dim"))
+    dims = comps.select("dim").distinct()  # no driver-side collect; stays lazy
     weights = planes.crossJoin(dims).select(
         "plane", "dim",
         (
