@@ -554,3 +554,55 @@ def text_winnowing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    """
+    WITH grams AS (
+        SELECT doc_id, i AS pos, length(text) - 16 + 1 AS n,
+               ('0x' || substr(md5(substring(text, CAST(i AS BIGINT), 16)), 1, 15))::BIGINT
+                   AS h
+        FROM documents,
+             UNNEST(generate_series(1, length(text) - 16 + 1)) AS t(i)
+        WHERE length(text) >= 16 + 8 - 1
+    ),
+    mins AS (
+        SELECT doc_id, pos, n,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n - 7)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates: documents sharing >= 3 winnowing
+    fingerprints — position-robust plagiarism/copy detection that catches
+    shared PASSAGES (k=16, w=8: any shared run >= 23 chars leaves a shared
+    fingerprint; 8-char grams of natural English are near-universal and
+    pair almost everything — measured 98k pairs vs 175 selective ones)
+    where whole-document shingle Jaccard dilutes below threshold.  Same
+    posting-list shape as the Jaccard pair stage: group by fingerprint,
+    expand pairs in-bucket, count per pair — shuffle volume is fingerprint
+    postings, never |D|^2."""
+    from ..operators.textanalysis import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(_docs(spark, sf_dir), k=16, w=8)
+    postings = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    return (
+        postings.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )
