@@ -259,8 +259,10 @@ _N_HASHES = 8
 
 
 def _minhash_agg_sql() -> str:
+    # Mirrors minhash_signatures: 4 disjoint 32-bit windows per md5 digest.
     mins = ", ".join(
-        f"MIN(('0x' || substr(md5('{seed}:' || shingle), 1, 8))::BIGINT) AS h{seed}"
+        f"MIN(('0x' || substr(md5('{seed // 4}:' || shingle),"
+        f" {1 + 8 * (seed % 4)}, 8))::BIGINT) AS h{seed}"
         for seed in range(_N_HASHES)
     )
     return f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
