@@ -608,3 +608,31 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= 3)
     )
+
+
+@register(
+    "text_top_tokens",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks GROUP BY token
+    ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by frequency with document
+    frequency — the vocabulary statistic behind stop-word lists and
+    BPE merges.  Map-side partial counts shrink the token shuffle to one
+    row per (token, partition); the final top-k is a TakeOrdered, no
+    global sort.  (At open-web scale the approximate path is a count-min
+    sketch; exact stays gate-checkable.)"""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
