@@ -402,3 +402,65 @@ def evt_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
+
+
+@register(
+    "evt_rolling_7d_avg",
+    """
+    WITH bounds AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events GROUP BY user_id
+    ),
+    days AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT d.user_id, d.day,
+               COALESCE(SUM(CAST(e.value AS DECIMAL(18,2))), 0) AS v
+        FROM days d
+        LEFT JOIN events e
+          ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.day
+        GROUP BY d.user_id, d.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(ROUND(AVG(CAST(v AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS avg_7d
+    FROM daily
+    """,
+)
+def evt_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of per-user daily value — composed on the
+    gap-filled dense spine, which is what makes the cheap ROWS frame
+    equal a calendar window (on sparse data a ROWS frame spans variable
+    time and a RANGE-interval frame costs more); zero-activity days pull
+    the average down correctly instead of being skipped.  One shuffle on
+    user_id serves the spine join, the daily aggregate, and the window."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    daily = (
+        spine.join(ev, ["user_id", "day"], "left")
+        .groupBy("user_id", "day")
+        .agg(F.coalesce(F.sum("v"), F.lit(0).cast("decimal(18,2)")).alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.avg(F.col("v").cast("double")).over(w), 4).alias("avg_7d"),
+    )

@@ -792,3 +792,45 @@ def feat_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", F.round(z, 4).alias("acctbal_z")
     )
+
+
+@register(
+    "feat_iqr_outliers",
+    """
+    WITH fences AS (
+        SELECT c_mktsegment,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(ROUND(c.c_acctbal, 2) AS DOUBLE) AS acctbal,
+           CASE WHEN c.c_acctbal < f.q1 - 1.5 * (f.q3 - f.q1)
+                  OR c.c_acctbal > f.q3 + 1.5 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM customer c JOIN fences f ON c.c_mktsegment = f.c_mktsegment
+    """,
+)
+def feat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR outlier fences (Tukey 1.5x) — the data-cleaning flag a
+    feature pipeline computes before clipping/imputation.  The per-segment
+    quartiles are a tiny aggregate broadcast back onto the full table; the
+    row side never shuffles (broadcast join on the group key)."""
+    cust = t(spark, sf_dir, "customer")
+    fences = cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outlier = (
+        (F.col("c_acctbal") < F.col("q1") - 1.5 * iqr)
+        | (F.col("c_acctbal") > F.col("q3") + 1.5 * iqr)
+    )
+    return (
+        cust.join(F.broadcast(fences), "c_mktsegment")
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+            F.when(outlier, 1).otherwise(0).alias("is_outlier"),
+        )
+    )
