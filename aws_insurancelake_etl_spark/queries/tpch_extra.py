@@ -834,3 +834,60 @@ def feat_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(outlier, 1).otherwise(0).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "yoy_customer_retention",
+    """
+    SELECT o_custkey AS custkey,
+           CAST(ROUND(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS spend_1996,
+           CAST(ROUND(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS spend_1997,
+           ROUND(CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 6) AS yoy_ratio
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY o_custkey
+    HAVING SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+               THEN CAST(o_totalprice AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) > 0
+       AND SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+               THEN CAST(o_totalprice AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) > 0
+    """,
+)
+def yoy_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year retention: customers active in BOTH 1996 and 1997
+    with their spend ratio — the cohort-retention shape (TPC-DS-flavored).
+    A naive formulation self-joins two yearly aggregates on custkey; the
+    conditional-sum pivot computes both years in ONE aggregation over one
+    scan — half the shuffles, no join."""
+    yr = F.year("o_orderdate")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    s96 = F.sum(F.when(yr == 1996, price).otherwise(zero))
+    s97 = F.sum(F.when(yr == 1997, price).otherwise(zero))
+    return (
+        t(spark, sf_dir, "orders")
+        .where(yr.isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(s96.alias("s96_dec"), s97.alias("s97_dec"))
+        # HAVING on the EXACT decimal sums (matching the SQL), not the
+        # rounded doubles — a sum in (0, 0.005) must not slip through.
+        .where((F.col("s96_dec") > 0) & (F.col("s97_dec") > 0))
+        .select(
+            "custkey",
+            F.round("s96_dec", 2).cast("double").alias("spend_1996"),
+            F.round("s97_dec", 2).cast("double").alias("spend_1997"),
+            F.round(
+                F.col("s97_dec").cast("double") / F.col("s96_dec").cast("double"), 6
+            ).alias("yoy_ratio"),
+        )
+    )
