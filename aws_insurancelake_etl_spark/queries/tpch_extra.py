@@ -891,3 +891,35 @@ def yoy_customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("yoy_ratio"),
         )
     )
+
+
+@register(
+    "window_share_of_segment",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE), 8)
+               AS share_of_segment
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each positive balance as a share
+    of its segment's total, via an unordered partition window — one
+    shuffle, no groupBy-and-rejoin.  The denominator sums exact decimals
+    so every row in a segment divides by the identical total regardless of
+    partition order."""
+    w = Window.partitionBy("c_mktsegment")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.round(
+                bal.cast("double") / F.sum(bal).over(w).cast("double"), 8
+            ).alias("share_of_segment"),
+        )
+    )
