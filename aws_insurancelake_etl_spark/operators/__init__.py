@@ -44,7 +44,9 @@ from .structureddata import (  # noqa: F401
     transform_json,
     transform_jsonexpandarray,
     transform_jsonexpandmap,
+    transform_jsonstructured,
     transform_xml,
+    transform_xmlstructured,
 )
 from .dataprotection import (  # noqa: F401
     transform_hash,

@@ -137,7 +137,8 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, id_col: str = "doc_id",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
-                        band_size: int = 2) -> DataFrame:
+                        band_size: int = 2,
+                        max_posting_len: int | None = None) -> DataFrame:
     """Candidate near-dup pairs from banded signatures: melt to
     (doc_id, band_id, band_key), group the doc ids per band bucket, and
     expand pairs inside each bucket.
@@ -146,7 +147,13 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
     twice; grouping evaluates it once and replaces the join shuffle with a
     single groupBy on the (uniformly hash-distributed) band key.  Bucket
     membership lists stay small by construction — a bucket collision IS the
-    near-dup signal — so per-bucket pair expansion is bounded."""
+    near-dup signal — so per-bucket pair expansion is bounded.
+
+    ``max_posting_len`` drops adversarial buckets outright: a bucket with
+    more than K members (boilerplate bands, empty-ish documents) would
+    expand K² pairs; at open-web scale set K so K²·bucket_count stays
+    inside the verify stage's budget.  Pairs whose every shared bucket is
+    hot are lost — the standard stop-shingle recall trade."""
     bands = [tuple(range(i, i + band_size)) for i in range(0, n_hashes, band_size)]
     band_structs = F.array(
         *[
@@ -162,10 +169,13 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
+    keep = F.size("ds") >= 2
+    if max_posting_len is not None:
+        keep = keep & (F.size("ds") <= max_posting_len)
     buckets = (
         melted.groupBy("band_id", "band_key")
         .agg(F.collect_list("doc_id").alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where(keep)
     )
     return (
         buckets.select(F.explode("ds").alias("a"), "ds")
@@ -188,7 +198,8 @@ def shingle_hash60(col: Column | str) -> Column:
 
 
 def jaccard_pairs(
-    shingle_df: DataFrame, threshold: float = 0.5, hash_shingles: bool = True
+    shingle_df: DataFrame, threshold: float = 0.5, hash_shingles: bool = True,
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
 
@@ -197,10 +208,16 @@ def jaccard_pairs(
     shingle hash, well-distributed, 8 bytes/row), and pairs expand inside
     each posting list — no self-join, so no second evaluation of the
     upstream explode/distinct, and the pair aggregate carries both set
-    sizes, avoiding two more size joins.  At open-web scale, cap
-    posting-list length first (drop shingles appearing in more than K docs
-    — "stop shingles") to bound the quadratic expansion; the driver corpus
-    tops out at 25 docs/shingle."""
+    sizes, avoiding two more size joins.
+
+    ``max_posting_len`` caps the quadratic in-list expansion at open-web
+    scale: a shingle appearing in more than K documents ("stop shingle" —
+    boilerplate, license headers) is dropped before pair expansion, so a
+    hot shingle costs 0 pairs instead of K².  Dropped shingles still count
+    in each document's set size (denominator), so surviving pairs' Jaccard
+    only UNDER-estimates — precision is kept, recall is traded exactly
+    where the pairs were uninformative.  The driver corpus tops out at 25
+    docs/shingle, so the default is uncapped."""
     if "set_size" in shingle_df.columns:
         sized = shingle_df.withColumnRenamed("set_size", "n")
     else:
@@ -209,10 +226,13 @@ def jaccard_pairs(
         )
     if hash_shingles:
         sized = sized.withColumn("shingle", shingle_hash60("shingle"))
+    keep = F.size("ds") >= 2
+    if max_posting_len is not None:
+        keep = keep & (F.size("ds") <= max_posting_len)
     postings = (
         sized.groupBy("shingle")
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where(keep)
     )
     pairs = (
         postings.select(F.explode("ds").alias("a"), "ds")

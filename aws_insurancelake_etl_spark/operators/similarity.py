@@ -69,9 +69,21 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_full_pairs: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs above a cosine threshold, optionally
-    blocked by a coarse partition column."""
+    """Embedding near-duplicate pairs above a cosine threshold, blocked by a
+    coarse partition column.
+
+    ``block_col`` is required: without it the plan is an O(n²) all-pairs
+    cartesian-with-filter — a scale-killer on any real corpus.  Pass
+    ``allow_full_pairs=True`` to explicitly opt into the unblocked shape
+    (small corpora / ground-truth generation only)."""
+    if block_col is None and not allow_full_pairs:
+        raise ValueError(
+            "cosine_near_dup_pairs without block_col compiles to an O(n^2) "
+            "all-pairs join; pass block_col (e.g. an LSH bucket or label) or "
+            "opt in explicitly with allow_full_pairs=True"
+        )
     a = df.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("q_emb"),

@@ -77,22 +77,40 @@ def transform_flatten(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataF
 def transform_json(df: DataFrame, spec: list[str], ctx: RunContext) -> DataFrame:
     """``[field, ...]`` — parse JSON string columns into nested structs.
 
-    Schema inference runs a distributed ``spark.read.json`` pass over the
-    column (same contract as the reference); the subsequent parse is a
-    native ``from_json``.  At 100 TB, infer on a sample by setting
-    ``spec`` entries as ``{"field": name, "sample_ratio": 0.01}``.
+    Schema inference is sampled by default: a native bounded scan collects at
+    most ``max_sample_rows`` (default 10 000) non-null values to the driver and
+    infers locally with ``spark.read.json`` — one Spark job per column, no
+    full-corpus pass through Python serialization.  Entries may be dicts:
+    ``{"field": name, "sample_ratio": 0.01, "max_sample_rows": 10000,
+    "full_scan": true}``.  ``full_scan`` opts into the reference's whole-column
+    inference (``lib/glue_scripts/lib/datatransform_structureddata.py:134-151``)
+    — a second full scan at 100 TB, so it is opt-in, not the default.
+    The subsequent parse is a native ``from_json``.
     """
     cols = {}
     for entry in spec:
         if isinstance(entry, dict):
             field = entry["field"]
-            sample_ratio = float(entry.get("sample_ratio", 1.0))
+            sample_ratio = entry.get("sample_ratio")
+            max_sample_rows = int(entry.get("max_sample_rows", 10_000))
+            full_scan = bool(entry.get("full_scan", False))
         else:
-            field, sample_ratio = entry, 1.0
-        source = df.select(field)
-        if sample_ratio < 1.0:
-            source = source.sample(fraction=sample_ratio, seed=42)
-        schema = ctx.spark.read.json(source.rdd.map(lambda row: row[0] or "")).schema
+            field, sample_ratio, max_sample_rows, full_scan = entry, None, 10_000, False
+        source = df.select(F.col(field).cast("string").alias(field))
+        if full_scan:
+            schema = ctx.spark.read.json(source.rdd.map(lambda row: row[0] or "")).schema
+        else:
+            if sample_ratio is not None and float(sample_ratio) < 1.0:
+                source = source.sample(fraction=float(sample_ratio), seed=42)
+            samples = [
+                row[0]
+                for row in source.where(F.col(field).isNotNull())
+                .limit(max_sample_rows)
+                .collect()
+            ]
+            schema = ctx.spark.read.json(
+                ctx.spark.sparkContext.parallelize(samples or ["{}"], 1)
+            ).schema
         cols[field] = F.from_json(F.col(field), schema)
     ctx.log_lineage("jsonstructured", df=df, transform=spec)
     return df.withColumns(cols)
@@ -112,10 +130,23 @@ def transform_xml(df: DataFrame, spec: list[str], ctx: RunContext) -> DataFrame:
         ]
         if not samples:
             raise RuntimeError(f"Column {field} has no non-null XML values to infer schema from")
-        schemas = [
-            ctx.spark.range(1).select(F.schema_of_xml(F.lit(s))).collect()[0][0] for s in samples
-        ]
+        # One driver round-trip for every sample: schema_of_xml requires a
+        # foldable literal, so evaluate all N as columns of a single 1-row job.
+        schemas = list(
+            ctx.spark.range(1)
+            .select(*[F.schema_of_xml(F.lit(s)).alias(f"_s{i}") for i, s in enumerate(samples)])
+            .collect()[0]
+        )
         best = max(schemas, key=len)
         cols[field] = F.from_xml(F.col(field), best)
     ctx.log_lineage("xmlstructured", df=df, transform=spec)
     return df.withColumns(cols)
+
+
+# Reference spec-key compatibility: the reference dispatches
+# ``transform_jsonstructured`` / ``transform_xmlstructured``
+# (lib/glue_scripts/lib/datatransform_structureddata.py:103,134;
+# docs/transforms.md:58-59).  Both key spellings resolve to the same
+# implementation so reference-format dataset specs run unchanged.
+transform_jsonstructured = transform_json
+transform_xmlstructured = transform_xml

@@ -290,6 +290,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
     """,
 )
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +311,7 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
+        .orderBy("l_returnflag")
     )
 
 

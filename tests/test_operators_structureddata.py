@@ -63,3 +63,35 @@ def test_xml_string_to_struct(spark, ctx):
     row = out.collect()[0]
     assert row["xmlfield"]["name"] == "abc"
     assert row["xmlfield"]["value"] == 42
+
+
+def test_reference_spec_keys_jsonstructured_xmlstructured(spark, ctx):
+    # Reference dataset specs dispatch transform_jsonstructured /
+    # transform_xmlstructured (docs/transforms.md:58-59); both spellings
+    # must resolve in the registry and run through apply_transform_spec.
+    from aws_insurancelake_etl_spark.operators import registry
+
+    assert registry.get_transform("jsonstructured") is not None
+    assert registry.get_transform("xmlstructured") is not None
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 5}', "<row><v>9</v></row>")],
+        "id int, jpayload string, xpayload string",
+    )
+    out = registry.apply_transform_spec(
+        df, {"jsonstructured": ["jpayload"], "xmlstructured": ["xpayload"]}, ctx
+    )
+    row = out.collect()[0]
+    assert row["jpayload"]["a"] == 5
+    assert row["xpayload"]["v"] == 9
+
+
+def test_json_sampled_inference_matches_full_scan(spark, ctx):
+    df = spark.createDataFrame(
+        [(i, '{"a": %d, "b": {"c": "x"}}' % i) for i in range(50)],
+        "id int, payload string",
+    )
+    sampled = transform_json(df, ["payload"], ctx)
+    full = transform_json(df, [{"field": "payload", "full_scan": True}], ctx)
+    assert sampled.schema["payload"].dataType == full.schema["payload"].dataType
+    assert sampled.where("payload.a = 7").count() == 1

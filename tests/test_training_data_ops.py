@@ -195,3 +195,53 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
 def test_winnowing_skips_too_short_docs(spark):
     df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     assert TA.winnowing_fingerprints(df, k=8, w=4).count() == 0
+
+
+def test_jaccard_pairs_max_posting_len_drops_hot_shingle(spark):
+    # Docs 1/2/3 share the hot shingle "aaa bbb ccc"; docs 1/2 also share a
+    # second shingle.  Capping posting lists at 2 drops the hot shingle's
+    # 3-doc posting list entirely, so (1,3)/(2,3) lose their only overlap
+    # while (1,2) keeps the overlap contributed by the surviving shingle.
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc ddd eee"),
+            (2, "aaa bbb ccc ddd xxx"),
+            (3, "yyy aaa bbb ccc zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(df)
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in D.jaccard_pairs(sh, 0.1).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= uncapped
+    capped_rows = D.jaccard_pairs(sh, 0.1, max_posting_len=2).collect()
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+    assert (1, 2) in capped and (1, 3) not in capped and (2, 3) not in capped
+    # Surviving pair's Jaccard under-estimates (denominator keeps full sets):
+    # docs 1/2 share 2 of 3+3 shingles -> exact 2/4; capped overlap=1 -> 1/5.
+    j12 = [r["jaccard"] for r in capped_rows if (r["doc_a"], r["doc_b"]) == (1, 2)][0]
+    assert j12 == 0.2
+
+
+def test_lsh_candidate_pairs_max_posting_len(spark):
+    # Identical docs land in the same bucket for every band; capping bucket
+    # size at 2 keeps the 2-member buckets but drops any hotter bucket.
+    df = spark.createDataFrame(
+        [(i, "one two three four five six") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df)
+    uncapped = D.lsh_candidate_pairs(sigs)
+    assert uncapped.count() == 6  # all C(4,2) pairs collide
+    capped = D.lsh_candidate_pairs(sigs, max_posting_len=2)
+    assert capped.count() == 0  # every bucket has 4 members -> dropped
+
+
+def test_cosine_near_dup_requires_blocking(spark):
+    import pytest
+
+    emb = vectors(spark)
+    with pytest.raises(ValueError, match="block_col"):
+        S.cosine_near_dup_pairs(emb)
+    # explicit opt-in compiles and runs
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.999, allow_full_pairs=True)
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs.collect()} == {(1, 4)}
