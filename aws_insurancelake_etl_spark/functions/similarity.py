@@ -104,3 +104,71 @@ def token_sort_similarity(a: Column | str, b: Column | str) -> Column:
     "Doe Mary Jane" at 1.0 — the reorder-robust scorer record linkage
     wants for name fields."""
     return levenshtein_similarity(token_sort_key(a), token_sort_key(b))
+
+
+def partial_ratio_similarity(a: Column | str, b: Column | str) -> Column:
+    """rapidfuzz-style ``partial_ratio`` (scaled 0-1): best similarity of the
+    shorter string against every same-length window of the longer, so a
+    substring scores 1.0 regardless of where it appears — the scorer for
+    fields where one side carries extra tokens (suite numbers, suffixes).
+
+    Fully native: windows enumerate via ``sequence``/``transform`` and each
+    scores with the JVM ``levenshtein`` — no Python, and the window count is
+    bounded by the longer string's length.  Deviation from rapidfuzz,
+    documented: the per-window ratio is levenshtein/max-len, not the Indel
+    (LCS-based) ratio — the 1.0 cases coincide and both are metrics on the
+    same alignment; levenshtein keeps the whole expression in the JVM and
+    lets the DuckDB oracle reproduce it bit-for-bit.  Empty/null inputs
+    score 0.0 (missing value ≠ perfect match — record-linkage convention,
+    same as :func:`jaro_winkler`)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a_shorter = F.length(a) <= F.length(b)
+    shorter = F.when(a_shorter, a).otherwise(b)
+    longer = F.when(a_shorter, b).otherwise(a)
+    ls = F.length(shorter)
+    window_sims = F.transform(
+        F.sequence(F.lit(1), F.length(longer) - ls + 1),
+        lambda p: F.lit(1.0) - F.levenshtein(shorter, F.substring(longer, p, ls)) / ls,
+    )
+    return F.when(
+        a.isNull() | b.isNull() | (ls == 0), F.lit(0.0)
+    ).otherwise(F.array_max(window_sims))
+
+
+def _token_set(col: Column) -> Column:
+    return F.array_sort(
+        F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))
+    )
+
+
+def token_set_similarity(a: Column | str, b: Column | str) -> Column:
+    """rapidfuzz-style ``token_set_ratio`` (scaled 0-1): compare the sorted
+    token intersection against each side's intersection+difference form and
+    take the best of the three ratios — so "mary jane doe" vs
+    "doe mary jane smith jr" scores 1.0 (one token set contains the other),
+    the scorer for fields with both reordering AND extra tokens.
+
+    Fully native (split/array_intersect/array_except/concat_ws stay in
+    codegen; ratios are JVM ``levenshtein``).  Same documented deviation as
+    :func:`partial_ratio_similarity`: levenshtein ratio instead of Indel
+    ratio per comparison; the containment-scores-1.0 property — the reason
+    to pick token_set — is preserved exactly.  Empty/null inputs score
+    0.0."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    ta, tb = _token_set(a), _token_set(b)
+    inter = F.array_sort(F.array_intersect(ta, tb))
+    s0 = F.concat_ws(" ", inter)
+    s1 = F.trim(F.concat_ws(" ", F.concat(inter, F.array_sort(F.array_except(ta, tb)))))
+    s2 = F.trim(F.concat_ws(" ", F.concat(inter, F.array_sort(F.array_except(tb, ta)))))
+
+    def ratio(x: Column, y: Column) -> Column:
+        return F.when(
+            (F.length(x) == 0) & (F.length(y) == 0), F.lit(0.0)
+        ).otherwise(
+            F.lit(1.0) - F.levenshtein(x, y) / F.greatest(F.length(x), F.length(y))
+        )
+
+    best = F.greatest(ratio(s0, s1), ratio(s0, s2), ratio(s1, s2))
+    return F.when(a.isNull() | b.isNull(), F.lit(0.0)).otherwise(best)

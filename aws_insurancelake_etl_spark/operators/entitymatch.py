@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from ..functions.similarity import (
     jaro_winkler,
     levenshtein_similarity,
+    partial_ratio_similarity,
+    token_set_similarity,
     token_sort_similarity,
 )
 
@@ -101,6 +103,10 @@ def _field_score(field: dict) -> Column:
             raw = levenshtein_similarity(left, right)
         elif method == "token_sort":
             raw = token_sort_similarity(left, right)
+        elif method == "partial_ratio":
+            raw = partial_ratio_similarity(left, right)
+        elif method == "token_set":
+            raw = token_set_similarity(left, right)
         else:
             raise ValueError(f"Unsupported string comparator method: {method}")
         threshold = field.get("threshold")

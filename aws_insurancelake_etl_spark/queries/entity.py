@@ -371,3 +371,133 @@ def em_token_sort_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= 0.8)
         .select("custkey", "matched_custkey", F.round("sim", 4).alias("similarity"))
     )
+
+
+@register(
+    "em_partial_ratio_scores",
+    r"""
+    WITH pairs AS (
+        SELECT i.p_partkey AS partkey,
+               CASE WHEN length(i.p_name) <= length(p.p_name)
+                    THEN i.p_name ELSE p.p_name END AS s,
+               CASE WHEN length(i.p_name) <= length(p.p_name)
+                    THEN p.p_name ELSE i.p_name END AS l
+        FROM (SELECT * FROM part WHERE p_partkey % 2 = 1) i
+        JOIN (SELECT * FROM part WHERE p_partkey % 2 = 0) p
+          ON i.p_brand = p.p_brand AND i.p_size = p.p_size
+    )
+    SELECT partkey, COUNT(*) AS n_matches, MAX(ROUND(sim, 4)) AS best_score
+    FROM (
+        SELECT partkey,
+               list_max([1.0 - levenshtein(s, substr(l, pos, length(s))) * 1.0
+                         / length(s)
+                         for pos in range(1, length(l) - length(s) + 2)]) AS sim
+        FROM pairs
+    )
+    WHERE sim >= 0.55
+    GROUP BY partkey
+    """,
+)
+def em_partial_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-style partial_ratio as a NATIVE expression: the shorter
+    name slides over every same-length window of the longer, each window
+    scores with JVM ``levenshtein``, and the best window wins — the scorer
+    for fields where one side carries extra tokens (fourth comparator
+    method of the fuzzy-match spec, ``method: partial_ratio``; the
+    reference offers it via recordlinkage/rapidfuzz, driver-side at
+    ``etl_consume_entity_match.py:232-241``).  Blocked on
+    (brand, size) so candidate pairs stay bounded; window
+    enumeration is sequence+transform (no explode — the array folds
+    per-row), and DuckDB rebuilds identical windows with a list
+    comprehension."""
+    from ..functions.similarity import partial_ratio_similarity
+    from .util import spread
+
+    part = t(spark, sf_dir, "part")
+    inc = spread(spark, part.where(F.col("p_partkey") % 2 == 1)).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("i_name"),
+        "p_brand", "p_size",
+    )
+    prim = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_name").alias("p_name"), "p_brand", "p_size"
+    )
+    sim = partial_ratio_similarity(F.col("i_name"), F.col("p_name"))
+    return (
+        inc.join(F.broadcast(prim), ["p_brand", "p_size"])
+        .select("partkey", sim.alias("sim"))
+        .where(F.col("sim") >= 0.55)
+        .groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(F.round("sim", 4)).alias("best_score"),
+        )
+    )
+
+
+@register(
+    "em_token_set_scores",
+    r"""
+    WITH toks AS (
+        SELECT i.p_partkey AS partkey, p.p_partkey AS matched_partkey,
+               list_sort(list_distinct(string_split_regex(lower(trim(i.p_name)), '\s+'))) AS ta,
+               list_sort(list_distinct(string_split_regex(lower(trim(p.p_name)), '\s+'))) AS tb
+        FROM (SELECT * FROM part WHERE p_partkey % 2 = 1) i
+        JOIN (SELECT * FROM part WHERE p_partkey % 2 = 0) p
+          ON i.p_brand = p.p_brand AND i.p_size = p.p_size
+    ),
+    forms AS (
+        SELECT partkey, matched_partkey,
+               COALESCE(array_to_string(list_sort(list_intersect(ta, tb)), ' '), '') AS s0,
+               trim(COALESCE(array_to_string(list_sort(list_intersect(ta, tb)), ' '), '') || ' ' ||
+                    COALESCE(array_to_string(list_sort(list_filter(ta, x -> NOT list_contains(tb, x))), ' '), '')) AS s1,
+               trim(COALESCE(array_to_string(list_sort(list_intersect(ta, tb)), ' '), '') || ' ' ||
+                    COALESCE(array_to_string(list_sort(list_filter(tb, x -> NOT list_contains(ta, x))), ' '), '')) AS s2
+        FROM toks
+    )
+    SELECT partkey, matched_partkey, ROUND(sim, 4) AS similarity
+    FROM (
+        SELECT partkey, matched_partkey,
+               GREATEST(
+                   CASE WHEN length(s0) = 0 AND length(s1) = 0 THEN 0.0
+                        ELSE 1.0 - levenshtein(s0, s1) * 1.0 / GREATEST(length(s0), length(s1)) END,
+                   CASE WHEN length(s0) = 0 AND length(s2) = 0 THEN 0.0
+                        ELSE 1.0 - levenshtein(s0, s2) * 1.0 / GREATEST(length(s0), length(s2)) END,
+                   CASE WHEN length(s1) = 0 AND length(s2) = 0 THEN 0.0
+                        ELSE 1.0 - levenshtein(s1, s2) * 1.0 / GREATEST(length(s1), length(s2)) END
+               ) AS sim
+        FROM forms
+    )
+    WHERE sim >= 0.68
+    """,
+)
+def em_token_set_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rapidfuzz-style token_set similarity as a NATIVE expression: best of
+    the three ratios among (sorted token intersection, intersection+left
+    difference, intersection+right difference), so containment of one
+    token set in the other scores 1.0 — the scorer for fields with both
+    reordering AND extra tokens (fifth comparator method of the
+    fuzzy-match spec, ``method: token_set``).  Set algebra is
+    array_intersect/array_except in codegen; ratios are JVM levenshtein;
+    DuckDB rebuilds identical forms with list_intersect/list_filter."""
+    from ..functions.similarity import token_set_similarity
+    from .util import spread
+
+    part = t(spark, sf_dir, "part")
+    inc = spread(spark, part.where(F.col("p_partkey") % 2 == 1)).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("i_name"),
+        "p_brand", "p_size",
+    )
+    prim = part.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("matched_partkey"),
+        F.col("p_name").alias("p_name"),
+        "p_brand", "p_size",
+    )
+    sim = token_set_similarity(F.col("i_name"), F.col("p_name"))
+    return (
+        inc.join(F.broadcast(prim), ["p_brand", "p_size"])
+        .select("partkey", "matched_partkey", sim.alias("sim"))
+        .where(F.col("sim") >= 0.68)
+        .select("partkey", "matched_partkey", F.round("sim", 4).alias("similarity"))
+    )

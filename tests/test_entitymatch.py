@@ -172,3 +172,58 @@ def test_fuzzy_match_token_sort_method(spark):
     )
     assert [r["gid"] for r in matched.collect()] == ["g1"]
     assert still.count() == 0
+
+
+def test_partial_ratio_and_token_set_scorers(spark):
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.functions.similarity import (
+        partial_ratio_similarity,
+        token_set_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("anvil", "small anvil x"),        # substring -> partial 1.0
+            ("mary jane doe", "doe mary jane smith jr"),  # subset tokens -> token_set 1.0
+            ("abc", "xyz"),
+            ("", "anything"),
+            (None, "anything"),
+        ],
+        "a string, b string",
+    )
+    out = df.select(
+        F.round(partial_ratio_similarity("a", "b"), 4).alias("pr"),
+        F.round(token_set_similarity("a", "b"), 4).alias("ts"),
+    ).collect()
+    assert out[0]["pr"] == 1.0
+    assert out[1]["ts"] == 1.0
+    assert out[2]["pr"] < 0.5 and out[2]["ts"] == 0.0
+    assert out[3]["pr"] == 0.0 and out[3]["ts"] == 0.0
+    assert out[4]["pr"] == 0.0 and out[4]["ts"] == 0.0
+
+
+def test_fuzzy_match_accepts_new_scorer_methods(spark):
+    from aws_insurancelake_etl_spark.operators.entitymatch import fuzzy_match_level
+
+    incoming = spark.createDataFrame(
+        [(1, "big red anvil", "TX", None)],
+        "id int, name string, state string, gid string",
+    )
+    primary = spark.createDataFrame(
+        [(100, "red anvil", "TX", "G-100")],
+        "id int, name string, state string, gid string",
+    )
+    spec = {"global_id_field": "gid"}
+    for method in ("partial_ratio", "token_set"):
+        level = {
+            "blocks": ["state"],
+            "threshold": 0.9,
+            "fields": [{"fieldname": "name", "type": "string",
+                        "method": method, "weight": 1}],
+        }
+        matched, unmatched = fuzzy_match_level(
+            incoming, primary.withColumnRenamed("gid", "gid"), level, spec
+        )
+        assert matched.collect()[0]["gid"] == "G-100", method
+        assert unmatched.count() == 0, method

@@ -107,3 +107,17 @@ def test_registry_dispatch_suffix_and_unknown(spark, ctx):
     row = out.collect()[0]
     assert str(row["d"]) == "2022-01-01"
     assert row["tag"] == "v1" and row["tag2"] == "v2"
+
+
+def test_driver_window_covers_every_operator_family():
+    from aws_insurancelake_etl_spark.queries import DRIVER_WINDOW, all_queries
+
+    names = list(all_queries())
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+    window = set(DRIVER_WINDOW)
+    # one gate per family ahead of the already-driver-verified relational set
+    for family in ("tr_", "dq_", "em_", "pipeline_", "stream_", "mm_",
+                   "ann_", "emb_", "dedup_", "evt_"):
+        assert any(n.startswith(family) for n in window), family
