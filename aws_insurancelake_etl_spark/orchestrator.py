@@ -124,3 +124,164 @@ def run_pipeline(
         with open(audit_log, "a", encoding="utf-8") as fh:
             fh.write(json.dumps(summary, default=str) + "\n")
     return summary
+
+
+class JobAudit:
+    """JSONL-backed job-audit table — in-process stand-in for the reference's
+    DynamoDB audit table (``lib/state_machine_trigger/lambda_handler.py:13-36``,
+    GSIs ``source_key-job_start_date_int`` / ``job_latest_status-dependency_key``
+    per ``dynamodb_stack.py``).  Log-structured: every record/update appends a
+    full item and the latest record per execution_id wins, so the file doubles
+    as the job history."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _append(self, item: dict) -> None:
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(item, default=str) + "\n")
+
+    def items(self) -> dict[str, dict]:
+        latest: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        item = json.loads(line)
+                        latest[item["execution_id"]] = item
+        return latest
+
+    def record(self, execution_id: str, source_key: str, status: str,
+               dependency_keys: list[str] | None = None, **extra) -> None:
+        self._append({
+            "execution_id": execution_id,
+            "source_key": source_key,
+            "job_latest_status": status,
+            "job_start_ts": extra.pop("job_start_ts", datetime.datetime.now().timestamp()),
+            "dependency_keys": dependency_keys or [],
+            **extra,
+        })
+
+    def update_status(self, execution_id: str, status: str) -> None:
+        item = self.items()[execution_id]
+        item["job_latest_status"] = status
+        item["job_last_updated_ts"] = datetime.datetime.now().timestamp()
+        self._append(item)
+
+    def succeeded_within(self, source_key: str, lookback: dict | None) -> bool:
+        """True iff a run of ``source_key`` SUCCEEDED inside the lookback
+        window (relativedelta kwargs, e.g. ``{"hours": 4}``; ``None`` = any
+        time) — reference ``dependency_job_lookback`` (:38-82)."""
+        from dateutil import relativedelta  # noqa: PLC0415
+
+        floor = 0.0
+        if lookback:
+            floor = (
+                datetime.datetime.now() - relativedelta.relativedelta(**lookback)
+            ).timestamp()
+        return any(
+            item["source_key"] == source_key
+            and item["job_latest_status"] == "SUCCEEDED"
+            and item["job_start_ts"] > floor
+            for item in self.items().values()
+        )
+
+    def queued_jobs(self, dependency_key: str) -> list[dict]:
+        """QUEUED items that declare ``dependency_key`` as an upstream —
+        reference ``dependency_trigger/lambda_handler.py:60-99``."""
+        return [
+            item
+            for item in self.items().values()
+            if item["job_latest_status"] == "QUEUED"
+            and dependency_key in item.get("dependency_keys", [])
+        ]
+
+
+def load_dependency_spec(config_dir: str, database: str, table: str) -> dict | None:
+    """``<config_dir>/<database>-<table>-dependent.json`` →
+    ``{"depends_on": ["sys/table", ...], "lookback": {...}}`` or None —
+    the reference's dependent-workflow spec discovery
+    (``lambda_handler.py:157-178``)."""
+    path = os.path.join(config_dir, f"{database}-{table}-dependent.json")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def run_or_queue(
+    spark,
+    dropped_file: str,
+    landing_root: str,
+    config_dir: str,
+    audit: JobAudit,
+    **run_kwargs,
+) -> dict:
+    """Dependency-aware entry point: run the dropped file's pipeline now, or
+    queue it until every upstream in its dependent-workflow spec has a
+    successful run — then release any downstream jobs this run unblocks.
+
+    Mirrors the reference control flow: queue when a dependent spec with
+    ``depends_on`` exists (``lambda_handler.py:157-178``), run immediately
+    when a ``lookback`` is declared and every dependency already succeeded
+    inside the window (:38-82), and on success start queued jobs whose
+    dependency just landed (``dependency_trigger/lambda_handler.py``) —
+    transitively, so chains drain in one call."""
+    args = parse_drop_path(dropped_file, landing_root)
+    source_key = f"{args['database']}/{args['table']}"
+    spec = load_dependency_spec(config_dir, args["database"], args["table"])
+    depends_on = list(spec.get("depends_on") or []) if spec else []
+    lookback = spec.get("lookback") if spec else None
+
+    queue_job = bool(depends_on) and not all(
+        audit.succeeded_within(dep, lookback) for dep in depends_on
+    )
+    execution_id = str(uuid.uuid4())
+    if queue_job:
+        audit.record(
+            execution_id, source_key, "QUEUED", dependency_keys=depends_on,
+            dropped_file=dropped_file, landing_root=landing_root,
+            config_dir=config_dir,
+        )
+        return {"execution_id": execution_id, "status": "QUEUED",
+                "source_key": source_key, "depends_on": depends_on}
+
+    audit.record(execution_id, source_key, "STARTED", dependency_keys=depends_on,
+                 dropped_file=dropped_file)
+    try:
+        summary = run_pipeline(spark, dropped_file, landing_root, config_dir,
+                               **run_kwargs)
+    except Exception:
+        audit.update_status(execution_id, "FAILED")
+        raise
+    audit.update_status(execution_id, "SUCCEEDED")
+    summary["status"] = "SUCCEEDED"
+    summary["released"] = _release_queued(spark, source_key, audit, run_kwargs)
+    return summary
+
+
+def _release_queued(spark, completed_key: str, audit: JobAudit,
+                    run_kwargs: dict) -> list[str]:
+    """Start every QUEUED job whose dependencies are now all satisfied;
+    recurses so a released job can unblock its own downstream."""
+    released: list[str] = []
+    for item in audit.queued_jobs(completed_key):
+        config_dir = item["config_dir"]
+        drop_args = parse_drop_path(item["dropped_file"], item["landing_root"])
+        spec = load_dependency_spec(config_dir, drop_args["database"],
+                                    drop_args["table"]) or {}
+        lookback = spec.get("lookback")
+        if not all(audit.succeeded_within(dep, lookback)
+                   for dep in item.get("dependency_keys", [])):
+            continue
+        audit.update_status(item["execution_id"], "STARTED")
+        try:
+            run_pipeline(spark, item["dropped_file"], item["landing_root"],
+                         config_dir, **run_kwargs)
+        except Exception:
+            audit.update_status(item["execution_id"], "FAILED")
+            raise
+        audit.update_status(item["execution_id"], "SUCCEEDED")
+        released.append(item["source_key"])
+        released.extend(_release_queued(spark, item["source_key"], audit, run_kwargs))
+    return released

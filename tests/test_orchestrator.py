@@ -59,3 +59,65 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
     assert consume.count() == 2
     audit = (tmp_path / "audit.jsonl").read_text().strip().splitlines()
     assert len(audit) == 1 and json.loads(audit[0])["database"] == "orchdb"
+
+
+def _write_dataset(tmp_path, db, table, csv_text):
+    drop = tmp_path / "landing" / db / table / "2024" / "02" / "10"
+    drop.mkdir(parents=True, exist_ok=True)
+    f = drop / f"{table}.csv"
+    f.write_text(csv_text)
+    cfg = tmp_path / "cfg"
+    cfg.mkdir(exist_ok=True)
+    (cfg / f"{db}-{table}.json").write_text(json.dumps({
+        "input_spec": {"csv": {"header": True}},
+        "transform_spec": {},
+    }))
+    return str(f)
+
+
+def test_dependent_dataset_queues_until_parent_lands(spark, tmp_path):
+    from aws_insurancelake_etl_spark.orchestrator import JobAudit, run_or_queue
+
+    child = _write_dataset(tmp_path, "depdb", "child", "Id,V\n1,10\n")
+    parent = _write_dataset(tmp_path, "depdb", "parent", "Id,V\n1,20\n")
+    (tmp_path / "cfg" / "depdb-child-dependent.json").write_text(json.dumps({
+        "depends_on": ["depdb/parent"],
+    }))
+    audit = JobAudit(str(tmp_path / "jobaudit.jsonl"))
+    common = dict(landing_root=str(tmp_path / "landing"),
+                  config_dir=str(tmp_path / "cfg"), audit=audit)
+
+    # Child drops first: must queue, not run.
+    queued = run_or_queue(spark, child, **common)
+    assert queued["status"] == "QUEUED"
+    assert not spark.catalog.tableExists("depdb.child")
+
+    # Parent drops: runs, then releases the queued child.
+    done = run_or_queue(spark, parent, **common)
+    assert done["status"] == "SUCCEEDED"
+    assert done["released"] == ["depdb/child"]
+    assert spark.table("depdb.child").count() == 1
+    statuses = {i["source_key"]: i["job_latest_status"]
+                for i in audit.items().values()}
+    assert statuses == {"depdb/child": "SUCCEEDED", "depdb/parent": "SUCCEEDED"}
+
+
+def test_lookback_satisfied_dependency_runs_immediately(spark, tmp_path):
+    from aws_insurancelake_etl_spark.orchestrator import JobAudit, run_or_queue
+
+    parent = _write_dataset(tmp_path, "lbdb", "parent", "Id,V\n1,1\n")
+    child = _write_dataset(tmp_path, "lbdb", "child", "Id,V\n2,2\n")
+    (tmp_path / "cfg" / "lbdb-child-dependent.json").write_text(json.dumps({
+        "depends_on": ["lbdb/parent"], "lookback": {"hours": 4},
+    }))
+    audit = JobAudit(str(tmp_path / "jobaudit.jsonl"))
+    common = dict(landing_root=str(tmp_path / "landing"),
+                  config_dir=str(tmp_path / "cfg"), audit=audit)
+
+    run_or_queue(spark, parent, **common)           # parent succeeded just now
+    out = run_or_queue(spark, child, **common)      # inside lookback -> no queue
+    assert out["status"] == "SUCCEEDED"
+
+    # A stale success outside the lookback window must still queue.
+    assert audit.succeeded_within("lbdb/parent", {"hours": 4})
+    assert not audit.succeeded_within("lbdb/parent", {"seconds": 0})
