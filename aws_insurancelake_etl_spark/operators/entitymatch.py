@@ -221,7 +221,14 @@ def merge_into_primary(
             f"MERGE INTO {primary_table} t USING __em_incoming s ON t.{global_id} = s.{global_id} "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
-    except Exception:
+    except Exception as exc:
+        # Fall back ONLY when the catalog can't run MERGE (plain parquet
+        # tables).  A genuine MERGE failure on a Delta/Iceberg table must
+        # surface — silently rewriting a transactional table as parquet
+        # would destroy its history.
+        message = str(exc)
+        if not ("MERGE" in message or "not supported" in message.lower()):
+            raise
         current = spark.table(primary_table)
         keep = current.join(
             matched.select(global_id).distinct(), on=global_id, how="left_anti"

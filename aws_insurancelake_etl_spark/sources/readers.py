@@ -18,6 +18,7 @@ workbook files are single-machine-sized by construction).
 from __future__ import annotations
 
 import os
+import re
 from functools import reduce
 from typing import Any
 
@@ -46,29 +47,80 @@ def read_fixed_width(
     return text_df.select(columns)
 
 
+_CELL_REF_RE = re.compile(r"^([A-Za-z]+)(\d+)$")
+
+
+def _col_index(letters: str) -> int:
+    """Spreadsheet column letters → 0-based index ('A'→0, 'AA'→26)."""
+    idx = 0
+    for ch in letters.upper():
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def parse_data_address(addr: str | None) -> tuple[int, int, int | None, int | None]:
+    """Reference ``data_address`` grammar (``docs/file_formats.md:327``):
+    a cell reference naming the top-left corner ('A1', 'C3') or a range
+    reference bounding the data block ('A2:D10').
+
+    Returns 0-based ``(skiprows, col_start, col_stop_exclusive, block_rows)``
+    — col_stop/block_rows are None for an open cell reference."""
+    addr = (addr or "A1").strip()
+    if ":" in addr:
+        first, last = addr.split(":", 1)
+        m1, m2 = _CELL_REF_RE.match(first.strip()), _CELL_REF_RE.match(last.strip())
+        if not (m1 and m2):
+            raise ValueError(f"Invalid Excel range reference: {addr!r}")
+        r0, r1 = int(m1.group(2)) - 1, int(m2.group(2)) - 1
+        c0, c1 = _col_index(m1.group(1)), _col_index(m2.group(1))
+        if r1 < r0 or c1 < c0:
+            raise ValueError(f"Excel range reference is inverted: {addr!r}")
+        return r0, c0, c1 + 1, r1 - r0 + 1
+    m = _CELL_REF_RE.match(addr)
+    if not m:
+        raise ValueError(f"Invalid Excel cell reference: {addr!r}")
+    return int(m.group(2)) - 1, _col_index(m.group(1)), None, None
+
+
 def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataFrame:
     """Excel via driver-side pandas conversion (no spark-excel JAR here).
 
-    Honors ``sheet_names`` (tried in order), ``data_address`` (e.g. 'A2'),
-    ``header``, ``password`` (unsupported → error if set).
+    Option parity with the reference's crealytics reader
+    (``etl_collect_to_cleanse.py:154-185``; ``docs/file_formats.md:325-344``):
+
+    - ``sheet_names``: tried in order, first readable sheet wins; numeric
+      strings are 0-based sheet indexes — full parity;
+    - ``data_address``: cell reference ('A2' → skip rows above, columns
+      left of the anchor) or range reference ('A2:D10' → bounded block) —
+      full parity;
+    - ``header``: bool, headerless sheets get ``_c0..`` names — full parity;
+    - ``password``: NOT supported (crealytics decrypts in-JVM; pandas would
+      need openpyxl+crypto, absent here) — raises ``NotImplementedError``
+      rather than silently reading nothing.
+
+    Requires a pandas Excel engine (openpyxl / xlrd) at runtime.
     """
     import pandas as pd  # noqa: PLC0415
 
     if excel_spec.get("password"):
         raise NotImplementedError("Password-protected workbooks require openpyxl with crypto")
     sheet_names = excel_spec.get("sheet_names", ["0"])
-    data_address = excel_spec.get("data_address", "A1")
     header = excel_spec.get("header", True)
-    skiprows = 0
-    if data_address and data_address.strip("ABCDEFGHIJKLMNOPQRSTUVWXYZ").isdigit():
-        skiprows = int(data_address.strip("ABCDEFGHIJKLMNOPQRSTUVWXYZ")) - 1
+    skiprows, col_start, col_stop, block_rows = parse_data_address(
+        excel_spec.get("data_address", "A1")
+    )
+    nrows = None
+    if block_rows is not None:
+        nrows = block_rows - 1 if header else block_rows
     last_error: Exception | None = None
     for sheet_name in sheet_names:
         try:
             sheet: Any = int(sheet_name) if str(sheet_name).isdigit() else sheet_name
             pdf = pd.read_excel(
-                source_path, sheet_name=sheet, header=0 if header else None, skiprows=skiprows
+                source_path, sheet_name=sheet, header=0 if header else None,
+                skiprows=skiprows, nrows=nrows,
             )
+            pdf = pdf.iloc[:, col_start:col_stop]
             if not header:
                 pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
             return spark.createDataFrame(pdf)

@@ -227,3 +227,46 @@ def test_fuzzy_match_accepts_new_scorer_methods(spark):
         )
         assert matched.collect()[0]["gid"] == "G-100", method
         assert unmatched.count() == 0, method
+
+
+def test_merge_into_primary_delta_merge_path():
+    """Runs the real MERGE INTO path when delta-spark is installed.
+
+    This container has no Delta/Iceberg jars and no network, so the test
+    self-skips here; with ``pip install delta-spark`` it builds a Delta
+    session, creates a Delta primary table, runs merge_into_primary, and
+    asserts the SQL MERGE executed (no parquet-rewrite fallback)."""
+    import pytest
+
+    delta = pytest.importorskip("delta")
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from aws_insurancelake_etl_spark.operators.entitymatch import merge_into_primary
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("delta-merge-test")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config("spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="delta-wh-"))
+    )
+    dspark = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        dspark.createDataFrame(
+            [("G1", "a")], "gid string, v string"
+        ).write.format("delta").saveAsTable("em_primary_delta")
+        incoming = dspark.createDataFrame(
+            [("G1", "a2"), ("G2", "b")], "gid string, v string"
+        )
+        merge_into_primary(dspark, incoming, "em_primary_delta", "gid")
+        rows = {r["gid"]: r["v"] for r in dspark.table("em_primary_delta").collect()}
+        assert rows == {"G1": "a2", "G2": "b"}
+        # provider must still be delta => the MERGE path ran, not the
+        # parquet-overwrite fallback
+        detail = dspark.sql("DESCRIBE DETAIL em_primary_delta").collect()[0]
+        assert detail["format"] == "delta"
+    finally:
+        dspark.stop()

@@ -121,3 +121,51 @@ def test_driver_window_covers_every_operator_family():
     for family in ("tr_", "dq_", "em_", "pipeline_", "stream_", "mm_",
                    "ann_", "emb_", "dedup_", "evt_"):
         assert any(n.startswith(family) for n in window), family
+
+
+def test_excel_data_address_grammar():
+    import pytest
+
+    from aws_insurancelake_etl_spark.sources.readers import (
+        _col_index,
+        parse_data_address,
+    )
+
+    assert _col_index("A") == 0
+    assert _col_index("Z") == 25
+    assert _col_index("AA") == 26
+    assert parse_data_address("A1") == (0, 0, None, None)
+    assert parse_data_address("C3") == (2, 2, None, None)
+    assert parse_data_address(None) == (0, 0, None, None)
+    # range reference bounds the block: rows 2-10 (9 rows), cols A-D
+    assert parse_data_address("A2:D10") == (1, 0, 4, 9)
+    for bad in ("3C", "A1:B", "D10:A2"):
+        with pytest.raises(ValueError):
+            parse_data_address(bad)
+
+
+def test_excel_password_raises_not_implemented(spark):
+    import pytest
+
+    from aws_insurancelake_etl_spark.sources.readers import read_excel
+
+    with pytest.raises(NotImplementedError):
+        read_excel(spark, "/nonexistent.xlsx", {"password": "secret"})
+
+
+def test_excel_read_matrix(spark, tmp_path):
+    # Full read path needs a pandas Excel engine; exercised when available.
+    import pytest
+
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    path = str(tmp_path / "wb.xlsx")
+    with pd.ExcelWriter(path) as xw:
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_excel(
+            xw, sheet_name="Data", index=False
+        )
+    from aws_insurancelake_etl_spark.sources.readers import read_excel
+
+    out = read_excel(spark, path, {"sheet_names": ["Missing", "Data"]})
+    assert out.count() == 3 and set(out.columns) == {"a", "b"}
