@@ -253,3 +253,119 @@ def winnowing_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals per document:
+    (doc_id, n_tokens, dup_token_frac, mean_word_len, top_bigram_frac).
+
+    The repetition filters of Rae et al., "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher" (arXiv:2112.11446,
+    Table A1) re-expressed for Spark: token-level stats are NARROW array
+    expressions (split → size/array_distinct/aggregate, zero shuffles);
+    only the top-bigram fraction needs a shuffle — (doc_id, bigram) counts
+    then a per-doc max/sum, both keyed on doc_id so the second aggregate
+    reuses the first's partitioning."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("__toks")) * 1.0 / F.size("__toks"), 4
+        ).alias("dup_token_frac"),
+        F.round(
+            F.expr("aggregate(transform(__toks, t -> length(t)), 0, (a, x) -> a + x)")
+            * 1.0
+            / F.size("__toks"),
+            4,
+        ).alias("mean_word_len"),
+    )
+    gram_count = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(toks, 1, gram_count), F.slice(toks, 2, gram_count))
+    bigram_counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(zipped).alias("__g"))
+        .select("doc_id", F.concat_ws(" ", F.col("__g.0"), F.col("__g.1")).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_bigram_frac"))
+    )
+    return base.join(bigram_counts, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_shingles: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document benchmark contamination: the fraction of a document's
+    distinct word n-gram shingles that appear in ANY benchmark document —
+    (doc_id, set_size, n_matched, contamination).
+
+    The standard train/test overlap check (GPT-3 appendix C / PaLM
+    contamination analysis): before training, every corpus document is
+    scored against the union of benchmark n-grams and high-contamination
+    documents are dropped.  Scale shape: the benchmark side dedups to one
+    row per distinct shingle and broadcasts (eval sets are tiny next to
+    the corpus); the corpus side streams through one semi-join + one
+    groupBy on doc_id — no pairwise structure anywhere.  Set
+    ``broadcast_benchmark=False`` for a giant benchmark union (falls back
+    to a shuffle hash join keyed on the 60-bit shingle hash)."""
+    from .dedup import shingle_hash60, shingles  # noqa: PLC0415
+
+    doc_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    if hash_shingles:
+        doc_sh = doc_sh.withColumn("shingle", shingle_hash60("shingle"))
+        bench_sh = bench_sh.select(shingle_hash60("shingle").alias("shingle"))
+    right = F.broadcast(bench_sh) if broadcast_benchmark else bench_sh
+    matched = (
+        doc_sh.join(right, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    sizes = doc_sh.select("doc_id", "set_size").distinct()
+    return (
+        sizes.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "set_size",
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) * 1.0 / F.col("set_size"), 4
+            ).alias("contamination"),
+        )
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    partition_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget training shards: documents are laid
+    out in deterministic ``id_col`` order and a shard boundary falls every
+    ``budget`` weight units (token counts, bytes); a document straddling a
+    boundary belongs to the shard its first unit lands in, so every shard
+    except the last holds ≥ budget-minus-one-document of weight.  Adds
+    ``shard_id``.
+
+    The deterministic layout step of training-shard writing (each shard →
+    one output file/task).  Scale: with ``partition_col`` (language, day,
+    source) the running sum windows PER PARTITION — the shape to use at
+    100 TB, since a global ordering funnels through a single reducer.  The
+    unpartitioned form is kept for small curated sets and says so here
+    rather than failing silently."""
+    keys = [partition_col] if partition_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    start_offset = F.sum(weight_col).over(w) - F.col(weight_col)
+    return df.withColumn("shard_id", F.floor(start_offset / budget))

@@ -961,3 +961,44 @@ def setops_union_aligned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orders.unionByName(lines)
+
+
+@register(
+    "sketch_kmv_distinct",
+    """
+    WITH dv AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+    h AS (
+        SELECT o_orderpriority, o_custkey,
+               (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                + 1.0) / 1152921504606846976.0 AS hh
+        FROM dv
+    ),
+    r AS (
+        SELECT o_orderpriority, hh,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY hh, o_custkey
+               ) AS rn
+        FROM h
+    )
+    SELECT o_orderpriority,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*) * 1.0
+                      ELSE 63.0 / MAX(CASE WHEN rn = 64 THEN hh END) END, 4)
+               AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY o_orderpriority
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64, per order
+    priority: estimate = (k-1)/h_k over md5-normalized hashes — unlike
+    HyperLogLog's engine-specific estimates, every step is deterministic,
+    so DuckDB reproduces the sketch bit-for-bit AND stored per-partition
+    sketches merge by re-ranking k rows each (see operators/sketches.py).
+    """
+    from ..operators.sketches import kmv_distinct
+
+    orders = t(spark, sf_dir, "orders")
+    est = kmv_distinct(orders, "o_custkey", ["o_orderpriority"], k=64)
+    return est.select(
+        "o_orderpriority", F.round("est_distinct", 4).alias("est_distinct")
+    )

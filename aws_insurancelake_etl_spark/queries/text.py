@@ -636,3 +636,138 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_gopher_repetition",
+    f"""
+    WITH {_TOKS_CTE},
+    tstats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(1.0 - COUNT(DISTINCT token) * 1.0 / COUNT(*), 4) AS dup_token_frac,
+               ROUND(SUM(length(token)) * 1.0 / COUNT(*), 4) AS mean_word_len
+        FROM toks GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, token || ' ' || lead1 AS gram
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS lead1
+            FROM toks
+        ) WHERE lead1 IS NOT NULL
+    ),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram),
+    top AS (
+        SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_tokens, dup_token_frac, mean_word_len,
+           COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM tstats t LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al., arXiv:2112.11446 Table A1):
+    duplicate-token fraction, mean word length, top-bigram fraction.  The
+    token stats are fully narrow array expressions; only the bigram mode
+    shuffles, keyed on doc_id."""
+    from ..operators.textanalysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+_CONTAM_TOKS = r"""
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM documents
+"""
+
+
+@register(
+    "text_contamination",
+    f"""
+    WITH ctoks AS ({_CONTAM_TOKS} WHERE doc_id % 97 <> 0),
+    csh AS (
+        SELECT DISTINCT doc_id, token || ' ' || lead1 || ' ' || lead2 AS shingle
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS lead1,
+                   LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS lead2
+            FROM ctoks
+        ) WHERE lead2 IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM csh GROUP BY doc_id),
+    btoks AS ({_CONTAM_TOKS} WHERE doc_id % 97 = 0),
+    bsh AS (
+        SELECT DISTINCT token || ' ' || lead1 || ' ' || lead2 AS shingle
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS lead1,
+                   LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS lead2
+            FROM btoks
+        ) WHERE lead2 IS NOT NULL
+    ),
+    m AS (
+        SELECT c.doc_id, COUNT(*) AS n_matched
+        FROM csh c JOIN bsh b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT s.doc_id, s.set_size, COALESCE(m.n_matched, 0) AS n_matched,
+           ROUND(COALESCE(m.n_matched, 0) * 1.0 / s.set_size, 4) AS contamination
+    FROM sizes s LEFT JOIN m USING (doc_id)
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scoring (GPT-3 appendix C shape): every
+    corpus document scored by the fraction of its distinct 3-gram shingles
+    that appear in ANY benchmark document (here: doc_id % 97 == 0 plays
+    the benchmark).  The benchmark shingle union dedups and broadcasts;
+    the corpus side is one join + one groupBy on doc_id.  Raw shingle
+    strings join here so the oracle is readable — production would pass
+    hash_shingles=True for 8-byte join keys."""
+    from ..operators.textanalysis import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = benchmark_contamination(corpus, bench, hash_shingles=False)
+    return out.select(
+        "doc_id",
+        F.col("set_size").cast("long").alias("set_size"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contamination",
+    )
+
+
+@register(
+    "docs_pack_shards",
+    """
+    WITH laid AS (
+        SELECT lang, doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS start_offset
+        FROM documents
+    )
+    SELECT lang, CAST(FLOOR(start_offset / 20000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+    FROM laid GROUP BY lang, shard_id
+    """,
+)
+def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: per-language running sum of
+    document weight (n_chars) in doc_id order, shard boundary every 20k
+    units — the write-side step that turns a curated corpus into
+    fixed-size training shards.  Windows partition BY LANGUAGE (the scale
+    path; a global ordering would funnel one reducer), then shard stats
+    aggregate on the same key."""
+    from ..operators.textanalysis import pack_shards
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    packed = pack_shards(docs, "n_chars", budget=20000, partition_col="lang")
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("shard_chars"),
+    )

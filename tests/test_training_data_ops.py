@@ -245,3 +245,72 @@ def test_cosine_near_dup_requires_blocking(spark):
     # explicit opt-in compiles and runs
     pairs = S.cosine_near_dup_pairs(emb, threshold=0.999, allow_full_pairs=True)
     assert {(r["vec_a"], r["vec_b"]) for r in pairs.collect()} == {(1, 4)}
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TA.repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 2 distinct -> dup 0.5; bigrams: 'aa aa'x2,'aa bb' -> 2/3
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["dup_token_frac"] == 0.5
+    assert rows[1]["top_bigram_frac"] == round(2 / 3, 4)
+    assert rows[1]["mean_word_len"] == 2.0
+    # doc 2: no repetition
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 4)
+
+
+def test_benchmark_contamination_detects_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # contains bench 3-grams
+            (2, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma zeta")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            TA.benchmark_contamination(corpus, bench).collect()}
+    assert rows[1]["n_matched"] == 1          # 'alpha beta gamma'
+    assert rows[1]["set_size"] == 3
+    assert rows[1]["contamination"] == round(1 / 3, 4)
+    assert rows[2]["n_matched"] == 0 and rows[2]["contamination"] == 0.0
+
+
+def test_pack_shards_boundaries_and_partitioning(spark):
+    df = spark.createDataFrame(
+        [(i, "en", 40) for i in range(1, 6)] + [(10, "de", 150)],
+        "doc_id long, lang string, w int",
+    )
+    out = {(r["lang"], r["doc_id"]): r["shard_id"]
+           for r in TA.pack_shards(df, "w", budget=100, partition_col="lang").collect()}
+    # en: starts 0,40,80,120,160 -> shards 0,0,0,1,1 (doc 3 straddles, stays in 0)
+    assert [out[("en", i)] for i in range(1, 6)] == [0, 0, 0, 1, 1]
+    assert out[("de", 10)] == 0  # independent per-partition layout
+
+
+def test_kmv_exact_small_groups_and_merge(spark):
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(i % 7, f"g{'small' if i % 2 else 'big'}") for i in range(2000)]
+        + [(i, "gbig") for i in range(2000)],
+        "v long, g string",
+    )
+    est = {r["g"]: r["est_distinct"]
+           for r in SK.kmv_distinct(df, "v", ["g"], k=64).collect()}
+    assert est["gsmall"] == 7.0                   # < k distinct -> exact
+    assert abs(est["gbig"] - 2000) / 2000 < 0.35  # sketch estimate in range
+
+    # merge property: union of two half-sketches == estimate over re-ranked rows
+    h1 = SK.kmv_sketch(df.where("v % 2 = 0"), "v", ["g"], k=64)
+    h2 = SK.kmv_sketch(df.where("v % 2 = 1"), "v", ["g"], k=64)
+    merged = {r["g"]: r["est_distinct"]
+              for r in SK.kmv_estimate(h1.unionByName(h2), ["g"], k=64).collect()}
+    assert merged["gsmall"] == 7.0
+    assert abs(merged["gbig"] - est["gbig"]) / est["gbig"] < 0.5
