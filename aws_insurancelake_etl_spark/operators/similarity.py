@@ -104,3 +104,95 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    labels: list[int] | None = None,
+) -> DataFrame:
+    """(id, cluster) — nearest centroid by squared L2, ties to the lowest
+    cluster id.  Centroids are literal arrays (driver-side state, the MLlib
+    pattern), so assignment is a fully NARROW pass: k zip_with/aggregate
+    expressions per row, no join, no shuffle.  ``labels`` keeps original
+    cluster ids stable when a centroid list has gaps (a cluster emptied
+    during Lloyd's)."""
+    if labels is None:
+        labels = list(range(len(centroids)))
+    dists = []
+    for cid, c in zip(labels, centroids):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, __c{cid}, (x, y) ->"
+            " (cast(x as double) - y) * (cast(x as double) - y)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+        dists.append((cid, arr, d))
+    out = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col))
+    for cid, arr, _ in dists:
+        out = out.withColumn(f"__c{cid}", arr)
+    best = F.array_min(
+        F.array(*[F.struct(d.alias("dist"), F.lit(cid).alias("cid")) for cid, _, d in dists])
+    )
+    return out.select("vec_id", vec_col, best["cid"].alias("cluster"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    n_iter: int = 2,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column, built to be exactly
+    reproducible by any engine (the property that makes it differentially
+    checkable — engine k-means like MLlib's is seed- and partitioning-
+    dependent):
+
+    - init: the k vectors whose ids sort first by md5 (deterministic
+      pseudo-random pick, no RNG state);
+    - assignment: narrow literal-centroid pass (:func:`assign_clusters`);
+    - update: per-(cluster, dim) means with decimal(27,12) sums — exact
+      and summation-order-independent, so distributed aggregation cannot
+      produce run-to-run float drift — rounded to 9 decimals;
+    - a cluster that loses all members drops out (both engines see the
+      same aggregation), no respawn heuristic.
+
+    Returns (assignments after the final update, centroid list).  Driver
+    state is k×dim floats per iteration; each iteration is one narrow
+    assignment pass + one (cluster, dim)-keyed aggregation — the standard
+    scale shape for Lloyd's on Spark (centroids broadcast as literals,
+    data never collected).  This is the training step for IVF coarse
+    quantizers (ann_ivf_label_topk searches within one coarse partition).
+    """
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in row[1]] for row in init_rows]
+    labels = list(range(k))
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, centroids, vec_col, id_col, labels)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode(vec_col).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("v").cast("double").cast("decimal(27,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in stats:
+            by_cluster.setdefault(row["cluster"], {})[row["dim"]] = round(
+                float(row["s"]) / row["n"], 9
+            )
+        labels = sorted(by_cluster)
+        centroids = [[by_cluster[cid][d] for d in sorted(by_cluster[cid])] for cid in labels]
+    return assign_clusters(df, centroids, vec_col, id_col, labels), centroids

@@ -337,3 +337,80 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "signature",
         F.count(F.lit(1)).over(Window.partitionBy("signature")).alias("bucket_size"),
     )
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 2) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — the SQL twin of
+    ``kmeans_fit``'s loop, one (assign, update) CTE pair per iteration."""
+    parts = [
+        f"""
+    WITH base AS (SELECT vec_id, embedding FROM embeddings),
+    init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cid,
+               embedding
+        FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    bd AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS e
+        FROM base
+    ),
+    c0 AS (
+        SELECT cid, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM init
+    )"""
+    ]
+    for i in range(n_iter):
+        parts.append(f""",
+    d{i} AS (
+        SELECT bd.vec_id, c.cid, SUM((bd.e - c.val) * (bd.e - c.val)) AS dist
+        FROM bd JOIN c{i} c ON bd.dim = c.dim
+        GROUP BY bd.vec_id, c.cid
+    ),
+    a{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ),
+    c{i + 1} AS (
+        SELECT a.cid, bd.dim,
+               ROUND(CAST(SUM(CAST(bd.e AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9)
+                   AS val
+        FROM a{i} a JOIN bd ON a.vec_id = bd.vec_id
+        GROUP BY a.cid, bd.dim
+    )""")
+    parts.append(f""",
+    dfin AS (
+        SELECT bd.vec_id, c.cid, SUM((bd.e - c.val) * (bd.e - c.val)) AS dist
+        FROM bd JOIN c{n_iter} c ON bd.dim = c.dim
+        GROUP BY bd.vec_id, c.cid
+    )
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dfin
+    ) WHERE rn = 1
+    """)
+    return "".join(parts)
+
+
+@register("emb_kmeans_clusters", _kmeans_sql(k=4, n_iter=2))
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training: 2 Lloyd's iterations (k=4) over the
+    embedding corpus, returning the final (vec_id, cluster) assignment.
+    Every step is deterministic — md5-order init, decimal-exact centroid
+    means, argmin tie-broken on cluster id — so the DuckDB oracle replays
+    the identical iterations as unrolled CTEs.  Each iteration is one
+    narrow literal-centroid assignment pass plus one (cluster, dim)-keyed
+    aggregation; driver state is k×dim floats (the MLlib pattern — data
+    never collected).  The learned clusters are the partition column for
+    ``ann_ivf_label_topk``-style pruned search."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))

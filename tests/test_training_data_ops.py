@@ -314,3 +314,21 @@ def test_kmv_exact_small_groups_and_merge(spark):
               for r in SK.kmv_estimate(h1.unionByName(h2), ["g"], k=64).collect()}
     assert merged["gsmall"] == 7.0
     assert abs(merged["gbig"] - est["gbig"]) / est["gbig"] < 0.5
+
+
+def test_kmeans_deterministic_under_repartition(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, c1 = S.kmeans_fit(emb, k=3, n_iter=2)
+    a2, c2 = S.kmeans_fit(emb.repartition(13), k=3, n_iter=2)
+    assert c1 == c2  # decimal-exact means: no partitioning drift
+    r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert r1 == r2
+    assert len(set(r1.values())) == 3
+
+
+def test_assign_clusters_tie_breaks_to_lowest_cluster(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    # both centroids equidistant -> lowest cluster id wins
+    out = S.assign_clusters(df, [[1.0, 0.0], [-1.0, 0.0]]).collect()
+    assert out[0]["cluster"] == 0
