@@ -74,6 +74,16 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Single-thread calibration (md5 of 10^5 short strings): absolute query
+    # seconds on a shared VM drift with host load / CPU steal between rounds;
+    # dividing by this figure normalizes cross-round comparisons.
+    import hashlib  # noqa: PLC0415
+
+    calib_start = time.time()
+    for i in range(100_000):
+        hashlib.md5(str(i).encode()).hexdigest()
+    calib_sec = round(time.time() - calib_start, 4)
+
     print(
         json.dumps(
             {
@@ -82,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calib_md5_100k_sec": calib_sec,
             }
         )
     )
