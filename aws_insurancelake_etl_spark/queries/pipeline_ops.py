@@ -494,3 +494,67 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >  p.ts - INTERVAL 2 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (purchase→click attribution):
+    both sides read from the replayed event stream, each carries a
+    watermark, and the join condition bounds click time to the two hours
+    before the purchase — so Spark can expire join state as the watermark
+    advances instead of buffering either stream forever (the property that
+    makes stream-stream joins viable at scale).  Inner-join results emit
+    as soon as both sides match; the batch oracle is the identical SQL
+    join, which must agree row-for-row with the streamed result."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    drop_dir = tempfile.mkdtemp(prefix="gate-stream-ssj-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    raw_schema = spark.read.parquet(path).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(drop_dir)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    sink = f"gate_ssj_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+    )

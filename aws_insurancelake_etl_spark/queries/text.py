@@ -771,3 +771,24 @@ def docs_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("shard_chars"),
     )
+
+
+@register("dedup_cluster_star", ORACLE["dedup_cluster_components"])
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster closure as ``dedup_cluster_components`` but
+    via Kiveris large-star/small-star EDGE REWRITING
+    (``operators/dedup.connected_components_star``) — the variant whose
+    per-round cost tracks the shrinking edge set, built for adversarial
+    graphs (hubs, long chains) where label propagation's fixed edge list
+    is the bottleneck.  Both algorithms must agree with the recursive-CTE
+    oracle on every assignment, so the two Spark fixpoint engines and
+    DuckDB's recursion all triangulate."""
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    cc = D.connected_components_star(pairs.select("doc_a", "doc_b"))
+    sizes = cc.groupBy(F.col("cluster_id").alias("sz_cluster")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, cc.cluster_id == sizes.sz_cluster)
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )

@@ -332,3 +332,20 @@ def test_assign_clusters_tie_breaks_to_lowest_cluster(spark):
     # both centroids equidistant -> lowest cluster id wins
     out = S.assign_clusters(df, [[1.0, 0.0], [-1.0, 0.0]]).collect()
     assert out[0]["cluster"] == 0
+
+
+def test_star_components_match_label_propagation(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)]                      # chain + pair
+        + [(5, 6), (6, 7), (7, 5)]                               # cycle
+        + [(rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(60)],
+        "doc_a long, doc_b long",
+    ).where("doc_a != doc_b")
+    lp = {r["node"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    st = {r["node"]: r["cluster_id"]
+          for r in D.connected_components_star(pairs).collect()}
+    assert st == lp
+    assert st[4] == 1 and st[11] == 10 and st[7] == 5
