@@ -486,3 +486,61 @@ def connected_components_star(
     return edges.select(
         F.col("u").alias("node"), F.col("v").alias("cluster_id")
     ).unionByName(roots)
+
+
+def melt_bands(signatures: DataFrame, n_hashes: int = 8,
+               band_size: int = 2) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from MinHash signatures — the
+    storable form of the LSH index: persist these per ingest batch and
+    incremental dedup becomes a band-key join against the store, never a
+    recompute of the corpus."""
+    bands = [tuple(range(i, i + band_size)) for i in range(0, n_hashes, band_size)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("band_id"),
+                F.concat_ws("_", *[F.col(f"h{i}") for i in members]).alias("band_key"),
+            )
+            for n, members in enumerate(bands)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def incremental_lsh_pairs(
+    new_signatures: DataFrame,
+    stored_bands: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW ingest batch against the
+    historical corpus WITHOUT re-processing the corpus: the new batch's
+    bands (tiny) broadcast against the stored band index
+    (:func:`melt_bands` rows persisted per batch), plus in-batch pairs
+    among the new documents themselves — (doc_new, doc_matched).
+
+    This is the daily-ingest shape at 100 TB: per-day cost is
+    |new|·bands index lookups + the new batch's own signature pipeline;
+    the historical shingle sets are never touched.  The verify stage
+    (``jaccard_for_pairs``) then needs shingles only for the matched
+    candidates' documents."""
+    new_bands = melt_bands(new_signatures, n_hashes, band_size)
+    vs_store = (
+        F.broadcast(new_bands.alias("n"))
+        .join(
+            stored_bands.alias("s"),
+            (F.col("n.band_id") == F.col("s.band_id"))
+            & (F.col("n.band_key") == F.col("s.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("s.doc_id").alias("doc_matched")
+        )
+    )
+    in_batch = lsh_candidate_pairs(new_signatures, n_hashes, band_size).select(
+        F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("doc_matched")
+    )
+    return vs_store.union(in_batch).distinct()

@@ -792,3 +792,43 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc.join(sizes, cc.cluster_id == sizes.sz_cluster)
         .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
     )
+
+
+def _incremental_lsh_sql() -> str:
+    bands = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {n} AS band_id,"
+        f" CAST(h{i} AS VARCHAR) || '_' || CAST(h{j} AS VARCHAR) AS band_key FROM sig"
+        for n, (i, j) in enumerate(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE}, sig AS ({_minhash_agg_sql()}),
+    bands AS (
+{band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_matched
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id % 5 = 4
+     AND (b.doc_id % 5 <> 4 OR a.doc_id < b.doc_id)
+    """
+
+
+@register("dedup_incremental_lsh", _incremental_lsh_sql())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup for a daily ingest batch (doc_id % 5 == 4 plays
+    "today"): the batch's MinHash bands broadcast against the stored band
+    index of the historical corpus (``melt_bands`` rows — persisted, not
+    recomputed), plus in-batch LSH pairs.  Per-day cost is the new
+    batch's signature pipeline + index lookups; historical shingle sets
+    are never re-read.  The oracle derives the identical signatures for
+    both sides and applies the same new-vs-store/new-vs-new pairing
+    rule."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 5 == 4
+    new_sigs = D.minhash_signatures(docs.where(is_new), n_hashes=_N_HASHES)
+    stored = D.melt_bands(
+        D.minhash_signatures(docs.where(~is_new), n_hashes=_N_HASHES),
+        n_hashes=_N_HASHES,
+    )
+    return D.incremental_lsh_pairs(new_sigs, stored, n_hashes=_N_HASHES)

@@ -126,3 +126,51 @@ def test_window_queries_partition_by_key(spark):
         # A lone `Exchange SinglePartition` feeding the window = global frame.
         window_idx = plan.index("Window")
         assert "SinglePartition" not in plan[:window_idx], name
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    """The benchmark shingle union must broadcast (tiny vs the corpus) and
+    the corpus side must join it hash-keyed, never nested-loop."""
+    plan = plan_of(spark, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_repetition_narrow_token_stats(spark):
+    """Token-level stats are narrow array expressions; the only joins are
+    the doc_id-keyed merge with the bigram mode — no cartesian shapes."""
+    plan = plan_of(spark, "text_gopher_repetition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_join_free(spark):
+    """Centroids are literal arrays, so the final assignment pass must
+    compile with no join operator at all — one narrow projection."""
+    from aws_insurancelake_etl_spark.operators.similarity import assign_clusters
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = assign_clusters(emb, [[0.0] * 64, [1.0] * 64])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct", "Exchange"):
+        assert join_op not in plan, join_op
+
+
+def test_pack_shards_windows_per_partition(spark):
+    """Shard layout must window per partition column, never a single
+    global ordering."""
+    plan = plan_of(spark, "docs_pack_shards")
+    assert "Window" in plan
+    window_idx = plan.index("Window")
+    assert "SinglePartition" not in plan[:window_idx]
+
+
+def test_kmv_sketch_partial_aggregates(spark):
+    """The sketch's distinct pass must partially aggregate map-side before
+    its exchange (no raw-row shuffle of the full table)."""
+    plan = plan_of(spark, "sketch_kmv_distinct")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan

@@ -349,3 +349,23 @@ def test_star_components_match_label_propagation(spark):
           for r in D.connected_components_star(pairs).collect()}
     assert st == lp
     assert st[4] == 1 and st[11] == 10 and st[7] == 5
+
+
+def test_incremental_lsh_matches_full_lsh(spark):
+    # Pairs touching the new batch must equal the full-corpus LSH pairs
+    # restricted to those docs (same bands, same collisions).
+    df = docs(spark)  # docs 1..4; make 4 the "new batch"
+    full = {(r["doc_a"], r["doc_b"])
+            for r in D.lsh_candidate_pairs(D.minhash_signatures(df)).collect()}
+    expected = set()
+    for a, b in full:
+        if b == 4:
+            expected.add((4, a))
+        elif a == 4:
+            expected.add((4, b))
+    new_sigs = D.minhash_signatures(df.where("doc_id = 4"))
+    stored = D.melt_bands(D.minhash_signatures(df.where("doc_id != 4")))
+    got = {(r["doc_new"], r["doc_matched"])
+           for r in D.incremental_lsh_pairs(new_sigs, stored).collect()}
+    assert got == expected
+    assert (4, 1) in got  # exact dup of doc 1 always collides
