@@ -146,3 +146,61 @@ def write_bucketed_table(
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     writer.saveAsTable(f"{database}.{table}")
+
+
+def compact_partition(
+    ctx: RunContext,
+    database: str,
+    table: str,
+    partition: dict[str, str] | None = None,
+    target_file_mb: int = 128,
+) -> dict:
+    """Rewrite a table partition (or an unpartitioned table) into files of
+    ~``target_file_mb`` — the small-file maintenance pass every
+    event-driven lake needs: per-file-drop appends leave one small file
+    per run, and at 100 TB a scan's task count (and the namenode/S3
+    listing load) is governed by file count, not data volume.
+
+    File count derives from the partition's CURRENT on-disk bytes (catalog
+    scan statistics), so compaction is one narrow ``repartition(n)``
+    rewrite of just that partition — never a full-table pass.  Returns
+    {files_before, files_after, bytes}.  The rewrite reuses the
+    idempotent clear-partition + append path, so a crash mid-compaction
+    re-runs cleanly."""
+    spark = ctx.spark
+    full_name = f"`{database}`.`{table}`"
+    df = spark.table(full_name)
+    predicate = None
+    if partition:
+        for key, value in partition.items():
+            clause = F.col(key) == str(value)
+            predicate = clause if predicate is None else (predicate & clause)
+        df = df.where(predicate)
+
+    files = df.inputFiles()
+    total_bytes = 0
+    import os  # noqa: PLC0415
+
+    for path in files:
+        local = path.removeprefix("file:")
+        if os.path.exists(local):
+            total_bytes += os.path.getsize(local)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)) or 1)
+
+    compacted = df.repartition(n_files).localCheckpoint()
+    if partition:
+        clear_partition(spark, database, table, partition)
+        part_cols = list(partition.keys())
+        (
+            compacted.write.mode("append")
+            .format("parquet")
+            .partitionBy(*part_cols)
+            .saveAsTable(full_name)
+        )
+    else:
+        compacted.write.mode("overwrite").format("parquet").saveAsTable(full_name)
+    ctx.log_lineage(
+        "compact", table=f"{database}.{table}", partition=partition,
+        files_before=len(files), files_after=n_files,
+    )
+    return {"files_before": len(files), "files_after": n_files, "bytes": total_bytes}

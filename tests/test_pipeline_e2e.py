@@ -152,3 +152,29 @@ def test_missing_config_gracefully_empty(tmp_path):
     cfg = load_dataset_config(str(tmp_path), "nodb", "notable")
     assert cfg.transform_spec == {} and cfg.mapping == [] and cfg.spark_sql is None
     assert isinstance(cfg, DatasetConfig)
+
+
+def test_compact_partition_merges_small_files(spark, ctx):
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.plans.writer import compact_partition
+
+    db, tbl = "compactdb", "events_c"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # simulate 6 per-drop appends -> 6+ small files in one partition
+    for i in range(6):
+        (
+            spark.range(i * 10, (i + 1) * 10)
+            .withColumn("year", F.lit("2024"))
+            .write.mode("append").format("parquet")
+            .partitionBy("year")
+            .saveAsTable(f"{db}.{tbl}")
+        )
+    before = spark.table(f"{db}.{tbl}").where("year = '2024'").inputFiles()
+    assert len(before) >= 6
+    result = compact_partition(ctx, db, tbl, {"year": "2024"}, target_file_mb=128)
+    assert result["files_before"] >= 6 and result["files_after"] == 1
+    after_df = spark.table(f"{db}.{tbl}").where("year = '2024'")
+    assert len(after_df.inputFiles()) == 1
+    assert after_df.count() == 60
+    assert {r["id"] for r in after_df.select("id").collect()} == set(range(60))
