@@ -178,3 +178,29 @@ def test_compact_partition_merges_small_files(spark, ctx):
     assert len(after_df.inputFiles()) == 1
     assert after_df.count() == 60
     assert {r["id"] for r in after_df.select("id").collect()} == set(range(60))
+
+
+def test_range_partitioned_write_yields_disjoint_file_ranges(spark, ctx):
+    import pyarrow.parquet as pq
+
+    from aws_insurancelake_etl_spark.plans.writer import write_range_partitioned
+
+    df = spark.range(0, 100_000).withColumnRenamed("id", "k")
+    write_range_partitioned(df, "layoutdb", "sorted_k", ["k"], ctx, n_files=8)
+    files = spark.table("layoutdb.sorted_k").inputFiles()
+    assert len(files) == 8
+    ranges = []
+    for path in files:
+        meta = pq.ParquetFile(path.removeprefix("file:")).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint: each file's max < next file's min -> a key predicate can
+    # skip every other file on footer statistics alone
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+    assert spark.table("layoutdb.sorted_k").count() == 100_000
