@@ -50,6 +50,7 @@ from .structureddata import (  # noqa: F401
 )
 from .dataprotection import (  # noqa: F401
     transform_hash,
+    transform_piiredact,
     transform_redact,
     transform_tokenize,
 )

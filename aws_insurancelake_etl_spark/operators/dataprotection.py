@@ -71,3 +71,62 @@ def transform_tokenize(df: DataFrame, spec: list[str], ctx: RunContext) -> DataF
     cols = {field: sha256_column(F.col(field)) for field in spec}
     ctx.log_lineage("tokenize", df=df, transform=spec)
     return df.withColumns(cols)
+
+
+# Engine-portable PII patterns: restricted to the regex subset where Java
+# (Spark) and RE2-family (DuckDB/Go) engines agree — character classes,
+# bounded repetition, \b word boundaries; no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "account": r"#\d{3,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    columns: list[str],
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Corpus PII audit: (column, kind, n_rows_matched, n_matches) for
+    every (column, pattern) pair — the scan a training-data pipeline runs
+    BEFORE deciding what to redact.  One narrow pass: all counts are
+    ``regexp_count`` expressions aggregated map-side; the stack of
+    (column, kind) pairs melts via a literal inline array, so the plan is
+    scan → project → single aggregation regardless of how many patterns
+    are scanned."""
+    patterns = patterns or PII_PATTERNS
+    aggs = []
+    for column in columns:
+        for kind, pattern in patterns.items():
+            n = F.regexp_count(F.col(column).cast("string"), F.lit(pattern))
+            aggs.append(
+                F.struct(
+                    F.lit(column).alias("column"),
+                    F.lit(kind).alias("kind"),
+                    F.sum((n > 0).cast("long")).alias("n_rows_matched"),
+                    F.sum(n).alias("n_matches"),
+                )
+            )
+    melted = df.agg(F.array(*aggs).alias("__cells")).select(
+        F.explode("__cells").alias("c")
+    )
+    return melted.select("c.column", "c.kind", "c.n_rows_matched", "c.n_matches")
+
+
+def transform_piiredact(df: DataFrame, spec: dict, ctx: RunContext) -> DataFrame:
+    """``{field: [kind, ...]}`` — mask every occurrence of the named PII
+    patterns inside free-text fields, preserving surrounding text (unlike
+    ``redact``, which blanks whole values): each match becomes
+    ``[PII:<kind>]``.  Chained native ``regexp_replace`` — narrow, no
+    UDF."""
+    cols = {}
+    for field, kinds in spec.items():
+        out = F.col(field).cast("string")
+        for kind in kinds:
+            out = F.regexp_replace(out, PII_PATTERNS[kind], f"[PII:{kind}]")
+        cols[field] = out
+    ctx.log_lineage("piiredact", df=df, transform=spec)
+    return df.withColumns(cols)

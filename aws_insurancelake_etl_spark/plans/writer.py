@@ -239,3 +239,36 @@ def write_range_partitioned(
     )
     ctx.log_lineage("write-range-partitioned", df=df, table=f"{database}.{table}",
                     sort_cols=sort_cols)
+
+
+def write_zorder_table(
+    df: DataFrame,
+    database: str,
+    table: str,
+    zorder_cols: list[str],
+    ctx: RunContext,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write a table laid out along the z-order curve of two integer
+    columns: range-partition + sort on the interleaved Morton code, then
+    drop the code.  Each output file then covers a bounded min/max range
+    on BOTH columns, so parquet footer statistics prune scans filtered on
+    either dimension — a single-column sort only ever prunes one.  The
+    multi-dimensional analogue of :func:`write_range_partitioned`."""
+    from ..functions.layout import morton_code
+
+    spark = ctx.spark
+    create_database(spark, database)
+    a, b = zorder_cols
+    coded = df.withColumn("__z", morton_code(a, b, bits))
+    (
+        coded.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"`{database}`.`{table}`")
+    )
+    ctx.log_lineage("write-zorder", df=df, table=f"{database}.{table}",
+                    zorder_cols=zorder_cols)

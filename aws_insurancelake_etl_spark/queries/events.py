@@ -464,3 +464,35 @@ def evt_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(F.avg(F.col("v").cast("double")).over(w), 4).alias("avg_7d"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        # parenthesize the whole shift: DuckDB binds + tighter than <<
+        terms.append(f"(((({a} & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({b} & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "evt_zorder_codes",
+    f"""
+    SELECT event_id, {_morton_sql('user_id', 'event_id', 8)} AS zcode
+    FROM events
+    """,
+)
+def evt_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) codes over (user_id, event_id) — the interleaved
+    sort key behind multi-dimensional data layout (``plans/writer.
+    write_zorder_table``): sorting files by this code bounds every file's
+    min/max on BOTH columns, so footer statistics prune scans filtered on
+    either.  The bit interleave is a fixed shift/mask expression tree
+    (codegen, no UDF) that DuckDB reproduces with identical integer
+    arithmetic."""
+    from ..functions.layout import morton_code
+
+    return read_events(spark, sf_dir).select(
+        "event_id", morton_code("user_id", "event_id", bits=8).alias("zcode")
+    )

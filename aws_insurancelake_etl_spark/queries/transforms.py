@@ -706,3 +706,68 @@ def agg_numeric_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_tax"),
     )
+
+
+@register(
+    "tr_pii_scan_redact",
+    r"""
+    WITH synth AS (
+        SELECT c_custkey, c_name,
+               'contact ' || lower(replace(c_name, '#', '')) || '@example.com '
+                   || 'or 25-989-741-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                   AS contact_note
+        FROM customer
+    ),
+    scans AS (
+        SELECT 'email' AS kind,
+               SUM(CASE WHEN len(regexp_extract_all(contact_note,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                   THEN 1 ELSE 0 END) AS n_rows_matched,
+               SUM(len(regexp_extract_all(contact_note,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_matches
+        FROM synth
+        UNION ALL
+        SELECT 'phone',
+               SUM(CASE WHEN len(regexp_extract_all(contact_note,
+                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')) > 0 THEN 1 ELSE 0 END),
+               SUM(len(regexp_extract_all(contact_note,
+                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')))
+        FROM synth
+        UNION ALL
+        SELECT 'account',
+               SUM(CASE WHEN len(regexp_extract_all(c_name, '#\d{3,}')) > 0
+                   THEN 1 ELSE 0 END),
+               SUM(len(regexp_extract_all(c_name, '#\d{3,}')))
+        FROM synth
+    )
+    SELECT kind, n_rows_matched, n_matches FROM scans
+    """,
+)
+def tr_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit over a synthesized free-text contact field (the synthetic
+    tables carry no real PII, so the note embeds an email + phone per
+    customer): per-kind row and match counts via native ``regexp_count``,
+    one narrow aggregation pass.  Patterns live in the Java/RE2-portable
+    subset so the DuckDB oracle counts identically —  the same property
+    that makes the masks (``transform_piiredact``) reproducible across
+    engines."""
+    from ..operators.dataprotection import PII_PATTERNS, pii_scan
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.concat(
+            F.lit("contact "),
+            F.lower(F.regexp_replace("c_name", "#", "")),
+            F.lit("@example.com or 25-989-741-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("contact_note"),
+    )
+    scans = pii_scan(
+        cust,
+        ["contact_note"],
+        {k: PII_PATTERNS[k] for k in ("email", "phone")},
+    ).union(
+        pii_scan(cust, ["c_name"], {"account": PII_PATTERNS["account"]})
+    )
+    return scans.select("kind", "n_rows_matched", "n_matches")

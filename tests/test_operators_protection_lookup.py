@@ -78,3 +78,33 @@ def test_multilookup(spark, ctx):
     )
     got = {r["program"]: (r["coveragenormalized"], r["lob"]) for r in out.collect()}
     assert got == {"progA": ("X-norm", "GL"), "progB": ("N/A", "N/A")}
+
+
+def test_pii_scan_counts_and_redact_masks(spark, ctx):
+    from aws_insurancelake_etl_spark.operators.dataprotection import (
+        pii_scan,
+        transform_piiredact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c@d.org, call 25-989-741-2988"),
+            (2, "ssn 123-45-6789 ip 10.0.0.1"),
+            (3, "nothing sensitive"),
+            (4, None),
+        ],
+        "id int, note string",
+    )
+    scan = {(r["kind"]): (r["n_rows_matched"], r["n_matches"])
+            for r in pii_scan(df, ["note"]).collect()}
+    assert scan["email"] == (1, 2)
+    assert scan["phone"] == (1, 1)
+    assert scan["ssn"] == (1, 1)
+    assert scan["ipv4"] == (1, 1)
+
+    out = transform_piiredact(df, {"note": ["email", "phone", "ssn", "ipv4"]}, ctx)
+    notes = {r["id"]: r["note"] for r in out.collect()}
+    assert notes[1] == "mail [PII:email] and [PII:email], call [PII:phone]"
+    assert notes[2] == "ssn [PII:ssn] ip [PII:ipv4]"
+    assert notes[3] == "nothing sensitive"
+    assert notes[4] is None

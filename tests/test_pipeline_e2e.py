@@ -204,3 +204,52 @@ def test_range_partitioned_write_yields_disjoint_file_ranges(spark, ctx):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo
     assert spark.table("layoutdb.sorted_k").count() == 100_000
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, ctx):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.plans.writer import (
+        write_range_partitioned,
+        write_zorder_table,
+    )
+
+    # 256x256 grid; z-order into 16 files -> each file's (x, y) spans must
+    # both be bounded (~quadrant-sized), unlike a linear sort where the
+    # second column spans the full domain in every file.
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+    )
+    write_zorder_table(grid, "layoutdb", "zorder_xy", ["x", "y"], ctx, n_files=16, bits=8)
+    files = spark.table("layoutdb.zorder_xy").inputFiles()
+    assert len(files) == 16
+
+    def file_spans(paths):
+        out = []
+        for path in paths:
+            meta = pq.ParquetFile(path.removeprefix("file:")).metadata
+            spans = {}
+            for rg in range(meta.num_row_groups):
+                for ci in range(meta.row_group(rg).num_columns):
+                    col = meta.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    lo, hi = col.statistics.min, col.statistics.max
+                    cur = spans.get(name, (lo, hi))
+                    spans[name] = (min(cur[0], lo), max(cur[1], hi))
+            out.append({k: hi - lo for k, (lo, hi) in spans.items()})
+        return out
+
+    # Files that straddle a z-curve quadrant boundary can span a full
+    # dimension (range boundaries aren't tile-aligned); the layout claim
+    # is statistical: MOST files bound BOTH dims.
+    z_spans = file_spans(files)
+    bounded = sum(1 for s in z_spans if s["x"] <= 128 and s["y"] <= 128)
+    assert bounded >= 12, z_spans
+
+    # Contrast: a linear sort on x leaves y unbounded in EVERY file.
+    write_range_partitioned(grid, "layoutdb", "linear_x", ["x"], ctx, n_files=16)
+    lin_spans = file_spans(spark.table("layoutdb.linear_x").inputFiles())
+    assert all(s["y"] >= 250 for s in lin_spans)
+    assert spark.table("layoutdb.zorder_xy").count() == 256 * 256
