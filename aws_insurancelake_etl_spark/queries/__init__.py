@@ -95,8 +95,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_cosine_topk",
     "ann_ivf_label_topk",
     "emb_near_dup_pairs",
-    "emb_label_norm_stats",
-    "emb_label_centroids",
+    "emb_kmeans_clusters",
+    "sketch_kmv_distinct",
     "emb_rp_lsh_signatures",
     # dedup + text analysis representatives
     "dedup_exact",

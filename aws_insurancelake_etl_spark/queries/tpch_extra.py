@@ -925,3 +925,54 @@ def window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_segment"),
         )
     )
+
+
+@register(
+    "window_deciles_scalable",
+    """
+    WITH b AS (
+        SELECT [quantile_cont(c_acctbal, 0.1), quantile_cont(c_acctbal, 0.2),
+                quantile_cont(c_acctbal, 0.3), quantile_cont(c_acctbal, 0.4),
+                quantile_cont(c_acctbal, 0.5), quantile_cont(c_acctbal, 0.6),
+                quantile_cont(c_acctbal, 0.7), quantile_cont(c_acctbal, 0.8),
+                quantile_cont(c_acctbal, 0.9)] AS bnds
+        FROM customer
+    ),
+    assigned AS (
+        SELECT c.c_custkey, c.c_acctbal,
+               1 + len(list_filter(b.bnds, x -> c.c_acctbal > x)) AS decile
+        FROM customer c, b
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(ROUND(MIN(c_acctbal), 2) AS DOUBLE) AS min_bal,
+           CAST(ROUND(MAX(c_acctbal), 2) AS DOUBLE) AS max_bal
+    FROM assigned GROUP BY decile
+    """,
+)
+def window_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decile assignment: exact decile BOUNDARIES from one
+    ``percentile`` aggregation (no global sort — percentile is an
+    aggregate), broadcast back as a 9-element literal row, and every row
+    assigned by counting boundaries below it — two narrow passes, zero
+    global ordering.  This is the scale path the global-window
+    ``window_analytics_deciles`` docstring promises: same buckets (ties
+    broken identically by strict comparison), but the plan survives a
+    table that no single partition can hold."""
+    cust = t(spark, sf_dir, "customer")
+    bnds = cust.agg(
+        F.expr(
+            "percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bnds")
+    )
+    assigned = cust.join(F.broadcast(bnds)).select(
+        "c_acctbal",
+        (
+            F.lit(1)
+            + F.size(F.expr("filter(bnds, x -> c_acctbal > x)"))
+        ).cast("long").alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).cast("double").alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).cast("double").alias("max_bal"),
+    )

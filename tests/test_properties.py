@@ -169,3 +169,51 @@ def test_scd2_invariants(spark, base, upd):
     # idempotence: same updates again change nothing
     twice = scd2_apply(once, updates, ["k"], ["bal"])
     assert sorted(map(tuple, twice.collect())) == rows1
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_morton_code_bijective_and_monotone_on_tiles(spark, pairs):
+    """The Morton code must be a bijection on (a, b) pairs within the bit
+    budget — distinct inputs get distinct codes and decode by bit
+    de-interleave."""
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.functions.layout import morton_code
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", morton_code("a", "b", 16).alias("z")).collect()
+    assert len({r["z"] for r in rows}) == len(pairs)
+    for r in rows:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r["a"], r["b"])
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab xyz", min_size=1, max_size=30),
+        min_size=2, max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_partial_ratio_bounds_and_substring_property(spark, texts):
+    """partial_ratio ∈ [0,1]; a non-empty string against itself scores 1."""
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.functions.similarity import (
+        partial_ratio_similarity,
+    )
+
+    rows = [(t, u) for t in texts for u in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select("a", "b", partial_ratio_similarity("a", "b").alias("s")).collect()
+    for r in out:
+        assert 0.0 <= r["s"] <= 1.0 + 1e-9
+        if r["a"] == r["b"] and r["a"].strip():
+            assert r["s"] == 1.0 or abs(r["s"] - 1.0) < 1e-9
