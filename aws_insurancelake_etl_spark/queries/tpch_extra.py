@@ -959,16 +959,19 @@ def window_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken identically by strict comparison), but the plan survives a
     table that no single partition can hold."""
     cust = t(spark, sf_dir, "customer")
-    bnds = cust.agg(
+    boundaries = cust.agg(
         F.expr(
             "percentile(c_acctbal, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
         ).alias("bnds")
-    )
-    assigned = cust.join(F.broadcast(bnds)).select(
+    ).collect()[0]["bnds"]
+    # Boundaries become literals (driver-side scalar state, like k-means
+    # centroids), so the assignment pass is fully narrow — no join at all.
+    bnds = F.array(*[F.lit(float(b)) for b in boundaries])
+    assigned = cust.select(
         "c_acctbal",
         (
             F.lit(1)
-            + F.size(F.expr("filter(bnds, x -> c_acctbal > x)"))
+            + F.size(F.filter(bnds, lambda x: F.col("c_acctbal") > x))
         ).cast("long").alias("decile"),
     )
     return assigned.groupBy("decile").agg(
