@@ -369,3 +369,45 @@ def pack_shards(
     w = Window.partitionBy(*keys).orderBy(id_col)
     start_offset = F.sum(weight_col).over(w) - F.col(weight_col)
     return df.withColumn("shard_id", F.floor(start_offset / budget))
+
+
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row hashes to one of
+    ``buckets`` via md5(seed:id) and lands in the split whose cumulative
+    rate range covers its bucket — adds a ``split`` column.
+
+    The same reproducibility contract as :func:`stratified_sample`
+    (pure row predicate: no RNG state, no partition-order dependence), so
+    the split survives repartitions, backfills, and engine changes — the
+    property that keeps eval sets leak-free as the corpus grows: a
+    document's split NEVER changes when other documents arrive.  Rates
+    must sum to ≤ 1; any remainder falls in split ``None`` (excluded
+    rows).  Fully narrow."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split rates sum to {total} > 1")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    expr = F.lit(None).cast("string")
+    upper = 0.0
+    cases = []
+    for name, rate in splits.items():
+        lower, upper = upper, upper + rate
+        cases.append((name, int(round(lower * buckets)), int(round(upper * buckets))))
+    for name, lo, hi in reversed(cases):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -832,3 +832,32 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
     )
     return D.incremental_lsh_pairs(new_sigs, stored, n_hashes=_N_HASHES)
+
+
+@register(
+    "docs_split_assign",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket >= 0 AND bucket < 9000 THEN 'train'
+                WHEN bucket >= 9000 AND bucket < 9500 THEN 'val'
+                WHEN bucket >= 9500 AND bucket < 10000 THEN 'test'
+           END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM b GROUP BY split, lang
+    """,
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: md5-bucket row
+    predicate, so a document's split never changes as the corpus grows or
+    repartitions (leak-free eval sets).  Fully narrow + one aggregation;
+    DuckDB reproduces every bucket from the same hash."""
+    from ..operators.textanalysis import split_assign
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))

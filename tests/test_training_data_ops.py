@@ -369,3 +369,25 @@ def test_incremental_lsh_matches_full_lsh(spark):
            for r in D.incremental_lsh_pairs(new_sigs, stored).collect()}
     assert got == expected
     assert (4, 1) in got  # exact dup of doc 1 always collides
+
+
+def test_split_assign_stable_and_exclusive(spark):
+    import pytest
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out1 = {r["doc_id"]: r["split"]
+            for r in TA.split_assign(df, {"train": 0.8, "val": 0.1}).collect()}
+    # growing the corpus must not move any existing document's split
+    bigger = spark.createDataFrame([(i,) for i in range(6000)], "doc_id long")
+    out2 = {r["doc_id"]: r["split"]
+            for r in TA.split_assign(bigger, {"train": 0.8, "val": 0.1}).collect()}
+    assert all(out2[k] == v for k, v in out1.items())
+    # remainder rows excluded (split None), proportions roughly honored
+    counts = {}
+    for v in out2.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 6000 - 0.8) < 0.03
+    assert abs(counts["val"] / 6000 - 0.1) < 0.02
+    assert counts.get(None, 0) > 0
+    with pytest.raises(ValueError):
+        TA.split_assign(df, {"train": 0.8, "val": 0.3})
