@@ -54,6 +54,21 @@ _MODULES = (
 # time-series representative — ahead of the already-driver-verified
 # relational shapes.  Rotate this list each round until every registered
 # query has a driver-green row.
+#
+# Round-3 rotation candidates (never driver-checked after r1+r2): the two
+# swapped-out embedding aggregates (emb_label_norm_stats,
+# emb_label_centroids), the remaining text/events variants
+# (text_quality_score, text_langid, doc_fingerprint,
+# dedup_minhash_signature, text_stratified_sample, text_tfidf_top_terms,
+# text_bpe_token_stats, text_winnowing_stats, text_top_tokens,
+# evt_json_props, evt_salted_hotkey_agg, evt_lag_delta, evt_gap_fill_daily,
+# evt_multi_grain_rollup, evt_rolling_7d_avg), and the round-2 additions
+# outside this window (text_gopher_repetition, text_contamination,
+# docs_pack_shards, docs_split_assign, stream_stream_join,
+# dedup_cluster_star, dedup_incremental_lsh, dedup_keep_list,
+# emb_int8_quantize, evt_zorder_codes, tr_pii_scan_redact,
+# window_deciles_scalable) — 29 names; fill the remaining 21 slots with
+# already-green representatives.
 DRIVER_WINDOW: tuple[str, ...] = (
     # declarative transform library + DQ + audit (SURVEY §2.3/2.10/2.12/2.5)
     "tr_currency_parse",

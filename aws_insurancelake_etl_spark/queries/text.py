@@ -861,3 +861,42 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
     return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "dedup_keep_list",
+    ORACLE["dedup_cluster_components"].replace(
+        """    SELECT cc.doc_id, cc.cluster_id, szs.cluster_size
+    FROM cc JOIN szs ON cc.cluster_id = szs.sz_cluster
+    """,
+        """    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id
+                THEN TRUE ELSE FALSE END AS keep
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN cc ON cc.doc_id = d.doc_id
+    """,
+    ),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: a keep/drop decision for
+    EVERY corpus document — near-dup pairs → transitive clusters → keep
+    the minimum doc id per cluster; documents in no cluster keep
+    themselves.  One left join of the corpus against the cluster map
+    (clusters are a tiny fraction of the corpus, broadcast); the oracle
+    extends the recursive-CTE closure with the same keeper rule."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    cluster_map = cc.select(F.col("node").alias("doc_id"), "cluster_id")
+    return (
+        docs.join(F.broadcast(cluster_map), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("doc_id") == F.col("cluster_id"))
+            ).alias("keep"),
+        )
+    )
