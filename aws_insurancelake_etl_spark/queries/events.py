@@ -496,3 +496,113 @@ def evt_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, sf_dir).select(
         "event_id", morton_code("user_id", "event_id", bits=8).alias("zcode")
     )
+
+
+@register(
+    "evt_signup_funnel",
+    """
+    WITH first_signup AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    converted AS (
+        SELECT DISTINCT f.user_id
+        FROM first_signup f JOIN events p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >  f.signup_ts
+         AND p.ts <= f.signup_ts + INTERVAL 7 DAY
+    )
+    SELECT date_trunc('week', f.signup_ts) AS signup_week,
+           COUNT(*) AS n_signups,
+           SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+           ROUND(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS conversion
+    FROM first_signup f LEFT JOIN converted c ON c.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def evt_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: each user's FIRST signup, a
+    7-day conversion window, weekly rollup.  First-signup is a pre-join
+    aggregate (shrinks the fact before any join); the conversion check is
+    an interval semi-join keyed on user_id — both shuffles share the
+    user_id key so AQE coalesces them; no window over a global
+    ordering."""
+    ev = read_events(spark, sf_dir)
+    first_signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("signup_ts"))
+            & (F.col("p_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("__conv", F.lit(1))
+    )
+    return (
+        first_signup.join(converted, "user_id", "left")
+        .groupBy(F.date_trunc("week", "signup_ts").alias("signup_week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.coalesce(F.col("__conv"), F.lit(0))).alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce(F.col("__conv"), F.lit(0))) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("conversion"),
+        )
+    )
+
+
+@register(
+    "evt_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-activity
+    week, counted distinct in every later week offset.  Both inputs
+    aggregate per user BEFORE the join (firsts is one row per user,
+    activity one row per user-week), so the join never touches raw event
+    volume — the shape that holds when events are 10^12 rows but users
+    are 10^8."""
+    ev = read_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
