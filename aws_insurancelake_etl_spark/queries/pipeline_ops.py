@@ -24,7 +24,7 @@ from ..plans.dq import RuleCompiler
 from ..plans.lineage import LineageLog
 from ..plans.pipeline import collect_to_cleanse
 from ..streaming.ingest import streaming_dedup, windowed_event_counts
-from .util import t
+from .util import normalize_event_ts, t
 
 QUERIES = {}
 ORACLE = {}
@@ -191,10 +191,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = tempfile.mkdtemp(prefix="gate-stream-drop-")
     shutil.copy(path, f"{drop_dir}/events-000.parquet")
     raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(drop_dir)
     )
     windowed = windowed_event_counts(stream)
     sink = f"gate_stream_{uuid.uuid4().hex[:12]}"
@@ -466,10 +464,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_dir = tempfile.mkdtemp(prefix="gate-stream-sess-")
     shutil.copy(path, f"{drop_dir}/events-000.parquet")
     raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(drop_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(drop_dir)
     )
     agg = (
         stream.withWatermark("ts", "30 minutes")
@@ -524,9 +520,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(drop_dir)
-            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+            normalize_event_ts(spark.readStream.schema(raw_schema).parquet(drop_dir))
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),

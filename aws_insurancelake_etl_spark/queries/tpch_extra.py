@@ -640,14 +640,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_analytics_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution analytics over ONE shared global window: decile bucket,
-    percent_rank, cume_dist, and the gap to the previous balance (lag) in a
-    single pass.  A global ORDER BY window is the one legitimately
-    single-partition window shape — Spark range-partitions the sort, but
-    rank functions then need the full order; at 100 TB you'd shard this by
-    a partition column (as `window_rank_orders` does) or approximate with
-    percentile buckets.  Kept in the gate because the reference's SQL stage
-    exposes exactly this surface for reporting tables."""
+    """SMALL-DATA DEMO — not the canonical decile operator.  The canonical,
+    scale-safe decile gate is ``window_deciles_scalable`` (same buckets,
+    exact percentile boundaries computed once and broadcast as literals,
+    two narrow passes, no global sort).  This variant keeps the raw SQL
+    surface the reference's SQL stage exposes for reporting tables —
+    ntile/percent_rank/cume_dist/lag over ONE shared global ORDER BY
+    window — which is inherently a single-partition rank pass and must not
+    be run at 100 TB.  Registered only to prove SQL-surface parity at
+    small scale; any pipeline needing deciles at scale should use the
+    scalable twin."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     bal = F.col("c_acctbal").cast("decimal(18,2)")
     prev = F.lag(F.col("c_acctbal"), 1, 0.0).over(w).cast("decimal(18,2)")

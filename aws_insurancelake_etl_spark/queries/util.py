@@ -26,10 +26,29 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-zoned ``timestamp``
+    regardless of how the fixture was written.
+
+    The testdata generator has shipped ``ts`` in two encodings over time:
+    int64 nanoseconds-since-epoch (read as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and parquet ``timestamp[us]``
+    (read as TIMESTAMP_NTZ).  Convert only when the column actually reads
+    as an integer, then ALWAYS cast to ``timestamp`` — ``unix_micros()``
+    and streaming watermarks reject TIMESTAMP_NTZ.
+    """
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type in ("bigint", "long", "int"):
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects.  Read ``ts`` as nanos-since-epoch and
-    rebuild a microsecond timestamp (integer division — no float rounding)."""
+    """Read the events table with ``ts`` normalized to microsecond
+    ``timestamp`` whether the parquet stores int64 nanos or timestamp[us]
+    (see :func:`normalize_event_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    return normalize_event_ts(df)
