@@ -218,6 +218,22 @@ def jaccard_pairs(
     only UNDER-estimates — precision is kept, recall is traded exactly
     where the pairs were uninformative.  The driver corpus tops out at 25
     docs/shingle, so the default is uncapped."""
+    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len)
+    jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
+    return (
+        pairs.where(jaccard >= threshold)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+def _posting_pair_counts(
+    shingle_df: DataFrame, hash_shingles: bool = True,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, na, nb, overlap) for every doc pair sharing ≥1
+    shingle — the shared pair-expansion stage behind every set-overlap
+    scorer (Jaccard, containment).  See ``jaccard_pairs`` for the
+    posting-list design rationale."""
     if "set_size" in shingle_df.columns:
         sized = shingle_df.withColumnRenamed("set_size", "n")
     else:
@@ -234,7 +250,7 @@ def jaccard_pairs(
         .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
         .where(keep)
     )
-    pairs = (
+    return (
         postings.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -246,10 +262,28 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
+
+
+def containment_pairs(
+    shingle_df: DataFrame, threshold: float = 0.6, hash_shingles: bool = True,
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Shingle-set CONTAINMENT (overlap coefficient, |A∩B| / min(|A|,|B|))
+    over pairs sharing ≥1 shingle.
+
+    Containment catches the near-dup shape Jaccard structurally misses: a
+    short document embedded in a much longer one (quote, excerpt, template
+    expansion).  If |A|=50 and A⊂B with |B|=500, Jaccard is 0.1 — far
+    below any sane threshold — while containment is 1.0.  Corpus dedup
+    pipelines (e.g. article/feed dedup) run BOTH scorers over the same
+    posting-list pair expansion, which this shares with ``jaccard_pairs``
+    (one evaluation of the shingle pipeline, no self-join, pair counts
+    bounded by posting-list collisions — not |D|²)."""
+    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len)
+    containment = F.col("overlap") * 1.0 / F.least(F.col("na"), F.col("nb"))
     return (
-        pairs.where(jaccard >= threshold)
-        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+        pairs.where(containment >= threshold)
+        .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )
 
 

@@ -32,6 +32,39 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def unigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, entropy, entropy_ratio) — per-document unigram
+    Shannon entropy in nats, the classic perplexity-proxy quality signal
+    (CCNet-style): repetitive/templated text scores low, diverse text
+    scores near ``ln(n_distinct)``.  ``entropy_ratio`` normalizes by the
+    max achievable for the doc's distinct-token count so short and long
+    docs are comparable.
+
+    Two shuffles, both with map-side partial aggregation: (doc, token)
+    counts, then one per-doc aggregate using the identity
+    ``-Σ p·ln p  =  ln n − (Σ c·ln c)/n`` — no window, no join, no UDF;
+    entirely whole-stage-codegen arithmetic."""
+    toks = tokenize(df, id_col, text_col)
+    tok_counts = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").cast("double")
+    sum_clnc = F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+    n_distinct = F.count(F.lit(1))
+    entropy = F.log(n) - sum_clnc / n
+    return tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(entropy, 4).alias("entropy"),
+        F.round(
+            F.when(n_distinct > 1, entropy / F.log(n_distinct.cast("double")))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("entropy_ratio"),
+    )
+
+
 def quality_score(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -255,6 +255,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE overlap * 1.0 / LEAST(sa.n, sb.n) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set containment (overlap coefficient) near-dup pairs — the
+    scorer that catches a short document embedded in a long one, which
+    Jaccard structurally misses (|A∩B|/min vs |A∩B|/union).  Shares the
+    single-evaluation posting-list pair expansion with the Jaccard path
+    (``operators/dedup._posting_pair_counts``): one shingle pipeline run,
+    no self-join, pair count bounded by posting collisions."""
+    return D.containment_pairs(_shingles(spark, sf_dir), threshold=0.6)
+
+
+@register(
+    "text_unigram_entropy",
+    f"""
+    WITH {_TOKS_CTE},
+    tc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           SUM(c) AS n_tokens,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+                 4) AS entropy,
+           ROUND(CASE WHEN COUNT(*) > 1 THEN
+                   (ln(CAST(SUM(c) AS DOUBLE))
+                    - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+                   / ln(CAST(COUNT(*) AS DOUBLE))
+                 ELSE 0.0 END, 4) AS entropy_ratio
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the perplexity-proxy
+    quality signal: templated/repetitive docs score low, lexically diverse
+    docs approach ``ln(n_distinct)``.  Uses the no-window identity
+    ``H = ln n − (Σ c·ln c)/n`` so the plan is two map-side-combining
+    aggregations and nothing else (see
+    ``operators/textanalysis.unigram_entropy``)."""
+    from ..operators import textanalysis as T
+
+    return T.unigram_entropy(_docs(spark, sf_dir))
+
+
 _N_HASHES = 8
 
 

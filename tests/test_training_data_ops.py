@@ -51,6 +51,42 @@ def test_jaccard_and_lsh_pipeline_agree(spark):
     assert (1, 4) in v_pairs  # identical signatures always collide
 
 
+def test_containment_catches_embedded_subset_jaccard_misses(spark):
+    # doc 11 is fully embedded in doc 10 (excerpt shape): containment = 1.0
+    # while jaccard is small — the pair only surfaces via containment.
+    long_text = " ".join(f"w{i} w{i+1} w{i+2}" for i in range(0, 60, 3))
+    short_text = "w0 w1 w2 w3 w4"
+    df = spark.createDataFrame(
+        [(10, long_text), (11, short_text), (12, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(df)
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in D.containment_pairs(sh, threshold=0.6).collect()}
+    assert cont[(10, 11)] == 1.0
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in D.jaccard_pairs(sh, threshold=0.5).collect()}
+    assert (10, 11) not in jac
+
+
+def test_unigram_entropy_orders_repetitive_below_diverse(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),   # zero entropy
+            (2, "a b c d e f g h"),                           # max entropy
+            (3, "a a b b c c d d"),                           # middle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TA.unigram_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["entropy_ratio"] == 0.0
+    assert out[2]["entropy_ratio"] == 1.0  # uniform over 8 distinct tokens
+    assert out[1]["entropy"] < out[3]["entropy"] < out[2]["entropy"]
+    import math
+    assert abs(out[2]["entropy"] - round(math.log(8), 4)) < 1e-9
+    assert all(out[d]["n_tokens"] == 8 for d in (1, 2, 3))
+
+
 def test_simhash_identical_docs_equal(spark):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs(spark)).collect()}
     assert out[1] == out[4]
