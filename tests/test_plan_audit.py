@@ -174,3 +174,26 @@ def test_kmv_sketch_partial_aggregates(spark):
     plan = plan_of(spark, "sketch_kmv_distinct")
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_entropy_no_window_no_join(spark):
+    """Entropy uses the ``H = ln n − (Σ c·ln c)/n`` identity, so its plan
+    must be pure hash aggregation — no window operator (which would force
+    a per-doc sort) and no join, with map-side partial_sum before each
+    exchange."""
+    plan = plan_of(spark, "text_unigram_entropy")
+    assert "Window" not in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "partial_sum" in plan
+
+
+def test_containment_single_scan_no_selfjoin(spark):
+    """Containment shares the posting-list pair expansion: the documents
+    table is scanned ONCE (no self-join re-evaluating the shingle
+    pipeline) and pairs come from in-list explosion, never a join of the
+    corpus against itself."""
+    plan = plan_of(spark, "dedup_containment_pairs")
+    assert plan.count("Location: InMemoryFileIndex [file:/root/testdata") == 1
+    for join_op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
