@@ -104,14 +104,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- events-touching, last driver-checked on the old nanos fixture
     "window_filldown",
     "kv_pivot_map_agg",
+    # -- new this round (never driver-checked)
+    "dedup_containment_pairs",
+    "text_unigram_entropy",
+    "ann_recall_eval",
+    "docs_curated_corpus",
     # -- green representatives across remaining families
-    "tr_currency_parse",
-    "tr_lookup_join",
-    "em_exact_match",
     "em_fuzzy_blocked",
     "pipeline_collect_to_cleanse",
     "dq_quarantine_split",
-    "stream_stateful_user_totals",
     "mm_media_metadata",
     "ann_cosine_topk",
 )

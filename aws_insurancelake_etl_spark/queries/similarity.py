@@ -137,6 +137,82 @@ def ann_ivf_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_eval",
+    f"""
+    WITH exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON q.label = c.label AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           COUNT(a.vec_id) AS n_hits,
+           ROUND(COUNT(a.vec_id) * 1.0 / 10, 4) AS recall_at_10
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-pruned search against the exact brute-force
+    baseline — THE quality metric for any approximate-nearest-neighbor
+    index, computed distributed: both top-k sets come from the same
+    broadcast-queries-vs-corpus scoring shape, and the recall join touches
+    only k rows per query.  At 100 TB this is how you validate an IVF
+    nprobe / LSH band setting before committing to it: run on a sampled
+    query set, read the recall distribution, tune, re-run."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = spread(spark, emb).select(
+        "vec_id", F.col("embedding").alias("c_emb"), "label"
+    )
+    cosine = _cosine_col()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+
+    def topk(restrict_label: bool) -> DataFrame:
+        cond = F.col("vec_id") != F.col("query_id")
+        if restrict_label:
+            cond = cond & (F.col("label") == F.col("q_label"))
+        return (
+            corpus.join(F.broadcast(queries), cond)
+            .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    exact = topk(restrict_label=False)
+    approx = topk(restrict_label=True).withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / 10, 4
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@register(
     "emb_near_dup_pairs",
     f"""
     SELECT label, vec_a, vec_b, cosine FROM (

@@ -926,6 +926,73 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_curated_corpus",
+    ORACLE["dedup_cluster_components"].replace(
+        """    SELECT cc.doc_id, cc.cluster_id, szs.cluster_size
+    FROM cc JOIN szs ON cc.cluster_id = szs.sz_cluster
+    """,
+        f"""    , q AS (
+        SELECT doc_id,
+               ROUND(COUNT(DISTINCT token) * 0.5 / COUNT(*)
+                     + (1 - SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+                        * 1.0 / COUNT(*)) * 0.5, 4) AS quality
+        FROM toks GROUP BY doc_id
+    ),
+    losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    SELECT d.doc_id, d.lang,
+           CASE WHEN bucket >= 0 AND bucket < 9000 THEN 'train'
+                WHEN bucket >= 9000 AND bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           q.quality
+    FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS bucket
+        FROM documents
+    ) d
+    JOIN q ON d.doc_id = q.doc_id
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+      AND q.quality >= 0.7
+    """,
+    ),
+)
+def docs_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the flagship LLM-training-data
+    pipeline composed from the individual gates: near-dup clustering drops
+    every non-keeper document (min-id per transitive cluster), a narrow
+    quality score filters the survivors, and the deterministic md5-bucket
+    rule assigns leak-free train/val/test splits.  Plan shape at scale:
+    quality + split are narrow expressions over one documents scan; the
+    only joins are the anti-join against the (tiny, broadcast) loser list
+    and the pair pipeline feeding connected components — each piece
+    individually audited scale-sound by its own gate."""
+    from ..operators.textanalysis import split_assign
+
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    n_stop = F.expr(f"size(filter(toks, t -> t IN ({stop_list})))")
+    scored = docs.select(
+        "doc_id", "lang",
+        F.round(n_distinct * 0.5 / n + (1 - n_stop * 1.0 / n) * 0.5, 4)
+        .alias("quality"),
+    ).where(F.col("quality") >= 0.7)
+
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    losers = cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    curated = scored.join(F.broadcast(losers), "doc_id", "left_anti")
+    return split_assign(curated, {"train": 0.9, "val": 0.05, "test": 0.05}).select(
+        "doc_id", "lang", "split", "quality"
+    )
+
+
+@register(
     "dedup_keep_list",
     ORACLE["dedup_cluster_components"].replace(
         """    SELECT cc.doc_id, cc.cluster_id, szs.cluster_size
