@@ -108,13 +108,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_containment_pairs",
     "text_unigram_entropy",
     "ann_recall_eval",
+    "ann_ivf_kmeans_topk",
     "docs_curated_corpus",
     # -- green representatives across remaining families
     "em_fuzzy_blocked",
     "pipeline_collect_to_cleanse",
     "dq_quarantine_split",
     "mm_media_metadata",
-    "ann_cosine_topk",
 )
 
 

@@ -415,9 +415,12 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 4, n_iter: int = 2) -> str:
+def _kmeans_sql(k: int = 4, n_iter: int = 2, final_select: str | None = None) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — the SQL twin of
-    ``kmeans_fit``'s loop, one (assign, update) CTE pair per iteration."""
+    ``kmeans_fit``'s loop, one (assign, update) CTE pair per iteration.
+    ``final_select`` replaces the default (vec_id, cluster) projection to
+    build downstream consumers (e.g. IVF pruned search) over the ``asg``
+    assignment CTE."""
     parts = [
         f"""
     WITH base AS (SELECT vec_id, embedding FROM embeddings),
@@ -464,13 +467,20 @@ def _kmeans_sql(k: int = 4, n_iter: int = 2) -> str:
         SELECT bd.vec_id, c.cid, SUM((bd.e - c.val) * (bd.e - c.val)) AS dist
         FROM bd JOIN c{n_iter} c ON bd.dim = c.dim
         GROUP BY bd.vec_id, c.cid
+    ),
+    asg AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dfin
+        ) WHERE rn = 1
     )
-    SELECT vec_id, cid AS cluster FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        FROM dfin
-    ) WHERE rn = 1
     """)
+    parts.append(
+        final_select
+        if final_select is not None
+        else "SELECT vec_id, cluster FROM asg"
+    )
     return "".join(parts)
 
 
@@ -490,6 +500,63 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
     assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    _kmeans_sql(
+        k=4,
+        n_iter=2,
+        final_select=f"""
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+        FROM embeddings q
+        JOIN asg qa ON q.vec_id = qa.vec_id
+        JOIN asg ca ON qa.cluster = ca.cluster AND ca.vec_id <> q.vec_id
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+        WHERE q.vec_id < 5
+    ) WHERE rn <= 5
+    """,
+    ),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF pruned search: train the coarse quantizer with
+    deterministic Lloyd's (k=4, 2 iterations — same trainer as
+    ``emb_kmeans_clusters``), assign the corpus to learned centroids in
+    one narrow literal-centroid pass, then search only the query's own
+    cell (nprobe=1) with exact cosine rank inside it.  This is the full
+    IVF lifecycle — train → assign → prune → rank — as one gate;
+    ``ann_recall_eval`` is the recall harness for tuning it.  At scale
+    the assignment column becomes the table's partition key, so the
+    search is a partition-pruned scan."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    corpus = assigned.select(
+        "vec_id", F.col("embedding").alias("c_emb"), "cluster"
+    )
+    cosine = _cosine_col()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+    return (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("cluster") == F.col("q_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
 
 
 @register(
