@@ -109,12 +109,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_unigram_entropy",
     "ann_recall_eval",
     "ann_ivf_kmeans_topk",
+    "emb_pq_codes",
     "docs_curated_corpus",
     # -- green representatives across remaining families
     "em_fuzzy_blocked",
     "pipeline_collect_to_cleanse",
     "dq_quarantine_split",
-    "mm_media_metadata",
 )
 
 

@@ -559,6 +559,102 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_subspace_sql(sfx: str, lo: int, length: int, k: int, n_iter: int) -> str:
+    """One deterministic-Lloyd's chain over a dimension slice of the
+    embedding (the per-subspace codebook of product quantization); CTE
+    names are suffixed so two chains compose in one WITH list."""
+    parts = [f"""
+    base{sfx} AS (
+        SELECT vec_id, list_slice(embedding, {lo}, {lo + length - 1}) AS emb
+        FROM embeddings
+    ),
+    init{sfx} AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cid,
+               emb
+        FROM base{sfx} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+    ),
+    bd{sfx} AS (
+        SELECT vec_id, generate_subscripts(emb, 1) - 1 AS dim,
+               CAST(unnest(emb) AS DOUBLE) AS e
+        FROM base{sfx}
+    ),
+    c0{sfx} AS (
+        SELECT cid, generate_subscripts(emb, 1) - 1 AS dim,
+               CAST(unnest(emb) AS DOUBLE) AS val
+        FROM init{sfx}
+    )"""]
+    for i in range(n_iter):
+        parts.append(f""",
+    d{i}{sfx} AS (
+        SELECT bd.vec_id, c.cid, SUM((bd.e - c.val) * (bd.e - c.val)) AS dist
+        FROM bd{sfx} bd JOIN c{i}{sfx} c ON bd.dim = c.dim
+        GROUP BY bd.vec_id, c.cid
+    ),
+    a{i}{sfx} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d{i}{sfx}
+        ) WHERE rn = 1
+    ),
+    c{i + 1}{sfx} AS (
+        SELECT a.cid, bd.dim,
+               ROUND(CAST(SUM(CAST(bd.e AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9)
+                   AS val
+        FROM a{i}{sfx} a JOIN bd{sfx} bd ON a.vec_id = bd.vec_id
+        GROUP BY a.cid, bd.dim
+    )""")
+    parts.append(f""",
+    dfin{sfx} AS (
+        SELECT bd.vec_id, c.cid, SUM((bd.e - c.val) * (bd.e - c.val)) AS dist
+        FROM bd{sfx} bd JOIN c{n_iter}{sfx} c ON bd.dim = c.dim
+        GROUP BY bd.vec_id, c.cid
+    ),
+    asg{sfx} AS (
+        SELECT vec_id, cid AS code FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dfin{sfx}
+        ) WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "emb_pq_codes",
+    f"""
+    WITH {_pq_subspace_sql('s0', 1, 32, 4, 2)},
+    {_pq_subspace_sql('s1', 33, 32, 4, 2)}
+    SELECT a0.vec_id, a0.code AS code0, a1.code AS code1
+    FROM asgs0 a0 JOIN asgs1 a1 ON a0.vec_id = a1.vec_id
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codebook training + encoding: the 64-dim
+    embedding splits into two 32-dim subspaces, each gets its own
+    deterministic-Lloyd's codebook (k=4, 2 iterations), and every vector
+    is encoded as its per-subspace nearest-centroid ids — the FAISS-style
+    IVF+PQ compression pair (``ann_ivf_kmeans_topk`` is the IVF half).
+    2 codes × 2 bits ≈ 32× compression here; production shapes (m=8..64,
+    k=256) follow the identical plan.  Each subspace chain is a narrow
+    slice + the same train/assign shape as ``emb_kmeans_clusters``; the
+    final code join keys on vec_id."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    codes = []
+    for i, (lo, length) in enumerate(((1, 32), (33, 32))):
+        half = emb.select(
+            "vec_id", F.slice("embedding", lo, length).alias("embedding")
+        )
+        assigned, _ = kmeans_fit(half, k=4, n_iter=2)
+        codes.append(
+            assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
+        )
+    return codes[0].join(codes[1], "vec_id")
+
+
 @register(
     "emb_int8_quantize",
     """
