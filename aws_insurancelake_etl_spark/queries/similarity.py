@@ -326,10 +326,10 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_PLANES = 8
 
 
-@register(
-    "emb_rp_lsh_signatures",
-    f"""
-    WITH comps AS (
+# Shared CTE chain producing (vec_id, label, signature) — the RP-LSH
+# bucket key; composed into both the signatures gate and the bucketed
+# pair-generation gate.
+_RP_SIGS_CTES = f"""comps AS (
         SELECT vec_id, label,
                generate_subscripts(embedding, 1) AS dim,
                CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6))
@@ -353,7 +353,13 @@ _RP_PLANES = 8
                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
                           ORDER BY plane) AS signature
         FROM dots GROUP BY vec_id, label
-    )
+    )"""
+
+
+@register(
+    "emb_rp_lsh_signatures",
+    f"""
+    WITH {_RP_SIGS_CTES}
     SELECT s.vec_id, s.label, s.signature,
            COUNT(*) OVER (PARTITION BY s.signature) AS bucket_size
     FROM sigs s
@@ -371,6 +377,16 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip between distributed and sequential accumulation).  Plan: melt to
     (vec, dim, comp), broadcast the (dim, plane, weight) table, one
     shuffle on (vec, plane), one on vec — both well-distributed."""
+    sigs = _rp_sigs(spark, sf_dir)
+    return sigs.select(
+        "vec_id", "label", "signature",
+        F.count(F.lit(1)).over(Window.partitionBy("signature")).alias("bucket_size"),
+    )
+
+
+def _rp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, signature) — the RP-LSH bucket key; Spark twin of
+    ``_RP_SIGS_CTES``."""
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
     comps = emb.select(
         "vec_id", "label",
@@ -398,7 +414,7 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "plane")
         .agg(F.sum(F.col("comp") * F.col("w")).alias("dot"))
     )
-    sigs = (
+    return (
         dots.withColumn("bit", F.when(F.col("dot") >= 0, "1").otherwise("0"))
         .groupBy("vec_id", "label")
         .agg(
@@ -409,9 +425,60 @@ def emb_rp_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("signature")
         )
     )
-    return sigs.select(
-        "vec_id", "label", "signature",
-        F.count(F.lit(1)).over(Window.partitionBy("signature")).alias("bucket_size"),
+
+
+@register(
+    "emb_rp_lsh_pairs",
+    f"""
+    WITH {_RP_SIGS_CTES},
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b
+          ON a.signature = b.signature AND a.vec_id < b.vec_id
+    ),
+    ver AS (
+        SELECT vec_a, vec_b,
+               {_dot_sql('x.embedding', 'y.embedding')}
+               / (sqrt({_dot_sql('x.embedding', 'x.embedding')})
+                  * sqrt({_dot_sql('y.embedding', 'y.embedding')})) AS cos
+        FROM cand JOIN embeddings x ON vec_a = x.vec_id
+                  JOIN embeddings y ON vec_b = y.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
+    FROM ver WHERE ROUND(cos, 4) >= 0.35
+    """,
+)
+def emb_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-FREE embedding near-dup pairs at scale: RP-LSH signature
+    buckets generate candidates (posting-list in-bucket expansion — the
+    same no-self-join shape as the MinHash path), then exact cosine
+    verifies only those candidates.  This is the path that holds when no
+    blocking column exists — at 100 TB the corpus has no labels, and the
+    bucket key bounds pair count by bucket collisions instead of |V|².
+    The verify joins key on vec_id (hash-distributed); candidates are a
+    tiny fraction of the corpus so the per-pair embedding fetch is the
+    classic verify-on-candidates cost (PERFORMANCE.md finding 5)."""
+    sigs = _rp_sigs(spark, sf_dir)
+    cand = (
+        sigs.groupBy("signature")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("x_emb"))
+    y = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("y_emb"))
+    cos = dot("x_emb", "y_emb") / (
+        F.sqrt(dot("x_emb", "x_emb")) * F.sqrt(dot("y_emb", "y_emb"))
+    )
+    return (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
     )
 
 
