@@ -606,3 +606,49 @@ def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "evt_sliding_window_counts",
+    """
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM (
+        SELECT make_timestamp((epoch_us(ts) // 300000000 - j) * 300000000)
+                   AS win_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS j)
+    )
+    GROUP BY win_start, event_type
+    """,
+)
+def evt_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10-minute length, 5-minute slide) —
+    the overlapping-window aggregation monitoring pipelines live on, where
+    tumbling buckets miss bursts that straddle a boundary.  Spark's native
+    ``window(ts, '10 minutes', '5 minutes')`` expands each event into its
+    two containing windows before one (window, type)-keyed aggregation
+    with map-side decimal partials — cost is slide-factor × events, not a
+    self-join.  The oracle derives the same two window starts per event
+    arithmetically (floor to the slide grid, minus one slide step), so
+    both engines must agree on every overlapping bucket."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
