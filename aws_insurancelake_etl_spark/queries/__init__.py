@@ -54,8 +54,9 @@ _MODULES = (
 # micros fixture) + the 6 other r3 `err` rows just fixed by the
 # schema-aware read_events + the 2 events-touching queries last
 # driver-checked against the old int64-nanos fixture (window_filldown,
-# kv_pivot_map_agg) + the 8 queries added this round + 1 green
-# representative.  After r4, every registered query should have a
+# kv_pivot_map_agg) + 5 of the 8 queries added this round (emb_pq_codes,
+# emb_rp_lsh_pairs, evt_sliding_window_counts rotate in r5) + 4 family
+# representatives.  After r4, every registered query should have a
 # driver-green row at some round.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never driver-checked: text analysis / dedup / docs (SURVEY §2 + LLM ops)
@@ -109,12 +110,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_unigram_entropy",
     "ann_recall_eval",
     "ann_ivf_kmeans_topk",
-    "emb_pq_codes",
-    "emb_rp_lsh_pairs",
-    "evt_sliding_window_counts",
     "docs_curated_corpus",
-    # -- green representatives across remaining families
+    # -- family representatives (window must cover every operator family)
     "pipeline_collect_to_cleanse",
+    "dq_quarantine_split",
+    "em_fuzzy_blocked",
+    "mm_media_metadata",
 )
 
 
