@@ -188,6 +188,28 @@ def test_unigram_entropy_no_window_no_join(spark):
     assert "partial_sum" in plan
 
 
+def test_sliding_window_single_aggregation(spark):
+    """Sliding windows expand each event into its overlapping buckets
+    (Expand/Generate) then aggregate ONCE with map-side partials — never
+    a self-join of shifted copies."""
+    plan = plan_of(spark, "evt_sliding_window_counts")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_rp_lsh_pairs_no_cartesian(spark):
+    """RP-LSH pair generation must come from in-bucket posting-list
+    expansion plus key-equi verify joins.  The ONLY permitted nested-loop
+    is the deliberate planes×dims weight-table cross (8×64 rows,
+    broadcast); candidate and verify joins must all be hash joins."""
+    plan = plan_of(spark, "emb_rp_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each operator twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_containment_single_scan_no_selfjoin(spark):
     """Containment shares the posting-list pair expansion: the documents
     table is scanned ONCE (no self-join re-evaluating the shingle
