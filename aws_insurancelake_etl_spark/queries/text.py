@@ -285,6 +285,67 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(_shingles(spark, sf_dir), threshold=0.6)
 
 
+def _entropy_ratio_cte() -> str:
+    return """
+    tc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
+    ),
+    ent AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN COUNT(*) > 1 THEN
+                       (ln(CAST(SUM(c) AS DOUBLE))
+                        - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE))
+                       / ln(CAST(COUNT(*) AS DOUBLE))
+                     ELSE 0.0 END, 4) AS entropy_ratio
+        FROM tc GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_quality_buckets",
+    f"""
+    WITH {_TOKS_CTE},
+    {_entropy_ratio_cte()},
+    b AS (
+        SELECT quantile_cont(entropy_ratio, 0.3333333333333333) AS b1,
+               quantile_cont(entropy_ratio, 0.6666666666666666) AS b2
+        FROM ent
+    )
+    SELECT doc_id, entropy_ratio,
+           CASE WHEN entropy_ratio < b1 THEN 'tail'
+                WHEN entropy_ratio < b2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM ent, b
+    """,
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition by quality tercile:
+    exact tercile BOUNDARIES of the entropy-ratio signal come from one
+    ``percentile`` aggregation (an aggregate, not a sort), return to the
+    driver as two scalars, and broadcast back as literals so the bucket
+    assignment is a fully narrow pass — the same no-global-sort pattern
+    as ``window_deciles_scalable``, applied to a derived quality signal.
+    At 100 TB: one aggregation + one narrow pass; driver state is two
+    floats."""
+    from ..operators.textanalysis import unigram_entropy
+
+    ent = unigram_entropy(_docs(spark, sf_dir)).select("doc_id", "entropy_ratio")
+    b1, b2 = ent.agg(
+        F.expr(
+            "percentile(entropy_ratio,"
+            " array(0.3333333333333333, 0.6666666666666666))"
+        ).alias("b")
+    ).collect()[0]["b"]
+    return ent.select(
+        "doc_id", "entropy_ratio",
+        F.when(F.col("entropy_ratio") < float(b1), "tail")
+        .when(F.col("entropy_ratio") < float(b2), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
+
 @register(
     "text_unigram_entropy",
     f"""
