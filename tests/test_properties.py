@@ -217,3 +217,49 @@ def test_partial_ratio_bounds_and_substring_property(spark, texts):
         assert 0.0 <= r["s"] <= 1.0 + 1e-9
         if r["a"] == r["b"] and r["a"].strip():
             assert r["s"] == 1.0 or abs(r["s"] - 1.0) < 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc wxyz", min_size=1, max_size=40),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_unigram_entropy_bounds(spark, texts):
+    """Entropy ∈ [0, ln n_distinct]; ratio ∈ [0, 1]; single-repeated-token
+    docs score exactly 0 — on ANY input, not just the fixture corpus."""
+    import math
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in TA.unigram_entropy(df).collect():
+        assert r["entropy"] >= 0.0
+        assert 0.0 <= r["entropy_ratio"] <= 1.0 + 1e-9
+        # entropy is rounded to 4 decimals, so allow half a ulp of that
+        assert r["entropy"] <= math.log(max(r["n_tokens"], 1)) + 5e-5
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=5, max_size=40),
+        min_size=2, max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_containment_bounds_and_dominates_jaccard(spark, texts):
+    """Containment ∈ (0, 1]; for every candidate pair containment >=
+    jaccard (|A∩B|/min <= |A∩B|/union is impossible the other way)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = D.shingles(df)
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in D.containment_pairs(sh, threshold=0.0).collect()}
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.jaccard_pairs(sh, threshold=0.0).collect()}
+    assert set(cont) == set(jac)  # same candidate pairs (shared expansion)
+    for pair, c in cont.items():
+        assert 0.0 < c <= 1.0 + 1e-9
+        assert c >= jac[pair] - 1e-9
