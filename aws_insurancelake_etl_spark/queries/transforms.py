@@ -31,7 +31,11 @@ from ..operators.stringmanipulation import (
     transform_combinecolumns,
     transform_literal,
 )
-from ..operators.structureddata import transform_json, transform_jsonexpandmap
+from ..operators.structureddata import (
+    transform_json,
+    transform_jsonexpandarray,
+    transform_jsonexpandmap,
+)
 from ..operators.typeconversion import (
     transform_changetype,
     transform_currency,
@@ -771,3 +775,31 @@ def tr_pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_scan(cust, ["c_name"], {"account": PII_PATTERNS["account"]})
     )
     return scans.select("kind", "n_rows_matched", "n_matches")
+
+
+@register(
+    "tr_jsonexpandarray",
+    r"""
+    SELECT doc_id,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+               AS word_idx,
+           unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def tr_jsonexpandarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_jsonexpandarray: array column → one row per element with a
+    1-based index column (posexplode_outer; null/empty arrays keep their
+    row).  Gate feeds a token array derived from documents; the oracle's
+    generate_subscripts is 1-based by definition, so index parity is
+    checked directly."""
+    ctx = _ctx(spark)
+    df = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words"))
+    )
+    df = transform_jsonexpandarray(
+        df, [{"field": "words", "index_field": "word_idx"}], ctx
+    )
+    return df.select("doc_id", "word_idx", F.col("words").alias("word"))
