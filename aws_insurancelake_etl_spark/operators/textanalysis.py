@@ -162,6 +162,89 @@ def stratified_sample(
     return df.where(bucket < (rate * buckets).cast("bigint"))
 
 
+def lang_rebalance(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "rebal",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Down-sample every stratum to the size of the SMALLEST one — the
+    data-mixing step that turns a skewed multilingual crawl into a
+    balanced training corpus.  Per-stratum keep rates are computed from
+    the corpus itself (floor(n_min * buckets / n_stratum) basis points),
+    then applied as the same deterministic md5-bucket predicate as
+    :func:`stratified_sample`, so the selection is reproducible across
+    runs, engines, and partitionings, and STABLE under growth of other
+    strata (a kept document only drops if its own stratum's rate falls).
+
+    Plan: one map-side-combined count per stratum (driver state = one
+    rate per stratum), rates broadcast back via a broadcast join keyed on
+    the stratum, then a narrow row predicate.  No shuffle ever touches
+    the full corpus — at 100 TB the count aggregation is the only wide
+    stage and it moves |strata| rows."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    n_min = counts.agg(F.min("n_stratum").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.floor(F.col("n_min") * buckets / F.col("n_stratum")).alias("keep_bps"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(bucket < F.col("keep_bps"))
+        .drop("keep_bps")
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window sequence chunking: split each document's token
+    stream into windows of ``size`` tokens advancing by ``stride``
+    (overlap = size - stride), the layout step that turns variable-length
+    documents into fixed-budget training sequences with context overlap.
+    Emits (doc_id, chunk_id, start_pos, n_chunk_tokens, chunk_hash) —
+    the hash stands in for the materialized chunk text so the gate's
+    payload stays narrow; callers wanting the text swap the md5 for the
+    ``concat_ws`` it wraps.
+
+    Plan: one narrow split per document, then a generator over the
+    per-document start sequence — the fan-out is |tokens|/stride rows per
+    doc and never shuffles; every expression is JVM-side.  At 100 TB this
+    is a pure map stage that scales with input partitioning."""
+    from .dedup import token_array
+
+    starts = F.explode(F.expr(f"sequence(1, size(toks), {stride})")).alias("start")
+    return (
+        token_array(df, id_col, text_col)
+        .select("doc_id", "toks", starts)
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {stride} AS INT) + 1").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start_pos"),
+            F.least(F.lit(size), F.size("toks") - F.col("start") + 1)
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), size)))
+            .alias("chunk_hash"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

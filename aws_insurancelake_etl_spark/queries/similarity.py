@@ -768,3 +768,49 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(qscale), 8).alias("qscale"),
         F.round(F.expr(l2), 6).alias("l2_err"),
     )
+
+
+@register(
+    "emb_semdedup_keep",
+    _kmeans_sql(
+        k=4,
+        n_iter=2,
+        final_select=f"""
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           (d.vec_b IS NULL) AS keep
+    FROM asg a LEFT JOIN (
+        SELECT DISTINCT vec_b FROM (
+            SELECT pairs.cluster, vec_a, vec_b,
+                   ROW_NUMBER() OVER (PARTITION BY pairs.cluster
+                                      ORDER BY cosine_raw DESC, vec_a, vec_b) AS rn
+            FROM (
+                SELECT qa.cluster, q.vec_id AS vec_a, c.vec_id AS vec_b,
+                       {_COSINE_SQL} AS cosine_raw
+                FROM embeddings q
+                JOIN asg qa ON q.vec_id = qa.vec_id
+                JOIN asg ca ON ca.cluster = qa.cluster AND ca.vec_id > q.vec_id
+                JOIN embeddings c ON c.vec_id = ca.vec_id
+            ) AS pairs
+        ) ranked WHERE rn <= 3
+    ) d ON a.vec_id = d.vec_b
+    """,
+    ),
+)
+def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: train the coarse quantizer with deterministic
+    Lloyd's (k=4, 2 iterations — the same trainer as
+    ``emb_kmeans_clusters``), then within each learned cluster drop the
+    higher-id member of the 3 most-similar cosine pairs, returning every
+    vector with a keep/drop decision — semantic deduplication as one
+    gate (train → assign → in-cluster pairwise → prune → keep list).
+    Production thresholds on cosine instead of ranking (random driver
+    embeddings make a fixed threshold vacuous); the rank form exercises
+    the identical plan and the swap only shrinks the pairwise stage.  At
+    100 TB k grows ~ sqrt(N) so in-cluster candidate sets stay
+    broadcastable; the drop set is ≤ 3k rows, broadcast on the way back
+    (see ``operators/similarity.semdedup_keep``)."""
+    from ..operators.similarity import kmeans_fit, semdedup_keep
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    return semdedup_keep(assigned, per_cluster_drop=3)

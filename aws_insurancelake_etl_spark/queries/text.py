@@ -1090,3 +1090,102 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "text_dup_ngram_coverage",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+        FROM sh
+    ),
+    freq AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS doc_freq FROM shh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles,
+           ROUND(SUM(CASE WHEN doc_freq >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+               AS dup_frac
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate n-gram coverage (RefinedWeb-style span-dedup signal): for
+    each document, the fraction of its distinct 3-gram shingles that occur
+    in at least one OTHER document.  Catches boilerplate-heavy documents
+    no pair-level scorer flags (80% shared shingles spread across hundreds
+    of partners).  Plan: a count window keyed on the 60-bit shingle hash
+    attaches corpus document-frequency with ONE exchange and no join, then
+    one doc-keyed aggregation — linear in shingle volume, so this signal
+    stays cheap at 100 TB even where pairwise scorers need stop-shingle
+    caps (see ``operators/dedup.dup_shingle_coverage``)."""
+    return D.dup_shingle_coverage(_shingles(spark, sf_dir))
+
+
+@register(
+    "docs_lang_rebalance",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_stratum) AS n_min FROM counts),
+    rates AS (
+        SELECT lang, CAST(FLOOR(n_min * 10000 / n_stratum) AS BIGINT) AS keep_bps
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('rebal:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < r.keep_bps
+    """,
+)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus mix: every language down-sampled to the
+    size of the smallest one, with per-language keep rates computed FROM
+    the corpus (floor(n_min/n_lang) in basis points) and applied as the
+    deterministic md5-bucket predicate shared with
+    ``text_stratified_sample`` — reproducible across engines and stable
+    under growth of other languages.  Plan: one map-side-combined count
+    per language (driver/broadcast state = |langs| rates), a broadcast
+    join to attach rates, then a narrow row predicate; the full corpus is
+    never shuffled."""
+    from ..operators.textanalysis import lang_rebalance
+
+    return lang_rebalance(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+    )
+
+
+@register(
+    "docs_token_chunks",
+    r"""
+    WITH arr AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS start
+        FROM arr
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS INT) + 1 AS chunk_id,
+           CAST(start AS BIGINT) AS start_pos,
+           CAST(LEAST(32, len(toks) - start + 1) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start, LEAST(start + 31, len(toks))), ' '))
+               AS chunk_hash
+    FROM st
+    """,
+)
+def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-sequence chunking: each document's token
+    stream split into 32-token windows advancing by 24 (8-token context
+    overlap), the layout step between a curated corpus and fixed-budget
+    training sequences.  Emits the chunk's position, length, and content
+    hash (the hash stands in for materialized text, keeping the gate
+    payload narrow).  Plan: narrow split + per-document start-sequence
+    generator — a pure map stage, zero shuffles, every expression
+    JVM-side (see ``operators/textanalysis.token_chunks``)."""
+    from ..operators.textanalysis import token_chunks
+
+    return token_chunks(_docs(spark, sf_dir), size=32, stride=24)

@@ -219,3 +219,53 @@ def test_containment_single_scan_no_selfjoin(spark):
     assert plan.count("Location: InMemoryFileIndex [file:/root/testdata") == 1
     for join_op in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert join_op not in plan, join_op
+
+
+def test_dup_ngram_coverage_no_join_single_scan(spark):
+    """Duplicate-shingle coverage attaches corpus document-frequency with
+    a count WINDOW over the shingle hash, not a join: the plan must scan
+    documents once and contain no join operator at all — that linearity
+    is what keeps the signal cheap where pairwise scorers need caps."""
+    plan = plan_of(spark, "text_dup_ngram_coverage")
+    assert plan.count("Location: InMemoryFileIndex [file:/root/testdata") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_lang_rebalance_broadcast_rates_no_corpus_shuffle(spark):
+    """Language rebalancing must attach per-language keep rates via a
+    BROADCAST join (the rate table is |langs| rows); the corpus itself
+    must never be exchanged — the only exchanges feed the tiny count
+    aggregation on the build side."""
+    plan = plan_of(spark, "docs_lang_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # The probe (corpus) side reaches the join without an Exchange:
+    # every Exchange in the plan sits under the broadcast build subtree.
+    assert "BroadcastExchange" in plan
+
+
+def test_token_chunks_pure_map_stage(spark):
+    """Sequence chunking is a per-document generator over the token
+    array: zero joins, zero windows, and no key-hashed exchange — a pure
+    map stage that scales with input partitioning.  The only permitted
+    Exchange is ``spread()``'s round-robin repartition (parallelism
+    seeding for the single-file local fixture; a no-op at scale)."""
+    plan = plan_of(spark, "docs_token_chunks")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"):
+        assert op not in plan, op
+    assert "Generate" in plan
+
+
+def test_semdedup_pairwise_stays_in_cluster(spark):
+    """SemDeDup's pairwise stage must be keyed on the cluster id (hash
+    join on cluster equality), never a cartesian of the corpus against
+    itself; the keep-list join back must be broadcast."""
+    plan = plan_of(spark, "emb_semdedup_keep")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
