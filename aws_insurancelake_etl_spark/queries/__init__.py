@@ -56,9 +56,11 @@ _MODULES = (
 # driver-checked against the old int64-nanos fixture (window_filldown,
 # kv_pivot_map_agg) + 5 of the 8 queries added this round (emb_pq_codes,
 # emb_rp_lsh_pairs, evt_sliding_window_counts rotate in r5, along
-# with text_quality_buckets, transform_jsonexpandarray, and the four
+# with text_quality_buckets, transform_jsonexpandarray, and the nine
 # added after the window froze: text_dup_ngram_coverage,
-# docs_lang_rebalance, docs_token_chunks, emb_semdedup_keep) + 4 family
+# docs_lang_rebalance, docs_token_chunks, emb_semdedup_keep,
+# src_xml_roundtrip, sink_partition_clear, tr_filename_parse,
+# tr_flatten_clean_names, docs_source_cap) + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
 DRIVER_WINDOW: tuple[str, ...] = (

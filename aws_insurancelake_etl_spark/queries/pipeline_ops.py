@@ -552,3 +552,114 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_id").alias("purchase_id"),
         F.col("c_id").alias("click_id"),
     )
+
+
+@register(
+    "src_xml_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source differential gate (reference rowTag scan,
+    ``etl_collect_to_cleanse.py`` XML branch): orders rows are rendered as
+    ``<order>`` elements into a drop directory, read back through the
+    ACTUAL engine reader (``sources.readers.read_input`` → Spark 4 native
+    XML with rowTag + PERMISSIVE), and compared against DuckDB over the
+    original parquet.  The payload is integer-only (price in cents via an
+    exact decimal multiply) so schema inference cannot introduce float
+    drift.  The render side is distributed — each task emits one
+    well-formed ``<orders>``-rooted file (Spark's XML source needs a root
+    element per file; bare concatenated row tags after the first parse as
+    corrupt records) — so the gate scales with the fixture, no driver
+    collection."""
+    from ..sources.readers import read_input
+
+    run_id = uuid.uuid4().hex[:12]
+    drop = f"{tempfile.mkdtemp(prefix=f'gate-xml-{run_id}-')}/orders.xml"
+    elements = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            F.concat(
+                F.lit("<order><o_orderkey>"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("</o_orderkey><o_orderstatus>"),
+                F.col("o_orderstatus"),
+                F.lit("</o_orderstatus><price_cents>"),
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+                .cast("string"),
+                F.lit("</price_cents></order>"),
+            ).alias("value")
+        )
+    )
+
+    # Wrap every partition's elements in a root tag so each task writes a
+    # well-formed XML file (fixture generation, not the reader under test).
+    def _wrap(part):
+        yield "<orders>"
+        for row in part:
+            yield row.value
+        yield "</orders>"
+
+    elements.rdd.mapPartitions(_wrap).saveAsTextFile(drop)
+    df = read_input(spark, drop, {"xml": {"row_tag": "order"}})
+    return df.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("price_cents").cast("long").alias("price_cents"),
+    )
+
+
+@register(
+    "sink_partition_clear",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 20 = 0 GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-append sink idempotence as a differential gate
+    (reference per-file reload: drop the partition, re-append —
+    ``etl_collect_to_cleanse.py`` write path): the same source batch is
+    written TWICE through the actual engine writer
+    (``plans.writer.write_cleanse_table`` → schema gate → partition clear
+    → dynamic-partition append), and the table is then aggregated.  If the
+    partition clear ever regressed, every count and key-sum doubles and
+    the oracle catches it.  Uses a throwaway database per run so reruns
+    never collide."""
+    from ..plans.writer import write_cleanse_table
+
+    run_id = uuid.uuid4().hex[:12]
+    db = f"gatesink_{run_id}"
+    ctx = RunContext(
+        spark=spark,
+        args={"execution_id": f"gate-{run_id}"},
+        lineage=LineageLog(execution_id=f"gate-{run_id}", dataset=f"{db}/orders_sink"),
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit("2024").alias("year"),
+            F.lit("06").alias("month"),
+            F.lit("15").alias("day"),
+        )
+    )
+    partition = {"year": "2024", "month": "06", "day": "15"}
+    write_cleanse_table(src, db, "orders_sink", partition, ctx)
+    write_cleanse_table(src, db, "orders_sink", partition, ctx)
+    return (
+        spark.table(f"`{db}`.`orders_sink`")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )

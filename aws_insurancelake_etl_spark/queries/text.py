@@ -1189,3 +1189,36 @@ def docs_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import token_chunks
 
     return token_chunks(_docs(spark, sf_dir), size=32, stride=24)
+
+
+@register(
+    "docs_source_cap",
+    """
+    SELECT doc_id, source, rank FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        FROM documents
+    ) WHERE rank <= 10
+    """,
+)
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/Gopher curation rule that stops a
+    single site dominating the corpus): keep the top 10 documents per
+    source, ranked by length with doc-id tie-breaks.  The rank window is
+    bounded (rn <= k), which Spark plans as WindowGroupLimit — each map
+    task keeps only its local top-k per source BEFORE the exchange, so
+    shuffle volume is |sources| * k per task, not the corpus.  At 100 TB
+    with millions of domains the partition key is well-distributed; a
+    single hot domain still moves only k rows per task thanks to the
+    group-limit pushdown."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("doc_id", "source", "rank")
+    )

@@ -803,3 +803,77 @@ def tr_jsonexpandarray(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, [{"field": "words", "index_field": "word_idx"}], ctx
     )
     return df.select("doc_id", "word_idx", F.col("words").alias("word"))
+
+
+@register(
+    "tr_filename_parse",
+    """
+    SELECT o_orderkey, 'orders' AS source_table, '20240101' AS file_date
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def tr_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_filename (reference
+    ``datatransform_stringmanipulation.py`` filename transform): regex
+    group-1 extraction from the run-context source file name
+    (``orders-20240101.csv``) materialized as constant columns on every
+    row — table name and file date here.  Constant columns are literals,
+    so the plan stays fully narrow; the oracle states the expected
+    constants directly."""
+    from ..operators.stringmanipulation import transform_filename
+
+    df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey")
+    )
+    return transform_filename(
+        df,
+        [
+            {"field": "source_table", "pattern": r"^([a-z]+)-\d+\.csv$",
+             "required": True},
+            {"field": "file_date", "pattern": r"-(\d{8})\.csv$", "required": True},
+        ],
+        _ctx(spark),
+    )
+
+
+@register(
+    "tr_flatten_clean_names",
+    """
+    SELECT o_orderkey AS order_key,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+           o_orderstatus AS statuscode
+    FROM orders WHERE o_orderkey % 60 = 0
+    """,
+)
+def tr_flatten_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten_schema + clean_column_names (reference
+    ``etl_collect_to_cleanse.py`` schema prep): a nested struct with
+    messy field names (spaces, dots, semicolons) is flattened one level
+    (``field.*``, no row multiplication) and the resulting columns pass
+    through the parquet-safe rename rules (trim/lower, strip
+    ``,;{}()``-class chars, `` .:`` → ``_``).  The oracle re-states the
+    values under the names the cleaner must produce, so both the flatten
+    and every rename rule are value-checked."""
+    from ..mapping import clean_column_names
+    from ..operators.structureddata import transform_flatten
+
+    nested = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 60 == 0)
+        .select(
+            F.struct(
+                F.col("o_orderkey").alias("Order Key"),
+                F.col("o_totalprice").cast("decimal(12,2)").alias("Total.Price"),
+            ).alias("Order Info"),
+            F.col("o_orderstatus").alias("Status;Code"),
+        )
+    )
+    flat = transform_flatten(
+        nested, [{"field": "Order Info", "keep_field": False}], _ctx(spark)
+    )
+    cleaned, _field_map = clean_column_names(flat)
+    # Surface the decimal as a double (registry convention: exact decimal
+    # inside, rounded double at the gate boundary for cross-engine hashing).
+    return cleaned.withColumn("total_price", F.col("total_price").cast("double"))

@@ -269,3 +269,14 @@ def test_semdedup_pairwise_stays_in_cluster(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The per-domain cap's bounded rank window must plan as the
+    two-phase WindowGroupLimit (partial top-k per map task BEFORE the
+    exchange, final after) — the property that keeps shuffle volume at
+    |sources|*k per task instead of the whole corpus."""
+    plan = plan_of(spark, "docs_source_cap")
+    assert plan.count("WindowGroupLimit") >= 2
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
