@@ -663,3 +663,56 @@ def sink_partition_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("sum_key"),
         )
     )
+
+
+@register(
+    "stream_upsert_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 upsert in the gate: the events table is split into
+    two DISJOINT drop files (incremental arrival, not a replay) and
+    drained with ``maxFilesPerTrigger=1`` so ``foreachBatch`` really runs
+    two merge cycles against the running totals table
+    (``streaming.ingest.streaming_upsert_totals``).  Because totals
+    accumulate in decimals, the final table equals the plain batch GROUP
+    BY no matter where the batch boundary fell — which is exactly what
+    the oracle states; any cross-batch double-count or drop diverges."""
+    import os
+
+    from ..streaming.ingest import streaming_upsert_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_id = uuid.uuid4().hex[:12]
+    drop_dir = tempfile.mkdtemp(prefix=f"gate-upsert-drop-{run_id}-")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{drop_dir}/batch0"
+    )
+    src.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{drop_dir}/batch1"
+    )
+    files_dir = tempfile.mkdtemp(prefix=f"gate-upsert-files-{run_id}-")
+    for i in (0, 1):
+        for name in os.listdir(f"{drop_dir}/batch{i}"):
+            if name.endswith(".parquet"):
+                shutil.copy(f"{drop_dir}/batch{i}/{name}",
+                            f"{files_dir}/events-{i}-{name}")
+    table = f"gate_upsert_{run_id}"
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .select("user_id", "value")
+    )
+    query = streaming_upsert_totals(
+        stream, table, tempfile.mkdtemp(prefix=f"gate-upsert-ckpt-{run_id}-")
+    )
+    query.awaitTermination()
+    return spark.table(table).select(
+        "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )

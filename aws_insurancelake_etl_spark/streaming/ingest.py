@@ -150,3 +150,58 @@ def streaming_dedup(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def streaming_upsert_totals(
+    events: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    id_col: str = "user_id",
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Streaming upsert sink (the foreachBatch SCD1 pattern): every
+    micro-batch is reduced to per-key partials map-side, then MERGEd into
+    a running totals table inside ``foreachBatch`` — the streaming twin of
+    ``operators/entitymatch.merge_into_primary`` (reference
+    ``etl_consume_entity_match.py`` MERGE semantics, applied continuously).
+
+    Totals accumulate in decimals, so the final table is EXACTLY the batch
+    aggregate regardless of how the stream was cut into micro-batches —
+    no float drift from batch-boundary summation order.  State lives in
+    the table itself (restart-safe via the checkpoint + idempotent batch
+    ids), not in executor memory; per batch the work is one partial
+    aggregate of the batch plus a |keys|-sized merge, the standard
+    streaming-upsert cost shape.  On a Delta/Iceberg catalog the
+    read-union-overwrite inside ``_merge`` becomes a transactional
+    ``MERGE INTO`` with the identical per-batch plan."""
+    from pyspark.sql import functions as F
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        partial = batch_df.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(20,2)")
+            .alias("total_value"),
+        )
+        if sess.catalog.tableExists(table_name):
+            merged = (
+                sess.table(table_name)
+                .unionByName(partial)
+                .groupBy(id_col)
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").cast("decimal(20,2)").alias("total_value"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            merged = partial.localCheckpoint()
+        merged.write.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
