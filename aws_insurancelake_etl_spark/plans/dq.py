@@ -351,6 +351,97 @@ class RuleCompiler:
         rule.agg_eval = lambda agg_row, key=key: int(agg_row.get(key) or 0) == 0
         return rule
 
+    # -- statistical aggregate rules (Glue DQDL surface beyond what the
+    # reference's own configs exercise: Mean, StandardDeviation, Sum,
+    # DistinctValuesCount, ColumnLength) ---------------------------------
+    def _parse_col_and_condition(self, text: str, rest: str) -> tuple[str, str]:
+        match = re.match(rf"(?:{_QUOTED}|(\S+))\s+(.*)$", rest, re.DOTALL)
+        if not match:
+            raise DQRuleError(f"Unparseable rule: {text}")
+        name = self._column(f"'{_pick(match.groups()[:3])}'")
+        self._require_column(name, text)
+        return name, match.group(4).strip()
+
+    def _agg_compare_rule(
+        self, text: str, condition: str, key_prefix: str, agg_expr: Column
+    ) -> CompiledRule:
+        """Aggregate-threshold rule: ``<op> <num>`` or exclusive
+        ``between a and b`` (the CustomSql comparator's convention) over a
+        single scalar computed in the shared stage aggregation pass."""
+        key = f"__dq_{key_prefix}_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = agg_expr
+        between = re.fullmatch(
+            r"between\s+(-?[\d.]+)\s+and\s+(-?[\d.]+)", condition, re.IGNORECASE
+        )
+        single = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(-?[\d.]+)", condition)
+        if between:
+            lo, hi = float(between.group(1)), float(between.group(2))
+            rule.agg_eval = lambda agg_row, key=key, lo=lo, hi=hi: (
+                agg_row.get(key) is not None and lo < float(agg_row[key]) < hi
+            )
+        elif single:
+            op, value = single.group(1), float(single.group(2))
+            py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                      "=": "__eq__", "!=": "__ne__"}
+            rule.agg_eval = lambda agg_row, key=key, op=op, value=value: (
+                agg_row.get(key) is not None
+                and getattr(float(agg_row[key]), py_ops[op])(value)
+            )
+        else:
+            raise DQRuleError(f"Unparseable threshold condition: {text}")
+        return rule
+
+    def _rule_mean(self, text: str, rest: str) -> CompiledRule:
+        name, condition = self._parse_col_and_condition(text, rest)
+        return self._agg_compare_rule(
+            text, condition, "mean", F.avg(F.col(f"`{name}`")).cast("double")
+        )
+
+    def _rule_standarddeviation(self, text: str, rest: str) -> CompiledRule:
+        """Population standard deviation (Deequ's StandardDeviation
+        semantics, which Glue DQDL inherits)."""
+        name, condition = self._parse_col_and_condition(text, rest)
+        return self._agg_compare_rule(
+            text, condition, "stddev", F.stddev_pop(F.col(f"`{name}`")).cast("double")
+        )
+
+    def _rule_sum(self, text: str, rest: str) -> CompiledRule:
+        name, condition = self._parse_col_and_condition(text, rest)
+        return self._agg_compare_rule(
+            text, condition, "sum", F.sum(F.col(f"`{name}`")).cast("double")
+        )
+
+    def _rule_distinctvaluescount(self, text: str, rest: str) -> CompiledRule:
+        name, condition = self._parse_col_and_condition(text, rest)
+        return self._agg_compare_rule(
+            text, condition, "dvc",
+            F.count_distinct(F.col(f"`{name}`")).cast("double"),
+        )
+
+    def _rule_columnlength(self, text: str, rest: str) -> CompiledRule:
+        """Row-level string-length rule (``length(col) <op> n`` /
+        exclusive ``between a and b``); nulls are non-compliant, matching
+        the ColumnValues convention."""
+        name, condition = self._parse_col_and_condition(text, rest)
+        length = F.length(F.col(f"`{name}`").cast("string"))
+        between = re.fullmatch(
+            r"between\s+(\d+)\s+and\s+(\d+)", condition, re.IGNORECASE
+        )
+        single = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(\d+)", condition)
+        if between:
+            lo, hi = int(between.group(1)), int(between.group(2))
+            predicate = (length > lo) & (length < hi)
+        elif single:
+            op, value = single.group(1), int(single.group(2))
+            spark_ops = {">": length > value, ">=": length >= value,
+                         "<": length < value, "<=": length <= value,
+                         "=": length == value, "!=": length != value}
+            predicate = spark_ops[op]
+        else:
+            raise DQRuleError(f"Unparseable ColumnLength condition: {text}")
+        return self._predicate_rule(text, predicate)
+
     def _rule_customsql(self, text: str, rest: str) -> CompiledRule:
         match = re.match(rf"{_QUOTED}\s*(.*)$", rest, re.DOTALL)
         if not match:

@@ -716,3 +716,62 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(table).select(
         "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+_DQ_STATS_RULES = (
+    "Mean 'o_totalprice' between 100000 and 200000",
+    "StandardDeviation 'o_totalprice' > 1000",
+    "Sum 'o_totalprice' > 0",
+    "DistinctValuesCount 'o_orderstatus' = 3",
+    "ColumnLength 'o_orderpriority' between 4 and 16",
+    "Mean 'o_totalprice' < 5",
+)
+
+
+@register(
+    "dq_stats_rules",
+    """
+    SELECT 'Mean ''o_totalprice'' between 100000 and 200000' AS rule,
+           AVG(o_totalprice) > 100000 AND AVG(o_totalprice) < 200000 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'StandardDeviation ''o_totalprice'' > 1000',
+           stddev_pop(o_totalprice) > 1000 FROM orders
+    UNION ALL
+    SELECT 'Sum ''o_totalprice'' > 0', SUM(o_totalprice) > 0 FROM orders
+    UNION ALL
+    SELECT 'DistinctValuesCount ''o_orderstatus'' = 3',
+           COUNT(DISTINCT o_orderstatus) = 3 FROM orders
+    UNION ALL
+    SELECT 'ColumnLength ''o_orderpriority'' between 4 and 16',
+           SUM(CASE WHEN o_orderpriority IS NULL
+                         OR NOT (length(o_orderpriority) > 4
+                                 AND length(o_orderpriority) < 16)
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'Mean ''o_totalprice'' < 5', AVG(o_totalprice) < 5 FROM orders
+    """,
+)
+def dq_stats_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical DQDL rule family (Mean / StandardDeviation / Sum /
+    DistinctValuesCount / ColumnLength — the Glue DQDL surface beyond
+    what the reference's own configs exercise) compiled by the real
+    ``RuleCompiler`` and evaluated by the real stage evaluator in ONE
+    shared aggregation pass; the oracle recomputes every verdict from the
+    same data, so thresholds hold at any scale factor.  The deliberately
+    failing final rule proves failures propagate, not just passes.
+    DQ outcomes are driver-side scalars by design (they gate pipeline
+    control flow), so building the result frame from them is the same
+    pattern as the lineage log."""
+    from ..plans.dq import RuleCompiler
+    from ..plans.dq_runner import _evaluate_rules
+
+    orders = t(spark, sf_dir, "orders")
+    compiler = RuleCompiler(orders)
+    rules = [compiler.compile(text) for text in _DQ_STATS_RULES]
+    ctx = RunContext(spark=spark, args={})
+    outcomes = _evaluate_rules(orders, rules, ctx)
+    return spark.createDataFrame(
+        [(o.rule, bool(o.passed)) for o in outcomes], "rule string, passed boolean"
+    )

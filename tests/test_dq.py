@@ -137,3 +137,41 @@ def test_missing_column_is_rule_error(spark, ctx):
 
     with pytest.raises(DQRuleError, match="not found"):
         compiler.compile("ColumnValues 'NoSuchColumn' >= 0")
+
+
+def test_statistical_rule_family(spark):
+    """Mean / StandardDeviation / Sum / DistinctValuesCount compile to
+    shared-pass aggregate rules; ColumnLength is row-level with nulls
+    non-compliant; exclusive `between` matches the CustomSql comparator."""
+    import pandas as pd
+
+    from aws_insurancelake_etl_spark.context import RunContext
+    from aws_insurancelake_etl_spark.plans.dq import RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import _evaluate_rules
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "amount": [10.0, 20.0, 30.0, 40.0],
+            "code": ["AA", "BBB", "CCCC", None],
+        })
+    )
+    compiler = RuleCompiler(df)
+    ctx = RunContext(spark=spark, args={})
+    cases = {
+        "Mean 'amount' between 24 and 26": True,     # mean = 25, exclusive ok
+        "Mean 'amount' between 25 and 30": False,    # exclusive lower bound
+        "Mean 'amount' = 25": True,
+        "StandardDeviation 'amount' > 11": True,     # population stddev ~11.18
+        "StandardDeviation 'amount' > 12": False,    # sample stddev would pass
+        "Sum 'amount' = 100": True,
+        "DistinctValuesCount 'code' = 3": True,      # nulls not counted
+        "ColumnLength 'code' between 1 and 5": False,  # null row non-compliant
+        "ColumnLength 'code' >= 2": False,           # null fails even though all lengths pass
+    }
+    rules = [compiler.compile(text) for text in cases]
+    outcomes = {o.rule: o.passed for o in _evaluate_rules(df, rules, ctx)}
+    assert outcomes == cases
+    # ColumnLength is row-level: the predicate splits exactly the null row.
+    rule = compiler.compile("ColumnLength 'code' between 1 and 5")
+    assert rule.predicate is not None
+    assert df.filter(~rule.predicate).count() == 1
