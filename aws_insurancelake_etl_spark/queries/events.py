@@ -652,3 +652,75 @@ def evt_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "evt_asof_tolerance",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN secs_since_purchase <= 86400 THEN purchase_event_id END
+               AS purchase_event_id,
+           CASE WHEN secs_since_purchase <= 86400 THEN secs_since_purchase END
+               AS secs_since_purchase
+    FROM (
+        SELECT e.event_id, e.user_id,
+               p.event_id AS purchase_event_id,
+               (epoch_us(e.ts) - epoch_us(p.ts)) / 1000000 AS secs_since_purchase
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (
+            SELECT user_id, event_id, ts FROM (
+                SELECT user_id, event_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    """,
+)
+def evt_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas ``merge_asof(tolerance=)``
+    semantics): each error matches the same user's most recent purchase
+    at-or-before it ONLY if that purchase is within 24 hours; staler
+    matches null out.  The plan is the identical join-free tagged-union +
+    one ``last(ignorenulls)`` window as ``evt_asof_last_purchase`` — the
+    tolerance is a post-window predicate, so bounding the lookback costs
+    ZERO extra shuffles (a naive range-join formulation would instead
+    expand every error × in-window purchase pair).  The oracle applies
+    the same bound on top of DuckDB's native ASOF JOIN."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        "event_id",
+    )
+    merged = purchases.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "p_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "p_event_id")), ignorenulls=True
+    ).over(w)
+    secs = (F.unix_micros("ts") - F.unix_micros("lp.ts")) / F.lit(1000000)
+    within = secs <= 86400
+    return (
+        merged.withColumn("lp", last_purchase)
+        .where(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(within, F.col("lp.p_event_id")).alias("purchase_event_id"),
+            F.when(within, secs).alias("secs_since_purchase"),
+        )
+    )

@@ -280,3 +280,14 @@ def test_source_cap_uses_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2
     for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert join_op not in plan, join_op
+
+
+def test_asof_tolerance_is_join_free_too(spark):
+    """The tolerance-bounded as-of must keep the join-free tagged-union +
+    window plan — bounding the lookback is a post-window predicate, not a
+    range join (whose candidate set would be quadratic in-window)."""
+    plan = plan_of(spark, "evt_asof_tolerance")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
