@@ -724,3 +724,37 @@ def evt_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(within, secs).alias("secs_since_purchase"),
         )
     )
+
+
+@register(
+    "join_salted_hotkey",
+    """
+    SELECT e.event_id, e.user_id % 25 AS nation_key, n.n_name AS nation_name
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew JOIN under the oracle (the agg twin is
+    ``evt_salted_hotkey_agg``): every event joins a 25-row dimension on a
+    deliberately hot key (user_id mod 25 — at 100 TB each key would land
+    its whole fact volume on one reducer).  ``operators/skew.salted_join``
+    replicates the dimension across 8 salts and spreads each fact row
+    over them, so a hot key occupies 8 shuffle partitions instead of 1;
+    the join OUTPUT is provably identical to the unsalted join, which is
+    exactly what the DuckDB oracle states.  The salt draw uses
+    monotonically_increasing_id — partition-order dependent, but the
+    output is salt-invariant because the dimension carries every salt."""
+    from ..operators.skew import salted_join
+
+    from .util import t as t_
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", (F.col("user_id") % 25).alias("nation_key")
+    )
+    nation = t_(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nation_key"),
+        F.col("n_name").alias("nation_name"),
+    )
+    return salted_join(ev, nation, on=["nation_key"], n_salts=8).select(
+        "event_id", "nation_key", "nation_name"
+    )
