@@ -427,3 +427,61 @@ def test_split_assign_stable_and_exclusive(spark):
     assert counts.get(None, 0) > 0
     with pytest.raises(ValueError):
         TA.split_assign(df, {"train": 0.8, "val": 0.3})
+
+
+def test_token_chunks_cover_every_token_with_exact_overlap(spark):
+    """Chunking invariants: starts advance by the stride, consecutive
+    chunks overlap by exactly size-stride tokens, every token position is
+    covered, and each chunk's hash equals the hash of the slice it claims."""
+    import pandas as pd
+
+    from aws_insurancelake_etl_spark.operators.textanalysis import token_chunks
+
+    texts = {
+        1: "a b c d e f g h i j k l m",   # 13 tokens: 2 chunks (size 5, stride 3)
+        2: "one two three",                # shorter than one chunk
+        3: " ".join(f"t{i}" for i in range(23)),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = token_chunks(df, size=5, stride=3).toPandas()
+    import hashlib
+
+    for doc_id, text in texts.items():
+        toks = text.split()
+        rows = out[out.doc_id == doc_id].sort_values("chunk_id")
+        starts = list(rows.start_pos)
+        assert starts == list(range(1, len(toks) + 1, 3))
+        covered = set()
+        for _, r in rows.iterrows():
+            chunk = toks[int(r.start_pos) - 1 : int(r.start_pos) - 1 + 5]
+            assert int(r.n_chunk_tokens) == len(chunk)
+            assert r.chunk_hash == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            covered.update(range(int(r.start_pos), int(r.start_pos) + len(chunk)))
+        assert covered == set(range(1, len(toks) + 1)), doc_id
+
+
+def test_semdedup_keeps_everything_not_dropped(spark):
+    """SemDeDup bookkeeping: every vector appears exactly once in the
+    output, drops never exceed per_cluster_drop per cluster, and a kept
+    vector is never one of the top-pair higher ids."""
+    import pandas as pd
+
+    from aws_insurancelake_etl_spark.operators.similarity import (
+        kmeans_fit,
+        semdedup_keep,
+    )
+
+    vecs = [[(i * 5 + d) % 16 / 16.0 for d in range(4)] for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": vecs})
+    )
+    assigned, _ = kmeans_fit(df, k=3, n_iter=1)
+    out = semdedup_keep(assigned, per_cluster_drop=2).toPandas()
+    assert sorted(out.vec_id) == list(range(20))
+    dropped = out[~out.keep]
+    assert len(dropped) <= 2 * out.cluster.nunique()
+    # Determinism: a second run produces the identical keep set.
+    out2 = semdedup_keep(assigned, per_cluster_drop=2).toPandas()
+    assert sorted(out[out.keep].vec_id) == sorted(out2[out2.keep].vec_id)
