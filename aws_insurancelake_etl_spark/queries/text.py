@@ -1222,3 +1222,59 @@ def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("doc_id", "source", "rank")
     )
+
+
+@register(
+    "docs_temperature_mix",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_stratum) AS n_min FROM counts),
+    rates AS (
+        SELECT lang,
+               CAST(FLOOR(10000 * sqrt(n_min * 1.0 / n_stratum)) AS BIGINT)
+                   AS keep_bps
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('tempmix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < r.keep_bps
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mixing (the mT5/XLM-R sampling rule
+    with alpha = 0.5): keep rates scale with sqrt(n_min/n_lang), half-way
+    between full rebalance-to-smallest (``docs_lang_rebalance``,
+    alpha = 1) and the raw crawl distribution (alpha = 0) — high-resource
+    languages are damped, low-resource ones kept whole, without the
+    all-or-nothing cliff.  sqrt is bit-deterministic IEEE-754 in both
+    engines, so the floor'd basis-point rates agree exactly.  Same plan
+    as the rebalance gate: tiny count aggregation, broadcast rates,
+    narrow md5-bucket predicate — the corpus is never shuffled."""
+    from ..operators.textanalysis import lang_rebalance  # noqa: F401  (plan twin)
+    from pyspark.sql import functions as _F
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
+    n_min = counts.agg(F.min("n_stratum").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            10000 * F.sqrt(F.col("n_min") * 1.0 / F.col("n_stratum"))
+        ).alias("keep_bps"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tempmix:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_bps"))
+        .drop("keep_bps")
+    )
