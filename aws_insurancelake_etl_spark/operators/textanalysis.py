@@ -168,15 +168,23 @@ def lang_rebalance(
     id_col: str = "doc_id",
     seed: str = "rebal",
     buckets: int = 10000,
+    alpha: float = 1.0,
 ) -> DataFrame:
-    """Down-sample every stratum to the size of the SMALLEST one — the
+    """Down-sample strata toward the size of the SMALLEST one — the
     data-mixing step that turns a skewed multilingual crawl into a
-    balanced training corpus.  Per-stratum keep rates are computed from
-    the corpus itself (floor(n_min * buckets / n_stratum) basis points),
-    then applied as the same deterministic md5-bucket predicate as
+    balanced training corpus.  ``alpha`` is the mT5/XLM-R sampling
+    temperature: keep rates scale with ``(n_min/n_stratum)^alpha``, so
+    alpha=1 rebalances fully to the smallest stratum, alpha=0 keeps the
+    raw crawl distribution, and alpha=0.5 is the sqrt-damped middle
+    ground the multilingual-pretraining literature uses.  Rates are
+    computed from the corpus itself (floor'd basis points), then applied
+    as the same deterministic md5-bucket predicate as
     :func:`stratified_sample`, so the selection is reproducible across
     runs, engines, and partitionings, and STABLE under growth of other
     strata (a kept document only drops if its own stratum's rate falls).
+    alpha 1 and 0.5 use the plain-division and ``sqrt`` expressions
+    respectively (not ``pow``) so a differential oracle stating the same
+    arithmetic agrees bit-for-bit.
 
     Plan: one map-side-combined count per stratum (driver state = one
     rate per stratum), rates broadcast back via a broadcast join keyed on
@@ -185,9 +193,16 @@ def lang_rebalance(
     stage and it moves |strata| rows."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
     n_min = counts.agg(F.min("n_stratum").alias("n_min"))
+    if alpha == 1.0:
+        bps = F.floor(F.col("n_min") * buckets / F.col("n_stratum"))
+    elif alpha == 0.5:
+        bps = F.floor(buckets * F.sqrt(F.col("n_min") * 1.0 / F.col("n_stratum")))
+    else:
+        bps = F.floor(
+            buckets * F.pow(F.col("n_min") * 1.0 / F.col("n_stratum"), F.lit(alpha))
+        )
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        strata_col,
-        F.floor(F.col("n_min") * buckets / F.col("n_stratum")).alias("keep_bps"),
+        strata_col, bps.alias("keep_bps")
     )
     bucket = (
         F.conv(

@@ -1251,30 +1251,11 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the floor'd basis-point rates agree exactly.  Same plan
     as the rebalance gate: tiny count aggregation, broadcast rates,
     narrow md5-bucket predicate — the corpus is never shuffled."""
-    from ..operators.textanalysis import lang_rebalance  # noqa: F401  (plan twin)
-    from pyspark.sql import functions as _F
+    from ..operators.textanalysis import lang_rebalance
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_stratum"))
-    n_min = counts.agg(F.min("n_stratum").alias("n_min"))
-    rates = counts.crossJoin(F.broadcast(n_min)).select(
-        "lang",
-        F.floor(
-            10000 * F.sqrt(F.col("n_min") * 1.0 / F.col("n_stratum"))
-        ).alias("keep_bps"),
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("tempmix:"), F.col("doc_id").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint")
-        % 10000
-    )
-    return (
-        docs.join(F.broadcast(rates), "lang")
-        .where(bucket < F.col("keep_bps"))
-        .drop("keep_bps")
+    return lang_rebalance(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_col="lang",
+        seed="tempmix",
+        alpha=0.5,
     )
