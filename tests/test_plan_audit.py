@@ -291,3 +291,30 @@ def test_asof_tolerance_is_join_free_too(spark):
                     "CartesianProduct"):
         assert join_op not in plan, join_op
     assert "Window" in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_tables(spark, tmp_path):
+    """At 100 TB the cleanse/consume tables are partition-laid-out
+    (year/month/day in the pipeline; status here), and a join against a
+    filtered dimension must prune file-source partitions at RUNTIME via
+    dynamic partition pruning — the session config has to keep DPP live.
+    Pinned so a config or upgrade regression that silently reverts to
+    full scans fails here, not in production."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    orders.withColumn("status", F.col("o_orderstatus")).write.partitionBy(
+        "status"
+    ).mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "keep"), ("O", "drop"), ("P", "drop")], "status string, label string"
+    )
+    joined = (
+        fact.join(dim, "status").where(F.col("label") == "keep")
+        .groupBy("status").count()
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruningexpression" in plan.lower()
