@@ -83,3 +83,84 @@ def kmv_distinct(
 ) -> DataFrame:
     """Sketch + estimate in one call: (group..., est_distinct)."""
     return kmv_estimate(kmv_sketch(df, value_col, group_cols, k), group_cols, k)
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-seeded md5 bucket for the count-min sketch (independent hash
+    per row via the seed prefix; 32-bit prefix is ample for small widths)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch of ``value_col`` occurrence counts as
+    (row, bucket, c) cells — depth × width longs total.
+
+    Like the KMV sketch above, this is deterministic (md5-derived row
+    hashes, so any engine reproduces it bit-for-bit — HLL/DataSketches
+    estimates are engine-private) and MERGEABLE: cells add, so per-day or
+    per-source sketches stored at ingest answer frequency queries over
+    any partition union without rescanning data.  Build cost is one
+    explode to depth rows per input row plus one (row, bucket)-keyed
+    aggregation with map-side partials — the shuffle moves at most
+    depth × width rows per map task."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_bucket(F.col(value_col), i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("rb"))
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of the key's cell
+    — the classic one-sided guarantee (est ≥ true count, overestimate
+    bounded by collisions).  The sketch is depth × width rows, so it
+    broadcasts; per-key cost is ``depth`` broadcast-hash lookups and a
+    min aggregate keyed on the probe key."""
+    probes = keys.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col(value_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

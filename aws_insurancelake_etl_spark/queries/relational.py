@@ -1002,3 +1002,55 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "o_orderpriority", F.round("est_distinct", 4).alias("est_distinct")
     )
+
+
+@register(
+    "sketch_cms_user_counts",
+    """
+    WITH rows4 AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+        SELECT r.row,
+               ('0x' || substr(md5('cms' || r.row || ':' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 64 AS bucket,
+               COUNT(*) AS c
+        FROM events, rows4 r
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT k.user_id, r.row,
+               ('0x' || substr(md5('cms' || r.row || ':' || CAST(k.user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 64 AS bucket
+        FROM keys k, rows4 r
+    ),
+    est AS (
+        SELECT p.user_id, MIN(c.c) AS cms_est
+        FROM probes p JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+        GROUP BY 1
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1)
+    SELECT e.user_id, e.exact_n, CAST(est.cms_est AS BIGINT) AS cms_est
+    FROM exact e JOIN est ON e.user_id = est.user_id
+    """,
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × width 64) over event user ids, probed
+    for every distinct user next to the exact count — the mergeable
+    frequency-sketch complement to the KMV distinct sketch, with the same
+    design rationale: md5-derived row hashes make every cell
+    deterministic, so DuckDB rebuilds the identical sketch (engine-private
+    sketches like DataSketches can't sit behind a differential oracle),
+    and cells ADD, so per-partition sketches stored at ingest answer
+    frequency queries over any partition union without rescanning.  The
+    overestimate guarantee (est ≥ exact) is visible in the output pairs.
+    Build: one depth-way explode + (row, bucket) aggregation with map-side
+    partials; probe: depth broadcast lookups per key
+    (``operators/sketches.cms_build`` / ``cms_query``)."""
+    from ..operators.sketches import cms_build, cms_query
+
+    events = t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(events, "user_id", depth=4, width=64)
+    keys = events.distinct()
+    est = cms_query(sketch, keys, "user_id", depth=4, width=64)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
