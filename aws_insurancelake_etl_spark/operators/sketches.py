@@ -164,3 +164,59 @@ def cms_query(
         .groupBy(value_col)
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+def _bloom_bit(value: Column, row: int, bits: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{row}:"), value.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % bits
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, depth: int = 3, bits: int = 256
+) -> DataFrame:
+    """Bloom membership filter as a DataFrame of DISTINCT set bit
+    positions (≤ ``bits`` rows) — deterministic md5 row hashes, so any
+    engine rebuilds it exactly, and MERGEABLE by plain union+distinct
+    (bitwise OR).  The classic use at 100 TB is shuffle-side pruning: a
+    bloom of the small side's join keys broadcast to the fact scan
+    discards non-joining rows before the exchange (what Spark's runtime
+    bloom join does internally — this is the storable, per-partition
+    version)."""
+    positions = F.explode(
+        F.array(*[_bloom_bit(F.col(value_col), i, bits) for i in range(depth)])
+    )
+    return df.select(positions.alias("bit")).distinct()
+
+
+def bloom_query(
+    bloom: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    bits: int = 256,
+) -> DataFrame:
+    """Probe: a key is ``in_bloom`` iff ALL its ``depth`` bit positions
+    are set — no false negatives ever, false-positive rate set by the
+    load factor.  The filter is ≤ ``bits`` rows, so it broadcasts; the
+    probe is a broadcast left join + an all-bits-present aggregate keyed
+    on the probe key."""
+    probes = keys.select(
+        value_col,
+        F.explode(
+            F.array(*[_bloom_bit(F.col(value_col), i, bits) for i in range(depth)])
+        ).alias("bit"),
+    )
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return marked.groupBy(value_col).agg(
+        (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth).alias("in_bloom")
+    )

@@ -1054,3 +1054,52 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_query(sketch, keys, "user_id", depth=4, width=64)
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     return exact.join(est, "user_id").select("user_id", "exact_n", "cms_est")
+
+
+@register(
+    "sketch_bloom_membership",
+    """
+    WITH rows3 AS (SELECT unnest([0, 1, 2]) AS row),
+    members AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('bloom' || r.row || ':' || CAST(m.user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 256 AS bit
+        FROM members m, rows3 r
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT k.user_id,
+               ('0x' || substr(md5('bloom' || r.row || ':' || CAST(k.user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 256 AS bit
+        FROM keys k, rows3 r
+    )
+    SELECT p.user_id,
+           p.user_id IN (SELECT user_id FROM members) AS is_member,
+           SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3 AS in_bloom
+    FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.user_id
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership filter (depth 3 × 256 bits) over purchasing users,
+    probed for EVERY user next to exact membership — the third mergeable
+    sketch beside KMV (distinct) and count-min (frequency), same design
+    rule: md5 row hashes make the filter engine-reproducible, union of
+    per-partition filters is bitwise OR.  The no-false-negative guarantee
+    is visible in the output (every is_member row has in_bloom true;
+    false positives are the gap between the columns).  At 100 TB this is
+    the storable version of runtime bloom-join pruning: broadcast the
+    small side's filter to the fact scan and drop non-joining rows
+    BEFORE the shuffle (``operators/sketches.bloom_build``/``bloom_query``)."""
+    from ..operators.sketches import bloom_build, bloom_query
+
+    events = t(spark, sf_dir, "events")
+    members = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    bloom = bloom_build(members, "user_id", depth=3, bits=256)
+    keys = events.select("user_id").distinct()
+    probed = bloom_query(bloom, keys, "user_id", depth=3, bits=256)
+    exact = keys.join(
+        members.withColumn("__m", F.lit(1)), "user_id", "left"
+    ).select("user_id", F.col("__m").isNotNull().alias("is_member"))
+    return exact.join(probed, "user_id").select("user_id", "is_member", "in_bloom")
