@@ -256,19 +256,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned window (one shuffle on the partition key) — the
-    `rownumber` transform's scalable form."""
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        t(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
+    """The ACTUAL `transform_rownumber` operator (reference
+    ``datatransform_misc.py`` rownumber) in its partitioned, scalable
+    form — one shuffle on the partition key; the yyyy-MM-dd string sorts
+    identically to the date it renders."""
+    from ..context import RunContext
+    from ..operators.misc import transform_rownumber
+
+    df = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
     )
+    df = transform_rownumber(
+        df,
+        [{"field": "rn", "partition": ["o_custkey"],
+          "sort": ["orderdate", "o_orderkey"]}],
+        RunContext(spark=spark, args={}),
+    )
+    return df.filter(F.col("rn") <= 3)
 
 
 @register(
@@ -306,19 +312,24 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_filldown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The `filldown` (ffill) transform in its partitioned, scalable form:
-    nulls (here: error events) take the last non-null value per user."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    """The ACTUAL `transform_filldown` operator (reference
+    ``datatransform_misc.py`` filldown) in its partitioned, scalable
+    form: nulls (here: error events) take the last non-null value per
+    user, one running window per entry."""
+    from ..context import RunContext
+    from ..operators.misc import transform_filldown
+
     masked = F.when(F.col("event_type") != "error", F.col("value"))
-    return read_events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        F.last(masked, ignorenulls=True).over(w).alias("value_filled"),
+    df = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", masked.alias("value_filled")
     )
+    df = transform_filldown(
+        df,
+        [{"field": "value_filled", "partition": ["user_id"],
+          "sort": ["ts", "event_id"]}],
+        RunContext(spark=spark, args={}),
+    )
+    return df.select("event_id", "user_id", "value_filled")
 
 
 @register(
@@ -382,21 +393,38 @@ def setops_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def explode_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row generator: native `sequence` + 1-based `posexplode` — the
-    expandpolicymonths operator's core on order dates."""
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
-    months = F.expr(
-        "sequence(trunc(cast(o_orderdate as date), 'MM'),"
-        " add_months(cast(o_orderdate as date), 2), interval 1 month)"
-    )
-    return (
-        orders.select("o_orderkey", months.alias("__months"))
-        .selectExpr("o_orderkey", "posexplode(__months) as (month_index, month_start)")
+    """The ACTUAL `transform_expandpolicymonths` operator (reference
+    ``datatransform_premium.py:116-159``) driven on order dates: one row
+    per active month with a 1-based index, generated executor-side by
+    ``sequence`` + ``posexplode_outer`` (no uniqueid field so the gate
+    stays deterministic)."""
+    from ..context import RunContext
+    from ..operators.premium import transform_expandpolicymonths
+
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
         .select(
             "o_orderkey",
-            (F.col("month_index") + 1).cast("bigint").alias("month_index"),
-            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+            F.col("o_orderdate").cast("date").alias("eff_date"),
+            F.add_months(F.col("o_orderdate").cast("date"), 2).alias("exp_date"),
         )
+    )
+    df = transform_expandpolicymonths(
+        orders,
+        {
+            "policy_effective_date": "eff_date",
+            "policy_expiration_date": "exp_date",
+            "policy_month_start_field": "month_start",
+            "policy_month_end_field": "month_end",
+            "policy_month_index": "month_index",
+        },
+        RunContext(spark=spark, args={}),
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("month_index").cast("bigint").alias("month_index"),
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
     )
 
 

@@ -877,3 +877,45 @@ def tr_flatten_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Surface the decimal as a double (registry convention: exact decimal
     # inside, rounded double at the gate boundary for cross-engine hashing).
     return cleaned.withColumn("total_price", F.col("total_price").cast("double"))
+
+
+@register(
+    "tr_xml_structured",
+    """
+    SELECT o_orderkey,
+           o_orderkey AS rec_key,
+           o_orderstatus AS rec_status
+    FROM orders WHERE o_orderkey % 70 = 0
+    """,
+)
+def tr_xml_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_xml (reference ``datatransform_structureddata.py``
+    xmlstructured): an XML string column rendered from orders rows is
+    parsed back into a nested struct with Spark-4 native
+    ``schema_of_xml`` + ``from_xml`` (schema inferred from a bounded
+    driver-side sample, widest wins), then fields are extracted.  The
+    oracle re-states the payload from the source table, so the
+    render → infer → parse → extract loop is value-checked end-to-end —
+    the XML twin of ``tr_json_structured``."""
+    from ..operators.structureddata import transform_xml
+
+    df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 70 == 0)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.lit("<rec><key>"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("</key><status>"),
+                F.col("o_orderstatus"),
+                F.lit("</status></rec>"),
+            ).alias("payload"),
+        )
+    )
+    df = transform_xml(df, ["payload"], _ctx(spark))
+    return df.select(
+        "o_orderkey",
+        F.col("payload.key").cast("bigint").alias("rec_key"),
+        F.col("payload.status").alias("rec_status"),
+    )
