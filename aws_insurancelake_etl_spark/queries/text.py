@@ -1259,3 +1259,134 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="tempmix",
         alpha=0.5,
     )
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH {_TOKS_CTE},
+    bg AS (
+        SELECT doc_id, pos,
+               token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bigram
+        FROM toks
+    ),
+    postings AS (
+        SELECT bigram, doc_id, COUNT(*) AS n_occurrences, MIN(pos) AS first_pos
+        FROM bg WHERE bigram IS NOT NULL GROUP BY bigram, doc_id
+    ),
+    df_tbl AS (
+        SELECT bigram, COUNT(*) AS doc_freq FROM postings GROUP BY bigram
+    )
+    SELECT p.bigram, p.doc_id, p.n_occurrences, CAST(p.first_pos AS BIGINT)
+               AS first_pos, d.doc_freq
+    FROM postings p JOIN df_tbl d ON p.bigram = d.bigram
+    WHERE d.doc_freq BETWEEN 2 AND 30
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-level inverted-index construction (the retrieval structure a
+    corpus pipeline materializes for search/RAG): per-(bigram, doc)
+    posting rows with occurrence count and first position, annotated with
+    corpus document frequency and restricted to discriminative phrases
+    (df 2-30 — the same predicate that drops stopword-class postings at
+    build time, where an index's volume hides; the driver corpus's
+    unigram vocabulary is all stopword-class, which is exactly why real
+    indexes go to phrases).  Plan: one explode, a per-doc LEAD window for
+    bigrams, one (bigram, doc)-keyed aggregation, then doc_freq attached
+    by a count window over the bigram key — join-free; at 100 TB the
+    bigram key would be the 60-bit hash as in ``dup_shingle_coverage``
+    (string-keyed here so the oracle's grouping is literally identical).
+    """
+    from pyspark.sql import Window as W
+
+    toks = _tokens(spark, sf_dir)
+    lead_w = W.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.col("token"), F.lead("token").over(lead_w)).alias("bigram"),
+        F.lead("token").over(lead_w).alias("__next"),
+    ).where(F.col("__next").isNotNull())
+    postings = bg.groupBy("bigram", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+    doc_freq = F.count(F.lit(1)).over(W.partitionBy("bigram"))
+    return (
+        postings.withColumn("doc_freq", doc_freq)
+        .where(F.col("doc_freq").between(2, 30))
+        .select("bigram", "doc_id", "n_occurrences", "first_pos", "doc_freq")
+    )
+
+
+_BM25_TERMS = ("stream", "window", "merge", "sort")
+_BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / s.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dfreq ON tf.token = dfreq.token
+        JOIN doclen ON tf.doc_id = doclen.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25 FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed conjunctive query (k1=1.2, b=0.75) — the
+    ranking half of the retrieval pair with ``text_inverted_index``.
+    Term frequencies restrict to the query terms BEFORE any aggregation
+    (at 100 TB the tf scan is an index lookup, not a corpus pass);
+    corpus-level scalars (N, avgdl) come from one aggregate and broadcast
+    via a 1-row cross join; the final top-10 is orderBy+limit, which
+    Spark plans as TakeOrdered (per-partition top-k + merge, no global
+    sort).  Identical double arithmetic on both engines; ties break on
+    doc_id."""
+    toks = _tokens(spark, sf_dir)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
