@@ -318,3 +318,23 @@ def test_dynamic_partition_pruning_fires_on_partitioned_tables(spark, tmp_path):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = joined._jdf.queryExecution().explainString(mode)
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_inverted_index_join_free(spark):
+    """Posting construction must attach document frequency with a count
+    window over the bigram key, never a join — one scan of documents."""
+    plan = plan_of(spark, "text_inverted_index")
+    assert plan.count("Location: InMemoryFileIndex [file:/root/testdata") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
+
+
+def test_bm25_takeordered_no_global_sort(spark):
+    """BM25 top-k must plan as TakeOrderedAndProject (per-partition top-k
+    + merge); corpus scalars ride a broadcast, never a shuffled join."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
