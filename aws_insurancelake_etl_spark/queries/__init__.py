@@ -63,7 +63,8 @@ _MODULES = (
 # tr_flatten_clean_names, docs_source_cap, stream_upsert_totals,
 # dq_stats_rules, evt_asof_tolerance, join_salted_hotkey,
 # docs_temperature_mix, sketch_cms_user_counts, sketch_bloom_membership,
-# tr_xml_structured, text_inverted_index, text_bm25_topk)
+# tr_xml_structured, text_inverted_index, text_bm25_topk,
+# agg_cube_status_priority, evt_range_frame_sum)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.

@@ -758,3 +758,41 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, nation, on=["nation_key"], n_salts=8).select(
         "event_id", "nation_key", "nation_name"
     )
+
+
+@register(
+    "evt_range_frame_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing_7d_value
+    FROM events
+    """,
+)
+def evt_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each event's trailing-7-day value sum per
+    user, frame bounded by event TIME, not row count — the windowing
+    feature ROWS frames can't express on irregular event streams (a
+    user's frame holds however many events fall in the week).  Spark's
+    rangeBetween needs a numeric ordering key, so ts becomes epoch
+    seconds with a [-604800, 0] frame — semantically identical to the
+    oracle's native INTERVAL frame.  One exchange on user_id; decimal
+    sums keep every frame order-independent.  Ties on ts are frame-
+    equivalent by RANGE semantics (peers share the frame), so no
+    tie-break is needed for determinism."""
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts") / 1_000_000)
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_value"),
+    )

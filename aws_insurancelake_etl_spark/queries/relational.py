@@ -1131,3 +1131,39 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.withColumn("__m", F.lit(1)), "user_id", "left"
     ).select("user_id", F.col("__m").isNotNull().alias("is_member"))
     return exact.join(probed, "user_id").select("user_id", "is_member", "in_bloom")
+
+
+@register(
+    "agg_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+           COALESCE(o_orderpriority, 'ALL') AS order_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2^k grouping combinations in ONE pass
+    (Catalyst expands to an Expand node feeding a single hash aggregate
+    with map-side partials, exactly like GROUPING SETS/ROLLUP; never k
+    separate scans).  Decimal sums keep the distributed aggregation
+    order-independent; NULL grouping markers coalesce to 'ALL' on both
+    engines."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
