@@ -323,6 +323,90 @@ def dup_shingle_coverage(
     )
 
 
+def positioned_grams(df: DataFrame, k: int = 4, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, gram) — every (non-distinct) word k-gram with its
+    1-based start position.  Same narrow ``arrays_zip``-of-offset-``slice``s
+    build as :func:`shingles` (codegen'd, zero shuffles); ``posexplode``
+    carries the position that run detection needs."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram_count = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, gram_count) for i in range(k)])
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(zipped).alias("__i", "__g"))
+        .select(
+            "doc_id",
+            (F.col("__i") + 1).alias("pos"),
+            F.concat_ws(" ", *[F.col(f"__g.{i}") for i in range(k)]).alias("gram"),
+        )
+    )
+
+
+def substring_run_pairs(
+    df: DataFrame, k: int = 4, min_run_tokens: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication between documents (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document pair sharing a run of >= ``min_run_tokens`` CONSECUTIVE
+    tokens, emit (doc_a, doc_b, max_run_tokens).  Verbatim-copy spans are
+    the dedup signal MinHash/Jaccard structurally miss: a 50-token
+    license header shared by two otherwise-unrelated documents moves set
+    Jaccard by ~1% but is exactly the memorization-risk span an LLM
+    corpus pipeline must find.
+
+    Plan (suffix arrays don't distribute; diagonal islands do):
+    1. positioned k-grams per doc — narrow (no shuffle);
+    2. posting list per 60-bit gram hash; (doc,pos) match points expand
+       IN-LIST, so there is no grams-vs-grams self-join and no second
+       evaluation of the gram pipeline — the same shape as
+       ``_posting_pair_counts``;
+    3. a run of matching k-grams lies on one DIAGONAL (pa - pb constant)
+       at consecutive pa: gaps-and-islands (pa - row_number) groups each
+       island, its gram count + k - 1 is the shared-token run length.
+    Shuffle keys: gram hash (8-byte, well-distributed), then
+    (doc_a, doc_b, diagonal) — match points only, a set that is tiny
+    relative to the corpus unless the corpus IS mostly duplicated.
+    ``max_posting_len`` is the stop-gram cap (drop grams appearing in
+    > K docs before pair expansion) for boilerplate-heavy corpora; runs
+    through a dropped gram split into two shorter islands, so capped
+    results only UNDER-report run length — precision kept."""
+    grams = positioned_grams(df, k=k, id_col=id_col, text_col=text_col)
+    hashed = grams.select("doc_id", "pos", shingle_hash60("gram").alias("h"))
+    keep = F.size("ps") >= 2
+    if max_posting_len is not None:
+        keep = keep & (F.size("ps") <= max_posting_len)
+    postings = (
+        hashed.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
+        .where(keep)
+    )
+    matches = (
+        postings.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    island = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("diag", F.col("pa") - F.col("pb"))
+        .withColumn("grp", F.col("pa") - F.row_number().over(island))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg((F.max("run_grams") + (k - 1)).alias("max_run_tokens"))
+        .where(F.col("max_run_tokens") >= min_run_tokens)
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — per-bit majority vote over distinct-token

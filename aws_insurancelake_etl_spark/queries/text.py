@@ -1390,3 +1390,52 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )
+
+
+@register(
+    "dedup_substring_runs",
+    f"""
+    WITH {_TOKS_CTE},
+    g AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(token || ' ' || l1 || ' ' || l2 || ' ' || l3),
+                               1, 15))::BIGINT AS h
+        FROM (
+            SELECT doc_id, pos, token,
+                   LEAD(token, 1) OVER w AS l1,
+                   LEAD(token, 2) OVER w AS l2,
+                   LEAD(token, 3) OVER w AS l3
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE l3 IS NOT NULL
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    r AS (
+        SELECT doc_a, doc_b, pa - pb AS diag,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS grp
+        FROM m
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, COUNT(*) AS run_grams
+        FROM r GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, MAX(run_grams) + 3 AS max_run_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING MAX(run_grams) + 3 >= 8
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022): document pairs sharing a
+    run of >= 8 CONSECUTIVE tokens, with the longest shared run length —
+    the verbatim-copy signal set-based scorers miss (a 50-token license
+    header barely moves Jaccard).  Suffix arrays don't distribute;
+    diagonal islands do: positioned 4-grams (narrow build), posting-list
+    match-point expansion on the 60-bit gram hash (no self-join), then
+    gaps-and-islands on (pair, pa - pb) diagonals.  See
+    ``operators/dedup.substring_run_pairs``."""
+    return D.substring_run_pairs(
+        _docs(spark, sf_dir), k=4, min_run_tokens=8
+    )
