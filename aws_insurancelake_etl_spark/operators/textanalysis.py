@@ -542,3 +542,44 @@ def split_assign(
     for name, lo, hi in reversed(cases):
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def corpus_cross_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(doc_id, n_tokens, xent) — per-document cross-entropy under the
+    CORPUS unigram language model: xent = sum_t c_t * -ln(cf_t / N) / len,
+    where cf_t is the token's corpus frequency and N the corpus token
+    count.  This is the CCNet/KenLM perplexity-filter proxy: documents
+    whose tokens are corpus-typical score LOW (fluent/common), documents
+    full of corpus-rare tokens score HIGH — a cross-corpus signal, unlike
+    :func:`unigram_entropy` which only sees the document's own
+    distribution.
+
+    Plan: per-(doc, token) counts (one shuffle, high-cardinality key);
+    the vocabulary aggregates FROM those counts (second shuffle, but on
+    the much smaller (token) key set) and joins back broadcast — the
+    vocabulary is Zipf-bounded (tens of millions of rows at web scale,
+    ~8 bytes/token hashed), so it fits the 64 MB broadcast budget long
+    after the corpus doesn't; set ``broadcast_vocab=False`` to fall back
+    to a shuffle join keyed on token.  Corpus N rides a broadcast 1-row
+    cross join, never a driver collect."""
+    toks = tokenize(df, id_col, text_col)
+    doc_tok = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_tok.groupBy("token").agg(F.sum("c").alias("cf"))
+    totals = vocab.agg(F.sum("cf").alias("corpus_n"))
+    joined = doc_tok.join(
+        F.broadcast(vocab) if broadcast_vocab else vocab, "token"
+    ).crossJoin(F.broadcast(totals))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * -F.log(F.col("cf") * 1.0 / F.col("corpus_n")))
+                / F.sum("c"),
+                4,
+            ).alias("xent"),
+        )
+    )

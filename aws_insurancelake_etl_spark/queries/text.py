@@ -1439,3 +1439,27 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_run_pairs(
         _docs(spark, sf_dir), k=4, min_run_tokens=8
     )
+
+
+@register(
+    "text_corpus_xent",
+    f"""
+    WITH {_TOKS_CTE},
+    dt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
+    v AS (SELECT token, SUM(c) AS cf FROM dt GROUP BY token),
+    n AS (SELECT SUM(cf) AS corpus_n FROM v)
+    SELECT doc_id, SUM(c) AS n_tokens,
+           ROUND(SUM(c * -ln(cf * 1.0 / corpus_n)) / SUM(c), 4) AS xent
+    FROM dt JOIN v USING (token) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_corpus_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-filter proxy: per-document cross-entropy
+    under the corpus unigram LM (low = corpus-typical, high = rare-token
+    soup).  Vocabulary joins back broadcast (Zipf-bounded), corpus N
+    rides a 1-row broadcast cross join.  See
+    ``operators/textanalysis.corpus_cross_entropy``."""
+    from ..operators.textanalysis import corpus_cross_entropy
+
+    return corpus_cross_entropy(_docs(spark, sf_dir))
