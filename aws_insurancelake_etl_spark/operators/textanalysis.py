@@ -583,3 +583,35 @@ def corpus_cross_entropy(
             ).alias("xent"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame, weight_col: str, k: int, strata_col: str | None = None,
+    id_col: str = "doc_id", seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row gets key = ln(u) / w with u an
+    md5-derived uniform in (0,1); the k LARGEST keys per stratum are an
+    exact weighted sample without replacement (equivalent to u^(1/w),
+    log-form for numeric stability).  Like :func:`stratified_sample` this
+    is reproducible across runs, engines, and partitionings — no RNG
+    state — which is what lets a training-data pipeline re-draw the same
+    quality-weighted corpus sample after a backfill, and an oracle replay
+    it.  The key build is narrow; the only exchange is the per-stratum
+    top-k window, which Spark executes as two-phase WindowGroupLimit
+    (each map task pre-limits to k before the shuffle), so shuffled rows
+    are tasks x strata x k, not the corpus."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = F.log(u) / F.col(weight_col)
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    rk = F.row_number().over(part.orderBy(key.desc(), F.col(id_col)))
+    return df.withColumn("rk", rk).where(F.col("rk") <= k)

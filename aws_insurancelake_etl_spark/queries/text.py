@@ -1463,3 +1463,35 @@ def text_corpus_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import corpus_cross_entropy
 
     return corpus_cross_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "docs_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT + 1) / 4294967297.0)
+                   / n_chars AS k
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rk FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= 25
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, 25 docs per language with
+    probability proportional to length (Efraimidis-Spirakis keys over
+    md5 uniforms — deterministic, engine-replayable).  Rides the
+    two-phase WindowGroupLimit rewrite, so pre-shuffle rows are
+    tasks x |langs| x 25.  See
+    ``operators/textanalysis.weighted_sample_topk``."""
+    from ..operators.textanalysis import weighted_sample_topk
+
+    return weighted_sample_topk(
+        t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars"),
+        weight_col="n_chars", k=25, strata_col="lang",
+    )
