@@ -615,3 +615,37 @@ def weighted_sample_topk(
     part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
     rk = F.row_number().over(part.orderBy(key.desc(), F.col(id_col)))
     return df.withColumn("rk", rk).where(F.col("rk") <= k)
+
+
+def token_budget_fill(
+    df: DataFrame, budget: int, order_col: str, strata_col: str = "source",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Greedy token-budget selection: within each stratum, walk documents
+    in ``order_col``-descending order (ties on id) and keep each doc whose
+    CUMULATIVE token count before it is still under ``budget`` — "fill a
+    per-source token budget with the best documents first", the
+    allocation step between corpus scoring and shard packing in a
+    training-data pipeline.  One window over (stratum, quality desc)
+    computes the running total; the keep decision is a row predicate on
+    the 1-preceding cumulative sum, so the whole operator is one exchange
+    keyed on the stratum.  At 100 TB the stratum key must be the
+    partition grain anyway (budgets are per-source); a skewed mega-source
+    bounds this the same way it bounds any per-source scan."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col(order_col).alias("__ord"),
+    )
+    w = Window.partitionBy("stratum").orderBy(F.desc("__ord"), "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        base.withColumn("cum_before", cum_before)
+        .where(F.col("cum_before") < budget)
+        .drop("__ord")
+    )

@@ -1495,3 +1495,45 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars"),
         weight_col="n_chars", k=25, strata_col="lang",
     )
+
+
+@register(
+    "docs_token_budget_fill",
+    r"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')) AS diversity
+        FROM documents
+    ),
+    c AS (
+        SELECT source AS stratum, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY diversity DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM d
+    )
+    SELECT stratum, doc_id, n_tokens, cum_before
+    FROM c WHERE cum_before < 600
+    """,
+)
+def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill: highest-diversity documents first
+    until 600 tokens per source — the budget-allocation step between
+    corpus scoring and shard packing.  Keep decision is a predicate on
+    the 1-preceding running token total; one exchange keyed on source.
+    Diversity ratios are exact integer-division doubles, so the ordering
+    is bit-identical across engines.  See
+    ``operators/textanalysis.token_budget_fill``."""
+    from ..operators.textanalysis import token_budget_fill
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.withColumn(
+        "diversity", F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    )
+    return token_budget_fill(
+        scored, budget=600, order_col="diversity", strata_col="source"
+    ).withColumnRenamed("stratum", "stratum")
