@@ -338,3 +338,50 @@ def test_bm25_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_runs_expand_in_posting_lists(spark):
+    """Exact-substring run detection must expand match points INSIDE the
+    per-gram posting lists — never a grams-vs-grams self-join, which
+    would re-evaluate the gram pipeline and shuffle it twice.  The only
+    joins allowed in the plan are none at all; runs group on the
+    (pair, diagonal) key via window + aggregate."""
+    plan = plan_of(spark, "dedup_substring_runs")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Generate" in plan          # in-list pair expansion
+    assert "Window" in plan            # gaps-and-islands row_number
+
+
+def test_corpus_xent_broadcasts_vocab(spark):
+    """The vocabulary (Zipf-bounded) must join back to the (doc, token)
+    counts BROADCAST, and corpus N must ride a broadcast 1-row cross
+    join — the corpus-sized side is never shuffled for either."""
+    plan = plan_of(spark, "text_corpus_xent")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial aggregation before each exchange (map-side combine)
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """A-ES weighted sampling's per-stratum top-k must ride the two-phase
+    WindowGroupLimit rewrite (per-map-task pre-limit before the
+    exchange) so shuffled rows are tasks x strata x k, not the corpus."""
+    plan = plan_of(spark, "docs_weighted_sample")
+    assert plan.count("WindowGroupLimit") >= 2
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+
+
+def test_token_budget_fill_single_exchange(spark):
+    """Budget fill is one window keyed on the stratum: exactly one
+    shuffle exchange, no joins (the running-total predicate must not
+    compile to a self-join)."""
+    plan = plan_of(spark, "docs_token_budget_fill")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    # tree section + detail section each mention the exchange once
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
