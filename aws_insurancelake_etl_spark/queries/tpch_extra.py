@@ -981,3 +981,80 @@ def window_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).cast("double").alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).cast("double").alias("max_bal"),
     )
+
+
+_PR_ITERS = 5
+_PR_D = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE twin of the iterative PageRank loop: one (d_i, c_i,
+    r_{i+1}) CTE triple per iteration, generated by the same Python loop
+    that drives the Spark side, so iteration count and damping can never
+    drift between engines."""
+    parts = [f"""
+    WITH e AS (
+        SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS owt FROM e GROUP BY src),
+    p AS (SELECT e.src, e.dst, e.w * 1.0 / ow.owt AS p FROM e JOIN ow USING (src)),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for i in range(_PR_ITERS):
+        parts.append(f""",
+    d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r{i}
+             WHERE node NOT IN (SELECT DISTINCT src FROM p)),
+    c{i} AS (SELECT p.dst AS node, SUM(p.p * r.rank) AS c
+             FROM p JOIN r{i} r ON p.src = r.node GROUP BY p.dst),
+    r{i + 1} AS (
+        SELECT nodes.node,
+               (1 - {_PR_D}::DOUBLE) / nn.n
+               + {_PR_D}::DOUBLE * (COALESCE(c{i}.c, 0) + d{i}.dm / nn.n) AS rank
+        FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+        LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )""")
+    parts.append(f"""
+    SELECT r.node AS nation_key, n_name AS nation, ROUND(r.rank, 6) AS pagerank
+    FROM r{_PR_ITERS} r JOIN nation ON r.node = n_nationkey""")
+    return "".join(parts)
+
+
+@register("graph_pagerank_trade", _pagerank_oracle())
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (supplier nation ->
+    customer nation, edge weight = shipment count): the canonical
+    iterative-ranking workload, distributed as one edges-x-ranks join +
+    contribution aggregate per round with a single dangling-mass scalar
+    on the driver (see ``operators/graph.pagerank``).  The oracle unrolls
+    the same loop into chained CTEs, generated by the same Python code,
+    so the two engines can never disagree silently on iteration count or
+    damping."""
+    from ..operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_D)
+    return ranks.join(nation, ranks["node"] == nation["n_nationkey"]).select(
+        F.col("node").alias("nation_key"),
+        F.col("n_name").alias("nation"),
+        F.round("rank", 6).alias("pagerank"),
+    )
