@@ -64,7 +64,9 @@ _MODULES = (
 # dq_stats_rules, evt_asof_tolerance, join_salted_hotkey,
 # docs_temperature_mix, sketch_cms_user_counts, sketch_bloom_membership,
 # tr_xml_structured, text_inverted_index, text_bm25_topk,
-# agg_cube_status_priority, evt_range_frame_sum)
+# agg_cube_status_priority, evt_range_frame_sum, and the round-4
+# continuation additions: dedup_substring_runs, text_corpus_xent,
+# docs_weighted_sample, docs_token_budget_fill, graph_pagerank_trade)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
