@@ -1,0 +1,179 @@
+"""Semantics tests for the round-4 continuation operators: exact-substring
+run detection, weighted sampling, token-budget fill, and PageRank.
+
+Each test plants a KNOWN structure and asserts the operator recovers it
+exactly — complementing the plan audits (shape) and the DuckDB gates
+(engine agreement on fixture data) with constructed-case correctness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aws_insurancelake_etl_spark.operators.dedup import substring_run_pairs
+from aws_insurancelake_etl_spark.operators.graph import pagerank
+from aws_insurancelake_etl_spark.operators.textanalysis import (
+    token_budget_fill,
+    weighted_sample_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestSubstringRuns:
+    def test_planted_run_recovered_exactly(self, spark):
+        """Two docs share exactly one 10-token run; everything else is
+        disjoint vocabulary, so the reported max run must be exactly 10."""
+        shared = " ".join(f"s{i}" for i in range(10))
+        df = _docs(spark, [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 b2 {shared} b3 b4 b5 b6"),
+        ])
+        out = substring_run_pairs(df, k=4, min_run_tokens=8).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert (row.doc_a, row.doc_b, row.max_run_tokens) == (1, 2, 10)
+
+    def test_below_threshold_pair_excluded(self, spark):
+        shared = " ".join(f"s{i}" for i in range(6))  # 6 < 8
+        df = _docs(spark, [
+            (1, f"a1 a2 a3 a4 {shared}"),
+            (2, f"{shared} b1 b2 b3 b4"),
+        ])
+        assert substring_run_pairs(df, k=4, min_run_tokens=8).count() == 0
+
+    def test_two_separate_runs_report_longest(self, spark):
+        """Two shared runs on different diagonals — the per-pair result is
+        the LONGEST, and a gap splits islands (no bridging)."""
+        r1 = " ".join(f"x{i}" for i in range(8))
+        r2 = " ".join(f"y{i}" for i in range(12))
+        df = _docs(spark, [
+            (1, f"{r1} a1 a2 a3 {r2}"),
+            (2, f"{r2} b1 b2 {r1}"),
+        ])
+        out = substring_run_pairs(df, k=4, min_run_tokens=8).collect()
+        assert len(out) == 1
+        assert out[0].max_run_tokens == 12
+
+    def test_stop_gram_cap_only_underreports(self, spark):
+        """With a posting cap that drops the run's grams, the pair either
+        disappears or reports a SHORTER run — never a longer one."""
+        shared = " ".join(f"s{i}" for i in range(10))
+        rows = [(i, f"pad{i}a pad{i}b {shared}") for i in range(1, 6)]
+        df = _docs(spark, rows)
+        full = {
+            (r.doc_a, r.doc_b): r.max_run_tokens
+            for r in substring_run_pairs(df, k=4, min_run_tokens=4).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b): r.max_run_tokens
+            for r in substring_run_pairs(
+                df, k=4, min_run_tokens=4, max_posting_len=3
+            ).collect()
+        }
+        for pair, run in capped.items():
+            assert run <= full[pair]
+
+
+class TestWeightedSample:
+    def test_exact_k_per_stratum_and_deterministic(self, spark):
+        rows = [(f"s{j}", i * 10 + j, (i % 7) + 1) for i in range(40) for j in range(3)]
+        df = spark.createDataFrame(rows, ["lang", "doc_id", "w"])
+        a = weighted_sample_topk(df, "w", k=5, strata_col="lang")
+        b = weighted_sample_topk(df, "w", k=5, strata_col="lang")
+        ra = sorted((r.lang, r.doc_id, r.rk) for r in a.collect())
+        rb = sorted((r.lang, r.doc_id, r.rk) for r in b.collect())
+        assert ra == rb
+        per = {}
+        for lang, _, _ in ra:
+            per[lang] = per.get(lang, 0) + 1
+        assert per == {"s0": 5, "s1": 5, "s2": 5}
+
+    def test_matches_brute_force_keys(self, spark):
+        """The selected rows must be exactly the k largest ln(u)/w keys,
+        replayed here with Python's md5 — independent of Spark's."""
+        import hashlib
+
+        rows = [("x", i, i + 1) for i in range(30)]
+        df = spark.createDataFrame(rows, ["lang", "doc_id", "w"])
+        got = sorted(
+            r.doc_id
+            for r in weighted_sample_topk(df, "w", k=7, strata_col="lang").collect()
+        )
+
+        def key(doc_id, w):
+            h = hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 1) / 4294967297.0
+            return math.log(u) / w
+
+        expect = sorted(
+            sorted(rows, key=lambda r: (-key(r[1], r[2]), r[1]))[:7],
+        )
+        assert got == sorted(r[1] for r in expect)
+
+
+class TestTokenBudgetFill:
+    def test_budget_invariants(self, spark):
+        rows = [
+            ("a", i, " ".join(f"t{j}" for j in range(10 + i)))
+            for i in range(8)
+        ] + [("b", 100, "u1 u2 u3")]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+        df = df.withColumn("q", df.doc_id * 1.0)  # order: highest doc_id first
+        out = token_budget_fill(df, budget=30, order_col="q").collect()
+        kept = {r.doc_id: r for r in out}
+        # every kept row started under budget
+        assert all(r.cum_before < 30 for r in out)
+        # stratum b is tiny: fully kept
+        assert 100 in kept
+        # stratum a: walking doc_id desc (17,16,15... tokens), 30-token
+        # budget admits doc 7 (17 toks, cum 0) and doc 6 (16 toks, cum 17);
+        # doc 5 sees cum 33 >= 30.
+        a_kept = sorted(r.doc_id for r in out if r.stratum == "a")
+        assert a_kept == [6, 7]
+
+
+class TestPageRank:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, ["src", "dst", "weight"])
+
+    def _nodes(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], ["node"])
+
+    def test_mass_conserved_and_symmetric_cycle_uniform(self, spark):
+        """A symmetric cycle must stay exactly uniform, and total rank
+        mass must be 1 after any number of rounds."""
+        n = 4
+        edges = self._edges(
+            spark, [(i, (i + 1) % n, 1.0) for i in range(n)]
+        )
+        ranks = {r.node: r.rank for r in
+                 pagerank(edges, self._nodes(spark, range(n)), iterations=3).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        for v in ranks.values():
+            assert abs(v - 0.25) < 1e-12
+
+    def test_dangling_mass_redistributed(self, spark):
+        """Node 2 has no out-edges; without redistribution, mass leaks
+        and the total drops below 1."""
+        edges = self._edges(spark, [(0, 2, 1.0), (1, 2, 1.0)])
+        ranks = {r.node: r.rank for r in
+                 pagerank(edges, self._nodes(spark, range(3)), iterations=4).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        assert ranks[2] > ranks[0]
+
+    def test_weighted_edges_shift_rank(self, spark):
+        """0 sends 90% of its walk to 1 and 10% to 2 — node 1 must
+        outrank node 2."""
+        edges = self._edges(
+            spark,
+            [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        )
+        ranks = {r.node: r.rank for r in
+                 pagerank(edges, self._nodes(spark, range(3)), iterations=6).collect()}
+        assert ranks[1] > ranks[2]
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
