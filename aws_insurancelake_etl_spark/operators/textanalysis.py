@@ -649,3 +649,60 @@ def token_budget_fill(
         .where(F.col("cum_before") < budget)
         .drop("__ord")
     )
+
+
+def mix_epochs(
+    df: DataFrame,
+    weights_permille: dict[str, int],
+    budget_docs: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Training-mix epoch assignment: up-sample each stratum to its
+    target share of a document budget by REPEATING documents across
+    epochs — the data-mixing step that lets a small high-quality source
+    contribute 30% of training while being 3% of the corpus.  For
+    stratum s with n_s documents and target ``weights_permille[s]``,
+    need_s = (permille * budget) // 1000 documents are drawn as
+    ``need_s // n_s`` full epochs plus a partial epoch of exactly
+    ``need_s % n_s`` documents, chosen by md5-rank — all integer
+    arithmetic, so the draw is exact and engine-replayable (no
+    floating-point rates).  Output: one (stratum, doc, epoch) row per
+    scheduled repetition.
+
+    Plan: one map-side-combined count per stratum joins the weight
+    table broadcast; the partial-epoch draw is a per-stratum md5-rank
+    window (two-phase WindowGroupLimit does NOT apply — every row needs
+    its rank — but the window key is the stratum, the same grain any
+    per-source budget already forces); the epoch fan-out is a narrow
+    ``sequence`` explode.  Strata absent from the weight table drop."""
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        [(k, int(v)) for k, v in weights_permille.items()], [strata_col, "pm"]
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    plan = counts.join(F.broadcast(weights), strata_col).select(
+        strata_col,
+        F.expr(f"(pm * {int(budget_docs)}) DIV 1000 DIV n_stratum").alias("epochs"),
+        F.expr(f"(pm * {int(budget_docs)}) DIV 1000 % n_stratum").alias("partial"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+    )
+    ranked = df.select(strata_col, id_col).withColumn("rk", rk)
+    rep = ranked.join(F.broadcast(plan), strata_col).select(
+        strata_col,
+        id_col,
+        (
+            F.col("epochs") + F.when(F.col("rk") <= F.col("partial"), 1).otherwise(0)
+        ).alias("n_rep"),
+    )
+    return rep.where(F.col("n_rep") >= 1).select(
+        strata_col,
+        id_col,
+        F.explode(F.expr("sequence(1, n_rep)")).alias("epoch"),
+    )

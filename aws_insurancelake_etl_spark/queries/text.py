@@ -1537,3 +1537,46 @@ def docs_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_fill(
         scored, budget=600, order_col="diversity", strata_col="source"
     ).withColumnRenamed("stratum", "stratum")
+
+
+@register(
+    "docs_mix_epochs",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    cfg(lang, pm) AS (VALUES ('en', 500), ('de', 300), ('es', 200)),
+    plan AS (
+        SELECT c.lang,
+               ((pm * 1000) // 1000) // n AS epochs,
+               ((pm * 1000) // 1000) % n AS partial
+        FROM c JOIN cfg USING (lang)
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    rep AS (
+        SELECT r.lang, doc_id,
+               epochs + CASE WHEN rk <= partial THEN 1 ELSE 0 END AS n_rep
+        FROM ranked r JOIN plan USING (lang)
+    )
+    SELECT lang, doc_id, unnest(generate_series(1, CAST(n_rep AS INT))) AS epoch
+    FROM rep WHERE n_rep >= 1
+    """,
+)
+def docs_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch assignment against a 1000-document budget at
+    weights en 50% / de 30% / es 20%: full epochs per stratum plus an
+    exact md5-rank partial epoch, all integer arithmetic — the
+    up-sampling-by-repetition step of LLM data mixing.  See
+    ``operators/textanalysis.mix_epochs``."""
+    from ..operators.textanalysis import mix_epochs
+
+    return mix_epochs(
+        t(spark, sf_dir, "documents").select("lang", "doc_id"),
+        weights_permille={"en": 500, "de": 300, "es": 200},
+        budget_docs=1000,
+    )
