@@ -775,3 +775,59 @@ def dq_stats_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(o.rule, bool(o.passed)) for o in outcomes], "rule string, passed boolean"
     )
+
+
+@register(
+    "stream_static_enrich",
+    """
+    WITH prof AS (
+        SELECT user_id, AVG(value) AS avg_value FROM events GROUP BY user_id
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CASE WHEN value > avg_value THEN 1 ELSE 0 END) AS n_above_profile
+    FROM events JOIN prof USING (user_id)
+    GROUP BY event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the remaining Structured Streaming
+    join shape (alongside the stream-stream interval join): each streamed
+    event joins a batch-computed per-user profile dimension BROADCAST
+    (stateless, no watermark state, re-planned per micro-batch), then a
+    complete-mode aggregation counts events above the user's historical
+    average.  At 100 TB the profile is the output of a batch job keyed by
+    user — broadcast while it fits, shuffle otherwise; either way the
+    stream side never buffers state for the join itself.  Oracle = the
+    identical batch SQL, which must agree exactly because enrichment is
+    stateless and the aggregation is count arithmetic."""
+    from .util import normalize_event_ts, read_events
+
+    profile = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    path = f"{sf_dir}/events.parquet"
+    drop_dir = tempfile.mkdtemp(prefix="gate-stream-enrich-")
+    shutil.copy(path, f"{drop_dir}/events-000.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(drop_dir)
+    )
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value") > F.col("avg_value"), 1).otherwise(0)
+        ).alias("n_above_profile"),
+    )
+    sink = f"gate_enrich_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
