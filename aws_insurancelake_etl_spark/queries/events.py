@@ -796,3 +796,67 @@ def evt_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7d_value"),
     )
+
+
+@register(
+    "evt_asof_next_purchase",
+    """
+    SELECT e.event_id, e.user_id,
+           p.event_id AS next_purchase_event_id,
+           (epoch_us(p.ts) - epoch_us(e.ts)) / 1000000 AS secs_until_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (
+        SELECT user_id, event_id, ts FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ) p ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def evt_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each error event matched to the same user's
+    earliest purchase at-or-after it (the "time-to-conversion" shape).
+    Same join-free plan as the backward as-of — tagged union + ONE
+    ``first(ignorenulls)`` window over [current, unbounded following] per
+    user — errors sort before purchases on ts ties so equality matches,
+    and same-timestamp purchases keep the MIN event_id (mirrored in the
+    oracle's dedup subquery).  The oracle uses DuckDB's native forward
+    ``ASOF JOIN ... ON e.ts <= p.ts`` — two different implementations
+    that must agree bit-for-bit."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        "event_id",
+    )
+    merged = purchases.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "p_event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_purchase = F.first(
+        F.when(F.col("tag") == 1, F.struct("ts", "p_event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("np", next_purchase)
+        .where(F.col("tag") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("np.p_event_id").alias("next_purchase_event_id"),
+            (
+                (F.unix_micros("np.ts") - F.unix_micros("ts")) / F.lit(1000000)
+            ).alias("secs_until_purchase"),
+        )
+    )
