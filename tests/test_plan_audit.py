@@ -385,3 +385,13 @@ def test_token_budget_fill_single_exchange(spark):
         assert join_op not in plan, join_op
     # tree section + detail section each mention the exchange once
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_forward_asof_is_join_free(spark):
+    """The forward as-of must keep the tagged-union + window plan — no
+    join operator anywhere, one user-keyed exchange."""
+    plan = plan_of(spark, "evt_asof_next_purchase")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
