@@ -254,3 +254,78 @@ def semdedup_keep(
             F.col("drop_id").isNull().alias("keep"),
         )
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(i, j, gram_dec) — the X^T X gram/covariance-style matrix of an
+    embedding column, decimal-exact: components round to 6 decimals and
+    become DECIMAL(18,6), products are exact DECIMAL(37,12), sums are
+    exact — so the distributed total is order-independent AND
+    bit-reproducible by any engine.  This is THE building block for
+    distributed PCA / OPQ / whitening: the corpus-sized side reduces to
+    dims² scalars without any vector ever reaching the driver.
+
+    Plan: a double ``posexplode`` fans each vector to dims² (i, j,
+    xi*xj) products NARROWLY (no self-join — the second explode re-reads
+    the row's own array), then one groupBy on (i, j); map-side partial
+    aggregation collapses each task to at most dims² rows before the
+    exchange, so shuffle volume is tasks x dims², independent of corpus
+    size."""
+    melted = df.select(
+        F.col(vec_col).alias("__e"),
+        F.posexplode(vec_col).alias("__i0", "__xi"),
+    )
+    pairs = melted.select(
+        (F.col("__i0") + 1).cast("bigint").alias("i"),
+        F.round(F.col("__xi").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("__xd"),
+        F.posexplode("__e").alias("__j0", "__xj"),
+    ).select(
+        "i",
+        (F.col("__j0") + 1).cast("bigint").alias("j"),
+        (
+            F.col("__xd")
+            * F.round(F.col("__xj").cast("double"), 6).cast("decimal(18,6)")
+        ).alias("__p"),
+    )
+    return pairs.groupBy("i", "j").agg(F.sum("__p").alias("gram_dec"))
+
+
+def pc1_power_iteration(
+    df: DataFrame, iterations: int = 8, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[float]:
+    """Top principal direction of the (uncentered) embedding gram matrix
+    via power iteration, returned as a python list of dims floats.
+
+    The distributed work is exactly :func:`gram_matrix`; the iteration
+    itself runs on the DRIVER over the collected dims x dims matrix —
+    legitimate scalar state (64² doubles here), the same discipline as
+    the k-means centroid loop: at 100 TB the gram aggregation is the only
+    corpus-touching stage and the eigensolve cost is independent of
+    corpus size.  Deterministic: uniform start vector, L2 normalization
+    each round, final sign fixed so the largest-|component| (smallest
+    index on ties) is positive."""
+    import math
+
+    rows = (
+        gram_matrix(df, vec_col, id_col)
+        .select("i", "j", F.col("gram_dec").cast("double").alias("gram"))
+        .collect()
+    )
+    dims = max(r.i for r in rows)
+    G = [[0.0] * dims for _ in range(dims)]
+    for r in rows:
+        G[r.i - 1][r.j - 1] = r.gram
+    v = [1.0 / math.sqrt(dims)] * dims
+    for _ in range(iterations):
+        mv = [sum(G[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        nrm = math.sqrt(sum(x * x for x in mv))
+        v = [x / nrm for x in mv]
+    best = min(range(dims), key=lambda i: (-abs(v[i]), i))
+    if v[best] < 0:
+        v = [-x for x in v]
+    return v

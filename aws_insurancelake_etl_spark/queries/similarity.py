@@ -814,3 +814,98 @@ def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
     assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
     return semdedup_keep(assigned, per_cluster_drop=3)
+
+
+_GRAM_CTE = """
+    m AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS x
+        FROM embeddings
+    ),
+    g AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gram_dec
+        FROM m a JOIN m b USING (vec_id)
+        GROUP BY a.i, b.i
+    )
+"""
+
+
+@register(
+    "emb_gram_matrix",
+    f"""
+    WITH {_GRAM_CTE}
+    SELECT i, j, ROUND(CAST(gram_dec AS DOUBLE), 8) AS gram
+    FROM g
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed X^T X: the corpus reduces to dims² decimal-exact
+    scalars via a narrow double-posexplode + one (i,j)-keyed aggregation
+    (map-side partials collapse each task to dims² rows before the
+    exchange).  The PCA/OPQ/whitening building block — see
+    ``operators/similarity.gram_matrix``.  The oracle's self-join
+    formulation is a deliberately DIFFERENT plan that must agree
+    bit-for-bit because both sum identical decimals."""
+    from ..operators.similarity import gram_matrix
+
+    return gram_matrix(spread(spark, t(spark, sf_dir, "embeddings"))).select(
+        "i", "j", F.round(F.col("gram_dec").cast("double"), 8).alias("gram")
+    )
+
+
+_PC1_ITERS = 8
+
+
+def _pc1_oracle() -> str:
+    """Unrolled power iteration: one (mv, n, v) CTE triple per round,
+    generated by the same loop parameters the Spark/driver side uses."""
+    parts = [f"""
+    WITH {_GRAM_CTE},
+    gd AS (SELECT i, j, CAST(gram_dec AS DOUBLE) AS gram FROM g),
+    dims AS (SELECT COUNT(DISTINCT i) AS d FROM gd),
+    v0 AS (SELECT i, 1.0 / sqrt(d) AS v
+           FROM (SELECT DISTINCT i FROM gd) CROSS JOIN dims)"""]
+    for it in range(_PC1_ITERS):
+        parts.append(f""",
+    mv{it} AS (SELECT gd.i, SUM(gd.gram * v{it}.v) AS mv
+               FROM gd JOIN v{it} ON gd.j = v{it}.i GROUP BY gd.i),
+    n{it} AS (SELECT sqrt(SUM(mv * mv)) AS nrm FROM mv{it}),
+    v{it + 1} AS (SELECT i, mv / nrm AS v FROM mv{it} CROSS JOIN n{it})""")
+    parts.append(f""",
+    sgn AS (SELECT CASE WHEN (SELECT v FROM v{_PC1_ITERS}
+                              ORDER BY abs(v) DESC, i LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s),
+    mm AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings)
+    SELECT mm.vec_id,
+           ROUND(SUM(mm.x * vf.v) * (SELECT s FROM sgn), 4) AS pc1_score
+    FROM mm JOIN v{_PC1_ITERS} vf ON mm.i = vf.i
+    GROUP BY mm.vec_id""")
+    import re
+
+    # Each iteration references its predecessor twice (mv and the norm);
+    # without MATERIALIZED DuckDB inlines CTEs and the plan grows 2^iters.
+    return re.sub(r"AS \(", "AS MATERIALIZED (", "".join(parts))
+
+
+@register("emb_pc1_scores", _pc1_oracle())
+def emb_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top-component projection: power-iterate the decimal-exact gram
+    matrix (driver state = dims² doubles, corpus never collected), then
+    project every vector onto PC1 with a NARROW literal-weight
+    ``aggregate(zip_with(...))`` expression — zero shuffles after the
+    gram aggregation, the same broadcast-literal pattern as the IVF
+    centroid assignment.  The oracle unrolls the identical iteration into
+    generated CTEs (same start vector, normalization, and sign rule)."""
+    from ..operators.similarity import pc1_power_iteration
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    v = pc1_power_iteration(emb, iterations=_PC1_ITERS)
+    weights = ", ".join(f"cast({x!r} as double)" for x in v)
+    score = F.expr(
+        f"aggregate(zip_with(embedding, array({weights}),"
+        " (x, w) -> cast(x as double) * w), 0D, (acc, t) -> acc + t)"
+    )
+    return emb.select("vec_id", F.round(score, 4).alias("pc1_score"))
