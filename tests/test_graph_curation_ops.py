@@ -177,3 +177,34 @@ class TestPageRank:
                  pagerank(edges, self._nodes(spark, range(3)), iterations=6).collect()}
         assert ranks[1] > ranks[2]
         assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+class TestPCA:
+    def test_gram_symmetric_and_pc1_matches_numpy(self, spark):
+        import numpy as np
+
+        from aws_insurancelake_etl_spark.operators.similarity import (
+            gram_matrix,
+            pc1_power_iteration,
+        )
+
+        rng = np.random.RandomState(7)
+        X = rng.randn(40, 6).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(40)],
+            ["vec_id", "embedding"],
+        )
+        g = {(r.i, r.j): float(r.gram_dec) for r in gram_matrix(df).collect()}
+        for i in range(1, 7):
+            for j in range(1, 7):
+                assert g[(i, j)] == g[(j, i)]
+        # driver-side iterations are O(dims^2) each — 300 rounds converge
+        # even when the top two eigenvalues are close
+        v = np.array(pc1_power_iteration(df, iterations=300))
+        # numpy reference: leading eigenvector of the rounded-gram matrix
+        G = np.array([[g[(i + 1, j + 1)] for j in range(6)] for i in range(6)])
+        w, vecs = np.linalg.eigh(G)
+        ref = vecs[:, np.argmax(w)]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        assert np.allclose(v, ref, atol=1e-6)

@@ -395,3 +395,28 @@ def test_forward_asof_is_join_free(spark):
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join_op not in plan, join_op
     assert "Window" in plan
+
+
+def test_gram_matrix_is_join_free_with_partial_agg(spark):
+    """X^T X must fan out narrowly (double posexplode of the row's own
+    array — never a self-join) and partially aggregate map-side so the
+    exchange carries at most tasks x dims² rows."""
+    plan = plan_of(spark, "emb_gram_matrix")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "partial_sum" in plan
+    assert plan.count("Generate") >= 2  # the two explode stages
+
+
+def test_pc1_projection_is_narrow(spark):
+    """After the gram aggregation (driver-side eigensolve), the per-vector
+    PC1 projection must be a literal-weight map pass: the returned plan
+    (projection over the scan) has no exchange at all beyond the spread
+    repartition, and no window."""
+    from aws_insurancelake_etl_spark.queries import all_queries
+    df = all_queries()["emb_pc1_scores"](spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan  # scoring is per-row, not an agg
