@@ -130,3 +130,56 @@ def transform_piiredact(df: DataFrame, spec: dict, ctx: RunContext) -> DataFrame
         cols[field] = out
     ctx.log_lineage("piiredact", df=df, transform=spec)
     return df.withColumns(cols)
+
+
+def date_shift(
+    df: DataFrame, ts_cols: list[str], entity_col: str,
+    max_days: int = 365, seed: str = "dateshift",
+) -> DataFrame:
+    """Deterministic per-entity date shifting (HIPAA Safe-Harbor-style
+    de-identification): every timestamp column shifts by the SAME
+    md5-derived offset in [-max_days, +max_days] for a given entity, so
+    absolute dates are obscured while every intra-entity interval
+    (session gaps, time-to-event, ordering) is exactly preserved — the
+    property that keeps a de-identified events table usable for the
+    time-series operators in this engine.  Reproducible across runs,
+    engines, and partitionings (no RNG), and fully narrow: the offset is
+    a hash expression, the shift is ``timestampadd`` — zero shuffles."""
+    span = 2 * max_days + 1
+    offset = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{seed}:"), F.col(entity_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % span
+        - max_days
+    )
+    out = df.withColumn("__off_days", offset)
+    for c in ts_cols:
+        out = out.withColumn(
+            c, F.expr(f"timestampadd(DAY, __off_days, {c})")
+        )
+    return out.drop("__off_days")
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns: returns
+    the equivalence classes with fewer than ``k`` members — the groups a
+    release would have to generalize or suppress.  One hash aggregation
+    on the quasi-identifier tuple; at 100 TB this is a plain map-side-
+    combined groupBy, and the output is bounded by the number of RISKY
+    classes, not the table."""
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < k)
+    )

@@ -919,3 +919,47 @@ def tr_xml_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload.key").cast("bigint").alias("rec_key"),
         F.col("payload.status").alias("rec_status"),
     )
+
+
+@register(
+    "tr_date_shift_anonymize",
+    """
+    SELECT event_id, user_id,
+           ts + INTERVAL 1 DAY * CAST(
+               ('0x' || substr(md5('dateshift:' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 731 - 365 AS INT) AS ts_shifted
+    FROM events
+    """,
+)
+def tr_date_shift_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deterministic date shift (±365 days, md5-derived): absolute
+    dates obscured, intra-user intervals exactly preserved, zero shuffles.
+    See ``operators/dataprotection.date_shift``."""
+    from ..operators.dataprotection import date_shift
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return date_shift(ev, ts_cols=["ts"], entity_col="user_id").select(
+        "event_id", "user_id", F.col("ts").alias("ts_shifted")
+    )
+
+
+@register(
+    "tr_k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < 8
+    """,
+)
+def tr_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit on (nation, market segment) quasi-identifiers:
+    equivalence classes smaller than k=8 — the groups a privacy-safe
+    release must generalize or suppress.  One map-side-combined groupBy;
+    output bounded by risky classes.  See
+    ``operators/dataprotection.k_anonymity_audit``."""
+    from ..operators.dataprotection import k_anonymity_audit
+
+    return k_anonymity_audit(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
+    )
