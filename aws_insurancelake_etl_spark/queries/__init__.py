@@ -67,7 +67,9 @@ _MODULES = (
 # agg_cube_status_priority, evt_range_frame_sum, and the round-4
 # continuation additions: dedup_substring_runs, text_corpus_xent,
 # docs_weighted_sample, docs_token_budget_fill, graph_pagerank_trade,
-# docs_mix_epochs, stream_static_enrich, evt_asof_next_purchase)
+# docs_mix_epochs, stream_static_enrich, evt_asof_next_purchase,
+# emb_gram_matrix, emb_pc1_scores, tr_date_shift_anonymize,
+# tr_k_anonymity_audit)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.

@@ -208,3 +208,27 @@ class TestPCA:
         if ref[np.argmax(np.abs(ref))] < 0:
             ref = -ref
         assert np.allclose(v, ref, atol=1e-6)
+
+
+class TestDateShift:
+    def test_intervals_preserved_and_entities_differ(self, spark):
+        from datetime import datetime
+
+        from aws_insurancelake_etl_spark.operators.dataprotection import date_shift
+
+        rows = [
+            (1, 10, datetime(2024, 1, 1, 8, 0, 0)),
+            (2, 10, datetime(2024, 1, 3, 8, 0, 0)),
+            (3, 20, datetime(2024, 1, 1, 8, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+        out = {r.event_id: r.ts for r in
+               date_shift(df, ["ts"], "user_id").collect()}
+        # intra-user interval exactly preserved
+        assert (out[2] - out[1]).total_seconds() == 2 * 86400
+        # different entities get different offsets (md5 spread)
+        assert out[1] != out[3]
+        # deterministic
+        out2 = {r.event_id: r.ts for r in
+                date_shift(df, ["ts"], "user_id").collect()}
+        assert out == out2
