@@ -860,3 +860,37 @@ def evt_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_until_purchase"),
         )
     )
+
+
+@register(
+    "evt_rate_limit_first_n",
+    """
+    SELECT event_id, user_id, day_bucket, rk FROM (
+        SELECT event_id, user_id,
+               date_trunc('day', ts) AS day_bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+    """,
+)
+def evt_rate_limit_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rate limiting: keep the FIRST 3 events per (user, day) —
+    the batch twin of an ingest throttle / bot-traffic cap.  The bounded
+    rank rides the two-phase WindowGroupLimit rewrite, so each map task
+    pre-limits to 3 rows per (user, day) before the exchange: at 100 TB
+    a hot key ships k rows per task, not its whole flood — the same
+    anti-skew property as the salted aggregations, obtained purely from
+    the plan shape."""
+    ev = read_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", day.alias("day_bucket"), rk.alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+    )
