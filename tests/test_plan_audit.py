@@ -420,3 +420,11 @@ def test_pc1_projection_is_narrow(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "Window" not in plan
     assert "HashAggregate" not in plan  # scoring is per-row, not an agg
+
+
+def test_rate_limit_uses_window_group_limit(spark):
+    """The per-key throttle must pre-limit per map task (two-phase
+    WindowGroupLimit) — the plan property that bounds a hot key's shuffle
+    contribution to k rows per task."""
+    plan = plan_of(spark, "evt_rate_limit_first_n")
+    assert plan.count("WindowGroupLimit") >= 2
