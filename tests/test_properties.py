@@ -263,3 +263,51 @@ def test_containment_bounds_and_dominates_jaccard(spark, texts):
     for pair, c in cont.items():
         assert 0.0 < c <= 1.0 + 1e-9
         assert c >= jac[pair] - 1e-9
+
+
+# Documents as lists of tokens from a TINY vocab so shared runs actually
+# occur; small doc count — each example pays a full Spark job.
+_tok = st.sampled_from(["a", "b", "c", "d"])
+docs_strategy = st.lists(
+    st.lists(_tok, min_size=4, max_size=18),
+    min_size=2,
+    max_size=4,
+)
+
+
+def _brute_force_max_runs(doclists, min_run):
+    """O(n^2) DP reference: longest common SUBSTRING (token run) per pair."""
+    out = {}
+    for a in range(len(doclists)):
+        for b in range(a + 1, len(doclists)):
+            A, B = doclists[a], doclists[b]
+            best = 0
+            dp = [0] * (len(B) + 1)
+            for i in range(1, len(A) + 1):
+                prev = 0
+                for j in range(1, len(B) + 1):
+                    cur = dp[j]
+                    dp[j] = prev + 1 if A[i - 1] == B[j - 1] else 0
+                    best = max(best, dp[j])
+                    prev = cur
+            if best >= min_run:
+                out[(a, b)] = best
+    return out
+
+
+@given(doclists=docs_strategy)
+@settings(**SETTINGS)
+def test_substring_runs_match_dp_reference(spark, doclists):
+    """Diagonal-island run detection == classic longest-common-substring
+    DP, for any documents over a tiny vocabulary (k=2 grams so short
+    runs are visible)."""
+    k, min_run = 2, 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(doclists)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.max_run_tokens
+        for r in D.substring_run_pairs(df, k=k, min_run_tokens=min_run).collect()
+    }
+    assert got == _brute_force_max_runs(doclists, min_run)
