@@ -185,3 +185,43 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return work.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def plan_image_patches(
+    df: DataFrame,
+    patch: int = 32,
+    id_col: str = "media_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """ViT-style patch-grid PLANNING from image dimension metadata: one
+    (media_id, patch_idx, x0, y0) row per non-overlapping patch, row-major,
+    truncating partial edges (floor(w/p) x floor(h/p) patches) — the
+    coordinate plan a decode stage consumes, computed WITHOUT touching
+    pixel bytes.  Pure arithmetic fan-out: a narrow ``sequence`` explode
+    over the patch count, then div/mod recover the grid position — zero
+    shuffles, no Python.  At 100 TB the payload column is never read
+    (column pruning), so the plan stage costs metadata I/O only; the
+    decode stage that consumes it is the Arrow ``mapInPandas`` path used
+    by ``sample_frames``."""
+    nx = F.floor(F.col(width_col) / patch)
+    ny = F.floor(F.col(height_col) / patch)
+    planned = df.select(
+        F.col(id_col).alias("media_id"),
+        nx.cast("long").alias("__nx"),
+        (nx * ny).cast("long").alias("__n"),
+    )
+    return (
+        planned.where(F.col("__n") >= 1)
+        .select(
+            "media_id",
+            "__nx",
+            F.explode(F.expr("sequence(0, __n - 1)")).alias("patch_idx"),
+        )
+        .select(
+            "media_id",
+            "patch_idx",
+            ((F.col("patch_idx") % F.col("__nx")) * patch).alias("x0"),
+            (F.floor(F.col("patch_idx") / F.col("__nx")) * patch).alias("y0"),
+        )
+    )

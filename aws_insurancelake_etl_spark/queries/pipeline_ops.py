@@ -831,3 +831,44 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "mm_image_patches",
+    """
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               64 + (doc_id % 8) * 32 AS width,
+               64 + (doc_id % 5) * 32 AS height
+        FROM documents
+    ),
+    g AS (
+        SELECT media_id, width // 32 AS nx, (width // 32) * (height // 32) AS n
+        FROM dims
+    ),
+    e AS (
+        SELECT media_id, nx,
+               unnest(generate_series(0, CAST(n - 1 AS INT))) AS patch_idx
+        FROM g WHERE n >= 1
+    )
+    SELECT media_id, patch_idx,
+           (patch_idx % nx) * 32 AS x0,
+           (patch_idx // nx) * 32 AS y0
+    FROM e
+    """,
+)
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid planning over synthesized image dimensions (derived
+    deterministically from doc_id — no codecs in this container; the
+    dimension columns stand in for decoded metadata).  Coordinate plan
+    only: payload bytes never read.  See
+    ``operators/multimodal.plan_image_patches``."""
+    from ..operators.multimodal import plan_image_patches
+
+    docs = t(spark, sf_dir, "documents")
+    dims = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (64 + (F.col("doc_id") % 8) * 32).alias("width"),
+        (64 + (F.col("doc_id") % 5) * 32).alias("height"),
+    )
+    return plan_image_patches(dims, patch=32)
