@@ -62,10 +62,13 @@ def pagerank(
     )
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
-        dangling = (
-            ranks.join(src_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .first()["dm"]
+        # Dangling mass as a broadcast 1-row aggregate instead of a driver
+        # collect: the whole multi-round recursion stays LAZY (one Spark
+        # job at the final action, not one per round), and the scalar
+        # still never materializes more than 8 bytes.  localCheckpoint
+        # per round bounds plan depth when the action does arrive.
+        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contrib = (
             probs.join(ranks, probs["__src"] == ranks["node"])
@@ -74,11 +77,13 @@ def pagerank(
         )
         ranks = (
             node_ids.join(contrib, node_ids["node"] == contrib["__dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + damping * (F.coalesce("__c", F.lit(0.0)) + dangling / n_nodes)
+                    + damping
+                    * (F.coalesce("__c", F.lit(0.0)) + F.col("__dm") / n_nodes)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
