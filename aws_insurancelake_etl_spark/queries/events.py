@@ -894,3 +894,48 @@ def evt_rate_limit_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "evt_anomaly_mad",
+    """
+    WITH m AS (
+        SELECT event_id, user_id, value,
+               quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+        FROM events
+    ),
+    d AS (
+        SELECT event_id, user_id, value, med,
+               quantile_cont(abs(value - med), 0.5)
+                   OVER (PARTITION BY user_id) AS mad
+        FROM m
+    )
+    SELECT event_id, user_id, value,
+           ROUND(med, 4) AS med, ROUND(mad, 4) AS mad
+    FROM d
+    WHERE mad > 0 AND abs(value - med) > 3 * mad
+    """,
+)
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly detection: flag events whose value deviates
+    from the user's MEDIAN by more than 3x the median absolute deviation —
+    the outlier rule that, unlike z-scores, is not itself dragged by the
+    outliers.  Two exact-percentile window passes share the SAME user_id
+    partitioning, so Catalyst plans a single exchange; at 100 TB this is
+    one shuffle keyed on the high-cardinality user key, and the output is
+    bounded by the anomalies.  Exact interpolated percentiles
+    (``percentile`` == DuckDB ``quantile_cont``) keep both engines
+    bit-identical."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    step = ev.select("event_id", "user_id", "value", med.alias("med"))
+    mad = F.expr("percentile(abs(value - med), 0.5)").over(w)
+    return (
+        step.withColumn("mad", mad)
+        .where((F.col("mad") > 0) & (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")))
+        .select(
+            "event_id", "user_id", "value",
+            F.round("med", 4).alias("med"), F.round("mad", 4).alias("mad"),
+        )
+    )
