@@ -69,7 +69,8 @@ _MODULES = (
 # docs_weighted_sample, docs_token_budget_fill, graph_pagerank_trade,
 # docs_mix_epochs, stream_static_enrich, evt_asof_next_purchase,
 # emb_gram_matrix, emb_pc1_scores, tr_date_shift_anonymize,
-# tr_k_anonymity_audit, evt_rate_limit_first_n, mm_image_patches)
+# tr_k_anonymity_audit, evt_rate_limit_first_n, mm_image_patches,
+# evt_anomaly_mad)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
