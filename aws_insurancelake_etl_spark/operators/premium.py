@@ -55,10 +55,34 @@ def months_between_normalized_col(expiration: Column, effective: Column) -> Colu
     )
 
 
+def _halfup_rational_cents(premium: Column, num: Column, den: Column) -> Column:
+    """HALF_UP(premium * num / den, 2 decimals) computed EXACTLY: integer
+    cents through ``floor((2*|c|*num + den) / (2*den))``, sign restored,
+    rescaled by an exact decimal 0.01.  The naive ``premium * (num/den)``
+    goes through a binary double whose value can sit a ulp to either side
+    of a .005 cent boundary — and different engines then round the SAME
+    money amount to DIFFERENT cents (caught by the sf0.1 differential
+    sweep).  Here every intermediate is an exact integer (magnitudes stay
+    far under 2^53, so even the one double division is exact enough for
+    ``floor``: the true quotient is either an exact integer or at least
+    1/(2*den) away from one), so both engines agree bit-for-bit and the
+    result is the true half-up rounding of the exact rational."""
+    cents = (premium.cast("decimal(16,2)") * 100).cast("long")
+    a = num.cast("long")
+    b = den.cast("long")
+    mag = F.floor((2 * F.abs(cents) * a + b) / (2 * b)).cast("long")
+    signed = F.when(cents < 0, -mag).otherwise(mag)
+    return (signed.cast("decimal(18,0)") * F.lit(0.01).cast("decimal(3,2)")).cast(
+        "decimal(16,2)"
+    )
+
+
 def earnedpremium_straightline_col(
     premium: Column, effective: Column, expiration: Column, period_start: Column, period_end: Column
 ) -> Column:
-    """Straight-line monthly earned premium = premium / normalized months.
+    """Straight-line monthly earned premium = premium / normalized months,
+    rounded half-up to cents via exact integer arithmetic
+    (:func:`_halfup_rational_cents`).
 
     Null when any input is null, the policy period is invalid (zero
     normalized months), or the period end falls outside
@@ -74,10 +98,8 @@ def earnedpremium_straightline_col(
         | period_end.isNull()
     )
     out_of_period = (period_end < effective) | (period_end > F.trunc(expiration, "month"))
-    return (
-        F.when(any_null | out_of_period | (months <= 0), F.lit(None))
-        .otherwise(premium / months)
-        .cast("decimal(16,2)")
+    return F.when(any_null | out_of_period | (months <= 0), F.lit(None)).otherwise(
+        _halfup_rational_cents(premium, F.lit(1), months)
     )
 
 
@@ -102,9 +124,10 @@ def earnedpremium_byday_col(
     )
     start = F.greatest(period_start, effective)
     end = F.least(period_end, expiration)
-    ratio = (F.datediff(end, start) + 1) / (F.datediff(expiration, effective) + 1)
-    return (
-        F.when(any_null | invalid, F.lit(None)).otherwise(premium * ratio).cast("decimal(16,2)")
+    days_in_period = F.datediff(end, start) + 1
+    days_in_policy = F.datediff(expiration, effective) + 1
+    return F.when(any_null | invalid, F.lit(None)).otherwise(
+        _halfup_rational_cents(premium, days_in_period, days_in_policy)
     )
 
 

@@ -281,8 +281,8 @@ def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     """
     SELECT label, dim,
-           ROUND(CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*), 6) AS centroid
+           CAST(SUM(CAST(ROUND(comp, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS centroid
     FROM (
         SELECT label,
                generate_subscripts(embedding, 1) AS dim,
@@ -300,7 +300,8 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, partial aggregation map-side — at 100 TB this is the canonical
     way to average vectors without collecting them.  Components are
     rounded into decimals pre-sum so the distributed total is
-    order-independent and matches DuckDB exactly."""
+    order-independent and matches DuckDB exactly; the final quotient is
+    emitted unrounded (identical division of identical inputs)."""
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
     return (
         emb.select(
@@ -316,9 +317,13 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(
-            F.round(
-                F.sum("comp_dec").cast("double") / F.count(F.lit(1)), 6
-            ).alias("centroid")
+            # The quotient double is emitted UNROUNDED: the decimal sums are
+            # bit-identical across engines, so exact-decimal -> double ->
+            # IEEE divide yields the same bits on both sides, while a final
+            # ROUND(x, 6) can land a ulp on either side of a 5e-7 boundary
+            # and flip the last digit differently per engine (caught by the
+            # sf0.1 differential sweep).
+            (F.sum("comp_dec").cast("double") / F.count(F.lit(1))).alias("centroid")
         )
     )
 

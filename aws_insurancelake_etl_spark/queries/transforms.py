@@ -366,17 +366,23 @@ def tr_enddate_policymonths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(CASE WHEN months_norm <= 0 OR pend < eff OR pend > date_trunc('month', exp)
                      THEN NULL
-                     ELSE CAST(premium / months_norm AS DECIMAL(16,2)) END AS DOUBLE)
-               AS earned_straightline,
+                     ELSE CAST(FLOOR((2 * abs(cents) * 1 + months_norm)
+                                     / (2.0 * months_norm)) AS BIGINT)
+                          * (CASE WHEN cents < 0 THEN -1 ELSE 1 END) * 0.01
+                END AS DOUBLE) AS earned_straightline,
            CAST(CASE WHEN pend < eff OR pstart > exp OR date_diff('day', eff, exp) < 0
                      THEN NULL
-                     ELSE CAST(premium * (
-                         (date_diff('day', GREATEST(pstart, eff), LEAST(pend, exp)) + 1)
-                         / (date_diff('day', eff, exp) + 1)
-                     ) AS DECIMAL(16,2)) END AS DOUBLE) AS earned_byday
+                     ELSE CAST(FLOOR((2 * abs(cents)
+                                      * (date_diff('day', GREATEST(pstart, eff),
+                                                   LEAST(pend, exp)) + 1)
+                                      + (date_diff('day', eff, exp) + 1))
+                                     / (2.0 * (date_diff('day', eff, exp) + 1)))
+                          AS BIGINT)
+                          * (CASE WHEN cents < 0 THEN -1 ELSE 1 END) * 0.01
+                END AS DOUBLE) AS earned_byday
     FROM (
         SELECT o_orderkey, eff, exp, pstart, pend,
-               CAST(o_totalprice AS DECIMAL(16,2)) AS premium,
+               CAST(CAST(o_totalprice AS DECIMAL(16,2)) * 100 AS BIGINT) AS cents,
                {_NORMALIZED_MONTHS_SQL} AS months_norm
         FROM (
             SELECT o_orderkey, o_totalprice,
