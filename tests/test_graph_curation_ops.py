@@ -232,3 +232,32 @@ class TestDateShift:
         out2 = {r.event_id: r.ts for r in
                 date_shift(df, ["ts"], "user_id").collect()}
         assert out == out2
+
+
+class TestMixEpochs:
+    def test_output_rows_equal_budget_and_repeats_bounded(self, spark):
+        from aws_insurancelake_etl_spark.operators.textanalysis import mix_epochs
+
+        rows = [("en", i) for i in range(40)] + [("de", 100 + i) for i in range(10)]
+        df = spark.createDataFrame(rows, ["lang", "doc_id"])
+        out = mix_epochs(
+            df, weights_permille={"en": 600, "de": 400}, budget_docs=100
+        ).collect()
+        # exact budget split: en 60 rows, de 40 rows
+        per = {}
+        for r in out:
+            per[r.lang] = per.get(r.lang, 0) + 1
+        assert per == {"en": 60, "de": 40}
+        # repetition spread is tight: epochs differ by at most 1 per stratum
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault((r.lang, r.doc_id), []).append(r.epoch)
+        for (lang, _), epochs in by_doc.items():
+            n = len(epochs)
+            assert sorted(epochs) == list(range(1, n + 1))
+        en_counts = sorted(len(v) for k, v in by_doc.items() if k[0] == "en")
+        de_counts = sorted(len(v) for k, v in by_doc.items() if k[0] == "de")
+        # en: 60 draws over 40 docs = 1 full epoch + 20 partial; de: 40 over
+        # 10 = 4 full epochs exactly
+        assert en_counts[0] == 1 and en_counts[-1] == 2 and sum(en_counts) == 60
+        assert de_counts == [4] * 10
