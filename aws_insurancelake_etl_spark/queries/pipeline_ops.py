@@ -872,3 +872,85 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (64 + (F.col("doc_id") % 5) * 32).alias("height"),
     )
     return plan_image_patches(dims, patch=32)
+
+
+@register(
+    "stream_late_data_drop",
+    """
+    WITH on_time AS (
+        SELECT * FROM events WHERE ts >= '2024-01-02'
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           event_type, n_events
+    FROM (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM on_time GROUP BY 1, 2
+    ), wm
+    WHERE window_start + INTERVAL '10 minutes' <= wm.w
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics in the gate: the events table arrives
+    as three ordered drop files — the bulk (establishes the high
+    watermark), an on-time slice, then a REPLAY of the oldest day (late
+    by weeks) — drained with ``maxFilesPerTrigger=1`` in APPEND mode, so
+    window results are emitted exactly once as the watermark passes them
+    and the late replay must not corrupt anything already emitted.  The
+    oracle states the guarantee: emitted windows == the batch aggregation
+    of the ON-TIME rows, restricted to windows closed by the final
+    watermark (max event time - 1 h); a late row that leaked into an
+    emitted window, or a window emitted twice, diverges.  File order is
+    pinned via mtime spacing (FileStreamSource orders by modification
+    time, and same-second copies tie nondeterministically — measured)."""
+    import os
+    import time as _time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_id = uuid.uuid4().hex[:12]
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    tmp = tempfile.mkdtemp(prefix=f"gate-late-{run_id}-")
+    parts = {
+        "a": src.where(F.col("ts") >= "2024-01-03"),
+        "b": src.where((F.col("ts") < "2024-01-03") & (F.col("ts") >= "2024-01-02")),
+        "c": src.where(F.col("ts") < "2024-01-02"),  # replayed last = late
+    }
+    for name, df in parts.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}")
+    files_dir = f"{tmp}/files"
+    os.makedirs(files_dir)
+    now = _time.time()
+    for i, name in enumerate(["a", "b", "c"]):
+        for n in os.listdir(f"{tmp}/{name}"):
+            if n.endswith(".parquet"):
+                dst = f"{files_dir}/events-{i}.parquet"
+                shutil.copy(f"{tmp}/{name}/{n}", dst)
+                os.utime(dst, (now + 100 * i, now + 100 * i))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"gate_late_{run_id}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
