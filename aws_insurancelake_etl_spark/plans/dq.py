@@ -74,6 +74,12 @@ class CompiledRule:
     #: deferred CustomSql evaluation (needs spark.sql)
     custom_sql: str | None = None
     custom_sql_compare: tuple[str, Any, Any] | None = None  # (op, value, value2)
+    #: ReferentialIntegrity: (fact column, distinct reference-key DataFrame,
+    #: reference key column name, optional (op, ratio) aggregate threshold)
+    ri_col: str | None = None
+    ri_keys: Any = None
+    ri_ref_col: str | None = None
+    ri_compare: tuple[str, float] | None = None
 
 
 @dataclass
@@ -94,9 +100,14 @@ def _fail_count_name(index: int) -> str:
 class RuleCompiler:
     """Compile one rule string against a DataFrame's schema."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, ref_resolver=None):
         self.df = df
         self.columns = set(df.columns)
+        #: table-name -> DataFrame, for multi-table rules
+        #: (ReferentialIntegrity).  Defaults to the session catalog.
+        self.ref_resolver = ref_resolver or (
+            lambda name: df.sparkSession.table(name)
+        )
 
     # -- public ----------------------------------------------------------
     def compile(self, rule_text: str) -> CompiledRule:
@@ -307,6 +318,49 @@ class RuleCompiler:
     def _rule_columnexists(self, text: str, rest: str) -> CompiledRule:
         name = self._column(rest.strip())
         return CompiledRule(text=text, static_result=name in self.columns)
+
+    def _rule_referentialintegrity(self, text: str, rest: str) -> CompiledRule:
+        """``ReferentialIntegrity 'col' 'ref_table.ref_col' [<op> <ratio>]``
+        — every fact key must exist in the reference table (or at least
+        the given fraction, aggregate mode).  The reference resolves via
+        ``ref_resolver``; the runner evaluates membership with ONE
+        broadcast left join against the DISTINCT reference keys — a
+        dimension-key set, small by construction relative to the fact —
+        so the fact side is never shuffled (Glue DQDL parity: the
+        reference engine's DQDL supports the same rule)."""
+        match = re.fullmatch(
+            rf"{_QUOTED}\s+{_QUOTED}\s*(?:(>=|<=|!=|=|>|<)\s*([\d.]+))?",
+            rest,
+            re.DOTALL,
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable ReferentialIntegrity rule: {text}")
+        groups = match.groups()
+        col = _pick(groups[0:2])
+        ref_spec = _pick(groups[2:4])
+        self._require_column(col, text)
+        if "." not in ref_spec:
+            raise DQRuleError(
+                f"ReferentialIntegrity reference must be 'table.column': {text}"
+            )
+        ref_table, ref_col = ref_spec.rsplit(".", 1)
+        try:
+            ref_df = self.ref_resolver(ref_table)
+        except Exception as exc:  # noqa: BLE001 - surface as rule error
+            raise DQRuleError(
+                f"Cannot resolve reference table '{ref_table}' (rule: {text})"
+            ) from exc
+        if ref_col not in ref_df.columns:
+            raise DQRuleError(
+                f"Column '{ref_col}' not found in reference '{ref_table}' (rule: {text})"
+            )
+        rule = CompiledRule(text=text)
+        rule.ri_col = col
+        rule.ri_ref_col = ref_col
+        rule.ri_keys = ref_df.select(F.col(f"`{ref_col}`")).distinct()
+        if groups[4] is not None:
+            rule.ri_compare = (groups[4], float(groups[5]))
+        return rule
 
     def _rule_rowcount(self, text: str, rest: str) -> CompiledRule:
         match = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(\d+)", rest)

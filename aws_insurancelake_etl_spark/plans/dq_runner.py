@@ -61,7 +61,9 @@ def _evaluate_rules(
             df.agg(*[expr.alias(name) for name, expr in agg_exprs.items()]).collect()[0].asDict()
         )
     for rule in rules:
-        if rule.custom_sql is not None:
+        if rule.ri_keys is not None:
+            outcomes.append(_evaluate_ref_integrity(df, rule))
+        elif rule.custom_sql is not None:
             outcomes.append(_evaluate_custom_sql(df, rule, ctx))
         elif rule.agg_eval is not None:
             passed = rule.agg_eval(agg_row)
@@ -72,6 +74,36 @@ def _evaluate_rules(
         else:
             outcomes.append(RuleOutcome(rule.text, True))
     return outcomes
+
+
+def _evaluate_ref_integrity(df: DataFrame, rule: CompiledRule) -> RuleOutcome:
+    """Membership ratio of fact keys in the distinct reference-key set:
+    one broadcast left join (reference keys are dimension-sized), one
+    aggregate.  Null fact keys count as violations, matching Glue DQDL.
+    Default threshold is ratio = 1.0 (every key resolves)."""
+    marker = "__dq_ri_match"
+    keys = rule.ri_keys.withColumnRenamed(rule.ri_ref_col, "__dq_ri_key").withColumn(
+        marker, F.lit(True)
+    )
+    joined = df.join(
+        F.broadcast(keys),
+        df[rule.ri_col].eqNullSafe(F.col("__dq_ri_key")),
+        "left",
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col(marker), F.lit(False)).cast("long")).alias("m"),
+    ).collect()[0]
+    total, matched = int(row["n"]), int(row["m"] or 0)
+    ratio = (matched / total) if total else 1.0
+    if rule.ri_compare is not None:
+        op, threshold = rule.ri_compare
+        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                  "=": "__eq__", "!=": "__ne__"}
+        passed = getattr(ratio, py_ops[op])(threshold)
+    else:
+        passed = matched == total
+    return RuleOutcome(rule.text, bool(passed), {"matched": matched, "total": total})
 
 
 def _evaluate_custom_sql(df: DataFrame, rule: CompiledRule, ctx: RunContext) -> RuleOutcome:
@@ -103,6 +135,19 @@ def _quarantine_split(
     predicate: Column | None = None
     for rule in rules:
         rule_pred = rule.predicate
+        if rule.ri_keys is not None:
+            # Row-level referential integrity: a row passes when its key
+            # appears in the broadcast distinct reference-key set.
+            marker = f"__dq_pass_{abs(hash(rule.text)) % (10**9)}"
+            keys = rule.ri_keys.withColumnRenamed(
+                rule.ri_ref_col, "__dq_ri_key"
+            ).withColumn(marker, F.lit(True))
+            df = df.join(
+                F.broadcast(keys),
+                df[rule.ri_col].eqNullSafe(F.col("__dq_ri_key")),
+                "left",
+            ).drop("__dq_ri_key")
+            rule_pred = F.coalesce(F.col(marker), F.lit(False))
         if rule.custom_sql is not None and rule.custom_sql_compare is None:
             # Row-level CustomSql: rows pass when their key tuple appears in
             # the result set (left-semi); broadcast keeps it shuffle-free

@@ -954,3 +954,46 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    WITH doctored AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+                    ELSE o_custkey END AS o_custkey,
+               o_totalprice
+        FROM orders
+    )
+    SELECT d.o_orderkey, d.o_custkey, d.o_totalprice
+    FROM doctored d
+    WHERE d.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQDL ``ReferentialIntegrity`` rule end-to-end: orders with a
+    planted fraction of orphan customer keys run through the REAL
+    compiler + quarantine split, and the failing rows (what the engine
+    writes to the quarantine table) are returned.  Membership evaluates
+    as ONE broadcast left join against the distinct reference keys — the
+    fact side never shuffles.  The oracle is the plain anti-join over
+    the same doctored input."""
+    from ..context import RunContext
+    from ..plans.dq_runner import _quarantine_split
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 10000000
+        ).otherwise(F.col("o_custkey")).alias("o_custkey"),
+        "o_totalprice",
+    )
+    customer = t(spark, sf_dir, "customer")
+    compiler = RuleCompiler(orders, ref_resolver={"customer": customer}.__getitem__)
+    rule = compiler.compile("ReferentialIntegrity 'o_custkey' 'customer.c_custkey'")
+    ctx = RunContext(spark=spark, args={}, lineage=LineageLog(
+        execution_id="gate-ri", dataset="gate/ri"
+    ))
+    _passing, failing = _quarantine_split(orders, [rule], ctx)
+    return failing

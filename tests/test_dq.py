@@ -175,3 +175,39 @@ def test_statistical_rule_family(spark):
     rule = compiler.compile("ColumnLength 'code' between 1 and 5")
     assert rule.predicate is not None
     assert df.filter(~rule.predicate).count() == 1
+
+
+def test_referential_integrity_rule(spark, ctx):
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError, RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import (
+        _evaluate_rules,
+        _quarantine_split,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], ["id", "dim_id"]
+    )
+    dim = spark.createDataFrame([(10,), (20,), (30,)], ["dim_key"])
+    compiler = RuleCompiler(fact, ref_resolver={"dim": dim}.__getitem__)
+
+    rule = compiler.compile("ReferentialIntegrity 'dim_id' 'dim.dim_key'")
+    # aggregate outcome: 2 of 4 resolve (null counts as violation)
+    outcome = _evaluate_rules(fact, [rule], ctx)[0]
+    assert outcome.passed is False
+    assert outcome.observed == {"matched": 2, "total": 4}
+
+    # ratio mode passes at a loose threshold
+    loose = compiler.compile("ReferentialIntegrity 'dim_id' 'dim.dim_key' >= 0.5")
+    assert _evaluate_rules(fact, [loose], ctx)[0].passed is True
+
+    # quarantine split: orphans (and null keys) fail
+    passing, failing = _quarantine_split(fact, [rule], ctx)
+    assert sorted(r.id for r in passing.collect()) == [1, 2]
+    assert sorted(r.id for r in failing.collect()) == [3, 4]
+    # marker columns do not leak
+    assert passing.columns == ["id", "dim_id"]
+
+    # unknown reference table is a compile-time error
+    import pytest as _pytest
+    with _pytest.raises(DQRuleError):
+        compiler.compile("ReferentialIntegrity 'dim_id' 'nope.k'")
