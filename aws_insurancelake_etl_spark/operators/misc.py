@@ -78,3 +78,41 @@ def transform_filterrows(df: DataFrame, spec: list[dict], ctx: RunContext) -> Da
         df = df.filter(entry["condition"])
     ctx.log_lineage("filterrows", df=df, transform=spec)
     return df
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the canonical
+    grouped-map ``applyInPandas`` operator: the recurrence
+    y_t = alpha*x_t + (1-alpha)*y_{t-1} is inherently sequential per key
+    and NOT robustly expressible in Spark SQL (the closed-form
+    scaled-cumsum trick needs (1-alpha)^(-t), which overflows double past
+    a few hundred rows per key).  Spark's grouped-map is exactly the
+    escape hatch reserved for this shape: one shuffle keyed on
+    ``key_col``, Arrow-batched transfer, an O(n) Python loop per group —
+    state never leaves the group, so 1000 executors each smooth their own
+    keys.  The arithmetic is plain IEEE double in event order, so any
+    engine replaying the same recurrence (e.g. a recursive SQL CTE)
+    reproduces it bit-for-bit."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+    w = 1.0 - alpha
+
+    def smooth(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        out = []
+        y = None
+        for x in pdf[value_col].astype("float64").tolist():
+            y = x if y is None else alpha * x + w * y
+            out.append(y)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(smooth, out_schema)

@@ -939,3 +939,40 @@ def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med", 4).alias("med"), F.round("mad", 4).alias("mad"),
         )
     )
+
+
+@register(
+    "evt_ewma_applyinpandas",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rk
+        FROM events
+    ),
+    ew AS (
+        SELECT user_id, event_id, value, rk, value AS ewma
+        FROM seq WHERE rk = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.value, s.rk,
+               0.3 * s.value + 0.7 * e.ewma
+        FROM ew e JOIN seq s ON s.user_id = e.user_id AND s.rk = e.rk + 1
+    )
+    SELECT user_id, event_id, value, ewma FROM ew
+    """,
+)
+def evt_ewma_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.3) via grouped-map ``applyInPandas`` — the
+    one operator family where a Python loop is the RIGHT tool (see
+    ``operators/misc.ewma_per_key``).  The DuckDB oracle replays the same
+    recurrence as a recursive CTE; both run the identical IEEE double
+    sequence in event order, so the match is bit-for-bit with no
+    rounding."""
+    from ..operators.misc import ewma_per_key
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = ewma_per_key(
+        ev, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", alpha=0.3,
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
