@@ -70,7 +70,8 @@ _MODULES = (
 # docs_mix_epochs, stream_static_enrich, evt_asof_next_purchase,
 # emb_gram_matrix, emb_pc1_scores, tr_date_shift_anonymize,
 # tr_k_anonymity_audit, evt_rate_limit_first_n, mm_image_patches,
-# evt_anomaly_mad, stream_late_data_drop, dq_referential_integrity)
+# evt_anomaly_mad, stream_late_data_drop, dq_referential_integrity,
+# evt_ewma_applyinpandas)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
