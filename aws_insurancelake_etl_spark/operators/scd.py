@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,3 +86,52 @@ def scd2_apply(
 
     history = closed_rows.select(*out_cols, valid_from, valid_to)
     return history.unionByName(carried).unionByName(closed_now).unionByName(opened)
+
+
+def change_feed(
+    history: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Derive a CDC change feed from an SCD2 history table: one
+    ``insert`` event per key's first version, an ``update`` event (with
+    old and new attribute values) per subsequent version, and a
+    ``delete`` event when a key's LAST version is closed with no
+    successor.  This is the inverse of :func:`scd2_apply` — history in,
+    events out — the export shape downstream consumers (search indexes,
+    caches, feature stores) subscribe to.
+
+    Plan: ONE window partitioned by the key (lag carries the previous
+    version's attributes; lead detects the missing successor), so the
+    whole derivation is a single key-keyed exchange; event volume equals
+    version volume + closed-tails, never more."""
+    w = Window.partitionBy(*key_cols).orderBy(valid_from)
+    is_first = F.lag(valid_from).over(w).isNull()
+    versioned = history.select(
+        *key_cols,
+        *attr_cols,
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        is_first.alias("__first"),
+        *[F.lag(a).over(w).alias(f"__old_{a}") for a in attr_cols],
+        F.lead(valid_from).over(w).isNull().alias("__last"),
+    )
+    upserts = versioned.select(
+        *key_cols,
+        F.when(F.col("__first"), F.lit("insert")).otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.col("__vf").alias("changed_at"),
+        *[F.col(f"__old_{a}").alias(f"old_{a}") for a in attr_cols],
+        *[F.col(a).alias(f"new_{a}") for a in attr_cols],
+    )
+    deletes = versioned.where(F.col("__last") & F.col("__vt").isNotNull()).select(
+        *key_cols,
+        F.lit("delete").alias("change_type"),
+        F.col("__vt").alias("changed_at"),
+        *[F.col(a).alias(f"old_{a}") for a in attr_cols],
+        *[F.lit(None).cast(history.schema[a].dataType).alias(f"new_{a}")
+          for a in attr_cols],
+    )
+    return upserts.unionByName(deletes)

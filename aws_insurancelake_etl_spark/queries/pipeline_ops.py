@@ -997,3 +997,50 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     _passing, failing = _quarantine_split(orders, [rule], ctx)
     return failing
+
+
+@register(
+    "scd2_change_feed",
+    """
+    SELECT c_custkey, 'insert' AS change_type, '2024-01-01' AS changed_at,
+           CAST(NULL AS DOUBLE) AS old_bal, c_acctbal AS new_bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'update', '2024-06-01', c_acctbal, c_acctbal + 100
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, 'delete', '2024-06-01', c_acctbal, NULL
+    FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+    """,
+)
+def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC derivation from SCD2 history (the inverse of the SCD2 apply):
+    a synthetic two-epoch history built from customer — everyone inserts
+    on 2024-01-01, every %3 key re-versions on 2024-06-01 with +100
+    balance, every %7-not-%3 key closes without a successor (delete) —
+    runs through the REAL ``scd.change_feed`` window derivation, and the
+    oracle states the expected feed in closed form.  One key-keyed
+    exchange; see ``operators/scd.change_feed``."""
+    from ..operators.scd import change_feed
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    is_upd = F.col("c_custkey") % 3 == 0
+    is_del = (F.col("c_custkey") % 7 == 0) & ~is_upd
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.when(is_upd | is_del, F.lit("2024-06-01").cast("date")).alias("valid_to"),
+    )
+    v2 = cust.where(is_upd).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("bal"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    history = v1.unionByName(v2)
+    feed = change_feed(history, ["c_custkey"], ["bal"])
+    # dates emit as formatted strings (engine-portable; see tr_date_roundtrip)
+    return feed.withColumn(
+        "changed_at", F.date_format("changed_at", "yyyy-MM-dd")
+    )
