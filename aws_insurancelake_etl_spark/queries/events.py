@@ -976,3 +976,58 @@ def evt_ewma_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value", alpha=0.3,
     )
     return out.select("user_id", "event_id", "value", "ewma")
+
+
+@register(
+    "evt_native_session_window",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS session_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def evt_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window(ts, '30 minutes')`` in batch mode,
+    checked against the same gaps-and-islands oracle that gates the
+    hand-rolled ``evt_sessionize`` — proving the native operator and the
+    window formulation implement identical session semantics (same gap
+    rule, same boundary inclusivity).  The native form is ONE aggregation
+    (Spark merges overlapping session intervals internally) versus the
+    two windows + groupBy of the manual twin; both shuffle once on
+    user_id."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")), 2
+            ).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
