@@ -914,3 +914,133 @@ def emb_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, w) -> cast(x as double) * w), 0D, (acc, t) -> acc + t)"
     )
     return emb.select("vec_id", F.round(score, 4).alias("pc1_score"))
+
+
+def _pq_adc_oracle() -> str:
+    """ADC search oracle: the two PQ subspace chains (shared generator
+    with ``emb_pq_codes``) plus per-query lookup tables against the final
+    codebooks, ADC candidate ranking, and exact-cosine re-rank."""
+    luts = []
+    for sfx, lo, length in (("s0", 1, 32), ("s1", 33, 32)):
+        luts.append(f"""
+    qs{sfx} AS (
+        SELECT vec_id AS query_id,
+               generate_subscripts(list_slice(embedding, {lo}, {lo + length - 1}), 1) - 1 AS dim,
+               CAST(unnest(list_slice(embedding, {lo}, {lo + length - 1})) AS DOUBLE) AS e
+        FROM embeddings WHERE vec_id < 5
+    ),
+    lut{sfx} AS (
+        SELECT q.query_id, c.cid AS code, SUM((q.e - c.val) * (q.e - c.val)) AS pd
+        FROM qs{sfx} q JOIN c2{sfx} c ON q.dim = c.dim
+        GROUP BY q.query_id, c.cid
+    )""")
+    return f"""
+    WITH {_pq_subspace_sql('s0', 1, 32, 4, 2)},
+    {_pq_subspace_sql('s1', 33, 32, 4, 2)},{luts[0]},{luts[1]},
+    codes AS (
+        SELECT a0.vec_id, a0.code AS code0, a1.code AS code1
+        FROM asgs0 a0 JOIN asgs1 a1 USING (vec_id)
+    ),
+    adc AS (
+        SELECT l0.query_id, c.vec_id, l0.pd + l1.pd AS adc
+        FROM codes c
+        JOIN luts0 l0 ON c.code0 = l0.code
+        JOIN luts1 l1 ON c.code1 = l1.code AND l1.query_id = l0.query_id
+        WHERE c.vec_id <> l0.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 10
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT cand.query_id, cand.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                  ORDER BY {_COSINE_SQL} DESC, cand.vec_id) AS rn
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    ) WHERE rn <= 5
+    """
+
+
+@register("ann_pq_adc_rerank", _pq_adc_oracle())
+def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style PQ search path: train per-subspace codebooks,
+    encode the corpus once (8-byte codes), then answer queries by
+    ASYMMETRIC DISTANCE — each query precomputes a (subspace, code) ->
+    partial-distance lookup table against the codebooks (k x m doubles,
+    broadcast), so scoring a corpus vector is two table lookups + an add,
+    never touching the original 64 floats — and exact-cosine re-rank the
+    top-10 ADC candidates down to 5.  At 100 TB the codes table is ~30x
+    smaller than the embeddings; the scan cost drops proportionally and
+    the full-precision vectors are read only for the re-rank candidate
+    set (a semi-join against ~k rows per query)."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 5)
+    code_dfs = []
+    lut_dfs = []
+    for i, (lo, length) in enumerate(((1, 32), (33, 32))):
+        half = emb.select(
+            "vec_id", F.slice("embedding", lo, length).alias("embedding")
+        )
+        assigned, centroids = kmeans_fit(half, k=4, n_iter=2)
+        code_dfs.append(
+            assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
+        )
+        structs = []
+        for cid, cvec in enumerate(centroids):
+            weights = ", ".join(f"cast({x!r} as double)" for x in cvec)
+            pd_expr = (
+                f"aggregate(zip_with(slice(embedding, {lo}, {length}),"
+                f" array({weights}),"
+                " (x, w) -> (cast(x as double) - w) * (cast(x as double) - w)),"
+                " 0D, (acc, t) -> acc + t)"
+            )
+            structs.append(
+                F.struct(
+                    F.lit(cid).alias("code"), F.expr(pd_expr).alias("pd")
+                )
+            )
+        lut_dfs.append(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(F.array(*structs)).alias("s"),
+            ).select(
+                "query_id",
+                F.col("s.code").alias(f"code{i}"),
+                F.col("s.pd").alias(f"pd{i}"),
+            )
+        )
+    codes = code_dfs[0].join(code_dfs[1], "vec_id")
+    adc = (
+        codes.join(F.broadcast(lut_dfs[0]), "code0")
+        .join(F.broadcast(lut_dfs[1]), ["query_id", "code1"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", (F.col("pd0") + F.col("pd1")).alias("adc")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = adc.withColumn("rn", F.row_number().over(w_adc)).where(
+        F.col("rn") <= 10
+    ).select("query_id", "vec_id")
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_side = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    cosine = _cosine_col()
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+    return (
+        cand.join(F.broadcast(q_side), "query_id")
+        .join(c_side, "vec_id")
+        .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
