@@ -71,7 +71,8 @@ _MODULES = (
 # emb_gram_matrix, emb_pc1_scores, tr_date_shift_anonymize,
 # tr_k_anonymity_audit, evt_rate_limit_first_n, mm_image_patches,
 # evt_anomaly_mad, stream_late_data_drop, dq_referential_integrity,
-# evt_ewma_applyinpandas, scd2_change_feed, evt_native_session_window)
+# evt_ewma_applyinpandas, scd2_change_feed, evt_native_session_window,
+# ann_pq_adc_rerank)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
