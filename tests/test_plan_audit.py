@@ -428,3 +428,33 @@ def test_rate_limit_uses_window_group_limit(spark):
     contribution to k rows per task."""
     plan = plan_of(spark, "evt_rate_limit_first_n")
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_ewma_single_key_exchange(spark):
+    """Grouped-map EWMA is one shuffle keyed on the user — no joins, no
+    windows, exactly one exchange feeding the Python grouped-map."""
+    plan = plan_of(spark, "evt_ewma_applyinpandas")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "FlatMapGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_change_feed_single_window_partitioning(spark):
+    """CDC derivation must reuse ONE key-keyed sort/exchange for lag and
+    lead (same window spec), and contain no join."""
+    plan = plan_of(spark, "scd2_change_feed")
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert "Window" in plan
+
+
+def test_pq_adc_scores_codes_not_vectors(spark):
+    """ADC scoring joins the CODES table against broadcast LUTs; the
+    full-precision embedding column may only be read on the query side
+    and the re-rank candidate join — never shuffled corpus-wide.  Every
+    join in the plan must be broadcast (LUTs, query side) or AQE-sized;
+    no corpus-x-corpus sort-merge."""
+    plan = plan_of(spark, "ann_pq_adc_rerank")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
