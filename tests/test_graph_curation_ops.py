@@ -261,3 +261,37 @@ class TestMixEpochs:
         # 10 = 4 full epochs exactly
         assert en_counts[0] == 1 and en_counts[-1] == 2 and sum(en_counts) == 60
         assert de_counts == [4] * 10
+
+
+class TestChangeFeedInverse:
+    def test_feed_of_applied_history_reflects_the_update(self, spark):
+        """scd2_apply then change_feed: the derived events must narrate
+        exactly what the apply did — inserts for the initial load, an
+        update for the changed key carrying old AND new values, and no
+        events for untouched keys beyond their insert."""
+        from datetime import date
+
+        from aws_insurancelake_etl_spark.operators.scd import (
+            change_feed,
+            scd2_apply,
+        )
+
+        current = spark.createDataFrame(
+            [(1, "a", date(2024, 1, 1), None), (2, "b", date(2024, 1, 1), None)],
+            "k long, attr string, valid_from date, valid_to date",
+        )
+        updates = spark.createDataFrame(
+            [(1, "a2", date(2024, 3, 1)), (3, "c", date(2024, 3, 1))],
+            ["k", "attr", "effective_date"],
+        )
+        history = scd2_apply(current, updates, ["k"], ["attr"],
+                             valid_from="valid_from", valid_to="valid_to")
+        feed = change_feed(history, ["k"], ["attr"]).collect()
+        events = {(r.k, r.change_type): r for r in feed}
+        assert set(events) == {
+            (1, "insert"), (1, "update"), (2, "insert"), (3, "insert"),
+        }
+        upd = events[(1, "update")]
+        assert (upd.old_attr, upd.new_attr) == ("a", "a2")
+        assert str(upd.changed_at) == "2024-03-01"
+        assert events[(3, "insert")].new_attr == "c"
