@@ -1167,3 +1167,46 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "join_null_safe_keys",
+    """
+    WITH fact AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey % 50 END
+                   AS bucket
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    dim AS (
+        SELECT CASE WHEN d % 10 = 0 THEN NULL ELSE d END AS bucket,
+               'seg_' || CAST(d AS VARCHAR) AS segment
+        FROM (SELECT unnest(generate_series(0, 49)) AS d)
+    )
+    SELECT f.o_orderkey, f.bucket, d.segment
+    FROM fact f JOIN dim d ON f.bucket IS NOT DISTINCT FROM d.bucket
+    """,
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics parity: Spark's ``<=>`` (eqNullSafe) must
+    match ANSI ``IS NOT DISTINCT FROM`` exactly — including the
+    null-key-matches-null-key rows a plain equi-join silently drops (a
+    classic silent-data-loss trap when fact keys are nullable).  The
+    null bucket is deliberately a hot key on both sides; Spark still
+    plans a hash join on the null-safe comparison (coalesced key), not a
+    nested loop."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    fact = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("bucket"),
+    )
+    spark_dim = spark.range(0, 50).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("id"))
+        .alias("bucket"),
+        F.concat(F.lit("seg_"), F.col("id").cast("string")).alias("segment"),
+    )
+    return fact.join(
+        F.broadcast(spark_dim), fact["bucket"].eqNullSafe(spark_dim["bucket"])
+    ).select("o_orderkey", fact["bucket"].alias("bucket"), "segment")
