@@ -25,6 +25,7 @@ from .stringmanipulation import (  # noqa: F401
     transform_literal,
 )
 from .misc import (  # noqa: F401
+    transform_ewma,
     transform_filldown,
     transform_filterrows,
     transform_merge,
@@ -49,6 +50,7 @@ from .structureddata import (  # noqa: F401
     transform_xmlstructured,
 )
 from .dataprotection import (  # noqa: F401
+    transform_dateshift,
     transform_hash,
     transform_piiredact,
     transform_redact,

@@ -183,3 +183,17 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("class_size"))
         .where(F.col("class_size") < k)
     )
+
+
+def transform_dateshift(df: DataFrame, spec: dict, ctx: RunContext) -> DataFrame:
+    """``{entity, fields: [...], max_days?=365}`` — per-entity
+    deterministic date shifting of timestamp columns
+    (spec-dispatchable wrapper over :func:`date_shift`)."""
+    out = date_shift(
+        df,
+        ts_cols=list(spec["fields"]),
+        entity_col=spec["entity"],
+        max_days=int(spec.get("max_days", 365)),
+    )
+    ctx.log_lineage("dateshift", df=out, transform=spec)
+    return out

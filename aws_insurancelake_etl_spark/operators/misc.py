@@ -116,3 +116,21 @@ def ewma_per_key(
         return pdf
 
     return df.groupBy(key_col).applyInPandas(smooth, out_schema)
+
+
+def transform_ewma(df: DataFrame, spec: list[dict], ctx: RunContext) -> DataFrame:
+    """``[{field, key, order, source, alpha?=0.3}]`` — per-key EWMA of a
+    numeric column into ``field`` (spec-dispatchable wrapper over
+    :func:`ewma_per_key`)."""
+    for entry in spec:
+        df = ewma_per_key(
+            df,
+            key_col=entry["key"],
+            order_cols=list(entry["order"]) if isinstance(entry["order"], (list, tuple))
+            else [entry["order"]],
+            value_col=entry["source"],
+            alpha=float(entry.get("alpha", 0.3)),
+            out_col=entry["field"],
+        )
+    ctx.log_lineage("ewma", df=df, transform=spec)
+    return df

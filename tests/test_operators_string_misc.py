@@ -125,3 +125,30 @@ def test_filterrows_conjunction(spark, ctx):
         ctx,
     )
     assert out.count() == 2
+
+
+def test_transform_ewma_and_dateshift_dispatchable(spark, ctx):
+    """The new operators are reachable through the declarative registry
+    (the user-extensibility contract): a spec entry by name dispatches
+    them like any reference transform."""
+    from datetime import datetime
+
+    from aws_insurancelake_etl_spark.operators.registry import get_transform
+
+    ewma = get_transform("ewma")
+    assert ewma is not None
+    df = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), 10.0), (2, 1, datetime(2024, 1, 2), 20.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = ewma(df, [{"field": "sm", "key": "user_id",
+                     "order": ["ts", "event_id"], "source": "value",
+                     "alpha": 0.5}], ctx)
+    got = {r.event_id: r.sm for r in out.collect()}
+    assert got == {1: 10.0, 2: 15.0}
+
+    shift = get_transform("dateshift")
+    assert shift is not None
+    out2 = shift(df, {"entity": "user_id", "fields": ["ts"]}, ctx)
+    shifted = {r.event_id: r.ts for r in out2.collect()}
+    assert (shifted[2] - shifted[1]).days == 1  # interval preserved
