@@ -1044,3 +1044,37 @@ def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.withColumn(
         "changed_at", F.date_format("changed_at", "yyyy-MM-dd")
     )
+
+
+@register(
+    "src_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM orders WHERE o_orderkey % 30 = 0
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source differential gate: an orders subset writes to ORC (the
+    second columnar format Spark carries natively) and reads back through
+    the ACTUAL engine reader (``sources.readers.read_input`` dispatching
+    on the ``.orc`` extension / input_spec), compared against DuckDB over
+    the original parquet — types (bigint, varchar, double, date) must
+    survive the round trip exactly.  Write and read are both distributed
+    columnar scans; no driver collection."""
+    import os
+
+    from ..sources.readers import read_input
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = f"{tempfile.mkdtemp(prefix=f'gate-orc-{run_id}-')}/orders.orc"
+    subset = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 30 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    subset.write.mode("overwrite").orc(out_dir)
+    df = read_input(spark, out_dir, input_spec={"orc": {}})
+    return df.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )

@@ -170,6 +170,21 @@ def read_input(
     if ext == ".parquet" or "parquet" in input_spec:
         return spark.read.format("parquet").load(source_path)
 
+    if ext == ".orc" or "orc" in input_spec:
+        return spark.read.format("orc").load(source_path)
+
+    if ext == ".avro" or "avro" in input_spec:
+        # spark-avro is an external module; raise a clear error when the
+        # jar is absent instead of Spark's generic ClassNotFound.
+        try:
+            return spark.read.format("avro").load(source_path)
+        except Exception as exc:  # noqa: BLE001
+            raise RuntimeError(
+                "Avro input needs the spark-avro package on the classpath "
+                "(external module since Spark 2.4); not present in this "
+                "environment"
+            ) from exc
+
     # CSV family is the default
     delimiter = ","
     format_spec: dict = input_spec.get("csv", {})
