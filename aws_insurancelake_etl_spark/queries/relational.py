@@ -1210,3 +1210,90 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(
         F.broadcast(spark_dim), fact["bucket"].eqNullSafe(spark_dim["bucket"])
     ).select("o_orderkey", fact["bucket"].alias("bucket"), "segment")
+
+
+_TRADE_EDGES_SQL = """
+    SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+    FROM {li} li
+    JOIN {orders} o ON li.l_orderkey = o.o_orderkey
+    JOIN {cust} c ON o.o_custkey = c.c_custkey
+    JOIN {supp} s ON li.l_suppkey = s.s_suppkey
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    f"""
+    WITH RECURSIVE e AS (
+        {_TRADE_EDGES_SQL.format(li="lineitem", orders="orders",
+                                 cust="customer", supp="supplier")}
+    ),
+    r AS (
+        SELECT dst, 1 AS hops FROM e WHERE src = 0
+        UNION ALL
+        SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.dst
+        WHERE r.hops < 3
+    )
+    SELECT dst AS nation_key, MIN(hops) AS min_hops
+    FROM r GROUP BY dst
+    """,
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE surface: bounded-depth transitive closure
+    over the nation trade graph (min hops from nation 0 within 3 steps) —
+    the same SQL text runs on both engines.  Each recursion step is one
+    join against the (distinct, dimension-sized) edge list; the hop bound
+    caps path volume, and the outer MIN-GROUP BY collapses it.  For
+    UNBOUNDED closures use the dedicated iterative operators
+    (``dedup.connected_components``, ``graph.pagerank``), which
+    checkpoint per round instead of unrolling."""
+    for name in ("lineitem", "orders", "customer", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE e AS (
+            {_TRADE_EDGES_SQL.format(li="lineitem", orders="orders",
+                                     cust="customer", supp="supplier")}
+        ),
+        r AS (
+            SELECT dst, 1 AS hops FROM e WHERE src = 0
+            UNION ALL
+            SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.dst
+            WHERE r.hops < 3
+        )
+        SELECT dst AS nation_key, MIN(hops) AS min_hops
+        FROM r GROUP BY dst
+        """
+    )
+
+
+@register(
+    "sql_lateral_top2",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def sql_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with LIMIT — identical SQL text on both
+    engines.  Catalyst decorrelates the per-customer top-2 into a
+    window/rank over the join (no per-row re-execution), which is exactly
+    the rewrite that makes lateral top-N usable at scale; the gate proves
+    the decorrelation preserves ORDER BY ... LIMIT semantics including
+    ties."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 50 = 0
+        """
+    )
