@@ -285,3 +285,51 @@ def _release_queued(spark, completed_key: str, audit: JobAudit,
         released.append(item["source_key"])
         released.extend(_release_queued(spark, item["source_key"], audit, run_kwargs))
     return released
+
+
+def rowcount_drift_check(
+    audit: "JobAudit",
+    source_key: str,
+    current_count: int,
+    min_history: int = 3,
+    max_dev: float = 3.0,
+) -> tuple[bool, dict]:
+    """Volume anomaly guard over the job-audit history: compare the
+    incoming batch's row count against the robust center/spread of the
+    source's SUCCEEDED history — flag when it deviates more than
+    ``max_dev`` scaled-MADs from the median (the same 3-MAD rule as
+    ``evt_anomaly_mad``, applied to operational metadata; a mean/stddev
+    rule would let one earlier bad load widen its own acceptance band).
+    Returns ``(ok, detail)``; with fewer than ``min_history`` completed
+    runs it always passes (cold start) while still reporting the
+    observed history.  Driver-side arithmetic over the audit file —
+    there are at most a few thousand runs per source, never data-plane
+    rows."""
+    counts = sorted(
+        int(item["row_count"])
+        for item in audit.items().values()
+        if item.get("source_key") == source_key
+        and item.get("job_latest_status") == "SUCCEEDED"
+        and "row_count" in item
+    )
+    detail: dict = {"history_n": len(counts), "current": current_count}
+    if len(counts) < min_history:
+        detail["reason"] = "cold_start"
+        return True, detail
+    mid = len(counts) // 2
+    median = (
+        counts[mid]
+        if len(counts) % 2
+        else (counts[mid - 1] + counts[mid]) / 2
+    )
+    devs = sorted(abs(c - median) for c in counts)
+    mid2 = len(devs) // 2
+    mad = devs[mid2] if len(devs) % 2 else (devs[mid2 - 1] + devs[mid2]) / 2
+    detail.update(median=median, mad=mad)
+    if mad == 0:
+        ok = current_count == median
+        detail["reason"] = "zero_spread"
+        return ok, detail
+    score = abs(current_count - median) / mad
+    detail["score"] = round(score, 3)
+    return score <= max_dev, detail

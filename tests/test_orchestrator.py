@@ -121,3 +121,24 @@ def test_lookback_satisfied_dependency_runs_immediately(spark, tmp_path):
     # A stale success outside the lookback window must still queue.
     assert audit.succeeded_within("lbdb/parent", {"hours": 4})
     assert not audit.succeeded_within("lbdb/parent", {"seconds": 0})
+
+
+def test_rowcount_drift_check(tmp_path):
+    from aws_insurancelake_etl_spark.orchestrator import JobAudit, rowcount_drift_check
+
+    audit = JobAudit(str(tmp_path / "audit.jsonl"))
+    # cold start: always passes
+    ok, detail = rowcount_drift_check(audit, "src/t", 999999)
+    assert ok and detail["reason"] == "cold_start"
+    for i, n in enumerate([1000, 1050, 980, 1020, 995]):
+        audit.record(f"e{i}", "src/t", "SUCCEEDED", row_count=n)
+    audit.record("bad", "src/t", "FAILED", row_count=5)       # ignored
+    audit.record("other", "src/u", "SUCCEEDED", row_count=7)  # other source
+    ok, detail = rowcount_drift_check(audit, "src/t", 1010)
+    assert ok and detail["history_n"] == 5
+    ok, detail = rowcount_drift_check(audit, "src/t", 100)
+    assert not ok and detail["score"] > 3
+    # a huge earlier outlier must not widen the band (median/MAD, not mean)
+    audit.record("e9", "src/t", "SUCCEEDED", row_count=10**9)
+    ok, _ = rowcount_drift_check(audit, "src/t", 100)
+    assert not ok
