@@ -85,6 +85,7 @@ def run_pipeline(
         ctx, dropped_file, database, table, config, args["partition"], allow_schema_change
     )
     summary["stages"].append("collect_to_cleanse")
+    summary["cleanse_row_count"] = result.df.count()
     if result.recommendations:
         summary["recommendations"] = result.recommendations
 
@@ -162,10 +163,11 @@ class JobAudit:
             **extra,
         })
 
-    def update_status(self, execution_id: str, status: str) -> None:
+    def update_status(self, execution_id: str, status: str, **extra) -> None:
         item = self.items()[execution_id]
         item["job_latest_status"] = status
         item["job_last_updated_ts"] = datetime.datetime.now().timestamp()
+        item.update(extra)
         self._append(item)
 
     def succeeded_within(self, source_key: str, lookback: dict | None) -> bool:
@@ -254,7 +256,17 @@ def run_or_queue(
     except Exception:
         audit.update_status(execution_id, "FAILED")
         raise
-    audit.update_status(execution_id, "SUCCEEDED")
+    row_count = summary.get("cleanse_row_count")
+    if row_count is not None:
+        # Volume anomaly guard BEFORE this run joins the history it is
+        # judged against; a drifting load still succeeds but carries the
+        # warning (the reference's warn-action semantics for volume).
+        ok, detail = rowcount_drift_check(audit, source_key, int(row_count))
+        if not ok:
+            summary["volume_warning"] = detail
+        audit.update_status(execution_id, "SUCCEEDED", row_count=int(row_count))
+    else:
+        audit.update_status(execution_id, "SUCCEEDED")
     summary["status"] = "SUCCEEDED"
     summary["released"] = _release_queued(spark, source_key, audit, run_kwargs)
     return summary

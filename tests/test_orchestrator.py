@@ -142,3 +142,17 @@ def test_rowcount_drift_check(tmp_path):
     audit.record("e9", "src/t", "SUCCEEDED", row_count=10**9)
     ok, _ = rowcount_drift_check(audit, "src/t", 100)
     assert not ok
+
+
+def test_succeeded_run_records_row_count_for_drift_history(spark, tmp_path):
+    from aws_insurancelake_etl_spark.orchestrator import JobAudit, run_or_queue
+
+    drop = _write_dataset(tmp_path, "rcdb", "t", "Id,V\n1,1\n2,2\n3,3\n")
+    audit = JobAudit(str(tmp_path / "jobaudit.jsonl"))
+    out = run_or_queue(spark, drop, landing_root=str(tmp_path / "landing"),
+                       config_dir=str(tmp_path / "cfg"), audit=audit)
+    assert out["status"] == "SUCCEEDED"
+    assert out["cleanse_row_count"] == 3
+    item = [i for i in audit.items().values()
+            if i["source_key"] == "rcdb/t"][0]
+    assert item["row_count"] == 3 and item["job_latest_status"] == "SUCCEEDED"
