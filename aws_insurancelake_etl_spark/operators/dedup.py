@@ -698,3 +698,59 @@ def incremental_lsh_pairs(
         F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("doc_matched")
     )
     return vs_store.union(in_batch).distinct()
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, bits: int = 16, chunks: int = 4, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup PAIRS: (doc_a, doc_b, hamming) for pairs whose
+    16-bit SimHashes differ in at most ``max_hamming`` bits — the
+    completion of the SimHash family (:func:`simhash` computes the
+    fingerprints; this finds the duplicates).
+
+    Candidate generation is the classic pigeonhole blocking: split the
+    hash into ``chunks`` equal bit-chunks; any pair within hamming
+    distance ``chunks - 1`` (or less) must agree on at least one whole
+    chunk, so candidates are exactly the pairs sharing a (chunk index,
+    chunk value) key — a posting-list expansion on a small int key, never
+    an all-pairs scan.  Exact hamming (bit_count of XOR) verifies
+    candidates; duplicate candidate pairs from multiple agreeing chunks
+    collapse with one distinct.  Requires ``max_hamming < chunks`` for
+    completeness (3 < 4 here), the standard Manku/Google dedup setting."""
+    chunk_bits = bits // chunks
+    sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    melted = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    ((F.col("simhash") / (1 << (i * chunk_bits))).cast("long")
+                     % (1 << chunk_bits)).alias("cv"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    posts = (
+        melted.groupBy("ci", "cv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pairs = (
+        posts.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -1580,3 +1580,41 @@ def docs_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights_permille={"en": 500, "de": 300, "es": 200},
         budget_docs=1000,
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_TOKS_CTE},
+    dt AS (SELECT DISTINCT doc_id, token FROM toks),
+    th AS (
+        SELECT doc_id, token,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+        FROM dt
+    ),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN (1 << b.bit) ELSE 0 END AS v
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    sh AS (SELECT doc_id, SUM(v) AS simhash FROM bits GROUP BY doc_id),
+    m AS (
+        SELECT doc_id, simhash, c.ci,
+               (simhash // (1 << (c.ci * 4))) % 16 AS cv
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ci) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM m a JOIN m b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 via pigeonhole chunk
+    blocking (4 x 4-bit chunks: any such pair shares a whole chunk), then
+    exact bit_count verification on candidates only.  See
+    ``operators/dedup.simhash_hamming_pairs``."""
+    return D.simhash_hamming_pairs(_docs(spark, sf_dir))
