@@ -1586,7 +1586,7 @@ def docs_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     f"""
     WITH {_TOKS_CTE},
-    dt AS (SELECT DISTINCT doc_id, token FROM toks),
+    dt AS (SELECT DISTINCT doc_id, token FROM toks WHERE doc_id % 4 = 0),
     th AS (
         SELECT doc_id, token,
                ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
@@ -1609,12 +1609,18 @@ def docs_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM m a JOIN m b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming <= 3 via pigeonhole chunk
     blocking (4 x 4-bit chunks: any such pair shares a whole chunk), then
-    exact bit_count verification on candidates only.  See
+    exact bit_count verification on candidates only (gate: a quarter of
+    the corpus at hamming <= 1 — the driver fixture's 30-word vocabulary
+    clusters SimHashes far more than a real corpus, and the differential
+    comparator collects both sides; the operator default stays at the
+    Manku setting hamming <= 3).  See
     ``operators/dedup.simhash_hamming_pairs``."""
-    return D.simhash_hamming_pairs(_docs(spark, sf_dir))
+    return D.simhash_hamming_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0), max_hamming=1
+    )
