@@ -706,3 +706,51 @@ def mix_epochs(
         id_col,
         F.explode(F.expr("sequence(1, n_rep)")).alias("epoch"),
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "feat",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FastText-style linear text classifier scoring: hash each token
+    into ``len(weights)`` buckets (feature hashing), average the bucket
+    weights over the document's tokens, add bias, squash with a sigmoid —
+    (doc_id, score, keep).  This is the classifier-quality-filter step of
+    modern corpus pipelines (FineWeb-Edu, DCLM): in production the
+    weight vector comes from a trained model file; here the PLUMBING is
+    the operator and the weights are an input.
+
+    Scale design: the model is a broadcast literal array (d floats — a
+    hashed linear model stays small by construction), feature hashing is
+    the md5 expression every sampler here uses, and the whole score is
+    ONE narrow pass over the token array (aggregate lambda — no explode,
+    no shuffle, no Python).  Mean pooling (not sum) keeps scores
+    length-invariant, matching fastText."""
+    d = len(weights)
+    # Weights are 6-decimal DECIMALS and the fold accumulates in decimal,
+    # so the per-document weight sum is EXACT and summation-order-free;
+    # only the final mean + sigmoid run in (identical) double arithmetic —
+    # the rounding-portability policy of PERFORMANCE.md finding 26.
+    warr = ", ".join(f"cast({w!r} as decimal(9,6))" for w in weights)
+    bucket = (
+        f"cast(conv(substring(md5(concat('{seed}:', t)), 1, 8), 16, 10)"
+        f" % {d} as int) + 1"
+    )
+    score_expr = (
+        f"1.0D / (1.0D + exp(-(cast({bias!r} as double) + "
+        f"cast(aggregate(toks, cast(0 as decimal(20,6)), (acc, t) -> "
+        f"cast(acc + element_at(array({warr}), {bucket}) as decimal(20,6)))"
+        f" as double)"
+        f" / size(toks))))"
+    )
+    from .dedup import token_array
+
+    return token_array(df, id_col, text_col).select(
+        "doc_id",
+        F.round(F.expr(score_expr), 6).alias("score"),
+    ).withColumn("keep", F.col("score") >= threshold)

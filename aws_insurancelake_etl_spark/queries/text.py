@@ -1624,3 +1624,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(
         _docs(spark, sf_dir).where(F.col("doc_id") % 4 == 0), max_hamming=1
     )
+
+
+_CLF_WEIGHTS = [-0.042852, -0.476763, -0.169057, -0.159427, -0.814394, 0.122015, 0.067962, -0.580092, -0.418791, -0.86611, 0.651028, -0.544904, 0.101742, 0.278057, -0.48217, -0.939627, -0.573591, 0.960289, -0.713629, 0.629661, 0.024129, -0.131079, 0.248421, 0.629942, -0.478372, 0.720779, -0.888127, 0.028489, 0.913434, 0.266148, 0.004129, -0.590539]
+
+
+@register(
+    "text_classifier_filter",
+    f"""
+    WITH {_TOKS_CTE}
+    , w(idx, wt) AS (VALUES
+        (0, -0.042852),
+        (1, -0.476763),
+        (2, -0.169057),
+        (3, -0.159427),
+        (4, -0.814394),
+        (5, 0.122015),
+        (6, 0.067962),
+        (7, -0.580092),
+        (8, -0.418791),
+        (9, -0.86611),
+        (10, 0.651028),
+        (11, -0.544904),
+        (12, 0.101742),
+        (13, 0.278057),
+        (14, -0.48217),
+        (15, -0.939627),
+        (16, -0.573591),
+        (17, 0.960289),
+        (18, -0.713629),
+        (19, 0.629661),
+        (20, 0.024129),
+        (21, -0.131079),
+        (22, 0.248421),
+        (23, 0.629942),
+        (24, -0.478372),
+        (25, 0.720779),
+        (26, -0.888127),
+        (27, 0.028489),
+        (28, 0.913434),
+        (29, 0.266148),
+        (30, 0.004129),
+        (31, -0.590539)
+    ),
+    feat AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('feat:' || token), 1, 8))::BIGINT % 32 AS idx
+        FROM toks
+    ),
+    agg AS (
+        SELECT f.doc_id,
+               SUM(CAST(w.wt AS DECIMAL(9,6))) AS s,
+               COUNT(*) AS n
+        FROM feat f JOIN w ON f.idx = w.idx
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(0.0 + CAST(s AS DOUBLE) / n))), 6) AS score,
+           (1.0 / (1.0 + exp(-(0.0 + CAST(s AS DOUBLE) / n))))
+               >= 0.5 AS keep
+    FROM agg
+    """,
+)
+def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (FineWeb-Edu / DCLM style): a
+    hashed linear model scores every document in ONE narrow pass — token
+    -> md5 feature bucket -> broadcast-literal weight, decimal-exact
+    fold, mean-pooled, sigmoid — and the keep flag thresholds at 0.5.
+    The 32-float weight vector here is a deterministic stub standing in
+    for a trained model file; the operator surface
+    (``textanalysis.linear_text_classifier``) is exactly what a real
+    fastText-export plugs into.  Zero shuffles, no Python."""
+    from ..operators.textanalysis import linear_text_classifier
+
+    return linear_text_classifier(_docs(spark, sf_dir), _CLF_WEIGHTS)
