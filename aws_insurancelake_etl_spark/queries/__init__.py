@@ -73,7 +73,8 @@ _MODULES = (
 # evt_anomaly_mad, stream_late_data_drop, dq_referential_integrity,
 # evt_ewma_applyinpandas, scd2_change_feed, evt_native_session_window,
 # ann_pq_adc_rerank, join_null_safe_keys, src_orc_roundtrip,
-# sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs)
+# sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs,
+# text_classifier_filter)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
