@@ -1031,3 +1031,38 @@ def evt_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "evt_window_distinct_users",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def evt_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count inside event-time windows (unique users per hour
+    per type) — the cardinality-per-window shape dashboards run
+    constantly.  Spark plans COUNT(DISTINCT) as the two-phase expand
+    (partial dedup on (window, type, user) then count) — map-side
+    combining bounds the exchange by distinct combinations, not events.
+    The streaming twin needs dropDuplicates-then-count or an approx
+    sketch (``sketch_kmv_distinct`` here); exact windowed distinct is a
+    batch operator by nature."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "n_users",
+        )
+    )
