@@ -74,7 +74,7 @@ _MODULES = (
 # evt_ewma_applyinpandas, scd2_change_feed, evt_native_session_window,
 # ann_pq_adc_rerank, join_null_safe_keys, src_orc_roundtrip,
 # sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs,
-# text_classifier_filter)
+# text_classifier_filter, evt_window_distinct_users)
 # + 4 family
 # representatives.  After r4, every registered query should have a
 # driver-green row at some round.
