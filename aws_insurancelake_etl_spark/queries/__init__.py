@@ -76,10 +76,9 @@ _MODULES = (
 # sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs,
 # text_classifier_filter, evt_window_distinct_users)
 # + 4 family
-# representatives.  The post-freeze additions now number ~48 — fill the
-# r5 window with them (they fit in one 50-slot window with 2 green
-# representatives); after r5, every registered query should have a
-# driver-green row at some round.
+# representatives.  The post-freeze additions now number ~54 — fill the
+# r5 window with 50 of them and the small remainder rotates in r6; after
+# r6, every registered query has a driver-green row at some round.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never driver-checked: text analysis / dedup / docs (SURVEY §2 + LLM ops)
     "text_quality_score",
