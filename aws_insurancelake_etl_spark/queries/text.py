@@ -1698,3 +1698,118 @@ def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import linear_text_classifier
 
     return linear_text_classifier(_docs(spark, sf_dir), _CLF_WEIGHTS)
+
+
+_BLOCKLIST = ("merge", "spill")
+_BLOCK_SQL = ", ".join(f"'{w}'" for w in _BLOCKLIST)
+
+
+@register(
+    "text_blocklist_filter",
+    f"""
+    WITH {_TOKS_CTE},
+    flagged AS (
+        SELECT doc_id,
+               MAX(CASE WHEN token IN ({_BLOCK_SQL}) THEN 1 ELSE 0 END) AS hit
+        FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(f.hit AS BOOLEAN) AS blocked
+    FROM documents d JOIN flagged f USING (doc_id)
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (the C4 badwords stage): flag documents
+    containing any blocklisted token.  Fully narrow —
+    ``arrays_overlap`` between the token array and a literal blocklist
+    array, zero shuffles, no explode; at 100 TB this is a map-only pass
+    whose cost is the scan itself.  (Real blocklists are thousands of
+    terms — still a literal array or broadcast set; the plan shape is
+    unchanged.)"""
+    docs = t(spark, sf_dir, "documents")
+    block = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id", "lang", "source",
+        F.arrays_overlap(toks, block).alias("blocked"),
+    )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+                   JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.5
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(('0x' || substr(md5('{s // 4}:' || shingle),"
+                   f" {1 + 8 * (s % 4)}, 8))::BIGINT) AS h{s}"
+                   for s in range(8)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                    WHEN 0 THEN CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR)
+                    WHEN 1 THEN CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR)
+                    WHEN 2 THEN CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR)
+                    ELSE CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR)
+               END AS band_key
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) AS n_truth,
+           SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+           ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM truth t LEFT JOIN cand c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall evaluation — the dedup twin of ``ann_recall_eval``: how
+    many TRUE near-dup pairs (exact shingle Jaccard >= 0.5) does the
+    banded MinHash candidate generation recover?  This is the harness
+    that turns the band/row tradeoff (4 bands x 2 rows here) from a
+    formula into a measured number before committing an index to a 100 TB
+    corpus.  Truth and candidates share one shingle-pipeline evaluation
+    shape; the recall join touches only pair keys."""
+    docs = _docs(spark, sf_dir)
+    truth = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(docs)).select(
+        "doc_a", "doc_b"
+    ).distinct()
+    marked = cand.withColumn("__hit", F.lit(1))
+    return (
+        truth.join(marked, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            "n_truth", "n_found",
+            F.round(F.col("n_found") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
