@@ -77,7 +77,7 @@ _MODULES = (
 # text_classifier_filter, evt_window_distinct_users,
 # text_blocklist_filter, dedup_lsh_recall_eval)
 # + 4 family
-# representatives.  The post-freeze additions now number ~54 — fill the
+# representatives.  The post-freeze additions now number ~58 — fill the
 # r5 window with 50 of them and the small remainder rotates in r6; after
 # r6, every registered query has a driver-green row at some round.
 DRIVER_WINDOW: tuple[str, ...] = (
