@@ -295,3 +295,52 @@ class TestChangeFeedInverse:
         assert (upd.old_attr, upd.new_attr) == ("a", "a2")
         assert str(upd.changed_at) == "2024-03-01"
         assert events[(3, "insert")].new_attr == "c"
+
+
+class TestSimhashPairs:
+    def test_matches_python_replica(self, spark):
+        """The full chain (token hash -> bit votes -> chunk blocking ->
+        hamming verify) replicated in pure Python must produce the same
+        pair set — including pairs AND non-pairs near the threshold."""
+        import hashlib
+        from itertools import combinations
+
+        from aws_insurancelake_etl_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        docs = {
+            1: "alpha beta gamma delta",
+            2: "alpha beta gamma delta",          # identical -> hamming 0
+            3: "alpha beta gamma epsilon",        # near
+            4: "zeta eta theta iota kappa",       # far
+            5: "zeta eta theta iota",             # near 4
+        }
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+
+        def sh(text, bits=16):
+            toks = sorted(set(text.split()))
+            votes = [0] * bits
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                for b in range(bits):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            return sum((1 << b) for b in range(bits) if votes[b] > 0)
+
+        hashes = {k: sh(v) for k, v in docs.items()}
+
+        def chunks(h):
+            return [(i, (h >> (i * 4)) & 15) for i in range(4)]
+
+        expect = set()
+        for a, b in combinations(sorted(docs), 2):
+            share = set(chunks(hashes[a])) & set(chunks(hashes[b]))
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if share and ham <= 3:
+                expect.add((a, b, ham))
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(df).collect()
+        }
+        assert got == expect
+        assert (1, 2, 0) in got  # identical docs found at hamming 0
