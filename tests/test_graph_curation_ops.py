@@ -344,3 +344,38 @@ class TestSimhashPairs:
         }
         assert got == expect
         assert (1, 2, 0) in got  # identical docs found at hamming 0
+
+
+class TestPrivacyAndClassifier:
+    def test_k_anonymity_empty_when_all_groups_large(self, spark):
+        from aws_insurancelake_etl_spark.operators.dataprotection import (
+            k_anonymity_audit,
+        )
+
+        rows = [(i % 2, "x", i) for i in range(20)]
+        df = spark.createDataFrame(rows, ["nat", "seg", "id"])
+        assert k_anonymity_audit(df, ["nat", "seg"], k=5).count() == 0
+        risky = k_anonymity_audit(df, ["nat", "seg"], k=11).collect()
+        assert {(r.nat, r.seg, r.class_size) for r in risky} == {
+            (0, "x", 10), (1, "x", 10),
+        }
+
+    def test_classifier_score_matches_hand_computation(self, spark):
+        import hashlib
+        import math
+
+        from aws_insurancelake_etl_spark.operators.textanalysis import (
+            linear_text_classifier,
+        )
+
+        weights = [round(0.01 * i - 0.15, 6) for i in range(32)]
+        df = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+        out = linear_text_classifier(df, weights).collect()[0]
+
+        def bucket(t):
+            return int(hashlib.md5(f"feat:{t}".encode()).hexdigest()[:8], 16) % 32
+
+        s = sum(weights[bucket(t)] for t in ["alpha", "beta", "alpha"]) / 3
+        expect = 1.0 / (1.0 + math.exp(-s))
+        assert abs(out.score - round(expect, 6)) < 1e-9
+        assert out.keep == (expect >= 0.5)
