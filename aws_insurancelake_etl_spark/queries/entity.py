@@ -501,3 +501,90 @@ def em_token_set_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim") >= 0.68)
         .select("partkey", "matched_partkey", F.round("sim", 4).alias("similarity"))
     )
+
+
+@register(
+    "em_transitive_gid",
+    """
+    WITH RECURSIVE fpairs AS (
+        SELECT i.c_custkey AS a, p.c_custkey AS b
+        FROM (SELECT * FROM customer WHERE c_custkey % 2 = 1) i
+        JOIN (SELECT * FROM customer WHERE c_custkey % 2 = 0) p
+          ON i.c_nationkey = p.c_nationkey
+        WHERE 1.0 - levenshtein(i.c_name, p.c_name)
+              / GREATEST(length(i.c_name), length(p.c_name)) >= 0.85
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM fpairs
+              UNION ALL SELECT b, a FROM fpairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, MIN(label) AS root FROM reach GROUP BY node),
+    assigned AS (
+        SELECT c.c_custkey,
+               COALESCE(cc.root, c.c_custkey) AS root
+        FROM customer c LEFT JOIN cc ON c.c_custkey = cc.node
+    ),
+    szs AS (SELECT root, COUNT(*) AS cluster_size FROM assigned GROUP BY root)
+    SELECT a.c_custkey AS custkey,
+           md5('gid-' || CAST(a.root AS VARCHAR)) AS global_id,
+           s.cluster_size
+    FROM assigned a JOIN szs s ON a.root = s.root
+    """,
+)
+def em_transitive_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution FINALE: transitive global-id assignment.
+    Pairwise fuzzy matching only scores pairs it compared — but matches
+    CHAIN (a~b from one feed, b~c from another), so production entity
+    resolution closes the match graph and mints ONE id per connected
+    component.  This gate composes the engine's real pieces end-to-end:
+    the blocked fuzzy scorer (broadcast primary, banded levenshtein, ALL
+    pairs over threshold — not just best-match, closure needs the full
+    graph), ``dedup.connected_components`` (min-label propagation with
+    pointer jumping), singleton fallback to the entity's own key, and a
+    deterministic md5 global id per cluster root.  Cluster sizes ride
+    along — the over-merge audit signal reviewers watch (a giant cluster
+    means the threshold or blocking is too loose)."""
+    from ..operators.dedup import connected_components
+    from ..functions.similarity import levenshtein_similarity
+
+    cust = t(spark, sf_dir, "customer")
+    n_slices = spark.sparkContext.defaultParallelism
+    incoming = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("a"), F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("a_nat"),
+    ).repartition(n_slices)
+    primary = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("b"), F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    sim = levenshtein_similarity(F.col("a_name"), F.col("b_name"))
+    pairs = (
+        incoming.join(F.broadcast(primary), F.col("a_nat") == F.col("b_nat"))
+        .where(sim >= 0.85)
+        .select("a", "b")
+    )
+    cc = connected_components(pairs, src="a", dst="b").withColumnRenamed(
+        "cluster_id", "root"
+    )
+    assigned = (
+        cust.select("c_custkey")
+        .join(cc, cust["c_custkey"] == cc["node"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("root"), F.col("c_custkey")).alias("root"),
+        )
+    )
+    sizes = assigned.groupBy("root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        assigned.join(sizes, "root")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.md5(F.concat(F.lit("gid-"), F.col("root").cast("string")))
+            .alias("global_id"),
+            "cluster_size",
+        )
+    )
