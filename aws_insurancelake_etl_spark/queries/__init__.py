@@ -75,7 +75,8 @@ _MODULES = (
 # ann_pq_adc_rerank, join_null_safe_keys, src_orc_roundtrip,
 # sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs,
 # text_classifier_filter, evt_window_distinct_users,
-# text_blocklist_filter, dedup_lsh_recall_eval, stat_ols_price_on_qty)
+# text_blocklist_filter, dedup_lsh_recall_eval, stat_ols_price_on_qty,
+# em_transitive_gid)
 # + 4 family
 # representatives.  The post-freeze additions now number ~58 — fill the
 # r5 window with 50 of them and the small remainder rotates in r6; after
