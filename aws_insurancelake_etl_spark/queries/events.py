@@ -1066,3 +1066,49 @@ def evt_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "n_users",
         )
     )
+
+
+@register(
+    "evt_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead-pair counts row-normalized into transition
+    probabilities — the behavioral-sequence summary (and feature
+    extractor) clickstream pipelines compute constantly.  One user-keyed
+    window builds the bigrams, one aggregation counts them (exchange
+    bounded by |types|², not events), and the normalizing window runs on
+    the tiny counts table.  The probability is an exact integer ratio in
+    double — identical on both engines."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 6).alias("p"),
+    )
