@@ -78,7 +78,7 @@ _MODULES = (
 # text_blocklist_filter, dedup_lsh_recall_eval, stat_ols_price_on_qty,
 # em_transitive_gid, evt_markov_transitions)
 # + 4 family
-# representatives.  The post-freeze additions now number ~58 — fill the
+# representatives.  The post-freeze additions now number ~61 — fill the
 # r5 window with 50 of them and the small remainder rotates in r6; after
 # r6, every registered query has a driver-green row at some round.
 DRIVER_WINDOW: tuple[str, ...] = (
