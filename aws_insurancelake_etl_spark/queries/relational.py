@@ -1370,3 +1370,48 @@ def stat_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+@register(
+    "window_rank_fractions",
+    """
+    SELECT c_mktsegment, c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional rank functions (percent_rank, cume_dist, ntile) per
+    segment — the remaining ranking-window surface.  All three are exact
+    integer ratios of rank positions (identical doubles on any engine);
+    the ORDER BY carries a unique tie-break so ntile edges are
+    deterministic.  One segment-keyed exchange serves all three."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "setops_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL bag semantics (multiset difference: each occurrence on
+    the right cancels ONE on the left) — the set-operation surface a
+    plain EXCEPT (distinct) silently changes.  Spark's ``exceptAll``
+    plans as a counted anti-semantics aggregation, not a distinct."""
+    orders = t(spark, sf_dir, "orders")
+    left = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return left.exceptAll(right)
