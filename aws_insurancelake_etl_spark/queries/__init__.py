@@ -76,7 +76,8 @@ _MODULES = (
 # sql_recursive_reachability, sql_lateral_top2, dedup_simhash_pairs,
 # text_classifier_filter, evt_window_distinct_users,
 # text_blocklist_filter, dedup_lsh_recall_eval, stat_ols_price_on_qty,
-# em_transitive_gid, evt_markov_transitions)
+# em_transitive_gid, evt_markov_transitions, window_rank_fractions,
+# setops_except_all)
 # + 4 family
 # representatives.  The post-freeze additions now number ~61 — fill the
 # r5 window with 50 of them and the small remainder rotates in r6; after
