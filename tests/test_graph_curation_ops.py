@@ -379,3 +379,47 @@ class TestPrivacyAndClassifier:
         expect = 1.0 / (1.0 + math.exp(-s))
         assert abs(out.score - round(expect, 6)) < 1e-9
         assert out.keep == (expect >= 0.5)
+
+
+class TestHarnessSensitivity:
+    """The differential comparator must actually bite: row drops, value
+    drift, column renames, and row duplication all have to FAIL."""
+
+    def _cmp(self):
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "check_oracle",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "tools", "check_oracle.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.compare
+
+    def test_comparator_catches_mutations(self):
+        import pandas as pd
+
+        compare = self._cmp()
+        base = pd.DataFrame({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5]})
+        ok, _ = compare(base.copy(), base.copy())
+        assert ok == "OK"
+        st, _ = compare(base.iloc[:2].copy(), base.copy())      # dropped row
+        assert st == "FAIL"
+        drift = base.copy(); drift.loc[1, "v"] = 2.5000001      # value drift
+        assert compare(drift, base.copy())[0] == "FAIL"
+        renamed = base.rename(columns={"v": "value"})           # column name
+        assert compare(renamed, base.copy())[0] == "FAIL"
+        dup = pd.concat([base, base.iloc[[0]]], ignore_index=True)
+        assert compare(dup, pd.concat([base, base.iloc[[1]]],
+                                      ignore_index=True))[0] == "FAIL"
+
+    def test_comparator_order_independent(self):
+        import pandas as pd
+
+        compare = self._cmp()
+        base = pd.DataFrame({"k": [1, 2, 3], "v": [1.5, 2.5, 3.5]})
+        shuffled = base.iloc[[2, 0, 1]].reset_index(drop=True)
+        st, _ = compare(shuffled, base)
+        assert st == "OK"  # row order must NOT matter
+        cols = base[["v", "k"]]
+        assert compare(cols, base)[0] == "OK"  # column order must NOT matter
