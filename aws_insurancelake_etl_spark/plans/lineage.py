@@ -51,6 +51,41 @@ class LineageLog:
             with open(self.path, "a", encoding="utf-8") as handle:
                 handle.write(json.dumps(event, default=str) + "\n")
 
+    def numeric_audit_observed(
+        self, df: DataFrame, operation: str = "numericaudit"
+    ):
+        """Single-pass numeric audit via ``df.observe``: returns
+        (instrumented_df, finish) — attach the returned DataFrame to the
+        job that was going to run anyway (the cleanse write), then call
+        ``finish()`` after that action to log the audit event.  Unlike
+        :meth:`numeric_audit` this costs ZERO extra passes: the metrics
+        accumulate inside the write job itself, which at 100 TB is the
+        difference between scanning the stage output once and twice
+        (the cache only mitigates the second scan while it fits
+        executor memory)."""
+        from pyspark.sql import Observation
+
+        numeric_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float", "decimal", "integer", "long", "short")
+        ]
+        obs = Observation(f"{operation}-{id(df)}")
+        instrumented = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("__row_count"),
+            *[F.sum(F.col(c)).alias(c) for c in numeric_cols],
+        )
+
+        def finish() -> dict[str, Any]:
+            row = obs.get
+            totals = {c: row[c] for c in numeric_cols}
+            self.update(operation, df=df, row_count=row["__row_count"],
+                        column_sums=totals)
+            return {"row_count": row["__row_count"], "column_sums": totals}
+
+        return instrumented, finish
+
     def numeric_audit(self, df: DataFrame, operation: str = "numericaudit") -> dict[str, Any]:
         """Row count + per-numeric-column sums as one aggregate job."""
         numeric_cols = [

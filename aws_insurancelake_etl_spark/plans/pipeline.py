@@ -93,10 +93,17 @@ def collect_to_cleanse(
 
     df = df.cache()
     df, _ = run_dq_stage(df, config.dq_rules, "after_transform", ctx, table, qwriter)
-    if ctx.lineage is not None:
-        ctx.lineage.numeric_audit(df)
 
-    write_cleanse_table(df, database, table, partition, ctx, allow_schema_change)
+    # Numeric audit rides the write job itself (df.observe) — zero extra
+    # passes; the event logs once the write action completes.
+    finish_audit = None
+    write_df = df
+    if ctx.lineage is not None:
+        write_df, finish_audit = ctx.lineage.numeric_audit_observed(df)
+
+    write_cleanse_table(write_df, database, table, partition, ctx, allow_schema_change)
+    if finish_audit is not None:
+        finish_audit()
     flush_token_vault(ctx, database)
     return StageResult(df=df, database=database, table=table,
                        recommendations=recommendations or None)
