@@ -423,3 +423,25 @@ class TestHarnessSensitivity:
         assert st == "OK"  # row order must NOT matter
         cols = base[["v", "k"]]
         assert compare(cols, base)[0] == "OK"  # column order must NOT matter
+
+
+class TestObservedAudit:
+    def test_observed_metrics_equal_explicit_pass(self, spark, tmp_path):
+        from aws_insurancelake_etl_spark.plans.lineage import LineageLog
+
+        df = spark.createDataFrame(
+            [(1, 10.5, "a"), (2, 20.25, "b"), (3, -5.0, "c")],
+            "id long, amount double, tag string",
+        )
+        log = LineageLog(execution_id="t", dataset="d")
+        explicit = log.numeric_audit(df)
+
+        log2 = LineageLog(execution_id="t2", dataset="d")
+        instrumented, finish = log2.numeric_audit_observed(df)
+        # any action over the instrumented frame populates the metrics
+        instrumented.write.format("noop").mode("overwrite").save()
+        observed = finish()
+
+        assert observed["row_count"] == explicit["row_count"] == 3
+        assert observed["column_sums"] == explicit["column_sums"]
+        assert any(e["operation"] == "numericaudit" for e in log2.events)
