@@ -1415,3 +1415,37 @@ def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
     right = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
     return left.exceptAll(right)
+
+
+@register(
+    "agg_boolean_family",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           GROUPING(o_orderpriority) AS grp
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (count_if, every, any) with a
+    GROUPING() marker over grouping sets — the remaining aggregate
+    surface: the marker disambiguates the grand-total row from a real
+    NULL group, which downstream consumers of rollup output depend on.
+    All four aggregates fold map-side in the single grouping-set
+    exchange."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__bool_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 150000) AS n_big,
+               every(o_totalprice > 1000) AS all_over_1k,
+               any(o_orderstatus = 'F') AS any_finished,
+               grouping(o_orderpriority) AS grp
+        FROM __bool_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), ())
+        """
+    )
