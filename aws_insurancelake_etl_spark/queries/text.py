@@ -1813,3 +1813,100 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_found") * 1.0 / F.col("n_truth"), 4).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_minhash_est_error",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+        SELECT doc_a, doc_b,
+               ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 4) AS jac
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"MIN(('0x' || substr(md5('{s // 4}:' || shingle),"
+                   f" {1 + 8 * (s % 4)}, 8))::BIGINT) AS h{s}"
+                   for s in range(8)
+               )}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b.band_id,
+               CASE b.band_id
+                    WHEN 0 THEN CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR)
+                    WHEN 1 THEN CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR)
+                    WHEN 2 THEN CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR)
+                    ELSE CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR)
+               END AS band_key
+        FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ({" + ".join(
+                   f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END"
+                   for s in range(8)
+               )}) / 8.0 AS mh_est
+        FROM cand c JOIN sigs sa ON c.doc_a = sa.doc_id
+                    JOIN sigs sb ON c.doc_b = sb.doc_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(AVG(abs(e.mh_est - x.jac)), 4) AS avg_abs_err,
+           ROUND(MAX(abs(e.mh_est - x.jac)), 4) AS max_abs_err
+    FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """,
+)
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation-error measurement over the LSH candidates: the
+    8-hash signature agreement fraction vs exact shingle Jaccard, as
+    (n_pairs, avg |err|, max |err|) — with ``dedup_lsh_recall_eval``
+    this completes the approximation's report card (recall AND accuracy)
+    before a band/row/hash-count setting indexes a 100 TB corpus.  All
+    inputs are exact small-integer ratios; the error aggregate runs on
+    candidate pairs only."""
+    docs = _docs(spark, sf_dir)
+    shingle_df = _shingles(spark, sf_dir)
+    sigs = D.minhash_signatures(docs)
+    cand = D.lsh_candidate_pairs(sigs).select("doc_a", "doc_b").distinct()
+    exact = D.jaccard_for_pairs(shingle_df, cand, threshold=0.0)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    est = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", (agree / 8.0).alias("mh_est"))
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("mh_est") - F.col("jaccard"))), 4)
+            .alias("avg_abs_err"),
+            F.round(F.max(F.abs(F.col("mh_est") - F.col("jaccard"))), 4)
+            .alias("max_abs_err"),
+        )
+    )
