@@ -1078,3 +1078,72 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
     )
+
+
+@register(
+    "pipeline_drop_to_cleanse_orchestrated",
+    """
+    SELECT c_custkey AS customer_id,
+           CAST(CAST(c_acctbal AS DECIMAL(16,2)) AS DOUBLE) AS acct_balance,
+           c_mktsegment AS market_segment,
+           '2024' AS year, '02' AS month, '10' AS day
+    FROM customer
+    WHERE c_custkey % 4 = 0 AND c_acctbal >= 0
+    """,
+)
+def pipeline_drop_to_cleanse_orchestrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PRIMARY query — the file-drop lifecycle — end to
+    end through the ORCHESTRATOR (SURVEY §3.1): a CSV lands at
+    ``<landing>/<source_system>/<table>/<yyyy>/<mm>/<dd>/file``,
+    ``run_or_queue`` parses the drop path, records the job audit
+    (row count included for the volume-drift history), runs
+    Collect-to-Cleanse with mapping + transforms + partition injection,
+    and the gate returns the cleansed table — the oracle states the
+    expected content in plain SQL.  This is one level above
+    ``pipeline_collect_to_cleanse``: the drop-path convention, audit
+    state machine, and dependency release logic are all in the executed
+    path."""
+    import json as _json
+    import os
+
+    from ..orchestrator import JobAudit, run_or_queue
+
+    run_id = uuid.uuid4().hex[:12]
+    tmp = tempfile.mkdtemp(prefix=f"gate-orch-{run_id}-")
+    db = f"orchdb_{run_id}"
+    drop_dir = f"{tmp}/landing/{db}/custfeed/2024/02/10"
+    os.makedirs(drop_dir)
+    subset = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+    pdf = subset.toPandas()
+    pdf.to_csv(f"{drop_dir}/custfeed.csv", index=False)
+    cfg = f"{tmp}/cfg"
+    os.makedirs(cfg)
+    with open(f"{cfg}/{db}-custfeed.json", "w") as fh:
+        _json.dump({
+            "input_spec": {"csv": {"header": True}},
+            "transform_spec": {
+                "changetype": {"acct_balance": "Decimal(16,2)"},
+                "filterrows": [{"condition": "acct_balance >= 0"}],
+            },
+        }, fh)
+    with open(f"{cfg}/{db}-custfeed.csv", "w") as fh:
+        fh.write("SourceName,DestName\n"
+                 "c_custkey,customer_id\n"
+                 "c_name,Null\n"
+                 "c_acctbal,acct_balance\n"
+                 "c_mktsegment,market_segment\n")
+    audit = JobAudit(f"{tmp}/audit.jsonl")
+    out = run_or_queue(
+        spark, f"{drop_dir}/custfeed.csv",
+        landing_root=f"{tmp}/landing", config_dir=cfg, audit=audit,
+    )
+    assert out["status"] == "SUCCEEDED", out
+    return spark.table(f"{db}.custfeed").select(
+        "customer_id",
+        F.col("acct_balance").cast("double").alias("acct_balance"),
+        "market_segment", "year", "month", "day",
+    )
