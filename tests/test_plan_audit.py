@@ -458,3 +458,25 @@ def test_pq_adc_scores_codes_not_vectors(spark):
     plan = plan_of(spark, "ann_pq_adc_rerank")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_filter_is_shuffle_free(spark):
+    """The hashed-linear-model scorer must be a pure map pass: broadcast
+    literal weights, no computational shuffle, no join, no Python.  (The
+    one allowed exchange is the deliberate round-robin ``spread``
+    repartition that parallelizes a single-file scan — never a hash
+    partitioning.)"""
+    plan = plan_of(spark, "text_classifier_filter")
+    assert "hashpartitioning" not in plan.lower()
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "FlatMapGroupsInPandas",
+               "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, op
+
+
+def test_blocklist_filter_is_shuffle_free(spark):
+    """Blocklist flagging is arrays_overlap against a literal — zero
+    exchanges, zero joins."""
+    plan = plan_of(spark, "text_blocklist_filter")
+    assert "Exchange" not in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
