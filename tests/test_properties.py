@@ -311,3 +311,36 @@ def test_substring_runs_match_dp_reference(spark, doclists):
         for r in D.substring_run_pairs(df, k=k, min_run_tokens=min_run).collect()
     }
     assert got == _brute_force_max_runs(doclists, min_run)
+
+
+mix_strategy = st.tuples(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=3),
+    st.integers(min_value=10, max_value=300),   # budget_docs
+    st.integers(min_value=2, max_value=12),     # docs per stratum
+)
+
+
+@given(cfg=mix_strategy)
+@settings(**SETTINGS)
+def test_mix_epochs_budget_exact_for_any_weights(spark, cfg):
+    """For ANY weight vector and budget, the scheduled repetitions per
+    stratum equal exactly (permille * budget) // 1000, and each doc's
+    epochs are a dense 1..n_i prefix with counts differing by at most 1
+    within a stratum."""
+    permilles, budget, per = cfg
+    weights = {f"s{i}": pm for i, pm in enumerate(permilles)}
+    rows = [(f"s{i}", i * 1000 + j) for i in range(len(permilles))
+            for j in range(per)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    out = TA.mix_epochs(df, weights_permille=weights, budget_docs=budget).collect()
+    by_stratum: dict = {}
+    by_doc: dict = {}
+    for r in out:
+        by_stratum[r.lang] = by_stratum.get(r.lang, 0) + 1
+        by_doc.setdefault((r.lang, r.doc_id), []).append(r.epoch)
+    for lang, pm in weights.items():
+        assert by_stratum.get(lang, 0) == (pm * budget) // 1000
+    for (lang, _), epochs in by_doc.items():
+        assert sorted(epochs) == list(range(1, len(epochs) + 1))
+        counts = [len(v) for (l2, _), v in by_doc.items() if l2 == lang]
+        assert max(counts) - min(counts) <= 1
