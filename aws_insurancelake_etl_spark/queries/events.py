@@ -1112,3 +1112,39 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+@register(
+    "evt_top_types_per_window",
+    """
+    SELECT window_start, event_type, n_events, rk FROM (
+        SELECT window_start, event_type, n_events,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, event_type) AS rk
+        FROM (
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+    ) WHERE rk <= 2
+    """,
+)
+def evt_top_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending analysis: top-2 event types per 6-hour window — the
+    "what's hot right now" query every activity dashboard runs.  The
+    rank runs on the already-aggregated (window, type) counts, so the
+    bounded rank's WindowGroupLimit pre-limit operates on a table whose
+    size is windows x types — at 100 TB the expensive part (counting)
+    is one map-side-combined aggregation and the ranking is free."""
+    ev = read_events(spark, sf_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "event_type"
+        )
+    )
+    return counts.withColumn("rk", rk).where(F.col("rk") <= 2)
