@@ -1910,3 +1910,60 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_abs_err"),
         )
     )
+
+
+@register(
+    "docs_pii_scan",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 10 = 0
+                            THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 15 = 0
+                            THEN ' ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                                 || '-' || '12' || '-' || '3456'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    kinds(kind, pattern) AS (VALUES
+        ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+        ('ssn', '\b\d{3}-\d{2}-\d{4}\b')
+    )
+    SELECT 'text' AS "column", k.kind,
+           SUM(CASE WHEN regexp_matches(s.text, k.pattern) THEN 1 ELSE 0 END)
+               AS n_rows_matched,
+           SUM(len(regexp_extract_all(s.text, k.pattern))) AS n_matches
+    FROM seeded s CROSS JOIN kinds k
+    GROUP BY k.kind
+    """,
+)
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII audit over documents with INJECTED synthetic PII (every
+    10th doc gains an email, every 15th an SSN-shaped string — the
+    fixture text is clean, so the injection is what makes the scan's
+    counts non-trivial and the oracle decisive): the real
+    ``dataprotection.pii_scan`` runs one narrow regexp_count pass and
+    reports (column, kind, rows, matches) — the audit step a
+    training-data pipeline runs before deciding redaction policy."""
+    from ..operators.dataprotection import PII_PATTERNS, pii_scan
+
+    docs = t(spark, sf_dir, "documents")
+    email = F.concat(
+        F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    ssn = F.concat(
+        F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-12-3456"),
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, email).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 15 == 0, F.concat(F.lit(" "), ssn))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    pats = {k: PII_PATTERNS[k] for k in ("email", "ssn")}
+    return pii_scan(seeded, ["text"], pats)
