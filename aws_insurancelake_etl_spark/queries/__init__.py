@@ -78,7 +78,8 @@ _MODULES = (
 # text_blocklist_filter, dedup_lsh_recall_eval, stat_ols_price_on_qty,
 # em_transitive_gid, evt_markov_transitions, window_rank_fractions,
 # setops_except_all, agg_boolean_family, dedup_minhash_est_error,
-# pipeline_drop_to_cleanse_orchestrated, evt_top_types_per_window)
+# pipeline_drop_to_cleanse_orchestrated, evt_top_types_per_window,
+# docs_pii_scan)
 # + 4 family
 # representatives.  The post-freeze additions now number ~61 — fill the
 # r5 window with 50 of them and the small remainder rotates in r6; after
