@@ -116,8 +116,9 @@ def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(SUM(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -516,7 +517,8 @@ def evt_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT date_trunc('week', f.signup_ts) AS signup_week,
            COUNT(*) AS n_signups,
-           SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
            ROUND(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS conversion
     FROM first_signup f LEFT JOIN converted c ON c.user_id = f.user_id
@@ -991,8 +993,9 @@ def evt_ewma_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(SUM(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM flagged
     )
     SELECT user_id,

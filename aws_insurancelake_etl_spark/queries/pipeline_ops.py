@@ -784,7 +784,8 @@ def dq_stats_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, AVG(value) AS avg_value FROM events GROUP BY user_id
     )
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CASE WHEN value > avg_value THEN 1 ELSE 0 END) AS n_above_profile
+           CAST(SUM(CASE WHEN value > avg_value THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_profile
     FROM events JOIN prof USING (user_id)
     GROUP BY event_type
     """,

@@ -156,9 +156,9 @@ def _lang_case_sql() -> str:
     }
     return f"""
     SELECT doc_id,
-           {counts['en']} AS score_en,
-           {counts['de']} AS score_de,
-           {counts['es']} AS score_es,
+           CAST({counts['en']} AS BIGINT) AS score_en,
+           CAST({counts['de']} AS BIGINT) AS score_de,
+           CAST({counts['es']} AS BIGINT) AS score_es,
            CASE WHEN {counts['en']} >= {counts['de']} AND {counts['en']} >= {counts['es']}
                     THEN 'en'
                 WHEN {counts['de']} >= {counts['es']} THEN 'de'
@@ -354,7 +354,7 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token
     )
     SELECT doc_id,
-           SUM(c) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
            ROUND(ln(CAST(SUM(c) AS DOUBLE))
                  - SUM(c * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
                  4) AS entropy,
@@ -1448,7 +1448,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
     v AS (SELECT token, SUM(c) AS cf FROM dt GROUP BY token),
     n AS (SELECT SUM(cf) AS corpus_n FROM v)
-    SELECT doc_id, SUM(c) AS n_tokens,
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
            ROUND(SUM(c * -ln(cf * 1.0 / corpus_n)) / SUM(c), 4) AS xent
     FROM dt JOIN v USING (token) CROSS JOIN n
     GROUP BY doc_id
@@ -1509,10 +1509,10 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT source AS stratum, doc_id, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY diversity DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS cum_before
+                   AS BIGINT) AS cum_before
         FROM d
     )
     SELECT stratum, doc_id, n_tokens, cum_before
@@ -1779,7 +1779,8 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND a.doc_id < b.doc_id
     )
     SELECT COUNT(*) AS n_truth,
-           SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+           CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_found,
            ROUND(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS recall
     FROM truth t LEFT JOIN cand c
@@ -1931,9 +1932,10 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('ssn', '\b\d{3}-\d{2}-\d{4}\b')
     )
     SELECT 'text' AS "column", k.kind,
-           SUM(CASE WHEN regexp_matches(s.text, k.pattern) THEN 1 ELSE 0 END)
-               AS n_rows_matched,
-           SUM(len(regexp_extract_all(s.text, k.pattern))) AS n_matches
+           CAST(SUM(CASE WHEN regexp_matches(s.text, k.pattern)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_matched,
+           CAST(SUM(len(regexp_extract_all(s.text, k.pattern))) AS BIGINT)
+               AS n_matches
     FROM seeded s CROSS JOIN kinds k
     GROUP BY k.kind
     """,

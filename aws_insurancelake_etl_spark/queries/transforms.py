@@ -730,24 +730,26 @@ def agg_numeric_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scans AS (
         SELECT 'email' AS kind,
-               SUM(CASE WHEN len(regexp_extract_all(contact_note,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(contact_note,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
-                   THEN 1 ELSE 0 END) AS n_rows_matched,
-               SUM(len(regexp_extract_all(contact_note,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS n_matches
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_rows_matched,
+               CAST(SUM(len(regexp_extract_all(contact_note,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                   AS BIGINT) AS n_matches
         FROM synth
         UNION ALL
         SELECT 'phone',
-               SUM(CASE WHEN len(regexp_extract_all(contact_note,
-                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')) > 0 THEN 1 ELSE 0 END),
-               SUM(len(regexp_extract_all(contact_note,
-                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')))
+               CAST(SUM(CASE WHEN len(regexp_extract_all(contact_note,
+                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b')) > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT),
+               CAST(SUM(len(regexp_extract_all(contact_note,
+                   '\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b'))) AS BIGINT)
         FROM synth
         UNION ALL
         SELECT 'account',
-               SUM(CASE WHEN len(regexp_extract_all(c_name, '#\d{3,}')) > 0
-                   THEN 1 ELSE 0 END),
-               SUM(len(regexp_extract_all(c_name, '#\d{3,}')))
+               CAST(SUM(CASE WHEN len(regexp_extract_all(c_name, '#\d{3,}')) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(len(regexp_extract_all(c_name, '#\d{3,}'))) AS BIGINT)
         FROM synth
     )
     SELECT kind, n_rows_matched, n_matches FROM scans

@@ -74,9 +74,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -99,7 +101,7 @@ def main() -> int:
         if status == "FAIL":
             failures.append(name)
 
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok; failures: {failures}")
+    print(f"\n{ran - len(failures)}/{ran} ok; failures: {failures}")
     spark.stop()
     return 1 if failures else 0
 
