@@ -718,8 +718,24 @@ def simhash_hamming_pairs(
     candidates; duplicate candidate pairs from multiple agreeing chunks
     collapse with one distinct.  Requires ``max_hamming < chunks`` for
     completeness (3 < 4 here), the standard Manku/Google dedup setting."""
+    if bits % chunks != 0:
+        raise ValueError(
+            f"chunks ({chunks}) must divide bits ({bits}) so every "
+            "pigeonhole chunk covers the same number of bits"
+        )
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({chunks}): a "
+            "pair may differ in every chunk otherwise and pigeonhole "
+            "blocking silently loses recall"
+        )
+    if bits > 62:
+        raise ValueError(f"bits ({bits}) must fit a signed 64-bit simhash")
     chunk_bits = bits // chunks
     sh = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    # Chunk extraction is pure bit arithmetic (shiftright + mask): the
+    # former double division breaks above ~52 bits.
+    mask = F.lit((1 << chunk_bits) - 1).cast("long")
     melted = sh.select(
         "doc_id",
         "simhash",
@@ -727,8 +743,9 @@ def simhash_hamming_pairs(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    ((F.col("simhash") / (1 << (i * chunk_bits))).cast("long")
-                     % (1 << chunk_bits)).alias("cv"),
+                    F.shiftright(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(mask)
+                    .alias("cv"),
                 )
                 for i in range(chunks)
             ])

@@ -62,19 +62,27 @@ def _halfup_rational_cents(premium: Column, num: Column, den: Column) -> Column:
     goes through a binary double whose value can sit a ulp to either side
     of a .005 cent boundary — and different engines then round the SAME
     money amount to DIFFERENT cents (caught by the sf0.1 differential
-    sweep).  Here every intermediate is an exact integer (magnitudes stay
-    far under 2^53, so even the one double division is exact enough for
-    ``floor``: the true quotient is either an exact integer or at least
-    1/(2*den) away from one), so both engines agree bit-for-bit and the
-    result is the true half-up rounding of the exact rational."""
-    cents = (premium.cast("decimal(16,2)") * 100).cast("long")
-    a = num.cast("long")
-    b = den.cast("long")
-    mag = F.floor((2 * F.abs(cents) * a + b) / (2 * b)).cast("long")
+    sweep).  Every intermediate here is DECIMAL, not long/double:
+    decimal(16,2) premiums admit cents up to 10^16, and with byday
+    numerators (days in policy) the product ``2*|cents|*num`` can pass
+    2^53 (double floor goes inexact) and even 2^63 (silent long wrap in
+    non-ANSI mode), so the multiply runs in decimal(38,0) — exact to
+    10^38.  The one division yields decimal(38,6) under Spark's
+    precision-loss rule; its half-up rounding error (< 5e-7) cannot move
+    the value across an integer boundary because the true quotient is
+    either exactly integral or at least ``1/(2*den)`` away from one —
+    so ``floor`` stays exact for any den < 10^6 (a 2,700-year policy).
+    Both engines therefore agree bit-for-bit on the true half-up
+    rounding of the exact rational."""
+    cents = (premium.cast("decimal(16,2)") * 100).cast("decimal(20,0)")
+    a = num.cast("decimal(20,0)")
+    b = den.cast("decimal(20,0)")
+    two = F.lit(2).cast("decimal(2,0)")
+    numer = (two * F.abs(cents) * a + b).cast("decimal(38,0)")
+    denom = (two * b).cast("decimal(38,0)")
+    mag = F.floor(numer / denom).cast("decimal(18,0)")
     signed = F.when(cents < 0, -mag).otherwise(mag)
-    return (signed.cast("decimal(18,0)") * F.lit(0.01).cast("decimal(3,2)")).cast(
-        "decimal(16,2)"
-    )
+    return (signed * F.lit(0.01).cast("decimal(3,2)")).cast("decimal(16,2)")
 
 
 def earnedpremium_straightline_col(

@@ -85,7 +85,12 @@ def run_pipeline(
         ctx, dropped_file, database, table, config, args["partition"], allow_schema_change
     )
     summary["stages"].append("collect_to_cleanse")
-    summary["cleanse_row_count"] = result.df.count()
+    # The row count was observed inside the cleanse write job itself
+    # (df.observe) — re-counting here would scan the stage output a
+    # second time.  Fall back to count() only when lineage was disabled.
+    summary["cleanse_row_count"] = (
+        result.row_count if result.row_count is not None else result.df.count()
+    )
     if result.recommendations:
         summary["recommendations"] = result.recommendations
 

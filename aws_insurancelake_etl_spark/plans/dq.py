@@ -357,7 +357,15 @@ class RuleCompiler:
         rule = CompiledRule(text=text)
         rule.ri_col = col
         rule.ri_ref_col = ref_col
-        rule.ri_keys = ref_df.select(F.col(f"`{ref_col}`")).distinct()
+        # NULL reference keys are dropped so a NULL fact key can never
+        # null-safely "resolve" against a NULL in the reference set —
+        # unresolvable rows must always count as violations (Glue DQDL
+        # semantics), regardless of reference-table data quality.
+        rule.ri_keys = (
+            ref_df.select(F.col(f"`{ref_col}`"))
+            .where(F.col(f"`{ref_col}`").isNotNull())
+            .distinct()
+        )
         if groups[4] is not None:
             rule.ri_compare = (groups[4], float(groups[5]))
         return rule

@@ -52,6 +52,10 @@ class StageResult:
     database: str
     table: str
     recommendations: dict | None = None
+    # Row count observed during the stage's own write job (df.observe) —
+    # callers should prefer this over re-counting the output, which costs
+    # a full extra scan of the stage output.
+    row_count: int | None = None
 
 
 def collect_to_cleanse(
@@ -102,11 +106,13 @@ def collect_to_cleanse(
         write_df, finish_audit = ctx.lineage.numeric_audit_observed(df)
 
     write_cleanse_table(write_df, database, table, partition, ctx, allow_schema_change)
+    observed_rows = None
     if finish_audit is not None:
-        finish_audit()
+        observed_rows = finish_audit().get("row_count")
     flush_token_vault(ctx, database)
     return StageResult(df=df, database=database, table=table,
-                       recommendations=recommendations or None)
+                       recommendations=recommendations or None,
+                       row_count=observed_rows)
 
 
 def cleanse_to_consume(

@@ -174,16 +174,23 @@ def read_input(
         return spark.read.format("orc").load(source_path)
 
     if ext == ".avro" or "avro" in input_spec:
-        # spark-avro is an external module; raise a clear error when the
-        # jar is absent instead of Spark's generic ClassNotFound.
+        # spark-avro is an external module; translate ONLY the
+        # missing-data-source failure into a clear error — genuine read
+        # failures (missing path, corrupt file, permissions) must
+        # propagate unchanged with their real cause.
         try:
             return spark.read.format("avro").load(source_path)
         except Exception as exc:  # noqa: BLE001
-            raise RuntimeError(
-                "Avro input needs the spark-avro package on the classpath "
-                "(external module since Spark 2.4); not present in this "
-                "environment"
-            ) from exc
+            msg = str(exc)
+            if ("Failed to find data source: avro" in msg
+                    or "FAILED_FIND_DATA_SOURCE" in msg
+                    or "ClassNotFoundException" in msg):
+                raise RuntimeError(
+                    "Avro input needs the spark-avro package on the "
+                    "classpath (external module since Spark 2.4); not "
+                    "present in this environment"
+                ) from exc
+            raise
 
     # CSV family is the default
     delimiter = ","

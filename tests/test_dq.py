@@ -211,3 +211,32 @@ def test_referential_integrity_rule(spark, ctx):
     import pytest as _pytest
     with _pytest.raises(DQRuleError):
         compiler.compile("ReferentialIntegrity 'dim_id' 'nope.k'")
+
+
+def test_referential_integrity_null_reference_keys(spark, ctx):
+    """A NULL in the reference-key column must NOT make NULL fact keys
+    resolve: NULL reference keys are dropped at compile time, so
+    unresolvable rows always count as violations (Glue DQDL semantics)."""
+    from aws_insurancelake_etl_spark.plans.dq import RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import (
+        _evaluate_rules,
+        _quarantine_split,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], ["id", "dim_id"]
+    )
+    dim = spark.createDataFrame(
+        [(10,), (20,), (None,)], "dim_key int"
+    )
+    compiler = RuleCompiler(fact, ref_resolver={"dim": dim}.__getitem__)
+    rule = compiler.compile("ReferentialIntegrity 'dim_id' 'dim.dim_key'")
+
+    # NULL fact key stays a violation even with a NULL in the dim keys
+    outcome = _evaluate_rules(fact, [rule], ctx)[0]
+    assert outcome.passed is False
+    assert outcome.observed == {"matched": 2, "total": 4}
+
+    passing, failing = _quarantine_split(fact, [rule], ctx)
+    assert sorted(r.id for r in passing.collect()) == [1, 2]
+    assert sorted(r.id for r in failing.collect()) == [3, 4]

@@ -345,6 +345,45 @@ class TestSimhashPairs:
         assert got == expect
         assert (1, 2, 0) in got  # identical docs found at hamming 0
 
+    def test_parameter_validation(self, spark):
+        """Pigeonhole completeness and bit-width limits are enforced:
+        max_hamming >= chunks or chunks not dividing bits silently lose
+        recall, and > 62 bits overflows a signed 64-bit simhash."""
+        import pytest
+
+        from aws_insurancelake_etl_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_hamming_pairs(df, bits=16, chunks=4, max_hamming=4)
+        with pytest.raises(ValueError, match="divide bits"):
+            simhash_hamming_pairs(df, bits=16, chunks=5, max_hamming=3)
+        with pytest.raises(ValueError, match="64-bit"):
+            simhash_hamming_pairs(df, bits=64, chunks=8, max_hamming=3)
+
+    def test_wide_hash_chunk_extraction_is_bitexact(self, spark):
+        """48-bit simhashes exercise the shiftright/mask chunk path where
+        the old double-division extraction starts losing bits."""
+        from aws_insurancelake_etl_spark.operators.dedup import (
+            simhash_hamming_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "completely different words here entirely")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_hamming_pairs(
+                df, bits=48, chunks=6, max_hamming=2
+            ).collect()
+        }
+        assert (1, 2, 0) in got
+        assert all(h <= 2 for _, _, h in got)
+
 
 class TestPrivacyAndClassifier:
     def test_k_anonymity_empty_when_all_groups_large(self, spark):

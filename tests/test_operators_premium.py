@@ -233,3 +233,31 @@ def test_earnedpremium_byday(spark, ctx):
     assert values[(1, 1)] == Decimal("509.59")
     # policy 2: 2022-03-01..2022-08-31 = 184 days, June = 30 → 100.50 * 30/184 = 16.39
     assert values[(2, 4)] == Decimal("16.39")
+
+
+def test_halfup_rational_cents_overflow_magnitudes(spark):
+    """decimal(16,2) premiums at full magnitude with byday numerators used
+    to overflow the old long path (2*|cents|*num > 2^63) or lose the
+    floor to inexact double division (> 2^53); the decimal(38,0) path
+    must stay exact to the true half-up cent."""
+    from decimal import ROUND_HALF_UP
+
+    import pyspark.sql.functions as F
+
+    from aws_insurancelake_etl_spark.operators.premium import _halfup_rational_cents
+
+    rows = [
+        (Decimal("99999999999999.99"), 3653, 36525),  # old: 7.3e19 > 2^63
+        (Decimal("12345678901234.56"), 1, 7),         # old: > 2^53, < 2^63
+        (Decimal("-99999999999999.99"), 123, 365),    # sign restore at magnitude
+        (Decimal("0.01"), 1, 3),                      # round-to-zero edge
+    ]
+    df = spark.createDataFrame(rows, "premium decimal(16,2), num int, den int")
+    out = df.withColumn(
+        "ep", _halfup_rational_cents(F.col("premium"), F.col("num"), F.col("den"))
+    ).collect()
+    for r in out:
+        expect = (r.premium * r.num / Decimal(r.den)).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+        assert r.ep == expect, (r.premium, r.num, r.den, r.ep, expect)
