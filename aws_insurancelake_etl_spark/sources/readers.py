@@ -98,7 +98,10 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
       need openpyxl+crypto, absent here) — raises ``NotImplementedError``
       rather than silently reading nothing.
 
-    Requires a pandas Excel engine (openpyxl / xlrd) at runtime.
+    Engine: ``pandas.read_excel`` when an Excel engine (openpyxl/xlrd) is
+    importable; otherwise the pure-stdlib SpreadsheetML parser in
+    :mod:`.xlsx_lite` — same option surface either way, so the path is
+    fully exercised in engine-less containers.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -112,14 +115,37 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
     nrows = None
     if block_rows is not None:
         nrows = block_rows - 1 if header else block_rows
+    try:
+        import openpyxl  # noqa: F401, PLC0415
+        have_engine = True
+    except ImportError:
+        try:
+            import xlrd  # noqa: F401, PLC0415
+            have_engine = True
+        except ImportError:
+            have_engine = False
     last_error: Exception | None = None
     for sheet_name in sheet_names:
         try:
             sheet: Any = int(sheet_name) if str(sheet_name).isdigit() else sheet_name
-            pdf = pd.read_excel(
-                source_path, sheet_name=sheet, header=0 if header else None,
-                skiprows=skiprows, nrows=nrows,
-            )
+            if have_engine:
+                pdf = pd.read_excel(
+                    source_path, sheet_name=sheet, header=0 if header else None,
+                    skiprows=skiprows, nrows=nrows,
+                )
+            else:
+                from .xlsx_lite import read_sheet  # noqa: PLC0415
+
+                rows = read_sheet(source_path, sheet)[skiprows:]
+                if header:
+                    head, data = rows[0], rows[1:]
+                    columns = [str(c) for c in head]
+                else:
+                    data = rows
+                    columns = list(range(len(rows[0]) if rows else 0))
+                if nrows is not None:
+                    data = data[:nrows]
+                pdf = pd.DataFrame(data, columns=columns)
             pdf = pdf.iloc[:, col_start:col_stop]
             if not header:
                 pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]

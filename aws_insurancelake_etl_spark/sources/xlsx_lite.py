@@ -1,0 +1,256 @@
+"""Minimal pure-stdlib XLSX reader/writer (zipfile + xml.etree).
+
+An ``.xlsx`` workbook is a ZIP of XML parts (ECMA-376 / ISO 29500
+SpreadsheetML — public spec).  This module implements just enough of it
+to run the reference's Excel ingestion option surface
+(``etl_collect_to_cleanse.py:154-185``: sheet selection by name or
+0-based index, ``data_address`` block slicing, header flag) in
+environments without a pandas Excel engine (openpyxl/xlrd), which is the
+case in this container.  ``sources.readers.read_excel`` prefers pandas
+when an engine is importable and falls back here; tests use
+:func:`write_xlsx` to produce real workbook bytes without any
+third-party writer.
+
+Supported on read: shared strings (``t="s"``), inline strings
+(``t="inlineStr"``), formula-cached strings (``t="str"``), booleans
+(``t="b"``), numbers (int when integral), blank cells (None), sparse
+rows/cells via ``r`` references.  Not supported: encrypted workbooks
+(CFB container, not a ZIP — detected and reported), styles/dates-as-
+numbers beyond the raw serial value, and formula re-evaluation (the
+cached value is returned, same as pandas).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_MAIN_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_CELL_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+# OLE/CFB magic: password-protected workbooks are an encrypted Compound
+# File, not a ZIP — give a precise error instead of BadZipFile.
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _q(tag: str) -> str:
+    return f"{{{_MAIN_NS}}}{tag}"
+
+
+def _col_to_index(letters: str) -> int:
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _index_to_col(idx: int) -> str:
+    letters = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        letters = chr(ord("A") + rem) + letters
+    return letters
+
+
+def sheet_names(path: str) -> list[str]:
+    """Workbook sheet names in declared (tab) order."""
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    return [
+        sheet.get("name", "")
+        for sheet in wb.iter(_q("sheet"))
+    ]
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, zip_member_path)] in workbook order via the rels part."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target", "")
+        for rel in rels.iter(f"{{{_PKG_REL_NS}}}Relationship")
+    }
+    out = []
+    for sheet in wb.iter(_q("sheet")):
+        rid = sheet.get(f"{{{_REL_NS}}}id")
+        target = rid_to_target.get(rid, "")
+        if target.startswith("/"):
+            member = target.lstrip("/")
+        else:
+            member = "xl/" + target
+        out.append((sheet.get("name", ""), member))
+    return out
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    strings = []
+    for si in root.iter(_q("si")):
+        # plain <t> or rich-text runs (<r><t>..</t></r>): concat all <t>
+        strings.append("".join(t.text or "" for t in si.iter(_q("t"))))
+    return strings
+
+
+def _cell_value(cell: ET.Element, shared: list[str]):
+    ctype = cell.get("t", "n")
+    if ctype == "inlineStr":
+        is_el = cell.find(_q("is"))
+        if is_el is None:
+            return None
+        return "".join(t.text or "" for t in is_el.iter(_q("t")))
+    v = cell.find(_q("v"))
+    if v is None or v.text is None:
+        return None
+    text = v.text
+    if ctype == "s":
+        return shared[int(text)]
+    if ctype == "str":
+        return text
+    if ctype == "b":
+        return text == "1"
+    num = float(text)
+    return int(num) if num.is_integer() and abs(num) < 2**53 else num
+
+
+def read_sheet(path: str, sheet: int | str = 0) -> list[list]:
+    """Return the sheet as a dense row-major matrix (None for blanks),
+    trimmed to the bounding box of populated cells.  ``sheet`` is a
+    0-based index or a sheet name; unknown names raise KeyError (the
+    reader's sheet-fallback chain relies on that)."""
+    with open(path, "rb") as handle:
+        if handle.read(8) == _CFB_MAGIC:
+            raise NotImplementedError(
+                "Workbook is an encrypted OLE compound file (password-"
+                "protected), not a plain xlsx ZIP"
+            )
+    with zipfile.ZipFile(path) as zf:
+        targets = _sheet_targets(zf)
+        if isinstance(sheet, int):
+            if not 0 <= sheet < len(targets):
+                raise KeyError(f"sheet index {sheet} out of range ({len(targets)} sheets)")
+            member = targets[sheet][1]
+        else:
+            by_name = {name: member for name, member in targets}
+            if sheet not in by_name:
+                raise KeyError(f"sheet {sheet!r} not in workbook {sorted(by_name)}")
+            member = by_name[sheet]
+        shared = _shared_strings(zf)
+        root = ET.fromstring(zf.read(member))
+
+    cells: dict[tuple[int, int], object] = {}
+    max_row = max_col = -1
+    row_counter = 0
+    for row in root.iter(_q("row")):
+        r_attr = row.get("r")
+        row_idx = int(r_attr) - 1 if r_attr else row_counter
+        row_counter = row_idx + 1
+        col_counter = 0
+        for cell in row.iter(_q("c")):
+            ref = cell.get("r")
+            if ref:
+                m = _CELL_RE.match(ref)
+                col_idx = _col_to_index(m.group(1)) if m else col_counter
+            else:
+                col_idx = col_counter
+            col_counter = col_idx + 1
+            value = _cell_value(cell, shared)
+            if value is not None:
+                cells[(row_idx, col_idx)] = value
+                max_row = max(max_row, row_idx)
+                max_col = max(max_col, col_idx)
+    return [
+        [cells.get((r, c)) for c in range(max_col + 1)]
+        for r in range(max_row + 1)
+    ]
+
+
+def _esc(text: str) -> str:
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
+    """Write a minimal valid workbook: one worksheet part per entry,
+    strings inline (no sharedStrings part), numbers/bools typed.  Only
+    what :func:`read_sheet` (and pandas+openpyxl, for parity tests)
+    needs — no styles, no theme."""
+    sheet_items = list(sheets.items())
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(sheet_items))
+        )
+        + "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS}">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_MAIN_NS}" xmlns:r="{_REL_NS}"><sheets>'
+        + "".join(
+            f'<sheet name="{_esc(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, (name, _) in enumerate(sheet_items)
+        )
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_PKG_REL_NS}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" '
+            'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheet_items))
+        )
+        + "</Relationships>"
+    )
+
+    def sheet_xml(rows: list[list]) -> str:
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
+            f'<worksheet xmlns="{_MAIN_NS}"><sheetData>',
+        ]
+        for r, row in enumerate(rows):
+            parts.append(f'<row r="{r + 1}">')
+            for c, value in enumerate(row):
+                if value is None:
+                    continue
+                ref = f"{_index_to_col(c)}{r + 1}"
+                if isinstance(value, bool):
+                    parts.append(f'<c r="{ref}" t="b"><v>{int(value)}</v></c>')
+                elif isinstance(value, (int, float)):
+                    parts.append(f'<c r="{ref}"><v>{value!r}</v></c>')
+                else:
+                    parts.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{_esc(str(value))}</t></is></c>'
+                    )
+            parts.append("</row>")
+        parts.append("</sheetData></worksheet>")
+        return "".join(parts)
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, (_, rows) in enumerate(sheet_items):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))

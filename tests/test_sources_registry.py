@@ -72,19 +72,16 @@ def test_fixed_width(spark, tmp_path):
     assert rows[0]["policy_id"] == "123" and rows[0]["name"] == "ACME"
 
 
-def test_excel_via_pandas(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
-    except ModuleNotFoundError:
-        import pytest
-
-        pytest.skip("no openpyxl in environment")
-    import pandas as pd
+def test_excel_read_input(spark, tmp_path):
+    # Workbook bytes come from the stdlib SpreadsheetML writer, so the
+    # full read path executes with or without a pandas Excel engine.
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import write_xlsx
 
     f = tmp_path / "wb.xlsx"
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(f, index=False)
+    write_xlsx(str(f), {"Sheet1": [["a", "b"], [1, "x"], [2, "y"]]})
     df = read_input(spark, str(f), {"excel": {"sheet_names": ["0"], "data_address": "A1"}})
     assert df.count() == 2
+    assert set(df.columns) == {"a", "b"}
 
 
 def test_registry_dispatch_suffix_and_unknown(spark, ctx):
@@ -154,18 +151,111 @@ def test_excel_password_raises_not_implemented(spark):
 
 
 def test_excel_read_matrix(spark, tmp_path):
-    # Full read path needs a pandas Excel engine; exercised when available.
+    from aws_insurancelake_etl_spark.sources.readers import read_excel
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    write_xlsx(
+        path,
+        {
+            "Meta": [["ignored"]],
+            "Data": [["a", "b"], [1, "x"], [2, "y"], [3, "z"]],
+        },
+    )
+    # sheet fallback chain: first name missing, second resolves by name
+    out = read_excel(spark, path, {"sheet_names": ["Missing", "Data"]})
+    assert out.count() == 3 and set(out.columns) == {"a", "b"}
+    # numeric string = 0-based sheet index
+    meta = read_excel(spark, path, {"sheet_names": ["1"]})
+    assert set(meta.columns) == {"a", "b"}
+
+
+def test_excel_data_address_and_header(spark, tmp_path):
+    """data_address slicing (cell + range refs) and header=False through
+    a real workbook — the option surface the reference exposes via
+    crealytics (docs/file_formats.md:325-344)."""
+    from aws_insurancelake_etl_spark.sources.readers import read_excel
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    rows = [
+        ["junk", None, None],
+        [None, "a", "b"],
+        [None, 1, "x"],
+        [None, 2, "y"],
+        [None, 3, "z"],
+    ]
+    write_xlsx(path, {"Data": rows})
+    # cell ref: header at B2, data below-right of the anchor
+    out = read_excel(spark, path, {"sheet_names": ["Data"], "data_address": "B2"})
+    assert set(out.columns) == {"a", "b"} and out.count() == 3
+    # range ref bounds the block: B2:C4 = header + 2 data rows
+    bounded = read_excel(
+        spark, path, {"sheet_names": ["Data"], "data_address": "B2:C4"}
+    )
+    assert bounded.count() == 2
+    # headerless: _c0.. names, all 4 block rows are data
+    raw = read_excel(
+        spark, path,
+        {"sheet_names": ["Data"], "data_address": "B3:C5", "header": False},
+    )
+    assert raw.columns == ["_c0", "_c1"] and raw.count() == 3
+
+
+def test_xlsx_lite_roundtrip_and_shared_strings(tmp_path):
+    """The stdlib parser handles its own writer's output (inline strings,
+    ints, floats, bools, blanks) plus a hand-built sharedStrings part."""
+    import zipfile
+
+    from aws_insurancelake_etl_spark.sources import xlsx_lite
+
+    path = str(tmp_path / "rt.xlsx")
+    matrix = [["h1", "h2", "h3"], [1, 2.5, True], [None, "s", False]]
+    xlsx_lite.write_xlsx(path, {"S": matrix})
+    assert xlsx_lite.sheet_names(path) == ["S"]
+    assert xlsx_lite.read_sheet(path, 0) == matrix
+    assert xlsx_lite.read_sheet(path, "S") == matrix
+    import pytest
+
+    with pytest.raises(KeyError):
+        xlsx_lite.read_sheet(path, "nope")
+    with pytest.raises(KeyError):
+        xlsx_lite.read_sheet(path, 3)
+
+    # sharedStrings path: rewrite the sheet to use t="s" references
+    ss_path = str(tmp_path / "ss.xlsx")
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(ss_path, "w") as dst:
+        for item in src.namelist():
+            if item == "xl/worksheets/sheet1.xml":
+                continue
+            dst.writestr(item, src.read(item))
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        dst.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}" count="2" uniqueCount="2">'
+            "<si><t>hello</t></si>"
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>",
+        )
+        dst.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+            '<c r="B1" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    assert xlsx_lite.read_sheet(ss_path, 0) == [["hello", "rich"]]
+
+
+def test_xlsx_lite_matches_pandas_when_engine_present(tmp_path):
     import pytest
 
     pytest.importorskip("openpyxl")
     import pandas as pd
 
-    path = str(tmp_path / "wb.xlsx")
-    with pd.ExcelWriter(path) as xw:
-        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_excel(
-            xw, sheet_name="Data", index=False
-        )
-    from aws_insurancelake_etl_spark.sources.readers import read_excel
+    from aws_insurancelake_etl_spark.sources import xlsx_lite
 
-    out = read_excel(spark, path, {"sheet_names": ["Missing", "Data"]})
-    assert out.count() == 3 and set(out.columns) == {"a", "b"}
+    path = str(tmp_path / "parity.xlsx")
+    xlsx_lite.write_xlsx(path, {"P": [["a", "b"], [1, "x"], [2, "y"]]})
+    pdf = pd.read_excel(path, sheet_name="P")
+    assert list(pdf.columns) == ["a", "b"]
+    assert pdf["a"].tolist() == [1, 2]
