@@ -136,9 +136,22 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, id_col: str = "doc_id",
     return shingle_df.groupBy("doc_id").agg(*mins)
 
 
+# Default stop-bucket / stop-shingle cap for the posting-list pair
+# expanders.  A bucket (or shingle) with K members expands K² pairs; 1,000
+# keeps any single bucket's expansion under 10^6 pairs, which is the
+# 100 TB-safe behavior — adversarial boilerplate buckets cost a bounded
+# amount instead of a quadratic blowup.  Pass ``max_posting_len=None`` to
+# opt out (exact small-corpus runs); capping only ever REMOVES pairs, and
+# a surviving pair's score can only DECREASE (dropped hot shingles leave
+# the overlap but still count in the set-size denominators) — both
+# directions property-tested.
+DEFAULT_POSTING_CAP = 1_000
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
                         band_size: int = 2,
-                        max_posting_len: int | None = None) -> DataFrame:
+                        max_posting_len: int | None = DEFAULT_POSTING_CAP,
+                        ) -> DataFrame:
     """Candidate near-dup pairs from banded signatures: melt to
     (doc_id, band_id, band_key), group the doc ids per band bucket, and
     expand pairs inside each bucket.
@@ -153,7 +166,8 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
     more than K members (boilerplate bands, empty-ish documents) would
     expand K² pairs; at open-web scale set K so K²·bucket_count stays
     inside the verify stage's budget.  Pairs whose every shared bucket is
-    hot are lost — the standard stop-shingle recall trade."""
+    hot are lost — the standard stop-shingle recall trade.  Capped at
+    ``DEFAULT_POSTING_CAP`` by default (pass None for exact behavior)."""
     bands = [tuple(range(i, i + band_size)) for i in range(0, n_hashes, band_size)]
     band_structs = F.array(
         *[
@@ -199,7 +213,7 @@ def shingle_hash60(col: Column | str) -> Column:
 
 def jaccard_pairs(
     shingle_df: DataFrame, threshold: float = 0.5, hash_shingles: bool = True,
-    max_posting_len: int | None = None,
+    max_posting_len: int | None = DEFAULT_POSTING_CAP,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
 
@@ -216,8 +230,9 @@ def jaccard_pairs(
     hot shingle costs 0 pairs instead of K².  Dropped shingles still count
     in each document's set size (denominator), so surviving pairs' Jaccard
     only UNDER-estimates — precision is kept, recall is traded exactly
-    where the pairs were uninformative.  The driver corpus tops out at 25
-    docs/shingle, so the default is uncapped."""
+    where the pairs were uninformative.  Capped at ``DEFAULT_POSTING_CAP``
+    by default (far above the driver corpus's 25 docs/shingle maximum, so
+    test-scale results are identical to uncapped); pass None to opt out."""
     pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len)
     jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
     return (
@@ -266,7 +281,7 @@ def _posting_pair_counts(
 
 def containment_pairs(
     shingle_df: DataFrame, threshold: float = 0.6, hash_shingles: bool = True,
-    max_posting_len: int | None = None,
+    max_posting_len: int | None = DEFAULT_POSTING_CAP,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT (overlap coefficient, |A∩B| / min(|A|,|B|))
     over pairs sharing ≥1 shingle.
@@ -345,7 +360,7 @@ def positioned_grams(df: DataFrame, k: int = 4, id_col: str = "doc_id",
 def substring_run_pairs(
     df: DataFrame, k: int = 4, min_run_tokens: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
-    max_posting_len: int | None = None,
+    max_posting_len: int | None = DEFAULT_POSTING_CAP,
 ) -> DataFrame:
     """Exact-substring duplication between documents (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for every

@@ -344,3 +344,47 @@ def test_mix_epochs_budget_exact_for_any_weights(spark, cfg):
         assert sorted(epochs) == list(range(1, len(epochs) + 1))
         counts = [len(v) for (l2, _), v in by_doc.items() if l2 == lang]
         assert max(counts) - min(counts) <= 1
+
+
+# Documents over a tiny vocabulary so hot shingles (posting lists above the
+# cap) arise naturally alongside cold ones.
+capdocs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=3, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(doclists=capdocs, cap=st.integers(min_value=2, max_value=4))
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_posting_cap_only_removes_pairs_and_underestimates(
+    spark, doclists, cap
+):
+    """max_posting_len only REMOVES pairs (capped ⊆ uncapped) and only
+    LOWERS surviving scores: dropped hot shingles leave the overlap
+    numerator but still count in each document's set-size denominator, so
+    capped Jaccard/containment under-estimate — precision is kept, never
+    inflated.  This is the invariant that makes DEFAULT_POSTING_CAP safe
+    to enable by default."""
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(doclists)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("shingle"),
+    )
+    for fn, score_col in ((D.jaccard_pairs, "jaccard"),
+                          (D.containment_pairs, "containment")):
+        uncapped = {
+            (r.doc_a, r.doc_b): r[score_col]
+            for r in fn(sh, 0.01, max_posting_len=None).collect()
+        }
+        capped = {
+            (r.doc_a, r.doc_b): r[score_col]
+            for r in fn(sh, 0.01, max_posting_len=cap).collect()
+        }
+        assert set(capped) <= set(uncapped)
+        for pair, score in capped.items():
+            assert score <= uncapped[pair], (pair, score, uncapped[pair])
