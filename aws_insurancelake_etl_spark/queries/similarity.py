@@ -1044,3 +1044,88 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@register(
+    "ann_mips_norm_augment",
+    f"""
+    SELECT query_id, vec_id, inner_product FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND({_dot_sql('q.embedding', 'c.embedding')}, 4) AS inner_product,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_dot_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ) WHERE rn <= 10
+    """,
+)
+def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search via the NORM-AUGMENTATION reduction
+    (Bachrach et al. 2014, "Speeding up the Xbox recommender"): append
+    sqrt(M² - ||x||²) to every corpus vector (M = max corpus norm) and a
+    literal 0 to every query — every augmented corpus vector then has
+    norm exactly M, so COSINE ranking on the augmented space equals
+    inner-product ranking on the original space.  The oracle ranks by the
+    plain inner product; matching it end-to-end proves the reduction, not
+    just the arithmetic.
+
+    Why it matters at scale: recommender/retrieval scores are inner
+    products (not cosine), but every sublinear index here (IVF, RP-LSH,
+    PQ) partitions by angle — this reduction lets ALL of them serve MIPS
+    unchanged.  The max norm M is a one-scalar aggregate broadcast back
+    via cross join (no driver collect); augmentation itself is a narrow
+    ``concat(embedding, array(...))`` projection."""
+    emb = t(spark, sf_dir, "embeddings")
+    m = emb.agg(
+        F.max(F.sqrt(dot("embedding", "embedding"))).alias("max_norm")
+    )
+    # Augment in DOUBLE: a float32 augmented component would perturb the
+    # "every augmented norm is exactly M" invariant by ~1e-7 relative,
+    # which is enough to flip near-tied rankings vs the plain-ip oracle.
+    as_double = F.expr("transform(embedding, x -> cast(x as double))")
+    corpus = (
+        spread(spark, emb)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.concat(
+                as_double,
+                F.array(
+                    # greatest(0, ·): for the max-norm vector itself,
+                    # M² − Σx² lands a few ulp NEGATIVE, and sqrt(<0) is
+                    # NaN — which Spark's ordering ranks above every
+                    # number, silently corrupting the top-k.
+                    F.sqrt(
+                        F.greatest(
+                            F.lit(0.0),
+                            F.col("max_norm") * F.col("max_norm")
+                            - dot("embedding", "embedding"),
+                        )
+                    )
+                ),
+            ).alias("c_emb"),
+            F.col("embedding").alias("c_raw"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.concat(as_double, F.array(F.lit(0.0))).alias("q_emb"),
+        F.col("embedding").alias("q_raw"),
+    )
+    cos_aug = dot("q_emb", "c_emb") / (
+        F.sqrt(dot("q_emb", "q_emb")) * F.sqrt(dot("c_emb", "c_emb"))
+    )
+    ip = F.expr(
+        "aggregate(zip_with(q_raw, c_raw, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_aug"), "vec_id")
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_aug.alias("cos_aug"), ip.alias("ip"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.round("ip", 4).alias("inner_product"))
+    )

@@ -13,7 +13,7 @@ them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -1969,3 +1969,208 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pats = {k: PII_PATTERNS[k] for k in ("email", "ssn")}
     return pii_scan(seeded, ["text"], pats)
+
+
+@register(
+    "docs_quality_ensemble",
+    f"""
+    WITH {_TOKS_CTE},
+    feats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(len(token)) * 1.0 / COUNT(*), 4) AS avg_word_len,
+               ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 4) AS diversity,
+               CAST(SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop,
+               ROUND(SUM(CASE WHEN regexp_matches(token, '^[0-9]+$')
+                         THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+                   AS numeric_frac
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_word_len, diversity, numeric_frac,
+           CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000
+                      AND avg_word_len BETWEEN 2 AND 12
+                      AND n_stop >= 1
+                      AND diversity >= 0.2
+                      AND numeric_frac <= 0.3 THEN 1 ELSE 0 END AS INT)
+               AS keep,
+           concat_ws(',',
+               CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN NULL
+                    ELSE 'len' END,
+               CASE WHEN avg_word_len BETWEEN 2 AND 12 THEN NULL
+                    ELSE 'word_len' END,
+               CASE WHEN n_stop >= 1 THEN NULL ELSE 'stopword' END,
+               CASE WHEN diversity >= 0.2 THEN NULL ELSE 'diversity' END,
+               CASE WHEN numeric_frac <= 0.3 THEN NULL ELSE 'numeric' END)
+               AS reasons
+    FROM feats
+    """,
+)
+def docs_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style filter CASCADE: five expression-level quality
+    rules (token count bounds, mean word length, >=1 stopword, lexical
+    diversity, numeric-token fraction) evaluated in ONE narrow pass, with
+    a per-document keep verdict AND the list of failed rule names — the
+    audit trail a corpus pipeline needs to tune thresholds (what fraction
+    failed WHICH rule), not just a filtered table.  All five signals are
+    array expressions over the same tokenization (zero shuffles, zero
+    UDFs); at 100 TB this runs at scan speed and the reasons column
+    aggregates cheaply downstream.  Rule order in ``reasons`` is fixed so
+    the string is deterministic."""
+    toks = D.token_array(_docs(spark, sf_dir))
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS)
+    n = F.size("toks")
+    feats = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))") * 1.0 / n, 4
+        ).alias("avg_word_len"),
+        F.round(F.size(F.array_distinct("toks")) * 1.0 / n, 4).alias("diversity"),
+        F.expr(f"size(filter(toks, t -> t IN ({stop_list})))")
+        .cast("long")
+        .alias("n_stop"),
+        F.round(
+            F.expr("size(filter(toks, t -> t rlike '^[0-9]+$'))") * 1.0 / n, 4
+        ).alias("numeric_frac"),
+    )
+    r_len = F.col("n_tokens").between(5, 100000)
+    r_wl = F.col("avg_word_len").between(2, 12)
+    r_stop = F.col("n_stop") >= 1
+    r_div = F.col("diversity") >= 0.2
+    r_num = F.col("numeric_frac") <= 0.3
+    return feats.select(
+        "doc_id", "n_tokens", "avg_word_len", "diversity", "numeric_frac",
+        (r_len & r_wl & r_stop & r_div & r_num).cast("int").alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(~r_len, F.lit("len")),
+            F.when(~r_wl, F.lit("word_len")),
+            F.when(~r_stop, F.lit("stopword")),
+            F.when(~r_div, F.lit("diversity")),
+            F.when(~r_num, F.lit("numeric")),
+        ).alias("reasons"),
+    )
+
+
+# Shared oracle CTE: per-document corpus cross-entropy (rounded) joined
+# back to each document's source/lang — reused by the DoReMi and CCNet
+# gates below.
+_XENT_DOC_CTE = f"""
+    {_TOKS_CTE},
+    dt AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
+    v AS (SELECT token, SUM(c) AS cf FROM dt GROUP BY token),
+    n AS (SELECT SUM(cf) AS corpus_n FROM v),
+    xent AS (
+        SELECT doc_id,
+               ROUND(SUM(c * -ln(cf * 1.0 / corpus_n)) / SUM(c), 4) AS xent
+        FROM dt JOIN v USING (token) CROSS JOIN n
+        GROUP BY doc_id
+    ),
+    docmeta AS (
+        SELECT x.doc_id, x.xent, d.source, d.lang
+        FROM xent x JOIN documents d USING (doc_id)
+    )
+"""
+
+
+def _xent_with_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, xent, source, lang) — Spark twin of ``_XENT_DOC_CTE``."""
+    from ..operators.textanalysis import corpus_cross_entropy
+
+    docs = _docs(spark, sf_dir)
+    xent = corpus_cross_entropy(docs).select("doc_id", "xent")
+    return xent.join(docs.select("doc_id", "source", "lang"), "doc_id")
+
+
+@register(
+    "docs_doremi_weights",
+    f"""
+    WITH {_XENT_DOC_CTE},
+    per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(xent), 4) AS avg_xent
+        FROM docmeta GROUP BY source
+    ),
+    excess AS (
+        SELECT source, n_docs, avg_xent,
+               avg_xent - MIN(avg_xent) OVER () + 0.05 AS e
+        FROM per_source
+    )
+    SELECT source, n_docs, avg_xent,
+           ROUND(e / SUM(e) OVER (), 4) AS weight
+    FROM excess
+    """,
+)
+def docs_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting PROXY (Xie et al. 2023 uses a
+    trained reference model; the deterministic stand-in here is the
+    corpus-unigram cross-entropy): domains whose documents are harder
+    under the reference distribution (higher excess xent) get
+    proportionally more sampling weight.  Per-source average xent minus
+    the best source's average (+0.05 floor so no domain zeroes out),
+    normalized to sum 1.  The per-source aggregate is tiny (one row per
+    domain), so the normalizing window runs over a handful of rows on one
+    partition — the corpus-sized work is all in the xent pass, which
+    shuffles twice (doc-token counts, then the Zipf-bounded vocabulary)
+    and joins the vocab back broadcast."""
+    per_source = (
+        _xent_with_meta(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("avg_xent"),
+        )
+    )
+    w_all = Window.partitionBy()
+    e = F.col("avg_xent") - F.min("avg_xent").over(w_all) + F.lit(0.05)
+    return per_source.select(
+        "source", "n_docs", "avg_xent",
+        F.round(e / F.sum(e).over(w_all), 4).alias("weight"),
+    )
+
+
+@register(
+    "docs_ccnet_buckets",
+    f"""
+    WITH {_XENT_DOC_CTE},
+    bucketed AS (
+        SELECT lang, xent,
+               NTILE(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS b
+        FROM docmeta
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(xent), 4) AS avg_xent
+    FROM bucketed GROUP BY lang, b
+    """,
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    rank documents by LM perplexity proxy (corpus-unigram xent, low =
+    fluent) and cut into terciles — 'head' is the high-quality slice
+    pipelines keep, 'tail' the discard candidate.  NTILE over
+    (lang, xent) is the only corpus-wide shuffle beyond the xent pass
+    itself, keyed per language; ties break on doc_id so tercile
+    boundaries are deterministic in both engines."""
+    meta = _xent_with_meta(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    bucketed = meta.withColumn("b", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("avg_xent"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_xent",
+        )
+    )

@@ -1058,3 +1058,112 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '1992-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment, DATE '1998-06-01' AS eff
+        FROM customer
+        WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+        WHERE u.c_acctbal <> c.c_acctbal OR u.c_mktsegment <> c.c_mktsegment
+    ),
+    dim AS (
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from, c.valid_to
+        FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, c.valid_from,
+               DATE '1998-06-01'
+        FROM cur c WHERE c.c_custkey IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, u.eff,
+               CAST(NULL AS DATE)
+        FROM upd u WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    )
+    SELECT d.c_mktsegment,
+           strftime(d.valid_from, '%Y-%m-%d') AS version_from,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_price
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+    GROUP BY d.c_mktsegment, d.valid_from
+    ORDER BY d.c_mktsegment, version_from
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join of facts against an SCD2 dimension:
+    each order resolves to the customer VERSION valid at its order date —
+    the lookup every as-was report and leakage-free feature pipeline
+    needs (joining the current version would leak future attributes into
+    historical facts).  The dimension comes from the same
+    ``operators/scd.scd2_apply`` the SCD2 gates use (change effective
+    1998-06-01, mid order history, so both versions receive facts).
+
+    Plan at scale: the EQUI key (custkey) drives the shuffle — Spark
+    plans a sort-merge join on it and evaluates the validity-interval
+    bounds as a residual join condition on each matched pair, so the
+    temporal predicate adds no extra exchange; version intervals per key
+    are disjoint by SCD2 construction, so each fact matches exactly one
+    version (row count preserved, an invariant the count column gates)."""
+    from ..operators.scd import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        cust.where((F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 1000)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("1998-06-01").cast("date").alias("effective_date"),
+        )
+    )
+    dim = scd2_apply(
+        current, updates,
+        key_cols=["c_custkey"], attr_cols=["c_acctbal", "c_mktsegment"],
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    joined = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("odate"))
+        & (F.col("valid_to").isNull() | (F.col("odate") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("c_mktsegment", "valid_from")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "c_mktsegment",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("version_from"),
+            "n_orders",
+            "sum_price",
+        )
+    )
