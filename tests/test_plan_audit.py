@@ -480,3 +480,58 @@ def test_blocklist_filter_is_shuffle_free(spark):
     assert "Exchange" not in plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_quality_ensemble_zero_shuffle_narrow(spark):
+    """The five-rule filter cascade must run at scan speed: pure narrow
+    array expressions — the only exchange allowed is the deliberate
+    round-robin spread of the input (parallelism, not data movement by
+    key); no hash shuffle, no join, no window."""
+    plan = plan_of(spark, "docs_quality_ensemble")
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_doremi_weights_tiny_window_broadcast_vocab(spark):
+    """Corpus-sized work stays in the xent pass (broadcast vocab join);
+    the unpartitioned normalizing window runs AFTER the per-source
+    aggregate — its SinglePartition exchange must sit directly over a
+    HashAggregate (one row per domain), never over the corpus scan."""
+    plan = plan_of(spark, "docs_doremi_weights")
+    assert "BroadcastHashJoin" in plan
+    m = re.search(r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", plan)
+    assert m, "no SinglePartition exchange found"
+    tree_line = re.search(rf"Exchange \({m.group(1)}\)\n([^\n]*)", plan)
+    assert tree_line and "HashAggregate" in tree_line.group(1), tree_line.group(1)
+
+
+def test_ccnet_buckets_window_partitioned_by_lang(spark):
+    """NTILE must partition by language — a global (unpartitioned) sort
+    over the corpus would be the non-scale formulation.  (A
+    SinglePartition exchange DOES legitimately appear once: the 1-row
+    corpus-token-count scalar inside the xent pass.)"""
+    plan = plan_of(spark, "docs_ccnet_buckets")
+    assert re.search(r"ntile\(3\) windowspecdefinition\(lang", plan), (
+        "ntile window is not partitioned by lang"
+    )
+
+
+def test_scd2_pit_join_is_key_based(spark):
+    """The temporal join must be driven by the custkey equi-condition
+    (hash/sort-merge on the key, interval bounds as residual join
+    predicates) — never a cartesian/BNLJ over facts x versions."""
+    plan = plan_of(spark, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mips_norm_augment_broadcasts_queries_and_scalar(spark):
+    """The max-norm scalar and the query set must both arrive broadcast
+    (BNLJ fanout over the corpus — the corpus side is scanned once and
+    never shuffled on a join key)."""
+    plan = plan_of(spark, "ann_mips_norm_augment")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
