@@ -200,23 +200,23 @@ def read_input(
         return spark.read.format("orc").load(source_path)
 
     if ext == ".avro" or "avro" in input_spec:
-        # spark-avro is an external module; translate ONLY the
-        # missing-data-source failure into a clear error — genuine read
-        # failures (missing path, corrupt file, permissions) must
-        # propagate unchanged with their real cause.
+        # spark-avro is an external module.  When its jar is absent
+        # (missing-data-source failure), fall back to the pure-stdlib
+        # container parser in avro_lite (flat primitive records — the
+        # file-drop ingestion shape); genuine read failures (missing
+        # path, corrupt file, permissions) propagate unchanged.
         try:
             return spark.read.format("avro").load(source_path)
         except Exception as exc:  # noqa: BLE001
             msg = str(exc)
-            if ("Failed to find data source: avro" in msg
+            if not ("Failed to find data source: avro" in msg
                     or "FAILED_FIND_DATA_SOURCE" in msg
                     or "ClassNotFoundException" in msg):
-                raise RuntimeError(
-                    "Avro input needs the spark-avro package on the "
-                    "classpath (external module since Spark 2.4); not "
-                    "present in this environment"
-                ) from exc
-            raise
+                raise
+            from .avro_lite import read_avro  # noqa: PLC0415
+
+            names, rows = read_avro(source_path)
+            return spark.createDataFrame(rows, names)
 
     # CSV family is the default
     delimiter = ","

@@ -259,3 +259,65 @@ def test_xlsx_lite_matches_pandas_when_engine_present(tmp_path):
     pdf = pd.read_excel(path, sheet_name="P")
     assert list(pdf.columns) == ["a", "b"]
     assert pdf["a"].tolist() == [1, 2]
+
+
+def test_avro_lite_roundtrip_and_read_input(spark, tmp_path):
+    """The stdlib Avro container path: write real container bytes
+    (zigzag varints, metadata map, sync-framed blocks, both codecs),
+    read them back, and drive the full read_input dispatch — executes
+    with no spark-avro jar on the classpath."""
+    from aws_insurancelake_etl_spark.sources import avro_lite
+    from aws_insurancelake_etl_spark.sources.readers import read_input
+
+    names = ["id", "label", "score", "flag", "note", "tags"]
+    types = ["long", "string", "double", "boolean", ["null", "string"],
+             {"type": "array", "items": "int"}]
+    rows = [
+        (1, "a", 1.5, True, "x", [1, 2]),
+        (-2, "b", -0.25, False, None, []),
+        (2**40, "c", 0.0, True, "z", [7]),
+    ]
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"data_{codec}.avro")
+        avro_lite.write_avro(path, names, types, rows, codec=codec)
+        got_names, got_rows = avro_lite.read_avro(path)
+        assert got_names == names
+        assert [tuple(r) for r in got_rows] == rows
+
+    path = str(tmp_path / "data_null.avro")
+    df = read_input(spark, path, {"avro": {}})
+    assert df.count() == 3
+    assert set(df.columns) == set(names)
+    by_id = {r.id: r for r in df.collect()}
+    assert by_id[-2].note is None and by_id[2**40].label == "c"
+
+
+def test_avro_lite_rejects_non_container(tmp_path):
+    from aws_insurancelake_etl_spark.sources import avro_lite
+
+    bad = tmp_path / "not.avro"
+    bad.write_bytes(b"PAR1 not avro")
+    import pytest
+
+    with pytest.raises(ValueError, match="not an Avro"):
+        avro_lite.read_avro(str(bad))
+
+
+def test_avro_lite_wire_format_matches_spec(tmp_path):
+    """Byte-level check against the published Avro spec (not just a
+    self-round-trip, which would mask a symmetric encoding bug):
+    zigzag(1)=0x02, zigzag(-1)=0x01, zigzag(64)=0x80 0x01 varint,
+    string = zigzag length then utf-8 bytes."""
+    from aws_insurancelake_etl_spark.sources import avro_lite
+
+    path = str(tmp_path / "w.avro")
+    avro_lite.write_avro(path, ["id", "name"], ["long", "string"],
+                         [(1, "ab"), (-1, "c"), (64, "")])
+    data = open(path, "rb").read()
+    assert data[:4] == b"Obj\x01"
+    # the one data block: count=3 (0x06), then records back-to-back
+    expected_records = b"\x02\x04ab" + b"\x01\x02c" + b"\x80\x01\x00"
+    assert expected_records in data
+    # varint of block byte-size precedes the records
+    assert data.index(b"\x06" + bytes([len(expected_records) << 1])
+                      + expected_records) > 0
