@@ -220,3 +220,89 @@ def bloom_query(
     return marked.groupBy(value_col).agg(
         (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == depth).alias("in_bloom")
     )
+
+
+def _topk_hashes(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Ungrouped KMV sketch: the k smallest normalized hashes of the
+    distinct values, as (``__h``) rows.  ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject — a distributed per-partition top-k merged on
+    the driver side of the exchange, NOT a global sort."""
+    return (
+        df.select(F.col(value_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(_hash01(F.col("__v")).alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+    )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS from two KMV sketches: one row
+    ``(est_a, est_b, est_union, est_intersection, jaccard_est)``.
+
+    The union sketch is the k smallest of the two sketches' hash union
+    (valid because the union's k minima are a subset of A's k minima ∪
+    B's k minima); its threshold h_k estimates ``|A∪B| ≈ (k-1)/h_k``.
+    Every union-sketch hash is below BOTH per-sketch thresholds (each
+    sketch's own k-th minimum is ≥ the union's), so membership of a
+    union-sketch hash in A or B is decidable from the sketches alone —
+    the fraction ρ present in both estimates ``|A∩B| ≈ ρ·|A∪B|`` and
+    ``J(A,B) ≈ ρ`` (Beyer et al., SIGMOD'07).  Sketches that never fill
+    (fewer than k distinct values) short-circuit to exact counts.
+
+    At scale: each side costs one distinct + one distributed top-k; all
+    joins below run on ≤ 2k rows.
+    """
+    ha = _topk_hashes(df_a, value_col, k).cache()
+    hb = _topk_hashes(df_b, value_col, k).cache()
+
+    def est(sketch: DataFrame):
+        return sketch.agg(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+            .otherwise((k - 1) / F.max("__h"))
+            .alias("est")
+        )
+
+    union_sketch = ha.union(hb).distinct().orderBy("__h").limit(k)
+    flags = (
+        union_sketch.join(ha.withColumn("__in_a", F.lit(1)), "__h", "left")
+        .join(hb.withColumn("__in_b", F.lit(1)), "__h", "left")
+        .select(
+            "__h",
+            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+        )
+    )
+    summary = flags.agg(
+        F.count(F.lit(1)).alias("n_union_rows"),
+        F.max("__h").alias("h_k"),
+        F.sum((F.col("__in_a") * F.col("__in_b"))).alias("n_both"),
+    )
+    est_a = est(ha).withColumnRenamed("est", "est_a")
+    est_b = est(hb).withColumnRenamed("est", "est_b")
+    return (
+        summary.crossJoin(est_a)
+        .crossJoin(est_b)
+        .select(
+            "est_a",
+            "est_b",
+            F.when(
+                F.col("n_union_rows") < k, F.col("n_union_rows").cast("double")
+            )
+            .otherwise((k - 1) / F.col("h_k"))
+            .alias("est_union"),
+            F.when(
+                F.col("n_union_rows") < k, F.col("n_both").cast("double")
+            )
+            .otherwise(
+                F.col("n_both")
+                / F.col("n_union_rows")
+                * ((k - 1) / F.col("h_k"))
+            )
+            .alias("est_intersection"),
+            (F.col("n_both") / F.col("n_union_rows")).alias("jaccard_est"),
+        )
+    )

@@ -1449,3 +1449,77 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), ())
         """
     )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    """
+    WITH ha AS (
+        SELECT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                + 1.0) / 1152921504606846976.0 AS hh
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+        ORDER BY hh LIMIT 128
+    ),
+    hb AS (
+        SELECT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                + 1.0) / 1152921504606846976.0 AS hh
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '5-LOW')
+        ORDER BY hh LIMIT 128
+    ),
+    u AS (
+        SELECT DISTINCT hh FROM (SELECT hh FROM ha UNION ALL SELECT hh FROM hb)
+        ORDER BY hh LIMIT 128
+    ),
+    flags AS (
+        SELECT u.hh,
+               CASE WHEN a.hh IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.hh IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM u LEFT JOIN ha a ON u.hh = a.hh LEFT JOIN hb b ON u.hh = b.hh
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_union_rows, MAX(hh) AS h_k,
+               SUM(in_a * in_b) AS n_both
+        FROM flags
+    ),
+    ea AS (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                       ELSE 127 / MAX(hh) END AS est_a FROM ha),
+    eb AS (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                       ELSE 127 / MAX(hh) END AS est_b FROM hb)
+    SELECT ROUND(est_a, 4) AS est_a, ROUND(est_b, 4) AS est_b,
+           ROUND(CASE WHEN n_union_rows < 128 THEN n_union_rows * 1.0
+                      ELSE 127 / h_k END, 4) AS est_union,
+           ROUND(CASE WHEN n_union_rows < 128 THEN n_both * 1.0
+                      ELSE n_both / n_union_rows * (127 / h_k) END, 4)
+               AS est_intersection,
+           ROUND(n_both / n_union_rows, 4) AS jaccard_est
+    FROM s CROSS JOIN ea CROSS JOIN eb
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS from two KMV sketches (Beyer et
+    al., SIGMOD'07): distinct-customer estimates for two order-priority
+    slices plus their union, intersection, and Jaccard — all computed
+    from the two k=128 sketches alone, never from the raw data.  This is
+    the capability HLL sketches cannot oracle-check (engine-private
+    estimates) and plain distinct counts cannot merge: stored per-slice
+    sketches answer cross-slice overlap questions at k-row cost.  Each
+    side is one distinct + one distributed top-k
+    (TakeOrderedAndProject); everything downstream runs on ≤ 2k rows."""
+    from ..operators.sketches import kmv_set_estimates
+
+    orders = t(spark, sf_dir, "orders")
+    out = kmv_set_estimates(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"),
+        orders.where(F.col("o_orderpriority") == "5-LOW"),
+        "o_custkey",
+        k=128,
+    )
+    return out.select(
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    )

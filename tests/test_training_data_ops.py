@@ -352,6 +352,28 @@ def test_kmv_exact_small_groups_and_merge(spark):
     assert abs(merged["gbig"] - est["gbig"]) / est["gbig"] < 0.5
 
 
+def test_kmv_set_estimates_exact_when_unfilled(spark):
+    """Below k distinct values on every side, the set-operation
+    estimates must be EXACT: union, intersection, and Jaccard computed
+    from the sketches equal the true set algebra."""
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6]], "v long")
+    b = spark.createDataFrame([(v,) for v in [4, 5, 6, 7, 8]], "v long")
+    row = SK.kmv_set_estimates(a, b, "v", k=64).collect()[0]
+    assert row.est_a == 6.0 and row.est_b == 5.0
+    assert row.est_union == 8.0          # |{1..8}|
+    assert row.est_intersection == 3.0   # |{4,5,6}|
+    assert abs(row.jaccard_est - 3 / 8) < 1e-12
+
+    # filled path: two overlapping ranges, estimates within KMV error
+    big_a = spark.createDataFrame([(v,) for v in range(0, 3000)], "v long")
+    big_b = spark.createDataFrame([(v,) for v in range(1500, 4500)], "v long")
+    est = SK.kmv_set_estimates(big_a, big_b, "v", k=256).collect()[0]
+    assert abs(est.est_union - 4500) / 4500 < 0.25
+    assert abs(est.jaccard_est - 1500 / 4500) < 0.15
+
+
 def test_kmeans_deterministic_under_repartition(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a1, c1 = S.kmeans_fit(emb, k=3, n_iter=2)
