@@ -80,4 +80,10 @@ def build_session(
             builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Engine-bundled Python data sources (Spark 4 DataSource API):
+    # avro_lite gives .avro ingestion a real distributed scan without
+    # the spark-avro jar.
+    from .sources import pyds  # noqa: PLC0415 - avoid import cycle at module load
+
+    pyds.register(spark)
     return spark

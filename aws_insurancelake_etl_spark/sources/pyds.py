@@ -1,0 +1,128 @@
+"""Spark 4 Python DataSource wrapping the stdlib Avro container parser.
+
+The reference ships custom connectors (DynamoDB lookups, crealytics
+Excel) as JVM data sources; Spark 4's public Python DataSource API
+(``pyspark.sql.datasource``) is the idiomatic PySpark way to add one
+without a jar.  ``AvroLiteDataSource`` registers as
+``spark.read.format("avro_lite")`` and plans ONE InputPartition PER
+FILE, so a directory of container files scans in parallel across
+executors — unlike a driver-side parse-then-createDataFrame fallback,
+this is a real distributed scan (each task opens only its own file).
+
+Schema is inferred from the first file's embedded Avro schema
+(container files carry their schema by design); pass ``.schema(...)``
+to skip inference.  Decoding per file reuses
+:mod:`.avro_lite` (flat primitive records, null+deflate codecs).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_AVRO_TO_DDL = {
+    "null": "string",
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def _field_ddl(ftype) -> str:
+    if isinstance(ftype, str):
+        return _AVRO_TO_DDL[ftype]
+    if isinstance(ftype, list):  # union with null -> the non-null branch
+        branches = [b for b in ftype if b != "null"]
+        if len(branches) != 1:
+            raise NotImplementedError(f"multi-branch union {ftype!r}")
+        return _field_ddl(branches[0])
+    if isinstance(ftype, dict):
+        kind = ftype["type"]
+        if kind == "enum":
+            return "string"
+        if kind == "array":
+            return f"array<{_field_ddl(ftype['items'])}>"
+        return _AVRO_TO_DDL[kind]
+    raise NotImplementedError(f"unsupported avro schema {ftype!r}")
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path!r}")
+    return files
+
+
+class AvroLiteDataSource(DataSource):
+    """``spark.read.format("avro_lite").load(path)`` — path may be a
+    file, a directory of ``*.avro``, or a glob."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_lite"
+
+    def schema(self) -> str:
+        import json
+
+        from . import avro_lite
+
+        first = _list_files(self.options["path"])[0]
+        with open(first, "rb") as handle:
+            header = handle.read()
+        # Cheap header parse: reuse the full reader on the first file's
+        # metadata only (schema lives in the header map).
+        import io
+
+        buf = io.BytesIO(header)
+        if buf.read(4) != b"Obj\x01":
+            raise ValueError(f"{first} is not an Avro container file")
+        meta = {}
+        while True:
+            n = avro_lite._read_long(buf)
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                avro_lite._read_long(buf)
+            for _ in range(n):
+                key = avro_lite._read_bytes(buf).decode("utf-8")
+                meta[key] = avro_lite._read_bytes(buf)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        cols = ", ".join(
+            f"`{f['name']}` {_field_ddl(f['type'])}" for f in schema["fields"]
+        )
+        return cols
+
+    def reader(self, schema) -> "AvroLiteReader":
+        return AvroLiteReader(self.options["path"])
+
+
+class AvroLiteReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        return [InputPartition(f) for f in _list_files(self.path)]
+
+    def read(self, partition):
+        from . import avro_lite
+
+        _, rows = avro_lite.read_avro(partition.value)
+        yield from rows
+
+
+def register(spark) -> None:
+    """Idempotently register the data source on a session."""
+    try:
+        spark.dataSource.register(AvroLiteDataSource)
+    except Exception:  # noqa: BLE001 - already registered
+        pass

@@ -201,10 +201,11 @@ def read_input(
 
     if ext == ".avro" or "avro" in input_spec:
         # spark-avro is an external module.  When its jar is absent
-        # (missing-data-source failure), fall back to the pure-stdlib
-        # container parser in avro_lite (flat primitive records — the
-        # file-drop ingestion shape); genuine read failures (missing
-        # path, corrupt file, permissions) propagate unchanged.
+        # (missing-data-source failure), fall back to the avro_lite
+        # Python DataSource (sources/pyds.py): a real distributed scan —
+        # one input partition per container file, stdlib decoding on the
+        # executors.  Genuine read failures (missing path, corrupt file,
+        # permissions) propagate unchanged.
         try:
             return spark.read.format("avro").load(source_path)
         except Exception as exc:  # noqa: BLE001
@@ -213,10 +214,10 @@ def read_input(
                     or "FAILED_FIND_DATA_SOURCE" in msg
                     or "ClassNotFoundException" in msg):
                 raise
-            from .avro_lite import read_avro  # noqa: PLC0415
+            from . import pyds  # noqa: PLC0415
 
-            names, rows = read_avro(source_path)
-            return spark.createDataFrame(rows, names)
+            pyds.register(spark)
+            return spark.read.format("avro_lite").load(source_path)
 
     # CSV family is the default
     delimiter = ","

@@ -321,3 +321,29 @@ def test_avro_lite_wire_format_matches_spec(tmp_path):
     # varint of block byte-size precedes the records
     assert data.index(b"\x06" + bytes([len(expected_records) << 1])
                       + expected_records) > 0
+
+
+def test_avro_lite_python_datasource_distributed_scan(spark, tmp_path):
+    """The Spark-4 Python DataSource path: a directory of container
+    files plans one input partition per file (parallel scan), schema
+    inferred from the embedded Avro schema, mixed codecs."""
+    from aws_insurancelake_etl_spark.sources import avro_lite, pyds
+
+    names = ["id", "name", "score"]
+    types = ["long", ["null", "string"], "double"]
+    avro_lite.write_avro(str(tmp_path / "a.avro"), names, types,
+                         [(1, "x", 1.5), (2, None, 2.5)])
+    avro_lite.write_avro(str(tmp_path / "b.avro"), names, types,
+                         [(3, "y", 0.0)], codec="deflate")
+    pyds.register(spark)
+    df = spark.read.format("avro_lite").load(str(tmp_path))
+    assert df.schema.simpleString() == "struct<id:bigint,name:string,score:double>"
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("x", 1.5), 2: (None, 2.5), 3: ("y", 0.0)}
+
+    # read_input's .avro dispatch lands on the same distributed path
+    from aws_insurancelake_etl_spark.sources.readers import read_input
+
+    df2 = read_input(spark, str(tmp_path / "a.avro"), {"avro": {}})
+    assert df2.count() == 2
