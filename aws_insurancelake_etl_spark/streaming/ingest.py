@@ -123,6 +123,52 @@ def stateful_user_totals(events: DataFrame, id_col: str = "user_id",
     )
 
 
+def stateful_user_totals_tws(
+    events: DataFrame, id_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (SPARK-49564, the successor to
+    ``applyInPandasWithState``): state lives in named typed handles
+    (ValueState here; ListState/MapState/timers available), the
+    processor is a class with an explicit lifecycle, and state survives
+    micro-batch boundaries exactly like the GroupState twin above — the
+    parity test drives both over the same batches.
+
+    Scale shape is identical to the old API: one shuffle on the grouping
+    key per micro-batch, state partitioned with the key, Arrow-batched
+    pandas on the executors."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n],
+                 "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(id_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),
