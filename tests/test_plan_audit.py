@@ -535,3 +535,40 @@ def test_mips_norm_augment_broadcasts_queries_and_scalar(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_join(spark):
+    """At 100 TB the big fact-fact joins exceed the broadcast threshold;
+    Spark's runtime bloom-filter injection (on in our session confs)
+    then pre-filters the probe side scan with a bloom built from the
+    selective build side.  Broadcast is disabled here to force the
+    shuffle-join shape those joins take at scale, and the plan must
+    carry the injected might_contain/bloom aggregate pair."""
+    from pyspark.sql import functions as F
+
+    scan_thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_scan = spark.conf.get(scan_thresh)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the probe side must look scan-heavy for the rewrite to pay off; the
+    # default gate is 10GB, which test fixtures never reach — zeroing it
+    # proves the injection path itself (the size gate is AT-SCALE logic)
+    spark.conf.set(scan_thresh, "0")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode).lower()
+        assert "might_contain" in plan or "bloomfilter" in plan, (
+            "runtime bloom filter was not injected"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(scan_thresh, prev_scan)
