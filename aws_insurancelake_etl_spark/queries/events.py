@@ -1151,3 +1151,92 @@ def evt_top_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.withColumn("rk", rk).where(F.col("rk") <= 2)
+
+
+@register(
+    "evt_funnel_attribution",
+    """
+    WITH purchases AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_id AS t_id, event_type AS touch_type, ts AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+        SELECT p.p_id, p.v, t.touch_type, t.t_ts, t.t_id,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY t.t_ts, t.t_id) AS rk_first,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                  ORDER BY t.t_ts DESC, t.t_id DESC) AS rk_last
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_ts <= p.p_ts
+         AND t.t_ts >  p.p_ts - INTERVAL 7 DAY
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(ROUND(SUM(CASE WHEN rk_first = 1 THEN v ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS first_touch_value,
+           CAST(ROUND(SUM(CASE WHEN rk_last = 1 THEN v ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
+                AS DOUBLE) AS last_touch_value,
+           ROUND(SUM(CAST(v AS DOUBLE) / n_touches), 2) AS linear_value
+    FROM joined
+    GROUP BY touch_type
+    """,
+)
+def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — every marketing/product analytics
+    pipeline's credit-assignment query: each purchase's value is
+    attributed to the click/view touchpoints in its preceding 7 days
+    under THREE models at once (first-touch, last-touch, linear), per
+    touch type.  One pass: the purchase-touch join is driven by the
+    user_id equi key (the time window rides as a residual predicate),
+    then two rank windows + a count window per purchase decide each
+    touch's role.  Exact-decimal sums for the winner-takes-all models;
+    the linear split is double division (each purchase's value divides
+    by its own touch count) rounded at the end."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w_n = Window.partitionBy("p_id")
+    w_first = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    w_last = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    ranked = joined.select(
+        "p_id", "v", "touch_type",
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return ranked.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum(F.when(F.col("rk_first") == 1, F.col("v")).otherwise(zero)), 2)
+        .cast("double")
+        .alias("first_touch_value"),
+        F.round(F.sum(F.when(F.col("rk_last") == 1, F.col("v")).otherwise(zero)), 2)
+        .cast("double")
+        .alias("last_touch_value"),
+        F.round(
+            F.sum(F.col("v").cast("double") / F.col("n_touches")), 2
+        ).alias("linear_value"),
+    )

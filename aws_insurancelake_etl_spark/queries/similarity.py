@@ -1129,3 +1129,107 @@ def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("query_id", "vec_id", F.round("ip", 4).alias("inner_product"))
     )
+
+
+def _prefix_cos_sql(pfx: int) -> str:
+    a, b = f"q.embedding[1:{pfx}]", f"c.embedding[1:{pfx}]"
+    return (
+        f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+@register(
+    "emb_matryoshka_prefix_recall",
+    f"""
+    WITH full_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COSINE_SQL} DESC, c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 10
+    ),
+    prefix_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_prefix_cos_sql(16)} DESC,
+                                               c.vec_id) AS rn
+            FROM embeddings q JOIN embeddings c
+              ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+        ) WHERE rn <= 10
+    )
+    SELECT f.query_id,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           ROUND(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 4)
+               AS recall_at_10
+    FROM full_topk f
+    LEFT JOIN prefix_topk p
+      ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): how
+    much of the FULL-dimension cosine top-10 does ranking on only the
+    FIRST 16 of 64 dimensions recover?  This is the measurement behind
+    the standard retrieval cost lever — score with a prefix (4x less
+    I/O and FLOPs at 100 TB), re-rank survivors with full vectors — and
+    the eval every embedding pipeline should run before enabling it.
+    Both rankings broadcast the 5-query set against the corpus; the
+    recall join then runs on 50 rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = spread(spark, emb).select(
+        "vec_id", F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def topk(score_col: Column, tag: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc("__s"), "vec_id")
+        return (
+            corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", score_col.alias("__s"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("query_id", F.col("vec_id").alias(f"{tag}_vec_id"))
+        )
+
+    full = topk(_cosine_col(), "full")
+    q_pfx = F.slice("q_emb", 1, 16)
+    c_pfx = F.slice("c_emb", 1, 16)
+
+    def pdot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    prefix_cos = pdot(q_pfx, c_pfx) / (
+        F.sqrt(pdot(q_pfx, q_pfx)) * F.sqrt(pdot(c_pfx, c_pfx))
+    )
+    prefix = topk(prefix_cos, "pfx").withColumnRenamed("query_id", "pfx_qid")
+    return (
+        full.join(
+            prefix,
+            (F.col("query_id") == F.col("pfx_qid"))
+            & (F.col("full_vec_id") == F.col("pfx_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pfx_vec_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pfx_vec_id").isNotNull(), 1).otherwise(0)
+                ) / 10.0,
+                4,
+            ).alias("recall_at_10"),
+        )
+    )
