@@ -1207,14 +1207,14 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
     touches = ev.where(F.col("event_type").isin("click", "view")).select(
-        "user_id",
+        F.col("user_id").alias("t_user_id"),
         F.col("event_id").alias("t_id"),
         F.col("event_type").alias("touch_type"),
         F.col("ts").alias("t_ts"),
     )
     joined = purchases.join(
         touches,
-        (purchases.user_id == touches.user_id)
+        (F.col("user_id") == F.col("t_user_id"))
         & (F.col("t_ts") <= F.col("p_ts"))
         & (F.col("t_ts") > F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
     )
