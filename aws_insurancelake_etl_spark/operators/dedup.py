@@ -491,6 +491,7 @@ def near_dup_pipeline(
     band_size: int = 2,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    max_posting_len: int | None = DEFAULT_POSTING_CAP,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — the standard
     two-stage near-dup pipeline (approximate recall, exact precision).
@@ -498,7 +499,8 @@ def near_dup_pipeline(
     cost is signatures + bucket collisions — independent of |D|²."""
     sh = shingles(df, id_col, text_col, shingle_n)
     signatures = minhash_signatures(df, n_hashes, id_col, text_col, shingle_n)
-    candidates = lsh_candidate_pairs(signatures, n_hashes, band_size)
+    candidates = lsh_candidate_pairs(signatures, n_hashes, band_size,
+                                     max_posting_len=max_posting_len)
     return jaccard_for_pairs(sh, candidates, jaccard_threshold)
 
 
@@ -685,6 +687,7 @@ def incremental_lsh_pairs(
     stored_bands: DataFrame,
     n_hashes: int = 8,
     band_size: int = 2,
+    max_posting_len: int | None = DEFAULT_POSTING_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW ingest batch against the
     historical corpus WITHOUT re-processing the corpus: the new batch's
@@ -709,7 +712,8 @@ def incremental_lsh_pairs(
             F.col("n.doc_id").alias("doc_new"), F.col("s.doc_id").alias("doc_matched")
         )
     )
-    in_batch = lsh_candidate_pairs(new_signatures, n_hashes, band_size).select(
+    in_batch = lsh_candidate_pairs(new_signatures, n_hashes, band_size,
+                                   max_posting_len=max_posting_len).select(
         F.col("doc_a").alias("doc_new"), F.col("doc_b").alias("doc_matched")
     )
     return vs_store.union(in_batch).distinct()

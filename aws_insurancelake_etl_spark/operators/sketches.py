@@ -253,56 +253,35 @@ def kmv_set_estimates(
     ``J(A,B) ≈ ρ`` (Beyer et al., SIGMOD'07).  Sketches that never fill
     (fewer than k distinct values) short-circuit to exact counts.
 
-    At scale: each side costs one distinct + one distributed top-k; all
-    joins below run on ≤ 2k rows.
+    At scale: each side costs one distinct + one distributed top-k scan
+    of its input — exactly once, because the ≤ k hash minima then come
+    to the driver as scalar state (the same discipline as k-means
+    centroids; 2k doubles, no cached DataFrames pinning executor
+    storage) and the set algebra runs on those scalars.
     """
-    ha = _topk_hashes(df_a, value_col, k).cache()
-    hb = _topk_hashes(df_b, value_col, k).cache()
+    ha = [r["__h"] for r in _topk_hashes(df_a, value_col, k).collect()]
+    hb = [r["__h"] for r in _topk_hashes(df_b, value_col, k).collect()]
 
-    def est(sketch: DataFrame):
-        return sketch.agg(
-            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
-            .otherwise((k - 1) / F.max("__h"))
-            .alias("est")
-        )
+    def est(hashes: list[float]) -> float:
+        if len(hashes) < k:
+            return float(len(hashes))
+        return (k - 1) / max(hashes)
 
-    union_sketch = ha.union(hb).distinct().orderBy("__h").limit(k)
-    flags = (
-        union_sketch.join(ha.withColumn("__in_a", F.lit(1)), "__h", "left")
-        .join(hb.withColumn("__in_b", F.lit(1)), "__h", "left")
-        .select(
-            "__h",
-            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
-            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
-        )
-    )
-    summary = flags.agg(
-        F.count(F.lit(1)).alias("n_union_rows"),
-        F.max("__h").alias("h_k"),
-        F.sum((F.col("__in_a") * F.col("__in_b"))).alias("n_both"),
-    )
-    est_a = est(ha).withColumnRenamed("est", "est_a")
-    est_b = est(hb).withColumnRenamed("est", "est_b")
-    return (
-        summary.crossJoin(est_a)
-        .crossJoin(est_b)
-        .select(
-            "est_a",
-            "est_b",
-            F.when(
-                F.col("n_union_rows") < k, F.col("n_union_rows").cast("double")
-            )
-            .otherwise((k - 1) / F.col("h_k"))
-            .alias("est_union"),
-            F.when(
-                F.col("n_union_rows") < k, F.col("n_both").cast("double")
-            )
-            .otherwise(
-                F.col("n_both")
-                / F.col("n_union_rows")
-                * ((k - 1) / F.col("h_k"))
-            )
-            .alias("est_intersection"),
-            (F.col("n_both") / F.col("n_union_rows")).alias("jaccard_est"),
-        )
+    union = sorted(set(ha) | set(hb))[:k]
+    set_a, set_b = set(ha), set(hb)
+    n_union_rows = len(union)
+    n_both = sum(1 for h in union if h in set_a and h in set_b)
+    if n_union_rows < k:
+        est_union = float(n_union_rows)
+        est_inter = float(n_both)
+    else:
+        h_k = union[-1]
+        est_union = (k - 1) / h_k
+        est_inter = n_both / n_union_rows * ((k - 1) / h_k)
+    jaccard = n_both / n_union_rows if n_union_rows else 0.0
+    spark = df_a.sparkSession
+    return spark.createDataFrame(
+        [(est(ha), est(hb), est_union, est_inter, jaccard)],
+        "est_a double, est_b double, est_union double, "
+        "est_intersection double, jaccard_est double",
     )

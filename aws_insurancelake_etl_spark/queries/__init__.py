@@ -56,8 +56,9 @@ _MODULES = (
 #   - 39 of the remaining never-driver-checked gates (the novel /
 #     higher-risk ones: dq, streaming, sketches, embeddings, as-of,
 #     graph, SCD2, recursive SQL).
-# 22 family-redundant never-checked gates remain for the r6 window
-# (each has a driver-green sibling exercising the same operator family):
+# 30 never-checked gates remain for the r6 window — the 22
+# family-redundant ones deferred from r5 (each has a driver-green
+# sibling exercising the same operator family):
 #   agg_boolean_family, agg_cube_status_priority, window_rank_fractions,
 #   setops_except_all, tr_jsonexpandarray, tr_flatten_clean_names,
 #   tr_filename_parse, tr_xml_structured, src_xml_roundtrip,
@@ -65,9 +66,15 @@ _MODULES = (
 #   text_blocklist_filter, text_classifier_filter, text_inverted_index,
 #   text_bm25_topk, text_dup_ngram_coverage, docs_token_chunks,
 #   docs_lang_rebalance, docs_source_cap, docs_weighted_sample,
-#   docs_temperature_mix.
-# After r6 every registered gate has a driver row; keep rotating
-# arbitrary 50-subsets thereafter so rows stay fresh.
+#   docs_temperature_mix
+# plus the 8 gates ADDED in round 5 (registered after this window
+# froze):
+#   docs_quality_ensemble, docs_doremi_weights, docs_ccnet_buckets,
+#   scd2_point_in_time_join, ann_mips_norm_augment, sketch_kmv_set_ops,
+#   evt_funnel_attribution, emb_matryoshka_prefix_recall.
+# 30 + 20 re-checks fill the r6 window; after r6 every registered gate
+# has a driver row — keep rotating arbitrary 50-subsets thereafter so
+# rows stay fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- driver-red r2-r4, oracle dtype fixed this round
     "text_langid",

@@ -252,7 +252,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle key = shingle) ÷ union sizes; ≥ 0.5 are near-dups.  At scale the
     shingle join IS the LSH-free exact path; MinHash below is the approximate
     path with bounded candidates."""
-    return D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    return D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None)
 
 
 @register(
@@ -282,7 +282,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-evaluation posting-list pair expansion with the Jaccard path
     (``operators/dedup._posting_pair_counts``): one shingle pipeline run,
     no self-join, pair count bounded by posting collisions."""
-    return D.containment_pairs(_shingles(spark, sf_dir), threshold=0.6)
+    return D.containment_pairs(_shingles(spark, sf_dir), threshold=0.6, max_posting_len=None)
 
 
 def _entropy_ratio_cte() -> str:
@@ -425,7 +425,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformly hash-distributed.  This is the shape that survives scale: the
     join input is 4 small rows per document, never the shingle sets."""
     sig = dedup_minhash_signature(spark, sf_dir)
-    return D.lsh_candidate_pairs(sig, n_hashes=_N_HASHES, band_size=2)
+    return D.lsh_candidate_pairs(sig, n_hashes=_N_HASHES, band_size=2, max_posting_len=None)
 
 
 _SIMHASH_BITS = 16
@@ -499,7 +499,8 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle Jaccard verifies them (approximate recall, exact precision).
     At scale the verify stage touches only the candidate pairs' shingle
     sets, never all pairs."""
-    return D.near_dup_pipeline(_docs(spark, sf_dir), jaccard_threshold=0.5)
+    return D.near_dup_pipeline(_docs(spark, sf_dir), jaccard_threshold=0.5,
+                               max_posting_len=None)
 
 
 @register(
@@ -545,7 +546,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf corpus genuinely has 3- and 4-document chains.  The DuckDB oracle
     computes the same closure with a recursive CTE — two completely
     different fixpoint engines agreeing on every cluster assignment."""
-    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None)
     cc = D.connected_components(pairs.select("doc_a", "doc_b"))
     sizes = cc.groupBy(F.col("cluster_id").alias("sz_cluster")).agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -906,7 +907,7 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bottleneck.  Both algorithms must agree with the recursive-CTE
     oracle on every assignment, so the two Spark fixpoint engines and
     DuckDB's recursion all triangulate."""
-    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None)
     cc = D.connected_components_star(pairs.select("doc_a", "doc_b"))
     sizes = cc.groupBy(F.col("cluster_id").alias("sz_cluster")).agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -954,7 +955,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.minhash_signatures(docs.where(~is_new), n_hashes=_N_HASHES),
         n_hashes=_N_HASHES,
     )
-    return D.incremental_lsh_pairs(new_sigs, stored, n_hashes=_N_HASHES)
+    return D.incremental_lsh_pairs(new_sigs, stored, n_hashes=_N_HASHES,
+                                   max_posting_len=None)
 
 
 @register(
@@ -1042,7 +1044,7 @@ def docs_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality"),
     ).where(F.col("quality") >= 0.7)
 
-    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None)
     cc = D.connected_components(pairs.select("doc_a", "doc_b"))
     losers = cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
@@ -1076,7 +1078,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clusters are a tiny fraction of the corpus, broadcast); the oracle
     extends the recursive-CTE closure with the same keeper rule."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None)
     cc = D.connected_components(pairs.select("doc_a", "doc_b"))
     cluster_map = cc.select(F.col("node").alias("doc_id"), "cluster_id")
     return (
@@ -1437,7 +1439,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands on (pair, pa - pb) diagonals.  See
     ``operators/dedup.substring_run_pairs``."""
     return D.substring_run_pairs(
-        _docs(spark, sf_dir), k=4, min_run_tokens=8
+        _docs(spark, sf_dir), k=4, min_run_tokens=8, max_posting_len=None
     )
 
 
@@ -1796,10 +1798,10 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.  Truth and candidates share one shingle-pipeline evaluation
     shape; the recall join touches only pair keys."""
     docs = _docs(spark, sf_dir)
-    truth = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5).select(
+    truth = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5, max_posting_len=None).select(
         "doc_a", "doc_b"
     )
-    cand = D.lsh_candidate_pairs(D.minhash_signatures(docs)).select(
+    cand = D.lsh_candidate_pairs(D.minhash_signatures(docs), max_posting_len=None).select(
         "doc_a", "doc_b"
     ).distinct()
     marked = cand.withColumn("__hit", F.lit(1))
@@ -1886,7 +1888,7 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     shingle_df = _shingles(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
-    cand = D.lsh_candidate_pairs(sigs).select("doc_a", "doc_b").distinct()
+    cand = D.lsh_candidate_pairs(sigs, max_posting_len=None).select("doc_a", "doc_b").distinct()
     exact = D.jaccard_for_pairs(shingle_df, cand, threshold=0.0)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)]

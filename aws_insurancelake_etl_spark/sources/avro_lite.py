@@ -48,10 +48,19 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
 
+def _read_bool(buf: io.BytesIO) -> bool:
+    byte = buf.read(1)
+    if not byte:
+        # b"" == b"\x01" would silently decode False from a truncated
+        # buffer; every other primitive reader raises on EOF too.
+        raise EOFError("truncated boolean")
+    return byte == b"\x01"
+
+
 def _primitive_reader(avro_type: str):
     return {
         "null": lambda buf: None,
-        "boolean": lambda buf: buf.read(1) == b"\x01",
+        "boolean": _read_bool,
         "int": _read_long,
         "long": _read_long,
         "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
@@ -98,13 +107,15 @@ def _field_reader(ftype):
     raise NotImplementedError(f"unsupported avro field schema: {ftype!r}")
 
 
-def read_avro(path: str) -> tuple[list[str], list[tuple]]:
-    """Return (column_names, rows) from a container file of flat records."""
-    with open(path, "rb") as handle:
-        data = handle.read()
-    buf = io.BytesIO(data)
+def read_header(buf) -> tuple[dict, bytes]:
+    """Parse the container header from any binary file-like object,
+    reading only as many bytes as the header occupies: returns
+    (metadata map with decoded ``avro.schema``, 16-byte sync marker).
+    Used both by :func:`read_avro` and by the Python DataSource's
+    schema inference, which must NOT slurp a multi-GB file to read a
+    few-hundred-byte header."""
     if buf.read(4) != _MAGIC:
-        raise ValueError(f"{path} is not an Avro object container file")
+        raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
     while True:
         n = _read_long(buf)
@@ -116,13 +127,27 @@ def read_avro(path: str) -> tuple[list[str], list[tuple]]:
         for _ in range(n):
             key = _read_bytes(buf).decode("utf-8")
             meta[key] = _read_bytes(buf)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated container header (missing sync marker)")
+    return meta, sync
+
+
+def read_avro(path: str) -> tuple[list[str], list[tuple]]:
+    """Return (column_names, rows) from a container file of flat records."""
+    with open(path, "rb") as handle:
+        data = handle.read()
+    buf = io.BytesIO(data)
+    try:
+        meta, sync = read_header(buf)
+    except ValueError as exc:
+        raise ValueError(f"{path}: {exc}") from None
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if schema.get("type") != "record":
         raise NotImplementedError("avro_lite reads record-schema files only")
     names = [f["name"] for f in schema["fields"]]
     readers = [_field_reader(f["type"]) for f in schema["fields"]]
-    sync = buf.read(16)
 
     rows: list[tuple] = []
     while buf.tell() < len(data):

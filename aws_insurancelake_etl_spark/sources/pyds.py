@@ -73,34 +73,21 @@ class AvroLiteDataSource(DataSource):
     def schema(self) -> str:
         import json
 
-        from . import avro_lite
+        from .avro_lite import read_header
 
         first = _list_files(self.options["path"])[0]
+        # Incremental header parse on the open file handle — reads only
+        # the few hundred header bytes, never the (possibly multi-GB)
+        # data blocks.
         with open(first, "rb") as handle:
-            header = handle.read()
-        # Cheap header parse: reuse the full reader on the first file's
-        # metadata only (schema lives in the header map).
-        import io
-
-        buf = io.BytesIO(header)
-        if buf.read(4) != b"Obj\x01":
-            raise ValueError(f"{first} is not an Avro container file")
-        meta = {}
-        while True:
-            n = avro_lite._read_long(buf)
-            if n == 0:
-                break
-            if n < 0:
-                n = -n
-                avro_lite._read_long(buf)
-            for _ in range(n):
-                key = avro_lite._read_bytes(buf).decode("utf-8")
-                meta[key] = avro_lite._read_bytes(buf)
+            try:
+                meta, _ = read_header(handle)
+            except ValueError as exc:
+                raise ValueError(f"{first}: {exc}") from None
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
-        cols = ", ".join(
+        return ", ".join(
             f"`{f['name']}` {_field_ddl(f['type'])}" for f in schema["fields"]
         )
-        return cols
 
     def reader(self, schema) -> "AvroLiteReader":
         return AvroLiteReader(self.options["path"])
@@ -121,8 +108,14 @@ class AvroLiteReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the data source on a session."""
+    """Idempotently register the data source on a session: re-registration
+    is suppressed, every other failure (missing DataSource API, pickling
+    error) propagates — silently continuing would surface later as a
+    baffling 'Failed to find the data source: avro_lite'."""
     try:
         spark.dataSource.register(AvroLiteDataSource)
-    except Exception:  # noqa: BLE001 - already registered
-        pass
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc).lower()
+        if "already" in msg and ("exist" in msg or "register" in msg):
+            return
+        raise

@@ -137,12 +137,20 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
                 from .xlsx_lite import read_sheet  # noqa: PLC0415
 
                 rows = read_sheet(source_path, sheet)[skiprows:]
+                if not rows:
+                    # Existing-but-empty sheet: name the real condition so
+                    # the fallback chain's error message carries it instead
+                    # of a misleading missing-sheet IndexError.
+                    raise ValueError(
+                        f"Sheet {sheet!r} has no data rows (after "
+                        f"data_address skip of {skiprows})"
+                    )
                 if header:
                     head, data = rows[0], rows[1:]
                     columns = [str(c) for c in head]
                 else:
                     data = rows
-                    columns = list(range(len(rows[0]) if rows else 0))
+                    columns = list(range(len(rows[0])))
                 if nrows is not None:
                     data = data[:nrows]
                 pdf = pd.DataFrame(data, columns=columns)

@@ -143,6 +143,10 @@ def stateful_user_totals_tws(
         StatefulProcessorHandle,
     )
 
+    # Output key column mirrors the grouping column's name AND type —
+    # a hardcoded "user_id long" would break for any other id_col.
+    id_type = events.schema[id_col].dataType.simpleString()
+
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("totals", "n long, total double")
@@ -154,7 +158,7 @@ def stateful_user_totals_tws(
                 total += float(pdf[value_col].sum())
             self._state.update((n, total))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n],
+                {id_col: [key[0]], "n_events": [n],
                  "total_value": [round(total, 2)]}
             )
 
@@ -163,7 +167,9 @@ def stateful_user_totals_tws(
 
     return events.groupBy(id_col).transformWithStateInPandas(
         RunningTotals(),
-        outputStructType="user_id long, n_events long, total_value double",
+        outputStructType=(
+            f"`{id_col}` {id_type}, n_events long, total_value double"
+        ),
         outputMode="Update",
         timeMode="None",
     )
