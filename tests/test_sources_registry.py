@@ -347,3 +347,45 @@ def test_avro_lite_python_datasource_distributed_scan(spark, tmp_path):
 
     df2 = read_input(spark, str(tmp_path / "a.avro"), {"avro": {}})
     assert df2.count() == 2
+
+
+def test_pyds_register_is_idempotent(spark, tmp_path):
+    from aws_insurancelake_etl_spark.sources import avro_lite, pyds
+
+    pyds.register(spark)
+    pyds.register(spark)  # second registration must not raise
+    f = str(tmp_path / "x.avro")
+    avro_lite.write_avro(f, ["a"], ["long"], [(5,)])
+    assert spark.read.format("avro_lite").load(f).collect()[0].a == 5
+
+
+def test_excel_empty_sheet_names_real_cause(spark, tmp_path):
+    """An existing-but-empty sheet must surface 'no data rows', not a
+    missing-sheet error."""
+    import pytest
+
+    from aws_insurancelake_etl_spark.sources.readers import read_excel
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "empty.xlsx")
+    write_xlsx(path, {"Data": []})
+    with pytest.raises(RuntimeError, match="no data rows"):
+        read_excel(spark, path, {"sheet_names": ["Data"]})
+
+
+def test_avro_truncated_boolean_raises(tmp_path):
+    """A container truncated mid-record at a boolean field must raise,
+    never fabricate False."""
+    import pytest
+
+    from aws_insurancelake_etl_spark.sources import avro_lite
+
+    path = str(tmp_path / "t.avro")
+    avro_lite.write_avro(path, ["n", "flag"], ["long", "boolean"],
+                         [(1, True), (2, True)])
+    data = open(path, "rb").read()
+    # drop the final sync marker AND the last record's boolean byte,
+    # then rewrite the block header to claim both records are present
+    open(path, "wb").write(data[:-17])
+    with pytest.raises((EOFError, ValueError)):
+        avro_lite.read_avro(path)
