@@ -2176,3 +2176,140 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_xent",
         )
     )
+
+
+@register(
+    "docs_curation_funnel",
+    f"""
+    WITH {_TOKS_CTE},
+    feats AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 4) AS diversity,
+               CAST(SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop,
+               CAST(SUM(CASE WHEN token IN ('the', 'a', 'and', 'of', 'to')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+               CAST(SUM(CASE WHEN token IN ('der', 'die', 'und', 'das', 'ein')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+               CAST(SUM(CASE WHEN token IN ('el', 'la', 'los', 'que', 'y')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score_es
+        FROM toks GROUP BY doc_id
+    ),
+    staged AS (
+        SELECT f.doc_id,
+               (n_tokens BETWEEN 5 AND 100000 AND diversity >= 0.2
+                AND n_stop >= 1) AS pass_quality,
+               (score_en >= score_de AND score_en >= score_es) AS pass_lang,
+               (d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text)))
+                   AS pass_dedup
+        FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+    ),
+    cum AS (
+        SELECT doc_id,
+               pass_quality,
+               pass_quality AND pass_lang AS s2,
+               pass_quality AND pass_lang AND pass_dedup AS s3
+        FROM staged
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        FROM cum
+    )
+    SELECT stage, stage_idx, n_in, n_out, n_in - n_out AS n_dropped,
+           ROUND(n_out * 1.0 / n_in, 4) AS survival
+    FROM (
+        SELECT 'quality' AS stage, 1 AS stage_idx, n0 AS n_in, n1 AS n_out FROM counts
+        UNION ALL
+        SELECT 'langid_en', 2, n1, n2 FROM counts
+        UNION ALL
+        SELECT 'exact_dedup', 3, n2, n3 FROM counts
+    )
+    """,
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation FUNNEL REPORT: how many documents survive each
+    sequential filter stage (quality rules → keep-English langid →
+    exact dedup keeper), with per-stage drop counts and survival rates —
+    the first chart in every dataset paper (C4, RefinedWeb, Dolma all
+    report exactly this table) and the monitoring artifact a production
+    curation pipeline alerts on.  One tokenization pass computes every
+    per-doc signal; the only other corpus-wide work is the
+    content-hash min-window for dedup; the funnel algebra itself runs
+    on a single aggregated row."""
+    toks = D.token_array(_docs(spark, sf_dir))
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS)
+    n = F.size("toks")
+
+    def lang_score(words: tuple[str, ...]) -> Column:
+        lst = ", ".join(repr(w) for w in words)
+        return F.expr(f"size(filter(toks, t -> t IN ({lst})))").cast("long")
+
+    feats = toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) * 1.0 / n, 4).alias("diversity"),
+        F.expr(f"size(filter(toks, t -> t IN ({stop_list})))")
+        .cast("long")
+        .alias("n_stop"),
+        lang_score(_LANG_LISTS["en"]).alias("score_en"),
+        lang_score(_LANG_LISTS["de"]).alias("score_de"),
+        lang_score(_LANG_LISTS["es"]).alias("score_es"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(
+            Window.partitionBy(F.md5("text"))
+        )).alias("pass_dedup"),
+    )
+    staged = feats.join(docs, "doc_id").select(
+        (
+            F.col("n_tokens").between(5, 100000)
+            & (F.col("diversity") >= 0.2)
+            & (F.col("n_stop") >= 1)
+        ).alias("pass_quality"),
+        (
+            (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") >= F.col("score_es"))
+        ).alias("pass_lang"),
+        "pass_dedup",
+    )
+    counts = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("pass_quality").cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("pass_quality") & F.col("pass_lang")).cast("int"))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            (F.col("pass_quality") & F.col("pass_lang") & F.col("pass_dedup"))
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n3"),
+    )
+    stages = (
+        counts.select(
+            F.lit("quality").alias("stage"), F.lit(1).alias("stage_idx"),
+            F.col("n0").alias("n_in"), F.col("n1").alias("n_out"),
+        )
+        .unionByName(
+            counts.select(
+                F.lit("langid_en").alias("stage"), F.lit(2).alias("stage_idx"),
+                F.col("n1").alias("n_in"), F.col("n2").alias("n_out"),
+            )
+        )
+        .unionByName(
+            counts.select(
+                F.lit("exact_dedup").alias("stage"), F.lit(3).alias("stage_idx"),
+                F.col("n2").alias("n_in"), F.col("n3").alias("n_out"),
+            )
+        )
+    )
+    return stages.select(
+        "stage", "stage_idx", "n_in", "n_out",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        F.round(F.col("n_out") * 1.0 / F.col("n_in"), 4).alias("survival"),
+    )
