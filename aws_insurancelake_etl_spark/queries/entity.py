@@ -588,3 +588,140 @@ def em_transitive_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "em_linkage_eval",
+    """
+    WITH entities AS (
+        SELECT c_custkey, c_nationkey,
+               c_name || ' ' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                   AS full_name
+        FROM customer
+    ),
+    dirty AS (
+        -- light perturbation (edit distance 1): recoverable;
+        -- heavy perturbation (whole 8-char tail replaced): deliberately
+        -- beyond the 0.85 threshold -> designed false negatives
+        SELECT c_custkey AS source_key, entities.c_nationkey,
+               CASE WHEN c_custkey % 8 = 0
+                    THEN substr(full_name, 1, length(full_name) - 8)
+                         || 'z' || substr(full_name, length(full_name) - 6, 7)
+                    ELSE substr(full_name, 1, length(full_name) - 8)
+                         || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 8)
+               END AS dirty_name,
+               (c_custkey % 8 = 0) AS recoverable
+        FROM entities JOIN customer USING (c_custkey)
+        WHERE c_custkey % 4 = 0
+    ),
+    scored AS (
+        SELECT d.source_key, d.recoverable, e.c_custkey AS matched_key,
+               1.0 - levenshtein(d.dirty_name, e.full_name)
+                   / GREATEST(length(d.dirty_name), length(e.full_name))
+                   AS sim
+        FROM dirty d JOIN entities e ON d.c_nationkey = e.c_nationkey
+    ),
+    best AS (
+        SELECT source_key, recoverable, matched_key, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source_key
+                                         ORDER BY sim DESC, matched_key) AS rn
+            FROM scored WHERE sim >= 0.85
+        ) WHERE rn = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM dirty) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM dirty WHERE recoverable) AS BIGINT)
+               AS n_recoverable,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN matched_key = source_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN matched_key = source_key THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS precision,
+           ROUND(SUM(CASE WHEN matched_key = source_key THEN 1 ELSE 0 END)
+                 * 1.0 / (SELECT COUNT(*) FROM dirty), 4) AS recall
+    FROM best
+    """,
+)
+def em_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage EVALUATION — the eval-family completion for entity
+    match (``ann_recall_eval`` and ``dedup_lsh_recall_eval`` are its ANN
+    and LSH twins): synthesize duplicates with a KNOWN ground truth
+    (entity names get an md5-entropy tail so similarity is informative;
+    half the dirty records are perturbed one edit, half get their whole
+    tail replaced — designed false negatives below the 0.85 threshold),
+    run the SAME blocked fuzzy matcher shape as ``em_fuzzy_blocked``
+    (broadcast entities, banded levenshtein, best-match aggregate), and
+    report precision/recall against the truth.  At 100 TB this is how a
+    linkage threshold is tuned: perturb a sample, measure, adjust."""
+    cust = t(spark, sf_dir, "customer")
+    entities = cust.select(
+        F.col("c_custkey").alias("e_key"),
+        F.col("c_nationkey").alias("block"),
+        F.concat(
+            "c_name", F.lit(" "),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8),
+        ).alias("full_name"),
+    )
+    base = entities.withColumnRenamed("e_key", "source_key")
+    head = F.expr("substr(full_name, 1, length(full_name) - 8)")
+    light = F.concat(
+        head, F.lit("z"),
+        F.expr("substr(full_name, length(full_name) - 6, 7)"),
+    )
+    heavy = F.concat(
+        head,
+        F.substring(
+            F.md5(F.concat(F.lit("x"), F.col("source_key").cast("string"))),
+            1, 8,
+        ),
+    )
+    dirty = (
+        base.where(F.col("source_key") % 4 == 0)
+        .select(
+            "source_key", "block",
+            F.when(F.col("source_key") % 8 == 0, light)
+            .otherwise(heavy)
+            .alias("dirty_name"),
+            (F.col("source_key") % 8 == 0).alias("recoverable"),
+        )
+    )
+    max_len = entities.agg(F.max(F.length("full_name"))).first()[0] or 0
+    lev_threshold = int(0.15 * max_len) + 1
+    lev = F.levenshtein(F.col("dirty_name"), F.col("full_name"), lev_threshold)
+    sim = 1.0 - lev / F.greatest(
+        F.length("dirty_name"), F.length("full_name")
+    )
+    best = F.max(
+        F.struct(
+            F.col("sim").alias("sim"),
+            (-F.col("e_key")).alias("neg_key"),
+            F.col("e_key").alias("matched_key"),
+        )
+    ).alias("best")
+    matched = (
+        dirty.join(F.broadcast(entities), "block")
+        .select("source_key", "e_key", lev.alias("lev"), sim.alias("sim"))
+        .where((F.col("lev") >= 0) & (F.col("sim") >= 0.85))
+        .groupBy("source_key")
+        .agg(best)
+        .select("source_key", F.col("best.matched_key").alias("matched_key"))
+    )
+    truth_counts = dirty.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.col("recoverable").cast("int")).cast("long").alias("n_recoverable"),
+    )
+    match_counts = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.sum((F.col("matched_key") == F.col("source_key")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        truth_counts.crossJoin(match_counts)
+        .select(
+            "n_truth", "n_recoverable", "n_matched", "n_correct",
+            F.round(F.col("n_correct") * 1.0 / F.col("n_matched"), 4)
+            .alias("precision"),
+            F.round(F.col("n_correct") * 1.0 / F.col("n_truth"), 4)
+            .alias("recall"),
+        )
+    )
