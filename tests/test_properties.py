@@ -388,3 +388,74 @@ def test_posting_cap_only_removes_pairs_and_underestimates(
         assert set(capped) <= set(uncapped)
         for pair, score in capped.items():
             assert score <= uncapped[pair], (pair, score, uncapped[pair])
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.sampled_from(["click", "view", "purchase"]),  # event_type
+        st.integers(min_value=0, max_value=9),           # day offset
+        st.integers(min_value=1, max_value=500),         # value cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=events_strategy)
+@settings(**{**SETTINGS, "max_examples": 8})
+def test_funnel_attribution_conserves_value(spark, rows):
+    """Linear attribution must EXACTLY redistribute each attributed
+    purchase's value: summing linear_value across touch types equals the
+    total value of purchases that had >= 1 touchpoint in their 7-day
+    window — credit is never created or destroyed.  First/last models
+    must each also sum to that same total (one winner per purchase)."""
+    import datetime
+
+    from aws_insurancelake_etl_spark.queries.events import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=day, seconds=i), uid, etype,
+         cents / 100.0)
+        for i, (uid, etype, day, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double"
+    )
+    import aws_insurancelake_etl_spark.queries.util as util
+
+    # run the registered query body against this synthetic frame by
+    # monkeypatching the reader it uses
+    orig = util.read_events
+    try:
+        util.read_events = lambda spark_, sf_dir_: df
+        import aws_insurancelake_etl_spark.queries.events as evmod
+
+        orig2 = evmod.read_events
+        evmod.read_events = lambda spark_, sf_dir_: df
+        try:
+            out = QUERIES["evt_funnel_attribution"](spark, "unused").collect()
+        finally:
+            evmod.read_events = orig2
+    finally:
+        util.read_events = orig
+
+    # expected: purchases with >=1 touch in (p_ts - 7d, p_ts]
+    purchases = [r for r in data if r[3] == "purchase"]
+    touches = [r for r in data if r[3] in ("click", "view")]
+    attributed = 0.0
+    for p in purchases:
+        window = [
+            t for t in touches
+            if t[2] == p[2]
+            and t[1] <= p[1]
+            and t[1] > p[1] - datetime.timedelta(days=7)
+        ]
+        if window:
+            attributed += round(p[4] * 100) / 100
+    attributed = round(attributed, 2)
+    for col in ("linear_value", "first_touch_value", "last_touch_value"):
+        total = round(sum(r[col] for r in out), 2)
+        assert abs(total - attributed) < 0.02, (col, total, attributed)
