@@ -572,3 +572,40 @@ def test_runtime_bloom_filter_fires_on_shuffle_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set(scan_thresh, prev_scan)
+
+
+def test_no_accidental_single_partition_exchanges(spark):
+    """Registry-wide invariant: every ``Exchange SinglePartition`` in
+    every registered plan must be the final hop of a SCALAR aggregation
+    (child = HashAggregate/ObjectHashAggregate partial, i.e. the
+    exchange moves one row per upstream partition) — never raw
+    corpus-sized rows.  The one allowed exception is the documented
+    small-data demo ``window_analytics_deciles`` (global Sort), whose
+    scale-safe twin ``window_deciles_scalable`` is the canonical path.
+    Catches the classic silent scale killer: an unpartitioned window or
+    global sort sneaking into a new gate."""
+    from aws_insurancelake_etl_spark.queries import all_queries
+
+    ALLOW = {"window_analytics_deciles"}
+    # construction-side effects (pipeline writes, streaming starts) are
+    # exercised by their own gates; planning them here would execute them
+    SKIP_PREFIXES = ("pipeline_", "stream_", "mm_frame", "src_", "sink_",
+                     "dq_quarantine", "em_full_flow")
+    offenders = {}
+    for name in all_queries():
+        if name in ALLOW or name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception:  # noqa: BLE001 - fixture-dependent construction
+            continue
+        for m in re.finditer(
+            r"\((\d+)\) (?:Exchange|ShuffleQueryStage)\nInput[^\n]*\n"
+            r"Arguments: SinglePartition", plan
+        ):
+            op_id = m.group(1)
+            tree = re.search(rf"Exchange \({op_id}\)\n([^\n]*)", plan)
+            child = tree.group(1) if tree else ""
+            if "HashAggregate" not in child and "Aggregate" not in child:
+                offenders.setdefault(name, []).append(child.strip())
+    assert not offenders, offenders
