@@ -582,8 +582,10 @@ def test_no_accidental_single_partition_exchanges(spark):
     corpus-sized rows.  The one allowed exception is the documented
     small-data demo ``window_analytics_deciles`` (global Sort), whose
     scale-safe twin ``window_deciles_scalable`` is the canonical path.
-    Catches the classic silent scale killer: an unpartitioned window or
-    global sort sneaking into a new gate."""
+    Also bans CartesianProduct in every registered plan (quadratic at
+    scale) in the same planning pass.  Catches the classic silent scale
+    killers: an unpartitioned window, global sort, or accidental cross
+    join sneaking into a new gate."""
     from aws_insurancelake_etl_spark.queries import all_queries
 
     ALLOW = {"window_analytics_deciles"}
@@ -599,6 +601,8 @@ def test_no_accidental_single_partition_exchanges(spark):
             plan = plan_of(spark, name)
         except Exception:  # noqa: BLE001 - fixture-dependent construction
             continue
+        if "CartesianProduct" in plan:
+            offenders.setdefault(name, []).append("CartesianProduct")
         for m in re.finditer(
             r"\((\d+)\) (?:Exchange|ShuffleQueryStage)\nInput[^\n]*\n"
             r"Arguments: SinglePartition", plan
