@@ -1523,3 +1523,183 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_intersection", 4).alias("est_intersection"),
         F.round("jaccard_est", 4).alias("jaccard_est"),
     )
+
+
+@register(
+    "sql_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS up, lower(c_mktsegment) AS lo,
+           upper(substr(lower(c_mktsegment), 1, 1))
+               || substr(lower(c_mktsegment), 2) AS ic,
+           length(c_name) AS len,
+           substr(c_name, 4, 5) AS sub,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad_l,
+           rpad(c_mktsegment, 12, '.') AS pad_r,
+           replace(c_name, '#', '-') AS repl,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+           reverse(c_mktsegment) AS rev,
+           trim(concat(' ', c_mktsegment, ' ')) AS trm,
+           split_part(c_name, '#', 2) AS sp,
+           position('#' IN c_name) AS pos,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cw,
+           repeat('ab', 3) AS rep,
+           left(c_name, 6) AS lft, right(c_name, 4) AS rgt,
+           starts_with(c_name, 'Customer') AS sw,
+           contains(c_name, '#') AS ct
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def sql_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar STRING-function battery — 20 functions differentially
+    checked per row across engines (upper/lower/initcap, length, substr,
+    l/rpad, replace, translate, reverse, trim, split_part, position,
+    concat_ws, repeat, left/right, starts_with/contains).  The point is
+    the SURFACE: these are the §2.10 functions an ETL transform spec
+    reaches for, and each has documented cross-engine edge semantics
+    (1-based substr, pad truncation, empty-separator splits) that only a
+    value-level differential pins down.  Trivially narrow — runs at scan
+    speed."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    key_str = F.col("c_custkey").cast("string")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.initcap(F.lower("c_mktsegment")).alias("ic"),
+        F.length("c_name").alias("len"),
+        F.substring("c_name", 4, 5).alias("sub"),
+        F.lpad(key_str, 8, "0").alias("pad_l"),
+        F.rpad("c_mktsegment", 12, ".").alias("pad_r"),
+        F.replace("c_name", F.lit("#"), F.lit("-")).alias("repl"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.trim(F.concat(F.lit(" "), "c_mktsegment", F.lit(" "))).alias("trm"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("sp"),
+        F.instr("c_name", "#").alias("pos"),
+        F.concat_ws("|", "c_mktsegment", key_str).alias("cw"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.left("c_name", F.lit(6)).alias("lft"),
+        F.right("c_name", F.lit(4)).alias("rgt"),
+        F.startswith("c_name", F.lit("Customer")).alias("sw"),
+        F.contains("c_name", F.lit("#")).alias("ct"),
+    )
+
+
+@register(
+    "sql_datetime_functions",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_iso,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+           CAST(EXTRACT(dayofyear FROM o_orderdate) AS BIGINT) AS doy,
+           CAST(date_part('isodow', o_orderdate) AS BIGINT) AS isodow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mend,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY, '%Y-%m-%d')
+               AS plus45,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+               AS plus3m,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS week_iso
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def sql_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar DATE/TIME-function battery: extraction (year..dayofyear,
+    ISO weekday), truncation (month start/end), interval arithmetic
+    (+days, +months with end-of-month clamping), day differences, ISO
+    week numbers — the §2.10 date surface the reference's date
+    transforms rely on, where off-by-one conventions (dow base, week
+    numbering, month-add clamping) differ BETWEEN engines unless pinned
+    to the portable formulations used here."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("d_iso"),
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.month(d).cast("long").alias("mon"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        # ISO day-of-week (Mon=1..Sun=7), portable across engines
+        F.expr("extract(dayofweek_iso FROM CAST(o_orderdate AS DATE))")
+        .cast("long")
+        .alias("isodow"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("mstart"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("mend"),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("plus45"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.weekofyear(d).cast("long").alias("week_iso"),
+    )
+
+
+@register(
+    "sql_math_functions",
+    """
+    SELECT o_orderkey,
+           ROUND(abs(o_totalprice - 150000), 4) AS ab,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ce,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS fl,
+           ROUND(sqrt(o_totalprice), 4) AS sq,
+           ROUND(ln(o_totalprice), 6) AS lg,
+           ROUND(log10(o_totalprice), 6) AS l10,
+           ROUND(exp(o_totalprice / 100000), 6) AS ex,
+           ROUND(pow(o_totalprice / 10000, 2), 4) AS pw,
+           CAST(o_orderkey % 7 AS BIGINT) AS md,
+           CAST(sign(o_totalprice - 150000) AS BIGINT) AS sg,
+           ROUND(greatest(o_totalprice, 100000.0), 2) AS gr,
+           ROUND(least(o_totalprice, 100000.0), 2) AS ls,
+           ROUND(sin(o_orderkey % 10), 6) AS sn,
+           ROUND(cos(o_orderkey % 10), 6) AS cs,
+           ROUND(atan2(CAST(o_orderkey % 5 AS DOUBLE), 2.0), 6) AS at2,
+           ROUND(degrees(pi() / (1 + o_orderkey % 4)), 6) AS dg,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS bc,
+           CAST(xor(o_orderkey, 255) AS BIGINT) AS xo,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 0.0825, 2)
+                AS DOUBLE) AS tax
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def sql_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar MATH-function battery: rounding family (abs/ceil/floor/
+    round), roots and logs, exp/pow, modulo, sign, greatest/least, trig
+    (sin/cos/atan2/degrees), bit ops (bit_count/xor), and exact decimal
+    multiplication — the §2.10 numeric surface.  Trig/log outputs round
+    at 6 decimals: both engines call the same libm-level double
+    functions, and the differential proves the remaining bits agree."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(p - 150000), 4).alias("ab"),
+        F.ceil(p / 1000).cast("long").alias("ce"),
+        F.floor(p / 1000).cast("long").alias("fl"),
+        F.round(F.sqrt(p), 4).alias("sq"),
+        F.round(F.log(p), 6).alias("lg"),
+        F.round(F.log10(p), 6).alias("l10"),
+        F.round(F.exp(p / 100000), 6).alias("ex"),
+        F.round(F.pow(p / 10000, 2), 4).alias("pw"),
+        (k % 7).cast("long").alias("md"),
+        F.signum(p - 150000).cast("long").alias("sg"),
+        F.round(F.greatest(p, F.lit(100000.0)), 2).alias("gr"),
+        F.round(F.least(p, F.lit(100000.0)), 2).alias("ls"),
+        F.round(F.sin(k % 10), 6).alias("sn"),
+        F.round(F.cos(k % 10), 6).alias("cs"),
+        F.round(F.atan2((k % 5).cast("double"), F.lit(2.0)), 6).alias("at2"),
+        F.round(F.degrees(F.lit(3.141592653589793) / (1 + k % 4)), 6).alias("dg"),
+        F.bit_count(k.cast("bigint")).cast("long").alias("bc"),
+        k.bitwiseXOR(F.lit(255)).cast("long").alias("xo"),
+        F.round(p.cast("decimal(18,2)") * F.lit(0.0825).cast("decimal(6,4)"), 2)
+        .cast("double")
+        .alias("tax"),
+    )
