@@ -1703,3 +1703,121 @@ def sql_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("tax"),
     )
+
+
+@register(
+    "sql_array_functions",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               [o_orderkey % 5, o_orderkey % 3, o_orderkey % 7,
+                o_orderkey % 3] AS arr
+        FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           CAST(len(arr) AS INT) AS sz,
+           list_contains(arr, 2) AS has2,
+           CAST(arr[1] AS BIGINT) AS first_el,
+           CAST(arr[len(arr)] AS BIGINT) AS last_el,
+           list_sort(arr) AS sorted_arr,
+           list_reverse_sort(arr) AS rsorted_arr,
+           list_sort(list_distinct(arr)) AS dedup_arr,
+           array_to_string(arr, ',') AS joined,
+           CAST(list_position(arr, 1) AS INT) AS pos1,
+           list_transform(arr, x -> x * 10) AS times10,
+           list_filter(arr, x -> x >= 2) AS geq2,
+           CAST(list_sum(arr) AS BIGINT) AS total,
+           CAST(list_max(arr) AS BIGINT) AS mx,
+           CAST(list_min(arr) AS BIGINT) AS mn,
+           list_slice(arr, 2, 3) AS mid,
+           list_concat(arr, [99]) AS plus99,
+           list_sort(list_intersect(arr, [0, 1, 2])) AS inter
+    FROM base
+    """,
+)
+def sql_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-function battery: size, membership, 1-based indexing (both
+    engines), first/last element, sort both directions, distinct,
+    join-to-string, position, higher-order transform/filter, sum/max/min
+    aggregates, slice, concat, intersection — the array surface the
+    text/embedding operators lean on, pinned value-level across engines.
+    Note the portability traps the formulation dodges: DuckDB
+    list_distinct does NOT preserve order (sort AFTER distinct), list_position
+    returns NULL not 0 for missing, and both engines index from 1."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    k = F.col("o_orderkey")
+    base = o.select(
+        "o_orderkey",
+        F.array(k % 5, k % 3, k % 7, k % 3).alias("arr"),
+    )
+    return base.select(
+        "o_orderkey",
+        F.size("arr").alias("sz"),
+        F.array_contains("arr", 2).alias("has2"),
+        F.element_at("arr", 1).alias("first_el"),
+        F.element_at("arr", F.size("arr")).alias("last_el"),
+        F.sort_array("arr").alias("sorted_arr"),
+        F.sort_array("arr", asc=False).alias("rsorted_arr"),
+        F.sort_array(F.array_distinct("arr")).alias("dedup_arr"),
+        F.array_join("arr", ",").alias("joined"),
+        F.array_position("arr", 1).cast("int").alias("pos1"),
+        F.transform("arr", lambda x: x * 10).alias("times10"),
+        F.filter("arr", lambda x: x >= 2).alias("geq2"),
+        F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("total"),
+        F.array_max("arr").alias("mx"),
+        F.array_min("arr").alias("mn"),
+        F.slice("arr", 2, 2).alias("mid"),
+        F.concat("arr", F.array(F.lit(99))).alias("plus99"),
+        F.sort_array(F.array_intersect(F.sort_array("arr"),
+                                       F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .alias("inter"),
+    )
+
+
+@register(
+    "sql_conditional_functions",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           NULLIF(c_custkey % 3, 0) IS NULL AS div3,
+           IFNULL(NULLIF(c_mktsegment, 'MACHINERY'), 'was-machinery') AS ifn,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           CASE c_custkey % 2 WHEN 0 THEN 'even' ELSE 'odd' END AS parity,
+           c_acctbal BETWEEN 0 AND 1000 AS in_band,
+           c_mktsegment IN ('BUILDING', 'MACHINERY') AS in_list,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS clamped,
+           CAST(CASE WHEN c_acctbal IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS not_null_flag,
+           ROUND(COALESCE(NULLIF(c_acctbal, 0.0), -1.0), 2) AS bal_or_neg1
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def sql_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL / null-handling battery: coalesce, nullif, ifnull,
+    searched + simple CASE, BETWEEN, IN-list, greatest-clamp, null
+    flags — the §2.10 glue every transform spec's cleansing rules are
+    written in, differentially pinned (null-propagation conventions are
+    where engines quietly disagree)."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg_or_other"),
+        F.nullif(F.col("c_custkey") % 3, F.lit(0)).isNull().alias("div3"),
+        F.ifnull(F.nullif("c_mktsegment", F.lit("MACHINERY")),
+                 F.lit("was-machinery")).alias("ifn"),
+        F.when(bal < 0, "neg").when(bal < 5000, "low").otherwise("high")
+        .alias("bal_band"),
+        F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd")
+        .alias("parity"),
+        bal.between(0, 1000).alias("in_band"),
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY").alias("in_list"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("clamped"),
+        bal.isNotNull().cast("int").alias("not_null_flag"),
+        F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 2)
+        .alias("bal_or_neg1"),
+    )
