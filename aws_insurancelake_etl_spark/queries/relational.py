@@ -1821,3 +1821,49 @@ def sql_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 2)
         .alias("bal_or_neg1"),
     )
+
+
+@register(
+    "agg_stats_functions",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS cor,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_s,
+           ROUND(stddev_pop(l_quantity), 6) AS sd_p,
+           ROUND(var_samp(l_quantity), 6) AS var_s,
+           ROUND(var_pop(l_quantity), 6) AS var_p,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rn
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICAL-aggregate battery per return flag: correlation, both
+    covariances, both stddevs/variances, and the SQL regression family
+    (slope/intercept/R2/count) — the §2.5 analytics surface behind
+    profiling and the OLS gate, pinned directly at the aggregate level.
+    All are single-pass distributed moment accumulations (one shuffle on
+    the group key, map-side partials); rounding absorbs the sub-ulp
+    order-dependence of double moment sums."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr(q, p), 6).alias("cor"),
+        F.round(F.covar_samp(q, p), 4).alias("cov_s"),
+        F.round(F.covar_pop(q, p), 4).alias("cov_p"),
+        F.round(F.stddev_samp(q), 6).alias("sd_s"),
+        F.round(F.stddev_pop(q), 6).alias("sd_p"),
+        F.round(F.var_samp(q), 6).alias("var_s"),
+        F.round(F.var_pop(q), 6).alias("var_p"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("icept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+        F.regr_count(p, q).cast("long").alias("rn"),
+    )
