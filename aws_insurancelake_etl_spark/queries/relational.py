@@ -1867,3 +1867,42 @@ def agg_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(p, q), 6).alias("r2"),
         F.regr_count(p, q).cast("long").alias("rn"),
     )
+
+
+@register(
+    "sql_regex_functions",
+    r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros,
+           regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed,
+           regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)$') AS seg_ab,
+           regexp_extract(c_name, '#(0*)([1-9][0-9]*)$', 2) AS trimmed_id,
+           regexp_replace(c_mktsegment, '(.)\1', 'DD', 'g') AS dedoubled
+    FROM customer WHERE c_custkey <= 300
+    """,
+)
+def sql_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEX battery: group extraction, character-class replace, match
+    counting, anchored full-match tests, multi-group extraction with
+    leading-zero trim, and backreference replace — the §2.10 regex
+    surface `columnfromcolumn`/`columnreplace`/PII scanning build on,
+    restricted to the portable syntax subset (no lookaround, no named
+    groups) that Java regex and RE2-family engines evaluate identically.
+    Spark's rlike is unanchored search, so the full-match probes anchor
+    explicitly with ^$ — the classic Java `matches()` vs SQL semantics
+    trap.  Second live trap: DuckDB's regexp_replace replaces only the
+    FIRST match unless passed the 'g' option, while Spark's is always
+    global — the oracle says 'g' explicitly."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.regexp_count("c_name", F.lit("0")).cast("int").alias("n_zeros"),
+        F.col("c_name").rlike(r"^Customer#[0-9]+$").alias("well_formed"),
+        F.col("c_mktsegment").rlike(r"^(BUILDING|MACHINERY)$").alias("seg_ab"),
+        F.regexp_extract("c_name", r"#(0*)([1-9][0-9]*)$", 2).alias("trimmed_id"),
+        F.regexp_replace("c_mktsegment", r"(.)\1", "DD").alias("dedoubled"),
+    )
