@@ -57,3 +57,46 @@ def test_salted_join_matches_direct(spark):
     assert _rows(salted_left.select("k", "payload", "attr")) == _rows(
         direct_left.select("k", "payload", "attr")
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling must ACTIVATE on a genuinely skewed
+    sort-merge join — the runtime safety net behind every big fact-fact
+    join at 100 TB (salting, `operators/skew.py`, is the planned-ahead
+    complement; AQE is the catch-all for skew discovered at runtime).
+    Broadcast is disabled to force the shuffle-join shape, and the skew
+    thresholds are lowered so the fixture-sized hot key qualifies; the
+    executed plan must mark the join skew=true."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one hot key carrying ~100x the rows of every other key
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        joined = left.join(right, "k")
+        # collect() executes the DataFrame's OWN QueryExecution, so its
+        # adaptive plan finalizes (count() would spawn a separate one
+        # whose final plan we could not reach)
+        assert len(joined.collect()) == 60_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
