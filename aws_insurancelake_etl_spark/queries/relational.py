@@ -1742,8 +1742,8 @@ def sql_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, slice, concat, intersection — the array surface the
     text/embedding operators lean on, pinned value-level across engines.
     Note the portability traps the formulation dodges: DuckDB
-    list_distinct does NOT preserve order (sort AFTER distinct), list_position
-    returns NULL not 0 for missing, and both engines index from 1."""
+    list_distinct does NOT preserve order (sort AFTER distinct), and
+    both engines index from 1 with position 0 for a missing element."""
     o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
     k = F.col("o_orderkey")
     base = o.select(
@@ -1879,17 +1879,18 @@ def agg_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed,
            regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)$') AS seg_ab,
            regexp_extract(c_name, '#(0*)([1-9][0-9]*)$', 2) AS trimmed_id,
-           regexp_replace(c_mktsegment, '(.)\1', 'DD', 'g') AS dedoubled
+           regexp_replace(c_name, '0{2,}', 'Z', 'g') AS runs_collapsed
     FROM customer WHERE c_custkey <= 300
     """,
 )
 def sql_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGEX battery: group extraction, character-class replace, match
     counting, anchored full-match tests, multi-group extraction with
-    leading-zero trim, and backreference replace — the §2.10 regex
-    surface `columnfromcolumn`/`columnreplace`/PII scanning build on,
-    restricted to the portable syntax subset (no lookaround, no named
-    groups) that Java regex and RE2-family engines evaluate identically.
+    leading-zero trim, and bounded-repetition run collapsing — the
+    §2.10 regex surface `columnfromcolumn`/`columnreplace`/PII scanning
+    build on, restricted to the portable syntax subset (no lookaround,
+    no named groups, NO BACKREFERENCES — DuckDB's RE2 rejects `\1`)
+    that Java regex and RE2-family engines evaluate identically.
     Spark's rlike is unanchored search, so the full-match probes anchor
     explicitly with ^$ — the classic Java `matches()` vs SQL semantics
     trap.  Second live trap: DuckDB's regexp_replace replaces only the
@@ -1904,5 +1905,5 @@ def sql_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike(r"^Customer#[0-9]+$").alias("well_formed"),
         F.col("c_mktsegment").rlike(r"^(BUILDING|MACHINERY)$").alias("seg_ab"),
         F.regexp_extract("c_name", r"#(0*)([1-9][0-9]*)$", 2).alias("trimmed_id"),
-        F.regexp_replace("c_mktsegment", r"(.)\1", "DD").alias("dedoubled"),
+        F.regexp_replace("c_name", r"0{2,}", "Z").alias("runs_collapsed"),
     )

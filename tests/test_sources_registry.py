@@ -384,8 +384,9 @@ def test_avro_truncated_boolean_raises(tmp_path):
     avro_lite.write_avro(path, ["n", "flag"], ["long", "boolean"],
                          [(1, True), (2, True)])
     data = open(path, "rb").read()
-    # drop the final sync marker AND the last record's boolean byte,
-    # then rewrite the block header to claim both records are present
+    # truncate the trailing sync marker plus the last record's boolean
+    # byte; the block header still claims 2 records, so decoding hits
+    # EOF exactly at the boolean field
     open(path, "wb").write(data[:-17])
     with pytest.raises((EOFError, ValueError)):
         avro_lite.read_avro(path)

@@ -308,7 +308,7 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain within 120s"
 
     (src / "b1.csv").write_text("user_id,value\n1,10.0\n2,20.0\n")
     run_once()
