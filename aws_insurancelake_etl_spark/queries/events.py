@@ -1240,3 +1240,107 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("double") / F.col("n_touches")), 2
         ).alias("linear_value"),
     )
+
+
+@register(
+    "sql_json_functions",
+    """
+    WITH j AS (
+        SELECT o_orderkey,
+               '{"id": ' || o_orderkey || ', "tags": ["a","b","c"], '
+               || '"meta": {"pri": "' || o_orderpriority || '", "n": '
+               || (o_orderkey % 5) || '}}' AS doc
+        FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           CAST(json_extract_string(doc, '$.id') AS BIGINT) AS id_val,
+           json_extract_string(doc, '$.meta.pri') AS pri,
+           CAST(json_extract_string(doc, '$.meta.n') AS INT) AS n_val,
+           json_extract_string(doc, '$.tags[0]') AS tag0,
+           json_extract_string(doc, '$.tags[2]') AS tag2,
+           CAST(json_array_length(doc, '$.tags') AS INT) AS n_tags,
+           json_extract_string(doc, '$.missing') IS NULL AS missing_is_null,
+           CAST(json_valid(doc) AS BOOLEAN) AS is_valid
+    FROM j
+    """,
+)
+def sql_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function battery over a synthesized nested document (object,
+    nested object, array): scalar extraction at top level / nested path /
+    array index (0-based JSONPath in BOTH engines), array length, the
+    missing-path -> NULL convention, and validity probing — the §2.10
+    semi-structured surface behind `jsonstructured`/`jsonexpand*`.  All
+    extraction is native `get_json_object` (JVM codegen), no UDFs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") <= 300
+    )
+    doc = F.concat(
+        F.lit('{"id": '), F.col("o_orderkey").cast("string"),
+        F.lit(', "tags": ["a","b","c"], "meta": {"pri": "'),
+        F.col("o_orderpriority"),
+        F.lit('", "n": '), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("}}"),
+    )
+    j = o.select("o_orderkey", doc.alias("doc"))
+    return j.select(
+        "o_orderkey",
+        F.get_json_object("doc", "$.id").cast("bigint").alias("id_val"),
+        F.get_json_object("doc", "$.meta.pri").alias("pri"),
+        F.get_json_object("doc", "$.meta.n").cast("int").alias("n_val"),
+        F.get_json_object("doc", "$.tags[0]").alias("tag0"),
+        F.get_json_object("doc", "$.tags[2]").alias("tag2"),
+        F.json_array_length(F.get_json_object("doc", "$.tags"))
+        .cast("int")
+        .alias("n_tags"),
+        F.get_json_object("doc", "$.missing").isNull().alias("missing_is_null"),
+        F.get_json_object("doc", "$.id").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "sql_timestamp_functions",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+           CAST(EXTRACT(minute FROM ts) AS INT) AS mi,
+           CAST(EXTRACT(second FROM ts) AS INT) AS sec,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+           CAST(epoch_us(ts) AS BIGINT) AS micros,
+           CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS secs,
+           CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                AS BIGINT) AS secs_since,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m
+    FROM events WHERE event_id <= 300
+    """,
+)
+def sql_timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP battery at sub-day grain: time-part extraction,
+    hour/day truncation, exact microsecond epochs (the portable epoch
+    primitive — second-level casts truncate and diverge), second
+    differences from a fixed origin, and minute-interval arithmetic —
+    the §2.10 time surface sessionization and windowing build on."""
+    ev = read_events(spark, sf_dir).where(F.col("event_id") <= 300)
+    ts = F.col("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format(ts, fmt).alias("formatted"),
+        F.hour(ts).cast("int").alias("hr"),
+        F.minute(ts).cast("int").alias("mi"),
+        F.second(ts).cast("int").alias("sec"),
+        F.date_format(F.date_trunc("hour", ts), fmt).alias("hour_start"),
+        F.date_format(F.date_trunc("day", ts), fmt).alias("day_start"),
+        F.unix_micros(ts).alias("micros"),
+        F.floor(F.unix_micros(ts) / 1000000).cast("long").alias("secs"),
+        F.floor(
+            (F.unix_micros(ts)
+             - F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+            / 1000000
+        ).cast("long").alias("secs_since"),
+        F.date_format(
+            ts + F.expr("INTERVAL 90 MINUTE"), fmt
+        ).alias("plus90m"),
+    )
