@@ -1907,3 +1907,53 @@ def sql_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", r"#(0*)([1-9][0-9]*)$", 2).alias("trimmed_id"),
         F.regexp_replace("c_name", r"0{2,}", "Z").alias("runs_collapsed"),
     )
+
+
+@register(
+    "sql_map_functions",
+    """
+    WITH m AS (
+        SELECT o_orderkey,
+               map(['p', 'q', 'r'],
+                   [o_orderkey % 5, o_orderkey % 7, o_orderkey % 9]) AS mm
+        FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           CAST(mm['p'][1] AS BIGINT) AS p_val,
+           CAST(mm['q'][1] AS BIGINT) AS q_val,
+           CAST(mm['r'][1] AS BIGINT) AS r_val,
+           mm['zz'][1] IS NULL AS missing_null,
+           CAST(cardinality(mm) AS INT) AS sz,
+           array_to_string(map_keys(mm), ',') AS keys_joined,
+           CAST(list_sum(map_values(mm)) AS BIGINT) AS vals_sum,
+           list_contains(map_keys(mm), 'q') AS has_q
+    FROM m
+    """,
+)
+def sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-function battery: construction from key/value arrays, scalar
+    extraction (Spark ``element_at`` vs DuckDB's list-returning bracket
+    — the oracle unwraps with ``[1]``), the missing-key -> NULL
+    convention, cardinality, insertion-ordered keys, value aggregation,
+    and key membership — the §2.10 map surface behind the KV-pivot and
+    ``jsonexpandmap`` operators."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    k = F.col("o_orderkey")
+    m = F.map_from_arrays(
+        F.array(F.lit("p"), F.lit("q"), F.lit("r")),
+        F.array(k % 5, k % 7, k % 9),
+    )
+    base = o.select("o_orderkey", m.alias("mm"))
+    return base.select(
+        "o_orderkey",
+        F.element_at("mm", "p").alias("p_val"),
+        F.element_at("mm", "q").alias("q_val"),
+        F.element_at("mm", "r").alias("r_val"),
+        F.element_at("mm", "zz").isNull().alias("missing_null"),
+        F.size("mm").alias("sz"),
+        F.array_join(F.map_keys("mm"), ",").alias("keys_joined"),
+        F.aggregate(
+            F.map_values("mm"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("vals_sum"),
+        F.array_contains(F.map_keys("mm"), "q").alias("has_q"),
+    )
