@@ -74,6 +74,17 @@ REGRESSION_FACTOR = 1.5
 ABS_SLACK_SEC = 0.5
 
 
+# Round-5 additions, reported (queries_extended) but NOT gated: no r1
+# baseline exists for them, so they inform without failing runs.
+EXTENDED = [
+    "docs_quality_ensemble",
+    "docs_curation_funnel",
+    "evt_funnel_attribution",
+    "ann_mips_norm_augment",
+    "sketch_kmv_set_ops",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -112,6 +123,12 @@ def main() -> None:
         hashlib.md5(str(i).encode()).hexdigest()
     calib_sec = round(time.time() - calib_start, 4)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        start = time.time()
+        materialize(queries[name](spark, sf_dir))
+        extended[name] = round(time.time() - start, 3)
+
     scale = CALIB_REF / calib_sec if calib_sec > 0 else 1.0
     normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
     regressions = {
@@ -135,6 +152,7 @@ def main() -> None:
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
                 "regressions": regressions,
+                "queries_extended": extended,
             }
         )
     )
