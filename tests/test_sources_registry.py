@@ -390,3 +390,17 @@ def test_avro_truncated_boolean_raises(tmp_path):
     open(path, "wb").write(data[:-17])
     with pytest.raises((EOFError, ValueError)):
         avro_lite.read_avro(path)
+
+
+def test_avro_lite_datasource_user_schema_skips_inference(spark, tmp_path):
+    """An explicit .schema(...) must bypass header inference entirely —
+    the DataSource's schema() is never called, and the reader still
+    yields rows matching the user-declared types."""
+    from aws_insurancelake_etl_spark.sources import avro_lite, pyds
+
+    f = str(tmp_path / "u.avro")
+    avro_lite.write_avro(f, ["a", "b"], ["long", "string"], [(1, "x"), (2, "y")])
+    pyds.register(spark)
+    df = spark.read.format("avro_lite").schema("a bigint, b string").load(f)
+    assert df.schema.simpleString() == "struct<a:bigint,b:string>"
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
