@@ -1401,3 +1401,63 @@ def sql_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.absent", "string").isNull()
         .alias("absent_null"),
     )
+
+
+@register(
+    "evt_tumbling_ohlc",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           CAST(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS volume
+    FROM events
+    GROUP BY 1
+    """,
+)
+def evt_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles per 6-hour tumbling window — the canonical
+    time-series downsample (metrics, market data, sensor rollups):
+    open/close via the ``min_by``/``max_by`` positional aggregates
+    (Spark) against ``arg_min``/``arg_max`` (DuckDB) — a genuinely
+    distinct aggregate surface the rest of the registry doesn't touch —
+    plus plain min/max/count and an exact-decimal volume.  One map-side-
+    combined aggregation, shuffle keyed on the window bucket.
+
+    Determinism: the ordering key is the COMPOSITE (ts, event_id),
+    encoded as a zero-padded string so both engines compare it as ONE
+    scalar (DuckDB's arg_min takes scalar keys only; lexicographic on
+    fixed-width digits == numeric order) — timestamp ties cannot make
+    the extremal row engine-dependent."""
+    def _ohlc_key():
+        return F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+
+    ev = read_events(spark, sf_dir)
+    w = F.window("ts", "6 hours")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.min_by("value", _ohlc_key()).cast("double").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", _ohlc_key()).cast("double").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "open", "high", "low", "close", "n_events", "volume",
+        )
+    )
