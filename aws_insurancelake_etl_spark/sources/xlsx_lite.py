@@ -172,8 +172,10 @@ def read_sheet(path: str, sheet: int | str = 0) -> list[list]:
 
 
 def _esc(text: str) -> str:
+    # quote escaping matters for attribute contexts (sheet names)
     return (
         text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
     )
 
 

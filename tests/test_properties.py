@@ -459,3 +459,69 @@ def test_funnel_attribution_conserves_value(spark, rows):
     for col in ("linear_value", "first_touch_value", "last_touch_value"):
         total = round(sum(r[col] for r in out), 2)
         assert abs(total - attributed) < 0.02, (col, total, attributed)
+
+
+avro_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.one_of(st.none(), st.text(min_size=0, max_size=30)),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=avro_rows, codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=30, deadline=None)
+def test_avro_lite_roundtrip_property(tmp_path_factory, rows, codec):
+    """write_avro ∘ read_avro is the identity for any flat rows of
+    longs, nullable unicode strings, finite doubles, and booleans,
+    under both codecs — pinned by generation, not examples."""
+    from aws_insurancelake_etl_spark.sources import avro_lite
+
+    path = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    types = ["long", ["null", "string"], "double", "boolean"]
+    avro_lite.write_avro(path, ["a", "b", "c", "d"], types, rows, codec=codec)
+    names, got = avro_lite.read_avro(path)
+    assert names == ["a", "b", "c", "d"]
+    assert [tuple(r) for r in got] == rows
+
+
+xlsx_cells = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**52), max_value=2**52),
+    st.booleans(),
+    # adversarial text: XML metacharacters, quotes, unicode
+    st.text(alphabet='ab&<>"\'é☃ ', min_size=0, max_size=12),
+)
+
+
+@given(
+    matrix=st.lists(st.lists(xlsx_cells, min_size=1, max_size=4),
+                    min_size=1, max_size=6),
+)
+@settings(max_examples=30, deadline=None)
+def test_xlsx_lite_roundtrip_property(tmp_path_factory, matrix):
+    """write_xlsx ∘ read_sheet preserves any cell matrix — including XML
+    metacharacters and quotes in text — up to the documented trailing
+    trim (the matrix is read back to the bounding box of populated
+    cells, so fully-empty trailing rows/columns drop)."""
+    from hypothesis import assume
+
+    from aws_insurancelake_etl_spark.sources import xlsx_lite
+
+    width = max(len(r) for r in matrix)
+    dense = [list(r) + [None] * (width - len(r)) for r in matrix]
+    # bounding box of non-None cells (the format has no empty-cell markers)
+    populated = [(i, j) for i, row in enumerate(dense)
+                 for j, v in enumerate(row) if v is not None]
+    assume(populated)
+    max_r = max(i for i, _ in populated)
+    max_c = max(j for _, j in populated)
+    expect = [row[: max_c + 1] for row in dense[: max_r + 1]]
+
+    path = str(tmp_path_factory.mktemp("xlsx") / "p.xlsx")
+    xlsx_lite.write_xlsx(path, {"S": dense})
+    assert xlsx_lite.read_sheet(path, "S") == expect
