@@ -1957,3 +1957,55 @@ def sql_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vals_sum"),
         F.array_contains(F.map_keys("mm"), "q").alias("has_q"),
     )
+
+
+@register(
+    "agg_ordered_string_concat",
+    """
+    WITH top3 AS (
+        SELECT c_mktsegment, c_custkey FROM (
+            SELECT c_mktsegment, c_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+        ) WHERE rn <= 3
+    )
+    SELECT c_mktsegment,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey)
+               AS top_custkeys,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM top3
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_ordered_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED string aggregation — the listagg/string_agg surface,
+    expressed portably: Spark has no ORDER BY inside collect_list (its
+    aggregation order is nondeterministic under parallelism), so the
+    deterministic form is ``array_join(array_sort(collect_list(x)))``
+    matching DuckDB's ``string_agg(... ORDER BY x)`` exactly.  Applied
+    to each segment's top-3 customers by balance (bounded rank
+    upstream, so the concatenated value stays small at any corpus
+    size — the unbounded form is the classic driver-OOM trap this gate
+    deliberately avoids and documents)."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    top3 = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey")
+    )
+    return top3.groupBy("c_mktsegment").agg(
+        # sort the NUMERIC keys, then stringify — sorting the strings
+        # would order "1105" before "828"
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_custkeys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
