@@ -2009,3 +2009,71 @@ def agg_ordered_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_custkeys"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@register(
+    "sql_try_cast_functions",
+    """
+    WITH raw AS (
+        SELECT c_custkey,
+               CASE c_custkey % 5
+                    WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+                    WHEN 1 THEN ' ' || c_custkey || ' '
+                    WHEN 2 THEN c_custkey || '.75'
+                    WHEN 3 THEN 'not-a-number'
+                    ELSE '' END AS num_str,
+               CASE c_custkey % 4
+                    WHEN 0 THEN '2024-0' || (c_custkey % 9 + 1) || '-15'
+                    WHEN 1 THEN '2024-13-40'
+                    WHEN 2 THEN 'yesterday'
+                    ELSE '2024-02-29' END AS date_str
+        FROM customer WHERE c_custkey <= 300
+    )
+    SELECT c_custkey,
+           CAST(FLOOR(TRY_CAST(num_str AS DOUBLE)) AS BIGINT) AS as_long,
+           ROUND(TRY_CAST(num_str AS DOUBLE), 2) AS as_double,
+           TRY_CAST(num_str AS DOUBLE) IS NULL AS num_invalid,
+           strftime(TRY_CAST(date_str AS DATE), '%Y-%m-%d') AS as_date,
+           TRY_CAST(date_str AS DATE) IS NULL AS date_invalid
+    FROM raw
+    """,
+)
+def sql_try_cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST battery — the PERMISSIVE-ingestion semantics every
+    file-drop pipeline depends on: malformed numerics ('not-a-number',
+    empty string) and impossible dates ('2024-13-40', non-leap Feb 29)
+    become NULL instead of failing the job, while valid values
+    (whitespace-padded ints, decimals, real dates) convert exactly.
+    Two live traps pinned here: (a) direct string->int casts of
+    decimal strings ('7.75') — Spark truncates, DuckDB rejects — so the
+    long path goes through DOUBLE; (b) DOUBLE->BIGINT casts — Spark
+    truncates toward zero, DuckDB ROUNDS half-up — so the portable form
+    floors explicitly before casting."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    k = F.col("c_custkey")
+    num_str = (
+        F.when(k % 5 == 0, k.cast("string"))
+        .when(k % 5 == 1, F.concat(F.lit(" "), k.cast("string"), F.lit(" ")))
+        .when(k % 5 == 2, F.concat(k.cast("string"), F.lit(".75")))
+        .when(k % 5 == 3, F.lit("not-a-number"))
+        .otherwise(F.lit(""))
+    )
+    date_str = (
+        F.when(k % 4 == 0, F.concat(F.lit("2024-0"),
+                                    (k % 9 + 1).cast("string"), F.lit("-15")))
+        .when(k % 4 == 1, F.lit("2024-13-40"))
+        .when(k % 4 == 2, F.lit("yesterday"))
+        .otherwise(F.lit("2024-02-29"))
+    )
+    raw = c.select("c_custkey", num_str.alias("num_str"),
+                   date_str.alias("date_str"))
+    as_double = F.trim("num_str").try_cast("double")
+    as_date = F.col("date_str").try_cast("date")
+    return raw.select(
+        "c_custkey",
+        F.floor(as_double).try_cast("bigint").alias("as_long"),
+        F.round(as_double, 2).alias("as_double"),
+        as_double.isNull().alias("num_invalid"),
+        F.date_format(as_date, "yyyy-MM-dd").alias("as_date"),
+        as_date.isNull().alias("date_invalid"),
+    )
