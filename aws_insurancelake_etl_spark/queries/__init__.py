@@ -67,7 +67,7 @@ _MODULES = (
 #   text_bm25_topk, text_dup_ngram_coverage, docs_token_chunks,
 #   docs_lang_rebalance, docs_source_cap, docs_weighted_sample,
 #   docs_temperature_mix
-# plus the 21 gates ADDED in round 5 (registered after this window
+# plus the 24 gates ADDED in round 5 (registered after this window
 # froze):
 #   docs_quality_ensemble, docs_doremi_weights, docs_ccnet_buckets,
 #   scd2_point_in_time_join, ann_mips_norm_augment, sketch_kmv_set_ops,
@@ -76,8 +76,9 @@ _MODULES = (
 #   sql_datetime_functions, sql_math_functions, sql_array_functions,
 #   sql_conditional_functions, agg_stats_functions, sql_regex_functions,
 #   sql_json_functions, sql_timestamp_functions, sql_map_functions,
-#   sql_variant_type.
-# That is 43 never-checked: fill the r6 window with 43 + 7 re-checks;
+#   sql_variant_type, evt_tumbling_ohlc, agg_ordered_string_concat,
+#   sql_try_cast_functions.
+# That is 46 never-checked: fill the r6 window with 46 + 4 re-checks;
 # after r6 every registered gate has a driver row — keep rotating
 # arbitrary 50-subsets thereafter so rows stay fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
