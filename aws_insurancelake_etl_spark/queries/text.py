@@ -2313,3 +2313,74 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
         F.round(F.col("n_out") * 1.0 / F.col("n_in"), 4).alias("survival"),
     )
+
+
+@register(
+    "text_line_dedup",
+    f"""
+    WITH {_TOKS_CTE},
+    lines AS (
+        SELECT doc_id, (pos - 1) // 5 AS chunk,
+               string_agg(token, ' ' ORDER BY pos) AS line_text
+        FROM toks GROUP BY doc_id, (pos - 1) // 5
+    ),
+    freq AS (
+        SELECT line_text, COUNT(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY line_text
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN f.n_docs > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           ROUND(1.0 - SUM(CASE WHEN f.n_docs > 5 THEN 1 ELSE 0 END) * 1.0
+                       / COUNT(*), 4) AS kept_ratio
+    FROM lines l JOIN freq f ON l.line_text = f.line_text
+    GROUP BY l.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE dedup — the boilerplate-removal step RefinedWeb
+    and Dolma run between document dedup and quality filtering: segment
+    every document into lines (5-token chunks here — the fixture has no
+    newlines, and fixed-width segmentation is the deterministic stand-in
+    with identical plan shape), count each exact line's document
+    frequency corpus-wide, and flag lines appearing in more than 5
+    documents (navigation chrome, license headers, disclaimers at web
+    scale).  Per-doc output: line counts, boilerplate counts, kept
+    ratio — the signal pipelines threshold on before rebuilding text.
+
+    Plan: segment (one doc-keyed shuffle with map-side combine since
+    chunks group by (doc, chunk)), line-frequency aggregate on the line
+    hash-distributed text (Zipf-bounded like a vocabulary), broadcast-
+    scale join back.  Spark's in-group order is made deterministic by
+    sorting (pos, token) structs INSIDE the aggregate — collect_list
+    order under parallelism is undefined."""
+    toks = _tokens(spark, sf_dir)
+    lines = (
+        toks.withColumn("chunk", ((F.col("pos") - 1) / 5).cast("long"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("line_text")
+        )
+    )
+    freq = lines.groupBy("line_text").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    hot = F.col("n_docs") > 5
+    return (
+        lines.join(freq, "line_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(hot.cast("int")).cast("long").alias("n_boilerplate"),
+            F.round(
+                1.0 - F.sum(hot.cast("int")) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("kept_ratio"),
+        )
+    )
