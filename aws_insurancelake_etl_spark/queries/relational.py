@@ -2077,3 +2077,134 @@ def sql_try_cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(as_date, "yyyy-MM-dd").alias("as_date"),
         as_date.isNull().alias("date_invalid"),
     )
+
+
+@register(
+    "stat_welch_ttest",
+    """
+    WITH g AS (
+        SELECT event_type,
+               COUNT(*) AS n, AVG(value) AS m,
+               var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+            (SELECT m FROM g WHERE event_type = 'click') AS m1,
+            (SELECT m FROM g WHERE event_type = 'view') AS m2,
+            (SELECT v FROM g WHERE event_type = 'click') AS v1,
+            (SELECT v FROM g WHERE event_type = 'view') AS v2,
+            (SELECT n FROM g WHERE event_type = 'click') AS n1,
+            (SELECT n FROM g WHERE event_type = 'view') AS n2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 2) AS dof
+    FROM w
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between event-type populations — THE
+    A/B-testing primitive: unequal-variance t statistic and the
+    Welch–Satterthwaite degrees of freedom, computed from one grouped
+    moment pass (count/mean/sample variance per arm, map-side combined)
+    and a scalar combine.  At 100 TB the expensive part is the single
+    aggregation; the test statistic itself is arithmetic on six
+    scalars."""
+    from .util import read_events
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.where(F.col("event_type") == "view").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return a.crossJoin(b).select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+    )
+
+
+@register(
+    "stat_chi_square_independence",
+    """
+    WITH obs AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               COUNT(*) AS o_ij
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT seg, pri, o_ij,
+               SUM(o_ij) OVER (PARTITION BY seg) AS row_n,
+               SUM(o_ij) OVER (PARTITION BY pri) AS col_n,
+               SUM(o_ij) OVER () AS total_n
+        FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((MAX(CASE WHEN TRUE THEN 1 END) * 0
+                 + (SELECT COUNT(DISTINCT seg) FROM obs) - 1)
+                * ((SELECT COUNT(DISTINCT pri) FROM obs) - 1) AS BIGINT)
+               AS dof,
+           ROUND(SUM(pow(o_ij - row_n * col_n * 1.0 / total_n, 2)
+                     / (row_n * col_n * 1.0 / total_n)), 4) AS chi2
+    FROM margins
+    """,
+)
+def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer segment and
+    order priority: observed contingency counts in one grouped
+    aggregation, expected counts from the margin windows (row/column/
+    grand totals over the TINY contingency table — cells = segments ×
+    priorities, so the windows cost nothing), then the chi² sum.  The
+    categorical-association twin of the Welch gate; at scale only the
+    contingency aggregation touches the data."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    obs = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o_ij"))
+    )
+    w_row = Window.partitionBy("seg")
+    w_col = Window.partitionBy("pri")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "seg", "pri", "o_ij",
+        F.sum("o_ij").over(w_row).alias("row_n"),
+        F.sum("o_ij").over(w_col).alias("col_n"),
+        F.sum("o_ij").over(w_all).alias("total_n"),
+    )
+    expected = F.col("row_n") * F.col("col_n") * 1.0 / F.col("total_n")
+    n_seg = obs.select("seg").distinct().count()
+    n_pri = obs.select("pri").distinct().count()
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.lit((n_seg - 1) * (n_pri - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sum(F.pow(F.col("o_ij") - expected, 2) / expected), 4
+        ).alias("chi2"),
+    )
