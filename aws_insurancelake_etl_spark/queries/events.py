@@ -1461,3 +1461,72 @@ def evt_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_events", "volume",
         )
     )
+
+
+@register(
+    "evt_changepoint_cusum",
+    """
+    WITH stats AS (
+        SELECT user_id, AVG(value) AS mu FROM events GROUP BY user_id
+    ),
+    walk AS (
+        SELECT e.user_id,
+               SUM(e.value - s.mu) OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                   ROWS UNBOUNDED PRECEDING) AS cusum,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS step
+        FROM events e JOIN stats s USING (user_id)
+    )
+    , peaked AS (
+        SELECT user_id, cusum, step,
+               MAX(abs(cusum)) OVER (PARTITION BY user_id) AS peak
+        FROM walk
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(peak), 4) AS max_abs_cusum,
+           CAST(MIN(CASE WHEN abs(cusum) = peak THEN step END) AS BIGINT)
+               AS changepoint_step
+    FROM peaked
+    GROUP BY user_id
+    """,
+)
+def evt_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user (Page 1954 — the classic
+    sequential monitoring statistic): the cumulative sum of deviations
+    from the user's own mean peaks at the most likely change point; its
+    peak magnitude is the alarm statistic drift monitors threshold on.
+    Everything partitions by user_id — mean, running walk, and peak all
+    share one shuffle key, so the operator scales with users, never
+    globally.  The peak step is tie-broken toward the EARLIEST
+    occurrence: an unordered per-user max window finds the peak
+    magnitude, and MIN(step) over the rows attaining it picks the step —
+    equality against the peak is exact because both values come from
+    the same deterministic running-sum sequence (DuckDB's arg_max takes
+    scalar keys only, so the two-phase form is the portable one)."""
+    ev = read_events(spark, sf_dir)
+    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    w_walk = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = (
+        ev.join(mu, "user_id")
+        .select(
+            "user_id",
+            F.sum(F.col("value") - F.col("mu")).over(w_walk).alias("cusum"),
+            F.row_number().over(w_rank).alias("step"),
+        )
+    )
+    w_user = Window.partitionBy("user_id")
+    peaked = walk.withColumn("peak", F.max(F.abs("cusum")).over(w_user))
+    return peaked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("peak"), 4).alias("max_abs_cusum"),
+        F.min(F.when(F.abs("cusum") == F.col("peak"), F.col("step")))
+        .cast("long")
+        .alias("changepoint_step"),
+    )

@@ -971,3 +971,67 @@ def tr_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=8
     )
+
+
+@register(
+    "tr_luhn_checksum",
+    """
+    WITH synth AS (
+        SELECT c_custkey,
+               lpad(CAST(c_custkey * 7919 % 1000000000 AS VARCHAR), 15, '4')
+                   AS pan15
+        FROM customer WHERE c_custkey <= 400
+    ),
+    digits AS (
+        SELECT c_custkey, pan15,
+               list_sum(list_transform(
+                   range(1, 16),
+                   i -> CASE WHEN (16 - i) % 2 = 1
+                             THEN CAST(substr(pan15, i, 1) AS INTEGER)
+                             ELSE CASE WHEN CAST(substr(pan15, i, 1) AS INTEGER) * 2 > 9
+                                       THEN CAST(substr(pan15, i, 1) AS INTEGER) * 2 - 9
+                                       ELSE CAST(substr(pan15, i, 1) AS INTEGER) * 2
+                                  END END)) AS weighted_sum
+        FROM synth
+    )
+    SELECT c_custkey,
+           pan15 || CAST((10 - weighted_sum % 10) % 10 AS VARCHAR) AS pan,
+           CAST((10 - weighted_sum % 10) % 10 AS INT) AS check_digit,
+           TRUE AS luhn_valid
+    FROM digits
+    """,
+)
+def tr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) check-digit computation — the validation every PII
+    scanner runs before flagging a 16-digit run as a payment card
+    (ISO/IEC 7812; pure digit arithmetic, fully public): for a
+    synthesized 15-digit base, double every second digit from the
+    right, subtract 9 above 9, and the check digit completes the sum to
+    a multiple of 10.  Native higher-order array expressions on both
+    sides (transform over digit positions) — zero UDFs, zero shuffles;
+    by construction the emitted 16-digit PAN always validates, which
+    the constant column asserts."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    pan15 = F.lpad(
+        ((F.col("c_custkey") * 7919) % 1000000000).cast("string"), 15, "4"
+    )
+    synth = c.select("c_custkey", pan15.alias("pan15"))
+    # position i (1-based, left to right) in a 15-digit base: positions
+    # where (16 - i) is odd keep the digit, even positions double it
+    weighted = F.expr(
+        "aggregate(sequence(1, 15), 0, (acc, i) ->"
+        " acc + CASE WHEN (16 - i) % 2 = 1"
+        "            THEN CAST(substr(pan15, i, 1) AS INT)"
+        "            ELSE CASE WHEN CAST(substr(pan15, i, 1) AS INT) * 2 > 9"
+        "                      THEN CAST(substr(pan15, i, 1) AS INT) * 2 - 9"
+        "                      ELSE CAST(substr(pan15, i, 1) AS INT) * 2"
+        "                 END END)"
+    )
+    digits = synth.withColumn("weighted_sum", weighted)
+    check = (10 - F.col("weighted_sum") % 10) % 10
+    return digits.select(
+        "c_custkey",
+        F.concat("pan15", check.cast("string")).alias("pan"),
+        check.cast("int").alias("check_digit"),
+        F.lit(True).alias("luhn_valid"),
+    )
