@@ -2208,3 +2208,99 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("o_ij") - expected, 2) / expected), 4
         ).alias("chi2"),
     )
+
+
+# Fixed evaluation grid for the KS gate: log-spaced over the positive
+# value range so both tails contribute (values are heavy-tailed).
+_KS_GRID = [0.5, 1, 2, 4, 8, 16, 32, 64, 96, 128, 160, 192, 224, 256, 320, 400]
+_KS_GRID_SQL = ", ".join(f"({g})" for g in _KS_GRID)
+
+
+@register(
+    "stat_ks_grid_test",
+    f"""
+    WITH g(x) AS (VALUES {_KS_GRID_SQL}),
+    arms AS (
+        SELECT event_type, value FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM arms GROUP BY event_type
+    ),
+    ecdf AS (
+        SELECT g.x,
+               SUM(CASE WHEN a.event_type = 'click' AND a.value <= g.x
+                        THEN 1 ELSE 0 END) * 1.0
+                   / (SELECT n FROM sizes WHERE event_type = 'click') AS f1,
+               SUM(CASE WHEN a.event_type = 'view' AND a.value <= g.x
+                        THEN 1 ELSE 0 END) * 1.0
+                   / (SELECT n FROM sizes WHERE event_type = 'view') AS f2
+        FROM g CROSS JOIN arms a
+        GROUP BY g.x
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_grid,
+           ROUND(MAX(abs(f1 - f2)), 4) AS d_stat,
+           ROUND(MAX(CASE WHEN abs(f1 - f2) = m THEN x END), 1) AS d_at_x
+    FROM (SELECT x, f1, f2, MAX(abs(f1 - f2)) OVER () AS m FROM ecdf)
+    """,
+)
+def stat_ks_grid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic evaluated on a FIXED
+    16-point grid — the scale-aware formulation: the exact KS needs a
+    globally sorted merge of both samples (a serial bottleneck), while
+    the grid ECDF is ONE aggregation pass computing 32 conditional
+    counts map-side (each arm's ECDF at each grid point), giving a
+    lower bound of the exact D that tightens with grid density.  This
+    is how drift monitors actually run KS at warehouse scale — fixed
+    bin edges, streaming-mergeable counts.  Grid evaluation reports the
+    largest gap and where it occurs (ties broken toward the largest
+    grid point on both engines)."""
+    from .util import read_events
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    aggs = []
+    for g in _KS_GRID:
+        for arm in ("click", "view"):
+            aggs.append(
+                F.sum(
+                    (
+                        (F.col("event_type") == arm) & (F.col("value") <= g)
+                    ).cast("int")
+                ).alias(f"c_{arm}_{str(g).replace('.', '_')}")
+            )
+        # noqa: per-grid-point conditional counts, all in ONE agg pass
+    aggs.append(
+        F.sum((F.col("event_type") == "click").cast("int")).alias("n_click")
+    )
+    aggs.append(
+        F.sum((F.col("event_type") == "view").cast("int")).alias("n_view")
+    )
+    counts = ev.agg(*aggs)
+    rows = []
+    for g in _KS_GRID:
+        tag = str(g).replace(".", "_")
+        rows.append(
+            F.struct(
+                F.lit(float(g)).alias("x"),
+                (F.col(f"c_click_{tag}") * 1.0 / F.col("n_click")).alias("f1"),
+                (F.col(f"c_view_{tag}") * 1.0 / F.col("n_view")).alias("f2"),
+            )
+        )
+    ecdf = counts.select(F.explode(F.array(*rows)).alias("e")).select(
+        F.col("e.x").alias("x"),
+        F.col("e.f1").alias("f1"),
+        F.col("e.f2").alias("f2"),
+    )
+    w_all = Window.partitionBy()
+    peaked = ecdf.withColumn("m", F.max(F.abs(F.col("f1") - F.col("f2"))).over(w_all))
+    return peaked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        F.round(F.max("m"), 4).alias("d_stat"),
+        F.round(
+            F.max(F.when(F.abs(F.col("f1") - F.col("f2")) == F.col("m"),
+                         F.col("x"))),
+            1,
+        ).alias("d_at_x"),
+    )
