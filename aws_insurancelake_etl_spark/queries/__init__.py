@@ -67,7 +67,7 @@ _MODULES = (
 #   text_bm25_topk, text_dup_ngram_coverage, docs_token_chunks,
 #   docs_lang_rebalance, docs_source_cap, docs_weighted_sample,
 #   docs_temperature_mix
-# plus the 24 gates ADDED in round 5 (registered after this window
+# plus the 30 gates ADDED in round 5 (registered after this window
 # froze):
 #   docs_quality_ensemble, docs_doremi_weights, docs_ccnet_buckets,
 #   scd2_point_in_time_join, ann_mips_norm_augment, sketch_kmv_set_ops,
@@ -77,10 +77,14 @@ _MODULES = (
 #   sql_conditional_functions, agg_stats_functions, sql_regex_functions,
 #   sql_json_functions, sql_timestamp_functions, sql_map_functions,
 #   sql_variant_type, evt_tumbling_ohlc, agg_ordered_string_concat,
-#   sql_try_cast_functions.
-# That is 46 never-checked: fill the r6 window with 46 + 4 re-checks;
-# after r6 every registered gate has a driver row — keep rotating
-# arbitrary 50-subsets thereafter so rows stay fresh.
+#   sql_try_cast_functions, text_line_dedup, stat_welch_ttest,
+#   stat_chi_square_independence, evt_changepoint_cusum,
+#   tr_luhn_checksum, stat_ks_grid_test.
+# That is 52 never-checked — more than one window: put 50 of them in
+# the r6 window (prioritize the novel operators over the function
+# batteries), and the remaining 2 plus re-checks in r7; thereafter
+# every registered gate has a driver row — keep rotating arbitrary
+# 50-subsets so rows stay fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- driver-red r2-r4, oracle dtype fixed this round
     "text_langid",
