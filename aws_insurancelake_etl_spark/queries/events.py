@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from .util import read_events
 
+
+def _orders(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
 QUERIES = {}
 ORACLE = {}
 
@@ -1271,10 +1275,7 @@ def sql_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing-path -> NULL convention, and validity probing — the §2.10
     semi-structured surface behind `jsonstructured`/`jsonexpand*`.  All
     extraction is native `get_json_object` (JVM codegen), no UDFs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
-        F.col("o_orderkey") <= 300
-    )
+    o = _orders(spark, sf_dir).where(F.col("o_orderkey") <= 300)
     doc = F.concat(
         F.lit('{"id": '), F.col("o_orderkey").cast("string"),
         F.lit(', "tags": ["a","b","c"], "meta": {"pri": "'),
@@ -1377,10 +1378,7 @@ def sql_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's JSON functions, proving the VARIANT round-trip preserves
     values, types, array indexing, nested paths, and the missing-path
     NULL convention."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
-        F.col("o_orderkey") <= 300
-    )
+    o = _orders(spark, sf_dir).where(F.col("o_orderkey") <= 300)
     k = F.col("o_orderkey")
     doc = F.concat(
         F.lit('{"id": '), k.cast("string"),

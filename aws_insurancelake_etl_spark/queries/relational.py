@@ -2026,7 +2026,7 @@ def agg_ordered_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN 0 THEN '2024-0' || (c_custkey % 9 + 1) || '-15'
                     WHEN 1 THEN '2024-13-40'
                     WHEN 2 THEN 'yesterday'
-                    ELSE '2024-02-29' END AS date_str
+                    ELSE '2023-02-29' END AS date_str
         FROM customer WHERE c_custkey <= 300
     )
     SELECT c_custkey,
@@ -2063,7 +2063,7 @@ def sql_try_cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     (k % 9 + 1).cast("string"), F.lit("-15")))
         .when(k % 4 == 1, F.lit("2024-13-40"))
         .when(k % 4 == 2, F.lit("yesterday"))
-        .otherwise(F.lit("2024-02-29"))
+        .otherwise(F.lit("2023-02-29"))
     )
     raw = c.select("c_custkey", num_str.alias("num_str"),
                    date_str.alias("date_str"))
@@ -2162,10 +2162,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM obs
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-           CAST((MAX(CASE WHEN TRUE THEN 1 END) * 0
-                 + (SELECT COUNT(DISTINCT seg) FROM obs) - 1)
-                * ((SELECT COUNT(DISTINCT pri) FROM obs) - 1) AS BIGINT)
-               AS dof,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
            ROUND(SUM(pow(o_ij - row_n * col_n * 1.0 / total_n, 2)
                      / (row_n * col_n * 1.0 / total_n)), 4) AS chi2
     FROM margins
@@ -2199,11 +2197,13 @@ def stat_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_ij").over(w_all).alias("total_n"),
     )
     expected = F.col("row_n") * F.col("col_n") * 1.0 / F.col("total_n")
-    n_seg = obs.select("seg").distinct().count()
-    n_pri = obs.select("pri").distinct().count()
+    # dof folds into the same lazy aggregate — no eager driver-side
+    # distinct().count() jobs at DataFrame-construction time
     return m.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.lit((n_seg - 1) * (n_pri - 1)).cast("long").alias("dof"),
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("long")
+        .alias("dof"),
         F.round(
             F.sum(F.pow(F.col("o_ij") - expected, 2) / expected), 4
         ).alias("chi2"),
@@ -2255,8 +2255,6 @@ def stat_ks_grid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin edges, streaming-mergeable counts.  Grid evaluation reports the
     largest gap and where it occurs (ties broken toward the largest
     grid point on both engines)."""
-    from .util import read_events
-
     ev = read_events(spark, sf_dir).where(
         F.col("event_type").isin("click", "view")
     )

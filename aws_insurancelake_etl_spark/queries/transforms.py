@@ -984,21 +984,35 @@ def tr_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     digits AS (
         SELECT c_custkey, pan15,
+               -- base digit at left index i sits 17-i from the PAN's right;
+               -- Luhn doubles even right-positions, i.e. ODD i here
                list_sum(list_transform(
                    range(1, 16),
-                   i -> CASE WHEN (16 - i) % 2 = 1
+                   i -> CASE WHEN i % 2 = 0
                              THEN CAST(substr(pan15, i, 1) AS INTEGER)
                              ELSE CASE WHEN CAST(substr(pan15, i, 1) AS INTEGER) * 2 > 9
                                        THEN CAST(substr(pan15, i, 1) AS INTEGER) * 2 - 9
                                        ELSE CAST(substr(pan15, i, 1) AS INTEGER) * 2
                                   END END)) AS weighted_sum
         FROM synth
+    ),
+    finished AS (
+        SELECT c_custkey,
+               pan15 || CAST((10 - weighted_sum % 10) % 10 AS VARCHAR) AS pan,
+               CAST((10 - weighted_sum % 10) % 10 AS INT) AS check_digit
+        FROM digits
     )
-    SELECT c_custkey,
-           pan15 || CAST((10 - weighted_sum % 10) % 10 AS VARCHAR) AS pan,
-           CAST((10 - weighted_sum % 10) % 10 AS INT) AS check_digit,
-           TRUE AS luhn_valid
-    FROM digits
+    SELECT c_custkey, pan, check_digit,
+           -- independent full-PAN validation: double even right-positions
+           list_sum(list_transform(
+               range(1, 17),
+               i -> CASE WHEN (17 - i) % 2 = 1
+                         THEN CAST(substr(pan, i, 1) AS INTEGER)
+                         ELSE CASE WHEN CAST(substr(pan, i, 1) AS INTEGER) * 2 > 9
+                                   THEN CAST(substr(pan, i, 1) AS INTEGER) * 2 - 9
+                                   ELSE CAST(substr(pan, i, 1) AS INTEGER) * 2
+                              END END)) % 10 = 0 AS luhn_valid
+    FROM finished
     """,
 )
 def tr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,18 +1023,18 @@ def tr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     right, subtract 9 above 9, and the check digit completes the sum to
     a multiple of 10.  Native higher-order array expressions on both
     sides (transform over digit positions) — zero UDFs, zero shuffles;
-    by construction the emitted 16-digit PAN always validates, which
-    the constant column asserts."""
+    the gate VALIDATES the emitted 16-digit PAN with an independent
+    full-PAN Luhn pass rather than asserting it."""
     c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
     pan15 = F.lpad(
         ((F.col("c_custkey") * 7919) % 1000000000).cast("string"), 15, "4"
     )
     synth = c.select("c_custkey", pan15.alias("pan15"))
-    # position i (1-based, left to right) in a 15-digit base: positions
-    # where (16 - i) is odd keep the digit, even positions double it
+    # base digit at left index i sits 17-i from the final PAN's right;
+    # Luhn doubles even right-positions, i.e. ODD i here
     weighted = F.expr(
         "aggregate(sequence(1, 15), 0, (acc, i) ->"
-        " acc + CASE WHEN (16 - i) % 2 = 1"
+        " acc + CASE WHEN i % 2 = 0"
         "            THEN CAST(substr(pan15, i, 1) AS INT)"
         "            ELSE CASE WHEN CAST(substr(pan15, i, 1) AS INT) * 2 > 9"
         "                      THEN CAST(substr(pan15, i, 1) AS INT) * 2 - 9"
@@ -1029,9 +1043,21 @@ def tr_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     digits = synth.withColumn("weighted_sum", weighted)
     check = (10 - F.col("weighted_sum") % 10) % 10
-    return digits.select(
+    finished = digits.select(
         "c_custkey",
         F.concat("pan15", check.cast("string")).alias("pan"),
         check.cast("int").alias("check_digit"),
-        F.lit(True).alias("luhn_valid"),
+    )
+    # independent full-PAN validation — computed, never asserted
+    validate = F.expr(
+        "aggregate(sequence(1, 16), 0, (acc, i) ->"
+        " acc + CASE WHEN (17 - i) % 2 = 1"
+        "            THEN CAST(substr(pan, i, 1) AS INT)"
+        "            ELSE CASE WHEN CAST(substr(pan, i, 1) AS INT) * 2 > 9"
+        "                      THEN CAST(substr(pan, i, 1) AS INT) * 2 - 9"
+        "                      ELSE CAST(substr(pan, i, 1) AS INT) * 2"
+        "                 END END) % 10 = 0"
+    )
+    return finished.select(
+        "c_custkey", "pan", "check_digit", validate.alias("luhn_valid")
     )
