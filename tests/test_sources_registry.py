@@ -404,3 +404,20 @@ def test_avro_lite_datasource_user_schema_skips_inference(spark, tmp_path):
     df = spark.read.format("avro_lite").schema("a bigint, b string").load(f)
     assert df.schema.simpleString() == "struct<a:bigint,b:string>"
     assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_avro_lite_datasource_corrupt_file_fails_loudly(spark, tmp_path):
+    """A corrupt container among the partitions must fail the read with
+    the real cause, not silently yield partial data."""
+    import pytest
+
+    from aws_insurancelake_etl_spark.sources import avro_lite, pyds
+
+    good = str(tmp_path / "a.avro")
+    avro_lite.write_avro(good, ["x"], ["long"], [(1,)])
+    (tmp_path / "b.avro").write_bytes(b"Obj\x01garbage-not-a-real-header")
+    pyds.register(spark)
+    with pytest.raises(Exception) as err:
+        spark.read.format("avro_lite").load(str(tmp_path)).collect()
+    assert "b.avro" in str(err.value) or "truncated" in str(err.value).lower() \
+        or "varint" in str(err.value).lower()

@@ -374,6 +374,21 @@ def test_kmv_set_estimates_exact_when_unfilled(spark):
     assert abs(est.jaccard_est - 1500 / 4500) < 0.15
 
 
+def test_kmv_set_estimates_empty_side(spark):
+    """One empty input: union equals the other side exactly, the
+    intersection and Jaccard are zero, and nothing divides by zero."""
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3]], "v long")
+    b = spark.createDataFrame([], "v long")
+    row = SK.kmv_set_estimates(a, b, "v", k=64).collect()[0]
+    assert row.est_a == 3.0 and row.est_b == 0.0
+    assert row.est_union == 3.0 and row.est_intersection == 0.0
+    assert row.jaccard_est == 0.0
+    both_empty = SK.kmv_set_estimates(b, b, "v", k=64).collect()[0]
+    assert both_empty.est_union == 0.0 and both_empty.jaccard_est == 0.0
+
+
 def test_kmeans_deterministic_under_repartition(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a1, c1 = S.kmeans_fit(emb, k=3, n_iter=2)
