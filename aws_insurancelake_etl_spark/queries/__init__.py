@@ -47,98 +47,68 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-5 window (rotation plan: VERDICT r4 item 2):
-#   - the 6 gates that were driver-red in r2-r4 solely from the DuckDB
-#     HUGEINT->float64 oracle dtype artifact, now fixed with
-#     CAST(... AS BIGINT) — re-windowed to land their first green row;
-#   - the 5 never-checked gates whose oracle texts were touched by the
-#     same BIGINT sweep;
-#   - 39 of the remaining never-driver-checked gates (the novel /
-#     higher-risk ones: dq, streaming, sketches, embeddings, as-of,
-#     graph, SCD2, recursive SQL).
-# 30 never-checked gates remain for the r6 window — the 22
-# family-redundant ones deferred from r5 (each has a driver-green
-# sibling exercising the same operator family):
-#   agg_boolean_family, agg_cube_status_priority, window_rank_fractions,
-#   setops_except_all, tr_jsonexpandarray, tr_flatten_clean_names,
-#   tr_filename_parse, tr_xml_structured, src_xml_roundtrip,
-#   src_orc_roundtrip, sink_partition_clear, text_quality_buckets,
-#   text_blocklist_filter, text_classifier_filter, text_inverted_index,
-#   text_bm25_topk, text_dup_ngram_coverage, docs_token_chunks,
-#   docs_lang_rebalance, docs_source_cap, docs_weighted_sample,
-#   docs_temperature_mix
-# plus the 30 gates ADDED in round 5 (registered after this window
-# froze):
-#   docs_quality_ensemble, docs_doremi_weights, docs_ccnet_buckets,
-#   scd2_point_in_time_join, ann_mips_norm_augment, sketch_kmv_set_ops,
-#   evt_funnel_attribution, emb_matryoshka_prefix_recall,
-#   docs_curation_funnel, em_linkage_eval, sql_string_functions,
-#   sql_datetime_functions, sql_math_functions, sql_array_functions,
-#   sql_conditional_functions, agg_stats_functions, sql_regex_functions,
-#   sql_json_functions, sql_timestamp_functions, sql_map_functions,
-#   sql_variant_type, evt_tumbling_ohlc, agg_ordered_string_concat,
-#   sql_try_cast_functions, text_line_dedup, stat_welch_ttest,
-#   stat_chi_square_independence, evt_changepoint_cusum,
-#   tr_luhn_checksum, stat_ks_grid_test.
-# That is 52 never-checked — more than one window: put 50 of them in
-# the r6 window (prioritize the novel operators over the function
-# batteries), and the remaining 2 plus re-checks in r7; thereafter
-# every registered gate has a driver row — keep rotating arbitrary
+# queries.  Round-6 window (rotation plan: VERDICT r5 item 1): the 52
+# gates that have never had a driver row — the 22 family-redundant ones
+# deferred from r5 plus the 30 gates registered after the r5 window
+# froze — minus two function batteries (sql_map_functions,
+# sql_timestamp_functions) deferred to r7 to fit the 50-gate window.
+# After r7 sweeps those 2 (plus any gates added in r6), every
+# registered gate has a driver-green row; thereafter rotate arbitrary
 # 50-subsets so rows stay fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- driver-red r2-r4, oracle dtype fixed this round
-    "text_langid",
-    "evt_signup_funnel",
-    "evt_sessionize",
-    "tr_pii_scan_redact",
-    "q12_priority_lines",
-    "text_unigram_entropy",
-    # -- never checked; oracle text touched by the BIGINT sweep
-    "text_corpus_xent",
-    "docs_token_budget_fill",
-    "dedup_lsh_recall_eval",
-    "docs_pii_scan",
-    "stream_static_enrich",
-    # -- never driver-checked
-    "ann_pq_adc_rerank",
-    "dedup_minhash_est_error",
-    "dedup_simhash_pairs",
-    "dedup_substring_runs",
-    "docs_mix_epochs",
-    "dq_referential_integrity",
-    "dq_stats_rules",
-    "em_transitive_gid",
-    "emb_gram_matrix",
-    "emb_pc1_scores",
-    "emb_pq_codes",
-    "emb_rp_lsh_pairs",
-    "emb_semdedup_keep",
-    "evt_anomaly_mad",
-    "evt_asof_next_purchase",
-    "evt_asof_tolerance",
-    "evt_ewma_applyinpandas",
-    "evt_markov_transitions",
-    "evt_native_session_window",
-    "evt_range_frame_sum",
-    "evt_rate_limit_first_n",
-    "evt_sliding_window_counts",
-    "evt_top_types_per_window",
-    "evt_window_distinct_users",
-    "graph_pagerank_trade",
-    "join_null_safe_keys",
-    "join_salted_hotkey",
-    "mm_image_patches",
-    "pipeline_drop_to_cleanse_orchestrated",
-    "scd2_change_feed",
-    "sketch_bloom_membership",
-    "sketch_cms_user_counts",
-    "sql_lateral_top2",
-    "sql_recursive_reachability",
-    "stat_ols_price_on_qty",
-    "stream_late_data_drop",
-    "stream_upsert_totals",
-    "tr_date_shift_anonymize",
-    "tr_k_anonymity_audit",
+    # -- single-evidence operators first (VERDICT r5 priority list)
+    "src_xml_roundtrip",
+    "tr_xml_structured",
+    "tr_filename_parse",
+    "tr_flatten_clean_names",
+    "tr_jsonexpandarray",
+    "sink_partition_clear",
+    "src_orc_roundtrip",
+    # -- r5 deferrals (family-redundant, never driver-checked)
+    "agg_boolean_family",
+    "agg_cube_status_priority",
+    "window_rank_fractions",
+    "setops_except_all",
+    "text_quality_buckets",
+    "text_blocklist_filter",
+    "text_classifier_filter",
+    "text_inverted_index",
+    "text_bm25_topk",
+    "text_dup_ngram_coverage",
+    "docs_token_chunks",
+    "docs_lang_rebalance",
+    "docs_source_cap",
+    "docs_weighted_sample",
+    "docs_temperature_mix",
+    # -- gates added in round 5 (registered after the r5 window froze)
+    "docs_quality_ensemble",
+    "docs_doremi_weights",
+    "docs_ccnet_buckets",
+    "scd2_point_in_time_join",
+    "ann_mips_norm_augment",
+    "sketch_kmv_set_ops",
+    "evt_funnel_attribution",
+    "emb_matryoshka_prefix_recall",
+    "docs_curation_funnel",
+    "em_linkage_eval",
+    "sql_string_functions",
+    "sql_datetime_functions",
+    "sql_math_functions",
+    "sql_array_functions",
+    "sql_conditional_functions",
+    "agg_stats_functions",
+    "sql_regex_functions",
+    "sql_json_functions",
+    "sql_variant_type",
+    "evt_tumbling_ohlc",
+    "agg_ordered_string_concat",
+    "sql_try_cast_functions",
+    "text_line_dedup",
+    "stat_welch_ttest",
+    "stat_chi_square_independence",
+    "evt_changepoint_cusum",
+    "tr_luhn_checksum",
+    "stat_ks_grid_test",
 )
 
 

@@ -1264,7 +1264,7 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(doc, '$.tags[2]') AS tag2,
            CAST(json_array_length(doc, '$.tags') AS INT) AS n_tags,
            json_extract_string(doc, '$.missing') IS NULL AS missing_is_null,
-           CAST(json_valid(doc) AS BOOLEAN) AS is_valid
+           json_extract_string(doc, '$.id') IS NOT NULL AS has_id
     FROM j
     """,
 )
@@ -1295,7 +1295,10 @@ def sql_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tags"),
         F.get_json_object("doc", "$.missing").isNull().alias("missing_is_null"),
-        F.get_json_object("doc", "$.id").isNotNull().alias("is_valid"),
+        # Same predicate on both sides (ADVICE r5): key presence, not
+        # document validity — Spark has no native json_valid and the two
+        # notions diverge on id-less or lenient-parse documents.
+        F.get_json_object("doc", "$.id").isNotNull().alias("has_id"),
     )
 
 

@@ -2082,28 +2082,26 @@ def sql_try_cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stat_welch_ttest",
     """
-    WITH g AS (
-        SELECT event_type,
-               COUNT(*) AS n, AVG(value) AS m,
-               var_samp(value) AS v
-        FROM events WHERE event_type IN ('click', 'view')
-        GROUP BY event_type
-    ),
-    w AS (
+    WITH w AS (
         SELECT
-            (SELECT m FROM g WHERE event_type = 'click') AS m1,
-            (SELECT m FROM g WHERE event_type = 'view') AS m2,
-            (SELECT v FROM g WHERE event_type = 'click') AS v1,
-            (SELECT v FROM g WHERE event_type = 'view') AS v2,
-            (SELECT n FROM g WHERE event_type = 'click') AS n1,
-            (SELECT n FROM g WHERE event_type = 'view') AS n2
+            COUNT(*) FILTER (event_type = 'click') AS n1,
+            COUNT(*) FILTER (event_type = 'view') AS n2,
+            AVG(value) FILTER (event_type = 'click') AS m1,
+            AVG(value) FILTER (event_type = 'view') AS m2,
+            var_samp(value) FILTER (event_type = 'click') AS v1,
+            var_samp(value) FILTER (event_type = 'view') AS v2
+        FROM events WHERE event_type IN ('click', 'view')
     )
     SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
            ROUND(m1 - m2, 6) AS mean_diff,
-           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
-           ROUND(pow(v1 / n1 + v2 / n2, 2)
-                 / (pow(v1 / n1, 2) / (n1 - 1)
-                    + pow(v2 / n2, 2) / (n2 - 1)), 2) AS dof
+           CASE WHEN n1 > 1 AND n2 > 1 THEN
+               ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4)
+           END AS t_stat,
+           CASE WHEN n1 > 1 AND n2 > 1 THEN
+               ROUND(pow(v1 / n1 + v2 / n2, 2)
+                     / (pow(v1 / n1, 2) / (n1 - 1)
+                        + pow(v2 / n2, 2) / (n2 - 1)), 2)
+           END AS dof
     FROM w
     """,
 )
@@ -2114,34 +2112,39 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment pass (count/mean/sample variance per arm, map-side combined)
     and a scalar combine.  At 100 TB the expensive part is the single
     aggregation; the test statistic itself is arithmetic on six
-    scalars."""
+    scalars.  Both arms are computed as conditional aggregates in ONE
+    global aggregation (exactly one output row even if an arm is empty
+    — ADVICE r5), with n>1 guards mirroring the oracle's CASE."""
     from .util import read_events
 
     ev = read_events(spark, sf_dir).where(
         F.col("event_type").isin("click", "view")
     )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
-    a = g.where(F.col("event_type") == "click").select(
-        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
-    )
-    b = g.where(F.col("event_type") == "view").select(
-        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    click = F.col("event_type") == "click"
+    view = F.col("event_type") == "view"
+    w = ev.agg(
+        F.count(F.when(click, F.lit(1))).alias("n1"),
+        F.count(F.when(view, F.lit(1))).alias("n2"),
+        F.avg(F.when(click, F.col("value"))).alias("m1"),
+        F.avg(F.when(view, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(click, F.col("value"))).alias("v1"),
+        F.var_samp(F.when(view, F.col("value"))).alias("v2"),
     )
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     dof = F.pow(se2, 2) / (
         F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
         + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
     )
-    return a.crossJoin(b).select(
+    both = (F.col("n1") > 1) & (F.col("n2") > 1)
+    return w.select(
         F.col("n1").cast("long").alias("n_click"),
         F.col("n2").cast("long").alias("n_view"),
         F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
-        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(dof, 2).alias("dof"),
+        F.when(
+            both,
+            F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4),
+        ).alias("t_stat"),
+        F.when(both, F.round(dof, 2)).alias("dof"),
     )
 
 
