@@ -148,9 +148,35 @@ def minhash_signatures(df: DataFrame, n_hashes: int = 8, id_col: str = "doc_id",
 DEFAULT_POSTING_CAP = 1_000
 
 
+def _observe_truncation(postings: DataFrame, list_col: str,
+                        max_posting_len: int | None,
+                        observation) -> DataFrame:
+    """Attach a truncation observation to a postings DataFrame so capped
+    recall loss is observable, not silent (ADVICE r5): after the caller's
+    next action, ``observation.get`` holds ``truncated_postings`` (number
+    of posting lists the cap dropped) and ``max_posting_seen``.  Runs as
+    aggregate metrics inside the existing job — no extra pass.
+
+    Caveat: if the query's FINAL result is empty, AQE's empty-relation
+    propagation can prune the CollectMetrics node and ``observation.get``
+    fails — an upstream Spark quirk.  In that case every pair was either
+    absent or truncated anyway; read the metric only after a non-empty
+    action, or compare row counts capped-vs-uncapped."""
+    if observation is None or max_posting_len is None:
+        return postings
+    return postings.observe(
+        observation,
+        F.coalesce(
+            F.sum((F.size(list_col) > max_posting_len).cast("long")), F.lit(0)
+        ).alias("truncated_postings"),
+        F.coalesce(F.max(F.size(list_col)), F.lit(0)).alias("max_posting_seen"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
                         band_size: int = 2,
                         max_posting_len: int | None = DEFAULT_POSTING_CAP,
+                        truncation_observation=None,
                         ) -> DataFrame:
     """Candidate near-dup pairs from banded signatures: melt to
     (doc_id, band_id, band_key), group the doc ids per band bucket, and
@@ -186,11 +212,12 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
     keep = F.size("ds") >= 2
     if max_posting_len is not None:
         keep = keep & (F.size("ds") <= max_posting_len)
-    buckets = (
-        melted.groupBy("band_id", "band_key")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .where(keep)
+    buckets = melted.groupBy("band_id", "band_key").agg(
+        F.collect_list("doc_id").alias("ds")
     )
+    buckets = _observe_truncation(
+        buckets, "ds", max_posting_len, truncation_observation
+    ).where(keep)
     return (
         buckets.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
@@ -214,6 +241,7 @@ def shingle_hash60(col: Column | str) -> Column:
 def jaccard_pairs(
     shingle_df: DataFrame, threshold: float = 0.5, hash_shingles: bool = True,
     max_posting_len: int | None = DEFAULT_POSTING_CAP,
+    truncation_observation=None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard over pairs sharing ≥1 shingle.
 
@@ -232,8 +260,11 @@ def jaccard_pairs(
     only UNDER-estimates — precision is kept, recall is traded exactly
     where the pairs were uninformative.  Capped at ``DEFAULT_POSTING_CAP``
     by default (far above the driver corpus's 25 docs/shingle maximum, so
-    test-scale results are identical to uncapped); pass None to opt out."""
-    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len)
+    test-scale results are identical to uncapped); pass None to opt out.
+    Pass an ``Observation`` as ``truncation_observation`` to count the
+    lists the cap dropped (see ``_observe_truncation``)."""
+    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len,
+                                 truncation_observation)
     jaccard = F.col("overlap") * 1.0 / (F.col("na") + F.col("nb") - F.col("overlap"))
     return (
         pairs.where(jaccard >= threshold)
@@ -244,6 +275,7 @@ def jaccard_pairs(
 def _posting_pair_counts(
     shingle_df: DataFrame, hash_shingles: bool = True,
     max_posting_len: int | None = None,
+    truncation_observation=None,
 ) -> DataFrame:
     """(doc_a, doc_b, na, nb, overlap) for every doc pair sharing ≥1
     shingle — the shared pair-expansion stage behind every set-overlap
@@ -260,11 +292,12 @@ def _posting_pair_counts(
     keep = F.size("ds") >= 2
     if max_posting_len is not None:
         keep = keep & (F.size("ds") <= max_posting_len)
-    postings = (
-        sized.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc_id", "n")).alias("ds"))
-        .where(keep)
+    postings = sized.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("ds")
     )
+    postings = _observe_truncation(
+        postings, "ds", max_posting_len, truncation_observation
+    ).where(keep)
     return (
         postings.select(F.explode("ds").alias("a"), "ds")
         .select("a", F.explode("ds").alias("b"))
@@ -282,6 +315,7 @@ def _posting_pair_counts(
 def containment_pairs(
     shingle_df: DataFrame, threshold: float = 0.6, hash_shingles: bool = True,
     max_posting_len: int | None = DEFAULT_POSTING_CAP,
+    truncation_observation=None,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT (overlap coefficient, |A∩B| / min(|A|,|B|))
     over pairs sharing ≥1 shingle.
@@ -294,7 +328,8 @@ def containment_pairs(
     posting-list pair expansion, which this shares with ``jaccard_pairs``
     (one evaluation of the shingle pipeline, no self-join, pair counts
     bounded by posting-list collisions — not |D|²)."""
-    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len)
+    pairs = _posting_pair_counts(shingle_df, hash_shingles, max_posting_len,
+                                 truncation_observation)
     containment = F.col("overlap") * 1.0 / F.least(F.col("na"), F.col("nb"))
     return (
         pairs.where(containment >= threshold)
@@ -361,6 +396,7 @@ def substring_run_pairs(
     df: DataFrame, k: int = 4, min_run_tokens: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
     max_posting_len: int | None = DEFAULT_POSTING_CAP,
+    truncation_observation=None,
 ) -> DataFrame:
     """Exact-substring duplication between documents (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for every
@@ -392,11 +428,12 @@ def substring_run_pairs(
     keep = F.size("ps") >= 2
     if max_posting_len is not None:
         keep = keep & (F.size("ps") <= max_posting_len)
-    postings = (
-        hashed.groupBy("h")
-        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ps"))
-        .where(keep)
+    postings = hashed.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("ps")
     )
+    postings = _observe_truncation(
+        postings, "ps", max_posting_len, truncation_observation
+    ).where(keep)
     matches = (
         postings.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("b"))

@@ -157,10 +157,34 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
             pdf = pdf.iloc[:, col_start:col_stop]
             if not header:
                 pdf.columns = [f"_c{i}" for i in range(len(pdf.columns))]
-            return spark.createDataFrame(pdf)
+            return spark.createDataFrame(_coerce_mixed_columns(pdf))
         except Exception as exc:  # noqa: BLE001 - sheet fallback chain
             last_error = exc
     raise RuntimeError(f"None of sheet names {sheet_names} found in Excel workbook: {last_error}")
+
+
+def _coerce_mixed_columns(pdf):
+    """Real-world worksheets mix types inside a column (numbers + cached
+    formula strings + error cells + booleans); Spark's pandas conversion
+    cannot merge those and raises CANNOT_MERGE_TYPE.  Match the
+    spark-excel/inferSchema behavior: a numeric-only mix widens to
+    double, anything else stringifies (blanks stay null)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def _isnull(v):
+        return v is None or (isinstance(v, float) and pd.isna(v))
+
+    for col in pdf.columns:
+        if pdf[col].dtype != object:
+            continue
+        kinds = {type(v) for v in pdf[col] if not _isnull(v)}
+        if len(kinds) <= 1:
+            continue
+        if kinds <= {int, float}:
+            pdf[col] = pdf[col].astype(float)
+        else:
+            pdf[col] = pdf[col].map(lambda v: None if _isnull(v) else str(v))
+    return pdf
 
 
 def read_input(
@@ -217,8 +241,21 @@ def read_input(
         try:
             return spark.read.format("avro").load(source_path)
         except Exception as exc:  # noqa: BLE001
+            # Prefer the structured error class (stable across Spark
+            # versions) over message wording; keep substrings as the
+            # secondary match for non-AnalysisException wrappings.
+            error_class = None
+            get_cls = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
+            )
+            if callable(get_cls):
+                try:
+                    error_class = get_cls()
+                except Exception:  # noqa: BLE001
+                    error_class = None
             msg = str(exc)
-            if not ("Failed to find data source: avro" in msg
+            if not ((error_class or "").startswith("DATA_SOURCE_NOT_FOUND")
+                    or "Failed to find data source: avro" in msg
                     or "FAILED_FIND_DATA_SOURCE" in msg
                     or "ClassNotFoundException" in msg):
                 raise

@@ -115,7 +115,21 @@ def _cell_value(cell: ET.Element, shared: list[str]):
         return text
     if ctype == "b":
         return text == "1"
-    num = float(text)
+    if ctype == "e":
+        # cached error cell ('#DIV/0!', '#N/A', ...): surface the error
+        # text rather than crashing in float() (crealytics maps these to
+        # error strings too)
+        return text
+    if ctype == "d":
+        # ISO-8601 date cell (SpreadsheetML 'd' type): keep the literal
+        # string; downstream `transform_date` handles parsing
+        return text
+    try:
+        num = float(text)
+    except ValueError as exc:
+        raise ValueError(
+            f"unsupported xlsx cell: type={ctype!r} value={text!r}"
+        ) from exc
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 

@@ -272,6 +272,53 @@ def test_lsh_candidate_pairs_max_posting_len(spark):
     assert capped.count() == 0  # every bucket has 4 members -> dropped
 
 
+def test_posting_cap_truncation_is_observable(spark):
+    """ADVICE r5: capping must not lose recall SILENTLY — an Observation
+    threaded into the pair expanders reports how many posting lists the
+    cap dropped, as metrics inside the existing job (no extra pass)."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb ccc ddd eee"),
+            (2, "aaa bbb ccc ddd xxx"),
+            (3, "yyy aaa bbb ccc zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(df)
+    obs = Observation("cap")
+    D.jaccard_pairs(sh, 0.1, max_posting_len=2,
+                    truncation_observation=obs).collect()
+    metrics = obs.get
+    assert metrics["truncated_postings"] == 1  # the 3-doc hot shingle
+    assert metrics["max_posting_seen"] == 3
+
+    # cap not binding -> zero truncations reported
+    obs2 = Observation("cap2")
+    D.jaccard_pairs(sh, 0.1, max_posting_len=100,
+                    truncation_observation=obs2).collect()
+    assert obs2.get["truncated_postings"] == 0
+
+    # LSH bucket variant: 4-doc hot bucket truncates, 2-doc bucket
+    # survives (survivors must exist — with an all-empty result AQE's
+    # empty-relation propagation prunes the CollectMetrics node, see
+    # _observe_truncation's docstring)
+    df4 = spark.createDataFrame(
+        [(i, "one two three four five six") for i in range(1, 5)]
+        + [(8, "seven eight nine ten eleven"),
+           (9, "seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    obs3 = Observation("cap3")
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(df4),
+                                  max_posting_len=2,
+                                  truncation_observation=obs3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(8, 9)}
+    assert obs3.get["truncated_postings"] >= 1
+    assert obs3.get["max_posting_seen"] == 4
+
+
 def test_cosine_near_dup_requires_blocking(spark):
     import pytest
 
