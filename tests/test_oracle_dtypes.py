@@ -60,3 +60,53 @@ def test_no_oracle_column_is_hugeint_or_unsigned(duck):
         "Oracle columns that pandas will widen to float64 (driver hash "
         f"mismatch): {offenders} — wrap each in CAST(... AS BIGINT)"
     )
+
+
+# Gates whose double columns are DELIBERATELY unrounded because both
+# engines provably run the identical IEEE operation sequence (see each
+# gate's docstring) — a final ROUND there could land a ulp on either
+# side of a rounding boundary and HURT agreement:
+#   emb_label_centroids: exact-decimal sums, then one identical divide
+#   evt_ewma_applyinpandas: same scalar recurrence replayed in order
+_UNROUNDED_BY_DESIGN = {
+    ("emb_label_centroids", "centroid"),
+    ("evt_ewma_applyinpandas", "ewma"),
+}
+
+
+def test_every_float_oracle_column_is_rounded(duck):
+    """Symmetric insurance to the BIGINT sweep (VERDICT r5 item 7):
+    double-valued oracle columns must carry a ROUND(..., k<=9) so engine
+    ULP noise cannot produce representation-dependent driver hashes.
+    Detection is by value, not text: execute each oracle at sf0.001 and
+    flag any double column containing a value with more than 9 decimal
+    digits — exactly the fingerprint of un-rounded float arithmetic."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    offenders: dict[str, dict[str, str]] = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        rel = duck.sql(sql)
+        dbl_cols = [
+            col for col, typ in zip(rel.columns, rel.types)
+            if str(typ) in ("DOUBLE", "FLOAT")
+            and (name, col) not in _UNROUNDED_BY_DESIGN
+        ]
+        if not dbl_cols:
+            continue
+        pdf = rel.fetchdf()
+        for col in dbl_cols:
+            for v in pdf[col]:
+                if v is None or (isinstance(v, float)
+                                 and (math.isnan(v) or math.isinf(v))):
+                    continue
+                if round(float(v), 9) != float(v):
+                    offenders.setdefault(name, {})[col] = repr(v)
+                    break
+    assert not offenders, (
+        "Unrounded double oracle columns (representation-dependent driver "
+        f"hash risk): {offenders} — wrap in CAST(ROUND(..., k) AS DOUBLE) "
+        "in BOTH the oracle and the Spark query, or add to "
+        "_UNROUNDED_BY_DESIGN with a bit-identity argument"
+    )
