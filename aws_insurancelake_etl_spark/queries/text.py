@@ -285,6 +285,80 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(_shingles(spark, sf_dir), threshold=0.6, max_posting_len=None)
 
 
+@register(
+    "dedup_cap_skew_stress",
+    r"""
+    WITH adv AS (
+        SELECT doc_id,
+               'the quick brown fox jumps over lazy dogs pair'
+               || CAST((doc_id // 2) AS VARCHAR)
+               || ' alpha beta gamma delta uniq'
+               || CAST(doc_id AS VARCHAR) || ' omega' AS text
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS token,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+        FROM adv
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, token || ' ' || lead1 || ' ' || lead2 AS shingle
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS lead1,
+                   LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS lead2
+            FROM toks
+        ) WHERE lead2 IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    posting AS (SELECT h, COUNT(*) AS plen FROM shh GROUP BY h),
+    kept AS (
+        SELECT s.doc_id, s.h FROM shh s JOIN posting p ON s.h = p.h
+        WHERE p.plen BETWEEN 2 AND 25
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(overlap * 1.0 / (sa.n + sb.n - overlap), 4) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+               JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.1
+    """,
+)
+def dedup_cap_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress for the posting cap (VERDICT r5 item 3): an adversarial
+    corpus where the cap DEMONSTRABLY binds, oracled on the survivors.
+
+    Every document is 'boilerplate + pair tail + unique tail', so 8 hot
+    shingles appear in ALL |D| documents (posting length 500 at sf0.01 /
+    5000 at sf0.1 — far over the cap of 25), while each even/odd doc pair
+    shares exactly 3 pair-local shingles (posting length 2, survives).
+    Uncapped, the 8 hot lists would expand |D|²/2 pairs (12.5M at sf0.1)
+    before any threshold could prune; capped, expansion is |D|/2 pairs.
+    The oracle replicates the cap rule exactly (drop whole posting lists
+    with >25 members; set-size denominators keep the full sets), so the
+    gate proves survivors are COMPUTED RIGHT while the cap is truncating —
+    previously the cap was property-tested but never bound on gate data.
+    Timings with/without the cap: PERFORMANCE.md (round 6)."""
+    base = _docs(spark, sf_dir).select("doc_id")
+    text = F.concat(
+        F.lit("the quick brown fox jumps over lazy dogs pair"),
+        F.floor(F.col("doc_id") / 2).cast("bigint").cast("string"),
+        F.lit(" alpha beta gamma delta uniq"),
+        F.col("doc_id").cast("string"),
+        F.lit(" omega"),
+    )
+    adv = base.select("doc_id", text.alias("text"))
+    return D.jaccard_pairs(D.shingles(adv), threshold=0.1, max_posting_len=25)
+
+
 def _entropy_ratio_cte() -> str:
     return """
     tc AS (
