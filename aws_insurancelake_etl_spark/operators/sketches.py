@@ -237,6 +237,83 @@ def _topk_hashes(df: DataFrame, value_col: str, k: int) -> DataFrame:
     )
 
 
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge stored KMV sketch rows back into a valid ≤k-row sketch per
+    group — the mergeability that justifies storing sketches at all: a
+    union of per-partition (per-day, per-source) sketch tables re-ranks
+    to the union's sketch without rescanning any input.  Correct because
+    the union's k minima are a subset of the member sketches' minima.
+    Input needs only (group..., __h) rows; __rn is recomputed."""
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        sketches.select(*group_cols, "__h").distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+
+
+def kmv_set_estimates_from_sketches(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """The composable form of :func:`kmv_set_estimates`: identical
+    estimates, computed FROM STORED SKETCH ROWS (``__h`` columns, ≤ k
+    rows per side) with no rescan of the raw inputs and no driver-side
+    set algebra — everything is DataFrame aggregation, so it runs
+    wherever the sketch tables live.  This is the shape a 100 TB
+    profiler actually uses: build per-slice sketches once
+    (:func:`kmv_sketch`), persist them, and answer any cross-slice
+    union/intersection/Jaccard question later at ≤ 2k-row cost.
+
+    Plan shape: tag + union the two sketches' hashes, merge flags per
+    hash (one tiny aggregation), take the union's k minima via
+    ``orderBy().limit(k)`` (TakeOrderedAndProject — no global sort),
+    then two scalar aggregations combined on one row.  The side
+    estimates read each sketch's own count/threshold, so a sketch that
+    never filled short-circuits to its exact count, matching
+    ``kmv_set_estimates`` bit-for-bit."""
+    a = sketch_a.select(F.col("__h").alias("hh"),
+                        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b = sketch_b.select(F.col("__h").alias("hh"),
+                        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        a.unionByName(b)
+        .groupBy("hh")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    side = merged.agg(
+        F.sum("in_a").alias("n_a"),
+        F.max(F.when(F.col("in_a") == 1, F.col("hh"))).alias("max_a"),
+        F.sum("in_b").alias("n_b"),
+        F.max(F.when(F.col("in_b") == 1, F.col("hh"))).alias("max_b"),
+    )
+    union_topk = merged.orderBy("hh").limit(k)
+    ustats = union_topk.agg(
+        F.count(F.lit(1)).alias("n_union_rows"),
+        F.max("hh").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    def _est(n, mx):
+        return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / mx)
+
+    filled = F.col("n_union_rows") >= k
+    return side.crossJoin(ustats).select(
+        _est(F.col("n_a"), F.col("max_a")).alias("est_a"),
+        _est(F.col("n_b"), F.col("max_b")).alias("est_b"),
+        F.when(~filled, F.col("n_union_rows").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("h_k"))
+        .alias("est_union"),
+        F.when(~filled, F.col("n_both").cast("double"))
+        .otherwise(
+            F.col("n_both") / F.col("n_union_rows")
+            * (F.lit(float(k - 1)) / F.col("h_k"))
+        )
+        .alias("est_intersection"),
+        F.coalesce(
+            F.col("n_both") / F.col("n_union_rows"), F.lit(0.0)
+        ).alias("jaccard_est"),
+    )
+
+
 def kmv_set_estimates(
     df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 64
 ) -> DataFrame:

@@ -1526,6 +1526,91 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_kmv_merge_tables",
+    """
+    WITH ha AS (
+        SELECT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                + 1.0) / 1152921504606846976.0 AS hh
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+        ORDER BY hh LIMIT 128
+    ),
+    hb AS (
+        SELECT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                + 1.0) / 1152921504606846976.0 AS hh
+        FROM (SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '5-LOW')
+        ORDER BY hh LIMIT 128
+    ),
+    u AS (
+        SELECT DISTINCT hh FROM (SELECT hh FROM ha UNION ALL SELECT hh FROM hb)
+        ORDER BY hh LIMIT 128
+    ),
+    flags AS (
+        SELECT u.hh,
+               CASE WHEN a.hh IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN b.hh IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM u LEFT JOIN ha a ON u.hh = a.hh LEFT JOIN hb b ON u.hh = b.hh
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_union_rows, MAX(hh) AS h_k,
+               SUM(in_a * in_b) AS n_both
+        FROM flags
+    ),
+    ea AS (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                       ELSE 127 / MAX(hh) END AS est_a FROM ha),
+    eb AS (SELECT CASE WHEN COUNT(*) < 128 THEN COUNT(*) * 1.0
+                       ELSE 127 / MAX(hh) END AS est_b FROM hb)
+    SELECT ROUND(est_a, 4) AS est_a, ROUND(est_b, 4) AS est_b,
+           ROUND(CASE WHEN n_union_rows < 128 THEN n_union_rows * 1.0
+                      ELSE 127 / h_k END, 4) AS est_union,
+           ROUND(CASE WHEN n_union_rows < 128 THEN n_both * 1.0
+                      ELSE n_both / n_union_rows * (127 / h_k) END, 4)
+               AS est_intersection,
+           ROUND(n_both / n_union_rows, 4) AS jaccard_est
+    FROM s CROSS JOIN ea CROSS JOIN eb
+    """,
+)
+def sketch_kmv_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE form of ``sketch_kmv_set_ops`` (VERDICT r5 item 6):
+    build the per-priority KMV sketch TABLE once (one grouped pass over
+    orders), PERSIST it to parquet, then answer the same
+    union/intersection/Jaccard questions purely from the stored sketch
+    rows via ``kmv_set_estimates_from_sketches`` — no rescan of orders,
+    no driver-side set algebra (all DataFrame aggregation; the union
+    top-k is TakeOrderedAndProject).  The oracle is the identical SQL as
+    the end-to-end gate, so this proves store→read-back→merge loses
+    nothing.  At 100 TB the profiler stores one k-row sketch per slice
+    per day and answers any cross-slice overlap question at ≤ 2k-row
+    cost; raw-data passes happen once, here in ``kmv_sketch``."""
+    import tempfile
+
+    from ..operators.sketches import kmv_set_estimates_from_sketches, kmv_sketch
+
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    sketch_table = kmv_sketch(
+        orders, "o_custkey", ["o_orderpriority"], k=128
+    )
+    store = tempfile.mkdtemp(prefix="kmv_sketch_store_")
+    sketch_table.write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    out = kmv_set_estimates_from_sketches(
+        stored.where(F.col("o_orderpriority") == "1-URGENT"),
+        stored.where(F.col("o_orderpriority") == "5-LOW"),
+        k=128,
+    )
+    return out.select(
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("est_intersection", 4).alias("est_intersection"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    )
+
+
+@register(
     "sql_string_functions",
     """
     SELECT c_custkey,

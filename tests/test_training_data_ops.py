@@ -436,6 +436,51 @@ def test_kmv_set_estimates_empty_side(spark):
     assert both_empty.est_union == 0.0 and both_empty.jaccard_est == 0.0
 
 
+def test_kmv_set_estimates_from_sketches_matches_end_to_end(spark):
+    """The DataFrame-native stored-sketch form must reproduce the
+    driver-side form bit-for-bit on both the short-circuit (<k) and the
+    filled estimator paths — store→read-back→merge loses nothing."""
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    def sketch_of(df, k):
+        return SK.kmv_sketch(df.withColumn("g", F.lit(1)), "v", ["g"], k=k)
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6]], "v long")
+    b = spark.createDataFrame([(v,) for v in [4, 5, 6, 7, 8]], "v long")
+    direct = SK.kmv_set_estimates(a, b, "v", k=64).collect()[0]
+    stored = SK.kmv_set_estimates_from_sketches(
+        sketch_of(a, 64), sketch_of(b, 64), k=64
+    ).collect()[0]
+    assert tuple(direct) == tuple(stored)
+
+    big_a = spark.createDataFrame([(v,) for v in range(0, 3000)], "v long")
+    big_b = spark.createDataFrame([(v,) for v in range(1500, 4500)], "v long")
+    direct = SK.kmv_set_estimates(big_a, big_b, "v", k=256).collect()[0]
+    stored = SK.kmv_set_estimates_from_sketches(
+        sketch_of(big_a, 256), sketch_of(big_b, 256), k=256
+    ).collect()[0]
+    assert tuple(direct) == tuple(stored)
+
+
+def test_kmv_merge_equals_direct_sketch_of_union(spark):
+    """kmv_merge over stored partition sketches reproduces the sketch
+    built directly over the unioned data — hashes AND ranks."""
+    from aws_insurancelake_etl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [(i * 7 % 501, "g1") for i in range(400)]
+        + [(i * 13 % 777, "g2") for i in range(300)],
+        "v long, g string",
+    )
+    part1 = SK.kmv_sketch(df.where("v % 3 = 0"), "v", ["g"], k=32)
+    part2 = SK.kmv_sketch(df.where("v % 3 <> 0"), "v", ["g"], k=32)
+    merged = SK.kmv_merge(part1.unionByName(part2), ["g"], k=32)
+    direct = SK.kmv_sketch(df, "v", ["g"], k=32)
+    m = {(r["g"], r["__rn"]): r["__h"] for r in merged.collect()}
+    d = {(r["g"], r["__rn"]): r["__h"] for r in direct.collect()}
+    assert m == d
+
+
 def test_kmeans_deterministic_under_repartition(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     a1, c1 = S.kmeans_fit(emb, k=3, n_iter=2)
