@@ -30,6 +30,8 @@ _MAGIC_NUMBERS = [
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"\x89PNG", "image/png"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"P6", "image/x-portable-pixmap"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -59,6 +61,144 @@ def sniff_content_type_bytes(payload: bytes | None) -> str:
         if payload.startswith(magic):
             return content_type
     return "application/octet-stream"
+
+
+# --------------------------------------------------------- stdlib codecs
+#
+# The container ships no image libraries, but two public formats are
+# decodable with struct alone: BMP (Windows BITMAPINFOHEADER, uncompressed
+# 24-bit BI_RGB) and binary PPM (netpbm P6).  These give the multimodal
+# pipeline one REAL pixel path end-to-end; compressed formats (JPEG/PNG)
+# still go through the pluggable ``real_decoder`` and raise/stub honestly.
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP to (width, height, row-major
+    top-down RGB bytes).  Supports positive (bottom-up, the common case)
+    and negative (top-down) heights and the 4-byte row padding the format
+    mandates; anything but 24 bpp / BI_RGB raises NotImplementedError."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width = struct.unpack_from("<i", data, 18)[0]
+    height = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    out = bytearray(width * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pix_off + src_row * stride
+        rowbytes = data[base:base + width * 3]
+        if len(rowbytes) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        # stored BGR -> emitted RGB (strided slice swap, no per-pixel loop)
+        dst = memoryview(out)[row * width * 3:(row + 1) * width * 3]
+        dst[0::3] = rowbytes[2::3]
+        dst[1::3] = rowbytes[1::3]
+        dst[2::3] = rowbytes[0::3]
+    return width, h, bytes(out)
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a binary netpbm P6 image (maxval 255) to (width, height,
+    row-major top-down RGB bytes).  Header comments (#...) and arbitrary
+    whitespace are handled per the public netpbm spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM file")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval-255 PPM supported")
+    need = width * height * 3
+    pixels = data[pos:pos + need]
+    if len(pixels) < need:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, pixels
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB bytes as an uncompressed 24-bit
+    bottom-up BMP (the canonical layout) — the write path for tests and
+    for materializing decoded frames."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up
+        src = rgb[row * width * 3:(row + 1) * width * 3]
+        bgr = bytearray(len(src))
+        bgr[0::3] = src[2::3]
+        bgr[1::3] = src[1::3]
+        bgr[2::3] = src[0::3]
+        body += bgr + pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB bytes as binary P6 PPM."""
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_image(data: bytes):
+    """Dispatch to the stdlib codec for the payload's format, or None if
+    no in-container codec exists (JPEG/PNG/...)."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    return None
+
+
+def image_stat_features(data: bytes):
+    """[width, height, mean_r, mean_g, mean_b] from a decodable payload,
+    or None when no stdlib codec applies.  Channel means are float64
+    sums of exact ints — deterministic and oracle-reproducible."""
+    decoded = decode_image(data)
+    if decoded is None:
+        return None
+    width, height, rgb = decoded
+    n = max(1, width * height)
+    return [
+        float(width),
+        float(height),
+        sum(rgb[0::3]) / n,
+        sum(rgb[1::3]) / n,
+        sum(rgb[2::3]) / n,
+    ]
 
 
 def extract_media_metadata(df: DataFrame, id_col: str = "media_id",
@@ -93,12 +233,16 @@ def decode_and_featurize(
     target_rows_per_partition: int = 1024,
     real_decoder=None,
 ) -> DataFrame:
-    """Decode + feature-extract pipeline shell.
+    """Decode + feature-extract pipeline.
 
     ``real_decoder(payload: bytes) -> list[float]`` plugs in an actual
-    codec/model; without one, a DETERMINISTIC FAKE (byte-histogram buckets,
-    normalized) stands in so the distributed plumbing is testable.  Raise-
-    on-use behavior for genuinely unsupported media lives in the decoder.
+    codec/model.  Without one, the DEFAULT path first tries the stdlib
+    codecs (:func:`image_stat_features` — real pixel decode for
+    uncompressed BMP/P6 PPM: [w, h, mean_r, mean_g, mean_b]); payloads
+    with no in-container codec (JPEG/PNG/...) fall through to the
+    clearly-marked DETERMINISTIC FAKE (byte-histogram buckets,
+    normalized) so the distributed plumbing stays testable.  Raise-on-use
+    behavior for genuinely unsupported media lives in the decoder.
     """
     n_parts = max(1, df.count() // target_rows_per_partition) if df.isStreaming is False else None
     work = df.select(F.col(id_col).alias("media_id"), F.col(binary_col).alias("payload"))
@@ -112,8 +256,13 @@ def decode_and_featurize(
                 data = bytes(payload) if payload is not None else b""
                 if real_decoder is not None:
                     features.append(real_decoder(data))
+                    continue
+                stats = image_stat_features(data)
+                if stats is not None:  # real stdlib pixel decode
+                    features.append(stats)
                 else:
-                    # STUB: deterministic byte-histogram "embedding".
+                    # STUB: deterministic byte-histogram "embedding" for
+                    # formats with no in-container codec.
                     buckets = [0] * feature_dim
                     for byte in data:
                         buckets[byte % feature_dim] += 1

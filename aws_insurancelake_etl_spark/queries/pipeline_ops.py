@@ -426,6 +426,92 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_featurize",
+    """
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents WHERE doc_id < 300
+    ),
+    px AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d
+    ),
+    pxy AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+    ),
+    agg AS (
+        SELECT doc_id, w, h,
+               SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS sr,
+               SUM((doc_id * 11 + x + 2 * y) % 256) AS sg,
+               SUM((doc_id * 13 + 4 * x + y) % 256) AS sb,
+               COUNT(*) AS n
+        FROM pxy GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           ROUND(CAST(CAST(sr * 1.0 / n AS REAL) AS DOUBLE), 4) AS mean_r,
+           ROUND(CAST(CAST(sg * 1.0 / n AS REAL) AS DOUBLE), 4) AS mean_g,
+           ROUND(CAST(CAST(sb * 1.0 / n AS REAL) AS DOUBLE), 4) AS mean_b
+    FROM agg
+    """,
+)
+def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode in the gate (VERDICT r5 item 5): synthesize one
+    small image per document with pixel (x,y) = a closed-form function of
+    doc_id, ENCODE it to actual container bytes (BMP for even ids, P6 PPM
+    for odd — both stdlib codecs exercised), push the binary payloads
+    through the default ``decode_and_featurize`` path (Arrow mapInPandas
+    -> stdlib decode -> [w, h, channel means]), and oracle the means
+    against the closed-form sums in DuckDB.  A wrong stride, padding,
+    BGR/RGB swap, row order, or header field shifts at least one channel
+    mean on most images.  The decoder itself is additionally pinned by
+    golden BYTES tests (hand-built header + pixel array) so a symmetric
+    encode/decode bug cannot hide here.  Means travel through the
+    float32 feature contract; the oracle reproduces that with
+    CAST(.. AS REAL) before rounding."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        decode_and_featurize, encode_bmp, encode_ppm,
+    )
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                rgb = bytes(
+                    ch
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in (
+                        (doc_id * 7 + x * 3 + y * 5) % 256,
+                        (doc_id * 11 + x + 2 * y) % 256,
+                        (doc_id * 13 + 4 * x + y) % 256,
+                    )
+                )
+                enc = encode_bmp if doc_id % 2 == 0 else encode_ppm
+                payloads.append(enc(w, h, rgb))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media_schema = "media_id long, payload binary"
+    media = docs.select("doc_id").mapInPandas(encode, media_schema)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        F.col("feature")[0].cast("bigint").alias("width"),
+        F.col("feature")[1].cast("bigint").alias("height"),
+        F.round(F.col("feature")[2].cast("double"), 4).alias("mean_r"),
+        F.round(F.col("feature")[3].cast("double"), 4).alias("mean_g"),
+        F.round(F.col("feature")[4].cast("double"), 4).alias("mean_b"),
+    )
+
+
+@register(
     "stream_session_windows",
     """
     WITH flagged AS (

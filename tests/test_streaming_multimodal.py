@@ -121,6 +121,90 @@ def test_decode_and_featurize_stub(spark):
     assert out == again
 
 
+def test_bmp_golden_bytes_decode():
+    """Hand-built BMP per the public BITMAPINFOHEADER spec (NOT produced
+    by encode_bmp): 2x2, 24bpp, bottom-up, padded rows — pins stride,
+    row order, and BGR->RGB so a symmetric encode/decode bug can't hide
+    behind round-trip tests."""
+    import struct
+
+    from aws_insurancelake_etl_spark.operators.multimodal import decode_bmp
+
+    # image top-down RGB: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    bottom_row = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"
+    top_row = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+    body = bottom_row + top_row  # bottom-up storage
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    assert decode_bmp(hdr + body) == (
+        2, 2,
+        bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]),
+    )
+    # top-down variant (negative height) stores rows in display order
+    hdr_td = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    body_td = top_row + bottom_row
+    assert decode_bmp(hdr_td + body_td)[2] == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+
+
+def test_ppm_golden_bytes_decode_and_guards():
+    import pytest
+
+    from aws_insurancelake_etl_spark.operators.multimodal import (
+        decode_bmp, decode_ppm,
+    )
+
+    # header with a comment line and mixed whitespace, per netpbm spec
+    golden = b"P6 # a comment\n2\t1 # another\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    assert decode_ppm(golden) == (2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        import struct as s
+        decode_bmp(
+            s.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+            + s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+        )
+
+
+def test_codec_roundtrip_and_default_featurize(spark):
+    from aws_insurancelake_etl_spark.operators.multimodal import (
+        decode_and_featurize, decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+        image_stat_features,
+    )
+
+    w, h = 5, 3
+    rgb = bytes((x * 3 + y * 5 + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+    assert image_stat_features(encode_ppm(w, h, rgb)) == [5.0, 3.0, 11.0, 12.0, 13.0]
+    assert image_stat_features(JPEG) is None  # no stdlib codec -> stub path
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(w, h, rgb))),
+         (2, bytearray(encode_ppm(w, h, rgb))),
+         (3, bytearray(JPEG))],
+        T.StructType(
+            [T.StructField("media_id", T.LongType()),
+             T.StructField("payload", T.BinaryType())]
+        ),
+    )
+    out = {r["media_id"]: r["feature"] for r in decode_and_featurize(df).collect()}
+    # BMP and PPM of the same pixels -> identical REAL stats features
+    assert out[1] == out[2] == [5.0, 3.0, 11.0, 12.0, 13.0]
+    # undecodable payload falls through to the 8-bucket histogram stub
+    assert len(out[3]) == 8 and abs(sum(out[3]) - 1.0) < 1e-6
+
+
 def test_stateful_user_totals_across_batches(spark, tmp_path):
     from aws_insurancelake_etl_spark.streaming.ingest import stateful_user_totals
 
