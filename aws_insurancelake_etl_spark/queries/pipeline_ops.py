@@ -500,7 +500,10 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media_schema = "media_id long, payload binary"
     media = docs.select("doc_id").mapInPandas(encode, media_schema)
-    feats = decode_and_featurize(media)
+    # 64 payloads per decode task: at gate scale this yields real fan-out
+    # (the default 1024 would collapse 300 rows to ONE partition — an
+    # Exchange SinglePartition the registry-wide plan audit rightly bans)
+    feats = decode_and_featurize(media, target_rows_per_partition=64)
     return feats.select(
         "media_id",
         F.col("feature")[0].cast("bigint").alias("width"),
