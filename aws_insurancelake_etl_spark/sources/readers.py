@@ -94,9 +94,12 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
       left of the anchor) or range reference ('A2:D10' → bounded block) —
       full parity;
     - ``header``: bool, headerless sheets get ``_c0..`` names — full parity;
-    - ``password``: NOT supported (crealytics decrypts in-JVM; pandas would
-      need openpyxl+crypto, absent here) — raises ``NotImplementedError``
-      rather than silently reading nothing.
+    - ``password``: agile-encrypted (MS-OFFCRYPTO) workbooks are decrypted
+      in-process via :mod:`.offcrypto` (pure spec implementation,
+      AES/CBC from ``cryptography``) — parity with crealytics'
+      ``workbookPassword`` (reference ``etl_collect_to_cleanse.py:165-170``).
+      Wrong passwords raise ``WrongPassword``; legacy "standard"
+      encryption raises ``NotImplementedError`` naming the scheme.
 
     Engine: ``pandas.read_excel`` when an Excel engine (openpyxl/xlrd) is
     importable; otherwise the pure-stdlib SpreadsheetML parser in
@@ -105,8 +108,21 @@ def read_excel(spark: SparkSession, source_path: str, excel_spec: dict) -> DataF
     """
     import pandas as pd  # noqa: PLC0415
 
-    if excel_spec.get("password"):
-        raise NotImplementedError("Password-protected workbooks require openpyxl with crypto")
+    from .offcrypto import CFB_MAGIC, decrypt_to_tempfile  # noqa: PLC0415
+
+    try:
+        with open(source_path, "rb") as handle:
+            is_encrypted = handle.read(8) == CFB_MAGIC
+    except OSError:
+        is_encrypted = False
+    if is_encrypted:
+        password = excel_spec.get("password")
+        if not password:
+            raise ValueError(
+                f"{source_path} is an encrypted workbook; pass 'password' "
+                "in the excel input spec"
+            )
+        source_path = decrypt_to_tempfile(source_path, password)
     sheet_names = excel_spec.get("sheet_names", ["0"])
     header = excel_spec.get("header", True)
     skiprows, col_start, col_stop, block_rows = parse_data_address(

@@ -142,7 +142,9 @@ def read_sheet(path: str, sheet: int | str = 0) -> list[list]:
         if handle.read(8) == _CFB_MAGIC:
             raise NotImplementedError(
                 "Workbook is an encrypted OLE compound file (password-"
-                "protected), not a plain xlsx ZIP"
+                "protected), not a plain xlsx ZIP — decrypt first via "
+                "sources.offcrypto (readers.read_excel does this when the "
+                "spec carries 'password')"
             )
     with zipfile.ZipFile(path) as zf:
         targets = _sheet_targets(zf)

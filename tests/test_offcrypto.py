@@ -1,0 +1,129 @@
+"""MS-CFB + MS-OFFCRYPTO agile encryption tests (sources/offcrypto.py).
+
+No independent encryptor exists in this container (no msoffcrypto-tool,
+no MS Office), so coverage is: spec-structural assertions on the bytes
+we emit (header fields, stream placement, XML attributes), round-trips
+across payload-size edges, wrong-password and tamper rejection, and
+determinism under an injected RNG.  The CFB reader's ministream path is
+additionally exercised by a stream laid out exactly as the spec
+requires (<4096 bytes → ministream), which is also how real Office
+files store EncryptionInfo.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from aws_insurancelake_etl_spark.sources.offcrypto import (
+    CFB_MAGIC,
+    WrongPassword,
+    cfb_read,
+    cfb_write,
+    decrypt_agile,
+    encrypt_agile,
+)
+
+
+def test_cfb_header_fields_per_spec():
+    blob = cfb_write({"S": b"abc", "Big": b"y" * 9000})
+    assert blob[:8] == CFB_MAGIC
+    assert struct.unpack_from("<H", blob, 26)[0] == 3      # major v3
+    assert struct.unpack_from("<H", blob, 28)[0] == 0xFFFE  # byte order
+    assert struct.unpack_from("<H", blob, 30)[0] == 9      # 512B sectors
+    assert struct.unpack_from("<H", blob, 32)[0] == 6      # 64B mini
+    assert struct.unpack_from("<I", blob, 56)[0] == 4096   # mini cutoff
+    assert len(blob) % 512 == 0
+
+
+def test_cfb_stream_placement_and_roundtrip():
+    small = b"under the cutoff"          # -> ministream
+    large = b"L" * 5000                  # -> FAT chain
+    exact = b"E" * 4096                  # boundary: NOT mini
+    back = cfb_read(cfb_write({"small": small, "exact": exact, "large": large}))
+    assert back == {"small": small, "exact": exact, "large": large}
+
+
+def test_cfb_many_streams_and_multisector_fat():
+    streams = {f"s{i:02d}": bytes([i]) * (i * 137) for i in range(1, 40)}
+    assert cfb_read(cfb_write(streams)) == streams
+
+
+def test_cfb_rejects_non_cfb():
+    with pytest.raises(ValueError, match="compound"):
+        cfb_read(b"PK\x03\x04 not ole")
+
+
+def test_agile_roundtrip_sizes():
+    for size in (2, 15, 16, 4095, 4096, 4097, 50000):
+        payload = (b"PK" + bytes(range(256)) * 250)[:size]
+        enc = encrypt_agile(payload, "pw", spin_count=50)
+        assert decrypt_agile(enc, "pw") == payload
+
+
+def test_agile_wrong_password_and_tamper():
+    payload = b"PK\x03\x04" + b"z" * 6000
+    enc = encrypt_agile(payload, "correct horse", spin_count=100)
+    with pytest.raises(WrongPassword):
+        decrypt_agile(enc, "battery staple")
+    # flip one ciphertext byte inside EncryptedPackage -> HMAC must fail
+    streams = cfb_read(enc)
+    pkg = bytearray(streams["EncryptedPackage"])
+    pkg[100] ^= 0xFF
+    tampered = cfb_write(
+        {"EncryptionInfo": streams["EncryptionInfo"],
+         "EncryptedPackage": bytes(pkg)}
+    )
+    with pytest.raises(ValueError, match="HMAC"):
+        decrypt_agile(tampered, "correct horse")
+
+
+def test_agile_encryption_info_xml_structure():
+    import base64
+    import xml.etree.ElementTree as ET
+
+    enc = encrypt_agile(b"PK__payload__", "pw", spin_count=10)
+    info = cfb_read(enc)["EncryptionInfo"]
+    major, minor, flags = struct.unpack_from("<HHI", info, 0)
+    assert (major, minor) == (4, 4) and flags == 0x40
+    root = ET.fromstring(info[8:].decode("utf-8"))
+    ns = "{http://schemas.microsoft.com/office/2006/encryption}"
+    pns = "{http://schemas.microsoft.com/office/2006/keyEncryptor/password}"
+    kd = root.find(f"{ns}keyData")
+    assert kd.get("cipherAlgorithm") == "AES"
+    assert kd.get("cipherChaining") == "ChainingModeCBC"
+    assert kd.get("hashAlgorithm") == "SHA512"
+    assert int(kd.get("keyBits")) == 256
+    assert len(base64.b64decode(kd.get("saltValue"))) == 16
+    ek = root.find(f"{ns}keyEncryptors/{ns}keyEncryptor/{pns}encryptedKey")
+    assert int(ek.get("spinCount")) == 10
+    # every encrypted blob is AES-block aligned
+    for attr in ("encryptedVerifierHashInput", "encryptedVerifierHashValue",
+                 "encryptedKeyValue"):
+        assert len(base64.b64decode(ek.get(attr))) % 16 == 0
+    integrity = root.find(f"{ns}dataIntegrity")
+    assert integrity is not None
+
+
+def test_agile_deterministic_with_injected_rng():
+    calls = {"n": 0}
+
+    def fake_rng(n):
+        calls["n"] += 1
+        return bytes((calls["n"] * 31 + i) % 256 for i in range(n))
+
+    a = encrypt_agile(b"PKdata", "pw", spin_count=20, rng=fake_rng)
+    calls["n"] = 0
+    b = encrypt_agile(b"PKdata", "pw", spin_count=20, rng=fake_rng)
+    assert a == b
+    assert decrypt_agile(a, "pw") == b"PKdata"
+
+
+def test_agile_rejects_standard_encryption_version():
+    # EncryptionInfo 3.2 = legacy "standard" encryption -> named error
+    info = struct.pack("<HHI", 3, 2, 0x24) + b"\x00" * 32
+    pkg = struct.pack("<Q", 0)
+    blob = cfb_write({"EncryptionInfo": info, "EncryptedPackage": pkg})
+    with pytest.raises(NotImplementedError, match="agile"):
+        decrypt_agile(blob, "pw")
