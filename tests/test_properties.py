@@ -525,3 +525,66 @@ def test_xlsx_lite_roundtrip_property(tmp_path_factory, matrix):
     path = str(tmp_path_factory.mktemp("xlsx") / "p.xlsx")
     xlsx_lite.write_xlsx(path, {"S": dense})
     assert xlsx_lite.read_sheet(path, "S") == expect
+
+
+image_strategy = st.tuples(
+    st.integers(min_value=1, max_value=9),   # width (odd widths stress BMP row padding)
+    st.integers(min_value=1, max_value=7),   # height
+    st.randoms(use_true_random=False),
+)
+
+
+@given(img=image_strategy)
+@settings(**SETTINGS)
+def test_image_codec_roundtrip_property(img):
+    """encode->decode is the identity for BOTH stdlib codecs on random
+    pixels and dimensions — BMP's 4-byte row padding and bottom-up
+    storage cancel exactly, and the two formats agree on the same RGB
+    matrix (cross-codec consistency, not just per-codec round-trip)."""
+    from aws_insurancelake_etl_spark.operators import multimodal as MM
+
+    width, height, rnd = img
+    rgb = bytes(rnd.randrange(256) for _ in range(width * height * 3))
+    assert MM.decode_bmp(MM.encode_bmp(width, height, rgb)) == (width, height, rgb)
+    assert MM.decode_ppm(MM.encode_ppm(width, height, rgb)) == (width, height, rgb)
+    assert (MM.image_stat_features(MM.encode_bmp(width, height, rgb))
+            == MM.image_stat_features(MM.encode_ppm(width, height, rgb)))
+
+
+cfb_streams = st.dictionaries(
+    st.text(st.characters(min_codepoint=65, max_codepoint=90),
+            min_size=1, max_size=8),
+    st.binary(min_size=0, max_size=9000),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(streams=cfb_streams)
+@settings(**SETTINGS)
+def test_cfb_roundtrip_property(streams):
+    """cfb_write->cfb_read is the identity for arbitrary stream dicts
+    spanning the ministream boundary (sizes 0..9000 straddle the 4096
+    cutoff) — FAT chains, miniFAT chains, and directory sizes all agree.
+    Empty streams come back empty (stored with no sectors)."""
+    from aws_insurancelake_etl_spark.sources import offcrypto as OC
+
+    assert OC.cfb_read(OC.cfb_write(streams)) == streams
+
+
+@given(payload=st.binary(min_size=2, max_size=20000),
+       password=st.text(min_size=1, max_size=12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_agile_crypto_roundtrip_property(payload, password):
+    """decrypt(encrypt(p, pw), pw) == p for arbitrary payloads and
+    passwords (unicode included); a flipped password char is rejected."""
+    from aws_insurancelake_etl_spark.sources import offcrypto as OC
+
+    enc = OC.encrypt_agile(payload, password, spin_count=30)
+    assert OC.decrypt_agile(enc, password) == payload
+    try:
+        OC.decrypt_agile(enc, password + "x")
+        raise AssertionError("wrong password accepted")
+    except OC.WrongPassword:
+        pass
