@@ -173,6 +173,103 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
 
 
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a RIFF/WAVE PCM payload to (sample_rate, n_channels,
+    interleaved integer samples).  Walks the RIFF chunk list per the
+    public spec (tolerating LIST/fact/etc. chunks and odd-size padding),
+    supports 16-bit signed and 8-bit unsigned PCM; anything else
+    (float, ADPCM, extensible) raises NotImplementedError."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"only PCM (format 1) supported, got format {audio_fmt}"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(f"only 8/16-bit PCM, got {bits}")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            n_ch, rate, bits = fmt
+            if bits == 16:
+                usable = len(body) - len(body) % 2
+                samples = list(
+                    struct.unpack(f"<{usable // 2}h", body[:usable])
+                )
+            else:  # 8-bit PCM is unsigned, centered at 128
+                samples = [b - 128 for b in body]
+        pos += 8 + size + (size % 2)  # chunks pad to even offsets
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    n_ch, rate, _ = fmt
+    return rate, n_ch, samples
+
+
+def encode_wav(sample_rate: int, n_channels: int, samples: list[int],
+               bits: int = 16) -> bytes:
+    """Encode interleaved integer samples as RIFF/WAVE PCM."""
+    import struct
+
+    if bits == 16:
+        body = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        body = bytes((s + 128) & 0xFF for s in samples)
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM, got {bits}")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def audio_stat_features(data: bytes):
+    """[sample_rate, n_channels, n_samples, rms, zero_crossings] from a
+    PCM WAV payload, or None when the payload is not RIFF/WAVE.  All
+    stats are exact-integer sums finished with one double op, so a SQL
+    oracle reproduces them bit-for-bit."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    import math
+
+    rate, n_ch, samples = decode_wav(data)
+    n = len(samples)
+    if n == 0:
+        return [float(rate), float(n_ch), 0.0, 0.0, 0.0]
+    sum_sq = sum(s * s for s in samples)
+    crossings = sum(
+        1 for i in range(1, n)
+        if (samples[i] >= 0) != (samples[i - 1] >= 0)
+    )
+    return [
+        float(rate),
+        float(n_ch),
+        float(n),
+        math.sqrt(sum_sq / n),
+        float(crossings),
+    ]
+
+
 def decode_image(data: bytes):
     """Dispatch to the stdlib codec for the payload's format, or None if
     no in-container codec exists (JPEG/PNG/...)."""
@@ -258,7 +355,9 @@ def decode_and_featurize(
                     features.append(real_decoder(data))
                     continue
                 stats = image_stat_features(data)
-                if stats is not None:  # real stdlib pixel decode
+                if stats is None:
+                    stats = audio_stat_features(data)
+                if stats is not None:  # real stdlib pixel/PCM decode
                     features.append(stats)
                 else:
                     # STUB: deterministic byte-histogram "embedding" for

@@ -515,6 +515,86 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_featurize",
+    """
+    WITH d AS (
+        SELECT doc_id, 50 + doc_id % 20 AS n
+        FROM documents WHERE doc_id < 300
+    ),
+    s AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d
+    ),
+    v AS (
+        SELECT doc_id, n, i,
+               ((doc_id * 31 + i * 17) % 2001) - 1000 AS smp
+        FROM s
+    ),
+    z AS (
+        SELECT doc_id, n, smp,
+               CASE WHEN (smp >= 0) <>
+                         (LAG(smp) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                    THEN 1 ELSE 0 END AS crossed
+        FROM v
+    ),
+    agg AS (
+        SELECT doc_id, MAX(n) AS n,
+               SUM(CAST(smp AS BIGINT) * smp) AS ssq,
+               SUM(crossed) AS crossings
+        FROM z GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(CAST(sqrt(ssq * 1.0 / n) AS REAL) AS DOUBLE), 4) AS rms,
+           CAST(crossings AS BIGINT) AS zero_crossings
+    FROM agg
+    """,
+)
+def mm_audio_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode in the gate — the audio twin of
+    ``mm_decode_featurize``: synthesize one mono 16-bit waveform per
+    document (sample i = a closed-form function of doc_id), encode to
+    actual RIFF/WAVE bytes, decode through the default
+    ``decode_and_featurize`` path (stdlib RIFF chunk walk), and oracle
+    RMS energy + zero-crossing count against closed-form sums in
+    DuckDB.  A wrong chunk offset, sample signedness, or byte order
+    shifts RMS on every row.  RMS rides the float32 feature contract
+    (CAST AS REAL in the oracle); counts are exact integers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_and_featurize, encode_wav
+
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 20
+                samples = [((doc_id * 31 + i * 17) % 2001) - 1000
+                           for i in range(n)]
+                payloads.append(encode_wav(8000, 1, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        encode, "media_id long, payload binary"
+    )
+    feats = decode_and_featurize(media, target_rows_per_partition=64)
+    return feats.select(
+        "media_id",
+        F.col("feature")[0].cast("bigint").alias("sample_rate"),
+        F.col("feature")[1].cast("bigint").alias("n_channels"),
+        F.col("feature")[2].cast("bigint").alias("n_samples"),
+        F.round(F.col("feature")[3].cast("double"), 4).alias("rms"),
+        F.col("feature")[4].cast("bigint").alias("zero_crossings"),
+    )
+
+
+@register(
     "stream_session_windows",
     """
     WITH flagged AS (

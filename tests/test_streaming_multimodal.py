@@ -205,6 +205,56 @@ def test_codec_roundtrip_and_default_featurize(spark):
     assert len(out[3]) == 8 and abs(sum(out[3]) - 1.0) < 1e-6
 
 
+def test_wav_golden_bytes_and_chunk_tolerance():
+    """Hand-built RIFF bytes (not via encode_wav): extra LIST chunk
+    before fmt, odd-size chunk padding, 16-bit signed samples — pins the
+    chunk walk against the public spec."""
+    import struct
+
+    from aws_insurancelake_etl_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    samples = [0, 1000, -1000, 32767, -32768]
+    body = struct.pack("<5h", *samples)
+    # odd-size junk chunk (3 bytes) must be padded to even when walking
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunks = (b"WAVE" + junk
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    wav = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    assert decode_wav(wav) == (8000, 1, samples)
+
+
+def test_wav_roundtrip_8_and_16_bit_and_guards():
+    import struct
+
+    import pytest
+
+    from aws_insurancelake_etl_spark.operators.multimodal import (
+        audio_stat_features, decode_wav, encode_wav,
+    )
+
+    samples = [((i * 37) % 513) - 256 for i in range(100)]
+    assert decode_wav(encode_wav(44100, 2, samples)) == (44100, 2, samples)
+    small = [((i * 7) % 255) - 128 for i in range(31)]  # odd data size pads
+    assert decode_wav(encode_wav(8000, 1, small, bits=8)) == (8000, 1, small)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+    # float PCM (format 3) -> named NotImplementedError
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav3 = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3)
+    with pytest.raises(NotImplementedError, match="format 3"):
+        decode_wav(wav3)
+
+    feats = audio_stat_features(encode_wav(8000, 1, [3, -4, 0, 5]))
+    assert feats[0] == 8000.0 and feats[1] == 1.0 and feats[2] == 4.0
+    assert abs(feats[3] - (50 / 4) ** 0.5) < 1e-6  # rms of 3,-4,0,5
+    assert feats[4] == 2.0  # 3->-4 and -4->0 (0 counts as >=0)
+    assert audio_stat_features(b"RIFFxxxxAVI ") is None  # RIFF, not WAVE
+
+
 def test_stateful_user_totals_across_batches(spark, tmp_path):
     from aws_insurancelake_etl_spark.streaming.ingest import stateful_user_totals
 
