@@ -52,9 +52,12 @@ _MODULES = (
 # deferred from r5 plus the 30 gates registered after the r5 window
 # froze — minus two function batteries (sql_map_functions,
 # sql_timestamp_functions) deferred to r7 to fit the 50-gate window.
-# After r7 sweeps those 2 (plus any gates added in r6), every
-# registered gate has a driver-green row; thereafter rotate arbitrary
-# 50-subsets so rows stay fresh.
+# r7 window plan: the never-driver-checked remainder is then 6 gates —
+# those 2 batteries plus the 4 added in round 6 (dedup_cap_skew_stress,
+# sketch_kmv_merge_tables, mm_decode_featurize, mm_audio_featurize) —
+# put them first, fill the rest with re-checks; thereafter every
+# registered gate has a driver-green row and arbitrary 50-subsets keep
+# rows fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- single-evidence operators first (VERDICT r5 priority list)
     "src_xml_roundtrip",
