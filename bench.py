@@ -77,6 +77,7 @@ EXTENDED = [
     "dedup_cap_skew_stress",
     "sketch_kmv_merge_tables",
     "mm_decode_featurize",
+    "mm_audio_featurize",
 ]
 
 
