@@ -14,14 +14,19 @@ third-party writer.
 Supported on read: shared strings (``t="s"``), inline strings
 (``t="inlineStr"``), formula-cached strings (``t="str"``), booleans
 (``t="b"``), numbers (int when integral), blank cells (None), sparse
-rows/cells via ``r`` references.  Not supported: encrypted workbooks
-(CFB container, not a ZIP — detected and reported), styles/dates-as-
-numbers beyond the raw serial value, and formula re-evaluation (the
-cached value is returned, same as pandas).
+rows/cells via ``r`` references, error (``t="e"``) and ISO-date
+(``t="d"``) cells, and — round 6 — DATES STORED AS STYLED SERIALS: a
+numeric cell whose cellXf number format is a date/time format (built-in
+ids per ECMA-376 §18.8.30 or a custom code with date tokens) converts to
+``datetime.date``/``datetime.datetime`` like pandas/crealytics do.
+Not supported: formula re-evaluation (the cached value is returned,
+same as pandas).  Encrypted workbooks (CFB container, not a ZIP) are
+detected and reported; ``sources.offcrypto`` decrypts them upstream.
 """
 
 from __future__ import annotations
 
+import datetime
 import re
 import zipfile
 from xml.etree import ElementTree as ET
@@ -98,7 +103,80 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return strings
 
 
-def _cell_value(cell: ET.Element, shared: list[str]):
+# Built-in numFmtIds Excel renders as dates/times (ECMA-376 §18.8.30);
+# custom formats are classified by date tokens outside quoted/bracketed
+# sections below.
+_BUILTIN_DATE_FMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47]
+    + list(range(50, 59))
+)
+
+
+def _format_is_date(code: str) -> bool:
+    """True if a custom number-format code renders a date/time: contains
+    y/m/d/h/s tokens outside string literals, [coloring]/[conditions],
+    and escaped chars.  'General'/'0.00%'/'#,##0' → False."""
+    depth_quote = False
+    i = 0
+    while i < len(code):
+        ch = code[i]
+        if ch == '"':
+            depth_quote = not depth_quote
+        elif not depth_quote:
+            if ch == "\\":
+                i += 1
+            elif ch == "[":
+                end = code.find("]", i)
+                i = end if end != -1 else len(code)
+            elif ch in "ymdhsYMDHS":
+                return True
+        i += 1
+    return False
+
+
+def _date_styles(zf: zipfile.ZipFile) -> list[bool]:
+    """Per-cellXf 'renders as date' flags from xl/styles.xml (empty list
+    when the workbook has no styles part — e.g. our own writer)."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return []
+    custom_date = {
+        int(fmt.get("numFmtId")): _format_is_date(fmt.get("formatCode", ""))
+        for fmts in root.iter(_q("numFmts"))
+        for fmt in fmts.iter(_q("numFmt"))
+    }
+    flags = []
+    for xfs in root.iter(_q("cellXfs")):
+        for xf in xfs.iter(_q("xf")):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            flags.append(
+                fmt_id in _BUILTIN_DATE_FMTS
+                or custom_date.get(fmt_id, False)
+            )
+    return flags
+
+
+# Excel's day-serial epoch.  1899-12-30 (not -31) absorbs the inherited
+# Lotus 1-2-3 bug that treats 1900 as a leap year: serials >= 61 convert
+# correctly with this epoch, and 60 (the fictitious 1900-02-29) maps to
+# 1900-02-28 rather than crashing — the standard reader compromise.
+_EXCEL_EPOCH = datetime.datetime(1899, 12, 30)
+
+
+def _serial_to_datetime(num: float):
+    whole = int(num)
+    frac = num - whole
+    moment = _EXCEL_EPOCH + datetime.timedelta(days=whole)
+    if frac:
+        seconds = round(frac * 86400, 6)
+        moment += datetime.timedelta(seconds=seconds)
+        return moment
+    return moment.date()
+
+
+def _cell_value(cell: ET.Element, shared: list[str],
+                date_styles: list[bool] = ()):
     ctype = cell.get("t", "n")
     if ctype == "inlineStr":
         is_el = cell.find(_q("is"))
@@ -130,6 +208,11 @@ def _cell_value(cell: ET.Element, shared: list[str]):
         raise ValueError(
             f"unsupported xlsx cell: type={ctype!r} value={text!r}"
         ) from exc
+    style = cell.get("s")
+    if style is not None and date_styles:
+        idx = int(style)
+        if 0 <= idx < len(date_styles) and date_styles[idx] and num >= 0:
+            return _serial_to_datetime(num)
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
 
 
@@ -158,6 +241,7 @@ def read_sheet(path: str, sheet: int | str = 0) -> list[list]:
                 raise KeyError(f"sheet {sheet!r} not in workbook {sorted(by_name)}")
             member = by_name[sheet]
         shared = _shared_strings(zf)
+        date_styles = _date_styles(zf)
         root = ET.fromstring(zf.read(member))
 
     cells: dict[tuple[int, int], object] = {}
@@ -176,7 +260,7 @@ def read_sheet(path: str, sheet: int | str = 0) -> list[list]:
             else:
                 col_idx = col_counter
             col_counter = col_idx + 1
-            value = _cell_value(cell, shared)
+            value = _cell_value(cell, shared, date_styles)
             if value is not None:
                 cells[(row_idx, col_idx)] = value
                 max_row = max(max_row, row_idx)

@@ -19,6 +19,10 @@ golden.xlsx
     (``t="d"``)
   - a second sheet resolved through workbook.xml.rels with a
     NON-sequential relationship id (rId7)
+  - a styles part with date-styled serial numbers: built-in numFmtId 14,
+    a custom datetime format, a NON-date custom format whose only 'y'
+    sits inside a quoted literal (classifier trap), and a plain numeric
+    format
 
 golden.avro
   - ``deflate`` codec
@@ -59,6 +63,7 @@ def gen_xlsx(path: str) -> None:
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         '<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         "</Types>"
@@ -131,11 +136,36 @@ def gen_xlsx(path: str) -> None:
         "</row>"
         "</sheetData></worksheet>"
     )
+    # cellXfs: 0=General, 1=builtin date (14), 2=custom datetime (164),
+    # 3=custom NON-date whose 'y' is quoted (165), 4=builtin 0.00 (2)
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_MAIN_NS}">'
+        '<numFmts count="2">'
+        '<numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>'
+        '<numFmt numFmtId="165" formatCode="0.00 &quot;yrs&quot;"/>'
+        "</numFmts>"
+        '<cellXfs count="5">'
+        '<xf numFmtId="0"/>'
+        '<xf numFmtId="14" applyNumberFormat="1"/>'
+        '<xf numFmtId="164" applyNumberFormat="1"/>'
+        '<xf numFmtId="165" applyNumberFormat="1"/>'
+        '<xf numFmtId="2" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+    # A3: serial 45366 styled as a date -> 2024-03-15
+    # A4: serial 45366.5 styled datetime -> 2024-03-15 12:00:00
+    # A5: serial 45366.25 styled with the QUOTED-'y' custom -> stays 45366.25
+    # A6: 1234.5 styled 0.00 -> stays numeric
     sheet2 = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<worksheet xmlns="{_MAIN_NS}"><sheetData>'
         '<row r="1"><c r="A1" t="inlineStr"><is><t>rate</t></is></c></row>'
         '<row r="2"><c r="A2"><v>0.035</v></c></row>'
+        '<row r="3"><c r="A3" s="1"><v>45366</v></c></row>'
+        '<row r="4"><c r="A4" s="2"><v>45366.5</v></c></row>'
+        '<row r="5"><c r="A5" s="3"><v>45366.25</v></c></row>'
+        '<row r="6"><c r="A6" s="4"><v>1234.5</v></c></row>'
         "</sheetData></worksheet>"
     )
     members = [
@@ -144,6 +174,7 @@ def gen_xlsx(path: str) -> None:
         ("xl/workbook.xml", workbook),
         ("xl/_rels/workbook.xml.rels", wb_rels),
         ("xl/sharedStrings.xml", shared_strings),
+        ("xl/styles.xml", styles),
         ("xl/worksheets/sheet1.xml", sheet1),
         ("xl/worksheets/sheet2.xml", sheet2),
     ]

@@ -56,12 +56,25 @@ def test_golden_xlsx_sheet1_values():
 
 
 def test_golden_xlsx_sheet_by_name_and_nonsequential_rel_id():
+    import datetime
+
     from aws_insurancelake_etl_spark.sources.xlsx_lite import read_sheet
 
     # "Rates & Fees" is bound through the non-sequential rId7 and has an
-    # escaped ampersand in its name
-    assert read_sheet(GOLDEN_XLSX, "Rates & Fees") == [["rate"], [0.035]]
-    assert read_sheet(GOLDEN_XLSX, 1) == [["rate"], [0.035]]
+    # escaped ampersand in its name.  Rows 3-6 pin the style-driven date
+    # conversion: built-in numFmtId 14 -> date, custom datetime format ->
+    # datetime, custom format whose only 'y' is INSIDE a quoted literal
+    # ('0.00 "yrs"') -> stays numeric, built-in 0.00 -> stays numeric.
+    expect = [
+        ["rate"],
+        [0.035],
+        [datetime.date(2024, 3, 15)],
+        [datetime.datetime(2024, 3, 15, 12, 0)],
+        [45366.25],
+        [1234.5],
+    ]
+    assert read_sheet(GOLDEN_XLSX, "Rates & Fees") == expect
+    assert read_sheet(GOLDEN_XLSX, 1) == expect
     with pytest.raises(KeyError):
         read_sheet(GOLDEN_XLSX, "NoSuchSheet")
 
@@ -126,6 +139,34 @@ def test_golden_fixtures_regenerate_byte_identical(tmp_path):
         assert f1.read() == f2.read()
     with open(GOLDEN_AVRO, "rb") as f1, open(a, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_xlsx_date_format_classifier_and_serial_conversion():
+    import datetime
+
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import (
+        _format_is_date, _serial_to_datetime,
+    )
+
+    assert _format_is_date("dd/mm/yyyy")
+    assert _format_is_date("[$-409]h:mm AM/PM")          # h outside brackets
+    assert _format_is_date("yyyy\\-mm\\-dd")             # escaped separators
+    assert not _format_is_date("General")
+    assert not _format_is_date("0.00%")
+    assert not _format_is_date('0.00 "yrs"')             # quoted y
+    assert not _format_is_date('#,##0 "hrs";[Red]-#,##0 "hrs"'
+                               .replace("hrs", "units")) # quoted + bracket
+    assert not _format_is_date("[Red]0.0")               # bracket only
+
+    assert _serial_to_datetime(45366) == datetime.date(2024, 3, 15)
+    assert _serial_to_datetime(45366.5) == datetime.datetime(2024, 3, 15, 12, 0)
+    # 61 = 1900-03-01 (first serial after the fictitious leap day)
+    assert _serial_to_datetime(61) == datetime.date(1900, 3, 1)
+    assert _serial_to_datetime(0.75) == datetime.datetime(1899, 12, 30, 18, 0)
+    # sub-second fractions survive rounding
+    assert _serial_to_datetime(45366 + 1.5 / 86400) == datetime.datetime(
+        2024, 3, 15, 0, 0, 1, 500000
+    )
 
 
 def test_xlsx_error_and_date_cells_unit():
