@@ -515,6 +515,110 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_encrypted_xlsx_read",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def src_encrypted_xlsx_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Password-protected Excel ingestion in the gate (round 6): orders
+    rows are written as a real workbook, encrypted with MS-OFFCRYPTO
+    agile (SHA-512/AES-256-CBC via ``sources.offcrypto``), and read back
+    through the ACTUAL engine path — ``read_input`` detects the CFB
+    container and decrypts with the spec's ``password`` — then compared
+    against DuckDB over the original parquet.  Reference parity:
+    crealytics ``workbookPassword`` (etl_collect_to_cleanse.py:165-170).
+    Workbook assembly is driver-side by nature (a workbook is one
+    monolithic zip; the reference's POI path is identical), so the row
+    set is bounded (o_orderkey <= 2000) and integer-only to keep schema
+    inference exact."""
+    from ..sources.offcrypto import encrypt_agile
+    from ..sources.readers import read_input
+    from ..sources.xlsx_lite import write_xlsx
+
+    rows = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .collect()
+    )
+    matrix = [["o_orderkey", "o_orderstatus", "price_cents"]] + [
+        [r["o_orderkey"], r["o_orderstatus"], r["price_cents"]] for r in rows
+    ]
+    work = tempfile.mkdtemp(prefix="gate-encxlsx-")
+    plain = f"{work}/orders.xlsx"
+    write_xlsx(plain, {"Orders": matrix})
+    with open(plain, "rb") as handle:
+        payload = handle.read()
+    enc_path = f"{work}/orders_encrypted.xlsx"
+    with open(enc_path, "wb") as handle:
+        handle.write(encrypt_agile(payload, "gate-password", spin_count=5000))
+    out = read_input(
+        spark, enc_path,
+        {"excel": {"sheet_names": ["Orders"], "password": "gate-password"}},
+    )
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.col("price_cents").cast("bigint").alias("price_cents"),
+    )
+
+
+@register(
+    "src_xlsx_date_styles",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def src_xlsx_date_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dates-as-styled-serials through the Excel path (round 6): order
+    dates are written as NUMERIC SERIALS carrying a date cellXf — the
+    layout every real workbook producer emits — and must come back as
+    typed dates via the style-aware reader (xl/styles.xml numFmt
+    classification, 1899-12-30 epoch).  A reader that ignored styles
+    would return raw serials like 45366 and mismatch every row."""
+    import datetime as dt
+
+    from ..sources.readers import read_input
+    from ..sources.xlsx_lite import write_xlsx
+
+    rows = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    )
+    matrix = [["o_orderkey", "order_date"]] + [
+        [
+            r["o_orderkey"],
+            r["o_orderdate"] if isinstance(r["o_orderdate"], dt.date)
+            else dt.date.fromisoformat(str(r["o_orderdate"])[:10]),
+        ]
+        for r in rows
+    ]
+    work = tempfile.mkdtemp(prefix="gate-datexlsx-")
+    path = f"{work}/orders_dates.xlsx"
+    write_xlsx(path, {"Orders": matrix})
+    out = read_input(spark, path, {"excel": {"sheet_names": ["Orders"]}})
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.date_format(F.col("order_date").cast("date"), "yyyy-MM-dd")
+        .alias("order_date"),
+    )
+
+
+@register(
     "mm_audio_featurize",
     """
     WITH d AS (

@@ -281,9 +281,12 @@ def _esc(text: str) -> str:
 
 def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
     """Write a minimal valid workbook: one worksheet part per entry,
-    strings inline (no sharedStrings part), numbers/bools typed.  Only
-    what :func:`read_sheet` (and pandas+openpyxl, for parity tests)
-    needs — no styles, no theme."""
+    strings inline (no sharedStrings part), numbers/bools typed.
+    ``datetime.date``/``datetime.datetime`` values are written the way
+    real producers write them — as numeric serials carrying a date
+    style (cellXf 1 = built-in numFmtId 14, cellXf 2 = a custom
+    datetime format) — so they round-trip through the style-aware
+    reader and through pandas/openpyxl alike."""
     sheet_items = list(sheets.items())
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -291,12 +294,25 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
         '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
             for i in range(len(sheet_items))
         )
         + "</Types>"
+    )
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_MAIN_NS}">'
+        '<numFmts count="1">'
+        '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd\\ hh:mm:ss"/>'
+        "</numFmts>"
+        '<cellXfs count="3">'
+        '<xf numFmtId="0"/>'
+        '<xf numFmtId="14" applyNumberFormat="1"/>'
+        '<xf numFmtId="164" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
     )
     root_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -339,6 +355,15 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
                 ref = f"{_index_to_col(c)}{r + 1}"
                 if isinstance(value, bool):
                     parts.append(f'<c r="{ref}" t="b"><v>{int(value)}</v></c>')
+                elif isinstance(value, datetime.datetime):
+                    serial = (value - _EXCEL_EPOCH).total_seconds() / 86400
+                    parts.append(f'<c r="{ref}" s="2"><v>{serial!r}</v></c>')
+                elif isinstance(value, datetime.date):
+                    serial = (
+                        datetime.datetime.combine(value, datetime.time())
+                        - _EXCEL_EPOCH
+                    ).days
+                    parts.append(f'<c r="{ref}" s="1"><v>{serial}</v></c>')
                 elif isinstance(value, (int, float)):
                     parts.append(f'<c r="{ref}"><v>{value!r}</v></c>')
                 else:
@@ -354,5 +379,6 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> None:
         zf.writestr("_rels/.rels", root_rels)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", styles)
         for i, (_, rows) in enumerate(sheet_items):
             zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", sheet_xml(rows))
