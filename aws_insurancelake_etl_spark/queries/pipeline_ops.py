@@ -515,6 +515,80 @@ def mm_decode_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_avro_nested_roundtrip",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN -1
+                     ELSE o_orderkey % 7 + 1 END AS BIGINT) AS attr_k
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def src_avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Avro through the engine reader (round 6): orders rows are
+    written as records with a NESTED record (detail: status+price), a
+    map (attrs), and a nullable-union field, then read back via
+    ``read_input`` → the ``avro_lite`` Python DataSource, which maps
+    record→struct and map→map<string,...> in the inferred Spark schema.
+    The gate flattens ``detail.*`` and probes the map by key, so a wrong
+    field order, block encoding, or union branch index mismatches every
+    row.  Writer-side collect is bounded (o_orderkey <= 2000); the READ
+    is the distributed path under test (one partition per container
+    file — two files here)."""
+    from ..sources.avro_lite import write_avro
+    from ..sources.readers import read_input
+
+    rows = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .collect()
+    )
+    detail_t = {
+        "type": "record", "name": "detail",
+        "fields": [{"name": "status", "type": "string"},
+                   {"name": "price_cents", "type": "long"}],
+    }
+    attrs_t = {"type": "map", "values": "long"}
+    names = ["o_orderkey", "detail", "attrs"]
+    types = ["long", detail_t, ["null", attrs_t]]
+    payload = [
+        (
+            r["o_orderkey"],
+            (r["o_orderstatus"], r["price_cents"]),
+            # null branch exercised on every third record; value varies
+            # so a key/branch mix-up cannot hide behind constants
+            None if r["o_orderkey"] % 3 == 0
+            else {"k": r["o_orderkey"] % 7 + 1},
+        )
+        for r in rows
+    ]
+    work = tempfile.mkdtemp(prefix="gate-avronest-")
+    half = len(payload) // 2
+    write_avro(f"{work}/part1.avro", names, types, payload[:half],
+               codec="deflate")
+    write_avro(f"{work}/part2.avro", names, types, payload[half:],
+               codec="null")
+    out = read_input(spark, work, {"avro": {}})
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("detail.status").alias("status"),
+        F.col("detail.price_cents").cast("bigint").alias("price_cents"),
+        F.coalesce(F.col("attrs")["k"], F.lit(-1))
+        .cast("bigint")
+        .alias("attr_k"),
+    )
+
+
+@register(
     "src_encrypted_xlsx_read",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -10,9 +10,11 @@ back here otherwise, so the ``.avro`` ingestion path executes (and is
 tested against real container bytes) in jar-less environments.
 
 Supported types: null, boolean, int, long, float, double, bytes, string,
-enum, array<primitive>, and unions of null with one branch.  Codecs:
-``null`` and ``deflate`` (stdlib zlib).  Not supported: nested records,
-maps, fixed, snappy.
+enum, arrays, NESTED RECORDS (decoded as tuples in field order), maps
+(block-encoded, decoded as dicts), fixed, and unions of null with one
+branch — arbitrarily composed.  Codecs: ``null`` and ``deflate``
+(stdlib zlib).  Not supported: snappy, named-type references, and
+multi-branch non-null unions (clear raises for each).
 """
 
 from __future__ import annotations
@@ -101,8 +103,33 @@ def _field_reader(ftype):
                     out.extend(item(buf) for _ in range(n))
 
             return read_array
-        if kind in ("record", "map", "fixed"):
-            raise NotImplementedError(f"avro_lite does not decode {kind} fields")
+        if kind == "record":  # nested record -> tuple in field order
+            readers = [_field_reader(f["type"]) for f in ftype["fields"]]
+
+            def read_record(buf, readers=readers):
+                return tuple(r(buf) for r in readers)
+
+            return read_record
+        if kind == "map":  # block-encoded string->value pairs
+            value_reader = _field_reader(ftype["values"])
+
+            def read_map(buf, value_reader=value_reader):
+                out = {}
+                while True:
+                    n = _read_long(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:  # block with byte-size prefix
+                        n = -n
+                        _read_long(buf)
+                    for _ in range(n):
+                        key = _read_bytes(buf).decode("utf-8")
+                        out[key] = value_reader(buf)
+
+            return read_map
+        if kind == "fixed":
+            size = ftype["size"]
+            return lambda buf, size=size: buf.read(size)
         return _primitive_reader(kind)
     raise NotImplementedError(f"unsupported avro field schema: {ftype!r}")
 
@@ -215,6 +242,30 @@ def _encode_value(out: bytearray, avro_type, value) -> None:
         _write_varlong(out, 0)
     elif isinstance(avro_type, dict) and avro_type.get("type") == "enum":
         _write_varlong(out, avro_type["symbols"].index(value))
+    elif isinstance(avro_type, dict) and avro_type.get("type") == "record":
+        fields = avro_type["fields"]
+        if isinstance(value, dict):
+            items = [value[f["name"]] for f in fields]
+        else:  # tuple/list in field order (the read_avro shape)
+            items = list(value)
+        for field, item in zip(fields, items):
+            _encode_value(out, field["type"], item)
+    elif isinstance(avro_type, dict) and avro_type.get("type") == "map":
+        if value:
+            _write_varlong(out, len(value))
+            for key, item in value.items():
+                encoded = key.encode("utf-8")
+                _write_varlong(out, len(encoded))
+                out.extend(encoded)
+                _encode_value(out, avro_type["values"], item)
+        _write_varlong(out, 0)
+    elif isinstance(avro_type, dict) and avro_type.get("type") == "fixed":
+        if len(value) != avro_type["size"]:
+            raise ValueError(
+                f"fixed field expects {avro_type['size']} bytes, "
+                f"got {len(value)}"
+            )
+        out.extend(value)
     else:
         raise NotImplementedError(f"avro_lite cannot encode {avro_type!r}")
 

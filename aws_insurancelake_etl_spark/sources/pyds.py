@@ -11,8 +11,9 @@ this is a real distributed scan (each task opens only its own file).
 
 Schema is inferred from the first file's embedded Avro schema
 (container files carry their schema by design); pass ``.schema(...)``
-to skip inference.  Decoding per file reuses
-:mod:`.avro_lite` (flat primitive records, null+deflate codecs).
+to skip inference.  Decoding per file reuses :mod:`.avro_lite`
+(primitives, enums, arrays, nested records → struct, maps, fixed →
+binary; null+deflate codecs).
 """
 
 from __future__ import annotations
@@ -48,6 +49,16 @@ def _field_ddl(ftype) -> str:
             return "string"
         if kind == "array":
             return f"array<{_field_ddl(ftype['items'])}>"
+        if kind == "record":
+            inner = ", ".join(
+                f"`{f['name']}`: {_field_ddl(f['type'])}"
+                for f in ftype["fields"]
+            )
+            return f"struct<{inner}>"
+        if kind == "map":
+            return f"map<string, {_field_ddl(ftype['values'])}>"
+        if kind == "fixed":
+            return "binary"
         return _AVRO_TO_DDL[kind]
     raise NotImplementedError(f"unsupported avro schema {ftype!r}")
 

@@ -317,6 +317,59 @@ def test_avro_lite_roundtrip_and_read_input(spark, tmp_path):
     assert by_id[-2].note is None and by_id[2**40].label == "c"
 
 
+def test_avro_lite_nested_records_maps_fixed(spark, tmp_path):
+    """Round 6: nested records decode as structs, maps as map<string,V>,
+    fixed as binary — arbitrarily composed, both codecs, through both
+    the direct parser and the Spark DataSource."""
+    from aws_insurancelake_etl_spark.sources.avro_lite import (
+        read_avro, write_avro,
+    )
+
+    rec_t = {"type": "record", "name": "addr", "fields": [
+        {"name": "city", "type": "string"},
+        {"name": "zips", "type": {"type": "array", "items": "int"}}]}
+    map_t = {"type": "map", "values": "long"}
+    fix_t = {"type": "fixed", "name": "f4", "size": 4}
+    names = ["id", "addr", "tags", "sig", "maybe"]
+    types = ["long", rec_t, map_t, fix_t, ["null", rec_t]]
+    rows = [
+        (1, ("Springfield", [12345, 999]), {"a": 1, "b": 2},
+         b"\x01\x02\x03\x04", ("X", [])),
+        (2, ("Shelbyville", []), {}, b"\xff\x00\xff\x00", None),
+    ]
+    f = tmp_path / "nested.avro"
+    write_avro(str(f), names, types, rows, codec="deflate")
+    got_names, got_rows = read_avro(str(f))
+    assert got_names == names and got_rows == rows
+
+    # dict-shaped record values encode identically to tuples
+    f2 = tmp_path / "nested2.avro"
+    write_avro(str(f2), names, types,
+               [(1, {"city": "Springfield", "zips": [12345, 999]},
+                 {"a": 1, "b": 2}, b"\x01\x02\x03\x04",
+                 {"city": "X", "zips": []})], codec="null")
+    assert read_avro(str(f2))[1][0] == rows[0]
+
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    df = spark.read.format("avro_lite").load(str(f))
+    assert dict(df.dtypes)["addr"] == "struct<city:string,zips:array<int>>"
+    assert dict(df.dtypes)["tags"] == "map<string,bigint>"
+    assert dict(df.dtypes)["sig"] == "binary"
+    out = {r["id"]: r for r in df.collect()}
+    assert out[1]["addr"]["city"] == "Springfield"
+    assert list(out[1]["addr"]["zips"]) == [12345, 999]
+    assert dict(out[1]["tags"]) == {"a": 1, "b": 2}
+    assert out[2]["maybe"] is None and out[1]["maybe"]["city"] == "X"
+
+    # fixed length mismatch fails loudly on encode
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed field"):
+        write_avro(str(tmp_path / "bad.avro"), ["s"], [fix_t], [(b"\x01",)])
+
+
 def test_avro_lite_rejects_non_container(tmp_path):
     from aws_insurancelake_etl_spark.sources import avro_lite
 
