@@ -541,6 +541,49 @@ def near_dup_pipeline(
     return jaccard_for_pairs(sh, candidates, jaccard_threshold)
 
 
+def keep_best_per_cluster(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The standard corpus-dedup COMPOSITION (SlimPajama/RefinedWeb
+    shape): near-dup pairs → transitive duplicate clusters → keep the
+    single best-scoring document per cluster.  Input ``scored`` is one
+    row per document with a score column (e.g. ``quality_score``);
+    ``pairs`` is any pair producer's output (Jaccard, LSH-verified,
+    SimHash).  Documents in no pair are singleton clusters of
+    themselves and always kept.
+
+    Returns (id, cluster_id, score, keep): ``keep`` marks the
+    cluster's argmax score, ties broken on the lowest id —
+    deterministic, so reruns keep the same documents.
+
+    Scale shape: clusters come from :func:`connected_components`
+    (bounded driver state); the cluster assignment joins back on the
+    document id (well-distributed shuffle key), and the argmax is one
+    window over ``cluster_id`` — duplicate clusters are tiny compared
+    to the corpus, so no skew; the full corpus is never re-shuffled
+    beyond that one id-keyed join."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        scored.join(cc, scored[id_col] == cc["node"], "left")
+        .select(
+            scored[id_col],
+            F.coalesce(cc["cluster_id"], scored[id_col]).alias("cluster_id"),
+            scored[score_col],
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return labeled.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

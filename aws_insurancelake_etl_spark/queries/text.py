@@ -632,6 +632,69 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shh AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               ROUND(COUNT(DISTINCT token) * 0.5 / COUNT(*)
+                     + (1 - SUM(CASE WHEN token IN ({_STOP_SQL}) THEN 1 ELSE 0
+                                END) * 1.0 / COUNT(*)) * 0.5, 4) AS quality
+        FROM toks GROUP BY doc_id
+    ),
+    labeled AS (
+        SELECT q.doc_id, COALESCE(cc.cluster_id, q.doc_id) AS cluster_id,
+               q.quality
+        FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id
+    )
+    SELECT doc_id, cluster_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id) = 1 AS keep
+    FROM labeled
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup COMPOSITION as one gate (SlimPajama shape): exact
+    Jaccard near-dup pairs → transitive clusters (distributed CC) →
+    keep the best-quality document per cluster, singletons kept.  The
+    oracle rebuilds the same closure with a recursive CTE and the same
+    argmax window, so a wrong cluster merge, quality formula, or
+    tie-break flips at least one ``keep`` flag.  See
+    ``operators/dedup.keep_best_per_cluster`` for the 100 TB shape."""
+    from ..operators import textanalysis as TA
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5,
+                            max_posting_len=None)
+    scored = TA.quality_score(docs).select("doc_id", "quality")
+    return D.keep_best_per_cluster(scored, pairs.select("doc_a", "doc_b"))
+
+
+@register(
     "text_stratified_sample",
     """
     SELECT doc_id, lang, source, n_chars

@@ -272,6 +272,28 @@ def test_lsh_candidate_pairs_max_posting_len(spark):
     assert capped.count() == 0  # every bucket has 4 members -> dropped
 
 
+def test_keep_best_per_cluster_chains_ties_singletons(spark):
+    """keep_best_per_cluster: transitive chains merge into one cluster,
+    the cluster keeps exactly its argmax-quality doc (ties -> lowest
+    id), and documents in no pair survive as singletons."""
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.95), (3, 0.95), (4, 0.1), (9, 0.5)],
+        "doc_id long, quality double",
+    )
+    # chain 1-2, 2-3, plus 3-4: one 4-doc cluster; 9 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           D.keep_best_per_cluster(scored, pairs).collect()}
+    assert {r["cluster_id"] for d, r in out.items() if d != 9} == {1}
+    # tie 0.95 between docs 2 and 3 -> lowest id wins
+    assert [d for d, r in out.items() if r["keep"]] == [2, 9] or sorted(
+        d for d, r in out.items() if r["keep"]
+    ) == [2, 9]
+    assert out[9]["cluster_id"] == 9 and out[9]["keep"]
+
+
 def test_posting_cap_truncation_is_observable(spark):
     """ADVICE r5: capping must not lose recall SILENTLY — an Observation
     threaded into the pair expanders reports how many posting lists the
