@@ -902,6 +902,106 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_outer",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >  p.ts - INTERVAL 2 HOUR
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner joins
+    don't exercise: an unmatched purchase may only emit its null-padded
+    row once the watermark proves no matching click can still arrive
+    (state expiry, not end-of-data).  The gate pins that by draining the
+    bulk file first, then a far-future sentinel file that passes both
+    side filters and pushes both watermarks past all real data
+    (mtime-spaced, ``maxFilesPerTrigger=1``), so EVERY real purchase
+    must have emitted either its matches or exactly one null row by
+    stream end — making the full batch LEFT JOIN the oracle.  A join
+    that dropped outer state, or emitted the null row too early
+    (duplicating a later match), diverges."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_id = uuid.uuid4().hex[:12]
+    # normalize ts up-front and write NORMALIZED drop files, so one
+    # stream schema covers the bulk and the sentinel alike
+    src = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix=f"gate-ssloj-{run_id}-")
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + dt.timedelta(days=10)
+    # one sentinel purchase + one sentinel click: they pass each side's
+    # event-type filter (so both watermarks advance past all real data)
+    # but use disjoint negative users, matching nothing
+    sentinels = spark.createDataFrame(
+        [(-1, -1, "purchase", sentinel_ts, 0.0),
+         (-1, -2, "click", sentinel_ts, 0.0)],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    files_dir = f"{tmp}/files"
+    os.makedirs(files_dir)
+    now = _time.time()
+    for i, df in enumerate((src, sentinels)):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part{i}")
+        for n in os.listdir(f"{tmp}/part{i}"):
+            if n.endswith(".parquet"):
+                dst = f"{files_dir}/events-{i}.parquet"
+                shutil.copy(f"{tmp}/part{i}/{n}", dst)
+                os.utime(dst, (now + 100 * i, now + 100 * i))
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        stream = spark.readStream.schema(src.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(files_dir)
+        return (
+            stream.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    sink = f"gate_ssloj_{run_id}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(sink)
+        .where(F.col("p_user") >= 0)  # drop the sentinel's own row
+        .select(
+            F.col("p_user").alias("user_id"),
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_id").alias("click_id"),
+        )
+    )
+
+
+@register(
     "src_xml_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus,
