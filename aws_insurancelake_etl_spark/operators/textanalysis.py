@@ -708,6 +708,77 @@ def mix_epochs(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    budget_fraction: float,
+    max_epochs: float = 1.0,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a token budget as UNIFORMLY as possible across
+    strata, except no stratum may exceed ``max_epochs`` passes over its
+    own data.  The closed-form water-filling: sort strata by cap
+    ascending; a stratum whose cap fits under the uniform share of the
+    remaining budget is fully allocated (capped); the rest share the
+    remainder equally at level theta = (budget - sum(capped)) / n_rest.
+
+    Everything is one grouped count plus windows over the per-stratum
+    table (one row per language — tiny by construction, so the global
+    sort/aggregate hops cost k rows, not corpus rows; the corpus-sized
+    work is the single token-count aggregation).
+
+    Output per stratum: total_tokens, cap_tokens, alloc_tokens, epochs
+    (= alloc / total — UniMax's defining output, never above
+    ``max_epochs``)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    totals = (
+        df.select(F.col(strata_col).alias("stratum"), toks.alias("n"))
+        .groupBy("stratum")
+        .agg(F.sum("n").alias("total_tokens"))
+        .withColumn("cap", F.col("total_tokens") * F.lit(float(max_epochs)))
+    )
+    w = Window.orderBy("cap", "stratum")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    budget = F.lit(float(budget_fraction)) * F.sum("total_tokens").over(wall)
+    k = F.count(F.lit(1)).over(wall)
+    rk = F.row_number().over(w)
+    cum_before = F.coalesce(F.sum("cap").over(wprev), F.lit(0.0))
+    staged = totals.select(
+        "stratum",
+        "total_tokens",
+        "cap",
+        budget.alias("budget"),
+        k.alias("k"),
+        rk.alias("rk"),
+        cum_before.alias("cum_before"),
+    ).withColumn(
+        # cap fits under the uniform share of what remains at its rank
+        "capped",
+        F.col("cum_before") + F.col("cap") * (F.col("k") - F.col("rk") + 1)
+        <= F.col("budget"),
+    )
+    m = F.sum(F.col("capped").cast("long")).over(wall)
+    cum_capped = F.coalesce(
+        F.sum(F.when(F.col("capped"), F.col("cap"))).over(wall), F.lit(0.0)
+    )
+    theta = F.when(
+        F.col("k") > m, (F.col("budget") - cum_capped) / (F.col("k") - m)
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.least(F.col("cap"), theta)
+    )
+    return staged.select(
+        "stratum",
+        "total_tokens",
+        F.round("cap", 4).alias("cap_tokens"),
+        F.round(alloc, 4).alias("alloc_tokens"),
+        F.round(alloc / F.col("total_tokens"), 4).alias("epochs"),
+    )
+
+
 def linear_text_classifier(
     df: DataFrame,
     weights: list[float],

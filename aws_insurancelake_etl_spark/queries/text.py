@@ -695,6 +695,70 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_unimax_allocation",
+    r"""
+    WITH t AS (
+        SELECT lang AS stratum,
+               SUM(len(string_split_regex(trim(text), '\s+'))) AS tt
+        FROM documents GROUP BY lang
+    ),
+    c AS (
+        SELECT stratum, CAST(tt AS BIGINT) AS total_tokens,
+               tt * 1.0 AS cap,
+               0.9 * SUM(tt) OVER () AS budget,
+               COUNT(*) OVER () AS k,
+               ROW_NUMBER() OVER (ORDER BY tt * 1.0, stratum) AS rk,
+               COALESCE(SUM(tt * 1.0) OVER (
+                   ORDER BY tt * 1.0, stratum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    ),
+    s AS (
+        SELECT *, (cum_before + cap * (k - rk + 1)) <= budget AS capped
+        FROM c
+    ),
+    agg AS (
+        SELECT *,
+               SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m,
+               COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (), 0)
+                   AS cum_capped
+        FROM s
+    ),
+    final AS (
+        SELECT *, CASE WHEN capped THEN cap
+                       ELSE LEAST(cap, (budget - cum_capped) / (k - m))
+                  END AS alloc
+        FROM agg
+    )
+    SELECT stratum, total_tokens,
+           ROUND(cap, 4) AS cap_tokens,
+           ROUND(alloc, 4) AS alloc_tokens,
+           ROUND(alloc / total_tokens, 4) AS epochs
+    FROM final
+    """,
+)
+def docs_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023) — the third
+    published mixing strategy alongside temperature sampling and DoReMi:
+    the token budget spreads as uniformly as possible across languages,
+    but no language exceeds ``max_epochs`` passes (here 1.0, budget =
+    90% of corpus tokens — the four smaller languages hit their epoch
+    cap, English absorbs the remainder at theta).  The oracle replays
+    the closed-form water-filling with the same sorted windows; a wrong
+    sort order, off-by-one in the remaining-share count, or a stratum
+    crossing its cap diverges.  See
+    ``operators/textanalysis.unimax_allocation`` for the scale shape
+    (corpus-sized work is one token-count aggregation; the water-fill
+    runs over one row per language)."""
+    from ..operators import textanalysis as TA
+
+    return TA.unimax_allocation(
+        _docs(spark, sf_dir), budget_fraction=0.9, max_epochs=1.0
+    )
+
+
+@register(
     "text_stratified_sample",
     """
     SELECT doc_id, lang, source, n_chars

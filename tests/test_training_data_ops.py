@@ -272,6 +272,45 @@ def test_lsh_candidate_pairs_max_posting_len(spark):
     assert capped.count() == 0  # every bucket has 4 members -> dropped
 
 
+def test_unimax_allocation_water_filling(spark):
+    """Hand-computed UniMax: strata of 10/20/70 tokens, budget 0.9*100=90,
+    max_epochs=1 -> caps 10/20/70; uniform share 30 > 10 and remaining
+    share 40 > 20, so small strata cap at 1.0 epoch; the big one takes
+    the remaining 60 tokens = 6/7 epochs."""
+    from aws_insurancelake_etl_spark.operators import textanalysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "a", " ".join(["w"] * 10)),
+         (2, "b", " ".join(["w"] * 20)),
+         (3, "c", " ".join(["w"] * 70))],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["stratum"]: r for r in
+           TA.unimax_allocation(docs, budget_fraction=0.9,
+                                max_epochs=1.0).collect()}
+    assert out["a"]["alloc_tokens"] == 10.0 and out["a"]["epochs"] == 1.0
+    assert out["b"]["alloc_tokens"] == 20.0 and out["b"]["epochs"] == 1.0
+    assert out["c"]["alloc_tokens"] == 60.0
+    assert abs(out["c"]["epochs"] - round(60 / 70, 4)) < 1e-9
+
+    # budget above the epoch caps: everyone caps, budget under-used
+    # (UniMax's defining behavior vs temperature sampling)
+    capped = {r["stratum"]: r for r in
+              TA.unimax_allocation(docs, budget_fraction=2.0,
+                                   max_epochs=1.5).collect()}
+    assert all(r["epochs"] == 1.5 for r in capped.values())
+
+    # fully uniform: huge equal strata, small budget -> equal thetas
+    eq = spark.createDataFrame(
+        [(i, l, " ".join(["w"] * 50)) for i, l in enumerate("abc")],
+        "doc_id long, lang string, text string",
+    )
+    u = {r["stratum"]: r["alloc_tokens"] for r in
+         TA.unimax_allocation(eq, budget_fraction=0.5,
+                              max_epochs=1.0).collect()}
+    assert set(u.values()) == {25.0}
+
+
 def test_keep_best_per_cluster_chains_ties_singletons(spark):
     """keep_best_per_cluster: transitive chains merge into one cluster,
     the cluster keeps exactly its argmax-quality doc (ties -> lowest
