@@ -736,8 +736,13 @@ def unimax_allocation(
     totals = (
         df.select(F.col(strata_col).alias("stratum"), toks.alias("n"))
         .groupBy("stratum")
-        .agg(F.sum("n").alias("total_tokens"))
-        .withColumn("cap", F.col("total_tokens") * F.lit(float(max_epochs)))
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            # cap computed INSIDE the aggregate so the k-row global-sort
+            # exchange sits directly on the HashAggregate (the plan-audit
+            # shape for a post-aggregate scalar hop)
+            (F.sum("n") * F.lit(float(max_epochs))).alias("cap"),
+        )
     )
     w = Window.orderBy("cap", "stratum")
     wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
