@@ -589,6 +589,55 @@ def src_avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_avro_write_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                ELSE o_orderpriority END AS pri
+    FROM orders WHERE o_orderkey % 8 = 0
+    """,
+)
+def sink_avro_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED Avro sink (round 6): ``df.write.format("avro_lite")``
+    writes one deflate container per partition through the Spark-4
+    Python DataSource writer (two-phase commit: temp names renamed on
+    driver-side commit), with NO driver-side collect on the write path —
+    the counterpart to the reader's one-partition-per-file scan.  Orders
+    rows (with a null-bearing union column) fan out over 4 partitions,
+    write, read back through the same DataSource, and must match DuckDB
+    over the original parquet."""
+    from ..sources import pyds
+    from ..sources.readers import read_input
+
+    pyds.register(spark)
+    rows = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 8 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.when(F.col("o_orderkey") % 4 != 0, F.col("o_orderpriority"))
+            .alias("pri"),
+        )
+        .repartition(4)
+    )
+    out_dir = tempfile.mkdtemp(prefix="gate-avrosink-") + "/data"
+    rows.write.format("avro_lite").mode("overwrite").save(out_dir)
+    back = read_input(spark, out_dir, {"avro": {}})
+    return back.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("price_cents").cast("bigint").alias("price_cents"),
+        "pri",
+    )
+
+
+@register(
     "src_encrypted_xlsx_read",
     """
     SELECT o_orderkey, o_orderstatus,

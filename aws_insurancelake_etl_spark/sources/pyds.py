@@ -21,7 +21,15 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _AVRO_TO_DDL = {
     "null": "string",
@@ -73,9 +81,144 @@ def _list_files(path: str) -> list[str]:
     return files
 
 
+def _spark_type_to_avro(dt, name_hint: str):
+    """Map a Spark DataType to an Avro field schema (reverse of
+    ``_field_ddl``).  Nullability is handled by the caller (union with
+    null); unsupported logical types raise a named error."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        item = _spark_type_to_avro(dt.elementType, name_hint + "_item")
+        if dt.containsNull:
+            item = ["null", item]
+        return {"type": "array", "items": item}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise NotImplementedError("avro maps require string keys")
+        val = _spark_type_to_avro(dt.valueType, name_hint + "_value")
+        if dt.valueContainsNull:
+            val = ["null", val]
+        return {"type": "map", "values": val}
+    if isinstance(dt, T.StructType):
+        safe = "".join(c if c.isalnum() or c == "_" else "_" for c in name_hint)
+        return {
+            "type": "record",
+            "name": f"r_{safe}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": (["null", _spark_type_to_avro(f.dataType, f.name)]
+                             if f.nullable
+                             else _spark_type_to_avro(f.dataType, f.name)),
+                }
+                for f in dt.fields
+            ],
+        }
+    raise NotImplementedError(
+        f"avro_lite writer does not support Spark type {dt.simpleString()}"
+    )
+
+
+def _to_avro_value(dt, value):
+    """Convert a Spark Row value tree into the shapes avro_lite encodes:
+    Rows → tuples, arrays → lists, maps → dicts, binary → bytes."""
+    from pyspark.sql import types as T
+
+    if value is None:
+        return None
+    if isinstance(dt, T.StructType):
+        return tuple(
+            _to_avro_value(f.dataType, v) for f, v in zip(dt.fields, value)
+        )
+    if isinstance(dt, T.ArrayType):
+        return [_to_avro_value(dt.elementType, v) for v in value]
+    if isinstance(dt, T.MapType):
+        return {k: _to_avro_value(dt.valueType, v) for k, v in value.items()}
+    if isinstance(dt, T.BinaryType):
+        return bytes(value)
+    return value
+
+
+@dataclass
+class _AvroCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+
+
+class AvroLiteWriter(DataSourceWriter):
+    """Distributed Avro SINK: each task writes its partition to one
+    container file under a temp name; the driver-side ``commit`` renames
+    every temp into place (and clears pre-existing files on overwrite),
+    ``abort`` removes them — the standard two-phase file commit, so a
+    failed job leaves no half-written ``*.avro`` visible.  Assumes the
+    path is shared storage (same contract as every file sink)."""
+
+    def __init__(self, path: str, schema, overwrite: bool):
+        self.path = path
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        from .avro_lite import write_avro
+
+        os.makedirs(self.path, exist_ok=True)
+        fields = self.schema.fields
+        names = [f.name for f in fields]
+        types = [
+            (["null", _spark_type_to_avro(f.dataType, f.name)] if f.nullable
+             else _spark_type_to_avro(f.dataType, f.name))
+            for f in fields
+        ]
+        rows = [
+            tuple(
+                _to_avro_value(f.dataType, value)
+                for f, value in zip(fields, row)
+            )
+            for row in iterator
+        ]
+        base = f"part-{uuid.uuid4().hex}.avro"
+        tmp = os.path.join(self.path, f"_tmp_{base}")
+        write_avro(tmp, names, types, rows, codec="deflate")
+        return _AvroCommit(tmp_path=tmp, final_path=os.path.join(self.path, base))
+
+    def commit(self, messages):
+        if self.overwrite:
+            keep = {m.tmp_path for m in messages if m is not None}
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                if name.endswith(".avro") and full not in keep:
+                    os.remove(full)
+        for message in messages:
+            if message is not None:
+                os.replace(message.tmp_path, message.final_path)
+
+    def abort(self, messages):
+        for message in messages:
+            if message is not None and os.path.exists(message.tmp_path):
+                os.remove(message.tmp_path)
+
+
 class AvroLiteDataSource(DataSource):
     """``spark.read.format("avro_lite").load(path)`` — path may be a
-    file, a directory of ``*.avro``, or a glob."""
+    file, a directory of ``*.avro``, or a glob.
+    ``df.write.format("avro_lite").save(path)`` — distributed sink, one
+    deflate container file per partition, two-phase commit."""
 
     @classmethod
     def name(cls) -> str:
@@ -102,6 +245,9 @@ class AvroLiteDataSource(DataSource):
 
     def reader(self, schema) -> "AvroLiteReader":
         return AvroLiteReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool) -> "AvroLiteWriter":
+        return AvroLiteWriter(self.options["path"], schema, overwrite)
 
 
 class AvroLiteReader(DataSourceReader):

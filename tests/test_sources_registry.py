@@ -370,6 +370,54 @@ def test_avro_lite_nested_records_maps_fixed(spark, tmp_path):
         write_avro(str(tmp_path / "bad.avro"), ["s"], [fix_t], [(b"\x01",)])
 
 
+def test_avro_lite_datasource_distributed_writer(spark, tmp_path):
+    """Spark-4 Python DataSource WRITE path: one container per
+    partition, nested/nullable types, two-phase commit semantics
+    (overwrite replaces, no temp files left behind)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(40).select(
+        "id",
+        F.concat(F.lit("n"), F.col("id")).alias("s"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.struct(F.col("id").alias("a"), F.lit("x").alias("b")).alias("st"),
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("maybe"),
+    ).repartition(3)
+    df.write.format("avro_lite").mode("overwrite").save(out)
+    files = sorted(os.listdir(out))
+    assert len([f for f in files if f.endswith(".avro")]) == 3
+    assert not any(f.startswith("_tmp_") for f in files)
+    back = spark.read.format("avro_lite").load(out)
+    rows = {r["id"]: r for r in back.collect()}
+    assert len(rows) == 40
+    assert rows[6]["st"]["a"] == 6 and rows[6]["st"]["b"] == "x"
+    assert dict(rows[6]["m"]) == {"k": 6}
+    assert rows[6]["maybe"] == 6 and rows[7]["maybe"] is None
+    assert list(rows[39]["arr"]) == [39, 40]
+
+    # overwrite fully replaces prior contents
+    df.limit(5).repartition(1).write.format("avro_lite").mode(
+        "overwrite"
+    ).save(out)
+    assert spark.read.format("avro_lite").load(out).count() == 5
+    assert len(os.listdir(out)) == 1
+
+    # unsupported type -> named error surfaced from the task
+    import pytest
+
+    with pytest.raises(Exception, match="does not support Spark type"):
+        spark.range(2).select(
+            F.current_timestamp().alias("ts")
+        ).write.format("avro_lite").mode("overwrite").save(str(tmp_path / "bad"))
+
+
 def test_avro_lite_rejects_non_container(tmp_path):
     from aws_insurancelake_etl_spark.sources import avro_lite
 
