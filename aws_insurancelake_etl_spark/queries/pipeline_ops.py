@@ -589,6 +589,75 @@ def src_avro_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    UNION
+    SELECT CAST(-77 AS BIGINT), 'ghost_type'
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ``dropDuplicatesWithinWatermark`` in the gate: stateful
+    key dedup whose state EXPIRES with the watermark, so (unlike plain
+    streaming dropDuplicates) memory is bounded by the watermark window
+    at 100 TB/day rates.  Drop order pins the semantics the API actually
+    guarantees: the bulk file establishes the high watermark, then a
+    second file replays ancient rows plus one brand-new key at a late
+    timestamp.  Late rows are NOT dropped (measured — the guarantee is
+    "no duplicates within the delay", not late-row filtering; a
+    replayed key whose state already expired may re-emit), so the
+    emitted KEY SET is exactly distinct-keys(events) ∪ the ghost key —
+    and that set, not per-key emission counts (first-in-batch row choice
+    is nondeterministic), is what the oracle checks."""
+    import os
+    import time as _time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_id = uuid.uuid4().hex[:12]
+    src = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix=f"gate-dupwm-{run_id}-")
+    min_ts = src.agg(F.min("ts")).collect()[0][0]
+    # late replay: the oldest 200 events re-sent, plus one NEW key at the
+    # corpus's minimum timestamp — weeks below the final watermark
+    replay = src.orderBy("ts", "event_id").limit(200)
+    ghost = spark.createDataFrame(
+        [(-99, -77, "ghost_type", min_ts, 0.0)],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    late = replay.unionByName(ghost)
+    files_dir = f"{tmp}/files"
+    os.makedirs(files_dir)
+    now = _time.time()
+    for i, df in enumerate((src, late)):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part{i}")
+        for n in os.listdir(f"{tmp}/part{i}"):
+            if n.endswith(".parquet"):
+                dst = f"{files_dir}/events-{i}.parquet"
+                shutil.copy(f"{tmp}/part{i}/{n}", dst)
+                os.utime(dst, (now + 100 * i, now + 100 * i))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    sink = f"gate_dupwm_{run_id}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select("user_id", "event_type").distinct()
+
+
+@register(
     "sink_avro_write_roundtrip",
     """
     SELECT o_orderkey, o_orderstatus,
