@@ -78,6 +78,9 @@ EXTENDED = [
     "sketch_kmv_merge_tables",
     "mm_decode_featurize",
     "mm_audio_featurize",
+    "dedup_keep_best",
+    "docs_unimax_allocation",
+    "sink_avro_write_roundtrip",
 ]
 
 
