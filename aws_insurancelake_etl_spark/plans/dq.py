@@ -18,10 +18,16 @@ Re-expresses the reference's Glue Data Quality integration
 Rule types: ``ColumnValues <col> matches '<re>' | <op> <val> | in [..] |
 between a and b``, ``ColumnDataType <col> = '<TYPE>'``,
 ``Completeness <col> <op> <frac>``, ``IsComplete``, ``IsUnique``,
-``ColumnExists``, ``RowCount <op> <n>``, ``Uniqueness <col> <op> <frac>``,
-composite ``(A) and (B)`` / ``(A) or (B)``, and ``CustomSql '<sql>'`` in
-aggregate (scalar comparison) and row-level (key-set semi-join) forms; the
-incoming dataset is always aliased ``primary``.
+``IsPrimaryKey``, ``ColumnExists``, ``RowCount <op> <n>``,
+``Uniqueness <col> <op> <frac>``, ``Mean``/``StandardDeviation``/``Sum``/
+``DistinctValuesCount``/``ColumnCorrelation <a> <b>`` threshold rules,
+``ColumnLength``, ``DataFreshness <col> <= N minutes|hours|days``
+(injectable ``freshness_now`` for deterministic replay),
+``ReferentialIntegrity``, composite ``(A) and (B)`` / ``(A) or (B)``, and
+``CustomSql '<sql>'`` in aggregate (scalar comparison) and row-level
+(key-set semi-join) forms; the incoming dataset is always aliased
+``primary``.  ``UniqueValueRatio`` is refused with its CustomSql rewrite
+named (per-value frequencies need a second pass).
 
 Execution design (scale): every non-CustomSql rule compiles to either a
 row-level boolean ``Column`` or an aggregate expression; *all* aggregate
@@ -502,6 +508,84 @@ class RuleCompiler:
             predicate = spark_ops[op]
         else:
             raise DQRuleError(f"Unparseable ColumnLength condition: {text}")
+        return self._predicate_rule(text, predicate)
+
+    def _rule_isprimarykey(self, text: str, rest: str) -> CompiledRule:
+        """``IsPrimaryKey <col>`` = complete AND unique (Glue DQDL):
+        zero nulls and zero duplicate values, both from the one shared
+        aggregation pass."""
+        name = self._column(rest.strip())
+        self._require_column(name, text)
+        key_n = f"__dq_pk_nulls_{abs(hash(text)) % (10**9)}"
+        key_d = f"__dq_pk_dups_{abs(hash(text)) % (10**9)}"
+        col = F.col(f"`{name}`")
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key_n] = F.count(F.when(col.isNull(), 1))
+        rule.agg_exprs[key_d] = F.count_distinct(col) - F.count(col)
+        rule.agg_eval = lambda agg_row, kn=key_n, kd=key_d: (
+            int(agg_row.get(kn) or 0) == 0 and int(agg_row.get(kd) or 0) == 0
+        )
+        return rule
+
+    def _rule_uniquevalueratio(self, text: str, rest: str) -> CompiledRule:
+        """``UniqueValueRatio`` (exactly-once values / distinct values)
+        needs per-value frequencies — a grouped sub-aggregation that
+        cannot fold into the engine's single shared ``df.agg`` pass.
+        Refused with the CustomSql rewrite named, rather than silently
+        approximated with Uniqueness (distinct/count), which is a
+        different statistic."""
+        raise DQRuleError(
+            "UniqueValueRatio needs per-value frequencies (two-pass); "
+            "express it as CustomSql, e.g. \"CustomSql 'SELECT "
+            "COUNT_IF(c = 1) * 1.0 / COUNT(*) FROM (SELECT COUNT(*) AS c "
+            "FROM primary GROUP BY <col>)' >= 0.9\""
+        )
+
+    def _rule_columncorrelation(self, text: str, rest: str) -> CompiledRule:
+        """``ColumnCorrelation <a> <b> <op> <v>`` — Pearson correlation
+        between two numeric columns as one ``corr`` aggregate in the
+        shared pass (Glue DQDL rule type)."""
+        match = re.match(
+            rf"(?:{_QUOTED}|(\S+))\s+(?:{_QUOTED}|(\S+))\s+(.*)$",
+            rest, re.DOTALL,
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable ColumnCorrelation rule: {text}")
+        groups = match.groups()
+        a = self._column(f"'{_pick(groups[0:3])}'")
+        b = self._column(f"'{_pick(groups[3:6])}'")
+        condition = (groups[6] or "").strip()
+        self._require_column(a, text)
+        self._require_column(b, text)
+        return self._agg_compare_rule(
+            text, condition, "corr",
+            F.corr(F.col(f"`{a}`"), F.col(f"`{b}`")).cast("double"),
+        )
+
+    def _rule_datafreshness(self, text: str, rest: str) -> CompiledRule:
+        """``DataFreshness <col> <= N hours|days`` — every value must be
+        within the window ending at ``now`` (Glue DQDL).  ``now`` is
+        injectable via the compiler's ``freshness_now`` attribute so
+        tests and replays are deterministic; nulls are non-compliant,
+        matching the ColumnValues convention."""
+        name, condition = self._parse_col_and_condition(text, rest)
+        match = re.fullmatch(
+            r"(<=|<)\s*(\d+)\s+(hours?|days?|minutes?)", condition,
+            re.IGNORECASE,
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable DataFreshness condition: {text}")
+        amount = int(match.group(2))
+        unit = match.group(3).lower().rstrip("s")
+        seconds = amount * {"minute": 60, "hour": 3600, "day": 86400}[unit]
+        now = getattr(self, "freshness_now", None)
+        now_col = F.lit(now).cast("timestamp") if now is not None else (
+            F.current_timestamp()
+        )
+        age = now_col.cast("long") - F.col(f"`{name}`").cast("timestamp").cast("long")
+        predicate = (age >= 0) & (
+            (age <= seconds) if match.group(1) == "<=" else (age < seconds)
+        )
         return self._predicate_rule(text, predicate)
 
     def _rule_customsql(self, text: str, rest: str) -> CompiledRule:

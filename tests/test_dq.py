@@ -177,6 +177,53 @@ def test_statistical_rule_family(spark):
     assert df.filter(~rule.predicate).count() == 1
 
 
+def test_primary_key_correlation_freshness_rules(spark):
+    """Round-6 DQDL additions: IsPrimaryKey (complete AND unique in the
+    shared pass), ColumnCorrelation (one corr aggregate), DataFreshness
+    (row-level, injectable now for determinism), and the explicit
+    UniqueValueRatio refusal that names its CustomSql rewrite."""
+    import pandas as pd
+
+    from aws_insurancelake_etl_spark.context import RunContext
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError, RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import _evaluate_rules
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "pk": [1, 2, 3, 4],
+            "dup": [1, 1, 2, 3],
+            "withnull": [1.0, 2.0, None, 4.0],
+            "x": [1.0, 2.0, 3.0, 4.0],
+            "y": [2.0, 4.0, 6.0, 8.0],
+            "anti": [4.0, 3.0, 2.0, 1.0],
+            "seen": ["2024-01-01 10:00:00", "2024-01-01 11:00:00",
+                     "2024-01-01 11:30:00", "2024-01-01 11:59:00"],
+        })
+    )
+    compiler = RuleCompiler(df)
+    compiler.freshness_now = "2024-01-01 12:00:00"
+    ctx = RunContext(spark=spark, args={})
+    cases = {
+        "IsPrimaryKey pk": True,
+        "IsPrimaryKey dup": False,        # duplicates
+        "IsPrimaryKey withnull": False,   # null present
+        "ColumnCorrelation x y >= 0.99": True,    # perfectly correlated
+        "ColumnCorrelation x anti < 0": True,     # perfectly anti-correlated
+        "ColumnCorrelation 'x' 'y' between 0.5 and 1.5": True,
+        "DataFreshness seen <= 2 hours": True,    # all within 2h of now
+        "DataFreshness seen <= 30 minutes": False,  # 10:00 row too old
+    }
+    rules = [compiler.compile(text) for text in cases]
+    outcomes = {o.rule: o.passed for o in _evaluate_rules(df, rules, ctx)}
+    assert outcomes == cases
+    # DataFreshness is row-level: quarantine splits exactly the stale rows
+    rule = compiler.compile("DataFreshness seen <= 30 minutes")
+    assert rule.predicate is not None
+    assert df.filter(~rule.predicate).count() == 2  # 10:00 and 11:00
+    with pytest.raises(DQRuleError, match="CustomSql"):
+        compiler.compile("UniqueValueRatio dup >= 0.5")
+
+
 def test_referential_integrity_rule(spark, ctx):
     from aws_insurancelake_etl_spark.plans.dq import DQRuleError, RuleCompiler
     from aws_insurancelake_etl_spark.plans.dq_runner import (
