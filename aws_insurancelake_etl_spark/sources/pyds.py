@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -248,6 +249,54 @@ class AvroLiteDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "AvroLiteWriter":
         return AvroLiteWriter(self.options["path"], schema, overwrite)
+
+    def streamReader(self, schema) -> "AvroLiteStreamReader":
+        return AvroLiteStreamReader(self.options["path"])
+
+
+class AvroLiteStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAMING source over a directory of Avro container
+    files — ``spark.readStream.format("avro_lite").load(dir)`` tails the
+    directory the way Spark's built-in file sources tail parquet/csv
+    (which have no jar-less Avro equivalent).  The offset is the set of
+    file names already processed (a {name: true} dict — offsets must be
+    primitive-valued JSON); each micro-batch plans one InputPartition
+    per NEW file, so decoding distributes across executors exactly like
+    the batch reader.  Checkpoint-restart safety comes from the offset
+    contract: Spark persists the end offset per batch and replays
+    `partitions(start, end)` deterministically from the name sets."""
+
+    def __init__(self, path: str):
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"avro_lite streaming requires a directory, got {path!r}"
+            )
+        self.path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        try:
+            files = _list_files(self.path)
+        except FileNotFoundError:
+            files = []
+        return {"files": {os.path.basename(f): True for f in files}}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(
+            set(end.get("files", {})) - set(start.get("files", {}))
+        )
+        return [InputPartition(os.path.join(self.path, name)) for name in new]
+
+    def read(self, partition):
+        from . import avro_lite
+
+        _, rows = avro_lite.read_avro(partition.value)
+        yield from rows
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class AvroLiteReader(DataSourceReader):

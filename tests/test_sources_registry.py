@@ -418,6 +418,73 @@ def test_avro_lite_datasource_distributed_writer(spark, tmp_path):
         ).write.format("avro_lite").mode("overwrite").save(str(tmp_path / "bad"))
 
 
+def test_avro_lite_streaming_source_with_checkpoint_restart(spark, tmp_path):
+    """Round 6: the avro_lite STREAMING source tails a directory —
+    micro-batches pick up only NEW container files (offset = seen-name
+    set), decoding distributes one partition per file, and a restart
+    from the checkpoint neither replays old files nor misses ones added
+    while stopped."""
+    import time
+
+    from aws_insurancelake_etl_spark.sources import pyds
+    from aws_insurancelake_etl_spark.sources.avro_lite import write_avro
+
+    pyds.register(spark)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_avro(str(src / "f1.avro"), ["id", "v"], ["long", "string"],
+               [(1, "a"), (2, "b")])
+
+    def start():
+        return (
+            spark.readStream.format("avro_lite").load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def wait_rows(n, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                if spark.read.parquet(out_dir).count() >= n:
+                    return True
+            except Exception:  # noqa: BLE001 - sink dir not created yet
+                pass
+            time.sleep(0.4)
+        return False
+
+    q = start()
+    assert wait_rows(2), "first file not ingested"
+    write_avro(str(src / "f2.avro"), ["id", "v"], ["long", "string"],
+               [(3, "c")], codec="deflate")
+    assert wait_rows(3), "second file not ingested"
+    q.stop()
+
+    # file added while the stream is DOWN must appear after restart,
+    # with no duplicates from f1/f2
+    write_avro(str(src / "f3.avro"), ["id", "v"], ["long", "string"],
+               [(4, "d"), (5, "e")])
+    q = start()
+    assert wait_rows(5), "post-restart file not ingested"
+    q.stop()
+    rows = sorted((r.id, r.v) for r in spark.read.parquet(out_dir).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+    import pytest
+
+    # non-directory paths are rejected at reader construction (the
+    # error surfaces on the stream thread in a live query, so assert
+    # on the constructor directly)
+    with pytest.raises(ValueError, match="requires a directory"):
+        pyds.AvroLiteStreamReader(str(src / "f1.avro"))
+
+
 def test_avro_lite_rejects_non_container(tmp_path):
     from aws_insurancelake_etl_spark.sources import avro_lite
 
