@@ -150,6 +150,92 @@ def test_scd2_apply_version_semantics(spark):
     ]
 
 
+def test_scd2_streaming_foreachbatch_incremental(spark, tmp_path):
+    """SCD2 as a STREAMING upsert (round 6): change batches arrive as a
+    file stream, foreachBatch applies scd2_apply incrementally against
+    the persisted table — the daily-CDC pattern a warehouse user runs.
+    Applying batch1 then batch2 must equal applying the two change sets
+    sequentially in batch mode (version chains per key, not last-wins)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.operators.scd import scd2_apply
+
+    table_dir = str(tmp_path / "scd2_table")
+    src = tmp_path / "changes"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    empty = spark.createDataFrame(
+        [], "k long, bal double, valid_from date, valid_to date"
+    )
+    empty.write.mode("overwrite").parquet(table_dir)
+    schema = "k long, bal double, effective_date date"
+    raw_schema = "k long, bal double, effective_date string"
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        current = batch_df.sparkSession.read.parquet(table_dir)
+        updated = scd2_apply(current, batch_df, key_cols=["k"],
+                             attr_cols=["bal"])
+        # plain-parquet upsert = full rewrite via an intermediate copy
+        # (the MERGE fallback pattern from operators/entitymatch)
+        staged = updated.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(table_dir)
+        staged.unpersist()
+
+    spark.createDataFrame(
+        [(1, 100.0, "2024-01-01"), (2, 50.0, "2024-01-01")], raw_schema
+    ).select("k", "bal", F.col("effective_date").cast("date")).coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .select("k", "bal", F.col("effective_date").cast("date"))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    # second change batch: key 1 changes, key 3 is new, key 2 no-op
+    spark.createDataFrame(
+        [(1, 120.0, "2024-02-01"), (2, 50.0, "2024-02-01"),
+         (3, 75.0, "2024-02-01")], raw_schema
+    ).select("k", "bal", F.col("effective_date").cast("date")).coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .select("k", "bal", F.col("effective_date").cast("date"))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    time.sleep(0.2)
+
+    rows = sorted(
+        (r.k, r.bal, str(r.valid_from), str(r.valid_to))
+        for r in spark.read.parquet(table_dir).collect()
+    )
+    assert rows == [
+        (1, 100.0, "2024-01-01", "2024-02-01"),  # closed old version
+        (1, 120.0, "2024-02-01", "None"),        # new open version
+        (2, 50.0, "2024-01-01", "None"),         # no-op: untouched
+        (3, 75.0, "2024-02-01", "None"),         # new key
+    ]
+
+
 def test_fuzzy_match_token_sort_method(spark):
     from aws_insurancelake_etl_spark.operators.entitymatch import fuzzy_match_level
 
