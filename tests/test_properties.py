@@ -588,3 +588,37 @@ def test_agile_crypto_roundtrip_property(payload, password):
         raise AssertionError("wrong password accepted")
     except OC.WrongPassword:
         pass
+
+
+_rule_fragments = st.lists(
+    st.sampled_from([
+        "ColumnValues", "Completeness", "IsComplete", "IsUnique",
+        "IsPrimaryKey", "ColumnExists", "RowCount", "Uniqueness", "Mean",
+        "StandardDeviation", "Sum", "DistinctValuesCount", "ColumnLength",
+        "ColumnCorrelation", "DataFreshness", "CustomSql", "Bogus",
+        "'k'", "k", "v", "matches", "in", "between", "and", "or",
+        ">=", "<=", ">", "<", "=", "!=", "0.5", "10", "-3", "'re.*'",
+        "(", ")", "hours", "days", "'SELECT 1'",
+    ]),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(fragments=_rule_fragments)
+@settings(**SETTINGS)
+def test_dq_rule_parser_total(spark, fragments):
+    """The DQDL compiler is TOTAL over garbage: any rule text either
+    compiles or raises DQRuleError with the offending text — never a
+    bare KeyError/IndexError/AttributeError from a partial parse.  A
+    malformed production rule config should fail with a nameable error,
+    not a stack trace from the parser's guts."""
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError, RuleCompiler
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    compiler = RuleCompiler(df)
+    text = " ".join(fragments)
+    try:
+        compiler.compile(text)
+    except DQRuleError:
+        pass
