@@ -73,7 +73,7 @@ def salted_agg(
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
-    on: list[str],
+    on: list[str] | str,
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
@@ -85,6 +85,8 @@ def salted_join(
     spreads over ``n_salts`` shuffle partitions instead of one.  Join
     output is exactly the unsalted join's.
     """
+    if isinstance(on, str):
+        on = [on]
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     dim_salted = dim.withColumn("__salt", salts)
     fact_salted = fact.withColumn(

@@ -50,6 +50,10 @@ def test_salted_join_matches_direct(spark):
     assert _rows(salted.select("k", "payload", "attr")) == _rows(
         direct.select("k", "payload", "attr")
     )
+    # a bare-string join key normalizes to a list (round-6 API fix)
+    assert _rows(
+        salted_join(fact, dim, "k", n_salts=4).select("k", "payload", "attr")
+    ) == _rows(direct.select("k", "payload", "attr"))
     # left join keeps unmatched fact rows exactly once
     fact2 = fact.union(spark.createDataFrame([("nomatch", 0)], "k string, payload int"))
     salted_left = salted_join(fact2, dim, ["k"], n_salts=4, how="left")
