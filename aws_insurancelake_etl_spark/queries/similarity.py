@@ -1233,3 +1233,146 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+def _ivfpq_oracle() -> str:
+    """Composed IVF+PQ oracle: the full-embedding Lloyd's chain supplies
+    the coarse cells (``asg``), the two PQ subspace chains + per-query
+    LUTs supply ADC distances, and the candidate set is restricted to
+    the query's own cell before the top-10 ADC cut and exact-cosine
+    re-rank — the same composition the Spark gate runs."""
+    luts = []
+    for sfx, lo, length in (("s0", 1, 32), ("s1", 33, 32)):
+        luts.append(f"""
+    qs{sfx} AS (
+        SELECT vec_id AS query_id,
+               generate_subscripts(list_slice(embedding, {lo}, {lo + length - 1}), 1) - 1 AS dim,
+               CAST(unnest(list_slice(embedding, {lo}, {lo + length - 1})) AS DOUBLE) AS e
+        FROM embeddings WHERE vec_id < 5
+    ),
+    lut{sfx} AS (
+        SELECT q.query_id, c.cid AS code, SUM((q.e - c.val) * (q.e - c.val)) AS pd
+        FROM qs{sfx} q JOIN c2{sfx} c ON q.dim = c.dim
+        GROUP BY q.query_id, c.cid
+    )""")
+    tail = f""",
+    {_pq_subspace_sql('s0', 1, 32, 4, 2)},
+    {_pq_subspace_sql('s1', 33, 32, 4, 2)},{luts[0]},{luts[1]},
+    codes AS (
+        SELECT a0.vec_id, a0.code AS code0, a1.code AS code1
+        FROM asgs0 a0 JOIN asgs1 a1 USING (vec_id)
+    ),
+    adc AS (
+        SELECT l0.query_id, cd.vec_id, l0.pd + l1.pd AS adc
+        FROM codes cd
+        JOIN asg ca ON ca.vec_id = cd.vec_id
+        JOIN asg qa ON qa.cluster = ca.cluster
+        JOIN luts0 l0 ON cd.code0 = l0.code AND l0.query_id = qa.vec_id
+        JOIN luts1 l1 ON cd.code1 = l1.code AND l1.query_id = l0.query_id
+        WHERE cd.vec_id <> l0.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= 10
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT cand.query_id, cand.vec_id, ROUND({_COSINE_SQL}, 4) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                  ORDER BY {_COSINE_SQL} DESC, cand.vec_id) AS rn
+        FROM cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+    ) WHERE rn <= 5
+    """
+    return _kmeans_sql(k=4, n_iter=2, final_select=tail)
+
+
+@register("ann_ivfpq_search", _ivfpq_oracle())
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production FAISS index shape, composed end-to-end (round 6):
+    IVF coarse quantizer (full-embedding Lloyd's, k=4) prunes the corpus
+    to the query's cell (nprobe=1), PQ codes + per-query ADC lookup
+    tables score ONLY that cell without touching raw vectors, the top-10
+    ADC candidates re-rank by exact cosine to top-5.  Relative to
+    ``ann_ivf_kmeans_topk`` (exact scoring in-cell) and
+    ``ann_pq_adc_rerank`` (ADC over the whole corpus) this is the
+    two-level cost structure real indexes run: scan cost ~ cell size ×
+    8-byte codes, full-precision reads ~ re-rank candidates only.  At
+    100 TB: cells are the table's partition key (partition-pruned scan),
+    codes are ~30× smaller than vectors, LUTs are k×m doubles per query
+    broadcast to the cell scan."""
+    from ..operators.similarity import kmeans_fit
+
+    emb = spread(spark, t(spark, sf_dir, "embeddings"))
+    cells, _ = kmeans_fit(emb, k=4, n_iter=2)
+    cells = cells.select("vec_id", F.col("cluster").alias("cell"))
+    queries = emb.where(F.col("vec_id") < 5)
+    code_dfs = []
+    lut_dfs = []
+    for i, (lo, length) in enumerate(((1, 32), (33, 32))):
+        half = emb.select(
+            "vec_id", F.slice("embedding", lo, length).alias("embedding")
+        )
+        assigned, centroids = kmeans_fit(half, k=4, n_iter=2)
+        code_dfs.append(
+            assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
+        )
+        structs = []
+        for cid, cvec in enumerate(centroids):
+            weights = ", ".join(f"cast({x!r} as double)" for x in cvec)
+            pd_expr = (
+                f"aggregate(zip_with(slice(embedding, {lo}, {length}),"
+                f" array({weights}),"
+                " (x, w) -> (cast(x as double) - w) * (cast(x as double) - w)),"
+                " 0D, (acc, t) -> acc + t)"
+            )
+            structs.append(
+                F.struct(F.lit(cid).alias("code"), F.expr(pd_expr).alias("pd"))
+            )
+        lut_dfs.append(
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(F.array(*structs)).alias("s"),
+            ).select(
+                "query_id",
+                F.col("s.code").alias(f"code{i}"),
+                F.col("s.pd").alias(f"pd{i}"),
+            )
+        )
+    codes = (
+        code_dfs[0].join(code_dfs[1], "vec_id").join(cells, "vec_id")
+    )
+    q_cells = cells.select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell")
+    ).join(queries.select(F.col("vec_id").alias("query_id")), "query_id")
+    adc = (
+        codes.join(F.broadcast(q_cells), F.col("cell") == F.col("q_cell"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut_dfs[0]), ["query_id", "code0"])
+        .join(F.broadcast(lut_dfs[1]), ["query_id", "code1"])
+        .select("query_id", "vec_id", (F.col("pd0") + F.col("pd1")).alias("adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    q_side = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_side = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    cosine = _cosine_col()
+    w_cos = Window.partitionBy("query_id").orderBy(F.desc("cosine_raw"), "vec_id")
+    return (
+        cand.join(F.broadcast(q_side), "query_id")
+        .join(c_side, "vec_id")
+        .select("query_id", "vec_id", cosine.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w_cos))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
