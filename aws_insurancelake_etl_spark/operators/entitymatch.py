@@ -206,6 +206,23 @@ def entity_match(
     return out
 
 
+def merge_into_delta(
+    spark, matched: DataFrame, table_path: str, global_id: str
+) -> dict:
+    """Transactional entity upsert into a delta-lite table path — the
+    jar-less equivalent of the reference's Iceberg ``MERGE INTO``
+    (``etl_consume_entity_match.py:443-455``): copy-on-write MERGE that
+    rewrites ONLY the data files containing matched global ids, commits
+    atomically, and leaves every prior version time-travelable.  Creates
+    the table on first use.  Returns the merge stats dict."""
+    from ..sources import delta_lite
+
+    if not delta_lite.is_delta_table(table_path):
+        version = delta_lite.write_delta(matched, table_path)
+        return {"version": version, "files_rewritten": 0, "files_kept": 0}
+    return delta_lite.merge_delta(spark, matched, table_path, global_id)
+
+
 def merge_into_primary(
     spark, matched: DataFrame, primary_table: str, global_id: str
 ) -> None:
@@ -214,7 +231,8 @@ def merge_into_primary(
     With a Delta/Iceberg catalog this is ``MERGE INTO primary USING incoming
     ON gid = gid WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
     (``etl_consume_entity_match.py:443-455``).  On plain parquet tables the
-    same result is an anti-join + union rewrite."""
+    same result is an anti-join + union rewrite.  For a TRANSACTIONAL
+    path-based target without catalog support, use ``merge_into_delta``."""
     try:
         matched.createOrReplaceTempView("__em_incoming")
         spark.sql(

@@ -1713,3 +1713,136 @@ def pipeline_drop_to_cleanse_orchestrated(spark: SparkSession, sf_dir: str) -> D
         F.col("acct_balance").cast("double").alias("acct_balance"),
         "market_segment", "year", "month", "day",
     )
+
+
+@register(
+    "sink_delta_merge_upsert",
+    """
+    SELECT o_orderkey, o_orderstatus, pri, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 14 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 200 AS BIGINT)
+        FROM orders WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N', o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    """,
+)
+def sink_delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE through the pure-Python Delta Lake log
+    (round 6): the reference upserts entity matches via Iceberg
+    ``MERGE INTO`` (``etl_consume_entity_match.py:443-455``); this
+    container has no table-format jars, so ``sources/delta_lite``
+    implements the open Delta protocol itself — copy-on-write MERGE
+    that rewrites ONLY the data files containing matched keys and
+    commits atomically.  The gate builds a delta table from orders
+    (keys %7==0 over 4 data files), merges doubled-price updates
+    (%14==0) plus brand-new keys (%7==3), reads the NEW SNAPSHOT back
+    through log replay, and must match DuckDB computing the merge
+    outcome relationally."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-merge-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 7 == 0).repartition(4), tbl
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 14 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 2)
+    )
+    inserts = base.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    delta_lite.merge_delta(spark, updates.unionByName(inserts), tbl, "o_orderkey")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "src_delta_time_travel",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 5 = 0
+    """,
+)
+def src_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite TIME TRAVEL (round 6): three append commits land
+    customer slices %5==0, 1, 2; reading ``version=0`` replays the log
+    only to the first commit, so the result must equal the %5==0 slice
+    alone even though the table now holds all three.  Companion to
+    ``sink_delta_merge_upsert`` — proves snapshot isolation of the
+    commit history, the property the anti-join parquet rewrite
+    (``operators/entitymatch.py merge_into_primary`` fallback) cannot
+    offer."""
+    from ..sources import delta_lite
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-tt-") + "/t"
+    for rem in (0, 1, 2):
+        delta_lite.write_delta(cust.where(F.col("c_custkey") % 5 == rem), tbl)
+    return delta_lite.read_delta(spark, tbl, version=0)
+
+
+@register(
+    "src_delta_partition_prune",
+    """
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def src_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-lite PARTITION PRUNING from the transaction log (round 6):
+    lineitem is committed partitioned by ``l_returnflag`` (partition
+    values live in the log's ``partitionValues``, NOT in the data files
+    — Delta convention), then read with ``partition_filter`` so
+    non-matching files are pruned from the file list before any parquet
+    footer is opened.  At 100 TB the log IS the partition index; the
+    gate raises if pruning failed to shrink the file set, and the
+    surviving rows must aggregate identically to DuckDB's WHERE over
+    the original table."""
+    from ..sources import delta_lite
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-prune-") + "/t"
+    delta_lite.write_delta(li, tbl, partition_by=["l_returnflag"])
+    snap = delta_lite.snapshot(tbl)
+    pruned = delta_lite._prune(snap.files, {"l_returnflag": "R"})
+    if not pruned or len(pruned) >= len(snap.files):
+        raise RuntimeError(
+            f"partition pruning ineffective: {len(pruned)}/{len(snap.files)}"
+        )
+    got = delta_lite.read_delta(spark, tbl, partition_filter={"l_returnflag": "R"})
+    return got.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"),
+    )

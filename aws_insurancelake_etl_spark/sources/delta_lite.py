@@ -1,0 +1,673 @@
+"""Pure-Python Delta Lake transaction log (``delta_lite``).
+
+Implements the OPEN Delta Lake table protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) far enough
+to give the engine a MERGE-capable, time-travelable table format with
+no external jars — the container has neither ``delta-spark`` nor the
+Iceberg runtime (probe recorded in COVERAGE.md), yet the reference
+upserts entity matches through a transactional ``MERGE INTO``
+(``etl_consume_entity_match.py:443-455``).  This module closes that gap
+with the protocol's own commit mechanics rather than a parquet rewrite:
+
+- **Log replay.**  Newline-delimited JSON commits under ``_delta_log/``
+  (actions ``protocol`` / ``metaData`` / ``add`` / ``remove`` /
+  ``commitInfo``), plus parquet checkpoints (``<v>.checkpoint.parquet``
+  + ``_last_checkpoint``) so a snapshot of a long-lived table costs
+  O(live files), not O(commit history).
+- **Snapshot reads** with PARTITION PRUNING driven by the log's
+  ``partitionValues`` (pruned files are never opened — at 100 TB the
+  log IS the index) and **time travel** via ``version=``.
+- **Writers.**  ``append`` / ``overwrite`` with optimistic-concurrency
+  atomic commits (``O_EXCL`` create of the next ``<v>.json`` — losers
+  re-read the log and retry), data files written BY SPARK (distributed;
+  the driver only moves/renames and writes the commit record).
+- **Copy-on-write MERGE** (``WHEN MATCHED UPDATE SET * / WHEN NOT
+  MATCHED INSERT *``): a semi-join against the broadcast source keys
+  identifies the data files that contain matches; ONLY those files are
+  rewritten, everything else survives by reference.  Driver state is
+  the touched-file path list.  Duplicate source keys raise, matching
+  Delta's MERGE cardinality rule.
+
+Scale notes: checkpoint parsing is driver-side pyarrow — a checkpoint
+holds one row per LIVE FILE (millions of rows at 100 TB, comfortably a
+driver-side columnar read; production Delta does the same until
+multi-part checkpoints).  Reads go through one parquet scan node with
+``basePath``-derived partition columns when the layout is Hive-style
+(our writer's layout); non-Hive third-party layouts fall back to
+per-partition literal unions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CHECKPOINT_INTERVAL = 10
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+class DeltaLiteError(RuntimeError):
+    """Protocol violation or unsupported table feature."""
+
+
+class ConcurrentWriteError(DeltaLiteError):
+    """Another writer committed between snapshot and commit of a
+    non-append operation; the caller must re-run on the new snapshot."""
+
+
+@dataclass
+class AddFile:
+    path: str  # relative, URL-decoded
+    partition_values: dict  # column -> str | None
+    size: int
+    modification_time: int
+    data_change: bool = True
+
+
+@dataclass
+class Snapshot:
+    table_path: str
+    version: int
+    schema_string: str
+    partition_columns: list
+    files: list = field(default_factory=list)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_string))
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _json_versions(log_dir: str) -> list:
+    out = []
+    if not os.path.isdir(log_dir):
+        return out
+    for name in os.listdir(log_dir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def is_delta_table(path: str) -> bool:
+    log_dir = _log_dir(path)
+    if _json_versions(log_dir):
+        return True
+    return os.path.isdir(log_dir) and _latest_checkpoint_version(
+        log_dir, 1 << 62
+    ) is not None
+
+
+def _checkpoint_path(log_dir: str, version: int) -> str:
+    return os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+
+
+def _latest_checkpoint_version(log_dir: str, at_most: int):
+    """Newest checkpoint version <= at_most, or None."""
+    best = None
+    for name in os.listdir(log_dir):
+        if name.endswith(".checkpoint.parquet"):
+            v = int(name.split(".", 1)[0])
+            if v <= at_most and (best is None or v > best):
+                best = v
+    return best
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "metaData" in action:
+        state["metaData"] = action["metaData"]
+    elif "protocol" in action:
+        p = action["protocol"]
+        if p.get("minReaderVersion", 1) > 1:
+            raise DeltaLiteError(
+                f"unsupported minReaderVersion={p['minReaderVersion']} "
+                "(delta_lite reads protocol version 1: no column mapping "
+                "or deletion vectors)"
+            )
+        state["protocol"] = p
+    elif "add" in action:
+        a = action["add"]
+        state["adds"][unquote(a["path"])] = AddFile(
+            path=unquote(a["path"]),
+            partition_values=dict(a.get("partitionValues") or {}),
+            size=int(a.get("size", 0)),
+            modification_time=int(a.get("modificationTime", 0)),
+            data_change=bool(a.get("dataChange", True)),
+        )
+    elif "remove" in action:
+        state["adds"].pop(unquote(action["remove"]["path"]), None)
+    # commitInfo / txn / cdc: replay-irrelevant here
+
+
+def _read_checkpoint(cp_path: str, state: dict) -> None:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(cp_path)
+    for row in table.to_pylist():
+        for kind in ("protocol", "metaData", "add", "remove"):
+            payload = row.get(kind)
+            if payload is not None:
+                if kind == "add" and isinstance(
+                    payload.get("partitionValues"), list
+                ):  # pyarrow map -> list of (k, v) pairs
+                    payload["partitionValues"] = dict(payload["partitionValues"])
+                _apply_action(state, {kind: payload})
+                break
+
+
+def snapshot(path: str, version=None) -> Snapshot:
+    """Replay the log (checkpoint + JSON tail) to a table snapshot."""
+    log_dir = _log_dir(path)
+    versions = _json_versions(log_dir)
+    # A fully checkpointed table may have had its JSON tail aged out, and
+    # a checkpoint can be NEWER than the newest surviving JSON — version
+    # accounting must consider both.
+    cp_latest = (
+        _latest_checkpoint_version(log_dir, 1 << 62)
+        if os.path.isdir(log_dir)
+        else None
+    )
+    if not versions and cp_latest is None:
+        raise DeltaLiteError(f"not a delta table (no _delta_log): {path}")
+    latest = max(
+        versions[-1] if versions else -1,
+        cp_latest if cp_latest is not None else -1,
+    )
+    target = latest if version is None else int(version)
+    if target > latest or target < 0:
+        raise DeltaLiteError(f"version {target} out of range 0..{latest}")
+
+    state = {"adds": {}, "metaData": None, "protocol": None}
+    start = 0
+    cp = _latest_checkpoint_version(log_dir, target)
+    if cp is not None:
+        _read_checkpoint(_checkpoint_path(log_dir, cp), state)
+        start = cp + 1
+    for v in range(start, target + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise DeltaLiteError(f"missing commit {v} (log truncated?)")
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    meta = state["metaData"]
+    if meta is None:
+        raise DeltaLiteError("log replay found no metaData action")
+    return Snapshot(
+        table_path=path,
+        version=target,
+        schema_string=meta["schemaString"],
+        partition_columns=list(meta.get("partitionColumns") or []),
+        files=sorted(state["adds"].values(), key=lambda a: a.path),
+    )
+
+
+# ---------------------------------------------------------------- read
+
+
+def _prune(files, partition_filter) -> list:
+    if not partition_filter:
+        return list(files)
+    want = {
+        k: (None if v is None else str(v)) for k, v in partition_filter.items()
+    }
+    return [
+        f
+        for f in files
+        if all(f.partition_values.get(k) == v for k, v in want.items())
+    ]
+
+
+def _hive_consistent(files, part_cols) -> bool:
+    """True when every file lives under ``col=value/`` dirs matching its
+    logged partitionValues — then one ``basePath`` scan reconstructs the
+    partition columns natively (single scan node, no unions)."""
+    for f in files:
+        segs = f.path.split("/")[:-1]
+        if len(segs) < len(part_cols):
+            return False
+        for col, seg in zip(part_cols, segs[-len(part_cols):]):
+            if "=" not in seg:
+                return False
+            name, _, raw = seg.partition("=")
+            val = None if raw == _HIVE_NULL else unquote(raw)
+            if name != col or val != f.partition_values.get(col):
+                return False
+    return True
+
+
+def _read_snapshot(
+    spark: SparkSession, snap: Snapshot, partition_filter=None, with_path=False
+) -> DataFrame:
+    schema = snap.schema
+    part_cols = snap.partition_columns
+    files = _prune(snap.files, partition_filter)
+    path_col = [F.col("_metadata.file_path").alias("__dl_path")] if with_path else []
+    if not files:
+        df = spark.createDataFrame([], schema)
+        return df.withColumn("__dl_path", F.lit(None).cast("string")) if with_path else df
+    abs_paths = [os.path.join(snap.table_path, f.path) for f in files]
+    if not part_cols:
+        df = spark.read.schema(schema).parquet(*abs_paths)
+        return df.select(*[F.col(f.name) for f in schema.fields], *path_col)
+    if _hive_consistent(files, part_cols):
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", snap.table_path)
+            .parquet(*abs_paths)
+        )
+        return df.select(*[F.col(f.name) for f in schema.fields], *path_col)
+    # General path (third-party non-Hive layout): the LOG is the
+    # authority on partition values — group files by partition tuple and
+    # attach the literals.  Group count = distinct partition tuples read.
+    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
+    by_tuple = {}
+    for f in files:
+        key = tuple(f.partition_values.get(c) for c in part_cols)
+        by_tuple.setdefault(key, []).append(
+            os.path.join(snap.table_path, f.path)
+        )
+    parts = []
+    for key, paths in sorted(by_tuple.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for col, raw in zip(part_cols, key):
+            dtype = schema[col].dataType
+            df = df.withColumn(
+                col,
+                F.lit(raw).cast(dtype) if raw is not None else F.lit(None).cast(dtype),
+            )
+        parts.append(df.select(*[F.col(f.name) for f in schema.fields], *path_col))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def read_delta(
+    spark: SparkSession, path: str, version=None, partition_filter=None
+) -> DataFrame:
+    """Snapshot read.  ``version`` time-travels; ``partition_filter``
+    ({col: value}) prunes data files from the log before any are opened."""
+    return _read_snapshot(spark, snapshot(path, version), partition_filter)
+
+
+# --------------------------------------------------------------- write
+
+
+def _schema_key(schema: StructType):
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
+def _stage_data_files(df: DataFrame, table_path: str, partition_by) -> list:
+    """Have SPARK write the parquet data (distributed), then move the
+    part files into the table directory under fresh unique names.
+    Returns AddFile entries.  Hive-style ``col=val`` dirs are preserved,
+    and (matching Delta convention) partition columns are NOT stored in
+    the data files — the log's partitionValues carry them."""
+    staging_root = tempfile.mkdtemp(prefix="_dl_stage_", dir=table_path)
+    out = os.path.join(staging_root, "out")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out)
+    adds = []
+    now_ms = int(time.time() * 1000)
+    for dirpath, _dirnames, filenames in os.walk(out):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, out)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pvals = {}
+            for seg in segs:
+                col, _, raw = seg.partition("=")
+                pvals[col] = None if raw == _HIVE_NULL else unquote(raw)
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            dest_dir = os.path.join(table_path, *segs)
+            os.makedirs(dest_dir, exist_ok=True)
+            src = os.path.join(dirpath, name)
+            dest = os.path.join(dest_dir, new_name)
+            size = os.path.getsize(src)
+            shutil.move(src, dest)
+            adds.append(
+                AddFile(
+                    path="/".join([*segs, new_name]),
+                    partition_values=pvals,
+                    size=size,
+                    modification_time=now_ms,
+                )
+            )
+    shutil.rmtree(staging_root, ignore_errors=True)
+    return adds
+
+
+def _add_json(a: AddFile) -> dict:
+    return {
+        "add": {
+            "path": quote(a.path, safe="/=%"),
+            "partitionValues": a.partition_values,
+            "size": a.size,
+            "modificationTime": a.modification_time,
+            "dataChange": a.data_change,
+        }
+    }
+
+
+def _try_commit(log_dir: str, version: int, actions: list) -> bool:
+    """Atomically claim ``<version>.json`` — O_EXCL create loses to any
+    concurrent writer, which is exactly the protocol's commit rule."""
+    os.makedirs(log_dir, exist_ok=True)
+    payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+    try:
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "x", encoding="utf-8") as fh:
+            fh.write(payload)
+        return True
+    except FileExistsError:
+        return False
+
+
+def _write_checkpoint(path: str, snap_version: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = snapshot(path, snap_version)
+    rows = [
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": "delta-lite",
+                "format": {"provider": "parquet"},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+            },
+            "add": None,
+        },
+    ]
+    for a in snap.files:
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": a.path,
+                    "partitionValues": a.partition_values,
+                    "size": a.size,
+                    "modificationTime": a.modification_time,
+                    "dataChange": a.data_change,
+                },
+            }
+        )
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    def _conv(row):
+        add = row["add"]
+        if add is not None:
+            add = dict(add)
+            add["partitionValues"] = sorted(
+                (add["partitionValues"] or {}).items()
+            )
+        return {**row, "add": add}
+
+    table = pa.Table.from_pylist([_conv(r) for r in rows], schema=schema)
+    log_dir = _log_dir(path)
+    pq.write_table(table, _checkpoint_path(log_dir, snap_version))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
+        json.dump({"version": snap_version, "size": len(rows)}, fh)
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(path, version)
+
+
+def write_delta(
+    df: DataFrame, path: str, mode: str = "append", partition_by=None
+) -> int:
+    """Commit a Spark DataFrame as a delta-lite ``append``/``overwrite``.
+    Returns the committed version.  Appends retry on commit conflicts;
+    overwrite raises ConcurrentWriteError if it loses the race (its
+    removes were computed against a stale snapshot)."""
+    if mode not in ("append", "overwrite"):
+        raise DeltaLiteError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    partition_by = list(partition_by or [])
+    existing = None
+    if is_delta_table(path):
+        existing = snapshot(path)
+        if mode == "append":
+            if partition_by and partition_by != existing.partition_columns:
+                raise DeltaLiteError(
+                    f"append partitioning {partition_by} != table "
+                    f"{existing.partition_columns}"
+                )
+            partition_by = existing.partition_columns
+            if _schema_key(df.schema) != _schema_key(existing.schema):
+                raise DeltaLiteError(
+                    "append schema mismatch: "
+                    f"{_schema_key(df.schema)} vs {_schema_key(existing.schema)}"
+                )
+    adds = _stage_data_files(df, path, partition_by)
+    actions = [
+        {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
+    ]
+    meta_needed = (
+        existing is None
+        or mode == "overwrite"
+        and (
+            _schema_key(df.schema) != _schema_key(existing.schema)
+            or partition_by != existing.partition_columns
+        )
+    )
+    if existing is None:
+        actions.append({"protocol": dict(_PROTOCOL)})
+    if meta_needed:
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    removes = []
+    if mode == "overwrite" and existing is not None:
+        now_ms = int(time.time() * 1000)
+        removes = [
+            {
+                "remove": {
+                    "path": quote(a.path, safe="/=%"),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for a in existing.files
+        ]
+    actions += removes + [_add_json(a) for a in adds]
+    base = existing.version if existing is not None else -1
+    version = base + 1
+    while not _try_commit(_log_dir(path), version, actions):
+        if mode == "overwrite":
+            raise ConcurrentWriteError(
+                f"version {version} was committed concurrently; "
+                "re-run overwrite against the new snapshot"
+            )
+        version += 1  # blind append retry is safe: no removes computed
+    _maybe_checkpoint(path, version)
+    return version
+
+
+# --------------------------------------------------------------- merge
+
+
+def merge_delta(
+    spark: SparkSession, source: DataFrame, path: str, keys
+) -> dict:
+    """Copy-on-write ``MERGE INTO <path> USING source ON keys WHEN
+    MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+
+    Only data files that CONTAIN a matched key are rewritten: a
+    semi-join of the target against the broadcast distinct source keys
+    yields the touched ``_metadata.file_path`` set (driver state = that
+    path list).  Survivor rows from touched files are anti-joined out
+    and re-written together with the full source (updates + inserts in
+    one pass); untouched files carry over by reference in the commit.
+    Returns ``{"version", "files_rewritten", "files_kept"}``.
+
+    Raises on duplicate source keys (Delta's MERGE cardinality rule:
+    a target row may match at most one source row).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    snap = snapshot(path)
+    schema_cols = [f.name for f in snap.schema.fields]
+    if [f.name for f in source.schema.fields] != schema_cols:
+        source = source.select(*schema_cols)  # raises if a column is missing
+    dup = (
+        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise DeltaLiteError(
+            f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
+            "a target row may match at most one source row"
+        )
+    src_keys = source.select(*keys).distinct()
+    target = _read_snapshot(spark, snap, with_path=True)
+    touched_uris = {
+        r["__dl_path"]
+        for r in target.join(F.broadcast(src_keys), keys, "left_semi")
+        .select("__dl_path")
+        .distinct()
+        .collect()
+    }
+
+    def _rel(uri: str) -> str:
+        local = uri[len("file:"):] if uri.startswith("file:") else uri
+        while local.startswith("//"):
+            local = local[1:]
+        return os.path.relpath(local, path)
+
+    touched_rel = {_rel(u) for u in touched_uris}
+    unknown = touched_rel - {a.path for a in snap.files}
+    if unknown:
+        raise DeltaLiteError(f"matched files not in snapshot: {sorted(unknown)}")
+    survivors = (
+        target.where(F.col("__dl_path").isin(list(touched_uris)))
+        .drop("__dl_path")
+        .join(F.broadcast(src_keys), keys, "left_anti")
+        if touched_uris
+        else None
+    )
+    new_data = (
+        survivors.unionByName(source.select(*schema_cols))
+        if survivors is not None
+        else source.select(*schema_cols)
+    )
+    adds = _stage_data_files(new_data, path, snap.partition_columns)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "MERGE",
+                "engine": "delta-lite",
+                "operationParameters": {"predicate": " AND ".join(keys)},
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(p, safe="/=%"),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(touched_rel)
+    ]
+    actions += [_add_json(a) for a in adds]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run MERGE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_rewritten": len(touched_rel),
+        "files_kept": len(snap.files) - len(touched_rel),
+    }
+
+
+def vacuum(path: str, retention_ms: int = 0) -> list:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    whose tombstones are older than the retention window.  Returns the
+    deleted relative paths.  (Time travel past a vacuum loses data, as
+    in real Delta — callers own the retention trade-off.)"""
+    snap = snapshot(path)
+    live = {a.path for a in snap.files}
+    cutoff = int(time.time() * 1000) - retention_ms
+    deleted = []
+    log_dir = _log_dir(path)
+    for v in _json_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "remove" not in action:
+                    continue
+                rel = unquote(action["remove"]["path"])
+                ts = int(action["remove"].get("deletionTimestamp", 0))
+                target = os.path.join(path, rel)
+                if rel not in live and ts <= cutoff and os.path.exists(target):
+                    os.remove(target)
+                    deleted.append(rel)
+    return sorted(set(deleted))

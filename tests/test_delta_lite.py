@@ -1,0 +1,223 @@
+"""delta_lite: pure-Python Delta Lake protocol — log replay, time
+travel, partition pruning, checkpoints, copy-on-write MERGE, vacuum,
+and commit-conflict behavior.  Reference parity target: the Iceberg
+``MERGE INTO`` upsert at ``etl_consume_entity_match.py:443-455``."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _people(spark, lo, hi, grp="a"):
+    return spark.createDataFrame(
+        [Row(id=i, grp=grp, score=float(i) * 1.5) for i in range(lo, hi)]
+    ).select("id", "grp", "score")
+
+
+def test_append_roundtrip_and_versions(spark, table):
+    assert dl.write_delta(_people(spark, 0, 5), table) == 0
+    assert dl.write_delta(_people(spark, 5, 8), table) == 1
+    back = dl.read_delta(spark, table)
+    assert _rows(back) == _rows(_people(spark, 0, 8))
+    # time travel: version 0 sees only the first commit
+    v0 = dl.read_delta(spark, table, version=0)
+    assert _rows(v0) == _rows(_people(spark, 0, 5))
+    with pytest.raises(dl.DeltaLiteError):
+        dl.snapshot(table, version=7)
+
+
+def test_overwrite_replaces_and_changes_schema(spark, table):
+    dl.write_delta(_people(spark, 0, 5), table)
+    new = spark.createDataFrame([Row(name="x", n=1), Row(name="y", n=2)])
+    dl.write_delta(new, table, mode="overwrite")
+    back = dl.read_delta(spark, table)
+    assert set(back.columns) == {"name", "n"}
+    assert back.count() == 2
+    # the overwritten data is still reachable by time travel
+    assert dl.read_delta(spark, table, version=0).count() == 5
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    dl.write_delta(_people(spark, 0, 3), table)
+    bad = spark.createDataFrame([Row(id=1, grp="a")])  # missing score
+    with pytest.raises(dl.DeltaLiteError, match="schema mismatch"):
+        dl.write_delta(bad, table)
+
+
+def test_partitioned_write_prunes_without_opening_files(spark, table):
+    df = _people(spark, 0, 4, "a").unionByName(_people(spark, 4, 10, "b"))
+    dl.write_delta(df, table, partition_by=["grp"])
+    snap = dl.snapshot(table)
+    assert snap.partition_columns == ["grp"]
+    pruned = dl._prune(snap.files, {"grp": "b"})
+    assert pruned and all(f.partition_values == {"grp": "b"} for f in pruned)
+    got = dl.read_delta(spark, table, partition_filter={"grp": "b"})
+    assert _rows(got) == _rows(_people(spark, 4, 10, "b"))
+    # partition columns are NOT in the data files (Delta convention):
+    # the log's partitionValues are authoritative
+    raw = spark.read.parquet(
+        os.path.join(table, pruned[0].path)
+    )
+    assert "grp" not in raw.columns
+
+
+def test_null_partition_value(spark, table):
+    df = spark.createDataFrame(
+        [Row(id=1, grp=None, score=0.5), Row(id=2, grp="a", score=1.0)]
+    ).select("id", "grp", "score")
+    dl.write_delta(df, table, partition_by=["grp"])
+    back = dl.read_delta(spark, table)
+    assert _rows(back) == _rows(df)
+    nulls = dl.read_delta(spark, table, partition_filter={"grp": None})
+    assert _rows(nulls) == [(1, None, 0.5)]
+
+
+def test_non_hive_layout_falls_back_to_log_literals(spark, table):
+    """A third-party writer may use arbitrary file names; the log's
+    partitionValues must still drive the read."""
+    dl.write_delta(_people(spark, 0, 6, "a"), table, partition_by=["grp"])
+    snap = dl.snapshot(table)
+    # flatten the hive dir: move the file to the root, patch the log
+    old = snap.files[0]
+    flat = "opaque-0001.parquet"
+    os.rename(os.path.join(table, old.path), os.path.join(table, flat))
+    log = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    actions = [
+        {"remove": {"path": old.path, "deletionTimestamp": 1, "dataChange": True}},
+        {
+            "add": {
+                "path": flat,
+                "partitionValues": {"grp": "a"},
+                "size": 1,
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(log, "w", encoding="utf-8") as fh:
+        fh.writelines(json.dumps(a) + "\n" for a in actions)
+    back = dl.read_delta(spark, table)
+    assert _rows(back) == _rows(_people(spark, 0, 6, "a"))
+
+
+def test_checkpoint_written_and_sufficient(spark, table):
+    for i in range(11):  # versions 0..10 -> checkpoint at 10
+        dl.write_delta(_people(spark, i, i + 1), table)
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["version"] == 10
+    # Prove reads come FROM the checkpoint: age out the JSON tail
+    for v in range(11):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    back = dl.read_delta(spark, table)
+    assert _rows(back) == _rows(_people(spark, 0, 11))
+    # one more append on top of the checkpointed state
+    dl.write_delta(_people(spark, 11, 12), table)
+    assert dl.read_delta(spark, table).count() == 12
+
+
+def test_merge_rewrites_only_touched_files(spark, table):
+    # two files: ids 0-4 and 5-9 (one commit each => one file each)
+    dl.write_delta(_people(spark, 0, 5).coalesce(1), table)
+    dl.write_delta(_people(spark, 5, 10).coalesce(1), table)
+    before = {a.path for a in dl.snapshot(table).files}
+    assert len(before) == 2
+    source = spark.createDataFrame(
+        [
+            Row(id=2, grp="a", score=999.0),  # update (file 1)
+            Row(id=42, grp="z", score=1.0),  # insert
+        ]
+    ).select("id", "grp", "score")
+    stats = dl.merge_delta(spark, source, table, "id")
+    assert stats["files_rewritten"] == 1 and stats["files_kept"] == 1
+    after = {a.path for a in dl.snapshot(table).files}
+    assert len(before & after) == 1  # the untouched file carried over
+    back = dl.read_delta(spark, table)
+    assert back.count() == 11
+    assert back.where("id = 2").collect()[0].score == 999.0
+    assert back.where("id = 42").count() == 1
+    # time travel still sees the pre-merge state
+    assert dl.read_delta(spark, table, version=1).where("id = 42").count() == 0
+
+
+def test_merge_insert_only_and_duplicate_keys(spark, table):
+    dl.write_delta(_people(spark, 0, 3), table)
+    inserts = _people(spark, 100, 103)
+    stats = dl.merge_delta(spark, inserts, table, ["id"])
+    assert stats["files_rewritten"] == 0
+    assert dl.read_delta(spark, table).count() == 6
+    dup = inserts.unionByName(inserts)
+    with pytest.raises(dl.DeltaLiteError, match="duplicate key"):
+        dl.merge_delta(spark, dup, table, ["id"])
+
+
+def test_merge_on_partitioned_table(spark, table):
+    df = _people(spark, 0, 4, "a").unionByName(_people(spark, 4, 8, "b"))
+    dl.write_delta(df, table, partition_by=["grp"])
+    source = spark.createDataFrame(
+        [Row(id=5, grp="b", score=-1.0), Row(id=9, grp="c", score=2.0)]
+    ).select("id", "grp", "score")
+    dl.merge_delta(spark, source, table, "id")
+    back = dl.read_delta(spark, table)
+    assert back.count() == 9
+    assert back.where("id = 5").collect()[0].score == -1.0
+    assert _rows(back.where("grp = 'c'").select("id")) == [(9,)]
+
+
+def test_commit_conflict_append_retries_merge_raises(spark, table, monkeypatch):
+    dl.write_delta(_people(spark, 0, 3), table)
+    # simulate a concurrent writer claiming version 1
+    claim = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(claim, "x", encoding="utf-8") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "OTHER"}}) + "\n")
+    v = dl.write_delta(_people(spark, 3, 4), table)  # append lands at 2
+    assert v == 2
+    # a TRUE race: the merge plans against a stale snapshot while a
+    # concurrent writer lands the next version
+    stale = dl.snapshot(table)
+    monkeypatch.setattr(dl, "snapshot", lambda p, version=None: stale)
+    with open(
+        os.path.join(table, "_delta_log", f"{stale.version + 1:020d}.json"), "x"
+    ) as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "OTHER"}}) + "\n")
+    with pytest.raises(dl.ConcurrentWriteError):
+        dl.merge_delta(spark, _people(spark, 0, 1), table, "id")
+
+
+def test_vacuum_deletes_only_tombstoned_files(spark, table):
+    dl.write_delta(_people(spark, 0, 5).coalesce(1), table)
+    first = dl.snapshot(table).files[0].path
+    dl.write_delta(_people(spark, 0, 5), table, mode="overwrite")
+    assert os.path.exists(os.path.join(table, first))
+    deleted = dl.vacuum(table, retention_ms=0)
+    assert first in deleted
+    assert not os.path.exists(os.path.join(table, first))
+    # current snapshot unaffected
+    assert dl.read_delta(spark, table).count() == 5
+
+
+def test_unsupported_reader_version_raises(spark, table):
+    dl.write_delta(_people(spark, 0, 2), table)
+    log = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(log, "x", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}})
+            + "\n"
+        )
+    with pytest.raises(dl.DeltaLiteError, match="minReaderVersion"):
+        dl.snapshot(table)

@@ -356,3 +356,33 @@ def test_merge_into_primary_delta_merge_path():
         assert detail["format"] == "delta"
     finally:
         dspark.stop()
+
+
+def test_merge_into_delta_transactional_upsert(spark, tmp_path):
+    """The jar-less transactional upsert path (delta_lite MERGE) — the
+    reference's Iceberg MERGE INTO equivalent (etl_consume_entity_match
+    .py:443-455): create-on-first-use, then copy-on-write upsert that
+    keeps prior versions time-travelable."""
+    from aws_insurancelake_etl_spark.operators.entitymatch import merge_into_delta
+    from aws_insurancelake_etl_spark.sources import delta_lite
+
+    tbl = str(tmp_path / "primary")
+    day1 = spark.createDataFrame(
+        [("g1", "Mary Doe", 100.0), ("g2", "John Roe", 50.0)],
+        "gid string, name string, balance double",
+    )
+    stats = merge_into_delta(spark, day1, tbl, "gid")
+    assert stats["version"] == 0
+    day2 = spark.createDataFrame(
+        [("g2", "John R Roe", 75.0), ("g3", "New Person", 10.0)],
+        "gid string, name string, balance double",
+    )
+    stats = merge_into_delta(spark, day2, tbl, "gid")
+    assert stats["version"] == 1
+    now = {(r.gid, r.name, r.balance)
+           for r in delta_lite.read_delta(spark, tbl).collect()}
+    assert now == {("g1", "Mary Doe", 100.0), ("g2", "John R Roe", 75.0),
+                   ("g3", "New Person", 10.0)}
+    before = {(r.gid, r.balance)
+              for r in delta_lite.read_delta(spark, tbl, version=0).collect()}
+    assert before == {("g1", 100.0), ("g2", 50.0)}
