@@ -362,3 +362,84 @@ def kmv_set_estimates(
         "est_a double, est_b double, est_union double, "
         "est_intersection double, jaccard_est double",
     )
+
+
+# --------------------------------------------------------------- HLL
+
+# HyperLogLog (Flajolet et al., AofA'07) with the SAME determinism
+# discipline as KMV/CMS/Bloom above: the register function is md5-derived
+# (any engine rebuilds the registers bit-for-bit — Spark's built-in
+# approx_count_distinct is HLL++ but its estimate is engine-private), and
+# the harmonic sum is computed as an EXACT INTEGER (sum of 2^(Q-rho) in
+# BIGINT) so the estimate is identical regardless of aggregation order —
+# a float sum of 2^-rho terms spans > 53 bits of exponent and would be
+# order-dependent.  rho is derived from TRAILING zeros of the remaining
+# hash bits (equivalent distribution to leading zeros; cross-engine
+# computable as log2(x & -x), exact on powers of two).
+_HLL_HASH_BITS = 60  # md5 15-hex-digit prefix
+
+
+def _hll_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hll_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Per-group HLL registers: (group..., idx, rho) with ≤ 2^p rows per
+    group.  idx = low p hash bits; rho = trailing-zero count of the
+    remaining 60-p bits + 1 (capped when they are all zero).  Build cost
+    is one aggregation keyed on (group, idx) with map-side partial MAX —
+    the shuffle moves at most 2^p rows per group per map task, the
+    property that makes HLL THE cardinality sketch at 100 TB."""
+    m = 1 << p
+    q = _HLL_HASH_BITS - p
+    h = _hll_hash(F.col(value_col))
+    rem = F.shiftright(h, p)
+    rho = F.when(rem == 0, F.lit(q + 1)).otherwise(
+        (F.floor(F.log2(rem.bitwiseAND(-rem))) + 1).cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, (h % m).alias("idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge stored register tables: registers combine by MAX per (group,
+    idx) — per-slice sketches persisted at ingest answer any cross-slice
+    cardinality question later without rescanning data."""
+    return sketches.groupBy(*group_cols, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Cardinality estimates from register rows: the classic HLL
+    estimator ``alpha_m * m^2 / sum(2^-rho_j)`` with the small-range
+    linear-counting correction (``m * ln(m/V)`` when raw ≤ 2.5m and V
+    empty registers remain).  The harmonic sum is assembled as an exact
+    BIGINT — ``sum(2^(Q+1-rho))`` plus ``2^(Q+1)`` per empty register —
+    then divided once, so the result is order-independent and
+    cross-engine reproducible."""
+    m = 1 << p
+    q = _HLL_HASH_BITS - p
+    scale = float(1 << (q + 1))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {q + 1} - rho)")).alias("s_nonempty"),
+    )
+    s_total = (
+        F.col("s_nonempty") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << (q + 1))
+    ).cast("double")
+    raw = F.lit(alpha * m * m * scale) / s_total
+    v = (F.lit(m) - F.col("n_regs")).cast("double")
+    est = F.when((raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(m / v)).otherwise(
+        raw
+    )
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))

@@ -1502,8 +1502,9 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     al., SIGMOD'07): distinct-customer estimates for two order-priority
     slices plus their union, intersection, and Jaccard — all computed
     from the two k=128 sketches alone, never from the raw data.  This is
-    the capability HLL sketches cannot oracle-check (engine-private
-    estimates) and plain distinct counts cannot merge: stored per-slice
+    the capability Spark's built-in HLL++ cannot oracle-check
+    (engine-private estimates; see ``sketch_hll_cardinality`` for the
+    deterministic HLL) and plain distinct counts cannot merge: stored per-slice
     sketches answer cross-slice overlap questions at k-row cost.  Each
     side is one distinct + one distributed top-k
     (TakeOrderedAndProject); everything downstream runs on ≤ 2k rows."""
@@ -2390,3 +2391,93 @@ def stat_ks_grid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("d_at_x"),
     )
+
+
+@register(
+    "sketch_hll_cardinality",
+    """
+    WITH h AS (
+        SELECT o_orderpriority AS slice,
+               ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    regs AS (
+        SELECT slice, hv % 4096 AS idx,
+               MAX(CASE WHEN (hv >> 12) = 0 THEN 49
+                   ELSE CAST(floor(log2((hv >> 12) & (-(hv >> 12)))) AS INT) + 1
+                   END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    allregs AS (
+        SELECT 'ALL' AS slice, idx, MAX(rho) AS rho FROM regs GROUP BY 2, idx
+    ),
+    combined AS (
+        SELECT * FROM regs UNION ALL SELECT * FROM allregs
+    ),
+    agg AS (
+        SELECT slice, COUNT(*) AS n_regs,
+               SUM(1::BIGINT << (49 - rho)) AS s_nonempty
+        FROM combined GROUP BY 1
+    ),
+    est AS (
+        SELECT slice,
+               (0.7213 / (1 + 1.079 / 4096.0)) * 4096 * 4096
+                   * 562949953421312.0
+                   / CAST(s_nonempty + (4096 - n_regs) * 562949953421312
+                          AS DOUBLE) AS raw,
+               CAST(4096 - n_regs AS DOUBLE) AS v
+        FROM agg
+    ),
+    fin AS (
+        SELECT slice,
+               CASE WHEN raw <= 10240.0 AND v > 0
+                    THEN 4096.0 * ln(4096.0 / v) ELSE raw END AS e
+        FROM est
+    ),
+    exact AS (
+        SELECT o_orderpriority AS slice,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+    )
+    SELECT f.slice, ROUND(f.e, 4) AS est_distinct,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+    FROM fin f JOIN exact x ON f.slice = x.slice
+    """,
+)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC HyperLogLog (round 6): per-priority distinct-customer
+    estimates plus an 'ALL' row computed by MERGING the per-priority
+    register tables (max per idx) — never re-reading orders.  Spark's
+    built-in approx_count_distinct is HLL++ with engine-private
+    estimates; this md5-registered HLL with an exact-integer harmonic sum
+    is reproduced bit-for-bit by DuckDB, so the sketch itself sits behind
+    the differential oracle.  Register build = one (slice, idx)-keyed
+    aggregation with map-side MAX partials (≤ 4096 rows per slice ever
+    shuffle); the fixture sizes make BOTH estimator branches live:
+    sf0.01 exercises linear counting (V large), sf0.1's ~10k-customer
+    slices cross into the raw harmonic branch."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_sketch
+
+    orders = t(spark, sf_dir, "orders")
+    sk = hll_sketch(orders, "o_custkey", ["o_orderpriority"])
+    per = hll_estimate(sk, ["o_orderpriority"])
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    per_rows = per.join(exact, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("slice"), "est_distinct", "exact_distinct"
+    )
+    merged = hll_merge(sk.select("idx", "rho"), [])
+    all_row = (
+        hll_estimate(merged, [])
+        .crossJoin(
+            orders.agg(
+                F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+            )
+        )
+        .select(F.lit("ALL").alias("slice"), "est_distinct", "exact_distinct")
+    )
+    return per_rows.unionByName(all_row)

@@ -702,3 +702,51 @@ def test_cms_overestimates_and_merges(spark):
     )
     full = {(r.row, r.bucket): r.c for r in sketch.collect()}
     assert {(r.row, r.bucket): r.c for r in merged.collect()} == full
+
+
+def test_hll_accuracy_and_branches(spark):
+    """Deterministic HLL: estimate within 3 sigma (1.04/sqrt(4096) per
+    register theory) on a 20k-distinct set (raw harmonic branch), and
+    near-exact via linear counting on a 300-distinct set."""
+    import aws_insurancelake_etl_spark.operators.sketches as SK
+
+    big = spark.range(20000).select((F.col("id") * 7 + 3).alias("v"),
+                                    F.lit("g").alias("g"))
+    est = SK.hll_estimate(SK.hll_sketch(big, "v", ["g"]), ["g"]).collect()[0]
+    assert abs(est["est_distinct"] - 20000) / 20000 < 0.05
+    small = spark.range(300).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    est2 = SK.hll_estimate(SK.hll_sketch(small, "v", ["g"]), ["g"]).collect()[0]
+    assert abs(est2["est_distinct"] - 300) / 300 < 0.10
+
+
+def test_hll_merge_equals_whole_and_is_idempotent(spark):
+    """Register tables merged from disjoint halves must be IDENTICAL to
+    the whole-data sketch (max per idx commutes), so merged estimates
+    are exactly the whole-data estimates — the storable-sketch
+    property."""
+    import aws_insurancelake_etl_spark.operators.sketches as SK
+
+    df = spark.range(5000).select((F.col("id") * 13 + 1).alias("v"),
+                                  F.lit("g").alias("g"))
+    whole = SK.hll_sketch(df, "v", ["g"])
+    halves = SK.hll_merge(
+        SK.hll_sketch(df.where("v % 2 = 0"), "v", ["g"]).unionByName(
+            SK.hll_sketch(df.where("v % 2 = 1"), "v", ["g"])
+        ),
+        ["g"],
+    )
+    w = {(r["idx"]): r["rho"] for r in whole.collect()}
+    h = {(r["idx"]): r["rho"] for r in halves.collect()}
+    assert w == h
+    # duplicates never move an estimate: sketch of df ∪ df == sketch of df
+    dup = SK.hll_merge(whole.unionByName(whole), ["g"])
+    assert {(r["idx"]): r["rho"] for r in dup.collect()} == w
+
+
+def test_hll_register_bounds(spark):
+    import aws_insurancelake_etl_spark.operators.sketches as SK
+
+    df = spark.range(100000).select(F.col("id").alias("v"), F.lit("g").alias("g"))
+    sk = SK.hll_sketch(df, "v", ["g"], p=8).collect()
+    assert len(sk) <= 256
+    assert all(1 <= r["rho"] <= 53 for r in sk)  # 60-8=52 bits + 1 cap
