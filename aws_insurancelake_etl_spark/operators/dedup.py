@@ -870,3 +870,93 @@ def simhash_hamming_pairs(
         .distinct()
     )
     return pairs
+
+
+def cosine_prefix_pairs(
+    tf: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs cosine similarity join with LOSSLESS prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07) over term-frequency vectors ``(id, token, cnt)``.
+
+    Returns every pair with ``cos(a, b) >= threshold`` as
+    ``(id_lo, id_hi, cosine)`` — EXACTLY the brute-force result, but the
+    quadratic posting-list expansion only happens on each document's
+    *indexed prefix*:
+
+    1. Normalized weights ``w = cnt / ||cnt||`` and per-token stats
+       (document frequency, max weight over the corpus).
+    2. Canonical feature order = (df magnitude DESC, token): within each
+       document, features are scanned in that order accumulating
+       ``cum = sum(w_j * maxw_j)``; a feature is INDEXED only once
+       ``cum >= threshold`` (minus a 1e-9 float-safety margin).  For any
+       pair sharing only unindexed features of doc x,
+       ``cos(x,y) = sum w_x w_y <= sum_{unindexed j} w_xj * maxw_j <
+       threshold`` — so such pairs are provably below threshold and the
+       candidate join may skip them.  The order puts FREQUENT tokens
+       first, which leaves them unindexed: hot posting lists never
+       self-expand.  (The df bucket is ``floor(log2(df))``, computed
+       per-token — a total order good enough for pruning without the
+       global rank a df-sorted dense_rank would need.)
+    3. Candidates = indexed postings ⋈ full postings on token (either
+       orientation), then EXACT verification: integer dot product
+       ``sum(cnt_a * cnt_b)`` over the pair's shared tokens and integer
+       norms, one float division at the end — deterministic across
+       engines, no float accumulation anywhere.
+
+    At 100 TB: every stage is a key-partitioned join/aggregation (token
+    or doc keys); the prefix rule bounds the candidate blow-up the same
+    way ``DEFAULT_POSTING_CAP`` bounds LSH buckets, but WITHOUT losing
+    pairs.  Window state is per-document (vocabulary of one doc).
+    """
+    n2 = tf.groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
+    )
+    weighted = tf.join(n2, id_col).withColumn(
+        "w", F.col("cnt") / F.sqrt(F.col("n2").cast("double"))
+    )
+    stats = weighted.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.max("w").alias("maxw")
+    ).withColumn("df_bucket", F.floor(F.log2("df")))
+    marked = weighted.join(stats, "token")
+    scan = Window.partitionBy(id_col).orderBy(
+        F.desc("df_bucket"), "token"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    indexed = (
+        marked.withColumn("cum", F.sum(F.col("w") * F.col("maxw")).over(scan))
+        .where(F.col("cum") >= threshold - 1e-9)
+        .select(F.col(id_col).alias("ida"), "token")
+    )
+    probes = tf.select(F.col(id_col).alias("idb"), "token")
+    cand = (
+        indexed.join(probes, "token")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id_lo"),
+            F.greatest("ida", "idb").alias("id_hi"),
+        )
+        .distinct()
+    )
+    ta = tf.select(
+        F.col(id_col).alias("id_lo"), "token", F.col("cnt").alias("cnt_a")
+    )
+    tb = tf.select(
+        F.col(id_col).alias("id_hi"), "token", F.col("cnt").alias("cnt_b")
+    )
+    dots = (
+        cand.join(ta, "id_lo")
+        .join(tb, ["id_hi", "token"])
+        .groupBy("id_lo", "id_hi")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    na = n2.select(F.col(id_col).alias("id_lo"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col(id_col).alias("id_hi"), F.col("n2").alias("n2b"))
+    cosine = F.col("dot") / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+    return (
+        dots.join(na, "id_lo")
+        .join(nb, "id_hi")
+        .where(cosine >= threshold)
+        .select("id_lo", "id_hi", F.round(cosine, 4).alias("cosine"))
+    )

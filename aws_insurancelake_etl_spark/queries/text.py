@@ -2585,3 +2585,110 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio"),
         )
     )
+
+
+@register(
+    "dedup_cosine_prefix_pairs",
+    f"""
+    WITH {_TOKS_CTE},
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    n2 AS (SELECT doc_id, SUM(cnt * cnt) AS n2 FROM tf GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS id_lo, b.doc_id AS id_hi,
+               SUM(a.cnt * b.cnt) AS dot
+        FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_lo, id_hi,
+           CAST(ROUND(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 4) AS DOUBLE)
+               AS cosine
+    FROM dots
+    JOIN n2 na ON na.doc_id = id_lo
+    JOIN n2 nb ON nb.doc_id = id_hi
+    WHERE dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.8
+    """,
+)
+def dedup_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity join (Bayardo et al. WWW'07) at
+    t=0.8 over term-frequency vectors — the EXACT near-dup family member
+    (vs the probabilistic MinHash/SimHash gates): the prefix filter
+    indexes only each document's low-frequency tail, so hot posting
+    lists never self-expand, yet the result is provably identical to
+    the brute force the DuckDB oracle runs.  Integer dot products and
+    norms; one float division at the end keeps both engines
+    bit-identical."""
+    from ..operators.dedup import cosine_prefix_pairs
+
+    tf = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cosine_prefix_pairs(tf, 0.8)
+
+
+@register(
+    "docs_leakage_free_split",
+    """
+    WITH g AS (
+        SELECT doc_id, md5(text) AS fp FROM documents
+    ),
+    asg AS (
+        SELECT doc_id, fp,
+               CASE WHEN ('0x' || substr(md5('holdout:' || fp), 1, 8))::BIGINT
+                         % 10000 < 9000
+                    THEN 'train' ELSE 'test' END AS split
+        FROM g
+    ),
+    spans AS (
+        SELECT fp, COUNT(DISTINCT split) AS n_sides FROM asg GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+           CAST(COUNT(*) FILTER (split = 'test') AS BIGINT) AS n_test,
+           CAST(COUNT(DISTINCT CASE WHEN split = 'train' THEN fp END)
+                AS BIGINT) AS train_groups,
+           CAST(COUNT(DISTINCT CASE WHEN split = 'test' THEN fp END)
+                AS BIGINT) AS test_groups,
+           (SELECT CAST(COUNT(*) FILTER (n_sides > 1) AS BIGINT) FROM spans)
+               AS leaky_groups
+    FROM asg
+    """,
+)
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/test split: the holdout hash is keyed on the
+    duplicate-cluster fingerprint (md5 of the text), not the document id,
+    so every copy of a duplicated document lands on the SAME side — the
+    property that keeps eval sets honest when the corpus contains near-
+    and exact duplicates (a doc_id-keyed split would put one copy in
+    train and its twin in test).  ``leaky_groups`` (clusters spanning
+    both sides) is computed FROM THE DATA and must be 0 — the oracle
+    proves the property, not just the counts.  Composition of
+    ``doc_fingerprint`` + ``split_assign(id_col=fp)``; fully narrow up
+    to the final scalar aggregate."""
+    from ..operators.textanalysis import split_assign
+
+    docs = _docs(spark, sf_dir).withColumn("fp", F.md5("text"))
+    asg = split_assign(
+        docs, {"train": 0.9, "test": 0.1}, id_col="fp", seed="holdout"
+    )
+    spans = asg.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_sides")
+    )
+    leaky = spans.agg(
+        F.sum(F.when(F.col("n_sides") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_groups")
+    )
+    counts = asg.agg(
+        F.count(F.when(F.col("split") == "train", 1)).cast("bigint").alias("n_train"),
+        F.count(F.when(F.col("split") == "test", 1)).cast("bigint").alias("n_test"),
+        F.count_distinct(F.when(F.col("split") == "train", F.col("fp")))
+        .cast("bigint")
+        .alias("train_groups"),
+        F.count_distinct(F.when(F.col("split") == "test", F.col("fp")))
+        .cast("bigint")
+        .alias("test_groups"),
+    )
+    return counts.crossJoin(leaky)

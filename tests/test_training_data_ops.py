@@ -750,3 +750,65 @@ def test_hll_register_bounds(spark):
     sk = SK.hll_sketch(df, "v", ["g"], p=8).collect()
     assert len(sk) <= 256
     assert all(1 <= r["rho"] <= 53 for r in sk)  # 60-8=52 bits + 1 cap
+
+
+def _brute_cosine_pairs(rows, threshold):
+    """Reference all-pairs cosine over (doc, token, cnt) triples."""
+    import itertools
+    import math
+    from collections import defaultdict
+
+    vecs = defaultdict(dict)
+    for d, tok, c in rows:
+        vecs[d][tok] = c
+    out = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        dot = sum(ca * vecs[b].get(tok, 0) for tok, ca in vecs[a].items())
+        na = math.sqrt(sum(c * c for c in vecs[a].values()))
+        nb = math.sqrt(sum(c * c for c in vecs[b].values()))
+        cos = dot / (na * nb)
+        if cos >= threshold:
+            out[(a, b)] = round(cos, 4)
+    return out
+
+
+def test_cosine_prefix_pairs_matches_brute_force(spark):
+    """The prefix filter is LOSSLESS: identical pairs to brute force,
+    including a pair sharing only one hot token (must be pruned) and a
+    boundary pair at ~the threshold."""
+    from aws_insurancelake_etl_spark.operators.dedup import cosine_prefix_pairs
+
+    rows = [
+        # near-identical pair (high cosine)
+        (1, "alpha", 3), (1, "beta", 2), (1, "the", 5),
+        (2, "alpha", 3), (2, "beta", 2), (2, "the", 5), (2, "gamma", 1),
+        # shares ONLY the hot token 'the' with 1/2 -> low cosine
+        (3, "the", 4), (3, "delta", 7), (3, "epsilon", 6),
+        # orthogonal doc
+        (4, "zeta", 9),
+        # boundary-ish pair with 3
+        (5, "delta", 7), (5, "epsilon", 5), (5, "the", 1),
+    ]
+    for t in (0.5, 0.8, 0.95):
+        expected = _brute_cosine_pairs(rows, t)
+        tf = spark.createDataFrame(rows, "doc_id long, token string, cnt long")
+        got = {
+            (r["id_lo"], r["id_hi"]): r["cosine"]
+            for r in cosine_prefix_pairs(tf, t).collect()
+        }
+        assert got == expected, (t, got, expected)
+
+
+def test_cosine_prefix_pairs_prunes_hot_tokens(spark):
+    """A token shared by every document must stay UNINDEXED (its cum
+    bound sits below threshold for common-first ordering), so the
+    candidate set stays linear, and docs sharing nothing but that token
+    produce no candidate at all."""
+    from aws_insurancelake_etl_spark.operators.dedup import cosine_prefix_pairs
+
+    rows = []
+    for d in range(40):
+        rows += [(d, "the", 10), (d, f"uniq{d}", 10)]
+    tf = spark.createDataFrame(rows, "doc_id long, token string, cnt long")
+    # all pairwise cosines are 100/200 = 0.5 < 0.9 -> empty result
+    assert cosine_prefix_pairs(tf, 0.9).count() == 0
