@@ -830,3 +830,119 @@ def linear_text_classifier(
         "doc_id",
         F.round(F.expr(score_expr), 6).alias("score"),
     ).withColumn("keep", F.col("score") >= threshold)
+
+
+def _bpe_apply_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array: left-to-right,
+    non-overlapping — a single ``aggregate`` fold (if the accumulated
+    tail is ``left`` and the next symbol is ``right``, replace the tail
+    with the concatenation).  Column-lambda form, so arbitrary symbol
+    text never touches SQL string literals."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        tail_matches = (F.size(acc) > 0) & (
+            F.element_at(acc, -1) == F.lit(left)
+        ) & (x == F.lit(right))
+        return F.when(
+            tail_matches,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+):
+    """Distributed BPE vocabulary learning (Sennrich, Haddow & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    ACL'16): returns ``(words, merges)`` where ``merges`` is a DataFrame
+    ``(rank, left, right, pair_count)`` of the learned merge rules and
+    ``words`` the final symbolized word-frequency table.
+
+    Scale shape: the corpus is touched ONCE (whitespace words →
+    frequency table); every iteration then runs on the VOCABULARY —
+    adjacent-pair explode + one (left,right)-keyed aggregation with
+    map-side partials, arg-max via ``orderBy().limit(1)``
+    (TakeOrderedAndProject, no global sort), one scalar row to the
+    driver per iteration (same driver-state discipline as k-means /
+    connected components), then a narrow fold rewrite of the symbol
+    arrays.  ``localCheckpoint`` every 6 iterations caps the iterative
+    lineage.  Ties break on (count DESC, left, right) so the learned
+    vocabulary is deterministic across engines and partitionings."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.trim(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat(F.split("word", ""), F.array(F.lit(end_of_word))),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        lefts = F.slice("syms", 1, F.size("syms") - 1)
+        rights = F.slice("syms", 2, F.size("syms") - 1)
+        top = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        lefts,
+                        rights,
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        words = words.withColumn(
+            "syms", _bpe_apply_merge(F.col("syms"), left, right)
+        )
+        if (rank + 1) % 6 == 0:
+            words = words.localCheckpoint()
+    schema = "rank int, left string, right string, pair_count bigint"
+    return words, spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenize with a LEARNED merge list (``(left, right)`` tuples in
+    rank order): per word, start from characters + the end-of-word
+    marker and apply each merge as one narrow fold — the encoder is a
+    chain of ``len(merges)`` projections, zero shuffles, so it composes
+    into any ingest pipeline as a map stage."""
+    words = F.split(F.trim(text_col), r"\s+")
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_of_word))),
+    )
+    out = df.withColumn(out_col, per_word)
+    for left, right in merges:
+        out = out.withColumn(
+            out_col,
+            F.transform(out_col, lambda s: _bpe_apply_merge(s, left, right)),
+        )
+    return out.withColumn(out_col, F.flatten(out_col))

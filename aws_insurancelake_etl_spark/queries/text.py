@@ -2692,3 +2692,84 @@ def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("test_groups"),
     )
     return counts.crossJoin(leaky)
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-iteration DuckDB oracle for BPE merge learning: words as
+    chr(1)-delimited symbol strings (the sentinel makes ``replace()``'s
+    left-to-right non-overlapping scan EXACTLY the trainer's fold
+    semantics, and keeps matches aligned to symbol starts), one CTE
+    block per iteration: re-split → adjacent pairs via LEAD over pos
+    (the shingle idiom) → arg-max with the (cnt DESC, l, r) tiebreak →
+    apply the merge.  Built programmatically because SQL has no loops —
+    the structure is the proof that the iterative trainer is still a
+    deterministic function of the corpus."""
+    sep = "chr(1)"
+    parts = [f"""
+    btoks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ),
+    wf AS (
+        SELECT token AS word, COUNT(*) AS freq FROM btoks WHERE token != ''
+        GROUP BY token
+    ),
+    it0 AS (
+        SELECT word, freq,
+               {sep} || array_to_string(string_split(word, ''), {sep})
+                   || {sep} || '</w>' AS s
+        FROM wf
+    )"""]
+    for i in range(n_merges):
+        parts.append(f""",
+    tk{i} AS (
+        SELECT word, freq,
+               unnest(string_split(s, {sep})) AS sym,
+               generate_subscripts(string_split(s, {sep}), 1) AS pos
+        FROM it{i}
+    ),
+    pr{i} AS (
+        SELECT word, freq, pos, sym AS l,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+        FROM tk{i}
+    ),
+    bs{i} AS (
+        SELECT l, r, SUM(freq) AS cnt
+        FROM pr{i} WHERE pos >= 2 AND r IS NOT NULL
+        GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    it{i + 1} AS (
+        SELECT word, freq,
+               replace(s, {sep} || l || {sep} || r, {sep} || l || r) AS s
+        FROM it{i} CROSS JOIN bs{i}
+    )""")
+    union = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS rank, l AS merge_left, r AS merge_right,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM bs{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + "".join(parts) + "\n" + union
+
+
+@register("text_bpe_learn_merges", _bpe_oracle(6))
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. ACL'16) over
+    the documents corpus: six merge rules learned by the iterative
+    pair-count → arg-max → fold-rewrite trainer
+    (``textanalysis.bpe_learn_merges``).  The corpus is scanned ONCE
+    (word frequencies); each iteration runs on the vocabulary with one
+    TakeOrderedAndProject arg-max and one scalar driver row — the same
+    iterative-state discipline as connected components.  The oracle
+    unrolls the SAME six iterations in SQL (sentinel-string fold), so
+    the whole training trajectory — counts, tiebreaks, merge
+    applications — is differentially checked, not just the final
+    vocabulary."""
+    from ..operators.textanalysis import bpe_learn_merges
+
+    _words, merges = bpe_learn_merges(_docs(spark, sf_dir), n_merges=6)
+    return merges.select(
+        "rank",
+        F.col("left").alias("merge_left"),
+        F.col("right").alias("merge_right"),
+        "pair_count",
+    )

@@ -812,3 +812,70 @@ def test_cosine_prefix_pairs_prunes_hot_tokens(spark):
     tf = spark.createDataFrame(rows, "doc_id long, token string, cnt long")
     # all pairwise cosines are 100/200 = 0.5 < 0.9 -> empty result
     assert cosine_prefix_pairs(tf, 0.9).count() == 0
+
+
+def _ref_bpe(word_freqs, n):
+    """Pure-Python Sennrich BPE reference: (left, right, count) merges."""
+    vocab = {w: (list(w) + ["</w>"], f) for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n):
+        counts = {}
+        for syms, f in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((best[0], best[1], counts[best]))
+        for w, (syms, f) in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            vocab[w] = (out, f)
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from aws_insurancelake_etl_spark.operators.textanalysis import bpe_learn_merges
+
+    corpus = ["low low low lower lower newest newest newest newest",
+              "widest widest newest low"]
+    freqs = {}
+    for line in corpus:
+        for w in line.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _ref_bpe(freqs, 8)
+    df = spark.createDataFrame([(c,) for c in corpus], "text string")
+    words, merges = bpe_learn_merges(df, n_merges=8)
+    got = [(r["left"], r["right"], r["pair_count"])
+           for r in merges.orderBy("rank").collect()]
+    assert got == expected, (got, expected)
+
+
+def test_bpe_encode_reproduces_trained_symbolization(spark):
+    from aws_insurancelake_etl_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low lower lowest",), ("slow slower glow",)], "text string"
+    )
+    words, merges = bpe_learn_merges(df, n_merges=6)
+    rules = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    # encoding each training word must yield exactly its trained symbols
+    trained = {r["word"]: r["syms"] for r in words.collect()}
+    enc = bpe_encode(
+        words.select(F.col("word").alias("text")), rules, out_col="toks"
+    )
+    for r in enc.collect():
+        assert r["toks"] == trained[r["text"]], (r["text"], r["toks"])
+    # unseen word: encoder still produces a valid segmentation whose
+    # concatenation restores the word + marker
+    unseen = bpe_encode(spark.createDataFrame([("glowest",)], "text string"),
+                        rules, out_col="toks").collect()[0]["toks"]
+    assert "".join(unseen) == "glowest</w>"
