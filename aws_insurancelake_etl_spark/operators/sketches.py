@@ -443,3 +443,72 @@ def hll_estimate(
         raw
     )
     return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+# ------------------------------------------------------- histogram
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    bin_width: float,
+) -> DataFrame:
+    """Fixed-width histogram sketch: (group..., bin, cnt) rows with
+    ``bin = floor(value / bin_width)``.  The mergeable quantile
+    counterpart of the KMV/HLL sketches above: per-slice histograms add
+    (sum cnt per bin), so stored per-day sketches answer percentile
+    questions over any slice union without rescanning — and unlike
+    t-digest/GK the state is deterministic and engine-agnostic, so it
+    sits behind a differential oracle.  Build = one (group, bin)-keyed
+    aggregation with map-side partials; rows per group ≤ value range /
+    bin_width (the caller's accuracy/space dial)."""
+    binned = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width)))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, binned.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge stored histograms: counts add per (group, bin)."""
+    return sketches.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    bin_width: float,
+) -> DataFrame:
+    """Quantile estimates from histogram rows: cumulative counts over
+    the bin order (per-group window — state is the group's bin count),
+    then linear interpolation inside the bin containing rank ``q * N``:
+    ``est = bin*w + (t - cum_before) / cnt * w``.  Returns one row per
+    (group, q).  Every step is exact integer/double arithmetic on the
+    sketch — cross-engine deterministic, order-independent."""
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    )
+    qdf = cum.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        "cum",
+        "cum_before",
+        "n_total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("t", F.col("q") * F.col("n_total"))
+    hit = qdf.where(
+        (F.col("cum") >= F.col("t")) & (F.col("cum_before") < F.col("t"))
+    )
+    est = (
+        F.col("bin") * F.lit(float(bin_width))
+        + (F.col("t") - F.col("cum_before"))
+        / F.col("cnt")
+        * F.lit(float(bin_width))
+    )
+    return hit.select(*group_cols, "q", est.alias("quantile_est"))

@@ -2534,3 +2534,52 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "zval")
         .limit(20)
     )
+
+
+@register(
+    "sketch_histogram_quantiles",
+    """
+    WITH hx AS (
+        SELECT l_returnflag,
+               floor(CAST(l_extendedprice AS DOUBLE) / 1000.0) AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) - cnt
+                   AS cum_before,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_total
+        FROM hx
+    ),
+    qv AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+    hit AS (
+        SELECT l_returnflag, q, bin, cnt, cum_before, q * n_total AS t
+        FROM c CROSS JOIN qv
+        WHERE cum >= q * n_total AND cum_before < q * n_total
+    )
+    SELECT l_returnflag, q,
+           CAST(ROUND(bin * 1000.0 + (t - cum_before) / cnt * 1000.0, 4)
+                AS DOUBLE) AS quantile_est
+    FROM hit
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE histogram quantiles (round 6): p50/p95/p99 of extended
+    price per return flag from a fixed-width histogram sketch — the
+    deterministic, oracle-checkable alternative to approx_percentile
+    (whose GK/t-digest state is engine-private) and the scalable
+    alternative to a global sort: build is one (flag, bin)-keyed
+    aggregation with map-side partials, the quantile pass is a window
+    over each group's ~hundreds of bins, and stored per-slice
+    histograms ADD, so percentile monitoring over any slice union needs
+    no rescan (`histogram_merge`)."""
+    from ..operators.sketches import histogram_quantiles, histogram_sketch
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = histogram_sketch(li, "l_extendedprice", ["l_returnflag"], 1000.0)
+    out = histogram_quantiles(sk, ["l_returnflag"], [0.5, 0.95, 0.99], 1000.0)
+    return out.select(
+        "l_returnflag", "q", F.round("quantile_est", 4).alias("quantile_est")
+    )

@@ -81,6 +81,14 @@ EXTENDED = [
     "dedup_keep_best",
     "docs_unimax_allocation",
     "sink_avro_write_roundtrip",
+    # late-round-6 additions
+    "sink_delta_merge_upsert",
+    "src_delta_partition_prune",
+    "sketch_hll_cardinality",
+    "dedup_cosine_prefix_pairs",
+    "text_bpe_learn_merges",
+    "layout_zorder_cells",
+    "docs_leakage_free_split",
 ]
 
 

@@ -879,3 +879,28 @@ def test_bpe_encode_reproduces_trained_symbolization(spark):
     unseen = bpe_encode(spark.createDataFrame([("glowest",)], "text string"),
                         rules, out_col="toks").collect()[0]["toks"]
     assert "".join(unseen) == "glowest</w>"
+
+
+def test_histogram_quantiles_accuracy_and_merge(spark):
+    """Histogram p50/p95 within one bin width of the exact percentile,
+    and per-slice sketches merged == whole-data sketch (counts add)."""
+    import aws_insurancelake_etl_spark.operators.sketches as SK
+
+    df = spark.range(10000).select(
+        (F.col("id") % 1000).cast("double").alias("v"), F.lit("g").alias("g")
+    )
+    sk = SK.histogram_sketch(df, "v", ["g"], 10.0)
+    got = {r["q"]: r["quantile_est"]
+           for r in SK.histogram_quantiles(sk, ["g"], [0.5, 0.95], 10.0).collect()}
+    exact = df.selectExpr("percentile(v, 0.5) p50", "percentile(v, 0.95) p95").collect()[0]
+    assert abs(got[0.5] - exact["p50"]) <= 10.0
+    assert abs(got[0.95] - exact["p95"]) <= 10.0
+    halves = SK.histogram_merge(
+        SK.histogram_sketch(df.where("v % 2 = 0"), "v", ["g"], 10.0).unionByName(
+            SK.histogram_sketch(df.where("v % 2 = 1"), "v", ["g"], 10.0)
+        ),
+        ["g"],
+    )
+    whole = {(r["bin"]): r["cnt"] for r in sk.collect()}
+    merged = {(r["bin"]): r["cnt"] for r in halves.collect()}
+    assert whole == merged
