@@ -1846,3 +1846,211 @@ def src_delta_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.round(F.sum("qty"), 2).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------- iceberg
+
+_ICEBERG_MANIFEST_LIST_FIELDS = [
+    ("manifest_path", "string"),
+    ("manifest_length", "long"),
+    ("partition_spec_id", "int"),
+    ("content", "int"),
+    ("added_snapshot_id", "long"),
+]
+
+
+def _iceberg_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {"name": n, "type": t} for n, t in part_fields
+                    ],
+                },
+            },
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return [
+        ("status", "int"),
+        ("snapshot_id", ["null", "long"]),
+        ("data_file", data_file),
+    ]
+
+
+def build_iceberg_table(
+    spark, table_path: str, snapshots_rows, partition_col: str
+):
+    """Construct a spec-conformant Iceberg v2 table directory from
+    scratch (iceberg.apache.org/spec): identity-partitioned parquet data
+    files (partition column kept IN the files, per Iceberg convention),
+    one Avro manifest per snapshot, per-snapshot manifest lists, and
+    ``vN.metadata.json`` + ``version-hint.text``.  Paths inside the
+    metadata use a FAKE original location so readers must exercise the
+    relocation/rebase path.  Used by the ``src_iceberg_snapshot_read``
+    gate and ``tests/test_iceberg_lite.py``; the reader under test is
+    ``sources/iceberg_lite.py``."""
+    import glob
+    import os as _os
+
+    from ..sources import avro_lite
+
+    fake_loc = "file:///warehouse/orig/tbl"
+    meta_dir = f"{table_path}/metadata"
+    _os.makedirs(meta_dir, exist_ok=True)
+    part_fields = [(partition_col, ["null", "string"])]
+    manifests = []  # accumulated across snapshots
+    snapshots_meta = []
+    for snap_id, df in enumerate(snapshots_rows, start=1):
+        entries = []
+        for pv in sorted(
+            r[0] for r in df.select(partition_col).distinct().collect()
+        ):
+            sub = df.where(F.col(partition_col) == pv).coalesce(1)
+            stage = tempfile.mkdtemp(prefix="icestage-")
+            sub.write.mode("overwrite").parquet(stage)
+            part_file = glob.glob(f"{stage}/part-*.parquet")[0]
+            rel = f"data/{partition_col}={pv}/f{snap_id}-{pv}.parquet"
+            dest = f"{table_path}/{rel}"
+            _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+            shutil.move(part_file, dest)
+            shutil.rmtree(stage, ignore_errors=True)
+            entries.append(
+                (
+                    1,  # status ADDED
+                    snap_id,
+                    (
+                        0,
+                        f"{fake_loc}/{rel}",
+                        "PARQUET",
+                        (str(pv),),
+                        sub.count(),
+                        _os.path.getsize(dest),
+                    ),
+                )
+            )
+        man_rel = f"metadata/manifest-{snap_id}.avro"
+        schema = _iceberg_manifest_schema(part_fields)
+        avro_lite.write_avro(
+            f"{table_path}/{man_rel}",
+            [n for n, _ in schema],
+            [t for _, t in schema],
+            entries,
+            record_name="manifest_entry",
+        )
+        manifests.append(
+            (
+                f"{fake_loc}/{man_rel}",
+                _os.path.getsize(f"{table_path}/{man_rel}"),
+                0,
+                0,  # content=0: data manifest
+                snap_id,
+            )
+        )
+        ml_rel = f"metadata/snap-{snap_id}.avro"
+        avro_lite.write_avro(
+            f"{table_path}/{ml_rel}",
+            [n for n, _ in _ICEBERG_MANIFEST_LIST_FIELDS],
+            [t for _, t in _ICEBERG_MANIFEST_LIST_FIELDS],
+            list(manifests),
+            record_name="manifest_file",
+        )
+        snapshots_meta.append(
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": snap_id,
+                "timestamp-ms": 1700000000000 + snap_id,
+                "manifest-list": f"{fake_loc}/{ml_rel}",
+                "summary": {"operation": "append"},
+            }
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000042",
+            "location": fake_loc,
+            "last-sequence-number": snap_id,
+            "current-snapshot-id": snap_id,
+            "snapshots": list(snapshots_meta),
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": partition_col,
+                            "transform": "identity",
+                            "source-id": 1,
+                            "field-id": 1000,
+                        }
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+        }
+        with open(f"{meta_dir}/v{snap_id}.metadata.json", "w") as fh:
+            json.dump(meta, fh)
+    with open(f"{meta_dir}/version-hint.text", "w") as fh:
+        fh.write(str(len(snapshots_rows)))
+
+
+@register(
+    "src_iceberg_snapshot_read",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 6 = 0 AND o_orderstatus = 'F'
+    """,
+)
+def src_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table scan WITHOUT the runtime jar (round 6): the
+    reference reads its entity primary via ``read.format('iceberg')``
+    (``etl_consume_entity_match.py:395-397``); ``sources/iceberg_lite``
+    walks the open spec's metadata tree itself — version-hinted
+    metadata.json → snapshot → Avro manifest list → Avro manifests
+    (via the stdlib ``avro_lite``) → live data files.  The gate builds
+    a spec-conformant two-snapshot identity-partitioned v2 table (with
+    RELOCATED paths, so rebasing is exercised), then TIME-TRAVELS to
+    snapshot 1 with a partition filter: pruning happens on manifest
+    entries before any parquet footer is opened.  Snapshot 2's extra
+    rows (%6==3) must be invisible; the oracle is the plain relational
+    subset."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-") + "/t"
+    build_iceberg_table(
+        spark,
+        tbl,
+        [
+            base.where(F.col("o_orderkey") % 6 == 0),
+            base.where(F.col("o_orderkey") % 6 == 3),
+        ],
+        "o_orderstatus",
+    )
+    planned = iceberg_lite.plan_files(
+        tbl, snapshot_id=1, partition_filter={"o_orderstatus": "F"}
+    )
+    all_files = iceberg_lite.plan_files(tbl, snapshot_id=1)
+    if not planned or len(planned) >= len(all_files):
+        raise RuntimeError(
+            f"manifest pruning ineffective: {len(planned)}/{len(all_files)}"
+        )
+    return iceberg_lite.read_iceberg(
+        spark, tbl, snapshot_id=1, partition_filter={"o_orderstatus": "F"}
+    )
