@@ -241,6 +241,42 @@ def read_input(
             .load(source_path)
         )
 
+    if "delta" in input_spec or (
+        os.path.isdir(source_path)
+        and os.path.isdir(os.path.join(source_path, "_delta_log"))
+    ):
+        # Transactional table directories dispatch on their on-disk
+        # markers, like every other format here: `_delta_log/` -> the
+        # pure-Python Delta log reader (snapshot / time travel /
+        # partition pruning via the delta spec in input_spec).
+        from .delta_lite import read_delta  # noqa: PLC0415
+
+        delta_spec = input_spec.get("delta", {})
+        return read_delta(
+            spark,
+            source_path,
+            version=delta_spec.get("version"),
+            partition_filter=delta_spec.get("partition_filter"),
+        )
+
+    if "iceberg" in input_spec or (
+        os.path.isdir(source_path)
+        and os.path.isdir(os.path.join(source_path, "metadata"))
+        and any(
+            n.endswith(".metadata.json")
+            for n in os.listdir(os.path.join(source_path, "metadata"))
+        )
+    ):
+        from .iceberg_lite import read_iceberg  # noqa: PLC0415
+
+        ice_spec = input_spec.get("iceberg", {})
+        return read_iceberg(
+            spark,
+            source_path,
+            snapshot_id=ice_spec.get("snapshot_id"),
+            partition_filter=ice_spec.get("partition_filter"),
+        )
+
     if ext == ".parquet" or "parquet" in input_spec:
         return spark.read.format("parquet").load(source_path)
 

@@ -221,3 +221,30 @@ def test_unsupported_reader_version_raises(spark, table):
         )
     with pytest.raises(dl.DeltaLiteError, match="minReaderVersion"):
         dl.snapshot(table)
+
+
+def test_read_input_dispatches_table_directories(spark, tmp_path):
+    """The engine's format dispatch recognizes transactional table dirs
+    by their on-disk markers, so a pipeline input_spec can point at a
+    Delta or Iceberg directory like any other source."""
+    from pyspark.sql import Row
+
+    from aws_insurancelake_etl_spark.queries.pipeline_ops import (
+        build_iceberg_table,
+    )
+    from aws_insurancelake_etl_spark.sources.readers import read_input
+
+    d = str(tmp_path / "d")
+    dl.write_delta(_people(spark, 0, 4), d)
+    dl.write_delta(_people(spark, 4, 6), d)
+    assert read_input(spark, d, {}).count() == 6
+    assert read_input(spark, d, {"delta": {"version": 0}}).count() == 4
+
+    i = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [Row(id=1, g="a"), Row(id=2, g="b")]
+    ).select("id", "g")
+    build_iceberg_table(spark, i, [df], "g")
+    assert read_input(spark, i, {}).count() == 2
+    got = read_input(spark, i, {"iceberg": {"partition_filter": {"g": "a"}}})
+    assert [r.id for r in got.collect()] == [1]
