@@ -1376,3 +1376,78 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "vec_id", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@register(
+    "emb_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, MAX(abs(x)) / 127.0 AS scale
+        FROM e GROUP BY vec_id
+    ),
+    q AS (
+        SELECT e.vec_id, x, scale,
+               GREATEST(LEAST(floor(x / scale + 0.5), 127), -127) AS qi
+        FROM e JOIN s USING (vec_id) WHERE scale > 0
+    ),
+    err AS (
+        SELECT vec_id, scale,
+               MAX(abs(qi * scale - x)) AS vec_err,
+               SUM(CAST(floor(abs(qi * scale - x) * 1e9) AS BIGINT))
+                   AS vec_err_e9
+        FROM q GROUP BY vec_id, scale
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(ROUND(MAX(vec_err), 6) AS DOUBLE) AS max_abs_err,
+           CAST(SUM(vec_err_e9) AS BIGINT) AS sum_err_e9,
+           CAST(COUNT(*) FILTER (vec_err > scale * 0.5000001) AS BIGINT)
+               AS n_bound_violations
+    FROM err
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 embedding quantization (round 6): per-vector symmetric
+    scale ``max|x| / 127``, codes ``floor(x/scale + 0.5)`` clamped —
+    the floor(+0.5) form instead of round() because engines disagree on
+    half-even vs half-away ties, and the storage win (4x) only matters
+    at 100 TB if the codes are REPRODUCIBLE.  The gate checks the
+    quantizer end-to-end: vector count, worst reconstruction error,
+    an exact-integer error mass (floor(err*1e9) summed as BIGINT — a
+    float SUM would be order-dependent), and the analytic bound
+    ``err <= scale/2`` violated ZERO times.  All narrow array
+    expressions (transform/aggregate), zero shuffles before the final
+    scalar aggregate."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(as_double, F.abs)) / F.lit(127.0)
+    ).alias("scale")
+    df = emb.select("vec_id", as_double.alias("xs"), scale).where(
+        F.col("scale") > 0
+    )
+    qi = lambda x: F.greatest(  # noqa: E731
+        F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127)), F.lit(-127)
+    )
+    errs = F.transform("xs", lambda x: F.abs(qi(x) * F.col("scale") - x))
+    per_vec = df.select(
+        "vec_id",
+        "scale",
+        F.array_max(errs).alias("vec_err"),
+        F.aggregate(
+            errs,
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + F.floor(e * 1e9).cast("bigint"),
+        ).alias("vec_err_e9"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.max("vec_err"), 6).cast("double").alias("max_abs_err"),
+        F.sum("vec_err_e9").cast("bigint").alias("sum_err_e9"),
+        F.count(F.when(F.col("vec_err") > F.col("scale") * 0.5000001, 1))
+        .cast("bigint")
+        .alias("n_bound_violations"),
+    )
