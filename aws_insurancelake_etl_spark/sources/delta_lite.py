@@ -466,17 +466,31 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
 
 def write_delta(
-    df: DataFrame, path: str, mode: str = "append", partition_by=None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by=None,
+    schema_mode: str = "strict",
 ) -> int:
     """Commit a Spark DataFrame as a delta-lite ``append``/``overwrite``.
     Returns the committed version.  Appends retry on commit conflicts;
     overwrite raises ConcurrentWriteError if it loses the race (its
-    removes were computed against a stale snapshot)."""
+    removes were computed against a stale snapshot).
+
+    ``schema_mode="evolve"`` lets an append ADD columns (Delta's
+    mergeSchema): the commit carries a new metaData with the widened
+    schema, old data files simply read as null for the new columns
+    (the snapshot schema is authoritative on every file), and existing
+    columns must still match exactly — silent type drift stays an
+    error."""
     if mode not in ("append", "overwrite"):
         raise DeltaLiteError(f"mode must be append|overwrite, got {mode!r}")
+    if schema_mode not in ("strict", "evolve"):
+        raise DeltaLiteError(f"schema_mode must be strict|evolve, got {schema_mode!r}")
     os.makedirs(path, exist_ok=True)
     partition_by = list(partition_by or [])
     existing = None
+    evolved = False
     if is_delta_table(path):
         existing = snapshot(path)
         if mode == "append":
@@ -487,16 +501,38 @@ def write_delta(
                 )
             partition_by = existing.partition_columns
             if _schema_key(df.schema) != _schema_key(existing.schema):
-                raise DeltaLiteError(
-                    "append schema mismatch: "
-                    f"{_schema_key(df.schema)} vs {_schema_key(existing.schema)}"
+                old_names = {f.name for f in existing.schema.fields}
+                new_by_name = {f.name: f for f in df.schema.fields}
+                shared_ok = all(
+                    f.name in new_by_name
+                    and new_by_name[f.name].dataType.simpleString()
+                    == f.dataType.simpleString()
+                    for f in existing.schema.fields
                 )
+                if schema_mode != "evolve" or not shared_ok:
+                    raise DeltaLiteError(
+                        "append schema mismatch: "
+                        f"{_schema_key(df.schema)} vs {_schema_key(existing.schema)}"
+                        + (
+                            " (schema_mode='evolve' only ADDS columns; "
+                            "existing columns must match)"
+                            if schema_mode == "evolve"
+                            else " (pass schema_mode='evolve' to add columns)"
+                        )
+                    )
+                added = [f for f in df.schema.fields if f.name not in old_names]
+                df = df.select(
+                    *[f.name for f in existing.schema.fields],
+                    *[f.name for f in added],
+                )
+                evolved = True
     adds = _stage_data_files(df, path, partition_by)
     actions = [
         {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
     ]
     meta_needed = (
         existing is None
+        or evolved
         or mode == "overwrite"
         and (
             _schema_key(df.schema) != _schema_key(existing.schema)
@@ -671,3 +707,76 @@ def vacuum(path: str, retention_ms: int = 0) -> list:
                     os.remove(target)
                     deleted.append(rel)
     return sorted(set(deleted))
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    zorder_by=None,
+    bits: int = 8,
+) -> dict:
+    """``OPTIMIZE [ZORDER BY]``: compact the current snapshot into
+    ``target_files`` data files, optionally clustering them by the
+    Morton key of ``zorder_by`` (``operators/layout``) so parquet
+    min/max footers prune multi-dimensional predicates (PERFORMANCE.md
+    finding 41).  The commit marks removes/adds ``dataChange=false`` —
+    a layout-only rewrite, exactly like Delta's OPTIMIZE, so streaming
+    readers of the log know no rows changed.  Returns
+    {"version", "files_before", "files_after"}.
+
+    Small-file compaction is THE operational lever for a 100 TB table
+    fed by frequent small commits: read cost is dominated by per-file
+    overhead (footers, scheduling) once files shrink below
+    ~maxPartitionBytes."""
+    snap = snapshot(path)
+    df = _read_snapshot(spark, snap)
+    if zorder_by:
+        from ..operators.layout import zorder_key  # noqa: PLC0415
+
+        keyed, _bounds = zorder_key(df, list(zorder_by), bits)
+        df = (
+            keyed.repartitionByRange(target_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(target_files)
+    adds = _stage_data_files(df, path, snap.partition_columns)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "OPTIMIZE",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "zOrderBy": list(zorder_by or []),
+                    "targetFiles": target_files,
+                },
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(a.path, safe="/=%"),
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for a in snap.files
+    ]
+    for a in adds:
+        a.data_change = False
+    actions += [_add_json(a) for a in adds]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run OPTIMIZE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_before": len(snap.files),
+        "files_after": len(adds),
+    }

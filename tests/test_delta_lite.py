@@ -248,3 +248,86 @@ def test_read_input_dispatches_table_directories(spark, tmp_path):
     assert read_input(spark, i, {}).count() == 2
     got = read_input(spark, i, {"iceberg": {"partition_filter": {"g": "a"}}})
     assert [r.id for r in got.collect()] == [1]
+
+
+def test_optimize_compacts_and_zorders_without_data_change(spark, table):
+    """OPTIMIZE ZORDER BY: many small commits compact into few files
+    clustered by the Morton key; rows identical, time travel intact,
+    and the commit is dataChange=false (layout-only)."""
+    from aws_insurancelake_etl_spark.operators import layout
+
+    for lo in range(0, 40, 5):
+        df = spark.createDataFrame(
+            [Row(id=i, other=(i * 7) % 40, score=float(i))
+             for i in range(lo, lo + 5)]
+        ).select("id", "other", "score")
+        dl.write_delta(df, table)
+    before = dl.snapshot(table)
+    assert len(before.files) >= 8
+    stats = dl.optimize(spark, table, target_files=2,
+                        zorder_by=["id", "other"])
+    assert stats["files_after"] <= 2
+    snap = dl.snapshot(table)
+    assert all(not a.data_change for a in snap.files)
+    back = dl.read_delta(spark, table)
+    assert back.count() == 40
+    assert _rows(back) == _rows(dl.read_delta(spark, table,
+                                              version=before.version))
+    # clustering is real: a box predicate prunes at least one file
+    stats_df = layout.file_minmax_stats(
+        spark, table + "/" + os.path.dirname(snap.files[0].path)
+        if "/" in snap.files[0].path else table, ["id", "other"])
+    # files live at the table root for an unpartitioned table
+    overl = layout.files_overlapping_box(stats_df, {"id": (0, 10),
+                                                    "other": (0, 10)})
+    assert overl.count() < stats_df.count()
+
+
+def test_streaming_foreachbatch_merges_into_delta(spark, table, tmp_path):
+    """Streaming SCD1 into a TRANSACTIONAL table: foreachBatch applies
+    each micro-batch with delta_lite.merge_delta, so the sink keeps
+    history (time travel) and survives replays (same keys upsert)."""
+    import time as _time
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    dl.write_delta(_people(spark, 0, 4), table)
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dl.merge_delta(spark, batch_df.dropDuplicates(["id"]), table, "id")
+
+    b1 = _people(spark, 2, 6)  # ids 2,3 update; 4,5 insert
+    b1.coalesce(1).write.mode("overwrite").parquet(src_dir + "/b1")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/b1")
+    )
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    _time.sleep(0.2)
+    back = dl.read_delta(spark, table)
+    assert back.count() == 6
+    assert dl.read_delta(spark, table, version=0).count() == 4
+
+
+def test_append_schema_evolve_adds_columns(spark, table):
+    dl.write_delta(_people(spark, 0, 3), table)
+    wider = _people(spark, 3, 5).withColumn("nation", F.lit("NL"))
+    with pytest.raises(dl.DeltaLiteError, match="evolve"):
+        dl.write_delta(wider, table)  # strict default still refuses
+    v = dl.write_delta(wider, table, schema_mode="evolve")
+    back = dl.read_delta(spark, table)
+    assert set(back.columns) == {"id", "grp", "score", "nation"}
+    rows = {r.id: r.nation for r in back.collect()}
+    assert rows[0] is None and rows[4] == "NL"  # old files read null
+    # type drift is still an error under evolve
+    drift = _people(spark, 9, 10).withColumn("score", F.lit("oops"))
+    with pytest.raises(dl.DeltaLiteError, match="existing columns"):
+        dl.write_delta(drift.select("id", "grp", "score"),
+                       table, schema_mode="evolve")
+    assert v == 1
