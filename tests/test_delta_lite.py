@@ -331,3 +331,86 @@ def test_append_schema_evolve_adds_columns(spark, table):
         dl.write_delta(drift.select("id", "grp", "score"),
                        table, schema_mode="evolve")
     assert v == 1
+
+
+# ---------------------------------------------------------------- model
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_op = st.one_of(
+    st.tuples(st.just("append"),
+              st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("overwrite"),
+              st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+    st.tuples(st.just("merge"),
+              st.lists(st.integers(0, 30), min_size=1, max_size=4,
+                       unique=True)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_delta_model_based_random_op_sequences(spark, tmp_path_factory, ops):
+    """Model check: any sequence of append/overwrite/merge must leave
+    BOTH the latest snapshot and every historical version equal to an
+    in-memory reference model.  Append = multiset add; overwrite =
+    replace; merge = upsert keyed on id (value becomes the op index so
+    updates are observable)."""
+    table = str(tmp_path_factory.mktemp("dlmodel") / "tbl")
+
+    def df_for(ids, op_idx):
+        return spark.createDataFrame(
+            [(i, op_idx) for i in ids], "id long, v long"
+        )
+
+    multiset: list[tuple[int, int]] = []
+    checkpoints: list[tuple[int, list]] = []  # (actual version, expected rows)
+    for op_idx, (kind, ids) in enumerate(ops):
+        if kind == "append":
+            dl.write_delta(df_for(ids, op_idx), table)
+            multiset += [(i, op_idx) for i in ids]
+        elif kind == "overwrite":
+            dl.write_delta(df_for(ids, op_idx), table, mode="overwrite")
+            multiset = [(i, op_idx) for i in ids]
+        else:
+            if not dl.is_delta_table(table):
+                # bootstrap: a merge into a fresh path creates the table
+                dl.write_delta(df_for([], op_idx).limit(0), table)
+            dl.merge_delta(spark, df_for(ids, op_idx), table, "id")
+            keys = set(ids)
+            multiset = [r for r in multiset if r[0] not in keys]
+            multiset += [(i, op_idx) for i in ids]
+        checkpoints.append((dl.snapshot(table).version, sorted(multiset)))
+
+    for version, expected in checkpoints:
+        got = sorted(
+            (r.id, r.v)
+            for r in dl.read_delta(spark, table, version=version).collect()
+        )
+        assert got == expected, (version, ops)
+
+
+def test_concurrent_appends_all_land(spark, table):
+    """Two writers racing on the same next-version slot: O_EXCL makes
+    one lose and retry, and BOTH commits must be present afterward."""
+    import threading
+
+    dl.write_delta(_people(spark, 0, 2), table)
+    errs = []
+
+    def w(lo):
+        try:
+            dl.write_delta(_people(spark, lo, lo + 3), table)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=w, args=(lo,)) for lo in (10, 20)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert dl.read_delta(spark, table).count() == 8
+    assert dl.snapshot(table).version == 2
