@@ -780,3 +780,71 @@ def optimize(
         "files_before": len(snap.files),
         "files_after": len(adds),
     }
+
+
+def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Copy-on-write ``DELETE WHERE predicate``: only data files that
+    CONTAIN a matching row are rewritten (without the matching rows);
+    everything else survives by reference — same touched-file
+    discipline as :func:`merge_delta`, same driver state (the path
+    list).  Returns {"version", "rows_deleted", "files_rewritten",
+    "files_kept"}."""
+    snap = snapshot(path)
+    target = _read_snapshot(spark, snap, with_path=True)
+    cond = F.expr(predicate)
+    touched_uris = {
+        r["__dl_path"]
+        for r in target.where(cond).select("__dl_path").distinct().collect()
+    }
+    if not touched_uris:
+        return {
+            "version": snap.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_kept": len(snap.files),
+        }
+
+    def _rel(uri: str) -> str:
+        local = uri[len("file:"):] if uri.startswith("file:") else uri
+        while local.startswith("//"):
+            local = local[1:]
+        return os.path.relpath(local, path)
+
+    touched_rel = {_rel(u) for u in touched_uris}
+    touched_df = target.where(F.col("__dl_path").isin(list(touched_uris)))
+    n_deleted = touched_df.where(cond).count()
+    survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
+    adds = _stage_data_files(survivors, path, snap.partition_columns)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "engine": "delta-lite",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(p, safe="/=%"),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(touched_rel)
+    ]
+    actions += [_add_json(a) for a in adds]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run DELETE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "rows_deleted": n_deleted,
+        "files_rewritten": len(touched_rel),
+        "files_kept": len(snap.files) - len(touched_rel),
+    }

@@ -414,3 +414,32 @@ def test_concurrent_appends_all_land(spark, table):
     assert not errs
     assert dl.read_delta(spark, table).count() == 8
     assert dl.snapshot(table).version == 2
+
+
+def test_delete_rewrites_only_matching_files(spark, table):
+    dl.write_delta(_people(spark, 0, 5).coalesce(1), table)
+    dl.write_delta(_people(spark, 5, 10).coalesce(1), table)
+    stats = dl.delete_delta(spark, table, "id IN (1, 3)")
+    assert stats["rows_deleted"] == 2
+    assert stats["files_rewritten"] == 1 and stats["files_kept"] == 1
+    back = dl.read_delta(spark, table)
+    assert back.count() == 8
+    assert back.where("id IN (1, 3)").count() == 0
+    # time travel still sees the deleted rows
+    assert dl.read_delta(spark, table, version=1).count() == 10
+    # no-match delete is a no-op commit-wise
+    before_v = dl.snapshot(table).version
+    stats2 = dl.delete_delta(spark, table, "id = 9999")
+    assert stats2["rows_deleted"] == 0
+    assert dl.snapshot(table).version == before_v
+
+
+def test_delete_null_predicate_rows_survive(spark, table):
+    df = spark.createDataFrame(
+        [Row(id=1, grp=None, score=1.0), Row(id=2, grp="x", score=2.0)]
+    ).select("id", "grp", "score")
+    dl.write_delta(df, table)
+    dl.delete_delta(spark, table, "grp = 'x'")
+    back = dl.read_delta(spark, table)
+    # SQL tri-state: NULL predicate rows are NOT deleted
+    assert [r.id for r in back.collect()] == [1]
