@@ -2591,8 +2591,19 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cosine_prefix_pairs",
     f"""
     WITH {_TOKS_CTE},
+    sh2 AS (
+        SELECT doc_id, token || ' ' || lead1 || ' ' || lead2 AS tk
+        FROM (
+            SELECT doc_id, token,
+                   LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS lead1,
+                   LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS lead2
+            FROM toks
+        ) WHERE lead2 IS NOT NULL
+    ),
     tf AS (
-        SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        SELECT doc_id, tk AS token, COUNT(*) AS cnt FROM sh2 GROUP BY 1, 2
     ),
     n2 AS (SELECT doc_id, SUM(cnt * cnt) AS n2 FROM tf GROUP BY 1),
     dots AS (
@@ -2612,17 +2623,33 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine similarity join (Bayardo et al. WWW'07) at
-    t=0.8 over term-frequency vectors — the EXACT near-dup family member
-    (vs the probabilistic MinHash/SimHash gates): the prefix filter
-    indexes only each document's low-frequency tail, so hot posting
-    lists never self-expand, yet the result is provably identical to
-    the brute force the DuckDB oracle runs.  Integer dot products and
-    norms; one float division at the end keeps both engines
-    bit-identical."""
+    t=0.8 over word-3-gram COUNT vectors — the EXACT near-dup family
+    member (vs the probabilistic MinHash/SimHash gates): the prefix
+    filter indexes only each document's low-frequency tail, so hot
+    posting lists never self-expand, yet the result is provably
+    identical to the brute force the DuckDB oracle runs.  Features are
+    3-gram counts rather than unigrams deliberately: the fixture's
+    31-word vocabulary makes every unigram a stop word (every doc pair
+    co-occurs — 342M candidate rows at sf0.1, the degenerate case), while
+    the 27k-shingle space is the realistic sparse regime.  Integer dot
+    products and norms; one float division at the end keeps both
+    engines bit-identical.  Non-distinct shingle counts come from the
+    narrow ``arrays_zip``-of-slices build (zero shuffles before the
+    count aggregation)."""
     from ..operators.dedup import cosine_prefix_pairs
 
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    gram_count = F.greatest(F.size(toks) - 2, F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, gram_count) for i in range(3)])
     tf = (
-        _tokens(spark, sf_dir)
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id"), F.explode(zipped).alias("__g"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"__g.{i}") for i in range(3)]).alias(
+                "token"
+            ),
+        )
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

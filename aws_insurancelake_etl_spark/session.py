@@ -47,6 +47,13 @@ _SCALE_CONFS: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Local mode runs driver and all 32 executor threads in ONE JVM whose
+    # heap defaults to 1g — long benchmark sessions (hundreds of stages,
+    # accumulated broadcasts) OOMed there (round 6).  The container has
+    # 128 GiB; 32g is the heap a 32-core executor would get on a real
+    # cluster.  Applies only at JVM launch: set before getOrCreate.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.driver.maxResultSize": "4g",
 }
 
 
