@@ -946,3 +946,41 @@ def bpe_encode(
             F.transform(out_col, lambda s: _bpe_apply_merge(s, left, right)),
         )
     return out.withColumn(out_col, F.flatten(out_col))
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted"
+) -> DataFrame:
+    """HTML → text extraction (the CommonCrawl/C4 boilerplate stage):
+    drop ``<script>``/``<style>`` blocks and comments, strip tags,
+    decode the common entities (``&amp;`` LAST so ``&amp;lt;`` cannot
+    double-decode), collapse whitespace.  Adds ``out_col`` and
+    ``html_text_ratio`` (extracted/raw length — the classic boilerplate
+    signal: markup-heavy pages score low).  Pure codegen'd
+    ``regexp_replace``/``replace`` chain, zero shuffles; the patterns
+    avoid backreferences so RE2-based engines (DuckDB, Hyperscan
+    prefilters) run them identically to Java regex."""
+    c = F.col(html_col)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c).withColumn(
+        "html_text_ratio",
+        F.when(
+            F.length(html_col) > 0,
+            F.round(
+                F.length(out_col).cast("double") / F.length(html_col), 4
+            ),
+        ),
+    )

@@ -2800,3 +2800,86 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("right").alias("merge_right"),
         "pair_count",
     )
+
+
+@register(
+    "text_html_extract",
+    r"""
+    WITH page AS (
+        SELECT doc_id,
+               '<html><head><title>' || source ||
+               '</title><style type="text/css">p { color: red; }</style>' ||
+               '<script>var x = 1; if (x < 2) { x = 3; }</script></head>' ||
+               '<!-- generated ' || lang || ' -->' ||
+               '<body><h1>Doc &#39;' || CAST(doc_id AS VARCHAR) ||
+               '&#39;</h1><p>' || text || '</p><div>R&amp;D &lt;tags&gt;' ||
+               '&nbsp;rock</div></body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(html,
+                                       '(?is)<script[^>]*>.*?</script>',
+                                       ' ', 'g'),
+                                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       chr(38) || chr(35) || '39;', chr(39)),
+                       '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS extracted
+        FROM page
+    )
+    SELECT doc_id, md5(extracted) AS extract_md5,
+           CAST((length(extracted) * 10000) // length(html) AS BIGINT)
+               AS text_ratio_bp
+    FROM stripped
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (CommonCrawl/C4 ingest stage): each
+    document is wrapped into a deterministic page — title, CSS, a
+    script whose body contains a '<' that must NOT terminate tag
+    stripping, an HTML comment, headings, and entity escapes — then
+    ``textanalysis.html_extract`` strips it back to text.  The oracle
+    performs the identical wrap+strip in DuckDB (RE2), so the gate pins
+    cross-engine regex semantics (dotall blocks, non-greedy spans,
+    no backreferences) and the entity-decode order (&amp; last).
+    Output compares md5 of the full extracted text plus the
+    text-to-markup ratio, the classic boilerplate-quality signal.
+    Fully narrow: a codegen'd expression chain, zero shuffles."""
+    from ..operators.textanalysis import html_extract
+
+    page = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>"),
+            F.col("source"),
+            F.lit('</title><style type="text/css">p { color: red; }</style>'),
+            F.lit("<script>var x = 1; if (x < 2) { x = 3; }</script></head>"),
+            F.lit("<!-- generated "),
+            F.col("lang"),
+            F.lit(" -->"),
+            F.lit("<body><h1>Doc &#39;"),
+            F.col("doc_id").cast("string"),
+            F.lit("&#39;</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>R&amp;D &lt;tags&gt;&nbsp;rock</div></body></html>"),
+        ).alias("html"),
+    )
+    out = html_extract(page, "html", "extracted")
+    return out.select(
+        "doc_id",
+        F.md5("extracted").alias("extract_md5"),
+        # exact integer basis points, not ROUND(double, 4): 581/800 =
+        # 0.72625 hit a representational rounding tie where Spark said
+        # .7263 and DuckDB .7262 — integer DIV has no ties
+        F.expr("(length(extracted) * 10000) DIV length(html)")
+        .cast("bigint")
+        .alias("text_ratio_bp"),
+    )

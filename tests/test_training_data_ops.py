@@ -904,3 +904,24 @@ def test_histogram_quantiles_accuracy_and_merge(spark):
     whole = {(r["bin"]): r["cnt"] for r in sk.collect()}
     merged = {(r["bin"]): r["cnt"] for r in halves.collect()}
     assert whole == merged
+
+
+def test_html_extract_edge_cases(spark):
+    from aws_insurancelake_etl_spark.operators.textanalysis import html_extract
+
+    pages = [
+        # script body containing '<' must not break tag stripping
+        (1, "<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>"),
+        # entity double-decode guard: &amp;lt; must become '&lt;' not '<'
+        (2, "x &amp;lt; y"),
+        # comments and style blocks vanish entirely
+        (3, "<style>p{}</style><!-- hidden <b>bold</b> -->seen"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r.doc_id: (r.extracted, r.html_text_ratio)
+           for r in html_extract(df).collect()}
+    assert got[1][0] == "a b"
+    assert got[2][0] == "x &lt; y"
+    assert got[3][0] == "seen"
+    assert got[4][0] == "" and got[4][1] is None
