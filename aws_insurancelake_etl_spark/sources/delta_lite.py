@@ -615,7 +615,34 @@ def merge_delta(
             "a target row may match at most one source row"
         )
     src_keys = source.select(*keys).distinct()
-    target = _read_snapshot(spark, snap, with_path=True)
+    # Partition pruning for the touched-file search: when the partition
+    # columns are part of the merge key, a match can only live in a
+    # partition the SOURCE actually carries — so the scan for touched
+    # files skips every other partition's files entirely.  This is the
+    # daily-upsert pattern at 100 TB: merging one day's keys reads one
+    # day's files, not the table.  (Unsound when partition columns are
+    # not in the key — a match could sit anywhere — so it only engages
+    # on the subset case.)
+    search_snap = snap
+    part_cols = snap.partition_columns
+    if part_cols and set(part_cols) <= set(keys):
+        src_parts = {
+            tuple(None if row[c] is None else str(row[c]) for c in part_cols)
+            for row in source.select(*part_cols).distinct().collect()
+        }
+        search_snap = Snapshot(
+            table_path=snap.table_path,
+            version=snap.version,
+            schema_string=snap.schema_string,
+            partition_columns=part_cols,
+            files=[
+                f
+                for f in snap.files
+                if tuple(f.partition_values.get(c) for c in part_cols)
+                in src_parts
+            ],
+        )
+    target = _read_snapshot(spark, search_snap, with_path=True)
     touched_uris = {
         r["__dl_path"]
         for r in target.join(F.broadcast(src_keys), keys, "left_semi")

@@ -443,3 +443,24 @@ def test_delete_null_predicate_rows_survive(spark, table):
     back = dl.read_delta(spark, table)
     # SQL tri-state: NULL predicate rows are NOT deleted
     assert [r.id for r in back.collect()] == [1]
+
+
+def test_merge_prunes_partitions_when_key_covers_them(spark, table):
+    """Partition columns ⊆ merge key → the touched-file search never
+    reads other partitions' files (the daily-upsert pattern)."""
+    df = _people(spark, 0, 4, "a").unionByName(_people(spark, 4, 8, "b"))
+    dl.write_delta(df, table, partition_by=["grp"])
+    # corrupt partition b's data file on disk: if the merge tries to
+    # read it, it fails — pruning means it never does
+    snap = dl.snapshot(table)
+    b_file = next(f for f in snap.files if f.partition_values == {"grp": "b"})
+    with open(os.path.join(table, b_file.path), "wb") as fh:
+        fh.write(b"not parquet at all")
+    source = spark.createDataFrame(
+        [Row(id=1, grp="a", score=111.0)]
+    ).select("id", "grp", "score")
+    stats = dl.merge_delta(spark, source, table, ["id", "grp"])
+    assert stats["files_rewritten"] == 1
+    # and partition b's (corrupt) file is untouched in the snapshot
+    after = dl.snapshot(table)
+    assert any(f.path == b_file.path for f in after.files)
