@@ -2054,3 +2054,89 @@ def src_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_lite.read_iceberg(
         spark, tbl, snapshot_id=1, partition_filter={"o_orderstatus": "F"}
     )
+
+
+@register(
+    "stream_delta_merge_sink",
+    """
+    SELECT o_orderkey, o_orderstatus, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 300 AS BIGINT)
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    """,
+)
+def stream_delta_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a TRANSACTIONAL table (round 6): two
+    incremental drop files drain through ``foreachBatch`` →
+    ``merge_into_delta`` (delta_lite copy-on-write MERGE), so the sink
+    is atomic per micro-batch and every pre-batch state stays
+    time-travelable — the property the parquet-overwrite streaming sink
+    (``stream_upsert_totals``) cannot offer.  Batch 1 seeds keys %4==0;
+    batch 2 triples the price of %8==0 (updates) and inserts %4==1.
+    The final snapshot must equal the relational merge outcome the
+    oracle states; a replayed or skipped batch diverges."""
+    import os
+
+    from ..operators.entitymatch import merge_into_delta
+    from ..sources import delta_lite
+
+    run_id = uuid.uuid4().hex[:12]
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    batch1 = base.where(F.col("o_orderkey") % 4 == 0)
+    batch2 = (
+        base.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+        .unionByName(
+            base.where(F.col("o_orderkey") % 4 == 1).withColumn(
+                "o_orderstatus", F.lit("N")
+            )
+        )
+    )
+    drop = tempfile.mkdtemp(prefix=f"gate-dmsink-{run_id}-")
+    files_dir = f"{drop}/in"
+    os.makedirs(files_dir)
+    now = 1700000000
+    for i, b in enumerate((batch1, batch2)):
+        staged = f"{drop}/b{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(staged)
+        for name in os.listdir(staged):
+            if name.endswith(".parquet"):
+                dst = f"{files_dir}/batch-{i}-{name}"
+                shutil.copy(f"{staged}/{name}", dst)
+                os.utime(dst, (now + 100 * i, now + 100 * i))
+    table = f"{drop}/delta"
+
+    def apply_batch(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            merge_into_delta(spark, batch_df, table, "o_orderkey")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{drop}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return delta_lite.read_delta(spark, table)
