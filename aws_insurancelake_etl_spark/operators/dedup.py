@@ -953,7 +953,12 @@ def cosine_prefix_pairs(
     )
     na = n2.select(F.col(id_col).alias("id_lo"), F.col("n2").alias("n2a"))
     nb = n2.select(F.col(id_col).alias("id_hi"), F.col("n2").alias("n2b"))
-    cosine = F.col("dot") / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double"))
+    # cast each norm to double BEFORE multiplying: the BIGINT product
+    # n2a*n2b overflows int64 for ~1e5-token documents and Spark's
+    # non-ANSI wrap would make sqrt(negative)=NaN silently drop pairs
+    cosine = F.col("dot") / F.sqrt(
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
+    )
     return (
         dots.join(na, "id_lo")
         .join(nb, "id_hi")

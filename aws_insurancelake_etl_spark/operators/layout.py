@@ -46,6 +46,12 @@ def interleave_bits(buckets: list[Column], bits: int) -> Column:
     ``i * n_dims + d``.  Built as a sum of shifted bit tests — pure
     integer arithmetic (codegen'd JVM-side, zero Python)."""
     n = len(buckets)
+    if bits * n > 63:
+        raise ValueError(
+            f"interleave of {n} columns at {bits} bits needs {bits * n} "
+            "bit positions; JVM shiftleft wraps the shift amount mod 64, "
+            "so keys would silently alias — lower bits or drop columns"
+        )
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for d, b in enumerate(buckets):
@@ -67,6 +73,11 @@ def zorder_key(
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     row = df.agg(*aggs).collect()[0]
+    if any(row[f"mn_{c}"] is None for c in cols):
+        raise ValueError(
+            "zorder_key needs at least one non-null row per column "
+            f"(got empty/all-null input for {cols})"
+        )
     bounds = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
     buckets = [
         quantize(F.col(c), bounds[c][0], bounds[c][1], bits) for c in cols

@@ -501,7 +501,13 @@ def histogram_quantiles(
         "cum_before",
         "n_total",
         F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-    ).withColumn("t", F.col("q") * F.col("n_total"))
+        # clamp the target rank above zero: at q=0, t=0 satisfies no bin
+        # (first bin has cum_before=0, and 0 < 0 is false) and the
+        # requested quantile would silently vanish from the output; the
+        # epsilon lands it in the first bin = the distribution minimum
+    ).withColumn(
+        "t", F.greatest(F.col("q") * F.col("n_total"), F.lit(1e-9))
+    )
     hit = qdf.where(
         (F.col("cum") >= F.col("t")) & (F.col("cum_before") < F.col("t"))
     )

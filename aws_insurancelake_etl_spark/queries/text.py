@@ -2613,12 +2613,12 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT id_lo, id_hi,
-           CAST(ROUND(dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 4) AS DOUBLE)
+           CAST(ROUND(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS DOUBLE)
                AS cosine
     FROM dots
     JOIN n2 na ON na.doc_id = id_lo
     JOIN n2 nb ON nb.doc_id = id_hi
-    WHERE dot / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.8
+    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.8
     """,
 )
 def dedup_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,6 +83,7 @@ class Snapshot:
     schema_string: str
     partition_columns: list
     files: list = field(default_factory=list)
+    tombstones: dict = field(default_factory=dict)  # rel path -> deletion ms
 
     @property
     def schema(self) -> StructType:
@@ -141,15 +142,23 @@ def _apply_action(state: dict, action: dict) -> None:
         state["protocol"] = p
     elif "add" in action:
         a = action["add"]
-        state["adds"][unquote(a["path"])] = AddFile(
-            path=unquote(a["path"]),
+        rel = unquote(a["path"])
+        state["adds"][rel] = AddFile(
+            path=rel,
             partition_values=dict(a.get("partitionValues") or {}),
             size=int(a.get("size", 0)),
             modification_time=int(a.get("modificationTime", 0)),
             data_change=bool(a.get("dataChange", True)),
         )
+        state["removes"].pop(rel, None)
     elif "remove" in action:
-        state["adds"].pop(unquote(action["remove"]["path"]), None)
+        rel = unquote(action["remove"]["path"])
+        state["adds"].pop(rel, None)
+        # tombstones survive replay (and checkpointing) so vacuum can
+        # reclaim files even after the JSON tail ages out (finding r6)
+        state["removes"][rel] = int(
+            action["remove"].get("deletionTimestamp", 0)
+        )
     # commitInfo / txn / cdc: replay-irrelevant here
 
 
@@ -191,7 +200,7 @@ def snapshot(path: str, version=None) -> Snapshot:
     if target > latest or target < 0:
         raise DeltaLiteError(f"version {target} out of range 0..{latest}")
 
-    state = {"adds": {}, "metaData": None, "protocol": None}
+    state = {"adds": {}, "removes": {}, "metaData": None, "protocol": None}
     start = 0
     cp = _latest_checkpoint_version(log_dir, target)
     if cp is not None:
@@ -215,18 +224,39 @@ def snapshot(path: str, version=None) -> Snapshot:
         schema_string=meta["schemaString"],
         partition_columns=list(meta.get("partitionColumns") or []),
         files=sorted(state["adds"].values(), key=lambda a: a.path),
+        tombstones=dict(state["removes"]),
     )
 
 
 # ---------------------------------------------------------------- read
 
 
+def _pv_str(value):
+    """Normalize a Python partition value to the string the log stores.
+    Spark serializes partition literals Java-style: booleans lowercase —
+    ``str(True)`` would silently match nothing (review finding r6)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def _uri_to_rel(uri: str, table_path: str) -> str:
+    """Map a ``_metadata.file_path`` URI back to the log's relative path.
+    Spark returns the URI percent-ENCODED (``grp=a b`` → ``grp=a%20b``),
+    while AddFile.path stores the decoded on-disk name — unquote or
+    touched-file matching breaks on any encoded character."""
+    local = uri[len("file:"):] if uri.startswith("file:") else uri
+    while local.startswith("//"):
+        local = local[1:]
+    return os.path.relpath(unquote(local), table_path)
+
+
 def _prune(files, partition_filter) -> list:
     if not partition_filter:
         return list(files)
-    want = {
-        k: (None if v is None else str(v)) for k, v in partition_filter.items()
-    }
+    want = {k: _pv_str(v) for k, v in partition_filter.items()}
     return [
         f
         for f in files
@@ -318,6 +348,25 @@ def _stage_data_files(df: DataFrame, table_path: str, partition_by) -> list:
     and (matching Delta convention) partition columns are NOT stored in
     the data files — the log's partitionValues carry them."""
     staging_root = tempfile.mkdtemp(prefix="_dl_stage_", dir=table_path)
+    try:
+        return _stage_from(df, table_path, partition_by, staging_root)
+    finally:
+        shutil.rmtree(staging_root, ignore_errors=True)
+
+
+def _discard_staged(table_path: str, adds: list) -> None:
+    """Delete data files that were moved into the table dir for a commit
+    that then LOST its race: they are referenced by no add action, so
+    vacuum (which walks remove tombstones) could never reclaim them
+    (review finding r6)."""
+    for a in adds:
+        try:
+            os.remove(os.path.join(table_path, a.path))
+        except OSError:
+            pass
+
+
+def _stage_from(df, table_path, partition_by, staging_root) -> list:
     out = os.path.join(staging_root, "out")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -350,14 +399,13 @@ def _stage_data_files(df: DataFrame, table_path: str, partition_by) -> list:
                     modification_time=now_ms,
                 )
             )
-    shutil.rmtree(staging_root, ignore_errors=True)
     return adds
 
 
 def _add_json(a: AddFile) -> dict:
     return {
         "add": {
-            "path": quote(a.path, safe="/=%"),
+            "path": quote(a.path, safe="/="),
             "partitionValues": a.partition_values,
             "size": a.size,
             "modificationTime": a.modification_time,
@@ -385,7 +433,8 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
 
     snap = snapshot(path, snap_version)
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None,
+         "remove": None},
         {
             "protocol": None,
             "metaData": {
@@ -395,6 +444,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                 "partitionColumns": snap.partition_columns,
             },
             "add": None,
+            "remove": None,
         },
     ]
     for a in snap.files:
@@ -408,6 +458,22 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                     "size": a.size,
                     "modificationTime": a.modification_time,
                     "dataChange": a.data_change,
+                },
+                "remove": None,
+            }
+        )
+    # Tombstones ride along (as in the real protocol) so vacuum can
+    # reclaim files even after the JSON tail ages out.
+    for rel, ts in sorted(snap.tombstones.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
                 },
             }
         )
@@ -438,6 +504,16 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         ("partitionValues", pa.map_(pa.string(), pa.string())),
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
                         ("dataChange", pa.bool_()),
                     ]
                 ),
@@ -560,7 +636,7 @@ def write_delta(
         removes = [
             {
                 "remove": {
-                    "path": quote(a.path, safe="/=%"),
+                    "path": quote(a.path, safe="/="),
                     "deletionTimestamp": now_ms,
                     "dataChange": True,
                 }
@@ -572,11 +648,28 @@ def write_delta(
     version = base + 1
     while not _try_commit(_log_dir(path), version, actions):
         if mode == "overwrite":
+            _discard_staged(path, adds)
             raise ConcurrentWriteError(
                 f"version {version} was committed concurrently; "
                 "re-run overwrite against the new snapshot"
             )
-        version += 1  # blind append retry is safe: no removes computed
+        # An append retry must RE-VALIDATE against the winner's state —
+        # blindly re-committing would clobber a concurrent schema or
+        # partitioning change (review finding r6): the staged files'
+        # layout and metaData were computed against the loser's view.
+        current = snapshot(path)
+        if (
+            existing is None
+            or _schema_key(current.schema) != _schema_key(df.schema)
+            or current.partition_columns != partition_by
+        ):
+            _discard_staged(path, adds)
+            raise ConcurrentWriteError(
+                "a concurrent writer changed the table (schema, "
+                "partitioning, or created it first); re-run append "
+                "against the new snapshot"
+            )
+        version = current.version + 1
     _maybe_checkpoint(path, version)
     return version
 
@@ -627,7 +720,7 @@ def merge_delta(
     part_cols = snap.partition_columns
     if part_cols and set(part_cols) <= set(keys):
         src_parts = {
-            tuple(None if row[c] is None else str(row[c]) for c in part_cols)
+            tuple(_pv_str(row[c]) for c in part_cols)
             for row in source.select(*part_cols).distinct().collect()
         }
         search_snap = Snapshot(
@@ -651,13 +744,7 @@ def merge_delta(
         .collect()
     }
 
-    def _rel(uri: str) -> str:
-        local = uri[len("file:"):] if uri.startswith("file:") else uri
-        while local.startswith("//"):
-            local = local[1:]
-        return os.path.relpath(local, path)
-
-    touched_rel = {_rel(u) for u in touched_uris}
+    touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
     unknown = touched_rel - {a.path for a in snap.files}
     if unknown:
         raise DeltaLiteError(f"matched files not in snapshot: {sorted(unknown)}")
@@ -687,7 +774,7 @@ def merge_delta(
     actions += [
         {
             "remove": {
-                "path": quote(p, safe="/=%"),
+                "path": quote(p, safe="/="),
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
             }
@@ -697,6 +784,7 @@ def merge_delta(
     actions += [_add_json(a) for a in adds]
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions):
+        _discard_staged(path, adds)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run MERGE"
         )
@@ -710,30 +798,22 @@ def merge_delta(
 
 def vacuum(path: str, retention_ms: int = 0) -> list:
     """Delete data files no longer referenced by the CURRENT snapshot
-    whose tombstones are older than the retention window.  Returns the
+    whose tombstones are older than the retention window.  Tombstones
+    come from snapshot replay (JSON tail AND checkpoints carry them),
+    so vacuum keeps working after old commits age out.  Returns the
     deleted relative paths.  (Time travel past a vacuum loses data, as
     in real Delta — callers own the retention trade-off.)"""
     snap = snapshot(path)
     live = {a.path for a in snap.files}
     cutoff = int(time.time() * 1000) - retention_ms
     deleted = []
-    log_dir = _log_dir(path)
-    for v in _json_versions(log_dir):
-        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "remove" not in action:
-                    continue
-                rel = unquote(action["remove"]["path"])
-                ts = int(action["remove"].get("deletionTimestamp", 0))
-                target = os.path.join(path, rel)
-                if rel not in live and ts <= cutoff and os.path.exists(target):
-                    os.remove(target)
-                    deleted.append(rel)
-    return sorted(set(deleted))
+    for rel, ts in sorted(snap.tombstones.items()):
+        target = os.path.join(path, rel)
+        if rel not in live and ts <= cutoff and os.path.exists(target):
+            os.remove(target)
+            deleted.append(rel)
+    return deleted
+
 
 
 def optimize(
@@ -757,6 +837,8 @@ def optimize(
     overhead (footers, scheduling) once files shrink below
     ~maxPartitionBytes."""
     snap = snapshot(path)
+    if not snap.files:
+        return {"version": snap.version, "files_before": 0, "files_after": 0}
     df = _read_snapshot(spark, snap)
     if zorder_by:
         from ..operators.layout import zorder_key  # noqa: PLC0415
@@ -786,7 +868,7 @@ def optimize(
     actions += [
         {
             "remove": {
-                "path": quote(a.path, safe="/=%"),
+                "path": quote(a.path, safe="/="),
                 "deletionTimestamp": now_ms,
                 "dataChange": False,
             }
@@ -798,6 +880,7 @@ def optimize(
     actions += [_add_json(a) for a in adds]
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions):
+        _discard_staged(path, adds)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run OPTIMIZE"
         )
@@ -831,13 +914,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
             "files_kept": len(snap.files),
         }
 
-    def _rel(uri: str) -> str:
-        local = uri[len("file:"):] if uri.startswith("file:") else uri
-        while local.startswith("//"):
-            local = local[1:]
-        return os.path.relpath(local, path)
-
-    touched_rel = {_rel(u) for u in touched_uris}
+    touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
     touched_df = target.where(F.col("__dl_path").isin(list(touched_uris)))
     n_deleted = touched_df.where(cond).count()
     survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
@@ -855,7 +932,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     actions += [
         {
             "remove": {
-                "path": quote(p, safe="/=%"),
+                "path": quote(p, safe="/="),
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
             }
@@ -865,6 +942,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     actions += [_add_json(a) for a in adds]
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions):
+        _discard_staged(path, adds)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run DELETE"
         )

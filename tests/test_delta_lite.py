@@ -464,3 +464,104 @@ def test_merge_prunes_partitions_when_key_covers_them(spark, table):
     # and partition b's (corrupt) file is untouched in the snapshot
     after = dl.snapshot(table)
     assert any(f.path == b_file.path for f in after.files)
+
+
+def test_partition_values_with_special_chars_roundtrip(spark, table):
+    """Hive-escaped partition dirs (':' -> %3A on disk) must round-trip
+    through the log's URL encoding AND through merge's URI decoding
+    (review findings r6: quote/unquote asymmetry, _metadata encoding)."""
+    df = spark.createDataFrame(
+        [Row(id=1, grp="a b:c", score=1.0), Row(id=2, grp="plain", score=2.0)]
+    ).select("id", "grp", "score")
+    dl.write_delta(df, table, partition_by=["grp"])
+    back = dl.read_delta(spark, table)
+    assert _rows(back) == _rows(df)
+    got = dl.read_delta(spark, table, partition_filter={"grp": "a b:c"})
+    assert [r.id for r in got.collect()] == [1]
+    # merge into the funky partition
+    src = spark.createDataFrame(
+        [Row(id=1, grp="a b:c", score=9.0)]
+    ).select("id", "grp", "score")
+    stats = dl.merge_delta(spark, src, table, ["id", "grp"])
+    assert stats["files_rewritten"] == 1
+    assert dl.read_delta(spark, table).where("id = 1").collect()[0].score == 9.0
+    # and DELETE through the same decoding path
+    dl.delete_delta(spark, table, "id = 1")
+    assert dl.read_delta(spark, table).count() == 1
+
+
+def test_boolean_partition_values_normalize(spark, table):
+    """Spark stores boolean partition literals lowercase; Python's
+    str(True) must not silently match nothing (review finding r6)."""
+    df = spark.createDataFrame(
+        [Row(id=1, flag=True, v=1.0), Row(id=2, flag=False, v=2.0)]
+    ).select("id", "flag", "v")
+    dl.write_delta(df, table, partition_by=["flag"])
+    got = dl.read_delta(spark, table, partition_filter={"flag": True})
+    assert [r.id for r in got.collect()] == [1]
+    src = spark.createDataFrame([Row(id=1, flag=True, v=5.0)]).select(
+        "id", "flag", "v"
+    )
+    dl.merge_delta(spark, src, table, ["id", "flag"])
+    back = dl.read_delta(spark, table)
+    assert back.count() == 2  # update, NOT a duplicate-key insert
+    assert back.where("id = 1").collect()[0].v == 5.0
+
+
+def test_append_race_with_schema_change_raises_not_clobbers(
+    spark, table, monkeypatch
+):
+    """A loser append must re-validate against the winner's state: if
+    the winner changed the schema, raising beats silently committing
+    files whose layout disagrees with the new metaData."""
+    dl.write_delta(_people(spark, 0, 2), table)
+    stale = dl.snapshot(table)
+    real_snapshot = dl.snapshot
+    # concurrent winner: overwrite with a DIFFERENT schema at version 1
+    with open(os.path.join(table, "_delta_log", f"{1:020d}.json"), "x") as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet"},
+            "schemaString": spark.createDataFrame(
+                [Row(other=1)]).schema.json(),
+            "partitionColumns": [],
+        }}) + "\n")
+
+    # the loser planned against the PRE-winner state: serve the stale
+    # snapshot on its first read, reality on the conflict retry
+    calls = {"n": 0}
+
+    def racy_snapshot(p, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and version is None:
+            return stale
+        return real_snapshot(p, version)
+
+    monkeypatch.setattr(dl, "snapshot", racy_snapshot)
+    with pytest.raises(dl.ConcurrentWriteError, match="concurrent writer"):
+        dl.write_delta(_people(spark, 5, 7), table)
+    monkeypatch.setattr(dl, "snapshot", real_snapshot)
+    # and its staged files were discarded, not orphaned
+    orphans = [n for n in os.listdir(table)
+               if n.endswith(".parquet")
+               and n not in {a.path for a in real_snapshot(table).files}]
+    assert orphans == []
+
+
+def test_vacuum_works_from_checkpoint_tombstones(spark, table):
+    """Tombstones must survive checkpointing + JSON aging (review
+    finding r6: vacuum used to scan only raw JSON commits)."""
+    dl.write_delta(_people(spark, 0, 3).coalesce(1), table)
+    first = dl.snapshot(table).files[0].path
+    for i in range(10):  # versions 1..10 -> checkpoint at 10
+        if i == 0:
+            dl.write_delta(_people(spark, 10, 13), table, mode="overwrite")
+        else:
+            dl.write_delta(_people(spark, 20 + i, 21 + i), table)
+    log = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    for v in range(11):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert os.path.exists(os.path.join(table, first))
+    deleted = dl.vacuum(table, retention_ms=0)
+    assert first in deleted
+    assert not os.path.exists(os.path.join(table, first))

@@ -925,3 +925,30 @@ def test_html_extract_edge_cases(spark):
     assert got[2][0] == "x &lt; y"
     assert got[3][0] == "seen"
     assert got[4][0] == "" and got[4][1] is None
+
+
+def test_histogram_quantile_q0_returns_minimum(spark):
+    """q=0 must not silently vanish (review finding: t=0 satisfied no
+    bin); it lands in the first bin — the distribution minimum edge."""
+    import aws_insurancelake_etl_spark.operators.sketches as SK
+
+    df = spark.range(100).select((F.col("id") + 50).cast("double").alias("v"),
+                                 F.lit("g").alias("g"))
+    sk = SK.histogram_sketch(df, "v", ["g"], 10.0)
+    got = {r["q"]: r["quantile_est"]
+           for r in SK.histogram_quantiles(sk, ["g"], [0.0, 1.0], 10.0).collect()}
+    assert set(got) == {0.0, 1.0}
+    assert abs(got[0.0] - 50.0) < 1e-6  # the min's bin lower edge
+    assert abs(got[1.0] - 150.0) < 1e-6
+
+
+def test_interleave_bits_guard_and_empty_zorder(spark):
+    import pytest as _pytest
+
+    from aws_insurancelake_etl_spark.operators import layout
+
+    with _pytest.raises(ValueError, match="bit positions"):
+        layout.interleave_bits([F.col("a")] * 8, 8)
+    empty = spark.createDataFrame([], "a double, b double")
+    with _pytest.raises(ValueError, match="non-null row"):
+        layout.zorder_key(empty, ["a", "b"])
