@@ -318,10 +318,144 @@ def register(spark) -> None:
     is suppressed, every other failure (missing DataSource API, pickling
     error) propagates — silently continuing would surface later as a
     baffling 'Failed to find the data source: avro_lite'."""
-    try:
-        spark.dataSource.register(AvroLiteDataSource)
-    except Exception as exc:  # noqa: BLE001
-        msg = str(exc).lower()
-        if "already" in msg and ("exist" in msg or "register" in msg):
-            return
-        raise
+    for source in (AvroLiteDataSource, DeltaLiteDataSource):
+        try:
+            spark.dataSource.register(source)
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc).lower()
+            if "already" in msg and ("exist" in msg or "register" in msg):
+                continue
+            raise
+
+
+def _typed_partition_value(raw, dt):
+    """Convert a log partitionValues string to the Python value Spark
+    expects for the column's type (primitives only — the same subset
+    delta_lite's writer produces)."""
+    if raw is None:
+        return None
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if name in ("float", "double"):
+        return float(raw)
+    if name == "boolean":
+        return raw == "true"
+    if name == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if name == "string":
+        return raw
+    raise ValueError(f"unsupported partition column type {name!r}")
+
+
+class DeltaLiteStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAMING source over a delta_lite table — the
+    jar-less equivalent of Delta's streaming source: the offset is the
+    TABLE VERSION, the first batch is the initial snapshot (every live
+    file at the starting version), and each later batch is exactly the
+    ``add`` actions with ``dataChange=true`` in ``(start, end]`` —
+    OPTIMIZE/compaction commits (dataChange=false) are layout-only and
+    produce NO reprocessing, the semantic that makes compacting an
+    actively-streamed table safe.  One InputPartition per data file;
+    executors read parquet via pyarrow and attach the log's partition
+    literals (delta data files do not store partition columns)."""
+
+    def __init__(self, path: str, schema_json: str):
+        from . import delta_lite
+
+        if not delta_lite.is_delta_table(path):
+            raise ValueError(f"not a delta_lite table: {path!r}")
+        self.path = path
+        self.schema_json = schema_json
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from . import delta_lite
+
+        return {"version": delta_lite.snapshot(self.path).version}
+
+    def _adds_between(self, start: int, end: int):
+        import json as _json
+        import os as _os
+
+        from urllib.parse import unquote
+
+        from . import delta_lite
+
+        if start < 0:  # initial snapshot: all live files at `end`
+            snap = delta_lite.snapshot(self.path, version=end)
+            return [(f.path, f.partition_values) for f in snap.files]
+        out = []
+        log_dir = _os.path.join(self.path, "_delta_log")
+        for v in range(start + 1, end + 1):
+            commit = _os.path.join(log_dir, f"{v:020d}.json")
+            with open(commit, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = _json.loads(line)
+                    add = action.get("add")
+                    if add and add.get("dataChange", True):
+                        out.append(
+                            (
+                                unquote(add["path"]),
+                                dict(add.get("partitionValues") or {}),
+                            )
+                        )
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+
+        return [
+            InputPartition(_json.dumps([rel, pvals]))
+            for rel, pvals in self._adds_between(
+                int(start["version"]), int(end["version"])
+            )
+        ]
+
+    def read(self, partition):
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType
+
+        rel, pvals = _json.loads(partition.value)
+        schema = StructType.fromJson(_json.loads(self.schema_json))
+        table = pq.read_table(_os.path.join(self.path, rel))
+        cols = {name: table.column(name).to_pylist() for name in table.column_names}
+        n = table.num_rows
+        fields = schema.fields
+        for i in range(n):
+            yield tuple(
+                _typed_partition_value(pvals.get(f.name), f.dataType)
+                if f.name in pvals
+                else cols[f.name][i]
+                for f in fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaLiteDataSource(DataSource):
+    """``spark.readStream.format("delta_lite").load(table_path)`` — a
+    streaming source whose offsets are delta_lite table versions."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def schema(self):
+        from . import delta_lite
+
+        return delta_lite.snapshot(self.options["path"]).schema
+
+    def streamReader(self, schema) -> "DeltaLiteStreamReader":
+        return DeltaLiteStreamReader(self.options["path"], schema.json())

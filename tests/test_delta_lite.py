@@ -565,3 +565,50 @@ def test_vacuum_works_from_checkpoint_tombstones(spark, table):
     deleted = dl.vacuum(table, retention_ms=0)
     assert first in deleted
     assert not os.path.exists(os.path.join(table, first))
+
+
+def _drain_stream(spark, table, ckpt, out_dir):
+    """Drain to a parquet sink (the memory sink cannot recover from a
+    checkpoint, and restart-continuation is exactly what these tests
+    exercise)."""
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    q = (
+        spark.readStream.format("delta_lite").load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_delta_streaming_source_initial_snapshot_then_increments(
+    spark, table, tmp_path
+):
+    """Version-offset streaming: first run delivers the snapshot, a
+    restart after an append delivers ONLY the new rows, and a restart
+    after OPTIMIZE (dataChange=false) delivers NOTHING — compaction is
+    safe under an active stream."""
+    dl.write_delta(_people(spark, 0, 3), table)
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    assert _drain_stream(spark, table, ckpt, out).count() == 3
+    dl.write_delta(_people(spark, 3, 5), table)
+    assert _drain_stream(spark, table, ckpt, out).count() == 5
+    dl.optimize(spark, table, target_files=1)
+    assert _drain_stream(spark, table, ckpt, out).count() == 5  # no replay
+    dl.write_delta(_people(spark, 5, 6), table)
+    got = _drain_stream(spark, table, ckpt, out)
+    assert got.count() == 6
+    assert sorted(r.id for r in got.collect()) == list(range(6))
+
+
+def test_delta_streaming_source_partitioned_values(spark, table, tmp_path):
+    df = _people(spark, 0, 3, "a").unionByName(_people(spark, 3, 5, "b"))
+    dl.write_delta(df, table, partition_by=["grp"])
+    got = _drain_stream(spark, table, str(tmp_path / "ck"),
+                        str(tmp_path / "out"))
+    assert _rows(got.select("id", "grp", "score")) == _rows(df)
