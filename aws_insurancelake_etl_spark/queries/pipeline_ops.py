@@ -2140,3 +2140,55 @@ def stream_delta_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return delta_lite.read_delta(spark, table)
+
+
+@register(
+    "stream_delta_source_totals",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                AS DOUBLE) AS total_bal
+    FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 3 = 1
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_delta_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the transactional table (round 6): two
+    delta_lite commits (customer %3==0 then %3==1) drain through
+    ``spark.readStream.format("delta_lite")`` — version offsets, one
+    input partition per data file — into a grouped aggregation.  The
+    totals must equal the plain batch GROUP BY over both slices: a
+    dropped version, replayed file, or partition-literal mix-up
+    diverges.  Decimal accumulation keeps the sum batch-boundary-
+    independent."""
+    from ..sources import delta_lite, pyds
+
+    pyds.register(spark)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-dsrc-") + "/t"
+    delta_lite.write_delta(cust.where(F.col("c_custkey") % 3 == 0), tbl)
+    delta_lite.write_delta(cust.where(F.col("c_custkey") % 3 == 1), tbl)
+    sink = f"gate_dsrc_{uuid.uuid4().hex[:12]}"
+    query = (
+        spark.readStream.format("delta_lite")
+        .load(tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_bal"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("total_bal").cast("double").alias("total_bal"),
+    )
