@@ -86,6 +86,10 @@ class CompiledRule:
     ri_keys: Any = None
     ri_ref_col: str | None = None
     ri_compare: tuple[str, float] | None = None
+    #: DatasetMatch: (reference DataFrame, key columns, (op, ratio))
+    dm_ref: Any = None
+    dm_keys: list | None = None
+    dm_compare: tuple[str, float] | None = None
 
 
 @dataclass
@@ -606,4 +610,142 @@ class RuleCompiler:
                 if not op_match:
                     raise DQRuleError(f"Unparseable CustomSql condition: {condition}")
                 rule.custom_sql_compare = (op_match.group(1), _literal(op_match.group(2)), None)
+        return rule
+
+    # -- dataset/reference match rules (Glue DQDL: ColumnCount,
+    # ColumnNamesMatchPattern, RowCountMatch, AggregateMatch,
+    # DatasetMatch) --------------------------------------------------
+
+    _PY_OPS = {">": "__gt__", ">=": "__ge__", "<": "__lt__",
+               "<=": "__le__", "=": "__eq__", "!=": "__ne__"}
+
+    def _rule_columncount(self, text: str, rest: str) -> CompiledRule:
+        """``ColumnCount <op> <n>`` — schema-level, decided at compile."""
+        match = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(\d+)", rest)
+        if not match:
+            raise DQRuleError(f"Unparseable ColumnCount rule: {text}")
+        op, n = match.group(1), int(match.group(2))
+        passed = getattr(len(self.df.columns), self._PY_OPS[op])(n)
+        return CompiledRule(text=text, static_result=bool(passed))
+
+    def _rule_columnnamesmatchpattern(self, text: str, rest: str) -> CompiledRule:
+        """``ColumnNamesMatchPattern 'regex'`` — every column name must
+        fully match; schema-level, decided at compile."""
+        match = re.fullmatch(rf"{_QUOTED}", rest, re.DOTALL)
+        if not match:
+            raise DQRuleError(f"Unparseable ColumnNamesMatchPattern rule: {text}")
+        pattern = _pick(match.groups())
+        passed = all(re.fullmatch(pattern, c) for c in self.df.columns)
+        return CompiledRule(text=text, static_result=bool(passed))
+
+    def _resolve_ref(self, name: str, text: str):
+        try:
+            return self.ref_resolver(name)
+        except Exception as exc:  # noqa: BLE001 - surface as rule error
+            raise DQRuleError(
+                f"Cannot resolve reference dataset '{name}' (rule: {text})"
+            ) from exc
+
+    def _rule_rowcountmatch(self, text: str, rest: str) -> CompiledRule:
+        """``RowCountMatch 'reference' <op> <ratio>`` — primary row count
+        over reference row count.  The primary count folds into the
+        shared stage aggregation; the reference count is one lazy action
+        at evaluation time (same cost class as CustomSql)."""
+        match = re.fullmatch(rf"{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest)
+        if not match:
+            raise DQRuleError(f"Unparseable RowCountMatch rule: {text}")
+        ref_name = _pick(match.groups()[:2])
+        op, ratio = match.group(3), float(match.group(4))
+        ref_df = self._resolve_ref(ref_name, text)
+        key = f"__dq_rcmatch_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = F.count(F.lit(1))
+
+        def evaluate(agg_row, key=key, op=op, ratio=ratio, ref_df=ref_df):
+            ref_n = ref_df.count()
+            got = int(agg_row.get(key) or 0) / max(ref_n, 1)
+            return getattr(got, self._PY_OPS[op])(ratio)
+
+        rule.agg_eval = evaluate
+        return rule
+
+    _AGG_FNS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                "count": F.count}
+
+    def _parse_agg_spec(self, spec: str, text: str):
+        m = re.fullmatch(r"(sum|avg|min|max|count)\s*\(\s*([\w.]+)\s*\)",
+                         spec.strip(), re.IGNORECASE)
+        if not m:
+            raise DQRuleError(f"Unparseable aggregate '{spec}' (rule: {text})")
+        return m.group(1).lower(), m.group(2)
+
+    def _rule_aggregatematch(self, text: str, rest: str) -> CompiledRule:
+        """``AggregateMatch 'sum(col)' 'sum(reference.col)' <op> <ratio>``
+        — the primary aggregate folds into the stage aggregation; the
+        reference aggregate is one lazy scalar action at evaluation."""
+        match = re.fullmatch(
+            rf"{_QUOTED}\s+{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest,
+            re.DOTALL,
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable AggregateMatch rule: {text}")
+        groups = match.groups()
+        fn, col = self._parse_agg_spec(_pick(groups[0:2]), text)
+        self._require_column(col, text)
+        ref_fn, ref_spec = self._parse_agg_spec(_pick(groups[2:4]), text)
+        if "." not in ref_spec:
+            raise DQRuleError(
+                f"AggregateMatch reference must be 'table.column': {text}"
+            )
+        ref_name, ref_col = ref_spec.rsplit(".", 1)
+        ref_df = self._resolve_ref(ref_name, text)
+        if ref_col not in ref_df.columns:
+            raise DQRuleError(
+                f"Column '{ref_col}' not found in reference '{ref_name}' (rule: {text})"
+            )
+        op, ratio = match.group(5), float(match.group(6))
+        key = f"__dq_aggmatch_{abs(hash(text)) % (10**9)}"
+        rule = CompiledRule(text=text)
+        rule.agg_exprs[key] = self._AGG_FNS[fn](F.col(f"`{col}`")).cast("double")
+
+        def evaluate(agg_row, key=key, op=op, ratio=ratio,
+                     ref_df=ref_df, ref_fn=ref_fn, ref_col=ref_col):
+            ref_val = ref_df.agg(
+                self._AGG_FNS[ref_fn](F.col(f"`{ref_col}`")).cast("double")
+            ).collect()[0][0]
+            mine = agg_row.get(key)
+            if mine is None or not ref_val:
+                return False
+            got = float(mine) / float(ref_val)
+            return getattr(got, self._PY_OPS[op])(ratio)
+
+        rule.agg_eval = evaluate
+        return rule
+
+    def _rule_datasetmatch(self, text: str, rest: str) -> CompiledRule:
+        """``DatasetMatch 'reference' 'key1[,key2]' [<op> <ratio>]`` —
+        fraction of primary rows whose key exists in the reference AND
+        whose shared non-key columns are equal there (Glue semantics).
+        Runner evaluates with one join keyed on the key columns."""
+        match = re.fullmatch(
+            rf"{_QUOTED}\s+{_QUOTED}\s*(?:(>=|<=|!=|=|>|<)\s*([\d.]+))?",
+            rest, re.DOTALL,
+        )
+        if not match:
+            raise DQRuleError(f"Unparseable DatasetMatch rule: {text}")
+        groups = match.groups()
+        ref_name = _pick(groups[0:2])
+        keys = [k.strip() for k in _pick(groups[2:4]).split(",") if k.strip()]
+        ref_df = self._resolve_ref(ref_name, text)
+        for k in keys:
+            self._require_column(k, text)
+            if k not in ref_df.columns:
+                raise DQRuleError(
+                    f"Key '{k}' not found in reference '{ref_name}' (rule: {text})"
+                )
+        rule = CompiledRule(text=text)
+        rule.dm_ref = ref_df
+        rule.dm_keys = keys
+        if groups[4] is not None:
+            rule.dm_compare = (groups[4], float(groups[5]))
         return rule

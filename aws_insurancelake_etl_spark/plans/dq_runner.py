@@ -63,6 +63,8 @@ def _evaluate_rules(
     for rule in rules:
         if rule.ri_keys is not None:
             outcomes.append(_evaluate_ref_integrity(df, rule))
+        elif rule.dm_ref is not None:
+            outcomes.append(_evaluate_dataset_match(df, rule))
         elif rule.custom_sql is not None:
             outcomes.append(_evaluate_custom_sql(df, rule, ctx))
         elif rule.agg_eval is not None:
@@ -98,6 +100,41 @@ def _evaluate_ref_integrity(df: DataFrame, rule: CompiledRule) -> RuleOutcome:
     ratio = (matched / total) if total else 1.0
     if rule.ri_compare is not None:
         op, threshold = rule.ri_compare
+        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
+                  "=": "__eq__", "!=": "__ne__"}
+        passed = getattr(ratio, py_ops[op])(threshold)
+    else:
+        passed = matched == total
+    return RuleOutcome(rule.text, bool(passed), {"matched": matched, "total": total})
+
+
+def _evaluate_dataset_match(df: DataFrame, rule: CompiledRule) -> RuleOutcome:
+    """DatasetMatch (Glue DQDL): fraction of primary rows whose key
+    exists in the reference with EQUAL shared non-key columns — one
+    key-partitioned join + one aggregate.  Reference rows are deduped on
+    the key (a multi-match reference would inflate the ratio)."""
+    keys = list(rule.dm_keys)
+    shared = [c for c in df.columns if c in rule.dm_ref.columns and c not in keys]
+    ref = rule.dm_ref.dropDuplicates(keys).select(
+        *[F.col(f"`{k}`") for k in keys],
+        *[F.col(f"`{c}`").alias(f"__dm_{c}") for c in shared],
+        F.lit(True).alias("__dm_present"),
+    )
+    # the explicit presence flag is load-bearing: without it, a primary
+    # row with all-null shared columns and an ABSENT key would count as
+    # a match (eqNullSafe(null, null) is true per column)
+    marker = F.coalesce(F.col("__dm_present"), F.lit(False))
+    for c in shared:
+        marker = marker & F.col(f"`{c}`").eqNullSafe(F.col(f"__dm_{c}"))
+    joined = df.join(ref, keys, "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(marker.cast("long")).alias("m"),
+    ).collect()[0]
+    total, matched = int(row["n"]), int(row["m"] or 0)
+    ratio = (matched / total) if total else 1.0
+    if rule.dm_compare is not None:
+        op, threshold = rule.dm_compare
         py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
                   "=": "__eq__", "!=": "__ne__"}
         passed = getattr(ratio, py_ops[op])(threshold)

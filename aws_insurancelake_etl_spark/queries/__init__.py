@@ -52,8 +52,8 @@ _MODULES = (
 # deferred from r5 plus the 30 gates registered after the r5 window
 # froze — minus two function batteries (sql_map_functions,
 # sql_timestamp_functions) deferred to r7 to fit the 50-gate window.
-# r7 window plan: the never-driver-checked remainder is then 30 gates —
-# those 2 batteries plus the 28 added in round 6 (dedup_cap_skew_stress,
+# r7 window plan: the never-driver-checked remainder is then 31 gates —
+# those 2 batteries plus the 29 added in round 6 (dedup_cap_skew_stress,
 # sketch_kmv_merge_tables, mm_decode_featurize, mm_audio_featurize,
 # src_encrypted_xlsx_read, src_xlsx_date_styles,
 # src_avro_nested_roundtrip, dedup_keep_best, stream_stream_left_outer,
@@ -65,7 +65,7 @@ _MODULES = (
 # text_bpe_learn_merges, layout_zorder_cells,
 # sketch_histogram_quantiles, src_iceberg_snapshot_read,
 # emb_int8_quantize, text_html_extract, stream_delta_merge_sink,
-# stream_delta_source_totals — update the count
+# stream_delta_source_totals, dq_match_rules — update the count
 # as late-r6 gates land) — put them first, fill the rest with
 # re-checks; thereafter every registered gate has a driver-green row
 # and arbitrary 50-subsets keep rows fresh.

@@ -2192,3 +2192,66 @@ def stream_delta_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.col("total_bal").cast("double").alias("total_bal"),
     )
+
+
+_MATCH_RULES = (
+    "ColumnCount = 6",
+    "ColumnNamesMatchPattern 'o_.*'",
+    "RowCountMatch 'customer' >= 9.9",
+    "AggregateMatch 'sum(o_totalprice)' 'sum(orders_all.o_totalprice)' = 1.0",
+    "DatasetMatch 'orders_evens' 'o_orderkey' >= 0.4",
+    "DatasetMatch 'orders_evens' 'o_orderkey'",
+)
+
+
+@register(
+    "dq_match_rules",
+    """
+    SELECT 'ColumnCount = 6' AS rule, TRUE AS passed
+    UNION ALL
+    SELECT 'ColumnNamesMatchPattern ''o_.*''', TRUE
+    UNION ALL
+    SELECT 'RowCountMatch ''customer'' >= 9.9',
+           (SELECT COUNT(*) FROM orders) * 1.0
+               / (SELECT COUNT(*) FROM customer) >= 9.9
+    UNION ALL
+    SELECT 'AggregateMatch ''sum(o_totalprice)'' '
+               || '''sum(orders_all.o_totalprice)'' = 1.0',
+           (SELECT SUM(o_totalprice) FROM orders)
+               / (SELECT SUM(o_totalprice) FROM orders) = 1.0
+    UNION ALL
+    SELECT 'DatasetMatch ''orders_evens'' ''o_orderkey'' >= 0.4',
+           (SELECT COUNT(*) FILTER (o_orderkey % 2 = 0) * 1.0 / COUNT(*)
+            FROM orders) >= 0.4
+    UNION ALL
+    SELECT 'DatasetMatch ''orders_evens'' ''o_orderkey''',
+           (SELECT COUNT(*) FILTER (o_orderkey % 2 = 0) = COUNT(*)
+            FROM orders)
+    """,
+)
+def dq_match_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 Glue DQDL additions in the gate: schema-shape rules
+    (ColumnCount, ColumnNamesMatchPattern — decided at compile), the
+    reference-dataset family (RowCountMatch, AggregateMatch — primary
+    side folds into the ONE shared stage aggregation, reference side is
+    a lazy scalar action), and DatasetMatch (key join + shared-column
+    equality with the explicit presence flag so absent keys never
+    false-match).  The oracle recomputes every data-dependent verdict
+    relationally; the compile-time ones assert the documented schema."""
+    from ..context import RunContext
+    from ..plans.dq import RuleCompiler
+    from ..plans.dq_runner import _evaluate_rules
+
+    orders = t(spark, sf_dir, "orders")
+    refs = {
+        "customer": t(spark, sf_dir, "customer"),
+        "orders_all": orders,
+        "orders_evens": orders.where(F.col("o_orderkey") % 2 == 0),
+    }
+    compiler = RuleCompiler(orders, ref_resolver=lambda n: refs[n])
+    rules = [compiler.compile(text) for text in _MATCH_RULES]
+    outcomes = _evaluate_rules(orders, rules, RunContext(spark))
+    return spark.createDataFrame(
+        [(o.rule, bool(o.passed)) for o in outcomes],
+        "rule string, passed boolean",
+    )

@@ -287,3 +287,56 @@ def test_referential_integrity_null_reference_keys(spark, ctx):
     passing, failing = _quarantine_split(fact, [rule], ctx)
     assert sorted(r.id for r in passing.collect()) == [1, 2]
     assert sorted(r.id for r in failing.collect()) == [3, 4]
+
+
+def test_dq_match_rules_family(spark):
+    """Round-6 Glue DQDL additions: ColumnCount, ColumnNamesMatchPattern,
+    RowCountMatch, AggregateMatch, DatasetMatch (incl. the absent-key
+    all-null-shared-columns trap)."""
+    from aws_insurancelake_etl_spark.context import RunContext
+    from aws_insurancelake_etl_spark.plans.dq import RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import _evaluate_rules
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, None)],
+        "id long, name string, amount double",
+    )
+    ref_same = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, amount double"
+    )
+    refs = {"refsame": ref_same, "refbig": df.unionByName(df)}
+    compiler = RuleCompiler(df, ref_resolver=lambda n: refs[n])
+    ctx = RunContext(spark)
+
+    cases = {
+        "ColumnCount = 3": True,
+        "ColumnCount > 5": False,
+        "ColumnNamesMatchPattern '[a-z]+'": True,
+        "ColumnNamesMatchPattern 'col_.*'": False,
+        "RowCountMatch 'refbig' = 0.5": True,
+        "RowCountMatch 'refbig' >= 1.0": False,
+        "AggregateMatch 'sum(amount)' 'sum(refsame.amount)' = 1.0": True,
+        "AggregateMatch 'avg(amount)' 'avg(refsame.amount)' >= 2.0": False,
+        # ids 1,2 match fully; id 3 absent from reference -> 2/3
+        "DatasetMatch 'refsame' 'id' >= 0.66": True,
+        "DatasetMatch 'refsame' 'id'": False,  # default = all must match
+    }
+    rules = [compiler.compile(text) for text in cases]
+    outcomes = {o.rule: o.passed for o in _evaluate_rules(df, rules, ctx)}
+    assert outcomes == cases, outcomes
+
+    # AggregateMatch ref spec without table prefix is rejected
+    import pytest as _pytest
+
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError
+
+    with _pytest.raises(DQRuleError, match="table.column"):
+        compiler.compile("AggregateMatch 'sum(amount)' 'sum(amount)' = 1.0")
+
+    # the all-null-shared-columns absent-key trap: row 3 must NOT match
+    ref_two = spark.createDataFrame([(1, "a", 10.0)],
+                                    "id long, name string, amount double")
+    refs["reftwo"] = ref_two
+    rule = compiler.compile("DatasetMatch 'reftwo' 'id' >= 0.5")
+    out = _evaluate_rules(df, [rule], ctx)[0]
+    assert out.observed == {"matched": 1, "total": 3}
