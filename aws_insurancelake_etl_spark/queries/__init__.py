@@ -52,21 +52,23 @@ _MODULES = (
 # deferred from r5 plus the 30 gates registered after the r5 window
 # froze — minus two function batteries (sql_map_functions,
 # sql_timestamp_functions) deferred to r7 to fit the 50-gate window.
-# r7 window plan: the never-driver-checked remainder is then 31 gates —
-# those 2 batteries plus the 29 added in round 6 (dedup_cap_skew_stress,
-# sketch_kmv_merge_tables, mm_decode_featurize, mm_audio_featurize,
-# src_encrypted_xlsx_read, src_xlsx_date_styles,
-# src_avro_nested_roundtrip, dedup_keep_best, stream_stream_left_outer,
-# docs_unimax_allocation, sink_avro_write_roundtrip,
-# stream_dedup_within_watermark, ann_ivfpq_search,
-# sink_delta_merge_upsert, src_delta_time_travel,
-# src_delta_partition_prune, sketch_hll_cardinality,
-# dedup_cosine_prefix_pairs, docs_leakage_free_split,
-# text_bpe_learn_merges, layout_zorder_cells,
-# sketch_histogram_quantiles, src_iceberg_snapshot_read,
-# emb_int8_quantize, text_html_extract, stream_delta_merge_sink,
-# stream_delta_source_totals, dq_match_rules — update the count
-# as late-r6 gates land) — put them first, fill the rest with
+# r7 window plan (authoritative list computed from CORRECTNESS_r01-r05
+# ∪ this window, 2026-08-14): 29 gates will remain never-driver-checked
+# after r6 — the 2 deferred batteries (sql_map_functions,
+# sql_timestamp_functions) plus the 27 gates registered during round 6:
+# ann_ivfpq_search, dedup_cap_skew_stress, dedup_cosine_prefix_pairs,
+# dedup_keep_best, docs_leakage_free_split, docs_unimax_allocation,
+# dq_match_rules, layout_zorder_cells, mm_audio_featurize,
+# mm_decode_featurize, sink_avro_write_roundtrip,
+# sink_delta_merge_upsert, sketch_histogram_quantiles,
+# sketch_hll_cardinality, sketch_kmv_merge_tables,
+# src_avro_nested_roundtrip, src_delta_partition_prune,
+# src_delta_time_travel, src_encrypted_xlsx_read,
+# src_iceberg_snapshot_read, src_xlsx_date_styles,
+# stream_dedup_within_watermark, stream_delta_merge_sink,
+# stream_delta_source_totals, stream_stream_left_outer,
+# text_bpe_learn_merges, text_html_extract.
+# Put these 29 first in the r7 window, fill the remaining 21 slots with
 # re-checks; thereafter every registered gate has a driver-green row
 # and arbitrary 50-subsets keep rows fresh.
 DRIVER_WINDOW: tuple[str, ...] = (
