@@ -612,3 +612,42 @@ def test_delta_streaming_source_partitioned_values(spark, table, tmp_path):
     got = _drain_stream(spark, table, str(tmp_path / "ck"),
                         str(tmp_path / "out"))
     assert _rows(got.select("id", "grp", "score")) == _rows(df)
+
+
+def test_delta_streaming_starting_version_options(spark, table, tmp_path):
+    """startingVersion=N skips the initial snapshot and begins at N's
+    dataChange adds; 'latest' sees only post-start commits — the
+    backfill-natively-then-tail pattern from PERFORMANCE finding 44."""
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    dl.write_delta(_people(spark, 0, 3), table)   # v0
+    dl.write_delta(_people(spark, 3, 5), table)   # v1
+    pyds.register(spark)
+
+    def drain(opts, ck, out):
+        reader = spark.readStream.format("delta_lite")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load(table)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got = drain({"startingVersion": "1"}, str(tmp_path / "c1"),
+                str(tmp_path / "o1"))
+    assert sorted(r.id for r in got.collect()) == [3, 4]  # v1 only
+
+    ck2, out2 = str(tmp_path / "c2"), str(tmp_path / "o2")
+    # 'latest': nothing yet...
+    import pyspark.sql.utils  # noqa: F401
+    reader = (spark.readStream.format("delta_lite")
+              .option("startingVersion", "latest").load(table))
+    q = (reader.writeStream.format("parquet").option("path", out2)
+         .option("checkpointLocation", ck2)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dl.write_delta(_people(spark, 5, 6), table)   # v2, post-start
+    got2 = drain({"startingVersion": "latest"}, ck2, out2)
+    assert sorted(r.id for r in got2.collect()) == [5]
