@@ -953,3 +953,98 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         "files_rewritten": len(touched_rel),
         "files_kept": len(snap.files) - len(touched_rel),
     }
+
+
+def history(path: str) -> list:
+    """``DESCRIBE HISTORY`` equivalent: one dict per surviving commit
+    (version, operation, engine, operationParameters) from the JSON
+    tail — checkpointed-away commits report operation=None."""
+    log_dir = _log_dir(path)
+    out = []
+    for v in _json_versions(log_dir):
+        info = {}
+        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    info = action["commitInfo"]
+                    break
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "engine": info.get("engine"),
+                "operationParameters": info.get("operationParameters"),
+            }
+        )
+    return out
+
+
+def restore(path: str, version: int) -> dict:
+    """``RESTORE TABLE ... TO VERSION AS OF`` equivalent: commit the
+    adds/removes that make the CURRENT snapshot equal the target
+    version's — a new commit, so the restore itself stays in history
+    and is time-travelable past.  Data files are only re-referenced,
+    never copied; files the target needs must still exist (i.e. not
+    vacuumed)."""
+    current = snapshot(path)
+    target = snapshot(path, version=version)
+    missing = [
+        f.path
+        for f in target.files
+        if not os.path.exists(os.path.join(path, f.path))
+    ]
+    if missing:
+        raise DeltaLiteError(
+            f"cannot restore to version {version}: {len(missing)} data "
+            f"files were vacuumed (first: {missing[0]})"
+        )
+    cur_paths = {f.path for f in current.files}
+    tgt_by_path = {f.path: f for f in target.files}
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "engine": "delta-lite",
+                "operationParameters": {"version": version},
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": target.schema_string,
+                "partitionColumns": target.partition_columns,
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(p, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(cur_paths - set(tgt_by_path))
+    ]
+    actions += [
+        _add_json(tgt_by_path[p]) for p in sorted(set(tgt_by_path) - cur_paths)
+    ]
+    new_version = current.version + 1
+    if not _try_commit(_log_dir(path), new_version, actions):
+        raise ConcurrentWriteError(
+            f"version {new_version} was committed concurrently; re-run RESTORE"
+        )
+    _maybe_checkpoint(path, new_version)
+    return {
+        "version": new_version,
+        "restored_to": version,
+        "files_removed": len(cur_paths - set(tgt_by_path)),
+        "files_restored": len(set(tgt_by_path) - cur_paths),
+    }

@@ -208,6 +208,20 @@ def snapshot_ids(table_path: str) -> list[int]:
     return [s["snapshot-id"] for s in meta.get("snapshots") or []]
 
 
+def snapshot_as_of_timestamp(table_path: str, ts_ms: int):
+    """Snapshot id current as of ``ts_ms`` (Iceberg's
+    ``TIMESTAMP AS OF``): the newest snapshot whose timestamp-ms is
+    <= the bound, or None when the table predates nothing."""
+    meta = _load_metadata(table_path)
+    best = None
+    best_ts = -1
+    for snap in meta.get("snapshots") or []:
+        st = int(snap.get("timestamp-ms") or 0)
+        if st <= ts_ms and st >= best_ts:
+            best, best_ts = snap["snapshot-id"], st
+    return best
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,

@@ -651,3 +651,22 @@ def test_delta_streaming_starting_version_options(spark, table, tmp_path):
     dl.write_delta(_people(spark, 5, 6), table)   # v2, post-start
     got2 = drain({"startingVersion": "latest"}, ck2, out2)
     assert sorted(r.id for r in got2.collect()) == [5]
+
+
+def test_history_and_restore(spark, table):
+    dl.write_delta(_people(spark, 0, 3), table)              # v0 WRITE
+    dl.merge_delta(spark, _people(spark, 3, 5), table, "id")  # v1 MERGE
+    dl.delete_delta(spark, table, "id = 0")                   # v2 DELETE
+    ops = [h["operation"] for h in dl.history(table)]
+    assert ops == ["APPEND", "MERGE", "DELETE"]
+    stats = dl.restore(table, 0)
+    assert stats["restored_to"] == 0 and stats["version"] == 3
+    assert _rows(dl.read_delta(spark, table)) == _rows(_people(spark, 0, 3))
+    # the restore is itself a commit: time travel still sees v2's state
+    assert dl.read_delta(spark, table, version=2).where("id = 0").count() == 0
+    assert [h["operation"] for h in dl.history(table)][-1] == "RESTORE"
+    # restore refuses when target files were vacuumed
+    dl.write_delta(_people(spark, 9, 10), table, mode="overwrite")  # v4
+    dl.vacuum(table, retention_ms=0)
+    with pytest.raises(dl.DeltaLiteError, match="vacuumed"):
+        dl.restore(table, 0)

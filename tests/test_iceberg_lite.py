@@ -80,3 +80,11 @@ def test_delete_manifest_raises(spark, table):
 def test_not_a_table_raises(tmp_path):
     with pytest.raises(iceberg_lite.IcebergLiteError, match="metadata"):
         iceberg_lite.plan_files(str(tmp_path / "nope"))
+
+
+def test_snapshot_as_of_timestamp(table):
+    """The builder stamps snapshot N at 1700000000000 + N ms."""
+    base = 1700000000000
+    assert iceberg_lite.snapshot_as_of_timestamp(table, base + 1) == 1
+    assert iceberg_lite.snapshot_as_of_timestamp(table, base + 99) == 2
+    assert iceberg_lite.snapshot_as_of_timestamp(table, base - 1) is None
