@@ -189,6 +189,15 @@ class RuleCompiler:
             out.agg_eval = _eval
         if any(s.custom_sql for s in compiled):
             raise DQRuleError("CustomSql cannot appear inside a composite rule")
+        joined = [s for s in compiled if s.ri_keys is not None or s.dm_ref is not None]
+        if joined:
+            # these evaluate via their own join, which the composite
+            # combiner cannot fold — dropping them would FALSE-PASS the
+            # composite (review finding r6)
+            raise DQRuleError(
+                "ReferentialIntegrity/DatasetMatch cannot appear inside a "
+                f"composite rule (found in: {joined[0].text!r})"
+            )
         return out
 
     # -- single rules -----------------------------------------------------
@@ -616,16 +625,13 @@ class RuleCompiler:
     # ColumnNamesMatchPattern, RowCountMatch, AggregateMatch,
     # DatasetMatch) --------------------------------------------------
 
-    _PY_OPS = {">": "__gt__", ">=": "__ge__", "<": "__lt__",
-               "<=": "__le__", "=": "__eq__", "!=": "__ne__"}
-
     def _rule_columncount(self, text: str, rest: str) -> CompiledRule:
         """``ColumnCount <op> <n>`` — schema-level, decided at compile."""
         match = re.fullmatch(r"(>=|<=|!=|=|>|<)\s*(\d+)", rest)
         if not match:
             raise DQRuleError(f"Unparseable ColumnCount rule: {text}")
         op, n = match.group(1), int(match.group(2))
-        passed = getattr(len(self.df.columns), self._PY_OPS[op])(n)
+        passed = getattr(len(self.df.columns), _OPS[op])(n)
         return CompiledRule(text=text, static_result=bool(passed))
 
     def _rule_columnnamesmatchpattern(self, text: str, rest: str) -> CompiledRule:
@@ -635,7 +641,13 @@ class RuleCompiler:
         if not match:
             raise DQRuleError(f"Unparseable ColumnNamesMatchPattern rule: {text}")
         pattern = _pick(match.groups())
-        passed = all(re.fullmatch(pattern, c) for c in self.df.columns)
+        try:
+            compiled = re.compile(pattern)
+        except re.error as exc:
+            raise DQRuleError(
+                f"Invalid ColumnNamesMatchPattern regex {pattern!r}: {exc}"
+            ) from exc
+        passed = all(compiled.fullmatch(c) for c in self.df.columns)
         return CompiledRule(text=text, static_result=bool(passed))
 
     def _resolve_ref(self, name: str, text: str):
@@ -651,7 +663,7 @@ class RuleCompiler:
         over reference row count.  The primary count folds into the
         shared stage aggregation; the reference count is one lazy action
         at evaluation time (same cost class as CustomSql)."""
-        match = re.fullmatch(rf"{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest)
+        match = re.fullmatch(rf"{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*(\d+(?:\.\d+)?)", rest)
         if not match:
             raise DQRuleError(f"Unparseable RowCountMatch rule: {text}")
         ref_name = _pick(match.groups()[:2])
@@ -664,7 +676,7 @@ class RuleCompiler:
         def evaluate(agg_row, key=key, op=op, ratio=ratio, ref_df=ref_df):
             ref_n = ref_df.count()
             got = int(agg_row.get(key) or 0) / max(ref_n, 1)
-            return getattr(got, self._PY_OPS[op])(ratio)
+            return getattr(got, _OPS[op])(ratio)
 
         rule.agg_eval = evaluate
         return rule
@@ -684,7 +696,7 @@ class RuleCompiler:
         — the primary aggregate folds into the stage aggregation; the
         reference aggregate is one lazy scalar action at evaluation."""
         match = re.fullmatch(
-            rf"{_QUOTED}\s+{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest,
+            rf"{_QUOTED}\s+{_QUOTED}\s*(>=|<=|!=|=|>|<)\s*(\d+(?:\.\d+)?)", rest,
             re.DOTALL,
         )
         if not match:
@@ -714,10 +726,17 @@ class RuleCompiler:
                 self._AGG_FNS[ref_fn](F.col(f"`{ref_col}`")).cast("double")
             ).collect()[0][0]
             mine = agg_row.get(key)
-            if mine is None or not ref_val:
+            if mine is None or ref_val is None:
                 return False
-            got = float(mine) / float(ref_val)
-            return getattr(got, self._PY_OPS[op])(ratio)
+            mine, ref_val = float(mine), float(ref_val)
+            if ref_val == 0.0:
+                # 0/0 agrees perfectly; x/0 diverges infinitely — let the
+                # operator decide instead of hard-failing (a '!=' rule
+                # against a balanced ledger is legitimate)
+                got = 1.0 if mine == 0.0 else float("inf")
+            else:
+                got = mine / ref_val
+            return getattr(got, _OPS[op])(ratio)
 
         rule.agg_eval = evaluate
         return rule
@@ -728,7 +747,7 @@ class RuleCompiler:
         whose shared non-key columns are equal there (Glue semantics).
         Runner evaluates with one join keyed on the key columns."""
         match = re.fullmatch(
-            rf"{_QUOTED}\s+{_QUOTED}\s*(?:(>=|<=|!=|=|>|<)\s*([\d.]+))?",
+            rf"{_QUOTED}\s+{_QUOTED}\s*(?:(>=|<=|!=|=|>|<)\s*(\d+(?:\.\d+)?))?",
             rest, re.DOTALL,
         )
         if not match:
@@ -736,6 +755,8 @@ class RuleCompiler:
         groups = match.groups()
         ref_name = _pick(groups[0:2])
         keys = [k.strip() for k in _pick(groups[2:4]).split(",") if k.strip()]
+        if not keys:
+            raise DQRuleError(f"DatasetMatch needs at least one key column: {text}")
         ref_df = self._resolve_ref(ref_name, text)
         for k in keys:
             self._require_column(k, text)

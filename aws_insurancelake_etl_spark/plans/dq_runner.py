@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..context import RunContext
-from .dq import CompiledRule, RuleCompiler, RuleOutcome
+from .dq import _OPS, CompiledRule, RuleCompiler, RuleOutcome
 
 logger = logging.getLogger(__name__)
 
@@ -100,9 +100,7 @@ def _evaluate_ref_integrity(df: DataFrame, rule: CompiledRule) -> RuleOutcome:
     ratio = (matched / total) if total else 1.0
     if rule.ri_compare is not None:
         op, threshold = rule.ri_compare
-        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
-                  "=": "__eq__", "!=": "__ne__"}
-        passed = getattr(ratio, py_ops[op])(threshold)
+        passed = getattr(ratio, _OPS[op])(threshold)
     else:
         passed = matched == total
     return RuleOutcome(rule.text, bool(passed), {"matched": matched, "total": total})
@@ -135,9 +133,7 @@ def _evaluate_dataset_match(df: DataFrame, rule: CompiledRule) -> RuleOutcome:
     ratio = (matched / total) if total else 1.0
     if rule.dm_compare is not None:
         op, threshold = rule.dm_compare
-        py_ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__",
-                  "=": "__eq__", "!=": "__ne__"}
-        passed = getattr(ratio, py_ops[op])(threshold)
+        passed = getattr(ratio, _OPS[op])(threshold)
     else:
         passed = matched == total
     return RuleOutcome(rule.text, bool(passed), {"matched": matched, "total": total})

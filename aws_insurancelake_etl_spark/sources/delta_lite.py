@@ -956,12 +956,19 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
 
 
 def history(path: str) -> list:
-    """``DESCRIBE HISTORY`` equivalent: one dict per surviving commit
-    (version, operation, engine, operationParameters) from the JSON
-    tail — checkpointed-away commits report operation=None."""
+    """``DESCRIBE HISTORY`` equivalent: one dict per version 0..latest
+    (version, operation, engine, operationParameters).  Versions whose
+    JSON commit has aged out past a checkpoint appear with
+    operation=None — the listing never silently omits a version."""
     log_dir = _log_dir(path)
+    latest = snapshot(path).version
+    surviving = set(_json_versions(log_dir))
     out = []
-    for v in _json_versions(log_dir):
+    for v in range(latest + 1):
+        if v not in surviving:
+            out.append({"version": v, "operation": None, "engine": None,
+                        "operationParameters": None})
+            continue
         info = {}
         with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as fh:
             for line in fh:

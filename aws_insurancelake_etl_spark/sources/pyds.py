@@ -345,6 +345,14 @@ def _typed_partition_value(raw, dt):
         import datetime
 
         return datetime.date.fromisoformat(raw)
+    if name.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    if name.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(raw)
     if name == "string":
         return raw
     raise ValueError(f"unsupported partition column type {name!r}")
@@ -362,7 +370,8 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     executors read parquet via pyarrow and attach the log's partition
     literals (delta data files do not store partition columns)."""
 
-    def __init__(self, path: str, schema_json: str, starting_version=None):
+    def __init__(self, path: str, schema_json: str, starting_version=None,
+                 ignore_changes=False):
         from . import delta_lite
 
         if not delta_lite.is_delta_table(path):
@@ -370,6 +379,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         self.path = path
         self.schema_json = schema_json
         self.starting_version = starting_version
+        self.ignore_changes = ignore_changes
 
     def initialOffset(self) -> dict:
         # option("startingVersion", N): begin at version N's dataChange
@@ -408,6 +418,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         log_dir = _os.path.join(self.path, "_delta_log")
         for v in range(start + 1, end + 1):
             commit = _os.path.join(log_dir, f"{v:020d}.json")
+            adds, has_data_remove = [], False
             with open(commit, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
@@ -415,13 +426,31 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                         continue
                     action = _json.loads(line)
                     add = action.get("add")
+                    remove = action.get("remove")
                     if add and add.get("dataChange", True):
-                        out.append(
+                        adds.append(
                             (
                                 unquote(add["path"]),
                                 dict(add.get("partitionValues") or {}),
                             )
                         )
+                    if remove and remove.get("dataChange", True):
+                        has_data_remove = True
+            if has_data_remove and not self.ignore_changes:
+                # MERGE/DELETE/overwrite rewrote files: their adds contain
+                # mostly PRE-EXISTING rows, so emitting them would
+                # duplicate data downstream (review finding r6; real
+                # Delta raises the same way).  ignoreChanges opts into
+                # the duplicates explicitly, as in Delta.
+                raise ValueError(
+                    f"delta_lite stream: version {v} updated or deleted "
+                    "existing rows; append-only streaming cannot represent "
+                    "that without duplicates. Restart the stream from a "
+                    "fresh checkpoint (startingVersion) or set "
+                    "option('ignoreChanges', 'true') to accept re-emitted "
+                    "rewritten files."
+                )
+            out.extend(adds)
         return out
 
     def partitions(self, start: dict, end: dict):
@@ -477,4 +506,5 @@ class DeltaLiteDataSource(DataSource):
             self.options["path"],
             schema.json(),
             self.options.get("startingversion"),
+            str(self.options.get("ignorechanges", "")).lower() == "true",
         )

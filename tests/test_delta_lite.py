@@ -670,3 +670,46 @@ def test_history_and_restore(spark, table):
     dl.vacuum(table, retention_ms=0)
     with pytest.raises(dl.DeltaLiteError, match="vacuumed"):
         dl.restore(table, 0)
+
+
+def test_streaming_source_refuses_update_commits(spark, table, tmp_path):
+    """A MERGE rewrites files whose adds are mostly pre-existing rows:
+    the stream must raise (review fix), not silently duplicate — unless
+    ignoreChanges opts in, Delta-style."""
+    dl.write_delta(_people(spark, 0, 3), table)
+    ck, out = str(tmp_path / "c"), str(tmp_path / "o")
+    assert _drain_stream(spark, table, ck, out).count() == 3
+    dl.merge_delta(
+        spark,
+        spark.createDataFrame([Row(id=1, grp="a", score=99.0)])
+        .select("id", "grp", "score"),
+        table,
+        "id",
+    )
+    with pytest.raises(Exception, match="updated or deleted"):
+        _drain_stream(spark, table, ck, out)
+    # ignoreChanges accepts the duplicates explicitly
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    q = (spark.readStream.format("delta_lite")
+         .option("ignoreChanges", "true").load(table)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.where("score = 99.0").count() == 1  # update arrived
+    assert got.count() > 3  # and duplicates were knowingly accepted
+
+
+def test_history_reports_aged_out_versions_as_none(spark, table):
+    for i in range(11):
+        dl.write_delta(_people(spark, i, i + 1), table)
+    log = os.path.join(table, "_delta_log")
+    for v in range(5):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    hist = dl.history(table)
+    assert [h["version"] for h in hist] == list(range(11))
+    assert all(h["operation"] is None for h in hist[:5])
+    assert all(h["operation"] == "APPEND" for h in hist[5:])

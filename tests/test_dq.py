@@ -340,3 +340,37 @@ def test_dq_match_rules_family(spark):
     rule = compiler.compile("DatasetMatch 'reftwo' 'id' >= 0.5")
     out = _evaluate_rules(df, [rule], ctx)[0]
     assert out.observed == {"matched": 1, "total": 3}
+
+
+def test_dq_match_rule_hardening(spark):
+    """Review-fix pins: composites refuse join-evaluated sub-rules,
+    malformed regex/ratios/keys raise DQRuleError (totality contract),
+    and AggregateMatch handles a zero reference via the operator."""
+    import pytest as _pytest
+
+    from aws_insurancelake_etl_spark.context import RunContext
+    from aws_insurancelake_etl_spark.plans.dq import DQRuleError, RuleCompiler
+    from aws_insurancelake_etl_spark.plans.dq_runner import _evaluate_rules
+
+    df = spark.createDataFrame([(1, 0.0), (2, 0.0)], "id long, amount double")
+    zeros = spark.createDataFrame([(1, 0.0)], "id long, amount double")
+    compiler = RuleCompiler(df, ref_resolver=lambda n: {"z": zeros}[n])
+    ctx = RunContext(spark)
+
+    with _pytest.raises(DQRuleError, match="composite"):
+        compiler.compile("(RowCount > 0) and (DatasetMatch 'z' 'id')")
+    with _pytest.raises(DQRuleError, match="composite"):
+        compiler.compile("(RowCount > 0) and (ReferentialIntegrity 'id' 'z.id')")
+    with _pytest.raises(DQRuleError, match="regex"):
+        compiler.compile("ColumnNamesMatchPattern '('")
+    with _pytest.raises(DQRuleError, match="Unparseable"):
+        compiler.compile("RowCountMatch 'z' >= 1.2.3")
+    with _pytest.raises(DQRuleError, match="key column"):
+        compiler.compile("DatasetMatch 'z' ' '")
+
+    # zero-sum reference: 0/0 ratio is 1.0, so '= 1.0' passes and
+    # '!= 1.0' fails -- the operator decides, not a hard short-circuit
+    r_eq = compiler.compile("AggregateMatch 'sum(amount)' 'sum(z.amount)' = 1.0")
+    r_ne = compiler.compile("AggregateMatch 'sum(amount)' 'sum(z.amount)' != 1.0")
+    got = {o.rule: o.passed for o in _evaluate_rules(df, [r_eq, r_ne], ctx)}
+    assert got[r_eq.text] is True and got[r_ne.text] is False

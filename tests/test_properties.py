@@ -596,6 +596,8 @@ _rule_fragments = st.lists(
         "IsPrimaryKey", "ColumnExists", "RowCount", "Uniqueness", "Mean",
         "StandardDeviation", "Sum", "DistinctValuesCount", "ColumnLength",
         "ColumnCorrelation", "DataFreshness", "CustomSql", "Bogus",
+        "ColumnCount", "ColumnNamesMatchPattern", "RowCountMatch",
+        "AggregateMatch", "DatasetMatch", "'('", "1.2.3", "'sum(v)'",
         "'k'", "k", "v", "matches", "in", "between", "and", "or",
         ">=", "<=", ">", "<", "=", "!=", "0.5", "10", "-3", "'re.*'",
         "(", ")", "hours", "days", "'SELECT 1'",
