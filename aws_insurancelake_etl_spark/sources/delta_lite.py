@@ -74,6 +74,9 @@ class AddFile:
     size: int
     modification_time: int
     data_change: bool = True
+    #: Delta's data-skipping stats: {"numRecords", "minValues",
+    #: "maxValues"} for primitive leaf columns, from the parquet footer
+    stats: dict | None = None
 
 
 @dataclass
@@ -143,12 +146,19 @@ def _apply_action(state: dict, action: dict) -> None:
     elif "add" in action:
         a = action["add"]
         rel = unquote(a["path"])
+        raw_stats = a.get("stats")
+        if isinstance(raw_stats, str):  # spec stores stats as a JSON string
+            try:
+                raw_stats = json.loads(raw_stats)
+            except ValueError:
+                raw_stats = None
         state["adds"][rel] = AddFile(
             path=rel,
             partition_values=dict(a.get("partitionValues") or {}),
             size=int(a.get("size", 0)),
             modification_time=int(a.get("modificationTime", 0)),
             data_change=bool(a.get("dataChange", True)),
+            stats=raw_stats if isinstance(raw_stats, dict) else None,
         )
         state["removes"].pop(rel, None)
     elif "remove" in action:
@@ -397,13 +407,79 @@ def _stage_from(df, table_path, partition_by, staging_root) -> list:
                     partition_values=pvals,
                     size=size,
                     modification_time=now_ms,
+                    stats=_footer_stats(dest),
                 )
             )
     return adds
 
 
-def _add_json(a: AddFile) -> dict:
+def _footer_stats(path: str) -> dict | None:
+    """Delta's per-file data-skipping stats, read from the parquet
+    FOOTER (no data pages touched): numRecords + min/max per primitive
+    leaf column.  These ride in the add action so MERGE/readers can
+    skip files whose key range cannot contain a match — the real Delta
+    data-skipping mechanism."""
+    import datetime
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    def plain(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    dropped: set = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:  # nested leaf — skip
+                continue
+            try:
+                st = col.statistics
+                lo = plain(st.min) if st is not None and st.has_min_max else None
+                hi = plain(st.max) if st is not None and st.has_min_max else None
+            except Exception:  # noqa: BLE001 - pyarrow raises
+                # ArrowNotImplementedError for types it cannot extract
+                # statistics for (e.g. nanosecond timestamps); stats are
+                # best-effort, never a reason to fail a write
+                lo = hi = None
+            if lo is None or hi is None:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            if name not in mins:
+                mins[name], maxs[name] = lo, hi
+            else:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
     return {
+        "numRecords": meta.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+    }
+
+
+def _add_json(a: AddFile) -> dict:
+    payload = {
         "add": {
             "path": quote(a.path, safe="/="),
             "partitionValues": a.partition_values,
@@ -412,6 +488,10 @@ def _add_json(a: AddFile) -> dict:
             "dataChange": a.data_change,
         }
     }
+    if a.stats is not None:
+        # per spec, stats travel as a JSON STRING inside the action
+        payload["add"]["stats"] = json.dumps(a.stats, separators=(",", ":"))
+    return payload
 
 
 def _try_commit(log_dir: str, version: int, actions: list) -> bool:
@@ -735,6 +815,36 @@ def merge_delta(
                 in src_parts
             ],
         )
+    # DATA SKIPPING on the first merge key via the add actions' footer
+    # stats: a file whose [min, max] range cannot contain any source key
+    # is never opened during the touched-file search.  With the table
+    # clustered on the key (range write or OPTIMIZE ZORDER), a narrow
+    # upsert scans a handful of files instead of the table.  Files
+    # without stats (or with a cross-type comparison) are never skipped.
+    key0 = keys[0]
+    kb = source.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
+    if kb["lo"] is not None:
+
+        def _overlaps(f, lo=kb["lo"], hi=kb["hi"]):
+            st = f.stats or {}
+            fmin = (st.get("minValues") or {}).get(key0)
+            fmax = (st.get("maxValues") or {}).get(key0)
+            if fmin is None or fmax is None:
+                return True
+            if not (isinstance(fmin, type(lo)) or isinstance(lo, type(fmin))):
+                return True
+            try:
+                return not (fmax < lo or fmin > hi)
+            except TypeError:
+                return True
+
+        search_snap = Snapshot(
+            table_path=search_snap.table_path,
+            version=search_snap.version,
+            schema_string=search_snap.schema_string,
+            partition_columns=search_snap.partition_columns,
+            files=[f for f in search_snap.files if _overlaps(f)],
+        )
     target = _read_snapshot(spark, search_snap, with_path=True)
     touched_uris = {
         r["__dl_path"]
@@ -793,6 +903,7 @@ def merge_delta(
         "version": version,
         "files_rewritten": len(touched_rel),
         "files_kept": len(snap.files) - len(touched_rel),
+        "files_scanned": len(search_snap.files),
     }
 
 

@@ -713,3 +713,37 @@ def test_history_reports_aged_out_versions_as_none(spark, table):
     assert [h["version"] for h in hist] == list(range(11))
     assert all(h["operation"] is None for h in hist[:5])
     assert all(h["operation"] == "APPEND" for h in hist[5:])
+
+
+def test_merge_data_skipping_via_footer_stats(spark, table):
+    """Key-range file skipping from the add actions' parquet-footer
+    stats: a key-clustered table merges a narrow key band scanning only
+    the overlapping files — corrupt an out-of-range file to prove it is
+    never opened."""
+    big = spark.createDataFrame(
+        [Row(id=i, grp="a", score=float(i)) for i in range(1000)]
+    ).select("id", "grp", "score")
+    dl.write_delta(
+        big.repartitionByRange(8, "id").sortWithinPartitions("id"), table
+    )
+    snap = dl.snapshot(table)
+    assert all(f.stats and "id" in f.stats["minValues"] for f in snap.files)
+    # corrupt the file holding the HIGHEST ids; merge keys stay low
+    highest = max(snap.files, key=lambda f: f.stats["minValues"]["id"])
+    with open(os.path.join(table, highest.path), "wb") as fh:
+        fh.write(b"garbage")
+    source = spark.createDataFrame(
+        [Row(id=5, grp="a", score=-5.0), Row(id=7, grp="a", score=-7.0)]
+    ).select("id", "grp", "score")
+    stats = dl.merge_delta(spark, source, table, "id")
+    assert stats["files_scanned"] < len(snap.files)
+    assert stats["files_rewritten"] == 1
+    # stats survive the log round-trip as spec JSON strings
+    import json as _json
+
+    log0 = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    line = next(
+        _json.loads(ln) for ln in open(log0) if '"add"' in ln
+    )
+    assert isinstance(line["add"]["stats"], str)
+    assert "minValues" in _json.loads(line["add"]["stats"])
