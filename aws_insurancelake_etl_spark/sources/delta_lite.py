@@ -538,6 +538,11 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                     "size": a.size,
                     "modificationTime": a.modification_time,
                     "dataChange": a.data_change,
+                    "stats": (
+                        json.dumps(a.stats, separators=(",", ":"))
+                        if a.stats is not None
+                        else None
+                    ),
                 },
                 "remove": None,
             }
@@ -585,6 +590,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -1166,3 +1172,22 @@ def restore(path: str, version: int) -> dict:
         "files_removed": len(cur_paths - set(tgt_by_path)),
         "files_restored": len(set(tgt_by_path) - cur_paths),
     }
+
+
+def delta_count(spark: SparkSession, path: str, version=None) -> int:
+    """Metadata-only ``COUNT(*)``: sum of the add actions' stats
+    ``numRecords`` — zero data files opened, the optimization real
+    Delta applies to unfiltered counts.  Falls back to counting the
+    stats-less files with one scan (correctness over cleverness)."""
+    snap = snapshot(path, version)
+    total = 0
+    missing = []
+    for f in snap.files:
+        n = (f.stats or {}).get("numRecords")
+        if n is None:
+            missing.append(os.path.join(path, f.path))
+        else:
+            total += int(n)
+    if missing:
+        total += spark.read.parquet(*missing).count()
+    return total

@@ -747,3 +747,45 @@ def test_merge_data_skipping_via_footer_stats(spark, table):
     )
     assert isinstance(line["add"]["stats"], str)
     assert "minValues" in _json.loads(line["add"]["stats"])
+
+
+def test_delta_count_is_metadata_only(spark, table):
+    dl.write_delta(_people(spark, 0, 7), table)
+    dl.write_delta(_people(spark, 7, 10), table)
+    assert dl.delta_count(spark, table) == 10
+    assert dl.delta_count(spark, table, version=0) == 7
+    # metadata-only: corrupt every data file; the count must still work
+    for f in dl.snapshot(table).files:
+        with open(os.path.join(table, f.path), "wb") as fh:
+            fh.write(b"x")
+    assert dl.delta_count(spark, table) == 10
+    # a stats-less add falls back to scanning (and only that file)
+    snap = dl.snapshot(table)
+    import json as _json
+    extra = _people(spark, 100, 102).coalesce(1)
+    extra.write.mode("overwrite").parquet(table + "_stage")
+    import glob as _glob
+    part = _glob.glob(table + "_stage/part-*.parquet")[0]
+    import shutil as _shutil
+    _shutil.move(part, os.path.join(table, "nostats.parquet"))
+    with open(os.path.join(table, "_delta_log",
+                           f"{snap.version + 1:020d}.json"), "x") as fh:
+        fh.write(_json.dumps({"add": {
+            "path": "nostats.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 1, "dataChange": True}}) + "\n")
+    assert dl.delta_count(spark, table) == 12
+
+
+def test_stats_survive_checkpoint_replay(spark, table):
+    for i in range(11):
+        dl.write_delta(_people(spark, i, i + 1), table)
+    log = os.path.join(table, "_delta_log")
+    for v in range(11):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    snap = dl.snapshot(table)  # checkpoint-only replay
+    # (some part files are empty partitions -> numRecords 0; what
+    # matters is that every file still CARRIES stats after the JSON
+    # tail aged out)
+    assert all(f.stats is not None and "numRecords" in f.stats
+               for f in snap.files)
+    assert dl.delta_count(spark, table) == 11
