@@ -47,84 +47,65 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-6 window (rotation plan: VERDICT r5 item 1): the 52
-# gates that have never had a driver row — the 22 family-redundant ones
-# deferred from r5 plus the 30 gates registered after the r5 window
-# froze — minus two function batteries (sql_map_functions,
-# sql_timestamp_functions) deferred to r7 to fit the 50-gate window.
-# r7 window plan (authoritative list computed from CORRECTNESS_r01-r05
-# ∪ this window, 2026-08-14): 29 gates will remain never-driver-checked
-# after r6 — the 2 deferred batteries (sql_map_functions,
-# sql_timestamp_functions) plus the 27 gates registered during round 6:
-# ann_ivfpq_search, dedup_cap_skew_stress, dedup_cosine_prefix_pairs,
-# dedup_keep_best, docs_leakage_free_split, docs_unimax_allocation,
-# dq_match_rules, layout_zorder_cells, mm_audio_featurize,
-# mm_decode_featurize, sink_avro_write_roundtrip,
-# sink_delta_merge_upsert, sketch_histogram_quantiles,
-# sketch_hll_cardinality, sketch_kmv_merge_tables,
-# src_avro_nested_roundtrip, src_delta_partition_prune,
-# src_delta_time_travel, src_encrypted_xlsx_read,
-# src_iceberg_snapshot_read, src_xlsx_date_styles,
-# stream_dedup_within_watermark, stream_delta_merge_sink,
-# stream_delta_source_totals, stream_stream_left_outer,
-# text_bpe_learn_merges, text_html_extract.
-# Put these 29 first in the r7 window, fill the remaining 21 slots with
-# re-checks; thereafter every registered gate has a driver-green row
-# and arbitrary 50-subsets keep rows fresh.
+# queries.  Round-7 window (computed by ``tools/driver_window.py`` from
+# CORRECTNESS_r01-r06 — VERDICT r6 items 1, 2, 10): the 29 gates that
+# have never had a driver row, then ``sql_array_functions`` (the one
+# red r6 row — array columns now serialized for the driver's
+# canonicalizer), then the 20 stalest re-checks (all last green in r1).
+# After this round every registered gate has had a driver-green row;
+# subsequent rounds refresh arbitrary 50-subsets by staleness (rerun
+# the tool each round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- single-evidence operators first (VERDICT r5 priority list)
-    "src_xml_roundtrip",
-    "tr_xml_structured",
-    "tr_filename_parse",
-    "tr_flatten_clean_names",
-    "tr_jsonexpandarray",
-    "sink_partition_clear",
-    "src_orc_roundtrip",
-    # -- r5 deferrals (family-redundant, never driver-checked)
-    "agg_boolean_family",
-    "agg_cube_status_priority",
-    "window_rank_fractions",
-    "setops_except_all",
-    "text_quality_buckets",
-    "text_blocklist_filter",
-    "text_classifier_filter",
-    "text_inverted_index",
-    "text_bm25_topk",
-    "text_dup_ngram_coverage",
-    "docs_token_chunks",
-    "docs_lang_rebalance",
-    "docs_source_cap",
-    "docs_weighted_sample",
-    "docs_temperature_mix",
-    # -- gates added in round 5 (registered after the r5 window froze)
-    "docs_quality_ensemble",
-    "docs_doremi_weights",
-    "docs_ccnet_buckets",
-    "scd2_point_in_time_join",
-    "ann_mips_norm_augment",
-    "sketch_kmv_set_ops",
-    "evt_funnel_attribution",
-    "emb_matryoshka_prefix_recall",
-    "docs_curation_funnel",
-    "em_linkage_eval",
-    "sql_string_functions",
-    "sql_datetime_functions",
-    "sql_math_functions",
+    "sketch_kmv_merge_tables",
+    "sql_map_functions",
+    "sketch_hll_cardinality",
+    "layout_zorder_cells",
+    "sketch_histogram_quantiles",
+    "dedup_cap_skew_stress",
+    "dedup_keep_best",
+    "docs_unimax_allocation",
+    "dedup_cosine_prefix_pairs",
+    "docs_leakage_free_split",
+    "text_bpe_learn_merges",
+    "text_html_extract",
+    "ann_ivfpq_search",
+    "sql_timestamp_functions",
+    "mm_decode_featurize",
+    "src_avro_nested_roundtrip",
+    "stream_dedup_within_watermark",
+    "sink_avro_write_roundtrip",
+    "src_encrypted_xlsx_read",
+    "src_xlsx_date_styles",
+    "mm_audio_featurize",
+    "stream_stream_left_outer",
+    "sink_delta_merge_upsert",
+    "src_delta_time_travel",
+    "src_delta_partition_prune",
+    "src_iceberg_snapshot_read",
+    "stream_delta_merge_sink",
+    "stream_delta_source_totals",
+    "dq_match_rules",
     "sql_array_functions",
-    "sql_conditional_functions",
-    "agg_stats_functions",
-    "sql_regex_functions",
-    "sql_json_functions",
-    "sql_variant_type",
-    "evt_tumbling_ohlc",
-    "agg_ordered_string_concat",
-    "sql_try_cast_functions",
-    "text_line_dedup",
-    "stat_welch_ttest",
-    "stat_chi_square_independence",
-    "evt_changepoint_cusum",
-    "tr_luhn_checksum",
-    "stat_ks_grid_test",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_price_histogram",
+    "agg_rollup_priority",
+    "anti_customers_no_orders",
+    "distinct_flag_status",
+    "explode_order_months",
+    "feat_iqr_outliers",
+    "feat_zscore_by_segment",
+    "join_broadcast_dims",
+    "pivot_status_by_priority",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_top_large_orders",
+    "q19_disjunctive_revenue",
 )
 
 

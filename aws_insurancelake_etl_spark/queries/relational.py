@@ -1805,19 +1805,21 @@ def sql_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(arr, 2) AS has2,
            CAST(arr[1] AS BIGINT) AS first_el,
            CAST(arr[len(arr)] AS BIGINT) AS last_el,
-           list_sort(arr) AS sorted_arr,
-           list_reverse_sort(arr) AS rsorted_arr,
-           list_sort(list_distinct(arr)) AS dedup_arr,
+           array_to_string(list_sort(arr), ',') AS sorted_arr,
+           array_to_string(list_reverse_sort(arr), ',') AS rsorted_arr,
+           array_to_string(list_sort(list_distinct(arr)), ',') AS dedup_arr,
            array_to_string(arr, ',') AS joined,
            CAST(list_position(arr, 1) AS INT) AS pos1,
-           list_transform(arr, x -> x * 10) AS times10,
-           list_filter(arr, x -> x >= 2) AS geq2,
+           array_to_string(list_transform(arr, x -> x * 10), ',') AS times10,
+           COALESCE(array_to_string(list_filter(arr, x -> x >= 2), ','), '')
+               AS geq2,
            CAST(list_sum(arr) AS BIGINT) AS total,
            CAST(list_max(arr) AS BIGINT) AS mx,
            CAST(list_min(arr) AS BIGINT) AS mn,
-           list_slice(arr, 2, 3) AS mid,
-           list_concat(arr, [99]) AS plus99,
-           list_sort(list_intersect(arr, [0, 1, 2])) AS inter
+           array_to_string(list_slice(arr, 2, 3), ',') AS mid,
+           array_to_string(list_concat(arr, [99]), ',') AS plus99,
+           array_to_string(list_sort(list_intersect(arr, [0, 1, 2])), ',')
+               AS inter
     FROM base
     """,
 )
@@ -1829,35 +1831,48 @@ def sql_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     text/embedding operators lean on, pinned value-level across engines.
     Note the portability traps the formulation dodges: DuckDB
     list_distinct does NOT preserve order (sort AFTER distinct), and
-    both engines index from 1 with position 0 for a missing element."""
+    both engines index from 1 with position 0 for a missing element.
+    Every array-typed result is serialized with ``array_join`` /
+    ``array_to_string`` so the driver's pandas canonicalizer (which
+    sorts raw cell values and cannot hash lists) sees scalars only —
+    VERDICT r6 item 1.  One more trap: on an EMPTY list Spark
+    ``array_join`` returns ``''`` but DuckDB ``array_to_string``
+    returns NULL, so the oracle COALESCEs the one empty-able column
+    (``geq2``)."""
     o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
     k = F.col("o_orderkey")
     base = o.select(
         "o_orderkey",
         F.array(k % 5, k % 3, k % 7, k % 3).alias("arr"),
     )
+
+    def joined(col):  # serialize array<long> -> "a,b,c" for the driver
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return base.select(
         "o_orderkey",
         F.size("arr").alias("sz"),
         F.array_contains("arr", 2).alias("has2"),
         F.element_at("arr", 1).alias("first_el"),
         F.element_at("arr", F.size("arr")).alias("last_el"),
-        F.sort_array("arr").alias("sorted_arr"),
-        F.sort_array("arr", asc=False).alias("rsorted_arr"),
-        F.sort_array(F.array_distinct("arr")).alias("dedup_arr"),
+        joined(F.sort_array("arr")).alias("sorted_arr"),
+        joined(F.sort_array("arr", asc=False)).alias("rsorted_arr"),
+        joined(F.sort_array(F.array_distinct("arr"))).alias("dedup_arr"),
         F.array_join("arr", ",").alias("joined"),
         F.array_position("arr", 1).cast("int").alias("pos1"),
-        F.transform("arr", lambda x: x * 10).alias("times10"),
-        F.filter("arr", lambda x: x >= 2).alias("geq2"),
+        joined(F.transform("arr", lambda x: x * 10)).alias("times10"),
+        joined(F.filter("arr", lambda x: x >= 2)).alias("geq2"),
         F.aggregate("arr", F.lit(0).cast("long"), lambda a, x: a + x)
         .alias("total"),
         F.array_max("arr").alias("mx"),
         F.array_min("arr").alias("mn"),
-        F.slice("arr", 2, 2).alias("mid"),
-        F.concat("arr", F.array(F.lit(99))).alias("plus99"),
-        F.sort_array(F.array_intersect(F.sort_array("arr"),
-                                       F.array(F.lit(0), F.lit(1), F.lit(2))))
-        .alias("inter"),
+        joined(F.slice("arr", 2, 2)).alias("mid"),
+        joined(F.concat("arr", F.array(F.lit(99)))).alias("plus99"),
+        joined(
+            F.sort_array(F.array_intersect(F.sort_array("arr"),
+                                           F.array(F.lit(0), F.lit(1),
+                                                   F.lit(2))))
+        ).alias("inter"),
     )
 
 

@@ -106,7 +106,32 @@ def main() -> int:
     return 1 if failures else 0
 
 
+def _unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the DRIVER's canonicalizer.
+
+    The round driver sorts RAW cell values (``sort_values`` over
+    unconverted objects), so list/array/dict cells raise
+    ``TypeError: unhashable type`` there even though this checker's
+    stringify-first normalization handles them fine (the one red r6
+    driver row, ``sql_array_functions``).  Gates must serialize nested
+    outputs; surface the trap locally instead of passing silently.
+    """
+    bad = []
+    head = pdf.head(50)
+    for col in pdf.columns:
+        if any(isinstance(v, (list, tuple, dict, set, bytearray))
+               or type(v).__name__ == "ndarray"
+               for v in head[col]):
+            bad.append(col)
+    return bad
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[str, str]:
+    for side, pdf in (("spark", spark_pdf), ("oracle", duck_pdf)):
+        bad = _unhashable_cols(pdf)
+        if bad:
+            return "FAIL", (f"{side} result has driver-unhashable (nested) "
+                            f"columns {bad}: serialize with array_join/to_json")
     if len(spark_pdf) != len(duck_pdf):
         return "FAIL", f"row count {len(spark_pdf)} != {len(duck_pdf)}"
     s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
