@@ -26,8 +26,9 @@ between a and b``, ``ColumnDataType <col> = '<TYPE>'``,
 ``ReferentialIntegrity``, composite ``(A) and (B)`` / ``(A) or (B)``, and
 ``CustomSql '<sql>'`` in aggregate (scalar comparison) and row-level
 (key-set semi-join) forms; the incoming dataset is always aliased
-``primary``.  ``UniqueValueRatio`` is refused with its CustomSql rewrite
-named (per-value frequencies need a second pass).
+``primary``, and ``UniqueValueRatio <col> <op> <frac>`` (exactly-once /
+distinct values — its per-value frequencies need their own two-stage
+aggregation job, compiled to a ``dataset_eval`` hook).
 
 Execution design (scale): every non-CustomSql rule compiles to either a
 row-level boolean ``Column`` or an aggregate expression; *all* aggregate
@@ -90,6 +91,10 @@ class CompiledRule:
     dm_ref: Any = None
     dm_keys: list | None = None
     dm_compare: tuple[str, float] | None = None
+    #: generic two-pass evaluation: callable(df) -> RuleOutcome, for
+    #: statistics that need their own grouped sub-aggregation and cannot
+    #: fold into the stage's single shared ``df.agg`` (UniqueValueRatio)
+    dataset_eval: Callable[[DataFrame], "RuleOutcome"] | None = None
 
 
 @dataclass
@@ -189,14 +194,16 @@ class RuleCompiler:
             out.agg_eval = _eval
         if any(s.custom_sql for s in compiled):
             raise DQRuleError("CustomSql cannot appear inside a composite rule")
-        joined = [s for s in compiled if s.ri_keys is not None or s.dm_ref is not None]
+        joined = [s for s in compiled
+                  if s.ri_keys is not None or s.dm_ref is not None
+                  or s.dataset_eval is not None]
         if joined:
-            # these evaluate via their own join, which the composite
-            # combiner cannot fold — dropping them would FALSE-PASS the
-            # composite (review finding r6)
+            # these evaluate via their own join/sub-aggregation, which the
+            # composite combiner cannot fold — dropping them would
+            # FALSE-PASS the composite (review finding r6)
             raise DQRuleError(
-                "ReferentialIntegrity/DatasetMatch cannot appear inside a "
-                f"composite rule (found in: {joined[0].text!r})"
+                "ReferentialIntegrity/DatasetMatch/UniqueValueRatio cannot "
+                f"appear inside a composite rule (found in: {joined[0].text!r})"
             )
         return out
 
@@ -541,18 +548,62 @@ class RuleCompiler:
         return rule
 
     def _rule_uniquevalueratio(self, text: str, rest: str) -> CompiledRule:
-        """``UniqueValueRatio`` (exactly-once values / distinct values)
-        needs per-value frequencies — a grouped sub-aggregation that
-        cannot fold into the engine's single shared ``df.agg`` pass.
-        Refused with the CustomSql rewrite named, rather than silently
-        approximated with Uniqueness (distinct/count), which is a
-        different statistic."""
-        raise DQRuleError(
-            "UniqueValueRatio needs per-value frequencies (two-pass); "
-            "express it as CustomSql, e.g. \"CustomSql 'SELECT "
-            "COUNT_IF(c = 1) * 1.0 / COUNT(*) FROM (SELECT COUNT(*) AS c "
-            "FROM primary GROUP BY <col>)' >= 0.9\""
+        """``UniqueValueRatio <col> <op> <frac>`` — (values appearing
+        exactly once) / (distinct values), per Glue DQDL (NOT the same
+        statistic as Uniqueness = distinct/count).  Needs per-value
+        frequencies, so it cannot fold into the stage's single shared
+        ``df.agg`` pass; compiled to a ``dataset_eval`` hook that runs
+        one two-stage aggregation job (groupBy(col).count() then a
+        scalar agg — map-side partial both stages, result is one row).
+        Nulls are excluded from the value universe, matching the
+        Uniqueness rule's ``count(col)`` convention; an all-null or
+        empty column passes vacuously (ratio 1.0)."""
+        match = re.fullmatch(
+            rf"(?:{_QUOTED}|(\S+))\s*(>=|<=|!=|=|>|<)\s*([\d.]+)", rest
         )
+        between = None
+        if not match:
+            between = re.fullmatch(
+                rf"(?:{_QUOTED}|(\S+))\s+between\s+([\d.]+)\s+and\s+([\d.]+)",
+                rest, re.IGNORECASE,
+            )
+            if not between:
+                raise DQRuleError(f"Unparseable UniqueValueRatio rule: {text}")
+        groups = (match or between).groups()
+        name = self._column(f"'{_pick(groups[:3])}'")
+        self._require_column(name, text)
+        col = F.col(f"`{name}`")
+        if match:
+            op, threshold = match.group(4), float(match.group(5))
+            def decide(ratio: float, op=op, threshold=threshold) -> bool:
+                return getattr(ratio, _OPS[op])(threshold)
+        else:
+            lo, hi = float(between.group(4)), float(between.group(5))
+            def decide(ratio: float, lo=lo, hi=hi) -> bool:
+                # exclusive bounds: the CustomSql comparator's convention
+                return lo < ratio < hi
+
+        def evaluate(df: DataFrame, col=col, text=text) -> RuleOutcome:
+            freq = (
+                df.where(col.isNotNull())
+                .groupBy(col.alias("__dq_uvr_value"))
+                .agg(F.count(F.lit(1)).alias("__dq_uvr_freq"))
+            )
+            row = freq.agg(
+                F.count(F.when(F.col("__dq_uvr_freq") == 1, 1)).alias("u"),
+                F.count(F.lit(1)).alias("d"),
+            ).collect()[0]
+            unique_once, distinct = int(row["u"] or 0), int(row["d"] or 0)
+            ratio = (unique_once / distinct) if distinct else 1.0
+            return RuleOutcome(
+                text, bool(decide(ratio)),
+                {"unique_values": unique_once, "distinct_values": distinct,
+                 "ratio": ratio},
+            )
+
+        rule = CompiledRule(text=text)
+        rule.dataset_eval = evaluate
+        return rule
 
     def _rule_columncorrelation(self, text: str, rest: str) -> CompiledRule:
         """``ColumnCorrelation <a> <b> <op> <v>`` — Pearson correlation

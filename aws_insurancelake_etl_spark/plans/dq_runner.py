@@ -67,6 +67,8 @@ def _evaluate_rules(
             outcomes.append(_evaluate_dataset_match(df, rule))
         elif rule.custom_sql is not None:
             outcomes.append(_evaluate_custom_sql(df, rule, ctx))
+        elif rule.dataset_eval is not None:
+            outcomes.append(rule.dataset_eval(df))
         elif rule.agg_eval is not None:
             passed = rule.agg_eval(agg_row)
             observed = {k: agg_row.get(k) for k in rule.agg_exprs}

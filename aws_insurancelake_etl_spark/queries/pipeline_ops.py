@@ -1290,6 +1290,8 @@ _DQ_STATS_RULES = (
     "DistinctValuesCount 'o_orderstatus' = 3",
     "ColumnLength 'o_orderpriority' between 4 and 16",
     "Mean 'o_totalprice' < 5",
+    "UniqueValueRatio 'o_orderkey' >= 1.0",
+    "UniqueValueRatio 'o_orderstatus' >= 0.5",
 )
 
 
@@ -1316,12 +1318,23 @@ _DQ_STATS_RULES = (
     FROM orders
     UNION ALL
     SELECT 'Mean ''o_totalprice'' < 5', AVG(o_totalprice) < 5 FROM orders
+    UNION ALL
+    SELECT 'UniqueValueRatio ''o_orderkey'' >= 1.0',
+           (SELECT COUNT(CASE WHEN c = 1 THEN 1 END) * 1.0 / COUNT(*) >= 1.0
+            FROM (SELECT COUNT(*) AS c FROM orders
+                  WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey))
+    UNION ALL
+    SELECT 'UniqueValueRatio ''o_orderstatus'' >= 0.5',
+           (SELECT COUNT(CASE WHEN c = 1 THEN 1 END) * 1.0 / COUNT(*) >= 0.5
+            FROM (SELECT COUNT(*) AS c FROM orders
+                  WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus))
     """,
 )
 def dq_stats_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The statistical DQDL rule family (Mean / StandardDeviation / Sum /
-    DistinctValuesCount / ColumnLength — the Glue DQDL surface beyond
-    what the reference's own configs exercise) compiled by the real
+    DistinctValuesCount / ColumnLength / UniqueValueRatio — the Glue
+    DQDL surface beyond what the reference's own configs exercise,
+    ruleset grammar per ``docs/data_quality.md``) compiled by the real
     ``RuleCompiler`` and evaluated by the real stage evaluator in ONE
     shared aggregation pass; the oracle recomputes every verdict from the
     same data, so thresholds hold at any scale factor.  The deliberately

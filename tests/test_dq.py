@@ -180,8 +180,9 @@ def test_statistical_rule_family(spark):
 def test_primary_key_correlation_freshness_rules(spark):
     """Round-6 DQDL additions: IsPrimaryKey (complete AND unique in the
     shared pass), ColumnCorrelation (one corr aggregate), DataFreshness
-    (row-level, injectable now for determinism), and the explicit
-    UniqueValueRatio refusal that names its CustomSql rewrite."""
+    (row-level, injectable now for determinism), and UniqueValueRatio
+    (round-7: native two-stage aggregation via ``dataset_eval`` —
+    exactly-once values / distinct values, nulls excluded)."""
     import pandas as pd
 
     from aws_insurancelake_etl_spark.context import RunContext
@@ -220,8 +221,28 @@ def test_primary_key_correlation_freshness_rules(spark):
     rule = compiler.compile("DataFreshness seen <= 30 minutes")
     assert rule.predicate is not None
     assert df.filter(~rule.predicate).count() == 2  # 10:00 and 11:00
-    with pytest.raises(DQRuleError, match="CustomSql"):
-        compiler.compile("UniqueValueRatio dup >= 0.5")
+
+    # UniqueValueRatio: dup = [1, 1, 2, 3] -> values {1: 2, 2: 1, 3: 1};
+    # exactly-once = 2, distinct = 3, ratio = 2/3.  pk is all-unique
+    # (ratio 1.0); withnull = [1, 2, None, 4] excludes the null (3/3).
+    uvr_cases = {
+        "UniqueValueRatio dup >= 0.5": True,
+        "UniqueValueRatio dup > 0.67": False,
+        "UniqueValueRatio 'dup' between 0.5 and 0.7": True,
+        "UniqueValueRatio pk = 1.0": True,
+        "UniqueValueRatio withnull >= 1.0": True,
+    }
+    uvr_rules = [compiler.compile(text) for text in uvr_cases]
+    uvr_outcomes = {o.rule: o.passed
+                    for o in _evaluate_rules(df, uvr_rules, ctx)}
+    assert uvr_outcomes == uvr_cases
+    observed = uvr_rules[0].dataset_eval(df).observed
+    assert observed["unique_values"] == 2
+    assert observed["distinct_values"] == 3
+    # two-pass sub-aggregation rules cannot fold into a composite —
+    # dropping one would false-pass the conjunction (r6 review class)
+    with pytest.raises(DQRuleError, match="composite"):
+        compiler.compile("(IsComplete pk) and (UniqueValueRatio dup >= 0.5)")
 
 
 def test_referential_integrity_rule(spark, ctx):
