@@ -61,6 +61,23 @@ BASELINES = {
     "evt_funnel_attribution": (0.758, 5),
     "ann_mips_norm_augment": (0.463, 5),
     "sketch_kmv_set_ops": (0.55, 5),
+    # round-6 additions, promoted in round 7 with their r6 normalized
+    # times (BENCH_r06.json queries_extended_normalized — VERDICT r6
+    # item 3: unbaselined queries are invisible to the regression gate)
+    "dedup_cap_skew_stress": (1.318, 6),
+    "sketch_kmv_merge_tables": (1.244, 6),
+    "mm_decode_featurize": (0.832, 6),
+    "mm_audio_featurize": (0.838, 6),
+    "dedup_keep_best": (4.991, 6),
+    "docs_unimax_allocation": (0.721, 6),
+    "sink_avro_write_roundtrip": (1.65, 6),
+    "sink_delta_merge_upsert": (1.723, 6),
+    "src_delta_partition_prune": (1.074, 6),
+    "sketch_hll_cardinality": (0.967, 6),
+    "dedup_cosine_prefix_pairs": (5.734, 6),
+    "text_bpe_learn_merges": (2.244, 6),
+    "layout_zorder_cells": (0.808, 6),
+    "docs_leakage_free_split": (0.991, 6),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -73,23 +90,7 @@ ABS_SLACK_SEC = 0.5
 # New-in-round queries, reported (queries_extended) but NOT yet gated: no
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
-EXTENDED = [
-    "dedup_cap_skew_stress",
-    "sketch_kmv_merge_tables",
-    "mm_decode_featurize",
-    "mm_audio_featurize",
-    "dedup_keep_best",
-    "docs_unimax_allocation",
-    "sink_avro_write_roundtrip",
-    # late-round-6 additions
-    "sink_delta_merge_upsert",
-    "src_delta_partition_prune",
-    "sketch_hll_cardinality",
-    "dedup_cosine_prefix_pairs",
-    "text_bpe_learn_merges",
-    "layout_zorder_cells",
-    "docs_leakage_free_split",
-]
+EXTENDED: list[str] = []
 
 
 def materialize(df) -> None:
@@ -103,11 +104,31 @@ def main() -> None:
                           extra_confs={"spark.ui.enabled": "false"})
     queries = all_queries()
 
+    # Single-thread calibration (md5 of 10^5 short strings): absolute query
+    # seconds on a shared VM drift with host load / CPU steal between rounds;
+    # dividing by this figure normalizes cross-round comparisons.  One
+    # sample is itself too noisy (finding 45: 0.0663-0.0887 s between runs
+    # minutes apart = 34%, the same magnitude as the drift it corrects), so
+    # three samples are INTERLEAVED through the run and the MEDIAN used —
+    # an estimate of host speed during the measured window, not at one
+    # instant.
+    import hashlib  # noqa: PLC0415
+
+    def calib_sample() -> float:
+        start = time.time()
+        for i in range(100_000):
+            hashlib.md5(str(i).encode()).hexdigest()
+        return round(time.time() - start, 4)
+
+    calib_samples = []
+
     # Warmup: one full pass materializes every query once so the timed pass
     # measures steady state (JIT-compiled codegen, parquet footer caches,
     # broadcast relations) instead of first-run JVM noise.
     for name in HEADLINE:
         materialize(queries[name](spark, sf_dir))
+
+    calib_samples.append(calib_sample())
 
     # Two timed passes, min per query: steady-state cost, robust to
     # transient scheduler/GC noise on a shared box.
@@ -120,15 +141,7 @@ def main() -> None:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
-    # Single-thread calibration (md5 of 10^5 short strings): absolute query
-    # seconds on a shared VM drift with host load / CPU steal between rounds;
-    # dividing by this figure normalizes cross-round comparisons.
-    import hashlib  # noqa: PLC0415
-
-    calib_start = time.time()
-    for i in range(100_000):
-        hashlib.md5(str(i).encode()).hexdigest()
-    calib_sec = round(time.time() - calib_start, 4)
+    calib_samples.append(calib_sample())
 
     # Extended set gets the same measurement discipline as the headline
     # (warmup + min of 2) so the numbers are comparable across rounds.
@@ -142,6 +155,9 @@ def main() -> None:
             elapsed = round(time.time() - start, 3)
             if name not in extended or elapsed < extended[name]:
                 extended[name] = elapsed
+
+    calib_samples.append(calib_sample())
+    calib_sec = sorted(calib_samples)[1]
 
     scale = CALIB_REF / calib_sec if calib_sec > 0 else 1.0
     normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
@@ -163,6 +179,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_md5_100k_sec": calib_sec,
+                "calib_samples": calib_samples,
                 "calib_ref": CALIB_REF,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
