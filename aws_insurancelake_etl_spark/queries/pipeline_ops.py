@@ -1868,6 +1868,7 @@ _ICEBERG_MANIFEST_LIST_FIELDS = [
     ("manifest_length", "long"),
     ("partition_spec_id", "int"),
     ("content", "int"),
+    ("sequence_number", "long"),
     ("added_snapshot_id", "long"),
 ]
 
@@ -1902,16 +1903,25 @@ def _iceberg_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
 
 
 def build_iceberg_table(
-    spark, table_path: str, snapshots_rows, partition_col: str
+    spark, table_path: str, snapshots_rows, partition_col: str,
+    position_deletes: dict | None = None,
 ):
     """Construct a spec-conformant Iceberg v2 table directory from
     scratch (iceberg.apache.org/spec): identity-partitioned parquet data
     files (partition column kept IN the files, per Iceberg convention),
-    one Avro manifest per snapshot, per-snapshot manifest lists, and
-    ``vN.metadata.json`` + ``version-hint.text``.  Paths inside the
-    metadata use a FAKE original location so readers must exercise the
-    relocation/rebase path.  Used by the ``src_iceberg_snapshot_read``
-    gate and ``tests/test_iceberg_lite.py``; the reader under test is
+    one Avro manifest per snapshot, per-snapshot manifest lists (with v2
+    sequence numbers), and ``vN.metadata.json`` + ``version-hint.text``.
+    Paths inside the metadata use a FAKE original location so readers
+    must exercise the relocation/rebase path.
+
+    ``position_deletes`` maps a 1-based snapshot id to a list of
+    ``(target_rel_path, [row ordinals])``: that snapshot additionally
+    writes a position-delete parquet file (``file_path``/``pos`` columns
+    per spec §Position Delete Files, referencing the FAKE original data
+    paths) and a DELETE manifest (``content=1``, entries with
+    ``data_file.content=1``) — a doctored merge-on-read table.  Used by
+    the ``src_iceberg_snapshot_read`` / ``src_iceberg_position_deletes``
+    gates and ``tests/test_iceberg_lite.py``; the reader under test is
     ``sources/iceberg_lite.py``."""
     import glob
     import os as _os
@@ -1967,9 +1977,59 @@ def build_iceberg_table(
                 _os.path.getsize(f"{table_path}/{man_rel}"),
                 0,
                 0,  # content=0: data manifest
+                snap_id,  # sequence_number (v2)
                 snap_id,
             )
         )
+        delete_targets = (position_deletes or {}).get(snap_id, [])
+        if delete_targets:
+            del_entries = []
+            for i, (target_rel, positions) in enumerate(delete_targets):
+                del_rel = f"data/del-{snap_id}-{i}.parquet"
+                stage = tempfile.mkdtemp(prefix="icedelstage-")
+                spark.createDataFrame(
+                    [(f"{fake_loc}/{target_rel}", int(p))
+                     for p in positions],
+                    "file_path string, pos long",
+                ).coalesce(1).write.mode("overwrite").parquet(stage)
+                part_file = glob.glob(f"{stage}/part-*.parquet")[0]
+                dest = f"{table_path}/{del_rel}"
+                _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+                shutil.move(part_file, dest)
+                shutil.rmtree(stage, ignore_errors=True)
+                del_entries.append(
+                    (
+                        1,  # status ADDED
+                        snap_id,
+                        (
+                            1,  # content=1: POSITION DELETES
+                            f"{fake_loc}/{del_rel}",
+                            "PARQUET",
+                            (None,),
+                            len(positions),
+                            _os.path.getsize(dest),
+                        ),
+                    )
+                )
+            dman_rel = f"metadata/delete-manifest-{snap_id}.avro"
+            dschema = _iceberg_manifest_schema(part_fields)
+            avro_lite.write_avro(
+                f"{table_path}/{dman_rel}",
+                [n for n, _ in dschema],
+                [t for _, t in dschema],
+                del_entries,
+                record_name="manifest_entry",
+            )
+            manifests.append(
+                (
+                    f"{fake_loc}/{dman_rel}",
+                    _os.path.getsize(f"{table_path}/{dman_rel}"),
+                    0,
+                    1,  # content=1: delete manifest
+                    snap_id,  # sequence_number (v2)
+                    snap_id,
+                )
+            )
         ml_rel = f"metadata/snap-{snap_id}.avro"
         avro_lite.write_avro(
             f"{table_path}/{ml_rel}",
@@ -2067,6 +2127,79 @@ def src_iceberg_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_lite.read_iceberg(
         spark, tbl, snapshot_id=1, partition_filter={"o_orderstatus": "F"}
     )
+
+
+@register(
+    "src_iceberg_position_deletes",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey) - 1 AS p
+        FROM base
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM ranked
+    WHERE NOT (o_orderstatus = 'F' AND (p < 5 OR p % 7 = 0))
+      AND NOT (o_orderstatus = 'O' AND p % 11 = 3)
+    """,
+)
+def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ (round 7): the reference's entity
+    primary is a format-version-2 table (``etl_consume_entity_match.py:
+    385-389``) whose MERGE history carries position deletes on any real
+    deployment, so a reader that refuses delete manifests cannot read
+    the reference's own table after an update.  The gate builds a
+    doctored two-snapshot table — snapshot 1 writes each status
+    partition as one parquet file sorted by ``o_orderkey`` (so row
+    ordinal p = p-th smallest key), snapshot 2 is a delete-only commit
+    whose position-delete files name scattered ordinals in TWO target
+    files — then reads latest.  ``iceberg_lite`` applies the deletes as
+    a distributed anti-join on Spark's ``_metadata.row_index`` (the
+    exact per-file ordinal the spec's ``pos`` column names); only
+    O(files) path/sequence mappings are broadcast, never delete rows.
+    The oracle recomputes the surviving set relationally from the same
+    ordinal rule."""
+    from ..sources import iceberg_lite
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+    )
+    counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in base.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    f_positions = [p for p in range(counts.get("F", 0))
+                   if p < 5 or p % 7 == 0]
+    o_positions = [p for p in range(counts.get("O", 0)) if p % 11 == 3]
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-mor-") + "/t"
+    build_iceberg_table(
+        spark, tbl, [base, base.where("1=0")], "o_orderstatus",
+        position_deletes={
+            2: [("data/o_orderstatus=F/f1-F.parquet", f_positions),
+                ("data/o_orderstatus=O/f1-O.parquet", o_positions)],
+        },
+    )
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    if len(deletes) != 2:
+        raise RuntimeError(f"expected 2 position-delete files: {deletes}")
+    return iceberg_lite.read_iceberg(spark, tbl)
 
 
 @register(

@@ -19,14 +19,22 @@ this module reads the OPEN Iceberg table format
 
 Supported: format v1 and v2, snapshot time travel (``snapshot_id=``),
 identity-partition pruning, relocated tables (paths rebase from the
-metadata ``location`` to the local directory).  Honest limits raised
-as errors: delete files (v2 row-level deletes, manifest ``content=1``)
-and non-parquet data files.
+metadata ``location`` to the local directory), and v2 POSITION deletes
+(merge-on-read): delete manifests (``content=1``) plan position-delete
+parquet files (``file_path``/``pos`` columns per spec §Position Delete
+Files), and the read applies them distributively — the data scan
+exposes Spark's ``_metadata.row_index`` (the same per-file row ordinal
+Iceberg's ``pos`` refers to) and anti-joins the delete rows, honoring
+the v2 sequence-number rule (a delete applies only to data files whose
+data sequence number is <= the delete file's).  Honest limit raised as
+an error: EQUALITY deletes (``data_file.content=2``) and non-parquet
+data files.
 
 Scale note: the manifest tree is parsed driver-side (pyarrow-free,
 stdlib Avro) — one row per data file, the same O(files) metadata cost
 the real reader pays; the DATA path is a normal distributed parquet
-scan.
+scan, and delete application is one distributed anti-join (only the
+O(files) path/sequence mappings are broadcast, never delete rows).
 """
 
 from __future__ import annotations
@@ -137,13 +145,36 @@ class DataFileEntry:
     path: str
     partition: dict
     record_count: int
+    #: original (pre-rebase) path as written in the manifest — position
+    #: delete rows reference THIS string in their ``file_path`` column
+    orig_path: str = ""
+    #: v2 data sequence number (0 for v1 / absent)
+    sequence_number: int = 0
+
+
+@dataclass
+class DeleteFileEntry:
+    path: str
+    orig_path: str
+    record_count: int
+    sequence_number: int
 
 
 def plan_files(
     table_path: str, snapshot_id=None, partition_filter=None
 ) -> list[DataFileEntry]:
-    """Resolve the snapshot's live data files through the manifest tree,
-    pruning on identity-partition values BEFORE touching any data file."""
+    """Live DATA files of the snapshot (see :func:`plan_scan`)."""
+    return plan_scan(table_path, snapshot_id, partition_filter)[0]
+
+
+def plan_scan(
+    table_path: str, snapshot_id=None, partition_filter=None
+) -> tuple[list[DataFileEntry], list[DeleteFileEntry]]:
+    """Resolve the snapshot's live data files AND position-delete files
+    through the manifest tree, pruning data files on identity-partition
+    values BEFORE touching any parquet footer.  Delete files are never
+    partition-pruned (a delete manifest may target any data file; an
+    inapplicable delete row simply fails the anti-join match)."""
     meta = _load_metadata(table_path)
     if int(meta.get("format-version", 1)) not in (1, 2):
         raise IcebergLiteError(
@@ -151,7 +182,7 @@ def plan_files(
         )
     snapshots = meta.get("snapshots") or []
     if not snapshots:
-        return []
+        return [], []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     matches = [s for s in snapshots if s.get("snapshot-id") == snapshot_id]
@@ -166,26 +197,43 @@ def plan_files(
             "are not produced by current writers and are unsupported here)"
         )
     manifest_list = rebase(snap["manifest-list"])
-    out: list[DataFileEntry] = []
+    data: list[DataFileEntry] = []
+    deletes: list[DeleteFileEntry] = []
     want = {
         k: (None if v is None else str(v))
         for k, v in (partition_filter or {}).items()
     }
     for mf in _read_manifest_rows(manifest_list):
-        if int(mf.get("content") or 0) == 1:
-            raise IcebergLiteError(
-                "table has DELETE manifests (v2 row-level deletes); "
-                "iceberg_lite reads append/overwrite tables only"
-            )
+        # v2 manifest-list rows carry the manifest's sequence number;
+        # ADDED entries with a null sequence_number inherit it (spec
+        # §Sequence Number Inheritance).  v1 / doctored fixtures without
+        # the field default to 0.
+        mf_seq = int(mf.get("sequence_number") or 0)
         for entry in _read_manifest_rows(rebase(mf["manifest_path"])):
             if int(entry.get("status") or 0) == 2:  # DELETED
                 continue
+            seq = entry.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
             df = entry["data_file"]
-            if int(df.get("content") or 0) != 0:
-                raise IcebergLiteError("delete data files unsupported")
+            content = int(df.get("content") or 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergLiteError(f"file_format {fmt} unsupported")
+            if content == 2:
+                raise IcebergLiteError(
+                    "table has EQUALITY delete files (data_file.content=2);"
+                    " iceberg_lite applies position deletes only"
+                )
+            if content == 1:
+                deletes.append(
+                    DeleteFileEntry(
+                        path=rebase(df["file_path"]),
+                        orig_path=df["file_path"],
+                        record_count=int(df.get("record_count") or 0),
+                        sequence_number=seq,
+                    )
+                )
+                continue
             partition = df.get("partition") or {}
             if want and any(
                 (None if partition.get(k) is None else str(partition.get(k)))
@@ -193,14 +241,19 @@ def plan_files(
                 for k, v in want.items()
             ):
                 continue
-            out.append(
+            data.append(
                 DataFileEntry(
                     path=rebase(df["file_path"]),
                     partition=partition,
                     record_count=int(df.get("record_count") or 0),
+                    orig_path=df["file_path"],
+                    sequence_number=seq,
                 )
             )
-    return sorted(out, key=lambda e: e.path)
+    return (
+        sorted(data, key=lambda e: e.path),
+        sorted(deletes, key=lambda e: e.path),
+    )
 
 
 def snapshot_ids(table_path: str) -> list[int]:
@@ -231,12 +284,64 @@ def read_iceberg(
     """Snapshot read of an Iceberg table directory: manifest-tree file
     planning (with partition pruning and time travel) + one distributed
     parquet scan.  Identity partition columns come from the data files
-    themselves, per the Iceberg convention."""
-    files = plan_files(table_path, snapshot_id, partition_filter)
+    themselves, per the Iceberg convention.
+
+    Position deletes (v2 merge-on-read) are applied as one distributed
+    LEFT ANTI join: the data scan exposes ``_metadata.file_path`` +
+    ``_metadata.row_index`` (Spark's per-file row ordinal — by spec the
+    exact quantity a position delete's ``pos`` names), delete rows map
+    their as-written ``file_path`` back to local planned files through a
+    broadcast O(files) mapping, and the v2 visibility rule
+    ``delete.sequence_number >= data.sequence_number`` filters
+    inapplicable deletes.  Delete ROWS are never collected to the
+    driver and never force-broadcast — at 100 TB AQE picks the join
+    strategy from the delete side's actual size."""
+    from pyspark.sql import functions as F
+
+    files, deletes = plan_scan(table_path, snapshot_id, partition_filter)
     if not files:
         raise IcebergLiteError(
             f"no data files in snapshot (table {table_path}); "
             "empty-table reads need a schema source this reader "
             "intentionally does not guess"
         )
-    return spark.read.parquet(*[f.path for f in files])
+    reader = spark.read.parquet(*[f.path for f in files])
+    if not deletes:
+        return reader
+
+    def _norm(col):
+        # _metadata.file_path is a URI (file:///x); planned paths are
+        # plain local paths (/x) — normalize to the latter
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    base_cols = reader.columns
+    data = reader.select(
+        "*",
+        _norm(F.col("_metadata.file_path")).alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    # O(data files) mapping: as-written path -> (local path, data seq)
+    file_map = spark.createDataFrame(
+        [(f.orig_path, f.path, f.sequence_number) for f in files],
+        "orig string, local string, data_seq long",
+    )
+    # O(delete files) mapping: local delete file -> its sequence number
+    del_map = spark.createDataFrame(
+        [(d.path, d.sequence_number) for d in deletes],
+        "dfile string, delete_seq long",
+    )
+    del_rows = (
+        spark.read.parquet(*[d.path for d in deletes])
+        .select(
+            F.col("file_path").alias("orig"),
+            F.col("pos").cast("long").alias("__ice_pos"),
+            _norm(F.col("_metadata.file_path")).alias("dfile"),
+        )
+        .join(F.broadcast(del_map), "dfile")
+        .join(F.broadcast(file_map), "orig")
+        .where(F.col("delete_seq") >= F.col("data_seq"))
+        .select(F.col("local").alias("__ice_file"), "__ice_pos")
+    )
+    return data.join(
+        del_rows, ["__ice_file", "__ice_pos"], "left_anti"
+    ).select(base_cols)
