@@ -764,7 +764,8 @@ def write_delta(
 
 
 def merge_delta(
-    spark: SparkSession, source: DataFrame, path: str, keys
+    spark: SparkSession, source: DataFrame, path: str, keys,
+    max_retries: int = 3,
 ) -> dict:
     """Copy-on-write ``MERGE INTO <path> USING source ON keys WHEN
     MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
@@ -775,16 +776,25 @@ def merge_delta(
     path list).  Survivor rows from touched files are anti-joined out
     and re-written together with the full source (updates + inserts in
     one pass); untouched files carry over by reference in the commit.
-    Returns ``{"version", "files_rewritten", "files_kept"}``.
+    Returns ``{"version", "files_rewritten", "files_kept",
+    "files_scanned", "retries"}``.
+
+    Concurrency (Delta PROTOCOL.md optimistic rules): a MERGE that
+    loses the ``O_EXCL`` commit race must NOT blindly re-commit — its
+    removes and survivor rewrite were computed against a stale
+    snapshot, so landing them would resurrect rows a concurrent MERGE
+    updated (lost update) or double-remove files.  The loser discards
+    its staged files and RE-EXECUTES the whole merge against the fresh
+    snapshot (re-reading touched files and survivors), up to
+    ``max_retries`` times; re-execution is always semantically correct
+    for MERGE because the result is recomputed from current state, as
+    if the merges had been serialized.  ``ConcurrentWriteError`` after
+    the retry budget.
 
     Raises on duplicate source keys (Delta's MERGE cardinality rule:
     a target row may match at most one source row).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    snap = snapshot(path)
-    schema_cols = [f.name for f in snap.schema.fields]
-    if [f.name for f in source.schema.fields] != schema_cols:
-        source = source.select(*schema_cols)  # raises if a column is missing
     dup = (
         source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
     )
@@ -793,6 +803,27 @@ def merge_delta(
             f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
             "a target row may match at most one source row"
         )
+    attempt = 0
+    while True:
+        try:
+            return _merge_once(spark, source, path, keys, attempt)
+        except ConcurrentWriteError:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+
+
+def _merge_once(
+    spark: SparkSession, source: DataFrame, path: str, keys: list,
+    attempt: int,
+) -> dict:
+    """One optimistic MERGE attempt against the CURRENT snapshot; raises
+    ``ConcurrentWriteError`` (after discarding staged files) if another
+    writer claims the version first."""
+    snap = snapshot(path)
+    schema_cols = [f.name for f in snap.schema.fields]
+    if [f.name for f in source.schema.fields] != schema_cols:
+        source = source.select(*schema_cols)  # raises if a column is missing
     src_keys = source.select(*keys).distinct()
     # Partition pruning for the touched-file search: when the partition
     # columns are part of the merge key, a match can only live in a
@@ -902,7 +933,7 @@ def merge_delta(
     if not _try_commit(_log_dir(path), version, actions):
         _discard_staged(path, adds)
         raise ConcurrentWriteError(
-            f"version {version} was committed concurrently; re-run MERGE"
+            f"version {version} was committed concurrently"
         )
     _maybe_checkpoint(path, version)
     return {
@@ -910,6 +941,7 @@ def merge_delta(
         "files_rewritten": len(touched_rel),
         "files_kept": len(snap.files) - len(touched_rel),
         "files_scanned": len(search_snap.files),
+        "retries": attempt,
     }
 
 

@@ -196,7 +196,8 @@ def test_commit_conflict_append_retries_merge_raises(spark, table, monkeypatch):
     ) as fh:
         fh.write(json.dumps({"commitInfo": {"operation": "OTHER"}}) + "\n")
     with pytest.raises(dl.ConcurrentWriteError):
-        dl.merge_delta(spark, _people(spark, 0, 1), table, "id")
+        dl.merge_delta(spark, _people(spark, 0, 1), table, "id",
+                       max_retries=0)
 
 
 def test_vacuum_deletes_only_tombstoned_files(spark, table):
@@ -413,6 +414,54 @@ def test_concurrent_appends_all_land(spark, table):
         th.join()
     assert not errs
     assert dl.read_delta(spark, table).count() == 8
+    assert dl.snapshot(table).version == 2
+
+
+def test_concurrent_merges_both_land(spark, table):
+    """MERGE-vs-MERGE on OVERLAPPING files (Delta PROTOCOL.md conflict
+    rules): both merges touch the single data file, so the loser's
+    staged rewrite was computed against a stale snapshot.  It must
+    discard and RE-EXECUTE against the winner's snapshot — blind
+    re-commit would resurrect the winner's updates (lost update).
+    Final state must equal the two merges applied serially in either
+    order: here their key sets are disjoint, so the result is
+    order-independent and exact."""
+    import threading
+
+    dl.write_delta(_people(spark, 0, 10).coalesce(1), table)
+    barrier = threading.Barrier(2)
+    errs, results = [], {}
+
+    def m(lo, tag):
+        # updates keys [lo, lo+2) with score*10, inserts key 100+lo
+        src = spark.createDataFrame(
+            [Row(id=i, grp="a", score=float(i) * 10.0)
+             for i in list(range(lo, lo + 2)) + [100 + lo]]
+        ).select("id", "grp", "score")
+        barrier.wait()
+        try:
+            results[tag] = dl.merge_delta(spark, src, table, "id")
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=m, args=(0, "A")),
+               threading.Thread(target=m, args=(5, "B"))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    # both merges committed: versions 1 and 2, one of them retried
+    assert {results["A"]["version"], results["B"]["version"]} == {1, 2}
+    got = {
+        r.id: r.score for r in dl.read_delta(spark, table).collect()
+    }
+    expected = {i: i * 1.5 for i in range(10)}
+    expected.update({0: 0.0, 1: 10.0, 5: 50.0, 6: 60.0,
+                     100: 1000.0, 105: 1050.0})
+    assert got == expected
+    # the serialized-equivalent invariant held through a real race:
+    # 12 live rows, no duplicates, no resurrected pre-merge scores
     assert dl.snapshot(table).version == 2
 
 
