@@ -264,7 +264,235 @@ def gen_avro(path: str) -> None:
         handle.write(bytes(out))
 
 
+
+# ------------------------------------------------------- encrypted xlsx
+#
+# golden_encrypted.xlsx: an MS-OFFCRYPTO agile-encrypted container built
+# ENTIRELY here from the public spec (MS-OFFCRYPTO 2.3.4: password KDF
+# with spin count, chained-block key derivation, verifier pair, 4096-byte
+# package segments; MS-CFB v3 for the outer compound file) — fully
+# independent of sources/offcrypto.py, and deliberately using wire
+# features its encrypt_agile never emits:
+#   - password keyEncryptor hash SHA384 (encrypt_agile: SHA512)
+#   - keyData hash SHA256 *different from* the password hash (the spec
+#     allows them to differ; encrypt_agile always uses one)
+#   - AES-128 (keyBits=128; encrypt_agile: 256)
+#   - NO dataIntegrity element (optional per spec)
+#   - multi-segment package (payload > 8192 bytes)
+#   - EncryptionInfo lives in the CFB MINISTREAM (as real Office writes
+#     it), next to a stray extra stream readers must ignore
+# The payload is golden.xlsx with an extra stored zip member appended so
+# the package spans 4 segments.  All "random" values are fixed, so
+# regeneration is byte-identical.
+
+_ENC_PASSWORD = "golden-password"
+_SEG = 4096
+
+
+def _aes_cbc_enc(key: bytes, iv: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def _zpad(data: bytes, block: int = 16) -> bytes:
+    rem = len(data) % block
+    return data if rem == 0 else data + b"\x00" * (block - rem)
+
+
+def _cfb_v3(big: dict, mini: dict) -> bytes:
+    """Minimal MS-CFB v3 writer: ``mini`` streams go through the
+    ministream/miniFAT (all must be < 4096 bytes), ``big`` streams are
+    regular FAT chains.  Single FAT sector (enough for ~120 sectors)."""
+    import struct as st
+
+    FREE, END, FATS = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+
+    mini_data = bytearray()
+    mini_starts = {}
+    minifat = []
+    for name, data in mini.items():
+        start = len(mini_data) // 64
+        mini_starts[name] = start
+        n = (len(data) + 63) // 64
+        mini_data += _zpad(data, 64)
+        minifat += list(range(start + 1, start + n)) + [END]
+    minifat += [FREE] * (128 - len(minifat))
+    mini_bytes = _zpad(bytes(mini_data), 512)
+
+    # sector plan: 0=FAT, 1=directory, 2=miniFAT, then ministream, then big
+    n_dir_entries = 2 + len(mini) + len(big)  # root + padding below
+    dir_sectors = max(1, (n_dir_entries * 128 + 511) // 512)
+    first_dir = 1
+    first_minifat = first_dir + dir_sectors
+    first_ministream = first_minifat + 1
+    n_ministream = len(mini_bytes) // 512
+    cursor = first_ministream + n_ministream
+    big_starts = {}
+    big_chunks = []
+    for name, data in big.items():
+        big_starts[name] = cursor
+        n = (len(data) + 511) // 512
+        big_chunks.append(_zpad(data, 512))
+        cursor += n
+    total_sectors = cursor
+
+    fat = [FREE] * 128
+    fat[0] = FATS
+    for s in range(first_dir, first_dir + dir_sectors - 1):
+        fat[s] = s + 1
+    fat[first_dir + dir_sectors - 1] = END
+    fat[first_minifat] = END
+    for s in range(first_ministream, first_ministream + n_ministream - 1):
+        fat[s] = s + 1
+    if n_ministream:
+        fat[first_ministream + n_ministream - 1] = END
+    for name, data in big.items():
+        start = big_starts[name]
+        n = (len(data) + 511) // 512
+        for s in range(start, start + n - 1):
+            fat[s] = s + 1
+        fat[start + n - 1] = END
+    assert total_sectors <= 128, "single-FAT-sector writer"
+
+    def entry(name, obj_type, start, size, child=0xFFFFFFFF):
+        raw = name.encode("utf-16-le")
+        buf = bytearray(128)
+        buf[0:len(raw)] = raw
+        st.pack_into("<H", buf, 64, len(raw) + 2)
+        buf[66] = obj_type
+        buf[67] = 1  # black
+        st.pack_into("<III", buf, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        st.pack_into("<I", buf, 116, start)
+        st.pack_into("<Q", buf, 120, size)
+        return bytes(buf)
+
+    entries = [entry("Root Entry", 5, first_ministream, len(mini_data),
+                     child=1)]
+    for name, data in mini.items():
+        entries.append(entry(name, 2, mini_starts[name], len(data)))
+    for name, data in big.items():
+        entries.append(entry(name, 2, big_starts[name], len(data)))
+    directory = _zpad(b"".join(entries), 512)
+    directory += b"\x00" * (dir_sectors * 512 - len(directory))
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    st.pack_into("<H", header, 24, 0x3E)   # minor
+    st.pack_into("<H", header, 26, 3)      # major (v3)
+    st.pack_into("<H", header, 28, 0xFFFE)  # little-endian marker
+    st.pack_into("<H", header, 30, 9)      # 512-byte sectors
+    st.pack_into("<H", header, 32, 6)      # 64-byte mini sectors
+    st.pack_into("<I", header, 44, 1)      # one FAT sector
+    st.pack_into("<I", header, 48, first_dir)
+    st.pack_into("<I", header, 56, 4096)   # mini cutoff
+    st.pack_into("<I", header, 60, first_minifat)
+    st.pack_into("<I", header, 64, 1)      # one miniFAT sector
+    st.pack_into("<I", header, 68, FREE)   # no extended DIFAT
+    st.pack_into("<I", header, 72, 0)
+    difat = [0] + [FREE] * 108
+    st.pack_into("<109I", header, 76, *difat)
+
+    fat_bytes = st.pack("<128I", *fat)
+    minifat_bytes = st.pack("<128I", *minifat)
+    return (bytes(header) + fat_bytes + directory + minifat_bytes
+            + mini_bytes + b"".join(big_chunks))
+
+
+def gen_encrypted_xlsx(path: str, golden_xlsx_path: str) -> None:
+    import hashlib
+    import io
+    import struct as st
+    from base64 import b64encode
+
+    # payload: golden.xlsx + a stored padding member -> 4 segments
+    with open(golden_xlsx_path, "rb") as handle:
+        base = handle.read()
+    buf = io.BytesIO(base)
+    with zipfile.ZipFile(buf, "a") as zf:
+        info = zipfile.ZipInfo("xl/padding.bin", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info, b"\x90" * 12000)
+    payload = buf.getvalue()
+    assert len(payload) > 3 * _SEG
+
+    pe_hash, kd_hash = "sha384", "sha256"
+    key_bytes, block, spin = 16, 16, 3000
+    kd_salt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    pe_salt = bytes.fromhex("f0e1d2c3b4a5968778695a4b3c2d1e0f")
+    key_value = bytes.fromhex("0123456789abcdef0123456789abcdef")
+    verifier = bytes.fromhex("deadbeefcafebabe8badf00ddefec8ed")
+
+    def H(name, data):
+        return hashlib.new(name, data).digest()
+
+    # MS-OFFCRYPTO 2.3.4.7: H0 = H(salt || UTF-16LE(password));
+    # Hi = H(LE32(i) || Hi-1) for i in [0, spinCount)
+    acc = H(pe_hash, pe_salt + _ENC_PASSWORD.encode("utf-16-le"))
+    for i in range(spin):
+        acc = H(pe_hash, st.pack("<I", i) + acc)
+
+    def derived_key(block_key: bytes) -> bytes:
+        d = H(pe_hash, acc + block_key)
+        return (d + b"\x36" * key_bytes)[:key_bytes]
+
+    iv_pw = (pe_salt + b"\x36" * block)[:block]
+    BLK_VI = bytes([0xFE, 0xA7, 0xD2, 0x76, 0x3B, 0x4B, 0x9E, 0x79])
+    BLK_VV = bytes([0xD7, 0xAA, 0x0F, 0x6D, 0x30, 0x61, 0x34, 0x4E])
+    BLK_KV = bytes([0x14, 0x6E, 0x0B, 0xE7, 0xAB, 0xAC, 0xD0, 0xD6])
+
+    enc_vi = _aes_cbc_enc(derived_key(BLK_VI), iv_pw, _zpad(verifier))
+    enc_vv = _aes_cbc_enc(derived_key(BLK_VV), iv_pw,
+                          _zpad(H(pe_hash, verifier)))
+    enc_kv = _aes_cbc_enc(derived_key(BLK_KV), iv_pw, _zpad(key_value))
+
+    ciphertext = bytearray()
+    for seg_index, off in enumerate(range(0, len(payload), _SEG)):
+        seg_iv = (H(kd_hash, kd_salt + st.pack("<I", seg_index))
+                  + b"\x36" * block)[:block]
+        ciphertext += _aes_cbc_enc(
+            key_value, seg_iv, _zpad(payload[off:off + _SEG])
+        )
+    enc_package = st.pack("<Q", len(payload)) + bytes(ciphertext)
+
+    b64 = lambda b: b64encode(b).decode()  # noqa: E731
+    ns_e = "http://schemas.microsoft.com/office/2006/encryption"
+    ns_p = "http://schemas.microsoft.com/office/2006/keyEncryptor/password"
+    xml = (
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+        f"<encryption xmlns=\"{ns_e}\" xmlns:p=\"{ns_p}\" "
+        "xmlns:c=\"http://example.invalid/unused\">\n"
+        f"  <keyData saltValue=\"{b64(kd_salt)}\" hashAlgorithm=\"SHA256\" "
+        "cipherChaining=\"ChainingModeCBC\" cipherAlgorithm=\"AES\" "
+        f"hashSize=\"32\" keyBits=\"{key_bytes * 8}\" blockSize=\"{block}\" "
+        "saltSize=\"16\"/>\n"
+        "  <keyEncryptors><keyEncryptor "
+        f"uri=\"{ns_p}\">\n"
+        f"    <p:encryptedKey encryptedKeyValue=\"{b64(enc_kv)}\" "
+        f"encryptedVerifierHashValue=\"{b64(enc_vv)}\" "
+        f"encryptedVerifierHashInput=\"{b64(enc_vi)}\" "
+        f"saltValue=\"{b64(pe_salt)}\" hashAlgorithm=\"SHA384\" "
+        "cipherChaining=\"ChainingModeCBC\" cipherAlgorithm=\"AES\" "
+        f"hashSize=\"48\" keyBits=\"{key_bytes * 8}\" blockSize=\"{block}\" "
+        f"saltSize=\"16\" spinCount=\"{spin}\"/>\n"
+        "  </keyEncryptor></keyEncryptors>\n"
+        "</encryption>"
+    )
+    info = st.pack("<HHI", 4, 4, 0x40) + xml.encode("utf-8")
+    out = _cfb_v3(
+        big={"EncryptedPackage": enc_package},
+        mini={"EncryptionInfo": info,
+              "GoldenJunk": b"ignore me, I am not part of the spec"},
+    )
+    with open(path, "wb") as handle:
+        handle.write(out)
+
 if __name__ == "__main__":
     gen_xlsx(os.path.join(HERE, "golden.xlsx"))
     gen_avro(os.path.join(HERE, "golden.avro"))
-    print("wrote golden.xlsx and golden.avro")
+    gen_encrypted_xlsx(os.path.join(HERE, "golden_encrypted.xlsx"),
+                       os.path.join(HERE, "golden.xlsx"))
+    print("wrote golden.xlsx, golden.avro, golden_encrypted.xlsx")
