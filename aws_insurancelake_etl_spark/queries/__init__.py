@@ -85,6 +85,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_delta_merge_sink",
     "stream_delta_source_totals",
     "dq_match_rules",
+    "src_iceberg_position_deletes",
+    "sink_iceberg_merge_mor",
     "sql_array_functions",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -104,8 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
-    "q18_top_large_orders",
-    "q19_disjunctive_revenue",
 )
 
 

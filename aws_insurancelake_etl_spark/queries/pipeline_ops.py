@@ -1948,6 +1948,8 @@ def build_iceberg_table(
             _os.makedirs(_os.path.dirname(dest), exist_ok=True)
             shutil.move(part_file, dest)
             shutil.rmtree(stage, ignore_errors=True)
+            import pyarrow.parquet as _pq
+
             entries.append(
                 (
                     1,  # status ADDED
@@ -1957,7 +1959,9 @@ def build_iceberg_table(
                         f"{fake_loc}/{rel}",
                         "PARQUET",
                         (str(pv),),
-                        sub.count(),
+                        # footer read, not sub.count(): one fewer Spark
+                        # job per partition value in a fixture builder
+                        int(_pq.ParquetFile(dest).metadata.num_rows),
                         _os.path.getsize(dest),
                     ),
                 )
@@ -1986,17 +1990,29 @@ def build_iceberg_table(
             del_entries = []
             for i, (target_rel, positions) in enumerate(delete_targets):
                 del_rel = f"data/del-{snap_id}-{i}.parquet"
-                stage = tempfile.mkdtemp(prefix="icedelstage-")
-                spark.createDataFrame(
-                    [(f"{fake_loc}/{target_rel}", int(p))
-                     for p in positions],
-                    "file_path string, pos long",
-                ).coalesce(1).write.mode("overwrite").parquet(stage)
-                part_file = glob.glob(f"{stage}/part-*.parquet")[0]
                 dest = f"{table_path}/{del_rel}"
                 _os.makedirs(_os.path.dirname(dest), exist_ok=True)
-                shutil.move(part_file, dest)
-                shutil.rmtree(stage, ignore_errors=True)
+                # delete rows are a tiny driver-local list: write the
+                # spec (file_path, pos) parquet directly via pyarrow
+                # instead of spinning a Spark job per delete file
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            "file_path": _pa.array(
+                                [f"{fake_loc}/{target_rel}"]
+                                * len(positions),
+                                _pa.string(),
+                            ),
+                            "pos": _pa.array(
+                                [int(p) for p in positions], _pa.int64()
+                            ),
+                        }
+                    ),
+                    dest,
+                )
                 del_entries.append(
                     (
                         1,  # status ADDED
@@ -2178,6 +2194,9 @@ def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
         .coalesce(1)
+        # the builder re-derives this plan once per partition value plus
+        # once per count — materialize the single-threaded sort ONCE
+        .localCheckpoint()
     )
     counts = {
         r["o_orderstatus"]: r["n"]
@@ -2199,6 +2218,73 @@ def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, deletes = iceberg_lite.plan_scan(tbl)
     if len(deletes) != 2:
         raise RuntimeError(f"expected 2 position-delete files: {deletes}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_iceberg_merge_mor",
+    """
+    SELECT o_orderkey, o_orderstatus, pri, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 18 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U', o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 300 AS BIGINT)
+        FROM orders WHERE o_orderkey % 18 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N', o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 9 = 4
+    )
+    """,
+)
+def sink_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ WRITE path (round 7): the reference
+    upserts its entity primary with ``MERGE INTO`` on a format-
+    version-2 table (``etl_consume_entity_match.py:385-389,449-455``);
+    ``iceberg_lite.merge_iceberg`` implements the modern MOR shape from
+    the open spec — matched rows become POSITION-DELETE files (sorted
+    by (file_path, pos)) and the source appends as new data files, so
+    write amplification is O(|matches|), not O(|touched files|): the
+    property that makes upserts viable on 100 TB tables.  The gate
+    CREATEs the table from orders keys %9==0 (4 data files), MERGEs
+    tripled-price updates (%18==0) plus new keys (%9==4), asserts no
+    pre-merge data file was rewritten and that delete files exist, then
+    reads the new snapshot back through the manifest tree + anti-join.
+    The oracle computes the same upsert relationally."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-merge-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 9 == 0).repartition(4), tbl
+    )
+    before = {f.path for f in iceberg_lite.plan_files(tbl)}
+    updates = (
+        base.where(F.col("o_orderkey") % 18 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+    )
+    inserts = base.where(F.col("o_orderkey") % 9 == 4).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    iceberg_lite.merge_iceberg(
+        spark, updates.unionByName(inserts), tbl, "o_orderkey"
+    )
+    after, deletes = iceberg_lite.plan_scan(tbl)
+    if not before <= {f.path for f in after}:
+        raise RuntimeError("MOR violated: a pre-merge data file vanished")
+    if not deletes:
+        raise RuntimeError("MERGE with matches produced no delete files")
     return iceberg_lite.read_iceberg(spark, tbl)
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import uuid as _uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,10 +98,31 @@ def _read_manifest_rows(path: str) -> list[dict]:
     ]
 
 
+def _metadata_versions(meta_dir: str) -> list[int]:
+    return sorted(
+        int(n[1:].split(".", 1)[0])
+        for n in os.listdir(meta_dir)
+        if n.endswith(".metadata.json") and n.startswith("v")
+    )
+
+
 def _load_metadata(table_path: str) -> dict:
+    """Current table metadata = the HIGHEST ``vN.metadata.json``.  The
+    ``version-hint.text`` file is a non-atomic optimization (HadoopTables
+    convention) that can lag a just-committed version, so it is only a
+    fallback when the directory scan finds nothing — trusting a stale
+    hint would silently time-travel a reader backwards past a concurrent
+    writer's commit."""
     meta_dir = os.path.join(table_path, "metadata")
     if not os.path.isdir(meta_dir):
         raise IcebergLiteError(f"not an iceberg table (no metadata/): {table_path}")
+    versions = _metadata_versions(meta_dir)
+    if versions:
+        with open(
+            os.path.join(meta_dir, f"v{versions[-1]}.metadata.json"),
+            encoding="utf-8",
+        ) as fh:
+            return json.load(fh)
     hint = os.path.join(meta_dir, "version-hint.text")
     if os.path.exists(hint):
         with open(hint, encoding="utf-8") as fh:
@@ -109,17 +131,7 @@ def _load_metadata(table_path: str) -> dict:
         if os.path.exists(candidate):
             with open(candidate, encoding="utf-8") as fh:
                 return json.load(fh)
-    versions = sorted(
-        int(n[1:].split(".", 1)[0])
-        for n in os.listdir(meta_dir)
-        if n.endswith(".metadata.json") and n.startswith("v")
-    )
-    if not versions:
-        raise IcebergLiteError(f"no vN.metadata.json under {meta_dir}")
-    with open(
-        os.path.join(meta_dir, f"v{versions[-1]}.metadata.json"), encoding="utf-8"
-    ) as fh:
-        return json.load(fh)
+    raise IcebergLiteError(f"no vN.metadata.json under {meta_dir}")
 
 
 def _rebaser(meta: dict, table_path: str):
@@ -345,3 +357,511 @@ def read_iceberg(
     return data.join(
         del_rows, ["__ice_file", "__ice_pos"], "left_anti"
     ).select(base_cols)
+
+
+# ------------------------------------------------------------ write path
+#
+# A pure-Python Iceberg v2 WRITER to pair with the reader above, from
+# the same open spec: distributed parquet data files (identity
+# partition columns kept IN the files, Iceberg convention), one Avro
+# manifest per commit, per-snapshot manifest lists carrying v2 sequence
+# numbers, and a new ``vN.metadata.json`` per commit.  The commit point
+# is an O_EXCL create of the next metadata file (the HadoopTables
+# atomic-swap convention on a POSIX filesystem); a loser re-reads and
+# retries.  MERGE is MERGE-ON-READ: matched target rows become rows in
+# a position-delete file (spec §Position Delete Files — sorted by
+# (file_path, pos)) and the full source appends as new data files — no
+# survivor rewrite, which is exactly why MOR is the low-write-
+# amplification upsert for 100 TB tables; the reader above applies the
+# deletes as a distributed anti-join.  Reference parity: the entity
+# primary table is CREATE'd as format-version 2 and MERGE'd
+# (etl_consume_entity_match.py:385-389,449-455).
+
+
+class ConcurrentIcebergWrite(IcebergLiteError):
+    """Another writer claimed the next metadata version first."""
+
+
+_MANIFEST_LIST_FIELDS = [
+    ("manifest_path", "string"),
+    ("manifest_length", "long"),
+    ("partition_spec_id", "int"),
+    ("content", "int"),
+    ("sequence_number", "long"),
+    ("added_snapshot_id", "long"),
+]
+
+
+def _manifest_schema(part_cols: list[str]) -> list[tuple]:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {"name": c, "type": ["null", "string"]}
+                        for c in part_cols
+                    ],
+                },
+            },
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+        ],
+    }
+    return [
+        ("status", "int"),
+        ("snapshot_id", ["null", "long"]),
+        ("data_file", data_file),
+    ]
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
+def _stage_iceberg_data(df: DataFrame, table_path: str, part_cols: list):
+    """Distributed parquet write, then move part files under
+    ``data/<col>=<val>/``.  Partition columns are DUPLICATED into
+    throwaway ``__ice_p_*`` columns for Spark's partitionBy so the
+    originals stay inside the files (Iceberg stores identity partition
+    source columns in the data, unlike Hive/Delta).  Returns
+    [(rel_path, partition_values, record_count, file_size)]."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+    from urllib.parse import unquote
+
+    staging_root = tempfile.mkdtemp(prefix="_ice_stage_", dir=table_path)
+    try:
+        out = os.path.join(staging_root, "out")
+        writer = df
+        if part_cols:
+            for c in part_cols:
+                writer = writer.withColumn(f"__ice_p_{c}", writer[c])
+            writer = writer.write.mode("overwrite").partitionBy(
+                *[f"__ice_p_{c}" for c in part_cols]
+            )
+        else:
+            writer = writer.write.mode("overwrite")
+        writer.parquet(out)
+        staged = []
+        for src in sorted(
+            _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
+        ):
+            rel_dir = os.path.relpath(os.path.dirname(src), out)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pvals = {}
+            parts = []
+            for seg in segs:
+                col, _, raw = seg.partition("=")
+                col = col.removeprefix("__ice_p_")
+                value = (
+                    None
+                    if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else unquote(raw)
+                )
+                pvals[col] = value
+                parts.append(f"{col}={raw}")
+            rel = "/".join(
+                ["data", *parts, f"part-{uuid.uuid4().hex}.parquet"]
+            )
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            size = os.path.getsize(src)
+            shutil.move(src, dest)
+            staged.append((rel, pvals, _footer_rows(dest), size))
+        return staged
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(staging_root, ignore_errors=True)
+
+
+def _write_manifest(
+    table_path: str, rel: str, part_cols: list, entries: list
+) -> None:
+    schema = _manifest_schema(part_cols)
+    avro_lite.write_avro(
+        os.path.join(table_path, rel),
+        [n for n, _ in schema],
+        [t for _, t in schema],
+        entries,
+        record_name="manifest_entry",
+    )
+
+
+def _try_commit_metadata(table_path: str, version: int, meta: dict) -> bool:
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    target = os.path.join(meta_dir, f"v{version}.metadata.json")
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    # best-effort hint; readers trust the highest vN scan, not this
+    with open(
+        os.path.join(meta_dir, "version-hint.text"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write(str(version))
+    return True
+
+
+def _discard_staged_iceberg(table_path: str, rels: list) -> None:
+    for rel in rels:
+        try:
+            os.remove(os.path.join(table_path, rel))
+        except OSError:
+            pass
+
+
+def is_iceberg_table(table_path: str) -> bool:
+    meta_dir = os.path.join(table_path, "metadata")
+    return os.path.isdir(meta_dir) and bool(_metadata_versions(meta_dir))
+
+
+def write_iceberg(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_by=None,
+    max_retries: int = 3,
+) -> int:
+    """CREATE (first call) or APPEND (subsequent calls) a snapshot.
+    Returns the committed snapshot id.  Appends against a concurrent
+    commit re-read the log and retry — staged data files are content-
+    addressed and referenced only by the winning commit, so a retry
+    reuses them safely."""
+    os.makedirs(table_path, exist_ok=True)
+    partition_by = list(partition_by or [])
+    existing = is_iceberg_table(table_path)
+    if existing:
+        meta = _load_metadata(table_path)
+        table_parts = [
+            f["name"]
+            for spec in meta.get("partition-specs", [])
+            if spec.get("spec-id") == meta.get("default-spec-id", 0)
+            for f in spec.get("fields", [])
+        ]
+        if partition_by and partition_by != table_parts:
+            raise IcebergLiteError(
+                f"append partitioning {partition_by} != table {table_parts}"
+            )
+        partition_by = table_parts
+    staged = _stage_iceberg_data(df, table_path, partition_by)
+    attempt = 0
+    while True:
+        try:
+            return _commit_snapshot(
+                table_path, partition_by,
+                data_entries=staged, delete_entries=[],
+            )
+        except ConcurrentIcebergWrite:
+            if attempt >= max_retries:
+                _discard_staged_iceberg(table_path, [r for r, *_ in staged])
+                raise
+            attempt += 1
+
+
+def _commit_snapshot(
+    table_path: str,
+    part_cols: list,
+    data_entries: list,
+    delete_entries: list,
+    expect_version: int | None = None,
+) -> int:
+    """Write manifests + manifest list + next metadata json; the O_EXCL
+    metadata create is the commit point.  ``expect_version``: fail fast
+    (for MERGE re-execution) if the current version moved."""
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    versions = _metadata_versions(meta_dir)
+    current = versions[-1] if versions else 0
+    if expect_version is not None and current != expect_version:
+        raise ConcurrentIcebergWrite(
+            f"table moved to v{current} (planned against v{expect_version})"
+        )
+    meta = _load_metadata(table_path) if versions else None
+    location = (meta or {}).get("location") or table_path.rstrip("/")
+    snap_id = current + 1
+    seq = snap_id
+    prior_manifests = []
+    if meta is not None:
+        snaps = meta.get("snapshots") or []
+        cur = [
+            s for s in snaps
+            if s.get("snapshot-id") == meta.get("current-snapshot-id")
+        ]
+        if cur:
+            rebase = _rebaser(meta, table_path)
+            for mf in _read_manifest_rows(rebase(cur[0]["manifest-list"])):
+                prior_manifests.append(
+                    (
+                        mf["manifest_path"],
+                        int(mf["manifest_length"]),
+                        int(mf.get("partition_spec_id") or 0),
+                        int(mf.get("content") or 0),
+                        int(mf.get("sequence_number") or 0),
+                        int(mf.get("added_snapshot_id") or 0),
+                    )
+                )
+    new_manifests = list(prior_manifests)
+    for content, entries, tag in (
+        (0, data_entries, "data"),
+        (1, delete_entries, "delete"),
+    ):
+        if not entries:
+            continue
+        # uuid in the name: two racing writers both target v{snap_id};
+        # snap_id-only names would let the O_EXCL LOSER overwrite the
+        # winner's already-referenced manifest after the winner committed
+        man_rel = (
+            f"metadata/manifest-{tag}-{snap_id}-{_uuid.uuid4().hex}.avro"
+        )
+        rows = [
+            (
+                1,  # status ADDED
+                snap_id,
+                (
+                    content,
+                    f"{location}/{rel}",
+                    "PARQUET",
+                    tuple(pvals.get(c) for c in part_cols),
+                    int(count),
+                    int(size),
+                ),
+            )
+            for rel, pvals, count, size in entries
+        ]
+        _write_manifest(table_path, man_rel, part_cols, rows)
+        new_manifests.append(
+            (
+                f"{location}/{man_rel}",
+                os.path.getsize(os.path.join(table_path, man_rel)),
+                0,
+                content,
+                seq,
+                snap_id,
+            )
+        )
+    ml_rel = f"metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    avro_lite.write_avro(
+        os.path.join(table_path, ml_rel),
+        [n for n, _ in _MANIFEST_LIST_FIELDS],
+        [t for _, t in _MANIFEST_LIST_FIELDS],
+        new_manifests,
+        record_name="manifest_file",
+    )
+    import time as _time
+
+    snapshots = list((meta or {}).get("snapshots") or [])
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": int(_time.time() * 1000),
+            "manifest-list": f"{location}/{ml_rel}",
+            "summary": {
+                "operation": "append" if not delete_entries else "overwrite"
+            },
+        }
+    )
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": (meta or {}).get("table-uuid")
+        or "00000000-0000-0000-0000-00000000c0de",
+        "location": location,
+        "last-sequence-number": seq,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": i + 1,
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(part_cols)
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+    }
+    if not _try_commit_metadata(table_path, snap_id, new_meta):
+        # this attempt's manifests/manifest-list become unreferenced
+        # orphans (uuid names — they can never collide with the winner)
+        raise ConcurrentIcebergWrite(
+            f"metadata v{snap_id} was committed concurrently"
+        )
+    return snap_id
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    keys,
+    max_retries: int = 3,
+) -> dict:
+    """MERGE-ON-READ upsert: ``MERGE INTO table USING source ON keys
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``,
+    committed as (a) one or more POSITION-DELETE files naming every
+    matched target row by (file_path, pos) — sorted, per spec — plus
+    (b) the full source appended as new data files.  No target data
+    file is rewritten: write amplification is O(|matches|), the reason
+    MOR is the production upsert shape for wide tables.  The reader's
+    sequence-number rule makes the deletes apply exactly to older
+    files.  Returns {"snapshot_id", "deleted_rows", "delete_files",
+    "appended_files", "retries"}.
+
+    Conflict handling mirrors ``delta_lite.merge_delta``: losing the
+    metadata O_EXCL race discards this attempt's delete files and
+    re-executes the match against the fresh snapshot (re-execution is
+    serialization-equivalent); ``max_retries`` bounds it."""
+    from pyspark.sql import functions as F
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    dup = (
+        source.groupBy(*keys).count().where(F.col("count") > 1)
+        .limit(1).collect()
+    )
+    if dup:
+        raise IcebergLiteError(
+            f"MERGE source has duplicate key "
+            f"{tuple(dup[0][k] for k in keys)}"
+        )
+    attempt = 0
+    while True:
+        try:
+            return _merge_once_iceberg(
+                spark, source, table_path, keys, attempt
+            )
+        except ConcurrentIcebergWrite:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+
+
+def _merge_once_iceberg(
+    spark: SparkSession, source: DataFrame, table_path: str, keys: list,
+    attempt: int,
+) -> dict:
+    import shutil
+    import tempfile
+    import uuid
+    from pyspark.sql import functions as F
+
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    meta = _load_metadata(table_path)
+    part_cols = [
+        f["name"]
+        for spec in meta.get("partition-specs", [])
+        if spec.get("spec-id") == meta.get("default-spec-id", 0)
+        for f in spec.get("fields", [])
+    ]
+    files, _deletes = plan_scan(table_path)
+    if not files:
+        # empty table: MERGE degenerates to a pure append of the source
+        data_entries = _stage_iceberg_data(source, table_path, part_cols)
+        try:
+            snap_id = _commit_snapshot(
+                table_path, part_cols,
+                data_entries=data_entries, delete_entries=[],
+                expect_version=planned_version,
+            )
+        except ConcurrentIcebergWrite:
+            _discard_staged_iceberg(
+                table_path, [r for r, *_ in data_entries]
+            )
+            raise
+        return {
+            "snapshot_id": snap_id, "deleted_rows": 0, "delete_files": 0,
+            "appended_files": len(data_entries), "retries": attempt,
+        }
+    src_keys = source.select(*keys).distinct()
+
+    def _norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    reader = spark.read.parquet(*[f.path for f in files])
+    schema_cols = reader.columns
+    source = source.select(*schema_cols)
+    target = reader.select(
+        *keys,
+        _norm(F.col("_metadata.file_path")).alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    file_map = spark.createDataFrame(
+        [(f.path, f.orig_path) for f in files],
+        "__ice_file string, orig string",
+    )
+    matched = (
+        target.join(F.broadcast(src_keys), keys, "left_semi")
+        .join(F.broadcast(file_map), "__ice_file")
+        .select(
+            F.col("orig").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
+        )
+    )
+    # spec: position delete files sorted by file_path then pos
+    stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
+    delete_entries = []
+    deleted_rows = 0
+    try:
+        out = os.path.join(stage, "out")
+        (
+            matched.repartitionByRange("file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite").parquet(out)
+        )
+        import glob as _glob
+
+        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            count = _footer_rows(src_file)
+            if count == 0:
+                continue  # Spark writes empty part files for empty splits
+            rel = f"data/delete-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            size = os.path.getsize(src_file)
+            shutil.move(src_file, dest)
+            delete_entries.append((rel, {}, count, size))
+            deleted_rows += count
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    data_entries = _stage_iceberg_data(source, table_path, part_cols)
+    try:
+        snap_id = _commit_snapshot(
+            table_path, part_cols,
+            data_entries=data_entries,
+            delete_entries=delete_entries,
+            expect_version=planned_version,
+        )
+    except ConcurrentIcebergWrite:
+        _discard_staged_iceberg(
+            table_path,
+            [r for r, *_ in delete_entries] + [r for r, *_ in data_entries],
+        )
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "deleted_rows": deleted_rows,
+        "delete_files": len(delete_entries),
+        "appended_files": len(data_entries),
+        "retries": attempt,
+    }

@@ -90,7 +90,12 @@ ABS_SLACK_SEC = 0.5
 # New-in-round queries, reported (queries_extended) but NOT yet gated: no
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
-EXTENDED: list[str] = []
+EXTENDED: list[str] = [
+    # round-7 additions: Iceberg v2 MOR read (position deletes) and the
+    # full write path (CREATE/APPEND + MERGE landing delete files)
+    "src_iceberg_position_deletes",
+    "sink_iceberg_merge_mor",
+]
 
 
 def materialize(df) -> None:

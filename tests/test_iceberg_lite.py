@@ -163,3 +163,227 @@ def test_snapshot_as_of_timestamp(table):
     assert iceberg_lite.snapshot_as_of_timestamp(table, base + 1) == 1
     assert iceberg_lite.snapshot_as_of_timestamp(table, base + 99) == 2
     assert iceberg_lite.snapshot_as_of_timestamp(table, base - 1) is None
+
+
+# ------------------------------------------------------------- write path
+#
+# write_iceberg / merge_iceberg (round 7): pure-Python Iceberg v2
+# writer — distributed parquet data files, Avro manifests + manifest
+# lists, O_EXCL metadata commits, and MERGE-ON-READ upserts that land
+# position-delete files instead of rewriting survivors.  Reference
+# parity: the entity primary table is CREATE'd format-version 2 and
+# MERGE'd (etl_consume_entity_match.py:385-389,449-455).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_write_roundtrip_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "w1")
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i) * 1.5) for i in range(20)]
+    ).select("id", "v")
+    snap = iceberg_lite.write_iceberg(spark, df, path)
+    assert snap == 1
+    got = iceberg_lite.read_iceberg(spark, path)
+    assert _rows(got) == _rows(df)
+
+
+def test_append_creates_second_snapshot_time_travel(spark, tmp_path):
+    path = str(tmp_path / "w2")
+    a = spark.createDataFrame([Row(id=i, v="a") for i in range(5)])
+    b = spark.createDataFrame([Row(id=i, v="b") for i in range(5, 8)])
+    iceberg_lite.write_iceberg(spark, a.select("id", "v"), path)
+    iceberg_lite.write_iceberg(spark, b.select("id", "v"), path)
+    assert iceberg_lite.snapshot_ids(path) == [1, 2]
+    assert iceberg_lite.read_iceberg(spark, path).count() == 8
+    old = iceberg_lite.read_iceberg(spark, path, snapshot_id=1)
+    assert _rows(old) == _rows(a.select("id", "v"))
+
+
+def test_write_partitioned_manifest_prunes(spark, tmp_path):
+    """Identity partition values land in the manifest (pruned before
+    any footer) AND stay inside the data files (Iceberg convention,
+    unlike Hive/Delta)."""
+    path = str(tmp_path / "w3")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="x" if i % 2 else "y", v=float(i)) for i in range(10)]
+    ).select("id", "grp", "v")
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["grp"])
+    all_files = iceberg_lite.plan_files(path)
+    pruned = iceberg_lite.plan_files(path, partition_filter={"grp": "x"})
+    assert 0 < len(pruned) < len(all_files)
+    got = iceberg_lite.read_iceberg(spark, path, partition_filter={"grp": "x"})
+    assert sorted(r.id for r in got.collect()) == [1, 3, 5, 7, 9]
+    # partition column readable straight from the parquet file itself
+    raw = spark.read.parquet(pruned[0].path)
+    assert set(raw.columns) == {"id", "grp", "v"}
+
+
+def test_append_partitioning_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "w4")
+    df = spark.createDataFrame([Row(id=1, grp="x")]).select("id", "grp")
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["grp"])
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="partitioning"):
+        iceberg_lite.write_iceberg(spark, df, path, partition_by=["id"])
+
+
+def test_merge_mor_writes_position_deletes_not_rewrites(spark, tmp_path):
+    path = str(tmp_path / "m1")
+    base = spark.createDataFrame(
+        [Row(k=i, s="base", cents=i * 100) for i in range(12)]
+    ).select("k", "s", "cents")
+    iceberg_lite.write_iceberg(spark, base.repartition(3), path)
+    files_before = {f.path for f in iceberg_lite.plan_files(path)}
+    src = spark.createDataFrame(
+        [Row(k=i, s="upd", cents=i * 200) for i in range(0, 12, 2)]
+        + [Row(k=i, s="new", cents=i * 100) for i in range(20, 23)]
+    ).select("k", "s", "cents")
+    out = iceberg_lite.merge_iceberg(spark, src, path, "k")
+    assert out["deleted_rows"] == 6 and out["delete_files"] >= 1
+    files_after = {f.path for f in iceberg_lite.plan_files(path)}
+    # MOR: every pre-merge data file is still live (no rewrite)
+    assert files_before <= files_after
+    _, deletes = iceberg_lite.plan_scan(path)
+    assert deletes, "expected position-delete files in the new snapshot"
+    got = iceberg_lite.read_iceberg(spark, path)
+    expect = {
+        **{i: ("base", i * 100) for i in range(12) if i % 2},
+        **{i: ("upd", i * 200) for i in range(0, 12, 2)},
+        **{i: ("new", i * 100) for i in range(20, 23)},
+    }
+    assert {r.k: (r.s, r.cents) for r in got.collect()} == expect
+    # pre-merge snapshot still reads the original rows (time travel)
+    old = iceberg_lite.read_iceberg(spark, path, snapshot_id=1)
+    assert _rows(old) == _rows(base)
+
+
+def test_merge_delete_file_rows_sorted_per_spec(spark, tmp_path):
+    """Spec: position delete rows sorted by (file_path, pos)."""
+    import glob
+
+    path = str(tmp_path / "m2")
+    base = spark.createDataFrame(
+        [Row(k=i, v=i) for i in range(40)]
+    ).select("k", "v")
+    iceberg_lite.write_iceberg(spark, base.repartition(4), path)
+    src = spark.createDataFrame(
+        [Row(k=i, v=-i) for i in range(0, 40, 3)]
+    ).select("k", "v")
+    iceberg_lite.merge_iceberg(spark, src, path, "k")
+    del_files = glob.glob(os.path.join(path, "data", "delete-*.parquet"))
+    assert del_files
+    import pyarrow.parquet as pq
+
+    for f in del_files:
+        tbl = pq.read_table(f)
+        rows = list(zip(
+            tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
+        ))
+        assert rows == sorted(rows)
+        assert set(tbl.schema.names) == {"file_path", "pos"}
+
+
+def test_merge_duplicate_source_key_raises(spark, tmp_path):
+    path = str(tmp_path / "m3")
+    df = spark.createDataFrame([Row(k=1, v=1)]).select("k", "v")
+    iceberg_lite.write_iceberg(spark, df, path)
+    dup = spark.createDataFrame(
+        [Row(k=2, v=1), Row(k=2, v=2)]
+    ).select("k", "v")
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="duplicate key"):
+        iceberg_lite.merge_iceberg(spark, dup, path, "k")
+
+
+def test_consecutive_merges_compose(spark, tmp_path):
+    """Second MERGE must see (and be able to re-delete) rows the first
+    MERGE appended; stale positions deleted twice stay deleted."""
+    path = str(tmp_path / "m4")
+    base = spark.createDataFrame(
+        [Row(k=i, v="v0") for i in range(6)]
+    ).select("k", "v")
+    iceberg_lite.write_iceberg(spark, base, path)
+    up1 = spark.createDataFrame(
+        [Row(k=2, v="v1"), Row(k=9, v="v1")]
+    ).select("k", "v")
+    up2 = spark.createDataFrame(
+        [Row(k=2, v="v2"), Row(k=4, v="v2")]
+    ).select("k", "v")
+    iceberg_lite.merge_iceberg(spark, up1, path, "k")
+    iceberg_lite.merge_iceberg(spark, up2, path, "k")
+    got = {r.k: r.v for r in iceberg_lite.read_iceberg(spark, path).collect()}
+    assert got == {0: "v0", 1: "v0", 2: "v2", 3: "v0", 4: "v2",
+                   5: "v0", 9: "v1"}
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two writers race the O_EXCL metadata commit; the loser retries
+    against the fresh log and BOTH rows sets must be present, with the
+    winner's manifests untouched (uuid-named side files)."""
+    import threading
+
+    path = str(tmp_path / "race")
+    seed = spark.createDataFrame([Row(id=-1, tag="seed")]).select("id", "tag")
+    iceberg_lite.write_iceberg(spark, seed, path)
+    errs = []
+
+    def _writer(tag):
+        try:
+            df = spark.createDataFrame(
+                [Row(id=i, tag=tag) for i in range(3)]
+            ).select("id", "tag")
+            iceberg_lite.write_iceberg(spark, df, path, max_retries=10)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=_writer, args=(t,))
+               for t in ("a", "b")]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    got = iceberg_lite.read_iceberg(spark, path)
+    assert got.count() == 7
+    assert {r.tag for r in got.select("tag").distinct().collect()} == {
+        "seed", "a", "b"}
+    assert iceberg_lite.snapshot_ids(path) == [1, 2, 3]
+
+
+def test_concurrent_merges_retry_and_compose(spark, tmp_path):
+    """MERGE-vs-MERGE on the same table: the loser must re-plan against
+    the winner's snapshot (Iceberg optimistic concurrency), so both
+    upserts land regardless of commit order."""
+    import threading
+
+    path = str(tmp_path / "mrace")
+    base = spark.createDataFrame(
+        [Row(k=i, v="v0") for i in range(8)]
+    ).select("k", "v")
+    iceberg_lite.write_iceberg(spark, base.repartition(2), path)
+    errs = []
+
+    def _merger(keys, val):
+        try:
+            src = spark.createDataFrame(
+                [Row(k=k, v=val) for k in keys]
+            ).select("k", "v")
+            iceberg_lite.merge_iceberg(spark, src, path, "k", max_retries=10)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=_merger, args=([0, 2, 10], "left")),
+        threading.Thread(target=_merger, args=([5, 7, 11], "right")),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    got = {r.k: r.v for r in iceberg_lite.read_iceberg(spark, path).collect()}
+    assert got == {0: "left", 1: "v0", 2: "left", 3: "v0", 4: "v0",
+                   5: "right", 6: "v0", 7: "right", 10: "left", 11: "right"}
