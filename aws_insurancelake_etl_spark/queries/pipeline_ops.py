@@ -1893,6 +1893,10 @@ def _iceberg_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
             },
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+            },
         ],
     }
     return [
@@ -1905,6 +1909,7 @@ def _iceberg_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
 def build_iceberg_table(
     spark, table_path: str, snapshots_rows, partition_col: str,
     position_deletes: dict | None = None,
+    equality_deletes: dict | None = None,
 ):
     """Construct a spec-conformant Iceberg v2 table directory from
     scratch (iceberg.apache.org/spec): identity-partitioned parquet data
@@ -1919,8 +1924,17 @@ def build_iceberg_table(
     writes a position-delete parquet file (``file_path``/``pos`` columns
     per spec §Position Delete Files, referencing the FAKE original data
     paths) and a DELETE manifest (``content=1``, entries with
-    ``data_file.content=1``) — a doctored merge-on-read table.  Used by
-    the ``src_iceberg_snapshot_read`` / ``src_iceberg_position_deletes``
+    ``data_file.content=1``) — a doctored merge-on-read table.
+
+    ``equality_deletes`` maps a 1-based snapshot id to a list of
+    ``(eq_col_names, rows)``: that snapshot writes an EQUALITY-delete
+    parquet file holding just the equated columns (spec §Equality Delete
+    Files) and a delete-manifest entry with ``data_file.content=2`` and
+    ``equality_ids`` naming those columns by field id (position in the
+    first snapshot's schema, 1-based) — the Flink-CDC upsert shape.
+
+    Used by the ``src_iceberg_snapshot_read`` /
+    ``src_iceberg_position_deletes`` / ``src_iceberg_equality_deletes``
     gates and ``tests/test_iceberg_lite.py``; the reader under test is
     ``sources/iceberg_lite.py``."""
     import glob
@@ -1932,6 +1946,16 @@ def build_iceberg_table(
     meta_dir = f"{table_path}/metadata"
     _os.makedirs(meta_dir, exist_ok=True)
     part_fields = [(partition_col, ["null", "string"])]
+    # Iceberg schema with FIELD IDS (1-based column position) — the
+    # reader resolves equality_ids through this
+    _spark_to_ice = {"bigint": "long", "int": "int", "double": "double",
+                     "string": "string", "boolean": "boolean"}
+    table_cols = list(snapshots_rows[0].columns)
+    ice_fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _spark_to_ice.get(f.dataType.simpleString(), "string")}
+        for i, f in enumerate(snapshots_rows[0].schema.fields)
+    ]
     manifests = []  # accumulated across snapshots
     snapshots_meta = []
     for snap_id, df in enumerate(snapshots_rows, start=1):
@@ -1963,6 +1987,7 @@ def build_iceberg_table(
                         # job per partition value in a fixture builder
                         int(_pq.ParquetFile(dest).metadata.num_rows),
                         _os.path.getsize(dest),
+                        None,  # equality_ids: data files have none
                     ),
                 )
             )
@@ -2024,6 +2049,7 @@ def build_iceberg_table(
                             (None,),
                             len(positions),
                             _os.path.getsize(dest),
+                            None,
                         ),
                     )
                 )
@@ -2043,6 +2069,59 @@ def build_iceberg_table(
                     0,
                     1,  # content=1: delete manifest
                     snap_id,  # sequence_number (v2)
+                    snap_id,
+                )
+            )
+        eq_targets = (equality_deletes or {}).get(snap_id, [])
+        if eq_targets:
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            eq_entries = []
+            for i, (eq_cols, rows) in enumerate(eq_targets):
+                eqdel_rel = f"data/eqdel-{snap_id}-{i}.parquet"
+                dest = f"{table_path}/{eqdel_rel}"
+                _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            c: _pa.array([r[j] for r in rows])
+                            for j, c in enumerate(eq_cols)
+                        }
+                    ),
+                    dest,
+                )
+                eq_entries.append(
+                    (
+                        1,  # status ADDED
+                        snap_id,
+                        (
+                            2,  # content=2: EQUALITY DELETES
+                            f"{fake_loc}/{eqdel_rel}",
+                            "PARQUET",
+                            (None,),
+                            len(rows),
+                            _os.path.getsize(dest),
+                            [table_cols.index(c) + 1 for c in eq_cols],
+                        ),
+                    )
+                )
+            eman_rel = f"metadata/eq-delete-manifest-{snap_id}.avro"
+            eschema = _iceberg_manifest_schema(part_fields)
+            avro_lite.write_avro(
+                f"{table_path}/{eman_rel}",
+                [n for n, _ in eschema],
+                [t for _, t in eschema],
+                eq_entries,
+                record_name="manifest_entry",
+            )
+            manifests.append(
+                (
+                    f"{fake_loc}/{eman_rel}",
+                    _os.path.getsize(f"{table_path}/{eman_rel}"),
+                    0,
+                    1,  # content=1: delete manifest
+                    snap_id,
                     snap_id,
                 )
             )
@@ -2069,6 +2148,10 @@ def build_iceberg_table(
             "location": fake_loc,
             "last-sequence-number": snap_id,
             "current-snapshot-id": snap_id,
+            "current-schema-id": 0,
+            "schemas": [
+                {"schema-id": 0, "type": "struct", "fields": ice_fields}
+            ],
             "snapshots": list(snapshots_meta),
             "partition-specs": [
                 {
@@ -2218,6 +2301,70 @@ def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, deletes = iceberg_lite.plan_scan(tbl)
     if len(deletes) != 2:
         raise RuntimeError(f"expected 2 position-delete files: {deletes}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "src_iceberg_equality_deletes",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents FROM base
+    WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'F'
+      AND o_orderkey % 21 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents FROM base
+    WHERE o_orderkey % 7 = 3
+    """,
+)
+def src_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes (round 7): the Flink-CDC upsert
+    shape — a delete file holds VALUES (columns named by field id in
+    the manifest's ``equality_ids``), removing every matching row in
+    data files with strictly smaller data sequence numbers.  The gate
+    builds a two-snapshot table where (a) a snapshot-1 delete on
+    status 'O' must be IGNORED (seq 1 is not > 1 — the strict rule),
+    (b) a snapshot-2 delete on status 'F' kills snapshot-1 'F' rows but
+    NOT snapshot-2's own 'F' rows (the CDC delete-then-reinsert
+    guarantee), and (c) a second snapshot-2 delete lists ~n/21 order
+    keys, exercising multi-row value matching across partitions.
+    ``iceberg_lite`` resolves field ids through the metadata schema and
+    applies each equality_ids group as one distributed null-safe
+    anti-join; the oracle restates the surviving set relationally."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    snap1 = base.where(F.col("o_orderkey") % 7 == 0)
+    snap2 = base.where(F.col("o_orderkey") % 7 == 3)
+    key_rows = [
+        (int(r[0]),)
+        for r in snap1.where(F.col("o_orderkey") % 21 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-eq-") + "/t"
+    build_iceberg_table(
+        spark, tbl, [snap1, snap2], "o_orderstatus",
+        equality_deletes={
+            1: [(["o_orderstatus"], [("O",)])],  # same-seq: no-op
+            2: [(["o_orderstatus"], [("F",)]),
+                (["o_orderkey"], key_rows)],
+        },
+    )
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    eq = [d for d in deletes if d.content == 2]
+    if len(eq) != 3 or {d.equality_ids for d in eq} != {(1,), (2,)}:
+        raise RuntimeError(f"unexpected equality-delete plan: {eq}")
     return iceberg_lite.read_iceberg(spark, tbl)
 
 

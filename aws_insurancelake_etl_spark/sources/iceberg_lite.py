@@ -25,10 +25,13 @@ parquet files (``file_path``/``pos`` columns per spec §Position Delete
 Files), and the read applies them distributively — the data scan
 exposes Spark's ``_metadata.row_index`` (the same per-file row ordinal
 Iceberg's ``pos`` refers to) and anti-joins the delete rows, honoring
-the v2 sequence-number rule (a delete applies only to data files whose
-data sequence number is <= the delete file's).  Honest limit raised as
-an error: EQUALITY deletes (``data_file.content=2``) and non-parquet
-data files.
+the v2 sequence-number rule (a position delete applies to data files
+whose data sequence number is <= the delete file's).  EQUALITY deletes
+(``data_file.content=2``, the Flink-CDC upsert shape) are applied too:
+field ids resolve to column names through the metadata schema and each
+distinct ``equality_ids`` set becomes one null-safe anti-join under the
+STRICT sequence rule (delete seq > data seq).  Honest limit raised as
+an error: non-parquet data files.
 
 Scale note: the manifest tree is parsed driver-side (pyarrow-free,
 stdlib Avro) — one row per data file, the same O(files) metadata cost
@@ -170,6 +173,34 @@ class DeleteFileEntry:
     orig_path: str
     record_count: int
     sequence_number: int
+    #: 1 = position deletes, 2 = equality deletes (spec data_file.content)
+    content: int = 1
+    #: for equality deletes: the schema field ids the file equates on
+    equality_ids: tuple = ()
+
+
+def _field_names_by_id(meta: dict) -> dict:
+    """Top-level ``field id -> column name`` from the table metadata's
+    current schema (v2 ``schemas``/``current-schema-id``, v1 ``schema``).
+    Equality-delete application needs this: the manifest names the
+    equated columns by FIELD ID (spec §Equality Delete Files), never by
+    name, so renames stay safe."""
+    schemas = meta.get("schemas")
+    schema = None
+    if schemas:
+        cur = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == cur:
+                schema = s
+        if schema is None:
+            schema = schemas[-1]
+    else:
+        schema = meta.get("schema")
+    if not schema or not schema.get("fields"):
+        raise IcebergLiteError(
+            "equality deletes need a schema (field ids) in table metadata"
+        )
+    return {int(f["id"]): f["name"] for f in schema["fields"]}
 
 
 def plan_files(
@@ -231,18 +262,21 @@ def plan_scan(
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergLiteError(f"file_format {fmt} unsupported")
-            if content == 2:
-                raise IcebergLiteError(
-                    "table has EQUALITY delete files (data_file.content=2);"
-                    " iceberg_lite applies position deletes only"
-                )
-            if content == 1:
+            if content in (1, 2):
+                eq_ids = df.get("equality_ids") or ()
+                if content == 2 and not eq_ids:
+                    raise IcebergLiteError(
+                        "equality delete file without equality_ids in its"
+                        f" manifest entry: {df.get('file_path')}"
+                    )
                 deletes.append(
                     DeleteFileEntry(
                         path=rebase(df["file_path"]),
                         orig_path=df["file_path"],
                         record_count=int(df.get("record_count") or 0),
                         sequence_number=seq,
+                        content=content,
+                        equality_ids=tuple(int(i) for i in eq_ids),
                     )
                 )
                 continue
@@ -337,26 +371,76 @@ def read_iceberg(
         [(f.orig_path, f.path, f.sequence_number) for f in files],
         "orig string, local string, data_seq long",
     )
-    # O(delete files) mapping: local delete file -> its sequence number
-    del_map = spark.createDataFrame(
-        [(d.path, d.sequence_number) for d in deletes],
-        "dfile string, delete_seq long",
-    )
-    del_rows = (
-        spark.read.parquet(*[d.path for d in deletes])
-        .select(
-            F.col("file_path").alias("orig"),
-            F.col("pos").cast("long").alias("__ice_pos"),
-            _norm(F.col("_metadata.file_path")).alias("dfile"),
+    pos_deletes = [d for d in deletes if d.content == 1]
+    eq_deletes = [d for d in deletes if d.content == 2]
+    if pos_deletes:
+        # O(delete files) mapping: local delete file -> its sequence number
+        del_map = spark.createDataFrame(
+            [(d.path, d.sequence_number) for d in pos_deletes],
+            "dfile string, delete_seq long",
         )
-        .join(F.broadcast(del_map), "dfile")
-        .join(F.broadcast(file_map), "orig")
-        .where(F.col("delete_seq") >= F.col("data_seq"))
-        .select(F.col("local").alias("__ice_file"), "__ice_pos")
-    )
-    return data.join(
-        del_rows, ["__ice_file", "__ice_pos"], "left_anti"
-    ).select(base_cols)
+        del_rows = (
+            spark.read.parquet(*[d.path for d in pos_deletes])
+            .select(
+                F.col("file_path").alias("orig"),
+                F.col("pos").cast("long").alias("__ice_pos"),
+                _norm(F.col("_metadata.file_path")).alias("dfile"),
+            )
+            .join(F.broadcast(del_map), "dfile")
+            .join(F.broadcast(file_map), "orig")
+            .where(F.col("delete_seq") >= F.col("data_seq"))
+            .select(F.col("local").alias("__ice_file"), "__ice_pos")
+        )
+        data = data.join(del_rows, ["__ice_file", "__ice_pos"], "left_anti")
+    if eq_deletes:
+        # Equality deletes (spec §Equality Delete Files): a delete row
+        # removes every data row that matches it on the equated columns
+        # (null == null counts as a match) in data files with a STRICTLY
+        # smaller data sequence number — the Flink-CDC upsert shape.
+        # Applied as one distributed null-safe anti-join per distinct
+        # equality_ids set; only O(files) seq mappings broadcast.
+        names_by_id = _field_names_by_id(_load_metadata(table_path))
+        data = data.join(
+            F.broadcast(
+                file_map.select(
+                    F.col("local").alias("__ice_file"), "data_seq"
+                )
+            ),
+            "__ice_file",
+        )
+        groups: dict = {}
+        for d in eq_deletes:
+            groups.setdefault(d.equality_ids, []).append(d)
+        for eq_ids, group in sorted(groups.items()):
+            try:
+                cols = [names_by_id[i] for i in eq_ids]
+            except KeyError as exc:
+                raise IcebergLiteError(
+                    f"equality_ids {eq_ids} not in table schema"
+                ) from exc
+            missing = [c for c in cols if c not in base_cols]
+            if missing:
+                raise IcebergLiteError(
+                    f"equality-delete columns absent from data: {missing}"
+                )
+            eq_map = spark.createDataFrame(
+                [(d.path, d.sequence_number) for d in group],
+                "dfile string, delete_seq long",
+            )
+            del_rows = (
+                spark.read.parquet(*[d.path for d in group])
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    _norm(F.col("_metadata.file_path")).alias("dfile"),
+                )
+                .join(F.broadcast(eq_map), "dfile")
+                .drop("dfile")
+            )
+            cond = F.col("delete_seq") > F.col("data_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            data = data.join(del_rows, cond, "left_anti")
+    return data.select(base_cols)
 
 
 # ------------------------------------------------------------ write path

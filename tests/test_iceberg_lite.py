@@ -1,8 +1,9 @@
 """iceberg_lite: manifest-tree reads of spec-conformant Iceberg v2
 tables — snapshot time travel, identity-partition pruning at the
 manifest level, path rebasing for relocated tables, POSITION deletes
-(merge-on-read, incl. the sequence-number visibility rule), and honest
-errors for equality deletes.  Reference parity: the Iceberg scan at
+(merge-on-read, incl. the sequence-number visibility rule), and
+EQUALITY deletes (field-id resolution, strict sequence rule, null-safe
+matching).  Reference parity: the Iceberg scan at
 ``etl_consume_entity_match.py:395-397`` over a format-version-2 table
 (created at ``etl_consume_entity_match.py:385-389``) whose MERGE
 history produces position deletes on any real deployment."""
@@ -119,9 +120,10 @@ def test_position_delete_sequence_rule(spark, tmp_path):
     assert rows == [0, 2, 3, 10, 11, 12, 13]
 
 
-def test_equality_delete_raises(spark, tmp_path):
-    """Equality deletes (data_file.content=2) must be a loud error, not
-    a silently-wrong read."""
+def test_equality_delete_without_ids_raises(spark, tmp_path):
+    """A content=2 manifest entry with no ``equality_ids`` is malformed
+    (spec: equality delete files must list the equated field ids) —
+    loud error, not a silently-wrong read."""
     path = str(tmp_path / "eq")
     snap1 = spark.createDataFrame(
         [Row(id=i, grp="a", v=float(i)) for i in range(4)]
@@ -131,7 +133,8 @@ def test_equality_delete_raises(spark, tmp_path):
         spark, path, [snap1, empty], "grp",
         position_deletes={2: [("data/grp=a/f1-a.parquet", [0])]},
     )
-    # rewrite the delete manifest's entry content 1 -> 2
+    # rewrite the delete manifest's entry content 1 -> 2 (keeps the
+    # null equality_ids the position-delete entry carried)
     dman = os.path.join(path, "metadata", "delete-manifest-2.avro")
     names, rows = avro_lite.read_avro(dman)
     import io as _io
@@ -148,8 +151,75 @@ def test_equality_delete_raises(spark, tmp_path):
         [f["type"] for f in schema["fields"]], doctored,
         record_name="manifest_entry",
     )
-    with pytest.raises(iceberg_lite.IcebergLiteError, match="EQUALITY"):
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="equality_ids"):
         iceberg_lite.plan_scan(path)
+
+
+def test_equality_deletes_applied(spark, tmp_path):
+    """v2 equality deletes (the Flink-CDC upsert shape): a delete
+    snapshot's equality-delete file removes EVERY matching data row in
+    earlier-sequence files, matching on the columns its manifest names
+    by FIELD ID; time travel to the pre-delete snapshot still sees all
+    rows."""
+    path = str(tmp_path / "eqapply")
+    snap1 = spark.createDataFrame(
+        [Row(id=i, grp="a" if i < 4 else "b", v=float(i % 3)) for i in range(8)]
+    ).select("id", "grp", "v")
+    empty = snap1.where("1=0")
+    build_iceberg_table(
+        spark, path, [snap1, empty], "grp",
+        # field ids: id=1, grp=2, v=3 -> delete every row with v=0.0
+        # (ids 0,3,6 across BOTH partition files) and id=4 exactly
+        equality_deletes={
+            2: [(["v"], [(0.0,)]), (["id"], [(4,)])],
+        },
+    )
+    data, deletes = iceberg_lite.plan_scan(path)
+    assert [d.content for d in deletes] == [2, 2]
+    assert sorted(d.equality_ids for d in deletes) == [(1,), (3,)]
+    latest = sorted(r.id for r in iceberg_lite.read_iceberg(spark, path).collect())
+    assert latest == [1, 2, 5, 7]
+    assert iceberg_lite.read_iceberg(spark, path, snapshot_id=1).count() == 8
+
+
+def test_equality_delete_strict_sequence_rule(spark, tmp_path):
+    """An equality delete applies only to data files with STRICTLY
+    smaller data sequence numbers (spec: Scan Planning) — rows added in
+    the SAME snapshot as the delete survive, which is exactly how a CDC
+    upsert (delete-then-insert of the same key) stays correct."""
+    path = str(tmp_path / "eqseq")
+    mk = lambda ids, grp: spark.createDataFrame(
+        [Row(id=i, grp=grp, v=float(i)) for i in ids]
+    ).select("id", "grp", "v")
+    build_iceberg_table(
+        spark, path, [mk(range(4), "a"), mk([1, 2], "a")], "grp",
+        # snapshot 2 deletes ids 1,2 (seq 2 > seq 1 data) AND re-adds
+        # them at seq 2 — the re-added rows must survive
+        equality_deletes={2: [(["id"], [(1,), (2,)])]},
+    )
+    rows = sorted(
+        (r.id, r.grp) for r in iceberg_lite.read_iceberg(spark, path).collect()
+    )
+    assert [i for i, _ in rows] == [0, 1, 2, 3]
+    data, _ = iceberg_lite.plan_scan(path)
+    assert len(data) == 2  # both generations of grp=a present
+
+
+def test_equality_delete_null_safe_match(spark, tmp_path):
+    """Null equality-delete values match null data values (spec:
+    'considered equal'), unlike SQL = semantics."""
+    path = str(tmp_path / "eqnull")
+    snap1 = spark.createDataFrame(
+        [(0, "a", None), (1, "a", 1.0), (2, "a", 2.0), (3, "a", None)],
+        "id long, grp string, v double",
+    )
+    empty = snap1.where("1=0")
+    build_iceberg_table(
+        spark, path, [snap1, empty], "grp",
+        equality_deletes={2: [(["v"], [(None,), (2.0,)])]},
+    )
+    rows = sorted(r.id for r in iceberg_lite.read_iceberg(spark, path).collect())
+    assert rows == [1]
 
 
 def test_not_a_table_raises(tmp_path):
