@@ -87,6 +87,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dq_match_rules",
     "src_iceberg_position_deletes",
     "sink_iceberg_merge_mor",
+    # round-7 session additions (zero prior evidence -> take the two
+    # slots of the stalest r1 re-checks, which have 6 green rows each)
+    "src_iceberg_equality_deletes",
+    "src_delta_change_feed",
     "sql_array_functions",
     "agg_grouping_sets",
     "agg_percentiles",
@@ -104,8 +108,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q13_customer_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
 )
 
 

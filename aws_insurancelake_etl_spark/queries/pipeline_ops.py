@@ -2305,6 +2305,82 @@ def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_delta_change_feed",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'update_preimage', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT o_orderkey, 'U', price_cents * 3,
+           'update_postimage', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'insert', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'delete', CAST(3 AS BIGINT)
+    FROM base WHERE o_orderkey % 12 = 2
+    """,
+)
+def src_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED (round 7): the incremental-consumer shape
+    — a downstream training pipeline reprocesses only the rows that
+    changed in a version range instead of re-reading a 100 TB table.
+    With ``delta.enableChangeDataFeed`` set, MERGE/DELETE stage
+    row-level change files under ``_change_data/`` (``cdc`` actions,
+    PROTOCOL.md) atomically with the commit: update_preimage /
+    update_postimage / insert / delete; plain appends need no cdc —
+    the reader derives their inserts from dataChange add actions.  The
+    gate seeds keys %4==0 (v0), appends %4==1 (v1), MERGEs tripled
+    prices for %8==0 plus new %4==2 keys (v2), DELETEs %12==2 (v3),
+    then reads ``table_changes(1, 3)``; the oracle restates every
+    change row relationally.  v0 is excluded to prove the start bound
+    binds."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-cdf-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 4 == 0), tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_lite.write_delta(base.where(F.col("o_orderkey") % 4 == 1), tbl)
+    updates = (
+        base.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+    )
+    inserts = base.where(F.col("o_orderkey") % 4 == 2)
+    delta_lite.merge_delta(
+        spark, updates.unionByName(inserts), tbl, "o_orderkey"
+    )
+    delta_lite.delete_delta(spark, tbl, "o_orderkey % 12 = 2")
+    feed = delta_lite.read_change_feed(spark, tbl, starting_version=1)
+    return feed.select(
+        "o_orderkey", "o_orderstatus", "price_cents",
+        "_change_type", "_commit_version",
+    )
+
+
+@register(
     "src_iceberg_equality_deletes",
     """
     WITH base AS (

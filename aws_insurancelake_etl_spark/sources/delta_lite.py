@@ -27,6 +27,13 @@ with the protocol's own commit mechanics rather than a parquet rewrite:
   rewritten, everything else survives by reference.  Driver state is
   the touched-file path list.  Duplicate source keys raise, matching
   Delta's MERGE cardinality rule.
+- **Change data feed** (``delta.enableChangeDataFeed``): MERGE/DELETE
+  stage row-level change files under ``_change_data/`` (``cdc``
+  actions) atomically with the commit; :func:`read_change_feed`
+  returns the version range's changes (insert / update_preimage /
+  update_postimage / delete + ``_commit_version``), deriving
+  append/overwrite versions from their dataChange add/remove actions
+  per PROTOCOL.md.
 
 Scale notes: checkpoint parsing is driver-side pyarrow — a checkpoint
 holds one row per LIVE FILE (millions of rows at 100 TB, comfortably a
@@ -51,7 +58,13 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 CHECKPOINT_INTERVAL = 10
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -87,6 +100,7 @@ class Snapshot:
     partition_columns: list
     files: list = field(default_factory=list)
     tombstones: dict = field(default_factory=dict)  # rel path -> deletion ms
+    configuration: dict = field(default_factory=dict)  # metaData table props
 
     @property
     def schema(self) -> StructType:
@@ -235,6 +249,7 @@ def snapshot(path: str, version=None) -> Snapshot:
         partition_columns=list(meta.get("partitionColumns") or []),
         files=sorted(state["adds"].values(), key=lambda a: a.path),
         tombstones=dict(state["removes"]),
+        configuration=dict(meta.get("configuration") or {}),
     )
 
 
@@ -633,6 +648,7 @@ def write_delta(
     mode: str = "append",
     partition_by=None,
     schema_mode: str = "strict",
+    configuration: dict | None = None,
 ) -> int:
     """Commit a Spark DataFrame as a delta-lite ``append``/``overwrite``.
     Returns the committed version.  Appends retry on commit conflicts;
@@ -644,7 +660,12 @@ def write_delta(
     schema, old data files simply read as null for the new columns
     (the snapshot schema is authoritative on every file), and existing
     columns must still match exactly — silent type drift stays an
-    error."""
+    error.
+
+    ``configuration`` sets table properties in the metaData action
+    (e.g. ``{"delta.enableChangeDataFeed": "true"}`` — see
+    :func:`read_change_feed`); existing properties are preserved when
+    not re-specified."""
     if mode not in ("append", "overwrite"):
         raise DeltaLiteError(f"mode must be append|overwrite, got {mode!r}")
     if schema_mode not in ("strict", "evolve"):
@@ -692,9 +713,13 @@ def write_delta(
     actions = [
         {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
     ]
+    merged_conf = dict(existing.configuration) if existing is not None else {}
+    if configuration:
+        merged_conf.update(configuration)
     meta_needed = (
         existing is None
         or evolved
+        or merged_conf != (existing.configuration if existing else {})
         or mode == "overwrite"
         and (
             _schema_key(df.schema) != _schema_key(existing.schema)
@@ -711,7 +736,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": merged_conf,
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -908,6 +933,36 @@ def _merge_once(
         else source.select(*schema_cols)
     )
     adds = _stage_data_files(new_data, path, snap.partition_columns)
+    cdc_actions = []
+    if _cdf_enabled(snap):
+        # Row-level change feed (PROTOCOL.md): matched target rows are
+        # update_preimage, their source twins update_postimage, the
+        # rest of the source insert.  Staged BEFORE the commit so the
+        # cdc actions land atomically with the data swap.
+        src = source.select(*schema_cols)
+        if touched_uris:
+            matched_target = (
+                target.where(F.col("__dl_path").isin(list(touched_uris)))
+                .drop("__dl_path")
+                .join(F.broadcast(src_keys), keys, "left_semi")
+            )
+            matched_keys = matched_target.select(*keys).distinct()
+            changes = (
+                matched_target.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                .unionByName(
+                    src.join(F.broadcast(matched_keys), keys, "left_semi")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                .unionByName(
+                    src.join(F.broadcast(matched_keys), keys, "left_anti")
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        else:
+            changes = src.withColumn("_change_type", F.lit("insert"))
+        cdc_actions = [{"cdc": c} for c in _stage_cdc_files(changes, path)]
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -929,9 +984,11 @@ def _merge_once(
         for p in sorted(touched_rel)
     ]
     actions += [_add_json(a) for a in adds]
+    actions += cdc_actions
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions):
         _discard_staged(path, adds)
+        _discard_cdc(path, cdc_actions)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently"
         )
@@ -1068,6 +1125,14 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     n_deleted = touched_df.where(cond).count()
     survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
     adds = _stage_data_files(survivors, path, snap.partition_columns)
+    cdc_actions = []
+    if _cdf_enabled(snap):
+        deleted_rows = (
+            touched_df.where(cond)
+            .drop("__dl_path")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_actions = [{"cdc": c} for c in _stage_cdc_files(deleted_rows, path)]
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -1089,9 +1154,11 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         for p in sorted(touched_rel)
     ]
     actions += [_add_json(a) for a in adds]
+    actions += cdc_actions
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions):
         _discard_staged(path, adds)
+        _discard_cdc(path, cdc_actions)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run DELETE"
         )
@@ -1102,6 +1169,209 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         "files_rewritten": len(touched_rel),
         "files_kept": len(snap.files) - len(touched_rel),
     }
+
+
+# ------------------------------------------------------- change data feed
+
+
+def _cdf_enabled(snap: Snapshot) -> bool:
+    return (
+        str(snap.configuration.get("delta.enableChangeDataFeed", "false")).lower()
+        == "true"
+    )
+
+
+def _stage_cdc_files(df: DataFrame, table_path: str) -> list:
+    """Write change rows (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` (Delta PROTOCOL.md §Add CDC File) and return
+    the ``cdc`` action payloads.  Change files always carry partition
+    columns INLINE (partitionValues left empty) — simpler than data
+    files and legal for this reader, which takes columns from the file."""
+    staging_root = tempfile.mkdtemp(prefix="delta-lite-cdc-")
+    try:
+        out = os.path.join(staging_root, "out")
+        df.write.mode("overwrite").parquet(out)
+        cdir = os.path.join(table_path, "_change_data")
+        os.makedirs(cdir, exist_ok=True)
+        cdc = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            new_name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            src = os.path.join(out, name)
+            size = os.path.getsize(src)
+            shutil.move(src, os.path.join(cdir, new_name))
+            cdc.append(
+                {
+                    "path": f"_change_data/{new_name}",
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            )
+        return cdc
+    finally:
+        shutil.rmtree(staging_root, ignore_errors=True)
+
+
+def _discard_cdc(table_path: str, cdc_actions: list) -> None:
+    for action in cdc_actions:
+        try:
+            os.remove(os.path.join(table_path, action["cdc"]["path"]))
+        except OSError:
+            pass
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version=None,
+) -> DataFrame:
+    """Delta Change Data Feed: row-level changes for a version range —
+    the incremental-consumer shape (``table_changes(...)``) a training
+    pipeline uses to reprocess ONLY what moved instead of re-reading a
+    100 TB table.
+
+    Per PROTOCOL.md, versions whose commits carry ``cdc`` actions read
+    their ``_change_data`` files verbatim (``_change_type`` ∈ insert /
+    update_preimage / update_postimage / delete — written by
+    :func:`merge_delta` / :func:`delete_delta` when the table property
+    ``delta.enableChangeDataFeed`` is ``true``); versions without cdc
+    actions DERIVE changes from the log — dataChange adds read as
+    ``insert`` rows, dataChange removes read the removed files (still
+    on disk pre-vacuum, planned from the version-1 snapshot so
+    partition values and schema are the authority) as ``delete`` rows.
+    A MERGE/DELETE commit written WITHOUT the feed enabled cannot be
+    derived faithfully (its adds mix survivors with updates) and raises.
+    Output = table columns + ``_change_type``, ``_commit_version``,
+    ``_commit_timestamp``."""
+    snap = snapshot(path)
+    start = int(starting_version)
+    end = snap.version if ending_version is None else int(ending_version)
+    if start < 0 or end > snap.version or start > end:
+        raise DeltaLiteError(
+            f"change-feed range [{start}, {end}] outside 0..{snap.version}"
+        )
+    data_cols = [f.name for f in snap.schema.fields]
+    cdc_schema = StructType(
+        list(snap.schema.fields)
+        + [StructField("_change_type", StringType())]
+    )
+    log_dir = _log_dir(path)
+    pieces = []
+    for v in range(start, end + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise DeltaLiteError(
+                f"change feed unavailable: commit {v} JSON aged out"
+            )
+        cdc_paths, add_files, remove_rels = [], [], []
+        operation, ts_ms = None, None
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "cdc" in action:
+                    cdc_paths.append(
+                        os.path.join(path, unquote(action["cdc"]["path"]))
+                    )
+                elif "add" in action and action["add"].get("dataChange", True):
+                    a = action["add"]
+                    add_files.append(
+                        AddFile(
+                            path=unquote(a["path"]),
+                            partition_values=dict(a.get("partitionValues") or {}),
+                            size=int(a.get("size", 0)),
+                            modification_time=0,
+                        )
+                    )
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    remove_rels.append(unquote(action["remove"]["path"]))
+                elif "commitInfo" in action:
+                    operation = action["commitInfo"].get("operation")
+                    ts_ms = action["commitInfo"].get("timestamp")
+        if ts_ms is None:
+            ts_ms = int(os.path.getmtime(commit) * 1000)
+
+        def stamp(df, v=v, ts_ms=ts_ms):
+            return df.select(*data_cols, "_change_type").withColumns(
+                {
+                    "_commit_version": F.lit(v).cast("long"),
+                    "_commit_timestamp": F.timestamp_millis(
+                        F.lit(ts_ms).cast("long")
+                    ),
+                }
+            )
+
+        if cdc_paths:
+            pieces.append(
+                stamp(spark.read.schema(cdc_schema).parquet(*cdc_paths))
+            )
+            continue
+        if operation in ("MERGE", "DELETE") and (add_files or remove_rels):
+            raise DeltaLiteError(
+                f"change feed cannot derive version {v} ({operation} "
+                "committed without delta.enableChangeDataFeed); enable the "
+                "feed before the range you need"
+            )
+        if add_files:
+            s = Snapshot(
+                table_path=path,
+                version=v,
+                schema_string=snap.schema_string,
+                partition_columns=snap.partition_columns,
+                files=add_files,
+            )
+            pieces.append(
+                stamp(
+                    _read_snapshot(spark, s).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            )
+        if remove_rels:
+            prev = snapshot(path, v - 1)
+            by_rel = {f.path: f for f in prev.files}
+            missing = [r for r in remove_rels if r not in by_rel]
+            if missing:
+                raise DeltaLiteError(
+                    f"version {v} removes files absent from version "
+                    f"{v - 1}: {missing}"
+                )
+            s = Snapshot(
+                table_path=path,
+                version=v - 1,
+                schema_string=prev.schema_string,
+                partition_columns=prev.partition_columns,
+                files=[by_rel[r] for r in remove_rels],
+            )
+            removed = _read_snapshot(spark, s)
+            for c in data_cols:  # pre-evolution files: new columns read null
+                if c not in removed.columns:
+                    removed = removed.withColumn(
+                        c, F.lit(None).cast(snap.schema[c].dataType)
+                    )
+            pieces.append(
+                stamp(removed.withColumn("_change_type", F.lit("delete")))
+            )
+    if not pieces:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(snap.schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
+            ),
+        )
+    return reduce(lambda a, b: a.unionByName(b), pieces)
 
 
 def history(path: str) -> list:

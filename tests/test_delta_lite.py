@@ -838,3 +838,109 @@ def test_stats_survive_checkpoint_replay(spark, table):
     assert all(f.stats is not None and "numRecords" in f.stats
                for f in snap.files)
     assert dl.delta_count(spark, table) == 11
+
+
+# ------------------------------------------------------- change data feed
+
+
+def _cdf_table(spark, table):
+    """v0 create (CDF on), v1 append, v2 MERGE (update id=2, insert
+    id=20), v3 DELETE id%4==3."""
+    dl.write_delta(
+        _people(spark, 0, 8), table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dl.write_delta(_people(spark, 10, 13, grp="b"), table)
+    src = spark.createDataFrame(
+        [Row(id=2, grp="U", score=99.0), Row(id=20, grp="N", score=1.0)]
+    ).select("id", "grp", "score")
+    dl.merge_delta(spark, src, table, "id")
+    dl.delete_delta(spark, table, "id % 4 = 3")
+
+
+def test_change_feed_full_history(spark, table):
+    """cdc actions (MERGE/DELETE) read verbatim; append versions derive
+    inserts from dataChange add actions — one unioned feed with
+    _change_type/_commit_version per PROTOCOL.md."""
+    _cdf_table(spark, table)
+    feed = dl.read_change_feed(spark, table, starting_version=1)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, "insert", 10), (1, "insert", 11), (1, "insert", 12),
+        (2, "insert", 20),
+        (2, "update_postimage", 2), (2, "update_preimage", 2),
+        (3, "delete", 3), (3, "delete", 7), (3, "delete", 11),
+    ]
+    # the preimage carries the OLD row, the postimage the NEW one
+    pre = feed.where("_change_type = 'update_preimage'").collect()[0]
+    post = feed.where("_change_type = 'update_postimage'").collect()[0]
+    assert (pre["grp"], pre["score"]) == ("a", 3.0)
+    assert (post["grp"], post["score"]) == ("U", 99.0)
+    # change files live under _change_data/, referenced as dataChange=false
+    assert os.path.isdir(os.path.join(table, "_change_data"))
+
+
+def test_change_feed_version_bounds(spark, table):
+    _cdf_table(spark, table)
+    only_v2 = dl.read_change_feed(spark, table, 2, 2)
+    assert {r["_change_type"] for r in only_v2.collect()} == {
+        "insert", "update_preimage", "update_postimage"
+    }
+    with pytest.raises(dl.DeltaLiteError, match="range"):
+        dl.read_change_feed(spark, table, 0, 99)
+
+
+def test_change_feed_derives_overwrite_as_delete_plus_insert(spark, table):
+    dl.write_delta(_people(spark, 0, 3), table)
+    dl.write_delta(_people(spark, 5, 7), table, mode="overwrite")
+    feed = dl.read_change_feed(spark, table, 1, 1)
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    assert got == [
+        ("delete", 0), ("delete", 1), ("delete", 2),
+        ("insert", 5), ("insert", 6),
+    ]
+
+
+def test_change_feed_refuses_uncovered_merge(spark, table):
+    """A MERGE committed without the feed enabled cannot be derived from
+    add/remove (its rewrites mix survivors with updates) — loud error,
+    not a wrong feed."""
+    dl.write_delta(_people(spark, 0, 4), table)  # CDF off
+    src = spark.createDataFrame([Row(id=1, grp="U", score=0.0)]).select(
+        "id", "grp", "score"
+    )
+    dl.merge_delta(spark, src, table, "id")
+    with pytest.raises(dl.DeltaLiteError, match="enableChangeDataFeed"):
+        dl.read_change_feed(spark, table, 1, 1)
+
+
+def test_change_feed_disabled_merge_writes_no_cdc_files(spark, table):
+    dl.write_delta(_people(spark, 0, 4), table)
+    src = spark.createDataFrame([Row(id=9, grp="c", score=0.0)]).select(
+        "id", "grp", "score"
+    )
+    dl.merge_delta(spark, src, table, "id")
+    assert not os.path.isdir(os.path.join(table, "_change_data"))
+
+
+def test_change_feed_partitioned_table(spark, table):
+    """cdc files carry partition columns inline; derived inserts take
+    partition values from the LOG (files exclude them)."""
+    dl.write_delta(
+        _people(spark, 0, 6), table, partition_by=["grp"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame(
+        [Row(id=1, grp="a", score=-1.0), Row(id=30, grp="z", score=5.0)]
+    ).select("id", "grp", "score")
+    dl.merge_delta(spark, src, table, "id")
+    feed = dl.read_change_feed(spark, table, 1, 1)
+    got = sorted((r["_change_type"], r["id"], r["grp"]) for r in feed.collect())
+    assert got == [
+        ("insert", 30, "z"),
+        ("update_postimage", 1, "a"),
+        ("update_preimage", 1, "a"),
+    ]
