@@ -1927,11 +1927,15 @@ def build_iceberg_table(
     ``data_file.content=1``) — a doctored merge-on-read table.
 
     ``equality_deletes`` maps a 1-based snapshot id to a list of
-    ``(eq_col_names, rows)``: that snapshot writes an EQUALITY-delete
-    parquet file holding just the equated columns (spec §Equality Delete
-    Files) and a delete-manifest entry with ``data_file.content=2`` and
+    ``(eq_col_names, rows)`` or ``(eq_col_names, rows, partition_value)``:
+    that snapshot writes an EQUALITY-delete parquet file holding just
+    the equated columns (spec §Equality Delete Files) and a
+    delete-manifest entry with ``data_file.content=2`` and
     ``equality_ids`` naming those columns by field id (position in the
-    first snapshot's schema, 1-based) — the Flink-CDC upsert shape.
+    first snapshot's schema, 1-based) — the Flink-CDC upsert shape.  A
+    non-None ``partition_value`` writes that value into the entry's
+    partition record, making the delete PARTITION-SCOPED (it must only
+    remove rows of that partition).
 
     Used by the ``src_iceberg_snapshot_read`` /
     ``src_iceberg_position_deletes`` / ``src_iceberg_equality_deletes``
@@ -2078,7 +2082,9 @@ def build_iceberg_table(
             import pyarrow.parquet as _pq
 
             eq_entries = []
-            for i, (eq_cols, rows) in enumerate(eq_targets):
+            for i, target in enumerate(eq_targets):
+                eq_cols, rows = target[0], target[1]
+                part_value = target[2] if len(target) > 2 else None
                 eqdel_rel = f"data/eqdel-{snap_id}-{i}.parquet"
                 dest = f"{table_path}/{eqdel_rel}"
                 _os.makedirs(_os.path.dirname(dest), exist_ok=True)
@@ -2099,7 +2105,7 @@ def build_iceberg_table(
                             2,  # content=2: EQUALITY DELETES
                             f"{fake_loc}/{eqdel_rel}",
                             "PARQUET",
-                            (None,),
+                            (None if part_value is None else str(part_value),),
                             len(rows),
                             _os.path.getsize(dest),
                             [table_cols.index(c) + 1 for c in eq_cols],

@@ -177,6 +177,11 @@ class DeleteFileEntry:
     content: int = 1
     #: for equality deletes: the schema field ids the file equates on
     equality_ids: tuple = ()
+    #: partition SCOPE as sorted (col, str(value)) pairs with the null
+    #: entries dropped — a partition-scoped equality delete (the shape
+    #: partitioned Flink-CDC writers emit) applies only to data rows in
+    #: that partition; an all-null tuple means global scope
+    partition_scope: tuple = ()
 
 
 def _field_names_by_id(meta: dict) -> dict:
@@ -269,6 +274,7 @@ def plan_scan(
                         "equality delete file without equality_ids in its"
                         f" manifest entry: {df.get('file_path')}"
                     )
+                del_partition = df.get("partition") or {}
                 deletes.append(
                     DeleteFileEntry(
                         path=rebase(df["file_path"]),
@@ -277,6 +283,13 @@ def plan_scan(
                         sequence_number=seq,
                         content=content,
                         equality_ids=tuple(int(i) for i in eq_ids),
+                        partition_scope=tuple(
+                            sorted(
+                                (k, str(v))
+                                for k, v in del_partition.items()
+                                if v is not None
+                            )
+                        ),
                     )
                 )
                 continue
@@ -398,7 +411,15 @@ def read_iceberg(
         # (null == null counts as a match) in data files with a STRICTLY
         # smaller data sequence number — the Flink-CDC upsert shape.
         # Applied as one distributed null-safe anti-join per distinct
-        # equality_ids set; only O(files) seq mappings broadcast.
+        # (equality_ids, partition scope) group; only O(files) seq
+        # mappings broadcast.  A delete manifest entry carrying a
+        # non-null partition tuple is PARTITION-SCOPED (spec §Scan
+        # Planning: "an equality delete file must be applied to data
+        # files from the same partition" when it has one) — the scope
+        # columns join the anti-join condition so rows in other
+        # partitions are never over-deleted (ADVICE r7).  Identity
+        # partition values compare as strings: manifests serialize the
+        # literal, data files store the typed column.
         names_by_id = _field_names_by_id(_load_metadata(table_path))
         data = data.join(
             F.broadcast(
@@ -410,8 +431,8 @@ def read_iceberg(
         )
         groups: dict = {}
         for d in eq_deletes:
-            groups.setdefault(d.equality_ids, []).append(d)
-        for eq_ids, group in sorted(groups.items()):
+            groups.setdefault((d.equality_ids, d.partition_scope), []).append(d)
+        for (eq_ids, scope), group in sorted(groups.items()):
             try:
                 cols = [names_by_id[i] for i in eq_ids]
             except KeyError as exc:
@@ -422,6 +443,13 @@ def read_iceberg(
             if missing:
                 raise IcebergLiteError(
                     f"equality-delete columns absent from data: {missing}"
+                )
+            bad_scope = [c for c, _ in scope if c not in base_cols]
+            if bad_scope:
+                raise IcebergLiteError(
+                    "partition-scoped equality delete names partition "
+                    f"columns absent from the data files: {bad_scope} "
+                    "(non-identity partition transforms are unsupported)"
                 )
             eq_map = spark.createDataFrame(
                 [(d.path, d.sequence_number) for d in group],
@@ -439,6 +467,8 @@ def read_iceberg(
             cond = F.col("delete_seq") > F.col("data_seq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            for pcol, pval in scope:
+                cond = cond & (F.col(pcol).cast("string") == F.lit(pval))
             data = data.join(del_rows, cond, "left_anti")
     return data.select(base_cols)
 
@@ -497,6 +527,10 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
             },
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+            },
         ],
     }
     return [
@@ -504,6 +538,40 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
         ("snapshot_id", ["null", "long"]),
         ("data_file", data_file),
     ]
+
+
+_SPARK_TO_ICEBERG_TYPE = {
+    "bigint": "long",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+}
+
+
+def _ice_schema_fields(df: DataFrame) -> list[dict]:
+    """Iceberg schema fields (with 1-based FIELD IDS by column position)
+    for the table metadata — equality-delete manifests name their
+    equated columns by these ids (spec §Equality Delete Files), so every
+    committed metadata must carry them."""
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        simple = f.dataType.simpleString()
+        if simple.startswith("decimal"):
+            ice = simple  # spark decimal(P,S) == iceberg decimal(P,S)
+        elif simple.startswith("timestamp"):
+            ice = "timestamptz"
+        else:
+            ice = _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": False, "type": ice}
+        )
+    return fields
 
 
 def _footer_rows(path: str) -> int:
@@ -650,6 +718,7 @@ def write_iceberg(
             return _commit_snapshot(
                 table_path, partition_by,
                 data_entries=staged, delete_entries=[],
+                schema_fields=_ice_schema_fields(df),
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
@@ -664,10 +733,19 @@ def _commit_snapshot(
     data_entries: list,
     delete_entries: list,
     expect_version: int | None = None,
+    replace: bool = False,
+    schema_fields: list | None = None,
 ) -> int:
     """Write manifests + manifest list + next metadata json; the O_EXCL
     metadata create is the commit point.  ``expect_version``: fail fast
-    (for MERGE re-execution) if the current version moved."""
+    (for MERGE re-execution) if the current version moved.
+
+    ``data_entries``: ``(rel, pvals, count, size)``.  ``delete_entries``:
+    ``(rel, pvals, count, size, file_content, equality_ids)`` where
+    ``file_content`` is 1 (position) or 2 (equality) per spec
+    data_file.content.  ``replace=True`` drops every prior manifest from
+    the new snapshot's manifest list (the ``rewrite_data_files``
+    compaction commit: the new data files ARE the table)."""
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     versions = _metadata_versions(meta_dir)
@@ -681,7 +759,7 @@ def _commit_snapshot(
     snap_id = current + 1
     seq = snap_id
     prior_manifests = []
-    if meta is not None:
+    if meta is not None and not replace:
         snaps = meta.get("snapshots") or []
         cur = [
             s for s in snaps
@@ -701,7 +779,7 @@ def _commit_snapshot(
                     )
                 )
     new_manifests = list(prior_manifests)
-    for content, entries, tag in (
+    for manifest_content, entries, tag in (
         (0, data_entries, "data"),
         (1, delete_entries, "delete"),
     ):
@@ -713,28 +791,35 @@ def _commit_snapshot(
         man_rel = (
             f"metadata/manifest-{tag}-{snap_id}-{_uuid.uuid4().hex}.avro"
         )
-        rows = [
-            (
-                1,  # status ADDED
-                snap_id,
+        rows = []
+        for entry in entries:
+            if manifest_content == 0:
+                rel, pvals, count, size = entry
+                file_content, eq_ids = 0, None
+            else:
+                rel, pvals, count, size, file_content, eq_ids = entry
+            rows.append(
                 (
-                    content,
-                    f"{location}/{rel}",
-                    "PARQUET",
-                    tuple(pvals.get(c) for c in part_cols),
-                    int(count),
-                    int(size),
-                ),
+                    1,  # status ADDED
+                    snap_id,
+                    (
+                        file_content,
+                        f"{location}/{rel}",
+                        "PARQUET",
+                        tuple(pvals.get(c) for c in part_cols),
+                        int(count),
+                        int(size),
+                        list(eq_ids) if eq_ids else None,
+                    ),
+                )
             )
-            for rel, pvals, count, size in entries
-        ]
         _write_manifest(table_path, man_rel, part_cols, rows)
         new_manifests.append(
             (
                 f"{location}/{man_rel}",
                 os.path.getsize(os.path.join(table_path, man_rel)),
                 0,
-                content,
+                manifest_content,
                 seq,
                 snap_id,
             )
@@ -749,6 +834,12 @@ def _commit_snapshot(
     )
     import time as _time
 
+    if replace:
+        operation = "replace"
+    elif delete_entries:
+        operation = "overwrite"
+    else:
+        operation = "append"
     snapshots = list((meta or {}).get("snapshots") or [])
     snapshots.append(
         {
@@ -756,11 +847,18 @@ def _commit_snapshot(
             "sequence-number": seq,
             "timestamp-ms": int(_time.time() * 1000),
             "manifest-list": f"{location}/{ml_rel}",
-            "summary": {
-                "operation": "append" if not delete_entries else "overwrite"
-            },
+            "summary": {"operation": operation},
         }
     )
+    # the current schema (with field ids) carries forward unless this
+    # commit supplies one; equality-delete manifests resolve through it
+    schemas = (meta or {}).get("schemas")
+    current_schema_id = (meta or {}).get("current-schema-id", 0)
+    if schema_fields is not None and not schemas:
+        schemas = [
+            {"schema-id": 0, "type": "struct", "fields": schema_fields}
+        ]
+        current_schema_id = 0
     new_meta = {
         "format-version": 2,
         "table-uuid": (meta or {}).get("table-uuid")
@@ -785,6 +883,9 @@ def _commit_snapshot(
         ],
         "default-spec-id": 0,
     }
+    if schemas:
+        new_meta["schemas"] = schemas
+        new_meta["current-schema-id"] = current_schema_id
     if not _try_commit_metadata(table_path, snap_id, new_meta):
         # this attempt's manifests/manifest-list become unreferenced
         # orphans (uuid names — they can never collide with the winner)
@@ -867,6 +968,7 @@ def _merge_once_iceberg(
                 table_path, part_cols,
                 data_entries=data_entries, delete_entries=[],
                 expect_version=planned_version,
+                schema_fields=_ice_schema_fields(source),
             )
         except ConcurrentIcebergWrite:
             _discard_staged_iceberg(
@@ -924,7 +1026,7 @@ def _merge_once_iceberg(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             size = os.path.getsize(src_file)
             shutil.move(src_file, dest)
-            delete_entries.append((rel, {}, count, size))
+            delete_entries.append((rel, {}, count, size, 1, None))
             deleted_rows += count
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -935,6 +1037,7 @@ def _merge_once_iceberg(
             data_entries=data_entries,
             delete_entries=delete_entries,
             expect_version=planned_version,
+            schema_fields=_ice_schema_fields(source),
         )
     except ConcurrentIcebergWrite:
         _discard_staged_iceberg(
@@ -948,4 +1051,266 @@ def _merge_once_iceberg(
         "delete_files": len(delete_entries),
         "appended_files": len(data_entries),
         "retries": attempt,
+    }
+
+
+def upsert_iceberg_equality(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    keys,
+    max_retries: int = 3,
+) -> dict:
+    """Streaming-upsert MERGE committing EQUALITY deletes (the Flink-CDC
+    writer shape, spec §Equality Delete Files): one snapshot lands (a)
+    an equality-delete file holding the source's distinct key tuples —
+    manifest entry ``content=2`` with ``equality_ids`` resolved through
+    the table schema's field ids — and (b) the full source as new data
+    files.  Both carry the same sequence number, so under the reader's
+    STRICT rule (delete seq > data seq) the delete erases every OLDER
+    row with a matching key while this snapshot's own rows survive: an
+    upsert with zero target scan — no touched-file search, no position
+    computation — which is why CDC writers prefer equality deletes for
+    high-frequency upserts.  The read side pays instead (one anti-join
+    per delete file group) until :func:`rewrite_data_files` folds the
+    deletes away.  Returns {"snapshot_id", "delete_files",
+    "appended_files", "retries"}.
+
+    Reference parity: the entity primary MERGE
+    (``etl_consume_entity_match.py:449-455``) — this is its
+    write-amplification-free variant.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not is_iceberg_table(table_path):
+        snap_id = write_iceberg(spark, source, table_path)
+        return {"snapshot_id": snap_id, "delete_files": 0,
+                "appended_files": -1, "retries": 0}
+    attempt = 0
+    while True:
+        try:
+            return _upsert_equality_once(
+                spark, source, table_path, keys, attempt
+            )
+        except ConcurrentIcebergWrite:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+
+
+def _upsert_equality_once(
+    spark: SparkSession, source: DataFrame, table_path: str, keys: list,
+    attempt: int,
+) -> dict:
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    meta = _load_metadata(table_path)
+    part_cols = [
+        f["name"]
+        for spec in meta.get("partition-specs", [])
+        if spec.get("spec-id") == meta.get("default-spec-id", 0)
+        for f in spec.get("fields", [])
+    ]
+    names_by_id = _field_names_by_id(meta)
+    ids_by_name = {n: i for i, n in names_by_id.items()}
+    missing = [k for k in keys if k not in ids_by_name]
+    if missing:
+        raise IcebergLiteError(
+            f"upsert keys {missing} not in table schema "
+            f"(known: {sorted(ids_by_name)})"
+        )
+    eq_ids = [ids_by_name[k] for k in keys]
+    # (a) equality-delete file(s): the distinct source key tuples, written
+    # BY SPARK (the key set can be arbitrarily large — never driver-side)
+    stage = tempfile.mkdtemp(prefix="_ice_eqdel_", dir=table_path)
+    delete_entries = []
+    try:
+        out = os.path.join(stage, "out")
+        source.select(*keys).distinct().write.mode("overwrite").parquet(out)
+        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            count = _footer_rows(src_file)
+            if count == 0:
+                continue
+            rel = f"data/eqdelete-{uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            size = os.path.getsize(src_file)
+            shutil.move(src_file, dest)
+            # global scope: an all-null partition tuple (the key set is
+            # table-wide unique, not partition-local)
+            delete_entries.append((rel, {}, count, size, 2, eq_ids))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    # (b) the source appends as new data files
+    data_entries = _stage_iceberg_data(source, table_path, part_cols)
+    try:
+        snap_id = _commit_snapshot(
+            table_path, part_cols,
+            data_entries=data_entries,
+            delete_entries=delete_entries,
+            expect_version=planned_version,
+            schema_fields=_ice_schema_fields(source),
+        )
+    except ConcurrentIcebergWrite:
+        _discard_staged_iceberg(
+            table_path,
+            [r for r, *_ in delete_entries] + [r for r, *_ in data_entries],
+        )
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "delete_files": len(delete_entries),
+        "appended_files": len(data_entries),
+        "retries": attempt,
+    }
+
+
+def rewrite_data_files(
+    spark: SparkSession, table_path: str, target_files: int | None = None,
+) -> dict:
+    """MOR maintenance: fold every outstanding position/equality delete
+    back into the data files — Iceberg's ``rewrite_data_files`` compact
+    action.  Under a MERGE-heavy workload (the reference's entity table,
+    ``etl_consume_entity_match.py:449-455``) every upsert adds delete
+    files and read amplification grows without bound; this reads the
+    CURRENT resolved snapshot once (the reader's anti-joins apply the
+    deletes), rewrites it as clean data files, and commits a REPLACE
+    snapshot whose manifest list carries only the new files — delete
+    files and superseded data files drop out of the live metadata tree
+    (their bytes are reclaimed by :func:`expire_snapshots`).  The
+    commit is ``dataChange``-free in spirit: the row set is identical,
+    which the compaction gate asserts against the oracle.
+
+    ``target_files`` additionally coalesces small files (the other half
+    of real compaction).  Returns {"snapshot_id", "files_before",
+    "delete_files_before", "files_after", "rewritten"}.
+    """
+    files, deletes = plan_scan(table_path)
+    if not deletes and (target_files is None or len(files) <= target_files):
+        return {
+            "snapshot_id": None,
+            "files_before": len(files),
+            "delete_files_before": 0,
+            "files_after": len(files),
+            "rewritten": False,
+        }
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    meta = _load_metadata(table_path)
+    part_cols = [
+        f["name"]
+        for spec in meta.get("partition-specs", [])
+        if spec.get("spec-id") == meta.get("default-spec-id", 0)
+        for f in spec.get("fields", [])
+    ]
+    df = read_iceberg(spark, table_path)
+    if target_files:
+        df = df.coalesce(target_files)
+    data_entries = _stage_iceberg_data(df, table_path, part_cols)
+    try:
+        snap_id = _commit_snapshot(
+            table_path, part_cols,
+            data_entries=data_entries, delete_entries=[],
+            expect_version=planned_version,
+            replace=True,
+        )
+    except ConcurrentIcebergWrite:
+        _discard_staged_iceberg(table_path, [r for r, *_ in data_entries])
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "files_before": len(files),
+        "delete_files_before": len(deletes),
+        "files_after": len(data_entries),
+        "rewritten": True,
+    }
+
+
+def _snapshot_owned_paths(meta: dict, table_path: str, snap: dict) -> set:
+    """Every LOCAL path a snapshot's metadata tree references: its
+    manifest list, its manifests, and their data/delete files.
+    O(files) driver-side metadata walk, same cost class as planning."""
+    rebase = _rebaser(meta, table_path)
+    ml = rebase(snap["manifest-list"])
+    owned = {ml}
+    for mf in _read_manifest_rows(ml):
+        man = rebase(mf["manifest_path"])
+        owned.add(man)
+        for entry in _read_manifest_rows(man):
+            owned.add(rebase(entry["data_file"]["file_path"]))
+    return owned
+
+
+def expire_snapshots(
+    table_path: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> dict:
+    """MOR maintenance: drop old snapshots from the table metadata and
+    DELETE the files only they reference — Iceberg's
+    ``expire_snapshots``.  Retained: the current snapshot, the newest
+    ``keep_last`` snapshots, and (when ``older_than_ms`` is given) every
+    snapshot with ``timestamp-ms > older_than_ms``.  Time travel to an
+    expired snapshot id then REFUSES (the reader's unknown-snapshot
+    error) rather than returning a partially-reclaimed view — the same
+    refusal semantics as ``delta_lite.vacuum``.  The pruned snapshot
+    list commits as the next metadata version (O_EXCL), so a concurrent
+    writer can never lose its commit to the expiry.  Returns
+    {"expired", "retained", "deleted_files", "version"}.
+    """
+    meta = _load_metadata(table_path)
+    snaps = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: int(s.get("sequence-number") or s["snapshot-id"]),
+    )
+    if not snaps:
+        return {"expired": [], "retained": [], "deleted_files": 0,
+                "version": None}
+    current_id = meta.get("current-snapshot-id")
+    keep_ids = {current_id}
+    keep_ids.update(s["snapshot-id"] for s in snaps[-max(keep_last, 1):])
+    if older_than_ms is not None:
+        keep_ids.update(
+            s["snapshot-id"]
+            for s in snaps
+            if int(s.get("timestamp-ms") or 0) > older_than_ms
+        )
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired": [], "retained": sorted(keep_ids),
+                "deleted_files": 0, "version": None}
+    live: set = set()
+    for s in retained:
+        live |= _snapshot_owned_paths(meta, table_path, s)
+    dead: set = set()
+    for s in expired:
+        dead |= _snapshot_owned_paths(meta, table_path, s)
+    deleted = 0
+    for path in sorted(dead - live):
+        try:
+            os.remove(path)
+            deleted += 1
+        except OSError:
+            pass
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; "
+            "re-run expire_snapshots"
+        )
+    return {
+        "expired": [s["snapshot-id"] for s in expired],
+        "retained": sorted(keep_ids),
+        "deleted_files": deleted,
+        "version": version,
     }

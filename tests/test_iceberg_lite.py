@@ -457,3 +457,192 @@ def test_concurrent_merges_retry_and_compose(spark, tmp_path):
     got = {r.k: r.v for r in iceberg_lite.read_iceberg(spark, path).collect()}
     assert got == {0: "left", 1: "v0", 2: "left", 3: "v0", 4: "v0",
                    5: "right", 6: "v0", 7: "right", 10: "left", 11: "right"}
+
+
+# round 8: partition-scoped equality deletes (ADVICE r7 — a scoped
+# delete must not erase matching rows in OTHER partitions), the
+# equality-delete WRITE path (Flink-style streaming upsert), MOR
+# maintenance (rewrite_data_files compaction + expire_snapshots).
+
+
+def test_partition_scoped_equality_delete_only_hits_its_partition(
+    spark, tmp_path
+):
+    path = str(tmp_path / "eqscope")
+    # v=1.0 rows exist in BOTH partitions; the delete on v=1.0 is scoped
+    # to grp='a' so grp='b' row with v=1.0 must survive
+    snap1 = spark.createDataFrame(
+        [Row(id=1, grp="a", v=1.0), Row(id=2, grp="a", v=2.0),
+         Row(id=3, grp="b", v=1.0), Row(id=4, grp="b", v=2.0)]
+    ).select("id", "grp", "v")
+    snap2 = spark.createDataFrame(
+        [Row(id=5, grp="a", v=9.0)]
+    ).select("id", "grp", "v")
+    build_iceberg_table(
+        spark, path, [snap1, snap2], "grp",
+        equality_deletes={2: [(["v"], [(1.0,)], "a")]},
+    )
+    _, deletes = iceberg_lite.plan_scan(path)
+    eq = [d for d in deletes if d.content == 2]
+    assert eq and eq[0].partition_scope == (("grp", "a"),)
+    got = _rows(iceberg_lite.read_iceberg(spark, path).select("id"))
+    assert got == [(2,), (3,), (4,), (5,)]
+
+
+def test_global_equality_delete_hits_every_partition(spark, tmp_path):
+    path = str(tmp_path / "eqglobal")
+    snap1 = spark.createDataFrame(
+        [Row(id=1, grp="a", v=1.0), Row(id=3, grp="b", v=1.0),
+         Row(id=4, grp="b", v=2.0)]
+    ).select("id", "grp", "v")
+    snap2 = spark.createDataFrame(
+        [Row(id=5, grp="a", v=9.0)]
+    ).select("id", "grp", "v")
+    build_iceberg_table(
+        spark, path, [snap1, snap2], "grp",
+        equality_deletes={2: [(["v"], [(1.0,)])]},
+    )
+    got = _rows(iceberg_lite.read_iceberg(spark, path).select("id"))
+    assert got == [(4,), (5,)]
+
+
+def test_upsert_equality_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "equp")
+    base = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(10)]
+    ).select("id", "v")
+    iceberg_lite.write_iceberg(spark, base, path)
+    upd = spark.createDataFrame(
+        [Row(id=i, v=float(i) * 100) for i in (2, 4, 12)]
+    ).select("id", "v")
+    stats = iceberg_lite.upsert_iceberg_equality(spark, upd, path, "id")
+    assert stats["delete_files"] >= 1
+    files, deletes = iceberg_lite.plan_scan(path)
+    eq = [d for d in deletes if d.content == 2]
+    assert eq and eq[0].equality_ids == (1,)  # id = field 1
+    got = dict(
+        (r["id"], r["v"])
+        for r in iceberg_lite.read_iceberg(spark, path).collect()
+    )
+    assert got[2] == 200.0 and got[4] == 400.0 and got[12] == 1200.0
+    assert got[3] == 3.0 and len(got) == 11
+
+
+def test_upsert_equality_composes_with_second_upsert(spark, tmp_path):
+    path = str(tmp_path / "equp2")
+    base = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(6)]
+    ).select("id", "v")
+    iceberg_lite.write_iceberg(spark, base, path)
+    iceberg_lite.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=1, v=10.0)]).select("id", "v"),
+        path, "id",
+    )
+    iceberg_lite.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=1, v=20.0), Row(id=9, v=90.0)])
+        .select("id", "v"),
+        path, "id",
+    )
+    got = dict(
+        (r["id"], r["v"])
+        for r in iceberg_lite.read_iceberg(spark, path).collect()
+    )
+    assert got[1] == 20.0 and got[9] == 90.0 and len(got) == 7
+
+
+def test_rewrite_data_files_folds_deletes_and_preserves_rows(
+    spark, tmp_path
+):
+    path = str(tmp_path / "compact")
+    base = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(30)]
+    ).select("id", "v").repartition(4)
+    iceberg_lite.write_iceberg(spark, base, path)
+    iceberg_lite.merge_iceberg(
+        spark,
+        spark.createDataFrame(
+            [Row(id=i, v=float(i) * 100) for i in range(0, 30, 3)]
+        ).select("id", "v"),
+        path, "id",
+    )
+    iceberg_lite.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=7, v=777.0)]).select("id", "v"),
+        path, "id",
+    )
+    before = _rows(iceberg_lite.read_iceberg(spark, path))
+    files_b, deletes_b = iceberg_lite.plan_scan(path)
+    assert deletes_b, "fixture must carry outstanding delete files"
+    stats = iceberg_lite.rewrite_data_files(spark, path, target_files=2)
+    assert stats["rewritten"] and stats["delete_files_before"] == len(deletes_b)
+    files_a, deletes_a = iceberg_lite.plan_scan(path)
+    assert deletes_a == [] and len(files_a) <= 2
+    assert _rows(iceberg_lite.read_iceberg(spark, path)) == before
+
+
+def test_rewrite_noop_without_deletes(spark, tmp_path):
+    path = str(tmp_path / "noopc")
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v"),
+        path,
+    )
+    stats = iceberg_lite.rewrite_data_files(spark, path)
+    assert stats["rewritten"] is False and stats["snapshot_id"] is None
+
+
+def test_expire_snapshots_reclaims_and_refuses_time_travel(
+    spark, tmp_path
+):
+    path = str(tmp_path / "expire")
+    base = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(20)]
+    ).select("id", "v").repartition(3)
+    iceberg_lite.write_iceberg(spark, base, path)
+    iceberg_lite.merge_iceberg(
+        spark,
+        spark.createDataFrame(
+            [Row(id=i, v=-1.0) for i in range(0, 20, 4)]
+        ).select("id", "v"),
+        path, "id",
+    )
+    iceberg_lite.rewrite_data_files(spark, path, target_files=1)
+    expected = _rows(iceberg_lite.read_iceberg(spark, path))
+    import glob as _glob
+
+    n_parquet_before = len(
+        _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    stats = iceberg_lite.expire_snapshots(path, keep_last=1)
+    assert stats["expired"] == [1, 2]
+    assert stats["deleted_files"] > 0
+    n_parquet_after = len(
+        _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    assert n_parquet_after < n_parquet_before
+    # the current snapshot still reads identically
+    assert _rows(iceberg_lite.read_iceberg(spark, path)) == expected
+    # time travel to an expired snapshot REFUSES rather than returning a
+    # partially-reclaimed view
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="snapshot"):
+        iceberg_lite.read_iceberg(spark, path, snapshot_id=1)
+
+
+def test_expire_keeps_snapshots_newer_than_cutoff(spark, tmp_path):
+    path = str(tmp_path / "expcut")
+    df = spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v")
+    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=2, v=2.0)]).select("id", "v"),
+        path,
+    )
+    # cutoff in the distant past: nothing qualifies as old, so nothing
+    # expires even with keep_last=1
+    stats = iceberg_lite.expire_snapshots(path, keep_last=1, older_than_ms=0)
+    assert stats["expired"] == [] and stats["deleted_files"] == 0
+    assert len(iceberg_lite.snapshot_ids(path)) == 2
