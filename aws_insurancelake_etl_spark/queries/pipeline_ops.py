@@ -2716,3 +2716,186 @@ def dq_match_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(o.rule, bool(o.passed)) for o in outcomes],
         "rule string, passed boolean",
     )
+
+
+@register(
+    "sink_iceberg_eq_upsert",
+    """
+    SELECT o_orderkey, o_orderstatus, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 22 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 300 AS BIGINT)
+        FROM orders WHERE o_orderkey % 22 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 11 = 5
+    )
+    """,
+)
+def sink_iceberg_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-DELETE write path (round 8): the Flink-CDC
+    streaming-upsert shape — ``upsert_iceberg_equality`` commits ONE
+    snapshot holding an equality-delete file (``content=2``,
+    ``equality_ids`` resolved through the metadata schema's field ids)
+    with the source's distinct keys plus the source as new data files.
+    Under the reader's STRICT sequence rule the delete erases only
+    OLDER rows, so the same-snapshot inserts survive: an upsert with no
+    target scan at all (contrast ``sink_iceberg_merge_mor``, which must
+    find matched positions).  This exercises the reader's equality
+    branch against our OWN writer rather than doctored fixtures
+    (VERDICT r7 item 5).  The gate creates the table from orders keys
+    %11==0, upserts tripled-price updates (%22==0) plus new keys
+    (%11==5), asserts the planned delete file is content=2 with global
+    scope, and reads back; the oracle computes the upsert
+    relationally."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-equp-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 11 == 0).repartition(3), tbl
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 22 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+    )
+    inserts = base.where(F.col("o_orderkey") % 11 == 5).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    stats = iceberg_lite.upsert_iceberg_equality(
+        spark, updates.unionByName(inserts), tbl, "o_orderkey"
+    )
+    if stats["delete_files"] < 1:
+        raise RuntimeError("equality upsert landed no delete file")
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    eq = [d for d in deletes if d.content == 2]
+    if not eq or any(d.partition_scope != () for d in eq):
+        raise RuntimeError(f"expected global-scope equality deletes: {eq}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_iceberg_compaction",
+    """
+    SELECT o_orderkey, o_orderstatus, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 8 = 0 AND o_orderkey % 16 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 300 AS BIGINT)
+        FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey % 32 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'E',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 500 AS BIGINT)
+        FROM orders WHERE o_orderkey % 32 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 8 = 3
+        UNION ALL
+        SELECT o_orderkey, 'P',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 8 = 5
+    )
+    """,
+)
+def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MOR MAINTENANCE (round 8, VERDICT r7 item 1): the
+    reference's entity table is MERGE'd every run
+    (``etl_consume_entity_match.py:449-455``); each MOR MERGE adds
+    delete files and nothing reclaimed them, so read amplification grew
+    without bound.  The gate layers a position-delete MERGE
+    (``merge_iceberg``) on a 4-file table, then an equality-delete
+    upsert (``upsert_iceberg_equality``), verifies the plan carries
+    BOTH delete-file kinds, runs ``rewrite_data_files`` (asserting the
+    delete count drops to 0, the data-file count drops, and the row
+    count is unchanged), then ``expire_snapshots`` (asserting
+    superseded bytes actually leave the disk and time travel to the
+    expired snapshot refuses).  The returned read is post-maintenance;
+    the oracle recomputes the layered upserts relationally, so any row
+    the compaction lost or resurrected diverges."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-compact-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 8 == 0).repartition(4), tbl
+    )
+    merge_src = (
+        base.where(F.col("o_orderkey") % 16 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+        .unionByName(
+            base.where(F.col("o_orderkey") % 8 == 3).withColumn(
+                "o_orderstatus", F.lit("N")
+            )
+        )
+    )
+    iceberg_lite.merge_iceberg(spark, merge_src, tbl, "o_orderkey")
+    upsert_src = (
+        base.where(F.col("o_orderkey") % 32 == 0)
+        .withColumn("o_orderstatus", F.lit("E"))
+        .withColumn("price_cents", F.col("price_cents") * 5)
+        .unionByName(
+            base.where(F.col("o_orderkey") % 8 == 5).withColumn(
+                "o_orderstatus", F.lit("P")
+            )
+        )
+    )
+    iceberg_lite.upsert_iceberg_equality(spark, upsert_src, tbl, "o_orderkey")
+    files_b, deletes_b = iceberg_lite.plan_scan(tbl)
+    if {d.content for d in deletes_b} != {1, 2}:
+        raise RuntimeError(
+            f"fixture must carry both delete kinds: {deletes_b}"
+        )
+    rows_before = iceberg_lite.read_iceberg(spark, tbl).count()
+    stats = iceberg_lite.rewrite_data_files(spark, tbl, target_files=3)
+    files_a, deletes_a = iceberg_lite.plan_scan(tbl)
+    if deletes_a or len(files_a) >= len(files_b) or not stats["rewritten"]:
+        raise RuntimeError(
+            f"compaction ineffective: {len(files_b)}+{len(deletes_b)}del "
+            f"-> {len(files_a)}+{len(deletes_a)}del"
+        )
+    exp = iceberg_lite.expire_snapshots(tbl, keep_last=1)
+    if exp["deleted_files"] <= 0:
+        raise RuntimeError("expire_snapshots reclaimed nothing")
+    try:
+        iceberg_lite.read_iceberg(spark, tbl, snapshot_id=1)
+        raise RuntimeError("time travel to expired snapshot must refuse")
+    except iceberg_lite.IcebergLiteError:
+        pass
+    on_disk = set(
+        _glob.glob(_os.path.join(tbl, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    if not on_disk <= {f.path for f in files_a}:
+        raise RuntimeError(
+            f"expire left orphan data files: {sorted(on_disk - {f.path for f in files_a})[:3]}"
+        )
+    out = iceberg_lite.read_iceberg(spark, tbl)
+    if out.count() != rows_before:
+        raise RuntimeError("maintenance changed the row count")
+    return out
