@@ -2899,3 +2899,281 @@ def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.count() != rows_before:
         raise RuntimeError("maintenance changed the row count")
     return out
+
+
+def add_deletion_vector(
+    spark, table_path: str, rel_path: str, positions, storage: str = "u"
+) -> None:
+    """Doctor a delta_lite table with a DELETION VECTOR commit
+    (PROTOCOL.md §Deletion Vectors): remove ``rel_path``'s add action
+    and re-add it with a ``deletionVector`` descriptor hiding
+    ``positions``.  ``storage='u'`` writes the roaring bitmap to a
+    ``deletion_vector_<uuid>.bin`` sidecar (1-byte format version, then
+    per-DV big-endian size + payload + CRC32) and z85-encodes the UUID
+    into the descriptor; ``storage='i'`` z85-inlines the (zero-padded)
+    bitmap itself.  This is the independent-encoder fixture for the
+    ``src_delta_deletion_vectors`` gate and tests — the reader under
+    test shares only the byte-level spec."""
+    import os as _os
+    import struct as _struct
+    import uuid as _uuid_mod
+    import zlib as _zlib
+    from dataclasses import replace as _dc_replace
+
+    from ..sources import delta_lite, roaring
+
+    snap = delta_lite.snapshot(table_path)
+    by_rel = {f.path: f for f in snap.files}
+    add = by_rel[rel_path]
+    data = roaring.encode_delta_dv(positions)
+    if storage == "u":
+        u = _uuid_mod.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        with open(_os.path.join(table_path, name), "wb") as fh:
+            fh.write(b"\x01")
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", _zlib.crc32(data) & 0xFFFFFFFF))
+        dv = {
+            "storageType": "u",
+            "pathOrInlineDv": roaring.z85_encode(u.bytes),
+            "offset": 1,
+            "sizeInBytes": len(data),
+            "cardinality": len(list(positions)),
+        }
+    elif storage == "i":
+        pad = (-len(data)) % 4
+        dv = {
+            "storageType": "i",
+            "pathOrInlineDv": roaring.z85_encode(data + b"\x00" * pad),
+            "offset": 0,
+            "sizeInBytes": len(data),
+            "cardinality": len(list(positions)),
+        }
+    else:
+        raise ValueError(f"storage must be 'u' or 'i', got {storage!r}")
+    import time as _time
+
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "engine": "dv-fixture",
+                "timestamp": int(_time.time() * 1000),
+            }
+        },
+        {
+            "remove": {
+                "path": add.path,
+                "deletionTimestamp": int(_time.time() * 1000),
+                "dataChange": True,
+            }
+        },
+        delta_lite._add_json(_dc_replace(add, deletion_vector=dv)),
+    ]
+    version = snap.version + 1
+    if not delta_lite._try_commit(
+        delta_lite._log_dir(table_path), version, actions
+    ):
+        raise RuntimeError(f"fixture commit {version} lost a race")
+
+
+def build_column_mapped_table(
+    spark, df, table_path: str, physical, partition_by=None
+) -> None:
+    """Hand-write a COLUMN-MAPPED delta table (PROTOCOL.md §Column
+    Mapping, mode=name): the parquet files carry PHYSICAL column names
+    (``physical``: logical -> physical map), the log's schemaString maps
+    them back via ``delta.columnMapping.physicalName`` field metadata,
+    ``partitionColumns`` stay logical while add actions'
+    ``partitionValues`` are keyed physically — the exact asymmetry a
+    mapped table written by delta-spark shows.  Fixture for
+    ``src_delta_column_mapping`` and tests."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql.types import StructField, StructType
+
+    from ..sources import delta_lite
+
+    logical_cols = list(df.columns)
+    part_logical = list(partition_by or [])
+    df_phys = df.select(
+        *[F.col(c).alias(physical[c]) for c in logical_cols]
+    )
+    _os.makedirs(table_path, exist_ok=True)
+    staging = _tempfile.mkdtemp(prefix="_cm_stage_", dir=table_path)
+    try:
+        adds = delta_lite._stage_from(
+            df_phys, table_path, [physical[c] for c in part_logical], staging
+        )
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    fields = [
+        StructField(
+            f.name,
+            df.schema[f.name].dataType,
+            True,
+            metadata={
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": physical[f.name],
+            },
+        )
+        for i, f in enumerate(df.schema.fields)
+    ]
+    actions = [
+        {"commitInfo": {"operation": "CREATE", "engine": "cm-fixture",
+                        "timestamp": int(_time.time() * 1000)}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "cm-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": StructType(fields).json(),
+                "partitionColumns": part_logical,
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(len(fields)),
+                },
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ]
+    actions += [delta_lite._add_json(a) for a in adds]
+    if not delta_lite._try_commit(delta_lite._log_dir(table_path), 0, actions):
+        raise RuntimeError("fixture commit 0 lost a race")
+
+
+@register(
+    "src_delta_deletion_vectors",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    ), f1 AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS p
+        FROM base WHERE o_orderkey % 6 = 0
+    ), f2 AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS p
+        FROM base WHERE o_orderkey % 6 = 1
+    )
+    SELECT o_orderkey, price_cents FROM f1
+    WHERE NOT (p < 4 OR p % 9 = 0)
+    UNION ALL
+    SELECT o_orderkey, price_cents FROM f2 WHERE p % 13 <> 5
+    """,
+)
+def src_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS read (round 8, VERDICT r7 item 2): modern
+    writers (Databricks defaults, delta-rs >= 0.15) mark deleted rows
+    with a roaring-bitmap sidecar instead of rewriting the file; a
+    reader refusing protocol >= 2 cannot read the first table a user
+    points it at.  The gate writes two single-file sorted commits (row
+    position p = p-th smallest key), doctors a DV onto EACH — file 1
+    via the 'u' sidecar storage (uuid z85 path, BE size + payload +
+    CRC32), file 2 via the 'i' inline-z85 storage — and reads latest.
+    ``delta_lite`` decodes the bitmaps EXECUTOR-side (mapInPandas) and
+    anti-joins on ``_metadata.row_index``, the same shape as Iceberg
+    position deletes.  The oracle recomputes the survivors from the
+    ordinal rule."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-dv-") + "/t"
+    counts = {}
+    rels = {}
+    seen: set = set()
+    for mod in (0, 1):
+        df = (
+            base.where(F.col("o_orderkey") % 6 == mod)
+            .orderBy("o_orderkey")
+            .coalesce(1)
+        )
+        delta_lite.write_delta(df, tbl)
+        snap = delta_lite.snapshot(tbl)
+        # snapshot files sort by PATH, not commit order: the new file is
+        # the one not seen at the previous version
+        (new,) = [f for f in snap.files if f.path not in seen]
+        rels[mod] = new.path
+        counts[mod] = (new.stats or {})["numRecords"]
+        seen = {f.path for f in snap.files}
+    add_deletion_vector(
+        spark, tbl, rels[0],
+        [p for p in range(counts[0]) if p < 4 or p % 9 == 0],
+        storage="u",
+    )
+    add_deletion_vector(
+        spark, tbl, rels[1],
+        [p for p in range(counts[1]) if p % 13 == 5],
+        storage="i",
+    )
+    files = delta_lite.snapshot(tbl).files
+    if sum(1 for f in files if f.deletion_vector) != 2:
+        raise RuntimeError("fixture must carry two DV files")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "src_delta_column_mapping",
+    """
+    SELECT c_custkey AS customer_id,
+           c_mktsegment AS segment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS balance_cents
+    FROM customer
+    WHERE c_custkey % 3 = 0 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def src_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING read (round 8, VERDICT r7 item 2): a mapped
+    table's parquet files carry opaque PHYSICAL column names (and
+    physical partition dirs / partitionValues keys) that only the
+    schemaString's ``delta.columnMapping.physicalName`` metadata can
+    resolve back to logical names — the rename-safe layout every
+    Databricks-default table uses.  The gate hand-builds a mode=name
+    table over customer (physical names ``col-<hex>``), verifies the
+    raw parquet really is physically named, then reads through
+    ``delta_lite`` with a LOGICAL partition filter; the oracle is the
+    plain relational subset under logical names."""
+    from ..sources import delta_lite
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-cm-") + "/t"
+    build_column_mapped_table(
+        spark,
+        cust.where(F.col("customer_id") % 3 == 0),
+        tbl,
+        physical={
+            "customer_id": "col-1f0a9e2b",
+            "segment": "col-8c44d7aa",
+            "balance_cents": "col-33e1b0c5",
+        },
+        partition_by=["segment"],
+    )
+    snap = delta_lite.snapshot(tbl)
+    raw = spark.read.parquet(f"{tbl}/{snap.files[0].path}")
+    if "customer_id" in raw.columns or "col-1f0a9e2b" not in raw.columns:
+        raise RuntimeError(f"fixture not physically named: {raw.columns}")
+    part_a = delta_lite.read_delta(
+        spark, tbl, partition_filter={"segment": "BUILDING"}
+    )
+    part_b = delta_lite.read_delta(
+        spark, tbl, partition_filter={"segment": "MACHINERY"}
+    )
+    return part_a.unionByName(part_b)

@@ -69,6 +69,16 @@ from pyspark.sql.types import (
 CHECKPOINT_INTERVAL = 10
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+#: reader protocol features this module implements (PROTOCOL.md table
+#: features): column mapping (name/id modes, physical-name resolution)
+#: and deletion vectors (roaring-bitmap row tombstones).  timestampNtz
+#: is a type-level feature Spark reads natively.  Anything else raises
+#: a named error instead of silently misreading.
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+}
 
 
 class DeltaLiteError(RuntimeError):
@@ -90,6 +100,11 @@ class AddFile:
     #: Delta's data-skipping stats: {"numRecords", "minValues",
     #: "maxValues"} for primitive leaf columns, from the parquet footer
     stats: dict | None = None
+    #: PROTOCOL.md §Deletion Vectors descriptor: {storageType ('u'
+    #: relative-with-z85-uuid | 'i' inline-z85 | 'p' absolute),
+    #: pathOrInlineDv, offset, sizeInBytes, cardinality} — row indexes
+    #: of THIS file that are deleted, as a roaring bitmap
+    deletion_vector: dict | None = None
 
 
 @dataclass
@@ -150,12 +165,28 @@ def _apply_action(state: dict, action: dict) -> None:
         state["metaData"] = action["metaData"]
     elif "protocol" in action:
         p = action["protocol"]
-        if p.get("minReaderVersion", 1) > 1:
-            raise DeltaLiteError(
-                f"unsupported minReaderVersion={p['minReaderVersion']} "
-                "(delta_lite reads protocol version 1: no column mapping "
-                "or deletion vectors)"
+        reader = p.get("minReaderVersion", 1)
+        if reader == 3:
+            # table-features protocol: the feature LIST is authoritative
+            if p.get("readerFeatures") is None:
+                raise DeltaLiteError(
+                    "malformed protocol: minReaderVersion=3 requires a "
+                    "readerFeatures list"
+                )
+            unsupported = sorted(
+                set(p.get("readerFeatures")) - _SUPPORTED_READER_FEATURES
             )
+            if unsupported:
+                raise DeltaLiteError(
+                    f"unsupported readerFeatures {unsupported} "
+                    f"(delta_lite reads {sorted(_SUPPORTED_READER_FEATURES)})"
+                )
+        elif reader > 3:
+            raise DeltaLiteError(
+                f"unsupported minReaderVersion={reader} (delta_lite reads "
+                "protocol versions 1-3)"
+            )
+        # reader version 2 = column mapping, implemented below
         state["protocol"] = p
     elif "add" in action:
         a = action["add"]
@@ -173,6 +204,7 @@ def _apply_action(state: dict, action: dict) -> None:
             modification_time=int(a.get("modificationTime", 0)),
             data_change=bool(a.get("dataChange", True)),
             stats=raw_stats if isinstance(raw_stats, dict) else None,
+            deletion_vector=a.get("deletionVector") or None,
         )
         state["removes"].pop(rel, None)
     elif "remove" in action:
@@ -307,48 +339,281 @@ def _hive_consistent(files, part_cols) -> bool:
     return True
 
 
+def _column_mapping_mode(configuration: dict) -> str:
+    mode = str(configuration.get("delta.columnMapping.mode", "none")).lower()
+    if mode not in ("none", "name", "id"):
+        raise DeltaLiteError(f"unknown delta.columnMapping.mode {mode!r}")
+    return mode
+
+
+def _contains_struct(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_struct(dt.elementType)
+    if isinstance(dt, MapType):
+        return _contains_struct(dt.keyType) or _contains_struct(dt.valueType)
+    return False
+
+
+def _physical_names(schema: StructType) -> dict:
+    """logical -> physical column names from the schemaString field
+    metadata (PROTOCOL.md §Column Mapping: every field carries
+    ``delta.columnMapping.physicalName`` once mapping is enabled; both
+    'name' and 'id' mode writers emit it, so physical-name resolution
+    reads either).  Honest limit: nested struct fields have their own
+    physical names that a top-level alias cannot rewrite — raised, not
+    misread."""
+    out = {}
+    for f in schema.fields:
+        if _contains_struct(f.dataType):
+            raise DeltaLiteError(
+                f"column mapping over nested struct column {f.name!r} is "
+                "not supported by delta_lite (nested fields carry their "
+                "own physical names)"
+            )
+        meta = f.metadata or {}
+        phys = meta.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaLiteError(
+                "column mapping enabled but field "
+                f"{f.name!r} has no delta.columnMapping.physicalName"
+            )
+        out[f.name] = phys
+    return out
+
+
+def _resolve_dv_path(table_path: str, dv: dict) -> tuple[str, str]:
+    """Resolve a deletionVector descriptor to ('file', absolute path) or
+    ('inline', z85 payload) per PROTOCOL.md storage types: 'u' = table-
+    relative with an optional random prefix and a z85-encoded UUID (the
+    on-disk name is ``deletion_vector_<uuid>.bin``), 'p' = absolute
+    path, 'i' = the bitmap itself z85-inlined in the log."""
+    import uuid as _uuid_mod
+
+    stype = dv.get("storageType")
+    payload = dv.get("pathOrInlineDv") or ""
+    if stype == "i":
+        return "inline", payload
+    if stype == "p":
+        return "file", payload
+    if stype == "u":
+        if len(payload) < 20:
+            raise DeltaLiteError(f"deletionVector uuid payload too short: {payload!r}")
+        prefix, enc = payload[:-20], payload[-20:]
+        from .roaring import z85_decode
+
+        u = _uuid_mod.UUID(bytes=z85_decode(enc))
+        name = f"deletion_vector_{u}.bin"
+        parts = [table_path] + ([prefix] if prefix else []) + [name]
+        return "file", os.path.join(*parts)
+    raise DeltaLiteError(f"unknown deletionVector storageType {stype!r}")
+
+
+def _dv_positions_df(spark: SparkSession, snap: Snapshot, files) -> DataFrame:
+    """Deleted (file, row_index) pairs for every file carrying a
+    deletion vector, decoded EXECUTOR-SIDE: the driver ships only the
+    O(files) descriptor rows; each Arrow batch task opens its DV (or
+    decodes the inline z85), verifies the CRC32 + cardinality, and
+    explodes the roaring bitmap into positions — at 100 TB the bitmaps
+    never transit the driver."""
+    rows = []
+    for f in files:
+        kind, payload = _resolve_dv_path(snap.table_path, f.deletion_vector)
+        rows.append(
+            (
+                quote(os.path.join(snap.table_path, f.path), safe="/="),
+                kind,
+                payload,
+                int(f.deletion_vector.get("offset") or 0),
+                int(f.deletion_vector.get("sizeInBytes") or 0),
+                int(f.deletion_vector.get("cardinality", -1)),
+            )
+        )
+    desc = spark.createDataFrame(
+        rows,
+        "__dv_file string, kind string, payload string, "
+        "offset long, size long, cardinality long",
+    )
+
+    def decode(batches):
+        import struct as _struct
+        import zlib
+
+        import pandas as pd
+
+        from . import roaring
+
+        for pdf in batches:
+            # name=None: the dunder column names are not valid
+            # namedtuple fields, so take plain positional tuples
+            for dv_file, kind, payload, offset, size, card in pdf.itertuples(
+                index=False, name=None
+            ):
+                if kind == "inline":
+                    # z85 works in 4-byte groups; writers zero-pad and
+                    # sizeInBytes holds the true bitmap length
+                    data = roaring.z85_decode(payload)
+                    if size:
+                        data = data[:size]
+                else:
+                    with open(payload, "rb") as fh:
+                        version = fh.read(1)
+                        if version != b"\x01":
+                            raise DeltaLiteError(
+                                f"unsupported DV file format version "
+                                f"{version!r} in {payload}"
+                            )
+                        fh.seek(offset)
+                        (n,) = _struct.unpack(">i", fh.read(4))
+                        data = fh.read(n)
+                        (crc,) = _struct.unpack(">i", fh.read(4))
+                    if zlib.crc32(data) & 0xFFFFFFFF != crc & 0xFFFFFFFF:
+                        raise DeltaLiteError(
+                            f"DV checksum mismatch in {payload}@{offset}"
+                        )
+                if size and len(data) != size:
+                    raise DeltaLiteError(
+                        f"DV sizeInBytes {size} != stored {len(data)}"
+                    )
+                positions = roaring.decode_delta_dv(data)
+                if card >= 0 and len(positions) != card:
+                    raise DeltaLiteError(
+                        f"DV cardinality {card} != decoded {len(positions)}"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "__dv_file": pd.Series(
+                            [dv_file] * len(positions), dtype="object"
+                        ),
+                        "__dv_pos": pd.Series(positions, dtype="int64"),
+                    }
+                )
+
+    return desc.mapInPandas(decode, "__dv_file string, __dv_pos long")
+
+
 def _read_snapshot(
     spark: SparkSession, snap: Snapshot, partition_filter=None, with_path=False
 ) -> DataFrame:
     schema = snap.schema
-    part_cols = snap.partition_columns
-    files = _prune(snap.files, partition_filter)
-    path_col = [F.col("_metadata.file_path").alias("__dl_path")] if with_path else []
+    mode = _column_mapping_mode(snap.configuration)
+    if mode != "none":
+        phys = _physical_names(schema)
+    else:
+        phys = {f.name: f.name for f in schema.fields}
+    inv = {p: l for l, p in phys.items()}
+    # normalize: partitionColumns may name columns logically or
+    # physically depending on the writer; partitionValues under mapping
+    # are keyed by PHYSICAL name — resolve both through the map
+    part_logical = [inv.get(c, c) for c in snap.partition_columns]
+    part_cols = [phys[c] for c in part_logical]  # physical partition cols
+    read_schema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    files = [
+        _PhysFile(
+            f, {phys.get(k, k): v for k, v in f.partition_values.items()}
+        )
+        for f in snap.files
+    ]
+    if partition_filter:
+        want = {
+            phys.get(k, k): _pv_str(v) for k, v in partition_filter.items()
+        }
+        files = [
+            pf
+            for pf in files
+            if all(pf.partition_values.get(k) == v for k, v in want.items())
+        ]
+    dv_files = [pf.add for pf in files if pf.add.deletion_vector]
+    need_meta = with_path or bool(dv_files)
+    final_cols = [F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+    path_col = [F.col("__dl_path")] if with_path else []
+    meta_cols = (
+        [
+            F.col("_metadata.file_path").alias("__dl_path"),
+            F.col("_metadata.row_index").alias("__dl_pos"),
+        ]
+        if need_meta
+        else []
+    )
     if not files:
         df = spark.createDataFrame([], schema)
         return df.withColumn("__dl_path", F.lit(None).cast("string")) if with_path else df
-    abs_paths = [os.path.join(snap.table_path, f.path) for f in files]
+    abs_paths = [os.path.join(snap.table_path, pf.path) for pf in files]
     if not part_cols:
-        df = spark.read.schema(schema).parquet(*abs_paths)
-        return df.select(*[F.col(f.name) for f in schema.fields], *path_col)
-    if _hive_consistent(files, part_cols):
+        df = spark.read.schema(read_schema).parquet(*abs_paths)
+        df = df.select("*", *meta_cols)
+    elif _hive_consistent(files, part_cols):
         df = (
-            spark.read.schema(schema)
+            spark.read.schema(read_schema)
             .option("basePath", snap.table_path)
             .parquet(*abs_paths)
         )
-        return df.select(*[F.col(f.name) for f in schema.fields], *path_col)
-    # General path (third-party non-Hive layout): the LOG is the
-    # authority on partition values — group files by partition tuple and
-    # attach the literals.  Group count = distinct partition tuples read.
-    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
-    by_tuple = {}
-    for f in files:
-        key = tuple(f.partition_values.get(c) for c in part_cols)
-        by_tuple.setdefault(key, []).append(
-            os.path.join(snap.table_path, f.path)
+        df = df.select("*", *meta_cols)
+    else:
+        # General path (third-party non-Hive layout): the LOG is the
+        # authority on partition values — group files by partition tuple
+        # and attach the literals.  Group count = distinct tuples read.
+        data_schema = StructType(
+            [f for f in read_schema.fields if f.name not in part_cols]
         )
-    parts = []
-    for key, paths in sorted(by_tuple.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for col, raw in zip(part_cols, key):
-            dtype = schema[col].dataType
-            df = df.withColumn(
-                col,
-                F.lit(raw).cast(dtype) if raw is not None else F.lit(None).cast(dtype),
+        by_tuple = {}
+        for pf in files:
+            key = tuple(pf.partition_values.get(c) for c in part_cols)
+            by_tuple.setdefault(key, []).append(
+                os.path.join(snap.table_path, pf.path)
             )
-        parts.append(df.select(*[F.col(f.name) for f in schema.fields], *path_col))
-    return reduce(lambda a, b: a.unionByName(b), parts)
+        parts = []
+        for key, paths in sorted(by_tuple.items(), key=lambda kv: str(kv[0])):
+            part_df = spark.read.schema(data_schema).parquet(*paths)
+            part_df = part_df.select("*", *meta_cols)
+            for col, raw in zip(part_cols, key):
+                dtype = read_schema[col].dataType
+                part_df = part_df.withColumn(
+                    col,
+                    F.lit(raw).cast(dtype)
+                    if raw is not None
+                    else F.lit(None).cast(dtype),
+                )
+            parts.append(part_df)
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+    if dv_files:
+        # PROTOCOL.md §Deletion Vectors: a file's DV names the ROW
+        # INDEXES to hide — the same per-file ordinal Spark exposes as
+        # _metadata.row_index — applied as one distributed anti-join
+        # (the exact shape iceberg_lite uses for position deletes)
+        pos_df = _dv_positions_df(spark, snap, dv_files)
+        scan_file = F.regexp_replace(F.col("__dl_path"), "^file:/+", "/")
+        df = df.join(
+            pos_df,
+            (scan_file == F.col("__dv_file"))
+            & (F.col("__dl_pos") == F.col("__dv_pos")),
+            "left_anti",
+        )
+    return df.select(*final_cols, *path_col)
+
+
+class _PhysFile:
+    """An AddFile with its partitionValues re-keyed to PHYSICAL column
+    names (identity map when column mapping is off)."""
+
+    __slots__ = ("add", "partition_values")
+
+    def __init__(self, add: AddFile, partition_values: dict):
+        self.add = add
+        self.partition_values = partition_values
+
+    @property
+    def path(self) -> str:
+        return self.add.path
 
 
 def read_delta(
@@ -506,6 +771,10 @@ def _add_json(a: AddFile) -> dict:
     if a.stats is not None:
         # per spec, stats travel as a JSON STRING inside the action
         payload["add"]["stats"] = json.dumps(a.stats, separators=(",", ":"))
+    if a.deletion_vector is not None:
+        # restore/checkpoint must carry the DV forward — dropping it
+        # would resurrect the deleted rows
+        payload["add"]["deletionVector"] = a.deletion_vector
     return payload
 
 
@@ -558,6 +827,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         if a.stats is not None
                         else None
                     ),
+                    "deletionVector": a.deletion_vector,
                 },
                 "remove": None,
             }
@@ -606,6 +876,18 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int64()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -676,6 +958,7 @@ def write_delta(
     evolved = False
     if is_delta_table(path):
         existing = snapshot(path)
+        _guard_writable(existing)
         if mode == "append":
             if partition_by and partition_by != existing.partition_columns:
                 raise DeltaLiteError(
@@ -785,6 +1068,18 @@ def write_delta(
     return version
 
 
+def _guard_writable(snap: Snapshot) -> None:
+    """delta_lite WRITES to column-mapped tables are unsupported (the
+    writer would have to emit physical column names in the parquet and
+    partitionValues); reads work — raise the honest named error rather
+    than committing a file the mapping-aware readers cannot resolve."""
+    if _column_mapping_mode(snap.configuration) != "none":
+        raise DeltaLiteError(
+            "delta_lite supports column-mapped tables READ-ONLY; "
+            "writing requires physical-name emission it does not do"
+        )
+
+
 # --------------------------------------------------------------- merge
 
 
@@ -846,6 +1141,7 @@ def _merge_once(
     ``ConcurrentWriteError`` (after discarding staged files) if another
     writer claims the version first."""
     snap = snapshot(path)
+    _guard_writable(snap)
     schema_cols = [f.name for f in snap.schema.fields]
     if [f.name for f in source.schema.fields] != schema_cols:
         source = source.select(*schema_cols)  # raises if a column is missing
@@ -952,7 +1248,12 @@ def _merge_once(
                     "_change_type", F.lit("update_preimage")
                 )
                 .unionByName(
-                    src.join(F.broadcast(matched_keys), keys, "left_semi")
+                    # one postimage PER MATCHED TARGET ROW (not per
+                    # source row): when several target rows share a
+                    # merge key, consumers expect pre/postimages to
+                    # pair up 1:1, as real Delta emits (ADVICE r7)
+                    matched_target.select(*keys)
+                    .join(src, keys, "inner")
                     .withColumn("_change_type", F.lit("update_postimage"))
                 )
                 .unionByName(
@@ -1008,7 +1309,14 @@ def vacuum(path: str, retention_ms: int = 0) -> list:
     come from snapshot replay (JSON tail AND checkpoints carry them),
     so vacuum keeps working after old commits age out.  Returns the
     deleted relative paths.  (Time travel past a vacuum loses data, as
-    in real Delta — callers own the retention trade-off.)"""
+    in real Delta — callers own the retention trade-off.)
+
+    ``_change_data`` files age out the same way (real VACUUM deletes
+    CDC files past retention — ADVICE r7): a change file is reclaimed
+    when its commit's timestamp is past the window, or — for cdc
+    actions whose commit JSON itself aged out past a checkpoint — when
+    the file's mtime is.  The change FEED for those versions is gone
+    afterwards, exactly like time travel past a vacuumed version."""
     snap = snapshot(path)
     live = {a.path for a in snap.files}
     cutoff = int(time.time() * 1000) - retention_ms
@@ -1018,6 +1326,37 @@ def vacuum(path: str, retention_ms: int = 0) -> list:
         if rel not in live and ts <= cutoff and os.path.exists(target):
             os.remove(target)
             deleted.append(rel)
+    cdc_dir = os.path.join(path, "_change_data")
+    if os.path.isdir(cdc_dir):
+        # commit timestamp per referenced change file, from the
+        # surviving JSON tail
+        ref_ts: dict[str, int] = {}
+        log_dir = _log_dir(path)
+        for v in _json_versions(log_dir):
+            commit = os.path.join(log_dir, f"{v:020d}.json")
+            commit_ts = None
+            cdc_rels = []
+            with open(commit, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        cdc_rels.append(unquote(action["cdc"]["path"]))
+                    elif "commitInfo" in action:
+                        commit_ts = action["commitInfo"].get("timestamp")
+            if commit_ts is None:
+                commit_ts = int(os.path.getmtime(commit) * 1000)
+            for rel in cdc_rels:
+                ref_ts[rel] = commit_ts
+        for name in sorted(os.listdir(cdc_dir)):
+            rel = f"_change_data/{name}"
+            target = os.path.join(cdc_dir, name)
+            ts = ref_ts.get(rel, int(os.path.getmtime(target) * 1000))
+            if ts <= cutoff:
+                os.remove(target)
+                deleted.append(rel)
     return deleted
 
 
@@ -1043,6 +1382,7 @@ def optimize(
     overhead (footers, scheduling) once files shrink below
     ~maxPartitionBytes."""
     snap = snapshot(path)
+    _guard_writable(snap)
     if not snap.files:
         return {"version": snap.version, "files_before": 0, "files_after": 0}
     df = _read_snapshot(spark, snap)
@@ -1106,6 +1446,7 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
     list).  Returns {"version", "rows_deleted", "files_rewritten",
     "files_kept"}."""
     snap = snapshot(path)
+    _guard_writable(snap)
     target = _read_snapshot(spark, snap, with_path=True)
     cond = F.expr(predicate)
     touched_uris = {
@@ -1227,6 +1568,7 @@ def read_change_feed(
     path: str,
     starting_version: int = 0,
     ending_version=None,
+    allow_derived: bool = False,
 ) -> DataFrame:
     """Delta Change Data Feed: row-level changes for a version range —
     the incremental-consumer shape (``table_changes(...)``) a training
@@ -1245,7 +1587,16 @@ def read_change_feed(
     A MERGE/DELETE commit written WITHOUT the feed enabled cannot be
     derived faithfully (its adds mix survivors with updates) and raises.
     Output = table columns + ``_change_type``, ``_commit_version``,
-    ``_commit_timestamp``."""
+    ``_commit_timestamp``.
+
+    Like real Delta's ``table_changes``, a version committed while
+    ``delta.enableChangeDataFeed`` was NOT set raises even when it is
+    mechanically derivable (an append/overwrite) — upstream would
+    refuse to produce that feed, so producing it silently would hand
+    consumers changes the producer never promised (ADVICE r7).
+    ``allow_derived=True`` opts into deriving those versions anyway.
+    Adds carrying deletion vectors cannot be derived (the row delta
+    lives in a bitmap diff) and raise."""
     snap = snapshot(path)
     start = int(starting_version)
     end = snap.version if ending_version is None else int(ending_version)
@@ -1253,6 +1604,10 @@ def read_change_feed(
         raise DeltaLiteError(
             f"change-feed range [{start}, {end}] outside 0..{snap.version}"
         )
+    # CDF enablement is a table property: track it along the range so a
+    # mid-history ALTER is honored (config at the range start from one
+    # replay, then metaData actions inside the range update it)
+    cdf_on = _cdf_enabled(snapshot(path, start))
     data_cols = [f.name for f in snap.schema.fields]
     cdc_schema = StructType(
         list(snap.schema.fields)
@@ -1280,6 +1635,12 @@ def read_change_feed(
                     )
                 elif "add" in action and action["add"].get("dataChange", True):
                     a = action["add"]
+                    if a.get("deletionVector"):
+                        raise DeltaLiteError(
+                            f"change feed cannot derive version {v}: add "
+                            f"action for {a['path']!r} carries a deletion "
+                            "vector (the row delta is a bitmap diff)"
+                        )
                     add_files.append(
                         AddFile(
                             path=unquote(a["path"]),
@@ -1295,6 +1656,14 @@ def read_change_feed(
                 elif "commitInfo" in action:
                     operation = action["commitInfo"].get("operation")
                     ts_ms = action["commitInfo"].get("timestamp")
+                elif "metaData" in action:
+                    cdf_on = (
+                        str(
+                            (action["metaData"].get("configuration") or {})
+                            .get("delta.enableChangeDataFeed", "false")
+                        ).lower()
+                        == "true"
+                    )
         if ts_ms is None:
             ts_ms = int(os.path.getmtime(commit) * 1000)
 
@@ -1318,6 +1687,13 @@ def read_change_feed(
                 f"change feed cannot derive version {v} ({operation} "
                 "committed without delta.enableChangeDataFeed); enable the "
                 "feed before the range you need"
+            )
+        if not cdf_on and not allow_derived and (add_files or remove_rels):
+            raise DeltaLiteError(
+                f"change feed not enabled at version {v} "
+                "(delta.enableChangeDataFeed was not set when it "
+                "committed, so upstream would refuse this feed); pass "
+                "allow_derived=True to derive it from add/remove actions"
             )
         if add_files:
             s = Snapshot(
@@ -1445,6 +1821,9 @@ def restore(path: str, version: int) -> dict:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": target.schema_string,
                 "partitionColumns": target.partition_columns,
+                # carry the target's table properties: dropping them
+                # would silently disable CDF / column mapping
+                "configuration": dict(target.configuration),
                 "createdTime": now_ms,
             }
         },
@@ -1486,10 +1865,24 @@ def delta_count(spark: SparkSession, path: str, version=None) -> int:
     missing = []
     for f in snap.files:
         n = (f.stats or {}).get("numRecords")
-        if n is None:
-            missing.append(os.path.join(path, f.path))
+        if n is None or (
+            f.deletion_vector is not None
+            and f.deletion_vector.get("cardinality") is None
+        ):
+            missing.append(f)
         else:
             total += int(n)
+            if f.deletion_vector is not None:
+                # stats count PHYSICAL rows; the DV hides `cardinality`
+                total -= int(f.deletion_vector["cardinality"])
     if missing:
-        total += spark.read.parquet(*missing).count()
+        sub = Snapshot(
+            table_path=snap.table_path,
+            version=snap.version,
+            schema_string=snap.schema_string,
+            partition_columns=snap.partition_columns,
+            files=missing,
+            configuration=snap.configuration,
+        )
+        total += _read_snapshot(spark, sub).count()
     return total

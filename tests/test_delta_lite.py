@@ -213,11 +213,47 @@ def test_vacuum_deletes_only_tombstoned_files(spark, table):
 
 
 def test_unsupported_reader_version_raises(spark, table):
+    # reader-protocol gate (round 8): versions 1-3 replay; a v3 table
+    # gates on its FEATURE LIST (columnMapping / deletionVectors /
+    # timestampNtz implemented), an unknown feature or a v3 protocol
+    # missing the mandatory list raises, and v4+ raises outright
+    dl.write_delta(_people(spark, 0, 2), table)
+    log = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(log, "x", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(dl.DeltaLiteError, match="v2Checkpoint"):
+        dl.snapshot(table)
+
+
+def test_v3_protocol_without_feature_list_raises(spark, table):
     dl.write_delta(_people(spark, 0, 2), table)
     log = os.path.join(table, "_delta_log", f"{1:020d}.json")
     with open(log, "x", encoding="utf-8") as fh:
         fh.write(
             json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}})
+            + "\n"
+        )
+    with pytest.raises(dl.DeltaLiteError, match="readerFeatures"):
+        dl.snapshot(table)
+
+
+def test_reader_version_4_raises(spark, table):
+    dl.write_delta(_people(spark, 0, 2), table)
+    log = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(log, "x", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps({"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}})
             + "\n"
         )
     with pytest.raises(dl.DeltaLiteError, match="minReaderVersion"):
@@ -894,9 +930,15 @@ def test_change_feed_version_bounds(spark, table):
 
 
 def test_change_feed_derives_overwrite_as_delete_plus_insert(spark, table):
+    # CDF was never enabled on this table: matching real Delta's
+    # table_changes, the default REFUSES (upstream would not produce
+    # this feed — ADVICE r7); allow_derived=True opts into deriving
+    # the mechanically-derivable overwrite from its add/remove actions
     dl.write_delta(_people(spark, 0, 3), table)
     dl.write_delta(_people(spark, 5, 7), table, mode="overwrite")
-    feed = dl.read_change_feed(spark, table, 1, 1)
+    with pytest.raises(dl.DeltaLiteError, match="allow_derived"):
+        dl.read_change_feed(spark, table, 1, 1)
+    feed = dl.read_change_feed(spark, table, 1, 1, allow_derived=True)
     got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
     assert got == [
         ("delete", 0), ("delete", 1), ("delete", 2),

@@ -1,0 +1,264 @@
+"""Delta reader protocol >= 2: DELETION VECTORS and COLUMN MAPPING
+(round 8, VERDICT r7 item 2).  Modern Delta tables (Databricks
+defaults, delta-rs >= 0.15) routinely carry both; a reader advertising
+open-protocol compat must read them, not refuse.  Fixtures are built by
+the independent encoder in ``queries.pipeline_ops``
+(``add_deletion_vector`` / ``build_column_mapped_table``) — the reader
+under test (``sources/delta_lite.py``) shares only the byte-level spec
+(PROTOCOL.md; RoaringFormatSpec)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.queries.pipeline_ops import (
+    add_deletion_vector,
+    build_column_mapped_table,
+)
+from aws_insurancelake_etl_spark.sources import delta_lite as dl
+from aws_insurancelake_etl_spark.sources import roaring
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _one_file_table(spark, path, lo, hi):
+    """One sorted single-file commit: row position p == p-th smallest id."""
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(lo, hi)])
+        .select("id", "v")
+        .orderBy("id")
+        .coalesce(1)
+    )
+    dl.write_delta(df, path)
+    return dl.snapshot(path).files[-1].path
+
+
+# ------------------------------------------------------------ roaring
+
+
+def test_roaring_roundtrip_dense_and_multibucket():
+    vals = list(range(5000)) + [2**32 + 5, 2**33]
+    assert roaring.decode_delta_dv(roaring.encode_delta_dv(vals)) == sorted(vals)
+
+
+def test_roaring_rejects_bad_magic():
+    with pytest.raises(roaring.RoaringError, match="magic"):
+        roaring.decode_delta_dv(b"\x00" * 16)
+
+
+def test_z85_spec_vector():
+    # the reference vector from the Z85 spec (rfc.zeromq.org/spec/32)
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert roaring.z85_encode(raw) == "HelloWorld"
+    assert roaring.z85_decode("HelloWorld") == raw
+
+
+# ----------------------------------------------------- deletion vectors
+
+
+def test_dv_hides_rows_file_storage(spark, tmp_path):
+    path = str(tmp_path / "dv_u")
+    rel = _one_file_table(spark, path, 0, 10)
+    add_deletion_vector(spark, path, rel, [0, 3, 7], storage="u")
+    assert _ids(dl.read_delta(spark, path)) == [1, 2, 4, 5, 6, 8, 9]
+
+
+def test_dv_hides_rows_inline_storage(spark, tmp_path):
+    path = str(tmp_path / "dv_i")
+    rel = _one_file_table(spark, path, 0, 8)
+    add_deletion_vector(spark, path, rel, [1, 2], storage="i")
+    assert _ids(dl.read_delta(spark, path)) == [0, 3, 4, 5, 6, 7]
+
+
+def test_dv_applies_per_file_not_globally(spark, tmp_path):
+    path = str(tmp_path / "dv_two")
+    rel_a = _one_file_table(spark, path, 0, 5)
+    _one_file_table(spark, path, 10, 15)  # second commit, second file
+    # position 0 deleted ONLY in file A; file B's position 0 (id=10)
+    # must survive
+    add_deletion_vector(spark, path, rel_a, [0])
+    assert _ids(dl.read_delta(spark, path)) == [1, 2, 3, 4, 10, 11, 12, 13, 14]
+
+
+def test_dv_time_travel_sees_pre_dv_rows(spark, tmp_path):
+    path = str(tmp_path / "dv_tt")
+    rel = _one_file_table(spark, path, 0, 6)
+    add_deletion_vector(spark, path, rel, [5])
+    assert _ids(dl.read_delta(spark, path, version=0)) == list(range(6))
+    assert _ids(dl.read_delta(spark, path)) == list(range(5))
+
+
+def test_dv_delta_count_subtracts_cardinality(spark, tmp_path):
+    path = str(tmp_path / "dv_cnt")
+    rel = _one_file_table(spark, path, 0, 9)
+    add_deletion_vector(spark, path, rel, [2, 4, 6])
+    assert dl.delta_count(spark, path) == 6
+
+
+def test_dv_checksum_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "dv_crc")
+    rel = _one_file_table(spark, path, 0, 6)
+    add_deletion_vector(spark, path, rel, [1], storage="u")
+    # corrupt the DV payload on disk (keep size + CRC fields)
+    (dv_file,) = [
+        n for n in os.listdir(path) if n.startswith("deletion_vector_")
+    ]
+    full = os.path.join(path, dv_file)
+    blob = bytearray(open(full, "rb").read())
+    blob[8] ^= 0xFF
+    open(full, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="checksum|magic|cookie"):
+        dl.read_delta(spark, path).collect()
+
+
+def test_dv_merge_rewrites_touched_file_and_drops_its_dv(spark, tmp_path):
+    """MERGE on a DV-carrying table: the touched file's survivors are
+    the DV-FILTERED rows (a resurrection would differ), the rewrite
+    drops the DV, untouched DVs persist by reference."""
+    path = str(tmp_path / "dv_merge")
+    rel = _one_file_table(spark, path, 0, 6)
+    add_deletion_vector(spark, path, rel, [0])  # id=0 deleted
+    src = spark.createDataFrame([Row(id=3, v=300.0)]).select("id", "v")
+    dl.merge_delta(spark, src, path, "id")
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 300.0, 4: 4.0, 5: 5.0}
+    assert all(f.deletion_vector is None for f in dl.snapshot(path).files)
+
+
+def test_dv_restore_carries_dv_back(spark, tmp_path):
+    path = str(tmp_path / "dv_restore")
+    rel = _one_file_table(spark, path, 0, 6)
+    add_deletion_vector(spark, path, rel, [1, 2])  # v1
+    dl.write_delta(
+        spark.createDataFrame([Row(id=50, v=50.0)]).select("id", "v"),
+        path,
+        mode="overwrite",
+    )  # v2
+    dl.restore(path, 1)
+    assert _ids(dl.read_delta(spark, path)) == [0, 3, 4, 5]
+
+
+def test_dv_change_feed_derivation_refuses(spark, tmp_path):
+    path = str(tmp_path / "dv_cdf")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+        .select("id", "v")
+        .orderBy("id")
+        .coalesce(1)
+    )
+    dl.write_delta(
+        df, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    rel = dl.snapshot(path).files[-1].path
+    add_deletion_vector(spark, path, rel, [1])
+    with pytest.raises(dl.DeltaLiteError, match="deletion vector"):
+        dl.read_change_feed(spark, path, 1, 1).collect()
+
+
+# ------------------------------------------------------- column mapping
+
+
+@pytest.fixture()
+def mapped(spark, tmp_path):
+    path = str(tmp_path / "cm")
+    df = spark.createDataFrame(
+        [
+            Row(id=i, grp="a" if i % 2 == 0 else "b", score=float(i))
+            for i in range(10)
+        ]
+    ).select("id", "grp", "score")
+    build_column_mapped_table(
+        spark,
+        df,
+        path,
+        physical={
+            "id": "col-9a1b",
+            "grp": "col-7f3e",
+            "score": "col-0c42",
+        },
+        partition_by=["grp"],
+    )
+    return path
+
+
+def test_column_mapping_reads_logical_names(spark, mapped):
+    df = dl.read_delta(spark, mapped)
+    assert df.columns == ["id", "grp", "score"]
+    assert df.count() == 10
+    assert _ids(df) == list(range(10))
+    got = {(r["id"], r["grp"]) for r in df.collect()}
+    assert (0, "a") in got and (1, "b") in got
+
+
+def test_column_mapping_files_are_physical_on_disk(spark, mapped):
+    """Prove the fixture exercises mapping: the raw parquet carries
+    PHYSICAL names and physical partition dirs."""
+    snap = dl.snapshot(mapped)
+    raw = spark.read.parquet(os.path.join(mapped, snap.files[0].path))
+    assert "col-9a1b" in raw.columns and "id" not in raw.columns
+    assert snap.files[0].path.startswith("col-7f3e=")
+
+
+def test_column_mapping_partition_filter_uses_logical_names(spark, mapped):
+    df = dl.read_delta(spark, mapped, partition_filter={"grp": "a"})
+    assert _ids(df) == [0, 2, 4, 6, 8]
+
+
+def test_column_mapping_writes_refuse(spark, mapped):
+    df = spark.createDataFrame([Row(id=99, grp="a", score=9.0)]).select(
+        "id", "grp", "score"
+    )
+    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
+        dl.write_delta(df, mapped)
+    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
+        dl.merge_delta(spark, df, mapped, "id")
+    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
+        dl.delete_delta(spark, mapped, "id = 1")
+    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
+        dl.optimize(spark, mapped, 1)
+
+
+def test_column_mapping_with_deletion_vector_composes(spark, tmp_path):
+    """A mapped table whose file also carries a DV: both features
+    resolve in one read (the protocol-3 readerFeatures pair)."""
+    path = str(tmp_path / "cm_dv")
+    df = (
+        spark.createDataFrame([Row(id=i, score=float(i)) for i in range(8)])
+        .select("id", "score")
+        .orderBy("id")
+        .coalesce(1)
+    )
+    build_column_mapped_table(
+        spark, df, path, physical={"id": "c-1", "score": "c-2"}
+    )
+    rel = dl.snapshot(path).files[0].path
+    add_deletion_vector(spark, path, rel, [0, 7])
+    got = dl.read_delta(spark, path)
+    assert got.columns == ["id", "score"]
+    assert _ids(got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_column_mapping_unknown_mode_raises(spark, tmp_path):
+    path = str(tmp_path / "cm_bad")
+    df = spark.createDataFrame([Row(id=1)]).select("id")
+    build_column_mapped_table(spark, df, path, physical={"id": "c-1"})
+    # doctor the mode to something unknown
+    import json
+
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(l) for l in open(log) if l.strip()]
+    for action in lines:
+        if "metaData" in action:
+            action["metaData"]["configuration"][
+                "delta.columnMapping.mode"
+            ] = "surprise"
+    os.remove(log)
+    with open(log, "x") as fh:
+        for action in lines:
+            fh.write(json.dumps(action) + "\n")
+    with pytest.raises(dl.DeltaLiteError, match="columnMapping.mode"):
+        dl.read_delta(spark, path)
