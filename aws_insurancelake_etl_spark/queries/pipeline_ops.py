@@ -3177,3 +3177,91 @@ def src_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tbl, partition_filter={"segment": "MACHINERY"}
     )
     return part_a.unionByName(part_b)
+
+
+@register(
+    "stream_delta_cdf_rows",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'update_preimage', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT o_orderkey, 'U', price_cents * 3,
+           'update_postimage', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 8 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'insert', CAST(2 AS BIGINT)
+    FROM base WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           'delete', CAST(3 AS BIGINT)
+    FROM base WHERE o_orderkey % 12 = 2
+    """,
+)
+def stream_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED change data feed (round 8, VERDICT r7 item 6): the
+    batch CDF (``src_delta_change_feed``) answers "what changed in
+    [a, b]"; an incremental pipeline instead TAILS the table —
+    ``readStream.format("delta_lite").option("readChangeFeed",
+    "true")`` — and receives each commit's row-level changes as
+    micro-batches (offsets = table versions, one InputPartition per
+    change/data file, pyarrow-decoded on executors).  The gate builds
+    the same CDF table as the batch gate (seed %4==0 under
+    enableChangeDataFeed, append %4==1, MERGE tripling %8==0 plus
+    %4==2 inserts, DELETE %12==2), streams from version 1 with
+    availableNow, and must land EXACTLY the batch oracle's rows — a
+    replayed, dropped, or mis-stamped version diverges."""
+    from ..sources import delta_lite, pyds
+
+    pyds.register(spark)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-cdfs-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 4 == 0), tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_lite.write_delta(base.where(F.col("o_orderkey") % 4 == 1), tbl)
+    updates = (
+        base.where(F.col("o_orderkey") % 8 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+    )
+    inserts = base.where(F.col("o_orderkey") % 4 == 2)
+    delta_lite.merge_delta(
+        spark, updates.unionByName(inserts), tbl, "o_orderkey"
+    )
+    delta_lite.delete_delta(spark, tbl, "o_orderkey % 12 = 2")
+    sink = f"gate_cdfs_{uuid.uuid4().hex[:12]}"
+    query = (
+        spark.readStream.format("delta_lite")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        "o_orderkey", "o_orderstatus", "price_cents",
+        "_change_type", "_commit_version",
+    )

@@ -488,20 +488,236 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         pass
 
 
+class DeltaLiteCDFStreamReader(DataSourceStreamReader):
+    """CHANGE-DATA-FEED streaming source over a delta_lite table —
+    ``spark.readStream.format("delta_lite").option("readChangeFeed",
+    "true")``: offsets are table versions, and each micro-batch emits
+    the versions' ROW-LEVEL changes (insert / update_preimage /
+    update_postimage / delete + _commit_version/_commit_timestamp)
+    instead of whole snapshots, so a downstream incremental consumer
+    processes only what moved — the same semantics as the batch
+    :func:`delta_lite.read_change_feed`, planned per change/data file
+    (one InputPartition each, decoded executor-side via pyarrow).
+
+    Versions whose commits carry ``cdc`` actions read the
+    ``_change_data`` files verbatim; versions without them derive
+    inserts from dataChange adds and deletes from dataChange removes —
+    REFUSED (like the batch reader and real Delta) when the feed was
+    not enabled at that version, or for underivable MERGE/DELETE
+    rewrites and deletion-vector adds."""
+
+    def __init__(self, path: str, schema_json: str, starting_version=None):
+        from . import delta_lite
+
+        if not delta_lite.is_delta_table(path):
+            raise ValueError(f"not a delta_lite table: {path!r}")
+        self.path = path
+        self.schema_json = schema_json
+        self.starting_version = starting_version
+
+    def initialOffset(self) -> dict:
+        from . import delta_lite
+
+        if self.starting_version is None:
+            return {"version": -1}  # changes from version 0 onward
+        if str(self.starting_version) == "latest":
+            return {"version": delta_lite.snapshot(self.path).version}
+        return {"version": int(self.starting_version) - 1}
+
+    def latestOffset(self) -> dict:
+        from . import delta_lite
+
+        return {"version": delta_lite.snapshot(self.path).version}
+
+    def partitions(self, start: dict, end: dict):
+        import json as _json
+        import os as _os
+
+        from urllib.parse import unquote
+
+        from . import delta_lite
+
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        cdf_on = delta_lite._cdf_enabled(
+            delta_lite.snapshot(self.path, max(lo, 0))
+        )
+        log_dir = _os.path.join(self.path, "_delta_log")
+        out = []
+        for v in range(lo + 1, hi + 1):
+            commit = _os.path.join(log_dir, f"{v:020d}.json")
+            if not _os.path.exists(commit):
+                raise ValueError(
+                    f"change feed unavailable: commit {v} JSON aged out"
+                )
+            cdc_rels, adds, removes = [], [], []
+            operation, ts_ms = None, None
+            with open(commit, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = _json.loads(line)
+                    if "cdc" in action:
+                        cdc_rels.append(unquote(action["cdc"]["path"]))
+                    elif "add" in action and action["add"].get(
+                        "dataChange", True
+                    ):
+                        if action["add"].get("deletionVector"):
+                            raise ValueError(
+                                f"change feed cannot derive version {v}: "
+                                "add carries a deletion vector"
+                            )
+                        adds.append(
+                            (
+                                unquote(action["add"]["path"]),
+                                dict(action["add"].get("partitionValues") or {}),
+                            )
+                        )
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        removes.append(unquote(action["remove"]["path"]))
+                    elif "commitInfo" in action:
+                        operation = action["commitInfo"].get("operation")
+                        ts_ms = action["commitInfo"].get("timestamp")
+                    elif "metaData" in action:
+                        cdf_on = (
+                            str(
+                                (action["metaData"].get("configuration") or {})
+                                .get("delta.enableChangeDataFeed", "false")
+                            ).lower()
+                            == "true"
+                        )
+            if ts_ms is None:
+                ts_ms = int(_os.path.getmtime(commit) * 1000)
+            if cdc_rels:
+                out.extend(
+                    InputPartition(
+                        _json.dumps(["cdc", rel, {}, v, ts_ms])
+                    )
+                    for rel in cdc_rels
+                )
+                continue
+            if operation in ("MERGE", "DELETE") and (adds or removes):
+                raise ValueError(
+                    f"change feed cannot derive version {v} ({operation} "
+                    "committed without delta.enableChangeDataFeed)"
+                )
+            if not cdf_on and (adds or removes):
+                raise ValueError(
+                    f"change feed not enabled at version {v}; enable "
+                    "delta.enableChangeDataFeed before the range you need"
+                )
+            out.extend(
+                InputPartition(_json.dumps(["insert", rel, pvals, v, ts_ms]))
+                for rel, pvals in adds
+            )
+            if removes:
+                prev = delta_lite.snapshot(self.path, v - 1)
+                by_rel = {f.path: f for f in prev.files}
+                missing = [r for r in removes if r not in by_rel]
+                if missing:
+                    raise ValueError(
+                        f"version {v} removes files absent from version "
+                        f"{v - 1}: {missing}"
+                    )
+                out.extend(
+                    InputPartition(
+                        _json.dumps(
+                            ["delete", r, by_rel[r].partition_values, v, ts_ms]
+                        )
+                    )
+                    for r in removes
+                )
+        return out
+
+    def read(self, partition):
+        import datetime
+        import json as _json
+        import os as _os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType
+
+        kind, rel, pvals, version, ts_ms = _json.loads(partition.value)
+        schema = StructType.fromJson(_json.loads(self.schema_json))
+        table = pq.read_table(_os.path.join(self.path, rel))
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
+        n = table.num_rows
+        ts = datetime.datetime.fromtimestamp(ts_ms / 1000.0)
+        change_types = (
+            cols["_change_type"] if kind == "cdc" else [kind] * n
+        )
+        for i in range(n):
+            row = tuple(
+                _typed_partition_value(pvals.get(f.name), f.dataType)
+                if f.name in pvals
+                else cols[f.name][i]
+                for f in schema.fields
+            )
+            yield (*row, change_types[i], version, ts)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DeltaLiteDataSource(DataSource):
     """``spark.readStream.format("delta_lite").load(table_path)`` — a
-    streaming source whose offsets are delta_lite table versions."""
+    streaming source whose offsets are delta_lite table versions.
+    ``option("readChangeFeed", "true")`` switches the stream from
+    snapshot/append tailing to ROW-LEVEL change rows (+ _change_type,
+    _commit_version, _commit_timestamp)."""
 
     @classmethod
     def name(cls) -> str:
         return "delta_lite"
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "")).lower() == "true"
+
     def schema(self):
+        from pyspark.sql.types import (
+            LongType as _Long,
+            StringType as _Str,
+            StructField as _SF,
+            StructType as _ST,
+            TimestampType as _Ts,
+        )
+
         from . import delta_lite
 
-        return delta_lite.snapshot(self.options["path"]).schema
+        base = delta_lite.snapshot(self.options["path"]).schema
+        if not self._cdf():
+            return base
+        return _ST(
+            list(base.fields)
+            + [
+                _SF("_change_type", _Str()),
+                _SF("_commit_version", _Long()),
+                _SF("_commit_timestamp", _Ts()),
+            ]
+        )
 
-    def streamReader(self, schema) -> "DeltaLiteStreamReader":
+    def streamReader(self, schema):
+        if self._cdf():
+            data_fields = [
+                f
+                for f in schema.fields
+                if f.name
+                not in ("_change_type", "_commit_version", "_commit_timestamp")
+            ]
+            from pyspark.sql.types import StructType as _ST
+
+            return DeltaLiteCDFStreamReader(
+                self.options["path"],
+                _ST(data_fields).json(),
+                self.options.get("startingversion"),
+            )
         return DeltaLiteStreamReader(
             self.options["path"],
             schema.json(),
