@@ -725,3 +725,111 @@ def em_linkage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+@register(
+    "em_fuzzy_skew_stress",
+    """
+    WITH prim AS (
+        SELECT c_custkey AS gid, c_name AS name, c_nationkey AS nat,
+               c_acctbal AS bal,
+               substr(c_name, 14, 2) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substr(c_name, 14, 2)
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer WHERE c_custkey % 3 = 1
+    ), capped AS (
+        SELECT * FROM prim WHERE rn <= 40
+    ), inc AS (
+        SELECT c_custkey AS ikey, c_name AS name, c_nationkey AS nat,
+               substr(c_name, 14, 2) AS blk
+        FROM customer WHERE c_custkey % 3 = 0
+    ), cand AS (
+        SELECT i.ikey, p.gid, p.bal,
+               ((CASE WHEN 1.0 - levenshtein(i.name, p.name)
+                          / GREATEST(length(i.name), length(p.name)) >= 0.9
+                      THEN 1.0 ELSE 0.0 END) * 2
+                + (CASE WHEN i.nat = p.nat THEN 1.0 ELSE 0.0 END) * 1)
+               / 3.0 AS score
+        FROM inc i JOIN capped p ON i.blk = p.blk
+    ), best AS (
+        SELECT ikey, gid,
+               ROW_NUMBER() OVER (PARTITION BY ikey
+                                  ORDER BY score DESC, bal DESC, gid) AS brn
+        FROM cand WHERE score >= 0.6
+    )
+    SELECT i.ikey, b.gid
+    FROM inc i LEFT JOIN (SELECT ikey, gid FROM best WHERE brn = 1) b
+      ON i.ikey = b.ikey
+    """,
+)
+def em_fuzzy_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-match HOT-BLOCK protection (round 8, VERDICT r7
+    item 8): blocking keys are column slices
+    (``operators/entitymatch.py``), so a corpus where most rows share
+    one key — here ``c_name[13:15]``, two digit-prefix blocks with a
+    ~2:1 skew, the "everyone's surname starts with S" shape —
+    quadratically inflates one block's candidate pairs.
+    ``level["block_cap"]`` keeps at most 40 DETERMINISTIC primary
+    candidates per block (sort_field desc, then gid), bounding fan-out
+    at O(|incoming| × cap); the gate asserts the cap actually BINDS
+    (both blocks exceed it) and that the engine-reported truncation
+    observation is positive, then returns every incoming row with its
+    capped-match gid (NULL = unmatched).  The oracle recomputes the
+    capped candidate set and best-match relationally; integer
+    levenshtein keeps the threshold binarization engine-exact."""
+    from pyspark.sql import Observation
+
+    from ..operators.entitymatch import fuzzy_match_level
+
+    cust = t(spark, sf_dir, "customer")
+    primary = cust.where(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("gid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    incoming = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("ikey"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.lit(None).cast("bigint").alias("gid"),
+    )
+    cap = 40
+    block_sizes = [
+        r["n"]
+        for r in primary.groupBy(
+            F.expr("substring(name, 14, 2)")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    if not block_sizes or min(block_sizes) <= cap:
+        raise RuntimeError(
+            f"fixture must make the cap bind in EVERY block: {block_sizes}"
+        )
+    spec = {"global_id_field": "gid", "sort_field": "bal"}
+    level = {
+        "blocks": ["name[13:15]"],
+        "threshold": 0.6,
+        "block_cap": cap,
+        "fields": [
+            {
+                "fieldname": "name",
+                "type": "string",
+                "method": "levenshtein",
+                "threshold": 0.9,
+                "weight": 2,
+            },
+            {"fieldname": "nat", "type": "exact", "weight": 1},
+        ],
+    }
+    obs = Observation()
+    matched, unmatched = fuzzy_match_level(
+        incoming, primary, level, spec, truncation_observation=obs
+    )
+    out = matched.unionByName(unmatched).select("ikey", "gid")
+    # force one action so the observation is readable, then assert the
+    # cap dropped candidates (observable truncation, like dedup's caps)
+    out.count()
+    truncated = obs.get["truncated_candidates"]
+    if not truncated or truncated <= 0:
+        raise RuntimeError(f"cap did not bind: truncated={truncated}")
+    return out

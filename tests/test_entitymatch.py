@@ -386,3 +386,60 @@ def test_merge_into_delta_transactional_upsert(spark, tmp_path):
     before = {(r.gid, r.balance)
               for r in delta_lite.read_delta(spark, tbl, version=0).collect()}
     assert before == {("g1", 100.0), ("g2", 50.0)}
+
+
+def test_fuzzy_block_cap_bounds_candidates_and_observes(spark):
+    """level["block_cap"] (round 8): the hot block keeps only the top-N
+    deterministic primary candidates; truncation is observable; an
+    uncapped run matches a superset."""
+    from pyspark.sql import Observation, Row
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.operators.entitymatch import (
+        fuzzy_match_level,
+    )
+
+    # one hot block: every primary shares blocking prefix "S"
+    primary = spark.createDataFrame(
+        [Row(gid=i, name=f"Smith{i:03d}", bal=float(i % 7)) for i in range(60)]
+    ).select("gid", "name", "bal")
+    incoming = spark.createDataFrame(
+        [Row(ikey=100 + i, name=f"Smith{i:03d}") for i in range(5)]
+    ).select(
+        "ikey", "name", F.lit(None).cast("bigint").alias("gid")
+    )
+    spec = {"global_id_field": "gid", "sort_field": "bal"}
+    level = {
+        "blocks": ["name[0:1]"],
+        "threshold": 0.5,
+        "fields": [
+            {"fieldname": "name", "type": "string",
+             "method": "levenshtein", "threshold": 0.95, "weight": 1},
+        ],
+    }
+    # uncapped: every incoming row finds its exact twin
+    matched_all, _ = fuzzy_match_level(incoming, primary, level, spec)
+    assert matched_all.count() == 5
+
+    obs = Observation()
+    capped_level = dict(level, block_cap=10)
+    matched_cap, unmatched_cap = fuzzy_match_level(
+        incoming, primary, capped_level, spec, truncation_observation=obs
+    )
+    n_matched = matched_cap.count()
+    # cap keeps the 10 best-by-(bal desc, gid): candidates outside it
+    # can no longer match; survivors are a subset of the uncapped set
+    assert n_matched < 5
+    assert obs.get["truncated_candidates"] == 50
+    # top-10 by (bal desc, gid asc): bal=6 -> gids 6,13,20,27,34,41,48,
+    # 55, then bal=5 -> gids 5,12.  Incoming twins (gids 0-4) are all
+    # outside the cap, so nothing matches — and the cap is deterministic,
+    # so this holds on every run.
+    got = {r["ikey"] for r in matched_cap.collect()}
+    want = {
+        r["ikey"]
+        for r in matched_all.collect()
+        if r["gid"] in {6, 13, 20, 27, 34, 41, 48, 55, 5, 12}
+    }
+    assert got == want == set()
+    assert unmatched_cap.count() == 5
