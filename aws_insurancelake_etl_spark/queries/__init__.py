@@ -47,69 +47,66 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-7 window (computed by ``tools/driver_window.py`` from
-# CORRECTNESS_r01-r06 — VERDICT r6 items 1, 2, 10): the 29 gates that
-# have never had a driver row, then ``sql_array_functions`` (the one
-# red r6 row — array columns now serialized for the driver's
-# canonicalizer), then the 20 stalest re-checks (all last green in r1).
-# After this round every registered gate has had a driver-green row;
-# subsequent rounds refresh arbitrary 50-subsets by staleness (rerun
-# the tool each round).
+# queries.  Round-8 window (computed by ``tools/driver_window.py`` —
+# VERDICT r7 item 3: weight by IMPLEMENTATION CHURN, not only row
+# staleness): the 6 round-8 gates with no driver row yet, then the 44
+# stalest gates whose implementation files changed since the round-7
+# marker (963368b) — entity/fuzzy, pipeline_ops, delta_lite,
+# iceberg_lite, pyds consumers.  Re-run the tool each round; once the
+# churned backlog drains, it degrades to pure staleness refresh
+# (standing item: no driver row older than 3 rounds).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "sketch_kmv_merge_tables",
-    "sql_map_functions",
-    "sketch_hll_cardinality",
-    "layout_zorder_cells",
-    "sketch_histogram_quantiles",
-    "dedup_cap_skew_stress",
-    "dedup_keep_best",
-    "docs_unimax_allocation",
-    "dedup_cosine_prefix_pairs",
-    "docs_leakage_free_split",
-    "text_bpe_learn_merges",
-    "text_html_extract",
-    "ann_ivfpq_search",
-    "sql_timestamp_functions",
-    "mm_decode_featurize",
-    "src_avro_nested_roundtrip",
-    "stream_dedup_within_watermark",
-    "sink_avro_write_roundtrip",
-    "src_encrypted_xlsx_read",
-    "src_xlsx_date_styles",
-    "mm_audio_featurize",
-    "stream_stream_left_outer",
-    "sink_delta_merge_upsert",
-    "src_delta_time_travel",
-    "src_delta_partition_prune",
-    "src_iceberg_snapshot_read",
-    "stream_delta_merge_sink",
-    "stream_delta_source_totals",
-    "dq_match_rules",
-    "src_iceberg_position_deletes",
-    "sink_iceberg_merge_mor",
-    # round-7 session additions (zero prior evidence -> take the two
-    # slots of the stalest r1 re-checks, which have 6 green rows each)
-    "src_iceberg_equality_deletes",
-    "src_delta_change_feed",
-    "sql_array_functions",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_price_histogram",
-    "agg_rollup_priority",
-    "anti_customers_no_orders",
-    "distinct_flag_status",
-    "explode_order_months",
-    "feat_iqr_outliers",
-    "feat_zscore_by_segment",
-    "join_broadcast_dims",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
+    "em_fuzzy_skew_stress",  # never
+    "sink_iceberg_eq_upsert",  # never
+    "sink_iceberg_compaction",  # never
+    "src_delta_deletion_vectors",  # never
+    "src_delta_column_mapping",  # never
+    "stream_delta_cdf_rows",  # never
+    "em_exact_match",  # impl churn; last green r3
+    "em_full_flow",  # impl churn; last green r3
+    "em_jaro_winkler_scores",  # impl churn; last green r3
+    "em_partial_ratio_scores",  # impl churn; last green r3
+    "em_token_set_scores",  # impl churn; last green r3
+    "em_token_sort_scores",  # impl churn; last green r3
+    "mm_frame_sample",  # impl churn; last green r3
+    "pipeline_cleanse_to_consume",  # impl churn; last green r3
+    "stream_dedup_replay",  # impl churn; last green r3
+    "stream_stateful_user_totals",  # impl churn; last green r3
+    "dq_quarantine_split",  # impl churn; last green r4
+    "em_fuzzy_blocked",  # impl churn; last green r4
+    "mm_media_metadata",  # impl churn; last green r4
+    "pipeline_collect_to_cleanse",  # impl churn; last green r4
+    "stream_session_windows",  # impl churn; last green r4
+    "stream_stream_join",  # impl churn; last green r4
+    "stream_windowed_counts",  # impl churn; last green r4
+    "dq_referential_integrity",  # impl churn; last green r5
+    "dq_stats_rules",  # impl churn; last green r5
+    "em_transitive_gid",  # impl churn; last green r5
+    "mm_image_patches",  # impl churn; last green r5
+    "pipeline_drop_to_cleanse_orchestrated",  # impl churn; last green r5
+    "scd2_change_feed",  # impl churn; last green r5
+    "stream_late_data_drop",  # impl churn; last green r5
+    "stream_static_enrich",  # impl churn; last green r5
+    "stream_upsert_totals",  # impl churn; last green r5
+    "em_linkage_eval",  # impl churn; last green r6
+    "sink_partition_clear",  # impl churn; last green r6
+    "src_orc_roundtrip",  # impl churn; last green r6
+    "src_xml_roundtrip",  # impl churn; last green r6
+    "dq_match_rules",  # impl churn; last green r7
+    "mm_audio_featurize",  # impl churn; last green r7
+    "mm_decode_featurize",  # impl churn; last green r7
+    "sink_avro_write_roundtrip",  # impl churn; last green r7
+    "sink_delta_merge_upsert",  # impl churn; last green r7
+    "sink_iceberg_merge_mor",  # impl churn; last green r7
+    "src_avro_nested_roundtrip",  # impl churn; last green r7
+    "src_delta_change_feed",  # impl churn; last green r7
+    "src_delta_partition_prune",  # impl churn; last green r7
+    "src_delta_time_travel",  # impl churn; last green r7
+    "src_encrypted_xlsx_read",  # impl churn; last green r7
+    "src_iceberg_equality_deletes",  # impl churn; last green r7
+    "src_iceberg_position_deletes",  # impl churn; last green r7
+    "src_iceberg_snapshot_read",  # impl churn; last green r7
 )
-
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
