@@ -78,6 +78,11 @@ BASELINES = {
     "text_bpe_learn_merges": (2.244, 6),
     "layout_zorder_cells": (0.808, 6),
     "docs_leakage_free_split": (0.991, 6),
+    # round-7 additions, promoted in round 8 with their r7 normalized
+    # times (BENCH_r07.json queries_extended_normalized — VERDICT r7
+    # item 4)
+    "src_iceberg_position_deletes": (1.679, 7),
+    "sink_iceberg_merge_mor": (1.956, 7),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -91,10 +96,14 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-7 additions: Iceberg v2 MOR read (position deletes) and the
-    # full write path (CREATE/APPEND + MERGE landing delete files)
-    "src_iceberg_position_deletes",
-    "sink_iceberg_merge_mor",
+    # round-8 additions: equality-delete upsert + MOR maintenance,
+    # Delta protocol >= 2 reads, streamed CDF, capped fuzzy matching
+    "sink_iceberg_eq_upsert",
+    "sink_iceberg_compaction",
+    "src_delta_deletion_vectors",
+    "src_delta_column_mapping",
+    "stream_delta_cdf_rows",
+    "em_fuzzy_skew_stress",
 ]
 
 
