@@ -2356,6 +2356,29 @@ def src_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds."""
     from ..sources import delta_lite
 
+    tbl = _cdf_fixture_table(spark, sf_dir)
+    feed = delta_lite.read_change_feed(spark, tbl, starting_version=1)
+    return feed.select(
+        "o_orderkey", "o_orderstatus", "price_cents",
+        "_change_type", "_commit_version",
+    )
+
+
+#: (session id, sf_dir) -> CDF fixture table path.  The batch and
+#: streamed change-feed gates read the IDENTICAL 4-commit table; the
+#: table is immutable once built, so building it once per session
+#: (shared-stage memoization, the same discipline as the dedup gates'
+#: shared tf/cluster stages) halves the pair's fixture cost.
+_CDF_FIXTURES: dict = {}
+
+
+def _cdf_fixture_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources import delta_lite
+
+    key = (id(spark.sparkContext), sf_dir)
+    cached = _CDF_FIXTURES.get(key)
+    if cached is not None and delta_lite.is_delta_table(cached):
+        return cached
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -2379,11 +2402,8 @@ def src_delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, updates.unionByName(inserts), tbl, "o_orderkey"
     )
     delta_lite.delete_delta(spark, tbl, "o_orderkey % 12 = 2")
-    feed = delta_lite.read_change_feed(spark, tbl, starting_version=1)
-    return feed.select(
-        "o_orderkey", "o_orderstatus", "price_cents",
-        "_change_type", "_commit_version",
-    )
+    _CDF_FIXTURES[key] = tbl
+    return tbl
 
 
 @register(
@@ -2871,7 +2891,6 @@ def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"fixture must carry both delete kinds: {deletes_b}"
         )
-    rows_before = iceberg_lite.read_iceberg(spark, tbl).count()
     stats = iceberg_lite.rewrite_data_files(spark, tbl, target_files=3)
     files_a, deletes_a = iceberg_lite.plan_scan(tbl)
     if deletes_a or len(files_a) >= len(files_b) or not stats["rewritten"]:
@@ -2895,10 +2914,9 @@ def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"expire left orphan data files: {sorted(on_disk - {f.path for f in files_a})[:3]}"
         )
-    out = iceberg_lite.read_iceberg(spark, tbl)
-    if out.count() != rows_before:
-        raise RuntimeError("maintenance changed the row count")
-    return out
+    # row-level identity pre- vs post-maintenance is the ORACLE's job
+    # (it restates the layered upserts exactly); no extra count jobs here
+    return iceberg_lite.read_iceberg(spark, tbl)
 
 
 def add_deletion_vector(
@@ -3222,32 +3240,10 @@ def stream_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     %4==2 inserts, DELETE %12==2), streams from version 1 with
     availableNow, and must land EXACTLY the batch oracle's rows — a
     replayed, dropped, or mis-stamped version diverges."""
-    from ..sources import delta_lite, pyds
+    from ..sources import pyds
 
     pyds.register(spark)
-    base = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")
-        .alias("price_cents"),
-    )
-    tbl = tempfile.mkdtemp(prefix="gate-delta-cdfs-") + "/t"
-    delta_lite.write_delta(
-        base.where(F.col("o_orderkey") % 4 == 0), tbl,
-        configuration={"delta.enableChangeDataFeed": "true"},
-    )
-    delta_lite.write_delta(base.where(F.col("o_orderkey") % 4 == 1), tbl)
-    updates = (
-        base.where(F.col("o_orderkey") % 8 == 0)
-        .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("price_cents", F.col("price_cents") * 3)
-    )
-    inserts = base.where(F.col("o_orderkey") % 4 == 2)
-    delta_lite.merge_delta(
-        spark, updates.unionByName(inserts), tbl, "o_orderkey"
-    )
-    delta_lite.delete_delta(spark, tbl, "o_orderkey % 12 = 2")
+    tbl = _cdf_fixture_table(spark, sf_dir)
     sink = f"gate_cdfs_{uuid.uuid4().hex[:12]}"
     query = (
         spark.readStream.format("delta_lite")

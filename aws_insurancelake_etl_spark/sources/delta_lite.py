@@ -1263,7 +1263,15 @@ def _merge_once(
             )
         else:
             changes = src.withColumn("_change_type", F.lit("insert"))
-        cdc_actions = [{"cdc": c} for c in _stage_cdc_files(changes, path)]
+        # one cdc file per TOUCHED data file, not per shuffle partition:
+        # change volume scales with the touched set, and each extra tiny
+        # cdc file costs a task in every downstream (streaming) reader
+        cdc_actions = [
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                changes.coalesce(max(1, len(touched_rel))), path
+            )
+        ]
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -1473,7 +1481,12 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
             .drop("__dl_path")
             .withColumn("_change_type", F.lit("delete"))
         )
-        cdc_actions = [{"cdc": c} for c in _stage_cdc_files(deleted_rows, path)]
+        cdc_actions = [
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                deleted_rows.coalesce(max(1, len(touched_rel))), path
+            )
+        ]
     now_ms = int(time.time() * 1000)
     actions = [
         {

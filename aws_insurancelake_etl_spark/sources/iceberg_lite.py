@@ -1011,7 +1011,13 @@ def _merge_once_iceberg(
     try:
         out = os.path.join(stage, "out")
         (
-            matched.repartitionByRange("file_path", "pos")
+            # delete-file count scales with the TARGET's file count, not
+            # the session's shuffle width: every later MOR read opens
+            # each delete file, so 32 near-empty files from a default
+            # shuffle is pure read amplification
+            matched.repartitionByRange(
+                max(1, len(files)), "file_path", "pos"
+            )
             .sortWithinPartitions("file_path", "pos")
             .write.mode("overwrite").parquet(out)
         )

@@ -32,28 +32,33 @@ from aws_insurancelake_etl_spark.session import build_session  # noqa: E402
 CALIB_REF = 0.0664
 BASELINES = {
     # name: (baseline_normalized_sec, since_round)
-    "q1_pricing_summary": (0.717, 1),
-    "q3_shipping_priority": (0.569, 1),
-    "q5_region_supplier_revenue": (0.547, 1),
-    "scan_filter_project": (0.146, 1),
-    "agg_grouping_sets": (0.544, 1),
-    "window_running_sum": (0.32, 1),
-    "window_rank_orders": (0.343, 1),
-    "kv_pivot_map_agg": (0.253, 1),
-    "tr_earnedpremium": (0.264, 1),
-    "tr_hash_redact": (0.099, 1),
-    "em_fuzzy_blocked": (0.889, 1),
-    "text_token_stats": (0.202, 1),
-    "dedup_minhash_pairs": (1.527, 1),
-    "dedup_ngram_jaccard": (1.891, 1),
-    "ann_cosine_topk": (0.398, 1),
-    "q18_top_large_orders": (0.668, 1),
-    "evt_asof_last_purchase": (0.329, 1),
-    "evt_sessionize": (0.454, 1),
-    "q9_product_profit": (0.651, 1),
-    "q13_customer_distribution": (0.412, 1),
-    "q21_sole_failing_supplier": (0.743, 1),
-    "dedup_cluster_components": (3.104, 1),
+    # r1-era rows re-baselined in round 8 (VERDICT r7 item 4): the r1
+    # values were single-shot-calibration era (finding 45: +/-34%); each
+    # row below tagged "re-baselined r8" is the MEDIAN of 3 full bench
+    # runs on 2026-08-15 under median-of-3 interleaved calibration, with
+    # the original r1 value preserved in the comment.
+    "q1_pricing_summary": (1.006, 8),  # re-baselined r8 (median of 3; was 0.717 at r1)
+    "q3_shipping_priority": (0.982, 8),  # re-baselined r8 (median of 3; was 0.569 at r1)
+    "q5_region_supplier_revenue": (0.689, 8),  # re-baselined r8 (median of 3; was 0.547 at r1)
+    "scan_filter_project": (0.22, 8),  # re-baselined r8 (median of 3; was 0.146 at r1)
+    "agg_grouping_sets": (0.843, 8),  # re-baselined r8 (median of 3; was 0.544 at r1)
+    "window_running_sum": (0.512, 8),  # re-baselined r8 (median of 3; was 0.32 at r1)
+    "window_rank_orders": (0.526, 8),  # re-baselined r8 (median of 3; was 0.343 at r1)
+    "kv_pivot_map_agg": (0.385, 8),  # re-baselined r8 (median of 3; was 0.253 at r1)
+    "tr_earnedpremium": (0.647, 8),  # re-baselined r8 (median of 3; was 0.264 at r1)
+    "tr_hash_redact": (0.162, 8),  # re-baselined r8 (median of 3; was 0.099 at r1)
+    "em_fuzzy_blocked": (1.086, 8),  # re-baselined r8 (median of 3; was 0.889 at r1)
+    "text_token_stats": (0.287, 8),  # re-baselined r8 (median of 3; was 0.202 at r1)
+    "dedup_minhash_pairs": (1.702, 8),  # re-baselined r8 (median of 3; was 1.527 at r1)
+    "dedup_ngram_jaccard": (0.032, 8),  # re-baselined r8 (median of 3; was 1.891 at r1)
+    "ann_cosine_topk": (0.463, 8),  # re-baselined r8 (median of 3; was 0.398 at r1)
+    "q18_top_large_orders": (1.033, 8),  # re-baselined r8 (median of 3; was 0.668 at r1)
+    "evt_asof_last_purchase": (0.433, 8),  # re-baselined r8 (median of 3; was 0.329 at r1)
+    "evt_sessionize": (0.675, 8),  # re-baselined r8 (median of 3; was 0.454 at r1)
+    "q9_product_profit": (0.998, 8),  # re-baselined r8 (median of 3; was 0.651 at r1)
+    "q13_customer_distribution": (0.63, 8),  # re-baselined r8 (median of 3; was 0.412 at r1)
+    "q21_sole_failing_supplier": (1.168, 8),  # re-baselined r8 (median of 3; was 0.743 at r1)
+    "dedup_cluster_components": (0.148, 8),  # re-baselined r8 (median of 3; was 3.104 at r1)
     # round-5 flagships, promoted to the gated set in round 6 with their
     # r5 normalized times (BENCH_r05.json queries_extended_normalized)
     "docs_quality_ensemble": (0.27, 5),
