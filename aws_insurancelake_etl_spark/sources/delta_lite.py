@@ -806,6 +806,11 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                 "format": {"provider": "parquet"},
                 "schemaString": snap.schema_string,
                 "partitionColumns": snap.partition_columns,
+                # table properties MUST survive checkpointing: once the
+                # JSON tail ages out, this row is the only carrier of
+                # delta.enableChangeDataFeed / columnMapping.mode —
+                # dropping them silently disabled the feed (round-8 fix)
+                "configuration": sorted(snap.configuration.items()),
             },
             "add": None,
             "remove": None,
@@ -863,6 +868,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),

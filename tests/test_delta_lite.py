@@ -986,3 +986,27 @@ def test_change_feed_partitioned_table(spark, table):
         ("update_postimage", 1, "a"),
         ("update_preimage", 1, "a"),
     ]
+
+
+def test_checkpoint_preserves_table_configuration(spark, table):
+    """Table properties (CDF, column mapping) must survive checkpoint-
+    only replay: once the JSON tail ages out, the checkpoint metaData
+    row is their only carrier (round-8 fix — they were dropped)."""
+    dl.write_delta(
+        _people(spark, 0, 2), table,
+        configuration={"delta.enableChangeDataFeed": "true",
+                       "custom.prop": "42"},
+    )
+    dl._write_checkpoint(table, 0)
+    log = os.path.join(table, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    snap = dl.snapshot(table)
+    assert snap.configuration == {
+        "delta.enableChangeDataFeed": "true", "custom.prop": "42"
+    }
+    # and a MERGE against the checkpoint-only table still writes cdc
+    src = spark.createDataFrame([Row(id=1, grp="U", score=9.9)]).select(
+        "id", "grp", "score"
+    )
+    dl.merge_delta(spark, src, table, "id")
+    assert os.path.isdir(os.path.join(table, "_change_data"))
