@@ -3261,3 +3261,61 @@ def stream_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "price_cents",
         "_change_type", "_commit_version",
     )
+
+
+@register(
+    "sink_delta_dv_delete",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+      AND o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 3
+    """,
+)
+def sink_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector WRITE path (round 8): ``delete_delta(...,
+    use_deletion_vectors=True)`` deletes rows WITHOUT rewriting any
+    data file — each touched file's matching row indexes merge into its
+    roaring-bitmap sidecar, encoded and written EXECUTOR-side (one
+    applyInPandas group per file) and committed as remove+re-add with
+    the new descriptor: write amplification O(|deleted rows|), the
+    modern engine default for point deletes on wide tables.  The gate
+    seeds two single-file commits, runs two LAYERED DV deletes (the
+    second must merge into the first's bitmaps), asserts zero data
+    files moved and that every surviving file path is pre-delete, then
+    reads back through the DV-applying reader; the oracle is the plain
+    value-level survivor set."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-dvw-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 0).coalesce(1), tbl
+    )
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 1).coalesce(1), tbl
+    )
+    before = {f.path for f in delta_lite.snapshot(tbl).files}
+    s1 = delta_lite.delete_delta(
+        spark, tbl, "o_orderkey % 10 = 0", use_deletion_vectors=True
+    )
+    s2 = delta_lite.delete_delta(
+        spark, tbl, "o_orderkey % 7 = 3", use_deletion_vectors=True
+    )
+    if s1["files_rewritten"] or s2["files_rewritten"]:
+        raise RuntimeError("DV delete must rewrite nothing")
+    if s1["dv_files"] < 1 or s2["dv_files"] < 1:
+        raise RuntimeError(f"expected DV sidecars: {s1} {s2}")
+    after = delta_lite.snapshot(tbl).files
+    if {f.path for f in after} != before:
+        raise RuntimeError("data files changed under a DV delete")
+    if not any(f.deletion_vector for f in after):
+        raise RuntimeError("no add action carries a deletionVector")
+    return delta_lite.read_delta(spark, tbl)

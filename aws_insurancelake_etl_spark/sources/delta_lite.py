@@ -497,8 +497,16 @@ def _dv_positions_df(spark: SparkSession, snap: Snapshot, files) -> DataFrame:
 
 
 def _read_snapshot(
-    spark: SparkSession, snap: Snapshot, partition_filter=None, with_path=False
+    spark: SparkSession,
+    snap: Snapshot,
+    partition_filter=None,
+    with_path=False,
+    with_pos=False,
 ) -> DataFrame:
+    """``with_path`` keeps ``__dl_path`` (the scan URI); ``with_pos``
+    additionally keeps ``__dl_pos`` (``_metadata.row_index`` — the
+    PHYSICAL per-file ordinal, unaffected by deletion-vector filtering,
+    which is what makes it the right coordinate for writing NEW DVs)."""
     schema = snap.schema
     mode = _column_mapping_mode(snap.configuration)
     if mode != "none":
@@ -533,9 +541,11 @@ def _read_snapshot(
             if all(pf.partition_values.get(k) == v for k, v in want.items())
         ]
     dv_files = [pf.add for pf in files if pf.add.deletion_vector]
-    need_meta = with_path or bool(dv_files)
+    need_meta = with_path or with_pos or bool(dv_files)
     final_cols = [F.col(phys[f.name]).alias(f.name) for f in schema.fields]
-    path_col = [F.col("__dl_path")] if with_path else []
+    path_col = ([F.col("__dl_path")] if with_path or with_pos else []) + (
+        [F.col("__dl_pos")] if with_pos else []
+    )
     meta_cols = (
         [
             F.col("_metadata.file_path").alias("__dl_path"),
@@ -546,7 +556,11 @@ def _read_snapshot(
     )
     if not files:
         df = spark.createDataFrame([], schema)
-        return df.withColumn("__dl_path", F.lit(None).cast("string")) if with_path else df
+        if with_path or with_pos:
+            df = df.withColumn("__dl_path", F.lit(None).cast("string"))
+        if with_pos:
+            df = df.withColumn("__dl_pos", F.lit(None).cast("long"))
+        return df
     abs_paths = [os.path.join(snap.table_path, pf.path) for pf in files]
     if not part_cols:
         df = spark.read.schema(read_schema).parquet(*abs_paths)
@@ -1452,15 +1466,34 @@ def optimize(
     }
 
 
-def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
-    """Copy-on-write ``DELETE WHERE predicate``: only data files that
-    CONTAIN a matching row are rewritten (without the matching rows);
-    everything else survives by reference — same touched-file
-    discipline as :func:`merge_delta`, same driver state (the path
-    list).  Returns {"version", "rows_deleted", "files_rewritten",
-    "files_kept"}."""
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    use_deletion_vectors: bool = False,
+) -> dict:
+    """``DELETE WHERE predicate`` in one of the protocol's two shapes:
+
+    - **copy-on-write** (default): only data files that CONTAIN a
+      matching row are rewritten (without the matching rows);
+      everything else survives by reference — same touched-file
+      discipline as :func:`merge_delta`, same driver state (the path
+      list).  Returns {"version", "rows_deleted", "files_rewritten",
+      "files_kept"}.
+    - **deletion vectors** (``use_deletion_vectors=True``): NO data
+      file is rewritten — each touched file's matching ROW INDEXES
+      merge into its (possibly pre-existing) roaring-bitmap DV, written
+      as a ``deletion_vector_<uuid>.bin`` sidecar by the EXECUTOR that
+      owns the file's group (``applyInPandas``; the bitmap never
+      transits the driver) and committed as remove+re-add with the new
+      descriptor.  Write amplification is O(|deleted rows|) instead of
+      O(|touched bytes|) — the modern engine default for point deletes
+      on wide tables; the debt is read-side until OPTIMIZE rewrites.
+    """
     snap = snapshot(path)
     _guard_writable(snap)
+    if use_deletion_vectors:
+        return _delete_with_dvs(spark, path, snap, predicate)
     target = _read_snapshot(spark, snap, with_path=True)
     cond = F.expr(predicate)
     touched_uris = {
@@ -1528,6 +1561,181 @@ def delete_delta(spark: SparkSession, path: str, predicate: str) -> dict:
         "rows_deleted": n_deleted,
         "files_rewritten": len(touched_rel),
         "files_kept": len(snap.files) - len(touched_rel),
+    }
+
+
+def _delete_with_dvs(
+    spark: SparkSession, path: str, snap: Snapshot, predicate: str
+) -> dict:
+    """Deletion-vector DELETE (see :func:`delete_delta`): per touched
+    file, the matching physical row indexes union into the file's
+    existing DV and the merged bitmap is encoded + written EXECUTOR-side
+    (one ``applyInPandas`` group per file); the commit re-adds each
+    touched file with its new descriptor.  Returns {"version",
+    "rows_deleted", "files_rewritten" (always 0), "files_kept",
+    "dv_files"}."""
+    target = _read_snapshot(spark, snap, with_pos=True)
+    cond = F.expr(predicate)
+    matched = target.where(cond).select("__dl_path", "__dl_pos")
+    # O(files) driver state: existing DV descriptor JSON per scan URI
+    old_dv_by_uri = {}
+    for f in snap.files:
+        if f.deletion_vector is not None:
+            uri_key = quote(os.path.join(path, f.path), safe="/=")
+            kind, payload = _resolve_dv_path(path, f.deletion_vector)
+            old_dv_by_uri[uri_key] = (kind, payload,
+                                      int(f.deletion_vector.get("offset") or 0))
+    table_path = path
+
+    def write_group(pdf):
+        import struct as _struct
+        import uuid as _uuid_mod
+        import zlib
+
+        import pandas as pd
+
+        from . import roaring
+
+        uri = pdf["__dl_path"].iloc[0]
+        key = uri[len("file:"):] if uri.startswith("file:") else uri
+        while key.startswith("//"):
+            key = key[1:]
+        positions = set(int(p) for p in pdf["__dl_pos"])
+        old = old_dv_by_uri.get(key)
+        if old is not None:
+            kind, payload, offset = old
+            if kind == "inline":
+                blob = roaring.z85_decode(payload)
+            else:
+                with open(payload, "rb") as fh:
+                    fh.seek(offset)
+                    (n,) = _struct.unpack(">i", fh.read(4))
+                    blob = fh.read(n)
+            positions |= set(roaring.decode_delta_dv(blob))
+        data = roaring.encode_delta_dv(sorted(positions))
+        u = _uuid_mod.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        with open(os.path.join(table_path, name), "wb") as fh:
+            fh.write(b"\x01")
+            fh.write(_struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(_struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        return pd.DataFrame(
+            {
+                "uri": [uri],
+                "dv_path": [roaring.z85_encode(u.bytes)],
+                "size": [len(data)],
+                "cardinality": [len(positions)],
+                "new_rows": [len(pdf)],
+            }
+        )
+
+    descriptors = (
+        matched.groupBy("__dl_path")
+        .applyInPandas(
+            write_group,
+            "uri string, dv_path string, size long, cardinality long, "
+            "new_rows long",
+        )
+        .collect()
+    )
+    if not descriptors:
+        return {
+            "version": snap.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_kept": len(snap.files),
+            "dv_files": 0,
+        }
+    by_rel = {}
+    rows_deleted = 0
+    for r in descriptors:
+        rel = _uri_to_rel(r["uri"], path)
+        by_rel[rel] = r
+        old_card = 0
+        add = next(a for a in snap.files if a.path == rel)
+        if add.deletion_vector is not None:
+            old_card = int(add.deletion_vector.get("cardinality") or 0)
+        rows_deleted += int(r["cardinality"]) - old_card
+    cdc_actions = []
+    if _cdf_enabled(snap):
+        deleted_rows = (
+            target.where(cond)
+            .drop("__dl_path", "__dl_pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        cdc_actions = [
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                deleted_rows.coalesce(max(1, len(by_rel))), path
+            )
+        ]
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "predicate": predicate, "deletionVectors": True,
+                },
+            }
+        }
+    ]
+    from dataclasses import replace as _dc_replace
+
+    for rel in sorted(by_rel):
+        r = by_rel[rel]
+        add = next(a for a in snap.files if a.path == rel)
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(rel, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            _add_json(
+                _dc_replace(
+                    add,
+                    deletion_vector={
+                        "storageType": "u",
+                        "pathOrInlineDv": r["dv_path"],
+                        "offset": 1,
+                        "sizeInBytes": int(r["size"]),
+                        "cardinality": int(r["cardinality"]),
+                    },
+                )
+            )
+        )
+    actions += cdc_actions
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions):
+        _discard_cdc(path, cdc_actions)
+        # the freshly-written DV sidecars are referenced by no committed
+        # add action — reclaim them, as _discard_staged does for data
+        import uuid as _uuid_mod
+
+        from .roaring import z85_decode
+
+        for r in descriptors:
+            u = _uuid_mod.UUID(bytes=z85_decode(r["dv_path"]))
+            try:
+                os.remove(os.path.join(path, f"deletion_vector_{u}.bin"))
+            except OSError:
+                pass
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run DELETE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_rewritten": 0,
+        "files_kept": len(snap.files),
+        "dv_files": len(by_rel),
     }
 
 
@@ -1640,7 +1848,7 @@ def read_change_feed(
             raise DeltaLiteError(
                 f"change feed unavailable: commit {v} JSON aged out"
             )
-        cdc_paths, add_files, remove_rels = [], [], []
+        cdc_paths, add_files, remove_rels, dv_adds = [], [], [], []
         operation, ts_ms = None, None
         with open(commit, encoding="utf-8") as fh:
             for line in fh:
@@ -1655,11 +1863,9 @@ def read_change_feed(
                 elif "add" in action and action["add"].get("dataChange", True):
                     a = action["add"]
                     if a.get("deletionVector"):
-                        raise DeltaLiteError(
-                            f"change feed cannot derive version {v}: add "
-                            f"action for {a['path']!r} carries a deletion "
-                            "vector (the row delta is a bitmap diff)"
-                        )
+                        # only a problem when DERIVING (no cdc files):
+                        # flagged here, raised after the cdc check below
+                        dv_adds.append(a["path"])
                     add_files.append(
                         AddFile(
                             path=unquote(a["path"]),
@@ -1701,6 +1907,12 @@ def read_change_feed(
                 stamp(spark.read.schema(cdc_schema).parquet(*cdc_paths))
             )
             continue
+        if dv_adds:
+            raise DeltaLiteError(
+                f"change feed cannot derive version {v}: add action for "
+                f"{dv_adds[0]!r} carries a deletion vector (the row delta "
+                "is a bitmap diff)"
+            )
         if operation in ("MERGE", "DELETE") and (add_files or remove_rels):
             raise DeltaLiteError(
                 f"change feed cannot derive version {v} ({operation} "

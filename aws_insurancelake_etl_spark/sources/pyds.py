@@ -551,7 +551,7 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"change feed unavailable: commit {v} JSON aged out"
                 )
-            cdc_rels, adds, removes = [], [], []
+            cdc_rels, adds, removes, dv_adds = [], [], [], []
             operation, ts_ms = None, None
             with open(commit, encoding="utf-8") as fh:
                 for line in fh:
@@ -565,10 +565,9 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
                         "dataChange", True
                     ):
                         if action["add"].get("deletionVector"):
-                            raise ValueError(
-                                f"change feed cannot derive version {v}: "
-                                "add carries a deletion vector"
-                            )
+                            # only blocks DERIVED versions; cdc-carrying
+                            # commits (our DV delete) read verbatim
+                            dv_adds.append(action["add"]["path"])
                         adds.append(
                             (
                                 unquote(action["add"]["path"]),
@@ -600,6 +599,11 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
                     for rel in cdc_rels
                 )
                 continue
+            if dv_adds:
+                raise ValueError(
+                    f"change feed cannot derive version {v}: add "
+                    f"{dv_adds[0]!r} carries a deletion vector"
+                )
             if operation in ("MERGE", "DELETE") and (adds or removes):
                 raise ValueError(
                     f"change feed cannot derive version {v} ({operation} "

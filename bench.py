@@ -109,6 +109,7 @@ EXTENDED: list[str] = [
     "src_delta_column_mapping",
     "stream_delta_cdf_rows",
     "em_fuzzy_skew_stress",
+    "sink_delta_dv_delete",
 ]
 
 

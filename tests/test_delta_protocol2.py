@@ -262,3 +262,87 @@ def test_column_mapping_unknown_mode_raises(spark, tmp_path):
             fh.write(json.dumps(action) + "\n")
     with pytest.raises(dl.DeltaLiteError, match="columnMapping.mode"):
         dl.read_delta(spark, path)
+
+
+# --------------------------------------------- deletion-vector WRITES
+
+
+def test_dv_delete_rewrites_nothing(spark, tmp_path):
+    path = str(tmp_path / "dvw")
+    _one_file_table(spark, path, 0, 10)
+    _one_file_table(spark, path, 10, 20)
+    before = {f.path for f in dl.snapshot(path).files}
+    stats = dl.delete_delta(spark, path, "id % 3 = 0",
+                            use_deletion_vectors=True)
+    assert stats["files_rewritten"] == 0 and stats["dv_files"] == 2
+    assert stats["rows_deleted"] == 7  # 0,3,6,9,12,15,18
+    snap = dl.snapshot(path)
+    assert {f.path for f in snap.files} == before  # no data file moved
+    assert all(f.deletion_vector is not None for f in snap.files)
+    assert _ids(dl.read_delta(spark, path)) == [
+        i for i in range(20) if i % 3
+    ]
+    # metadata-only count subtracts the DV cardinalities
+    assert dl.delta_count(spark, path) == 13
+
+
+def test_dv_delete_merges_into_existing_dv(spark, tmp_path):
+    path = str(tmp_path / "dvw2")
+    _one_file_table(spark, path, 0, 12)
+    dl.delete_delta(spark, path, "id < 3", use_deletion_vectors=True)
+    stats = dl.delete_delta(spark, path, "id >= 9",
+                            use_deletion_vectors=True)
+    assert stats["rows_deleted"] == 3
+    snap = dl.snapshot(path)
+    (f,) = snap.files
+    assert f.deletion_vector["cardinality"] == 6  # 0,1,2,9,10,11 merged
+    assert _ids(dl.read_delta(spark, path)) == [3, 4, 5, 6, 7, 8]
+    # time travel: v1 sees the first delete only, v0 everything
+    assert _ids(dl.read_delta(spark, path, version=1)) == list(range(3, 12))
+    assert _ids(dl.read_delta(spark, path, version=0)) == list(range(12))
+
+
+def test_dv_delete_untouched_files_unaffected(spark, tmp_path):
+    path = str(tmp_path / "dvw3")
+    _one_file_table(spark, path, 0, 5)
+    _one_file_table(spark, path, 100, 105)
+    stats = dl.delete_delta(spark, path, "id = 2",
+                            use_deletion_vectors=True)
+    assert stats["dv_files"] == 1
+    snap = dl.snapshot(path)
+    assert sum(1 for f in snap.files if f.deletion_vector) == 1
+    assert _ids(dl.read_delta(spark, path)) == [0, 1, 3, 4, 100, 101,
+                                                102, 103, 104]
+
+
+def test_dv_delete_no_match_is_noop(spark, tmp_path):
+    path = str(tmp_path / "dvw4")
+    _one_file_table(spark, path, 0, 5)
+    stats = dl.delete_delta(spark, path, "id > 99",
+                            use_deletion_vectors=True)
+    assert stats["rows_deleted"] == 0 and stats["version"] == 0
+
+
+def test_dv_delete_cdf_emits_delete_rows(spark, tmp_path):
+    path = str(tmp_path / "dvw5")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path,
+                   configuration={"delta.enableChangeDataFeed": "true"})
+    dl.delete_delta(spark, path, "id in (1, 5)",
+                    use_deletion_vectors=True)
+    feed = dl.read_change_feed(spark, path, 1, 1)
+    got = sorted((r["_change_type"], r["id"]) for r in feed.collect())
+    assert got == [("delete", 1), ("delete", 5)]
+
+
+def test_dv_delete_then_optimize_purges_dvs(spark, tmp_path):
+    path = str(tmp_path / "dvw6")
+    _one_file_table(spark, path, 0, 9)
+    dl.delete_delta(spark, path, "id % 2 = 0", use_deletion_vectors=True)
+    dl.optimize(spark, path, target_files=1)
+    snap = dl.snapshot(path)
+    assert all(f.deletion_vector is None for f in snap.files)
+    assert _ids(dl.read_delta(spark, path)) == [1, 3, 5, 7]
