@@ -1133,26 +1133,42 @@ def _upsert_equality_once(
         )
     eq_ids = [ids_by_name[k] for k in keys]
     # (a) equality-delete file(s): the distinct source key tuples, written
-    # BY SPARK (the key set can be arbitrarily large — never driver-side)
-    stage = tempfile.mkdtemp(prefix="_ice_eqdel_", dir=table_path)
+    # BY SPARK (the key set can be arbitrarily large — never driver-side).
+    # When the partition columns are part of the key, the delete files
+    # are PARTITION-SCOPED (the partitioned Flink-CDC shape): each file
+    # carries its partition tuple in the manifest entry, so readers only
+    # anti-join it against that partition's data — and partition-level
+    # maintenance (compaction of one partition) can drop exactly the
+    # deletes that apply to it.
     delete_entries = []
-    try:
-        out = os.path.join(stage, "out")
-        source.select(*keys).distinct().write.mode("overwrite").parquet(out)
-        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
-            count = _footer_rows(src_file)
-            if count == 0:
-                continue
-            rel = f"data/eqdelete-{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            size = os.path.getsize(src_file)
-            shutil.move(src_file, dest)
-            # global scope: an all-null partition tuple (the key set is
-            # table-wide unique, not partition-local)
-            delete_entries.append((rel, {}, count, size, 2, eq_ids))
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    distinct_keys = source.select(*keys).distinct()
+    if part_cols and set(part_cols) <= set(keys):
+        staged = _stage_iceberg_data(distinct_keys, table_path, part_cols)
+        delete_entries = [
+            (rel, pvals, count, size, 2, eq_ids)
+            for rel, pvals, count, size in staged
+        ]
+    else:
+        stage = tempfile.mkdtemp(prefix="_ice_eqdel_", dir=table_path)
+        try:
+            out = os.path.join(stage, "out")
+            distinct_keys.write.mode("overwrite").parquet(out)
+            for src_file in sorted(
+                _glob.glob(os.path.join(out, "*.parquet"))
+            ):
+                count = _footer_rows(src_file)
+                if count == 0:
+                    continue
+                rel = f"data/eqdelete-{uuid.uuid4().hex}.parquet"
+                dest = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                size = os.path.getsize(src_file)
+                shutil.move(src_file, dest)
+                # global scope: an all-null partition tuple (the key set
+                # is table-wide unique, not partition-local)
+                delete_entries.append((rel, {}, count, size, 2, eq_ids))
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     # (b) the source appends as new data files
     data_entries = _stage_iceberg_data(source, table_path, part_cols)
     try:

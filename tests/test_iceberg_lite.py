@@ -646,3 +646,52 @@ def test_expire_keeps_snapshots_newer_than_cutoff(spark, tmp_path):
     stats = iceberg_lite.expire_snapshots(path, keep_last=1, older_than_ms=0)
     assert stats["expired"] == [] and stats["deleted_files"] == 0
     assert len(iceberg_lite.snapshot_ids(path)) == 2
+
+
+def test_upsert_equality_partition_scoped_when_keys_cover_partition(
+    spark, tmp_path
+):
+    """Partitioned Flink-CDC shape: when the partition columns are part
+    of the upsert key, the writer emits PARTITION-SCOPED equality
+    deletes — and a matching key value in ANOTHER partition survives."""
+    path = str(tmp_path / "equp_scoped")
+    base = spark.createDataFrame(
+        [Row(grp=g, id=i, v=float(i))
+         for g in ("a", "b") for i in range(4)]
+    ).select("grp", "id", "v")
+    iceberg_lite.write_iceberg(spark, base, path, partition_by=["grp"])
+    upd = spark.createDataFrame(
+        [Row(grp="a", id=1, v=100.0)]
+    ).select("grp", "id", "v")
+    iceberg_lite.upsert_iceberg_equality(spark, upd, path, ["grp", "id"])
+    _, deletes = iceberg_lite.plan_scan(path)
+    eq = [d for d in deletes if d.content == 2]
+    assert eq and all(d.partition_scope == (("grp", "a"),) for d in eq)
+    got = {(r["grp"], r["id"]): r["v"]
+           for r in iceberg_lite.read_iceberg(spark, path).collect()}
+    assert got[("a", 1)] == 100.0
+    assert got[("b", 1)] == 1.0  # same id, other partition: untouched
+    assert len(got) == 8
+
+
+def test_upsert_equality_global_when_keys_miss_partition(spark, tmp_path):
+    path = str(tmp_path / "equp_glob")
+    base = spark.createDataFrame(
+        [Row(grp=g, id=i, v=float(i)) for g in ("a", "b") for i in range(3)]
+    ).select("grp", "id", "v")
+    iceberg_lite.write_iceberg(spark, base, path, partition_by=["grp"])
+    upd = spark.createDataFrame([Row(grp="a", id=2, v=99.0)]).select(
+        "grp", "id", "v"
+    )
+    # key = id only: the delete can match any partition -> global scope;
+    # id=2 vanishes from BOTH partitions, replaced by the single source row
+    iceberg_lite.upsert_iceberg_equality(spark, upd, path, "id")
+    _, deletes = iceberg_lite.plan_scan(path)
+    eq = [d for d in deletes if d.content == 2]
+    assert eq and all(d.partition_scope == () for d in eq)
+    got = sorted(
+        (r["grp"], r["id"], r["v"])
+        for r in iceberg_lite.read_iceberg(spark, path).collect()
+    )
+    assert got == [("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 99.0),
+                   ("b", 0, 0.0), ("b", 1, 1.0)]

@@ -114,16 +114,18 @@ def test_driver_window_covers_every_operator_family():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
-    # r7 rotation (VERDICT r6 items 1-2, computed by
-    # tools/driver_window.py): the 29 never-driver-checked gates lead,
-    # then the one red r6 row, then the stalest r1 re-checks.  Sentinels
-    # from each group: the three SURVEY components whose only evidence
-    # was local (Excel, iceberg scan, delta MERGE sink), the two
-    # deferred function batteries, and the repaired array gate.
-    for sentinel in ("src_encrypted_xlsx_read", "src_iceberg_snapshot_read",
-                     "sink_delta_merge_upsert", "sql_map_functions",
-                     "sql_timestamp_functions", "sql_array_functions",
-                     "dq_match_rules", "text_bpe_learn_merges"):
+    # r8 rotation (VERDICT r7 item 3, computed by tools/driver_window.py
+    # with implementation-churn weighting): the 7 round-8 gates with no
+    # driver row lead, then the stalest gates whose impl files changed
+    # since the round-7 marker.  Sentinels: every never-checked round-8
+    # gate, plus churned representatives from the entity-match family
+    # (entitymatch.py changed) and the table-format consumers.
+    for sentinel in ("em_fuzzy_skew_stress", "sink_iceberg_eq_upsert",
+                     "sink_iceberg_compaction", "src_delta_deletion_vectors",
+                     "src_delta_column_mapping", "stream_delta_cdf_rows",
+                     "sink_delta_dv_delete", "em_fuzzy_blocked",
+                     "em_exact_match", "sink_delta_merge_upsert",
+                     "src_delta_change_feed"):
         assert sentinel in window, sentinel
 
 
