@@ -116,6 +116,9 @@ class Snapshot:
     files: list = field(default_factory=list)
     tombstones: dict = field(default_factory=dict)  # rel path -> deletion ms
     configuration: dict = field(default_factory=dict)  # metaData table props
+    #: the replayed protocol action (reader/writer versions + feature
+    #: lists) — writers must gate on it, not only readers
+    protocol: dict = field(default_factory=lambda: dict(_PROTOCOL))
 
     @property
     def schema(self) -> StructType:
@@ -282,6 +285,7 @@ def snapshot(path: str, version=None) -> Snapshot:
         files=sorted(state["adds"].values(), key=lambda a: a.path),
         tombstones=dict(state["removes"]),
         configuration=dict(meta.get("configuration") or {}),
+        protocol=dict(state.get("protocol") or _PROTOCOL),
     )
 
 
@@ -978,7 +982,7 @@ def write_delta(
     evolved = False
     if is_delta_table(path):
         existing = snapshot(path)
-        _guard_writable(existing)
+        _guard_writable(existing, operation=mode)
         if mode == "append":
             if partition_by and partition_by != existing.partition_columns:
                 raise DeltaLiteError(
@@ -1088,16 +1092,71 @@ def write_delta(
     return version
 
 
-def _guard_writable(snap: Snapshot) -> None:
-    """delta_lite WRITES to column-mapped tables are unsupported (the
-    writer would have to emit physical column names in the parquet and
-    partitionValues); reads work — raise the honest named error rather
-    than committing a file the mapping-aware readers cannot resolve."""
+#: writer protocol features delta_lite can honor when committing to a
+#: table that declares them (PROTOCOL.md writer features).  appendOnly
+#: is ENFORCED below; deletionVectors/changeDataFeed are implemented;
+#: invariants appears on v7 writers by default and is vacuous unless a
+#: field actually carries delta.invariants metadata (checked).
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "deletionVectors",
+    "changeDataFeed",
+    "columnMapping",  # guarded separately: reads ok, writes refuse
+    "timestampNtz",
+    "invariants",
+}
+
+
+def _guard_writable(snap: Snapshot, operation: str = "mutate") -> None:
+    """Writer-side protocol gate: delta_lite must not commit to a table
+    whose declared writer requirements it cannot honor — silently
+    breaking another engine's invariants is worse than refusing.
+
+    - column mapping: READ-ONLY (the writer would have to emit physical
+      column names in the parquet and partitionValues);
+    - minWriterVersion > 7 or an unknown writerFeature: refuse by name;
+    - ``delta.appendOnly=true`` (the appendOnly writer feature): any
+      operation that removes or rewrites data (overwrite, MERGE,
+      DELETE, RESTORE) refuses; append and OPTIMIZE (layout-only)
+      remain legal, as in delta-spark;
+    - a field carrying ``delta.invariants`` metadata: refuse (we do not
+      evaluate invariant expressions)."""
     if _column_mapping_mode(snap.configuration) != "none":
         raise DeltaLiteError(
             "delta_lite supports column-mapped tables READ-ONLY; "
             "writing requires physical-name emission it does not do"
         )
+    p = snap.protocol or {}
+    writer = int(p.get("minWriterVersion", 2))
+    if writer == 7 or p.get("writerFeatures") is not None:
+        unsupported = sorted(
+            set(p.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
+        )
+        if unsupported:
+            raise DeltaLiteError(
+                f"unsupported writerFeatures {unsupported} "
+                f"(delta_lite honors {sorted(_SUPPORTED_WRITER_FEATURES)})"
+            )
+    elif writer > 7:
+        raise DeltaLiteError(
+            f"unsupported minWriterVersion={writer} (delta_lite writes "
+            "protocol writer versions 1-7)"
+        )
+    if operation not in ("append", "OPTIMIZE") and str(
+        snap.configuration.get("delta.appendOnly", "false")
+    ).lower() == "true":
+        raise DeltaLiteError(
+            f"table is delta.appendOnly=true: {operation} would remove "
+            "or rewrite data; only appends (and layout-only OPTIMIZE) "
+            "are allowed"
+        )
+    for f in snap.schema.fields:
+        if (f.metadata or {}).get("delta.invariants"):
+            raise DeltaLiteError(
+                f"column {f.name!r} carries a delta.invariants "
+                "expression delta_lite does not evaluate; refusing to "
+                "write rather than break it"
+            )
 
 
 # --------------------------------------------------------------- merge
@@ -1161,7 +1220,7 @@ def _merge_once(
     ``ConcurrentWriteError`` (after discarding staged files) if another
     writer claims the version first."""
     snap = snapshot(path)
-    _guard_writable(snap)
+    _guard_writable(snap, operation="MERGE")
     schema_cols = [f.name for f in snap.schema.fields]
     if [f.name for f in source.schema.fields] != schema_cols:
         source = source.select(*schema_cols)  # raises if a column is missing
@@ -1410,7 +1469,7 @@ def optimize(
     overhead (footers, scheduling) once files shrink below
     ~maxPartitionBytes."""
     snap = snapshot(path)
-    _guard_writable(snap)
+    _guard_writable(snap, operation="OPTIMIZE")
     if not snap.files:
         return {"version": snap.version, "files_before": 0, "files_after": 0}
     df = _read_snapshot(spark, snap)
@@ -1491,7 +1550,7 @@ def delete_delta(
       on wide tables; the debt is read-side until OPTIMIZE rewrites.
     """
     snap = snapshot(path)
-    _guard_writable(snap)
+    _guard_writable(snap, operation="DELETE")
     if use_deletion_vectors:
         return _delete_with_dvs(spark, path, snap, predicate)
     target = _read_snapshot(spark, snap, with_path=True)
@@ -2024,6 +2083,7 @@ def restore(path: str, version: int) -> dict:
     never copied; files the target needs must still exist (i.e. not
     vacuumed)."""
     current = snapshot(path)
+    _guard_writable(current, operation="RESTORE")
     target = snapshot(path, version=version)
     missing = [
         f.path

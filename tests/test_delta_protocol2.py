@@ -346,3 +346,75 @@ def test_dv_delete_then_optimize_purges_dvs(spark, tmp_path):
     snap = dl.snapshot(path)
     assert all(f.deletion_vector is None for f in snap.files)
     assert _ids(dl.read_delta(spark, path)) == [1, 3, 5, 7]
+
+
+# ------------------------------------------- writer protocol + appendOnly
+
+
+def test_append_only_table_refuses_rewrites(spark, tmp_path):
+    path = str(tmp_path / "ao")
+    df = spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v")
+    dl.write_delta(df, path, configuration={"delta.appendOnly": "true"})
+    # appends stay legal
+    dl.write_delta(
+        spark.createDataFrame([Row(id=2, v=2.0)]).select("id", "v"), path
+    )
+    # layout-only OPTIMIZE stays legal (no rows change)
+    dl.optimize(spark, path, target_files=1)
+    assert _ids(dl.read_delta(spark, path)) == [1, 2]
+    for op in (
+        lambda: dl.write_delta(df, path, mode="overwrite"),
+        lambda: dl.merge_delta(spark, df, path, "id"),
+        lambda: dl.delete_delta(spark, path, "id = 1"),
+        lambda: dl.delete_delta(spark, path, "id = 1",
+                                use_deletion_vectors=True),
+        lambda: dl.restore(path, 0),
+    ):
+        with pytest.raises(dl.DeltaLiteError, match="appendOnly"):
+            op()
+
+
+def test_unknown_writer_feature_refuses_writes_allows_reads(spark, tmp_path):
+    import json
+
+    path = str(tmp_path / "wf")
+    df = spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v")
+    dl.write_delta(df, path)
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(log, "x") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["identityColumns"],
+        }}) + "\n")
+    assert _ids(dl.read_delta(spark, path)) == [1]  # reads unaffected
+    with pytest.raises(dl.DeltaLiteError, match="identityColumns"):
+        dl.write_delta(df, path)
+
+
+def test_invariants_metadata_refuses_writes(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    path = str(tmp_path / "inv")
+    df = spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v")
+    dl.write_delta(df, path)
+    # doctor the schemaString: column v carries an invariant expression
+    schema = StructType([
+        StructField("id", LongType(), True),
+        StructField("v", DoubleType(), True,
+                     metadata={"delta.invariants":
+                               '{"expression":{"expression":"v > 0"}}'}),
+    ])
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(log, "x") as fh:
+        fh.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet"},
+            "schemaString": schema.json(), "partitionColumns": [],
+            "configuration": {},
+        }}) + "\n")
+    assert _ids(dl.read_delta(spark, path)) == [1]
+    with pytest.raises(dl.DeltaLiteError, match="invariants"):
+        dl.delete_delta(spark, path, "id = 1")
