@@ -620,3 +620,46 @@ def test_no_accidental_single_partition_exchanges(spark):
     # cover exactly what it claims to cover
     assert not construct_failed, construct_failed
     assert not offenders, offenders
+
+
+def test_dv_read_is_anti_join_not_cartesian(spark, tmp_path):
+    """Deletion-vector application (round 8): one LEFT ANTI join keyed
+    on (file, row_index) — never a cartesian, never a collect of
+    positions to the driver; the scan keeps reading only the referenced
+    columns plus the constant-folded metadata struct."""
+    from pyspark.sql import Row
+
+    from aws_insurancelake_etl_spark.queries.pipeline_ops import (
+        add_deletion_vector,
+    )
+    from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+    path = str(tmp_path / "dv_plan")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(20)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path)
+    rel = dl.snapshot(path).files[0].path
+    add_deletion_vector(spark, path, rel, [0, 5])
+    out = dl.read_delta(spark, path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capped_fuzzy_windows_primary_only(spark):
+    """em_fuzzy_skew_stress: the block cap's row_number window
+    partitions the PRIMARY (small) side by block; the incoming side is
+    never globally sorted, and the block join is key-based."""
+    plan = plan_of(spark, "em_fuzzy_skew_stress")
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    # no global sort: every Sort node is within-partition (global=false)
+    for line in plan.splitlines():
+        if "Sort [" in line and "global=true" in line:
+            raise AssertionError(f"global sort in capped fuzzy plan: {line}")
