@@ -418,3 +418,28 @@ def test_invariants_metadata_refuses_writes(spark, tmp_path):
     assert _ids(dl.read_delta(spark, path)) == [1]
     with pytest.raises(dl.DeltaLiteError, match="invariants"):
         dl.delete_delta(spark, path, "id = 1")
+
+
+def test_timestamp_ntz_reader_feature(spark, tmp_path):
+    """timestampNtz is in _SUPPORTED_READER_FEATURES: a v3 table whose
+    only required features are timestampNtz(+DV) replays, and the
+    TIMESTAMP_NTZ column reads natively."""
+    import datetime
+    import json
+
+    path = str(tmp_path / "ntz")
+    df = spark.createDataFrame(
+        [Row(id=1, ts=datetime.datetime(2024, 6, 1, 12, 0))],
+        "id bigint, ts timestamp_ntz",
+    )
+    dl.write_delta(df, path)
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    with open(log, "x") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz"],
+            "writerFeatures": ["timestampNtz"],
+        }}) + "\n")
+    back = dl.read_delta(spark, path)
+    assert back.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert back.collect()[0]["ts"] == datetime.datetime(2024, 6, 1, 12, 0)
