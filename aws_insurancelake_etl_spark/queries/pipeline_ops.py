@@ -3319,3 +3319,55 @@ def sink_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not any(f.deletion_vector for f in after):
         raise RuntimeError("no add action carries a deletionVector")
     return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "src_iceberg_bounds_pruning",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+      AND o_orderkey >= 600 AND o_orderkey <= 1800
+    """,
+)
+def src_iceberg_bounds_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MANIFEST-LEVEL VALUE PRUNING (round 8): partition
+    pruning alone leaves every data file of a matching partition in the
+    plan; real Iceberg also prunes on the manifests' per-column
+    ``lower_bounds``/``upper_bounds`` (spec Appendix D single-value
+    serialization, keyed by field id) — with range-clustered files,
+    the scan plan is O(matching files) before any footer opens: the
+    second half of the 100 TB planning story (delta_lite's footer-stats
+    skipping is the same idea one level lower).  The gate writes orders
+    keys range-clustered into 8 files, asserts the bounds-filtered plan
+    opens STRICTLY fewer files, and reads a key range; the oracle is
+    the plain relational range."""
+    from ..sources import iceberg_lite
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-bounds-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        base.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"),
+        tbl,
+    )
+    bounds = {"o_orderkey": (600, 1800)}
+    all_files = iceberg_lite.plan_files(tbl)
+    planned = iceberg_lite.plan_files(tbl, bounds_filter=bounds)
+    if not planned or len(planned) >= len(all_files):
+        raise RuntimeError(
+            f"bounds pruning ineffective: {len(planned)}/{len(all_files)}"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl, bounds_filter=bounds)

@@ -165,6 +165,111 @@ class DataFileEntry:
     orig_path: str = ""
     #: v2 data sequence number (0 for v1 / absent)
     sequence_number: int = 0
+    #: spec ``lower_bounds``/``upper_bounds``: field id -> Appendix-D
+    #: single-value bytes; empty when the writer emitted none
+    lower_bounds: dict = None
+    upper_bounds: dict = None
+
+
+# ---- Appendix D single-value (de)serialization for bounds maps.  Only
+# the types our writer emits bounds for; unknown types simply carry no
+# bounds (pruning is an optimization, never a correctness dependency).
+
+import struct as _struct  # noqa: E402
+
+
+def _single_value_encode(value, ice_type: str):
+    if value is None:
+        return None
+    try:
+        if ice_type == "long":
+            return _struct.pack("<q", int(value))
+        if ice_type == "int":
+            return _struct.pack("<i", int(value))
+        if ice_type == "double":
+            return _struct.pack("<d", float(value))
+        if ice_type == "float":
+            return _struct.pack("<f", float(value))
+        if ice_type == "string":
+            return str(value).encode("utf-8")
+        if ice_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if ice_type == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            return _struct.pack("<i", (value - epoch).days)
+    except (ValueError, TypeError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def _single_value_decode(data: bytes, ice_type: str):
+    if data is None:
+        return None
+    try:
+        if ice_type == "long":
+            return _struct.unpack("<q", data)[0]
+        if ice_type == "int":
+            return _struct.unpack("<i", data)[0]
+        if ice_type == "double":
+            return _struct.unpack("<d", data)[0]
+        if ice_type == "float":
+            return _struct.unpack("<f", data)[0]
+        if ice_type == "string":
+            return data.decode("utf-8")
+        if ice_type == "boolean":
+            return data != b"\x00"
+        if ice_type == "date":
+            import datetime
+
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=_struct.unpack("<i", data)[0]
+            )
+    except (ValueError, UnicodeDecodeError, _struct.error):
+        return None
+    return None
+
+
+def _bounds_map(raw) -> dict:
+    """Manifest bounds come back from Avro as a list of {key, value}
+    records (Iceberg's map encoding) or a dict; normalize to
+    {field_id: bytes}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    out = {}
+    for item in raw:
+        if isinstance(item, dict):
+            out[int(item["key"])] = item["value"]
+        else:
+            k, v = item
+            out[int(k)] = v
+    return out
+
+
+def _field_types_by_id(meta: dict) -> dict:
+    """field id -> iceberg type name (primitives only) from the current
+    schema — bounds decoding needs it."""
+    schemas = meta.get("schemas")
+    schema = None
+    if schemas:
+        cur = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == cur:
+                schema = s
+        if schema is None:
+            schema = schemas[-1]
+    else:
+        schema = meta.get("schema")
+    if not schema or not schema.get("fields"):
+        return {}
+    return {
+        int(f["id"]): f["type"]
+        for f in schema["fields"]
+        if isinstance(f["type"], str)
+    }
 
 
 @dataclass
@@ -209,20 +314,31 @@ def _field_names_by_id(meta: dict) -> dict:
 
 
 def plan_files(
-    table_path: str, snapshot_id=None, partition_filter=None
+    table_path: str, snapshot_id=None, partition_filter=None,
+    bounds_filter=None,
 ) -> list[DataFileEntry]:
     """Live DATA files of the snapshot (see :func:`plan_scan`)."""
-    return plan_scan(table_path, snapshot_id, partition_filter)[0]
+    return plan_scan(
+        table_path, snapshot_id, partition_filter, bounds_filter
+    )[0]
 
 
 def plan_scan(
-    table_path: str, snapshot_id=None, partition_filter=None
+    table_path: str, snapshot_id=None, partition_filter=None,
+    bounds_filter=None,
 ) -> tuple[list[DataFileEntry], list[DeleteFileEntry]]:
     """Resolve the snapshot's live data files AND position-delete files
     through the manifest tree, pruning data files on identity-partition
     values BEFORE touching any parquet footer.  Delete files are never
     partition-pruned (a delete manifest may target any data file; an
-    inapplicable delete row simply fails the anti-join match)."""
+    inapplicable delete row simply fails the anti-join match).
+
+    ``bounds_filter`` ({col: (lo, hi)}, either end None for open):
+    additionally prunes data files whose manifest ``lower_bounds`` /
+    ``upper_bounds`` (spec Appendix D single-value bytes, keyed by
+    field id) prove the range cannot match — Iceberg's manifest-level
+    VALUE pruning, the second half of what makes a 100 TB scan plan
+    O(matching files).  Files without bounds are never pruned."""
     meta = _load_metadata(table_path)
     if int(meta.get("format-version", 1)) not in (1, 2):
         raise IcebergLiteError(
@@ -307,8 +423,43 @@ def plan_scan(
                     record_count=int(df.get("record_count") or 0),
                     orig_path=df["file_path"],
                     sequence_number=seq,
+                    lower_bounds=_bounds_map(df.get("lower_bounds")),
+                    upper_bounds=_bounds_map(df.get("upper_bounds")),
                 )
             )
+    if bounds_filter:
+        try:
+            ids_by_name = {
+                v: k for k, v in _field_names_by_id(meta).items()
+            }
+        except IcebergLiteError:
+            ids_by_name = {}
+        types_by_id = _field_types_by_id(meta)
+
+        def survives(entry: DataFileEntry) -> bool:
+            for col, (lo, hi) in bounds_filter.items():
+                fid = ids_by_name.get(col)
+                ice_type = types_by_id.get(fid)
+                if fid is None or ice_type is None:
+                    continue
+                flo = _single_value_decode(
+                    (entry.lower_bounds or {}).get(fid), ice_type
+                )
+                fhi = _single_value_decode(
+                    (entry.upper_bounds or {}).get(fid), ice_type
+                )
+                if flo is None or fhi is None:
+                    continue  # no usable bounds: never prune
+                try:
+                    if (hi is not None and flo > hi) or (
+                        lo is not None and fhi < lo
+                    ):
+                        return False
+                except TypeError:
+                    continue
+            return True
+
+        data = [e for e in data if survives(e)]
     return (
         sorted(data, key=lambda e: e.path),
         sorted(deletes, key=lambda e: e.path),
@@ -339,6 +490,7 @@ def read_iceberg(
     table_path: str,
     snapshot_id=None,
     partition_filter=None,
+    bounds_filter=None,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table directory: manifest-tree file
     planning (with partition pruning and time travel) + one distributed
@@ -357,16 +509,30 @@ def read_iceberg(
     strategy from the delete side's actual size."""
     from pyspark.sql import functions as F
 
-    files, deletes = plan_scan(table_path, snapshot_id, partition_filter)
+    files, deletes = plan_scan(
+        table_path, snapshot_id, partition_filter, bounds_filter
+    )
     if not files:
         raise IcebergLiteError(
             f"no data files in snapshot (table {table_path}); "
             "empty-table reads need a schema source this reader "
             "intentionally does not guess"
         )
+
+    def residual(df: DataFrame) -> DataFrame:
+        # bounds pruning is file-level; the row-level range still
+        # applies inside surviving files (same contract as Iceberg's
+        # scan filter: prune what provably misses, filter the rest)
+        for col, (lo, hi) in (bounds_filter or {}).items():
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
+        return df
+
     reader = spark.read.parquet(*[f.path for f in files])
     if not deletes:
-        return reader
+        return residual(reader)
 
     def _norm(col):
         # _metadata.file_path is a URI (file:///x); planned paths are
@@ -470,7 +636,7 @@ def read_iceberg(
             for pcol, pval in scope:
                 cond = cond & (F.col(pcol).cast("string") == F.lit(pval))
             data = data.join(del_rows, cond, "left_anti")
-    return data.select(base_cols)
+    return residual(data.select(base_cols))
 
 
 # ------------------------------------------------------------ write path
@@ -531,6 +697,28 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
             },
+            {
+                "name": "lower_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record", "name": "k126_v127",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "bytes"}],
+                    },
+                }],
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {
+                    "type": "array",
+                    "items": {
+                        "type": "record", "name": "k129_v130",
+                        "fields": [{"name": "key", "type": "int"},
+                                   {"name": "value", "type": "bytes"}],
+                    },
+                }],
+            },
         ],
     }
     return [
@@ -586,7 +774,10 @@ def _stage_iceberg_data(df: DataFrame, table_path: str, part_cols: list):
     throwaway ``__ice_p_*`` columns for Spark's partitionBy so the
     originals stay inside the files (Iceberg stores identity partition
     source columns in the data, unlike Hive/Delta).  Returns
-    [(rel_path, partition_values, record_count, file_size)]."""
+    [(rel_path, partition_values, record_count, file_size, col_minmax)]
+    where col_minmax is the parquet footer's {"minValues", "maxValues"}
+    per primitive column — the raw material for the manifest's
+    lower/upper bounds, Iceberg's manifest-level value pruning."""
     import glob as _glob
     import shutil
     import tempfile
@@ -631,7 +822,14 @@ def _stage_iceberg_data(df: DataFrame, table_path: str, part_cols: list):
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             size = os.path.getsize(src)
             shutil.move(src, dest)
-            staged.append((rel, pvals, _footer_rows(dest), size))
+            from .delta_lite import _footer_stats
+
+            stats = _footer_stats(dest) or {}
+            staged.append(
+                (rel, pvals, _footer_rows(dest), size,
+                 {"min": stats.get("minValues") or {},
+                  "max": stats.get("maxValues") or {}})
+            )
         return staged
     finally:
         import shutil as _sh
@@ -778,6 +976,23 @@ def _commit_snapshot(
                         int(mf.get("added_snapshot_id") or 0),
                     )
                 )
+    # name -> (field id, iceberg primitive type) for bounds encoding:
+    # the table's existing schema wins; a fresh table uses the commit's
+    bounds_src = None
+    if meta is not None and meta.get("schemas"):
+        cur = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == cur:
+                bounds_src = s.get("fields")
+        if bounds_src is None:
+            bounds_src = meta["schemas"][-1].get("fields")
+    if bounds_src is None:
+        bounds_src = schema_fields
+    bounds_fields = {
+        f["name"]: (int(f["id"]), f["type"])
+        for f in (bounds_src or [])
+        if isinstance(f.get("type"), str)
+    }
     new_manifests = list(prior_manifests)
     for manifest_content, entries, tag in (
         (0, data_entries, "data"),
@@ -793,11 +1008,29 @@ def _commit_snapshot(
         )
         rows = []
         for entry in entries:
+            minmax = None
             if manifest_content == 0:
-                rel, pvals, count, size = entry
+                rel, pvals, count, size, *rest = entry
                 file_content, eq_ids = 0, None
+                if rest:
+                    minmax = rest[0]
             else:
                 rel, pvals, count, size, file_content, eq_ids = entry
+            lower = upper = None
+            if minmax and bounds_fields:
+                lower, upper = [], []
+                for name, (fid, ice_type) in bounds_fields.items():
+                    lo = _single_value_encode(
+                        (minmax.get("min") or {}).get(name), ice_type
+                    )
+                    hi = _single_value_encode(
+                        (minmax.get("max") or {}).get(name), ice_type
+                    )
+                    if lo is not None and hi is not None:
+                        lower.append((fid, lo))
+                        upper.append((fid, hi))
+                if not lower:
+                    lower = upper = None
             rows.append(
                 (
                     1,  # status ADDED
@@ -810,6 +1043,8 @@ def _commit_snapshot(
                         int(count),
                         int(size),
                         list(eq_ids) if eq_ids else None,
+                        lower,
+                        upper,
                     ),
                 )
             )
@@ -1146,7 +1381,7 @@ def _upsert_equality_once(
         staged = _stage_iceberg_data(distinct_keys, table_path, part_cols)
         delete_entries = [
             (rel, pvals, count, size, 2, eq_ids)
-            for rel, pvals, count, size in staged
+            for rel, pvals, count, size, _minmax in staged
         ]
     else:
         stage = tempfile.mkdtemp(prefix="_ice_eqdel_", dir=table_path)

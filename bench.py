@@ -110,6 +110,7 @@ EXTENDED: list[str] = [
     "stream_delta_cdf_rows",
     "em_fuzzy_skew_stress",
     "sink_delta_dv_delete",
+    "src_iceberg_bounds_pruning",
 ]
 
 

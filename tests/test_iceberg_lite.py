@@ -695,3 +695,77 @@ def test_upsert_equality_global_when_keys_miss_partition(spark, tmp_path):
     )
     assert got == [("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 99.0),
                    ("b", 0, 0.0), ("b", 1, 1.0)]
+
+
+def test_manifest_bounds_prune_files_and_filter_rows(spark, tmp_path):
+    """round 8: the writer lands lower/upper bounds (spec Appendix D
+    single-value bytes, keyed by field id) in the manifest; a
+    bounds_filter prunes data files at PLAN time and the read applies
+    the residual range."""
+    path = str(tmp_path / "bounds")
+    df = (
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(100)]
+        )
+        .select("id", "v")
+        .repartitionByRange(5, "id")
+        .sortWithinPartitions("id")
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    all_files = iceberg_lite.plan_files(path)
+    assert len(all_files) == 5
+    assert all(f.lower_bounds and f.upper_bounds for f in all_files)
+    planned = iceberg_lite.plan_files(path, bounds_filter={"id": (37, 44)})
+    assert 1 <= len(planned) < len(all_files)
+    got = _rows(
+        iceberg_lite.read_iceberg(
+            spark, path, bounds_filter={"id": (37, 44)}
+        ).select("id")
+    )
+    assert got == [(i,) for i in range(37, 45)]
+
+
+def test_bounds_open_ended_and_unbounded_columns(spark, tmp_path):
+    path = str(tmp_path / "bounds2")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(40)])
+        .select("id", "v")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    # open lower end
+    planned = iceberg_lite.plan_files(path, bounds_filter={"id": (None, 5)})
+    assert len(planned) < 4
+    got = iceberg_lite.read_iceberg(
+        spark, path, bounds_filter={"id": (None, 5)}
+    )
+    assert got.count() == 6
+    # a column with no usable bounds never prunes
+    planned = iceberg_lite.plan_files(
+        path, bounds_filter={"nope": (0, 1)}
+    )
+    assert len(planned) == 4
+
+
+def test_bounds_survive_merge_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "bounds3")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(60)])
+        .select("id", "v")
+        .repartitionByRange(3, "id")
+        .sortWithinPartitions("id")
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.merge_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=10, v=1000.0)]).select("id", "v"),
+        path, "id",
+    )
+    iceberg_lite.rewrite_data_files(spark, path, target_files=3)
+    files = iceberg_lite.plan_files(path)
+    assert all(f.lower_bounds for f in files)
+    got = iceberg_lite.read_iceberg(
+        spark, path, bounds_filter={"id": (10, 10)}
+    ).collect()
+    assert len(got) == 1 and got[0]["v"] == 1000.0
