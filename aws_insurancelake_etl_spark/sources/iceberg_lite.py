@@ -1219,7 +1219,26 @@ def _merge_once_iceberg(
     def _norm(col):
         return F.regexp_replace(col, "^file:/+", "/")
 
-    reader = spark.read.parquet(*[f.path for f in files])
+    # MANIFEST-BOUNDS SKIPPING for the touched-file search: a data file
+    # whose [lower, upper] range on the first merge key cannot contain
+    # any source key is never opened — the Iceberg twin of delta_lite's
+    # footer-stats skipping (finding 42).  With the table clustered on
+    # the key, a narrow upsert scans a handful of files, not the table.
+    # Pruned files cannot contain matches, so skipping them never
+    # changes the delete set.
+    search_files = files
+    key0 = keys[0]
+    kb = source.agg(
+        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+    ).collect()[0]
+    if kb["lo"] is not None:
+        bounded = plan_scan(
+            table_path, bounds_filter={key0: (kb["lo"], kb["hi"])}
+        )[0]
+        if len(bounded) < len(files):
+            search_files = bounded
+    files_scanned = len(search_files)
+    reader = spark.read.parquet(*[f.path for f in search_files])
     schema_cols = reader.columns
     source = source.select(*schema_cols)
     target = reader.select(
@@ -1228,7 +1247,7 @@ def _merge_once_iceberg(
         F.col("_metadata.row_index").alias("__ice_pos"),
     )
     file_map = spark.createDataFrame(
-        [(f.path, f.orig_path) for f in files],
+        [(f.path, f.orig_path) for f in search_files],
         "__ice_file string, orig string",
     )
     matched = (
@@ -1291,6 +1310,8 @@ def _merge_once_iceberg(
         "deleted_rows": deleted_rows,
         "delete_files": len(delete_entries),
         "appended_files": len(data_entries),
+        "files_scanned": files_scanned,
+        "files_total": len(files),
         "retries": attempt,
     }
 

@@ -769,3 +769,28 @@ def test_bounds_survive_merge_and_compaction(spark, tmp_path):
         spark, path, bounds_filter={"id": (10, 10)}
     ).collect()
     assert len(got) == 1 and got[0]["v"] == 1000.0
+
+
+def test_merge_skips_files_outside_source_key_bounds(spark, tmp_path):
+    """round 8: merge's touched-file search prunes on the manifests'
+    key bounds — a narrow upsert against a range-clustered table scans
+    a handful of files, never the table (the Iceberg twin of
+    delta_lite's footer-stats skipping)."""
+    path = str(tmp_path / "mskip")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(80)])
+        .select("id", "v")
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    src = spark.createDataFrame(
+        [Row(id=41, v=-1.0), Row(id=43, v=-3.0)]
+    ).select("id", "v")
+    stats = iceberg_lite.merge_iceberg(spark, src, path, "id")
+    assert stats["files_total"] == 8
+    assert stats["files_scanned"] < 8
+    assert stats["deleted_rows"] == 2
+    got = {r["id"]: r["v"] for r in iceberg_lite.read_iceberg(spark, path).collect()}
+    assert got[41] == -1.0 and got[43] == -3.0 and got[40] == 40.0
+    assert len(got) == 80
