@@ -63,6 +63,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_delta_column_mapping",  # never
     "stream_delta_cdf_rows",  # never
     "sink_delta_dv_delete",  # never (added after the window was computed)
+    "src_iceberg_bounds_pruning",  # never (added after the window was computed)
     "em_exact_match",  # impl churn; last green r3
     "em_full_flow",  # impl churn; last green r3
     "em_jaro_winkler_scores",  # impl churn; last green r3
@@ -105,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_delta_time_travel",  # impl churn; last green r7
     "src_encrypted_xlsx_read",  # impl churn; last green r7
     "src_iceberg_equality_deletes",  # impl churn; last green r7
-    "src_iceberg_position_deletes",  # impl churn; last green r7
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1529,6 +1529,7 @@ def expire_snapshots(
     table_path: str,
     keep_last: int = 1,
     older_than_ms: int | None = None,
+    keep_metadata_versions: int | None = None,
 ) -> dict:
     """MOR maintenance: drop old snapshots from the table metadata and
     DELETE the files only they reference — Iceberg's
@@ -1586,9 +1587,23 @@ def expire_snapshots(
             f"metadata v{version} was committed concurrently; "
             "re-run expire_snapshots"
         )
+    deleted_meta = 0
+    if keep_metadata_versions is not None:
+        # Iceberg's write.metadata.previous-versions-max: old
+        # vN.metadata.json files serve no reader (the HIGHEST version is
+        # authoritative and carries the full snapshot list) — retain the
+        # newest K, reclaim the rest
+        versions_now = _metadata_versions(meta_dir)
+        for v in versions_now[: -max(int(keep_metadata_versions), 1)]:
+            try:
+                os.remove(os.path.join(meta_dir, f"v{v}.metadata.json"))
+                deleted_meta += 1
+            except OSError:
+                pass
     return {
         "expired": [s["snapshot-id"] for s in expired],
         "retained": sorted(keep_ids),
         "deleted_files": deleted,
+        "deleted_metadata_files": deleted_meta,
         "version": version,
     }

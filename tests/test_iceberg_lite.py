@@ -794,3 +794,23 @@ def test_merge_skips_files_outside_source_key_bounds(spark, tmp_path):
     got = {r["id"]: r["v"] for r in iceberg_lite.read_iceberg(spark, path).collect()}
     assert got[41] == -1.0 and got[43] == -3.0 and got[40] == 40.0
     assert len(got) == 80
+
+
+def test_expire_metadata_retention(spark, tmp_path):
+    path = str(tmp_path / "expmeta")
+    for i in range(4):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.createDataFrame([Row(id=i, v=float(i))]).select("id", "v"),
+            path,
+        )
+    before = _rows(iceberg_lite.read_iceberg(spark, path))
+    stats = iceberg_lite.expire_snapshots(
+        path, keep_last=1, keep_metadata_versions=2
+    )
+    assert stats["deleted_metadata_files"] > 0
+    import glob as _glob
+
+    remaining = _glob.glob(os.path.join(path, "metadata", "v*.metadata.json"))
+    assert len(remaining) == 2
+    assert _rows(iceberg_lite.read_iceberg(spark, path)) == before
