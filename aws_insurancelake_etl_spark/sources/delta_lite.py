@@ -390,6 +390,26 @@ def _physical_names(schema: StructType) -> dict:
     return out
 
 
+def _mapping_of(snap: Snapshot):
+    """(logical partition columns, logical->physical map or None)."""
+    if _column_mapping_mode(snap.configuration) == "none":
+        return list(snap.partition_columns), None
+    phys = _physical_names(snap.schema)
+    inv = {p: l for l, p in phys.items()}
+    return [inv.get(c, c) for c in snap.partition_columns], phys
+
+
+def _to_physical(df: DataFrame, phys) -> DataFrame:
+    """Rename logical columns to their physical names before staging
+    data/cdc files into a column-mapped table (identity when unmapped);
+    extra columns (``_change_type``) pass through."""
+    if not phys:
+        return df
+    return df.select(
+        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
+    )
+
+
 def _resolve_dv_path(table_path: str, dv: dict) -> tuple[str, str]:
     """Resolve a deletionVector descriptor to ('file', absolute path) or
     ('inline', z85 payload) per PROTOCOL.md storage types: 'u' = table-
@@ -955,6 +975,7 @@ def write_delta(
     partition_by=None,
     schema_mode: str = "strict",
     configuration: dict | None = None,
+    column_mapping: str | None = None,
 ) -> int:
     """Commit a Spark DataFrame as a delta-lite ``append``/``overwrite``.
     Returns the committed version.  Appends retry on commit conflicts;
@@ -971,18 +992,48 @@ def write_delta(
     ``configuration`` sets table properties in the metaData action
     (e.g. ``{"delta.enableChangeDataFeed": "true"}`` — see
     :func:`read_change_feed`); existing properties are preserved when
-    not re-specified."""
+    not re-specified.
+
+    ``column_mapping="name"`` (table CREATION only) makes the new table
+    COLUMN-MAPPED (PROTOCOL.md §Column Mapping): every field gets a
+    stable id and an opaque physical name carried in the schemaString
+    metadata, the parquet files and partitionValues use the physical
+    names, and the protocol advertises reader 2 / writer 5 — the
+    rename-safe layout Databricks-default tables use.  Appends (and
+    evolve-appends, which mint NEW ids/physical names for added
+    columns) to an already-mapped table physicalize automatically; a
+    schema-CHANGING overwrite of a mapped table raises (id reuse
+    semantics are a deliberate non-goal)."""
     if mode not in ("append", "overwrite"):
         raise DeltaLiteError(f"mode must be append|overwrite, got {mode!r}")
     if schema_mode not in ("strict", "evolve"):
         raise DeltaLiteError(f"schema_mode must be strict|evolve, got {schema_mode!r}")
+    if column_mapping not in (None, "name"):
+        raise DeltaLiteError(
+            f"column_mapping must be None or 'name', got {column_mapping!r}"
+        )
     os.makedirs(path, exist_ok=True)
     partition_by = list(partition_by or [])
     existing = None
     evolved = False
+    phys = None  # logical -> physical (column-mapped tables only)
     if is_delta_table(path):
         existing = snapshot(path)
         _guard_writable(existing, operation=mode)
+        if column_mapping is not None:
+            raise DeltaLiteError(
+                "column_mapping is a table-creation option; the table's "
+                "existing mapping mode governs appends"
+            )
+        if _column_mapping_mode(existing.configuration) != "none":
+            phys = _physical_names(existing.schema)
+            if mode == "overwrite" and _schema_key(df.schema) != _schema_key(
+                existing.schema
+            ):
+                raise DeltaLiteError(
+                    "schema-changing overwrite of a column-mapped table "
+                    "is not supported (field-id reuse semantics)"
+                )
         if mode == "append":
             if partition_by and partition_by != existing.partition_columns:
                 raise DeltaLiteError(
@@ -1016,13 +1067,63 @@ def write_delta(
                     *[f.name for f in added],
                 )
                 evolved = True
-    adds = _stage_data_files(df, path, partition_by)
-    actions = [
-        {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
-    ]
+    mapped_schema = None
     merged_conf = dict(existing.configuration) if existing is not None else {}
     if configuration:
         merged_conf.update(configuration)
+    if phys is not None or column_mapping == "name":
+        # assemble the mapping for the FINAL schema: existing fields
+        # keep their metadata verbatim; new fields (creation or evolve)
+        # mint the next field id and a fresh opaque physical name
+        old_fields = (
+            {f.name: f for f in existing.schema.fields}
+            if existing is not None
+            else {}
+        )
+        max_id = int(merged_conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+        if not max_id and old_fields:
+            max_id = max(
+                (
+                    int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                    for f in old_fields.values()
+                ),
+                default=0,
+            )
+        phys = dict(phys or {})
+        fields = []
+        for f in df.schema.fields:
+            if f.name in old_fields:
+                fields.append(old_fields[f.name])
+                meta = old_fields[f.name].metadata or {}
+                phys.setdefault(
+                    f.name, meta.get("delta.columnMapping.physicalName")
+                )
+            else:
+                max_id += 1
+                pname = f"col-{uuid.uuid4().hex[:8]}"
+                phys[f.name] = pname
+                fields.append(
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        metadata={
+                            "delta.columnMapping.id": max_id,
+                            "delta.columnMapping.physicalName": pname,
+                        },
+                    )
+                )
+        mapped_schema = StructType(fields)
+        merged_conf["delta.columnMapping.mode"] = "name"
+        merged_conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    adds = _stage_data_files(
+        _to_physical(df, phys),
+        path,
+        [phys[c] for c in partition_by] if phys else partition_by,
+    )
+    actions = [
+        {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
+    ]
     meta_needed = (
         existing is None
         or evolved
@@ -1034,14 +1135,22 @@ def write_delta(
         )
     )
     if existing is None:
-        actions.append({"protocol": dict(_PROTOCOL)})
-    if meta_needed:
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            if mapped_schema is not None
+            else {"protocol": dict(_PROTOCOL)}
+        )
+    if meta_needed or (mapped_schema is not None and existing is None):
         actions.append(
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": (
+                        mapped_schema.json()
+                        if mapped_schema is not None
+                        else df.schema.json()
+                    ),
                     "partitionColumns": partition_by,
                     "configuration": merged_conf,
                     "createdTime": int(time.time() * 1000),
@@ -1112,20 +1221,19 @@ def _guard_writable(snap: Snapshot, operation: str = "mutate") -> None:
     whose declared writer requirements it cannot honor — silently
     breaking another engine's invariants is worse than refusing.
 
-    - column mapping: READ-ONLY (the writer would have to emit physical
-      column names in the parquet and partitionValues);
     - minWriterVersion > 7 or an unknown writerFeature: refuse by name;
     - ``delta.appendOnly=true`` (the appendOnly writer feature): any
       operation that removes or rewrites data (overwrite, MERGE,
       DELETE, RESTORE) refuses; append and OPTIMIZE (layout-only)
       remain legal, as in delta-spark;
     - a field carrying ``delta.invariants`` metadata: refuse (we do not
-      evaluate invariant expressions)."""
-    if _column_mapping_mode(snap.configuration) != "none":
-        raise DeltaLiteError(
-            "delta_lite supports column-mapped tables READ-ONLY; "
-            "writing requires physical-name emission it does not do"
-        )
+      evaluate invariant expressions).
+
+    Column-mapped tables are WRITABLE since round 8: every staging path
+    physicalizes column names through the schema metadata
+    (:func:`_to_physical`), so no mapping refusal remains here —
+    ``_column_mapping_mode`` still rejects unknown modes."""
+    _column_mapping_mode(snap.configuration)  # unknown mode raises
     p = snap.protocol or {}
     writer = int(p.get("minWriterVersion", 2))
     if writer == 7 or p.get("writerFeatures") is not None:
@@ -1234,7 +1342,8 @@ def _merge_once(
     # not in the key — a match could sit anywhere — so it only engages
     # on the subset case.)
     search_snap = snap
-    part_cols = snap.partition_columns
+    part_cols, phys = _mapping_of(snap)
+    phys = phys or {}
     if part_cols and set(part_cols) <= set(keys):
         src_parts = {
             tuple(_pv_str(row[c]) for c in part_cols)
@@ -1244,11 +1353,18 @@ def _merge_once(
             table_path=snap.table_path,
             version=snap.version,
             schema_string=snap.schema_string,
-            partition_columns=part_cols,
+            partition_columns=snap.partition_columns,
+            configuration=snap.configuration,
+            protocol=snap.protocol,
             files=[
                 f
                 for f in snap.files
-                if tuple(f.partition_values.get(c) for c in part_cols)
+                if tuple(
+                    f.partition_values.get(
+                        phys.get(c, c), f.partition_values.get(c)
+                    )
+                    for c in part_cols
+                )
                 in src_parts
             ],
         )
@@ -1264,8 +1380,10 @@ def _merge_once(
 
         def _overlaps(f, lo=kb["lo"], hi=kb["hi"]):
             st = f.stats or {}
-            fmin = (st.get("minValues") or {}).get(key0)
-            fmax = (st.get("maxValues") or {}).get(key0)
+            # footer stats are keyed by the ON-DISK (physical) name
+            k = phys.get(key0, key0)
+            fmin = (st.get("minValues") or {}).get(k)
+            fmax = (st.get("maxValues") or {}).get(k)
             if fmin is None or fmax is None:
                 return True
             if not (isinstance(fmin, type(lo)) or isinstance(lo, type(fmin))):
@@ -1280,6 +1398,8 @@ def _merge_once(
             version=search_snap.version,
             schema_string=search_snap.schema_string,
             partition_columns=search_snap.partition_columns,
+            configuration=search_snap.configuration,
+            protocol=search_snap.protocol,
             files=[f for f in search_snap.files if _overlaps(f)],
         )
     target = _read_snapshot(spark, search_snap, with_path=True)
@@ -1307,7 +1427,11 @@ def _merge_once(
         if survivors is not None
         else source.select(*schema_cols)
     )
-    adds = _stage_data_files(new_data, path, snap.partition_columns)
+    adds = _stage_data_files(
+        _to_physical(new_data, phys),
+        path,
+        [phys.get(c, c) for c in part_cols],
+    )
     cdc_actions = []
     if _cdf_enabled(snap):
         # Row-level change feed (PROTOCOL.md): matched target rows are
@@ -1348,7 +1472,10 @@ def _merge_once(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                changes.coalesce(max(1, len(touched_rel))), path
+                _to_physical(changes, phys).coalesce(
+                    max(1, len(touched_rel))
+                ),
+                path,
             )
         ]
     now_ms = int(time.time() * 1000)
@@ -1484,7 +1611,12 @@ def optimize(
         )
     else:
         df = df.coalesce(target_files)
-    adds = _stage_data_files(df, path, snap.partition_columns)
+    opt_parts, opt_phys = _mapping_of(snap)
+    adds = _stage_data_files(
+        _to_physical(df, opt_phys),
+        path,
+        [(opt_phys or {}).get(c, c) for c in opt_parts],
+    )
     now_ms = int(time.time() * 1000)
     actions = [
         {
@@ -1571,7 +1703,14 @@ def delete_delta(
     touched_df = target.where(F.col("__dl_path").isin(list(touched_uris)))
     n_deleted = touched_df.where(cond).count()
     survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
-    adds = _stage_data_files(survivors, path, snap.partition_columns)
+    del_parts, del_phys = _mapping_of(snap)
+    adds = _stage_data_files(
+        _to_physical(survivors, del_phys),
+        path,
+        [
+            (del_phys or {}).get(c, c) for c in del_parts
+        ],
+    )
     cdc_actions = []
     if _cdf_enabled(snap):
         deleted_rows = (
@@ -1582,7 +1721,10 @@ def delete_delta(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                deleted_rows.coalesce(max(1, len(touched_rel))), path
+                _to_physical(deleted_rows, del_phys).coalesce(
+                    max(1, len(touched_rel))
+                ),
+                path,
             )
         ]
     now_ms = int(time.time() * 1000)
@@ -1723,10 +1865,14 @@ def _delete_with_dvs(
             .drop("__dl_path", "__dl_pos")
             .withColumn("_change_type", F.lit("delete"))
         )
+        _, dv_phys = _mapping_of(snap)
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                deleted_rows.coalesce(max(1, len(by_rel))), path
+                _to_physical(deleted_rows, dv_phys).coalesce(
+                    max(1, len(by_rel))
+                ),
+                path,
             )
         ]
     now_ms = int(time.time() * 1000)
@@ -1895,10 +2041,20 @@ def read_change_feed(
     # replay, then metaData actions inside the range update it)
     cdf_on = _cdf_enabled(snapshot(path, start))
     data_cols = [f.name for f in snap.schema.fields]
+    _, feed_phys = _mapping_of(snap)
+    feed_phys = feed_phys or {}
+    # cdc files carry PHYSICAL column names on mapped tables (like the
+    # data files); read physically and alias back to logical
     cdc_schema = StructType(
-        list(snap.schema.fields)
+        [
+            StructField(feed_phys.get(f.name, f.name), f.dataType, True)
+            for f in snap.schema.fields
+        ]
         + [StructField("_change_type", StringType())]
     )
+    cdc_select = [
+        F.col(feed_phys.get(c, c)).alias(c) for c in data_cols
+    ] + [F.col("_change_type")]
     log_dir = _log_dir(path)
     pieces = []
     for v in range(start, end + 1):
@@ -1963,7 +2119,11 @@ def read_change_feed(
 
         if cdc_paths:
             pieces.append(
-                stamp(spark.read.schema(cdc_schema).parquet(*cdc_paths))
+                stamp(
+                    spark.read.schema(cdc_schema)
+                    .parquet(*cdc_paths)
+                    .select(*cdc_select)
+                )
             )
             continue
         if dv_adds:
@@ -1991,6 +2151,7 @@ def read_change_feed(
                 version=v,
                 schema_string=snap.schema_string,
                 partition_columns=snap.partition_columns,
+                configuration=snap.configuration,
                 files=add_files,
             )
             pieces.append(
@@ -2014,6 +2175,7 @@ def read_change_feed(
                 version=v - 1,
                 schema_string=prev.schema_string,
                 partition_columns=prev.partition_columns,
+                configuration=prev.configuration,
                 files=[by_rel[r] for r in remove_rels],
             )
             removed = _read_snapshot(spark, s)

@@ -506,7 +506,8 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
     not enabled at that version, or for underivable MERGE/DELETE
     rewrites and deletion-vector adds."""
 
-    def __init__(self, path: str, schema_json: str, starting_version=None):
+    def __init__(self, path: str, schema_json: str, starting_version=None,
+                 physical_names=None):
         from . import delta_lite
 
         if not delta_lite.is_delta_table(path):
@@ -514,6 +515,9 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
         self.path = path
         self.schema_json = schema_json
         self.starting_version = starting_version
+        #: logical -> physical column names (column-mapped tables): the
+        #: cdc/data files and partitionValues carry the physical names
+        self.physical_names = dict(physical_names or {})
 
     def initialOffset(self) -> dict:
         from . import delta_lite
@@ -647,6 +651,7 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
 
         kind, rel, pvals, version, ts_ms = _json.loads(partition.value)
         schema = StructType.fromJson(_json.loads(self.schema_json))
+        phys = self.physical_names
         table = pq.read_table(_os.path.join(self.path, rel))
         cols = {
             name: table.column(name).to_pylist()
@@ -657,14 +662,21 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
         change_types = (
             cols["_change_type"] if kind == "cdc" else [kind] * n
         )
+
+        def cell(f, i):
+            pname = phys.get(f.name, f.name)
+            if pname in pvals or f.name in pvals:
+                raw = pvals.get(pname, pvals.get(f.name))
+                return _typed_partition_value(raw, f.dataType)
+            return cols[pname][i]
+
         for i in range(n):
-            row = tuple(
-                _typed_partition_value(pvals.get(f.name), f.dataType)
-                if f.name in pvals
-                else cols[f.name][i]
-                for f in schema.fields
+            yield (
+                *(cell(f, i) for f in schema.fields),
+                change_types[i],
+                version,
+                ts,
             )
-            yield (*row, change_types[i], version, ts)
 
     def commit(self, end: dict) -> None:
         pass
@@ -717,10 +729,17 @@ class DeltaLiteDataSource(DataSource):
             ]
             from pyspark.sql.types import StructType as _ST
 
+            phys = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in data_fields
+            }
             return DeltaLiteCDFStreamReader(
                 self.options["path"],
                 _ST(data_fields).json(),
                 self.options.get("startingversion"),
+                physical_names=phys,
             )
         return DeltaLiteStreamReader(
             self.options["path"],

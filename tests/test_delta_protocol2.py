@@ -208,18 +208,113 @@ def test_column_mapping_partition_filter_uses_logical_names(spark, mapped):
     assert _ids(df) == [0, 2, 4, 6, 8]
 
 
-def test_column_mapping_writes_refuse(spark, mapped):
+def test_column_mapping_append_physicalizes(spark, mapped):
+    """round 8: writes to mapped tables physicalize through the schema
+    metadata — the appended parquet carries PHYSICAL names and lands in
+    a physical partition dir, and reads stay logical."""
     df = spark.createDataFrame([Row(id=99, grp="a", score=9.0)]).select(
         "id", "grp", "score"
     )
-    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
-        dl.write_delta(df, mapped)
-    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
-        dl.merge_delta(spark, df, mapped, "id")
-    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
-        dl.delete_delta(spark, mapped, "id = 1")
-    with pytest.raises(dl.DeltaLiteError, match="READ-ONLY"):
-        dl.optimize(spark, mapped, 1)
+    dl.write_delta(df, mapped)
+    back = dl.read_delta(spark, mapped)
+    assert back.count() == 11 and 99 in _ids(back)
+    snap = dl.snapshot(mapped)
+    for f in snap.files:
+        assert f.path.startswith("col-7f3e=")
+        raw = spark.read.parquet(os.path.join(mapped, f.path))
+        assert "col-9a1b" in raw.columns and "id" not in raw.columns
+        assert set(f.partition_values) == {"col-7f3e"}
+
+
+def test_column_mapping_merge_and_delete(spark, mapped):
+    src = spark.createDataFrame(
+        [Row(id=0, grp="a", score=999.0), Row(id=77, grp="b", score=7.0)]
+    ).select("id", "grp", "score")
+    dl.merge_delta(spark, src, mapped, "id")
+    got = {r["id"]: r["score"] for r in dl.read_delta(spark, mapped).collect()}
+    assert got[0] == 999.0 and got[77] == 7.0 and len(got) == 11
+    dl.delete_delta(spark, mapped, "id = 3")
+    assert 3 not in _ids(dl.read_delta(spark, mapped))
+    dl.optimize(spark, mapped, target_files=2)
+    assert len(_ids(dl.read_delta(spark, mapped))) == 10
+
+
+def test_column_mapping_create_via_write_delta(spark, tmp_path):
+    path = str(tmp_path / "cm_create")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="x" if i % 2 else "y", score=float(i))
+         for i in range(6)]
+    ).select("id", "grp", "score")
+    dl.write_delta(df, path, partition_by=["grp"], column_mapping="name")
+    snap = dl.snapshot(path)
+    assert _column_mapping_mode_of(snap) == "name"
+    assert snap.protocol["minReaderVersion"] == 2
+    phys = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in snap.schema.fields
+    }
+    assert all(p.startswith("col-") for p in phys.values())
+    ids = {f.metadata["delta.columnMapping.id"] for f in snap.schema.fields}
+    assert ids == {1, 2, 3}
+    raw = spark.read.parquet(os.path.join(path, snap.files[0].path))
+    assert set(raw.columns) <= set(phys.values())
+    assert _ids(dl.read_delta(spark, path)) == list(range(6))
+    assert _ids(
+        dl.read_delta(spark, path, partition_filter={"grp": "y"})
+    ) == [0, 2, 4]
+
+
+def _column_mapping_mode_of(snap):
+    return snap.configuration.get("delta.columnMapping.mode", "none")
+
+
+def test_column_mapping_evolve_mints_new_field_id(spark, tmp_path):
+    path = str(tmp_path / "cm_evolve")
+    df = spark.createDataFrame([Row(id=1, score=1.0)]).select("id", "score")
+    dl.write_delta(df, path, column_mapping="name")
+    wider = spark.createDataFrame(
+        [Row(id=2, score=2.0, extra="e")]
+    ).select("id", "score", "extra")
+    dl.write_delta(wider, path, schema_mode="evolve")
+    snap = dl.snapshot(path)
+    by_name = {f.name: f.metadata for f in snap.schema.fields}
+    assert by_name["extra"]["delta.columnMapping.id"] == 3
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "3"
+    got = {(r["id"], r["extra"]) for r in dl.read_delta(spark, path).collect()}
+    assert got == {(1, None), (2, "e")}
+
+
+def test_column_mapping_cdf_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "cm_cdf")
+    df = spark.createDataFrame(
+        [Row(id=i, score=float(i)) for i in range(6)]
+    ).select("id", "score")
+    dl.write_delta(
+        df, path, column_mapping="name",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame([Row(id=2, score=200.0)]).select("id", "score")
+    dl.merge_delta(spark, src, path, "id")
+    feed = dl.read_change_feed(spark, path, 1, 1)
+    got = sorted(
+        (r["_change_type"], r["id"], r["score"]) for r in feed.collect()
+    )
+    assert got == [
+        ("update_postimage", 2, 200.0), ("update_preimage", 2, 2.0),
+    ]
+
+
+def test_column_mapping_schema_changing_overwrite_refuses(spark, tmp_path):
+    path = str(tmp_path / "cm_ow")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1)]).select("id"), path,
+        column_mapping="name",
+    )
+    with pytest.raises(dl.DeltaLiteError, match="schema-changing overwrite"):
+        dl.write_delta(
+            spark.createDataFrame([Row(other="x")]).select("other"), path,
+            mode="overwrite",
+        )
 
 
 def test_column_mapping_with_deletion_vector_composes(spark, tmp_path):

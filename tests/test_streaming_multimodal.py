@@ -456,3 +456,45 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
     assert sorted((r.user_id, r.value) for r in rows) == [
         (1, 10.0), (2, 20.0), (3, 30.0)
     ]
+
+
+def test_streamed_cdf_on_column_mapped_table(spark, tmp_path):
+    """round 8: the streaming CDF source resolves physical column names
+    and physically-keyed partitionValues on a column-mapped table."""
+    import uuid as _uuid
+
+    from pyspark.sql import Row
+
+    from aws_insurancelake_etl_spark.sources import delta_lite as dl
+    from aws_insurancelake_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    path = str(tmp_path / "cm_stream")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 else "b", v=float(i)) for i in range(6)]
+    ).select("id", "grp", "v")
+    dl.write_delta(
+        df, path, partition_by=["grp"], column_mapping="name",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dl.write_delta(
+        spark.createDataFrame([Row(id=10, grp="a", v=10.0)])
+        .select("id", "grp", "v"),
+        path,
+    )
+    dl.delete_delta(spark, path, "id = 3")
+    sink = f"cmstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_lite")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(path)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["_change_type"], r["id"], r["grp"])
+        for r in spark.table(sink).collect()
+    )
+    assert got == [("delete", 3, "a"), ("insert", 10, "a")]
