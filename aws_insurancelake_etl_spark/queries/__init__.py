@@ -64,6 +64,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_delta_cdf_rows",  # never
     "sink_delta_dv_delete",  # never (added after the window was computed)
     "src_iceberg_bounds_pruning",  # never (added after the window was computed)
+    "sink_delta_cm_roundtrip",  # never (added after the window was computed)
     "em_exact_match",  # impl churn; last green r3
     "em_full_flow",  # impl churn; last green r3
     "em_jaro_winkler_scores",  # impl churn; last green r3
@@ -103,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_avro_nested_roundtrip",  # impl churn; last green r7
     "src_delta_change_feed",  # impl churn; last green r7
     "src_delta_partition_prune",  # impl churn; last green r7
-    "src_delta_time_travel",  # impl churn; last green r7
     "src_encrypted_xlsx_read",  # impl churn; last green r7
     "src_iceberg_equality_deletes",  # impl churn; last green r7
 )

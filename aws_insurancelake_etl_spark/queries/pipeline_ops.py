@@ -3371,3 +3371,69 @@ def src_iceberg_bounds_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bounds pruning ineffective: {len(planned)}/{len(all_files)}"
         )
     return iceberg_lite.read_iceberg(spark, tbl, bounds_filter=bounds)
+
+
+@register(
+    "sink_delta_cm_roundtrip",
+    """
+    SELECT customer_id, segment, balance_cents FROM (
+        SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS balance_cents
+        FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 0
+        UNION ALL
+        SELECT c_custkey, 'VIP',
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 200 AS BIGINT)
+        FROM customer WHERE c_custkey % 8 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM customer WHERE c_custkey % 4 = 1
+    )
+    """,
+)
+def sink_delta_cm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED table round-trip through OUR OWN writer (round 8):
+    ``write_delta(column_mapping='name')`` creates the mapped table
+    (stable field ids + opaque physical names in the schemaString
+    metadata, physical parquet columns and partition dirs, protocol
+    2/5), then a copy-on-write MERGE doubles balances for half the keys
+    and inserts the rest — every staging path physicalizing through the
+    metadata.  The gate asserts the files really are physically named
+    on disk (so the mapping is exercised, not bypassed) and reads back
+    logically; the oracle computes the merge relationally.  Pairs with
+    ``src_delta_column_mapping``, whose table is third-party-shaped."""
+    from ..sources import delta_lite
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-cmw-") + "/t"
+    delta_lite.write_delta(
+        cust.where(F.col("customer_id") % 4 == 0),
+        tbl,
+        partition_by=["segment"],
+        column_mapping="name",
+    )
+    updates = (
+        cust.where(F.col("customer_id") % 8 == 0)
+        .withColumn("segment", F.lit("VIP"))
+        .withColumn("balance_cents", F.col("balance_cents") * 2)
+    )
+    inserts = cust.where(F.col("customer_id") % 4 == 1)
+    delta_lite.merge_delta(
+        spark, updates.unionByName(inserts), tbl, "customer_id"
+    )
+    snap = delta_lite.snapshot(tbl)
+    raw = spark.read.parquet(f"{tbl}/{snap.files[0].path}")
+    if "customer_id" in raw.columns or not all(
+        c.startswith("col-") for c in raw.columns
+    ):
+        raise RuntimeError(f"mapped writer leaked logical names: {raw.columns}")
+    if not snap.files[0].path.startswith("col-"):
+        raise RuntimeError(f"partition dir not physical: {snap.files[0].path}")
+    return delta_lite.read_delta(spark, tbl)

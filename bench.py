@@ -111,6 +111,7 @@ EXTENDED: list[str] = [
     "em_fuzzy_skew_stress",
     "sink_delta_dv_delete",
     "src_iceberg_bounds_pruning",
+    "sink_delta_cm_roundtrip",
 ]
 
 
