@@ -78,6 +78,7 @@ _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "timestampNtz",
+    "v2Checkpoint",
 }
 
 
@@ -143,7 +144,7 @@ def is_delta_table(path: str) -> bool:
     log_dir = _log_dir(path)
     if _json_versions(log_dir):
         return True
-    return os.path.isdir(log_dir) and _latest_checkpoint_version(
+    return os.path.isdir(log_dir) and _find_checkpoint(
         log_dir, 1 << 62
     ) is not None
 
@@ -152,14 +153,40 @@ def _checkpoint_path(log_dir: str, version: int) -> str:
     return os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
 
 
+import re as _re  # noqa: E402
+
+#: classic `N.checkpoint.parquet` AND v2 `N.checkpoint.<uniqueStr>.{json,
+#: parquet}` (PROTOCOL.md §V2 Checkpoint Table Feature); multi-part
+#: classic checkpoints (`N.checkpoint.i.of.n.parquet`) are NOT matched —
+#: unreadable-by-half is worse than absent, so they fall through to the
+#: JSON tail (and raise "log truncated" if that aged out, by name)
+_CHECKPOINT_RE = _re.compile(
+    r"^(\d+)\.checkpoint(?:\.([A-Za-z0-9-]+))?\.(json|parquet)$"
+)
+
+
 def _latest_checkpoint_version(log_dir: str, at_most: int):
-    """Newest checkpoint version <= at_most, or None."""
+    found = _find_checkpoint(log_dir, at_most)
+    return found[0] if found else None
+
+
+def _find_checkpoint(log_dir: str, at_most: int):
+    """Newest (version, path) checkpoint <= at_most, or None — classic
+    single-file parquet or a v2 json/parquet checkpoint."""
     best = None
     for name in os.listdir(log_dir):
-        if name.endswith(".checkpoint.parquet"):
-            v = int(name.split(".", 1)[0])
-            if v <= at_most and (best is None or v > best):
-                best = v
+        m = _CHECKPOINT_RE.match(name)
+        if not m:
+            continue
+        unique, ext = m.group(2), m.group(3)
+        # multi-part classic names (N.checkpoint.i.of.n.parquet) carry
+        # two extra dot-segments and never match the single-segment
+        # regex, so anything here is classic single-file or v2
+        if ext == "json" and unique is None:
+            continue  # bare N.checkpoint.json is not a legal name
+        v = int(m.group(1))
+        if v <= at_most and (best is None or v > best[0]):
+            best = (v, os.path.join(log_dir, name))
     return best
 
 
@@ -222,10 +249,14 @@ def _apply_action(state: dict, action: dict) -> None:
 
 
 def _read_checkpoint(cp_path: str, state: dict) -> None:
-    import pyarrow.parquet as pq
+    """Replay a checkpoint into ``state`` — classic parquet, or a V2
+    checkpoint (PROTOCOL.md §V2 Checkpoint Table Feature): the top file
+    (json or parquet) carries protocol/metaData/checkpointMetadata plus
+    ``sidecar`` actions whose ``_delta_log/_sidecars/<path>`` parquet
+    files hold the add/remove actions."""
+    log_dir = os.path.dirname(cp_path)
 
-    table = pq.read_table(cp_path)
-    for row in table.to_pylist():
+    def handle(row: dict) -> None:
         for kind in ("protocol", "metaData", "add", "remove"):
             payload = row.get(kind)
             if payload is not None:
@@ -233,8 +264,38 @@ def _read_checkpoint(cp_path: str, state: dict) -> None:
                     payload.get("partitionValues"), list
                 ):  # pyarrow map -> list of (k, v) pairs
                     payload["partitionValues"] = dict(payload["partitionValues"])
+                if kind == "metaData" and isinstance(
+                    payload.get("configuration"), list
+                ):
+                    payload["configuration"] = dict(payload["configuration"])
                 _apply_action(state, {kind: payload})
-                break
+                return
+        sidecar = row.get("sidecar")
+        if sidecar is not None and sidecar.get("path"):
+            side_path = os.path.join(
+                log_dir, "_sidecars", sidecar["path"]
+            )
+            if not os.path.exists(side_path):
+                raise DeltaLiteError(
+                    f"v2 checkpoint sidecar missing: {side_path}"
+                )
+            import pyarrow.parquet as pq
+
+            for side_row in pq.read_table(side_path).to_pylist():
+                handle(side_row)
+        # checkpointMetadata: replay-irrelevant here
+
+    if cp_path.endswith(".json"):
+        with open(cp_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    handle(json.loads(line))
+        return
+    import pyarrow.parquet as pq
+
+    for row in pq.read_table(cp_path).to_pylist():
+        handle(row)
 
 
 def snapshot(path: str, version=None) -> Snapshot:
@@ -248,7 +309,7 @@ def snapshot(path: str, version=None) -> Snapshot:
         _latest_checkpoint_version(log_dir, 1 << 62)
         if os.path.isdir(log_dir)
         else None
-    )
+    )  # classic or v2; _find_checkpoint resolves the concrete file
     if not versions and cp_latest is None:
         raise DeltaLiteError(f"not a delta table (no _delta_log): {path}")
     latest = max(
@@ -261,10 +322,10 @@ def snapshot(path: str, version=None) -> Snapshot:
 
     state = {"adds": {}, "removes": {}, "metaData": None, "protocol": None}
     start = 0
-    cp = _latest_checkpoint_version(log_dir, target)
+    cp = _find_checkpoint(log_dir, target)
     if cp is not None:
-        _read_checkpoint(_checkpoint_path(log_dir, cp), state)
-        start = cp + 1
+        _read_checkpoint(cp[1], state)
+        start = cp[0] + 1
     for v in range(start, target + 1):
         commit = os.path.join(log_dir, f"{v:020d}.json")
         if not os.path.exists(commit):
@@ -834,9 +895,22 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
     import pyarrow.parquet as pq
 
     snap = snapshot(path, snap_version)
+    # a table whose protocol REQUIRES v2 checkpoints gets one (json,
+    # actions inline — legal per PROTOCOL.md §V2 Checkpoint): writing a
+    # classic checkpoint to such a table would violate its writer
+    # contract
+    features = set(
+        (snap.protocol or {}).get("writerFeatures") or []
+    ) | set((snap.protocol or {}).get("readerFeatures") or [])
+    if "v2Checkpoint" in features:
+        _write_v2_checkpoint(path, snap)
+        return
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None,
-         "remove": None},
+        # the table's REAL protocol — writing the default here would
+        # silently downgrade reader requirements once the JSON tail
+        # ages out (same bug class as the configuration drop, round 8)
+        {"protocol": dict(snap.protocol or _PROTOCOL), "metaData": None,
+         "add": None, "remove": None},
         {
             "protocol": None,
             "metaData": {
@@ -895,7 +969,12 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
             pa.field(
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             pa.field(
@@ -961,6 +1040,46 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
     pq.write_table(table, _checkpoint_path(log_dir, snap_version))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8") as fh:
         json.dump({"version": snap_version, "size": len(rows)}, fh)
+
+
+def _write_v2_checkpoint(path: str, snap: Snapshot) -> None:
+    """V2 checkpoint, json form with inline actions (PROTOCOL.md §V2
+    Checkpoint Table Feature): checkpointMetadata + protocol + metaData
+    + the live adds and tombstone removes, at
+    ``N.checkpoint.<uuid>.json``."""
+    log_dir = _log_dir(path)
+    name = f"{snap.version:020d}.checkpoint.{uuid.uuid4().hex}.json"
+    rows = [
+        {"checkpointMetadata": {"version": snap.version, "tags": None}},
+        {"protocol": dict(snap.protocol or _PROTOCOL)},
+        {
+            "metaData": {
+                "id": "delta-lite",
+                "format": {"provider": "parquet"},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": dict(snap.configuration),
+            }
+        },
+    ]
+    rows += [_add_json(a) for a in snap.files]
+    rows += [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": ts,
+                "dataChange": True,
+            }
+        }
+        for rel, ts in sorted(snap.tombstones.items())
+    ]
+    with open(os.path.join(log_dir, name), "x", encoding="utf-8") as fh:
+        for row in rows:
+            fh.write(json.dumps(row, separators=(",", ":")) + "\n")
+    with open(
+        os.path.join(log_dir, "_last_checkpoint"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"version": snap.version, "size": len(rows)}, fh)
 
 
 def _maybe_checkpoint(path: str, version: int) -> None:
@@ -1210,9 +1329,10 @@ _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "deletionVectors",
     "changeDataFeed",
-    "columnMapping",  # guarded separately: reads ok, writes refuse
+    "columnMapping",
     "timestampNtz",
     "invariants",
+    "v2Checkpoint",  # _write_checkpoint emits the v2 json form
 }
 
 

@@ -538,3 +538,177 @@ def test_timestamp_ntz_reader_feature(spark, tmp_path):
     back = dl.read_delta(spark, path)
     assert back.schema["ts"].dataType.simpleString() == "timestamp_ntz"
     assert back.collect()[0]["ts"] == datetime.datetime(2024, 6, 1, 12, 0)
+
+
+# --------------------------------------------------- v2 checkpoints
+
+
+def _to_v2_checkpoint(path, version, fmt="parquet", sidecar=True):
+    """Convert a table's state at ``version`` into a hand-built V2
+    CHECKPOINT (PROTOCOL.md §V2 Checkpoint Table Feature): top file
+    ``N.checkpoint.<uuid>.{json|parquet}`` with protocol / metaData /
+    checkpointMetadata (+ add/remove inline, or referenced through a
+    ``sidecar`` action whose parquet lives under ``_sidecars/``), then
+    ages out the JSON tail so replay MUST come from the checkpoint."""
+    import json
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = dl.snapshot(path, version)
+    log_dir = os.path.join(path, "_delta_log")
+    unique = _uuid.uuid4().hex
+    adds = [
+        {
+            "path": f.path,
+            "partitionValues": f.partition_values,
+            "size": f.size,
+            "modificationTime": f.modification_time,
+            "dataChange": True,
+            "stats": None,
+            "deletionVector": f.deletion_vector,
+        }
+        for f in snap.files
+    ]
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    meta = {
+        "id": "v2cp-fixture",
+        "format": {"provider": "parquet"},
+        "schemaString": snap.schema_string,
+        "partitionColumns": snap.partition_columns,
+        # pyarrow infers {} as a childless struct it cannot write; the
+        # map encoding (list of pairs) is what real checkpoints use
+        "configuration": sorted(snap.configuration.items()) or None,
+    }
+    cp_meta = {"version": version, "tags": None}
+    side_rows = []
+    if sidecar:
+        side_name = f"{_uuid.uuid4().hex}.parquet"
+        side_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        add_struct = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [
+                    {
+                        "add": {
+                            **{k: v for k, v in a.items()
+                               if k not in ("stats", "deletionVector")},
+                            "partitionValues": sorted(
+                                a["partitionValues"].items()
+                            ),
+                        },
+                        "remove": None,
+                    }
+                    for a in adds
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("add", add_struct),
+                        pa.field(
+                            "remove",
+                            pa.struct([("path", pa.string())]),
+                        ),
+                    ]
+                ),
+            ),
+            os.path.join(side_dir, side_name),
+        )
+        side_rows = [
+            {
+                "sidecar": {
+                    "path": side_name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(side_dir, side_name)
+                    ),
+                    "modificationTime": 0,
+                    "tags": None,
+                }
+            }
+        ]
+        adds = []
+    top_rows = (
+        [{"checkpointMetadata": cp_meta},
+         {"protocol": protocol},
+         {"metaData": meta}]
+        + [{"add": a} for a in adds]
+        + side_rows
+    )
+    if fmt == "json":
+        cp_name = f"{version:020d}.checkpoint.{unique}.json"
+        with open(os.path.join(log_dir, cp_name), "x") as fh:
+            for row in top_rows:
+                fh.write(json.dumps(row) + "\n")
+    else:
+        import pyarrow as pa
+
+        # parquet top file: union the action columns across rows
+        def col(row, name):
+            return row.get(name)
+
+        names = ["checkpointMetadata", "protocol", "metaData", "add",
+                 "sidecar"]
+        pylist = [
+            {n: col(r, n) for n in names} for r in top_rows
+        ]
+        cp_name = f"{version:020d}.checkpoint.{unique}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(pylist),
+            os.path.join(log_dir, cp_name),
+        )
+    for v in range(version + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(commit):
+            os.remove(commit)
+    # classic checkpoints would shadow the v2 one: remove them
+    for name in os.listdir(log_dir):
+        if name.endswith(".checkpoint.parquet"):
+            os.remove(os.path.join(log_dir, name))
+
+
+@pytest.mark.parametrize("fmt,sidecar", [
+    ("parquet", True), ("json", True), ("json", False),
+])
+def test_v2_checkpoint_replay(spark, tmp_path, fmt, sidecar):
+    path = str(tmp_path / f"v2cp_{fmt}_{sidecar}")
+    _one_file_table(spark, path, 0, 6)
+    _one_file_table(spark, path, 10, 14)
+    expected = _ids(dl.read_delta(spark, path))
+    _to_v2_checkpoint(path, 1, fmt=fmt, sidecar=sidecar)
+    snap = dl.snapshot(path)
+    assert snap.version == 1
+    assert snap.protocol["readerFeatures"] == ["v2Checkpoint"]
+    assert _ids(dl.read_delta(spark, path)) == expected
+    # and the table keeps working: append on top of the v2 checkpoint
+    dl.write_delta(
+        spark.createDataFrame([Row(id=99, v=99.0)]).select("id", "v"), path
+    )
+    assert 99 in _ids(dl.read_delta(spark, path))
+
+
+def test_v2_checkpoint_missing_sidecar_raises(spark, tmp_path):
+    path = str(tmp_path / "v2cp_bad")
+    _one_file_table(spark, path, 0, 3)
+    _to_v2_checkpoint(path, 0, fmt="json", sidecar=True)
+    import glob as _glob
+
+    for side in _glob.glob(
+        os.path.join(path, "_delta_log", "_sidecars", "*.parquet")
+    ):
+        os.remove(side)
+    with pytest.raises(dl.DeltaLiteError, match="sidecar"):
+        dl.snapshot(path)
