@@ -1451,6 +1451,7 @@ def _upsert_equality_once(
 
 def rewrite_data_files(
     spark: SparkSession, table_path: str, target_files: int | None = None,
+    zorder_by=None, zorder_bits: int = 8,
 ) -> dict:
     """MOR maintenance: fold every outstanding position/equality delete
     back into the data files — Iceberg's ``rewrite_data_files`` compact
@@ -1466,11 +1467,18 @@ def rewrite_data_files(
     which the compaction gate asserts against the oracle.
 
     ``target_files`` additionally coalesces small files (the other half
-    of real compaction).  Returns {"snapshot_id", "files_before",
+    of real compaction).  ``zorder_by`` clusters the rewrite by the
+    Morton key of the named columns (``operators/layout``) — with the
+    manifests now carrying per-column bounds, a z-ordered rewrite makes
+    ``bounds_filter`` pruning MULTI-dimensional (Iceberg's
+    ``rewrite_data_files(strategy => 'sort', sort_order => zorder(...))``
+    shape).  Returns {"snapshot_id", "files_before",
     "delete_files_before", "files_after", "rewritten"}.
     """
     files, deletes = plan_scan(table_path)
-    if not deletes and (target_files is None or len(files) <= target_files):
+    if zorder_by:
+        pass  # a layout request always rewrites
+    elif not deletes and (target_files is None or len(files) <= target_files):
         return {
             "snapshot_id": None,
             "files_before": len(files),
@@ -1488,7 +1496,16 @@ def rewrite_data_files(
         for f in spec.get("fields", [])
     ]
     df = read_iceberg(spark, table_path)
-    if target_files:
+    if zorder_by:
+        from ..operators.layout import zorder_key  # noqa: PLC0415
+
+        keyed, _bounds = zorder_key(df, list(zorder_by), zorder_bits)
+        df = (
+            keyed.repartitionByRange(target_files or len(files), "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif target_files:
         df = df.coalesce(target_files)
     data_entries = _stage_iceberg_data(df, table_path, part_cols)
     try:

@@ -814,3 +814,38 @@ def test_expire_metadata_retention(spark, tmp_path):
     remaining = _glob.glob(os.path.join(path, "metadata", "v*.metadata.json"))
     assert len(remaining) == 2
     assert _rows(iceberg_lite.read_iceberg(spark, path)) == before
+
+
+def test_rewrite_zorder_enables_multidim_bounds_pruning(spark, tmp_path):
+    """round 8: a z-ordered rewrite clusters BOTH dimensions, so the
+    manifests' bounds prune a 2-D range on either column — the plain
+    row-order layout prunes only the leading one."""
+    import random
+
+    path = str(tmp_path / "zb")
+    rnd = random.Random(7)
+    rows = [Row(x=rnd.randrange(256), y=rnd.randrange(256), v=float(i))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows).select("x", "y", "v")
+    iceberg_lite.write_iceberg(spark, df.repartition(8), path)
+    before = _rows(iceberg_lite.read_iceberg(spark, path))
+    # random layout: a narrow y-range overlaps essentially every file
+    unpruned = iceberg_lite.plan_files(path, bounds_filter={"y": (0, 15)})
+    stats = iceberg_lite.rewrite_data_files(
+        spark, path, target_files=8, zorder_by=["x", "y"]
+    )
+    assert stats["rewritten"] and stats["files_after"] <= 8
+    assert _rows(iceberg_lite.read_iceberg(spark, path)) == before
+    for col in ("x", "y"):
+        pruned = iceberg_lite.plan_files(
+            path, bounds_filter={col: (0, 15)}
+        )
+        assert len(pruned) < stats["files_after"], col
+    assert len(
+        iceberg_lite.plan_files(path, bounds_filter={"y": (0, 15)})
+    ) <= len(unpruned)
+    got = iceberg_lite.read_iceberg(
+        spark, path, bounds_filter={"x": (0, 15), "y": (0, 15)}
+    ).collect()
+    want = [r for r in rows if r.x <= 15 and r.y <= 15]
+    assert len(got) == len(want)
