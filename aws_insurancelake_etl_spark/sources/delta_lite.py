@@ -715,11 +715,60 @@ class _PhysFile:
         return self.add.path
 
 
+def version_as_of_timestamp(path: str, ts_ms: int) -> int:
+    """Newest version whose commit timestamp is <= ``ts_ms`` (Delta's
+    ``timestampAsOf``).  Commit time = the commitInfo ``timestamp``
+    (file mtime when a commit carries none).  Versions whose JSON aged
+    out past a checkpoint have no timestamp and raise if the bound
+    falls among them — guessing would silently time-travel wrong."""
+    log_dir = _log_dir(path)
+    latest = snapshot(path).version
+    surviving = set(_json_versions(log_dir))
+    best = None
+    for v in range(latest + 1):
+        if v not in surviving:
+            continue
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        ts = None
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(commit) * 1000)
+        if ts <= ts_ms:
+            best = v
+    if best is None:
+        missing = sorted(set(range(latest + 1)) - surviving)
+        if missing:
+            raise DeltaLiteError(
+                f"timestampAsOf {ts_ms}: versions {missing[:3]}... have "
+                "aged out past a checkpoint, so their commit times are "
+                "unknown; use version= instead"
+            )
+        raise DeltaLiteError(
+            f"timestampAsOf {ts_ms} predates the table's first commit"
+        )
+    return best
+
+
 def read_delta(
-    spark: SparkSession, path: str, version=None, partition_filter=None
+    spark: SparkSession, path: str, version=None, partition_filter=None,
+    timestamp_ms=None,
 ) -> DataFrame:
-    """Snapshot read.  ``version`` time-travels; ``partition_filter``
-    ({col: value}) prunes data files from the log before any are opened."""
+    """Snapshot read.  ``version`` (or ``timestamp_ms`` — Delta's
+    ``timestampAsOf``, the newest commit at or before the bound)
+    time-travels; ``partition_filter`` ({col: value}) prunes data files
+    from the log before any are opened."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise DeltaLiteError("pass version= or timestamp_ms=, not both")
+        version = version_as_of_timestamp(path, int(timestamp_ms))
     return _read_snapshot(spark, snapshot(path, version), partition_filter)
 
 

@@ -1010,3 +1010,31 @@ def test_checkpoint_preserves_table_configuration(spark, table):
     )
     dl.merge_delta(spark, src, table, "id")
     assert os.path.isdir(os.path.join(table, "_change_data"))
+
+
+def test_timestamp_as_of(spark, table):
+    import json as _json
+    import os as _os
+
+    dl.write_delta(_people(spark, 0, 3), table)
+    dl.write_delta(_people(spark, 3, 6), table)
+    dl.write_delta(_people(spark, 6, 9), table)
+    # pin deterministic commit timestamps into the commitInfo actions
+    log = _os.path.join(table, "_delta_log")
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        commit = _os.path.join(log, f"{v:020d}.json")
+        lines = [_json.loads(l) for l in open(commit) if l.strip()]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        _os.remove(commit)
+        with open(commit, "x") as fh:
+            for a in lines:
+                fh.write(_json.dumps(a) + "\n")
+    assert dl.version_as_of_timestamp(table, 2500) == 1
+    assert dl.read_delta(spark, table, timestamp_ms=2500).count() == 6
+    assert dl.read_delta(spark, table, timestamp_ms=999999).count() == 9
+    with pytest.raises(dl.DeltaLiteError, match="predates"):
+        dl.read_delta(spark, table, timestamp_ms=500)
+    with pytest.raises(dl.DeltaLiteError, match="not both"):
+        dl.read_delta(spark, table, version=1, timestamp_ms=2500)
