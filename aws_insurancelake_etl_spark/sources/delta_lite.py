@@ -156,12 +156,14 @@ def _checkpoint_path(log_dir: str, version: int) -> str:
 import re as _re  # noqa: E402
 
 #: classic `N.checkpoint.parquet` AND v2 `N.checkpoint.<uniqueStr>.{json,
-#: parquet}` (PROTOCOL.md §V2 Checkpoint Table Feature); multi-part
-#: classic checkpoints (`N.checkpoint.i.of.n.parquet`) are NOT matched —
-#: unreadable-by-half is worse than absent, so they fall through to the
-#: JSON tail (and raise "log truncated" if that aged out, by name)
+#: parquet}` (PROTOCOL.md §V2 Checkpoint Table Feature)
 _CHECKPOINT_RE = _re.compile(
     r"^(\d+)\.checkpoint(?:\.([A-Za-z0-9-]+))?\.(json|parquet)$"
+)
+#: multi-part classic checkpoints: `N.checkpoint.i.of.n.parquet` — all
+#: n parts must be present to replay (half a file list is corruption)
+_MULTIPART_RE = _re.compile(
+    r"^(\d+)\.checkpoint\.(\d+)\.(\d+)\.parquet$"
 )
 
 
@@ -171,22 +173,35 @@ def _latest_checkpoint_version(log_dir: str, at_most: int):
 
 
 def _find_checkpoint(log_dir: str, at_most: int):
-    """Newest (version, path) checkpoint <= at_most, or None — classic
-    single-file parquet or a v2 json/parquet checkpoint."""
-    best = None
+    """Newest (version, paths) checkpoint <= at_most, or None — classic
+    single-file parquet, v2 json/parquet, or a COMPLETE multi-part
+    classic set (``N.checkpoint.i.of.n.parquet``, all n parts present;
+    an incomplete set is skipped — half a file list is corruption, and
+    an older complete checkpoint or the JSON tail is still sound)."""
+    best = None  # (version, [paths])
+    multi: dict = {}  # version -> {part_index: name}, n_parts
     for name in os.listdir(log_dir):
+        mp = _MULTIPART_RE.match(name)
+        if mp:
+            v, i, n = (int(mp.group(k)) for k in (1, 2, 3))
+            parts = multi.setdefault((v, n), {})
+            parts[i] = name
+            continue
         m = _CHECKPOINT_RE.match(name)
         if not m:
             continue
         unique, ext = m.group(2), m.group(3)
-        # multi-part classic names (N.checkpoint.i.of.n.parquet) carry
-        # two extra dot-segments and never match the single-segment
-        # regex, so anything here is classic single-file or v2
         if ext == "json" and unique is None:
             continue  # bare N.checkpoint.json is not a legal name
         v = int(m.group(1))
         if v <= at_most and (best is None or v > best[0]):
-            best = (v, os.path.join(log_dir, name))
+            best = (v, [os.path.join(log_dir, name)])
+    for (v, n), parts in multi.items():
+        if v <= at_most and len(parts) == n and (best is None or v > best[0]):
+            best = (
+                v,
+                [os.path.join(log_dir, parts[i]) for i in range(1, n + 1)],
+            )
     return best
 
 
@@ -324,7 +339,8 @@ def snapshot(path: str, version=None) -> Snapshot:
     start = 0
     cp = _find_checkpoint(log_dir, target)
     if cp is not None:
-        _read_checkpoint(cp[1], state)
+        for part in cp[1]:
+            _read_checkpoint(part, state)
         start = cp[0] + 1
     for v in range(start, target + 1):
         commit = os.path.join(log_dir, f"{v:020d}.json")

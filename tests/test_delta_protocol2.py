@@ -712,3 +712,38 @@ def test_v2_checkpoint_missing_sidecar_raises(spark, tmp_path):
         os.remove(side)
     with pytest.raises(dl.DeltaLiteError, match="sidecar"):
         dl.snapshot(path)
+
+
+def test_multipart_classic_checkpoint_replay(spark, tmp_path):
+    """Classic MULTI-PART checkpoints (N.checkpoint.i.n.parquet, what
+    delta-spark writes for huge tables): replay requires ALL parts; an
+    incomplete set is skipped rather than half-read."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "mpcp")
+    _one_file_table(spark, path, 0, 4)
+    _one_file_table(spark, path, 10, 14)
+    expected = _ids(dl.read_delta(spark, path))
+    log = os.path.join(path, "_delta_log")
+    dl._write_checkpoint(path, 1)
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    table = pq.read_table(single)
+    # split the checkpoint rows into 2 parts
+    n = table.num_rows
+    pq.write_table(
+        table.slice(0, n // 2),
+        os.path.join(log, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    part2 = os.path.join(
+        log, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+    )
+    pq.write_table(table.slice(n // 2), part2)
+    os.remove(single)
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    assert _ids(dl.read_delta(spark, path)) == expected
+    # incomplete set: drop part 2 -> no usable checkpoint -> the reader
+    # refuses loudly instead of replaying half a file list
+    os.remove(part2)
+    with pytest.raises(dl.DeltaLiteError):
+        dl.snapshot(path)
