@@ -2389,7 +2389,8 @@ def read_change_feed(
 
 def history(path: str) -> list:
     """``DESCRIBE HISTORY`` equivalent: one dict per version 0..latest
-    (version, operation, engine, operationParameters).  Versions whose
+    (version, operation, engine, operationParameters, timestamp —
+    the figure ``timestampAsOf`` resolves against).  Versions whose
     JSON commit has aged out past a checkpoint appear with
     operation=None — the listing never silently omits a version."""
     log_dir = _log_dir(path)
@@ -2399,10 +2400,11 @@ def history(path: str) -> list:
     for v in range(latest + 1):
         if v not in surviving:
             out.append({"version": v, "operation": None, "engine": None,
-                        "operationParameters": None})
+                        "operationParameters": None, "timestamp": None})
             continue
         info = {}
-        with open(os.path.join(log_dir, f"{v:020d}.json"), encoding="utf-8") as fh:
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        with open(commit, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -2417,6 +2419,9 @@ def history(path: str) -> list:
                 "operation": info.get("operation"),
                 "engine": info.get("engine"),
                 "operationParameters": info.get("operationParameters"),
+                # the timestamp timestampAsOf resolves against
+                "timestamp": info.get("timestamp")
+                or int(os.path.getmtime(commit) * 1000),
             }
         )
     return out
