@@ -2166,7 +2166,10 @@ def build_iceberg_table(
                         {
                             "name": partition_col,
                             "transform": "identity",
-                            "source-id": 1,
+                            # the partition column's 1-based schema
+                            # field id — readers resolve the SOURCE
+                            # column through this (spec §Partition Specs)
+                            "source-id": table_cols.index(partition_col) + 1,
                             "field-id": 1000,
                         }
                     ],
@@ -3437,3 +3440,145 @@ def sink_delta_cm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not snap.files[0].path.startswith("col-"):
         raise RuntimeError(f"partition dir not physical: {snap.files[0].path}")
     return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "src_iceberg_day_partition",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS value_micros
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    """,
+)
+def src_iceberg_day_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``days(ts)`` PARTITION TRANSFORM (round 9, VERDICT r8
+    item 1): production Iceberg tables overwhelmingly partition by a
+    TRANSFORM of event time — the reference's own entity table is
+    partitioned (``etl_consume_entity_match.py:385-389``) and day
+    partitioning is the lakehouse default.  The gate writes the events
+    table partitioned by ``days(ts)`` (30 distinct days, repartitioned
+    so each day stages one file), asserts the spec records the ``day``
+    transform with the source column resolved through schema field ids,
+    then reads a 5-day window: the planner maps the ``ts`` range to the
+    transformed partition ordinals (``transform_range`` — day is
+    order-preserving) and must open ONLY the matching days' files — the
+    manifest pruning a day-partitioned 100 TB table lives by.  The gate
+    raises if the plan opened more files, so green == pruned.  Oracle is
+    the plain relational range over the source parquet."""
+    import datetime as _dt
+
+    from ..sources import iceberg_lite
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-days-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        events.repartition(4, F.to_date("ts")),
+        tbl,
+        partition_by=["days(ts)"],
+    )
+    meta = iceberg_lite._load_metadata(tbl)
+    spec = meta["partition-specs"][0]["fields"][0]
+    if spec["transform"] != "day":
+        raise RuntimeError(f"expected day transform in spec: {spec}")
+    lo = _dt.datetime(2024, 1, 8)
+    hi = _dt.datetime(2024, 1, 12, 23, 59, 59, 999999)
+    total = iceberg_lite.plan_files(tbl)
+    planned = iceberg_lite.plan_files(tbl, bounds_filter={"ts": (lo, hi)})
+    plan_days = {int(list(f.partition.values())[0]) for f in planned}
+    want_days = {19730 + i for i in range(5)}  # 2024-01-08 .. -12 ordinals
+    if not planned or len(planned) >= len(total) or plan_days != want_days:
+        raise RuntimeError(
+            f"day-transform pruning ineffective: {len(planned)}/"
+            f"{len(total)} files, days {sorted(plan_days)}"
+        )
+    return iceberg_lite.read_iceberg(
+        spark, tbl, bounds_filter={"ts": (lo, hi)}
+    ).select("event_id", "user_id", "event_type", "value_micros")
+
+
+@register(
+    "sink_iceberg_bucket_upsert",
+    """
+    SELECT o_orderkey, o_orderstatus, price_cents FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 300 AS BIGINT)
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, 'N',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 1
+    )
+    """,
+)
+def sink_iceberg_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``bucket(8, key)`` transform + PARTITION-SCOPED equality
+    deletes on a TRANSFORMED spec (round 9, VERDICT r8 item 1): the
+    partitioned Flink-CDC shape that previously raised
+    ("non-identity partition transforms are unsupported").  The gate
+    creates an orders table partitioned by ``bucket(8, o_orderkey)``
+    (spec Appendix-B murmur3 over the 8-byte little-endian key,
+    verified against the spec's published hash vectors in
+    ``tests/test_iceberg_transforms.py``), then streams an upsert with
+    ``upsert_iceberg_equality`` whose keys cover the partition source —
+    so each equality-delete file is SCOPED to its bucket, and the
+    reader applies the scope by recomputing ``bucket(8, o_orderkey)``
+    over the data files' source column (data files store source
+    columns; the partition value is metadata-only).  The gate asserts
+    the deletes really are bucket-scoped; the oracle computes the
+    upsert relationally."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-bups-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("o_orderkey") % 3 == 0),
+        tbl,
+        partition_by=["bucket(8, o_orderkey)"],
+    )
+    updates = (
+        base.where(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+    )
+    inserts = base.where(F.col("o_orderkey") % 3 == 1).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    stats = iceberg_lite.upsert_iceberg_equality(
+        spark, updates.unionByName(inserts), tbl, "o_orderkey"
+    )
+    if stats["delete_files"] < 2:
+        raise RuntimeError(
+            f"expected bucket-scoped deletes across buckets: {stats}"
+        )
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    eq = [d for d in deletes if d.content == 2]
+    scopes = {s[0] for d in eq for s in d.partition_scope}
+    if not eq or scopes != {"o_orderkey_bucket"}:
+        raise RuntimeError(
+            f"expected o_orderkey_bucket-scoped equality deletes: {scopes}"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl)

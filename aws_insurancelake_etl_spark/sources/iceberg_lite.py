@@ -51,6 +51,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from . import avro_lite
+from .iceberg_transforms import (
+    PartitionField,
+    apply_transform,
+    parse_partition_by,
+    transform_expr,
+    transform_range,
+)
 
 
 class IcebergLiteError(RuntimeError):
@@ -313,6 +320,59 @@ def _field_names_by_id(meta: dict) -> dict:
     return {int(f["id"]): f["name"] for f in schema["fields"]}
 
 
+def _partition_spec_fields(meta: dict) -> list[PartitionField]:
+    """The default partition spec resolved to (field name, transform,
+    SOURCE column name) triples — source-ids resolve through the
+    current schema's field ids, so renames stay safe.  Production
+    Iceberg tables partition by TRANSFORMS (``day``, ``bucket[N]``,
+    ``truncate[W]``), not raw values; every consumer of the spec goes
+    through this so transformed tables plan, prune, and upsert exactly
+    like identity ones."""
+    specs = meta.get("partition-specs") or []
+    default_id = meta.get("default-spec-id", 0)
+    spec = None
+    for s in specs:
+        if s.get("spec-id") == default_id:
+            spec = s
+    if spec is None and specs:
+        spec = specs[-1]
+    if not spec:
+        return []
+    try:
+        names_by_id = _field_names_by_id(meta)
+    except IcebergLiteError:
+        names_by_id = {}
+    fields = []
+    for f in spec.get("fields", []):
+        name = f.get("name")
+        transform = f.get("transform") or "identity"
+        source = names_by_id.get(int(f.get("source-id") or -1)) or name
+        fields.append(PartitionField(name, transform, source))
+    return fields
+
+
+def _coerce_partition_value(value):
+    """Manifest partition values arrive as whatever the writer's Avro
+    schema typed them (this module's writer: strings; external writers:
+    ints for transformed ordinals).  Normalize for comparison: canonical
+    integer strings become ints (so ``"17486"`` from a string-typed
+    record equals ``17486`` from an int-typed one); anything else —
+    including non-canonical forms like ``"0123"`` — stays a string so
+    identity string partitions never over-match."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, int):
+        return value
+    s = str(value)
+    try:
+        i = int(s)
+    except ValueError:
+        return s
+    return i if str(i) == s else s
+
+
 def plan_files(
     table_path: str, snapshot_id=None, partition_filter=None,
     bounds_filter=None,
@@ -363,10 +423,49 @@ def plan_scan(
     manifest_list = rebase(snap["manifest-list"])
     data: list[DataFileEntry] = []
     deletes: list[DeleteFileEntry] = []
-    want = {
-        k: (None if v is None else str(v))
-        for k, v in (partition_filter or {}).items()
-    }
+    # Resolve the partition spec ONCE: filters may name either a spec
+    # FIELD (compare the given value directly against the partition
+    # tuple) or a SOURCE column (apply the field's transform to the
+    # literal first — a file can only contain rows whose transformed
+    # value equals its partition value, for any transform).
+    spec_fields = _partition_spec_fields(meta)
+    by_field = {f.name: f for f in spec_fields}
+    by_source: dict = {}
+    for f in spec_fields:
+        by_source.setdefault(f.source, []).append(f)
+    part_checks: list = []  # (field_name, expected coerced value)
+    for k, v in (partition_filter or {}).items():
+        if k in by_field:
+            part_checks.append((k, _coerce_partition_value(v)))
+        elif k in by_source:
+            for f in by_source[k]:
+                if f.kind == "void":
+                    continue
+                part_checks.append(
+                    (
+                        f.name,
+                        _coerce_partition_value(
+                            apply_transform(f.transform, v)
+                        ),
+                    )
+                )
+        else:
+            raise IcebergLiteError(
+                f"partition filter key {k!r} is neither a partition "
+                f"field nor a partition source column "
+                f"(spec fields: {[f.name for f in spec_fields]})"
+            )
+    # bounds_filter ranges additionally prune on the PARTITION TUPLE for
+    # order-preserving transforms (day/month/year/hour/truncate/
+    # identity); bucket prunes on exact points only.  This is the
+    # manifest-level partition pruning a day-partitioned 100 TB table
+    # lives by: a time-range query opens only the matching days' files.
+    part_ranges: list = []  # (field_name, lo, hi) on transformed values
+    for col, (lo, hi) in (bounds_filter or {}).items():
+        for f in by_source.get(col, []):
+            rng = transform_range(f.transform, lo, hi)
+            if rng is not None:
+                part_ranges.append((f.name, rng[0], rng[1]))
     for mf in _read_manifest_rows(manifest_list):
         # v2 manifest-list rows carry the manifest's sequence number;
         # ADDED entries with a null sequence_number inherit it (spec
@@ -410,12 +509,27 @@ def plan_scan(
                 )
                 continue
             partition = df.get("partition") or {}
-            if want and any(
-                (None if partition.get(k) is None else str(partition.get(k)))
-                != v
-                for k, v in want.items()
+            if part_checks and any(
+                _coerce_partition_value(partition.get(k)) != v
+                for k, v in part_checks
             ):
                 continue
+            if part_ranges:
+                pruned = False
+                for name, plo, phi in part_ranges:
+                    pv = _coerce_partition_value(partition.get(name))
+                    if pv is None:
+                        continue  # no stored value: never prune
+                    try:
+                        if (phi is not None and pv > phi) or (
+                            plo is not None and pv < plo
+                        ):
+                            pruned = True
+                            break
+                    except TypeError:
+                        continue
+                if pruned:
+                    continue
             data.append(
                 DataFileEntry(
                     path=rebase(df["file_path"]),
@@ -585,8 +699,15 @@ def read_iceberg(
         # columns join the anti-join condition so rows in other
         # partitions are never over-deleted (ADVICE r7).  Identity
         # partition values compare as strings: manifests serialize the
-        # literal, data files store the typed column.
-        names_by_id = _field_names_by_id(_load_metadata(table_path))
+        # literal, data files store the typed column.  A scope on a
+        # TRANSFORMED spec field (``ts_day=18262``, the partitioned
+        # Flink-CDC default) applies by recomputing the transform over
+        # the source column — data files store source columns, so
+        # ``day(ts) == 18262`` is exactly the file-side membership test.
+        scope_meta = _load_metadata(table_path)
+        names_by_id = _field_names_by_id(scope_meta)
+        scope_spec = {f.name: f for f in _partition_spec_fields(scope_meta)}
+        base_types = dict(reader.dtypes)
         data = data.join(
             F.broadcast(
                 file_map.select(
@@ -610,12 +731,33 @@ def read_iceberg(
                 raise IcebergLiteError(
                     f"equality-delete columns absent from data: {missing}"
                 )
-            bad_scope = [c for c, _ in scope if c not in base_cols]
-            if bad_scope:
-                raise IcebergLiteError(
-                    "partition-scoped equality delete names partition "
-                    f"columns absent from the data files: {bad_scope} "
-                    "(non-identity partition transforms are unsupported)"
+            scope_conds = []
+            for pcol, pval in scope:
+                field = scope_spec.get(pcol)
+                if field is not None and field.kind != "identity":
+                    if field.source not in base_cols:
+                        raise IcebergLiteError(
+                            f"partition-scoped equality delete on "
+                            f"{pcol!r}: source column {field.source!r} "
+                            "absent from the data files"
+                        )
+                    expr = transform_expr(
+                        field.transform,
+                        field.source,
+                        base_types.get(field.source, "string"),
+                    )
+                    scope_conds.append(
+                        expr.cast("string") == F.lit(str(pval))
+                    )
+                    continue
+                src = field.source if field is not None else pcol
+                if src not in base_cols:
+                    raise IcebergLiteError(
+                        "partition-scoped equality delete names partition "
+                        f"columns absent from the data files: [{src!r}]"
+                    )
+                scope_conds.append(
+                    F.col(src).cast("string") == F.lit(str(pval))
                 )
             eq_map = spark.createDataFrame(
                 [(d.path, d.sequence_number) for d in group],
@@ -633,8 +775,8 @@ def read_iceberg(
             cond = F.col("delete_seq") > F.col("data_seq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-            for pcol, pval in scope:
-                cond = cond & (F.col(pcol).cast("string") == F.lit(pval))
+            for sc in scope_conds:
+                cond = cond & sc
             data = data.join(del_rows, cond, "left_anti")
     return residual(data.select(base_cols))
 
@@ -768,31 +910,44 @@ def _footer_rows(path: str) -> int:
     return int(pq.ParquetFile(path).metadata.num_rows)
 
 
-def _stage_iceberg_data(df: DataFrame, table_path: str, part_cols: list):
+def _stage_iceberg_data(
+    df: DataFrame, table_path: str, part_fields: list
+):
     """Distributed parquet write, then move part files under
-    ``data/<col>=<val>/``.  Partition columns are DUPLICATED into
-    throwaway ``__ice_p_*`` columns for Spark's partitionBy so the
-    originals stay inside the files (Iceberg stores identity partition
-    source columns in the data, unlike Hive/Delta).  Returns
+    ``data/<field>=<val>/``.  ``part_fields`` are PartitionFields: each
+    becomes a throwaway ``__ice_p_<name>`` column holding the
+    TRANSFORMED partition value (identity duplicates the source) for
+    Spark's partitionBy, so the source columns stay inside the files
+    (Iceberg stores source columns in the data, unlike Hive/Delta) and
+    a ``days(ts)``/``bucket(N,key)`` table stages one file group per
+    partition value exactly like the real writer.  Returns
     [(rel_path, partition_values, record_count, file_size, col_minmax)]
-    where col_minmax is the parquet footer's {"minValues", "maxValues"}
-    per primitive column — the raw material for the manifest's
-    lower/upper bounds, Iceberg's manifest-level value pruning."""
+    where partition_values is keyed by spec FIELD name and col_minmax is
+    the parquet footer's {"minValues", "maxValues"} per primitive
+    column — the raw material for the manifest's lower/upper bounds,
+    Iceberg's manifest-level value pruning."""
     import glob as _glob
     import shutil
     import tempfile
     import uuid
     from urllib.parse import unquote
 
+    part_fields = parse_partition_by(part_fields)
     staging_root = tempfile.mkdtemp(prefix="_ice_stage_", dir=table_path)
     try:
         out = os.path.join(staging_root, "out")
         writer = df
-        if part_cols:
-            for c in part_cols:
-                writer = writer.withColumn(f"__ice_p_{c}", writer[c])
+        if part_fields:
+            dtypes = dict(df.dtypes)
+            for f in part_fields:
+                writer = writer.withColumn(
+                    f"__ice_p_{f.name}",
+                    transform_expr(
+                        f.transform, f.source, dtypes.get(f.source, "string")
+                    ),
+                )
             writer = writer.write.mode("overwrite").partitionBy(
-                *[f"__ice_p_{c}" for c in part_cols]
+                *[f"__ice_p_{f.name}" for f in part_fields]
             )
         else:
             writer = writer.write.mode("overwrite")
@@ -889,22 +1044,22 @@ def write_iceberg(
     max_retries: int = 3,
 ) -> int:
     """CREATE (first call) or APPEND (subsequent calls) a snapshot.
-    Returns the committed snapshot id.  Appends against a concurrent
-    commit re-read the log and retry — staged data files are content-
-    addressed and referenced only by the winning commit, so a retry
-    reuses them safely."""
+    Returns the committed snapshot id.  ``partition_by`` entries may be
+    plain column names (identity) or transform calls — ``days(ts)``,
+    ``bucket(4, key)``, ``truncate(3, col)`` — the production Iceberg
+    partitioning shapes.  Appends against a concurrent commit re-read
+    the log and retry — staged data files are content-addressed and
+    referenced only by the winning commit, so a retry reuses them
+    safely."""
     os.makedirs(table_path, exist_ok=True)
-    partition_by = list(partition_by or [])
+    partition_by = parse_partition_by(partition_by)
     existing = is_iceberg_table(table_path)
     if existing:
         meta = _load_metadata(table_path)
-        table_parts = [
-            f["name"]
-            for spec in meta.get("partition-specs", [])
-            if spec.get("spec-id") == meta.get("default-spec-id", 0)
-            for f in spec.get("fields", [])
-        ]
-        if partition_by and partition_by != table_parts:
+        table_parts = _partition_spec_fields(meta)
+        if partition_by and [
+            (f.transform, f.source) for f in partition_by
+        ] != [(f.transform, f.source) for f in table_parts]:
             raise IcebergLiteError(
                 f"append partitioning {partition_by} != table {table_parts}"
             )
@@ -944,6 +1099,7 @@ def _commit_snapshot(
     data_file.content.  ``replace=True`` drops every prior manifest from
     the new snapshot's manifest list (the ``rewrite_data_files``
     compaction commit: the new data files ARE the table)."""
+    part_fields = parse_partition_by(part_cols)
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     versions = _metadata_versions(meta_dir)
@@ -993,6 +1149,8 @@ def _commit_snapshot(
         for f in (bounds_src or [])
         if isinstance(f.get("type"), str)
     }
+    # source name -> schema field id for the partition-spec entries
+    _src_ids = {f["name"]: int(f["id"]) for f in (bounds_src or [])}
     new_manifests = list(prior_manifests)
     for manifest_content, entries, tag in (
         (0, data_entries, "data"),
@@ -1039,7 +1197,7 @@ def _commit_snapshot(
                         file_content,
                         f"{location}/{rel}",
                         "PARQUET",
-                        tuple(pvals.get(c) for c in part_cols),
+                        tuple(pvals.get(f.name) for f in part_fields),
                         int(count),
                         int(size),
                         list(eq_ids) if eq_ids else None,
@@ -1048,7 +1206,9 @@ def _commit_snapshot(
                     ),
                 )
             )
-        _write_manifest(table_path, man_rel, part_cols, rows)
+        _write_manifest(
+            table_path, man_rel, [f.name for f in part_fields], rows
+        )
         new_manifests.append(
             (
                 f"{location}/{man_rel}",
@@ -1107,12 +1267,12 @@ def _commit_snapshot(
                 "spec-id": 0,
                 "fields": [
                     {
-                        "name": c,
-                        "transform": "identity",
-                        "source-id": i + 1,
+                        "name": f.name,
+                        "transform": f.transform,
+                        "source-id": _src_ids.get(f.source, i + 1),
                         "field-id": 1000 + i,
                     }
-                    for i, c in enumerate(part_cols)
+                    for i, f in enumerate(part_fields)
                 ],
             }
         ],
@@ -1188,12 +1348,7 @@ def _merge_once_iceberg(
     meta_dir = os.path.join(table_path, "metadata")
     planned_version = (_metadata_versions(meta_dir) or [0])[-1]
     meta = _load_metadata(table_path)
-    part_cols = [
-        f["name"]
-        for spec in meta.get("partition-specs", [])
-        if spec.get("spec-id") == meta.get("default-spec-id", 0)
-        for f in spec.get("fields", [])
-    ]
+    part_cols = _partition_spec_fields(meta)
     files, _deletes = plan_scan(table_path)
     if not files:
         # empty table: MERGE degenerates to a pure append of the source
@@ -1373,12 +1528,7 @@ def _upsert_equality_once(
     meta_dir = os.path.join(table_path, "metadata")
     planned_version = (_metadata_versions(meta_dir) or [0])[-1]
     meta = _load_metadata(table_path)
-    part_cols = [
-        f["name"]
-        for spec in meta.get("partition-specs", [])
-        if spec.get("spec-id") == meta.get("default-spec-id", 0)
-        for f in spec.get("fields", [])
-    ]
+    part_cols = _partition_spec_fields(meta)
     names_by_id = _field_names_by_id(meta)
     ids_by_name = {n: i for i, n in names_by_id.items()}
     missing = [k for k in keys if k not in ids_by_name]
@@ -1398,7 +1548,7 @@ def _upsert_equality_once(
     # deletes that apply to it.
     delete_entries = []
     distinct_keys = source.select(*keys).distinct()
-    if part_cols and set(part_cols) <= set(keys):
+    if part_cols and {f.source for f in part_cols} <= set(keys):
         staged = _stage_iceberg_data(distinct_keys, table_path, part_cols)
         delete_entries = [
             (rel, pvals, count, size, 2, eq_ids)
@@ -1489,12 +1639,7 @@ def rewrite_data_files(
     meta_dir = os.path.join(table_path, "metadata")
     planned_version = (_metadata_versions(meta_dir) or [0])[-1]
     meta = _load_metadata(table_path)
-    part_cols = [
-        f["name"]
-        for spec in meta.get("partition-specs", [])
-        if spec.get("spec-id") == meta.get("default-spec-id", 0)
-        for f in spec.get("fields", [])
-    ]
+    part_cols = _partition_spec_fields(meta)
     df = read_iceberg(spark, table_path)
     if zorder_by:
         from ..operators.layout import zorder_key  # noqa: PLC0415

@@ -1,0 +1,336 @@
+"""Iceberg PARTITION TRANSFORMS (spec §Partition Transforms, Appendix B).
+
+Production Iceberg tables overwhelmingly partition by a TRANSFORM of a
+source column — ``days(ts)`` for event time, ``bucket(N, key)`` for
+high-cardinality keys, ``truncate(W, col)`` for prefixes — not by raw
+identity values (the reference's own entity table is partitioned,
+``etl_consume_entity_match.py:385-389``).  A reader that only
+understands identity scans EVERY file of such a table; this module
+gives ``iceberg_lite`` the three things transform support needs:
+
+1. ``apply_transform`` — the Python-side transform function, used to
+   derive the partition-tuple value a query literal lands in so the
+   manifest tree can be pruned before any parquet footer is opened;
+2. ``transform_range`` — maps a source-column ``[lo, hi]`` range to the
+   corresponding partition-value range for ORDER-PRESERVING transforms
+   (identity / truncate / year / month / day / hour).  ``bucket`` is
+   intentionally not order-preserving: only point lookups (lo == hi)
+   prune, exactly as in the real planner;
+3. ``transform_expr`` — the same function as a Spark Column expression,
+   used (a) by the writer to stage data files grouped by partition
+   value and (b) by the reader to apply PARTITION-SCOPED equality
+   deletes on transformed specs (the partitioned Flink-CDC shape)
+   without materializing the partition value into the data files.
+
+The hash for ``bucket[N]`` is the spec's 32-bit Murmur3 (x86 variant,
+seed 0) over the Appendix-B single-value serialization: int/long/date
+hash as the 8-byte little-endian long (which is WHY ``bucket`` is
+compatible across int widening), timestamps as microseconds-from-epoch
+longs, strings as UTF-8 bytes.  Murmur3 is implemented here from the
+public algorithm (Austin Appleby, public domain).
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+import struct
+from dataclasses import dataclass
+
+import pandas as pd
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+_U32 = 0xFFFFFFFF
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3, x86 variant, seed 0 (spec Appendix B).  Returns
+    the UNSIGNED 32-bit hash; bucketing masks with ``& 0x7FFFFFFF``
+    which is identical on the signed interpretation."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    length = len(data)
+    h = seed & _U32
+    rounded = length & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * c2) & _U32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _U32
+        h = (h * 5 + 0xE6546B64) & _U32
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * c2) & _U32
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h
+
+
+def _bucket_bytes(value) -> bytes:
+    """Appendix-B hash serialization of a single value.  Integral types
+    (int, long, date-as-days) serialize as the 8-byte little-endian
+    long; timestamps as microseconds-from-epoch longs; strings UTF-8;
+    bytes pass through."""
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for boolean")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, datetime.datetime):
+        micros = int(
+            (value.replace(tzinfo=None) - _EPOCH_DT).total_seconds() * 1_000_000
+        )
+        return struct.pack("<q", micros)
+    if isinstance(value, datetime.date):
+        return struct.pack("<q", (value - _EPOCH_DATE).days)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise ValueError(f"bucket transform unsupported for {type(value).__name__}")
+
+
+def bucket_value(value, n: int):
+    if value is None:
+        return None
+    return (murmur3_x86_32(_bucket_bytes(value)) & 0x7FFFFFFF) % n
+
+
+def _as_datetime(value):
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None)
+    if isinstance(value, datetime.date):
+        return datetime.datetime(value.year, value.month, value.day)
+    raise ValueError(
+        f"temporal transform needs date/datetime, got {type(value).__name__}"
+    )
+
+
+def apply_transform(transform: str, value):
+    """Python-side transform: source value -> partition value (ints for
+    temporal ordinals and buckets, truncated value for truncate)."""
+    if value is None:
+        return None
+    kind, arg = parse_transform(transform)
+    if kind == "identity":
+        return value
+    if kind == "void":
+        return None
+    if kind == "bucket":
+        return bucket_value(value, arg)
+    if kind == "truncate":
+        if isinstance(value, bool):
+            raise ValueError("truncate transform is not defined for boolean")
+        if isinstance(value, int):
+            return value - (((value % arg) + arg) % arg)
+        if isinstance(value, str):
+            return value[:arg]
+        raise ValueError(
+            f"truncate transform unsupported for {type(value).__name__}"
+        )
+    dt = _as_datetime(value)
+    if kind == "year":
+        return dt.year - 1970
+    if kind == "month":
+        return (dt.year - 1970) * 12 + dt.month - 1
+    if kind == "day":
+        return (dt.date() - _EPOCH_DATE).days
+    if kind == "hour":
+        return int((dt - _EPOCH_DT).total_seconds() // 3600)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def transform_range(transform: str, lo, hi):
+    """Map a source-column closed range to a partition-value closed
+    range, or None when the transform cannot prune ranges.  Sound
+    because every transform here except bucket is monotone on its
+    source ordering (spec: identity/truncate/temporal transforms
+    preserve order); bucket prunes only exact points."""
+    kind, _arg = parse_transform(transform)
+    if kind == "void":
+        return None
+    if kind == "bucket":
+        if lo is not None and hi is not None and lo == hi:
+            b = apply_transform(transform, lo)
+            return (b, b)
+        return None
+    tlo = apply_transform(transform, lo) if lo is not None else None
+    thi = apply_transform(transform, hi) if hi is not None else None
+    if tlo is None and thi is None:
+        return None
+    return (tlo, thi)
+
+
+_BRACKET = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
+_CALL = re.compile(r"^(\w+)\((.*)\)$")
+_TEMPORAL_ALIASES = {
+    "years": "year",
+    "months": "month",
+    "days": "day",
+    "hours": "hour",
+    "date": "day",  # legacy alias some writers emit
+}
+
+
+def parse_transform(transform: str) -> tuple[str, int | None]:
+    """Canonical (kind, arg) from a metadata transform string:
+    ``identity``, ``void``, ``year|month|day|hour`` (plural aliases
+    accepted), ``bucket[N]``, ``truncate[W]``."""
+    t = transform.strip().lower()
+    t = _TEMPORAL_ALIASES.get(t, t)
+    if t in ("identity", "void", "year", "month", "day", "hour"):
+        return (t, None)
+    m = _BRACKET.match(t)
+    if m:
+        return (m.group(1), int(m.group(2)))
+    raise ValueError(f"unknown iceberg transform {transform!r}")
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One resolved partition-spec field: the spec FIELD name (what the
+    manifest partition record is keyed by), the transform, and the
+    SOURCE column name resolved through the schema's field ids."""
+
+    name: str
+    transform: str
+    source: str
+
+    @property
+    def kind(self) -> str:
+        return parse_transform(self.transform)[0]
+
+
+def default_field_name(transform: str, source: str) -> str:
+    """Iceberg's conventional spec-field naming (what Spark's
+    ``partitionedBy(days($"ts"))`` produces)."""
+    kind, arg = parse_transform(transform)
+    if kind == "identity":
+        return source
+    if kind == "bucket":
+        return f"{source}_bucket"
+    if kind == "truncate":
+        return f"{source}_trunc"
+    return f"{source}_{kind}"
+
+
+def parse_partition_by(spec) -> list[PartitionField]:
+    """User-facing partition_by entries -> PartitionFields.  Accepts
+    plain column names (identity), ``days(ts)`` / ``bucket(4, key)`` /
+    ``truncate(3, col)`` call syntax, or ready PartitionFields."""
+    out = []
+    for item in spec or []:
+        if isinstance(item, PartitionField):
+            out.append(item)
+            continue
+        s = str(item).strip()
+        m = _CALL.match(s)
+        if not m:
+            out.append(PartitionField(s, "identity", s))
+            continue
+        fn = m.group(1).lower()
+        args = [a.strip() for a in m.group(2).split(",") if a.strip()]
+        fn = _TEMPORAL_ALIASES.get(fn, fn)
+        if fn in ("year", "month", "day", "hour"):
+            if len(args) != 1:
+                raise ValueError(f"{s}: expected 1 argument")
+            src = args[0]
+            out.append(
+                PartitionField(default_field_name(fn, src), fn, src)
+            )
+        elif fn in ("bucket", "truncate"):
+            if len(args) != 2:
+                raise ValueError(f"{s}: expected (N, column)")
+            n, src = int(args[0]), args[1]
+            transform = f"{fn}[{n}]"
+            out.append(
+                PartitionField(default_field_name(transform, src), transform, src)
+            )
+        elif fn == "identity":
+            src = args[0]
+            out.append(PartitionField(src, "identity", src))
+        else:
+            raise ValueError(f"unknown partition transform call {s!r}")
+    return out
+
+
+def transform_expr(transform: str, source_col: str, spark_type: str):
+    """The transform as a Spark Column over ``source_col`` — stays
+    JVM-side for everything except ``bucket``, whose Iceberg-specific
+    murmur3-over-serialized-value has no Spark builtin (Spark's
+    ``hash()`` uses a different seed and serialization) and therefore
+    runs as an Arrow-batched pandas_udf."""
+    from pyspark.sql import functions as F
+
+    kind, arg = parse_transform(transform)
+    c = F.col(source_col)
+    if kind == "identity":
+        return c
+    if kind == "void":
+        return F.lit(None)
+    if kind == "year":
+        return (F.year(c) - F.lit(1970)).cast("int")
+    if kind == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)
+        ).cast("int")
+    if kind == "day":
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+            "int"
+        )
+    if kind == "hour":
+        # timestamp cast to double = (fractional) epoch seconds; floor
+        # divides correctly for pre-1970 values, unlike long truncation
+        return F.floor(c.cast("double") / F.lit(3600.0)).cast("int")
+    if kind == "truncate":
+        if spark_type in ("string", "varchar"):
+            return F.substring(c, 1, arg)
+        return (c - F.pmod(c, F.lit(arg))).cast(spark_type)
+    if kind == "bucket":
+        return _bucket_udf(arg, spark_type)(c)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def _bucket_udf(n: int, spark_type: str):
+    from pyspark.sql import functions as F
+
+    is_temporal_ts = spark_type.startswith("timestamp")
+    is_date = spark_type == "date"
+
+    @F.pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return None
+            if is_temporal_ts:
+                ts = pd.Timestamp(v)
+                micros = ts.value // 1000  # ns -> us
+                data = struct.pack("<q", micros)
+            elif is_date:
+                d = pd.Timestamp(v).date()
+                data = struct.pack("<q", (d - _EPOCH_DATE).days)
+            elif isinstance(v, str):
+                data = v.encode("utf-8")
+            elif isinstance(v, (bytes, bytearray)):
+                data = bytes(v)
+            else:
+                data = struct.pack("<q", int(v))
+            return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+        return s.map(one).astype("Int32")
+
+    return _bucket

@@ -88,6 +88,17 @@ BASELINES = {
     # item 4)
     "src_iceberg_position_deletes": (1.679, 7),
     "sink_iceberg_merge_mor": (1.956, 7),
+    # round-8 additions, promoted in round 9 (VERDICT r8 item 2) with a
+    # full quiet-host bench run measured 2026-08-15 at the start of r9
+    "sink_iceberg_eq_upsert": (1.937, 8),
+    "sink_iceberg_compaction": (4.242, 8),
+    "src_delta_deletion_vectors": (1.559, 8),
+    "src_delta_column_mapping": (0.562, 8),
+    "stream_delta_cdf_rows": (2.713, 8),
+    "em_fuzzy_skew_stress": (2.491, 8),
+    "sink_delta_dv_delete": (2.493, 8),
+    "src_iceberg_bounds_pruning": (0.598, 8),
+    "sink_delta_cm_roundtrip": (1.786, 8),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -101,17 +112,10 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-8 additions: equality-delete upsert + MOR maintenance,
-    # Delta protocol >= 2 reads, streamed CDF, capped fuzzy matching
-    "sink_iceberg_eq_upsert",
-    "sink_iceberg_compaction",
-    "src_delta_deletion_vectors",
-    "src_delta_column_mapping",
-    "stream_delta_cdf_rows",
-    "em_fuzzy_skew_stress",
-    "sink_delta_dv_delete",
-    "src_iceberg_bounds_pruning",
-    "sink_delta_cm_roundtrip",
+    # round-9 additions: iceberg partition transforms + refs, delta
+    # type widening / variant reads (promoted to BASELINES next round)
+    "src_iceberg_day_partition",
+    "sink_iceberg_bucket_upsert",
 ]
 
 
