@@ -716,10 +716,17 @@ def read_iceberg(
             ),
             "__ice_file",
         )
+        # Group by (equality_ids, scope FIELD NAMES) — not scope VALUES:
+        # every delete file of a partitioned CDC stream shares one field
+        # set, so the whole stream applies as ONE anti-join whose scope
+        # values travel as broadcast join keys.  Grouping by value would
+        # re-scan the data once per partition (8 anti-joins for a
+        # bucket[8] table, thousands for a day-partitioned year).
         groups: dict = {}
         for d in eq_deletes:
-            groups.setdefault((d.equality_ids, d.partition_scope), []).append(d)
-        for (eq_ids, scope), group in sorted(groups.items()):
+            scope_fields = tuple(s[0] for s in d.partition_scope)
+            groups.setdefault((d.equality_ids, scope_fields), []).append(d)
+        for (eq_ids, scope_fields), group in sorted(groups.items()):
             try:
                 cols = [names_by_id[i] for i in eq_ids]
             except KeyError as exc:
@@ -731,8 +738,14 @@ def read_iceberg(
                 raise IcebergLiteError(
                     f"equality-delete columns absent from data: {missing}"
                 )
-            scope_conds = []
-            for pcol, pval in scope:
+            # Data-side membership expression per scope field, computed
+            # ONCE for the whole group: identity compares the source
+            # column, a transformed spec recomputes the transform over
+            # the source column (data files store source columns; the
+            # partition value is metadata-only) — ``day(ts) == 18262``
+            # is exactly the file-side membership test.
+            scope_exprs = []
+            for pcol in scope_fields:
                 field = scope_spec.get(pcol)
                 if field is not None and field.kind != "identity":
                     if field.source not in base_cols:
@@ -746,22 +759,29 @@ def read_iceberg(
                         field.source,
                         base_types.get(field.source, "string"),
                     )
-                    scope_conds.append(
-                        expr.cast("string") == F.lit(str(pval))
-                    )
-                    continue
-                src = field.source if field is not None else pcol
-                if src not in base_cols:
-                    raise IcebergLiteError(
-                        "partition-scoped equality delete names partition "
-                        f"columns absent from the data files: [{src!r}]"
-                    )
-                scope_conds.append(
-                    F.col(src).cast("string") == F.lit(str(pval))
-                )
+                else:
+                    src = field.source if field is not None else pcol
+                    if src not in base_cols:
+                        raise IcebergLiteError(
+                            "partition-scoped equality delete names "
+                            "partition columns absent from the data "
+                            f"files: [{src!r}]"
+                        )
+                    expr = F.col(src)
+                scope_exprs.append((pcol, expr.cast("string")))
+            # O(delete files) mapping: file -> (sequence, scope values)
             eq_map = spark.createDataFrame(
-                [(d.path, d.sequence_number) for d in group],
-                "dfile string, delete_seq long",
+                [
+                    (d.path, d.sequence_number, *[
+                        dict(d.partition_scope).get(pcol)
+                        for pcol in scope_fields
+                    ])
+                    for d in group
+                ],
+                ", ".join(
+                    ["dfile string", "delete_seq long"]
+                    + [f"__eq_scope_{i} string" for i in range(len(scope_fields))]
+                ),
             )
             del_rows = (
                 spark.read.parquet(*[d.path for d in group])
@@ -775,8 +795,8 @@ def read_iceberg(
             cond = F.col("delete_seq") > F.col("data_seq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-            for sc in scope_conds:
-                cond = cond & sc
+            for i, (_pcol, expr) in enumerate(scope_exprs):
+                cond = cond & (expr == F.col(f"__eq_scope_{i}"))
             data = data.join(del_rows, cond, "left_anti")
     return residual(data.select(base_cols))
 

@@ -443,3 +443,44 @@ def test_fuzzy_block_cap_bounds_candidates_and_observes(spark):
     }
     assert got == want == set()
     assert unmatched_cap.count() == 5
+
+
+def test_fuzzy_block_cap_default_on_and_opt_out(spark, monkeypatch):
+    """Round 9 (VERDICT r8 item 8): the cap is ON by default at
+    DEFAULT_BLOCK_CAP — a spec that never mentions block_cap still gets
+    hot-block protection — and ``"block_cap": None`` opts out."""
+    from pyspark.sql import Observation, Row
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.operators import entitymatch as em
+
+    primary = spark.createDataFrame(
+        [Row(gid=i, name=f"Smith{i:03d}", bal=float(i % 7)) for i in range(60)]
+    ).select("gid", "name", "bal")
+    incoming = spark.createDataFrame(
+        [Row(ikey=100 + i, name=f"Smith{i:03d}") for i in range(5)]
+    ).select("ikey", "name", F.lit(None).cast("bigint").alias("gid"))
+    spec = {"global_id_field": "gid", "sort_field": "bal"}
+    level = {
+        "blocks": ["name[0:1]"],
+        "threshold": 0.5,
+        "fields": [
+            {"fieldname": "name", "type": "string",
+             "method": "levenshtein", "threshold": 0.95, "weight": 1},
+        ],
+    }
+    # shrink the default so the 60-row block exceeds it
+    monkeypatch.setattr(em, "DEFAULT_BLOCK_CAP", 10)
+    obs = Observation()
+    matched, unmatched = em.fuzzy_match_level(
+        incoming, primary, level, spec, truncation_observation=obs
+    )
+    assert matched.count() == 0  # twins fall outside the top-10 cap
+    assert obs.get["truncated_candidates"] == 50
+    assert unmatched.count() == 5
+
+    # explicit null opts out: every incoming row finds its exact twin
+    matched_off, _ = em.fuzzy_match_level(
+        incoming, primary, dict(level, block_cap=None), spec
+    )
+    assert matched_off.count() == 5
