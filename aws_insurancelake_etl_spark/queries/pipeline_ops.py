@@ -3609,3 +3609,157 @@ def sink_iceberg_bucket_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected o_orderkey_bucket-scoped equality deletes: {scopes}"
         )
     return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "src_delta_type_widening",
+    """
+    SELECT o_orderkey, price_cents FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS INTEGER)
+                    AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT),
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 5 = 1
+    )
+    """,
+)
+def src_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TYPE WIDENING read (round 9, VERDICT r8 item 5): delta-spark
+    3.2+ lets ``ALTER TABLE CHANGE COLUMN`` widen int->long /
+    float->double WITHOUT rewriting old files — the schemaString
+    changes, the ``typeWidening`` reader feature is flagged, and
+    readers must widen the narrow physical values on scan.  The gate
+    writes commit 0 with INT columns through our writer, then doctors
+    the third-party shape: a protocol upgrade to 3/7 with
+    ``readerFeatures: [typeWidening]``, a widened BIGINT schemaString,
+    and a new LONG-typed data file in the same commit.  ``delta_lite``
+    reads by the snapshot's CURRENT schema and Spark 4's parquet reader
+    performs the widening promotion on the old int32 pages — no file
+    rewritten, no row lost.  Before round 9 this table raised
+    'unsupported readerFeatures'.  The oracle restates both halves
+    relationally (int-truncated cents for the old file, bigint for the
+    new)."""
+    import time as _time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders")
+    narrow = base.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("int")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-widen-") + "/t"
+    delta_lite.write_delta(narrow, tbl)
+    wide = base.where(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    staging = tempfile.mkdtemp(prefix="_widen_stage_", dir=tbl)
+    try:
+        adds = delta_lite._stage_from(wide, tbl, [], staging)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    wide_schema = StructType(
+        [
+            StructField("o_orderkey", LongType(), True),
+            StructField("price_cents", LongType(), True),
+        ]
+    )
+    actions = [
+        {"commitInfo": {"operation": "CHANGE COLUMN", "engine": "fixture"}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": [
+                    "typeWidening", "appendOnly", "invariants",
+                ],
+            }
+        },
+        {
+            "metaData": {
+                "id": "widen-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": wide_schema.json(),
+                "partitionColumns": [],
+                "configuration": {"delta.enableTypeWidening": "true"},
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ] + [delta_lite._add_json(a) for a in adds]
+    if not delta_lite._try_commit(delta_lite._log_dir(tbl), 1, actions):
+        raise RuntimeError("widening fixture commit lost a race")
+    out = delta_lite.read_delta(spark, tbl)
+    if [f.dataType.simpleString() for f in out.schema.fields] != [
+        "bigint", "bigint",
+    ]:
+        raise RuntimeError(f"schema not widened: {out.schema}")
+    return out
+
+
+@register(
+    "src_delta_variant",
+    """
+    SELECT c_custkey,
+           c_custkey * 10 AS acct_v,
+           c_mktsegment AS seg_v,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE CAST(c_custkey % 100 AS BIGINT) END AS score_v
+    FROM customer WHERE c_custkey % 2 = 0
+    """,
+)
+def src_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VARIANT column round-trip (round 9, VERDICT r8 item 5):
+    semi-structured claim payloads are the reference's bread and butter
+    (its JSON transforms flatten them); modern Delta stores them as the
+    open VARIANT type — a binary (metadata, value) pair with the
+    ``variantType`` table feature flagged.  Spark 4 implements the type
+    natively (``parse_json`` / ``variant_get`` / parquet encoding), so
+    ``delta_lite`` needs exactly two things: accept the feature and
+    read with the snapshot schema.  The gate builds variant payloads
+    from customer rows (incl. a null field every 3rd key to exercise
+    variant null semantics), writes through our writer (which must
+    declare protocol 3/7 + the feature), reads back, and extracts
+    typed fields with ``variant_get``; the oracle reconstructs the
+    fields relationally."""
+    from ..sources import delta_lite
+
+    cust = t(spark, sf_dir, "customer").where(F.col("c_custkey") % 2 == 0)
+    payload = cust.select(
+        "c_custkey",
+        F.parse_json(
+            F.to_json(
+                F.struct(
+                    (F.col("c_custkey") * 10).alias("acct"),
+                    F.col("c_mktsegment").alias("seg"),
+                    F.when(
+                        F.col("c_custkey") % 3 != 0, F.col("c_custkey") % 100
+                    ).alias("score"),
+                )
+            )
+        ).alias("v"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-variant-") + "/t"
+    delta_lite.write_delta(payload, tbl)
+    proto = delta_lite.snapshot(tbl).protocol
+    if "variantType" not in (proto.get("readerFeatures") or []):
+        raise RuntimeError(f"writer did not declare variantType: {proto}")
+    out = delta_lite.read_delta(spark, tbl)
+    if out.schema["v"].dataType.typeName() != "variant":
+        raise RuntimeError(f"variant type lost on read: {out.schema}")
+    return out.select(
+        "c_custkey",
+        F.expr("variant_get(v, '$.acct', 'long')").alias("acct_v"),
+        F.expr("variant_get(v, '$.seg', 'string')").alias("seg_v"),
+        F.expr("variant_get(v, '$.score', 'long')").alias("score_v"),
+    )

@@ -116,6 +116,8 @@ EXTENDED: list[str] = [
     # type widening / variant reads (promoted to BASELINES next round)
     "src_iceberg_day_partition",
     "sink_iceberg_bucket_upsert",
+    "src_delta_type_widening",
+    "src_delta_variant",
 ]
 
 

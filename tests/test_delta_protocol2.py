@@ -8,6 +8,8 @@ under test (``sources/delta_lite.py``) shares only the byte-level spec
 (PROTOCOL.md; RoaringFormatSpec)."""
 
 import os
+import shutil
+import tempfile
 
 import pytest
 from pyspark.sql import Row
@@ -746,4 +748,126 @@ def test_multipart_classic_checkpoint_replay(spark, tmp_path):
     # refuses loudly instead of replaying half a file list
     os.remove(part2)
     with pytest.raises(dl.DeltaLiteError):
+        dl.snapshot(path)
+
+
+# ---------------------------------------------------------------- round 9:
+# variantType + typeWidening reader/writer features (VERDICT r8 item 5)
+
+
+def test_variant_column_roundtrip_declares_feature(spark, tmp_path):
+    """A variant column round-trips through write_delta/read_delta; the
+    CREATE commit declares protocol 3/7 with variantType listed."""
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        "select id, parse_json(format_string("
+        "'{\"a\": %d, \"s\": \"x%d\"}', id, id*2)) as v from range(10)"
+    )
+    path = str(tmp_path / "variant")
+    dl.write_delta(df, path)
+    proto = dl.snapshot(path).protocol
+    assert proto["minReaderVersion"] == 3
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    out = dl.read_delta(spark, path)
+    assert out.schema["v"].dataType.typeName() == "variant"
+    got = {
+        (r.id, r.a)
+        for r in out.select(
+            "id", F.expr("variant_get(v, '$.a', 'long')").alias("a")
+        ).collect()
+    }
+    assert got == {(i, i) for i in range(10)}
+    # appends against the feature-flagged table still work
+    dl.write_delta(df.withColumn("id", F.col("id") + 10), path)
+    assert dl.read_delta(spark, path).count() == 20
+
+
+def test_type_widening_reads_old_int_files_as_long(spark, tmp_path):
+    """A third-party widening commit (schemaString int->long, protocol
+    3/7 + typeWidening) leaves old int32 files in place; the reader
+    scans them under the widened schema (Spark 4 parquet widening
+    promotion) — previously this table raised by feature name."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    path = str(tmp_path / "widen")
+    narrow = spark.range(5).select(
+        F.col("id").cast("int").alias("k"), F.col("id").cast("float").alias("f")
+    )
+    dl.write_delta(narrow, path)
+    wide_df = spark.range(5, 10).select(
+        F.col("id").cast("long").alias("k"),
+        F.col("id").cast("double").alias("f"),
+    )
+    staging = tempfile.mkdtemp(prefix="_st_", dir=path)
+    try:
+        adds = dl._stage_from(wide_df, path, [], staging)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    wide_schema = StructType(
+        [StructField("k", LongType(), True), StructField("f", DoubleType(), True)]
+    )
+    actions = [
+        {"commitInfo": {"operation": "CHANGE COLUMN", "engine": "fixture"}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening", "appendOnly", "invariants"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "widen-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": wide_schema.json(),
+                "partitionColumns": [],
+                "configuration": {"delta.enableTypeWidening": "true"},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ] + [dl._add_json(a) for a in adds]
+    assert dl._try_commit(dl._log_dir(path), 1, actions)
+    out = dl.read_delta(spark, path)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double",
+    ]
+    assert sorted((r.k, r.f) for r in out.collect()) == [
+        (i, float(i)) for i in range(10)
+    ]
+    # appends to the widened table carry the widened type
+    dl.write_delta(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("f")
+        ),
+        path,
+    )
+    assert dl.read_delta(spark, path).count() == 12
+
+
+def test_unknown_reader_feature_still_refuses(spark, tmp_path):
+    """Widening/variant support must not loosen the gate: an unknown
+    feature name still raises before any data is misread."""
+    import time
+
+    path = str(tmp_path / "unknown_feat")
+    dl.write_delta(spark.range(3).selectExpr("id as k"), path)
+    actions = [
+        {"commitInfo": {"operation": "UPGRADE", "engine": "fixture"}},
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["collations"],
+                "writerFeatures": ["collations"],
+            }
+        },
+    ]
+    assert dl._try_commit(dl._log_dir(path), 1, actions)
+    with pytest.raises(dl.DeltaLiteError, match="collations"):
         dl.snapshot(path)
