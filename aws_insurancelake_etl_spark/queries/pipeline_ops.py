@@ -3763,3 +3763,57 @@ def src_delta_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.seg', 'string')").alias("seg_v"),
         F.expr("variant_get(v, '$.score', 'long')").alias("score_v"),
     )
+
+
+@register(
+    "src_iceberg_ref_read",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def src_iceberg_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT REFS (round 9, VERDICT r8 item 7): branches and
+    tags (spec §Snapshot References) are how production tables pin
+    audit states — ``VERSION AS OF 'q2-close'`` — and how retention
+    interacts with compliance: ``expire_snapshots`` must NEVER reclaim
+    a ref'd snapshot.  The gate writes the %10 orders slice, tags it
+    ``audit``, appends two more slices (the writer advances the
+    ``main`` branch each commit), runs ``expire_snapshots(keep_last=1)``
+    — which must expire the middle snapshot but RETAIN the tagged one —
+    and returns the read through the TAG NAME.  Any retention bug that
+    reclaimed the tagged snapshot's files, or any ref-resolution bug,
+    diverges from the oracle (the original slice)."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-refs-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 10 == 0), tbl
+    )
+    iceberg_lite.create_ref(tbl, "audit", ref_type="tag")
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 10 == 1), tbl
+    )
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 10 == 2), tbl
+    )
+    refs = iceberg_lite.list_refs(tbl)
+    if refs["main"]["snapshot-id"] <= refs["audit"]["snapshot-id"]:
+        raise RuntimeError(f"main did not advance past the tag: {refs}")
+    res = iceberg_lite.expire_snapshots(tbl, keep_last=1)
+    tagged_id = refs["audit"]["snapshot-id"]
+    if tagged_id not in res["retained"] or not res["expired"]:
+        raise RuntimeError(
+            f"expire must retain the tagged snapshot and drop the "
+            f"middle one: {res}"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl, snapshot_id="audit")

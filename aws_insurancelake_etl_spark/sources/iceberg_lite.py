@@ -409,6 +409,8 @@ def plan_scan(
         return [], []
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
+    else:
+        snapshot_id = _resolve_ref(meta, snapshot_id)
     matches = [s for s in snapshots if s.get("snapshot-id") == snapshot_id]
     if not matches:
         known = [s.get("snapshot-id") for s in snapshots]
@@ -578,6 +580,84 @@ def plan_scan(
         sorted(data, key=lambda e: e.path),
         sorted(deletes, key=lambda e: e.path),
     )
+
+
+def _resolve_ref(meta: dict, snapshot_id):
+    """A ``snapshot_id`` may be an integer id or a NAMED REF — a branch
+    or tag from the metadata's ``refs`` map (spec §Snapshot References:
+    ``VERSION AS OF 'audit-2024'`` resolves through it).  Numeric
+    strings pass through as ids."""
+    if isinstance(snapshot_id, int):
+        return snapshot_id
+    name = str(snapshot_id)
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return int(refs[name]["snapshot-id"])
+    try:
+        return int(name)
+    except ValueError:
+        raise IcebergLiteError(
+            f"unknown snapshot ref {name!r} (refs: {sorted(refs)})"
+        ) from None
+
+
+def list_refs(table_path: str) -> dict:
+    """The table's branch/tag refs: {name: {"snapshot-id", "type"}}."""
+    return dict(_load_metadata(table_path).get("refs") or {})
+
+
+def create_ref(
+    table_path: str, name: str, ref_type: str = "tag", snapshot_id=None,
+) -> dict:
+    """CREATE TAG / CREATE BRANCH: pin ``name`` to ``snapshot_id`` (the
+    current snapshot when omitted) in the metadata's ``refs`` map — the
+    spec's snapshot-reference mechanism behind ``ALTER TABLE ... CREATE
+    TAG``.  A ref'd snapshot is immune to :func:`expire_snapshots`.
+    Commits the next metadata version (O_EXCL)."""
+    if ref_type not in ("tag", "branch"):
+        raise IcebergLiteError(f"ref type must be tag|branch: {ref_type!r}")
+    meta = _load_metadata(table_path)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snapshot_id = _resolve_ref(meta, snapshot_id)
+    known = {s.get("snapshot-id") for s in meta.get("snapshots") or []}
+    if snapshot_id not in known:
+        raise IcebergLiteError(
+            f"cannot ref unknown snapshot {snapshot_id} (have {sorted(known)})"
+        )
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "create_ref"
+        )
+    return refs[name]
+
+
+def drop_ref(table_path: str, name: str) -> None:
+    """DROP TAG/BRANCH: remove ``name`` from the refs map (the snapshot
+    becomes expirable again).  The ``main`` branch cannot be dropped."""
+    if name == "main":
+        raise IcebergLiteError("cannot drop the main branch")
+    meta = _load_metadata(table_path)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise IcebergLiteError(f"no such ref {name!r} (refs: {sorted(refs)})")
+    del refs[name]
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "drop_ref"
+        )
 
 
 def snapshot_ids(table_path: str) -> list[int]:
@@ -1301,6 +1381,11 @@ def _commit_snapshot(
     if schemas:
         new_meta["schemas"] = schemas
         new_meta["current-schema-id"] = current_schema_id
+    # refs carry forward; the main branch follows the new head (spec
+    # §Snapshot References — writers advance main on every commit)
+    refs = dict((meta or {}).get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    new_meta["refs"] = refs
     if not _try_commit_metadata(table_path, snap_id, new_meta):
         # this attempt's manifests/manifest-list become unreferenced
         # orphans (uuid names — they can never collide with the winner)
@@ -1736,6 +1821,13 @@ def expire_snapshots(
     current_id = meta.get("current-snapshot-id")
     keep_ids = {current_id}
     keep_ids.update(s["snapshot-id"] for s in snaps[-max(keep_last, 1):])
+    # a snapshot pinned by any branch/tag ref is NEVER expirable (spec
+    # §Snapshot Retention Policy) — drop the ref first if you mean it
+    keep_ids.update(
+        int(r.get("snapshot-id"))
+        for r in (meta.get("refs") or {}).values()
+        if r.get("snapshot-id") is not None
+    )
     if older_than_ms is not None:
         keep_ids.update(
             s["snapshot-id"]

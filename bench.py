@@ -118,6 +118,7 @@ EXTENDED: list[str] = [
     "sink_iceberg_bucket_upsert",
     "src_delta_type_widening",
     "src_delta_variant",
+    "src_iceberg_ref_read",
 ]
 
 

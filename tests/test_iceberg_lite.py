@@ -849,3 +849,65 @@ def test_rewrite_zorder_enables_multidim_bounds_pruning(spark, tmp_path):
     ).collect()
     want = [r for r in rows if r.x <= 15 and r.y <= 15]
     assert len(got) == len(want)
+
+
+# ------------------------------------------------------- round 9: refs
+# (branches/tags, spec §Snapshot References — VERDICT r8 item 7)
+
+
+def test_refs_tag_read_and_main_follows_head(spark, tmp_path):
+    path = str(tmp_path / "refs")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    iceberg_lite.write_iceberg(spark, df1, path)
+    iceberg_lite.create_ref(path, "v1-audit", ref_type="tag")
+    df2 = spark.createDataFrame([(3, "c")], "id int, s string")
+    iceberg_lite.write_iceberg(spark, df2, path)
+    refs = iceberg_lite.list_refs(path)
+    assert refs["v1-audit"] == {"snapshot-id": 1, "type": "tag"}
+    # snapshot ids track metadata versions; the ref commit consumed v2,
+    # so the append landed as snapshot 3 — main follows the head
+    assert refs["main"]["snapshot-id"] == 3
+    # VERSION AS OF 'tag' resolves through refs
+    tagged = iceberg_lite.read_iceberg(spark, path, snapshot_id="v1-audit")
+    assert {r.id for r in tagged.collect()} == {1, 2}
+    main = iceberg_lite.read_iceberg(spark, path, snapshot_id="main")
+    assert {r.id for r in main.collect()} == {1, 2, 3}
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="unknown snapshot ref"):
+        iceberg_lite.read_iceberg(spark, path, snapshot_id="nope")
+
+
+def test_expire_never_drops_a_reffed_snapshot(spark, tmp_path):
+    path = str(tmp_path / "refs_expire")
+    for i in range(3):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.createDataFrame([(i, float(i))], "id int, v double"),
+            path,
+        )
+        if i == 0:
+            iceberg_lite.create_ref(path, "keepme", ref_type="tag")
+    res = iceberg_lite.expire_snapshots(path, keep_last=1)
+    # snapshots are 1, 3, 4 (the tag commit consumed version 2):
+    # 1 is tagged -> retained; 3 is neither tagged nor newest -> expires
+    assert 1 in res["retained"] and res["expired"] == [3]
+    tagged = iceberg_lite.read_iceberg(spark, path, snapshot_id="keepme")
+    assert [r.id for r in tagged.collect()] == [0]
+    # drop the tag -> the snapshot becomes expirable
+    iceberg_lite.drop_ref(path, "keepme")
+    res2 = iceberg_lite.expire_snapshots(path, keep_last=1)
+    assert 1 in res2["expired"]
+    with pytest.raises(iceberg_lite.IcebergLiteError):
+        iceberg_lite.read_iceberg(spark, path, snapshot_id="keepme")
+
+
+def test_drop_main_refuses_and_create_ref_validates(spark, tmp_path):
+    path = str(tmp_path / "refs_guard")
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path
+    )
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="main"):
+        iceberg_lite.drop_ref(path, "main")
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="unknown snapshot"):
+        iceberg_lite.create_ref(path, "t", snapshot_id=99)
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="tag|branch"):
+        iceberg_lite.create_ref(path, "t", ref_type="hat")
