@@ -3817,3 +3817,59 @@ def src_iceberg_ref_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"middle one: {res}"
         )
     return iceberg_lite.read_iceberg(spark, tbl, snapshot_id="audit")
+
+
+@register(
+    "src_standard_encrypted_xlsx",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def src_standard_encrypted_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECMA-376 STANDARD-encrypted Excel ingestion (round 9, VERDICT r8
+    item 6): Office 2007-2010's default scheme — binary EncryptionInfo
+    3.2, AES + SHA-1 iterated KDF with the 0x36/0x5C finisher, AES-ECB
+    package (MS-OFFCRYPTO §2.3.4.5-15) — is what a decade of insurer
+    back-books is locked behind; before round 9 these files raised
+    'only agile encryption supported'.  Same engine path as the agile
+    twin (``read_input`` detects the CFB container, ``decrypt_office``
+    dispatches on the descriptor version), same oracle."""
+    from ..sources.offcrypto import encrypt_standard
+    from ..sources.readers import read_input
+    from ..sources.xlsx_lite import write_xlsx
+
+    rows = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .collect()
+    )
+    matrix = [["o_orderkey", "o_orderstatus", "price_cents"]] + [
+        [r["o_orderkey"], r["o_orderstatus"], r["price_cents"]] for r in rows
+    ]
+    work = tempfile.mkdtemp(prefix="gate-stdxlsx-")
+    plain = f"{work}/orders.xlsx"
+    write_xlsx(plain, {"Orders": matrix})
+    with open(plain, "rb") as handle:
+        payload = handle.read()
+    enc_path = f"{work}/orders_standard.xlsx"
+    with open(enc_path, "wb") as handle:
+        handle.write(encrypt_standard(payload, "gate-password"))
+    out = read_input(
+        spark, enc_path,
+        {"excel": {"sheet_names": ["Orders"], "password": "gate-password"}},
+    )
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        F.col("price_cents").cast("bigint").alias("price_cents"),
+    )

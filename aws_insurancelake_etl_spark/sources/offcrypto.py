@@ -330,6 +330,19 @@ def _aes_cbc(key: bytes, iv: bytes, data: bytes, *, encrypt: bool) -> bytes:
     return ctx.update(data) + ctx.finalize()
 
 
+def _aes_ecb(key: bytes, data: bytes, *, encrypt: bool) -> bytes:
+    """ECB is cryptographically weak but is what ECMA-376 STANDARD
+    encryption specifies for the package stream (MS-OFFCRYPTO
+    §2.3.4.15) — this is format compatibility, not a recommendation."""
+    from cryptography.hazmat.primitives.ciphers import (  # noqa: PLC0415
+        Cipher, algorithms, modes,
+    )
+
+    cipher = Cipher(algorithms.AES(key), modes.ECB())  # noqa: S305
+    ctx = cipher.encryptor() if encrypt else cipher.decryptor()
+    return ctx.update(data) + ctx.finalize()
+
+
 def _pad(data: bytes, block: int, fill: bytes = b"\x00") -> bytes:
     rem = len(data) % block
     return data if rem == 0 else data + fill * (block - rem)
@@ -543,14 +556,161 @@ def encrypt_agile(package: bytes, password: str, *,
     return cfb_write({"EncryptionInfo": info, "EncryptedPackage": enc_package})
 
 
+# ------------------------------------------- MS-OFFCRYPTO §2.3.4 (standard)
+#
+# ECMA-376 "standard" encryption is the Office 2007-2010 DEFAULT — a
+# decade of insurer back-books is locked behind it (VERDICT r8 item 6).
+# Binary EncryptionInfo (no XML): version 2.2/3.2/4.2, an
+# EncryptionHeader (AlgID 0x660E/F/10 = AES-128/192/256, AlgIDHash
+# 0x8004 = SHA-1), and an EncryptionVerifier.  Key derivation is the
+# iterated SHA-1 of §2.3.4.7 finished with the 0x36/0x5C XOR-pad step;
+# the package stream is AES-ECB (§2.3.4.15) with an 8-byte plain-size
+# prefix and NO segmenting.
+
+_ALG_AES = {0x660E: 16, 0x660F: 24, 0x6610: 32}
+_ALGID_HASH_SHA1 = 0x8004
+_STD_SPIN = 50_000
+
+
+def _standard_key(password: str, salt: bytes, key_bytes: int,
+                  block: int = 0) -> bytes:
+    """§2.3.4.7: H0 = SHA1(salt||pw); Hi = SHA1(LE32(i)||Hi-1) for
+    50,000 rounds; Hfinal = SHA1(Hn||LE32(block)); then the X1/X2
+    ipad/opad-style finisher: X1 = SHA1(0x36*64 ^ Hfinal), X2 =
+    SHA1(0x5C*64 ^ Hfinal), key = (X1||X2)[:key_bytes]."""
+    acc = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    for i in range(_STD_SPIN):
+        acc = hashlib.sha1(struct.pack("<I", i) + acc).digest()
+    h_final = hashlib.sha1(acc + struct.pack("<I", block)).digest()
+
+    def xored(fill: int) -> bytes:
+        buf = bytearray([fill] * 64)
+        for i, b in enumerate(h_final):
+            buf[i] ^= b
+        return hashlib.sha1(bytes(buf)).digest()
+
+    return (xored(0x36) + xored(0x5C))[:key_bytes]
+
+
+def decrypt_standard(data: bytes, password: str) -> bytes:
+    """Decrypt an ECMA-376 STANDARD-encrypted container (Office
+    2007-2010 default) to the plain package bytes."""
+    streams = cfb_read(data)
+    try:
+        info = streams["EncryptionInfo"]
+        package = streams["EncryptedPackage"]
+    except KeyError as exc:
+        raise ValueError(
+            f"missing stream in encrypted container: {exc}"
+        ) from None
+    major, minor = struct.unpack_from("<HH", info, 0)
+    if minor != 2 or major not in (2, 3, 4):
+        raise NotImplementedError(
+            f"not a standard-encryption descriptor: {major}.{minor}"
+        )
+    (flags,) = struct.unpack_from("<I", info, 4)
+    (header_size,) = struct.unpack_from("<I", info, 8)
+    header = info[12:12 + header_size]
+    (h_flags, _extra, alg_id, alg_hash, key_bits, _provider,
+     _r1, _r2) = struct.unpack_from("<8I", header, 0)
+    del flags, h_flags  # fCryptoAPI/fAES informative; AlgID decides
+    if alg_id not in _ALG_AES:
+        raise NotImplementedError(
+            f"standard encryption AlgID 0x{alg_id:04X} unsupported "
+            "(AES 0x660E/0x660F/0x6610 only — RC4 CryptoAPI is a "
+            "different, weaker scheme)"
+        )
+    if alg_hash != _ALGID_HASH_SHA1:
+        raise NotImplementedError(
+            f"standard encryption AlgIDHash 0x{alg_hash:04X} unsupported "
+            "(spec mandates SHA-1 = 0x8004)"
+        )
+    key_bytes = key_bits // 8
+    if key_bytes != _ALG_AES[alg_id]:
+        raise ValueError(
+            f"KeySize {key_bits} inconsistent with AlgID 0x{alg_id:04X}"
+        )
+    ver = info[12 + header_size:]
+    (salt_size,) = struct.unpack_from("<I", ver, 0)
+    salt = ver[4:4 + salt_size]
+    enc_verifier = ver[4 + salt_size:4 + salt_size + 16]
+    (verifier_hash_size,) = struct.unpack_from("<I", ver, 4 + salt_size + 16)
+    enc_verifier_hash = ver[4 + salt_size + 20:4 + salt_size + 20 + 32]
+
+    key = _standard_key(password, salt, key_bytes)
+    verifier = _aes_ecb(key, enc_verifier, encrypt=False)
+    verifier_hash = _aes_ecb(key, enc_verifier_hash, encrypt=False)
+    expect = hashlib.sha1(verifier).digest()[:verifier_hash_size]
+    if not hmac_mod.compare_digest(expect, verifier_hash[:verifier_hash_size]):
+        raise WrongPassword("wrong password (verifier mismatch)")
+
+    (orig_size,) = struct.unpack_from("<Q", package, 0)
+    plain = _aes_ecb(key, _pad(package[8:], 16), encrypt=False)
+    return plain[:orig_size]
+
+
+def encrypt_standard(package: bytes, password: str, *,
+                     key_bits: int = 128, rng=os.urandom) -> bytes:
+    """Encrypt plain package bytes in the ECMA-376 STANDARD shape
+    (3.2 descriptor, AES + SHA-1) — the writer twin used for round-trip
+    tests; real legacy files come from Office itself."""
+    key_bytes = key_bits // 8
+    alg_id = {16: 0x660E, 24: 0x660F, 32: 0x6610}[key_bytes]
+    salt = rng(16)
+    verifier = rng(16)
+    key = _standard_key(password, salt, key_bytes)
+    enc_verifier = _aes_ecb(key, verifier, encrypt=True)
+    enc_verifier_hash = _aes_ecb(
+        key, _pad(hashlib.sha1(verifier).digest(), 16), encrypt=True
+    )
+    csp = "Microsoft Enhanced RSA and AES Cryptographic Provider\x00".encode(
+        "utf-16-le"
+    )
+    header = struct.pack(
+        "<8I", 0x24, 0, alg_id, _ALGID_HASH_SHA1, key_bits, 0x18, 0, 0
+    ) + csp
+    ver = (
+        struct.pack("<I", 16) + salt + enc_verifier
+        + struct.pack("<I", 20) + enc_verifier_hash
+    )
+    info = (
+        struct.pack("<HHII", 3, 2, 0x24, len(header)) + header + ver
+    )
+    enc_package = struct.pack("<Q", len(package)) + _aes_ecb(
+        key, _pad(package, 16), encrypt=True
+    )
+    return cfb_write({"EncryptionInfo": info, "EncryptedPackage": enc_package})
+
+
+def decrypt_office(data: bytes, password: str) -> bytes:
+    """Dispatch on the EncryptionInfo version: 4.4 = agile (Office
+    2013+), x.2 = ECMA-376 standard (Office 2007-2010).  Anything else
+    (extensible 3.3/4.3, RC4 CryptoAPI 1.x) refuses by name."""
+    streams = cfb_read(data)
+    info = streams.get("EncryptionInfo")
+    if info is None:
+        raise ValueError("missing EncryptionInfo stream")
+    major, minor = struct.unpack_from("<HH", info, 0)
+    if (major, minor) == (4, 4):
+        return decrypt_agile(data, password)
+    if minor == 2 and major in (2, 3, 4):
+        return decrypt_standard(data, password)
+    raise NotImplementedError(
+        f"EncryptionInfo version {major}.{minor} unsupported (agile 4.4 "
+        "and standard 2.2/3.2/4.2 are implemented; extensible and RC4 "
+        "CryptoAPI are not)"
+    )
+
+
 def decrypt_to_tempfile(path: str, password: str) -> str:
     """Decrypt an encrypted workbook to a temp .xlsx and return its path
-    (the plain-zip hand-off the Excel reader consumes)."""
+    (the plain-zip hand-off the Excel reader consumes).  Handles both
+    agile (4.4) and ECMA-376 standard (Office 2007-2010) containers."""
     import tempfile  # noqa: PLC0415
 
     with open(path, "rb") as handle:
         data = handle.read()
-    plain = decrypt_agile(data, password)
+    plain = decrypt_office(data, password)
     if plain[:2] != b"PK":
         raise ValueError("decrypted payload is not a zip package")
     fd, out_path = tempfile.mkstemp(suffix=".xlsx", prefix="decrypted_")

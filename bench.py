@@ -119,6 +119,7 @@ EXTENDED: list[str] = [
     "src_delta_type_widening",
     "src_delta_variant",
     "src_iceberg_ref_read",
+    "src_standard_encrypted_xlsx",
 ]
 
 

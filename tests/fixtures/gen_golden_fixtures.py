@@ -490,9 +490,90 @@ def gen_encrypted_xlsx(path: str, golden_xlsx_path: str) -> None:
     with open(path, "wb") as handle:
         handle.write(out)
 
+def _aes_ecb_enc(key: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()  # noqa: S305
+    return enc.update(data) + enc.finalize()
+
+
+def gen_standard_encrypted_xlsx(path: str, golden_xlsx_path: str) -> None:
+    """ECMA-376 STANDARD encryption fixture (MS-OFFCRYPTO §2.3.4.5-15,
+    the Office 2007-2010 default): binary EncryptionInfo 3.2, AES-128 +
+    SHA-1 header, iterated-50000 SHA-1 KDF with the 0x36/0x5C XOR-pad
+    finisher, AES-ECB package.  Independent of sources/offcrypto.py —
+    the KDF and layout are re-derived here from the public spec so a
+    shared bug cannot hide."""
+    import hashlib
+    import io
+    import struct as st
+
+    # pad past the 4096-byte CFB mini cutoff so EncryptedPackage is a
+    # regular FAT stream (matching real Office output)
+    with open(golden_xlsx_path, "rb") as handle:
+        base = handle.read()
+    buf = io.BytesIO(base)
+    with zipfile.ZipFile(buf, "a") as zf:
+        info_m = zipfile.ZipInfo(
+            "xl/padding.bin", date_time=(1980, 1, 1, 0, 0, 0)
+        )
+        info_m.compress_type = zipfile.ZIP_STORED
+        zf.writestr(info_m, b"\x5a" * 8000)
+    payload = buf.getvalue()
+    assert len(payload) + 8 >= 4096
+
+    salt = bytes.fromhex("a1b2c3d4e5f60718293a4b5c6d7e8f90")
+    verifier = bytes.fromhex("0f1e2d3c4b5a69788796a5b4c3d2e1f0")
+    key_bytes = 16
+
+    # §2.3.4.7: H0 = SHA1(salt||pw); Hi = SHA1(LE32(i)||Hi-1) x50000;
+    # Hfinal = SHA1(Hn||LE32(0)); X1/X2 = SHA1(0x36/0x5C pad ^ Hfinal)
+    acc = hashlib.sha1(salt + _ENC_PASSWORD.encode("utf-16-le")).digest()
+    for i in range(50_000):
+        acc = hashlib.sha1(st.pack("<I", i) + acc).digest()
+    h_final = hashlib.sha1(acc + st.pack("<I", 0)).digest()
+
+    def x(fill):
+        buf = bytearray([fill] * 64)
+        for i, b in enumerate(h_final):
+            buf[i] ^= b
+        return hashlib.sha1(bytes(buf)).digest()
+
+    key = (x(0x36) + x(0x5C))[:key_bytes]
+
+    enc_verifier = _aes_ecb_enc(key, verifier)
+    enc_verifier_hash = _aes_ecb_enc(
+        key, _zpad(hashlib.sha1(verifier).digest())
+    )
+    csp = "Microsoft Enhanced RSA and AES Cryptographic Provider\x00".encode(
+        "utf-16-le"
+    )
+    header = st.pack("<8I", 0x24, 0, 0x660E, 0x8004, 128, 0x18, 0, 0) + csp
+    ver = (
+        st.pack("<I", 16) + salt + enc_verifier
+        + st.pack("<I", 20) + enc_verifier_hash
+    )
+    info = st.pack("<HHII", 3, 2, 0x24, len(header)) + header + ver
+    enc_package = st.pack("<Q", len(payload)) + _aes_ecb_enc(
+        key, _zpad(payload)
+    )
+    out = _cfb_v3(
+        big={"EncryptedPackage": enc_package},
+        mini={"EncryptionInfo": info},
+    )
+    with open(path, "wb") as handle:
+        handle.write(out)
+
+
 if __name__ == "__main__":
     gen_xlsx(os.path.join(HERE, "golden.xlsx"))
     gen_avro(os.path.join(HERE, "golden.avro"))
     gen_encrypted_xlsx(os.path.join(HERE, "golden_encrypted.xlsx"),
                        os.path.join(HERE, "golden.xlsx"))
-    print("wrote golden.xlsx, golden.avro, golden_encrypted.xlsx")
+    gen_standard_encrypted_xlsx(
+        os.path.join(HERE, "golden_standard_encrypted.xlsx"),
+        os.path.join(HERE, "golden.xlsx"))
+    print("wrote golden.xlsx, golden.avro, golden_encrypted.xlsx, "
+          "golden_standard_encrypted.xlsx")

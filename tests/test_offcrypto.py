@@ -16,10 +16,13 @@ files store EncryptionInfo.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import struct
 
 import pytest
+
+from aws_insurancelake_etl_spark.sources import offcrypto
 
 from aws_insurancelake_etl_spark.sources.offcrypto import (
     CFB_MAGIC,
@@ -210,3 +213,85 @@ def test_golden_encrypted_fixture_regenerates_byte_identical(tmp_path):
     with open(GOLDEN_ENC, "rb") as fh:
         committed = fh.read()
     assert out.read_bytes() == committed
+
+
+# --------------------------- round 9: ECMA-376 STANDARD encryption
+# (MS-OFFCRYPTO §2.3.4.5-15, the Office 2007-2010 default —
+# VERDICT r8 item 6)
+
+GOLDEN_STD_ENC = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures",
+    "golden_standard_encrypted.xlsx",
+)
+GOLDEN_STD_SHA256 = (
+    "913c23e75277e33fe3e14118eb9cae480981055009f0c98942d5e872ca9987a6"
+)
+
+
+def test_golden_standard_encrypted_workbook_decrypts():
+    """The independent spec-derived STANDARD-encryption fixture (binary
+    3.2 descriptor, AES-128 + SHA-1, iterated-50000 KDF with the
+    0x36/0x5C finisher, AES-ECB package) decrypts to the pinned
+    payload; a shared encrypt/decrypt bug cannot hide because the
+    generator re-derives the KDF from the spec."""
+    with open(GOLDEN_STD_ENC, "rb") as fh:
+        data = fh.read()
+    plain = offcrypto.decrypt_office(data, GOLDEN_ENC_PASSWORD)
+    assert plain[:2] == b"PK"
+    assert hashlib.sha256(plain).hexdigest() == GOLDEN_STD_SHA256
+    with pytest.raises(offcrypto.WrongPassword):
+        offcrypto.decrypt_office(data, "not-the-password")
+
+
+def test_golden_standard_encrypted_workbook_reads_cells(tmp_path):
+    """End-to-end: the decrypted standard container is golden.xlsx plus
+    padding — xlsx_lite must read the same cells."""
+    out = tmp_path / "enc_std.xlsx"
+    out.write_bytes(open(GOLDEN_STD_ENC, "rb").read())
+    plain_path = offcrypto.decrypt_to_tempfile(str(out), GOLDEN_ENC_PASSWORD)
+    from aws_insurancelake_etl_spark.sources.xlsx_lite import read_sheet
+
+    matrix = read_sheet(plain_path, 0)
+    ref = read_sheet(
+        os.path.join(os.path.dirname(GOLDEN_STD_ENC), "golden.xlsx"), 0
+    )
+    assert matrix == ref
+
+
+def test_standard_roundtrip_all_key_sizes():
+    pkg = b"PK\x03\x04" + bytes(range(256)) * 20
+    for kb in (128, 192, 256):
+        enc = offcrypto.encrypt_standard(pkg, "pw-123", key_bits=kb)
+        assert offcrypto.decrypt_office(enc, "pw-123") == pkg
+        with pytest.raises(offcrypto.WrongPassword):
+            offcrypto.decrypt_office(enc, "pw-124")
+
+
+def test_standard_fixture_regenerates_byte_identical(tmp_path):
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "gen_golden_fixtures",
+        os.path.join(here, "fixtures", "gen_golden_fixtures.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "regen_std.xlsx"
+    mod.gen_standard_encrypted_xlsx(
+        str(out), os.path.join(here, "fixtures", "golden.xlsx")
+    )
+    assert out.read_bytes() == open(GOLDEN_STD_ENC, "rb").read()
+
+
+def test_unsupported_encryption_versions_refuse_by_name():
+    """Extensible (4.3) descriptors refuse with the version in the
+    message rather than misreading."""
+    import struct
+
+    info = struct.pack("<HHI", 4, 3, 0)
+    blob = offcrypto.cfb_write(
+        {"EncryptionInfo": info, "EncryptedPackage": b"\x00" * 4100}
+    )
+    with pytest.raises(NotImplementedError, match="4.3"):
+        offcrypto.decrypt_office(blob, "pw")
