@@ -47,65 +47,66 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-8 window (computed by ``tools/driver_window.py`` —
-# VERDICT r7 item 3: weight by IMPLEMENTATION CHURN, not only row
-# staleness): the 6 round-8 gates with no driver row yet, then the 44
-# stalest gates whose implementation files changed since the round-7
-# marker (963368b) — entity/fuzzy, pipeline_ops, delta_lite,
-# iceberg_lite, pyds consumers.  Re-run the tool each round; once the
-# churned backlog drains, it degrades to pure staleness refresh
-# (standing item: no driver row older than 3 rounds).
+# queries.  Round-9 window: the 6 round-9 gates with no driver row yet
+# (iceberg transforms/refs, delta variant/widening, standard-encrypted
+# xlsx), then the 21 gates whose ENGINE modules changed this round
+# (iceberg_lite + iceberg_transforms, delta_lite, entitymatch,
+# offcrypto), then the 23 OLDEST r1-era rows (VERDICT r8 item 3's
+# staleness rotation — r1 rows predate the oracle canonicalizer fixes).
+# 8 remaining r1 rows + the r3 block roll to round 10 (the window holds
+# 50; churned code outranks stale-but-unchanged code, the same policy
+# VERDICT r8 endorsed for round 8).
 DRIVER_WINDOW: tuple[str, ...] = (
-    "em_fuzzy_skew_stress",  # never
-    "sink_iceberg_eq_upsert",  # never
-    "sink_iceberg_compaction",  # never
-    "src_delta_deletion_vectors",  # never
-    "src_delta_column_mapping",  # never
-    "stream_delta_cdf_rows",  # never
-    "sink_delta_dv_delete",  # never (added after the window was computed)
-    "src_iceberg_bounds_pruning",  # never (added after the window was computed)
-    "sink_delta_cm_roundtrip",  # never (added after the window was computed)
-    "em_exact_match",  # impl churn; last green r3
-    "em_full_flow",  # impl churn; last green r3
-    "em_jaro_winkler_scores",  # impl churn; last green r3
-    "em_partial_ratio_scores",  # impl churn; last green r3
-    "em_token_set_scores",  # impl churn; last green r3
-    "em_token_sort_scores",  # impl churn; last green r3
-    "mm_frame_sample",  # impl churn; last green r3
-    "pipeline_cleanse_to_consume",  # impl churn; last green r3
-    "stream_dedup_replay",  # impl churn; last green r3
-    "stream_stateful_user_totals",  # impl churn; last green r3
-    "dq_quarantine_split",  # impl churn; last green r4
-    "em_fuzzy_blocked",  # impl churn; last green r4
-    "mm_media_metadata",  # impl churn; last green r4
-    "pipeline_collect_to_cleanse",  # impl churn; last green r4
-    "stream_session_windows",  # impl churn; last green r4
-    "stream_stream_join",  # impl churn; last green r4
-    "stream_windowed_counts",  # impl churn; last green r4
-    "dq_referential_integrity",  # impl churn; last green r5
-    "dq_stats_rules",  # impl churn; last green r5
-    "em_transitive_gid",  # impl churn; last green r5
-    "mm_image_patches",  # impl churn; last green r5
-    "pipeline_drop_to_cleanse_orchestrated",  # impl churn; last green r5
-    "scd2_change_feed",  # impl churn; last green r5
-    "stream_late_data_drop",  # impl churn; last green r5
-    "stream_static_enrich",  # impl churn; last green r5
-    "stream_upsert_totals",  # impl churn; last green r5
-    "em_linkage_eval",  # impl churn; last green r6
-    "sink_partition_clear",  # impl churn; last green r6
-    "src_orc_roundtrip",  # impl churn; last green r6
-    "src_xml_roundtrip",  # impl churn; last green r6
-    "dq_match_rules",  # impl churn; last green r7
-    "mm_audio_featurize",  # impl churn; last green r7
-    "mm_decode_featurize",  # impl churn; last green r7
-    "sink_avro_write_roundtrip",  # impl churn; last green r7
-    "sink_delta_merge_upsert",  # impl churn; last green r7
-    "sink_iceberg_merge_mor",  # impl churn; last green r7
-    "src_avro_nested_roundtrip",  # impl churn; last green r7
-    "src_delta_change_feed",  # impl churn; last green r7
-    "src_delta_partition_prune",  # impl churn; last green r7
-    "src_encrypted_xlsx_read",  # impl churn; last green r7
-    "src_iceberg_equality_deletes",  # impl churn; last green r7
+    "src_iceberg_day_partition",  # never
+    "sink_iceberg_bucket_upsert",  # never
+    "src_delta_type_widening",  # never
+    "src_delta_variant",  # never
+    "src_iceberg_ref_read",  # never
+    "src_standard_encrypted_xlsx",  # never
+    "src_delta_time_travel",  # engine churn (delta_lite); last green r7
+    "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
+    "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
+    "stream_delta_merge_sink",  # engine churn (delta_lite); r7
+    "stream_delta_source_totals",  # engine churn (delta_lite); r7
+    "em_full_flow",  # engine churn (entitymatch default block_cap); r8
+    "em_fuzzy_skew_stress",  # engine churn (entitymatch); r8
+    "sink_delta_cm_roundtrip",  # engine churn (delta_lite); r8
+    "sink_delta_dv_delete",  # engine churn (delta_lite); r8
+    "sink_delta_merge_upsert",  # engine churn (delta_lite); r8
+    "sink_iceberg_compaction",  # engine churn (iceberg_lite); r8
+    "sink_iceberg_eq_upsert",  # engine churn (iceberg_lite); r8
+    "sink_iceberg_merge_mor",  # engine churn (iceberg_lite); r8
+    "src_delta_change_feed",  # engine churn (delta_lite); r8
+    "src_delta_column_mapping",  # engine churn (delta_lite); r8
+    "src_delta_deletion_vectors",  # engine churn (delta_lite); r8
+    "src_delta_partition_prune",  # engine churn (delta_lite); r8
+    "src_encrypted_xlsx_read",  # engine churn (offcrypto dispatch); r8
+    "src_iceberg_bounds_pruning",  # engine churn (iceberg_lite); r8
+    "src_iceberg_equality_deletes",  # engine churn (iceberg_lite); r8
+    "stream_delta_cdf_rows",  # engine churn (delta_lite); r8
+    "q1_pricing_summary",  # staleness: r1 row
+    "q2_min_price_supplier",  # staleness: r1 row
+    "q3_shipping_priority",  # staleness: r1 row
+    "q4_order_priority_semi",  # staleness: r1 row
+    "q5_region_supplier_revenue",  # staleness: r1 row
+    "q6_forecast_revenue",  # staleness: r1 row
+    "q7_nation_volume",  # staleness: r1 row
+    "q8_market_share",  # staleness: r1 row
+    "q9_product_profit",  # staleness: r1 row
+    "q16_supplier_count",  # staleness: r1 row
+    "q17_small_quantity_revenue",  # staleness: r1 row
+    "q18_top_large_orders",  # staleness: r1 row
+    "q19_disjunctive_revenue",  # staleness: r1 row
+    "q20_promo_part_suppliers",  # staleness: r1 row
+    "q21_sole_failing_supplier",  # staleness: r1 row
+    "q22_wealthy_inactive",  # staleness: r1 row
+    "scan_filter_project",  # staleness: r1 row
+    "scd2_customer_history",  # staleness: r1 row
+    "setops_except_custkeys",  # staleness: r1 row
+    "setops_segments",  # staleness: r1 row
+    "setops_union_aligned_feed",  # staleness: r1 row
+    "setops_union_intersect",  # staleness: r1 row
+    "tr_changetype_cast",  # staleness: r1 row
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
