@@ -3873,3 +3873,78 @@ def src_standard_encrypted_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
         F.col("price_cents").cast("bigint").alias("price_cents"),
     )
+
+
+@register(
+    "sink_iceberg_spec_evolution",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS value_micros
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-09 00:00:00'
+    """,
+)
+def sink_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION-SPEC EVOLUTION (round 9): real tables change
+    layout as they grow — ``ALTER TABLE ... REPLACE PARTITION FIELD``
+    moves a table from ``months(ts)`` to ``days(ts)`` WITHOUT rewriting
+    a byte; the spec's §Partition Evolution contract is that every
+    manifest keeps the spec id it was written under and files prune
+    under THEIR OWN spec.  The gate writes the first events week under
+    ``months(ts)``, evolves to ``days(ts)`` for the rest
+    (``evolve_partition_spec=True`` commits spec-id 1; field ids never
+    collide), asserts both specs are live in the metadata and that a
+    cross-era time range plans STRICTLY fewer files than the table
+    (days-era files prune by day ordinal; months-era files prune by
+    month ordinal and filter row-level), then reads the range.  The
+    oracle is the plain relational range — any per-spec pruning bug
+    that drops or duplicates an era diverges."""
+    import datetime as _dt
+
+    from ..sources import iceberg_lite
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-evolve-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        events.where(F.col("ts") < "2024-01-07").repartition(2),
+        tbl,
+        partition_by=["months(ts)"],
+    )
+    iceberg_lite.write_iceberg(
+        spark,
+        events.where(F.col("ts") >= "2024-01-07").repartition(
+            4, F.to_date("ts")
+        ),
+        tbl,
+        partition_by=["days(ts)"],
+        evolve_partition_spec=True,
+    )
+    meta = iceberg_lite._load_metadata(tbl)
+    specs = {
+        s["spec-id"]: [f["transform"] for f in s.get("fields", [])]
+        for s in meta["partition-specs"]
+    }
+    if specs != {0: ["month"], 1: ["day"]} or meta["default-spec-id"] != 1:
+        raise RuntimeError(f"expected evolved specs, got {specs}")
+    lo = _dt.datetime(2024, 1, 4)
+    hi = _dt.datetime(2024, 1, 8, 23, 59, 59, 999999)
+    total = iceberg_lite.plan_files(tbl)
+    planned = iceberg_lite.plan_files(tbl, bounds_filter={"ts": (lo, hi)})
+    if not planned or len(planned) >= len(total):
+        raise RuntimeError(
+            f"cross-era pruning ineffective: {len(planned)}/{len(total)}"
+        )
+    return iceberg_lite.read_iceberg(
+        spark, tbl, bounds_filter={"ts": (lo, hi)}
+    ).select("event_id", "user_id", "event_type", "value_micros")

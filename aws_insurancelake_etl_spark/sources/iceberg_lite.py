@@ -55,6 +55,7 @@ from .iceberg_transforms import (
     PartitionField,
     apply_transform,
     parse_partition_by,
+    parse_transform,
     transform_expr,
     transform_range,
 )
@@ -320,21 +321,27 @@ def _field_names_by_id(meta: dict) -> dict:
     return {int(f["id"]): f["name"] for f in schema["fields"]}
 
 
-def _partition_spec_fields(meta: dict) -> list[PartitionField]:
-    """The default partition spec resolved to (field name, transform,
-    SOURCE column name) triples — source-ids resolve through the
-    current schema's field ids, so renames stay safe.  Production
-    Iceberg tables partition by TRANSFORMS (``day``, ``bucket[N]``,
-    ``truncate[W]``), not raw values; every consumer of the spec goes
-    through this so transformed tables plan, prune, and upsert exactly
-    like identity ones."""
+def _partition_spec_fields(
+    meta: dict, spec_id: int | None = None
+) -> list[PartitionField]:
+    """A partition spec resolved to (field name, transform, SOURCE
+    column name) triples — source-ids resolve through the current
+    schema's field ids, so renames stay safe.  ``spec_id`` selects a
+    specific spec (partition-spec EVOLUTION: each manifest prunes under
+    the spec it was written with); default is the table's default spec.
+    Production Iceberg tables partition by TRANSFORMS (``day``,
+    ``bucket[N]``, ``truncate[W]``), not raw values; every consumer of
+    the spec goes through this so transformed tables plan, prune, and
+    upsert exactly like identity ones."""
     specs = meta.get("partition-specs") or []
-    default_id = meta.get("default-spec-id", 0)
+    want_id = (
+        meta.get("default-spec-id", 0) if spec_id is None else int(spec_id)
+    )
     spec = None
     for s in specs:
-        if s.get("spec-id") == default_id:
+        if s.get("spec-id") == want_id:
             spec = s
-    if spec is None and specs:
+    if spec is None and specs and spec_id is None:
         spec = specs[-1]
     if not spec:
         return []
@@ -425,50 +432,84 @@ def plan_scan(
     manifest_list = rebase(snap["manifest-list"])
     data: list[DataFileEntry] = []
     deletes: list[DeleteFileEntry] = []
-    # Resolve the partition spec ONCE: filters may name either a spec
-    # FIELD (compare the given value directly against the partition
-    # tuple) or a SOURCE column (apply the field's transform to the
-    # literal first — a file can only contain rows whose transformed
-    # value equals its partition value, for any transform).
-    spec_fields = _partition_spec_fields(meta)
-    by_field = {f.name: f for f in spec_fields}
-    by_source: dict = {}
-    for f in spec_fields:
-        by_source.setdefault(f.source, []).append(f)
-    part_checks: list = []  # (field_name, expected coerced value)
-    for k, v in (partition_filter or {}).items():
-        if k in by_field:
-            part_checks.append((k, _coerce_partition_value(v)))
-        elif k in by_source:
-            for f in by_source[k]:
-                if f.kind == "void":
-                    continue
-                part_checks.append(
-                    (
-                        f.name,
-                        _coerce_partition_value(
-                            apply_transform(f.transform, v)
-                        ),
-                    )
-                )
-        else:
+    # Per-SPEC pruning plans (partition-spec EVOLUTION, spec §Partition
+    # Evolution): each manifest carries the spec id it was written
+    # under; a table that moved from months(ts) to days(ts) keeps its
+    # old manifests, and every file must prune under ITS OWN spec.
+    # Filters may name either a spec FIELD (compare the given value
+    # directly against the partition tuple) or a SOURCE column (apply
+    # the field's transform to the literal first — a file can only
+    # contain rows whose transformed value equals its partition value,
+    # for any transform).  A filter key unknown to an OLD spec simply
+    # does not prune that spec's manifests (correct: the range filter
+    # still applies row-level); a key unknown to EVERY spec is a typo
+    # and raises.
+    all_specs = meta.get("partition-specs") or []
+    if partition_filter:
+        known: set = set()
+        names_by_id_spec = None
+        try:
+            names_by_id_spec = _field_names_by_id(meta)
+        except IcebergLiteError:
+            names_by_id_spec = {}
+        for s in all_specs:
+            for f in s.get("fields", []):
+                known.add(f.get("name"))
+                src = names_by_id_spec.get(int(f.get("source-id") or -1))
+                if src:
+                    known.add(src)
+        bad = [k for k in partition_filter if k not in known]
+        if bad:
             raise IcebergLiteError(
-                f"partition filter key {k!r} is neither a partition "
-                f"field nor a partition source column "
-                f"(spec fields: {[f.name for f in spec_fields]})"
+                f"partition filter keys {bad} match no partition field "
+                f"or source column in any spec (known: {sorted(known)})"
             )
-    # bounds_filter ranges additionally prune on the PARTITION TUPLE for
-    # order-preserving transforms (day/month/year/hour/truncate/
-    # identity); bucket prunes on exact points only.  This is the
-    # manifest-level partition pruning a day-partitioned 100 TB table
-    # lives by: a time-range query opens only the matching days' files.
-    part_ranges: list = []  # (field_name, lo, hi) on transformed values
-    for col, (lo, hi) in (bounds_filter or {}).items():
-        for f in by_source.get(col, []):
-            rng = transform_range(f.transform, lo, hi)
-            if rng is not None:
-                part_ranges.append((f.name, rng[0], rng[1]))
+
+    _spec_plans: dict = {}
+
+    def spec_plan(spec_id: int) -> tuple[list, list]:
+        """(part_checks, part_ranges) for one spec id, cached."""
+        if spec_id in _spec_plans:
+            return _spec_plans[spec_id]
+        spec_fields = _partition_spec_fields(meta, spec_id)
+        by_field = {f.name: f for f in spec_fields}
+        by_source: dict = {}
+        for f in spec_fields:
+            by_source.setdefault(f.source, []).append(f)
+        part_checks: list = []  # (field_name, expected coerced value)
+        for k, v in (partition_filter or {}).items():
+            if k in by_field:
+                part_checks.append((k, _coerce_partition_value(v)))
+            elif k in by_source:
+                for f in by_source[k]:
+                    if f.kind == "void":
+                        continue
+                    part_checks.append(
+                        (
+                            f.name,
+                            _coerce_partition_value(
+                                apply_transform(f.transform, v)
+                            ),
+                        )
+                    )
+        # bounds_filter ranges additionally prune on the PARTITION TUPLE
+        # for order-preserving transforms (day/month/year/hour/truncate/
+        # identity); bucket prunes on exact points only.  This is the
+        # manifest-level partition pruning a day-partitioned 100 TB
+        # table lives by: a time-range query opens only matching days.
+        part_ranges: list = []  # (field_name, lo, hi) transformed
+        for col, (lo, hi) in (bounds_filter or {}).items():
+            for f in by_source.get(col, []):
+                rng = transform_range(f.transform, lo, hi)
+                if rng is not None:
+                    part_ranges.append((f.name, rng[0], rng[1]))
+        _spec_plans[spec_id] = (part_checks, part_ranges)
+        return _spec_plans[spec_id]
+
     for mf in _read_manifest_rows(manifest_list):
+        part_checks, part_ranges = spec_plan(
+            int(mf.get("partition_spec_id") or 0)
+        )
         # v2 manifest-list rows carry the manifest's sequence number;
         # ADDED entries with a null sequence_number inherit it (spec
         # §Sequence Number Inheritance).  v1 / doctored fixtures without
@@ -1142,28 +1183,38 @@ def write_iceberg(
     table_path: str,
     partition_by=None,
     max_retries: int = 3,
+    evolve_partition_spec: bool = False,
 ) -> int:
     """CREATE (first call) or APPEND (subsequent calls) a snapshot.
     Returns the committed snapshot id.  ``partition_by`` entries may be
     plain column names (identity) or transform calls — ``days(ts)``,
     ``bucket(4, key)``, ``truncate(3, col)`` — the production Iceberg
-    partitioning shapes.  Appends against a concurrent commit re-read
-    the log and retry — staged data files are content-addressed and
-    referenced only by the winning commit, so a retry reuses them
-    safely."""
+    partitioning shapes.  An append whose partitioning differs from the
+    table's refuses unless ``evolve_partition_spec=True``, which
+    commits the new layout as a NEW spec id (spec §Partition
+    Evolution — the ``ALTER TABLE ... REPLACE PARTITION FIELD`` shape):
+    old manifests keep pruning under their original spec, new files
+    land under the new one, no data is rewritten.  Appends against a
+    concurrent commit re-read the log and retry — staged data files are
+    content-addressed and referenced only by the winning commit, so a
+    retry reuses them safely."""
     os.makedirs(table_path, exist_ok=True)
     partition_by = parse_partition_by(partition_by)
     existing = is_iceberg_table(table_path)
     if existing:
         meta = _load_metadata(table_path)
         table_parts = _partition_spec_fields(meta)
-        if partition_by and [
-            (f.transform, f.source) for f in partition_by
-        ] != [(f.transform, f.source) for f in table_parts]:
+        same = [(f.transform, f.source) for f in partition_by] == [
+            (f.transform, f.source) for f in table_parts
+        ]
+        if partition_by and not same and not evolve_partition_spec:
             raise IcebergLiteError(
-                f"append partitioning {partition_by} != table {table_parts}"
+                f"append partitioning {partition_by} != table "
+                f"{table_parts} (pass evolve_partition_spec=True to "
+                "commit a new partition spec)"
             )
-        partition_by = table_parts
+        if not partition_by or same:
+            partition_by = table_parts
     staged = _stage_iceberg_data(df, table_path, partition_by)
     attempt = 0
     while True:
@@ -1251,6 +1302,63 @@ def _commit_snapshot(
     }
     # source name -> schema field id for the partition-spec entries
     _src_ids = {f["name"]: int(f["id"]) for f in (bounds_src or [])}
+    # Partition-spec EVOLUTION (spec §Partition Evolution): reuse the
+    # existing spec whose (transform, source) signature matches this
+    # commit's partitioning, else append a NEW spec id; prior manifests
+    # keep their own spec ids so their files prune under the spec they
+    # were written with.  Field ids never collide across specs.
+    all_part_specs = [dict(s) for s in (meta or {}).get("partition-specs") or []]
+    _names_all = {i: n for n, i in _src_ids.items()}
+    if meta is not None:
+        try:
+            _names_all.update(_field_names_by_id(meta))
+        except IcebergLiteError:
+            pass
+
+    def _spec_sig(fields):
+        return [
+            (
+                parse_transform(f.get("transform") or "identity"),
+                _names_all.get(int(f.get("source-id") or -1)) or f.get("name"),
+            )
+            for f in fields
+        ]
+
+    commit_sig = [(parse_transform(f.transform), f.source) for f in part_fields]
+    commit_spec_id = None
+    for s in all_part_specs:
+        if _spec_sig(s.get("fields", [])) == commit_sig:
+            commit_spec_id = int(s.get("spec-id") or 0)
+            break
+    if commit_spec_id is None:
+        commit_spec_id = (
+            max((int(s.get("spec-id") or 0) for s in all_part_specs),
+                default=-1) + 1
+        )
+        next_field_id = (
+            max(
+                (
+                    int(f.get("field-id") or 999)
+                    for s in all_part_specs
+                    for f in s.get("fields", [])
+                ),
+                default=999,
+            ) + 1
+        )
+        all_part_specs.append(
+            {
+                "spec-id": commit_spec_id,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "transform": f.transform,
+                        "source-id": _src_ids.get(f.source, i + 1),
+                        "field-id": next_field_id + i,
+                    }
+                    for i, f in enumerate(part_fields)
+                ],
+            }
+        )
     new_manifests = list(prior_manifests)
     for manifest_content, entries, tag in (
         (0, data_entries, "data"),
@@ -1313,7 +1421,7 @@ def _commit_snapshot(
             (
                 f"{location}/{man_rel}",
                 os.path.getsize(os.path.join(table_path, man_rel)),
-                0,
+                commit_spec_id,
                 manifest_content,
                 seq,
                 snap_id,
@@ -1362,21 +1470,9 @@ def _commit_snapshot(
         "last-sequence-number": seq,
         "current-snapshot-id": snap_id,
         "snapshots": snapshots,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": f.name,
-                        "transform": f.transform,
-                        "source-id": _src_ids.get(f.source, i + 1),
-                        "field-id": 1000 + i,
-                    }
-                    for i, f in enumerate(part_fields)
-                ],
-            }
-        ],
-        "default-spec-id": 0,
+        "partition-specs": all_part_specs
+        or [{"spec-id": 0, "fields": []}],
+        "default-spec-id": commit_spec_id,
     }
     if schemas:
         new_meta["schemas"] = schemas

@@ -120,6 +120,7 @@ EXTENDED: list[str] = [
     "src_delta_variant",
     "src_iceberg_ref_read",
     "src_standard_encrypted_xlsx",
+    "sink_iceberg_spec_evolution",
 ]
 
 

@@ -215,8 +215,9 @@ def test_vacuum_deletes_only_tombstoned_files(spark, table):
 def test_unsupported_reader_version_raises(spark, table):
     # reader-protocol gate (round 8): versions 1-3 replay; a v3 table
     # gates on its FEATURE LIST (columnMapping / deletionVectors /
-    # timestampNtz / v2Checkpoint implemented), an unknown feature or a
-    # v3 protocol missing the mandatory list raises, and v4+ raises
+    # timestampNtz / v2Checkpoint / variantType / typeWidening
+    # implemented), an unknown feature or a v3 protocol missing the
+    # mandatory list raises, and v4+ raises
     dl.write_delta(_people(spark, 0, 2), table)
     log = os.path.join(table, "_delta_log", f"{1:020d}.json")
     with open(log, "x", encoding="utf-8") as fh:
@@ -226,13 +227,13 @@ def test_unsupported_reader_version_raises(spark, table):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors", "variantType"],
+                        "readerFeatures": ["deletionVectors", "collations"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(dl.DeltaLiteError, match="variantType"):
+    with pytest.raises(dl.DeltaLiteError, match="collations"):
         dl.snapshot(table)
 
 

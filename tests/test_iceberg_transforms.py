@@ -337,3 +337,86 @@ class TestScopedEqualityDeleteOnTransformedSpec:
         out = iceberg_lite.read_iceberg(spark, path)
         assert out.count() == 200
         assert out.where("v = 9999.0").count() == 2
+
+
+class TestPartitionSpecEvolution:
+    """Spec §Partition Evolution: a table that changes its partition
+    layout keeps old manifests under their original spec id; files
+    prune under the spec they were written with and no data is
+    rewritten."""
+
+    def test_months_to_days_evolution_prunes_per_spec(
+        self, spark, events_df, tmp_path
+    ):
+        path = str(tmp_path / "ice_evolve")
+        jan = events_df.where("ts < '2024-01-06'")
+        rest = events_df.where("ts >= '2024-01-06'")
+        iceberg_lite.write_iceberg(spark, jan, path, partition_by=["months(ts)"])
+        iceberg_lite.write_iceberg(
+            spark, rest, path, partition_by=["days(ts)"],
+            evolve_partition_spec=True,
+        )
+        meta = iceberg_lite._load_metadata(path)
+        specs = {
+            s["spec-id"]: [f["transform"] for f in s["fields"]]
+            for s in meta["partition-specs"]
+        }
+        assert specs == {0: ["month"], 1: ["day"]}
+        assert meta["default-spec-id"] == 1
+        # field ids must not collide across specs
+        fids = [
+            f["field-id"] for s in meta["partition-specs"] for f in s["fields"]
+        ]
+        assert len(fids) == len(set(fids))
+        # full read sees every row
+        out = iceberg_lite.read_iceberg(spark, path)
+        assert out.count() == events_df.count()
+        # a range inside the days() era prunes day files; the months()
+        # manifest's files prune on the MONTH ordinal (same month ->
+        # kept, different month -> dropped) — here all of January, so
+        # the old-spec file stays and rows filter at scan level
+        lo = datetime.datetime(2024, 1, 7)
+        hi = datetime.datetime(2024, 1, 8, 23, 59, 59)
+        total = iceberg_lite.plan_files(path)
+        planned = iceberg_lite.plan_files(path, bounds_filter={"ts": (lo, hi)})
+        assert 0 < len(planned) < len(total)
+        got = iceberg_lite.read_iceberg(
+            spark, path, bounds_filter={"ts": (lo, hi)}
+        )
+        want = events_df.where((events_df.ts >= lo) & (events_df.ts <= hi))
+        assert got.count() == want.count()
+
+    def test_evolution_requires_flag(self, spark, events_df, tmp_path):
+        path = str(tmp_path / "ice_noflag")
+        iceberg_lite.write_iceberg(
+            spark, events_df, path, partition_by=["months(ts)"]
+        )
+        with pytest.raises(
+            iceberg_lite.IcebergLiteError, match="evolve_partition_spec"
+        ):
+            iceberg_lite.write_iceberg(
+                spark, events_df, path, partition_by=["days(ts)"]
+            )
+
+    def test_same_partitioning_reuses_spec_id(self, spark, events_df, tmp_path):
+        path = str(tmp_path / "ice_same")
+        iceberg_lite.write_iceberg(
+            spark, events_df, path, partition_by=["days(ts)"]
+        )
+        iceberg_lite.write_iceberg(
+            spark, events_df, path, partition_by=["days(ts)"],
+            evolve_partition_spec=True,
+        )
+        meta = iceberg_lite._load_metadata(path)
+        assert len(meta["partition-specs"]) == 1
+        assert meta["default-spec-id"] == 0
+
+    def test_filter_key_unknown_to_every_spec_raises(
+        self, spark, events_df, tmp_path
+    ):
+        path = str(tmp_path / "ice_badkey")
+        iceberg_lite.write_iceberg(
+            spark, events_df, path, partition_by=["days(ts)"]
+        )
+        with pytest.raises(iceberg_lite.IcebergLiteError, match="no partition"):
+            iceberg_lite.plan_files(path, partition_filter={"nope": 1})
