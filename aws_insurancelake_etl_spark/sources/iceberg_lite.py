@@ -827,7 +827,17 @@ def read_iceberg(
         # ``day(ts) == 18262`` is exactly the file-side membership test.
         scope_meta = _load_metadata(table_path)
         names_by_id = _field_names_by_id(scope_meta)
-        scope_spec = {f.name: f for f in _partition_spec_fields(scope_meta)}
+        # scope fields resolve across EVERY live spec (partition-spec
+        # evolution: a delete scoped under the old months(ts) spec must
+        # still recompute month(ts), not fail the default-spec lookup);
+        # spec field names embed the transform, so they are unique
+        scope_spec = {}
+        for _sid in [
+            s.get("spec-id", 0)
+            for s in scope_meta.get("partition-specs") or [{}]
+        ]:
+            for f in _partition_spec_fields(scope_meta, _sid):
+                scope_spec.setdefault(f.name, f)
         base_types = dict(reader.dtypes)
         data = data.join(
             F.broadcast(

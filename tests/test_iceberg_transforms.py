@@ -420,3 +420,34 @@ class TestPartitionSpecEvolution:
         )
         with pytest.raises(iceberg_lite.IcebergLiteError, match="no partition"):
             iceberg_lite.plan_files(path, partition_filter={"nope": 1})
+
+
+def test_scoped_delete_under_old_spec_survives_evolution(
+    spark, events_df, tmp_path
+):
+    """A partition-scoped equality delete written while the table was
+    months(ts)-partitioned must still apply after the table evolves to
+    days(ts): the reader resolves the scope field through EVERY live
+    spec, not just the default."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ice_evolve_scope")
+    iceberg_lite.write_iceberg(
+        spark, events_df, path, partition_by=["months(ts)"]
+    )
+    # scoped delete under the months spec (keys cover the source col)
+    upd = events_df.where("id < 10").withColumn("v", F.lit(7777.0))
+    res = iceberg_lite.upsert_iceberg_equality(spark, upd, path, ["id", "ts"])
+    assert res["delete_files"] >= 1
+    _, deletes = iceberg_lite.plan_scan(path)
+    assert {s[0] for d in deletes if d.content == 2
+            for s in d.partition_scope} == {"ts_month"}
+    # evolve to days(ts) with fresh rows
+    extra = events_df.withColumn("id", F.col("id") + 1000)
+    iceberg_lite.write_iceberg(
+        spark, extra, path, partition_by=["days(ts)"],
+        evolve_partition_spec=True,
+    )
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert out.count() == 400
+    assert out.where("v = 7777.0").count() == 10
