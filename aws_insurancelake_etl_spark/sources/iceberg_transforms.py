@@ -305,25 +305,75 @@ def transform_expr(transform: str, source_col: str, spark_type: str):
     raise ValueError(f"unknown transform {transform!r}")
 
 
+def _murmur3_long_vec(values, n: int):
+    """Vectorized spec-Appendix-B bucket over int64 values: every
+    integral/temporal type hashes as the 8-byte little-endian long, so
+    the whole Arrow batch reduces to two fixed murmur3 rounds in numpy
+    uint32 arithmetic (wrapping is the mod-2^32 the algorithm needs) —
+    no per-row Python in the write/prune hot path."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    v = values.astype(np.uint64)
+    h = np.zeros(len(v), dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        for shift in (np.uint64(0), np.uint64(32)):
+            k = ((v >> shift) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            k = k * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+
+
 def _bucket_udf(n: int, spark_type: str):
     from pyspark.sql import functions as F
 
     is_temporal_ts = spark_type.startswith("timestamp")
     is_date = spark_type == "date"
+    is_integral = spark_type in (
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+    )
 
     @F.pandas_udf("int")
     def _bucket(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if is_temporal_ts or is_date or is_integral:
+            # fixed 8-byte serialization: fully vectorized
+            if is_temporal_ts:
+                longs = pd.Series(
+                    pd.to_datetime(s).astype("int64") // 1000,  # ns -> us
+                    index=s.index,
+                )
+            elif is_date:
+                longs = pd.Series(
+                    pd.to_datetime(s).astype("int64") // 86_400_000_000_000,
+                    index=s.index,
+                )
+            else:
+                longs = s.astype("Int64")
+            mask = s.notna()
+            out = pd.Series(np.zeros(len(s)), index=s.index, dtype="Int32")
+            out[~mask] = pd.NA
+            if mask.any():
+                vals = longs[mask].astype("int64").to_numpy()
+                out[mask] = _murmur3_long_vec(vals, n).astype("int32")
+            return out
+
         def one(v):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 return None
-            if is_temporal_ts:
-                ts = pd.Timestamp(v)
-                micros = ts.value // 1000  # ns -> us
-                data = struct.pack("<q", micros)
-            elif is_date:
-                d = pd.Timestamp(v).date()
-                data = struct.pack("<q", (d - _EPOCH_DATE).days)
-            elif isinstance(v, str):
+            if isinstance(v, str):
                 data = v.encode("utf-8")
             elif isinstance(v, (bytes, bytearray)):
                 data = bytes(v)
