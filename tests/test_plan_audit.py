@@ -663,3 +663,35 @@ def test_capped_fuzzy_windows_primary_only(spark):
     for line in plan.splitlines():
         if "Sort [" in line and "global=true" in line:
             raise AssertionError(f"global sort in capped fuzzy plan: {line}")
+
+
+def test_scoped_equality_deletes_one_antijoin_per_field_set(spark, tmp_path):
+    """Round 9 (PERFORMANCE finding 48): a partitioned CDC delete
+    stream applies as ONE anti-join grouped by scope FIELD SET — the
+    read plan of a bucket[8]-scoped upsert table must contain exactly
+    one LeftAnti for the equality deletes (plus zero cartesians), not
+    one per bucket."""
+    from pyspark.sql import functions as F
+
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+
+    df = spark.range(400).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "bucketed")
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["bucket(8, id)"])
+    src = df.where("id % 3 = 0").withColumn("v", F.lit(-1.0))
+    iceberg_lite.upsert_iceberg_equality(spark, src, path, ["id"])
+    _, deletes = iceberg_lite.plan_scan(path)
+    assert len([d for d in deletes if d.content == 2]) > 1  # several buckets
+    out = iceberg_lite.read_iceberg(spark, path)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    # formatted mode prints the join in the tree and again as a
+    # numbered "Join type:" detail — count the detail lines
+    anti_nodes = re.findall(r"^Join type: LeftAnti", plan, re.M)
+    assert len(anti_nodes) == 1, plan[:2000]
+    assert "Cartesian" not in plan

@@ -114,18 +114,20 @@ def test_driver_window_covers_every_operator_family():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
-    # r8 rotation (VERDICT r7 item 3, computed by tools/driver_window.py
-    # with implementation-churn weighting): the 7 round-8 gates with no
-    # driver row lead, then the stalest gates whose impl files changed
-    # since the round-7 marker.  Sentinels: every never-checked round-8
-    # gate, plus churned representatives from the entity-match family
-    # (entitymatch.py changed) and the table-format consumers.
-    for sentinel in ("em_fuzzy_skew_stress", "sink_iceberg_eq_upsert",
-                     "sink_iceberg_compaction", "src_delta_deletion_vectors",
-                     "src_delta_column_mapping", "stream_delta_cdf_rows",
-                     "sink_delta_dv_delete", "em_fuzzy_blocked",
-                     "em_exact_match", "sink_delta_merge_upsert",
-                     "src_delta_change_feed"):
+    # r9 rotation: the 7 round-9 gates with no driver row lead
+    # (iceberg transforms/refs/spec evolution, delta variant/widening,
+    # standard-encrypted xlsx), then engine-churned gates
+    # (iceberg_lite/delta_lite/entitymatch/offcrypto consumers), then
+    # the oldest r1-era staleness refreshes.  Sentinels: every
+    # never-checked round-9 gate plus churned + staleness
+    # representatives.
+    for sentinel in ("src_iceberg_day_partition", "sink_iceberg_bucket_upsert",
+                     "src_delta_type_widening", "src_delta_variant",
+                     "src_iceberg_ref_read", "src_standard_encrypted_xlsx",
+                     "sink_iceberg_spec_evolution", "em_full_flow",
+                     "sink_iceberg_eq_upsert", "src_delta_deletion_vectors",
+                     "src_encrypted_xlsx_read", "q1_pricing_summary",
+                     "setops_union_aligned_feed"):
         assert sentinel in window, sentinel
 
 
