@@ -3948,3 +3948,59 @@ def sink_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iceberg_lite.read_iceberg(
         spark, tbl, bounds_filter={"ts": (lo, hi)}
     ).select("event_id", "user_id", "event_type", "value_micros")
+
+
+@register(
+    "src_delta_ict_travel",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 6 IN (0, 1)
+    """,
+)
+def src_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS (round 9, PROTOCOL.md §In-Commit
+    Timestamps — the Databricks default since 2024): commit time rides
+    IN the commitInfo because filesystem mtimes lie after copies,
+    restores, and storage migrations.  The gate creates an
+    ICT-enabled table (our writer must declare the writer feature and
+    stamp a MONOTONIC inCommitTimestamp at the commit point), lands
+    three commits, then BACK-DATES every log file's mtime to epoch 0 —
+    a reader keyed on mtimes would now resolve every timestampAsOf to
+    version 0 — and time-travels to the second commit's stamp.  Green
+    means the in-commit clock, not the filesystem, drives
+    ``timestampAsOf``.  The oracle restates version 1's contents."""
+    import os as _os
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-ict-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 6 == 0),
+        tbl,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    delta_lite.write_delta(base.where(F.col("o_orderkey") % 6 == 1), tbl)
+    delta_lite.write_delta(base.where(F.col("o_orderkey") % 6 == 2), tbl)
+    proto = delta_lite.snapshot(tbl).protocol
+    if "inCommitTimestamp" not in (proto.get("writerFeatures") or []):
+        raise RuntimeError(f"writer did not declare ICT: {proto}")
+    hist = delta_lite.history(tbl)
+    stamps = [h["timestamp"] for h in hist]
+    if stamps != sorted(stamps) or len(set(stamps)) != 3:
+        raise RuntimeError(f"in-commit stamps not monotonic: {stamps}")
+    for v in range(3):
+        _os.utime(
+            _os.path.join(tbl, "_delta_log", f"{v:020d}.json"), (0, 0)
+        )
+    if delta_lite.version_as_of_timestamp(tbl, stamps[1]) != 1:
+        raise RuntimeError("timestampAsOf ignored the in-commit clock")
+    return delta_lite.read_delta(spark, tbl, timestamp_ms=stamps[1])

@@ -744,9 +744,12 @@ class _PhysFile:
 
 def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     """Newest version whose commit timestamp is <= ``ts_ms`` (Delta's
-    ``timestampAsOf``).  Commit time = the commitInfo ``timestamp``
-    (file mtime when a commit carries none).  Versions whose JSON aged
-    out past a checkpoint have no timestamp and raise if the bound
+    ``timestampAsOf``).  Commit time = the commitInfo
+    ``inCommitTimestamp`` when present (PROTOCOL.md §In-Commit
+    Timestamps: the authoritative monotonic clock on tables with the
+    feature — filesystem mtimes lie after copies/restores), else the
+    commitInfo ``timestamp``, else file mtime.  Versions whose JSON
+    aged out past a checkpoint have no timestamp and raise if the bound
     falls among them — guessing would silently time-travel wrong."""
     log_dir = _log_dir(path)
     latest = snapshot(path).version
@@ -764,7 +767,8 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
                     continue
                 action = json.loads(line)
                 if "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
+                    info = action["commitInfo"]
+                    ts = info.get("inCommitTimestamp", info.get("timestamp"))
                     break
         if ts is None:
             ts = int(os.path.getmtime(commit) * 1000)
@@ -953,9 +957,51 @@ def _add_json(a: AddFile) -> dict:
     return payload
 
 
-def _try_commit(log_dir: str, version: int, actions: list) -> bool:
+def _ict_enabled(conf) -> bool:
+    return str(
+        (conf or {}).get("delta.enableInCommitTimestamps", "false")
+    ).lower() == "true"
+
+
+def _prev_ict(log_dir: str, version: int):
+    """inCommitTimestamp of the previous commit, if it carried one."""
+    prev = os.path.join(log_dir, f"{version - 1:020d}.json")
+    try:
+        with open(prev, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    return action["commitInfo"].get("inCommitTimestamp")
+    except OSError:
+        return None
+    return None
+
+
+def _try_commit(
+    log_dir: str, version: int, actions: list, conf=None
+) -> bool:
     """Atomically claim ``<version>.json`` — O_EXCL create loses to any
-    concurrent writer, which is exactly the protocol's commit rule."""
+    concurrent writer, which is exactly the protocol's commit rule.
+
+    When the table enables IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit
+    Timestamps, the ``inCommitTimestamp`` writer feature: filesystem
+    mtimes are not trustworthy commit times), the commitInfo is stamped
+    here — as close to the commit point as possible — with a MONOTONIC
+    ``inCommitTimestamp`` (max(now, previous + 1))."""
+    if conf is not None and _ict_enabled(conf):
+        prev = _prev_ict(log_dir, version)
+        ict = max(int(time.time() * 1000), (prev or 0) + 1)
+        stamped = False
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["inCommitTimestamp"] = ict
+                stamped = True
+                break
+        if not stamped:
+            actions = [{"commitInfo": {"inCommitTimestamp": ict}}] + actions
     os.makedirs(log_dir, exist_ok=True)
     payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
     try:
@@ -1333,25 +1379,26 @@ def write_delta(
         has_variant = "variant" in {
             f.dataType.typeName() for f in df.schema.fields
         }
-        if has_variant:
-            # variant is a TABLE FEATURE (PROTOCOL.md §Variant Data
-            # Type): protocol 3/7 with the feature listed, plus the
-            # legacy features implied by the lower versions in use
-            feats = ["variantType"] + (
+        has_ict = _ict_enabled(merged_conf)
+        if has_variant or has_ict:
+            # TABLE FEATURES protocol (PROTOCOL.md): variant is a
+            # reader+writer feature, in-commit timestamps writer-only;
+            # the feature lists also carry the legacy features the
+            # lower versions imply
+            r_feats = (["variantType"] if has_variant else []) + (
                 ["columnMapping"] if mapped_schema is not None else []
             )
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": 3,
-                        "minWriterVersion": 7,
-                        "readerFeatures": sorted(feats),
-                        "writerFeatures": sorted(
-                            feats + ["appendOnly", "invariants"]
-                        ),
-                    }
-                }
+            w_feats = list(r_feats) + ["appendOnly", "invariants"] + (
+                ["inCommitTimestamp"] if has_ict else []
             )
+            proto = {
+                "minReaderVersion": 3 if r_feats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(w_feats),
+            }
+            if r_feats:
+                proto["readerFeatures"] = sorted(r_feats)
+            actions.append({"protocol": proto})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
@@ -1391,7 +1438,7 @@ def write_delta(
     actions += removes + [_add_json(a) for a in adds]
     base = existing.version if existing is not None else -1
     version = base + 1
-    while not _try_commit(_log_dir(path), version, actions):
+    while not _try_commit(_log_dir(path), version, actions, merged_conf):
         if mode == "overwrite":
             _discard_staged(path, adds)
             raise ConcurrentWriteError(
@@ -1440,6 +1487,11 @@ _SUPPORTED_WRITER_FEATURES = {
     "variantType-preview",
     "typeWidening",
     "typeWidening-preview",
+    # round 9: _try_commit stamps a monotonic inCommitTimestamp into
+    # commitInfo whenever the table config enables it, which is the
+    # feature's whole writer contract
+    "inCommitTimestamp",
+    "inCommitTimestamp-preview",
 }
 
 
@@ -1728,7 +1780,7 @@ def _merge_once(
     actions += [_add_json(a) for a in adds]
     actions += cdc_actions
     version = snap.version + 1
-    if not _try_commit(_log_dir(path), version, actions):
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
         raise ConcurrentWriteError(
@@ -1871,7 +1923,7 @@ def optimize(
         a.data_change = False
     actions += [_add_json(a) for a in adds]
     version = snap.version + 1
-    if not _try_commit(_log_dir(path), version, actions):
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run OPTIMIZE"
@@ -1977,7 +2029,7 @@ def delete_delta(
     actions += [_add_json(a) for a in adds]
     actions += cdc_actions
     version = snap.version + 1
-    if not _try_commit(_log_dir(path), version, actions):
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
         raise ConcurrentWriteError(
@@ -2144,7 +2196,7 @@ def _delete_with_dvs(
         )
     actions += cdc_actions
     version = snap.version + 1
-    if not _try_commit(_log_dir(path), version, actions):
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_cdc(path, cdc_actions)
         # the freshly-written DV sidecars are referenced by no committed
         # add action — reclaim them, as _discard_staged does for data
@@ -2462,7 +2514,9 @@ def history(path: str) -> list:
                 "engine": info.get("engine"),
                 "operationParameters": info.get("operationParameters"),
                 # the timestamp timestampAsOf resolves against
-                "timestamp": info.get("timestamp")
+                # (inCommitTimestamp is authoritative when present)
+                "timestamp": info.get("inCommitTimestamp")
+                or info.get("timestamp")
                 or int(os.path.getmtime(commit) * 1000),
             }
         )
@@ -2527,7 +2581,9 @@ def restore(path: str, version: int) -> dict:
         _add_json(tgt_by_path[p]) for p in sorted(set(tgt_by_path) - cur_paths)
     ]
     new_version = current.version + 1
-    if not _try_commit(_log_dir(path), new_version, actions):
+    if not _try_commit(
+        _log_dir(path), new_version, actions, current.configuration
+    ):
         raise ConcurrentWriteError(
             f"version {new_version} was committed concurrently; re-run RESTORE"
         )

@@ -121,6 +121,7 @@ EXTENDED: list[str] = [
     "src_iceberg_ref_read",
     "src_standard_encrypted_xlsx",
     "sink_iceberg_spec_evolution",
+    "src_delta_ict_travel",
 ]
 
 

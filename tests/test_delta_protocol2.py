@@ -871,3 +871,99 @@ def test_unknown_reader_feature_still_refuses(spark, tmp_path):
     assert dl._try_commit(dl._log_dir(path), 1, actions)
     with pytest.raises(dl.DeltaLiteError, match="collations"):
         dl.snapshot(path)
+
+
+# ------------------------------------------------- round 9: in-commit
+# timestamps (PROTOCOL.md §In-Commit Timestamps — mtimes lie after
+# copies/restores, so commit time rides IN the commit)
+
+
+def test_ict_table_stamps_monotonic_and_travels_by_it(spark, tmp_path):
+    path = str(tmp_path / "ict")
+    dl.write_delta(
+        spark.range(3).selectExpr("id as k"),
+        path,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    proto = dl.snapshot(path).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    dl.write_delta(spark.range(3, 6).selectExpr("id as k"), path)
+    dl.delete_delta(spark, path, "k = 4")
+    hist = dl.history(path)
+    stamps = [h["timestamp"] for h in hist]
+    assert stamps == sorted(stamps) and len(set(stamps)) == len(stamps)
+    # every commit carries the field
+    import json as _json
+    import os as _os
+
+    for v in range(3):
+        with open(
+            _os.path.join(path, "_delta_log", f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as fh:
+            infos = [
+                _json.loads(line)["commitInfo"]
+                for line in fh
+                if line.strip() and "commitInfo" in _json.loads(line)
+            ]
+        assert infos and infos[0].get("inCommitTimestamp") == stamps[v]
+    # timestampAsOf resolves against the ICT, not the mtime: back-date
+    # every log file's mtime and travel still works by the ICT clock
+    for v in range(3):
+        _os.utime(
+            _os.path.join(path, "_delta_log", f"{v:020d}.json"), (0, 0)
+        )
+    assert dl.version_as_of_timestamp(path, stamps[0]) == 0
+    assert dl.version_as_of_timestamp(path, stamps[2]) == 2
+    assert dl.version_as_of_timestamp(path, stamps[1] - 1) == 0
+    out = dl.read_delta(spark, path, timestamp_ms=stamps[1])
+    assert out.count() == 6  # pre-delete
+
+
+def test_third_party_ict_table_read_and_append(spark, tmp_path):
+    """A doctored table with the inCommitTimestamp writer feature (the
+    Databricks default since 2024): reads honor the in-commit clock and
+    our appends keep stamping monotonically."""
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "ict3p")
+    dl.write_delta(spark.range(2).selectExpr("id as k"), path)
+    # upgrade: feature + config, with an ICT far in the future so a
+    # non-monotonic stamper would violate the ordering
+    future = int(2e12)  # year 2033
+    snap = dl.snapshot(path)
+    actions = [
+        {"commitInfo": {"operation": "UPGRADE", "engine": "fixture",
+                        "inCommitTimestamp": future}},
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": [
+                    "appendOnly", "invariants", "inCommitTimestamp",
+                ],
+            }
+        },
+        {
+            "metaData": {
+                "id": "ict-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.enableInCommitTimestamps": "true"
+                },
+                "createdTime": 0,
+            }
+        },
+    ]
+    assert dl._try_commit(dl._log_dir(path), 1, actions)
+    dl.write_delta(spark.range(2, 4).selectExpr("id as k"), path)
+    with open(
+        _os.path.join(path, "_delta_log", f"{2:020d}.json"), encoding="utf-8"
+    ) as fh:
+        first = _json.loads(fh.readline())
+    assert first["commitInfo"]["inCommitTimestamp"] == future + 1
+    assert dl.version_as_of_timestamp(path, future) == 1
