@@ -65,6 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_standard_encrypted_xlsx",  # never
     "sink_iceberg_spec_evolution",  # never
     "src_delta_ict_travel",  # never
+    "src_iceberg_incremental",  # never
     "src_delta_time_travel",  # engine churn (delta_lite); last green r7
     "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
     "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
@@ -106,7 +107,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_customer_history",  # staleness: r1 row
     "setops_except_custkeys",  # staleness: r1 row
     "setops_segments",  # staleness: r1 row
-    "setops_union_aligned_feed",  # staleness: r1 row
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4004,3 +4004,58 @@ def src_delta_ict_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if delta_lite.version_as_of_timestamp(tbl, stamps[1]) != 1:
         raise RuntimeError("timestampAsOf ignored the in-commit clock")
     return delta_lite.read_delta(spark, tbl, timestamp_ms=stamps[1])
+
+
+@register(
+    "src_iceberg_incremental",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 8 IN (1, 2)
+    """,
+)
+def src_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND SCAN (round 9): downstream ETL
+    consumes only what is NEW between two snapshots — the
+    ``start-snapshot-id``/``end-snapshot-id`` read Iceberg ships for
+    exactly this — instead of re-scanning the table per run; at 100 TB
+    the difference is the whole job.  Planning is pure metadata (the
+    set difference of the two snapshots' file lists), so the scan opens
+    ONLY the appended files — asserted.  The gate lands three appends,
+    tags the first snapshot, reads ``("start", "main"]`` by REF NAME,
+    and also asserts a MERGE in range refuses (added files != added
+    rows there; that history replays through the MOR/CDF readers).
+    The oracle restates appends 2+3."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-incr-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 8 == 0), tbl
+    )
+    iceberg_lite.create_ref(tbl, "start", ref_type="tag")
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 8 == 1), tbl
+    )
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 8 == 2), tbl
+    )
+    total_files = len(iceberg_lite.plan_files(tbl))
+    start_files = len(
+        iceberg_lite.plan_files(tbl, snapshot_id="start")
+    )
+    out = iceberg_lite.read_iceberg_incremental(spark, tbl, "start", "main")
+    n_scanned = len(out.inputFiles())
+    if n_scanned != total_files - start_files:
+        raise RuntimeError(
+            f"incremental scan opened {n_scanned} files, expected "
+            f"{total_files - start_files} (appended only)"
+        )
+    return out

@@ -122,6 +122,7 @@ EXTENDED: list[str] = [
     "src_standard_encrypted_xlsx",
     "sink_iceberg_spec_evolution",
     "src_delta_ict_travel",
+    "src_iceberg_incremental",
 ]
 
 

@@ -911,3 +911,48 @@ def test_drop_main_refuses_and_create_ref_validates(spark, tmp_path):
         iceberg_lite.create_ref(path, "t", snapshot_id=99)
     with pytest.raises(iceberg_lite.IcebergLiteError, match="tag|branch"):
         iceberg_lite.create_ref(path, "t", ref_type="hat")
+
+
+# ------------------------------------------- round 9: incremental read
+
+
+def test_incremental_read_returns_only_appended_rows(spark, tmp_path):
+    path = str(tmp_path / "incr")
+    for lo, hi in ((0, 5), (5, 8), (8, 12)):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.range(lo, hi).selectExpr("id", "id * 2 as v"),
+            path,
+        )
+    got = iceberg_lite.read_iceberg_incremental(spark, path, 1)
+    assert sorted(r.id for r in got.collect()) == list(range(5, 12))
+    got2 = iceberg_lite.read_iceberg_incremental(spark, path, 1, 2)
+    assert sorted(r.id for r in got2.collect()) == list(range(5, 8))
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="backwards"):
+        iceberg_lite.read_iceberg_incremental(spark, path, 3, 1)
+
+
+def test_incremental_read_accepts_ref_names_and_refuses_merges(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "incr_refs")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(5).selectExpr("id", "id * 2 as v"), path
+    )
+    iceberg_lite.create_ref(path, "start", ref_type="tag")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(5, 9).selectExpr("id", "id * 2 as v"), path
+    )
+    got = iceberg_lite.read_iceberg_incremental(spark, path, "start", "main")
+    assert sorted(r.id for r in got.collect()) == [5, 6, 7, 8]
+    # a MERGE in range is not a pure append: refuse by snapshot id
+    iceberg_lite.merge_iceberg(
+        spark,
+        spark.range(2).selectExpr("id", "id * 100 as v"),
+        path,
+        keys=["id"],
+    )
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="not pure appends"):
+        iceberg_lite.read_iceberg_incremental(spark, path, "start")
