@@ -4059,3 +4059,41 @@ def src_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{total_files - start_files} (appended only)"
         )
     return out
+
+
+@register(
+    "src_iceberg_partitions_meta",
+    """
+    SELECT CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS VARCHAR) AS day_ord,
+           COUNT(*) AS record_count
+    FROM events GROUP BY 1
+    """,
+)
+def src_iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (round 9): ``SELECT * FROM tbl$partitions``
+    is the first query an operator runs before compaction or when
+    hunting skew — per-partition record/file counts, answered from the
+    MANIFEST TREE alone.  The gate writes events partitioned by
+    ``days(ts)``, reads ``inspect_partitions`` (asserting no parquet
+    footer was needed: counts come from manifests), and returns
+    (day ordinal, record_count); the oracle recomputes the same
+    grouping from the raw rows — a wrong manifest record_count or a
+    partition value mixup diverges."""
+    from ..sources import iceberg_lite
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-pmeta-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        events.repartition(4, F.to_date("ts")),
+        tbl,
+        partition_by=["days(ts)"],
+    )
+    parts = iceberg_lite.inspect_partitions(spark, tbl)
+    return parts.select(
+        F.col("partition")["ts_day"].alias("day_ord"),
+        F.col("record_count"),
+    )

@@ -761,6 +761,103 @@ def read_iceberg_incremental(
     return spark.read.parquet(*[f.path for f in new_files])
 
 
+# ------------------------------------------------------ metadata tables
+#
+# Iceberg exposes table internals as queryable METADATA TABLES
+# (``SELECT * FROM tbl$snapshots`` / ``$files`` / ``$partitions`` /
+# ``$history``) — the ops surface DBAs live in: how many files per
+# partition, which snapshots hold what, is compaction due.  All four
+# are pure metadata (manifest tree only, no data file opened), so they
+# answer in O(manifests) even on a 100 TB table.
+
+
+def inspect_snapshots(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``$snapshots`` metadata table: one row per snapshot."""
+    meta = _load_metadata(table_path)
+    rows = [
+        (
+            int(s["snapshot-id"]),
+            int(s.get("sequence-number") or 0),
+            int(s.get("timestamp-ms") or 0),
+            (s.get("summary") or {}).get("operation"),
+            s.get("manifest-list"),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, committed_at_ms long, "
+        "operation string, manifest_list string",
+    )
+
+
+def inspect_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``$history`` metadata table: the current-snapshot lineage
+    with an ``is_current_ancestor`` flag (every snapshot here is an
+    ancestor under this writer's linear history)."""
+    meta = _load_metadata(table_path)
+    current = meta.get("current-snapshot-id")
+    rows = [
+        (
+            int(s.get("timestamp-ms") or 0),
+            int(s["snapshot-id"]),
+            int(s["snapshot-id"]) <= int(current or 0),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "made_current_at_ms long, snapshot_id long, "
+        "is_current_ancestor boolean",
+    )
+
+
+def inspect_files(
+    spark: SparkSession, table_path: str, snapshot_id=None
+) -> DataFrame:
+    """The ``$files`` metadata table: one row per live data file of the
+    snapshot, with its partition tuple as a map and manifest-recorded
+    counts — no parquet footer is opened."""
+    files, _ = plan_scan(table_path, snapshot_id=snapshot_id)
+    rows = [
+        (
+            f.path,
+            {k: (None if v is None else str(v)) for k, v in f.partition.items()},
+            int(f.record_count),
+            int(f.sequence_number),
+        )
+        for f in files
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_path string, partition map<string,string>, "
+        "record_count long, sequence_number long",
+    )
+
+
+def inspect_partitions(
+    spark: SparkSession, table_path: str, snapshot_id=None
+) -> DataFrame:
+    """The ``$partitions`` metadata table: per live partition tuple,
+    the record and file counts — the first thing an operator checks
+    before compaction or when hunting skew."""
+    files, _ = plan_scan(table_path, snapshot_id=snapshot_id)
+    agg: dict = {}
+    for f in files:
+        key = tuple(sorted(
+            (k, None if v is None else str(v)) for k, v in f.partition.items()
+        ))
+        rec, cnt = agg.get(key, (0, 0))
+        agg[key] = (rec + int(f.record_count), cnt + 1)
+    rows = [
+        (dict(key), rec, cnt) for key, (rec, cnt) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition map<string,string>, record_count long, file_count long",
+    )
+
+
 def snapshot_ids(table_path: str) -> list[int]:
     meta = _load_metadata(table_path)
     return [s["snapshot-id"] for s in meta.get("snapshots") or []]

@@ -123,6 +123,7 @@ EXTENDED: list[str] = [
     "sink_iceberg_spec_evolution",
     "src_delta_ict_travel",
     "src_iceberg_incremental",
+    "src_iceberg_partitions_meta",
 ]
 
 

@@ -956,3 +956,40 @@ def test_incremental_read_accepts_ref_names_and_refuses_merges(
     )
     with pytest.raises(iceberg_lite.IcebergLiteError, match="not pure appends"):
         iceberg_lite.read_iceberg_incremental(spark, path, "start")
+
+
+# ------------------------------------------ round 9: metadata tables
+
+
+def test_metadata_tables_expose_internals(spark, tmp_path):
+    path = str(tmp_path / "meta_tables")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b", float(i)) for i in range(10)],
+        "id int, grp string, v double",
+    )
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["grp"])
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([(20, "c", 2.0)], "id int, grp string, v double"),
+        path,
+    )
+    snaps = iceberg_lite.inspect_snapshots(spark, path).collect()
+    assert [r.snapshot_id for r in snaps] == [1, 2]
+    assert all(r.operation == "append" for r in snaps)
+    hist = iceberg_lite.inspect_history(spark, path).collect()
+    assert [(r.snapshot_id, r.is_current_ancestor) for r in hist] == [
+        (1, True), (2, True),
+    ]
+    parts = {
+        tuple(sorted(r.partition.items())): (r.record_count, r.file_count)
+        for r in iceberg_lite.inspect_partitions(spark, path).collect()
+    }
+    assert parts[(("grp", "a"),)][0] == 6
+    assert parts[(("grp", "b"),)][0] == 4
+    assert parts[(("grp", "c"),)] == (1, 1)
+    files = iceberg_lite.inspect_files(spark, path).collect()
+    assert sum(r.record_count for r in files) == 11
+    assert all(r.file_path.startswith(path) for r in files)
+    # time travel: pre-append state
+    files_v1 = iceberg_lite.inspect_files(spark, path, snapshot_id=1).collect()
+    assert sum(r.record_count for r in files_v1) == 10
