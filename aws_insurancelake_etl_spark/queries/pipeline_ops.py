@@ -4097,3 +4097,60 @@ def src_iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partition")["ts_day"].alias("day_ord"),
         F.col("record_count"),
     )
+
+
+@register(
+    "sink_iceberg_schema_evolution",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+           CASE WHEN o_orderkey % 9 = 2 THEN o_orderpriority END AS pri
+    FROM orders WHERE o_orderkey % 9 IN (0, 2)
+    """,
+)
+def sink_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION on append (round 9, spec §Schema
+    Evolution): production tables grow columns; Iceberg's id-based
+    columns make that safe — existing fields KEEP their ids (equality
+    deletes, bounds maps, and specs all resolve through ids), new
+    fields mint the next ones, and readers drive off the TABLE schema
+    so pre-evolution files surface the new column as NULL.  The gate
+    appends a second slice carrying an extra ``pri`` column, asserts a
+    new schema version (id-preserving) became current, and reads the
+    union; the oracle restates the null-for-old-rows semantics
+    relationally."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-schevo-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 9 == 0), tbl
+    )
+    with_pri = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 9 == 2)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    iceberg_lite.write_iceberg(spark, with_pri, tbl)
+    meta = iceberg_lite._load_metadata(tbl)
+    if meta["current-schema-id"] != 1 or len(meta["schemas"]) != 2:
+        raise RuntimeError(f"schema did not evolve: {meta.get('schemas')}")
+    ids = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][1]["fields"]
+    }
+    if ids != {"o_orderkey": 1, "price_cents": 2, "pri": 3}:
+        raise RuntimeError(f"field ids not preserved/minted: {ids}")
+    return iceberg_lite.read_iceberg(spark, tbl)

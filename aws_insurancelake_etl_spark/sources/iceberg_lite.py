@@ -922,7 +922,19 @@ def read_iceberg(
                 df = df.where(F.col(col) <= hi)
         return df
 
-    reader = spark.read.parquet(*[f.path for f in files])
+    # Read by the TABLE schema when it maps cleanly (spec: the metadata
+    # schema, not any one file, defines the table): files written
+    # before an added column surface it as NULL, files with stale extra
+    # columns do not leak them, and int32/float32 files widen under a
+    # promoted column.  Unmappable metadata falls back to parquet
+    # self-description (pre-evolution behavior).
+    table_schema = _spark_schema_from_meta(_load_metadata(table_path))
+    if table_schema is not None:
+        reader = spark.read.schema(table_schema).parquet(
+            *[f.path for f in files]
+        )
+    else:
+        reader = spark.read.parquet(*[f.path for f in files])
     if not deletes:
         return residual(reader)
 
@@ -1192,6 +1204,111 @@ _SPARK_TO_ICEBERG_TYPE = {
 }
 
 
+#: iceberg primitive -> spark type string (reads drive off the TABLE
+#: schema, not whatever one parquet file happens to carry)
+_ICEBERG_TO_SPARK_TYPE = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "binary": "binary",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "uuid": "string",
+}
+
+
+def _spark_schema_from_meta(meta: dict):
+    """The CURRENT metadata schema as a Spark StructType, or None when
+    any field's type has no mapping (reads then fall back to parquet
+    self-description).  Reading by the TABLE schema is what makes
+    schema evolution work: files written before an added column simply
+    surface it as null, and files carrying dropped/extra columns do not
+    leak them."""
+    from pyspark.sql.types import StructType
+
+    schemas = meta.get("schemas") or []
+    cur_id = meta.get("current-schema-id", 0)
+    schema = None
+    for s in schemas:
+        if s.get("schema-id") == cur_id:
+            schema = s
+    if schema is None and schemas:
+        schema = schemas[-1]
+    if not schema:
+        return None
+    parts = []
+    for f in schema.get("fields", []):
+        ice = f.get("type")
+        if not isinstance(ice, str):
+            return None  # nested types: fall back
+        if ice.startswith("decimal"):
+            spark_t = ice
+        else:
+            spark_t = _ICEBERG_TO_SPARK_TYPE.get(ice)
+        if spark_t is None:
+            return None
+        parts.append(f"`{f['name']}` {spark_t}")
+    try:
+        return StructType.fromDDL(", ".join(parts))
+    except Exception:  # noqa: BLE001 - fall back to self-description
+        return None
+
+
+def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
+    """Schema EVOLUTION for an append (spec §Schema Evolution): existing
+    columns keep their FIELD IDS (everything — equality deletes, bounds
+    maps, partition specs — resolves through ids, which is why Iceberg
+    evolution is safe where Hive's is not); new columns mint the next
+    ids; a widened column (int->long, float->double) promotes the
+    schema type; an incompatible retype raises.  Columns the append
+    omits stay in the schema (their missing values read as null)."""
+    schemas = meta.get("schemas") or []
+    cur_id = meta.get("current-schema-id", 0)
+    cur = None
+    for s in schemas:
+        if s.get("schema-id") == cur_id:
+            cur = s
+    if cur is None and schemas:
+        cur = schemas[-1]
+    if cur is None:
+        return _ice_schema_fields(df)
+    fields = [dict(f) for f in cur.get("fields", [])]
+    by_name = {f["name"]: f for f in fields}
+    max_id = max((int(f["id"]) for f in fields), default=0)
+    widen = {("int", "long"), ("float", "double")}
+    for f in df.schema.fields:
+        simple = f.dataType.simpleString()
+        if simple.startswith("decimal"):
+            ice = simple
+        elif simple.startswith("timestamp"):
+            ice = "timestamptz"
+        else:
+            ice = _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
+        have = by_name.get(f.name)
+        if have is None:
+            max_id += 1
+            new = {"id": max_id, "name": f.name, "required": False,
+                   "type": ice}
+            fields.append(new)
+            by_name[f.name] = new
+        elif have["type"] != ice:
+            if (have["type"], ice) in widen:
+                have["type"] = ice  # promotion, id preserved
+            elif (ice, have["type"]) in widen:
+                pass  # narrower write into a wider column: fine
+            else:
+                raise IcebergLiteError(
+                    f"append retypes column {f.name!r} "
+                    f"{have['type']} -> {ice}; only int->long and "
+                    "float->double promotions are legal evolution"
+                )
+    return fields
+
+
 def _ice_schema_fields(df: DataFrame) -> list[dict]:
     """Iceberg schema fields (with 1-based FIELD IDS by column position)
     for the table metadata — equality-delete manifests name their
@@ -1386,10 +1503,19 @@ def write_iceberg(
     attempt = 0
     while True:
         try:
+            # appends evolve the schema (id-preserving: new columns mint
+            # the next field ids, widened columns promote in place —
+            # spec §Schema Evolution); creates start at schema 0
+            fields = (
+                _evolve_schema_fields(_load_metadata(table_path), df)
+                if existing
+                else _ice_schema_fields(df)
+            )
             return _commit_snapshot(
                 table_path, partition_by,
                 data_entries=staged, delete_entries=[],
-                schema_fields=_ice_schema_fields(df),
+                schema_fields=fields,
+                evolve_schema=existing,
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
@@ -1406,6 +1532,7 @@ def _commit_snapshot(
     expect_version: int | None = None,
     replace: bool = False,
     schema_fields: list | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Write manifests + manifest list + next metadata json; the O_EXCL
     metadata create is the commit point.  ``expect_version``: fail fast
@@ -1622,13 +1749,35 @@ def _commit_snapshot(
     )
     # the current schema (with field ids) carries forward unless this
     # commit supplies one; equality-delete manifests resolve through it
-    schemas = (meta or {}).get("schemas")
+    schemas = list((meta or {}).get("schemas") or [])
     current_schema_id = (meta or {}).get("current-schema-id", 0)
     if schema_fields is not None and not schemas:
         schemas = [
             {"schema-id": 0, "type": "struct", "fields": schema_fields}
         ]
         current_schema_id = 0
+    elif evolve_schema and schema_fields is not None and schemas:
+        # id-preserving evolution (write_iceberg computed the fields
+        # through _evolve_schema_fields): commit a NEW schema version
+        # only when the field list actually changed
+        cur = None
+        for s in schemas:
+            if s.get("schema-id") == current_schema_id:
+                cur = s
+        sig = lambda fs: [  # noqa: E731
+            (int(f["id"]), f["name"], f["type"]) for f in fs
+        ]
+        if cur is None or sig(cur.get("fields", [])) != sig(schema_fields):
+            current_schema_id = (
+                max(int(s.get("schema-id") or 0) for s in schemas) + 1
+            )
+            schemas.append(
+                {
+                    "schema-id": current_schema_id,
+                    "type": "struct",
+                    "fields": schema_fields,
+                }
+            )
     new_meta = {
         "format-version": 2,
         "table-uuid": (meta or {}).get("table-uuid")

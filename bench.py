@@ -124,6 +124,7 @@ EXTENDED: list[str] = [
     "src_delta_ict_travel",
     "src_iceberg_incremental",
     "src_iceberg_partitions_meta",
+    "sink_iceberg_schema_evolution",
 ]
 
 

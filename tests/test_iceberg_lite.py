@@ -993,3 +993,72 @@ def test_metadata_tables_expose_internals(spark, tmp_path):
     # time travel: pre-append state
     files_v1 = iceberg_lite.inspect_files(spark, path, snapshot_id=1).collect()
     assert sum(r.record_count for r in files_v1) == 10
+
+
+# ------------------------------------------ round 9: schema evolution
+
+
+def test_append_with_new_column_evolves_schema(spark, tmp_path):
+    path = str(tmp_path / "schema_evo")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(3).selectExpr("id", "id * 2 as v"), path
+    )
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.range(3, 6).selectExpr("id", "id * 2 as v", "'x' as tag"),
+        path,
+    )
+    meta = iceberg_lite._load_metadata(path)
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    assert meta["current-schema-id"] == 1
+    cur = meta["schemas"][1]["fields"]
+    assert [(f["id"], f["name"]) for f in cur] == [
+        (1, "id"), (2, "v"), (3, "tag"),
+    ]
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert out.columns == ["id", "v", "tag"]
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows[0] is None and rows[4] == "x"  # old files read null
+
+
+def test_append_subset_of_columns_reads_null(spark, tmp_path):
+    path = str(tmp_path / "schema_subset")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(2).selectExpr("id", "id * 2 as v"), path
+    )
+    iceberg_lite.write_iceberg(
+        spark, spark.range(2, 4).selectExpr("id"), path
+    )
+    out = iceberg_lite.read_iceberg(spark, path)
+    vals = {r.id: r.v for r in out.collect()}
+    assert vals == {0: 0, 1: 2, 2: None, 3: None}
+
+
+def test_append_widening_promotes_and_retype_raises(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "schema_widen")
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.range(2).select(F.col("id").cast("int").alias("k")),
+        path,
+    )
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.range(2, 4).select(F.col("id").cast("long").alias("k")),
+        path,
+    )
+    meta = iceberg_lite._load_metadata(path)
+    cur = [s for s in meta["schemas"]
+           if s["schema-id"] == meta["current-schema-id"]][0]
+    assert cur["fields"][0]["type"] == "long"  # promoted, id preserved
+    assert cur["fields"][0]["id"] == 1
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r.k for r in out.collect()) == [0, 1, 2, 3]
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="retypes"):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.range(2).selectExpr("CAST(id AS string) AS k"),
+            path,
+        )
