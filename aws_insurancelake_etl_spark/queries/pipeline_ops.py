@@ -4154,3 +4154,59 @@ def sink_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     if ids != {"o_orderkey": 1, "price_cents": 2, "pri": 3}:
         raise RuntimeError(f"field ids not preserved/minted: {ids}")
     return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "stream_iceberg_source_totals",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS total_bal
+    FROM customer WHERE c_custkey % 3 IN (0, 1)
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the Iceberg table (round 9): two
+    iceberg_lite appends drain through
+    ``spark.readStream.format("iceberg_lite")`` — SNAPSHOT-ID offsets,
+    the initial snapshot then per-snapshot appended files, planned as a
+    pure-metadata file-list difference — into a grouped aggregation.
+    The totals must equal the plain batch GROUP BY over both slices:
+    a dropped snapshot, a replayed file, or a schema mix-up diverges.
+    Twin of ``stream_delta_source_totals``; the same finding-44 tax
+    note applies (bulk backfills batch-read natively and stream from
+    ``startingSnapshotId='latest'``)."""
+    from ..sources import iceberg_lite, pyds
+
+    pyds.register(spark)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-isrc-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, cust.where(F.col("c_custkey") % 3 == 0), tbl
+    )
+    iceberg_lite.write_iceberg(
+        spark, cust.where(F.col("c_custkey") % 3 == 1), tbl
+    )
+    sink = f"gate_isrc_{uuid.uuid4().hex[:12]}"
+    query = (
+        spark.readStream.format("iceberg_lite")
+        .load(tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            ).alias("total_bal"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink).select(
+        "c_mktsegment", "n_customers", "total_bal",
+    )

@@ -1228,8 +1228,39 @@ def _spark_schema_from_meta(meta: dict):
     schema evolution work: files written before an added column simply
     surface it as null, and files carrying dropped/extra columns do not
     leak them."""
-    from pyspark.sql.types import StructType
+    import re as _re
 
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    # plain type objects, never fromDDL: this also runs inside Python
+    # DataSource workers, which have no JVM session to parse DDL with
+    simple = {
+        "long": LongType(),
+        "int": IntegerType(),
+        "double": DoubleType(),
+        "float": FloatType(),
+        "string": StringType(),
+        "boolean": BooleanType(),
+        "date": DateType(),
+        "binary": BinaryType(),
+        "timestamptz": TimestampType(),
+        "timestamp": TimestampNTZType(),
+        "uuid": StringType(),
+    }
     schemas = meta.get("schemas") or []
     cur_id = meta.get("current-schema-id", 0)
     schema = None
@@ -1240,22 +1271,20 @@ def _spark_schema_from_meta(meta: dict):
         schema = schemas[-1]
     if not schema:
         return None
-    parts = []
+    fields = []
     for f in schema.get("fields", []):
         ice = f.get("type")
         if not isinstance(ice, str):
             return None  # nested types: fall back
-        if ice.startswith("decimal"):
-            spark_t = ice
+        m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice)
+        if m:
+            spark_t = DecimalType(int(m.group(1)), int(m.group(2)))
         else:
-            spark_t = _ICEBERG_TO_SPARK_TYPE.get(ice)
+            spark_t = simple.get(ice)
         if spark_t is None:
             return None
-        parts.append(f"`{f['name']}` {spark_t}")
-    try:
-        return StructType.fromDDL(", ".join(parts))
-    except Exception:  # noqa: BLE001 - fall back to self-description
-        return None
+        fields.append(StructField(f["name"], spark_t, True))
+    return StructType(fields)
 
 
 def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:

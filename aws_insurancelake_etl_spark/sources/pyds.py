@@ -318,7 +318,9 @@ def register(spark) -> None:
     is suppressed, every other failure (missing DataSource API, pickling
     error) propagates — silently continuing would surface later as a
     baffling 'Failed to find the data source: avro_lite'."""
-    for source in (AvroLiteDataSource, DeltaLiteDataSource):
+    for source in (
+        AvroLiteDataSource, DeltaLiteDataSource, IcebergLiteDataSource,
+    ):
         try:
             spark.dataSource.register(source)
         except Exception as exc:  # noqa: BLE001
@@ -746,4 +748,162 @@ class DeltaLiteDataSource(DataSource):
             schema.json(),
             self.options.get("startingversion"),
             str(self.options.get("ignorechanges", "")).lower() == "true",
+        )
+
+
+class IcebergLiteStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAMING source over an iceberg_lite table — the
+    jar-less twin of Iceberg's Spark streaming read: the offset is the
+    SNAPSHOT ID, the first batch is the initial snapshot (every live
+    file at the starting snapshot), and each later batch is the files
+    APPENDED in ``(start, end]`` — planned as a pure-metadata set
+    difference of the two snapshots' file lists.  A non-append snapshot
+    (MERGE/equality upsert/compaction) in range raises, exactly like
+    Iceberg's append-only incremental scan: added files there do not
+    equal added rows.  ``rewrite_data_files`` commits as operation
+    'replace' — also refused (restart from a fresh snapshot), the
+    conservative reading of compaction under a live tail.  One
+    InputPartition per appended file; PERFORMANCE.md finding 44's
+    Python-source tax applies — bulk backfills should batch-read
+    natively and stream from option("startingSnapshotId", "latest")."""
+
+    def __init__(self, path: str, schema_json: str, starting_snapshot=None):
+        from . import iceberg_lite
+
+        if not iceberg_lite.is_iceberg_table(path):
+            raise ValueError(f"not an iceberg_lite table: {path!r}")
+        self.path = path
+        self.schema_json = schema_json
+        self.starting_snapshot = starting_snapshot
+
+    def _current(self) -> int:
+        from . import iceberg_lite
+
+        ids = iceberg_lite.snapshot_ids(self.path)
+        return ids[-1] if ids else 0
+
+    def initialOffset(self) -> dict:
+        if self.starting_snapshot is None:
+            return {"snapshot": -1}
+        if str(self.starting_snapshot) == "latest":
+            return {"snapshot": self._current()}
+        from . import iceberg_lite
+
+        meta = iceberg_lite._load_metadata(self.path)
+        return {
+            "snapshot": iceberg_lite._resolve_ref(
+                meta, self.starting_snapshot
+            ) - 1
+        }
+
+    def latestOffset(self) -> dict:
+        return {"snapshot": self._current()}
+
+    def _files_between(self, start: int, end: int) -> list:
+        from . import iceberg_lite
+
+        if end <= max(start, -1):
+            return []
+        if start < 0 and self.starting_snapshot is None:
+            return [
+                f.path
+                for f in iceberg_lite.plan_files(self.path, snapshot_id=end)
+            ]
+        meta = iceberg_lite._load_metadata(self.path)
+        snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        not_append = [
+            sid
+            for sid, s in snaps.items()
+            if start < sid <= end
+            and (s.get("summary") or {}).get("operation", "append")
+            != "append"
+        ]
+        if not_append:
+            raise ValueError(
+                f"iceberg_lite stream: snapshots {sorted(not_append)} are "
+                "not pure appends; append-only streaming cannot represent "
+                "them without duplicates.  Replay row-level changes via "
+                "the MOR batch readers and restart the stream from a "
+                "fresh snapshot (startingSnapshotId)."
+            )
+        base = (
+            {
+                f.path
+                for f in iceberg_lite.plan_files(
+                    self.path, snapshot_id=start
+                )
+            }
+            if start in snaps
+            else set()
+        )
+        return [
+            f.path
+            for f in iceberg_lite.plan_files(self.path, snapshot_id=end)
+            if f.path not in base
+        ]
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            InputPartition(p)
+            for p in self._files_between(
+                int(start["snapshot"]), int(end["snapshot"])
+            )
+        ]
+
+    def read(self, partition):
+        import json as _json
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(self.schema_json))
+        table = pq.read_table(partition.value)
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
+        n = table.num_rows
+        # iceberg data files store source columns (identity partitions
+        # included); a column the file predates reads as null (schema
+        # evolution)
+        for i in range(n):
+            yield tuple(
+                cols[f.name][i] if f.name in cols else None
+                for f in schema.fields
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergLiteDataSource(DataSource):
+    """``spark.readStream.format("iceberg_lite").load(table_path)`` — a
+    streaming source whose offsets are iceberg_lite snapshot ids."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_lite"
+
+    def schema(self):
+        from pyspark.sql import SparkSession
+
+        from . import iceberg_lite
+
+        meta = iceberg_lite._load_metadata(self.options["path"])
+        st = iceberg_lite._spark_schema_from_meta(meta)
+        if st is not None:
+            return st
+        # metadata carries no mappable schema (doctored v1 fixtures):
+        # fall back to one file's parquet self-description
+        files = iceberg_lite.plan_files(self.options["path"])
+        if not files:
+            raise ValueError("empty iceberg table has no schema source")
+        spark = SparkSession.getActiveSession()
+        return spark.read.parquet(files[0].path).schema
+
+    def streamReader(self, schema):
+        return IcebergLiteStreamReader(
+            self.options["path"],
+            schema.json(),
+            self.options.get("startingsnapshotid"),
         )

@@ -125,6 +125,7 @@ EXTENDED: list[str] = [
     "src_iceberg_incremental",
     "src_iceberg_partitions_meta",
     "sink_iceberg_schema_evolution",
+    "stream_iceberg_source_totals",
 ]
 
 

@@ -498,3 +498,66 @@ def test_streamed_cdf_on_column_mapped_table(spark, tmp_path):
         for r in spark.table(sink).collect()
     )
     assert got == [("delete", 3, "a"), ("insert", 10, "a")]
+
+
+def test_iceberg_stream_source_tails_appends_and_refuses_merges(
+    spark, tmp_path
+):
+    """Round 9: the iceberg_lite streaming source — snapshot-id
+    offsets, initial snapshot then appended files only; a MERGE in
+    range fails the stream by snapshot id (append-only semantics,
+    like Iceberg's own streaming read)."""
+    import pytest as _pytest
+
+    from aws_insurancelake_etl_spark.sources import iceberg_lite, pyds
+
+    pyds.register(spark)
+    path = str(tmp_path / "istream")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(4).selectExpr("id", "id * 2 as v"), path
+    )
+    iceberg_lite.write_iceberg(
+        spark, spark.range(4, 6).selectExpr("id", "id * 2 as v"), path
+    )
+    q = (
+        spark.readStream.format("iceberg_lite")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("istream_t1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.sql("select * from istream_t1").collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # startingSnapshotId=2: only the second append
+    q2 = (
+        spark.readStream.format("iceberg_lite")
+        .option("startingSnapshotId", 2)
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("istream_t2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(r.id for r in spark.sql("select * from istream_t2").collect())
+    assert got2 == [4, 5]
+    # a MERGE snapshot in range refuses
+    iceberg_lite.merge_iceberg(
+        spark, spark.range(2).selectExpr("id", "id * 9 as v"), path, ["id"]
+    )
+    q3 = (
+        spark.readStream.format("iceberg_lite")
+        .option("startingSnapshotId", 2)
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("istream_t3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception, match="not pure appends"):
+        q3.awaitTermination(120)
