@@ -69,6 +69,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_partitions_meta",  # never
     "sink_iceberg_schema_evolution",  # never
     "stream_iceberg_source_totals",  # never
+    "sink_iceberg_rollback",  # never
     "src_delta_time_travel",  # engine churn (delta_lite); last green r7
     "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
     "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
@@ -105,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q19_disjunctive_revenue",  # staleness: r1 row
     "q20_promo_part_suppliers",  # staleness: r1 row
     "q21_sole_failing_supplier",  # staleness: r1 row
-    "q22_wealthy_inactive",  # staleness: r1 row
     "setops_segments",  # staleness: r1 row
 )
 

@@ -4210,3 +4210,61 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "c_mktsegment", "n_customers", "total_bal",
     )
+
+
+@register(
+    "sink_iceberg_rollback",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ROLLBACK + ORPHAN CLEANUP (round 9): the two remaining
+    production maintenance levers next to ``rewrite_data_files`` and
+    ``expire_snapshots``.  A bad load lands (statuses scrambled to
+    'XX'); ``rollback_to_snapshot`` restores yesterday by a PURE
+    METADATA commit (no file touched, instantly reversible); then
+    ``remove_orphan_files`` is asserted to delete a planted lost-race
+    straggler while leaving every referenced file — including the
+    rolled-back-but-unexpired bad snapshot's files — in place, and the
+    post-rollback read must equal the pre-bad-load state (the oracle).
+    A cleanup that over-deletes breaks this read; an under-delete
+    leaves the planted orphan."""
+    import os as _os
+
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-rb-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 7 == 0), tbl
+    )
+    bad = base.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_orderstatus", F.lit("XX")
+    )
+    iceberg_lite.write_iceberg(spark, bad, tbl)
+    stray = _os.path.join(tbl, "data", "lost-race-straggler.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"\x00" * 64)
+    res = iceberg_lite.rollback_to_snapshot(tbl, 1)
+    if res["previous_snapshot_id"] != 2 or res["current_snapshot_id"] != 1:
+        raise RuntimeError(f"rollback mis-targeted: {res}")
+    cleanup = iceberg_lite.remove_orphan_files(tbl)
+    if cleanup["deleted"] != 1 or _os.path.exists(stray):
+        raise RuntimeError(f"orphan cleanup wrong: {cleanup}")
+    # the bad snapshot is rolled back but NOT expired: time travel to it
+    # must still work (its files survived the cleanup)
+    if iceberg_lite.read_iceberg(spark, tbl, snapshot_id=2).where(
+        "o_orderstatus = 'XX'"
+    ).count() == 0:
+        raise RuntimeError("unexpired snapshot lost its files")
+    return iceberg_lite.read_iceberg(spark, tbl)

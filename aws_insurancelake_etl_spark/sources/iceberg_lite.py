@@ -2218,6 +2218,76 @@ def rewrite_data_files(
     }
 
 
+def rollback_to_snapshot(table_path: str, snapshot_id) -> dict:
+    """Iceberg's ``rollback_to_snapshot`` maintenance procedure: make an
+    EARLIER snapshot current again by a pure metadata commit — no file
+    touched, instantly reversible (the abandoned snapshots stay in the
+    list until :func:`expire_snapshots` reclaims them).  This is the
+    production "bad load landed, get yesterday back NOW" lever.
+    ``snapshot_id`` accepts an id or a ref name; the main branch
+    follows the rollback target."""
+    meta = _load_metadata(table_path)
+    target = _resolve_ref(meta, snapshot_id)
+    known = {s.get("snapshot-id") for s in meta.get("snapshots") or []}
+    if target not in known:
+        raise IcebergLiteError(
+            f"cannot roll back to unknown snapshot {target} "
+            f"(have {sorted(known)})"
+        )
+    prior = meta.get("current-snapshot-id")
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = target
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": int(target), "type": "branch"}
+    new_meta["refs"] = refs
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "rollback_to_snapshot"
+        )
+    return {"previous_snapshot_id": prior, "current_snapshot_id": target,
+            "version": version}
+
+
+def remove_orphan_files(table_path: str, dry_run: bool = False) -> dict:
+    """Iceberg's ``remove_orphan_files`` maintenance procedure — the
+    third leg of the trio next to ``rewrite_data_files`` and
+    ``expire_snapshots``: files under the table location that NO
+    snapshot references (lost-race commit leftovers, killed-job
+    stragglers) accumulate forever otherwise, and at 100 TB the orphan
+    bytes are real money.  Referenced = every snapshot's manifest tree
+    plus the metadata jsons themselves; everything else under ``data/``
+    and ``metadata/`` goes (or is listed, with ``dry_run``)."""
+    import glob as _glob
+
+    meta = _load_metadata(table_path)
+    referenced: set = set()
+    for snap in meta.get("snapshots") or []:
+        referenced |= _snapshot_owned_paths(meta, table_path, snap)
+    meta_dir = os.path.join(table_path, "metadata")
+    on_disk = set(
+        _glob.glob(os.path.join(table_path, "data", "**", "*"),
+                   recursive=True)
+    ) | set(_glob.glob(os.path.join(meta_dir, "*")))
+    orphans = sorted(
+        p
+        for p in on_disk
+        if os.path.isfile(p)
+        and p not in referenced
+        and not p.endswith(".metadata.json")
+        and os.path.basename(p) != "version-hint.text"
+    )
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return {"orphans": orphans, "deleted": 0 if dry_run else len(orphans)}
+
+
 def _snapshot_owned_paths(meta: dict, table_path: str, snap: dict) -> set:
     """Every LOCAL path a snapshot's metadata tree references: its
     manifest list, its manifests, and their data/delete files.

@@ -126,6 +126,7 @@ EXTENDED: list[str] = [
     "src_iceberg_partitions_meta",
     "sink_iceberg_schema_evolution",
     "stream_iceberg_source_totals",
+    "sink_iceberg_rollback",
 ]
 
 

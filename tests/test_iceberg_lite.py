@@ -1062,3 +1062,55 @@ def test_append_widening_promotes_and_retype_raises(spark, tmp_path):
             spark.range(2).selectExpr("CAST(id AS string) AS k"),
             path,
         )
+
+
+# --------------------------- round 9: rollback + orphan maintenance
+
+
+def test_rollback_to_snapshot_restores_and_reverses(spark, tmp_path):
+    path = str(tmp_path / "rollback")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(3).selectExpr("id", "id * 2 as v"), path
+    )
+    iceberg_lite.write_iceberg(
+        spark, spark.range(100, 103).selectExpr("id", "id * 2 as v"), path
+    )
+    res = iceberg_lite.rollback_to_snapshot(path, 1)
+    assert res["previous_snapshot_id"] == 2
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
+    assert iceberg_lite.list_refs(path)["main"]["snapshot-id"] == 1
+    # reversible: the bad snapshot is still there
+    iceberg_lite.rollback_to_snapshot(path, 2)
+    assert iceberg_lite.read_iceberg(spark, path).count() == 6
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="unknown"):
+        iceberg_lite.rollback_to_snapshot(path, 99)
+
+
+def test_remove_orphan_files_deletes_only_unreferenced(spark, tmp_path):
+    import glob
+    import os as _os
+
+    path = str(tmp_path / "orphans")
+    iceberg_lite.write_iceberg(
+        spark, spark.range(6).selectExpr("id", "id * 2 as v"), path
+    )
+    # plant orphans: a stray data file and a stray manifest
+    stray_data = _os.path.join(path, "data", "stray.parquet")
+    with open(stray_data, "wb") as fh:
+        fh.write(b"not really parquet")
+    stray_man = _os.path.join(path, "metadata", "manifest-stray.avro")
+    with open(stray_man, "wb") as fh:
+        fh.write(b"junk")
+    dry = iceberg_lite.remove_orphan_files(path, dry_run=True)
+    assert set(dry["orphans"]) == {stray_data, stray_man}
+    assert _os.path.exists(stray_data)  # dry run touched nothing
+    res = iceberg_lite.remove_orphan_files(path)
+    assert res["deleted"] == 2
+    assert not _os.path.exists(stray_data)
+    assert not _os.path.exists(stray_man)
+    # table still reads; all real files intact
+    assert iceberg_lite.read_iceberg(spark, path).count() == 6
+    assert iceberg_lite.remove_orphan_files(path)["deleted"] == 0
+    # metadata jsons are never considered orphans
+    assert glob.glob(_os.path.join(path, "metadata", "*.metadata.json"))
