@@ -127,7 +127,9 @@ def test_driver_window_covers_every_operator_family():
                      "sink_iceberg_spec_evolution", "em_full_flow",
                      "sink_iceberg_eq_upsert", "src_delta_deletion_vectors",
                      "src_encrypted_xlsx_read", "q1_pricing_summary",
-                     "setops_union_aligned_feed"):
+                     "setops_segments", "src_iceberg_incremental",
+                     "sink_iceberg_rollback", "stream_iceberg_source_totals",
+                     "src_delta_ict_travel"):
         assert sentinel in window, sentinel
 
 
