@@ -4159,8 +4159,10 @@ def sink_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "stream_iceberg_source_totals",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers,
-           ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS total_bal
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_bal
     FROM customer WHERE c_custkey % 3 IN (0, 1)
     GROUP BY c_mktsegment
     """,
@@ -4196,9 +4198,7 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
-            ).alias("total_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_bal"),
         )
         .writeStream.format("memory")
         .queryName(sink)
@@ -4208,7 +4208,9 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink).select(
-        "c_mktsegment", "n_customers", "total_bal",
+        "c_mktsegment",
+        "n_customers",
+        F.col("total_bal").cast("double").alias("total_bal"),
     )
 
 
