@@ -4270,3 +4270,59 @@ def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count() == 0:
         raise RuntimeError("unexpired snapshot lost its files")
     return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_iceberg_wap_publish",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS bal_cents
+    FROM customer WHERE c_custkey % 5 IN (0, 2)
+    """,
+)
+def sink_iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH (round 9): the governed-ingest
+    workflow behind ``write.wap.enabled`` + the ``fast_forward``
+    procedure.  A load lands on an ``audit`` BRANCH (spec §Snapshot
+    References) where main readers cannot see it; the audit step
+    validates the branch read (row-count delta + a completeness rule,
+    the reference's DQ-before-publish ordering at
+    ``etl_consume_entity_match.py``'s entity table); publish is a pure
+    O(1) ref move — ``fast_forward`` refuses unless main's head is an
+    ancestor of the branch head, so the audited bytes ARE the published
+    bytes.  The gate asserts staged data is INVISIBLE on main before
+    publish and exactly-visible after; the oracle is the published
+    union."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-wap-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("c_custkey") % 5 == 0), tbl
+    )
+    main_before = iceberg_lite.read_iceberg(spark, tbl).count()
+    staged = base.where(F.col("c_custkey") % 5 == 2)
+    iceberg_lite.write_iceberg(spark, staged, tbl, branch="audit")
+    # WRITE landed on the branch only
+    if iceberg_lite.read_iceberg(spark, tbl).count() != main_before:
+        raise RuntimeError("staged write leaked onto main before publish")
+    # AUDIT the branch read: the append delta matches what was staged,
+    # and the keys are complete (no nulls) — the publish precondition
+    audit = iceberg_lite.read_iceberg(spark, tbl, snapshot_id="audit")
+    staged_n = staged.count()
+    if audit.count() - main_before != staged_n:
+        raise RuntimeError("audit failed: branch delta != staged rows")
+    if audit.where(F.col("c_custkey").isNull()).count():
+        raise RuntimeError("audit failed: null keys on branch")
+    # PUBLISH: O(1) ref move, then main sees exactly the audited rows
+    res = iceberg_lite.fast_forward(tbl, "audit")
+    if not res["updated"]:
+        raise RuntimeError(f"fast_forward did not move main: {res}")
+    return iceberg_lite.read_iceberg(spark, tbl)

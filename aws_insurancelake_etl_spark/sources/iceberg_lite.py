@@ -701,6 +701,64 @@ def drop_ref(table_path: str, name: str) -> None:
         )
 
 
+def fast_forward(
+    table_path: str, source_branch: str, to: str = "main"
+) -> dict:
+    """Iceberg's ``fast_forward`` procedure — the PUBLISH half of
+    write-audit-publish: move ref ``to`` (default main) up to
+    ``source_branch``'s head.  Refuses unless the target's current head
+    is an ANCESTOR of the source head (walking
+    ``parent-snapshot-id`` links), i.e. the move is a pure pointer
+    advance with no history rewrite — that is what makes publish safe
+    and O(1): the audited snapshot bytes ARE the published bytes.
+    Commits the next metadata version (O_EXCL)."""
+    meta = _load_metadata(table_path)
+    refs = dict(meta.get("refs") or {})
+    if source_branch not in refs:
+        raise IcebergLiteError(
+            f"no such branch {source_branch!r} (refs: {sorted(refs)})"
+        )
+    src_head = int(refs[source_branch]["snapshot-id"])
+    to_ref = refs.get(to)
+    to_head = (
+        int(to_ref["snapshot-id"])
+        if to_ref and to_ref.get("snapshot-id") is not None
+        else (meta.get("current-snapshot-id") if to == "main" else None)
+    )
+    if to_head == src_head:
+        return {"updated": False, "ref": to, "snapshot_id": src_head}
+    if to_head is not None:
+        parents = {
+            int(s["snapshot-id"]): s.get("parent-snapshot-id")
+            for s in meta.get("snapshots") or []
+        }
+        node = src_head
+        while node is not None and node != to_head:
+            node = parents.get(int(node))
+            node = int(node) if node is not None else None
+        if node != to_head:
+            raise IcebergLiteError(
+                f"cannot fast-forward {to!r} (head {to_head}) to "
+                f"{source_branch!r} (head {src_head}): target head is "
+                "not an ancestor of the source head — the branches "
+                "diverged; rebase or cherry-pick instead"
+            )
+    refs[to] = {"snapshot-id": src_head, "type": "branch"}
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    if to == "main":
+        new_meta["current-snapshot-id"] = src_head
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "fast_forward"
+        )
+    return {"updated": True, "ref": to, "snapshot_id": src_head,
+            "previous_snapshot_id": to_head, "version": version}
+
+
 def read_iceberg_incremental(
     spark: SparkSession,
     table_path: str,
@@ -1497,6 +1555,7 @@ def write_iceberg(
     partition_by=None,
     max_retries: int = 3,
     evolve_partition_spec: bool = False,
+    branch: str = "main",
 ) -> int:
     """CREATE (first call) or APPEND (subsequent calls) a snapshot.
     Returns the committed snapshot id.  ``partition_by`` entries may be
@@ -1510,7 +1569,15 @@ def write_iceberg(
     land under the new one, no data is rewritten.  Appends against a
     concurrent commit re-read the log and retry — staged data files are
     content-addressed and referenced only by the winning commit, so a
-    retry reuses them safely."""
+    retry reuses them safely.
+
+    ``branch``: append on a NAMED BRANCH instead of main — the
+    write-audit-publish staging half (read the branch with
+    ``read_iceberg(..., snapshot_id=branch)``, audit it, then
+    :func:`fast_forward` main to publish).  Matches the reference's
+    Iceberg upsert landing in a governed table the consumer only sees
+    after validation (etl_consume_entity_match.py's DQ-before-publish
+    ordering)."""
     os.makedirs(table_path, exist_ok=True)
     partition_by = parse_partition_by(partition_by)
     existing = is_iceberg_table(table_path)
@@ -1545,6 +1612,7 @@ def write_iceberg(
                 data_entries=staged, delete_entries=[],
                 schema_fields=fields,
                 evolve_schema=existing,
+                branch=branch,
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
@@ -1562,6 +1630,7 @@ def _commit_snapshot(
     replace: bool = False,
     schema_fields: list | None = None,
     evolve_schema: bool = False,
+    branch: str = "main",
 ) -> int:
     """Write manifests + manifest list + next metadata json; the O_EXCL
     metadata create is the commit point.  ``expect_version``: fail fast
@@ -1572,7 +1641,15 @@ def _commit_snapshot(
     ``file_content`` is 1 (position) or 2 (equality) per spec
     data_file.content.  ``replace=True`` drops every prior manifest from
     the new snapshot's manifest list (the ``rewrite_data_files``
-    compaction commit: the new data files ARE the table)."""
+    compaction commit: the new data files ARE the table).
+
+    ``branch`` (spec §Snapshot References / the WAP workflow): a
+    non-``main`` branch commits on top of THAT ref's head — the new
+    snapshot's parent is the branch head (auto-created from the main
+    head on first use, Iceberg's ``write.branch.create-missing``), the
+    branch ref advances, and ``current-snapshot-id``/``main`` stay
+    untouched, so readers of the table see nothing until
+    :func:`fast_forward` publishes the branch."""
     part_fields = parse_partition_by(part_cols)
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -1583,15 +1660,30 @@ def _commit_snapshot(
             f"table moved to v{current} (planned against v{expect_version})"
         )
     meta = _load_metadata(table_path) if versions else None
+    if branch != "main" and meta is None:
+        raise IcebergLiteError(
+            f"cannot commit to branch {branch!r} on a table that does "
+            "not exist yet — create it on main first"
+        )
     location = (meta or {}).get("location") or table_path.rstrip("/")
     snap_id = current + 1
     seq = snap_id
+    # the commit's PARENT: the target branch's head (a missing branch
+    # ref starts from the main head — create-missing semantics)
+    parent_id = None
+    if meta is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        parent_id = (
+            int(ref["snapshot-id"])
+            if ref and ref.get("snapshot-id") is not None
+            else meta.get("current-snapshot-id")
+        )
     prior_manifests = []
     if meta is not None and not replace:
         snaps = meta.get("snapshots") or []
         cur = [
             s for s in snaps
-            if s.get("snapshot-id") == meta.get("current-snapshot-id")
+            if s.get("snapshot-id") == parent_id
         ]
         if cur:
             rebase = _rebaser(meta, table_path)
@@ -1767,15 +1859,18 @@ def _commit_snapshot(
     else:
         operation = "append"
     snapshots = list((meta or {}).get("snapshots") or [])
-    snapshots.append(
-        {
-            "snapshot-id": snap_id,
-            "sequence-number": seq,
-            "timestamp-ms": int(_time.time() * 1000),
-            "manifest-list": f"{location}/{ml_rel}",
-            "summary": {"operation": operation},
-        }
-    )
+    snap_rec = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(_time.time() * 1000),
+        "manifest-list": f"{location}/{ml_rel}",
+        "summary": {"operation": operation},
+    }
+    if parent_id is not None:
+        # the ancestry link fast_forward walks to prove "publish" is a
+        # pure pointer move (spec: snapshot.parent-snapshot-id)
+        snap_rec["parent-snapshot-id"] = int(parent_id)
+    snapshots.append(snap_rec)
     # the current schema (with field ids) carries forward unless this
     # commit supplies one; equality-delete manifests resolve through it
     schemas = list((meta or {}).get("schemas") or [])
@@ -1813,7 +1908,13 @@ def _commit_snapshot(
         or "00000000-0000-0000-0000-00000000c0de",
         "location": location,
         "last-sequence-number": seq,
-        "current-snapshot-id": snap_id,
+        # a branch commit leaves the main line where it was — readers
+        # of the table proper must not see staged-but-unpublished data
+        "current-snapshot-id": (
+            snap_id
+            if branch == "main"
+            else (meta or {}).get("current-snapshot-id")
+        ),
         "snapshots": snapshots,
         "partition-specs": all_part_specs
         or [{"spec-id": 0, "fields": []}],
@@ -1822,10 +1923,10 @@ def _commit_snapshot(
     if schemas:
         new_meta["schemas"] = schemas
         new_meta["current-schema-id"] = current_schema_id
-    # refs carry forward; the main branch follows the new head (spec
-    # §Snapshot References — writers advance main on every commit)
+    # refs carry forward; the TARGET branch follows the new head (spec
+    # §Snapshot References — writers advance their branch every commit)
     refs = dict((meta or {}).get("refs") or {})
-    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
     new_meta["refs"] = refs
     if not _try_commit_metadata(table_path, snap_id, new_meta):
         # this attempt's manifests/manifest-list become unreferenced

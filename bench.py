@@ -127,6 +127,7 @@ EXTENDED: list[str] = [
     "sink_iceberg_schema_evolution",
     "stream_iceberg_source_totals",
     "sink_iceberg_rollback",
+    "sink_iceberg_wap_publish",
 ]
 
 

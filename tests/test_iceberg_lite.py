@@ -1114,3 +1114,98 @@ def test_remove_orphan_files_deletes_only_unreferenced(spark, tmp_path):
     assert iceberg_lite.remove_orphan_files(path)["deleted"] == 0
     # metadata jsons are never considered orphans
     assert glob.glob(_os.path.join(path, "metadata", "*.metadata.json"))
+
+
+# --------------------------------------------------------------- WAP:
+# branch writes + fast_forward publish (spec §Snapshot References; the
+# write-audit-publish workflow Iceberg ships as write.wap.enabled +
+# the fast_forward procedure)
+
+
+def test_branch_write_invisible_until_fast_forward(spark, tmp_path):
+    path = str(tmp_path / "wap")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    iceberg_lite.write_iceberg(spark, base, path)
+    staged = spark.createDataFrame([(3, "c"), (4, "d"), (5, "e")],
+                                   "id int, s string")
+    snap = iceberg_lite.write_iceberg(spark, staged, path, branch="audit")
+    # WRITE: main is untouched; the branch sees base + staged
+    assert {r.id for r in iceberg_lite.read_iceberg(spark, path).collect()} \
+        == {1, 2}
+    branch_rows = iceberg_lite.read_iceberg(spark, path, snapshot_id="audit")
+    assert {r.id for r in branch_rows.collect()} == {1, 2, 3, 4, 5}
+    refs = iceberg_lite.list_refs(path)
+    assert refs["audit"]["snapshot-id"] == snap
+    assert refs["main"]["snapshot-id"] == 1
+    # the commit records its parent (the main head the branch forked at)
+    meta = iceberg_lite._load_metadata(path)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[snap]["parent-snapshot-id"] == 1
+    # PUBLISH: fast_forward moves main to the audited head, O(1)
+    res = iceberg_lite.fast_forward(path, "audit")
+    assert res["updated"] and res["snapshot_id"] == snap
+    assert {r.id for r in iceberg_lite.read_iceberg(spark, path).collect()} \
+        == {1, 2, 3, 4, 5}
+    assert iceberg_lite.list_refs(path)["main"]["snapshot-id"] == snap
+    # re-publish is a no-op, not an error
+    assert iceberg_lite.fast_forward(path, "audit")["updated"] is False
+
+
+def test_branch_commits_stack_on_the_branch_head(spark, tmp_path):
+    path = str(tmp_path / "wap_stack")
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path
+    )
+    s1 = iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(2,)], "id int"), path, branch="stage"
+    )
+    s2 = iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(3,)], "id int"), path, branch="stage"
+    )
+    # second branch commit parents on the FIRST branch commit, not main
+    meta = iceberg_lite._load_metadata(path)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[s2]["parent-snapshot-id"] == s1
+    assert {r.id for r in
+            iceberg_lite.read_iceberg(spark, path, snapshot_id="stage")
+            .collect()} == {1, 2, 3}
+    assert iceberg_lite.read_iceberg(spark, path).count() == 1
+    iceberg_lite.fast_forward(path, "stage")
+    assert iceberg_lite.read_iceberg(spark, path).count() == 3
+
+
+def test_fast_forward_refuses_diverged_branches(spark, tmp_path):
+    path = str(tmp_path / "wap_diverge")
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path
+    )
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(2,)], "id int"), path, branch="stage"
+    )
+    # main moves on independently -> histories diverge
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(9,)], "id int"), path
+    )
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="not an ancestor"):
+        iceberg_lite.fast_forward(path, "stage")
+    # the branch itself is still intact and readable
+    assert {r.id for r in
+            iceberg_lite.read_iceberg(spark, path, snapshot_id="stage")
+            .collect()} == {1, 2}
+
+
+def test_branch_write_on_missing_table_refuses(spark, tmp_path):
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="create it on main"):
+        iceberg_lite.write_iceberg(
+            spark, spark.createDataFrame([(1,)], "id int"),
+            str(tmp_path / "nope"), branch="stage",
+        )
+
+
+def test_fast_forward_unknown_branch_refuses(spark, tmp_path):
+    path = str(tmp_path / "wap_unknown")
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path
+    )
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="no such branch"):
+        iceberg_lite.fast_forward(path, "ghost")

@@ -129,7 +129,7 @@ def test_driver_window_covers_every_operator_family():
                      "src_encrypted_xlsx_read", "q1_pricing_summary",
                      "setops_segments", "src_iceberg_incremental",
                      "sink_iceberg_rollback", "stream_iceberg_source_totals",
-                     "src_delta_ict_travel"):
+                     "src_delta_ict_travel", "sink_iceberg_wap_publish"):
         assert sentinel in window, sentinel
 
 
