@@ -72,6 +72,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_iceberg_source_totals",  # never
     "sink_iceberg_rollback",  # never
     "sink_iceberg_wap_publish",  # never
+    "sink_delta_shallow_clone",  # never
     "src_delta_time_travel",  # engine churn (delta_lite); last green r7
     "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
     "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
@@ -106,7 +107,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",  # staleness: r1 row
     "q18_top_large_orders",  # staleness: r1 row
     "q19_disjunctive_revenue",  # staleness: r1 row
-    "q20_promo_part_suppliers",  # staleness: r1 row
     "setops_segments",  # staleness: r1 row
 )
 

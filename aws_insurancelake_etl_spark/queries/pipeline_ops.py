@@ -4273,6 +4273,73 @@ def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_shallow_clone",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders
+    WHERE o_orderkey % 11 = 0 AND o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderkey, 'CLONED' AS o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 11 = 5
+    """,
+)
+def sink_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (round 9): version-0 commit referencing the
+    source's files by ABSOLUTE path (PROTOCOL.md absolute add paths) —
+    zero data bytes copied, the dev-copy / blue-green pattern for
+    100 TB tables.  The gate clones a partitioned source, then mutates
+    the CLONE (copy-on-write DELETE of 'F' orders + an append of
+    'CLONED' rows) and asserts (a) no parquet was copied at clone time,
+    (b) the source still reads its original rows, (c) the clone's
+    VACUUM deletes nothing outside its root.  The oracle is the mutated
+    clone."""
+    import glob as _glob
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="gate-delta-clone-")
+    src, dst = root + "/src", root + "/clone"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 11 == 0),
+        src,
+        partition_by=["o_orderstatus"],
+    )
+    src_rows = delta_lite.read_delta(spark, src).count()
+    delta_lite.clone_delta(src, dst)
+    copied = [
+        p
+        for p in _glob.glob(dst + "/**/*.parquet", recursive=True)
+        if "_delta_log" not in p
+    ]
+    if copied:
+        raise RuntimeError(f"shallow clone copied data files: {copied[:3]}")
+    delta_lite.delete_delta(spark, dst, "o_orderstatus = 'F'")
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 11 == 5).withColumn(
+            "o_orderstatus", F.lit("CLONED")
+        ),
+        dst,
+        mode="append",
+    )
+    # the clone's vacuum must not reach into the source table
+    delta_lite.vacuum(dst, retention_ms=0)
+    if delta_lite.read_delta(spark, src).count() != src_rows:
+        raise RuntimeError("clone mutation leaked into the source table")
+    return delta_lite.read_delta(spark, dst)
+
+
+@register(
     "sink_iceberg_wap_publish",
     """
     SELECT c_custkey, c_mktsegment,

@@ -399,7 +399,14 @@ def _uri_to_rel(uri: str, table_path: str) -> str:
     local = uri[len("file:"):] if uri.startswith("file:") else uri
     while local.startswith("//"):
         local = local[1:]
-    return os.path.relpath(unquote(local), table_path)
+    local = unquote(local)
+    rel = os.path.relpath(local, table_path)
+    if rel.startswith(".."):
+        # the file lives OUTSIDE the table root — a shallow-clone add,
+        # whose log key is the absolute path itself (PROTOCOL.md
+        # absolute add paths); a ../-relative key would never match it
+        return local
+    return rel
 
 
 def _prune(files, partition_filter) -> list:
@@ -418,6 +425,12 @@ def _hive_consistent(files, part_cols) -> bool:
     logged partitionValues — then one ``basePath`` scan reconstructs the
     partition columns natively (single scan node, no unions)."""
     for f in files:
+        if os.path.isabs(f.path):
+            # shallow-clone adds point OUTSIDE the table root; a
+            # basePath scan rooted at the clone could not reconstruct
+            # their partition dirs — the log-literal union path handles
+            # them regardless of layout
+            return False
         segs = f.path.split("/")[:-1]
         if len(segs) < len(part_cols):
             return False
@@ -1814,8 +1827,14 @@ def vacuum(path: str, retention_ms: int = 0) -> list:
     live = {a.path for a in snap.files}
     cutoff = int(time.time() * 1000) - retention_ms
     deleted = []
+    root = os.path.abspath(path) + os.sep
     for rel, ts in sorted(snap.tombstones.items()):
         target = os.path.join(path, rel)
+        if not os.path.abspath(target).startswith(root):
+            # a SHALLOW CLONE's tombstones can name source-table files
+            # (absolute paths); the clone never owns those bytes —
+            # vacuuming it must not reach into the source table
+            continue
         if rel not in live and ts <= cutoff and os.path.exists(target):
             os.remove(target)
             deleted.append(rel)
@@ -2521,6 +2540,100 @@ def history(path: str) -> list:
             }
         )
     return out
+
+
+def clone_delta(
+    src_path: str,
+    dst_path: str,
+    version=None,
+    timestamp_ms=None,
+) -> dict:
+    """``CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF v]``: a new
+    Delta table whose version-0 commit REFERENCES the source snapshot's
+    data files by ABSOLUTE path (PROTOCOL.md: an add's ``path`` is
+    either relative to the table root or absolute) — zero bytes copied,
+    O(files) metadata, the production pattern for dev/test copies and
+    blue-green migrations of 100 TB tables.  The clone then evolves
+    independently: appends land inside the clone, copy-on-write
+    rewrites tombstone the absolute source paths (the clone's VACUUM
+    never reaches outside its own root — see :func:`vacuum`), and the
+    source table never observes any of it.
+
+    Deletion vectors survive the clone: a table-relative ('u') DV
+    descriptor is rewritten to an absolute ('p') one so the clone's
+    readers find the source's bitmap sidecars.  The source's PROTOCOL
+    (reader/writer features) and table properties carry over verbatim —
+    a clone of a column-mapped or DV table stays column-mapped/DV.
+
+    Time travel on the clone starts at its own version 0 (matching
+    Delta: clone history is not source history).  Returns
+    {"version", "files", "source_version"}."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise DeltaLiteError("pass version= or timestamp_ms=, not both")
+        version = version_as_of_timestamp(src_path, int(timestamp_ms))
+    snap = snapshot(src_path, version)
+    if is_delta_table(dst_path):
+        raise DeltaLiteError(
+            f"clone target is already a delta table: {dst_path}"
+        )
+    src_root = os.path.abspath(src_path)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "source": src_root,
+                    "sourceVersion": snap.version,
+                },
+            }
+        },
+        {"protocol": dict(snap.protocol or _PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,  # a clone is a NEW table
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": dict(snap.configuration),
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for a in snap.files:
+        dv = a.deletion_vector
+        if dv is not None and dv.get("storageType") == "u":
+            kind, resolved = _resolve_dv_path(src_root, dv)
+            dv = dict(dv)
+            dv["storageType"] = "p"
+            dv["pathOrInlineDv"] = resolved
+        actions.append(
+            _add_json(
+                AddFile(
+                    # join resolves a clone-of-a-clone's already-absolute
+                    # paths to themselves
+                    path=os.path.join(src_root, a.path),
+                    partition_values=a.partition_values,
+                    size=a.size,
+                    modification_time=a.modification_time,
+                    data_change=True,
+                    stats=a.stats,
+                    deletion_vector=dv,
+                )
+            )
+        )
+    os.makedirs(dst_path, exist_ok=True)
+    if not _try_commit(_log_dir(dst_path), 0, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version 0 of {dst_path} was committed concurrently"
+        )
+    return {
+        "version": 0,
+        "files": len(snap.files),
+        "source_version": snap.version,
+    }
 
 
 def restore(path: str, version: int) -> dict:

@@ -128,6 +128,7 @@ EXTENDED: list[str] = [
     "stream_iceberg_source_totals",
     "sink_iceberg_rollback",
     "sink_iceberg_wap_publish",
+    "sink_delta_shallow_clone",
 ]
 
 

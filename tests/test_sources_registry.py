@@ -129,7 +129,8 @@ def test_driver_window_covers_every_operator_family():
                      "src_encrypted_xlsx_read", "q1_pricing_summary",
                      "setops_segments", "src_iceberg_incremental",
                      "sink_iceberg_rollback", "stream_iceberg_source_totals",
-                     "src_delta_ict_travel", "sink_iceberg_wap_publish"):
+                     "src_delta_ict_travel", "sink_iceberg_wap_publish",
+                     "sink_delta_shallow_clone"):
         assert sentinel in window, sentinel
 
 
