@@ -4273,6 +4273,169 @@ def sink_iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_convert_to_delta",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM lineitem WHERE l_orderkey % 31 = 0 AND l_returnflag <> 'A'
+    """,
+)
+def src_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA (round 9): a Hive-partitioned parquet estate
+    becomes a Delta table IN PLACE — version-0 commit referencing the
+    existing files, zero bytes moved (at 100 TB the only viable
+    migration).  The gate converts a ``l_returnflag``-partitioned dump,
+    asserts no file was rewritten, then exercises the converted table
+    with a partition-pruned read AND a copy-on-write DELETE (proving
+    the table is fully operational post-convert).  Footer stats ride
+    into the adds so data skipping works from the first read."""
+    import glob as _glob
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_returnflag",
+    )
+    path = tempfile.mkdtemp(prefix="gate-convert-") + "/t"
+    base.where(F.col("l_orderkey") % 31 == 0).write.partitionBy(
+        "l_returnflag"
+    ).parquet(path)
+    before = set(
+        _glob.glob(path + "/**/*.parquet", recursive=True)
+    )
+    delta_lite.convert_to_delta(spark, path, partition_by=["l_returnflag"])
+    after = set(_glob.glob(path + "/**/*.parquet", recursive=True))
+    if after != before:
+        raise RuntimeError("convert_to_delta moved or rewrote data files")
+    delta_lite.delete_delta(spark, path, "l_returnflag = 'A'")
+    return delta_lite.read_delta(spark, path)
+
+
+@register(
+    "sink_iceberg_add_files",
+    """
+    SELECT s_suppkey, s_nationkey,
+           CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS bal_cents
+    FROM supplier
+    """,
+)
+def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``add_files`` (round 9): import a Hive-layout parquet
+    dir into an existing Iceberg table by ABSOLUTE path — one append
+    snapshot, zero bytes copied.  The imported files lack the identity
+    partition column in their data (Hive convention); the reader
+    attaches it from the manifest partition tuple (spec: identity
+    fields may read from partition metadata), so the gate's grouped
+    read equals the oracle over BOTH the seeded and imported halves.
+    Manifest pruning is asserted on a partition_filter plan."""
+    import glob as _glob
+
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+        "s_nationkey",
+    )
+    root = tempfile.mkdtemp(prefix="gate-addfiles-")
+    dump, tbl = root + "/hive", root + "/ice"
+    # the existing estate: nation-partitioned Hive dump of ODD keys
+    base.where(F.col("s_suppkey") % 2 == 1).write.partitionBy(
+        "s_nationkey"
+    ).parquet(dump)
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("s_suppkey") % 2 == 0),
+        tbl,
+        partition_by=["s_nationkey"],
+    )
+    res = iceberg_lite.add_files(spark, tbl, dump)
+    n_dump_files = len(
+        _glob.glob(dump + "/**/*.parquet", recursive=True)
+    )
+    if res["files"] != n_dump_files:
+        raise RuntimeError(f"add_files imported {res['files']} != {n_dump_files}")
+    # manifest pruning must plan only the imported+seeded files of one
+    # partition value
+    planned, _ = iceberg_lite.plan_scan(
+        tbl, partition_filter={"s_nationkey": "3"}
+    )
+    if any("s_nationkey=3" not in f.path and "/data/" in f.path
+           for f in planned):
+        raise RuntimeError("pruned plan contains other partitions")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_iceberg_manifest_rewrite",
+    """
+    WITH tgt AS (
+        SELECT p_partkey, p_brand,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM part WHERE p_partkey % 4 IN (0, 1, 2)
+    ), src AS (
+        SELECT p_partkey, p_brand,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * 2 AS price_cents
+        FROM part WHERE p_partkey % 4 IN (2, 3)
+    )
+    SELECT COALESCE(s.p_partkey, t.p_partkey) AS p_partkey,
+           COALESCE(s.p_brand, t.p_brand) AS p_brand,
+           COALESCE(s.price_cents, t.price_cents) AS price_cents
+    FROM tgt t FULL OUTER JOIN src s USING (p_partkey)
+    """,
+)
+def sink_iceberg_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``rewrite_manifests`` (round 9): scan planning reads
+    EVERY manifest, and a commit-per-hour 100 TB table accumulates
+    thousands — manifest compaction is the metadata half of
+    maintenance next to ``rewrite_data_files``.  The gate builds a
+    multi-commit table (3 appends + a MOR MERGE leaving live position
+    deletes), merges its manifests into one-per-(content, spec), and
+    returns the post-rewrite read: the oracle (a full-outer upsert
+    twin) proves delete VISIBILITY survived the merge — merged entries
+    carry explicit sequence numbers precisely so ``delete.seq >=
+    data.seq`` keeps filtering after entries from different commits
+    share one manifest."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-rm-") + "/t"
+    for m in (0, 1, 2):
+        iceberg_lite.write_iceberg(
+            spark, base.where(F.col("p_partkey") % 4 == m), tbl
+        )
+    iceberg_lite.merge_iceberg(
+        spark,
+        base.where((F.col("p_partkey") % 4) >= 2).withColumn(
+            "price_cents", F.col("price_cents") * 2
+        ),
+        tbl,
+        keys=["p_partkey"],
+    )
+    res = iceberg_lite.rewrite_manifests(tbl)
+    if not res["rewritten"] or res["manifests_after"] > 2:
+        raise RuntimeError(f"manifest rewrite ineffective: {res}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
     "sink_delta_shallow_clone",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -2542,6 +2542,107 @@ def history(path: str) -> list:
     return out
 
 
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by=None,
+    partition_schema: dict | None = None,
+) -> dict:
+    """``CONVERT TO DELTA parquet.`path```: turn a plain parquet
+    directory (optionally Hive-partitioned ``col=val/``) into a Delta
+    table IN PLACE — a version-0 commit referencing the existing files,
+    no data rewritten or moved.  This is the standard lake-migration
+    entry point: at 100 TB the only viable conversion is O(files)
+    metadata, never a copy.
+
+    ``partition_by`` names the Hive partition dirs in order;
+    ``partition_schema`` maps partition column -> Spark type string
+    (default ``string``, matching Delta's CONVERT requirement that the
+    caller supplies partition types — dir names alone cannot).  Data
+    schema comes from the parquet footers (Spark's own unioned
+    inference).  Each add action carries footer stats (numRecords +
+    min/max) so data skipping works from the first read.  Refuses if
+    the directory is already a Delta table."""
+    if is_delta_table(path):
+        raise DeltaLiteError(f"already a delta table: {path}")
+    partition_by = list(partition_by or [])
+    partition_schema = dict(partition_schema or {})
+    files = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if d != "_delta_log"]
+        for name in sorted(filenames):
+            if name.endswith(".parquet"):
+                files.append(os.path.join(dirpath, name))
+    if not files:
+        raise DeltaLiteError(f"no parquet files under {path}")
+    adds = []
+    for f in sorted(files):
+        rel_dir = os.path.relpath(os.path.dirname(f), path)
+        segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+        pvals = {}
+        for seg in segs:
+            col, eq, raw = seg.partition("=")
+            if eq:
+                pvals[col] = None if raw == _HIVE_NULL else unquote(raw)
+        if sorted(pvals) != sorted(partition_by):
+            raise DeltaLiteError(
+                f"file {f} has partition dirs {sorted(pvals)}; expected "
+                f"{sorted(partition_by)} (pass partition_by to match the "
+                "layout)"
+            )
+        rel = os.path.relpath(f, path).replace(os.sep, "/")
+        adds.append(
+            AddFile(
+                path=rel,
+                partition_values={c: pvals.get(c) for c in partition_by},
+                size=os.path.getsize(f),
+                modification_time=int(os.path.getmtime(f) * 1000),
+                stats=_footer_stats(f),
+            )
+        )
+    # data schema from the footers (partition cols are NOT in the data
+    # files under Hive layout); partition cols append with caller types
+    from pyspark.sql.types import DataType
+
+    data_schema = spark.read.parquet(*files).schema
+    fields = [f for f in data_schema.fields if f.name not in partition_by]
+    for c in partition_by:
+        fields.append(
+            StructField(
+                c,
+                DataType.fromDDL(partition_schema.get(c, "string")),
+                True,
+            )
+        )
+    schema = StructType(fields)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "engine": "delta-lite",
+                "operationParameters": {"numFiles": len(adds)},
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    actions += [_add_json(a) for a in adds]
+    if not _try_commit(_log_dir(path), 0, actions):
+        raise ConcurrentWriteError(
+            f"version 0 of {path} was committed concurrently"
+        )
+    return {"version": 0, "files": len(adds)}
+
+
 def clone_delta(
     src_path: str,
     dst_path: str,

@@ -987,26 +987,97 @@ def read_iceberg(
     # promoted column.  Unmappable metadata falls back to parquet
     # self-description (pre-evolution behavior).
     table_schema = _spark_schema_from_meta(_load_metadata(table_path))
-    if table_schema is not None:
-        reader = spark.read.schema(table_schema).parquet(
-            *[f.path for f in files]
-        )
-    else:
-        reader = spark.read.parquet(*[f.path for f in files])
-    if not deletes:
-        return residual(reader)
 
     def _norm(col):
         # _metadata.file_path is a URI (file:///x); planned paths are
         # plain local paths (/x) — normalize to the latter
         return F.regexp_replace(col, "^file:/+", "/")
 
-    base_cols = reader.columns
-    data = reader.select(
-        "*",
-        _norm(F.col("_metadata.file_path")).alias("__ice_file"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
+    # ``add_files`` imports reference EXTERNAL Hive-layout files whose
+    # identity partition columns live in the DIR NAME, not the data
+    # (spec: "readers may use partition metadata for identity
+    # fields").  Split those out and attach the manifest's partition
+    # literal per group; internal staged files always carry their
+    # source columns and stay one scan.  Footer checks are one per
+    # distinct external parent dir — O(imported partitions), driver
+    # metadata class.
+    root = os.path.abspath(table_path) + os.sep
+    internal, external = [], []
+    for f in files:
+        (internal
+         if os.path.abspath(f.path).startswith(root)
+         else external).append(f)
+    ext_groups = []  # (entries, {missing col -> partition literal})
+    if external:
+        if table_schema is None:
+            raise IcebergLiteError(
+                "external (add_files-imported) data files need a "
+                "readable table schema in the metadata"
+            )
+        import pyarrow.parquet as _pq
+
+        from pyspark.sql.types import StructType
+
+        dtype_by_name = {f.name: f.dataType for f in table_schema.fields}
+        cols_cache: dict = {}
+        by_key: dict = {}
+        for f in external:
+            d = os.path.dirname(f.path)
+            cols = cols_cache.get(d)
+            if cols is None:
+                cols = cols_cache[d] = set(_pq.read_schema(f.path).names)
+            missing = sorted(
+                c for c in f.partition
+                if c not in cols and c in dtype_by_name
+            )
+            key = tuple((c, f.partition[c]) for c in missing)
+            by_key.setdefault(key, []).append(f)
+        for key, group in sorted(by_key.items()):
+            if not key:
+                internal.extend(group)
+            else:
+                ext_groups.append((group, dict(key)))
+    need_meta = bool(deletes)
+
+    def _with_meta(df):
+        return df.select(
+            "*",
+            _norm(F.col("_metadata.file_path")).alias("__ice_file"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+
+    parts = []
+    if internal:
+        if table_schema is not None:
+            df = spark.read.schema(table_schema).parquet(
+                *[f.path for f in internal]
+            )
+        else:
+            df = spark.read.parquet(*[f.path for f in internal])
+        parts.append(_with_meta(df) if need_meta else df)
+    for group, attach in ext_groups:
+        sub = StructType(
+            [f for f in table_schema.fields if f.name not in attach]
+        )
+        df = spark.read.schema(sub).parquet(*[f.path for f in group])
+        if need_meta:
+            df = _with_meta(df)
+        for c, v in attach.items():
+            df = df.withColumn(c, F.lit(v).cast(dtype_by_name[c]))
+        order = [f.name for f in table_schema.fields] + (
+            ["__ice_file", "__ice_pos"] if need_meta else []
+        )
+        parts.append(df.select(*order))
+    reader = parts[0]
+    for p in parts[1:]:
+        reader = reader.unionByName(p)
+    if not deletes:
+        return residual(reader)
+
+    data = reader
+    base_cols = [
+        c for c in data.columns if c not in ("__ice_file", "__ice_pos")
+    ]
     # O(data files) mapping: as-written path -> (local path, data seq)
     file_map = spark.createDataFrame(
         [(f.orig_path, f.path, f.sequence_number) for f in files],
@@ -1244,6 +1315,11 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
     return [
         ("status", "int"),
         ("snapshot_id", ["null", "long"]),
+        # null on normal commits (inherits the manifest-list sequence
+        # number, spec §Sequence Number Inheritance); EXPLICIT on
+        # entries rewritten by rewrite_manifests, which merges entries
+        # from manifests with DIFFERENT sequence numbers into one file
+        ("sequence_number", ["null", "long"]),
         ("data_file", data_file),
     ]
 
@@ -1816,9 +1892,15 @@ def _commit_snapshot(
                 (
                     1,  # status ADDED
                     snap_id,
+                    None,  # sequence inherits from the manifest list
                     (
                         file_content,
-                        f"{location}/{rel}",
+                        # add_files imports reference EXTERNAL files by
+                        # absolute path (they stay in place); staged
+                        # writes are table-relative
+                        rel
+                        if rel.startswith(("/", "file:"))
+                        else f"{location}/{rel}",
                         "PARQUET",
                         tuple(pvals.get(f.name) for f in part_fields),
                         int(count),
@@ -1935,6 +2017,100 @@ def _commit_snapshot(
             f"metadata v{snap_id} was committed concurrently"
         )
     return snap_id
+
+
+def add_files(
+    spark: SparkSession,
+    table_path: str,
+    source_dir: str,
+    max_retries: int = 3,
+) -> dict:
+    """Iceberg's ``add_files`` procedure: import a Hive-layout parquet
+    directory into an EXISTING table as one append snapshot — the
+    files are referenced IN PLACE by absolute path (manifest
+    ``file_path`` need not live under the table location), zero bytes
+    copied, O(files) metadata.  This is the production migration lever:
+    a 100 TB Hive table becomes Iceberg-queryable in one commit.
+
+    Partition values come from the ``col=val`` dirs and must cover the
+    table's CURRENT spec fields; only identity transforms are
+    supported (a ``days(ts)``/``bucket`` spec cannot be derived from
+    Hive dir names — Iceberg's own procedure has the same shape).
+    Footer row counts and min/max bounds ride into the manifest, so
+    value-bounds pruning works from the first read.
+    ``expire_snapshots``/``remove_orphan_files`` never delete imported
+    files: the table references, but does not own, bytes outside its
+    root.  Returns {"snapshot_id", "files"}."""
+    from urllib.parse import unquote as _unquote
+
+    if not is_iceberg_table(table_path):
+        raise IcebergLiteError(
+            f"add_files needs an existing table: {table_path} "
+            "(create it with write_iceberg first)"
+        )
+    meta = _load_metadata(table_path)
+    part_fields = _partition_spec_fields(meta)
+    non_identity = [
+        f
+        for f in part_fields
+        if parse_transform(f.transform)[0] != "identity"
+    ]
+    if non_identity:
+        raise IcebergLiteError(
+            "add_files supports identity partition specs only; table "
+            f"has {[(f.transform, f.source) for f in non_identity]}"
+        )
+    want = sorted(f.name for f in part_fields)
+    entries = []
+    for dirpath, dirnames, filenames in sorted(os.walk(source_dir)):
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            f = os.path.join(dirpath, name)
+            rel_dir = os.path.relpath(dirpath, source_dir)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pvals = {}
+            for seg in segs:
+                col, eq, raw = seg.partition("=")
+                if eq:
+                    pvals[col] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else _unquote(raw)
+                    )
+            if sorted(pvals) != want:
+                raise IcebergLiteError(
+                    f"file {f} has partition dirs {sorted(pvals)}; the "
+                    f"table spec needs {want}"
+                )
+            from .delta_lite import _footer_stats
+
+            stats = _footer_stats(f) or {}
+            entries.append(
+                (
+                    os.path.abspath(f),
+                    pvals,
+                    _footer_rows(f),
+                    os.path.getsize(f),
+                    {"min": stats.get("minValues") or {},
+                     "max": stats.get("maxValues") or {}},
+                )
+            )
+    if not entries:
+        raise IcebergLiteError(f"no parquet files under {source_dir}")
+    attempt = 0
+    while True:
+        try:
+            snap = _commit_snapshot(
+                table_path, part_fields,
+                data_entries=entries, delete_entries=[],
+            )
+            return {"snapshot_id": snap, "files": len(entries)}
+        except ConcurrentIcebergWrite:
+            # imported files are external — nothing staged to discard
+            if attempt >= max_retries:
+                raise
+            attempt += 1
 
 
 def merge_iceberg(
@@ -2319,6 +2495,142 @@ def rewrite_data_files(
     }
 
 
+def rewrite_manifests(table_path: str) -> dict:
+    """Iceberg's ``rewrite_manifests`` maintenance procedure: merge the
+    current snapshot's manifests into ONE per (content, spec-id) — pure
+    metadata, no data file touched.  Every append adds a manifest, so a
+    100 TB table fed by frequent commits accumulates thousands; since
+    scan planning reads every manifest, planning latency grows linearly
+    until manifests are compacted.  Merged entries carry their original
+    sequence number EXPLICITLY (spec §Sequence Number Inheritance is
+    per-manifest, and the merge crosses manifests), so MOR
+    delete-visibility rules (``delete.seq >= data.seq``) survive the
+    rewrite — the gate asserts identical reads before/after with live
+    position deletes.  Commits a REPLACE-style snapshot; old manifests
+    age out via :func:`expire_snapshots`."""
+    meta = _load_metadata(table_path)
+    rebase = _rebaser(meta, table_path)
+    location = meta.get("location") or table_path.rstrip("/")
+    cur_id = meta.get("current-snapshot-id")
+    cur = next(
+        (s for s in meta.get("snapshots") or []
+         if s.get("snapshot-id") == cur_id),
+        None,
+    )
+    if cur is None:
+        return {"manifests_before": 0, "manifests_after": 0,
+                "snapshot_id": None, "rewritten": False}
+
+    def _kv_list(raw):
+        out = []
+        for item in raw or []:
+            if isinstance(item, dict):
+                out.append((int(item["key"]), item["value"]))
+            else:
+                out.append((int(item[0]), item[1]))
+        return out or None
+
+    groups: dict = {}  # (manifest content, spec_id) -> [entry tuple]
+    part_cols_by_spec: dict = {}
+    before = 0
+    for mf in _read_manifest_rows(rebase(cur["manifest-list"])):
+        before += 1
+        spec_id = int(mf.get("partition_spec_id") or 0)
+        mf_seq = int(mf.get("sequence_number") or 0)
+        mf_content = int(mf.get("content") or 0)
+        if spec_id not in part_cols_by_spec:
+            part_cols_by_spec[spec_id] = [
+                f.name for f in _partition_spec_fields(meta, spec_id)
+            ]
+        part_cols = part_cols_by_spec[spec_id]
+        for entry in _read_manifest_rows(rebase(mf["manifest_path"])):
+            if int(entry.get("status") or 0) == 2:  # DELETED drops out
+                continue
+            seq = entry.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
+            dfile = entry["data_file"]
+            partition = dfile.get("partition") or {}
+            groups.setdefault((mf_content, spec_id), []).append(
+                (
+                    0,  # status EXISTING: carried, not added, by this snap
+                    entry.get("snapshot_id"),
+                    seq,  # EXPLICIT: the merge crosses sequence numbers
+                    (
+                        int(dfile.get("content") or 0),
+                        dfile["file_path"],
+                        str(dfile.get("file_format", "PARQUET")).upper(),
+                        tuple(partition.get(c) for c in part_cols),
+                        int(dfile.get("record_count") or 0),
+                        int(dfile.get("file_size_in_bytes") or 0),
+                        list(dfile.get("equality_ids") or []) or None,
+                        _kv_list(dfile.get("lower_bounds")),
+                        _kv_list(dfile.get("upper_bounds")),
+                    ),
+                )
+            )
+    if before <= len(groups):
+        return {"manifests_before": before, "manifests_after": before,
+                "snapshot_id": None, "rewritten": False}
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    snap_id = version
+    new_manifests = []
+    for (mf_content, spec_id), rows in sorted(groups.items()):
+        tag = "data" if mf_content == 0 else "delete"
+        man_rel = (
+            f"metadata/manifest-{tag}-{snap_id}-{_uuid.uuid4().hex}.avro"
+        )
+        _write_manifest(
+            table_path, man_rel, part_cols_by_spec[spec_id], rows
+        )
+        new_manifests.append(
+            (
+                f"{location}/{man_rel}",
+                os.path.getsize(os.path.join(table_path, man_rel)),
+                spec_id,
+                mf_content,
+                # list-level fallback for any null entry seq: the max
+                # carried sequence is the only lossless single value
+                max(r[2] for r in rows),
+                snap_id,
+            )
+        )
+    ml_rel = f"metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    avro_lite.write_avro(
+        os.path.join(table_path, ml_rel),
+        [n for n, _ in _MANIFEST_LIST_FIELDS],
+        [t for _, t in _MANIFEST_LIST_FIELDS],
+        new_manifests,
+        record_name="manifest_file",
+    )
+    import time as _time
+
+    new_meta = dict(meta)
+    snapshots = list(meta.get("snapshots") or [])
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": int(meta.get("last-sequence-number") or 0),
+            "parent-snapshot-id": cur_id,
+            "timestamp-ms": int(_time.time() * 1000),
+            "manifest-list": f"{location}/{ml_rel}",
+            "summary": {"operation": "replace"},
+        }
+    )
+    new_meta["snapshots"] = snapshots
+    new_meta["current-snapshot-id"] = snap_id
+    refs = dict(meta.get("refs") or {})
+    refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+    new_meta["refs"] = refs
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "rewrite_manifests"
+        )
+    return {"manifests_before": before, "manifests_after": len(groups),
+            "snapshot_id": snap_id, "rewritten": True}
+
+
 def rollback_to_snapshot(table_path: str, snapshot_id) -> dict:
     """Iceberg's ``rollback_to_snapshot`` maintenance procedure: make an
     EARLIER snapshot current again by a pure metadata commit — no file
@@ -2458,7 +2770,12 @@ def expire_snapshots(
     for s in expired:
         dead |= _snapshot_owned_paths(meta, table_path, s)
     deleted = 0
+    root = os.path.abspath(table_path) + os.sep
     for path in sorted(dead - live):
+        if not os.path.abspath(path).startswith(root):
+            # files imported via add_files live OUTSIDE the table root;
+            # the table references, but never owns, those bytes
+            continue
         try:
             os.remove(path)
             deleted += 1

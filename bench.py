@@ -129,6 +129,9 @@ EXTENDED: list[str] = [
     "sink_iceberg_rollback",
     "sink_iceberg_wap_publish",
     "sink_delta_shallow_clone",
+    "src_convert_to_delta",
+    "sink_iceberg_add_files",
+    "sink_iceberg_manifest_rewrite",
 ]
 
 

@@ -1209,3 +1209,60 @@ def test_fast_forward_unknown_branch_refuses(spark, tmp_path):
     )
     with pytest.raises(iceberg_lite.IcebergLiteError, match="no such branch"):
         iceberg_lite.fast_forward(path, "ghost")
+
+
+# ------------------------------------------------- rewrite_manifests
+
+
+def test_rewrite_manifests_merges_and_preserves_mor_reads(spark, tmp_path):
+    """Four appends + a MOR MERGE accumulate one manifest per commit;
+    rewrite_manifests folds them into one data + one delete manifest
+    with EXPLICIT per-entry sequence numbers, and the read (incl.
+    delete visibility) is unchanged."""
+    path = str(tmp_path / "rm")
+    for lo in (0, 10, 20, 30):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 as v"),
+            path,
+        )
+    # MOR merge: update some rows -> position delete files
+    src = spark.range(5, 25).selectExpr("id", "id * 100 as v")
+    iceberg_lite.merge_iceberg(spark, src, path, keys=["id"])
+    before_rows = {(r.id, r.v) for r in
+                   iceberg_lite.read_iceberg(spark, path).collect()}
+    res = iceberg_lite.rewrite_manifests(path)
+    assert res["rewritten"] and res["manifests_before"] > res["manifests_after"]
+    assert res["manifests_after"] <= 2  # one data + one delete manifest
+    after_rows = {(r.id, r.v) for r in
+                  iceberg_lite.read_iceberg(spark, path).collect()}
+    assert after_rows == before_rows
+    assert (5, 500) in after_rows and (5, 10) not in after_rows
+    # idempotent: already one manifest per (content, spec)
+    res2 = iceberg_lite.rewrite_manifests(path)
+    assert res2["rewritten"] is False
+    # time travel to the pre-rewrite snapshot still works
+    prior = iceberg_lite.read_iceberg(
+        spark, path, snapshot_id=res["snapshot_id"] - 1
+    )
+    assert {(r.id, r.v) for r in prior.collect()} == before_rows
+
+
+def test_rewrite_manifests_then_expire_reclaims_old_manifests(
+    spark, tmp_path
+):
+    import glob as _glob
+
+    path = str(tmp_path / "rm2")
+    for lo in (0, 10, 20):
+        iceberg_lite.write_iceberg(
+            spark, spark.range(lo, lo + 10).selectExpr("id"), path
+        )
+    n_manifests = len(
+        _glob.glob(os.path.join(path, "metadata", "manifest-*.avro"))
+    )
+    iceberg_lite.rewrite_manifests(path)
+    iceberg_lite.expire_snapshots(path, keep_last=1)
+    left = _glob.glob(os.path.join(path, "metadata", "manifest-*.avro"))
+    assert len(left) < n_manifests
+    assert iceberg_lite.read_iceberg(spark, path).count() == 30

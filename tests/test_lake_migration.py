@@ -1,0 +1,166 @@
+"""Lake-migration entry points (round 9): ``convert_to_delta`` (plain
+parquet dir -> Delta IN PLACE, version-0 commit referencing existing
+files) and iceberg ``add_files`` (import a Hive-layout dir into an
+existing Iceberg table by absolute path).  Both are O(files) metadata —
+at 100 TB the only viable migration is zero-copy.  Reference parity:
+the reference's Collect->Cleanse promotion assumes managed-format
+tables; these are how an existing estate gets there."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.sources import delta_lite as dl
+from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def hive_dir(spark, tmp_path):
+    """A plain Hive-partitioned parquet dir (no table format)."""
+    path = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", v=float(i))
+         for i in range(12)]
+    ).select("id", "grp", "v")
+    df.write.partitionBy("grp").parquet(path)
+    return path
+
+
+# ------------------------------------------------------ convert_to_delta
+
+
+def test_convert_to_delta_in_place_zero_copy(spark, hive_dir):
+    before = set(
+        glob.glob(os.path.join(hive_dir, "**", "*.parquet"), recursive=True)
+    )
+    res = dl.convert_to_delta(spark, hive_dir, partition_by=["grp"])
+    assert res["version"] == 0 and res["files"] == len(before)
+    # no file moved, copied, or rewritten
+    after = set(
+        glob.glob(os.path.join(hive_dir, "**", "*.parquet"), recursive=True)
+    )
+    assert after == before
+    got = dl.read_delta(spark, hive_dir)
+    assert _ids(got) == list(range(12))
+    # partition pruning works off the converted log
+    assert _ids(dl.read_delta(spark, hive_dir,
+                              partition_filter={"grp": "a"})) \
+        == list(range(0, 12, 2))
+    # the adds carry footer stats (data skipping from the first read)
+    assert all(
+        a.stats and a.stats.get("numRecords")
+        for a in dl.snapshot(hive_dir).files
+    )
+
+
+def test_convert_then_delta_ops_work(spark, hive_dir):
+    dl.convert_to_delta(spark, hive_dir, partition_by=["grp"])
+    # converted schema puts partition cols LAST — appends match it
+    extra = spark.createDataFrame([Row(id=100, grp="a", v=1.0)]).select(
+        "id", "v", "grp"
+    )
+    dl.write_delta(extra, hive_dir, mode="append")
+    dl.delete_delta(spark, hive_dir, "id < 3")
+    assert _ids(dl.read_delta(spark, hive_dir)) == list(range(3, 12)) + [100]
+    # history: CONVERT then APPEND then DELETE
+    ops = [h["operation"] for h in dl.history(hive_dir)]
+    assert ops[0] == "CONVERT" and ops[-1] == "DELETE"
+
+
+def test_convert_partition_types_and_guards(spark, tmp_path):
+    path = str(tmp_path / "typed")
+    df = spark.createDataFrame(
+        [Row(id=i, yr=2020 + i % 2) for i in range(6)]
+    ).select("id", "yr")
+    df.write.partitionBy("yr").parquet(path)
+    dl.convert_to_delta(
+        spark, path, partition_by=["yr"], partition_schema={"yr": "int"}
+    )
+    got = dl.read_delta(spark, path)
+    assert dict(got.dtypes)["yr"] == "int"
+    assert {r.yr for r in got.collect()} == {2020, 2021}
+    with pytest.raises(dl.DeltaLiteError, match="already a delta table"):
+        dl.convert_to_delta(spark, path, partition_by=["yr"])
+
+
+def test_convert_refuses_layout_mismatch(spark, hive_dir):
+    with pytest.raises(dl.DeltaLiteError, match="partition dirs"):
+        dl.convert_to_delta(spark, hive_dir)  # forgot partition_by
+
+
+# ----------------------------------------------------- iceberg add_files
+
+
+def test_add_files_imports_hive_dir_in_place(spark, hive_dir, tmp_path):
+    tbl = str(tmp_path / "ice")
+    seed = spark.createDataFrame(
+        [Row(id=100, grp="a", v=0.5), Row(id=101, grp="b", v=1.5)]
+    ).select("id", "grp", "v")
+    il.write_iceberg(spark, seed, tbl, partition_by=["grp"])
+    res = il.add_files(spark, tbl, hive_dir)
+    assert res["files"] == len(
+        glob.glob(os.path.join(hive_dir, "**", "*.parquet"), recursive=True)
+    )
+    got = il.read_iceberg(spark, tbl)
+    # identity partition column attaches from the manifest for the
+    # imported files (their data lacks the grp column)
+    assert _ids(got) == list(range(12)) + [100, 101]
+    by_grp = {
+        r.grp: r.n
+        for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp == {"a": 7, "b": 7}
+    # imported bytes stay where they were
+    assert not glob.glob(os.path.join(tbl, "data", "**", "grp=*", "*id=*"),
+                         recursive=True)
+    # partition pruning still plans on the manifests
+    pruned = il.read_iceberg(spark, tbl, partition_filter={"grp": "b"})
+    assert _ids(pruned) == list(range(1, 12, 2)) + [101]
+
+
+def test_add_files_expire_never_deletes_external_bytes(
+    spark, hive_dir, tmp_path
+):
+    tbl = str(tmp_path / "ice2")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=500, grp="a", v=0.0)]).select(
+            "id", "grp", "v"
+        ),
+        tbl,
+        partition_by=["grp"],
+    )
+    il.add_files(spark, tbl, hive_dir)
+    # rewrite everything internal, expiring the import snapshot
+    il.rewrite_data_files(spark, tbl)
+    before = set(
+        glob.glob(os.path.join(hive_dir, "**", "*.parquet"), recursive=True)
+    )
+    il.expire_snapshots(tbl, keep_last=1)
+    assert set(
+        glob.glob(os.path.join(hive_dir, "**", "*.parquet"), recursive=True)
+    ) == before
+    assert _ids(il.read_iceberg(spark, tbl)) == list(range(12)) + [500]
+
+
+def test_add_files_guards(spark, hive_dir, tmp_path):
+    with pytest.raises(il.IcebergLiteError, match="existing table"):
+        il.add_files(spark, str(tmp_path / "none"), hive_dir)
+    tbl = str(tmp_path / "ice3")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=1, grp="a", v=0.0)]).select(
+            "id", "grp", "v"
+        ),
+        tbl,
+    )
+    # unpartitioned table, partitioned dir -> dir mismatch
+    with pytest.raises(il.IcebergLiteError, match="partition dirs"):
+        il.add_files(spark, tbl, hive_dir)

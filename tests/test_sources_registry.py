@@ -130,7 +130,9 @@ def test_driver_window_covers_every_operator_family():
                      "setops_segments", "src_iceberg_incremental",
                      "sink_iceberg_rollback", "stream_iceberg_source_totals",
                      "src_delta_ict_travel", "sink_iceberg_wap_publish",
-                     "sink_delta_shallow_clone"):
+                     "sink_delta_shallow_clone", "src_convert_to_delta",
+                     "sink_iceberg_add_files",
+                     "sink_iceberg_manifest_rewrite"):
         assert sentinel in window, sentinel
 
 
