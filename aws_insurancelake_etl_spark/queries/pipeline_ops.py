@@ -4376,6 +4376,58 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_identity_generated",
+    """
+    SELECT CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) >= 0
+                THEN 'pos' ELSE 'neg' END AS band,
+           COUNT(*) AS n_rows,
+           COUNT(*) AS n_distinct_ids,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS bal_cents
+    FROM customer WHERE c_custkey % 3 = 0
+    GROUP BY 1
+    """,
+)
+def sink_delta_identity_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED + IDENTITY columns (round 9, the last two named
+    writer-feature refusals): the table is created with a computed
+    ``band`` (``delta.generationExpression``, validated on every write)
+    and a minted ``row_id`` (``delta.identity.*``, executor-side
+    ``monotonically_increasing_id`` — no shuffle, no driver loop; the
+    high-water mark advances from staged footer stats, costing zero
+    extra jobs).  Minted ids are SPARSE and layout-dependent, so the
+    gate proves the contract deterministically: per-band row counts
+    equal DISTINCT-id counts (uniqueness across two separate commits),
+    and the generated band values match the oracle's expression."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    ).where(F.col("c_custkey") % 3 == 0)
+    tbl = tempfile.mkdtemp(prefix="gate-delta-ig-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 2 == 0),
+        tbl,
+        generated_columns={
+            "band": "CASE WHEN bal_cents >= 0 THEN 'pos' ELSE 'neg' END"
+        },
+        identity_columns={"row_id": {"start": 1, "step": 1}},
+    )
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 2 == 1), tbl, mode="append"
+    )
+    got = delta_lite.read_delta(spark, tbl)
+    return got.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.sum("bal_cents").alias("bal_cents"),
+    )
+
+
+@register(
     "sink_iceberg_manifest_rewrite",
     """
     WITH tgt AS (

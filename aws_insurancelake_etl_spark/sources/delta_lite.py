@@ -1222,6 +1222,66 @@ def _maybe_checkpoint(path: str, version: int) -> None:
         _write_checkpoint(path, version)
 
 
+def _identity_meta(schema: StructType) -> dict:
+    """{name: {"start", "step", "hwm", "allow"}} for fields carrying
+    §Identity Columns metadata."""
+    out = {}
+    for f in schema.fields:
+        m = dict(f.metadata or {})
+        if "delta.identity.start" in m or "delta.identity.step" in m:
+            out[f.name] = {
+                "start": int(m.get("delta.identity.start", 1)),
+                "step": int(m.get("delta.identity.step", 1) or 1),
+                "hwm": m.get("delta.identity.highWaterMark"),
+                "allow": bool(m.get("delta.identity.allowExplicitInsert",
+                                    False)),
+            }
+    return out
+
+
+def _assign_identity(df: DataFrame, name: str, info: dict) -> DataFrame:
+    """Mint identity values executor-side: ``monotonically_increasing_id``
+    is unique per row with zero shuffle; ids are SPARSE (the spec only
+    requires uniqueness and step direction), and the new high-water
+    mark is read from the staged parquet footers afterwards."""
+    base = info["hwm"]
+    if base is None:
+        base = info["start"] - info["step"]
+    return df.withColumn(
+        name,
+        (
+            F.lit(int(base))
+            + F.lit(int(info["step"]))
+            * (F.monotonically_increasing_id() + 1)
+        ).cast("long"),
+    )
+
+
+def _apply_generated(df: DataFrame, schema: StructType) -> DataFrame:
+    """Compute absent / validate provided generated columns against
+    their ``delta.generationExpression`` (PROTOCOL.md: writers must
+    enforce the expression when the column is supplied)."""
+    for f in schema.fields:
+        expr = dict(f.metadata or {}).get("delta.generationExpression")
+        if not expr:
+            continue
+        target = F.expr(expr).cast(f.dataType)
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, target)
+        else:
+            bad = (
+                df.where(~F.col(f.name).eqNullSafe(target))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise DeltaLiteError(
+                    f"provided values for generated column {f.name!r} "
+                    f"violate its generation expression {expr!r}"
+                )
+    return df
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1230,6 +1290,8 @@ def write_delta(
     schema_mode: str = "strict",
     configuration: dict | None = None,
     column_mapping: str | None = None,
+    generated_columns: dict | None = None,
+    identity_columns: dict | None = None,
 ) -> int:
     """Commit a Spark DataFrame as a delta-lite ``append``/``overwrite``.
     Returns the committed version.  Appends retry on commit conflicts;
@@ -1257,7 +1319,22 @@ def write_delta(
     evolve-appends, which mint NEW ids/physical names for added
     columns) to an already-mapped table physicalize automatically; a
     schema-CHANGING overwrite of a mapped table raises (id reuse
-    semantics are a deliberate non-goal)."""
+    semantics are a deliberate non-goal).
+
+    ``generated_columns`` (CREATION only): {name: SQL expression} —
+    PROTOCOL.md §Generated Columns (``delta.generationExpression``
+    field metadata, the ``generatedColumns`` writer feature).  On every
+    write the column is COMPUTED when absent and VALIDATED when
+    provided (a mismatch refuses the commit, as delta-spark's CHECK
+    does).  ``identity_columns`` (CREATION only): {name: {"start",
+    "step", "allow_explicit": bool}} — §Identity Columns.  Values are
+    assigned executor-side from ``monotonically_increasing_id`` (no
+    shuffle, no driver loop; unique and watermark-monotonic but sparse,
+    which the spec permits) and the committed metaData advances
+    ``delta.identity.highWaterMark`` from the STAGED FILES' footer
+    stats, so no extra job runs.  An identity-assigning append that
+    loses its commit race refuses instead of blind-retrying (the ids
+    were minted against the loser's high-water mark)."""
     if mode not in ("append", "overwrite"):
         raise DeltaLiteError(f"mode must be append|overwrite, got {mode!r}")
     if schema_mode not in ("strict", "evolve"):
@@ -1271,6 +1348,8 @@ def write_delta(
     existing = None
     evolved = False
     phys = None  # logical -> physical (column-mapped tables only)
+    idm: dict = {}  # identity metadata of the EXISTING table
+    identity_assigned: list = []  # identity cols minted THIS write
     if is_delta_table(path):
         existing = snapshot(path)
         _guard_writable(existing, operation=mode)
@@ -1279,6 +1358,45 @@ def write_delta(
                 "column_mapping is a table-creation option; the table's "
                 "existing mapping mode governs appends"
             )
+        if generated_columns or identity_columns:
+            raise DeltaLiteError(
+                "generated_columns/identity_columns are table-creation "
+                "options; the table's schema metadata governs writes"
+            )
+        # §Generated Columns: compute absent, validate provided
+        has_gen_meta = any(
+            dict(f.metadata or {}).get("delta.generationExpression")
+            for f in existing.schema.fields
+        )
+        df = _apply_generated(df, existing.schema)
+        # §Identity Columns: mint absent (explicit values need
+        # allowExplicitInsert, as in delta-spark)
+        idm = _identity_meta(existing.schema)
+        for name, info in idm.items():
+            if name in df.columns:
+                if not info["allow"]:
+                    raise DeltaLiteError(
+                        f"identity column {name!r} does not allow "
+                        "explicit inserts "
+                        "(delta.identity.allowExplicitInsert=false)"
+                    )
+            else:
+                df = _assign_identity(df, name, info)
+                identity_assigned.append(name)
+        if (has_gen_meta or idm) and schema_mode == "evolve":
+            raise DeltaLiteError(
+                "schema_mode='evolve' on a table with generated/identity "
+                "columns is not supported (the evolve commit would "
+                "rewrite the schemaString and strip their metadata)"
+            )
+        if (has_gen_meta or idm) and set(df.columns) == {
+            f.name for f in existing.schema.fields
+        } and [f.name for f in df.schema.fields] != [
+            f.name for f in existing.schema.fields
+        ]:
+            # computed columns append at the END of df; realign to the
+            # table's field order before the strict schema check
+            df = df.select(*[f.name for f in existing.schema.fields])
         if _column_mapping_mode(existing.configuration) != "none":
             phys = _physical_names(existing.schema)
             if mode == "overwrite" and _schema_key(df.schema) != _schema_key(
@@ -1321,6 +1439,52 @@ def write_delta(
                     *[f.name for f in added],
                 )
                 evolved = True
+    schema_override = None  # schemaString carrier for gen/identity meta
+    if existing is None and (generated_columns or identity_columns):
+        if column_mapping is not None:
+            raise DeltaLiteError(
+                "generated/identity columns + column_mapping in one "
+                "creation is not supported (metadata merge is a "
+                "deliberate non-goal)"
+            )
+        for name, expr in (generated_columns or {}).items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+        for name, spec_ in (identity_columns or {}).items():
+            if name in df.columns:
+                raise DeltaLiteError(
+                    f"identity column {name!r} must not be supplied at "
+                    "creation"
+                )
+            df = _assign_identity(
+                df,
+                name,
+                {
+                    "start": int(spec_.get("start", 1)),
+                    "step": int(spec_.get("step", 1) or 1),
+                    "hwm": None,
+                    "allow": bool(spec_.get("allow_explicit", False)),
+                },
+            )
+            identity_assigned.append(name)
+        fields = []
+        for f in df.schema.fields:
+            meta = dict(f.metadata or {})
+            if generated_columns and f.name in generated_columns:
+                meta["delta.generationExpression"] = generated_columns[
+                    f.name
+                ]
+            if identity_columns and f.name in identity_columns:
+                sp = identity_columns[f.name]
+                meta["delta.identity.start"] = int(sp.get("start", 1))
+                meta["delta.identity.step"] = int(sp.get("step", 1) or 1)
+                meta["delta.identity.allowExplicitInsert"] = bool(
+                    sp.get("allow_explicit", False)
+                )
+            fields.append(
+                StructField(f.name, f.dataType, f.nullable, metadata=meta)
+            )
+        schema_override = StructType(fields)
     mapped_schema = None
     merged_conf = dict(existing.configuration) if existing is not None else {}
     if configuration:
@@ -1375,12 +1539,48 @@ def write_delta(
         path,
         [phys[c] for c in partition_by] if phys else partition_by,
     )
+    # §Identity Columns: advance highWaterMark from the STAGED footer
+    # stats — the extremum of what this commit actually wrote (no extra
+    # job; stats are already in the add actions)
+    id_meta_changed = False
+    track_schema = (
+        existing.schema if (existing is not None and idm) else schema_override
+    )
+    if track_schema is not None and _identity_meta(track_schema):
+        info_all = _identity_meta(track_schema)
+        fields = []
+        for f in track_schema.fields:
+            meta = dict(f.metadata or {})
+            if f.name in info_all:
+                info = info_all[f.name]
+                key = "maxValues" if info["step"] > 0 else "minValues"
+                vals = [
+                    int((a.stats or {}).get(key, {}).get(f.name))
+                    for a in adds
+                    if (a.stats or {}).get(key, {}).get(f.name) is not None
+                ]
+                if vals:
+                    ext = max(vals) if info["step"] > 0 else min(vals)
+                    old = info["hwm"]
+                    if (
+                        old is None
+                        or (info["step"] > 0 and ext > int(old))
+                        or (info["step"] < 0 and ext < int(old))
+                    ):
+                        meta["delta.identity.highWaterMark"] = ext
+                        id_meta_changed = True
+            fields.append(
+                StructField(f.name, f.dataType, f.nullable, metadata=meta)
+            )
+        if id_meta_changed:
+            schema_override = StructType(fields)
     actions = [
         {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
     ]
     meta_needed = (
         existing is None
         or evolved
+        or id_meta_changed
         or merged_conf != (existing.configuration if existing else {})
         or mode == "overwrite"
         and (
@@ -1393,16 +1593,20 @@ def write_delta(
             f.dataType.typeName() for f in df.schema.fields
         }
         has_ict = _ict_enabled(merged_conf)
-        if has_variant or has_ict:
+        has_gen = bool(generated_columns)
+        has_id = bool(identity_columns)
+        if has_variant or has_ict or has_gen or has_id:
             # TABLE FEATURES protocol (PROTOCOL.md): variant is a
-            # reader+writer feature, in-commit timestamps writer-only;
-            # the feature lists also carry the legacy features the
-            # lower versions imply
+            # reader+writer feature, in-commit timestamps / generated /
+            # identity columns writer-only; the feature lists also
+            # carry the legacy features the lower versions imply
             r_feats = (["variantType"] if has_variant else []) + (
                 ["columnMapping"] if mapped_schema is not None else []
             )
             w_feats = list(r_feats) + ["appendOnly", "invariants"] + (
-                ["inCommitTimestamp"] if has_ict else []
+                (["inCommitTimestamp"] if has_ict else [])
+                + (["generatedColumns"] if has_gen else [])
+                + (["identityColumns"] if has_id else [])
             )
             proto = {
                 "minReaderVersion": 3 if r_feats else 1,
@@ -1427,6 +1631,8 @@ def write_delta(
                     "schemaString": (
                         mapped_schema.json()
                         if mapped_schema is not None
+                        else schema_override.json()
+                        if schema_override is not None
                         else df.schema.json()
                     ),
                     "partitionColumns": partition_by,
@@ -1457,6 +1663,16 @@ def write_delta(
             raise ConcurrentWriteError(
                 f"version {version} was committed concurrently; "
                 "re-run overwrite against the new snapshot"
+            )
+        if identity_assigned or id_meta_changed:
+            # the minted ids / advanced highWaterMark were computed
+            # against the LOSER's snapshot — blind retry could collide
+            # with the winner's allocations; the caller re-runs fresh
+            _discard_staged(path, adds)
+            raise ConcurrentWriteError(
+                f"version {version} was committed concurrently while "
+                "assigning identity values; re-run against the new "
+                "snapshot"
             )
         # An append retry must RE-VALIDATE against the winner's state —
         # blindly re-committing would clobber a concurrent schema or
@@ -1505,6 +1721,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # feature's whole writer contract
     "inCommitTimestamp",
     "inCommitTimestamp-preview",
+    # round 9: writes COMPUTE/VALIDATE delta.generationExpression
+    # columns and MINT delta.identity values (high-water mark advanced
+    # from staged footer stats) — the features' writer contracts
+    "generatedColumns",
+    "identityColumns",
 }
 
 

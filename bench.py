@@ -132,6 +132,7 @@ EXTENDED: list[str] = [
     "src_convert_to_delta",
     "sink_iceberg_add_files",
     "sink_iceberg_manifest_rewrite",
+    "sink_delta_identity_generated",
 ]
 
 

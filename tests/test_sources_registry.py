@@ -132,7 +132,8 @@ def test_driver_window_covers_every_operator_family():
                      "src_delta_ict_travel", "sink_iceberg_wap_publish",
                      "sink_delta_shallow_clone", "src_convert_to_delta",
                      "sink_iceberg_add_files",
-                     "sink_iceberg_manifest_rewrite"):
+                     "sink_iceberg_manifest_rewrite",
+                     "sink_delta_identity_generated"):
         assert sentinel in window, sentinel
 
 
