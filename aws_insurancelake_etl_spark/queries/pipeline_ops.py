@@ -4376,6 +4376,73 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_uniform_iceberg_over_delta",
+    """
+    SELECT n_nationkey, n_name, r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_nationkey, n_name, r_name
+    """,
+)
+def src_uniform_iceberg_over_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-shape interop (round 9): ICEBERG METADATA committed over
+    a live delta_lite table's data files (absolute-path manifests, zero
+    bytes copied) — Databricks Universal Format / Apache XTable's
+    delta->iceberg direction.  The Delta side keeps writing (an append
+    lands AFTER the first export); a re-export refreshes the mirror as
+    a REPLACE snapshot, and the gate's aggregate joins the
+    ICEBERG-read mirror against dimension tables — equality with the
+    oracle proves the two formats see byte-identical data.  At 100 TB
+    this is how one copy of the data serves two engine ecosystems."""
+    from ..sources import delta_lite, iceberg_lite
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="gate-uniform-")
+    delta, ice = root + "/delta", root + "/ice"
+    delta_lite.write_delta(
+        cust.where(F.col("c_custkey") % 2 == 0), delta,
+        partition_by=["c_nationkey"],
+    )
+    iceberg_lite.export_uniform(delta, ice)
+    # the delta side keeps moving; the mirror refresh must track it
+    delta_lite.write_delta(
+        cust.where(F.col("c_custkey") % 2 == 1), delta, mode="append"
+    )
+    res = iceberg_lite.export_uniform(delta, ice)
+    if res["files"] < 2:
+        raise RuntimeError(f"uniform export saw too few files: {res}")
+    mirror = iceberg_lite.read_iceberg(spark, ice)
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        mirror.join(
+            F.broadcast(nation),
+            mirror.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_nationkey", "n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("bal_cents").alias("bal_cents"),
+        )
+    )
+
+
+@register(
     "sink_delta_identity_generated",
     """
     SELECT CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) >= 0

@@ -1008,6 +1008,7 @@ def read_iceberg(
          if os.path.abspath(f.path).startswith(root)
          else external).append(f)
     ext_groups = []  # (entries, {missing col -> partition literal})
+    hive_bases: dict = {}  # (missing cols, base root) -> [entries]
     if external:
         if table_schema is None:
             raise IcebergLiteError(
@@ -1020,7 +1021,9 @@ def read_iceberg(
 
         dtype_by_name = {f.name: f.dataType for f in table_schema.fields}
         cols_cache: dict = {}
-        by_key: dict = {}
+        by_key: dict = {}  # literal-attach fallback groups
+        from urllib.parse import unquote as _unq
+
         for f in external:
             d = os.path.dirname(f.path)
             cols = cols_cache.get(d)
@@ -1030,13 +1033,37 @@ def read_iceberg(
                 c for c in f.partition
                 if c not in cols and c in dtype_by_name
             )
-            key = tuple((c, f.partition[c]) for c in missing)
-            by_key.setdefault(key, []).append(f)
-        for key, group in sorted(by_key.items()):
-            if not key:
-                internal.extend(group)
+            if not missing:
+                internal.append(f)
+                continue
+            # Hive-consistent case: the missing identity values appear
+            # as trailing col=val dirs agreeing with the manifest — ALL
+            # such files collapse into ONE basePath scan per common
+            # root instead of one union branch per partition VALUE
+            segs = d.split(os.sep)
+            idx = len(segs)
+            while idx > 0 and "=" in segs[idx - 1]:
+                idx -= 1
+            tail = {}
+            for s in segs[idx:]:
+                col, _, raw = s.partition("=")
+                tail[col] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__"
+                    else _unq(raw)
+                )
+            hive_ok = all(
+                c in tail and tail[c] == f.partition[c] for c in missing
+            )
+            if hive_ok:
+                base = os.sep.join(segs[:idx])
+                hive_bases.setdefault(
+                    (tuple(missing), base), []
+                ).append(f)
             else:
-                ext_groups.append((group, dict(key)))
+                key = tuple((c, f.partition[c]) for c in missing)
+                by_key.setdefault(key, []).append(f)
+        for key, group in sorted(by_key.items()):
+            ext_groups.append((group, dict(key)))
     need_meta = bool(deletes)
 
     def _with_meta(df):
@@ -1055,6 +1082,21 @@ def read_iceberg(
         else:
             df = spark.read.parquet(*[f.path for f in internal])
         parts.append(_with_meta(df) if need_meta else df)
+    for (_miss, base), group in sorted(hive_bases.items()):
+        # ONE basePath scan reconstructs the identity partition columns
+        # for every hive-consistent external file under this root —
+        # the manifest values were verified against the dir names above
+        df = (
+            spark.read.schema(table_schema)
+            .option("basePath", base)
+            .parquet(*[f.path for f in group])
+        )
+        if need_meta:
+            df = _with_meta(df)
+        order = [f.name for f in table_schema.fields] + (
+            ["__ice_file", "__ice_pos"] if need_meta else []
+        )
+        parts.append(df.select(*order))
     for group, attach in ext_groups:
         sub = StructType(
             [f for f in table_schema.fields if f.name not in attach]
@@ -1472,13 +1514,15 @@ def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
     return fields
 
 
-def _ice_schema_fields(df: DataFrame) -> list[dict]:
+def _ice_schema_fields(df) -> list[dict]:
     """Iceberg schema fields (with 1-based FIELD IDS by column position)
     for the table metadata — equality-delete manifests name their
     equated columns by these ids (spec §Equality Delete Files), so every
-    committed metadata must carry them."""
+    committed metadata must carry them.  Accepts a DataFrame or a
+    StructType."""
+    schema = df if not hasattr(df, "schema") else df.schema
     fields = []
-    for i, f in enumerate(df.schema.fields):
+    for i, f in enumerate(schema.fields):
         simple = f.dataType.simpleString()
         if simple.startswith("decimal"):
             ice = simple  # spark decimal(P,S) == iceberg decimal(P,S)
@@ -2492,6 +2536,78 @@ def rewrite_data_files(
         "delete_files_before": len(deletes),
         "files_after": len(data_entries),
         "rewritten": True,
+    }
+
+
+def export_uniform(delta_path: str, iceberg_path: str) -> dict:
+    """UniForm-shape export (Databricks Universal Format / Apache
+    XTable's delta->iceberg direction): commit ICEBERG METADATA over a
+    live delta_lite table's CURRENT data files — referenced by absolute
+    path, zero bytes copied, O(files) driver metadata.  Iceberg readers
+    then query the same parquet the Delta writers maintain; re-running
+    after new Delta commits refreshes the mirror as a REPLACE snapshot
+    (the Delta snapshot's files ARE the table, exactly UniForm's
+    model).  Identity partition values ride the manifest tuple; Delta's
+    Hive-layout files lack the partition column in-data, which the
+    iceberg reader already handles for external files (spec: identity
+    fields may read from partition metadata).
+
+    Refuses tables whose CURRENT state Iceberg metadata cannot
+    describe faithfully: live deletion vectors (rows would resurrect)
+    and column mapping (physical parquet names differ from the logical
+    schema) — the same constraints real UniForm documents.  Returns
+    {"snapshot_id", "files", "delta_version"}."""
+    from .delta_lite import snapshot as _delta_snapshot
+
+    snap = _delta_snapshot(delta_path)
+    if any(a.deletion_vector for a in snap.files):
+        raise IcebergLiteError(
+            "cannot export uniform metadata over live deletion vectors "
+            "(iceberg readers would resurrect deleted rows); run "
+            "delta OPTIMIZE first"
+        )
+    if str(
+        snap.configuration.get("delta.columnMapping.mode", "none")
+    ).lower() != "none":
+        raise IcebergLiteError(
+            "cannot export uniform metadata over a column-mapped delta "
+            "table (physical parquet names differ from the logical "
+            "schema)"
+        )
+    src_root = os.path.abspath(delta_path)
+    part_cols = list(snap.partition_columns)
+    entries = []
+    for a in snap.files:
+        stats = a.stats or {}
+        n = stats.get("numRecords")
+        abs_path = os.path.join(src_root, a.path)
+        if n is None:
+            n = _footer_rows(abs_path)
+        entries.append(
+            (
+                abs_path,
+                dict(a.partition_values),
+                int(n),
+                int(a.size),
+                {"min": stats.get("minValues") or {},
+                 "max": stats.get("maxValues") or {}},
+            )
+        )
+    os.makedirs(iceberg_path, exist_ok=True)
+    fields = _ice_schema_fields(snap.schema)
+    snap_id = _commit_snapshot(
+        iceberg_path,
+        part_cols,
+        data_entries=entries,
+        delete_entries=[],
+        schema_fields=fields,
+        evolve_schema=is_iceberg_table(iceberg_path),
+        replace=True,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "files": len(entries),
+        "delta_version": snap.version,
     }
 
 

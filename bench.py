@@ -133,6 +133,7 @@ EXTENDED: list[str] = [
     "sink_iceberg_add_files",
     "sink_iceberg_manifest_rewrite",
     "sink_delta_identity_generated",
+    "src_uniform_iceberg_over_delta",
 ]
 
 

@@ -481,10 +481,12 @@ def test_unknown_writer_feature_refuses_writes_allows_reads(spark, tmp_path):
     with open(log, "x") as fh:
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["identityColumns"],
+            # identityColumns/generatedColumns graduated to supported
+            # in round 9 — use a feature no engine ships yet
+            "writerFeatures": ["someFutureFeature"],
         }}) + "\n")
     assert _ids(dl.read_delta(spark, path)) == [1]  # reads unaffected
-    with pytest.raises(dl.DeltaLiteError, match="identityColumns"):
+    with pytest.raises(dl.DeltaLiteError, match="someFutureFeature"):
         dl.write_delta(df, path)
 
 

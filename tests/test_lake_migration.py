@@ -164,3 +164,70 @@ def test_add_files_guards(spark, hive_dir, tmp_path):
     # unpartitioned table, partitioned dir -> dir mismatch
     with pytest.raises(il.IcebergLiteError, match="partition dirs"):
         il.add_files(spark, tbl, hive_dir)
+
+
+# --------------------------------------------------- uniform export
+
+
+def test_export_uniform_mirrors_delta_reads(spark, tmp_path):
+    delta = str(tmp_path / "d")
+    ice = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", v=float(i))
+         for i in range(10)]
+    ).select("id", "grp", "v")
+    dl.write_delta(df, delta, partition_by=["grp"])
+    res = il.export_uniform(delta, ice)
+    assert res["delta_version"] == 0 and res["files"] >= 2
+    got = il.read_iceberg(spark, ice)
+    assert _ids(got) == list(range(10))
+    # identity partition values attach from the manifest (delta files
+    # lack the partition column in-data) and PRUNE at the manifest
+    pruned = il.read_iceberg(spark, ice, partition_filter={"grp": "a"})
+    assert _ids(pruned) == [0, 2, 4, 6, 8]
+    # zero parquet under the iceberg dir: pure metadata mirror
+    assert not glob.glob(os.path.join(ice, "data", "**", "*.parquet"),
+                         recursive=True)
+
+
+def test_export_uniform_refreshes_after_delta_mutation(spark, tmp_path):
+    delta = str(tmp_path / "d2")
+    ice = str(tmp_path / "i2")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+        .select("id", "v"),
+        delta,
+    )
+    il.export_uniform(delta, ice)
+    dl.delete_delta(spark, delta, "id < 3")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=100, v=1.0)]).select("id", "v"),
+        delta, mode="append",
+    )
+    res = il.export_uniform(delta, ice)
+    assert res["delta_version"] == 2
+    assert _ids(il.read_iceberg(spark, ice)) == [3, 4, 5, 6, 7, 100]
+    # the first mirror snapshot still time-travels
+    assert _ids(il.read_iceberg(spark, ice, snapshot_id=1)) \
+        == list(range(8))
+
+
+def test_export_uniform_refusals(spark, tmp_path):
+    # live deletion vectors
+    dv = str(tmp_path / "dv")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v").orderBy("id").coalesce(1),
+        dv,
+    )
+    dl.delete_delta(spark, dv, "id = 3", use_deletion_vectors=True)
+    with pytest.raises(il.IcebergLiteError, match="deletion vectors"):
+        il.export_uniform(dv, str(tmp_path / "dv_ice"))
+    # column mapping
+    cm = str(tmp_path / "cm")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, s="x")]).select("id", "s"),
+        cm, column_mapping="name",
+    )
+    with pytest.raises(il.IcebergLiteError, match="column-mapped"):
+        il.export_uniform(cm, str(tmp_path / "cm_ice"))

@@ -133,7 +133,8 @@ def test_driver_window_covers_every_operator_family():
                      "sink_delta_shallow_clone", "src_convert_to_delta",
                      "sink_iceberg_add_files",
                      "sink_iceberg_manifest_rewrite",
-                     "sink_delta_identity_generated"):
+                     "sink_delta_identity_generated",
+                     "src_uniform_iceberg_over_delta"):
         assert sentinel in window, sentinel
 
 
