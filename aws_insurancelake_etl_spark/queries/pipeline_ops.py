@@ -4376,6 +4376,55 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_check_constraint",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM orders WHERE o_orderkey % 13 = 0 AND o_totalprice > 0
+    """,
+)
+def sink_delta_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK constraints (round 9, PROTOCOL.md writer version 3 /
+    ``checkConstraints``): ``ADD CONSTRAINT`` validates EXISTING rows,
+    advances the protocol so every engine must enforce, and from then
+    on each write/MERGE refuses rows whose expression is FALSE (NULL
+    passes, SQL semantics).  The gate adds ``price_cents > 0`` to a
+    seeded table, appends a second valid slice, PROVES a poisoned batch
+    (negated prices) refuses without committing, and returns the table
+    — which therefore contains exactly the oracle's positive rows."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    ).where(F.col("o_orderkey") % 13 == 0)
+    tbl = tempfile.mkdtemp(prefix="gate-delta-chk-") + "/t"
+    delta_lite.write_delta(base.where(F.col("o_orderkey") % 2 == 0), tbl)
+    delta_lite.add_check_constraint(
+        spark, tbl, "price_pos", "price_cents > 0"
+    )
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 2 == 1), tbl, mode="append"
+    )
+    version_before = delta_lite.snapshot(tbl).version
+    poisoned = base.limit(50).withColumn(
+        "price_cents", -F.col("price_cents")
+    )
+    try:
+        delta_lite.write_delta(poisoned, tbl, mode="append")
+        raise RuntimeError("poisoned batch committed past the constraint")
+    except delta_lite.DeltaLiteError:
+        pass
+    if delta_lite.snapshot(tbl).version != version_before:
+        raise RuntimeError("refused write still advanced the log")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
     "src_uniform_iceberg_over_delta",
     """
     SELECT n_nationkey, n_name, r_name,

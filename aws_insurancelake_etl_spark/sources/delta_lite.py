@@ -1282,6 +1282,120 @@ def _apply_generated(df: DataFrame, schema: StructType) -> DataFrame:
     return df
 
 
+def _enforce_constraints(df: DataFrame, configuration: dict) -> None:
+    """``delta.constraints.<name>`` CHECK expressions (PROTOCOL.md
+    §CHECK Constraints, legacy writer version 3 / the
+    ``checkConstraints`` feature): a write must not commit a row for
+    which the expression is FALSE — NULL passes, SQL CHECK semantics.
+    One short-circuit job per constraint, only on tables that declare
+    any."""
+    for key, expr in sorted((configuration or {}).items()):
+        if not key.startswith("delta.constraints."):
+            continue
+        name = key[len("delta.constraints."):]
+        bad = (
+            df.where(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise DeltaLiteError(
+                f"CHECK constraint {name!r} ({expr}) violated by this "
+                "write"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: EXISTING rows
+    are validated first (one scan, as delta-spark does), then the
+    constraint commits as a table property and the protocol advances to
+    writer version 3+ so any other engine must enforce it too."""
+    snap = snapshot(path)
+    key = f"delta.constraints.{name}"
+    if key in snap.configuration:
+        raise DeltaLiteError(f"constraint {name!r} already exists")
+    _enforce_constraints(_read_snapshot(spark, snap), {key: expr})
+    conf = dict(snap.configuration)
+    conf[key] = expr
+    proto = dict(snap.protocol or _PROTOCOL)
+    if proto.get("writerFeatures") is not None:
+        proto["writerFeatures"] = sorted(
+            set(proto["writerFeatures"]) | {"checkConstraints"}
+        )
+    else:
+        proto["minWriterVersion"] = max(
+            int(proto.get("minWriterVersion", 2)), 3
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "ADD CONSTRAINT",
+                "engine": "delta-lite",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, conf):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "add_check_constraint"
+        )
+    return version
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """``ALTER TABLE DROP CONSTRAINT``: removes the table property (the
+    protocol stays put — other constraints may remain)."""
+    snap = snapshot(path)
+    key = f"delta.constraints.{name}"
+    if key not in snap.configuration:
+        raise DeltaLiteError(f"no such constraint {name!r}")
+    conf = dict(snap.configuration)
+    del conf[key]
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DROP CONSTRAINT",
+                "engine": "delta-lite",
+                "operationParameters": {"name": name},
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, conf):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "drop_check_constraint"
+        )
+    return version
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -1534,6 +1648,7 @@ def write_delta(
         mapped_schema = StructType(fields)
         merged_conf["delta.columnMapping.mode"] = "name"
         merged_conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    _enforce_constraints(df, merged_conf)
     adds = _stage_data_files(
         _to_physical(df, phys),
         path,
@@ -1726,6 +1841,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # from staged footer stats) — the features' writer contracts
     "generatedColumns",
     "identityColumns",
+    # round 9: every write/MERGE validates delta.constraints.* CHECK
+    # expressions (NULL passes, SQL semantics) before committing
+    "checkConstraints",
 }
 
 
@@ -1823,6 +1941,9 @@ def merge_delta(
             f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
             "a target row may match at most one source row"
         )
+    # CHECK constraints gate the NEW/UPDATED rows (all of which come
+    # from the source; survivors were validated when they landed)
+    _enforce_constraints(source, snapshot(path).configuration)
     attempt = 0
     while True:
         try:

@@ -134,6 +134,7 @@ EXTENDED: list[str] = [
     "sink_iceberg_manifest_rewrite",
     "sink_delta_identity_generated",
     "src_uniform_iceberg_over_delta",
+    "sink_delta_check_constraint",
 ]
 
 

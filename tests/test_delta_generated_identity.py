@@ -196,3 +196,51 @@ def test_metadata_survives_checkpoint_roundtrip(spark, tmp_path):
     assert len(set(ids)) == 13
     vals = {(r.v, r.v2) for r in dl.read_delta(spark, path).collect()}
     assert all(v2 == v * 2 for v, v2 in vals)
+
+
+# ----------------------------------------------------- CHECK constraints
+
+
+def test_check_constraint_gates_writes_and_merge(spark, tmp_path):
+    path = str(tmp_path / "chk")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, v=10.0)]).select("id", "v"), path
+    )
+    dl.add_check_constraint(spark, path, "v_pos", "v > 0")
+    # the protocol now REQUIRES constraint enforcement from any writer
+    assert dl.snapshot(path).protocol["minWriterVersion"] >= 3
+    ok = spark.createDataFrame([Row(id=2, v=5.0)]).select("id", "v")
+    dl.write_delta(ok, path, mode="append")
+    bad = spark.createDataFrame([Row(id=3, v=-1.0)]).select("id", "v")
+    with pytest.raises(dl.DeltaLiteError, match="v_pos"):
+        dl.write_delta(bad, path, mode="append")
+    with pytest.raises(dl.DeltaLiteError, match="v_pos"):
+        dl.merge_delta(spark, bad, path, keys=["id"])
+    # NULL passes (SQL CHECK semantics)
+    nul = spark.createDataFrame(
+        [Row(id=4, v=None)], "id bigint, v double"
+    )
+    dl.write_delta(nul, path, mode="append")
+    assert {r.id for r in dl.read_delta(spark, path).collect()} == {1, 2, 4}
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    path = str(tmp_path / "chk2")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, v=-5.0)]).select("id", "v"), path
+    )
+    with pytest.raises(dl.DeltaLiteError, match="violated"):
+        dl.add_check_constraint(spark, path, "v_pos", "v > 0")
+    # nothing committed by the failed attempt
+    assert dl.snapshot(path).version == 0
+    dl.add_check_constraint(spark, path, "v_neg", "v < 0")
+    with pytest.raises(dl.DeltaLiteError, match="already exists"):
+        dl.add_check_constraint(spark, path, "v_neg", "v < 0")
+    dl.drop_check_constraint(path, "v_neg")
+    # after the drop, formerly-violating rows write fine
+    dl.write_delta(
+        spark.createDataFrame([Row(id=2, v=7.0)]).select("id", "v"),
+        path, mode="append",
+    )
+    with pytest.raises(dl.DeltaLiteError, match="no such constraint"):
+        dl.drop_check_constraint(path, "v_neg")

@@ -134,7 +134,8 @@ def test_driver_window_covers_every_operator_family():
                      "sink_iceberg_add_files",
                      "sink_iceberg_manifest_rewrite",
                      "sink_delta_identity_generated",
-                     "src_uniform_iceberg_over_delta"):
+                     "src_uniform_iceberg_over_delta",
+                     "sink_delta_check_constraint"):
         assert sentinel in window, sentinel
 
 
