@@ -893,6 +893,54 @@ def inspect_files(
     )
 
 
+def inspect_manifests(
+    spark: SparkSession, table_path: str, snapshot_id=None
+) -> DataFrame:
+    """The ``$manifests`` metadata table: one row per manifest of the
+    snapshot's manifest list — the operator's view of metadata bloat
+    (the thing :func:`rewrite_manifests` compacts)."""
+    meta = _load_metadata(table_path)
+    rebase = _rebaser(meta, table_path)
+    target = _resolve_ref(meta, snapshot_id) if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots") or []
+         if s.get("snapshot-id") == target),
+        None,
+    )
+    rows = []
+    if snap is not None:
+        for mf in _read_manifest_rows(rebase(snap["manifest-list"])):
+            entries = _read_manifest_rows(rebase(mf["manifest_path"]))
+            rows.append(
+                (
+                    mf["manifest_path"],
+                    int(mf.get("manifest_length") or 0),
+                    int(mf.get("partition_spec_id") or 0),
+                    int(mf.get("content") or 0),
+                    int(mf.get("sequence_number") or 0),
+                    int(mf.get("added_snapshot_id") or 0),
+                    len(entries),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "path string, length long, partition_spec_id int, content int, "
+        "sequence_number long, added_snapshot_id long, entry_count long",
+    )
+
+
+def inspect_refs(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``$refs`` metadata table: one row per branch/tag."""
+    rows = [
+        (name, r.get("type"), int(r.get("snapshot-id")))
+        for name, r in sorted(list_refs(table_path).items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long"
+    )
+
+
 def inspect_partitions(
     spark: SparkSession, table_path: str, snapshot_id=None
 ) -> DataFrame:

@@ -1266,3 +1266,29 @@ def test_rewrite_manifests_then_expire_reclaims_old_manifests(
     left = _glob.glob(os.path.join(path, "metadata", "manifest-*.avro"))
     assert len(left) < n_manifests
     assert iceberg_lite.read_iceberg(spark, path).count() == 30
+
+
+def test_inspect_manifests_and_refs(spark, tmp_path):
+    path = str(tmp_path / "meta_tbls")
+    for lo in (0, 10):
+        iceberg_lite.write_iceberg(
+            spark,
+            spark.range(lo, lo + 10).selectExpr("id").coalesce(1),
+            path,
+        )
+    iceberg_lite.create_ref(path, "v1", ref_type="tag", snapshot_id=1)
+    mans = iceberg_lite.inspect_manifests(spark, path).collect()
+    assert len(mans) == 2  # one manifest per append commit
+    assert sum(m.entry_count for m in mans) == 2  # one file each
+    assert {m.content for m in mans} == {0}
+    # after rewrite_manifests: ONE manifest with both entries
+    iceberg_lite.rewrite_manifests(path)
+    mans2 = iceberg_lite.inspect_manifests(spark, path).collect()
+    assert len(mans2) == 1 and mans2[0].entry_count == 2
+    refs = {r.name: (r.type, r.snapshot_id)
+            for r in iceberg_lite.inspect_refs(spark, path).collect()}
+    assert refs["v1"] == ("tag", 1)
+    assert refs["main"][0] == "branch"
+    # the $manifests view of an OLD snapshot still resolves
+    old = iceberg_lite.inspect_manifests(spark, path, snapshot_id=1)
+    assert old.count() == 1
