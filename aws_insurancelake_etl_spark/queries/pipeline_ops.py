@@ -2627,6 +2627,104 @@ def stream_delta_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_iceberg_upsert_sink",
+    """
+    WITH seed AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 4 = 2
+    ), upd AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * 3 AS price_cents
+        FROM orders WHERE o_orderkey % 8 = 2
+        UNION ALL
+        SELECT o_orderkey, 'N' AS o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT COALESCE(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.price_cents, s.price_cents) AS price_cents
+    FROM seed s FULL OUTER JOIN upd u USING (o_orderkey)
+    """,
+)
+def stream_iceberg_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into ICEBERG via equality-delete upserts (round 9):
+    two micro-batches drain through ``foreachBatch`` →
+    ``upsert_iceberg_equality`` — the FLINK-CDC writer shape, where each
+    batch lands one equality-delete file (the keys) + the batch rows
+    with ZERO target scan, so sink cost is O(batch), independent of
+    table size — the property that makes equality deletes the
+    high-frequency streaming upsert format at 100 TB.  Batch 1 seeds
+    %4==2; batch 2 updates %8==2 (tripled price, status U) and inserts
+    %4==3.  The merged read must equal the oracle's full-outer upsert;
+    a replayed batch or a mis-scoped delete diverges."""
+    import os
+
+    from ..sources import iceberg_lite
+
+    run_id = uuid.uuid4().hex[:12]
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    batch1 = base.where(F.col("o_orderkey") % 4 == 2)
+    batch2 = (
+        base.where(F.col("o_orderkey") % 8 == 2)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("price_cents", F.col("price_cents") * 3)
+        .unionByName(
+            base.where(F.col("o_orderkey") % 4 == 3).withColumn(
+                "o_orderstatus", F.lit("N")
+            )
+        )
+    )
+    drop = tempfile.mkdtemp(prefix=f"gate-iusink-{run_id}-")
+    files_dir = f"{drop}/in"
+    os.makedirs(files_dir)
+    now = 1700000000
+    for i, b in enumerate((batch1, batch2)):
+        staged = f"{drop}/b{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(staged)
+        for name in os.listdir(staged):
+            if name.endswith(".parquet"):
+                dst = f"{files_dir}/batch-{i}-{name}"
+                shutil.copy(f"{staged}/{name}", dst)
+                os.utime(dst, (now + 100 * i, now + 100 * i))
+    table = f"{drop}/ice"
+
+    def apply_batch(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        if not iceberg_lite.is_iceberg_table(table):
+            iceberg_lite.write_iceberg(spark, batch_df, table)
+        else:
+            iceberg_lite.upsert_iceberg_equality(
+                spark, batch_df, table, keys=["o_orderkey"]
+            )
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{drop}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return iceberg_lite.read_iceberg(spark, table)
+
+
+@register(
     "stream_delta_source_totals",
     """
     SELECT c_mktsegment,

@@ -135,6 +135,7 @@ EXTENDED: list[str] = [
     "sink_delta_identity_generated",
     "src_uniform_iceberg_over_delta",
     "sink_delta_check_constraint",
+    "stream_iceberg_upsert_sink",
 ]
 
 

@@ -135,7 +135,8 @@ def test_driver_window_covers_every_operator_family():
                      "sink_iceberg_manifest_rewrite",
                      "sink_delta_identity_generated",
                      "src_uniform_iceberg_over_delta",
-                     "sink_delta_check_constraint"):
+                     "sink_delta_check_constraint",
+                     "stream_iceberg_upsert_sink"):
         assert sentinel in window, sentinel
 
 
