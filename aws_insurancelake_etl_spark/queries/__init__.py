@@ -47,16 +47,20 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-9 window: the 12 round-9 gates with no driver row yet
+# queries.  Round-9 window: the 22 round-9 gates with no driver row yet
 # (iceberg transforms/refs/spec evolution/incremental/metadata tables/
-# rollback/stream source, delta variant/widening/ICT,
+# rollback/stream source/WAP/add_files/manifest rewrite/streaming
+# upsert sink, delta variant/widening/ICT/shallow clone/convert/
+# generated+identity/check constraints, uniform export,
 # standard-encrypted xlsx), then the 21 gates whose ENGINE modules
 # changed this round (iceberg_lite + iceberg_transforms, delta_lite,
 # entitymatch, offcrypto), then the OLDEST r1-era rows (VERDICT r8
 # item 3's staleness rotation — r1 rows predate the oracle
 # canonicalizer fixes).  The remaining r1 rows + the r3 block roll to
 # round 10 (the window holds 50; never-checked and churned code
-# outrank stale-but-unchanged code, the policy VERDICT r8 endorsed).
+# outrank stale-but-unchanged code, the policy VERDICT r8 endorsed —
+# the late-session gates displaced 8 r1 staleness rows q7-q9/q16-q21
+# into the round-10 rotation).
 DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_day_partition",  # never
     "sink_iceberg_bucket_upsert",  # never
