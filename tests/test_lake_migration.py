@@ -231,3 +231,22 @@ def test_export_uniform_refusals(spark, tmp_path):
     )
     with pytest.raises(il.IcebergLiteError, match="column-mapped"):
         il.export_uniform(cm, str(tmp_path / "cm_ice"))
+
+
+def test_external_hive_read_is_single_scan(spark, tmp_path):
+    """Hive-consistent external files (uniform mirror / add_files
+    import) must collapse into ONE basePath scan — a union branch per
+    partition VALUE would be a 10k-way union at production partition
+    counts (PERFORMANCE.md finding 49)."""
+    delta = str(tmp_path / "d")
+    ice = str(tmp_path / "i")
+    df = spark.createDataFrame(
+        [Row(id=i, grp=f"g{i % 6}", v=float(i)) for i in range(24)]
+    ).select("id", "grp", "v")
+    dl.write_delta(df, delta, partition_by=["grp"])
+    il.export_uniform(delta, ice)
+    mirror = il.read_iceberg(spark, ice)
+    plan = mirror._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert _ids(mirror) == list(range(24))
