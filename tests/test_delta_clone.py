@@ -153,3 +153,33 @@ def test_clone_of_column_mapped_table_stays_mapped(spark, tmp_path):
     assert sorted((r.id, r.s) for r in got.collect()) == [
         (i, chr(97 + i)) for i in range(5)
     ]
+
+
+def test_clone_dv_delete_on_external_files(spark, tmp_path):
+    """Deletion-vector DELETE on a clone: the DV sidecar lands in the
+    CLONE (the clone never writes into the source), the re-added
+    action keeps the absolute source path, and the source table is
+    untouched."""
+    src = str(tmp_path / "src")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v")
+        .orderBy("id")
+        .coalesce(1)
+    )
+    dl.write_delta(df, src)
+    dst = str(tmp_path / "cl")
+    dl.clone_delta(src, dst)
+    res = dl.delete_delta(spark, dst, "id IN (2, 5)",
+                          use_deletion_vectors=True)
+    assert res["rows_deleted"] == 2 and res["files_rewritten"] == 0
+    assert _ids(dl.read_delta(spark, dst)) == [0, 1, 3, 4, 6, 7, 8, 9]
+    assert _ids(dl.read_delta(spark, src)) == list(range(10))
+    # the DV sidecar lives under the CLONE root
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(dst, "deletion_vector_*.bin"))
+    assert not _glob.glob(os.path.join(src, "deletion_vector_*.bin"))
+    # the re-added file still points at the source bytes
+    f = dl.snapshot(dst).files[0]
+    assert os.path.isabs(f.path) and f.deletion_vector is not None
