@@ -1941,9 +1941,13 @@ def merge_delta(
             f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
             "a target row may match at most one source row"
         )
-    # CHECK constraints gate the NEW/UPDATED rows (all of which come
-    # from the source; survivors were validated when they landed)
-    _enforce_constraints(source, snapshot(path).configuration)
+    # CHECK constraints + generated columns gate the NEW/UPDATED rows
+    # (all of which come from the source; survivors were validated
+    # when they landed) — MERGE must honor the same writer contracts
+    # as write_delta
+    _snap0 = snapshot(path)
+    source = _apply_generated(source, _snap0.schema)
+    _enforce_constraints(source, _snap0.configuration)
     attempt = 0
     while True:
         try:

@@ -244,3 +244,26 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
     )
     with pytest.raises(dl.DeltaLiteError, match="no such constraint"):
         dl.drop_check_constraint(path, "v_neg")
+
+
+def test_merge_computes_and_validates_generated_columns(spark, tmp_path):
+    path = str(tmp_path / "gen_merge")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, price=30.0)]).select("id", "price"),
+        path,
+        generated_columns={"band": "CASE WHEN price >= 20 THEN 'high' "
+                                   "ELSE 'low' END"},
+    )
+    # source WITHOUT the generated column: MERGE computes it
+    src = spark.createDataFrame(
+        [Row(id=1, price=5.0), Row(id=2, price=25.0)]
+    ).select("id", "price")
+    dl.merge_delta(spark, src, path, keys=["id"])
+    got = {(r.id, r.band) for r in dl.read_delta(spark, path).collect()}
+    assert got == {(1, "low"), (2, "high")}
+    # source with WRONG generated values: MERGE refuses
+    bad = spark.createDataFrame(
+        [Row(id=3, price=50.0, band="low")]
+    ).select("id", "price", "band")
+    with pytest.raises(dl.DeltaLiteError, match="generation expression"):
+        dl.merge_delta(spark, bad, path, keys=["id"])
