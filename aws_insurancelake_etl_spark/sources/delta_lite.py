@@ -2301,6 +2301,119 @@ def optimize(
     }
 
 
+def _delete_partition_metadata_only(
+    spark: SparkSession, path: str, snap: Snapshot, predicate: str
+):
+    """METADATA-ONLY partition delete (see :func:`delete_delta`): when
+    the predicate resolves against the partition columns alone, decide
+    per distinct partition TUPLE (O(partitions) driver-side Spark
+    eval, no data file opened) and drop matching files via pure remove
+    actions.  Returns None when the fast path does not apply (no
+    partition columns, predicate needs data columns, or CDF is on —
+    CDF commits must stage change rows, which requires reading)."""
+    part_cols = list(snap.partition_columns)
+    if not part_cols or _cdf_enabled(snap):
+        return None
+    field_by_name = {f.name: f for f in snap.schema.fields}
+    probe_schema = StructType(
+        [field_by_name[c] for c in part_cols if c in field_by_name]
+    )
+    if len(probe_schema.fields) != len(part_cols):
+        return None
+    tuples = sorted(
+        {
+            tuple(f.partition_values.get(c) for c in part_cols)
+            for f in snap.files
+        },
+        key=lambda t: tuple("" if v is None else str(v) for v in t),
+    )
+    if not tuples:
+        return None
+    rows = [(i, *t) for i, t in enumerate(tuples)]
+    raw = spark.createDataFrame(
+        rows,
+        StructType(
+            [StructField("__pt_idx", LongType(), False)]
+            + [StructField(c, StringType(), True) for c in part_cols]
+        ),
+    )
+    typed = raw.select(
+        "__pt_idx",
+        *[
+            F.col(c).cast(field_by_name[c].dataType).alias(c)
+            for c in part_cols
+        ],
+    )
+    try:
+        matched = {
+            r["__pt_idx"] for r in typed.where(F.expr(predicate)).collect()
+        }
+    except Exception:
+        # the predicate references data columns (or fails analysis on
+        # the partition-only schema) — not partition-aligned
+        return None
+    if not matched:
+        return {
+            "version": snap.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_kept": len(snap.files),
+            "metadata_only": True,
+        }
+    matched_tuples = {tuples[i] for i in matched}
+    removed = [
+        f
+        for f in snap.files
+        if tuple(f.partition_values.get(c) for c in part_cols)
+        in matched_tuples
+    ]
+    counts = [(f.stats or {}).get("numRecords") for f in removed]
+    if all(c is not None for c in counts):
+        n_deleted = int(sum(counts))
+    else:
+        n_deleted = (
+            spark.read.parquet(
+                *[os.path.join(path, f.path) for f in removed]
+            ).count()
+        )
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "DELETE",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "predicate": predicate,
+                    "metadataOnly": True,
+                },
+            }
+        }
+    ] + [
+        {
+            "remove": {
+                "path": quote(f.path, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for f in removed
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run DELETE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "rows_deleted": n_deleted,
+        "files_rewritten": 0,
+        "files_kept": len(snap.files) - len(removed),
+        "files_removed": len(removed),
+        "metadata_only": True,
+    }
+
+
 def delete_delta(
     spark: SparkSession,
     path: str,
@@ -2324,9 +2437,20 @@ def delete_delta(
       descriptor.  Write amplification is O(|deleted rows|) instead of
       O(|touched bytes|) — the modern engine default for point deletes
       on wide tables; the debt is read-side until OPTIMIZE rewrites.
+
+    A predicate referencing ONLY partition columns takes the
+    METADATA-ONLY fast path first: the predicate is evaluated against
+    the O(partitions) distinct partition tuples on the driver's Spark
+    session (no data file opened), matching files drop via pure remove
+    actions, and files whose partition tuple cannot match are never
+    touched — ``DELETE WHERE day = X`` on a 100 TB table is an
+    O(partitions) metadata commit, the retention-sweep shape.
     """
     snap = snapshot(path)
     _guard_writable(snap, operation="DELETE")
+    meta_result = _delete_partition_metadata_only(spark, path, snap, predicate)
+    if meta_result is not None:
+        return meta_result
     if use_deletion_vectors:
         return _delete_with_dvs(spark, path, snap, predicate)
     target = _read_snapshot(spark, snap, with_path=True)

@@ -183,3 +183,22 @@ def test_clone_dv_delete_on_external_files(spark, tmp_path):
     # the re-added file still points at the source bytes
     f = dl.snapshot(dst).files[0]
     assert os.path.isabs(f.path) and f.deletion_vector is not None
+
+
+def test_partition_delete_is_metadata_only(spark, source, tmp_path):
+    """DELETE WHERE <partition predicate>: pure remove actions, zero
+    data files opened or rewritten — the retention-sweep shape."""
+    res = dl.delete_delta(spark, source, "grp = 'a'")
+    assert res.get("metadata_only") is True
+    assert res["files_rewritten"] == 0 and res["files_removed"] >= 1
+    assert res["rows_deleted"] == 10
+    assert _ids(dl.read_delta(spark, source)) == list(range(1, 20, 2))
+    # no new parquet appeared (nothing was rewritten)
+    # (the partition dirs still hold the removed files until vacuum)
+    assert res["version"] == 1
+    # non-matching partition predicate: no-op without a commit
+    res2 = dl.delete_delta(spark, source, "grp = 'zzz'")
+    assert res2["rows_deleted"] == 0 and res2["version"] == 1
+    # data-column predicates still take the rewrite path
+    res3 = dl.delete_delta(spark, source, "id = 1")
+    assert "metadata_only" not in res3 and res3["rows_deleted"] == 1
