@@ -84,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_uniform_iceberg_over_delta",  # never
     "sink_delta_check_constraint",  # never
     "stream_iceberg_upsert_sink",  # never
+    "sink_iceberg_delete_where",  # never
     "src_delta_time_travel",  # engine churn (delta_lite); last green r7
     "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
     "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
@@ -110,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q3_shipping_priority",  # staleness: r1 row
     "q4_order_priority_semi",  # staleness: r1 row
     "q5_region_supplier_revenue",  # staleness: r1 row
-    "q6_forecast_revenue",  # staleness: r1 row
     "setops_segments",  # staleness: r1 row
 )
 

@@ -4474,6 +4474,54 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_iceberg_delete_where",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS bal_cents
+    FROM customer
+    WHERE c_custkey % 6 = 0
+      AND c_mktsegment <> 'BUILDING'
+      AND NOT (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) < 0
+               AND c_custkey % 12 = 0)
+    """,
+)
+def sink_iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``DELETE WHERE`` in both cost shapes (round 9): a
+    partition-aligned predicate (``c_mktsegment = 'BUILDING'``) takes
+    the METADATA-ONLY path — matching data files drop from the next
+    snapshot with zero files opened, the 100 TB retention-sweep shape —
+    and a row-level predicate becomes POSITION-DELETE files
+    (merge-on-read, no rewrite).  The gate asserts the first delete
+    reports metadata_only and the second does not, then returns the
+    final table; the oracle is the doubly-filtered base."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    ).where(F.col("c_custkey") % 6 == 0)
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-del-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base, tbl, partition_by=["c_mktsegment"]
+    )
+    res1 = iceberg_lite.delete_iceberg(
+        spark, tbl, "c_mktsegment = 'BUILDING'"
+    )
+    if not res1["metadata_only"] or not res1["files_removed"]:
+        raise RuntimeError(f"partition delete took the wrong path: {res1}")
+    res2 = iceberg_lite.delete_iceberg(
+        spark, tbl, "bal_cents < 0 AND c_custkey % 12 = 0"
+    )
+    if res2["metadata_only"]:
+        raise RuntimeError(f"row delete took the metadata path: {res2}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
     "sink_delta_check_constraint",
     """
     SELECT o_orderkey, o_orderstatus,

@@ -2672,6 +2672,19 @@ def rewrite_manifests(table_path: str) -> dict:
     rewrite — the gate asserts identical reads before/after with live
     position deletes.  Commits a REPLACE-style snapshot; old manifests
     age out via :func:`expire_snapshots`."""
+    return _carry_commit(table_path)
+
+
+def _carry_commit(
+    table_path: str,
+    exclude_orig_paths: frozenset = frozenset(),
+    operation: str = "replace",
+    force: bool = False,
+) -> dict:
+    """Commit a snapshot that CARRIES the current entries into merged
+    manifests, optionally EXCLUDING data files (the metadata-only
+    DELETE).  Shared engine of :func:`rewrite_manifests` and
+    :func:`delete_iceberg`'s partition fast path."""
     meta = _load_metadata(table_path)
     rebase = _rebaser(meta, table_path)
     location = meta.get("location") or table_path.rstrip("/")
@@ -2713,6 +2726,8 @@ def rewrite_manifests(table_path: str) -> dict:
             seq = entry.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)
             dfile = entry["data_file"]
+            if dfile["file_path"] in exclude_orig_paths:
+                continue
             partition = dfile.get("partition") or {}
             groups.setdefault((mf_content, spec_id), []).append(
                 (
@@ -2732,7 +2747,7 @@ def rewrite_manifests(table_path: str) -> dict:
                     ),
                 )
             )
-    if before <= len(groups):
+    if before <= len(groups) and not force:
         return {"manifests_before": before, "manifests_after": before,
                 "snapshot_id": None, "rewritten": False}
     meta_dir = os.path.join(table_path, "metadata")
@@ -2778,7 +2793,7 @@ def rewrite_manifests(table_path: str) -> dict:
             "parent-snapshot-id": cur_id,
             "timestamp-ms": int(_time.time() * 1000),
             "manifest-list": f"{location}/{ml_rel}",
-            "summary": {"operation": "replace"},
+            "summary": {"operation": operation},
         }
     )
     new_meta["snapshots"] = snapshots
@@ -2793,6 +2808,191 @@ def rewrite_manifests(table_path: str) -> dict:
         )
     return {"manifests_before": before, "manifests_after": len(groups),
             "snapshot_id": snap_id, "rewritten": True}
+
+
+def delete_iceberg(
+    spark: SparkSession, table_path: str, predicate: str,
+) -> dict:
+    """``DELETE FROM <table> WHERE predicate`` in Iceberg's two cost
+    shapes:
+
+    - **metadata-only** (predicate references only IDENTITY partition
+      source columns, and every live file carries those partition
+      values): decide per distinct partition tuple driver-side
+      (O(partitions), no data file opened) and commit a snapshot that
+      simply omits the matching data files — ``DELETE WHERE day = X``
+      on a 100 TB table is a pure metadata commit, exactly what
+      Iceberg's overwrite-by-filter does for partition-aligned
+      predicates.
+    - **merge-on-read** otherwise: matching rows become POSITION-DELETE
+      files (one distributed pass over the planned files, delete files
+      ranged to the table's file count like :func:`merge_iceberg`) —
+      no data file rewritten; :func:`rewrite_data_files` folds the
+      debt away later.
+
+    Returns {"snapshot_id", "rows_deleted", "metadata_only", ...}."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table_path)
+    files, _dels = plan_scan(table_path)
+    if not files:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata_only": True, "files_removed": 0}
+    # ---- partition fast path --------------------------------------
+    part_fields = _partition_spec_fields(meta)
+    identity_sources = [
+        f.source for f in part_fields
+        if parse_transform(f.transform)[0] == "identity"
+    ]
+    table_schema = _spark_schema_from_meta(meta)
+    fast = (
+        identity_sources
+        and table_schema is not None
+        and all(
+            all(c in f.partition for c in identity_sources) for f in files
+        )
+    )
+    if fast:
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        field_by_name = {f.name: f for f in table_schema.fields}
+        if all(c in field_by_name for c in identity_sources):
+            tuples = sorted(
+                {
+                    tuple(f.partition.get(c) for c in identity_sources)
+                    for f in files
+                },
+                key=lambda t: tuple(
+                    "" if v is None else str(v) for v in t
+                ),
+            )
+            raw = spark.createDataFrame(
+                [(i, *t) for i, t in enumerate(tuples)],
+                StructType(
+                    [StructField("__pt_idx", LongType(), False)]
+                    + [
+                        StructField(c, StringType(), True)
+                        for c in identity_sources
+                    ]
+                ),
+            )
+            typed = raw.select(
+                "__pt_idx",
+                *[
+                    F.col(c).cast(field_by_name[c].dataType).alias(c)
+                    for c in identity_sources
+                ],
+            )
+            try:
+                matched_idx = {
+                    r["__pt_idx"]
+                    for r in typed.where(F.expr(predicate)).collect()
+                }
+            except Exception:
+                matched_idx = None  # predicate needs data columns
+            if matched_idx is not None:
+                matched_tuples = {tuples[i] for i in matched_idx}
+                removed = [
+                    f
+                    for f in files
+                    if tuple(
+                        f.partition.get(c) for c in identity_sources
+                    )
+                    in matched_tuples
+                ]
+                if not removed:
+                    return {
+                        "snapshot_id": None, "rows_deleted": 0,
+                        "metadata_only": True, "files_removed": 0,
+                    }
+                res = _carry_commit(
+                    table_path,
+                    exclude_orig_paths=frozenset(
+                        f.orig_path for f in removed
+                    ),
+                    operation="delete",
+                    force=True,
+                )
+                return {
+                    "snapshot_id": res["snapshot_id"],
+                    "rows_deleted": int(
+                        sum(f.record_count for f in removed)
+                    ),
+                    "metadata_only": True,
+                    "files_removed": len(removed),
+                }
+    # ---- merge-on-read row path ------------------------------------
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    part_cols = part_fields
+
+    def _norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    reader = spark.read.parquet(*[f.path for f in files])
+    file_map = spark.createDataFrame(
+        [(f.path, f.orig_path) for f in files],
+        "__ice_file string, orig string",
+    )
+    matched = (
+        reader.select(
+            "*",
+            _norm(F.col("_metadata.file_path")).alias("__ice_file"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        .where(F.expr(predicate))
+        .join(F.broadcast(file_map), "__ice_file")
+        .select(
+            F.col("orig").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
+    delete_entries = []
+    deleted_rows = 0
+    try:
+        out = os.path.join(stage, "out")
+        (
+            matched.repartitionByRange(
+                max(1, len(files)), "file_path", "pos"
+            )
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            count = _footer_rows(src_file)
+            if count == 0:
+                continue
+            rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            size = os.path.getsize(src_file)
+            shutil.move(src_file, dest)
+            delete_entries.append((rel, {}, count, size, 1, None))
+            deleted_rows += count
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not delete_entries:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata_only": False, "delete_files": 0}
+    snap_id = _commit_snapshot(
+        table_path, part_cols,
+        data_entries=[], delete_entries=delete_entries,
+        expect_version=planned_version,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "rows_deleted": deleted_rows,
+        "metadata_only": False,
+        "delete_files": len(delete_entries),
+    }
 
 
 def rollback_to_snapshot(table_path: str, snapshot_id) -> dict:

@@ -136,6 +136,7 @@ EXTENDED: list[str] = [
     "src_uniform_iceberg_over_delta",
     "sink_delta_check_constraint",
     "stream_iceberg_upsert_sink",
+    "sink_iceberg_delete_where",
 ]
 
 

@@ -1292,3 +1292,61 @@ def test_inspect_manifests_and_refs(spark, tmp_path):
     # the $manifests view of an OLD snapshot still resolves
     old = iceberg_lite.inspect_manifests(spark, path, snapshot_id=1)
     assert old.count() == 1
+
+
+# ------------------------------------------------------ delete_iceberg
+
+
+def test_delete_iceberg_partition_fast_path(spark, tmp_path):
+    import glob as _glob
+
+    path = str(tmp_path / "del_fast")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", v=float(i))
+         for i in range(12)]
+    ).select("id", "grp", "v")
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["grp"])
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=100, grp="a", v=1.0)])
+        .select("id", "grp", "v"),
+        path,
+    )
+    n_parquet = len(_glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                               recursive=True))
+    res = iceberg_lite.delete_iceberg(spark, path, "grp = 'a'")
+    assert res["metadata_only"] is True
+    assert res["rows_deleted"] == 7 and res["files_removed"] >= 2
+    got = sorted(r.id for r in iceberg_lite.read_iceberg(spark, path).collect())
+    assert got == list(range(1, 12, 2))
+    # pure metadata: no file written, none deleted (until expire)
+    assert len(_glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                          recursive=True)) == n_parquet
+    # pre-delete snapshot still time-travels
+    prior = iceberg_lite.read_iceberg(
+        spark, path, snapshot_id=res["snapshot_id"] - 1
+    )
+    assert prior.count() == 13
+    # no-match predicate: no commit
+    res2 = iceberg_lite.delete_iceberg(spark, path, "grp = 'zzz'")
+    assert res2["rows_deleted"] == 0 and res2["snapshot_id"] is None
+
+
+def test_delete_iceberg_row_path_position_deletes(spark, tmp_path):
+    path = str(tmp_path / "del_rows")
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.range(20).selectExpr("id", "id * 2 as v").coalesce(2),
+        path,
+    )
+    res = iceberg_lite.delete_iceberg(spark, path, "id % 3 = 0 AND v < 30")
+    assert res["metadata_only"] is False and res["delete_files"] >= 1
+    assert res["rows_deleted"] == 5  # ids 0,3,6,9,12
+    got = sorted(r.id for r in iceberg_lite.read_iceberg(spark, path).collect())
+    assert got == [i for i in range(20) if not (i % 3 == 0 and i * 2 < 30)]
+    # compaction folds the delete files away; read unchanged
+    iceberg_lite.rewrite_data_files(spark, path)
+    got2 = sorted(r.id for r in iceberg_lite.read_iceberg(spark, path).collect())
+    assert got2 == got
+    _, dels = iceberg_lite.plan_scan(path)
+    assert dels == []

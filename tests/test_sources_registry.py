@@ -136,7 +136,8 @@ def test_driver_window_covers_every_operator_family():
                      "sink_delta_identity_generated",
                      "src_uniform_iceberg_over_delta",
                      "sink_delta_check_constraint",
-                     "stream_iceberg_upsert_sink"):
+                     "stream_iceberg_upsert_sink",
+                     "sink_iceberg_delete_where"):
         assert sentinel in window, sentinel
 
 
