@@ -47,10 +47,10 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-9 window: the 22 round-9 gates with no driver row yet
+# queries.  Round-9 window: the 23 round-9 gates with no driver row yet
 # (iceberg transforms/refs/spec evolution/incremental/metadata tables/
 # rollback/stream source/WAP/add_files/manifest rewrite/streaming
-# upsert sink, delta variant/widening/ICT/shallow clone/convert/
+# upsert sink/DELETE WHERE, delta variant/widening/ICT/shallow clone/convert/
 # generated+identity/check constraints, uniform export,
 # standard-encrypted xlsx), then the 21 gates whose ENGINE modules
 # changed this round (iceberg_lite + iceberg_transforms, delta_lite,
