@@ -47,10 +47,10 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-9 window: the 23 round-9 gates with no driver row yet
+# queries.  Round-9 window: the 24 round-9 gates with no driver row yet
 # (iceberg transforms/refs/spec evolution/incremental/metadata tables/
 # rollback/stream source/WAP/add_files/manifest rewrite/streaming
-# upsert sink/DELETE WHERE, delta variant/widening/ICT/shallow clone/convert/
+# upsert sink/DELETE WHERE/UPDATE, delta variant/widening/ICT/shallow clone/convert/
 # generated+identity/check constraints, uniform export,
 # standard-encrypted xlsx), then the 21 gates whose ENGINE modules
 # changed this round (iceberg_lite + iceberg_transforms, delta_lite,
@@ -85,6 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink_delta_check_constraint",  # never
     "stream_iceberg_upsert_sink",  # never
     "sink_iceberg_delete_where",  # never
+    "sink_lakehouse_update",  # never
     "src_delta_time_travel",  # engine churn (delta_lite); last green r7
     "src_iceberg_position_deletes",  # engine churn (iceberg_lite); r7
     "src_iceberg_snapshot_read",  # engine churn (iceberg_lite); r7
@@ -110,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q2_min_price_supplier",  # staleness: r1 row
     "q3_shipping_priority",  # staleness: r1 row
     "q4_order_priority_semi",  # staleness: r1 row
-    "q5_region_supplier_revenue",  # staleness: r1 row
     "setops_segments",  # staleness: r1 row
 )
 

@@ -4474,6 +4474,79 @@ def sink_iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_lakehouse_update",
+    """
+    WITH updated AS (
+        SELECT p_partkey, p_brand,
+               CASE WHEN p_size < 10
+                    THEN CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT) * 2
+                    ELSE CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT)
+               END AS price_cents,
+               CASE WHEN p_size < 10 THEN 'SMALL' ELSE p_brand END
+                   AS brand_out
+        FROM part WHERE p_partkey % 9 = 0
+    )
+    SELECT 'delta' AS engine, p_partkey, brand_out AS p_brand, price_cents
+    FROM updated
+    UNION ALL
+    SELECT 'iceberg' AS engine, p_partkey, brand_out AS p_brand,
+           price_cents
+    FROM updated
+    """,
+)
+def sink_lakehouse_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE — the last DML verb, proven on BOTH table formats against
+    ONE oracle (round 9): the same ``SET price*=2, brand='SMALL' WHERE
+    p_size<10`` runs as delta_lite's copy-on-write touched-file rewrite
+    AND iceberg_lite's merge-on-read (position deletes + transformed
+    appends, one snapshot, zero rewrites).  SET expressions evaluate
+    one-shot against the OLD row in both engines; the union of the two
+    post-update reads must equal the oracle's CASE projection twice —
+    any divergence between the engines' update semantics breaks the
+    hash."""
+    from ..sources import delta_lite, iceberg_lite
+
+    base = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "p_size",
+    ).where(F.col("p_partkey") % 9 == 0)
+    root = tempfile.mkdtemp(prefix="gate-lh-update-")
+    d_tbl, i_tbl = root + "/delta", root + "/ice"
+    delta_lite.write_delta(base, d_tbl)
+    iceberg_lite.write_iceberg(spark, base, i_tbl)
+    set_exprs = {
+        "price_cents": "price_cents * 2",
+        "p_brand": "'SMALL'",
+    }
+    res_d = delta_lite.update_delta(spark, d_tbl, set_exprs, "p_size < 10")
+    res_i = iceberg_lite.update_iceberg(
+        spark, i_tbl, set_exprs, "p_size < 10"
+    )
+    if res_d["rows_updated"] != res_i["rows_updated"]:
+        raise RuntimeError(
+            f"engines disagree on matched rows: {res_d} vs {res_i}"
+        )
+    if res_i["delete_files"] < 1:
+        raise RuntimeError("iceberg update did not take the MOR shape")
+    cols = ["p_partkey", "p_brand", "price_cents"]
+    return (
+        delta_lite.read_delta(spark, d_tbl)
+        .select(F.lit("delta").alias("engine"), *cols)
+        .unionByName(
+            iceberg_lite.read_iceberg(spark, i_tbl).select(
+                F.lit("iceberg").alias("engine"), *cols
+            )
+        )
+    )
+
+
+@register(
     "sink_iceberg_delete_where",
     """
     SELECT c_custkey, c_mktsegment,

@@ -2533,6 +2533,136 @@ def delete_delta(
     }
 
 
+def update_delta(
+    spark: SparkSession, path: str, set_exprs: dict, predicate: str
+) -> dict:
+    """``UPDATE <path> SET col = expr, ... WHERE predicate`` —
+    copy-on-write: only data files CONTAINING a matching row are
+    rewritten (survivor rows carried, matched rows transformed);
+    everything else survives by reference, same touched-file
+    discipline as MERGE/DELETE.  All SET expressions evaluate against
+    the OLD row (one-shot SQL UPDATE semantics, not sequential).
+    Generated columns RECOMPUTE from the updated row (setting one
+    directly refuses, as delta-spark does); identity columns are not
+    settable; CHECK constraints gate the updated rows; CDF commits
+    emit paired update_preimage/update_postimage rows.  Returns
+    {"version", "rows_updated", "files_rewritten", "files_kept"}."""
+    snap = snapshot(path)
+    _guard_writable(snap, operation="UPDATE")
+    if not set_exprs:
+        raise DeltaLiteError("UPDATE needs at least one SET column")
+    field_type = {f.name: f.dataType for f in snap.schema.fields}
+    unknown = set(set_exprs) - set(field_type)
+    if unknown:
+        raise DeltaLiteError(f"unknown SET columns {sorted(unknown)}")
+    gen_names = {
+        f.name
+        for f in snap.schema.fields
+        if dict(f.metadata or {}).get("delta.generationExpression")
+    }
+    if set(set_exprs) & gen_names:
+        raise DeltaLiteError(
+            f"generated columns are computed, not settable: "
+            f"{sorted(set(set_exprs) & gen_names)}"
+        )
+    if set(set_exprs) & set(_identity_meta(snap.schema)):
+        raise DeltaLiteError("identity columns are not settable")
+    target = _read_snapshot(spark, snap, with_path=True)
+    cond = F.expr(predicate)
+    touched_uris = {
+        r["__dl_path"]
+        for r in target.where(cond).select("__dl_path").distinct().collect()
+    }
+    if not touched_uris:
+        return {
+            "version": snap.version,
+            "rows_updated": 0,
+            "files_rewritten": 0,
+            "files_kept": len(snap.files),
+        }
+    touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
+    touched_df = target.where(
+        F.col("__dl_path").isin(list(touched_uris))
+    ).drop("__dl_path")
+    matched = touched_df.where(cond)
+    n_updated = matched.count()
+    order = [f.name for f in snap.schema.fields]
+    updated = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(field_type[c]).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in order
+        ]
+    )
+    if gen_names:
+        updated = _apply_generated(
+            updated.drop(*sorted(gen_names)), snap.schema
+        ).select(*order)
+    _enforce_constraints(updated, snap.configuration)
+    survivors = touched_df.where(~cond | cond.isNull())
+    new_data = survivors.unionByName(updated)
+    up_parts, up_phys = _mapping_of(snap)
+    adds = _stage_data_files(
+        _to_physical(new_data, up_phys),
+        path,
+        [(up_phys or {}).get(c, c) for c in up_parts],
+    )
+    cdc_actions = []
+    if _cdf_enabled(snap):
+        changes = matched.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            updated.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        cdc_actions = [
+            {"cdc": c}
+            for c in _stage_cdc_files(
+                _to_physical(changes, up_phys).coalesce(
+                    max(1, len(touched_rel))
+                ),
+                path,
+            )
+        ]
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "UPDATE",
+                "engine": "delta-lite",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(p, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(touched_rel)
+    ]
+    actions += [_add_json(a) for a in adds]
+    actions += cdc_actions
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        # the rewrite was computed against a stale snapshot
+        _discard_staged(path, adds)
+        _discard_cdc(path, cdc_actions)
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run UPDATE"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "rows_updated": n_updated,
+        "files_rewritten": len(touched_rel),
+        "files_kept": len(snap.files) - len(touched_rel),
+    }
+
+
 def _delete_with_dvs(
     spark: SparkSession, path: str, snap: Snapshot, predicate: str
 ) -> dict:

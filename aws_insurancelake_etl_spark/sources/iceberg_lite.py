@@ -2995,6 +2995,115 @@ def delete_iceberg(
     }
 
 
+def update_iceberg(
+    spark: SparkSession, table_path: str, set_exprs: dict, predicate: str,
+) -> dict:
+    """``UPDATE <table> SET col = expr, ... WHERE predicate`` —
+    MERGE-ON-READ: matched rows become POSITION-DELETE files and their
+    transformed twins append as new data files, ONE snapshot, no data
+    file rewritten (write amplification O(|matched|), the same shape
+    as :func:`merge_iceberg`).  SET expressions evaluate against the
+    OLD row (one-shot SQL UPDATE semantics).  Returns {"snapshot_id",
+    "rows_updated", "delete_files", "appended_files"}."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table_path)
+    if not set_exprs:
+        raise IcebergLiteError("UPDATE needs at least one SET column")
+    files, _dels = plan_scan(table_path)
+    if not files:
+        return {"snapshot_id": None, "rows_updated": 0,
+                "delete_files": 0, "appended_files": 0}
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    part_cols = _partition_spec_fields(meta)
+
+    def _norm(col):
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    reader = spark.read.parquet(*[f.path for f in files])
+    schema_cols = reader.columns
+    unknown = set(set_exprs) - set(schema_cols)
+    if unknown:
+        raise IcebergLiteError(f"unknown SET columns {sorted(unknown)}")
+    file_map = spark.createDataFrame(
+        [(f.path, f.orig_path) for f in files],
+        "__ice_file string, orig string",
+    )
+    matched = (
+        reader.select(
+            "*",
+            _norm(F.col("_metadata.file_path")).alias("__ice_file"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        .where(F.expr(predicate))
+        .join(F.broadcast(file_map), "__ice_file")
+    )
+    dtypes = dict(reader.dtypes)
+    updated = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(dtypes[c]).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in schema_cols
+        ]
+    )
+    positions = matched.select(
+        F.col("orig").alias("file_path"),
+        F.col("__ice_pos").alias("pos"),
+    )
+    stage = tempfile.mkdtemp(prefix="_ice_upd_", dir=table_path)
+    delete_entries = []
+    rows_updated = 0
+    try:
+        out = os.path.join(stage, "out")
+        (
+            positions.repartitionByRange(
+                max(1, len(files)), "file_path", "pos"
+            )
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
+            count = _footer_rows(src_file)
+            if count == 0:
+                continue
+            rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            size = os.path.getsize(src_file)
+            shutil.move(src_file, dest)
+            delete_entries.append((rel, {}, count, size, 1, None))
+            rows_updated += count
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not delete_entries:
+        return {"snapshot_id": None, "rows_updated": 0,
+                "delete_files": 0, "appended_files": 0}
+    data_entries = _stage_iceberg_data(updated, table_path, part_cols)
+    try:
+        snap_id = _commit_snapshot(
+            table_path, part_cols,
+            data_entries=data_entries,
+            delete_entries=delete_entries,
+            expect_version=planned_version,
+        )
+    except ConcurrentIcebergWrite:
+        _discard_staged_iceberg(table_path, [r for r, *_ in data_entries])
+        raise
+    return {
+        "snapshot_id": snap_id,
+        "rows_updated": rows_updated,
+        "delete_files": len(delete_entries),
+        "appended_files": len(data_entries),
+    }
+
+
 def rollback_to_snapshot(table_path: str, snapshot_id) -> dict:
     """Iceberg's ``rollback_to_snapshot`` maintenance procedure: make an
     EARLIER snapshot current again by a pure metadata commit — no file

@@ -137,6 +137,7 @@ EXTENDED: list[str] = [
     "sink_delta_check_constraint",
     "stream_iceberg_upsert_sink",
     "sink_iceberg_delete_where",
+    "sink_lakehouse_update",
 ]
 
 

@@ -137,7 +137,8 @@ def test_driver_window_covers_every_operator_family():
                      "src_uniform_iceberg_over_delta",
                      "sink_delta_check_constraint",
                      "stream_iceberg_upsert_sink",
-                     "sink_iceberg_delete_where"):
+                     "sink_iceberg_delete_where",
+                     "sink_lakehouse_update"):
         assert sentinel in window, sentinel
 
 
