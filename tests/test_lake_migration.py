@@ -150,6 +150,36 @@ def test_add_files_expire_never_deletes_external_bytes(
     assert _ids(il.read_iceberg(spark, tbl)) == list(range(12)) + [500]
 
 
+def test_add_files_then_dml_binds_partition_column(
+    spark, hive_dir, tmp_path
+):
+    """ADVICE r9 (medium): UPDATE/DELETE read planned files through the
+    full reader, so add_files-imported Hive files (identity partition
+    column absent in-data) get the manifest's partition value attached
+    and a predicate naming it binds instead of failing."""
+    tbl = str(tmp_path / "icedml")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=100, grp="a", v=0.5)]).select(
+            "id", "grp", "v"
+        ),
+        tbl, partition_by=["grp"],
+    )
+    il.add_files(spark, tbl, hive_dir)
+    # grp lives only in the imported dirs' names for ids 0..11
+    res = il.update_iceberg(
+        spark, tbl, {"v": "v + 1000"}, "grp = 'b' AND id < 4"
+    )
+    assert res["rows_updated"] == 2  # ids 1, 3
+    got = {r.id: (r.grp, r.v) for r in il.read_iceberg(spark, tbl).collect()}
+    assert got[1] == ("b", 1001.0) and got[3] == ("b", 1003.0)
+    assert got[2] == ("a", 2.0) and got[100] == ("a", 0.5)
+    res2 = il.delete_iceberg(spark, tbl, "grp = 'b' AND v >= 1000")
+    assert res2["rows_deleted"] == 2
+    assert _ids(il.read_iceberg(spark, tbl)) == \
+        [0, 2] + list(range(4, 12)) + [100]
+
+
 def test_add_files_guards(spark, hive_dir, tmp_path):
     with pytest.raises(il.IcebergLiteError, match="existing table"):
         il.add_files(spark, str(tmp_path / "none"), hive_dir)

@@ -136,3 +136,117 @@ def test_update_iceberg_one_shot_and_guards(spark, tmp_path):
         il.update_iceberg(spark, path, {"zzz": "1"}, "id = 1")
     res = il.update_iceberg(spark, path, {"a": "1"}, "id = 99")
     assert res["rows_updated"] == 0 and res["snapshot_id"] is None
+
+
+def test_update_iceberg_after_mor_merge_no_resurrection(spark, tmp_path):
+    """ADVICE r9 (high): UPDATE must match LIVE rows only.  After a
+    MOR merge position-deletes the old versions, an UPDATE whose
+    predicate matches the OLD values must touch nothing — the buggy
+    raw-parquet read resurrected every deleted row as a transformed
+    live copy (10 rows became 20, rows_updated 11 instead of 0)."""
+    path = str(tmp_path / "res")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v"),
+        path,
+    )
+    # upsert ALL ids to v+100 → 10 position deletes + 10 new rows
+    il.merge_iceberg(
+        spark,
+        spark.createDataFrame(
+            [Row(id=i, v=float(i) + 100.0) for i in range(10)]
+        ).select("id", "v"),
+        path, keys="id",
+    )
+    # predicate matches only the DELETED versions (v < 100)
+    res = il.update_iceberg(spark, path, {"v": "v * 1000"}, "v < 100")
+    assert res["rows_updated"] == 0 and res["snapshot_id"] is None
+    got = _rows(il.read_iceberg(spark, path))
+    assert len(got) == 10
+    assert got == [(i, float(i) + 100.0) for i in range(10)]
+    # and an UPDATE matching the LIVE versions touches exactly those
+    res2 = il.update_iceberg(spark, path, {"v": "v - 100"}, "v >= 100")
+    assert res2["rows_updated"] == 10
+    assert _rows(il.read_iceberg(spark, path)) == [
+        (i, float(i)) for i in range(10)
+    ]
+
+
+def test_delete_iceberg_after_mor_merge_counts_live_only(spark, tmp_path):
+    """ADVICE r9 (medium): DELETE's MOR path must not re-count /
+    re-delete rows already masked by existing delete files."""
+    path = str(tmp_path / "dres")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v"),
+        path,
+    )
+    il.merge_iceberg(
+        spark,
+        spark.createDataFrame(
+            [Row(id=i, v=float(i) + 100.0) for i in range(5)]
+        ).select("id", "v"),
+        path, keys="id",
+    )
+    # matches the 5 deleted old versions AND live ids 5..9 (v<100)
+    res = il.delete_iceberg(spark, path, "v < 100")
+    assert res["rows_deleted"] == 5  # only the live ones
+    got = _rows(il.read_iceberg(spark, path))
+    assert got == [(i, float(i) + 100.0) for i in range(5)]
+
+
+def test_delete_iceberg_fast_path_count_respects_mor_debt(
+    spark, tmp_path
+):
+    """Partition-aligned DELETE on a table carrying MOR debt stays a
+    metadata-only commit but must subtract rows already masked by
+    delete files from rows_deleted (ADVICE r9)."""
+    path = str(tmp_path / "fpd")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [Row(id=i, grp="a" if i < 6 else "b", v=float(i))
+             for i in range(10)]
+        ).select("id", "grp", "v"),
+        path, partition_by=["grp"],
+    )
+    # MOR-delete 2 rows inside partition a (row path: data predicate)
+    r0 = il.delete_iceberg(spark, path, "id IN (0, 1)")
+    assert r0["metadata_only"] is False and r0["rows_deleted"] == 2
+    # now drop partition a: 6 file rows, but only 4 are live
+    res = il.delete_iceberg(spark, path, "grp = 'a'")
+    assert res["metadata_only"] is True
+    assert res["rows_deleted"] == 4
+    got = _rows(il.read_iceberg(spark, path))
+    assert got == [(i, float(i)) for i in range(6, 10)]
+
+
+def test_update_iceberg_binds_evolved_schema(spark, tmp_path):
+    """ADVICE r9 (medium): the DML reader must use the metadata table
+    schema — files written BEFORE a column was added surface it as
+    NULL, so SET/WHERE bind against the evolved table shape instead
+    of failing or mis-reading old physical files."""
+    path = str(tmp_path / "evo")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)])
+        .select("id", "v"),
+        path,
+    )
+    # schema evolution on append: new column `tag`
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=10, v=10.0, tag="new")])
+        .select("id", "v", "tag"),
+        path,
+    )
+    res = il.update_iceberg(
+        spark, path, {"tag": "coalesce(tag, 'backfilled')"}, "id <= 10"
+    )
+    assert res["rows_updated"] == 5
+    got = sorted((r.id, r.tag) for r in
+                 il.read_iceberg(spark, path).collect())
+    assert got == [(0, "backfilled"), (1, "backfilled"),
+                   (2, "backfilled"), (3, "backfilled"), (10, "new")]
