@@ -1674,6 +1674,18 @@ def write_delta(
                     for a in adds
                     if (a.stats or {}).get(key, {}).get(f.name) is not None
                 ]
+                if not vals and adds and f.name in df.columns:
+                    # footer stats are best-effort; a commit that wrote
+                    # rows but lost the identity column's extremum must
+                    # NOT silently keep the old hwm (a later append
+                    # would mint duplicates, ADVICE r9) — fall back to
+                    # one agg job over the written DataFrame
+                    agg = F.max(f.name) if info["step"] > 0 else F.min(
+                        f.name
+                    )
+                    got = df.agg(agg.alias("__ext")).collect()[0]["__ext"]
+                    if got is not None:
+                        vals = [int(got)]
                 if vals:
                     ext = max(vals) if info["step"] > 0 else min(vals)
                     old = info["hwm"]
@@ -2369,12 +2381,21 @@ def _delete_partition_metadata_only(
     ]
     counts = [(f.stats or {}).get("numRecords") for f in removed]
     if all(c is not None for c in counts):
-        n_deleted = int(sum(counts))
+        # stats numRecords is the FILE's row count; rows already masked
+        # by a deletion vector were never live, so subtract its
+        # cardinality (ADVICE r9 — data is unaffected either way, whole
+        # files drop, but rows_deleted must report LIVE rows)
+        n_deleted = int(sum(counts)) - sum(
+            int((f.deletion_vector or {}).get("cardinality") or 0)
+            for f in removed
+        )
     else:
-        n_deleted = (
-            spark.read.parquet(
-                *[os.path.join(path, f.path) for f in removed]
-            ).count()
+        base = spark.read.parquet(
+            *[os.path.join(path, f.path) for f in removed]
+        ).count()
+        n_deleted = int(base) - sum(
+            int((f.deletion_vector or {}).get("cardinality") or 0)
+            for f in removed
         )
     now_ms = int(time.time() * 1000)
     actions = [

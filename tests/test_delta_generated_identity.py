@@ -173,6 +173,33 @@ def test_gen_identity_are_creation_options_and_block_evolve(spark, tmp_path):
         dl.write_delta(widened, path, mode="append", schema_mode="evolve")
 
 
+def test_identity_hwm_advances_without_footer_stats(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 (low): footer stats are best-effort; when the staged
+    adds lack the identity column's extremum, the hwm must advance via
+    an agg-job fallback instead of silently keeping the old mark (a
+    later append would mint duplicate ids)."""
+    monkeypatch.setattr(dl, "_footer_stats", lambda p: None)
+    path = str(tmp_path / "nostats")
+    dl.write_delta(
+        spark.createDataFrame([Row(name=f"n{i}") for i in range(20)])
+        .select("name"),
+        path, identity_columns={"id": {"start": 1, "step": 1}},
+    )
+    hwm1 = _hwm(path, "id")
+    first = [r.id for r in dl.read_delta(spark, path).collect()]
+    assert hwm1 == max(first)  # advanced despite missing stats
+    dl.write_delta(
+        spark.createDataFrame([Row(name="x"), Row(name="y")]).select(
+            "name"
+        ),
+        path, mode="append",
+    )
+    all_ids = [r.id for r in dl.read_delta(spark, path).collect()]
+    assert len(set(all_ids)) == 22  # no duplicates minted
+
+
 def test_metadata_survives_checkpoint_roundtrip(spark, tmp_path):
     """The gen/identity metadata must survive log replay THROUGH a
     checkpoint (the schemaString is the carrier)."""

@@ -435,6 +435,25 @@ def test_dv_delete_cdf_emits_delete_rows(spark, tmp_path):
     assert got == [("delete", 1), ("delete", 5)]
 
 
+def test_metadata_only_delete_subtracts_dv_cardinality(spark, tmp_path):
+    """ADVICE r9 (low): a partition-aligned DELETE that drops whole
+    files must not count rows already masked by deletion vectors on
+    those files in rows_deleted."""
+    path = str(tmp_path / "dvpart")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i < 6 else "b", v=float(i))
+         for i in range(10)]
+    ).select("id", "grp", "v")
+    dl.write_delta(df, path, partition_by=["grp"])
+    r0 = dl.delete_delta(spark, path, "id IN (0, 1)",
+                         use_deletion_vectors=True)
+    assert r0["rows_deleted"] == 2 and r0["dv_files"] >= 1
+    res = dl.delete_delta(spark, path, "grp = 'a'")
+    assert res.get("metadata_only") is True
+    assert res["rows_deleted"] == 4  # 6 file rows - 2 DV-masked
+    assert _ids(dl.read_delta(spark, path)) == list(range(6, 10))
+
+
 def test_dv_delete_then_optimize_purges_dvs(spark, tmp_path):
     path = str(tmp_path / "dvw6")
     _one_file_table(spark, path, 0, 9)
