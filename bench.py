@@ -99,6 +99,33 @@ BASELINES = {
     "sink_delta_dv_delete": (2.493, 8),
     "src_iceberg_bounds_pruning": (0.598, 8),
     "sink_delta_cm_roundtrip": (1.786, 8),
+    # round-9 additions, promoted in round 10 (VERDICT r9 item 4) with
+    # the judge's quiet-run normalized times (calib 0.0665 ≈ the 0.0664
+    # reference — healthy host during that run)
+    "src_iceberg_day_partition": (0.801, 9),
+    "sink_iceberg_bucket_upsert": (3.534, 9),
+    "src_delta_type_widening": (0.539, 9),
+    "src_delta_variant": (0.398, 9),
+    "src_iceberg_ref_read": (0.69, 9),
+    "src_standard_encrypted_xlsx": (0.342, 9),
+    "sink_iceberg_spec_evolution": (1.133, 9),
+    "src_delta_ict_travel": (0.757, 9),
+    "src_iceberg_incremental": (0.737, 9),
+    "src_iceberg_partitions_meta": (0.914, 9),
+    "sink_iceberg_schema_evolution": (0.619, 9),
+    "stream_iceberg_source_totals": (3.731, 9),
+    "sink_iceberg_rollback": (0.648, 9),
+    "sink_iceberg_wap_publish": (0.787, 9),
+    "sink_delta_shallow_clone": (1.205, 9),
+    "src_convert_to_delta": (0.868, 9),
+    "sink_iceberg_add_files": (1.349, 9),
+    "sink_iceberg_manifest_rewrite": (2.662, 9),
+    "sink_delta_identity_generated": (0.748, 9),
+    "src_uniform_iceberg_over_delta": (1.801, 9),
+    "sink_delta_check_constraint": (0.888, 9),
+    "stream_iceberg_upsert_sink": (2.755, 9),
+    "sink_iceberg_delete_where": (2.344, 9),
+    "sink_lakehouse_update": (2.766, 9),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -112,32 +139,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-9 additions: iceberg partition transforms + refs, delta
-    # type widening / variant reads (promoted to BASELINES next round)
-    "src_iceberg_day_partition",
-    "sink_iceberg_bucket_upsert",
-    "src_delta_type_widening",
-    "src_delta_variant",
-    "src_iceberg_ref_read",
-    "src_standard_encrypted_xlsx",
-    "sink_iceberg_spec_evolution",
-    "src_delta_ict_travel",
-    "src_iceberg_incremental",
-    "src_iceberg_partitions_meta",
-    "sink_iceberg_schema_evolution",
-    "stream_iceberg_source_totals",
-    "sink_iceberg_rollback",
-    "sink_iceberg_wap_publish",
-    "sink_delta_shallow_clone",
-    "src_convert_to_delta",
-    "sink_iceberg_add_files",
-    "sink_iceberg_manifest_rewrite",
-    "sink_delta_identity_generated",
-    "src_uniform_iceberg_over_delta",
-    "sink_delta_check_constraint",
-    "stream_iceberg_upsert_sink",
-    "sink_iceberg_delete_where",
-    "sink_lakehouse_update",
+    # round-10 additions (promoted to BASELINES next round)
 ]
 
 
@@ -170,6 +172,31 @@ def main() -> None:
 
     calib_samples = []
 
+    # SPARK-SHAPED calibration probe (finding 47's documented blind
+    # spot): the md5 probe measures single-thread Python CPU, but in
+    # round 9 Spark paths ran ~1.7× slower on UNCHANGED code while md5
+    # read FASTER — contention can hit the JVM/shuffle machinery and
+    # the Python interpreter differently.  This fixed 32-partition
+    # groupBy over a generated range exercises scheduler + exchange +
+    # codegen; it is REPORTED for deconfounding (diverging
+    # shuffle-vs-md5 samples ⇒ suspect host contention, not code), but
+    # normalization stays md5-based so every baseline in BASELINES
+    # remains comparable.
+    from pyspark.sql import functions as _F  # noqa: PLC0415
+
+    def calib_shuffle_sample() -> float:
+        start = time.time()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .groupBy((_F.col("id") % 1000).alias("k"))
+            .agg(_F.count("*").alias("n"), _F.sum("id").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.time() - start, 4)
+
+    calib_shuffle_samples = []
+    calib_shuffle_sample()  # warm the probe's codegen path once
+
     # Warmup: one full pass materializes every query once so the timed pass
     # measures steady state (JIT-compiled codegen, parquet footer caches,
     # broadcast relations) instead of first-run JVM noise.
@@ -177,6 +204,7 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
 
     calib_samples.append(calib_sample())
+    calib_shuffle_samples.append(calib_shuffle_sample())
 
     # Two timed passes, min per query: steady-state cost, robust to
     # transient scheduler/GC noise on a shared box.
@@ -190,6 +218,7 @@ def main() -> None:
                 timings[name] = elapsed
 
     calib_samples.append(calib_sample())
+    calib_shuffle_samples.append(calib_shuffle_sample())
 
     # Extended set gets the same measurement discipline as the headline
     # (warmup + min of 2) so the numbers are comparable across rounds.
@@ -205,7 +234,9 @@ def main() -> None:
                 extended[name] = elapsed
 
     calib_samples.append(calib_sample())
+    calib_shuffle_samples.append(calib_shuffle_sample())
     calib_sec = sorted(calib_samples)[1]
+    calib_shuffle_sec = sorted(calib_shuffle_samples)[1]
 
     scale = CALIB_REF / calib_sec if calib_sec > 0 else 1.0
     normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
@@ -228,6 +259,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calib_md5_100k_sec": calib_sec,
                 "calib_samples": calib_samples,
+                "calib_shuffle_sec": calib_shuffle_sec,
+                "calib_shuffle_samples": calib_shuffle_samples,
                 "calib_ref": CALIB_REF,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
