@@ -3450,6 +3450,118 @@ def sink_delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_dv_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 200 AS BIGINT)
+                ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           END AS acct_cents
+    FROM customer
+    WHERE c_custkey % 3 <> 0 OR c_custkey % 5 = 0
+    """,
+)
+def sink_delta_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector MERGE (round 10, VERDICT r9 item 2): a table
+    carrying ``delta.enableDeletionVectors=true`` flips ``merge_delta``
+    from copy-on-write to the DV shape with NO per-call flag — matched
+    target rows tombstone into per-file roaring bitmaps (executor-side
+    ``applyInPandas``, one group per touched file), the full source
+    (updates + inserts) appends as new files, and NOT ONE original data
+    file is rewritten: write amplification O(|source|), the 100 TB
+    upsert answer when a few rows land in many 1 GB files.  The gate
+    seeds two single-file commits, MERGEs a source that both updates
+    (keys present) and inserts (keys absent), asserts zero rewrites +
+    every pre-merge file still live + DV descriptors on the touched
+    adds, then reads back through the DV-applying reader; the oracle is
+    the plain post-merge value set."""
+    from ..sources import delta_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("acct_cents")
+    )
+    base = t(spark, sf_dir, "customer").select("c_custkey", cents)
+    tbl = tempfile.mkdtemp(prefix="gate-delta-dvm-") + "/t"
+    seed = base.where(F.col("c_custkey") % 3 != 0)
+    delta_lite.write_delta(
+        seed.where(F.col("c_custkey") % 2 == 0).coalesce(1), tbl,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_lite.write_delta(
+        seed.where(F.col("c_custkey") % 2 == 1).coalesce(1), tbl
+    )
+    before = {f.path for f in delta_lite.snapshot(tbl).files}
+    source = base.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "acct_cents", F.col("acct_cents") * 2
+    )
+    stats = delta_lite.merge_delta(spark, source, tbl, ["c_custkey"])
+    if stats["files_rewritten"] != 0:
+        raise RuntimeError(f"DV merge must rewrite nothing: {stats}")
+    if stats["dv_files"] < 1:
+        raise RuntimeError(f"expected DV sidecars: {stats}")
+    after = delta_lite.snapshot(tbl).files
+    if not before <= {f.path for f in after}:
+        raise RuntimeError("a pre-merge data file vanished under DV merge")
+    if not any(f.deletion_vector for f in after):
+        raise RuntimeError("no add action carries a deletionVector")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "sink_delta_dv_update",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                     AS BIGINT) + 1
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                     AS BIGINT)
+           END AS price_cents
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    """,
+)
+def sink_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector UPDATE (round 10, VERDICT r9 item 2): with
+    ``delta.enableDeletionVectors=true`` on the table, ``update_delta``
+    tombstones the matched rows into per-file DVs and stages ONLY the
+    transformed rows as new files — survivors keep their untouched
+    bytes behind the new descriptors, so a 100-row UPDATE scattered
+    across 1 GB files costs 100 rows, not every touched file.  Two
+    single-file commits, one modular UPDATE, in-gate assertions of
+    zero rewrites + original files live + descriptors present, read
+    back vs the plain post-update oracle."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-dvu-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 0).coalesce(1), tbl,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 1).coalesce(1), tbl
+    )
+    before = {f.path for f in delta_lite.snapshot(tbl).files}
+    stats = delta_lite.update_delta(
+        spark, tbl, {"price_cents": "price_cents + 1"}, "o_orderkey % 7 = 0"
+    )
+    if stats["files_rewritten"] != 0 or stats["dv_files"] < 1:
+        raise RuntimeError(f"DV update must rewrite nothing: {stats}")
+    after = delta_lite.snapshot(tbl).files
+    if not before <= {f.path for f in after}:
+        raise RuntimeError("a pre-update data file vanished under DV update")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
     "src_iceberg_bounds_pruning",
     """
     SELECT o_orderkey,

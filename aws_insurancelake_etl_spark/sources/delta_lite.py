@@ -1913,9 +1913,26 @@ def _guard_writable(snap: Snapshot, operation: str = "mutate") -> None:
 # --------------------------------------------------------------- merge
 
 
+def _dv_mode(snap: Snapshot, use_deletion_vectors) -> bool:
+    """Resolve a DML call's deletion-vector mode: an explicit
+    ``use_deletion_vectors`` wins; ``None`` follows the table property
+    ``delta.enableDeletionVectors`` — the delta-spark default, where
+    enabling the property flips MERGE/UPDATE/DELETE from copy-on-write
+    to DV writes (PROTOCOL.md §Deletion Vectors / §Writer Requirements
+    for Deletion Vectors)."""
+    if use_deletion_vectors is not None:
+        return bool(use_deletion_vectors)
+    return (
+        str(
+            snap.configuration.get("delta.enableDeletionVectors", "false")
+        ).lower()
+        == "true"
+    )
+
+
 def merge_delta(
     spark: SparkSession, source: DataFrame, path: str, keys,
-    max_retries: int = 3,
+    max_retries: int = 3, use_deletion_vectors: bool | None = None,
 ) -> dict:
     """Copy-on-write ``MERGE INTO <path> USING source ON keys WHEN
     MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
@@ -1943,6 +1960,19 @@ def merge_delta(
 
     Raises on duplicate source keys (Delta's MERGE cardinality rule:
     a target row may match at most one source row).
+
+    **Deletion-vector MERGE** (``use_deletion_vectors=True``, or
+    ``None`` with ``delta.enableDeletionVectors=true`` on the table —
+    the delta-spark default behavior): NO data file is rewritten.
+    Matched target rows' physical row indexes merge into each touched
+    file's DV (executor-side, :func:`_stage_dvs`), the touched files
+    re-add with their new descriptors, and the FULL source (updates +
+    inserts) appends as new files — write amplification O(|source|)
+    instead of O(|touched file bytes|), which at 100 TB is the
+    difference between a 100-row upsert costing 100 rows and costing
+    every 1 GB file one of those rows lands in.  The read-side debt is
+    the DV anti-join until OPTIMIZE rewrites.  Returns additionally
+    ``dv_files`` (touched files re-added with a DV).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     dup = (
@@ -1963,7 +1993,10 @@ def merge_delta(
     attempt = 0
     while True:
         try:
-            return _merge_once(spark, source, path, keys, attempt)
+            return _merge_once(
+                spark, source, path, keys, attempt,
+                use_deletion_vectors=use_deletion_vectors,
+            )
         except ConcurrentWriteError:
             if attempt >= max_retries:
                 raise
@@ -1972,13 +2005,14 @@ def merge_delta(
 
 def _merge_once(
     spark: SparkSession, source: DataFrame, path: str, keys: list,
-    attempt: int,
+    attempt: int, use_deletion_vectors: bool | None = None,
 ) -> dict:
     """One optimistic MERGE attempt against the CURRENT snapshot; raises
     ``ConcurrentWriteError`` (after discarding staged files) if another
     writer claims the version first."""
     snap = snapshot(path)
     _guard_writable(snap, operation="MERGE")
+    dv = _dv_mode(snap, use_deletion_vectors)
     schema_cols = [f.name for f in snap.schema.fields]
     if [f.name for f in source.schema.fields] != schema_cols:
         source = source.select(*schema_cols)  # raises if a column is missing
@@ -2052,7 +2086,9 @@ def _merge_once(
             protocol=search_snap.protocol,
             files=[f for f in search_snap.files if _overlaps(f)],
         )
-    target = _read_snapshot(spark, search_snap, with_path=True)
+    target = _read_snapshot(
+        spark, search_snap, with_path=not dv, with_pos=dv
+    )
     touched_uris = {
         r["__dl_path"]
         for r in target.join(F.broadcast(src_keys), keys, "left_semi")
@@ -2065,18 +2101,32 @@ def _merge_once(
     unknown = touched_rel - {a.path for a in snap.files}
     if unknown:
         raise DeltaLiteError(f"matched files not in snapshot: {sorted(unknown)}")
-    survivors = (
-        target.where(F.col("__dl_path").isin(list(touched_uris)))
-        .drop("__dl_path")
-        .join(F.broadcast(src_keys), keys, "left_anti")
-        if touched_uris
-        else None
-    )
-    new_data = (
-        survivors.unionByName(source.select(*schema_cols))
-        if survivors is not None
-        else source.select(*schema_cols)
-    )
+    descriptors = []
+    if dv:
+        # deletion-vector shape: matched rows tombstone into per-file
+        # DVs; only the SOURCE stages as new files — survivors stay in
+        # their untouched bytes behind the new descriptors
+        if touched_uris:
+            descriptors = _stage_dvs(
+                spark, path, snap,
+                target.where(F.col("__dl_path").isin(list(touched_uris)))
+                .join(F.broadcast(src_keys), keys, "left_semi")
+                .select("__dl_path", "__dl_pos"),
+            )
+        new_data = source.select(*schema_cols)
+    else:
+        survivors = (
+            target.where(F.col("__dl_path").isin(list(touched_uris)))
+            .drop("__dl_path")
+            .join(F.broadcast(src_keys), keys, "left_anti")
+            if touched_uris
+            else None
+        )
+        new_data = (
+            survivors.unionByName(source.select(*schema_cols))
+            if survivors is not None
+            else source.select(*schema_cols)
+        )
     adds = _stage_data_files(
         _to_physical(new_data, phys),
         path,
@@ -2092,7 +2142,7 @@ def _merge_once(
         if touched_uris:
             matched_target = (
                 target.where(F.col("__dl_path").isin(list(touched_uris)))
-                .drop("__dl_path")
+                .drop("__dl_path", "__dl_pos")
                 .join(F.broadcast(src_keys), keys, "left_semi")
             )
             matched_keys = matched_target.select(*keys).distinct()
@@ -2134,35 +2184,43 @@ def _merge_once(
             "commitInfo": {
                 "operation": "MERGE",
                 "engine": "delta-lite",
-                "operationParameters": {"predicate": " AND ".join(keys)},
+                "operationParameters": {
+                    "predicate": " AND ".join(keys),
+                    **({"deletionVectors": True} if dv else {}),
+                },
             }
         }
     ]
-    actions += [
-        {
-            "remove": {
-                "path": quote(p, safe="/="),
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
+    if dv:
+        actions += _dv_readds(snap, path, descriptors)
+    else:
+        actions += [
+            {
+                "remove": {
+                    "path": quote(p, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
             }
-        }
-        for p in sorted(touched_rel)
-    ]
+            for p in sorted(touched_rel)
+        ]
     actions += [_add_json(a) for a in adds]
     actions += cdc_actions
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
+        _discard_dvs(path, descriptors)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently"
         )
     _maybe_checkpoint(path, version)
     return {
         "version": version,
-        "files_rewritten": len(touched_rel),
-        "files_kept": len(snap.files) - len(touched_rel),
+        "files_rewritten": 0 if dv else len(touched_rel),
+        "files_kept": len(snap.files) - (0 if dv else len(touched_rel)),
         "files_scanned": len(search_snap.files),
+        "dv_files": len(descriptors),
         "retries": attempt,
     }
 
@@ -2439,16 +2497,18 @@ def delete_delta(
     spark: SparkSession,
     path: str,
     predicate: str,
-    use_deletion_vectors: bool = False,
+    use_deletion_vectors: bool | None = None,
 ) -> dict:
     """``DELETE WHERE predicate`` in one of the protocol's two shapes:
 
-    - **copy-on-write** (default): only data files that CONTAIN a
-      matching row are rewritten (without the matching rows);
-      everything else survives by reference — same touched-file
-      discipline as :func:`merge_delta`, same driver state (the path
-      list).  Returns {"version", "rows_deleted", "files_rewritten",
-      "files_kept"}.
+    - **copy-on-write** (the default on tables without
+      ``delta.enableDeletionVectors=true`` — ``use_deletion_vectors``
+      of ``None`` follows the table property, an explicit bool wins):
+      only data files that CONTAIN a matching row are rewritten
+      (without the matching rows); everything else survives by
+      reference — same touched-file discipline as :func:`merge_delta`,
+      same driver state (the path list).  Returns {"version",
+      "rows_deleted", "files_rewritten", "files_kept"}.
     - **deletion vectors** (``use_deletion_vectors=True``): NO data
       file is rewritten — each touched file's matching ROW INDEXES
       merge into its (possibly pre-existing) roaring-bitmap DV, written
@@ -2472,7 +2532,7 @@ def delete_delta(
     meta_result = _delete_partition_metadata_only(spark, path, snap, predicate)
     if meta_result is not None:
         return meta_result
-    if use_deletion_vectors:
+    if _dv_mode(snap, use_deletion_vectors):
         return _delete_with_dvs(spark, path, snap, predicate)
     target = _read_snapshot(spark, snap, with_path=True)
     cond = F.expr(predicate)
@@ -2555,7 +2615,8 @@ def delete_delta(
 
 
 def update_delta(
-    spark: SparkSession, path: str, set_exprs: dict, predicate: str
+    spark: SparkSession, path: str, set_exprs: dict, predicate: str,
+    use_deletion_vectors: bool | None = None,
 ) -> dict:
     """``UPDATE <path> SET col = expr, ... WHERE predicate`` —
     copy-on-write: only data files CONTAINING a matching row are
@@ -2567,9 +2628,18 @@ def update_delta(
     directly refuses, as delta-spark does); identity columns are not
     settable; CHECK constraints gate the updated rows; CDF commits
     emit paired update_preimage/update_postimage rows.  Returns
-    {"version", "rows_updated", "files_rewritten", "files_kept"}."""
+    {"version", "rows_updated", "files_rewritten", "files_kept"}.
+
+    **Deletion-vector UPDATE** (``use_deletion_vectors=True``, or
+    ``None`` with ``delta.enableDeletionVectors=true`` on the table):
+    no survivor rewrite — matched rows tombstone into per-file DVs
+    (:func:`_stage_dvs`), touched files re-add with their descriptors,
+    and only the TRANSFORMED rows stage as new files.  Write
+    amplification O(|matched rows|); returns additionally
+    ``dv_files``."""
     snap = snapshot(path)
     _guard_writable(snap, operation="UPDATE")
+    dv = _dv_mode(snap, use_deletion_vectors)
     if not set_exprs:
         raise DeltaLiteError("UPDATE needs at least one SET column")
     field_type = {f.name: f.dataType for f in snap.schema.fields}
@@ -2588,7 +2658,7 @@ def update_delta(
         )
     if set(set_exprs) & set(_identity_meta(snap.schema)):
         raise DeltaLiteError("identity columns are not settable")
-    target = _read_snapshot(spark, snap, with_path=True)
+    target = _read_snapshot(spark, snap, with_path=not dv, with_pos=dv)
     cond = F.expr(predicate)
     touched_uris = {
         r["__dl_path"]
@@ -2602,9 +2672,15 @@ def update_delta(
             "files_kept": len(snap.files),
         }
     touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
+    descriptors = []
+    if dv:
+        descriptors = _stage_dvs(
+            spark, path, snap,
+            target.where(cond).select("__dl_path", "__dl_pos"),
+        )
     touched_df = target.where(
         F.col("__dl_path").isin(list(touched_uris))
-    ).drop("__dl_path")
+    ).drop("__dl_path", "__dl_pos")
     matched = touched_df.where(cond)
     n_updated = matched.count()
     order = [f.name for f in snap.schema.fields]
@@ -2621,8 +2697,13 @@ def update_delta(
             updated.drop(*sorted(gen_names)), snap.schema
         ).select(*order)
     _enforce_constraints(updated, snap.configuration)
-    survivors = touched_df.where(~cond | cond.isNull())
-    new_data = survivors.unionByName(updated)
+    if dv:
+        # only the transformed rows stage; survivors stay in their
+        # untouched bytes behind the new DV descriptors
+        new_data = updated
+    else:
+        survivors = touched_df.where(~cond | cond.isNull())
+        new_data = survivors.unionByName(updated)
     up_parts, up_phys = _mapping_of(snap)
     adds = _stage_data_files(
         _to_physical(new_data, up_phys),
@@ -2651,20 +2732,26 @@ def update_delta(
             "commitInfo": {
                 "operation": "UPDATE",
                 "engine": "delta-lite",
-                "operationParameters": {"predicate": predicate},
+                "operationParameters": {
+                    "predicate": predicate,
+                    **({"deletionVectors": True} if dv else {}),
+                },
             }
         }
     ]
-    actions += [
-        {
-            "remove": {
-                "path": quote(p, safe="/="),
-                "deletionTimestamp": now_ms,
-                "dataChange": True,
+    if dv:
+        actions += _dv_readds(snap, path, descriptors)
+    else:
+        actions += [
+            {
+                "remove": {
+                    "path": quote(p, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
             }
-        }
-        for p in sorted(touched_rel)
-    ]
+            for p in sorted(touched_rel)
+        ]
     actions += [_add_json(a) for a in adds]
     actions += cdc_actions
     version = snap.version + 1
@@ -2672,6 +2759,7 @@ def update_delta(
         # the rewrite was computed against a stale snapshot
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
+        _discard_dvs(path, descriptors)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run UPDATE"
         )
@@ -2679,24 +2767,26 @@ def update_delta(
     return {
         "version": version,
         "rows_updated": n_updated,
-        "files_rewritten": len(touched_rel),
-        "files_kept": len(snap.files) - len(touched_rel),
+        "files_rewritten": 0 if dv else len(touched_rel),
+        "files_kept": len(snap.files) - (0 if dv else len(touched_rel)),
+        "dv_files": len(descriptors),
     }
 
 
-def _delete_with_dvs(
-    spark: SparkSession, path: str, snap: Snapshot, predicate: str
-) -> dict:
-    """Deletion-vector DELETE (see :func:`delete_delta`): per touched
-    file, the matching physical row indexes union into the file's
-    existing DV and the merged bitmap is encoded + written EXECUTOR-side
-    (one ``applyInPandas`` group per file); the commit re-adds each
-    touched file with its new descriptor.  Returns {"version",
-    "rows_deleted", "files_rewritten" (always 0), "files_kept",
-    "dv_files"}."""
-    target = _read_snapshot(spark, snap, with_pos=True)
-    cond = F.expr(predicate)
-    matched = target.where(cond).select("__dl_path", "__dl_pos")
+def _stage_dvs(
+    spark: SparkSession, path: str, snap: Snapshot, matched: DataFrame
+) -> list:
+    """Stage deletion-vector sidecars for ``matched`` rows (a DataFrame
+    of ``__dl_path``/``__dl_pos`` — LIVE physical row coordinates from
+    ``_read_snapshot(with_pos=True)``): per touched file, the row
+    indexes union into the file's existing DV and the merged bitmap is
+    encoded + written EXECUTOR-side (one ``applyInPandas`` group per
+    file; the bitmap never transits the driver).  Returns the collected
+    descriptor rows ``[{uri, dv_path (z85 uuid), size, cardinality,
+    new_rows}]`` — O(touched files) driver state.  Shared by the DV
+    shapes of DELETE, MERGE, and UPDATE; nothing is committed here
+    (:func:`_discard_dvs` reclaims the sidecars on a lost commit
+    race)."""
     # O(files) driver state: existing DV descriptor JSON per scan URI
     old_dv_by_uri = {}
     for f in snap.files:
@@ -2750,8 +2840,9 @@ def _delete_with_dvs(
             }
         )
 
-    descriptors = (
-        matched.groupBy("__dl_path")
+    return (
+        matched.select("__dl_path", "__dl_pos")
+        .groupBy("__dl_path")
         .applyInPandas(
             write_group,
             "uri string, dv_path string, size long, cardinality long, "
@@ -2759,6 +2850,73 @@ def _delete_with_dvs(
         )
         .collect()
     )
+
+
+def _discard_dvs(path: str, descriptors: list) -> None:
+    """Reclaim staged DV sidecars referenced by no committed add action
+    (lost commit race), as ``_discard_staged`` does for data files."""
+    import uuid as _uuid_mod
+
+    from .roaring import z85_decode
+
+    for r in descriptors:
+        u = _uuid_mod.UUID(bytes=z85_decode(r["dv_path"]))
+        try:
+            os.remove(os.path.join(path, f"deletion_vector_{u}.bin"))
+        except OSError:
+            pass
+
+
+def _dv_readds(snap: Snapshot, path: str, descriptors: list) -> list:
+    """remove + re-add actions swapping each touched file's DV
+    descriptor for its freshly staged one (the file's bytes are
+    untouched — write amplification stays O(|changed rows|))."""
+    from dataclasses import replace as _dc_replace
+
+    now_ms = int(time.time() * 1000)
+    by_rel = {_uri_to_rel(r["uri"], path): r for r in descriptors}
+    actions = []
+    for rel in sorted(by_rel):
+        r = by_rel[rel]
+        add = next(a for a in snap.files if a.path == rel)
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(rel, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        actions.append(
+            _add_json(
+                _dc_replace(
+                    add,
+                    deletion_vector={
+                        "storageType": "u",
+                        "pathOrInlineDv": r["dv_path"],
+                        "offset": 1,
+                        "sizeInBytes": int(r["size"]),
+                        "cardinality": int(r["cardinality"]),
+                    },
+                )
+            )
+        )
+    return actions
+
+
+def _delete_with_dvs(
+    spark: SparkSession, path: str, snap: Snapshot, predicate: str
+) -> dict:
+    """Deletion-vector DELETE (see :func:`delete_delta`): the matching
+    physical row indexes of each touched file merge into its DV
+    (:func:`_stage_dvs`); the commit re-adds each touched file with its
+    new descriptor.  Returns {"version", "rows_deleted",
+    "files_rewritten" (always 0), "files_kept", "dv_files"}."""
+    target = _read_snapshot(spark, snap, with_pos=True)
+    cond = F.expr(predicate)
+    matched = target.where(cond).select("__dl_path", "__dl_pos")
+    descriptors = _stage_dvs(spark, path, snap, matched)
     if not descriptors:
         return {
             "version": snap.version,
@@ -2794,7 +2952,6 @@ def _delete_with_dvs(
                 path,
             )
         ]
-    now_ms = int(time.time() * 1000)
     actions = [
         {
             "commitInfo": {
@@ -2806,50 +2963,12 @@ def _delete_with_dvs(
             }
         }
     ]
-    from dataclasses import replace as _dc_replace
-
-    for rel in sorted(by_rel):
-        r = by_rel[rel]
-        add = next(a for a in snap.files if a.path == rel)
-        actions.append(
-            {
-                "remove": {
-                    "path": quote(rel, safe="/="),
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-        )
-        actions.append(
-            _add_json(
-                _dc_replace(
-                    add,
-                    deletion_vector={
-                        "storageType": "u",
-                        "pathOrInlineDv": r["dv_path"],
-                        "offset": 1,
-                        "sizeInBytes": int(r["size"]),
-                        "cardinality": int(r["cardinality"]),
-                    },
-                )
-            )
-        )
+    actions += _dv_readds(snap, path, descriptors)
     actions += cdc_actions
     version = snap.version + 1
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_cdc(path, cdc_actions)
-        # the freshly-written DV sidecars are referenced by no committed
-        # add action — reclaim them, as _discard_staged does for data
-        import uuid as _uuid_mod
-
-        from .roaring import z85_decode
-
-        for r in descriptors:
-            u = _uuid_mod.UUID(bytes=z85_decode(r["dv_path"]))
-            try:
-                os.remove(os.path.join(path, f"deletion_vector_{u}.bin"))
-            except OSError:
-                pass
+        _discard_dvs(path, descriptors)
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run DELETE"
         )

@@ -988,3 +988,129 @@ def test_third_party_ict_table_read_and_append(spark, tmp_path):
         first = _json.loads(fh.readline())
     assert first["commitInfo"]["inCommitTimestamp"] == future + 1
     assert dl.version_as_of_timestamp(path, future) == 1
+
+
+# --------------------------------------- deletion-vector MERGE / UPDATE
+
+
+def test_dv_merge_rewrites_nothing(spark, tmp_path):
+    """MERGE on a DV-enabled shape: matched rows tombstone into DVs,
+    the source appends, and NO original data file is rewritten."""
+    path = str(tmp_path / "dvm")
+    _one_file_table(spark, path, 0, 10)
+    _one_file_table(spark, path, 100, 110)
+    before = {f.path for f in dl.snapshot(path).files}
+    src = spark.createDataFrame(
+        [Row(id=3, v=300.0), Row(id=105, v=500.0), Row(id=999, v=9.0)]
+    ).select("id", "v")
+    stats = dl.merge_delta(spark, src, path, ["id"],
+                           use_deletion_vectors=True)
+    assert stats["files_rewritten"] == 0
+    assert stats["dv_files"] == 2  # one per touched file
+    snap = dl.snapshot(path)
+    assert before <= {f.path for f in snap.files}  # originals untouched
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got[3] == 300.0 and got[105] == 500.0 and got[999] == 9.0
+    assert len(got) == 21
+    # pre-merge snapshot still reads clean through time travel
+    v1 = dl.read_delta(spark, path, version=1)
+    assert sorted(r["id"] for r in v1.collect()) == list(range(0, 10)) + list(
+        range(100, 110)
+    )
+
+
+def test_dv_merge_auto_from_table_property(spark, tmp_path):
+    """delta.enableDeletionVectors=true flips MERGE to the DV shape
+    without any per-call flag (the delta-spark default behavior)."""
+    path = str(tmp_path / "dvma")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path,
+                   configuration={"delta.enableDeletionVectors": "true"})
+    src = spark.createDataFrame([Row(id=2, v=22.0)]).select("id", "v")
+    stats = dl.merge_delta(spark, src, path, ["id"])
+    assert stats["files_rewritten"] == 0 and stats["dv_files"] == 1
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got[2] == 22.0 and len(got) == 8
+    # an explicit False overrides the property back to copy-on-write
+    src2 = spark.createDataFrame([Row(id=3, v=33.0)]).select("id", "v")
+    stats2 = dl.merge_delta(spark, src2, path, ["id"],
+                            use_deletion_vectors=False)
+    assert stats2["files_rewritten"] >= 1 and stats2["dv_files"] == 0
+
+
+def test_dv_merge_merges_into_existing_dv(spark, tmp_path):
+    """A DV MERGE on a file already carrying a DV unions the bitmaps —
+    previously deleted rows stay dead, newly matched rows die."""
+    path = str(tmp_path / "dvm2")
+    _one_file_table(spark, path, 0, 12)
+    dl.delete_delta(spark, path, "id < 3", use_deletion_vectors=True)
+    src = spark.createDataFrame([Row(id=5, v=55.0)]).select("id", "v")
+    dl.merge_delta(spark, src, path, ["id"], use_deletion_vectors=True)
+    snap = dl.snapshot(path)
+    dv_adds = [f for f in snap.files if f.deletion_vector]
+    assert len(dv_adds) == 1
+    assert dv_adds[0].deletion_vector["cardinality"] == 4  # 0,1,2 + 5
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert sorted(got) == [3, 4, 5, 6, 7, 8, 9, 10, 11]
+    assert got[5] == 55.0
+
+
+def test_dv_merge_cdf_rows(spark, tmp_path):
+    path = str(tmp_path / "dvmc")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path, configuration={
+        "delta.enableChangeDataFeed": "true",
+        "delta.enableDeletionVectors": "true",
+    })
+    src = spark.createDataFrame(
+        [Row(id=1, v=11.0), Row(id=77, v=7.0)]
+    ).select("id", "v")
+    dl.merge_delta(spark, src, path, ["id"])
+    feed = dl.read_change_feed(spark, path, 1, 1)
+    got = sorted((r["_change_type"], r["id"], r["v"]) for r in feed.collect())
+    assert got == [
+        ("insert", 77, 7.0),
+        ("update_postimage", 1, 11.0),
+        ("update_preimage", 1, 1.0),
+    ]
+
+
+def test_dv_update_rewrites_nothing(spark, tmp_path):
+    path = str(tmp_path / "dvu")
+    _one_file_table(spark, path, 0, 10)
+    _one_file_table(spark, path, 100, 110)
+    before = {f.path for f in dl.snapshot(path).files}
+    stats = dl.update_delta(spark, path, {"v": "v * 10"}, "id % 50 = 3",
+                            use_deletion_vectors=True)
+    assert stats["rows_updated"] == 2  # 3, 103
+    assert stats["files_rewritten"] == 0 and stats["dv_files"] == 2
+    snap = dl.snapshot(path)
+    assert before <= {f.path for f in snap.files}
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got[3] == 30.0 and got[103] == 1030.0 and len(got) == 20
+    assert got[4] == 4.0  # survivor untouched
+
+
+def test_dv_update_auto_property_and_existing_dv(spark, tmp_path):
+    path = str(tmp_path / "dvua")
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path,
+                   configuration={"delta.enableDeletionVectors": "true"})
+    dl.delete_delta(spark, path, "id >= 8")  # property-driven DV delete
+    stats = dl.update_delta(spark, path, {"v": "-v"}, "id = 1")
+    assert stats["files_rewritten"] == 0 and stats["dv_files"] == 1
+    snap = dl.snapshot(path)
+    dv_adds = [f for f in snap.files if f.deletion_vector]
+    # 8, 9 from the delete plus 1 from the update, merged in one DV
+    assert dv_adds[0].deletion_vector["cardinality"] == 3
+    got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
+    assert got[1] == -1.0 and sorted(got) == list(range(8))
