@@ -3193,6 +3193,191 @@ def build_column_mapped_table(
         raise RuntimeError("fixture commit 0 lost a race")
 
 
+def build_nested_mapped_table(spark, df, table_path: str) -> dict:
+    """Hand-write a column-mapped delta table whose schema carries
+    NESTED structs (and arrays of structs): mapping writers stamp
+    ``delta.columnMapping.physicalName`` / ``.id`` metadata at EVERY
+    nesting level and the parquet files use the physical names all the
+    way down — the Databricks-written estate shape VERDICT r9 item 6
+    names.  Physical names here are ``p_<reversed-logical>`` at every
+    level (deterministic, shared with nothing in delta_lite — this
+    builder is the independent encoder).  Returns the logical->physical
+    map of top-level columns."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    from ..sources import delta_lite
+
+    def pn(name: str) -> str:
+        return "p_" + name[::-1]
+
+    counter = {"id": 0}
+
+    def phys_field(f) -> StructField:
+        counter["id"] += 1
+        return StructField(
+            f.name,
+            phys_type(f.dataType),
+            True,
+            metadata={
+                "delta.columnMapping.id": counter["id"],
+                "delta.columnMapping.physicalName": pn(f.name),
+            },
+        )
+
+    def phys_type(dt):
+        if isinstance(dt, StructType):
+            return StructType([phys_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(phys_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(dt.keyType, phys_type(dt.valueType),
+                           dt.valueContainsNull)
+        return dt
+
+    def physicalize(col, dt):
+        if isinstance(dt, StructType):
+            rebuilt = F.struct(
+                *[
+                    physicalize(col[f.name], f.dataType).alias(pn(f.name))
+                    for f in dt.fields
+                ]
+            )
+            return F.when(col.isNotNull(), rebuilt)
+        if isinstance(dt, ArrayType):
+            return F.transform(col, lambda x: physicalize(x, dt.elementType))
+        if isinstance(dt, MapType):
+            return F.map_from_arrays(
+                F.map_keys(col),
+                F.transform(
+                    F.map_values(col), lambda v: physicalize(v, dt.valueType)
+                ),
+            )
+        return col
+
+    df_phys = df.select(
+        *[
+            physicalize(F.col(f.name), f.dataType).alias(pn(f.name))
+            for f in df.schema.fields
+        ]
+    )
+    _os.makedirs(table_path, exist_ok=True)
+    staging = _tempfile.mkdtemp(prefix="_nm_stage_", dir=table_path)
+    try:
+        adds = delta_lite._stage_from(df_phys, table_path, [], staging)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    fields = [phys_field(f) for f in df.schema.fields]
+    actions = [
+        {"commitInfo": {"operation": "CREATE", "engine": "nm-fixture",
+                        "timestamp": int(_time.time() * 1000)}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "nm-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": StructType(fields).json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(counter["id"]),
+                },
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+    ]
+    actions += [delta_lite._add_json(a) for a in adds]
+    if not delta_lite._try_commit(delta_lite._log_dir(table_path), 0, actions):
+        raise RuntimeError("fixture commit 0 lost a race")
+    return {f.name: pn(f.name) for f in df.schema.fields}
+
+
+@register(
+    "src_delta_nested_mapping",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 <> 0 THEN c_name END AS profile_name,
+           CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           END AS balance_cents,
+           CASE WHEN c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
+                THEN c_mktsegment
+           END AS acct_segment,
+           CAST(c_nationkey AS VARCHAR) AS nation_tag
+    FROM customer
+    """,
+)
+def src_delta_nested_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED column mapping read (round 10, VERDICT r9 item 6): a
+    Databricks-written mapped table stores physical names at every
+    nesting level — top-level aliasing alone would either miss the
+    files' struct field names or misread them.  ``delta_lite`` now
+    physicalizes the read schema recursively and rebuilds the logical
+    shape null-preservingly (a null struct stays null, not a struct of
+    nulls; arrays of structs map the rebuild over elements).  The gate
+    hand-writes a two-level-struct + array-of-struct mapped fixture
+    through the independent encoder, asserts the parquet footer carries
+    ZERO logical names at any level, reads it back, and flattens for
+    the value-level oracle — null structs at both levels included."""
+    import pyarrow.parquet as _pq
+
+    from ..sources import delta_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.when(
+                    F.col("c_custkey") % 7 != 0,
+                    F.struct(
+                        cents.alias("balance_cents"),
+                        F.col("c_mktsegment").alias("segment"),
+                    ),
+                ).alias("acct"),
+            ),
+        ).alias("profile"),
+        F.array(
+            F.struct(
+                F.lit("seg").alias("k"), F.col("c_mktsegment").alias("v")
+            ),
+            F.struct(
+                F.lit("nat").alias("k"),
+                F.col("c_nationkey").cast("string").alias("v"),
+            ),
+        ).alias("tags"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-nm-") + "/t"
+    build_nested_mapped_table(spark, src, tbl)
+    snap = delta_lite.snapshot(tbl)
+    import os as _os
+
+    footer = _pq.read_schema(_os.path.join(tbl, snap.files[0].path))
+    flat = str(footer)
+    for logical in ("c_custkey", "profile", "name", "acct",
+                    "balance_cents", "segment", "tags"):
+        if f"{logical}:" in flat or f" {logical} " in flat:
+            raise RuntimeError(
+                f"fixture leak: logical name {logical!r} in parquet footer"
+            )
+    out = delta_lite.read_delta(spark, tbl)
+    return out.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.acct.balance_cents").alias("balance_cents"),
+        F.col("profile.acct.segment").alias("acct_segment"),
+        F.element_at("tags", 2).getField("v").alias("nation_tag"),
+    )
+
+
 @register(
     "src_delta_deletion_vectors",
     """

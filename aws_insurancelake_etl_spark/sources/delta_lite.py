@@ -464,31 +464,92 @@ def _contains_struct(dt) -> bool:
     return False
 
 
+def _phys_field_name(f) -> str:
+    phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+    if not phys:
+        raise DeltaLiteError(
+            "column mapping enabled but field "
+            f"{f.name!r} has no delta.columnMapping.physicalName"
+        )
+    return phys
+
+
 def _physical_names(schema: StructType) -> dict:
-    """logical -> physical column names from the schemaString field
-    metadata (PROTOCOL.md §Column Mapping: every field carries
+    """TOP-LEVEL logical -> physical column names from the schemaString
+    field metadata (PROTOCOL.md §Column Mapping: every field carries
     ``delta.columnMapping.physicalName`` once mapping is enabled; both
     'name' and 'id' mode writers emit it, so physical-name resolution
-    reads either).  Honest limit: nested struct fields have their own
-    physical names that a top-level alias cannot rewrite — raised, not
-    misread."""
-    out = {}
-    for f in schema.fields:
-        if _contains_struct(f.dataType):
-            raise DeltaLiteError(
-                f"column mapping over nested struct column {f.name!r} is "
-                "not supported by delta_lite (nested fields carry their "
-                "own physical names)"
-            )
-        meta = f.metadata or {}
-        phys = meta.get("delta.columnMapping.physicalName")
-        if not phys:
-            raise DeltaLiteError(
-                "column mapping enabled but field "
-                f"{f.name!r} has no delta.columnMapping.physicalName"
-            )
-        out[f.name] = phys
-    return out
+    reads either).  Nested struct fields carry their own physical names
+    — :func:`_physical_datatype` / :func:`_logical_col` handle those on
+    the read path."""
+    return {f.name: _phys_field_name(f) for f in schema.fields}
+
+
+def _physical_datatype(dt):
+    """The on-disk shape of a column-mapped field's type: every nested
+    struct field renamed to its ``delta.columnMapping.physicalName``
+    (mapping writers stamp the metadata at EVERY nesting level, and the
+    parquet files use the physical names all the way down), recursing
+    through arrays and map values.  Map KEYS are primitive by Spark's
+    own rules, so only the value side can nest."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        return _ST(
+            [
+                StructField(
+                    _phys_field_name(f),
+                    _physical_datatype(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(
+            _physical_datatype(dt.elementType), dt.containsNull
+        )
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType,
+            _physical_datatype(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _logical_col(col, dt):
+    """Rebuild a physically-named (on-disk) column as its LOGICAL shape:
+    structs reconstruct field-by-field (null-preserving — a null struct
+    stays null, not a struct of nulls), arrays map the rebuild over
+    elements, maps over values.  Identity for primitive-only types, so
+    unmapped and flat-mapped tables pay nothing new."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        rebuilt = F.struct(
+            *[
+                _logical_col(col[_phys_field_name(f)], f.dataType).alias(
+                    f.name
+                )
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, ArrayType) and _contains_struct(dt.elementType):
+        return F.transform(
+            col, lambda x: _logical_col(x, dt.elementType)
+        )
+    if isinstance(dt, MapType) and _contains_struct(dt.valueType):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col), lambda v: _logical_col(v, dt.valueType)
+            ),
+        )
+    return col
 
 
 def _mapping_of(snap: Snapshot):
@@ -503,9 +564,22 @@ def _mapping_of(snap: Snapshot):
 def _to_physical(df: DataFrame, phys) -> DataFrame:
     """Rename logical columns to their physical names before staging
     data/cdc files into a column-mapped table (identity when unmapped);
-    extra columns (``_change_type``) pass through."""
+    extra columns (``_change_type``) pass through.  Honest WRITE limit:
+    a struct-carrying column would need its nested physical names
+    attached as parquet field metadata for other engines to resolve —
+    refused by name (reads of nested-mapped tables are fully supported
+    via :func:`_logical_col`)."""
     if not phys:
         return df
+    nested = [
+        f.name for f in df.schema.fields if _contains_struct(f.dataType)
+    ]
+    if nested:
+        raise DeltaLiteError(
+            f"writing struct columns {nested} into a column-mapped "
+            "table is not supported by delta_lite (nested fields carry "
+            "their own physical names); reads are supported"
+        )
     return df.select(
         *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
     )
@@ -634,7 +708,8 @@ def _read_snapshot(
     which is what makes it the right coordinate for writing NEW DVs)."""
     schema = snap.schema
     mode = _column_mapping_mode(snap.configuration)
-    if mode != "none":
+    mapped = mode != "none"
+    if mapped:
         phys = _physical_names(schema)
     else:
         phys = {f.name: f.name for f in schema.fields}
@@ -646,7 +721,11 @@ def _read_snapshot(
     part_cols = [phys[c] for c in part_logical]  # physical partition cols
     read_schema = StructType(
         [
-            StructField(phys[f.name], f.dataType, f.nullable)
+            StructField(
+                phys[f.name],
+                _physical_datatype(f.dataType) if mapped else f.dataType,
+                f.nullable,
+            )
             for f in schema.fields
         ]
     )
@@ -667,7 +746,14 @@ def _read_snapshot(
         ]
     dv_files = [pf.add for pf in files if pf.add.deletion_vector]
     need_meta = with_path or with_pos or bool(dv_files)
-    final_cols = [F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+    final_cols = [
+        (
+            _logical_col(F.col(phys[f.name]), f.dataType)
+            if mapped
+            else F.col(phys[f.name])
+        ).alias(f.name)
+        for f in schema.fields
+    ]
     path_col = ([F.col("__dl_path")] if with_path or with_pos else []) + (
         [F.col("__dl_pos")] if with_pos else []
     )
@@ -3082,16 +3168,26 @@ def read_change_feed(
     _, feed_phys = _mapping_of(snap)
     feed_phys = feed_phys or {}
     # cdc files carry PHYSICAL column names on mapped tables (like the
-    # data files); read physically and alias back to logical
+    # data files, at every nesting level); read physically and rebuild
+    # the logical shape
     cdc_schema = StructType(
         [
-            StructField(feed_phys.get(f.name, f.name), f.dataType, True)
+            StructField(
+                feed_phys.get(f.name, f.name),
+                _physical_datatype(f.dataType) if feed_phys else f.dataType,
+                True,
+            )
             for f in snap.schema.fields
         ]
         + [StructField("_change_type", StringType())]
     )
     cdc_select = [
-        F.col(feed_phys.get(c, c)).alias(c) for c in data_cols
+        (
+            _logical_col(F.col(feed_phys[f.name]), f.dataType)
+            if feed_phys
+            else F.col(f.name)
+        ).alias(f.name)
+        for f in snap.schema.fields
     ] + [F.col("_change_type")]
     log_dir = _log_dir(path)
     pieces = []

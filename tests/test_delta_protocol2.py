@@ -1114,3 +1114,67 @@ def test_dv_update_auto_property_and_existing_dv(spark, tmp_path):
     assert dv_adds[0].deletion_vector["cardinality"] == 3
     got = {r["id"]: r["v"] for r in dl.read_delta(spark, path).collect()}
     assert got[1] == -1.0 and sorted(got) == list(range(8))
+
+
+# --------------------------------------------- NESTED column mapping
+
+
+def _nested_mapped(spark, tmp_path):
+    from aws_insurancelake_etl_spark.queries.pipeline_ops import (
+        build_nested_mapped_table,
+    )
+
+    path = str(tmp_path / "nm")
+    df = spark.createDataFrame(
+        [
+            Row(id=0, prof=Row(name="a", acct=Row(bal=10, seg="X")),
+                tags=[Row(k="t", v="1")], attrs={"m": Row(w=5)}),
+            Row(id=1, prof=Row(name="b", acct=None),
+                tags=[Row(k="u", v="2"), Row(k="w", v="3")], attrs={}),
+            Row(id=2, prof=None, tags=[], attrs=None),
+        ]
+    ).select("id", "prof", "tags", "attrs").orderBy("id").coalesce(1)
+    build_nested_mapped_table(spark, df, path)
+    return path
+
+
+def test_nested_mapping_read_rebuilds_logical_shape(spark, tmp_path):
+    path = _nested_mapped(spark, tmp_path)
+    got = {r["id"]: r for r in dl.read_delta(spark, path).collect()}
+    assert got[0]["prof"]["acct"]["bal"] == 10
+    assert got[0]["prof"]["acct"]["seg"] == "X"
+    assert got[0]["tags"][0]["v"] == "1"
+    assert got[0]["attrs"]["m"]["w"] == 5
+    # null-preservation at both nesting levels
+    assert got[1]["prof"]["name"] == "b" and got[1]["prof"]["acct"] is None
+    assert got[2]["prof"] is None and got[2]["tags"] == [] and (
+        got[2]["attrs"] is None
+    )
+
+
+def test_nested_mapping_files_carry_no_logical_names(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = _nested_mapped(spark, tmp_path)
+    snap = dl.snapshot(path)
+    footer = str(pq.read_schema(os.path.join(path, snap.files[0].path)))
+    for logical in ("prof", "name", "acct", "bal", "seg", "tags", "attrs"):
+        assert f"{logical}:" not in footer
+
+
+def test_nested_mapping_dv_composes(spark, tmp_path):
+    path = _nested_mapped(spark, tmp_path)
+    rel = dl.snapshot(path).files[0].path
+    add_deletion_vector(spark, path, rel, [1])
+    got = sorted(r["id"] for r in dl.read_delta(spark, path).collect())
+    assert got == [0, 2]
+
+
+def test_nested_mapping_write_refuses_by_name(spark, tmp_path):
+    path = _nested_mapped(spark, tmp_path)
+    df = spark.createDataFrame(
+        [Row(id=9, prof=Row(name="z", acct=Row(bal=1, seg="Y")),
+             tags=[Row(k="t", v="9")], attrs={"m": Row(w=1)})]
+    ).select("id", "prof", "tags", "attrs")
+    with pytest.raises(dl.DeltaLiteError, match="reads are supported"):
+        dl.write_delta(df, path, mode="append")
