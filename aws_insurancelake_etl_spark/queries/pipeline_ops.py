@@ -1906,10 +1906,79 @@ def _iceberg_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
     ]
 
 
+def _iceberg_v3_manifest_schema(part_fields: list[tuple]) -> list[tuple]:
+    """The v2 fixture manifest schema plus the v3 deletion-vector
+    reference fields (spec 143-145) — used only for DV delete
+    manifests so the v2 fixtures stay byte-stable."""
+    base = _iceberg_manifest_schema(part_fields)
+    data_file = dict(base[-1][1])
+    data_file = {
+        **data_file,
+        "fields": list(data_file["fields"]) + [
+            {"name": "referenced_data_file", "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes", "type": ["null", "long"]},
+        ],
+    }
+    return base[:-1] + [("data_file", data_file)]
+
+
+def _write_fixture_puffin(path: str, blobs: list[tuple]) -> list[tuple]:
+    """INDEPENDENT puffin writer for doctored v3 fixtures (shares only
+    the byte-level roaring codec with the reader under test):
+    ``blobs`` = [(referenced_fake_path, positions)]; returns
+    [(referenced_fake_path, offset, length, cardinality)].  Layout per
+    the Puffin spec: head magic, per-blob BE length + DV magic +
+    portable-64 roaring + BE CRC32, then Magic + JSON footer payload +
+    LE size + flags + Magic."""
+    import json as _json
+    import os as _os
+    import struct as _struct
+    import zlib as _zlib
+
+    from ..sources import roaring
+
+    out = []
+    body = bytearray(b"PFA1")
+    metas = []
+    for ref, positions in blobs:
+        payload = roaring.encode_delta_dv(sorted(set(positions)))
+        blob = (
+            _struct.pack(">i", len(payload))
+            + payload
+            + _struct.pack(">I", _zlib.crc32(payload) & 0xFFFFFFFF)
+        )
+        off = len(body)
+        body += blob
+        metas.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [2147483546],
+                "snapshot-id": 0,
+                "sequence-number": 0,
+                "offset": off,
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(set(positions))),
+                },
+            }
+        )
+        out.append((ref, off, len(blob), len(set(positions))))
+    footer = _json.dumps({"blobs": metas, "properties": {}}).encode()
+    body += b"PFA1" + footer + _struct.pack("<i", len(footer))
+    body += b"\x00\x00\x00\x00" + b"PFA1"
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(bytes(body))
+    return out
+
+
 def build_iceberg_table(
     spark, table_path: str, snapshots_rows, partition_col: str,
     position_deletes: dict | None = None,
     equality_deletes: dict | None = None,
+    dv_deletes: dict | None = None,
 ):
     """Construct a spec-conformant Iceberg v2 table directory from
     scratch (iceberg.apache.org/spec): identity-partitioned parquet data
@@ -1937,10 +2006,21 @@ def build_iceberg_table(
     partition record, making the delete PARTITION-SCOPED (it must only
     remove rows of that partition).
 
+    ``dv_deletes`` maps a 1-based snapshot id to a list of
+    ``(target_rel_path, [row ordinals])``: that snapshot writes the
+    ordinals as a format-version-3 DELETION VECTOR — a roaring bitmap
+    blob in a PUFFIN file — and a delete-manifest entry with
+    ``file_format=PUFFIN`` + the spec's ``referenced_data_file`` /
+    ``content_offset`` / ``content_size_in_bytes`` triple; the table's
+    metadata is stamped ``format-version: 3``.  Per the spec's
+    supersede rule a DV must contain every prior position delete of
+    its file, and readers must ignore position-delete parquet for
+    DV-covered files.
+
     Used by the ``src_iceberg_snapshot_read`` /
     ``src_iceberg_position_deletes`` / ``src_iceberg_equality_deletes``
-    gates and ``tests/test_iceberg_lite.py``; the reader under test is
-    ``sources/iceberg_lite.py``."""
+    / ``src_iceberg_v3_dv_read`` gates and ``tests/``; the reader under
+    test is ``sources/iceberg_lite.py``."""
     import glob
     import os as _os
 
@@ -2076,6 +2156,54 @@ def build_iceberg_table(
                     snap_id,
                 )
             )
+        dv_targets = (dv_deletes or {}).get(snap_id, [])
+        if dv_targets:
+            puffin_rel = f"data/dv-{snap_id}.puffin"
+            descs = _write_fixture_puffin(
+                f"{table_path}/{puffin_rel}",
+                [
+                    (f"{fake_loc}/{target_rel}", positions)
+                    for target_rel, positions in dv_targets
+                ],
+            )
+            vschema = _iceberg_v3_manifest_schema(part_fields)
+            dv_entries = [
+                (
+                    1,  # status ADDED
+                    snap_id,
+                    (
+                        1,  # content=1: position deletes (DV form)
+                        f"{fake_loc}/{puffin_rel}",
+                        "PUFFIN",
+                        (None,),
+                        card,
+                        _os.path.getsize(f"{table_path}/{puffin_rel}"),
+                        None,
+                        ref,
+                        off,
+                        length,
+                    ),
+                )
+                for ref, off, length, card in descs
+            ]
+            vman_rel = f"metadata/dv-manifest-{snap_id}.avro"
+            avro_lite.write_avro(
+                f"{table_path}/{vman_rel}",
+                [n for n, _ in vschema],
+                [t for _, t in vschema],
+                dv_entries,
+                record_name="manifest_entry",
+            )
+            manifests.append(
+                (
+                    f"{fake_loc}/{vman_rel}",
+                    _os.path.getsize(f"{table_path}/{vman_rel}"),
+                    0,
+                    1,  # content=1: delete manifest
+                    snap_id,
+                    snap_id,
+                )
+            )
         eq_targets = (equality_deletes or {}).get(snap_id, [])
         if eq_targets:
             import pyarrow as _pa
@@ -2149,7 +2277,7 @@ def build_iceberg_table(
             }
         )
         meta = {
-            "format-version": 2,
+            "format-version": 3 if dv_deletes else 2,
             "table-uuid": "00000000-0000-0000-0000-000000000042",
             "location": fake_loc,
             "last-sequence-number": snap_id,
@@ -2407,6 +2535,216 @@ def _cdf_fixture_table(spark: SparkSession, sf_dir: str) -> str:
     delta_lite.delete_delta(spark, tbl, "o_orderkey % 12 = 2")
     _CDF_FIXTURES[key] = tbl
     return tbl
+
+
+@register(
+    "src_iceberg_v3_dv_read",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 5 = 1
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey) - 1 AS p
+        FROM base
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents
+    FROM ranked
+    WHERE NOT (o_orderstatus = 'F'
+               AND (p < 3 OR p % 9 = 0 OR p % 6 = 1))
+      AND NOT (o_orderstatus = 'O' AND p % 8 = 2)
+    """,
+)
+def src_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT-VERSION 3 read (round 10, VERDICT r9 item 1):
+    Iceberg 1.8+/Spark-4 engines write v3, where row deletes are
+    DELETION VECTORS — roaring bitmaps in PUFFIN files — referenced
+    from delete manifests by ``referenced_data_file`` +
+    ``content_offset``/``content_size_in_bytes`` (spec §Deletion
+    Vectors); a reader refusing v3 cannot read tables it didn't write.
+    The doctored fixture is the v2->v3 UPGRADE shape with MIXED delete
+    forms: snapshot 2 position-deletes ordinals of the F file (v2-era
+    parquet), snapshot 3 adds DVs — the F file's DV contains the
+    superseding UNION (per spec a DV folds its file's prior position
+    deletes in; readers then IGNORE position-delete parquet for
+    DV-covered files), the O file's DV stands alone, and the F
+    position-delete parquet stays on disk as stale-but-present debt.
+    ``iceberg_lite`` seek-decodes each DV EXECUTOR-side (mapInPandas,
+    one task per DV) into the same ``_metadata.row_index`` anti-join as
+    position deletes.  The oracle recomputes survivors from the ordinal
+    rules."""
+    from ..sources import iceberg_lite
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in base.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    f_pos = [p for p in range(counts.get("F", 0)) if p < 3 or p % 9 == 0]
+    f_dv = sorted(
+        set(f_pos)
+        | {p for p in range(counts.get("F", 0)) if p % 6 == 1}
+    )
+    o_dv = [p for p in range(counts.get("O", 0)) if p % 8 == 2]
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-v3-") + "/t"
+    build_iceberg_table(
+        spark, tbl,
+        [base, base.where("1=0"), base.where("1=0")],
+        "o_orderstatus",
+        position_deletes={
+            2: [("data/o_orderstatus=F/f1-F.parquet", f_pos)],
+        },
+        dv_deletes={
+            3: [("data/o_orderstatus=F/f1-F.parquet", f_dv),
+                ("data/o_orderstatus=O/f1-O.parquet", o_dv)],
+        },
+    )
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    forms = sorted(d.file_format for d in deletes)
+    if forms != ["PARQUET", "PUFFIN", "PUFFIN"]:
+        raise RuntimeError(f"expected mixed delete forms, got {forms}")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_iceberg_v3_dv_merge",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 200 AS BIGINT)
+                ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           END AS acct_cents
+    FROM customer
+    WHERE (c_custkey % 3 <> 0 OR c_custkey % 5 = 0)
+      AND c_custkey % 7 <> 2
+    """,
+)
+def sink_iceberg_v3_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 WRITE path (round 10): a format-version-3 table's
+    MERGE and DELETE express row removals as puffin DELETION VECTORS —
+    never new position-delete parquet, which v3 forbids — committed
+    with the row-id chain (snapshot ``first-row-id``, table
+    ``next-row-id``) and the supersede discipline: the DELETE's DVs
+    replace the MERGE's DVs for re-touched files, keeping at most ONE
+    DV per data file in the manifests (the prior entry is rewritten
+    out).  The gate creates v3, MERGEs (updates + inserts), DELETEs,
+    asserts every delete entry is PUFFIN with unique
+    ``referenced_data_file``, and reads back vs the plain survivor
+    oracle."""
+    from ..sources import iceberg_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("acct_cents")
+    )
+    base = t(spark, sf_dir, "customer").select("c_custkey", cents)
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-v3m-") + "/t"
+    seed = base.where(F.col("c_custkey") % 3 != 0)
+    iceberg_lite.write_iceberg(
+        spark, seed.where(F.col("c_custkey") % 2 == 0).coalesce(1), tbl,
+        format_version=3,
+    )
+    iceberg_lite.write_iceberg(
+        spark, seed.where(F.col("c_custkey") % 2 == 1).coalesce(1), tbl
+    )
+    source = base.where(F.col("c_custkey") % 5 == 0).withColumn(
+        "acct_cents", F.col("acct_cents") * 2
+    )
+    iceberg_lite.merge_iceberg(spark, source, tbl, ["c_custkey"])
+    iceberg_lite.delete_iceberg(spark, tbl, "c_custkey % 7 = 2")
+    _, deletes = iceberg_lite.plan_scan(tbl)
+    if not deletes or any(d.file_format != "PUFFIN" for d in deletes):
+        raise RuntimeError(
+            f"v3 DML must emit only deletion vectors: {deletes}"
+        )
+    refs = [d.referenced_data_file for d in deletes]
+    if len(refs) != len(set(refs)):
+        raise RuntimeError(f"more than one DV per data file: {refs}")
+    meta = iceberg_lite._load_metadata(tbl)
+    if "next-row-id" not in meta:
+        raise RuntimeError("v3 table lost its row-id chain")
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "src_iceberg_v3_row_lineage",
+    """
+    WITH c1 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 9 = 0
+    ), c2 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 9 = 1
+    )
+    SELECT o_orderkey, price_cents, rid AS _row_id,
+           1 AS _last_updated_sequence_number
+    FROM c1
+    UNION ALL
+    SELECT o_orderkey, price_cents,
+           rid + (SELECT COUNT(*) FROM c1) AS _row_id,
+           2 AS _last_updated_sequence_number
+    FROM c2
+    """,
+)
+def src_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (round 10): every v3 row carries
+    ``_row_id`` (the file's ``first_row_id`` + position, where
+    ``first_row_id`` is assigned by inheritance from the manifest
+    list's row-id block — spec §Row Lineage) and
+    ``_last_updated_sequence_number``.  Two sorted single-file commits
+    make the assignment deterministic: commit 1 owns the id block
+    [0, n1), commit 2 [n1, n1+n2).  The oracle recomputes both columns
+    relationally (row_number within each commit + the block base).
+    This is the lineage feeds CDC consumers and incremental training
+    pipelines key on — a stable per-row identity that survives
+    compaction (``rewrite_manifests`` materializes the assigned ids
+    explicitly; tests assert equality before/after)."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-v3l-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("o_orderkey") % 9 == 0)
+        .orderBy("o_orderkey").coalesce(1),
+        tbl, format_version=3,
+    )
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("o_orderkey") % 9 == 1)
+        .orderBy("o_orderkey").coalesce(1),
+        tbl,
+    )
+    return iceberg_lite.read_iceberg(spark, tbl, row_lineage=True)
 
 
 @register(

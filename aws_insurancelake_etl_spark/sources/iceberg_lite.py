@@ -177,6 +177,11 @@ class DataFileEntry:
     #: single-value bytes; empty when the writer emitted none
     lower_bounds: dict = None
     upper_bounds: dict = None
+    #: v3 ROW LINEAGE: the ``_row_id`` of this file's first row —
+    #: explicit from the manifest entry, or assigned by inheritance
+    #: from the manifest list's ``first_row_id`` (spec §Row Lineage);
+    #: None on v1/v2 tables and on files predating a v3 upgrade
+    first_row_id: int | None = None
 
 
 # ---- Appendix D single-value (de)serialization for bounds maps.  Only
@@ -295,6 +300,14 @@ class DeleteFileEntry:
     #: partitioned Flink-CDC writers emit) applies only to data rows in
     #: that partition; an all-null tuple means global scope
     partition_scope: tuple = ()
+    #: "PARQUET" for v2 delete files; "PUFFIN" for v3 DELETION VECTORS
+    file_format: str = "PARQUET"
+    #: v3 DV only (spec fields 143-145): the data file this DV tombstones
+    #: (as written — the manifest's path string) and the blob's exact
+    #: byte range inside the puffin file
+    referenced_data_file: str = ""
+    content_offset: int = 0
+    content_size: int = 0
 
 
 def _field_names_by_id(meta: dict) -> dict:
@@ -407,7 +420,7 @@ def plan_scan(
     VALUE pruning, the second half of what makes a 100 TB scan plan
     O(matching files).  Files without bounds are never pruned."""
     meta = _load_metadata(table_path)
-    if int(meta.get("format-version", 1)) not in (1, 2):
+    if int(meta.get("format-version", 1)) not in (1, 2, 3):
         raise IcebergLiteError(
             f"unsupported format-version {meta.get('format-version')}"
         )
@@ -515,6 +528,13 @@ def plan_scan(
         # §Sequence Number Inheritance).  v1 / doctored fixtures without
         # the field default to 0.
         mf_seq = int(mf.get("sequence_number") or 0)
+        # v3 ROW LINEAGE inheritance (spec §Row Lineage): data files
+        # with a null first_row_id take the manifest list entry's
+        # first_row_id plus the record counts of the PRECEDING
+        # null-first_row_id data files in this manifest — assigned
+        # BEFORE pruning so ids never shift with the filter
+        mf_fri = mf.get("first_row_id")
+        fri_running = None if mf_fri is None else int(mf_fri)
         for entry in _read_manifest_rows(rebase(mf["manifest_path"])):
             if int(entry.get("status") or 0) == 2:  # DELETED
                 continue
@@ -523,9 +543,39 @@ def plan_scan(
             df = entry["data_file"]
             content = int(df.get("content") or 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise IcebergLiteError(f"file_format {fmt} unsupported")
             if content in (1, 2):
+                if fmt == "PUFFIN":
+                    # v3 DELETION VECTOR (spec §Deletion Vectors): the
+                    # entry names its target data file and the blob's
+                    # byte range; decode happens executor-side at read
+                    ref = df.get("referenced_data_file")
+                    if not ref:
+                        raise IcebergLiteError(
+                            "puffin delete entry without "
+                            f"referenced_data_file: {df.get('file_path')}"
+                        )
+                    deletes.append(
+                        DeleteFileEntry(
+                            path=rebase(df["file_path"]),
+                            orig_path=df["file_path"],
+                            record_count=int(df.get("record_count") or 0),
+                            sequence_number=seq,
+                            content=1,
+                            file_format="PUFFIN",
+                            referenced_data_file=ref,
+                            content_offset=int(
+                                df.get("content_offset") or 0
+                            ),
+                            content_size=int(
+                                df.get("content_size_in_bytes") or 0
+                            ),
+                        )
+                    )
+                    continue
+                if fmt != "PARQUET":
+                    raise IcebergLiteError(
+                        f"file_format {fmt} unsupported"
+                    )
                 eq_ids = df.get("equality_ids") or ()
                 if content == 2 and not eq_ids:
                     raise IcebergLiteError(
@@ -551,6 +601,14 @@ def plan_scan(
                     )
                 )
                 continue
+            if fmt != "PARQUET":
+                raise IcebergLiteError(f"file_format {fmt} unsupported")
+            fri = df.get("first_row_id")
+            if fri is not None:
+                fri = int(fri)
+            elif fri_running is not None:
+                fri = fri_running
+                fri_running += int(df.get("record_count") or 0)
             partition = df.get("partition") or {}
             if part_checks and any(
                 _coerce_partition_value(partition.get(k)) != v
@@ -582,6 +640,7 @@ def plan_scan(
                     sequence_number=seq,
                     lower_bounds=_bounds_map(df.get("lower_bounds")),
                     upper_bounds=_bounds_map(df.get("upper_bounds")),
+                    first_row_id=fri,
                 )
             )
     if bounds_filter:
@@ -990,6 +1049,7 @@ def read_iceberg(
     partition_filter=None,
     bounds_filter=None,
     _row_refs: bool = False,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Snapshot read of an Iceberg table directory: manifest-tree file
     planning (with partition pruning and time travel) + one distributed
@@ -1012,7 +1072,20 @@ def read_iceberg(
     (per-file row ordinal) for every LIVE row — i.e. after position
     and equality deletes are applied — so UPDATE/DELETE match only
     rows a reader would actually see (ADVICE r9: matching against
-    raw parquet resurrected MOR-deleted rows)."""
+    raw parquet resurrected MOR-deleted rows).
+
+    Format-version 3 (spec §Deletion Vectors / §Row Lineage): delete
+    manifests may reference DELETION VECTORS — roaring bitmaps in
+    PUFFIN files — instead of position-delete parquet; each DV decodes
+    EXECUTOR-side (``mapInPandas``, one task per DV, the bitmap never
+    transits the driver) into (file, pos) rows feeding the same
+    anti-join, and a data file covered by a DV ignores position-delete
+    parquet entirely (the spec's supersede rule — writers must fold
+    prior position deletes into the DV).  ``row_lineage=True``
+    additionally returns ``_row_id`` (the file's ``first_row_id`` +
+    position; null for files predating a v3 upgrade) and
+    ``_last_updated_sequence_number`` (the file's data sequence
+    number)."""
     from pyspark.sql import functions as F
 
     files, deletes = plan_scan(
@@ -1120,7 +1193,7 @@ def read_iceberg(
                 by_key.setdefault(key, []).append(f)
         for key, group in sorted(by_key.items()):
             ext_groups.append((group, dict(key)))
-    need_meta = bool(deletes) or _row_refs
+    need_meta = bool(deletes) or _row_refs or row_lineage
 
     def _with_meta(df):
         return df.select(
@@ -1169,20 +1242,71 @@ def read_iceberg(
     reader = parts[0]
     for p in parts[1:]:
         reader = reader.unionByName(p)
-    if not deletes:
+    if not deletes and not row_lineage:
         return residual(reader)
 
     data = reader
     base_cols = [
         c for c in data.columns if c not in ("__ice_file", "__ice_pos")
     ]
-    # O(data files) mapping: as-written path -> (local path, data seq)
-    file_map = spark.createDataFrame(
-        [(f.orig_path, f.path, f.sequence_number) for f in files],
-        "orig string, local string, data_seq long",
-    )
-    pos_deletes = [d for d in deletes if d.content == 1]
+    pos_deletes = [
+        d for d in deletes if d.content == 1 and d.file_format != "PUFFIN"
+    ]
+    dv_deletes = [d for d in deletes if d.file_format == "PUFFIN"]
     eq_deletes = [d for d in deletes if d.content == 2]
+    # v3 DELETION VECTORS first: resolve each DV to its LOCAL planned
+    # data file (O(files) driver maps), then decode the roaring bitmaps
+    # EXECUTOR-side — one mapInPandas task per DV seek-reads its byte
+    # range out of the puffin file — and anti-join like position
+    # deletes.  Files covered by a DV IGNORE position-delete parquet
+    # (spec supersede rule: the DV writer folded those in).
+    by_orig = {f.orig_path: f for f in files}
+    dv_covered: set = set()
+    dv_plan = []
+    for d in dv_deletes:
+        ref = by_orig.get(d.referenced_data_file)
+        if ref is None:
+            continue  # targets a file pruned out of / absent from plan
+        if d.sequence_number >= ref.sequence_number:
+            dv_plan.append(
+                (d.path, d.content_offset, d.content_size, ref.path)
+            )
+            dv_covered.add(ref.path)
+    # O(data files) mapping: as-written path -> (local path, data seq,
+    # DV-covered flag for the supersede rule)
+    file_map = spark.createDataFrame(
+        [
+            (f.orig_path, f.path, f.sequence_number, f.path in dv_covered)
+            for f in files
+        ],
+        "orig string, local string, data_seq long, has_dv boolean",
+    )
+    if dv_plan:
+        dv_df = spark.createDataFrame(
+            dv_plan, "dfile string, off long, size long, __ice_file string"
+        )
+
+        def _decode_dvs(batches):
+            import pandas as pd
+
+            from .puffin_lite import read_dv
+
+            for pdf in batches:
+                for dfile, off, size, local in zip(
+                    pdf["dfile"], pdf["off"], pdf["size"], pdf["__ice_file"]
+                ):
+                    pos = read_dv(dfile, int(off), int(size))
+                    yield pd.DataFrame(
+                        {
+                            "__ice_file": [local] * len(pos),
+                            "__ice_pos": pd.Series(pos, dtype="int64"),
+                        }
+                    )
+
+        dv_rows = dv_df.repartition(
+            max(1, min(len(dv_plan), 64))
+        ).mapInPandas(_decode_dvs, "__ice_file string, __ice_pos long")
+        data = data.join(dv_rows, ["__ice_file", "__ice_pos"], "left_anti")
     if pos_deletes:
         # O(delete files) mapping: local delete file -> its sequence number
         del_map = spark.createDataFrame(
@@ -1199,6 +1323,7 @@ def read_iceberg(
             .join(F.broadcast(del_map), "dfile")
             .join(F.broadcast(file_map), "orig")
             .where(F.col("delete_seq") >= F.col("data_seq"))
+            .where(~F.col("has_dv"))
             .select(F.col("local").alias("__ice_file"), "__ice_pos")
         )
         data = data.join(del_rows, ["__ice_file", "__ice_pos"], "left_anti")
@@ -1325,7 +1450,32 @@ def read_iceberg(
             for i, (_pcol, expr) in enumerate(scope_exprs):
                 cond = cond & (expr == F.col(f"__eq_scope_{i}"))
             data = data.join(del_rows, cond, "left_anti")
-    keep = base_cols + (["__ice_file", "__ice_pos"] if _row_refs else [])
+    if row_lineage:
+        # _row_id = the file's first_row_id + position (null for files
+        # predating a v3 upgrade — the spec's lazy-assignment rule);
+        # _last_updated_sequence_number = the file's data sequence
+        # number.  One broadcast O(files) map join, zero extra scans.
+        lin = spark.createDataFrame(
+            [(f.path, f.first_row_id, f.sequence_number) for f in files],
+            "__ice_file string, __ice_fri long, "
+            "_last_updated_sequence_number long",
+        )
+        data = data.join(F.broadcast(lin), "__ice_file").withColumn(
+            "_row_id",
+            F.when(
+                F.col("__ice_fri").isNotNull(),
+                F.col("__ice_fri") + F.col("__ice_pos"),
+            ),
+        )
+    keep = (
+        base_cols
+        + (["__ice_file", "__ice_pos"] if _row_refs else [])
+        + (
+            ["_row_id", "_last_updated_sequence_number"]
+            if row_lineage
+            else []
+        )
+    )
     return residual(data.select(keep))
 
 
@@ -1359,6 +1509,10 @@ _MANIFEST_LIST_FIELDS = [
     ("content", "int"),
     ("sequence_number", "long"),
     ("added_snapshot_id", "long"),
+    # v3 ROW LINEAGE: the _row_id of the first row in this manifest's
+    # first null-first_row_id data file (spec field 520); null on
+    # delete manifests and pre-v3 commits
+    ("first_row_id", ["null", "long"]),
 ]
 
 
@@ -1409,6 +1563,12 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
                     },
                 }],
             },
+            # v3 fields: DELETION-VECTOR reference (spec 143-145) and
+            # row-lineage first_row_id (142); null everywhere else
+            {"name": "referenced_data_file", "type": ["null", "string"]},
+            {"name": "content_offset", "type": ["null", "long"]},
+            {"name": "content_size_in_bytes", "type": ["null", "long"]},
+            {"name": "first_row_id", "type": ["null", "long"]},
         ],
     }
     return [
@@ -1733,6 +1893,7 @@ def write_iceberg(
     max_retries: int = 3,
     evolve_partition_spec: bool = False,
     branch: str = "main",
+    format_version: int | None = None,
 ) -> int:
     """CREATE (first call) or APPEND (subsequent calls) a snapshot.
     Returns the committed snapshot id.  ``partition_by`` entries may be
@@ -1748,6 +1909,12 @@ def write_iceberg(
     content-addressed and referenced only by the winning commit, so a
     retry reuses them safely.
 
+    ``format_version`` (CREATE only): 2 (default) or 3 — v3 tables
+    maintain row lineage (``next-row-id`` / snapshot ``first-row-id``)
+    and express row deletes as puffin DELETION VECTORS instead of
+    position-delete parquet (spec v3; Iceberg 1.8+/Spark-4 writers
+    default new tables toward it).
+
     ``branch``: append on a NAMED BRANCH instead of main — the
     write-audit-publish staging half (read the branch with
     ``read_iceberg(..., snapshot_id=branch)``, audit it, then
@@ -1760,6 +1927,13 @@ def write_iceberg(
     existing = is_iceberg_table(table_path)
     if existing:
         meta = _load_metadata(table_path)
+        if format_version is not None and int(format_version) != max(
+            2, int(meta.get("format-version", 2))
+        ):
+            raise IcebergLiteError(
+                f"table is format-version {meta.get('format-version')}; "
+                "appends cannot change it (use upgrade_iceberg_format)"
+            )
         table_parts = _partition_spec_fields(meta)
         same = [(f.transform, f.source) for f in partition_by] == [
             (f.transform, f.source) for f in table_parts
@@ -1790,12 +1964,99 @@ def write_iceberg(
                 schema_fields=fields,
                 evolve_schema=existing,
                 branch=branch,
+                format_version=format_version,
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
                 _discard_staged_iceberg(table_path, [r for r, *_ in staged])
                 raise
             attempt += 1
+
+
+def _dv_kv_list(raw):
+    """bounds maps read back from Avro -> the writer's (key, value)
+    list form (shared by the manifest-rewrite paths)."""
+    out = []
+    for item in raw or []:
+        if isinstance(item, dict):
+            out.append((int(item["key"]), item["value"]))
+        else:
+            out.append((int(item[0]), item[1]))
+    return out or None
+
+
+def _rewrite_delete_manifest_without(
+    table_path: str, meta: dict, rebase, mf: dict, drop_dv_refs,
+    snap_id: int, location: str,
+):
+    """Carry one prior DELETE manifest forward minus the deletion
+    vectors superseded by this commit (``drop_dv_refs``: referenced
+    data-file paths).  Returns ``"keep"`` when the manifest holds no
+    superseded DV, ``None`` when nothing survives the filter, else the
+    rewritten manifest's manifest-list tuple.  Surviving entries are
+    EXISTING with EXPLICIT sequence numbers, the rewrite_manifests
+    discipline."""
+    mf_seq = int(mf.get("sequence_number") or 0)
+    spec_id = int(mf.get("partition_spec_id") or 0)
+    entries = _read_manifest_rows(rebase(mf["manifest_path"]))
+    part_cols = [f.name for f in _partition_spec_fields(meta, spec_id)]
+
+    def superseded(dfile) -> bool:
+        return (
+            str(dfile.get("file_format", "")).upper() == "PUFFIN"
+            and dfile.get("referenced_data_file") in drop_dv_refs
+        )
+
+    if not any(
+        int(e.get("status") or 0) != 2 and superseded(e["data_file"])
+        for e in entries
+    ):
+        return "keep"
+    rows = []
+    for entry in entries:
+        if int(entry.get("status") or 0) == 2:
+            continue
+        dfile = entry["data_file"]
+        if superseded(dfile):
+            continue
+        seq = entry.get("sequence_number")
+        seq = mf_seq if seq is None else int(seq)
+        partition = dfile.get("partition") or {}
+        rows.append(
+            (
+                0,  # EXISTING: carried, not added, by this snapshot
+                entry.get("snapshot_id"),
+                seq,
+                (
+                    int(dfile.get("content") or 0),
+                    dfile["file_path"],
+                    str(dfile.get("file_format", "PARQUET")).upper(),
+                    tuple(partition.get(c) for c in part_cols),
+                    int(dfile.get("record_count") or 0),
+                    int(dfile.get("file_size_in_bytes") or 0),
+                    list(dfile.get("equality_ids") or []) or None,
+                    _dv_kv_list(dfile.get("lower_bounds")),
+                    _dv_kv_list(dfile.get("upper_bounds")),
+                    dfile.get("referenced_data_file"),
+                    dfile.get("content_offset"),
+                    dfile.get("content_size_in_bytes"),
+                    dfile.get("first_row_id"),
+                ),
+            )
+        )
+    if not rows:
+        return None
+    man_rel = f"metadata/manifest-delete-{snap_id}-{_uuid.uuid4().hex}.avro"
+    _write_manifest(table_path, man_rel, part_cols, rows)
+    return (
+        f"{location}/{man_rel}",
+        os.path.getsize(os.path.join(table_path, man_rel)),
+        spec_id,
+        1,
+        mf_seq,
+        snap_id,
+        None,
+    )
 
 
 def _commit_snapshot(
@@ -1808,17 +2069,32 @@ def _commit_snapshot(
     schema_fields: list | None = None,
     evolve_schema: bool = False,
     branch: str = "main",
+    format_version: int | None = None,
+    drop_dv_refs: frozenset = frozenset(),
 ) -> int:
     """Write manifests + manifest list + next metadata json; the O_EXCL
     metadata create is the commit point.  ``expect_version``: fail fast
     (for MERGE re-execution) if the current version moved.
 
     ``data_entries``: ``(rel, pvals, count, size)``.  ``delete_entries``:
-    ``(rel, pvals, count, size, file_content, equality_ids)`` where
-    ``file_content`` is 1 (position) or 2 (equality) per spec
-    data_file.content.  ``replace=True`` drops every prior manifest from
+    ``(rel, pvals, count, size, file_content, equality_ids[, dv])``
+    where ``file_content`` is 1 (position) or 2 (equality) per spec
+    data_file.content and ``dv`` (v3 only) is ``{"referenced_data_file",
+    "offset", "length"}`` marking a PUFFIN deletion-vector entry.
+    ``replace=True`` drops every prior manifest from
     the new snapshot's manifest list (the ``rewrite_data_files``
     compaction commit: the new data files ARE the table).
+
+    ``format_version`` applies on CREATE only (2 default, 3 opts into
+    row lineage + DV deletes); an existing table keeps its version.  On
+    v3 tables the commit maintains the ROW-ID chain (spec §Row Lineage):
+    the snapshot records ``first-row-id`` = the table's ``next-row-id``,
+    the new data manifest's list entry carries it for reader-side
+    inheritance, and ``next-row-id`` advances by the added row count.
+    ``drop_dv_refs``: data-file paths whose SUPERSEDED deletion vectors
+    must not carry forward — prior delete manifests containing a DV for
+    one of them are rewritten without it (entries keep explicit
+    sequence numbers), keeping the spec's one-DV-per-file invariant.
 
     ``branch`` (spec §Snapshot References / the WAP workflow): a
     non-``main`` branch commits on top of THAT ref's head — the new
@@ -1843,6 +2119,28 @@ def _commit_snapshot(
             "not exist yet — create it on main first"
         )
     location = (meta or {}).get("location") or table_path.rstrip("/")
+    if meta is not None:
+        # appends never change the table's format version (a v1 table
+        # was already promoted to 2 by this writer's first commit)
+        fv = max(2, int(meta.get("format-version", 2)))
+    else:
+        fv = int(format_version or 2)
+        if fv not in (2, 3):
+            raise IcebergLiteError(
+                f"format_version must be 2 or 3, got {format_version}"
+            )
+    if fv >= 3:
+        # spec: v3 snapshots must not add position-delete FILES — row
+        # deletes arrive as puffin deletion vectors (or equality files)
+        bad = [
+            e for e in delete_entries
+            if int(e[4]) == 1 and (len(e) < 7 or not e[6])
+        ]
+        if bad:
+            raise IcebergLiteError(
+                "format-version 3 forbids adding position-delete files; "
+                "stage deletion vectors instead"
+            )
     snap_id = current + 1
     seq = snap_id
     # the commit's PARENT: the target branch's head (a missing branch
@@ -1865,16 +2163,35 @@ def _commit_snapshot(
         if cur:
             rebase = _rebaser(meta, table_path)
             for mf in _read_manifest_rows(rebase(cur[0]["manifest-list"])):
-                prior_manifests.append(
-                    (
-                        mf["manifest_path"],
-                        int(mf["manifest_length"]),
-                        int(mf.get("partition_spec_id") or 0),
-                        int(mf.get("content") or 0),
-                        int(mf.get("sequence_number") or 0),
-                        int(mf.get("added_snapshot_id") or 0),
-                    )
+                mf_content = int(mf.get("content") or 0)
+                mf_seq = int(mf.get("sequence_number") or 0)
+                spec_id = int(mf.get("partition_spec_id") or 0)
+                carried = (
+                    mf["manifest_path"],
+                    int(mf["manifest_length"]),
+                    spec_id,
+                    mf_content,
+                    mf_seq,
+                    int(mf.get("added_snapshot_id") or 0),
+                    mf.get("first_row_id"),
                 )
+                if mf_content == 1 and drop_dv_refs:
+                    # rewrite delete manifests whose DV entries are
+                    # superseded by this commit's new DVs, keeping the
+                    # spec's one-DV-per-data-file invariant; survivors
+                    # carry EXPLICIT sequence numbers.  Returns "keep"
+                    # (untouched), None (nothing survives), or the
+                    # rewritten manifest's list tuple.
+                    rewritten = _rewrite_delete_manifest_without(
+                        table_path, meta, rebase, mf, drop_dv_refs,
+                        snap_id, location,
+                    )
+                    if rewritten == "keep":
+                        prior_manifests.append(carried)
+                    elif rewritten is not None:
+                        prior_manifests.append(rewritten)
+                    continue
+                prior_manifests.append(carried)
     # name -> (field id, iceberg primitive type) for bounds encoding:
     # the table's existing schema wins; a fresh table uses the commit's
     bounds_src = None
@@ -1951,6 +2268,12 @@ def _commit_snapshot(
                 ],
             }
         )
+    # v3 ROW-ID chain: this commit's data files own the id block
+    # [next-row-id, next-row-id + added rows)
+    first_row_id = int((meta or {}).get("next-row-id") or 0)
+    assigned_rows = (
+        sum(int(e[2]) for e in data_entries) if fv >= 3 else 0
+    )
     new_manifests = list(prior_manifests)
     for manifest_content, entries, tag in (
         (0, data_entries, "data"),
@@ -1967,13 +2290,16 @@ def _commit_snapshot(
         rows = []
         for entry in entries:
             minmax = None
+            dv = None
             if manifest_content == 0:
                 rel, pvals, count, size, *rest = entry
                 file_content, eq_ids = 0, None
                 if rest:
                     minmax = rest[0]
             else:
-                rel, pvals, count, size, file_content, eq_ids = entry
+                rel, pvals, count, size, file_content, eq_ids, *rest = entry
+                if rest:
+                    dv = rest[0]
             lower = upper = None
             if minmax and bounds_fields:
                 lower, upper = [], []
@@ -2002,13 +2328,20 @@ def _commit_snapshot(
                         rel
                         if rel.startswith(("/", "file:"))
                         else f"{location}/{rel}",
-                        "PARQUET",
+                        "PUFFIN" if dv else "PARQUET",
                         tuple(pvals.get(f.name) for f in part_fields),
                         int(count),
                         int(size),
                         list(eq_ids) if eq_ids else None,
                         lower,
                         upper,
+                        dv["referenced_data_file"] if dv else None,
+                        int(dv["offset"]) if dv else None,
+                        int(dv["length"]) if dv else None,
+                        # first_row_id stays null: readers assign by
+                        # inheritance from the manifest list (spec
+                        # preference — rewrites then materialize)
+                        None,
                     ),
                 )
             )
@@ -2023,6 +2356,10 @@ def _commit_snapshot(
                 manifest_content,
                 seq,
                 snap_id,
+                # v3: the new DATA manifest anchors this commit's row-id
+                # block; delete manifests never carry one
+                (first_row_id if fv >= 3 and manifest_content == 0
+                 else None),
             )
         )
     ml_rel = f"metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
@@ -2049,6 +2386,8 @@ def _commit_snapshot(
         "manifest-list": f"{location}/{ml_rel}",
         "summary": {"operation": operation},
     }
+    if fv >= 3:
+        snap_rec["first-row-id"] = first_row_id
     if parent_id is not None:
         # the ancestry link fast_forward walks to prove "publish" is a
         # pure pointer move (spec: snapshot.parent-snapshot-id)
@@ -2086,7 +2425,7 @@ def _commit_snapshot(
                 }
             )
     new_meta = {
-        "format-version": 2,
+        "format-version": fv,
         "table-uuid": (meta or {}).get("table-uuid")
         or "00000000-0000-0000-0000-00000000c0de",
         "location": location,
@@ -2103,6 +2442,8 @@ def _commit_snapshot(
         or [{"spec-id": 0, "fields": []}],
         "default-spec-id": commit_spec_id,
     }
+    if fv >= 3:
+        new_meta["next-row-id"] = first_row_id + assigned_rows
     if schemas:
         new_meta["schemas"] = schemas
         new_meta["current-schema-id"] = current_schema_id
@@ -2212,6 +2553,140 @@ def add_files(
             if attempt >= max_retries:
                 raise
             attempt += 1
+
+
+def _stage_iceberg_dvs(
+    spark: SparkSession, table_path: str, matched: DataFrame,
+    files: list, deletes: list,
+) -> tuple[list, frozenset, int]:
+    """Stage v3 DELETION VECTORS for ``matched`` rows (``__ice_file``
+    LOCAL planned path + ``__ice_pos``): per touched data file, the row
+    positions union with (a) the file's existing DV and (b) any
+    still-applicable v2 position-delete parquet rows for it — the spec
+    rule that a DV must supersede ALL prior position deletes of its
+    file, which is what lets readers ignore position-delete parquet
+    once a DV exists.  One puffin sidecar per touched file is written
+    EXECUTOR-side (``applyInPandas``; bitmaps never transit the
+    driver).  Returns ``(delete_entries, drop_dv_refs, net_new_rows)``
+    ready for :func:`_commit_snapshot`: entries carry the
+    referenced_data_file/offset/length triple, ``drop_dv_refs`` names
+    files whose old DV this commit supersedes, and ``net_new_rows``
+    counts only rows not previously dead."""
+    from pyspark.sql import functions as F
+
+    file_map = spark.createDataFrame(
+        [(f.path, f.orig_path, f.sequence_number) for f in files],
+        "__ice_file string, orig string, data_seq long",
+    )
+    by_orig = {f.orig_path: f for f in files}
+    old_dv: dict = {}
+    for d in deletes:
+        if d.file_format != "PUFFIN":
+            continue
+        ref = by_orig.get(d.referenced_data_file)
+        if ref is not None and d.sequence_number >= ref.sequence_number:
+            old_dv[ref.path] = (d.path, d.content_offset, d.content_size)
+    rows = matched.select("__ice_file", "__ice_pos").withColumn(
+        "__ice_old", F.lit(False)
+    )
+    pos_parquet = [
+        d for d in deletes if d.content == 1 and d.file_format == "PARQUET"
+    ]
+    if pos_parquet:
+        # fold still-applicable v2 position deletes for TOUCHED files
+        # into their new DVs (upgraded-table case)
+        del_map = spark.createDataFrame(
+            [(d.path, d.sequence_number) for d in pos_parquet],
+            "dfile string, delete_seq long",
+        )
+        touched = matched.select("__ice_file").distinct()
+        old_rows = (
+            spark.read.parquet(*[d.path for d in pos_parquet])
+            .select(
+                F.col("file_path").alias("orig"),
+                F.col("pos").cast("long").alias("__ice_pos"),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("dfile"),
+            )
+            .join(F.broadcast(del_map), "dfile")
+            .join(F.broadcast(file_map), "orig")
+            .where(F.col("delete_seq") >= F.col("data_seq"))
+            .join(F.broadcast(touched), "__ice_file", "left_semi")
+            .select("__ice_file", "__ice_pos")
+            .withColumn("__ice_old", F.lit(True))
+        )
+        rows = rows.unionByName(old_rows)
+    rows = rows.join(
+        F.broadcast(file_map.select("__ice_file", "orig")), "__ice_file"
+    )
+    table = table_path
+
+    def write_group(pdf):
+        import os as _os
+        import uuid as _u
+
+        import pandas as pd
+
+        from .puffin_lite import read_dv, write_puffin
+
+        local = pdf["__ice_file"].iloc[0]
+        orig = pdf["orig"].iloc[0]
+        positions = set(int(p) for p in pdf["__ice_pos"])
+        prev = set(
+            int(p)
+            for p, o in zip(pdf["__ice_pos"], pdf["__ice_old"])
+            if o
+        )
+        old = old_dv.get(local)
+        if old is not None:
+            prior = set(read_dv(old[0], old[1], old[2]))
+            prev |= prior
+            positions |= prior
+        rel = f"data/dv-{_u.uuid4().hex}.puffin"
+        dest = _os.path.join(table, rel)
+        _os.makedirs(_os.path.dirname(dest), exist_ok=True)
+        d = write_puffin(
+            dest,
+            [{"referenced_data_file": orig,
+              "positions": sorted(positions)}],
+        )[0]
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "orig": [orig],
+                "offset": [d["offset"]],
+                "length": [d["length"]],
+                "cardinality": [d["cardinality"]],
+                "net_new": [len(positions - prev)],
+                "size": [_os.path.getsize(dest)],
+                "had_old_dv": [old is not None],
+            }
+        )
+
+    descs = (
+        rows.groupBy("__ice_file")
+        .applyInPandas(
+            write_group,
+            "rel string, orig string, offset long, length long, "
+            "cardinality long, net_new long, size long, had_old_dv boolean",
+        )
+        .collect()
+    )
+    delete_entries = [
+        (
+            r["rel"], {}, int(r["cardinality"]), int(r["size"]), 1, None,
+            {
+                "referenced_data_file": r["orig"],
+                "offset": int(r["offset"]),
+                "length": int(r["length"]),
+            },
+        )
+        for r in descs
+    ]
+    drop_refs = frozenset(r["orig"] for r in descs if r["had_old_dv"])
+    net_new = sum(int(r["net_new"]) for r in descs)
+    return delete_entries, drop_refs, net_new
 
 
 def merge_iceberg(
@@ -2329,46 +2804,60 @@ def _merge_once_iceberg(
         [(f.path, f.orig_path) for f in search_files],
         "__ice_file string, orig string",
     )
-    matched = (
-        target.join(F.broadcast(src_keys), keys, "left_semi")
-        .join(F.broadcast(file_map), "__ice_file")
-        .select(
-            F.col("orig").alias("file_path"),
-            F.col("__ice_pos").alias("pos"),
+    fv = max(2, int(meta.get("format-version", 2)))
+    drop_dv_refs: frozenset = frozenset()
+    if fv >= 3:
+        # v3: matched rows become DELETION VECTORS, never new
+        # position-delete parquet (forbidden by the spec's v3 rules)
+        matched_local = target.join(
+            F.broadcast(src_keys), keys, "left_semi"
+        ).select("__ice_file", "__ice_pos")
+        delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
+            spark, table_path, matched_local, files, _deletes
         )
-    )
-    # spec: position delete files sorted by file_path then pos
-    stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
-    delete_entries = []
-    deleted_rows = 0
-    try:
-        out = os.path.join(stage, "out")
-        (
-            # delete-file count scales with the TARGET's file count, not
-            # the session's shuffle width: every later MOR read opens
-            # each delete file, so 32 near-empty files from a default
-            # shuffle is pure read amplification
-            matched.repartitionByRange(
-                max(1, len(files)), "file_path", "pos"
+    else:
+        matched = (
+            target.join(F.broadcast(src_keys), keys, "left_semi")
+            .join(F.broadcast(file_map), "__ice_file")
+            .select(
+                F.col("orig").alias("file_path"),
+                F.col("__ice_pos").alias("pos"),
             )
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite").parquet(out)
         )
-        import glob as _glob
+        # spec: position delete files sorted by file_path then pos
+        stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
+        delete_entries = []
+        deleted_rows = 0
+        try:
+            out = os.path.join(stage, "out")
+            (
+                # delete-file count scales with the TARGET's file count,
+                # not the session's shuffle width: every later MOR read
+                # opens each delete file, so 32 near-empty files from a
+                # default shuffle is pure read amplification
+                matched.repartitionByRange(
+                    max(1, len(files)), "file_path", "pos"
+                )
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite").parquet(out)
+            )
+            import glob as _glob
 
-        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
-            count = _footer_rows(src_file)
-            if count == 0:
-                continue  # Spark writes empty part files for empty splits
-            rel = f"data/delete-{uuid.uuid4().hex}.parquet"
-            dest = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            size = os.path.getsize(src_file)
-            shutil.move(src_file, dest)
-            delete_entries.append((rel, {}, count, size, 1, None))
-            deleted_rows += count
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+            for src_file in sorted(
+                _glob.glob(os.path.join(out, "*.parquet"))
+            ):
+                count = _footer_rows(src_file)
+                if count == 0:
+                    continue  # Spark writes empty parts for empty splits
+                rel = f"data/delete-{uuid.uuid4().hex}.parquet"
+                dest = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                size = os.path.getsize(src_file)
+                shutil.move(src_file, dest)
+                delete_entries.append((rel, {}, count, size, 1, None))
+                deleted_rows += count
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     data_entries = _stage_iceberg_data(source, table_path, part_cols)
     try:
         snap_id = _commit_snapshot(
@@ -2377,6 +2866,7 @@ def _merge_once_iceberg(
             delete_entries=delete_entries,
             expect_version=planned_version,
             schema_fields=_ice_schema_fields(source),
+            drop_dv_refs=drop_dv_refs,
         )
     except ConcurrentIcebergWrite:
         _discard_staged_iceberg(
@@ -2729,14 +3219,31 @@ def _carry_commit(
                 f.name for f in _partition_spec_fields(meta, spec_id)
             ]
         part_cols = part_cols_by_spec[spec_id]
+        # v3 row lineage: the rewrite crosses manifests, so inherited
+        # first_row_ids MUST be materialized (spec: rewritten entries
+        # carry explicit values) — mirror plan_scan's assignment walk
+        mf_fri = mf.get("first_row_id")
+        fri_running = None if mf_fri is None else int(mf_fri)
         for entry in _read_manifest_rows(rebase(mf["manifest_path"])):
             if int(entry.get("status") or 0) == 2:  # DELETED drops out
                 continue
             seq = entry.get("sequence_number")
             seq = mf_seq if seq is None else int(seq)
             dfile = entry["data_file"]
+            fri = dfile.get("first_row_id")
+            if mf_content == 0 and int(dfile.get("content") or 0) == 0:
+                if fri is not None:
+                    fri = int(fri)
+                elif fri_running is not None:
+                    fri = fri_running
+                    fri_running += int(dfile.get("record_count") or 0)
             if dfile["file_path"] in exclude_orig_paths:
                 continue
+            if (
+                str(dfile.get("file_format", "")).upper() == "PUFFIN"
+                and dfile.get("referenced_data_file") in exclude_orig_paths
+            ):
+                continue  # a DV for a dropped data file is dead weight
             partition = dfile.get("partition") or {}
             groups.setdefault((mf_content, spec_id), []).append(
                 (
@@ -2753,6 +3260,10 @@ def _carry_commit(
                         list(dfile.get("equality_ids") or []) or None,
                         _kv_list(dfile.get("lower_bounds")),
                         _kv_list(dfile.get("upper_bounds")),
+                        dfile.get("referenced_data_file"),
+                        dfile.get("content_offset"),
+                        dfile.get("content_size_in_bytes"),
+                        fri,
                     ),
                 )
             )
@@ -2781,6 +3292,7 @@ def _carry_commit(
                 # carried sequence is the only lossless single value
                 max(r[2] for r in rows),
                 snap_id,
+                None,  # row ids were materialized per entry above
             )
         )
     ml_rel = f"metadata/snap-{snap_id}-{_uuid.uuid4().hex}.avro"
@@ -2986,44 +3498,58 @@ def delete_iceberg(
     # re-count them and emit redundant position-delete entries
     # (ADVICE r9).
     live = read_iceberg(spark, table_path, _row_refs=True)
-    file_map = spark.createDataFrame(
-        [(f.path, f.orig_path) for f in files],
-        "__ice_file string, orig string",
-    )
-    matched = (
-        live.where(F.expr(predicate))
-        .join(F.broadcast(file_map), "__ice_file")
-        .select(
-            F.col("orig").alias("file_path"),
-            F.col("__ice_pos").alias("pos"),
+    fv = max(2, int(meta.get("format-version", 2)))
+    drop_dv_refs: frozenset = frozenset()
+    if fv >= 3:
+        # v3: the matched rows tombstone into DELETION VECTORS (one
+        # puffin sidecar per touched file, superseding that file's
+        # prior DV and folding any v2 position deletes in)
+        delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
+            spark, table_path,
+            live.where(F.expr(predicate)).select("__ice_file", "__ice_pos"),
+            files, _dels,
         )
-    )
-    stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
-    delete_entries = []
-    deleted_rows = 0
-    try:
-        out = os.path.join(stage, "out")
-        (
-            matched.repartitionByRange(
-                max(1, len(files)), "file_path", "pos"
+    else:
+        file_map = spark.createDataFrame(
+            [(f.path, f.orig_path) for f in files],
+            "__ice_file string, orig string",
+        )
+        matched = (
+            live.where(F.expr(predicate))
+            .join(F.broadcast(file_map), "__ice_file")
+            .select(
+                F.col("orig").alias("file_path"),
+                F.col("__ice_pos").alias("pos"),
             )
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite")
-            .parquet(out)
         )
-        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
-            count = _footer_rows(src_file)
-            if count == 0:
-                continue
-            rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
-            dest = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            size = os.path.getsize(src_file)
-            shutil.move(src_file, dest)
-            delete_entries.append((rel, {}, count, size, 1, None))
-            deleted_rows += count
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
+        delete_entries = []
+        deleted_rows = 0
+        try:
+            out = os.path.join(stage, "out")
+            (
+                matched.repartitionByRange(
+                    max(1, len(files)), "file_path", "pos"
+                )
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            for src_file in sorted(
+                _glob.glob(os.path.join(out, "*.parquet"))
+            ):
+                count = _footer_rows(src_file)
+                if count == 0:
+                    continue
+                rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
+                dest = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                size = os.path.getsize(src_file)
+                shutil.move(src_file, dest)
+                delete_entries.append((rel, {}, count, size, 1, None))
+                deleted_rows += count
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     if not delete_entries:
         return {"snapshot_id": None, "rows_deleted": 0,
                 "metadata_only": False, "delete_files": 0}
@@ -3031,6 +3557,7 @@ def delete_iceberg(
         table_path, part_cols,
         data_entries=[], delete_entries=delete_entries,
         expect_version=planned_version,
+        drop_dv_refs=drop_dv_refs,
     )
     return {
         "snapshot_id": snap_id,
@@ -3096,36 +3623,47 @@ def update_iceberg(
             for c in schema_cols
         ]
     )
-    positions = matched.select(
-        F.col("orig").alias("file_path"),
-        F.col("__ice_pos").alias("pos"),
-    )
-    stage = tempfile.mkdtemp(prefix="_ice_upd_", dir=table_path)
-    delete_entries = []
-    rows_updated = 0
-    try:
-        out = os.path.join(stage, "out")
-        (
-            positions.repartitionByRange(
-                max(1, len(files)), "file_path", "pos"
-            )
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite")
-            .parquet(out)
+    fv = max(2, int(meta.get("format-version", 2)))
+    drop_dv_refs: frozenset = frozenset()
+    if fv >= 3:
+        delete_entries, drop_dv_refs, rows_updated = _stage_iceberg_dvs(
+            spark, table_path,
+            matched.select("__ice_file", "__ice_pos"),
+            files, _dels,
         )
-        for src_file in sorted(_glob.glob(os.path.join(out, "*.parquet"))):
-            count = _footer_rows(src_file)
-            if count == 0:
-                continue
-            rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
-            dest = os.path.join(table_path, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            size = os.path.getsize(src_file)
-            shutil.move(src_file, dest)
-            delete_entries.append((rel, {}, count, size, 1, None))
-            rows_updated += count
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    else:
+        positions = matched.select(
+            F.col("orig").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
+        )
+        stage = tempfile.mkdtemp(prefix="_ice_upd_", dir=table_path)
+        delete_entries = []
+        rows_updated = 0
+        try:
+            out = os.path.join(stage, "out")
+            (
+                positions.repartitionByRange(
+                    max(1, len(files)), "file_path", "pos"
+                )
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+            for src_file in sorted(
+                _glob.glob(os.path.join(out, "*.parquet"))
+            ):
+                count = _footer_rows(src_file)
+                if count == 0:
+                    continue
+                rel = f"data/delete-{_uuid.uuid4().hex}.parquet"
+                dest = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                size = os.path.getsize(src_file)
+                shutil.move(src_file, dest)
+                delete_entries.append((rel, {}, count, size, 1, None))
+                rows_updated += count
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     if not delete_entries:
         return {"snapshot_id": None, "rows_updated": 0,
                 "delete_files": 0, "appended_files": 0}
@@ -3136,6 +3674,7 @@ def update_iceberg(
             data_entries=data_entries,
             delete_entries=delete_entries,
             expect_version=planned_version,
+            drop_dv_refs=drop_dv_refs,
         )
     except ConcurrentIcebergWrite:
         _discard_staged_iceberg(table_path, [r for r, *_ in data_entries])
@@ -3146,6 +3685,45 @@ def update_iceberg(
         "delete_files": len(delete_entries),
         "appended_files": len(data_entries),
     }
+
+
+def upgrade_iceberg_format(table_path: str, to_version: int = 3) -> dict:
+    """``ALTER TABLE ... SET TBLPROPERTIES ('format-version'='3')``:
+    a pure METADATA commit bumping the table's format version (spec
+    §Table Metadata: readers of version N read all versions <= N, so
+    upgrade never rewrites a file).  Upgrading to 3 initializes the
+    row-lineage chain (``next-row-id`` = 0): pre-upgrade data files
+    keep null ``first_row_id`` and read as null ``_row_id`` (the spec's
+    lazy-assignment rule), while every post-upgrade commit assigns real
+    ids.  Pre-upgrade position-delete parquet stays valid and applied;
+    NEW row deletes must arrive as deletion vectors, which fold the old
+    position deletes for their file in (the supersede rule
+    :func:`read_iceberg` enforces).  Downgrades refuse."""
+    meta = _load_metadata(table_path)
+    cur = max(2, int(meta.get("format-version", 2)))
+    to_version = int(to_version)
+    if to_version not in (2, 3):
+        raise IcebergLiteError(
+            f"format-version must be 2 or 3, got {to_version}"
+        )
+    if to_version < cur:
+        raise IcebergLiteError(
+            f"cannot downgrade format-version {cur} -> {to_version}"
+        )
+    if to_version == cur:
+        return {"format_version": cur, "upgraded": False}
+    new_meta = dict(meta)
+    new_meta["format-version"] = to_version
+    if "next-row-id" not in new_meta:
+        new_meta["next-row-id"] = 0
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "upgrade_iceberg_format"
+        )
+    return {"format_version": to_version, "upgraded": True}
 
 
 def rollback_to_snapshot(table_path: str, snapshot_id) -> dict:

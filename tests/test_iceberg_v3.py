@@ -1,0 +1,314 @@
+"""Iceberg FORMAT-VERSION 3 (round 10, VERDICT r9 item 1): deletion
+vectors in puffin files replacing position-delete parquet, the
+v2->v3 upgrade path with mixed delete forms, row lineage, and the
+named refusals for the v3 sub-features that remain out.
+
+Spec: iceberg.apache.org/spec §Deletion Vectors, §Row Lineage, and the
+Puffin spec (``deletion-vector-v1`` blob).  Reference parity: the
+reference's entity-match Iceberg table is written by the managed AWS
+Glue/Iceberg runtime (etl_consume_entity_match.py:385-397), which on
+Iceberg 1.8+/Spark 4 engines compacts position deletes into v3 DVs.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+from aws_insurancelake_etl_spark.sources import puffin_lite as pf
+from aws_insurancelake_etl_spark.sources import roaring
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def _table(spark, path, lo, hi, fv=3):
+    df = (
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(lo, hi)]
+        )
+        .select("id", "v")
+        .orderBy("id")
+        .coalesce(1)
+    )
+    il.write_iceberg(spark, df, path, format_version=fv)
+
+
+# ------------------------------------------------------------- puffin
+
+
+def test_dv_blob_byte_layout():
+    """BE length + Delta-compatible magic + portable-64 roaring + BE
+    CRC-32 — asserted at the byte level against the spec, not just
+    round-trip."""
+    blob = pf.dv_blob([1, 3])
+    payload = roaring.encode_delta_dv([1, 3])
+    assert blob[:4] == (len(payload)).to_bytes(4, "big")
+    assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])  # spec magic
+    assert blob[4:4 + len(payload)] == payload
+    import zlib
+
+    assert blob[-4:] == (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(
+        4, "big"
+    )
+    assert pf.decode_dv_blob(blob) == [1, 3]
+
+
+def test_dv_blob_crc_and_magic_guard():
+    blob = bytearray(pf.dv_blob([7]))
+    blob[-1] ^= 0xFF
+    with pytest.raises(pf.PuffinError, match="CRC"):
+        pf.decode_dv_blob(bytes(blob))
+    blob = bytearray(pf.dv_blob([7]))
+    blob[5] ^= 0xFF
+    with pytest.raises(pf.PuffinError):
+        pf.decode_dv_blob(bytes(blob))
+
+
+def test_puffin_container_footer(tmp_path):
+    p = str(tmp_path / "x.puffin")
+    descs = pf.write_puffin(
+        p,
+        [
+            {"referenced_data_file": "/d/a.parquet", "positions": [0, 9]},
+            {"referenced_data_file": "/d/b.parquet",
+             "positions": range(100)},
+        ],
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"PFA1"
+    footer = pf.read_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == [
+        "deletion-vector-v1", "deletion-vector-v1",
+    ]
+    props = footer["blobs"][1]["properties"]
+    assert props["referenced-data-file"] == "/d/b.parquet"
+    assert props["cardinality"] == "100"
+    for d, b in zip(descs, footer["blobs"]):
+        assert (d["offset"], d["length"]) == (b["offset"], b["length"])
+        assert pf.read_dv(p, d["offset"], d["length"]) == sorted(
+            set(int(x) for x in ([0, 9] if d is descs[0] else range(100)))
+        )
+
+
+# ---------------------------------------------------- v3 write + read
+
+
+def test_v3_create_maintains_row_id_chain(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10)
+    _table(spark, path, 10, 15)
+    meta = il._load_metadata(path)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 15
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert snaps[1]["first-row-id"] == 0 and snaps[2]["first-row-id"] == 10
+    lin = il.read_iceberg(spark, path, row_lineage=True)
+    got = {r["id"]: r["_row_id"] for r in lin.collect()}
+    assert got == {i: i for i in range(15)}  # sorted single-file commits
+
+
+def test_v3_delete_writes_dv_not_position_parquet(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 12)
+    res = il.delete_iceberg(spark, path, "id % 4 = 1")
+    assert res["rows_deleted"] == 3
+    _, dels = il.plan_scan(path)
+    assert [d.file_format for d in dels] == ["PUFFIN"]
+    assert dels[0].record_count == 3
+    assert dels[0].referenced_data_file  # names its target
+    assert _ids(il.read_iceberg(spark, path)) == [
+        i for i in range(12) if i % 4 != 1
+    ]
+
+
+def test_v3_second_delete_supersedes_one_dv_per_file(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 12)
+    il.delete_iceberg(spark, path, "id < 3")
+    il.delete_iceberg(spark, path, "id >= 9")
+    _, dels = il.plan_scan(path)
+    refs = [d.referenced_data_file for d in dels]
+    assert len(refs) == 1  # superseded DV dropped from the manifests
+    assert dels[0].record_count == 6
+    assert _ids(il.read_iceberg(spark, path)) == [3, 4, 5, 6, 7, 8]
+    # and the blob itself holds the merged set
+    got = pf.read_dv(
+        dels[0].path, dels[0].content_offset, dels[0].content_size
+    )
+    assert got == [0, 1, 2, 9, 10, 11]
+
+
+def test_v3_merge_dvs_plus_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10)
+    src = spark.createDataFrame(
+        [Row(id=4, v=44.0), Row(id=77, v=7.0)]
+    ).select("id", "v")
+    res = il.merge_iceberg(spark, src, path, ["id"])
+    assert res["deleted_rows"] == 1 and res["delete_files"] == 1
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[4] == 44.0 and vals[77] == 7.0 and len(vals) == 11
+    _, dels = il.plan_scan(path)
+    assert all(d.file_format == "PUFFIN" for d in dels)
+
+
+def test_v3_update_through_dvs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 8)
+    res = il.update_iceberg(spark, path, {"v": "-v"}, "id in (2, 5)")
+    assert res["rows_updated"] == 2
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[2] == -2.0 and vals[5] == -5.0 and len(vals) == 8
+    _, dels = il.plan_scan(path)
+    assert all(d.file_format == "PUFFIN" for d in dels)
+
+
+def test_v3_refuses_staged_position_delete_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 4)
+    with pytest.raises(il.IcebergLiteError, match="forbids"):
+        il._commit_snapshot(
+            path, [], data_entries=[],
+            delete_entries=[("data/d.parquet", {}, 1, 10, 1, None)],
+        )
+
+
+def test_v3_equality_deletes_still_legal(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 6)
+    src = spark.createDataFrame([Row(id=3, v=33.0)]).select("id", "v")
+    il.upsert_iceberg_equality(spark, src, path, ["id"])
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[3] == 33.0 and len(vals) == 6
+
+
+# ------------------------------------------------------ upgrade path
+
+
+def test_upgrade_is_metadata_only_and_mixed_forms_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10, fv=2)
+    src = spark.createDataFrame([Row(id=6, v=66.0)]).select("id", "v")
+    il.merge_iceberg(spark, src, path, ["id"])  # v2 MOR position delete
+    files_before = {f.path for f in il.plan_scan(path)[0]}
+    assert il.upgrade_iceberg_format(path, 3) == {
+        "format_version": 3, "upgraded": True,
+    }
+    assert {f.path for f in il.plan_scan(path)[0]} == files_before
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[6] == 66.0 and len(vals) == 10  # pos deletes still apply
+    # pre-upgrade rows read null _row_id (lazy assignment), new appends
+    # get real ids starting at next-row-id = 0
+    _table(spark, path, 100, 103)
+    lin = {
+        r["id"]: r["_row_id"]
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert lin[0] is None and lin[6] is None
+    assert sorted(lin[i] for i in (100, 101, 102)) == [0, 1, 2]
+
+
+def test_upgrade_dv_folds_existing_position_deletes(spark, tmp_path):
+    """The spec's supersede rule: once a DV exists for a file, readers
+    ignore its position-delete parquet — so the DV writer MUST fold the
+    still-applicable position deletes in, or they'd resurrect."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10, fv=2)
+    src = spark.createDataFrame([Row(id=3, v=33.0)]).select("id", "v")
+    il.merge_iceberg(spark, src, path, ["id"])  # pos delete on row 3
+    il.upgrade_iceberg_format(path, 3)
+    il.delete_iceberg(spark, path, "id = 7")  # same file -> DV
+    _, dels = il.plan_scan(path)
+    dv = [d for d in dels if d.file_format == "PUFFIN"]
+    assert len(dv) == 1
+    assert pf.read_dv(
+        dv[0].path, dv[0].content_offset, dv[0].content_size
+    ) == [3, 7]
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[3] == 33.0 and 7 not in vals and len(vals) == 9
+
+
+def test_upgrade_guards(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 3, fv=3)
+    assert il.upgrade_iceberg_format(path, 3)["upgraded"] is False
+    with pytest.raises(il.IcebergLiteError, match="downgrade"):
+        il.upgrade_iceberg_format(path, 2)
+    with pytest.raises(il.IcebergLiteError, match="must be 2 or 3"):
+        il.upgrade_iceberg_format(path, 4)
+    with pytest.raises(il.IcebergLiteError, match="upgrade_iceberg_format"):
+        il.write_iceberg(
+            spark,
+            spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v"),
+            path,
+            format_version=2,
+        )
+
+
+# -------------------------------------------- maintenance composition
+
+
+def test_v3_rewrite_manifests_materializes_row_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 6)
+    _table(spark, path, 6, 9)
+    il.delete_iceberg(spark, path, "id = 1")
+    before = {
+        r["id"]: r["_row_id"]
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert il.rewrite_manifests(path)["rewritten"]
+    after = {
+        r["id"]: r["_row_id"]
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert after == before  # ids survived the manifest merge
+
+
+def test_v3_compaction_and_expire_keep_dvs_consistent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10)
+    il.delete_iceberg(spark, path, "id % 2 = 0")
+    il.rewrite_data_files(spark, path)
+    assert _ids(il.read_iceberg(spark, path)) == [1, 3, 5, 7, 9]
+    il.expire_snapshots(path, keep_last=1)
+    il.remove_orphan_files(path)
+    assert _ids(il.read_iceberg(spark, path)) == [1, 3, 5, 7, 9]
+
+
+def test_v3_time_travel_sees_pre_delete_state(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 5)
+    il.delete_iceberg(spark, path, "id = 2")
+    sids = il.snapshot_ids(path)
+    assert _ids(il.read_iceberg(spark, path, snapshot_id=sids[0])) == list(
+        range(5)
+    )
+    assert _ids(il.read_iceberg(spark, path)) == [0, 1, 3, 4]
+
+
+# --------------------------------------------------- named refusals
+
+
+def test_v4_metadata_refused_by_name(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 3)
+    meta_dir = os.path.join(path, "metadata")
+    latest = sorted(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )[-1]
+    with open(os.path.join(meta_dir, f"v{latest}.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 4
+    with open(
+        os.path.join(meta_dir, f"v{latest + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with pytest.raises(il.IcebergLiteError, match="format-version"):
+        il.plan_scan(path)
