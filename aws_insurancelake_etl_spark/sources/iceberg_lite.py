@@ -1091,6 +1091,29 @@ def read_iceberg(
     files, deletes = plan_scan(
         table_path, snapshot_id, partition_filter, bounds_filter
     )
+    # v3 column DEFAULTS (spec §Default values): a field carrying
+    # ``initial-default`` must surface that value — not null — for
+    # rows written before the column existed.  Reading it as null
+    # would be a silent misread, so refuse BY NAME until implemented.
+    _defaults_meta = _load_metadata(table_path)
+    for s in _defaults_meta.get("schemas") or (
+        [_defaults_meta["schema"]] if _defaults_meta.get("schema") else []
+    ):
+        if s.get("schema-id") not in (
+            _defaults_meta.get("current-schema-id", 0), None,
+        ):
+            continue
+        bad = [
+            f["name"]
+            for f in s.get("fields", [])
+            if f.get("initial-default") is not None
+        ]
+        if bad:
+            raise IcebergLiteError(
+                f"columns {bad} carry v3 initial-default values, which "
+                "this reader does not materialize yet; refusing rather "
+                "than reading them as null"
+            )
     if not files:
         raise IcebergLiteError(
             f"no data files in snapshot (table {table_path}); "

@@ -312,3 +312,31 @@ def test_v4_metadata_refused_by_name(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(il.IcebergLiteError, match="format-version"):
         il.plan_scan(path)
+
+
+def test_initial_default_refused_by_name(spark, tmp_path):
+    """v3 column defaults (spec §Default values): reading an
+    initial-default column as null would be a silent misread —
+    refused by name until materialized."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 3)
+    meta_dir = os.path.join(path, "metadata")
+    latest = sorted(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )[-1]
+    with open(os.path.join(meta_dir, f"v{latest}.metadata.json")) as fh:
+        meta = json.load(fh)
+    for s in meta["schemas"]:
+        s["fields"].append(
+            {"id": 99, "name": "region", "required": False,
+             "type": "string", "initial-default": "EMEA",
+             "write-default": "EMEA"}
+        )
+    with open(
+        os.path.join(meta_dir, f"v{latest + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(meta, fh)
+    with pytest.raises(il.IcebergLiteError, match="initial-default"):
+        il.read_iceberg(spark, path)

@@ -112,6 +112,12 @@ def main() -> None:
     parser.add_argument("--since", default=None,
                         help="rev to diff for impl churn (default: last "
                              "'round N:' commit)")
+    parser.add_argument(
+        "--mode", choices=("default", "staleness"), default="default",
+        help="'staleness' (VERDICT r9 item 3): after never/red, fill "
+             "with the OLDEST green rows regardless of churn — the "
+             "rotation that retires r1/r3-era evidence; churn-ranked "
+             "gates are covered by the judge's full sweep instead")
     args = parser.parse_args()
 
     import sys
@@ -148,7 +154,11 @@ def main() -> None:
     churned.sort(key=lambda g: (last_green(g), g))
     stale.sort(key=lambda g: (last_green(g), g))
 
-    window = (never + red_last + churned + stale)[: args.limit]
+    if args.mode == "staleness":
+        oldest = sorted(rest, key=lambda g: (last_green(g), g))
+        window = (never + red_last + oldest)[: args.limit]
+    else:
+        window = (never + red_last + churned + stale)[: args.limit]
 
     print(f"# registered gates: {len(registered)}")
     print(f"# driver evidence through round {last_round}")
