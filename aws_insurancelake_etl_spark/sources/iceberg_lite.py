@@ -3122,20 +3122,23 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
     iceberg reader already handles for external files (spec: identity
     fields may read from partition metadata).
 
+    Live DELTA DELETION VECTORS translate to ICEBERG v3 deletion
+    vectors (round 10): the two specs deliberately share the DV
+    interchange bytes (magic ``D1 D3 39 64`` + portable 64-bit roaring
+    — Delta PROTOCOL.md §Deletion Vectors; Iceberg spec §Deletion
+    Vectors), so each Delta DV decodes (CRC-verified) and re-wraps as
+    a ``deletion-vector-v1`` blob in ONE puffin file under the mirror,
+    and the export commits as format-version 3.  O(DV bytes) driver
+    work — compressed bitmaps, metadata class, zero data-file reads.
+
     Refuses tables whose CURRENT state Iceberg metadata cannot
-    describe faithfully: live deletion vectors (rows would resurrect)
-    and column mapping (physical parquet names differ from the logical
-    schema) — the same constraints real UniForm documents.  Returns
-    {"snapshot_id", "files", "delta_version"}."""
+    describe faithfully: column mapping (physical parquet names differ
+    from the logical schema) — the same constraint real UniForm
+    documents.  Returns {"snapshot_id", "files", "dv_files",
+    "delta_version"}."""
     from .delta_lite import snapshot as _delta_snapshot
 
     snap = _delta_snapshot(delta_path)
-    if any(a.deletion_vector for a in snap.files):
-        raise IcebergLiteError(
-            "cannot export uniform metadata over live deletion vectors "
-            "(iceberg readers would resurrect deleted rows); run "
-            "delta OPTIMIZE first"
-        )
     if str(
         snap.configuration.get("delta.columnMapping.mode", "none")
     ).lower() != "none":
@@ -3164,19 +3167,68 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
             )
         )
     os.makedirs(iceberg_path, exist_ok=True)
+    delete_entries = []
+    dv_adds = [a for a in snap.files if a.deletion_vector]
+    if dv_adds:
+        import struct as _st
+
+        from . import puffin_lite, roaring
+        from .delta_lite import _resolve_dv_path
+
+        blobs = []
+        for a in dv_adds:
+            dv = a.deletion_vector
+            kind, payload = _resolve_dv_path(delta_path, dv)
+            if kind == "inline":
+                data = roaring.z85_decode(payload)[: int(dv["sizeInBytes"])]
+            else:
+                with open(payload, "rb") as fh:
+                    fh.seek(int(dv.get("offset") or 0))
+                    (n,) = _st.unpack(">i", fh.read(4))
+                    data = fh.read(n)
+            # decode validates the magic; re-encode through the puffin
+            # writer adds the blob CRC the iceberg spec requires
+            blobs.append(
+                {
+                    "referenced_data_file": os.path.join(src_root, a.path),
+                    "positions": roaring.decode_delta_dv(data),
+                }
+            )
+        dv_rel = f"data/uniform-dv-{_uuid.uuid4().hex}.puffin"
+        dest = os.path.join(iceberg_path, dv_rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        for d in puffin_lite.write_puffin(dest, blobs):
+            delete_entries.append(
+                (
+                    dv_rel, {}, int(d["cardinality"]),
+                    os.path.getsize(dest), 1, None,
+                    {
+                        "referenced_data_file": d["referenced_data_file"],
+                        "offset": int(d["offset"]),
+                        "length": int(d["length"]),
+                    },
+                )
+            )
+    existing_mirror = is_iceberg_table(iceberg_path)
+    if delete_entries and existing_mirror:
+        # a v2 mirror created before the source grew DVs upgrades in
+        # place (metadata-only) so the v3 delete entries are legal
+        upgrade_iceberg_format(iceberg_path, 3)
     fields = _ice_schema_fields(snap.schema)
     snap_id = _commit_snapshot(
         iceberg_path,
         part_cols,
         data_entries=entries,
-        delete_entries=[],
+        delete_entries=delete_entries,
         schema_fields=fields,
-        evolve_schema=is_iceberg_table(iceberg_path),
+        evolve_schema=existing_mirror,
         replace=True,
+        format_version=3 if delete_entries else None,
     )
     return {
         "snapshot_id": snap_id,
         "files": len(entries),
+        "dv_files": len(delete_entries),
         "delta_version": snap.version,
     }
 

@@ -243,16 +243,6 @@ def test_export_uniform_refreshes_after_delta_mutation(spark, tmp_path):
 
 
 def test_export_uniform_refusals(spark, tmp_path):
-    # live deletion vectors
-    dv = str(tmp_path / "dv")
-    dl.write_delta(
-        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
-        .select("id", "v").orderBy("id").coalesce(1),
-        dv,
-    )
-    dl.delete_delta(spark, dv, "id = 3", use_deletion_vectors=True)
-    with pytest.raises(il.IcebergLiteError, match="deletion vectors"):
-        il.export_uniform(dv, str(tmp_path / "dv_ice"))
     # column mapping
     cm = str(tmp_path / "cm")
     dl.write_delta(
@@ -261,6 +251,47 @@ def test_export_uniform_refusals(spark, tmp_path):
     )
     with pytest.raises(il.IcebergLiteError, match="column-mapped"):
         il.export_uniform(cm, str(tmp_path / "cm_ice"))
+
+
+def test_export_uniform_translates_dvs_to_v3(spark, tmp_path):
+    """Round 10 (closes the r8-era refusal): Delta DVs and Iceberg v3
+    DVs share the interchange bytes, so a DV-carrying delta table
+    exports as a FORMAT-VERSION 3 mirror whose puffin blobs hold the
+    same deleted positions — no OPTIMIZE required, no resurrection."""
+    dv = str(tmp_path / "dv")
+    ice = str(tmp_path / "dv_ice")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(10)])
+        .select("id", "v").orderBy("id").coalesce(1),
+        dv,
+    )
+    dl.delete_delta(spark, dv, "id in (3, 7)", use_deletion_vectors=True)
+    res = il.export_uniform(dv, ice)
+    assert res["dv_files"] == 1
+    assert il._load_metadata(ice)["format-version"] == 3
+    assert _ids(il.read_iceberg(spark, ice)) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # refresh after more DV deletes keeps the mirror consistent
+    dl.delete_delta(spark, dv, "id = 0", use_deletion_vectors=True)
+    il.export_uniform(dv, ice)
+    assert _ids(il.read_iceberg(spark, ice)) == [1, 2, 4, 5, 6, 8, 9]
+
+
+def test_export_uniform_upgrades_v2_mirror_when_source_grows_dvs(
+    spark, tmp_path
+):
+    d = str(tmp_path / "d")
+    ice = str(tmp_path / "i")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+        .select("id", "v").orderBy("id").coalesce(1),
+        d,
+    )
+    il.export_uniform(d, ice)
+    assert il._load_metadata(ice)["format-version"] == 2
+    dl.delete_delta(spark, d, "id < 2", use_deletion_vectors=True)
+    il.export_uniform(d, ice)
+    assert il._load_metadata(ice)["format-version"] == 3
+    assert _ids(il.read_iceberg(spark, ice)) == [2, 3, 4, 5]
 
 
 def test_external_hive_read_is_single_scan(spark, tmp_path):

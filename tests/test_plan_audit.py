@@ -695,3 +695,26 @@ def test_scoped_equality_deletes_one_antijoin_per_field_set(spark, tmp_path):
     anti_nodes = re.findall(r"^Join type: LeftAnti", plan, re.M)
     assert len(anti_nodes) == 1, plan[:2000]
     assert "Cartesian" not in plan
+
+
+def test_iceberg_v3_dv_read_plan_shape(spark):
+    """v3 DV application must be the distributed shape: the DV rows
+    arrive via mapInPandas (executor-side puffin decode) feeding a
+    LEFT ANTI join on (file, pos) — no driver-side position lists, no
+    cartesian product, and the v2-era position-delete parquet still
+    plans as its own anti-join branch (mixed-form upgrade table)."""
+    plan = plan_of(spark, "src_iceberg_v3_dv_read")
+    assert plan.count("LeftAnti") >= 2  # DV branch + pos-parquet branch
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchScan" not in plan or "PushedFilters" in plan
+
+
+def test_delta_nested_mapping_read_is_jvm_side(spark):
+    """The nested logical rebuild must stay in Catalyst expressions
+    (struct()/transform()/map_from_arrays over the physical scan) —
+    zero Python row processing and one scan, no shuffle."""
+    plan = plan_of(spark, "src_delta_nested_mapping")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Exchange" not in plan  # pure per-file projection
