@@ -952,6 +952,38 @@ def inspect_files(
     )
 
 
+def inspect_delete_files(
+    spark: SparkSession, table_path: str, snapshot_id=None
+) -> DataFrame:
+    """The ``$delete_files`` metadata table: one row per live delete
+    file — position-delete parquet, equality-delete parquet, or v3
+    DELETION VECTOR (``file_format=PUFFIN`` with its referenced data
+    file and blob byte range).  Pure manifest walk, the ops view for
+    'how much MOR debt does this table carry and in what form'."""
+    _, deletes = plan_scan(table_path, snapshot_id=snapshot_id)
+    rows = [
+        (
+            d.path,
+            d.file_format,
+            int(d.content),
+            int(d.record_count),
+            int(d.sequence_number),
+            list(d.equality_ids) or None,
+            d.referenced_data_file or None,
+            int(d.content_offset) if d.file_format == "PUFFIN" else None,
+            int(d.content_size) if d.file_format == "PUFFIN" else None,
+        )
+        for d in deletes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_path string, file_format string, content int, "
+        "record_count long, sequence_number long, "
+        "equality_ids array<int>, referenced_data_file string, "
+        "content_offset long, content_size_in_bytes long",
+    )
+
+
 def inspect_manifests(
     spark: SparkSession, table_path: str, snapshot_id=None
 ) -> DataFrame:
@@ -1139,6 +1171,24 @@ def read_iceberg(
     # promoted column.  Unmappable metadata falls back to parquet
     # self-description (pre-evolution behavior).
     table_schema = _spark_schema_from_meta(_load_metadata(table_path))
+    # v3 row lineage: rows MOVED by UPDATE/compaction carry their ids
+    # MATERIALIZED in the data files (spec §Row Lineage — a moved row
+    # must keep its _row_id); a lineage read therefore scans the two
+    # metadata columns too (files without them read null and fall back
+    # to position-based assignment below)
+    scan_schema = table_schema
+    if row_lineage and table_schema is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        scan_schema = StructType(
+            list(table_schema.fields)
+            + [
+                StructField("_row_id", LongType(), True),
+                StructField(
+                    "_last_updated_sequence_number", LongType(), True
+                ),
+            ]
+        )
 
     def _norm(col):
         # _metadata.file_path is a URI (file:///x); planned paths are
@@ -1227,8 +1277,8 @@ def read_iceberg(
 
     parts = []
     if internal:
-        if table_schema is not None:
-            df = spark.read.schema(table_schema).parquet(
+        if scan_schema is not None:
+            df = spark.read.schema(scan_schema).parquet(
                 *[f.path for f in internal]
             )
         else:
@@ -1239,26 +1289,26 @@ def read_iceberg(
         # for every hive-consistent external file under this root —
         # the manifest values were verified against the dir names above
         df = (
-            spark.read.schema(table_schema)
+            spark.read.schema(scan_schema)
             .option("basePath", base)
             .parquet(*[f.path for f in group])
         )
         if need_meta:
             df = _with_meta(df)
-        order = [f.name for f in table_schema.fields] + (
+        order = [f.name for f in scan_schema.fields] + (
             ["__ice_file", "__ice_pos"] if need_meta else []
         )
         parts.append(df.select(*order))
     for group, attach in ext_groups:
         sub = StructType(
-            [f for f in table_schema.fields if f.name not in attach]
+            [f for f in scan_schema.fields if f.name not in attach]
         )
         df = spark.read.schema(sub).parquet(*[f.path for f in group])
         if need_meta:
             df = _with_meta(df)
         for c, v in attach.items():
             df = df.withColumn(c, F.lit(v).cast(dtype_by_name[c]))
-        order = [f.name for f in table_schema.fields] + (
+        order = [f.name for f in scan_schema.fields] + (
             ["__ice_file", "__ice_pos"] if need_meta else []
         )
         parts.append(df.select(*order))
@@ -1270,7 +1320,12 @@ def read_iceberg(
 
     data = reader
     base_cols = [
-        c for c in data.columns if c not in ("__ice_file", "__ice_pos")
+        c
+        for c in data.columns
+        if c not in (
+            "__ice_file", "__ice_pos",
+            "_row_id", "_last_updated_sequence_number",
+        )
     ]
     pos_deletes = [
         d for d in deletes if d.content == 1 and d.file_format != "PUFFIN"
@@ -1474,21 +1529,49 @@ def read_iceberg(
                 cond = cond & (expr == F.col(f"__eq_scope_{i}"))
             data = data.join(del_rows, cond, "left_anti")
     if row_lineage:
-        # _row_id = the file's first_row_id + position (null for files
-        # predating a v3 upgrade — the spec's lazy-assignment rule);
-        # _last_updated_sequence_number = the file's data sequence
-        # number.  One broadcast O(files) map join, zero extra scans.
+        # _row_id: a MATERIALIZED value in the data file wins (spec
+        # §Row Lineage — UPDATE/compaction write the moved row's id
+        # into the new file), else the file's first_row_id + position
+        # (null for files predating a v3 upgrade — lazy assignment).
+        # _last_updated_sequence_number: materialized value (carried
+        # unmodified rows keep their original) else the file's data
+        # sequence number (fresh/updated rows were last touched by the
+        # commit that wrote the file).  One broadcast O(files) map
+        # join, zero extra scans.
         lin = spark.createDataFrame(
             [(f.path, f.first_row_id, f.sequence_number) for f in files],
-            "__ice_file string, __ice_fri long, "
-            "_last_updated_sequence_number long",
+            "__ice_file string, __ice_fri long, __ice_seq long",
         )
-        data = data.join(F.broadcast(lin), "__ice_file").withColumn(
-            "_row_id",
-            F.when(
-                F.col("__ice_fri").isNotNull(),
-                F.col("__ice_fri") + F.col("__ice_pos"),
-            ),
+        mat_rid = (
+            F.col("_row_id")
+            if "_row_id" in data.columns
+            else F.lit(None).cast("long")
+        )
+        mat_lus = (
+            F.col("_last_updated_sequence_number")
+            if "_last_updated_sequence_number" in data.columns
+            else F.lit(None).cast("long")
+        )
+        data = (
+            data.join(F.broadcast(lin), "__ice_file")
+            .withColumn(
+                "__ice_rid",
+                F.coalesce(
+                    mat_rid,
+                    F.when(
+                        F.col("__ice_fri").isNotNull(),
+                        F.col("__ice_fri") + F.col("__ice_pos"),
+                    ),
+                ),
+            )
+            .withColumn(
+                "__ice_lus", F.coalesce(mat_lus, F.col("__ice_seq"))
+            )
+            .drop("_row_id", "_last_updated_sequence_number")
+            .withColumnRenamed("__ice_rid", "_row_id")
+            .withColumnRenamed(
+                "__ice_lus", "_last_updated_sequence_number"
+            )
         )
     keep = (
         base_cols
@@ -3077,7 +3160,13 @@ def rewrite_data_files(
     planned_version = (_metadata_versions(meta_dir) or [0])[-1]
     meta = _load_metadata(table_path)
     part_cols = _partition_spec_fields(meta)
-    df = read_iceberg(spark, table_path)
+    fv = max(2, int(meta.get("format-version", 2)))
+    # v3 row lineage: compaction MOVES rows unmodified, so BOTH
+    # lineage fields must ride into the rewritten files materialized
+    # (spec §Row Lineage: a carried row keeps its _row_id AND its
+    # _last_updated_sequence_number — bumping the latter to the
+    # compaction commit would falsely mark every row as just-changed)
+    df = read_iceberg(spark, table_path, row_lineage=fv >= 3)
     if zorder_by:
         from ..operators.layout import zorder_key  # noqa: PLC0415
 
@@ -3669,14 +3758,26 @@ def update_iceberg(
     planned_version = (_metadata_versions(meta_dir) or [0])[-1]
     part_cols = _partition_spec_fields(meta)
 
+    fv = max(2, int(meta.get("format-version", 2)))
     # Match against LIVE rows — the full reader (metadata schema, so
     # SET/WHERE bind to EVOLVED column names; external-file partition
     # attach; position + equality deletes applied), not raw parquet:
     # matching deleted rows resurrected them as transformed live
-    # copies (ADVICE r9, the high-severity finding).
-    live = read_iceberg(spark, table_path, _row_refs=True)
+    # copies (ADVICE r9, the high-severity finding).  On v3 the read
+    # also carries ROW LINEAGE so the transformed copies can keep
+    # their _row_id (spec: an updated row preserves its id; its
+    # _last_updated_sequence_number is left unmaterialized so it
+    # inherits the new file's sequence number).
+    live = read_iceberg(
+        spark, table_path, _row_refs=True, row_lineage=fv >= 3
+    )
     schema_cols = [
-        c for c in live.columns if c not in ("__ice_file", "__ice_pos")
+        c
+        for c in live.columns
+        if c not in (
+            "__ice_file", "__ice_pos",
+            "_row_id", "_last_updated_sequence_number",
+        )
     ]
     unknown = set(set_exprs) - set(schema_cols)
     if unknown:
@@ -3696,9 +3797,13 @@ def update_iceberg(
             if c in set_exprs
             else F.col(c)
             for c in schema_cols
-        ]
+        ],
+        # v3: the moved row keeps its id, MATERIALIZED into the new
+        # file (the read-side coalesce prefers it over positional
+        # assignment); _last_updated_sequence_number stays absent so
+        # it resolves to the new commit's sequence number
+        *([F.col("_row_id")] if fv >= 3 else []),
     )
-    fv = max(2, int(meta.get("format-version", 2)))
     drop_dv_refs: frozenset = frozenset()
     if fv >= 3:
         delete_entries, drop_dv_refs, rows_updated = _stage_iceberg_dvs(

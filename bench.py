@@ -140,6 +140,12 @@ ABS_SLACK_SEC = 0.5
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
     # round-10 additions (promoted to BASELINES next round)
+    "src_iceberg_v3_dv_read",
+    "sink_iceberg_v3_dv_merge",
+    "src_iceberg_v3_row_lineage",
+    "sink_delta_dv_merge",
+    "sink_delta_dv_update",
+    "src_delta_nested_mapping",
 ]
 
 

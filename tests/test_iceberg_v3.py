@@ -340,3 +340,86 @@ def test_initial_default_refused_by_name(spark, tmp_path):
         json.dump(meta, fh)
     with pytest.raises(il.IcebergLiteError, match="initial-default"):
         il.read_iceberg(spark, path)
+
+
+def test_delete_files_metadata_table(spark, tmp_path):
+    """$delete_files: the MOR-debt ops view, covering all three delete
+    forms — position parquet (v2 era), equality parquet, and v3 DVs."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 10, fv=2)
+    src = spark.createDataFrame([Row(id=2, v=22.0)]).select("id", "v")
+    il.merge_iceberg(spark, src, path, ["id"])  # position parquet
+    il.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=5, v=55.0)]).select("id", "v"),
+        path, ["id"],
+    )  # equality parquet
+    il.upgrade_iceberg_format(path, 3)
+    il.delete_iceberg(spark, path, "id = 9")  # puffin DV
+    got = sorted(
+        (r["file_format"], r["content"])
+        for r in il.inspect_delete_files(spark, path).collect()
+    )
+    assert ("PUFFIN", 1) in got
+    assert ("PARQUET", 1) in got and ("PARQUET", 2) in got
+    dv = [
+        r for r in il.inspect_delete_files(spark, path).collect()
+        if r["file_format"] == "PUFFIN"
+    ][0]
+    assert dv["referenced_data_file"] and dv["content_size_in_bytes"] > 0
+    # the blob range is directly decodable
+    assert 9 in pf.read_dv(
+        dv["file_path"], dv["content_offset"], dv["content_size_in_bytes"]
+    )
+
+
+# ------------------------------------------------- lineage preservation
+
+
+def test_update_preserves_row_id(spark, tmp_path):
+    """spec §Row Lineage: an UPDATE moves the row to a new file but the
+    row keeps its _row_id (materialized into the new file), while
+    _last_updated_sequence_number advances to the new commit."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 6)
+    before = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    il.update_iceberg(spark, path, {"v": "v + 100"}, "id = 3")
+    after = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert after[3][0] == before[3][0]  # id preserved across the move
+    assert after[3][1] > before[3][1]  # last-updated seq advanced
+    for i in (0, 1, 2, 4, 5):
+        assert after[i] == before[i]  # untouched rows unchanged
+    # a SECOND update still carries the original id (chained moves)
+    il.update_iceberg(spark, path, {"v": "v + 1"}, "id = 3")
+    final = {
+        r["id"]: r["_row_id"]
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert final[3] == before[3][0]
+
+
+def test_compaction_preserves_both_lineage_fields(spark, tmp_path):
+    """Carried-unmodified rows keep _row_id AND their original
+    _last_updated_sequence_number through rewrite_data_files — bumping
+    the latter would falsely mark every row as just-changed."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 6)
+    _table(spark, path, 6, 9)
+    il.update_iceberg(spark, path, {"v": "-v"}, "id = 7")
+    before = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    res = il.rewrite_data_files(spark, path)
+    assert res["rewritten"]
+    after = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert after == before

@@ -114,31 +114,24 @@ def test_driver_window_covers_every_operator_family():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
-    # r9 rotation: the 7 round-9 gates with no driver row lead
-    # (iceberg transforms/refs/spec evolution, delta variant/widening,
-    # standard-encrypted xlsx), then engine-churned gates
-    # (iceberg_lite/delta_lite/entitymatch/offcrypto consumers), then
-    # the oldest r1-era staleness refreshes.  Sentinels: every
-    # never-checked round-9 gate plus churned + staleness
-    # representatives.
-    for sentinel in ("src_iceberg_day_partition", "sink_iceberg_bucket_upsert",
-                     "src_delta_type_widening", "src_delta_variant",
-                     "src_iceberg_ref_read", "src_standard_encrypted_xlsx",
-                     "sink_iceberg_spec_evolution", "em_full_flow",
-                     "sink_iceberg_eq_upsert", "src_delta_deletion_vectors",
-                     "src_encrypted_xlsx_read", "q1_pricing_summary",
-                     "setops_segments", "src_iceberg_incremental",
-                     "sink_iceberg_rollback", "stream_iceberg_source_totals",
-                     "src_delta_ict_travel", "sink_iceberg_wap_publish",
-                     "sink_delta_shallow_clone", "src_convert_to_delta",
-                     "sink_iceberg_add_files",
-                     "sink_iceberg_manifest_rewrite",
-                     "sink_delta_identity_generated",
-                     "src_uniform_iceberg_over_delta",
-                     "sink_delta_check_constraint",
-                     "stream_iceberg_upsert_sink",
-                     "sink_iceberg_delete_where",
-                     "sink_lakehouse_update"):
+    # r10 rotation (tools/driver_window.py --mode staleness, VERDICT r9
+    # item 3): the 6 round-10 gates with no driver row lead (iceberg v3
+    # DV read/DML/row lineage, delta DV merge/update, nested column
+    # mapping), then the 44 OLDEST green rows — the full remaining
+    # r1-era block plus the oldest r3 rows.  Sentinels: every
+    # never-checked round-10 gate plus staleness representatives from
+    # both eras.
+    for sentinel in ("src_iceberg_v3_dv_read", "sink_iceberg_v3_dv_merge",
+                     "src_iceberg_v3_row_lineage", "src_delta_nested_mapping",
+                     "sink_delta_dv_merge", "sink_delta_dv_update",
+                     "q5_region_supplier_revenue", "q16_supplier_count",
+                     "q22_wealthy_inactive", "scan_filter_project",
+                     "scd2_customer_history", "window_rank_orders",
+                     "yoy_customer_retention", "tr_date_roundtrip",
+                     "unpivot_measures", "dedup_exact",
+                     "dedup_lsh_verified", "ann_cosine_topk",
+                     "emb_kmeans_clusters", "sketch_kmv_distinct",
+                     "agg_numeric_audit", "text_token_stats"):
         assert sentinel in window, sentinel
 
 
