@@ -4085,6 +4085,81 @@ def sink_delta_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_row_tracking",
+    """
+    WITH c1 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), c2 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                   + (SELECT COUNT(*) FROM c1) AS rid
+        FROM orders WHERE o_orderkey % 3 = 1
+    ), unioned AS (
+        SELECT *, 0 AS cv FROM c1 UNION ALL SELECT *, 1 AS cv FROM c2
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN cents + 7 ELSE cents END
+               AS price_cents,
+           rid AS _row_id,
+           CASE WHEN o_orderkey % 11 = 0 THEN 2 ELSE cv END
+               AS _row_commit_version
+    FROM unioned
+    WHERE o_orderkey % 13 <> 5
+    """,
+)
+def sink_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (round 10, PROTOCOL.md §Row Tracking): every
+    row carries a STABLE id — baseRowId blocks on add actions (fresh id
+    = baseRowId + physical index), the high-water mark as domain
+    metadata, and PRESERVATION when rows move: a COW UPDATE
+    materializes the moved rows' ids into the hidden columns (commit
+    version advances), a DV DELETE never moves rows, and OPTIMIZE
+    (dataChange=false) carries BOTH fields — so after update + delete +
+    compaction every surviving row still answers with the id it was
+    born with.  This is the delta twin of iceberg v3 row lineage; the
+    oracle recomputes ids from the deterministic sorted-single-file
+    commit blocks and the update/delete history."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-rt-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 0)
+        .orderBy("o_orderkey").coalesce(1),
+        tbl,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_lite.write_delta(
+        base.where(F.col("o_orderkey") % 3 == 1)
+        .orderBy("o_orderkey").coalesce(1),
+        tbl, mode="append",
+    )
+    delta_lite.update_delta(
+        spark, tbl, {"price_cents": "price_cents + 7"},
+        "o_orderkey % 11 = 0", use_deletion_vectors=False,
+    )
+    delta_lite.delete_delta(
+        spark, tbl, "o_orderkey % 13 = 5", use_deletion_vectors=True
+    )
+    delta_lite.optimize(spark, tbl, target_files=1)
+    out = delta_lite.read_delta(spark, tbl, row_tracking=True)
+    return out.select(
+        "o_orderkey", "price_cents", "_row_id", "_row_commit_version"
+    )
+
+
+@register(
     "src_iceberg_bounds_pruning",
     """
     SELECT o_orderkey,

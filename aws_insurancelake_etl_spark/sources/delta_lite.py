@@ -117,6 +117,11 @@ class AddFile:
     #: pathOrInlineDv, offset, sizeInBytes, cardinality} — row indexes
     #: of THIS file that are deleted, as a roaring bitmap
     deletion_vector: dict | None = None
+    #: PROTOCOL.md §Row Tracking: the stable row id of this file's
+    #: first physical row (fresh ids = base_row_id + row index) and the
+    #: commit version rows default to when no materialized value exists
+    base_row_id: int | None = None
+    default_row_commit_version: int | None = None
 
 
 @dataclass
@@ -131,6 +136,10 @@ class Snapshot:
     #: the replayed protocol action (reader/writer versions + feature
     #: lists) — writers must gate on it, not only readers
     protocol: dict = field(default_factory=lambda: dict(_PROTOCOL))
+    #: PROTOCOL.md §Domain Metadata: domain -> configuration string
+    #: (removed domains replay away); carries the row-tracking
+    #: high-water mark among others
+    domain_metadata: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType:
@@ -261,6 +270,15 @@ def _apply_action(state: dict, action: dict) -> None:
             data_change=bool(a.get("dataChange", True)),
             stats=raw_stats if isinstance(raw_stats, dict) else None,
             deletion_vector=a.get("deletionVector") or None,
+            base_row_id=(
+                int(a["baseRowId"]) if a.get("baseRowId") is not None
+                else None
+            ),
+            default_row_commit_version=(
+                int(a["defaultRowCommitVersion"])
+                if a.get("defaultRowCommitVersion") is not None
+                else None
+            ),
         )
         state["removes"].pop(rel, None)
     elif "remove" in action:
@@ -271,6 +289,15 @@ def _apply_action(state: dict, action: dict) -> None:
         state["removes"][rel] = int(
             action["remove"].get("deletionTimestamp", 0)
         )
+    elif "domainMetadata" in action:
+        # PROTOCOL.md §Domain Metadata: latest action per domain wins;
+        # removed=true tombstones it.  The rowTracking high-water mark
+        # lives here — dropping it would mint duplicate row ids.
+        d = action["domainMetadata"]
+        if d.get("removed"):
+            state["domains"].pop(d.get("domain"), None)
+        else:
+            state["domains"][d["domain"]] = d.get("configuration")
     # commitInfo / txn / cdc: replay-irrelevant here
 
 
@@ -283,7 +310,8 @@ def _read_checkpoint(cp_path: str, state: dict) -> None:
     log_dir = os.path.dirname(cp_path)
 
     def handle(row: dict) -> None:
-        for kind in ("protocol", "metaData", "add", "remove"):
+        for kind in ("protocol", "metaData", "add", "remove",
+                     "domainMetadata"):
             payload = row.get(kind)
             if payload is not None:
                 if kind == "add" and isinstance(
@@ -346,7 +374,8 @@ def snapshot(path: str, version=None) -> Snapshot:
     if target > latest or target < 0:
         raise DeltaLiteError(f"version {target} out of range 0..{latest}")
 
-    state = {"adds": {}, "removes": {}, "metaData": None, "protocol": None}
+    state = {"adds": {}, "removes": {}, "metaData": None, "protocol": None,
+             "domains": {}}
     start = 0
     cp = _find_checkpoint(log_dir, target)
     if cp is not None:
@@ -374,6 +403,7 @@ def snapshot(path: str, version=None) -> Snapshot:
         tombstones=dict(state["removes"]),
         configuration=dict(meta.get("configuration") or {}),
         protocol=dict(state.get("protocol") or _PROTOCOL),
+        domain_metadata=dict(state.get("domains") or {}),
     )
 
 
@@ -701,11 +731,17 @@ def _read_snapshot(
     partition_filter=None,
     with_path=False,
     with_pos=False,
+    with_row_ids=False,
 ) -> DataFrame:
     """``with_path`` keeps ``__dl_path`` (the scan URI); ``with_pos``
     additionally keeps ``__dl_pos`` (``_metadata.row_index`` — the
     PHYSICAL per-file ordinal, unaffected by deletion-vector filtering,
-    which is what makes it the right coordinate for writing NEW DVs)."""
+    which is what makes it the right coordinate for writing NEW DVs).
+    ``with_row_ids`` appends ``_row_id`` / ``_row_commit_version``
+    (PROTOCOL.md §Row Tracking): the file's MATERIALIZED hidden columns
+    win (moved rows carry preserved values there), else baseRowId +
+    physical index and defaultRowCommitVersion — one broadcast O(files)
+    map join."""
     schema = snap.schema
     mode = _column_mapping_mode(snap.configuration)
     mapped = mode != "none"
@@ -745,7 +781,20 @@ def _read_snapshot(
             if all(pf.partition_values.get(k) == v for k, v in want.items())
         ]
     dv_files = [pf.add for pf in files if pf.add.deletion_vector]
-    need_meta = with_path or with_pos or bool(dv_files)
+    need_meta = with_path or with_pos or with_row_ids or bool(dv_files)
+    rt_id_col, rt_cv_col = (
+        _rt_col_names(snap.configuration) if with_row_ids else (None, None)
+    )
+    if with_row_ids:
+        from pyspark.sql.types import LongType
+
+        extra = [
+            StructField(c, LongType(), True)
+            for c in (rt_id_col, rt_cv_col)
+            if c
+        ]
+        if extra:
+            read_schema = StructType(list(read_schema.fields) + extra)
     final_cols = [
         (
             _logical_col(F.col(phys[f.name]), f.dataType)
@@ -771,6 +820,11 @@ def _read_snapshot(
             df = df.withColumn("__dl_path", F.lit(None).cast("string"))
         if with_pos:
             df = df.withColumn("__dl_pos", F.lit(None).cast("long"))
+        if with_row_ids:
+            df = df.withColumn("_row_id", F.lit(None).cast("long"))
+            df = df.withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            )
         return df
     abs_paths = [os.path.join(snap.table_path, pf.path) for pf in files]
     if not part_cols:
@@ -823,7 +877,38 @@ def _read_snapshot(
             & (F.col("__dl_pos") == F.col("__dv_pos")),
             "left_anti",
         )
-    return df.select(*final_cols, *path_col)
+    rid_cols = []
+    if with_row_ids:
+        rt_map = spark.createDataFrame(
+            [
+                (
+                    os.path.join(snap.table_path, pf.path),
+                    pf.add.base_row_id,
+                    pf.add.default_row_commit_version,
+                )
+                for pf in files
+            ],
+            "__rt_file string, __rt_base long, __rt_dcv long",
+        )
+        scan_file = F.regexp_replace(F.col("__dl_path"), "^file:/+", "/")
+        df = df.join(
+            F.broadcast(rt_map), scan_file == F.col("__rt_file"), "left"
+        )
+        mat_id = F.col(rt_id_col) if rt_id_col else F.lit(None).cast("long")
+        mat_cv = F.col(rt_cv_col) if rt_cv_col else F.lit(None).cast("long")
+        rid_cols = [
+            F.coalesce(
+                mat_id,
+                F.when(
+                    F.col("__rt_base").isNotNull(),
+                    F.col("__rt_base") + F.col("__dl_pos"),
+                ),
+            ).alias("_row_id"),
+            F.coalesce(mat_cv, F.col("__rt_dcv")).alias(
+                "_row_commit_version"
+            ),
+        ]
+    return df.select(*final_cols, *path_col, *rid_cols)
 
 
 class _PhysFile:
@@ -887,19 +972,92 @@ def version_as_of_timestamp(path: str, ts_ms: int) -> int:
     return best
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_on(conf) -> bool:
+    return (
+        str((conf or {}).get("delta.enableRowTracking", "false")).lower()
+        == "true"
+    )
+
+
+def _row_id_hwm(domains: dict) -> int:
+    """The rowTracking domain's high-water mark (-1 when unset) —
+    PROTOCOL.md §Row Tracking stores it as domain metadata so it
+    survives checkpointing."""
+    raw = (domains or {}).get(_ROW_TRACKING_DOMAIN)
+    if not raw:
+        return -1
+    try:
+        return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _rt_col_names(conf) -> tuple:
+    """(materialized row-id column, materialized commit-version column)
+    physical names from the table config — the hidden columns moved
+    rows carry their preserved values in."""
+    return (
+        (conf or {}).get("delta.rowTracking.materializedRowIdColumnName"),
+        (conf or {}).get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ),
+    )
+
+
+def _assign_row_ids(conf, domains, adds, version, table_path) -> list:
+    """Stamp freshly staged AddFiles with their base_row_id blocks and
+    defaultRowCommitVersion (PROTOCOL.md §Row Tracking: fresh row id =
+    baseRowId + physical index) and return the domainMetadata action
+    advancing the high-water mark — [] when the table does not track
+    rows.  O(adds) driver work; counts come from staged footer stats."""
+    if not _row_tracking_on(conf):
+        return []
+    hwm = _row_id_hwm(domains)
+    for a in adds:
+        n = (a.stats or {}).get("numRecords")
+        if n is None:
+            import pyarrow.parquet as _pq
+
+            n = _pq.ParquetFile(
+                os.path.join(table_path, a.path)
+            ).metadata.num_rows
+        a.base_row_id = hwm + 1
+        a.default_row_commit_version = int(version)
+        hwm += int(n)
+    return [
+        {
+            "domainMetadata": {
+                "domain": _ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    ]
+
+
 def read_delta(
     spark: SparkSession, path: str, version=None, partition_filter=None,
-    timestamp_ms=None,
+    timestamp_ms=None, row_tracking: bool = False,
 ) -> DataFrame:
     """Snapshot read.  ``version`` (or ``timestamp_ms`` — Delta's
     ``timestampAsOf``, the newest commit at or before the bound)
     time-travels; ``partition_filter`` ({col: value}) prunes data files
-    from the log before any are opened."""
+    from the log before any are opened.  ``row_tracking=True``
+    additionally returns ``_row_id`` / ``_row_commit_version``
+    (PROTOCOL.md §Row Tracking: a MATERIALIZED value in the file wins —
+    moved rows carry their preserved ids there — else baseRowId +
+    physical index / defaultRowCommitVersion)."""
     if timestamp_ms is not None:
         if version is not None:
             raise DeltaLiteError("pass version= or timestamp_ms=, not both")
         version = version_as_of_timestamp(path, int(timestamp_ms))
-    return _read_snapshot(spark, snapshot(path, version), partition_filter)
+    return _read_snapshot(
+        spark, snapshot(path, version), partition_filter,
+        with_row_ids=row_tracking,
+    )
 
 
 # --------------------------------------------------------------- write
@@ -1053,6 +1211,12 @@ def _add_json(a: AddFile) -> dict:
         # restore/checkpoint must carry the DV forward — dropping it
         # would resurrect the deleted rows
         payload["add"]["deletionVector"] = a.deletion_vector
+    if a.base_row_id is not None:
+        payload["add"]["baseRowId"] = int(a.base_row_id)
+    if a.default_row_commit_version is not None:
+        payload["add"]["defaultRowCommitVersion"] = int(
+            a.default_row_commit_version
+        )
     return payload
 
 
@@ -1166,6 +1330,10 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                         else None
                     ),
                     "deletionVector": a.deletion_vector,
+                    "baseRowId": a.base_row_id,
+                    "defaultRowCommitVersion": (
+                        a.default_row_commit_version
+                    ),
                 },
                 "remove": None,
             }
@@ -1182,6 +1350,23 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                     "path": rel,
                     "deletionTimestamp": ts,
                     "dataChange": True,
+                },
+            }
+        )
+    # Domain metadata MUST survive checkpointing (PROTOCOL.md §Domain
+    # Metadata): the rowTracking high-water mark lives here — dropping
+    # it once the JSON tail ages out would mint duplicate row ids.
+    for domain, conf in sorted(snap.domain_metadata.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": None,
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": conf,
+                    "removed": False,
                 },
             }
         )
@@ -1232,6 +1417,8 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                                 ]
                             ),
                         ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -1245,16 +1432,32 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
                     ]
                 ),
             ),
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
     def _conv(row):
-        add = row["add"]
+        add = row.get("add")
         if add is not None:
             add = dict(add)
             add["partitionValues"] = sorted(
                 (add["partitionValues"] or {}).items()
             )
-        return {**row, "add": add}
+        return {
+            "protocol": row.get("protocol"),
+            "metaData": row.get("metaData"),
+            "add": add,
+            "remove": row.get("remove"),
+            "domainMetadata": row.get("domainMetadata"),
+        }
 
     table = pa.Table.from_pylist([_conv(r) for r in rows], schema=schema)
     log_dir = _log_dir(path)
@@ -1282,6 +1485,14 @@ def _write_v2_checkpoint(path: str, snap: Snapshot) -> None:
                 "configuration": dict(snap.configuration),
             }
         },
+    ]
+    rows += [
+        {
+            "domainMetadata": {
+                "domain": domain, "configuration": conf, "removed": False,
+            }
+        }
+        for domain, conf in sorted(snap.domain_metadata.items())
     ]
     rows += [_add_json(a) for a in snap.files]
     rows += [
@@ -1808,7 +2019,22 @@ def write_delta(
         has_ict = _ict_enabled(merged_conf)
         has_gen = bool(generated_columns)
         has_id = bool(identity_columns)
-        if has_variant or has_ict or has_gen or has_id:
+        has_rt = _row_tracking_on(merged_conf)
+        if has_rt:
+            # PROTOCOL.md §Row Tracking: writer-only feature riding on
+            # domain metadata (the high-water mark); moved rows carry
+            # preserved ids in the hidden MATERIALIZED columns, whose
+            # physical names are minted once at enable time
+            merged_conf.setdefault(
+                "delta.rowTracking.materializedRowIdColumnName",
+                f"_row-id-col-{uuid.uuid4().hex}",
+            )
+            merged_conf.setdefault(
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName",
+                f"_row-commit-version-col-{uuid.uuid4().hex}",
+            )
+        if has_variant or has_ict or has_gen or has_id or has_rt:
             # TABLE FEATURES protocol (PROTOCOL.md): variant is a
             # reader+writer feature, in-commit timestamps / generated /
             # identity columns writer-only; the feature lists also
@@ -1820,6 +2046,7 @@ def write_delta(
                 (["inCommitTimestamp"] if has_ict else [])
                 + (["generatedColumns"] if has_gen else [])
                 + (["identityColumns"] if has_id else [])
+                + (["rowTracking", "domainMetadata"] if has_rt else [])
             )
             proto = {
                 "minReaderVersion": 3 if r_feats else 1,
@@ -1867,9 +2094,14 @@ def write_delta(
             }
             for a in existing.files
         ]
-    actions += removes + [_add_json(a) for a in adds]
     base = existing.version if existing is not None else -1
     version = base + 1
+    rt_actions = _assign_row_ids(
+        merged_conf,
+        existing.domain_metadata if existing is not None else {},
+        adds, version, path,
+    )
+    actions += removes + [_add_json(a) for a in adds] + rt_actions
     while not _try_commit(_log_dir(path), version, actions, merged_conf):
         if mode == "overwrite":
             _discard_staged(path, adds)
@@ -1877,15 +2109,15 @@ def write_delta(
                 f"version {version} was committed concurrently; "
                 "re-run overwrite against the new snapshot"
             )
-        if identity_assigned or id_meta_changed:
-            # the minted ids / advanced highWaterMark were computed
+        if identity_assigned or id_meta_changed or rt_actions:
+            # the minted identity values / row-id blocks were computed
             # against the LOSER's snapshot — blind retry could collide
             # with the winner's allocations; the caller re-runs fresh
             _discard_staged(path, adds)
             raise ConcurrentWriteError(
                 f"version {version} was committed concurrently while "
-                "assigning identity values; re-run against the new "
-                "snapshot"
+                "assigning identity values or row ids; re-run against "
+                "the new snapshot"
             )
         # An append retry must RE-VALIDATE against the winner's state —
         # blindly re-committing would clobber a concurrent schema or
@@ -1939,6 +2171,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # from staged footer stats) — the features' writer contracts
     "generatedColumns",
     "identityColumns",
+    # round 10: fresh row-id block assignment on every add (HWM in
+    # domain metadata), preservation through DV DML (rows never move),
+    # COW/OPTIMIZE materialization of moved rows' ids
+    "rowTracking",
+    "domainMetadata",
     # round 9: every write/MERGE validates delta.constraints.* CHECK
     # expressions (NULL passes, SQL semantics) before committing
     "checkConstraints",
@@ -2099,6 +2336,8 @@ def _merge_once(
     snap = snapshot(path)
     _guard_writable(snap, operation="MERGE")
     dv = _dv_mode(snap, use_deletion_vectors)
+    rt = _row_tracking_on(snap.configuration)
+    rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
     schema_cols = [f.name for f in snap.schema.fields]
     if [f.name for f in source.schema.fields] != schema_cols:
         source = source.select(*schema_cols)  # raises if a column is missing
@@ -2172,8 +2411,12 @@ def _merge_once(
             protocol=search_snap.protocol,
             files=[f for f in search_snap.files if _overlaps(f)],
         )
+    # COW moves survivor rows to new files, so a row-tracked read also
+    # carries _row_id/_row_commit_version for materialization; the DV
+    # shape leaves survivors in place (ids stable for free)
     target = _read_snapshot(
-        spark, search_snap, with_path=not dv, with_pos=dv
+        spark, search_snap, with_path=not dv, with_pos=dv,
+        with_row_ids=rt and not dv and bool(rt_id_col),
     )
     touched_uris = {
         r["__dl_path"]
@@ -2208,8 +2451,18 @@ def _merge_once(
             if touched_uris
             else None
         )
+        if survivors is not None and rt and rt_id_col:
+            # carried-unmodified rows keep BOTH row-tracking fields,
+            # materialized into the rewritten files (PROTOCOL.md §Row
+            # Tracking); source rows (updates + inserts) mint fresh ids
+            # from the new files' baseRowId blocks
+            survivors = survivors.withColumnRenamed(
+                "_row_id", rt_id_col
+            ).withColumnRenamed("_row_commit_version", rt_cv_col)
         new_data = (
-            survivors.unionByName(source.select(*schema_cols))
+            survivors.unionByName(
+                source.select(*schema_cols), allowMissingColumns=True
+            )
             if survivors is not None
             else source.select(*schema_cols)
         )
@@ -2228,7 +2481,8 @@ def _merge_once(
         if touched_uris:
             matched_target = (
                 target.where(F.col("__dl_path").isin(list(touched_uris)))
-                .drop("__dl_path", "__dl_pos")
+                .drop("__dl_path", "__dl_pos",
+                      "_row_id", "_row_commit_version")
                 .join(F.broadcast(src_keys), keys, "left_semi")
             )
             matched_keys = matched_target.select(*keys).distinct()
@@ -2290,9 +2544,15 @@ def _merge_once(
             }
             for p in sorted(touched_rel)
         ]
-    actions += [_add_json(a) for a in adds]
-    actions += cdc_actions
     version = snap.version + 1
+    # fresh row-id blocks for the new files (must run BEFORE the add
+    # actions serialize); a lost race re-executes the whole merge, so
+    # the stale block is simply discarded with the staged files
+    rt_actions = _assign_row_ids(
+        snap.configuration, snap.domain_metadata, adds, version, path
+    )
+    actions += [_add_json(a) for a in adds] + rt_actions
+    actions += cdc_actions
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
@@ -2399,7 +2659,17 @@ def optimize(
     _guard_writable(snap, operation="OPTIMIZE")
     if not snap.files:
         return {"version": snap.version, "files_before": 0, "files_after": 0}
-    df = _read_snapshot(spark, snap)
+    rt = _row_tracking_on(snap.configuration)
+    rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
+    rt = rt and bool(rt_id_col)
+    # a dataChange=false rewrite MUST preserve row ids (PROTOCOL.md
+    # §Row Tracking): both fields ride into the compacted files
+    # materialized, so readers see identical lineage before and after
+    df = _read_snapshot(spark, snap, with_row_ids=rt)
+    if rt:
+        df = df.withColumnRenamed("_row_id", rt_id_col).withColumnRenamed(
+            "_row_commit_version", rt_cv_col
+        )
     if zorder_by:
         from ..operators.layout import zorder_key  # noqa: PLC0415
 
@@ -2442,8 +2712,13 @@ def optimize(
     ]
     for a in adds:
         a.data_change = False
-    actions += [_add_json(a) for a in adds]
     version = snap.version + 1
+    # stamp row-id blocks BEFORE the add actions serialize (the helper
+    # mutates the AddFiles)
+    rt_actions = _assign_row_ids(
+        snap.configuration, snap.domain_metadata, adds, version, path
+    )
+    actions += [_add_json(a) for a in adds] + rt_actions
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         raise ConcurrentWriteError(
@@ -2620,7 +2895,12 @@ def delete_delta(
         return meta_result
     if _dv_mode(snap, use_deletion_vectors):
         return _delete_with_dvs(spark, path, snap, predicate)
-    target = _read_snapshot(spark, snap, with_path=True)
+    rt = _row_tracking_on(snap.configuration)
+    rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
+    rt = rt and bool(rt_id_col)
+    target = _read_snapshot(
+        spark, snap, with_path=True, with_row_ids=rt
+    )
     cond = F.expr(predicate)
     touched_uris = {
         r["__dl_path"]
@@ -2638,6 +2918,12 @@ def delete_delta(
     touched_df = target.where(F.col("__dl_path").isin(list(touched_uris)))
     n_deleted = touched_df.where(cond).count()
     survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
+    if rt:
+        # COW delete MOVES the surviving rows: both row-tracking fields
+        # ride into the rewritten files materialized
+        survivors = survivors.withColumnRenamed(
+            "_row_id", rt_id_col
+        ).withColumnRenamed("_row_commit_version", rt_cv_col)
     del_parts, del_phys = _mapping_of(snap)
     adds = _stage_data_files(
         _to_physical(survivors, del_phys),
@@ -2650,7 +2936,7 @@ def delete_delta(
     if _cdf_enabled(snap):
         deleted_rows = (
             touched_df.where(cond)
-            .drop("__dl_path")
+            .drop("__dl_path", "_row_id", "_row_commit_version")
             .withColumn("_change_type", F.lit("delete"))
         )
         cdc_actions = [
@@ -2682,9 +2968,14 @@ def delete_delta(
         }
         for p in sorted(touched_rel)
     ]
-    actions += [_add_json(a) for a in adds]
-    actions += cdc_actions
     version = snap.version + 1
+    # stamp row-id blocks BEFORE the add actions serialize (the helper
+    # mutates the AddFiles)
+    rt_actions = _assign_row_ids(
+        snap.configuration, snap.domain_metadata, adds, version, path
+    )
+    actions += [_add_json(a) for a in adds] + rt_actions
+    actions += cdc_actions
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         _discard_staged(path, adds)
         _discard_cdc(path, cdc_actions)
@@ -2726,6 +3017,9 @@ def update_delta(
     snap = snapshot(path)
     _guard_writable(snap, operation="UPDATE")
     dv = _dv_mode(snap, use_deletion_vectors)
+    rt = _row_tracking_on(snap.configuration)
+    rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
+    rt = rt and bool(rt_id_col)
     if not set_exprs:
         raise DeltaLiteError("UPDATE needs at least one SET column")
     field_type = {f.name: f.dataType for f in snap.schema.fields}
@@ -2744,7 +3038,13 @@ def update_delta(
         )
     if set(set_exprs) & set(_identity_meta(snap.schema)):
         raise DeltaLiteError("identity columns are not settable")
-    target = _read_snapshot(spark, snap, with_path=not dv, with_pos=dv)
+    # an UPDATE always MOVES the transformed rows to new files, so a
+    # row-tracked read carries _row_id for materialization in BOTH
+    # shapes (the moved copy keeps its id; _row_commit_version is left
+    # out so it defaults to the new commit)
+    target = _read_snapshot(
+        spark, snap, with_path=not dv, with_pos=dv, with_row_ids=rt
+    )
     cond = F.expr(predicate)
     touched_uris = {
         r["__dl_path"]
@@ -2776,12 +3076,13 @@ def update_delta(
             if c in set_exprs
             else F.col(c)
             for c in order
-        ]
+        ],
+        *([F.col("_row_id").alias(rt_id_col)] if rt else []),
     )
     if gen_names:
         updated = _apply_generated(
             updated.drop(*sorted(gen_names)), snap.schema
-        ).select(*order)
+        ).select(*order, *([rt_id_col] if rt else []))
     _enforce_constraints(updated, snap.configuration)
     if dv:
         # only the transformed rows stage; survivors stay in their
@@ -2789,7 +3090,12 @@ def update_delta(
         new_data = updated
     else:
         survivors = touched_df.where(~cond | cond.isNull())
-        new_data = survivors.unionByName(updated)
+        if rt:
+            # carried-unmodified rows keep BOTH row-tracking fields
+            survivors = survivors.withColumnRenamed(
+                "_row_id", rt_id_col
+            ).withColumnRenamed("_row_commit_version", rt_cv_col)
+        new_data = survivors.unionByName(updated, allowMissingColumns=True)
     up_parts, up_phys = _mapping_of(snap)
     adds = _stage_data_files(
         _to_physical(new_data, up_phys),
@@ -2798,10 +3104,14 @@ def update_delta(
     )
     cdc_actions = []
     if _cdf_enabled(snap):
-        changes = matched.withColumn(
+        changes = matched.drop(
+            "_row_id", "_row_commit_version"
+        ).withColumn(
             "_change_type", F.lit("update_preimage")
         ).unionByName(
-            updated.withColumn("_change_type", F.lit("update_postimage"))
+            updated.drop(*([rt_id_col] if rt else [])).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
         )
         cdc_actions = [
             {"cdc": c}
@@ -2838,9 +3148,14 @@ def update_delta(
             }
             for p in sorted(touched_rel)
         ]
-    actions += [_add_json(a) for a in adds]
-    actions += cdc_actions
     version = snap.version + 1
+    # stamp row-id blocks BEFORE the add actions serialize (the helper
+    # mutates the AddFiles)
+    rt_actions = _assign_row_ids(
+        snap.configuration, snap.domain_metadata, adds, version, path
+    )
+    actions += [_add_json(a) for a in adds] + rt_actions
+    actions += cdc_actions
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         # the rewrite was computed against a stale snapshot
         _discard_staged(path, adds)

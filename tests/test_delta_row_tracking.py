@@ -1,0 +1,166 @@
+"""Delta ROW TRACKING (round 10, PROTOCOL.md §Row Tracking / §Domain
+Metadata): stable per-row ids — baseRowId blocks on add actions, the
+high-water mark as domain metadata, fresh id = baseRowId + physical
+index, and preservation when rows MOVE (materialized hidden columns
+through COW UPDATE/DELETE/MERGE-survivors and OPTIMIZE; DV DML never
+moves rows, so ids are stable there by construction).
+
+The delta twin of iceberg v3 row lineage: both give CDC consumers and
+incremental training pipelines a per-row identity that survives
+rewrites.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+CONF = {"delta.enableRowTracking": "true"}
+
+
+def _t(spark, path, lo, hi, **kw):
+    df = (
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(lo, hi)])
+        .select("id", "v").orderBy("id").coalesce(1)
+    )
+    dl.write_delta(df, path, **kw)
+
+
+def _ids(spark, path):
+    return {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in dl.read_delta(spark, path, row_tracking=True).collect()
+    }
+
+
+def test_create_assigns_blocks_and_advances_hwm(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 10, configuration=CONF)
+    _t(spark, path, 10, 14, mode="append")
+    snap = dl.snapshot(path)
+    assert "rowTracking" in snap.protocol["writerFeatures"]
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    assert dl._row_id_hwm(snap.domain_metadata) == 13
+    f0, f1 = sorted(snap.files, key=lambda a: a.base_row_id)
+    assert (f0.base_row_id, f0.default_row_commit_version) == (0, 0)
+    assert (f1.base_row_id, f1.default_row_commit_version) == (10, 1)
+    got = _ids(spark, path)
+    assert got == {i: (i, 0 if i < 10 else 1) for i in range(14)}
+
+
+def test_plain_reads_hide_tracking_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 5, configuration=CONF)
+    dl.update_delta(spark, path, {"v": "-v"}, "id = 2",
+                    use_deletion_vectors=False)
+    assert dl.read_delta(spark, path).columns == ["id", "v"]
+
+
+def test_dv_dml_keeps_ids_stable_for_free(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 8, configuration=CONF)
+    dl.delete_delta(spark, path, "id = 3", use_deletion_vectors=True)
+    got = _ids(spark, path)
+    assert 3 not in got and got[4] == (4, 0)
+
+
+def test_cow_update_preserves_id_and_bumps_commit_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 8, configuration=CONF)
+    res = dl.update_delta(spark, path, {"v": "v * 10"}, "id = 5",
+                          use_deletion_vectors=False)
+    got = _ids(spark, path)
+    assert got[5] == (5, res["version"])  # moved row kept its id
+    assert got[6] == (6, 0)  # survivor carried BOTH fields
+    # chained move keeps the ORIGINAL id
+    res2 = dl.update_delta(spark, path, {"v": "v + 1"}, "id = 5",
+                           use_deletion_vectors=False)
+    assert _ids(spark, path)[5] == (5, res2["version"])
+
+
+def test_dv_update_moved_copy_preserves_id(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 8, configuration=CONF)
+    res = dl.update_delta(spark, path, {"v": "v + 9"}, "id = 1",
+                          use_deletion_vectors=True)
+    got = _ids(spark, path)
+    assert got[1] == (1, res["version"])
+    assert got[2] == (2, 0)
+
+
+def test_cow_delete_preserves_survivors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 6, configuration=CONF)
+    dl.delete_delta(spark, path, "id in (0, 4)",
+                    use_deletion_vectors=False)
+    got = _ids(spark, path)
+    assert sorted(got) == [1, 2, 3, 5]
+    assert got[5] == (5, 0)
+
+
+def test_cow_merge_preserves_survivors_fresh_for_source(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 6, configuration=CONF)
+    src = spark.createDataFrame(
+        [Row(id=2, v=22.0), Row(id=77, v=7.0)]
+    ).select("id", "v")
+    dl.merge_delta(spark, src, path, ["id"], use_deletion_vectors=False)
+    got = _ids(spark, path)
+    assert got[3] == (3, 0)  # survivor in the touched file preserved
+    assert got[77][0] > 5  # insert minted a fresh id
+    assert len({rid for rid, _ in got.values()}) == len(got)  # unique
+
+
+def test_optimize_preserves_both_fields(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 6, configuration=CONF)
+    _t(spark, path, 6, 9, mode="append")
+    dl.update_delta(spark, path, {"v": "-v"}, "id = 7",
+                    use_deletion_vectors=False)
+    before = _ids(spark, path)
+    dl.optimize(spark, path, target_files=1)
+    assert _ids(spark, path) == before
+
+
+def test_hwm_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 7, configuration=CONF)
+    before = _ids(spark, path)
+    dl._write_checkpoint(path, dl.snapshot(path).version)
+    snap = dl.snapshot(path)
+    assert dl._row_id_hwm(snap.domain_metadata) == 6
+    assert _ids(spark, path) == before
+    # an append AFTER the checkpoint still mints non-colliding ids
+    _t(spark, path, 100, 102, mode="append")
+    got = _ids(spark, path)
+    assert got[100][0] == 7 and got[101][0] == 8
+
+
+def test_concurrent_append_refuses_stale_row_id_block(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 3, configuration=CONF)
+    df = (
+        spark.createDataFrame([Row(id=9, v=9.0)]).select("id", "v")
+    )
+    real_try = dl._try_commit
+    calls = {"n": 0}
+
+    def race(log_dir, version, actions, conf=None):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # a concurrent writer lands the version first
+            with open(
+                os.path.join(log_dir, f"{version:020d}.json"), "x"
+            ) as fh:
+                fh.write("{}")
+            return False
+        return real_try(log_dir, version, actions, conf)
+
+    dl._try_commit = race
+    try:
+        with pytest.raises(dl.ConcurrentWriteError, match="row ids"):
+            dl.write_delta(df, path, mode="append")
+    finally:
+        dl._try_commit = real_try
