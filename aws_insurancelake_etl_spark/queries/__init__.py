@@ -48,15 +48,15 @@ _MODULES = (
 
 # The round driver's differential oracle checks the FIRST 50 registered
 # queries.  Round-10 window (tools/driver_window.py --mode staleness,
-# VERDICT r9 item 3): the 6 round-10 gates with no driver row yet
+# VERDICT r9 item 3): the 7 round-10 gates with no driver row yet
 # (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
-# column mapping), then the 44 OLDEST green rows — 26 r1-era rows
-# (predating the oracle canonicalizer fixes) and 18 of the 29 r3-era
-# rows.  Churn-ranked gates step aside this round: every r10-churned
-# gate was re-verified by the judge's full 296-gate sweep in r9 and by
-# this round's end-of-round full sweeps; after r10, no gate's latest
-# driver row is older than r3, and the remaining 11 r3 rows rotate in
-# r11.
+# column mapping, delta row tracking), then the 43 OLDEST green rows —
+# all 26 r1-era rows (predating the oracle canonicalizer fixes) and 17
+# of the 29 r3-era rows.  Churn-ranked gates step aside this round:
+# every r10-churned gate was re-verified by this round's TWO full
+# 30x-gate sweeps (sf0.01 and sf0.1, both 100%); after r10, no gate's
+# latest driver row is older than r3, and the remaining r3 rows rotate
+# in r11.
 DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_v3_dv_read",  # never
     "sink_iceberg_v3_dv_merge",  # never
@@ -64,6 +64,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_delta_nested_mapping",  # never
     "sink_delta_dv_merge",  # never
     "sink_delta_dv_update",  # never
+    "sink_delta_row_tracking",  # never
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -107,7 +108,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_kmv_distinct",  # last green r3
     "text_token_stats",  # last green r3
     "tr_combine_literal",  # last green r3
-    "tr_currency_parse",  # last green r3
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

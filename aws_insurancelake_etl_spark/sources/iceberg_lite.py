@@ -1125,9 +1125,16 @@ def read_iceberg(
     )
     # v3 column DEFAULTS (spec §Default values): a field carrying
     # ``initial-default`` must surface that value — not null — for
-    # rows written before the column existed.  Reading it as null
-    # would be a silent misread, so refuse BY NAME until implemented.
+    # rows written BEFORE the column existed; rows written after read
+    # their stored values (legitimate nulls included).  The split is
+    # per-file: files physically lacking the column get the default
+    # attached as a literal (the ext_groups pattern below), files
+    # carrying it scan normally.  Presence comes from one driver-side
+    # footer-schema read per file — O(files) metadata, and only on
+    # tables that actually declare defaults.  Non-primitive defaults
+    # (struct/list JSON values) stay a named refusal.
     _defaults_meta = _load_metadata(table_path)
+    column_defaults: dict = {}
     for s in _defaults_meta.get("schemas") or (
         [_defaults_meta["schema"]] if _defaults_meta.get("schema") else []
     ):
@@ -1135,17 +1142,16 @@ def read_iceberg(
             _defaults_meta.get("current-schema-id", 0), None,
         ):
             continue
-        bad = [
-            f["name"]
-            for f in s.get("fields", [])
-            if f.get("initial-default") is not None
-        ]
-        if bad:
-            raise IcebergLiteError(
-                f"columns {bad} carry v3 initial-default values, which "
-                "this reader does not materialize yet; refusing rather "
-                "than reading them as null"
-            )
+        for f in s.get("fields", []):
+            dv = f.get("initial-default")
+            if dv is None:
+                continue
+            if isinstance(dv, (dict, list)):
+                raise IcebergLiteError(
+                    f"column {f['name']!r} carries a non-primitive v3 "
+                    "initial-default; refusing rather than misreading"
+                )
+            column_defaults[f["name"]] = dv
     if not files:
         raise IcebergLiteError(
             f"no data files in snapshot (table {table_path}); "
@@ -1275,15 +1281,53 @@ def read_iceberg(
             F.col("_metadata.row_index").alias("__ice_pos"),
         )
 
+    from pyspark.sql.types import StructType  # noqa: F811
+
+    # group internal files by which DEFAULTED columns they physically
+    # lack; the all-present group is the normal one-scan path
+    default_groups = {(): internal}
+    if column_defaults and internal and scan_schema is not None:
+        import pyarrow.parquet as _dpq
+
+        default_groups = {}
+        for f in internal:
+            present = set(_dpq.read_schema(f.path).names)
+            missing = tuple(
+                sorted(c for c in column_defaults if c not in present)
+            )
+            default_groups.setdefault(missing, []).append(f)
     parts = []
-    if internal:
+    for missing_defaults, group in sorted(default_groups.items()):
+        if not group:
+            continue
         if scan_schema is not None:
-            df = spark.read.schema(scan_schema).parquet(
-                *[f.path for f in internal]
+            sub_schema = StructType(
+                [
+                    fld for fld in scan_schema.fields
+                    if fld.name not in missing_defaults
+                ]
+            )
+            df = spark.read.schema(sub_schema).parquet(
+                *[f.path for f in group]
             )
         else:
-            df = spark.read.parquet(*[f.path for f in internal])
-        parts.append(_with_meta(df) if need_meta else df)
+            df = spark.read.parquet(*[f.path for f in group])
+        if need_meta:
+            df = _with_meta(df)
+        if missing_defaults:
+            types_by_name = {
+                fld.name: fld.dataType for fld in scan_schema.fields
+            }
+            for c in missing_defaults:
+                df = df.withColumn(
+                    c,
+                    F.lit(column_defaults[c]).cast(types_by_name[c]),
+                )
+            order = [fld.name for fld in scan_schema.fields] + (
+                ["__ice_file", "__ice_pos"] if need_meta else []
+            )
+            df = df.select(*order)
+        parts.append(df)
     for (_miss, base), group in sorted(hive_bases.items()):
         # ONE basePath scan reconstructs the identity partition columns
         # for every hive-consistent external file under this root —

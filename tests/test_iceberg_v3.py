@@ -314,12 +314,10 @@ def test_v4_metadata_refused_by_name(spark, tmp_path):
         il.plan_scan(path)
 
 
-def test_initial_default_refused_by_name(spark, tmp_path):
-    """v3 column defaults (spec §Default values): reading an
-    initial-default column as null would be a silent misread —
-    refused by name until materialized."""
-    path = str(tmp_path / "t")
-    _table(spark, path, 0, 3)
+def _doctor_default(path, default_value):
+    """Doctor the latest metadata: ALTER TABLE ADD COLUMN region WITH
+    DEFAULT — a new schema version whose added field carries
+    initial-default (spec §Default values)."""
     meta_dir = os.path.join(path, "metadata")
     latest = sorted(
         int(n[1:].split(".")[0])
@@ -329,16 +327,48 @@ def test_initial_default_refused_by_name(spark, tmp_path):
     with open(os.path.join(meta_dir, f"v{latest}.metadata.json")) as fh:
         meta = json.load(fh)
     for s in meta["schemas"]:
-        s["fields"].append(
-            {"id": 99, "name": "region", "required": False,
-             "type": "string", "initial-default": "EMEA",
-             "write-default": "EMEA"}
-        )
+        if s.get("schema-id") == meta.get("current-schema-id", 0):
+            s["fields"] = list(s["fields"]) + [
+                {"id": 99, "name": "region", "required": False,
+                 "type": "string", "initial-default": default_value,
+                 "write-default": default_value}
+            ]
     with open(
         os.path.join(meta_dir, f"v{latest + 1}.metadata.json"), "w"
     ) as fh:
         json.dump(meta, fh)
-    with pytest.raises(il.IcebergLiteError, match="initial-default"):
+
+
+def test_initial_default_materializes_for_pre_add_files(spark, tmp_path):
+    """v3 column defaults: files written BEFORE the column existed
+    surface initial-default (not null); files written after read their
+    stored values, legitimate nulls included."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 4)
+    _doctor_default(path, "EMEA")
+    got = {r["id"]: r["region"]
+           for r in il.read_iceberg(spark, path).collect()}
+    assert got == {i: "EMEA" for i in range(4)}
+    # append files that CARRY the column, one row with a real null
+    df = spark.createDataFrame(
+        [Row(id=10, v=1.0, region="APAC"), Row(id=11, v=2.0, region=None)]
+    ).select("id", "v", "region").coalesce(1)
+    il.write_iceberg(spark, df, path)
+    got = {r["id"]: r["region"]
+           for r in il.read_iceberg(spark, path).collect()}
+    assert got[0] == "EMEA" and got[10] == "APAC" and got[11] is None
+    # deletes compose: the defaulted group still applies DVs
+    il.delete_iceberg(spark, path, "id = 1")
+    got = {r["id"]: r["region"]
+           for r in il.read_iceberg(spark, path).collect()}
+    assert 1 not in got and got[2] == "EMEA" and len(got) == 5
+
+
+def test_non_primitive_default_refused_by_name(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 3)
+    _doctor_default(path, {"nested": 1})
+    with pytest.raises(il.IcebergLiteError, match="non-primitive"):
         il.read_iceberg(spark, path)
 
 
