@@ -882,7 +882,12 @@ def _read_snapshot(
         rt_map = spark.createDataFrame(
             [
                 (
-                    os.path.join(snap.table_path, pf.path),
+                    # _metadata.file_path is percent-encoded — key the
+                    # map the same way the DV join above does, or every
+                    # file whose path needs encoding reads null ids
+                    quote(
+                        os.path.join(snap.table_path, pf.path), safe="/="
+                    ),
                     pf.add.base_row_id,
                     pf.add.default_row_commit_version,
                 )
@@ -2062,6 +2067,35 @@ def write_delta(
                 if mapped_schema is not None
                 else {"protocol": dict(_PROTOCOL)}
             )
+    elif _row_tracking_on(merged_conf) and not _row_tracking_on(
+        existing.configuration
+    ):
+        # ALTER-style enable on an EXISTING table: the protocol must
+        # advance to the table-features form carrying rowTracking +
+        # domainMetadata BEFORE any domainMetadata action lands (a log
+        # with the action but not the feature is spec-invalid for other
+        # engines), and the materialized column names mint now so later
+        # COW DML can preserve moved rows' ids.  Pre-enable files keep
+        # null baseRowId and read null _row_id — the lazy-assignment
+        # shape, same as iceberg's v3 upgrade.
+        merged_conf.setdefault(
+            "delta.rowTracking.materializedRowIdColumnName",
+            f"_row-id-col-{uuid.uuid4().hex}",
+        )
+        merged_conf.setdefault(
+            "delta.rowTracking.materializedRowCommitVersionColumnName",
+            f"_row-commit-version-col-{uuid.uuid4().hex}",
+        )
+        proto = dict(existing.protocol or _PROTOCOL)
+        feats = set(proto.get("writerFeatures") or [])
+        if proto.get("writerFeatures") is None:
+            # lifting a legacy protocol to table features carries the
+            # legacy-implied writer features forward
+            feats |= {"appendOnly", "invariants"}
+        feats |= {"rowTracking", "domainMetadata"}
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats)
+        actions.append({"protocol": proto})
     if meta_needed or (mapped_schema is not None and existing is None):
         actions.append(
             {

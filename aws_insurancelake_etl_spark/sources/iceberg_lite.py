@@ -65,6 +65,12 @@ class IcebergLiteError(RuntimeError):
     """Missing/unsupported table feature (delete files, bad metadata)."""
 
 
+#: footer column-name sets of IMMUTABLE committed data files (uuid
+#: names, never rewritten in place) — the v3 default-materialization
+#: presence check hits this instead of re-reading footers every scan
+_FOOTER_COLS_CACHE: dict = {}
+
+
 def _schema_of(path: str) -> dict:
     with open(path, "rb") as fh:
         meta, _sync = avro_lite.read_header(io.BytesIO(fh.read()))
@@ -1176,7 +1182,7 @@ def read_iceberg(
     # columns do not leak them, and int32/float32 files widen under a
     # promoted column.  Unmappable metadata falls back to parquet
     # self-description (pre-evolution behavior).
-    table_schema = _spark_schema_from_meta(_load_metadata(table_path))
+    table_schema = _spark_schema_from_meta(_defaults_meta)
     # v3 row lineage: rows MOVED by UPDATE/compaction carry their ids
     # MATERIALIZED in the data files (spec §Row Lineage — a moved row
     # must keep its _row_id); a lineage read therefore scans the two
@@ -1237,6 +1243,16 @@ def read_iceberg(
             cols = cols_cache.get(d)
             if cols is None:
                 cols = cols_cache[d] = set(_pq.read_schema(f.path).names)
+            missing_defaults = sorted(
+                c for c in column_defaults if c not in cols
+            )
+            if missing_defaults:
+                raise IcebergLiteError(
+                    f"external (add_files-imported) file {f.path} lacks "
+                    f"defaulted columns {missing_defaults}; materializing "
+                    "v3 initial-defaults on external imports is not "
+                    "supported — refusing rather than reading null"
+                )
             missing = sorted(
                 c for c in f.partition
                 if c not in cols and c in dtype_by_name
@@ -1284,14 +1300,21 @@ def read_iceberg(
     from pyspark.sql.types import StructType  # noqa: F811
 
     # group internal files by which DEFAULTED columns they physically
-    # lack; the all-present group is the normal one-scan path
+    # lack; the all-present group is the normal one-scan path.  Footer
+    # schemas are cached process-wide: data files are uuid-named and
+    # immutable once committed, so repeated reads of a defaulted table
+    # pay the driver-side footer I/O once, not per read.
     default_groups = {(): internal}
     if column_defaults and internal and scan_schema is not None:
         import pyarrow.parquet as _dpq
 
         default_groups = {}
         for f in internal:
-            present = set(_dpq.read_schema(f.path).names)
+            present = _FOOTER_COLS_CACHE.get(f.path)
+            if present is None:
+                present = _FOOTER_COLS_CACHE[f.path] = frozenset(
+                    _dpq.read_schema(f.path).names
+                )
             missing = tuple(
                 sorted(c for c in column_defaults if c not in present)
             )
@@ -2919,10 +2942,6 @@ def _merge_once_iceberg(
             "appended_files": len(data_entries), "retries": attempt,
         }
     src_keys = source.select(*keys).distinct()
-
-    def _norm(col):
-        return F.regexp_replace(col, "^file:/+", "/")
-
     # MANIFEST-BOUNDS SKIPPING for the touched-file search: a data file
     # whose [lower, upper] range on the first merge key cannot contain
     # any source key is never opened — the Iceberg twin of delta_lite's
@@ -2935,21 +2954,31 @@ def _merge_once_iceberg(
     kb = source.agg(
         F.min(key0).alias("lo"), F.max(key0).alias("hi")
     ).collect()[0]
+    bounds = None
     if kb["lo"] is not None:
-        bounded = plan_scan(
-            table_path, bounds_filter={key0: (kb["lo"], kb["hi"])}
-        )[0]
+        bounds = {key0: (kb["lo"], kb["hi"])}
+        bounded = plan_scan(table_path, bounds_filter=bounds)[0]
         if len(bounded) < len(files):
             search_files = bounded
+        else:
+            bounds = None
     files_scanned = len(search_files)
-    reader = spark.read.parquet(*[f.path for f in search_files])
-    schema_cols = reader.columns
-    source = source.select(*schema_cols)
-    target = reader.select(
-        *keys,
-        _norm(F.col("_metadata.file_path")).alias("__ice_file"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
+    # Match against LIVE rows — the full reader (metadata schema,
+    # position/equality/DV deletes applied), not raw parquet: matching
+    # already-dead rows re-tombstones them and inflates deleted_rows
+    # (the same defect class ADVICE r9 flagged for UPDATE/DELETE).  The
+    # manifest-bounds skipping above survives as read_iceberg's own
+    # bounds_filter (file-level pruning + a row-level residual that
+    # cannot drop a matchable row, since every source key lies inside
+    # [lo, hi]).
+    live = read_iceberg(
+        spark, table_path, bounds_filter=bounds, _row_refs=True
     )
+    schema_cols = [
+        c for c in live.columns if c not in ("__ice_file", "__ice_pos")
+    ]
+    source = source.select(*schema_cols)
+    target = live.select(*keys, "__ice_file", "__ice_pos")
     file_map = spark.createDataFrame(
         [(f.path, f.orig_path) for f in search_files],
         "__ice_file string, orig string",
@@ -3405,14 +3434,7 @@ def _carry_commit(
         return {"manifests_before": 0, "manifests_after": 0,
                 "snapshot_id": None, "rewritten": False}
 
-    def _kv_list(raw):
-        out = []
-        for item in raw or []:
-            if isinstance(item, dict):
-                out.append((int(item["key"]), item["value"]))
-            else:
-                out.append((int(item[0]), item[1]))
-        return out or None
+    _kv_list = _dv_kv_list  # shared bounds-map converter
 
     groups: dict = {}  # (manifest content, spec_id) -> [entry tuple]
     part_cols_by_spec: dict = {}

@@ -164,3 +164,42 @@ def test_concurrent_append_refuses_stale_row_id_block(spark, tmp_path):
             dl.write_delta(df, path, mode="append")
     finally:
         dl._try_commit = real_try
+
+
+def test_row_ids_on_encoded_partition_paths(spark, tmp_path):
+    """Review r10: the row-id file map must key by the percent-encoded
+    scan path (like the DV join) — a partition value with a space used
+    to read null ids for the whole partition."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(id=1, seg="a b"), Row(id=2, seg="a b"), Row(id=3, seg="c")]
+    ).select("id", "seg").orderBy("id").coalesce(1)
+    dl.write_delta(df, path, partition_by=["seg"], configuration=CONF)
+    got = {r["id"]: r["_row_id"]
+           for r in dl.read_delta(spark, path, row_tracking=True).collect()}
+    assert None not in got.values(), got
+    assert sorted(got.values()) == [0, 1, 2]
+
+
+def test_enable_on_existing_table_upgrades_protocol(spark, tmp_path):
+    """Review r10: ALTER-style enable on an existing table must advance
+    the protocol to table features BEFORE any domainMetadata action
+    lands, and mint the materialized column names so later COW DML
+    preserves ids; pre-enable files read null _row_id (lazy)."""
+    path = str(tmp_path / "t")
+    _t(spark, path, 0, 4)  # plain table, no tracking
+    assert dl.snapshot(path).protocol.get("writerFeatures") is None
+    _t(spark, path, 10, 13, mode="append", configuration=CONF)
+    snap = dl.snapshot(path)
+    feats = set(snap.protocol["writerFeatures"])
+    assert {"rowTracking", "domainMetadata"} <= feats
+    assert snap.protocol["minWriterVersion"] == 7
+    assert all(dl._rt_col_names(snap.configuration))
+    got = _ids(spark, path)
+    assert got[0] == (None, None)  # pre-enable file: lazy nulls
+    assert got[10] == (0, 1) and got[12] == (2, 1)
+    # COW DML on the upgraded table preserves post-enable ids
+    res = dl.update_delta(spark, path, {"v": "-v"}, "id = 11",
+                          use_deletion_vectors=False)
+    got = _ids(spark, path)
+    assert got[11] == (1, res["version"])

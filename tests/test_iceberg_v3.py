@@ -453,3 +453,43 @@ def test_compaction_preserves_both_lineage_fields(spark, tmp_path):
         for r in il.read_iceberg(spark, path, row_lineage=True).collect()
     }
     assert after == before
+
+
+def test_merge_matches_live_rows_only(spark, tmp_path):
+    """Review r10 (the ADVICE-r9 defect class, now for MERGE): keys
+    masked by an equality delete must not re-match — the dead row would
+    be re-tombstoned and counted."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 6)
+    # equality-upsert replaces key 2 (old copy masked by an eq delete)
+    il.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=2, v=22.0)]).select("id", "v"),
+        path, ["id"],
+    )
+    src = spark.createDataFrame([Row(id=2, v=222.0)]).select("id", "v")
+    res = il.merge_iceberg(spark, src, path, ["id"])
+    # exactly ONE live copy of key 2 existed; the masked original must
+    # not inflate the count
+    assert res["deleted_rows"] == 1, res
+    vals = {r["id"]: r["v"] for r in il.read_iceberg(spark, path).collect()}
+    assert vals[2] == 222.0 and len(vals) == 6
+
+
+def test_merge_binds_evolved_schema(spark, tmp_path):
+    """Live-row matching also means MERGE reads through the metadata
+    schema: a column added by a later commit is visible to the key
+    search instead of binding stale physical names."""
+    path = str(tmp_path / "t")
+    _table(spark, path, 0, 3)
+    df = spark.createDataFrame(
+        [Row(id=10, v=1.0, tag="x")]
+    ).select("id", "v", "tag").coalesce(1)
+    il.write_iceberg(spark, df, path)  # schema evolves: +tag
+    src = spark.createDataFrame(
+        [Row(id=0, v=0.5, tag="y")]
+    ).select("id", "v", "tag")
+    il.merge_iceberg(spark, src, path, ["id"])
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in il.read_iceberg(spark, path).collect()}
+    assert got[0] == (0.5, "y") and got[1] == (1.0, None)
