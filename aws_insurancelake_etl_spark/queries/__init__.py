@@ -48,9 +48,10 @@ _MODULES = (
 
 # The round driver's differential oracle checks the FIRST 50 registered
 # queries.  Round-10 window (tools/driver_window.py --mode staleness,
-# VERDICT r9 item 3): the 7 round-10 gates with no driver row yet
+# VERDICT r9 item 3): the 8 round-10 gates with no driver row yet
 # (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
-# column mapping, delta row tracking), then the 43 OLDEST green rows —
+# column mapping, delta row tracking write + doctored read), then the
+# 42 OLDEST green rows —
 # all 26 r1-era rows (predating the oracle canonicalizer fixes) and 17
 # of the 29 r3-era rows.  Churn-ranked gates step aside this round:
 # every r10-churned gate was re-verified by this round's TWO full
@@ -65,6 +66,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink_delta_dv_merge",  # never
     "sink_delta_dv_update",  # never
     "sink_delta_row_tracking",  # never
+    "src_delta_row_tracking_read",  # never
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -107,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_rp_lsh_signatures",  # last green r3
     "sketch_kmv_distinct",  # last green r3
     "text_token_stats",  # last green r3
-    "tr_combine_literal",  # last green r3
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

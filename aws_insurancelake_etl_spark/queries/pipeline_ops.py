@@ -4160,6 +4160,164 @@ def sink_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_delta_row_tracking_read",
+    """
+    WITH c1 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               100 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                   AS _row_id,
+               CAST(0 AS BIGINT) AS _row_commit_version
+        FROM orders WHERE o_orderkey % 4 = 0
+    ), c2 AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               CASE WHEN o_orderkey % 13 = 3
+                    THEN 200 + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1
+                    ELSE 5000
+                         + 3 * (ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                                - 1)
+               END AS _row_id,
+               CASE WHEN o_orderkey % 13 = 3 THEN CAST(9 AS BIGINT)
+                    ELSE CAST(7 AS BIGINT)
+               END AS _row_commit_version
+        FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT * FROM c1 UNION ALL SELECT * FROM c2
+    """,
+)
+def src_delta_row_tracking_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-tracked table READ compat (round 10): a table written by
+    delta-spark carries baseRowId/defaultRowCommitVersion on add
+    actions, the high-water mark as domain metadata, and — after any
+    operation that MOVED rows — per-row PRESERVED ids in hidden
+    MATERIALIZED columns that must win over the positional fallback.
+    The doctored fixture (independent encoder: raw action dicts, no
+    delta_lite serialization) has one plain file (ids = base 100 +
+    index) and one post-move file whose materialized columns carry
+    non-positional ids (5000+3k at commit 7) with a few NULL
+    materialized entries that must fall back to ITS base 200 + index
+    at defaultRowCommitVersion 9 — the exact coalesce delta-spark
+    readers perform.  The oracle recomputes both columns
+    relationally."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    rid_col = "_row-id-col-fixture"
+    rcv_col = "_row-commit-version-col-fixture"
+    tbl = _tempfile.mkdtemp(prefix="gate-delta-rtr-") + "/t"
+    _os.makedirs(tbl, exist_ok=True)
+    f1 = base.where(F.col("o_orderkey") % 4 == 0).orderBy(
+        "o_orderkey"
+    ).coalesce(1)
+    w = Window.orderBy("o_orderkey")
+    f2 = (
+        base.where(F.col("o_orderkey") % 4 == 1)
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn(
+            rid_col,
+            F.when(
+                F.col("o_orderkey") % 13 != 3,
+                (F.lit(5000) + 3 * F.col("__rn")).cast("long"),
+            ),
+        )
+        .withColumn(
+            rcv_col,
+            F.when(F.col("o_orderkey") % 13 != 3, F.lit(7).cast("long")),
+        )
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .drop("__rn")
+    )
+    staging = _tempfile.mkdtemp(prefix="_rt_stage_", dir=tbl)
+    try:
+        adds1 = delta_lite._stage_from(f1, tbl, [], staging + "/a")
+        adds2 = delta_lite._stage_from(f2, tbl, [], staging + "/b")
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    n1 = adds1[0].stats["numRecords"]
+    n2 = adds2[0].stats["numRecords"]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "o_orderkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "price_cents", "type": "long", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"commitInfo": {"operation": "CREATE", "engine": "rt-fixture",
+                        "timestamp": int(_time.time() * 1000)}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["appendOnly", "invariants",
+                                         "rowTracking",
+                                         "domainMetadata"]}},
+        {
+            "metaData": {
+                "id": "rt-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.enableRowTracking": "true",
+                    "delta.rowTracking.materializedRowIdColumnName":
+                        rid_col,
+                    "delta.rowTracking."
+                    "materializedRowCommitVersionColumnName": rcv_col,
+                },
+                "createdTime": int(_time.time() * 1000),
+            }
+        },
+        {
+            "add": {
+                "path": adds1[0].path, "partitionValues": {},
+                "size": adds1[0].size, "modificationTime": 0,
+                "dataChange": True, "baseRowId": 100,
+                "defaultRowCommitVersion": 0,
+            }
+        },
+        {
+            "add": {
+                "path": adds2[0].path, "partitionValues": {},
+                "size": adds2[0].size, "modificationTime": 0,
+                "dataChange": True, "baseRowId": 200,
+                "defaultRowCommitVersion": 9,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": _json.dumps(
+                    {"rowIdHighWaterMark": 200 + n2 - 1}
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    if not delta_lite._try_commit(delta_lite._log_dir(tbl), 0, actions):
+        raise RuntimeError("fixture commit 0 lost a race")
+    if n1 < 10 or n2 < 10:
+        raise RuntimeError(f"fixture too small: {n1}/{n2}")
+    return delta_lite.read_delta(spark, tbl, row_tracking=True)
+
+
+@register(
     "src_iceberg_bounds_pruning",
     """
     SELECT o_orderkey,

@@ -147,6 +147,7 @@ EXTENDED: list[str] = [
     "sink_delta_dv_update",
     "src_delta_nested_mapping",
     "sink_delta_row_tracking",
+    "src_delta_row_tracking_read",
 ]
 
 

@@ -115,9 +115,10 @@ def test_driver_window_covers_every_operator_family():
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
     # r10 rotation (tools/driver_window.py --mode staleness, VERDICT r9
-    # item 3): the 7 round-10 gates with no driver row lead (iceberg v3
+    # item 3): the 8 round-10 gates with no driver row lead (iceberg v3
     # DV read/DML/row lineage, delta DV merge/update, nested column
-    # mapping, delta row tracking), then the 43 OLDEST green rows — the
+    # mapping, delta row tracking write + doctored read), then the 42
+    # OLDEST green rows — the
     # r1-era block plus the oldest r3 rows.  Sentinels: every
     # never-checked round-10 gate plus staleness representatives from
     # both eras.
@@ -125,6 +126,7 @@ def test_driver_window_covers_every_operator_family():
                      "src_iceberg_v3_row_lineage", "src_delta_nested_mapping",
                      "sink_delta_dv_merge", "sink_delta_dv_update",
                      "sink_delta_row_tracking",
+                     "src_delta_row_tracking_read",
                      "q5_region_supplier_revenue", "q16_supplier_count",
                      "q22_wealthy_inactive", "scan_filter_project",
                      "scd2_customer_history", "window_rank_orders",
