@@ -1698,6 +1698,247 @@ def drop_check_constraint(path: str, name: str) -> int:
     return version
 
 
+def _expr_references(expr: str, column: str) -> bool:
+    """Conservative identifier match: does the SQL expression mention
+    ``column``?  Word-boundary, case-insensitive, backtick-tolerant —
+    false positives only REFUSE a DDL, never corrupt, so conservative
+    is the safe direction (delta-spark resolves the parsed plan; we
+    don't carry a SQL parser for table properties)."""
+    import re
+
+    pat = r"(?i)(?<![A-Za-z0-9_`])`?" + re.escape(column) + r"`?(?![A-Za-z0-9_`])"
+    return re.search(pat, expr) is not None
+
+
+def _ddl_referenced_guard(snap: Snapshot, column: str, verb: str) -> None:
+    """Refuse renaming/dropping a column that a CHECK constraint or a
+    generated-column expression references (delta-spark's own rule —
+    the stored expression strings would silently bind to nothing or to
+    a different column after the DDL)."""
+    for key, expr in sorted(snap.configuration.items()):
+        if key.startswith("delta.constraints.") and _expr_references(
+            expr, column
+        ):
+            raise DeltaLiteError(
+                f"cannot {verb} column {column!r}: CHECK constraint "
+                f"{key[len('delta.constraints.'):]!r} references it "
+                f"({expr}); drop the constraint first"
+            )
+    for f in snap.schema.fields:
+        gexpr = dict(f.metadata or {}).get("delta.generationExpression")
+        if gexpr and f.name != column and _expr_references(gexpr, column):
+            raise DeltaLiteError(
+                f"cannot {verb} column {column!r}: generated column "
+                f"{f.name!r} is computed from it ({gexpr})"
+            )
+
+
+def _schema_field_surgery(schema: StructType, dotted: str, fn):
+    """Rebuild ``schema`` with ``fn(field)`` applied to the field at
+    dotted path ``dotted`` (``a.b.c`` descends struct levels; arrays of
+    struct and map values descend transparently, matching Delta's ALTER
+    TABLE path addressing).  ``fn`` returns the replacement StructField
+    or None to drop it.  Raises if the path resolves nothing."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    parts = dotted.split(".")
+
+    def walk_dt(dt, parts):
+        if isinstance(dt, ArrayType):
+            return ArrayType(
+                walk_dt(dt.elementType, parts), dt.containsNull
+            )
+        if isinstance(dt, MapType):
+            return MapType(
+                dt.keyType, walk_dt(dt.valueType, parts),
+                dt.valueContainsNull,
+            )
+        if not isinstance(dt, StructType):
+            raise DeltaLiteError(
+                f"column path {dotted!r}: {'.'.join(parts)!r} descends "
+                f"into non-struct type {dt.simpleString()}"
+            )
+        return walk_struct(dt, parts)
+
+    hit = False
+
+    def walk_struct(st: StructType, parts) -> StructType:
+        nonlocal hit
+        head, rest = parts[0], parts[1:]
+        out = []
+        for f in st.fields:
+            if f.name.lower() != head.lower():
+                out.append(f)
+                continue
+            hit = True
+            if rest:
+                out.append(
+                    StructField(
+                        f.name, walk_dt(f.dataType, rest), f.nullable,
+                        metadata=dict(f.metadata or {}),
+                    )
+                )
+            else:
+                rep = fn(f)
+                if rep is not None:
+                    out.append(rep)
+        return StructType(out)
+
+    rebuilt = walk_struct(schema, parts)
+    if not hit:
+        raise DeltaLiteError(f"no such column {dotted!r}")
+    return rebuilt
+
+
+def _commit_schema_change(
+    path: str, snap: Snapshot, new_schema: StructType,
+    partition_columns, operation: str, params: dict,
+) -> int:
+    actions = [
+        {
+            "commitInfo": {
+                "operation": operation,
+                "engine": "delta-lite",
+                "operationParameters": params,
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": list(partition_columns),
+                "configuration": dict(snap.configuration),
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run"
+        )
+    return version
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN old TO new`` — metadata-only, zero
+    files touched at any scale.  Requires column mapping (delta-spark's
+    rule too: without it the parquet files are keyed by the logical
+    name, so a rename would orphan every existing file's data); the
+    field keeps its ``delta.columnMapping.id`` and ``physicalName``, so
+    every existing file keeps resolving.  ``old`` may be a dotted path
+    into struct fields (``address.zip``); ``new`` is the LEAF name.
+
+    Mirrors delta-spark ALTER TABLE RENAME COLUMN
+    (reference: InsuranceLake consumes Delta via Spark SQL DDL).
+    """
+    if "." in new or not new:
+        raise DeltaLiteError(
+            f"new name {new!r} must be a bare leaf name (rename moves "
+            "no columns between structs)"
+        )
+    snap = snapshot(path)
+    if _column_mapping_mode(snap.configuration) == "none":
+        raise DeltaLiteError(
+            "RENAME COLUMN requires delta.columnMapping.mode "
+            "'name' or 'id' (existing files are keyed by logical name "
+            "without mapping); write the table with column_mapping="
+            "'name' first"
+        )
+    if "." in old:
+        parent = old.rsplit(".", 1)[0]
+        siblings_path = parent
+    else:
+        siblings_path = None
+    _ddl_referenced_guard(snap, old.split(".")[0], "rename")
+
+    def _do(f: StructField) -> StructField:
+        return StructField(
+            new, f.dataType, f.nullable, metadata=dict(f.metadata or {})
+        )
+
+    # sibling-collision check at the right nesting level
+    def _siblings(schema: StructType, dotted):
+        from pyspark.sql.types import ArrayType, MapType
+
+        if dotted is None:
+            return [f.name for f in schema.fields]
+        dt = schema
+        for part in dotted.split("."):
+            if isinstance(dt, StructType):
+                match = [
+                    f for f in dt.fields
+                    if f.name.lower() == part.lower()
+                ]
+                if not match:
+                    raise DeltaLiteError(f"no such column {dotted!r}")
+                dt = match[0].dataType
+            while isinstance(dt, (ArrayType, MapType)):
+                dt = (
+                    dt.elementType
+                    if isinstance(dt, ArrayType)
+                    else dt.valueType
+                )
+        if not isinstance(dt, StructType):
+            raise DeltaLiteError(
+                f"{dotted!r} is not a struct column"
+            )
+        return [f.name for f in dt.fields]
+
+    taken = {
+        n.lower()
+        for n in _siblings(snap.schema, siblings_path)
+        if n.lower() != old.split(".")[-1].lower()
+    }
+    if new.lower() in taken:
+        raise DeltaLiteError(
+            f"cannot rename {old!r} to {new!r}: a sibling column with "
+            "that name already exists"
+        )
+    new_schema = _schema_field_surgery(snap.schema, old, _do)
+    part_cols = [
+        new if c.lower() == old.lower() else c
+        for c in snap.partition_columns
+    ]
+    return _commit_schema_change(
+        path, snap, new_schema, part_cols,
+        "RENAME COLUMN", {"oldName": old, "newName": new},
+    )
+
+
+def drop_column(path: str, column: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` — metadata-only.  Requires column
+    mapping; the parquet files KEEP the physical column (readers
+    project the current schema's physical names, so it is simply never
+    read again) and ``maxColumnId`` never decreases, so a later re-add
+    of the same logical name mints a FRESH field id + physical name and
+    the dropped data can never resurrect (the field-id-reuse rule).
+    ``column`` may be a dotted struct path.
+    """
+    snap = snapshot(path)
+    if _column_mapping_mode(snap.configuration) == "none":
+        raise DeltaLiteError(
+            "DROP COLUMN requires delta.columnMapping.mode 'name' or "
+            "'id' (readers resolve files by physical name; without "
+            "mapping the dropped column would still load)"
+        )
+    top = column.split(".")[0]
+    if any(c.lower() == column.lower() for c in snap.partition_columns):
+        raise DeltaLiteError(
+            f"cannot drop partition column {column!r}"
+        )
+    _ddl_referenced_guard(snap, top, "drop")
+    if "." not in column and len(snap.schema.fields) == 1:
+        raise DeltaLiteError("cannot drop the only column of a table")
+    target = snap.schema
+    new_schema = _schema_field_surgery(target, column, lambda f: None)
+    return _commit_schema_change(
+        path, snap, new_schema, snap.partition_columns,
+        "DROP COLUMN", {"column": column},
+    )
+
+
 def write_delta(
     df: DataFrame,
     path: str,

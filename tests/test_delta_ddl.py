@@ -1,0 +1,218 @@
+"""ALTER TABLE column DDL on delta_lite tables (round 10).
+
+RENAME COLUMN / DROP COLUMN are metadata-only commits that require
+column mapping, keep field ids + physical names stable, and never
+reuse a dropped field's id — mirroring delta-spark's ALTER TABLE
+semantics (the reference consumes Delta through Spark SQL DDL).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.queries.pipeline_ops import (
+    build_column_mapped_table,
+    build_nested_mapped_table,
+)
+from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+
+@pytest.fixture()
+def mapped(spark, tmp_path):
+    path = str(tmp_path / "ddl_cm")
+    df = spark.createDataFrame(
+        [
+            Row(id=i, grp="a" if i % 2 == 0 else "b", score=float(i))
+            for i in range(10)
+        ]
+    ).select("id", "grp", "score")
+    build_column_mapped_table(
+        spark,
+        df,
+        path,
+        physical={"id": "col-9a1b", "grp": "col-7f3e", "score": "col-0c42"},
+        partition_by=["grp"],
+    )
+    return path
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_rename_is_metadata_only_and_keeps_values(spark, mapped):
+    before = dl.snapshot(mapped)
+    v = dl.rename_column(mapped, "score", "points")
+    after = dl.snapshot(mapped)
+    assert v == before.version + 1
+    # zero files touched
+    assert [f.path for f in after.files] == [f.path for f in before.files]
+    df = dl.read_delta(spark, mapped)
+    assert df.columns == ["id", "grp", "points"]
+    got = {(r["id"], r["points"]) for r in df.collect()}
+    assert (3, 3.0) in got and (7, 7.0) in got
+    # field id + physical name survived the rename
+    f = after.schema["points"]
+    assert f.metadata["delta.columnMapping.physicalName"] == "col-0c42"
+    assert f.metadata["delta.columnMapping.id"] == 3
+
+
+def test_rename_time_travel_shows_old_name(spark, mapped):
+    dl.rename_column(mapped, "score", "points")
+    old = dl.read_delta(spark, mapped, version=0)
+    assert "score" in old.columns and "points" not in old.columns
+
+
+def test_rename_partition_column(spark, mapped):
+    dl.rename_column(mapped, "grp", "segment")
+    snap = dl.snapshot(mapped)
+    assert snap.partition_columns == ["segment"]
+    df = dl.read_delta(spark, mapped, partition_filter={"segment": "a"})
+    assert _ids(df) == [0, 2, 4, 6, 8]
+    # appends after the rename land in the SAME physical partition dirs
+    dl.write_delta(
+        spark.createDataFrame([Row(id=99, segment="a", score=9.0)]).select(
+            "id", "segment", "score"
+        ),
+        mapped,
+    )
+    snap = dl.snapshot(mapped)
+    assert all(f.path.startswith("col-7f3e=") for f in snap.files)
+
+
+def test_rename_refuses_without_mapping(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    dl.write_delta(
+        spark.createDataFrame([Row(a=1, b=2)]), path, mode="overwrite"
+    )
+    with pytest.raises(dl.DeltaLiteError, match="columnMapping"):
+        dl.rename_column(path, "a", "z")
+    with pytest.raises(dl.DeltaLiteError, match="columnMapping"):
+        dl.drop_column(path, "a")
+
+
+def test_rename_refuses_sibling_collision(mapped):
+    with pytest.raises(dl.DeltaLiteError, match="already exists"):
+        dl.rename_column(mapped, "score", "id")
+    # case-insensitive, like Delta's resolution
+    with pytest.raises(dl.DeltaLiteError, match="already exists"):
+        dl.rename_column(mapped, "score", "ID")
+
+
+def test_rename_refuses_when_check_constraint_references(spark, mapped):
+    dl.add_check_constraint(spark, mapped, "pos", "score >= 0")
+    with pytest.raises(dl.DeltaLiteError, match="CHECK constraint"):
+        dl.rename_column(mapped, "score", "points")
+    with pytest.raises(dl.DeltaLiteError, match="CHECK constraint"):
+        dl.drop_column(mapped, "score")
+    dl.drop_check_constraint(mapped, "pos")
+    dl.rename_column(mapped, "score", "points")  # now fine
+
+
+def test_drop_column_hides_data_and_keeps_files(spark, mapped):
+    before = dl.snapshot(mapped)
+    dl.drop_column(mapped, "score")
+    after = dl.snapshot(mapped)
+    assert [f.path for f in after.files] == [f.path for f in before.files]
+    df = dl.read_delta(spark, mapped)
+    assert df.columns == ["id", "grp"]
+    # physical bytes still on disk (drop is logical)
+    raw = spark.read.parquet(os.path.join(mapped, after.files[0].path))
+    assert "col-0c42" in raw.columns
+
+
+def test_drop_then_readd_mints_fresh_physical_name(spark, mapped):
+    """The field-id-reuse rule: a re-added column of the same logical
+    name must NOT resurrect the dropped column's data."""
+    dl.drop_column(mapped, "score")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=100, grp="a", score=123.0)]
+        ).select("id", "grp", "score"),
+        mapped,
+        schema_mode="evolve",
+    )
+    snap = dl.snapshot(mapped)
+    f = snap.schema["score"]
+    # fresh physical name and a NEW field id past the old maximum
+    assert f.metadata["delta.columnMapping.physicalName"] != "col-0c42"
+    assert f.metadata["delta.columnMapping.id"] > 3
+    df = dl.read_delta(spark, mapped)
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[100] == 123.0
+    # old rows read NULL, not the dropped values
+    assert all(rows[i] is None for i in range(10))
+
+
+def test_drop_refusals(spark, mapped):
+    with pytest.raises(dl.DeltaLiteError, match="partition column"):
+        dl.drop_column(mapped, "grp")
+    with pytest.raises(dl.DeltaLiteError, match="no such column"):
+        dl.drop_column(mapped, "nope")
+    with pytest.raises(dl.DeltaLiteError, match="no such column"):
+        dl.rename_column(mapped, "nope", "x")
+
+
+def test_rename_refuses_generated_reference(spark, mapped):
+    """Inject a generationExpression into the mapped fixture's schema
+    (creation-time generated+mapping is a deliberate non-goal of
+    write_delta, but OTHER engines write such tables), then assert the
+    DDL guard refuses renaming/dropping the referenced column."""
+    from pyspark.sql.types import StructField, StructType
+
+    snap = dl.snapshot(mapped)
+    fields = []
+    for f in snap.schema.fields:
+        meta = dict(f.metadata or {})
+        if f.name == "score":
+            meta["delta.generationExpression"] = "id * 2"
+        fields.append(
+            StructField(f.name, f.dataType, f.nullable, metadata=meta)
+        )
+    dl._commit_schema_change(
+        mapped, snap, StructType(fields), snap.partition_columns,
+        "CHANGE COLUMN", {},
+    )
+    with pytest.raises(dl.DeltaLiteError, match="generated column"):
+        dl.rename_column(mapped, "id", "ident")
+    with pytest.raises(dl.DeltaLiteError, match="generated column"):
+        dl.drop_column(mapped, "id")
+    # renaming the generated column ITSELF is fine (expr unchanged)
+    dl.rename_column(mapped, "score", "score_x2")
+    assert "score_x2" in dl.read_delta(spark, mapped).columns
+
+
+def test_nested_rename_and_drop(spark, tmp_path):
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [
+            Row(id=i, info=Row(city="x" * (i % 3 + 1), zip=10000 + i))
+            for i in range(6)
+        ]
+    ).select("id", "info")
+    build_nested_mapped_table(spark, df, path)
+    dl.rename_column(path, "info.zip", "postal")
+    got = dl.read_delta(spark, path).select("id", "info.postal").collect()
+    assert {r["postal"] for r in got} == {10000 + i for i in range(6)}
+    dl.drop_column(path, "info.city")
+    df2 = dl.read_delta(spark, path)
+    assert df2.select("info.*").columns == ["postal"]
+    # dropping the whole struct works too
+    dl.drop_column(path, "info")
+    assert dl.read_delta(spark, path).columns == ["id"]
+
+
+def test_ddl_composes_with_dml(spark, mapped):
+    """rename -> DELETE with the new name -> drop -> append."""
+    dl.rename_column(mapped, "score", "points")
+    dl.delete_delta(spark, mapped, "points >= 8")
+    assert _ids(dl.read_delta(spark, mapped)) == list(range(8))
+    dl.drop_column(mapped, "points")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=50, grp="b")]).select("id", "grp"),
+        mapped,
+    )
+    df = dl.read_delta(spark, mapped)
+    assert df.columns == ["id", "grp"] and 50 in _ids(df)
