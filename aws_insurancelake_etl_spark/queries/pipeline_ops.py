@@ -5811,3 +5811,140 @@ def sink_iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not res["updated"]:
         raise RuntimeError(f"fast_forward did not move main: {res}")
     return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_delta_column_ddl",
+    """
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS bal_cents,
+           CASE WHEN c_custkey % 3 = 1 THEN c_mktsegment END AS segment
+    FROM customer WHERE c_custkey % 3 IN (0, 1)
+    """,
+)
+def sink_delta_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ALTER TABLE column DDL (round 10): RENAME COLUMN and DROP
+    COLUMN over column mapping are pure METADATA commits — the renamed
+    field keeps its mapping id + physicalName so every existing file
+    keeps resolving, and a dropped-then-re-added name mints a FRESH
+    physical column so the dropped data can never resurrect (delta-
+    spark's field-id-reuse rule; the reference evolves Cleanse/Consume
+    schemas between loads via Spark SQL DDL).  Flow: create mapped on
+    %3==0 -> rename balance_cents->bal_cents -> drop c_mktsegment ->
+    evolve-append %3==1 re-adding the name as ``segment``-content.
+    In-gate asserts BOTH DDLs touched zero data files and the re-add
+    minted a fresh field id; the oracle is the final logical table
+    (old rows: renamed values + NULL segment; new rows: both)."""
+    import os as _os
+
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-ddl-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 3 == 0),
+        tbl,
+        mode="overwrite",
+        column_mapping="name",
+    )
+    snap0 = delta_lite.snapshot(tbl)
+    files0 = [f.path for f in snap0.files]
+    old_phys = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in snap0.schema.fields
+    }
+    delta_lite.rename_column(tbl, "balance_cents", "bal_cents")
+    delta_lite.drop_column(tbl, "c_mktsegment")
+    snap = delta_lite.snapshot(tbl)
+    if [f.path for f in snap.files] != files0:
+        raise RuntimeError("column DDL touched data files")
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 3 == 1)
+        .withColumnRenamed("balance_cents", "bal_cents")
+        .withColumnRenamed("c_mktsegment", "segment"),
+        tbl,
+        schema_mode="evolve",
+    )
+    snap = delta_lite.snapshot(tbl)
+    seg = snap.schema["segment"]
+    if seg.metadata["delta.columnMapping.physicalName"] in old_phys.values():
+        raise RuntimeError("re-added column reused a physical name")
+    if int(seg.metadata["delta.columnMapping.id"]) != 4:
+        raise RuntimeError(
+            "re-added column did not mint a fresh field id past "
+            "maxColumnId (expected 4, got "
+            f"{seg.metadata['delta.columnMapping.id']})"
+        )
+    # the dropped column's bytes are still in the ORIGINAL files (drop
+    # is logical) — so the null ``segment`` the oracle expects on old
+    # rows proves the read did not leak them into the re-added column
+    raw = spark.read.parquet(_os.path.join(tbl, files0[0]))
+    if old_phys["c_mktsegment"] not in raw.columns:
+        raise RuntimeError("fixture lost its physical drop evidence")
+    return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "sink_iceberg_column_ddl",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           CASE WHEN o_orderkey % 4 = 1 THEN o_orderstatus END AS status
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+)
+def sink_iceberg_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ALTER TABLE column DDL (round 10): rename/drop are
+    metadata-only schema-evolution commits (spec §Schema Evolution —
+    field IDS are the identity); per-file name resolution walks each
+    data file's sequence number to its snapshot's recorded
+    ``schema-id``, so files written under the OLD name scan under it
+    and project back to the current name, while ``last-column-id``
+    keeps a re-added name on a fresh id (no resurrection).  Flow:
+    create on %4==0 -> rename price_cents->cents -> drop o_orderstatus
+    -> append %4==1 re-adding ``status``.  In-gate asserts the DDLs
+    touched zero data files and the re-added field id is fresh."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-ddl-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 4 == 0), tbl
+    )
+    files0 = sorted(f.path for f in iceberg_lite.plan_files(tbl))
+    iceberg_lite.alter_iceberg_schema(tbl, renames={"price_cents": "cents"})
+    iceberg_lite.alter_iceberg_schema(tbl, drops=["o_orderstatus"])
+    if sorted(f.path for f in iceberg_lite.plan_files(tbl)) != files0:
+        raise RuntimeError("column DDL touched data files")
+    meta = iceberg_lite._load_metadata(tbl)
+    last_id = int(meta["last-column-id"])
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("o_orderkey") % 4 == 1)
+        .withColumnRenamed("price_cents", "cents")
+        .withColumnRenamed("o_orderstatus", "status"),
+        tbl,
+    )
+    meta = iceberg_lite._load_metadata(tbl)
+    cur = iceberg_lite._current_schema_of(meta)
+    by_name = {f["name"]: int(f["id"]) for f in cur["fields"]}
+    if by_name["status"] <= last_id:
+        raise RuntimeError(
+            "re-added column reused a retired field id "
+            f"({by_name['status']} <= {last_id})"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl)

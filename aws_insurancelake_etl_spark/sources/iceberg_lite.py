@@ -1297,37 +1297,82 @@ def read_iceberg(
             F.col("_metadata.row_index").alias("__ice_pos"),
         )
 
-    from pyspark.sql.types import StructType  # noqa: F811
+    from pyspark.sql.types import StructField, StructType  # noqa: F811
 
-    # group internal files by which DEFAULTED columns they physically
-    # lack; the all-present group is the normal one-scan path.  Footer
-    # schemas are cached process-wide: data files are uuid-named and
-    # immutable once committed, so repeated reads of a defaulted table
-    # pay the driver-side footer I/O once, not per read.
-    default_groups = {(): internal}
-    if column_defaults and internal and scan_schema is not None:
+    # RENAME/DROP COLUMN history (spec §Schema Evolution): when a
+    # current field was ever named differently — or a retired field's
+    # name is now reused by a re-added column — files must scan under
+    # the names of the schema they were WRITTEN with (resolved via
+    # their snapshot's schema-id) and project back to current names.
+    # None on unaltered tables: zero overhead.
+    history = _name_history(_defaults_meta)
+    if history is not None and table_schema is None:
+        raise IcebergLiteError(
+            "RENAME/DROP-COLUMN-altered table whose metadata schema "
+            "does not map to Spark types; refusing a name-ambiguous read"
+        )
+    if history is not None and (external or hive_bases or ext_groups):
+        raise IcebergLiteError(
+            "add_files-imported (external) data files on a RENAME/DROP-"
+            "COLUMN-altered table are not supported — import again "
+            "under the current schema instead"
+        )
+    # group internal files by (written-under schema, which DEFAULTED
+    # columns they physically lack); the single all-present group is
+    # the normal one-scan path.  Footer schemas are cached
+    # process-wide: data files are uuid-named and immutable once
+    # committed, so repeated reads of a defaulted table pay the
+    # driver-side footer I/O once, not per read.
+    default_groups = {(None, ()): internal}
+    if (column_defaults or history) and internal and scan_schema is not None:
         import pyarrow.parquet as _dpq
 
         default_groups = {}
         for f in internal:
-            present = _FOOTER_COLS_CACHE.get(f.path)
-            if present is None:
-                present = _FOOTER_COLS_CACHE[f.path] = frozenset(
-                    _dpq.read_schema(f.path).names
+            missing = ()
+            if column_defaults:
+                present = _FOOTER_COLS_CACHE.get(f.path)
+                if present is None:
+                    present = _FOOTER_COLS_CACHE[f.path] = frozenset(
+                        _dpq.read_schema(f.path).names
+                    )
+                missing = tuple(
+                    sorted(c for c in column_defaults if c not in present)
                 )
-            missing = tuple(
-                sorted(c for c in column_defaults if c not in present)
-            )
-            default_groups.setdefault(missing, []).append(f)
+            sid = _file_schema_id(history, f) if history else None
+            default_groups.setdefault((sid, missing), []).append(f)
     parts = []
-    for missing_defaults, group in sorted(default_groups.items()):
+    for (sid, missing_defaults), group in sorted(
+        default_groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+    ):
         if not group:
             continue
+        # per-field physical (as-written) name for this group; None
+        # means the field did not exist in the group's schema (read
+        # null/default, never a same-named retired column's bytes)
+        phys_of = {}
+        if scan_schema is not None:
+            smap = (
+                history["maps"].get(sid, {}) if history is not None else None
+            )
+            for fld in scan_schema.fields:
+                if smap is None:
+                    phys_of[fld.name] = fld.name
+                    continue
+                fid = history["cur_ids"].get(fld.name)
+                if fid is None:  # lineage metadata columns: no field id
+                    phys_of[fld.name] = fld.name
+                else:
+                    phys_of[fld.name] = smap.get(fid)
         if scan_schema is not None:
             sub_schema = StructType(
                 [
-                    fld for fld in scan_schema.fields
+                    StructField(
+                        phys_of[fld.name], fld.dataType, True
+                    )
+                    for fld in scan_schema.fields
                     if fld.name not in missing_defaults
+                    and phys_of[fld.name] is not None
                 ]
             )
             df = spark.read.schema(sub_schema).parquet(
@@ -1337,19 +1382,39 @@ def read_iceberg(
             df = spark.read.parquet(*[f.path for f in group])
         if need_meta:
             df = _with_meta(df)
-        if missing_defaults:
-            types_by_name = {
-                fld.name: fld.dataType for fld in scan_schema.fields
-            }
-            for c in missing_defaults:
-                df = df.withColumn(
-                    c,
-                    F.lit(column_defaults[c]).cast(types_by_name[c]),
-                )
-            order = [fld.name for fld in scan_schema.fields] + (
-                ["__ice_file", "__ice_pos"] if need_meta else []
+        renamed_here = scan_schema is not None and any(
+            phys_of[fld.name] not in (fld.name, None)
+            for fld in scan_schema.fields
+        )
+        absent_here = scan_schema is not None and any(
+            phys_of[fld.name] is None for fld in scan_schema.fields
+        )
+        if missing_defaults or renamed_here or absent_here:
+            cols = []
+            for fld in scan_schema.fields:
+                pname = phys_of[fld.name]
+                if fld.name in missing_defaults:
+                    cols.append(
+                        F.lit(column_defaults[fld.name])
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                    )
+                elif pname is None:
+                    default = (column_defaults or {}).get(fld.name)
+                    cols.append(
+                        (
+                            F.lit(default) if default is not None
+                            else F.lit(None)
+                        )
+                        .cast(fld.dataType)
+                        .alias(fld.name)
+                    )
+                else:
+                    cols.append(F.col(pname).alias(fld.name))
+            df = df.select(
+                *cols,
+                *(["__ice_file", "__ice_pos"] if need_meta else []),
             )
-            df = df.select(*order)
         parts.append(df)
     for (_miss, base), group in sorted(hive_bases.items()):
         # ONE basePath scan reconstructs the identity partition columns
@@ -1853,6 +1918,79 @@ def _spark_schema_from_meta(meta: dict):
     return StructType(fields)
 
 
+def _name_history(meta: dict):
+    """Per-schema field naming, for tables whose schema history RENAMED
+    a current field or RETIRED a field whose name a current field now
+    reuses (drop + re-add).  Returns None when per-file name resolution
+    is unnecessary — the overwhelmingly common case, so unaltered
+    tables pay nothing.  ``seq_map`` maps a data file's sequence number
+    to the schema-id current at its commit (spec: snapshots record
+    their ``schema-id``)."""
+    schemas = meta.get("schemas") or []
+    if len(schemas) <= 1:
+        return None
+    cur = None
+    cur_id = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id") == cur_id:
+            cur = s
+    if cur is None:
+        cur = schemas[-1]
+    cur_map = {int(f["id"]): f["name"] for f in cur.get("fields", [])}
+    maps = {
+        int(s.get("schema-id") or 0): {
+            int(f["id"]): f["name"] for f in s.get("fields", [])
+        }
+        for s in schemas
+    }
+    renamed = any(
+        m.get(fid) not in (None, name)
+        for m in maps.values()
+        for fid, name in cur_map.items()
+    )
+    cur_names = set(cur_map.values())
+    retired_reuse = any(
+        name in cur_names and fid not in cur_map
+        for m in maps.values()
+        for fid, name in m.items()
+    )
+    if not renamed and not retired_reuse:
+        return None
+    seq_map = {}
+    for snap in meta.get("snapshots") or []:
+        sid = snap.get("schema-id")
+        if sid is not None:
+            seq_map[int(snap.get("sequence-number", 0))] = int(sid)
+    return {
+        "maps": maps,
+        "cur_map": cur_map,
+        "cur_ids": {n: i for i, n in cur_map.items()},
+        "seq_map": seq_map,
+    }
+
+
+def _file_schema_id(history: dict, f) -> int:
+    """The schema-id a planned data file was written under: exact
+    sequence-number match against the snapshot records, else the
+    nearest EARLIER snapshot (its schema was still current when the
+    file committed).  A file older than every surviving snapshot
+    refuses — after expire_snapshots erased the history there is no
+    honest way to know which name the file's columns carry."""
+    seq_map = history["seq_map"]
+    sid = seq_map.get(f.sequence_number)
+    if sid is not None:
+        return sid
+    earlier = [q for q in seq_map if q <= f.sequence_number]
+    if earlier:
+        return seq_map[max(earlier)]
+    raise IcebergLiteError(
+        f"data file {f.path} predates every surviving snapshot of a "
+        "RENAME/DROP-COLUMN-altered table; its column names cannot be "
+        "resolved (expire_snapshots erased the schema history) — "
+        "rewrite_data_files before expiring on altered tables"
+    )
+
+
 def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
     """Schema EVOLUTION for an append (spec §Schema Evolution): existing
     columns keep their FIELD IDS (everything — equality deletes, bounds
@@ -1873,7 +2011,14 @@ def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
         return _ice_schema_fields(df)
     fields = [dict(f) for f in cur.get("fields", [])]
     by_name = {f["name"]: f for f in fields}
-    max_id = max((int(f["id"]) for f in fields), default=0)
+    # floor at last-column-id: after DROP COLUMN the current schema's
+    # max id can sit below a RETIRED field's id — reusing it would bind
+    # the old field's bounds maps and equality-delete references to the
+    # new column (the spec's id-reuse prohibition)
+    max_id = max(
+        max((int(f["id"]) for f in fields), default=0),
+        int(meta.get("last-column-id", 0) or 0),
+    )
     widen = {("int", "long"), ("float", "double")}
     for f in df.schema.fields:
         simple = f.dataType.simpleString()
@@ -2597,6 +2742,11 @@ def _commit_snapshot(
                     "fields": schema_fields,
                 }
             )
+    if schemas:
+        # spec: a snapshot records the schema current when it was
+        # committed — per-file schema resolution after RENAME/DROP
+        # COLUMN walks file.sequence_number -> snapshot -> schema-id
+        snap_rec["schema-id"] = current_schema_id
     new_meta = {
         "format-version": fv,
         "table-uuid": (meta or {}).get("table-uuid")
@@ -2620,6 +2770,17 @@ def _commit_snapshot(
     if schemas:
         new_meta["schemas"] = schemas
         new_meta["current-schema-id"] = current_schema_id
+        new_meta["last-column-id"] = max(
+            int((meta or {}).get("last-column-id", 0) or 0),
+            max(
+                (
+                    int(f["id"])
+                    for s in schemas
+                    for f in s.get("fields", [])
+                ),
+                default=0,
+            ),
+        )
     # refs carry forward; the TARGET branch follows the new head (spec
     # §Snapshot References — writers advance their branch every commit)
     refs = dict((meta or {}).get("refs") or {})
@@ -3931,6 +4092,168 @@ def update_iceberg(
         "delete_files": len(delete_entries),
         "appended_files": len(data_entries),
     }
+
+
+def _current_schema_of(meta: dict) -> dict:
+    schemas = meta.get("schemas") or []
+    cur_id = meta.get("current-schema-id", 0)
+    for s in schemas:
+        if s.get("schema-id") == cur_id:
+            return s
+    if schemas:
+        return schemas[-1]
+    if meta.get("schema"):
+        return meta["schema"]
+    raise IcebergLiteError("table metadata carries no schema")
+
+
+def _last_column_id(meta: dict) -> int:
+    """The highest field id EVER used by this table (spec: table
+    metadata ``last-column-id``) — the floor below which no new field
+    id may ever be minted, so a dropped column's id can never be
+    reused (its bounds maps and equality-delete references would
+    otherwise bind to the new column)."""
+    explicit = int(meta.get("last-column-id", 0) or 0)
+    seen = 0
+    for s in (meta.get("schemas") or []) + (
+        [meta["schema"]] if meta.get("schema") else []
+    ):
+        for f in s.get("fields", []):
+            seen = max(seen, int(f["id"]))
+    return max(explicit, seen)
+
+
+def alter_iceberg_schema(
+    table_path: str,
+    renames: dict | None = None,
+    drops: list | None = None,
+) -> dict:
+    """``ALTER TABLE RENAME COLUMN`` / ``DROP COLUMN`` — a pure
+    METADATA commit (spec §Schema Evolution: renames and drops never
+    touch a data file; everything — partition specs, equality deletes,
+    bounds maps — resolves through FIELD IDS, which this commit
+    preserves).  A new schema version is appended, ``current-schema-id``
+    advances, and ``last-column-id`` records the all-time id high-water
+    mark so a later re-add of a dropped NAME mints a fresh id and the
+    dropped data can never resurrect.
+
+    Top-level columns only (iceberg_lite models nested types opaquely);
+    dotted paths refuse by name.  Renaming or dropping a column that a
+    LIVE equality-delete file equates on refuses — those delete rows
+    are matched by reading the delete parquet under the current column
+    names, so the DDL would break their application (fold the deletes
+    in first with :func:`rewrite_data_files`).  Dropping an ACTIVE
+    partition spec's source column refuses (the spec's transform would
+    have nothing to bind to); renaming one is fine — the spec resolves
+    its source by id.
+
+    Mirrors Spark-on-Iceberg ``ALTER TABLE`` DDL (reference: the
+    InsuranceLake Consume layer evolves schemas between loads).
+    Returns {"schema_id", "version"}.
+    """
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    if not renames and not drops:
+        raise IcebergLiteError("alter_iceberg_schema: nothing to do")
+    for c in list(renames) + drops:
+        if "." in c:
+            raise IcebergLiteError(
+                f"nested column path {c!r}: iceberg_lite alters "
+                "top-level columns only"
+            )
+    meta = _load_metadata(table_path)
+    cur = _current_schema_of(meta)
+    fields = [dict(f) for f in cur.get("fields", [])]
+    by_name = {f["name"]: f for f in fields}
+    for c in list(renames) + drops:
+        if c not in by_name:
+            raise IcebergLiteError(f"no such column {c!r}")
+    overlap = set(renames) & set(drops)
+    if overlap:
+        raise IcebergLiteError(
+            f"columns both renamed and dropped: {sorted(overlap)}"
+        )
+    # guard: live equality-delete files reference equated columns by id,
+    # but their parquet payload is read under CURRENT names — refuse
+    # altering any equated column while such deletes are live
+    try:
+        _, live_deletes = plan_scan(table_path)
+    except IcebergLiteError:
+        live_deletes = []
+    eq_ids_live = set()
+    for d in live_deletes:
+        if d.content == 2:
+            eq_ids_live.update(d.equality_ids or ())
+    touched_ids = {int(by_name[c]["id"]) for c in list(renames) + drops}
+    bad_eq = touched_ids & eq_ids_live
+    if bad_eq:
+        raise IcebergLiteError(
+            f"columns with field ids {sorted(bad_eq)} are equated by "
+            "live equality-delete files; run rewrite_data_files to fold "
+            "the deletes in before altering them"
+        )
+    # guard: active partition spec sources can be renamed (id-resolved)
+    # but not dropped
+    spec_source_ids = {
+        int(f.get("source-id") or -1)
+        for s in meta.get("partition-specs") or []
+        if s.get("spec-id") == meta.get("default-spec-id", 0)
+        for f in s.get("fields", [])
+    }
+    dropped_spec = {
+        c for c in drops if int(by_name[c]["id"]) in spec_source_ids
+    }
+    if dropped_spec:
+        raise IcebergLiteError(
+            f"cannot drop active partition source columns "
+            f"{sorted(dropped_spec)}"
+        )
+    final_names = {
+        renames.get(f["name"], f["name"])
+        for f in fields
+        if f["name"] not in drops
+    }
+    if len(final_names) != len(fields) - len(drops):
+        raise IcebergLiteError(
+            "rename would collide with an existing column name"
+        )
+    if len(fields) - len(drops) == 0:
+        raise IcebergLiteError("cannot drop every column of a table")
+    new_fields = []
+    for f in fields:
+        if f["name"] in drops:
+            continue
+        g = dict(f)
+        if f["name"] in renames:
+            g["name"] = renames[f["name"]]
+        new_fields.append(g)
+    schemas = list(meta.get("schemas") or [])
+    if not schemas:
+        # v1-style single schema: materialize it as schema-id 0 first
+        schemas = [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": cur.get("fields", []),
+            }
+        ]
+    new_sid = max(int(s.get("schema-id") or 0) for s in schemas) + 1
+    schemas.append(
+        {"schema-id": new_sid, "type": "struct", "fields": new_fields}
+    )
+    new_meta = dict(meta)
+    new_meta["schemas"] = schemas
+    new_meta["current-schema-id"] = new_sid
+    new_meta["last-column-id"] = _last_column_id(meta)
+    new_meta.pop("schema", None)  # the v1 single-schema form is stale now
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "alter_iceberg_schema"
+        )
+    return {"schema_id": new_sid, "version": version}
 
 
 def upgrade_iceberg_format(table_path: str, to_version: int = 3) -> dict:

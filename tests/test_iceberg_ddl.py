@@ -1,0 +1,188 @@
+"""Iceberg ALTER TABLE rename/drop column DDL (round 10).
+
+Spec §Schema Evolution: renames and drops are pure metadata commits —
+field IDS are the identity, so a renamed column keeps resolving in
+every existing file, and ``last-column-id`` guarantees a dropped
+field's id is never reused.  Per-file name resolution walks each data
+file's sequence number to its snapshot's recorded ``schema-id``.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+
+def _write(spark, path, rows, partition_by=None, **kw):
+    df = spark.createDataFrame(rows)
+    cols = list(rows[0].asDict().keys())
+    il.write_iceberg(
+        spark, df.select(*cols), path, partition_by=partition_by, **kw
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write(
+        spark,
+        path,
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", score=float(i))
+         for i in range(8)],
+    )
+    return path
+
+
+def _rows(spark, path):
+    return {
+        tuple(r) for r in il.read_iceberg(spark, path).collect()
+    }
+
+
+def test_rename_reads_old_and_new_files(spark, table):
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    df = il.read_iceberg(spark, table)
+    assert df.columns == ["id", "grp", "points"]
+    assert {(r["id"], r["points"]) for r in df.collect()} == {
+        (i, float(i)) for i in range(8)
+    }
+    # append AFTER the rename: new files physically carry the new name,
+    # old files the old name — one read resolves both
+    _write(spark, table, [Row(id=100, grp="a", points=42.0)])
+    df = il.read_iceberg(spark, table)
+    assert df.count() == 9
+    got = {(r["id"], r["points"]) for r in df.collect()}
+    assert (100, 42.0) in got and (3, 3.0) in got
+    # the field kept its id through the rename
+    meta = il._load_metadata(table)
+    cur = il._current_schema_of(meta)
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["points"] == 3
+
+
+def test_rename_zero_files_touched(spark, table):
+    files_before = sorted(f.path for f in il.plan_files(table))
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    assert sorted(f.path for f in il.plan_files(table)) == files_before
+
+
+def test_rename_then_filter_and_dml(spark, table):
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    out = il.delete_iceberg(spark, table, "points >= 6")
+    assert out["rows_deleted"] == 2
+    df = il.read_iceberg(spark, table)
+    assert sorted(r["id"] for r in df.collect()) == list(range(6))
+    il.update_iceberg(
+        spark, table, {"points": "points + 0.5"}, "id = 0"
+    )
+    got = {r["id"]: r["points"] for r in
+           il.read_iceberg(spark, table).collect()}
+    assert got[0] == 0.5
+
+
+def test_drop_column_hides_values(spark, table):
+    il.alter_iceberg_schema(table, drops=["score"])
+    df = il.read_iceberg(spark, table)
+    assert df.columns == ["id", "grp"]
+    assert df.count() == 8
+
+
+def test_drop_then_readd_mints_fresh_id_and_no_resurrection(spark, table):
+    il.alter_iceberg_schema(table, drops=["score"])
+    meta = il._load_metadata(table)
+    assert meta["last-column-id"] == 3
+    # evolve-append re-adds the NAME: must mint id 4, not reuse 3
+    _write(spark, table, [Row(id=200, grp="b", score=9.9)])
+    meta = il._load_metadata(table)
+    cur = il._current_schema_of(meta)
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["score"] == 4
+    rows = {r["id"]: r["score"] for r in
+            il.read_iceberg(spark, table).collect()}
+    assert rows[200] == 9.9
+    # old rows must read NULL for the re-added column, never the
+    # dropped column's bytes
+    assert all(rows[i] is None for i in range(8))
+
+
+def test_rename_swap_resolves_per_file(spark, table):
+    """a->tmp, b->a, tmp->b style swaps are the hardest case: the same
+    NAME means different fields in different files."""
+    il.alter_iceberg_schema(table, renames={"score": "tmp_x"})
+    il.alter_iceberg_schema(table, renames={"grp": "score"})
+    _write(spark, table, [Row(id=300, score="z", tmp_x=1.25)])
+    df = il.read_iceberg(spark, table)
+    assert set(df.columns) == {"id", "score", "tmp_x"}
+    got = {r["id"]: (r["score"], r["tmp_x"]) for r in df.collect()}
+    assert got[300] == ("z", 1.25)
+    assert got[2] == ("a", 2.0)  # old file: grp bytes -> score column
+
+
+def test_alter_guards(spark, tmp_path, table):
+    with pytest.raises(il.IcebergLiteError, match="no such column"):
+        il.alter_iceberg_schema(table, renames={"nope": "x"})
+    with pytest.raises(il.IcebergLiteError, match="collide"):
+        il.alter_iceberg_schema(table, renames={"score": "id"})
+    with pytest.raises(il.IcebergLiteError, match="nothing to do"):
+        il.alter_iceberg_schema(table)
+    with pytest.raises(il.IcebergLiteError, match="top-level"):
+        il.alter_iceberg_schema(table, drops=["a.b"])
+    with pytest.raises(il.IcebergLiteError, match="every column"):
+        il.alter_iceberg_schema(table, drops=["id", "grp", "score"])
+    # partitioned table: dropping the active spec's source refuses,
+    # renaming it is id-resolved and fine
+    p2 = str(tmp_path / "p2")
+    _write(
+        spark, p2,
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", v=float(i))
+         for i in range(6)],
+        partition_by=["grp"],
+    )
+    with pytest.raises(il.IcebergLiteError, match="partition source"):
+        il.alter_iceberg_schema(p2, drops=["grp"])
+    il.alter_iceberg_schema(p2, renames={"grp": "segment"})
+    df = il.read_iceberg(spark, p2)
+    assert "segment" in df.columns
+    assert df.where("segment = 'a'").count() == 3
+
+
+def test_alter_refuses_on_live_equality_deletes(spark, table):
+    src = spark.createDataFrame(
+        [Row(id=1, grp="b", score=11.0)]
+    ).select("id", "grp", "score")
+    il.upsert_iceberg_equality(spark, src, table, keys=["id"])
+    with pytest.raises(il.IcebergLiteError, match="equality-delete"):
+        il.alter_iceberg_schema(table, renames={"id": "pk"})
+    # un-equated columns still alter fine
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    got = {r["id"]: r["points"] for r in
+           il.read_iceberg(spark, table).collect()}
+    assert got[1] == 11.0
+    # folding the deletes in lifts the refusal
+    il.rewrite_data_files(spark, table)
+    il.alter_iceberg_schema(table, renames={"id": "pk"})
+    assert "pk" in il.read_iceberg(spark, table).columns
+
+
+def test_rename_on_v3_preserves_row_lineage(spark, tmp_path):
+    path = str(tmp_path / "v3")
+    _write(
+        spark, path,
+        [Row(id=i, v=float(i)) for i in range(5)],
+        format_version=3,
+    )
+    il.alter_iceberg_schema(path, renames={"v": "val"})
+    df = il.read_iceberg(spark, path, row_lineage=True)
+    got = {r["id"]: (r["val"], r["_row_id"]) for r in df.collect()}
+    assert {g[1] for g in got.values()} == set(range(5))
+    assert got[2][0] == 2.0
+
+
+def test_snapshot_time_travel_reads_old_schema_names(spark, table):
+    """Time travel to a pre-rename snapshot... still reads CURRENT
+    metadata schema (Iceberg semantics: schema is table-level, not
+    snapshot-level, unless a reader asks for the snapshot's schema) —
+    the rows resolve either way."""
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    df = il.read_iceberg(spark, table, snapshot_id=1)
+    assert df.count() == 8 and "points" in df.columns
