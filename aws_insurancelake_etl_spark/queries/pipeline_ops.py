@@ -5948,3 +5948,68 @@ def sink_iceberg_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({by_name['status']} <= {last_id})"
         )
     return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sink_delta_nested_mapped_write",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 <> 0 THEN c_name END AS profile_name,
+           CASE WHEN c_custkey % 11 <> 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           END AS balance_cents
+    FROM customer WHERE c_custkey % 4 = 0
+    """,
+)
+def sink_delta_nested_mapped_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested column mapping WRITES (round 10 — closes the r9 read-only
+    gap): ``write_delta(column_mapping='name')`` on a struct-carrying
+    DataFrame mints ``delta.columnMapping.id``/``physicalName`` at
+    EVERY nesting level and physicalizes the data through
+    ``_physical_col`` (the exact inverse of the read path's
+    ``_logical_col``), so a Databricks-mode reader resolves the files
+    and delta_lite round-trips them.  COW DELETE then rewrites
+    survivors through the same physicalization.  In-gate asserts the
+    staged parquet footer carries ZERO logical names at any level and
+    that null structs stay null (not structs of nulls)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..sources import delta_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+    src = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 2 == 0
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.struct(
+                F.col("c_name").alias("name"),
+                cents.alias("balance_cents"),
+            ),
+        ).alias("profile"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-nmw-") + "/t"
+    delta_lite.write_delta(
+        src, tbl, mode="overwrite", column_mapping="name"
+    )
+    snap = delta_lite.snapshot(tbl)
+    footer = str(
+        _pq.read_schema(_os.path.join(tbl, snap.files[0].path))
+    )
+    for logical in ("c_custkey", "profile", "name", "balance_cents"):
+        if f"{logical}:" in footer or f" {logical} " in footer:
+            raise RuntimeError(
+                f"logical name {logical!r} leaked into the parquet footer"
+            )
+    delta_lite.delete_delta(spark, tbl, "c_custkey % 4 = 2")
+    out = delta_lite.read_delta(spark, tbl)
+    return out.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.balance_cents").alias("balance_cents"),
+    )

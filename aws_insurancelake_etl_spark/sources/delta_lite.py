@@ -582,6 +582,42 @@ def _logical_col(col, dt):
     return col
 
 
+def _mint_mapped_datatype(dt, max_id: int):
+    """Stamp ``delta.columnMapping.id`` / ``physicalName`` metadata on
+    every NESTED field of a newly-mapped column's type (mapping writers
+    mint ids at every level), returning (type, new max id).  Identity
+    for primitive types."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        fields = []
+        for f in dt.fields:
+            inner, max_id = _mint_mapped_datatype(f.dataType, max_id)
+            max_id += 1
+            fields.append(
+                StructField(
+                    f.name,
+                    inner,
+                    True,
+                    metadata={
+                        "delta.columnMapping.id": max_id,
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4().hex[:8]}"
+                        ),
+                    },
+                )
+            )
+        return _ST(fields), max_id
+    if isinstance(dt, ArrayType) and _contains_struct(dt.elementType):
+        inner, max_id = _mint_mapped_datatype(dt.elementType, max_id)
+        return ArrayType(inner, dt.containsNull), max_id
+    if isinstance(dt, MapType) and _contains_struct(dt.valueType):
+        inner, max_id = _mint_mapped_datatype(dt.valueType, max_id)
+        return MapType(dt.keyType, inner, dt.valueContainsNull), max_id
+    return dt, max_id
+
+
 def _mapping_of(snap: Snapshot):
     """(logical partition columns, logical->physical map or None)."""
     if _column_mapping_mode(snap.configuration) == "none":
@@ -591,28 +627,70 @@ def _mapping_of(snap: Snapshot):
     return [inv.get(c, c) for c in snap.partition_columns], phys
 
 
-def _to_physical(df: DataFrame, phys) -> DataFrame:
+def _physical_col(col, dt):
+    """Rebuild a LOGICAL-shaped column as its PHYSICAL (on-disk) shape
+    — the exact inverse of :func:`_logical_col`: every nested struct
+    field renamed to its ``delta.columnMapping.physicalName`` (null-
+    preserving: a null struct stays null), arrays map the rebuild over
+    elements, maps over values.  Identity for primitive types."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        rebuilt = F.struct(
+            *[
+                _physical_col(col[f.name], f.dataType).alias(
+                    _phys_field_name(f)
+                )
+                for f in dt.fields
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(dt, ArrayType) and _contains_struct(dt.elementType):
+        return F.transform(col, lambda x: _physical_col(x, dt.elementType))
+    if isinstance(dt, MapType) and _contains_struct(dt.valueType):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col), lambda v: _physical_col(v, dt.valueType)
+            ),
+        )
+    return col
+
+
+def _to_physical(df: DataFrame, phys, schema: StructType | None = None) -> DataFrame:
     """Rename logical columns to their physical names before staging
     data/cdc files into a column-mapped table (identity when unmapped);
-    extra columns (``_change_type``) pass through.  Honest WRITE limit:
-    a struct-carrying column would need its nested physical names
-    attached as parquet field metadata for other engines to resolve —
-    refused by name (reads of nested-mapped tables are fully supported
-    via :func:`_logical_col`)."""
+    extra columns (``_change_type``) pass through.  Struct-carrying
+    columns physicalize RECURSIVELY through ``schema``'s nested field
+    metadata (round 10 — mapping writers stamp physical names at every
+    level, and :func:`_physical_col` is the exact inverse of the read
+    path's ``_logical_col``); without the table schema in hand a
+    struct write still refuses rather than guessing nested names."""
     if not phys:
         return df
-    nested = [
-        f.name for f in df.schema.fields if _contains_struct(f.dataType)
-    ]
-    if nested:
-        raise DeltaLiteError(
-            f"writing struct columns {nested} into a column-mapped "
-            "table is not supported by delta_lite (nested fields carry "
-            "their own physical names); reads are supported"
-        )
-    return df.select(
-        *[F.col(c).alias(phys.get(c, c)) for c in df.columns]
-    )
+    by_name = {f.name: f for f in (schema.fields if schema is not None else [])}
+    cols = []
+    for c in df.columns:
+        f = by_name.get(c)
+        dt = df.schema[c].dataType
+        if not _contains_struct(dt):
+            cols.append(F.col(c).alias(phys.get(c, c)))
+            continue
+        if f is None:
+            raise DeltaLiteError(
+                f"writing struct column {c!r} into a column-mapped "
+                "table needs the table schema's nested physical names "
+                "(column absent from it)"
+            )
+        if f.dataType.simpleString() != dt.simpleString():
+            raise DeltaLiteError(
+                f"struct column {c!r} shape {dt.simpleString()} != table "
+                f"schema {f.dataType.simpleString()}; nested schema "
+                "evolution on mapped tables is not supported"
+            )
+        cols.append(_physical_col(F.col(c), f.dataType).alias(phys.get(c, c)))
+    return df.select(*cols)
 
 
 def _resolve_dv_path(table_path: str, dv: dict) -> tuple[str, str]:
@@ -2177,13 +2255,17 @@ def write_delta(
                 max_id += 1
                 pname = f"col-{uuid.uuid4().hex[:8]}"
                 phys[f.name] = pname
+                top_id = max_id
+                minted_dt, max_id = _mint_mapped_datatype(
+                    f.dataType, max_id
+                )
                 fields.append(
                     StructField(
                         f.name,
-                        f.dataType,
+                        minted_dt,
                         True,
                         metadata={
-                            "delta.columnMapping.id": max_id,
+                            "delta.columnMapping.id": top_id,
                             "delta.columnMapping.physicalName": pname,
                         },
                     )
@@ -2193,7 +2275,7 @@ def write_delta(
         merged_conf["delta.columnMapping.maxColumnId"] = str(max_id)
     _enforce_constraints(df, merged_conf)
     adds = _stage_data_files(
-        _to_physical(df, phys),
+        _to_physical(df, phys, mapped_schema),
         path,
         [phys[c] for c in partition_by] if phys else partition_by,
     )
@@ -2742,7 +2824,7 @@ def _merge_once(
             else source.select(*schema_cols)
         )
     adds = _stage_data_files(
-        _to_physical(new_data, phys),
+        _to_physical(new_data, phys, snap.schema),
         path,
         [phys.get(c, c) for c in part_cols],
     )
@@ -2787,7 +2869,7 @@ def _merge_once(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                _to_physical(changes, phys).coalesce(
+                _to_physical(changes, phys, snap.schema).coalesce(
                     max(1, len(touched_rel))
                 ),
                 path,
@@ -2958,7 +3040,7 @@ def optimize(
         df = df.coalesce(target_files)
     opt_parts, opt_phys = _mapping_of(snap)
     adds = _stage_data_files(
-        _to_physical(df, opt_phys),
+        _to_physical(df, opt_phys, snap.schema),
         path,
         [(opt_phys or {}).get(c, c) for c in opt_parts],
     )
@@ -3201,7 +3283,7 @@ def delete_delta(
         ).withColumnRenamed("_row_commit_version", rt_cv_col)
     del_parts, del_phys = _mapping_of(snap)
     adds = _stage_data_files(
-        _to_physical(survivors, del_phys),
+        _to_physical(survivors, del_phys, snap.schema),
         path,
         [
             (del_phys or {}).get(c, c) for c in del_parts
@@ -3217,7 +3299,7 @@ def delete_delta(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                _to_physical(deleted_rows, del_phys).coalesce(
+                _to_physical(deleted_rows, del_phys, snap.schema).coalesce(
                     max(1, len(touched_rel))
                 ),
                 path,
@@ -3373,7 +3455,7 @@ def update_delta(
         new_data = survivors.unionByName(updated, allowMissingColumns=True)
     up_parts, up_phys = _mapping_of(snap)
     adds = _stage_data_files(
-        _to_physical(new_data, up_phys),
+        _to_physical(new_data, up_phys, snap.schema),
         path,
         [(up_phys or {}).get(c, c) for c in up_parts],
     )
@@ -3391,7 +3473,7 @@ def update_delta(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                _to_physical(changes, up_phys).coalesce(
+                _to_physical(changes, up_phys, snap.schema).coalesce(
                     max(1, len(touched_rel))
                 ),
                 path,
@@ -3622,7 +3704,7 @@ def _delete_with_dvs(
         cdc_actions = [
             {"cdc": c}
             for c in _stage_cdc_files(
-                _to_physical(deleted_rows, dv_phys).coalesce(
+                _to_physical(deleted_rows, dv_phys, snap.schema).coalesce(
                     max(1, len(by_rel))
                 ),
                 path,

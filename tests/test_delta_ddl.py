@@ -216,3 +216,99 @@ def test_ddl_composes_with_dml(spark, mapped):
     )
     df = dl.read_delta(spark, mapped)
     assert df.columns == ["id", "grp"] and 50 in _ids(df)
+
+
+# ------------------------------------------------- nested mapped WRITES
+
+
+def test_nested_struct_mapped_write_roundtrip(spark, tmp_path):
+    """round 10: writing struct columns into a column-mapped table
+    physicalizes nested field names recursively (inverse of the read
+    path's _logical_col) and mints mapping ids at every level."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nestedw")
+    df = spark.createDataFrame(
+        [
+            Row(id=i, info=Row(city=f"c{i}", zip=10000 + i))
+            for i in range(5)
+        ]
+    ).select("id", "info")
+    dl.write_delta(df, path, mode="overwrite", column_mapping="name")
+    snap = dl.snapshot(path)
+    info = snap.schema["info"]
+    ids = [
+        f.metadata["delta.columnMapping.id"] for f in snap.schema.fields
+    ] + [
+        f.metadata["delta.columnMapping.id"] for f in info.dataType.fields
+    ]
+    assert len(set(ids)) == len(ids)  # unique at every level
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == str(
+        max(ids)
+    )
+    footer = str(
+        pq.read_schema(os.path.join(path, snap.files[0].path))
+    )
+    for logical in ("id:", "info", "city", "zip"):
+        assert logical not in footer, f"logical name {logical} leaked"
+    back = dl.read_delta(spark, path)
+    assert {(r["id"], r["info"]["zip"]) for r in back.collect()} == {
+        (i, 10000 + i) for i in range(5)
+    }
+    # appends compose; NULL structs stay null through the rebuild
+    dl.write_delta(
+        spark.createDataFrame(
+            [(9, None)], back.schema
+        ),
+        path,
+    )
+    got = {r["id"]: r["info"] for r in dl.read_delta(spark, path).collect()}
+    assert got[9] is None and got[2]["city"] == "c2"
+
+
+def test_nested_mapped_write_array_of_struct_and_dml(spark, tmp_path):
+    path = str(tmp_path / "nestedw2")
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=i,
+                tags=[Row(k="a", v=str(i)), Row(k="b", v=str(i * 2))],
+            )
+            for i in range(6)
+        ]
+    ).select("id", "tags")
+    dl.write_delta(df, path, mode="overwrite", column_mapping="name")
+    back = dl.read_delta(spark, path)
+    assert {r["tags"][1]["v"] for r in back.collect()} == {
+        str(i * 2) for i in range(6)
+    }
+    # COW DELETE rewrites survivors through the same physicalization
+    dl.delete_delta(spark, path, "id >= 4")
+    left = dl.read_delta(spark, path)
+    assert sorted(r["id"] for r in left.collect()) == [0, 1, 2, 3]
+    assert {r["tags"][0]["k"] for r in left.collect()} == {"a"}
+
+
+def test_nested_rename_then_append_needs_new_shape(spark, tmp_path):
+    """After a nested RENAME, appends must supply the NEW logical
+    shape; the old shape refuses (nested evolution is a named limit)."""
+    path = str(tmp_path / "nestedw3")
+    df = spark.createDataFrame(
+        [Row(id=1, info=Row(city="x", zip=7))]
+    ).select("id", "info")
+    dl.write_delta(df, path, mode="overwrite", column_mapping="name")
+    dl.rename_column(path, "info.zip", "postal")
+    with pytest.raises(dl.DeltaLiteError, match="shape|schema mismatch"):
+        dl.write_delta(df, path)
+    new_shape = dl.read_delta(spark, path)
+    dl.write_delta(
+        spark.createDataFrame(
+            [(2, Row(city="y", postal=8))], new_shape.schema
+        ),
+        path,
+    )
+    got = {
+        r["id"]: r["info"]["postal"]
+        for r in dl.read_delta(spark, path).collect()
+    }
+    assert got == {1: 7, 2: 8}

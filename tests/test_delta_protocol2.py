@@ -1170,11 +1170,29 @@ def test_nested_mapping_dv_composes(spark, tmp_path):
     assert got == [0, 2]
 
 
-def test_nested_mapping_write_refuses_by_name(spark, tmp_path):
+def test_nested_mapping_append_physicalizes_all_levels(spark, tmp_path):
+    """round 10 (supersedes the r9 write refusal): appends into a
+    nested-mapped table physicalize struct/array/map nesting through
+    the schema metadata — the appended parquet carries ZERO logical
+    names at any level, and the read rebuilds the logical shape."""
     path = _nested_mapped(spark, tmp_path)
     df = spark.createDataFrame(
         [Row(id=9, prof=Row(name="z", acct=Row(bal=1, seg="Y")),
              tags=[Row(k="t", v="9")], attrs={"m": Row(w=1)})]
     ).select("id", "prof", "tags", "attrs")
-    with pytest.raises(dl.DeltaLiteError, match="reads are supported"):
-        dl.write_delta(df, path, mode="append")
+    before = {f.path for f in dl.snapshot(path).files}
+    dl.write_delta(df, path, mode="append")
+    snap = dl.snapshot(path)
+    new_files = [f.path for f in snap.files if f.path not in before]
+    assert new_files  # the append landed at least one new file
+    import pyarrow.parquet as pq
+
+    for nf in new_files:
+        footer = str(pq.read_schema(os.path.join(path, nf)))
+        for logical in ("prof", "name", "acct", "bal", "seg", "tags",
+                        "attrs", "id:"):
+            assert logical not in footer, f"logical {logical!r} leaked"
+    got = {r["id"]: r for r in dl.read_delta(spark, path).collect()}
+    assert got[9]["prof"]["acct"]["seg"] == "Y"
+    assert got[9]["attrs"]["m"]["w"] == 1
+    assert got[2]["prof"] is None  # old null struct stays null
