@@ -1306,9 +1306,21 @@ def read_iceberg(
     # their snapshot's schema-id) and project back to current names.
     # None on unaltered tables: zero overhead.
     history = _name_history(_defaults_meta)
-    if history is not None and table_schema is None:
+    # spec §Name Mapping (``schema.name-mapping.default``): files
+    # written WITHOUT parquet field ids resolve their columns through
+    # alias lists per field id — the UniForm-over-column-mapped shape,
+    # where parquet carries the Delta PHYSICAL names while the Iceberg
+    # schema names are logical
+    nm_alias = None
+    _props = _defaults_meta.get("properties") or {}
+    if _props.get("schema.name-mapping.default"):
+        nm_alias = {
+            int(e["field-id"]): list(e.get("names") or [])
+            for e in json.loads(_props["schema.name-mapping.default"])
+        }
+    if (history is not None or nm_alias is not None) and table_schema is None:
         raise IcebergLiteError(
-            "RENAME/DROP-COLUMN-altered table whose metadata schema "
+            "schema-altered or name-mapped table whose metadata schema "
             "does not map to Spark types; refusing a name-ambiguous read"
         )
     if history is not None and (external or hive_bases or ext_groups):
@@ -1317,53 +1329,93 @@ def read_iceberg(
             "COLUMN-altered table are not supported — import again "
             "under the current schema instead"
         )
-    # group internal files by (written-under schema, which DEFAULTED
-    # columns they physically lack); the single all-present group is
-    # the normal one-scan path.  Footer schemas are cached
+    if nm_alias is not None and (hive_bases or ext_groups):
+        raise IcebergLiteError(
+            "name-mapped tables whose external files need identity "
+            "partition values attached are not supported (the attach "
+            "path is not name-mapping-aware)"
+        )
+    ids_by_name = {}
+    if history is not None:
+        ids_by_name = history["cur_ids"]
+    elif nm_alias is not None:
+        ids_by_name = {
+            n: i for i, n in _field_names_by_id(_defaults_meta).items()
+        }
+
+    def _footer_cols(path: str) -> frozenset:
+        import pyarrow.parquet as _dpq
+
+        present = _FOOTER_COLS_CACHE.get(path)
+        if present is None:
+            present = _FOOTER_COLS_CACHE[path] = frozenset(
+                _dpq.read_schema(path).names
+            )
+        return present
+
+    def _sig_for(f) -> tuple:
+        """Per-file AS-WRITTEN name for every scan-schema field (None =
+        the field is absent from this file and must read null/default,
+        never a same-named retired column's bytes).  Resolution:
+        schema-history (authoritative, via the file's snapshot) first,
+        then name-mapping aliases against the parquet footer."""
+        smap = None
+        if history is not None:
+            smap = history["maps"].get(_file_schema_id(history, f), {})
+        footer = _footer_cols(f.path) if nm_alias is not None else None
+        names = []
+        for fld in scan_schema.fields:
+            fid = ids_by_name.get(fld.name)
+            if fid is None:  # lineage metadata columns: no field id
+                names.append(fld.name)
+                continue
+            name = smap.get(fid) if smap is not None else fld.name
+            if footer is not None and name is not None and name not in footer:
+                name = next(
+                    (a for a in nm_alias.get(fid, []) if a in footer), None
+                )
+            names.append(name)
+        return tuple(names)
+
+    # group internal files by (as-written name signature, which
+    # DEFAULTED columns they physically lack); the single identity
+    # group is the normal one-scan path.  Footer schemas are cached
     # process-wide: data files are uuid-named and immutable once
     # committed, so repeated reads of a defaulted table pay the
     # driver-side footer I/O once, not per read.
+    resolve_names = history is not None or nm_alias is not None
     default_groups = {(None, ()): internal}
-    if (column_defaults or history) and internal and scan_schema is not None:
-        import pyarrow.parquet as _dpq
-
+    if (
+        (column_defaults or resolve_names)
+        and internal
+        and scan_schema is not None
+    ):
         default_groups = {}
         for f in internal:
             missing = ()
             if column_defaults:
-                present = _FOOTER_COLS_CACHE.get(f.path)
-                if present is None:
-                    present = _FOOTER_COLS_CACHE[f.path] = frozenset(
-                        _dpq.read_schema(f.path).names
-                    )
+                present = _footer_cols(f.path)
                 missing = tuple(
                     sorted(c for c in column_defaults if c not in present)
                 )
-            sid = _file_schema_id(history, f) if history else None
-            default_groups.setdefault((sid, missing), []).append(f)
+            sig = _sig_for(f) if resolve_names else None
+            default_groups.setdefault((sig, missing), []).append(f)
     parts = []
-    for (sid, missing_defaults), group in sorted(
+    for (sig, missing_defaults), group in sorted(
         default_groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
     ):
         if not group:
             continue
         # per-field physical (as-written) name for this group; None
-        # means the field did not exist in the group's schema (read
-        # null/default, never a same-named retired column's bytes)
+        # means the field did not exist in the group's files
         phys_of = {}
         if scan_schema is not None:
-            smap = (
-                history["maps"].get(sid, {}) if history is not None else None
-            )
-            for fld in scan_schema.fields:
-                if smap is None:
-                    phys_of[fld.name] = fld.name
-                    continue
-                fid = history["cur_ids"].get(fld.name)
-                if fid is None:  # lineage metadata columns: no field id
-                    phys_of[fld.name] = fld.name
-                else:
-                    phys_of[fld.name] = smap.get(fid)
+            if sig is None:
+                phys_of = {f.name: f.name for f in scan_schema.fields}
+            else:
+                phys_of = dict(
+                    zip([f.name for f in scan_schema.fields], sig)
+                )
         if scan_schema is not None:
             sub_schema = StructType(
                 [
@@ -3459,19 +3511,47 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
     from the logical schema) — the same constraint real UniForm
     documents.  Returns {"snapshot_id", "files", "dv_files",
     "delta_version"}."""
+    from .delta_lite import _contains_struct as _has_struct
     from .delta_lite import snapshot as _delta_snapshot
 
     snap = _delta_snapshot(delta_path)
-    if str(
+    mapped = str(
         snap.configuration.get("delta.columnMapping.mode", "none")
-    ).lower() != "none":
-        raise IcebergLiteError(
-            "cannot export uniform metadata over a column-mapped delta "
-            "table (physical parquet names differ from the logical "
-            "schema)"
-        )
+    ).lower() != "none"
+    phys_by_logical: dict = {}
+    if mapped:
+        # round 10: FLAT column mapping exports through the spec's NAME
+        # MAPPING (``schema.name-mapping.default``) — the parquet files
+        # keep their Delta physical names and Iceberg readers resolve
+        # them to field ids through the alias list.  Nested structs
+        # would need nested name mappings: refused by name.
+        nested = [
+            f.name for f in snap.schema.fields if _has_struct(f.dataType)
+        ]
+        if nested:
+            raise IcebergLiteError(
+                "cannot export uniform metadata over a column-mapped "
+                f"delta table with struct columns {nested} (nested "
+                "name mapping not supported)"
+            )
+        if snap.partition_columns:
+            raise IcebergLiteError(
+                "cannot export uniform metadata over a PARTITIONED "
+                "column-mapped delta table (identity partition values "
+                "live outside the data files, and the external-file "
+                "attach path is not name-mapping-aware)"
+            )
+        phys_by_logical = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in snap.schema.fields
+        }
+    inv_phys = {p: l for l, p in phys_by_logical.items()}
     src_root = os.path.abspath(delta_path)
-    part_cols = list(snap.partition_columns)
+    part_cols = [
+        inv_phys.get(c, c) for c in snap.partition_columns
+    ]
     entries = []
     for a in snap.files:
         stats = a.stats or {}
@@ -3482,11 +3562,22 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
         entries.append(
             (
                 abs_path,
-                dict(a.partition_values),
+                {
+                    inv_phys.get(k, k): v
+                    for k, v in a.partition_values.items()
+                },
                 int(n),
                 int(a.size),
-                {"min": stats.get("minValues") or {},
-                 "max": stats.get("maxValues") or {}},
+                {
+                    "min": {
+                        inv_phys.get(k, k): v
+                        for k, v in (stats.get("minValues") or {}).items()
+                    },
+                    "max": {
+                        inv_phys.get(k, k): v
+                        for k, v in (stats.get("maxValues") or {}).items()
+                    },
+                },
             )
         )
     os.makedirs(iceberg_path, exist_ok=True)
@@ -3538,6 +3629,17 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
         # place (metadata-only) so the v3 delete entries are legal
         upgrade_iceberg_format(iceberg_path, 3)
     fields = _ice_schema_fields(snap.schema)
+    if mapped:
+        # Iceberg field ids := the Delta columnMapping ids — stable
+        # across both logs, so repeated exports after Delta evolution
+        # keep resolving (and equality of ids makes the name-mapping
+        # alias list unambiguous)
+        mapping_ids = {
+            f.name: int((f.metadata or {}).get("delta.columnMapping.id"))
+            for f in snap.schema.fields
+        }
+        for fd in fields:
+            fd["id"] = mapping_ids[fd["name"]]
     snap_id = _commit_snapshot(
         iceberg_path,
         part_cols,
@@ -3548,12 +3650,58 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
         replace=True,
         format_version=3 if delete_entries else None,
     )
+    if mapped:
+        set_iceberg_properties(
+            iceberg_path,
+            {
+                "schema.name-mapping.default": json.dumps(
+                    [
+                        {
+                            "field-id": fd["id"],
+                            "names": sorted(
+                                {
+                                    phys_by_logical.get(
+                                        fd["name"], fd["name"]
+                                    ),
+                                    fd["name"],
+                                }
+                            ),
+                        }
+                        for fd in fields
+                    ]
+                )
+            },
+        )
     return {
         "snapshot_id": snap_id,
         "files": len(entries),
         "dv_files": len(delete_entries),
         "delta_version": snap.version,
     }
+
+
+def set_iceberg_properties(table_path: str, properties: dict) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES`` — a pure metadata commit
+    merging ``properties`` into the table's property map (spec §Table
+    Metadata ``properties``).  A value of None removes the key
+    (UNSET).  Returns the new metadata version."""
+    meta = _load_metadata(table_path)
+    props = dict(meta.get("properties") or {})
+    for k, v in properties.items():
+        if v is None:
+            props.pop(k, None)
+        else:
+            props[k] = str(v)
+    new_meta = dict(meta)
+    new_meta["properties"] = props
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "set_iceberg_properties"
+        )
+    return version
 
 
 def rewrite_manifests(table_path: str) -> dict:

@@ -242,15 +242,73 @@ def test_export_uniform_refreshes_after_delta_mutation(spark, tmp_path):
         == list(range(8))
 
 
-def test_export_uniform_refusals(spark, tmp_path):
-    # column mapping
+def test_export_uniform_flat_column_mapping_via_name_mapping(
+    spark, tmp_path
+):
+    """round 10 (supersedes the r9 refusal): a FLAT column-mapped delta
+    table exports through the Iceberg spec's name mapping
+    (``schema.name-mapping.default``) — the parquet files keep their
+    Delta physical names, the Iceberg schema keeps the logical names
+    with field ids := the Delta columnMapping ids, and the alias list
+    bridges them for any spec-conformant reader."""
+    import json as _json
+
     cm = str(tmp_path / "cm")
+    ice = str(tmp_path / "cm_ice")
     dl.write_delta(
-        spark.createDataFrame([Row(id=1, s="x")]).select("id", "s"),
+        spark.createDataFrame(
+            [Row(id=i, s=chr(97 + i % 3), v=float(i)) for i in range(9)]
+        ).select("id", "s", "v"),
         cm, column_mapping="name",
     )
-    with pytest.raises(il.IcebergLiteError, match="column-mapped"):
-        il.export_uniform(cm, str(tmp_path / "cm_ice"))
+    res = il.export_uniform(cm, ice)
+    assert res["files"] >= 1
+    meta = il._load_metadata(ice)
+    nm = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    snap = dl.snapshot(cm)
+    delta_ids = {
+        f.name: f.metadata["delta.columnMapping.id"]
+        for f in snap.schema.fields
+    }
+    phys = {
+        f.name: f.metadata["delta.columnMapping.physicalName"]
+        for f in snap.schema.fields
+    }
+    by_id = {e["field-id"]: set(e["names"]) for e in nm}
+    for name, fid in delta_ids.items():
+        assert by_id[fid] == {name, phys[name]}
+    cur = il._current_schema_of(meta)
+    assert {f["name"]: f["id"] for f in cur["fields"]} == delta_ids
+    got = il.read_iceberg(spark, ice)
+    assert got.columns == ["id", "s", "v"]
+    assert {(r["id"], r["s"]) for r in got.collect()} == {
+        (i, chr(97 + i % 3)) for i in range(9)
+    }
+    # DV deletes on the mapped source compose with the nm mirror
+    dl.delete_delta(spark, cm, "id in (1, 4)", use_deletion_vectors=True)
+    il.export_uniform(cm, ice)
+    assert _ids(il.read_iceberg(spark, ice)) == [0, 2, 3, 5, 6, 7, 8]
+
+
+def test_export_uniform_refusals(spark, tmp_path):
+    # NESTED column mapping: nested name mapping not supported
+    nm_t = str(tmp_path / "cmn")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, prof=Row(name="x"))])
+        .select("id", "prof"),
+        nm_t, column_mapping="name",
+    )
+    with pytest.raises(il.IcebergLiteError, match="struct columns"):
+        il.export_uniform(nm_t, str(tmp_path / "cmn_ice"))
+    # PARTITIONED column mapping: attach path not nm-aware
+    cp = str(tmp_path / "cmp")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, g="a", s="x")])
+        .select("id", "g", "s"),
+        cp, column_mapping="name", partition_by=["g"],
+    )
+    with pytest.raises(il.IcebergLiteError, match="PARTITIONED"):
+        il.export_uniform(cp, str(tmp_path / "cmp_ice"))
 
 
 def test_export_uniform_translates_dvs_to_v3(spark, tmp_path):
