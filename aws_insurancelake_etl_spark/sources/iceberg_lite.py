@@ -4275,6 +4275,7 @@ def alter_iceberg_schema(
     table_path: str,
     renames: dict | None = None,
     drops: list | None = None,
+    adds: dict | None = None,
 ) -> dict:
     """``ALTER TABLE RENAME COLUMN`` / ``DROP COLUMN`` — a pure
     METADATA commit (spec §Schema Evolution: renames and drops never
@@ -4301,9 +4302,10 @@ def alter_iceberg_schema(
     """
     renames = dict(renames or {})
     drops = list(drops or [])
-    if not renames and not drops:
+    adds = dict(adds or {})
+    if not renames and not drops and not adds:
         raise IcebergLiteError("alter_iceberg_schema: nothing to do")
-    for c in list(renames) + drops:
+    for c in list(renames) + drops + list(adds):
         if "." in c:
             raise IcebergLiteError(
                 f"nested column path {c!r}: iceberg_lite alters "
@@ -4375,6 +4377,57 @@ def alter_iceberg_schema(
         if f["name"] in renames:
             g["name"] = renames[f["name"]]
         new_fields.append(g)
+    # ADD COLUMN (spec §Schema Evolution; v3 §Default values): new
+    # fields mint ids past last-column-id.  A default makes rows
+    # written BEFORE the column surface it instead of null
+    # (``initial-default``, materialized per-file by read_iceberg) and
+    # rows whose writer omits the column store nothing and read the
+    # same value (``write-default``, set equal at add time — changing
+    # it later is a named non-goal).  Defaults require format v3.
+    known_types = {
+        "long", "int", "double", "float", "string", "boolean", "date",
+        "binary", "timestamptz", "timestamp", "uuid",
+    }
+    next_id = _last_column_id(meta)
+    fv = max(2, int(meta.get("format-version", 2)))
+    for name, spec in sorted(adds.items()):
+        if name in final_names:
+            raise IcebergLiteError(
+                f"cannot add column {name!r}: it already exists"
+            )
+        final_names.add(name)
+        if isinstance(spec, str):
+            ice_type, default = spec, None
+        else:
+            ice_type = spec.get("type")
+            default = spec.get("default")
+        if ice_type not in known_types and not str(ice_type).startswith(
+            "decimal("
+        ):
+            raise IcebergLiteError(
+                f"add column {name!r}: unsupported iceberg type "
+                f"{ice_type!r}"
+            )
+        next_id += 1
+        fd = {
+            "id": next_id, "name": name, "required": False,
+            "type": ice_type,
+        }
+        if default is not None:
+            if fv < 3:
+                raise IcebergLiteError(
+                    f"add column {name!r} with a default requires "
+                    "format-version 3 (run upgrade_iceberg_format "
+                    "first)"
+                )
+            if isinstance(default, (dict, list)):
+                raise IcebergLiteError(
+                    f"add column {name!r}: non-primitive defaults are "
+                    "not supported"
+                )
+            fd["initial-default"] = default
+            fd["write-default"] = default
+        new_fields.append(fd)
     schemas = list(meta.get("schemas") or [])
     if not schemas:
         # v1-style single schema: materialize it as schema-id 0 first
@@ -4392,7 +4445,7 @@ def alter_iceberg_schema(
     new_meta = dict(meta)
     new_meta["schemas"] = schemas
     new_meta["current-schema-id"] = new_sid
-    new_meta["last-column-id"] = _last_column_id(meta)
+    new_meta["last-column-id"] = max(_last_column_id(meta), next_id)
     new_meta.pop("schema", None)  # the v1 single-schema form is stale now
     meta_dir = os.path.join(table_path, "metadata")
     version = (_metadata_versions(meta_dir) or [0])[-1] + 1

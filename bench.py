@@ -148,6 +148,12 @@ EXTENDED: list[str] = [
     "src_delta_nested_mapping",
     "sink_delta_row_tracking",
     "src_delta_row_tracking_read",
+    # round-10 second session: column DDL both formats, nested mapped
+    # writes, uniform-over-mapped export
+    "sink_delta_column_ddl",
+    "sink_iceberg_column_ddl",
+    "sink_delta_nested_mapped_write",
+    "src_uniform_mapped_export",
 ]
 
 

@@ -186,3 +186,69 @@ def test_snapshot_time_travel_reads_old_schema_names(spark, table):
     il.alter_iceberg_schema(table, renames={"score": "points"})
     df = il.read_iceberg(spark, table, snapshot_id=1)
     assert df.count() == 8 and "points" in df.columns
+
+
+# ---------------------------------------------------------- ADD COLUMN
+
+
+def test_add_column_plain_reads_null_for_old_files(spark, table):
+    il.alter_iceberg_schema(table, adds={"note": "string"})
+    df = il.read_iceberg(spark, table)
+    assert df.columns == ["id", "grp", "score", "note"]
+    assert all(r["note"] is None for r in df.collect())
+    _write(
+        spark, table,
+        [Row(id=900, grp="a", score=1.0, note="hi")],
+    )
+    got = {r["id"]: r["note"] for r in il.read_iceberg(spark, table).collect()}
+    assert got[900] == "hi" and got[0] is None
+
+
+def test_add_column_with_default_requires_v3(spark, table):
+    with pytest.raises(il.IcebergLiteError, match="format-version 3"):
+        il.alter_iceberg_schema(
+            table, adds={"region": {"type": "string", "default": "EU"}}
+        )
+
+
+def test_add_column_default_materializes_on_v3(spark, tmp_path):
+    path = str(tmp_path / "v3d")
+    _write(
+        spark, path,
+        [Row(id=i, v=float(i)) for i in range(4)],
+        format_version=3,
+    )
+    il.alter_iceberg_schema(
+        path, adds={"region": {"type": "string", "default": "EU"}}
+    )
+    # pre-add files surface the default, not null
+    got = {r["id"]: r["region"] for r in
+           il.read_iceberg(spark, path).collect()}
+    assert got == {i: "EU" for i in range(4)}
+    # post-add appends store real values (nulls included)
+    _write(spark, path, [Row(id=10, v=1.0, region="US")])
+    got = {r["id"]: r["region"] for r in
+           il.read_iceberg(spark, path).collect()}
+    assert got[10] == "US" and got[0] == "EU"
+    # the added field's id is past every prior id and recorded
+    meta = il._load_metadata(path)
+    cur = il._current_schema_of(meta)
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["region"] == 3 and meta["last-column-id"] == 3
+
+
+def test_add_column_guards(spark, table):
+    with pytest.raises(il.IcebergLiteError, match="already exists"):
+        il.alter_iceberg_schema(table, adds={"score": "double"})
+    with pytest.raises(il.IcebergLiteError, match="unsupported iceberg"):
+        il.alter_iceberg_schema(table, adds={"x": "struct<a:int>"})
+    # drop then ADD back via alter: fresh id, no resurrection
+    il.alter_iceberg_schema(table, drops=["score"])
+    il.alter_iceberg_schema(table, adds={"score": "double"})
+    meta = il._load_metadata(table)
+    cur = il._current_schema_of(meta)
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["score"] == 4
+    rows = {r["id"]: r["score"] for r in
+            il.read_iceberg(spark, table).collect()}
+    assert all(v is None for v in rows.values())
