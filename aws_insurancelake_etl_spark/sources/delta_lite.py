@@ -2017,6 +2017,117 @@ def drop_column(path: str, column: str) -> int:
     )
 
 
+#: PROTOCOL.md §Type Widening — the stable widenings delta-spark 4.x
+#: accepts whose parquet scan-side upcast Spark performs natively
+#: (int32 files read under a long/double schema, float under double).
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+def widen_column(path: str, column: str, new_type: str) -> int:
+    """``ALTER TABLE ALTER COLUMN col TYPE wider`` (PROTOCOL.md §Type
+    Widening): a pure METADATA commit — every existing parquet file
+    keeps its narrow physical type and scans under the widened schema
+    (Spark's native parquet upcast), appends write the wide type.  The
+    field records the change in ``delta.typeWidening.previousTypes``
+    and the protocol advances to the ``typeWidening`` reader+writer
+    feature so other engines either upcast correctly or refuse —
+    never misread.  Decimal precision growth at the same scale is
+    also legal: ``decimal(P,S) -> decimal(P2>P,S)``.  ``column`` may
+    be a dotted struct path."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    snap = snapshot(path)
+    try:
+        wide_dt = _parse_datatype_string(new_type)
+    except Exception as exc:
+        raise DeltaLiteError(
+            f"widen_column: cannot parse type {new_type!r}"
+        ) from exc
+    version = snap.version + 1
+
+    def _do(f: StructField) -> StructField:
+        old_s = f.dataType.typeName()
+        new_s = wide_dt.typeName()
+        ok = (old_s, new_s) in _WIDENINGS
+        if old_s == "decimal" and new_s == "decimal":
+            ok = (
+                wide_dt.scale == f.dataType.scale
+                and wide_dt.precision > f.dataType.precision
+            )
+        if not ok:
+            raise DeltaLiteError(
+                f"widen_column: {f.dataType.simpleString()} -> "
+                f"{wide_dt.simpleString()} is not a legal widening "
+                f"(stable set: {sorted(_WIDENINGS)}, plus decimal "
+                "precision growth at the same scale)"
+            )
+        meta = dict(f.metadata or {})
+        prev = list(meta.get("delta.typeWidening.previousTypes") or [])
+        prev.append(
+            {
+                "fromType": f.dataType.simpleString(),
+                "toType": wide_dt.simpleString(),
+                "tableVersion": version,
+            }
+        )
+        meta["delta.typeWidening.previousTypes"] = prev
+        return StructField(f.name, wide_dt, f.nullable, metadata=meta)
+
+    new_schema = _schema_field_surgery(snap.schema, column, _do)
+    proto = dict(snap.protocol or _PROTOCOL)
+    r_feats = set(proto.get("readerFeatures") or [])
+    w_feats = set(proto.get("writerFeatures") or [])
+    if int(proto.get("minReaderVersion", 1)) < 3 or not r_feats:
+        # legacy protocol: re-express as table features, carrying the
+        # legacy capabilities the old versions implied
+        if int(proto.get("minReaderVersion", 1)) >= 2:
+            r_feats.add("columnMapping")
+            w_feats.add("columnMapping")
+        w_feats.update({"appendOnly", "invariants"})
+    r_feats.add("typeWidening")
+    w_feats.add("typeWidening")
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(r_feats),
+        "writerFeatures": sorted(w_feats | r_feats),
+    }
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CHANGE COLUMN",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "column": column, "type": new_type,
+                },
+            }
+        },
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": dict(snap.configuration),
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "widen_column"
+        )
+    return version
+
+
 def write_delta(
     df: DataFrame,
     path: str,

@@ -312,3 +312,91 @@ def test_nested_rename_then_append_needs_new_shape(spark, tmp_path):
         for r in dl.read_delta(spark, path).collect()
     }
     assert got == {1: 7, 2: 8}
+
+
+# ---------------------------------------------------------- type widening
+
+
+def test_widen_column_metadata_only_and_appends_wide(spark, tmp_path):
+    path = str(tmp_path / "widen")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "id int, v float"
+        ),
+        path,
+    )
+    before = [f.path for f in dl.snapshot(path).files]
+    dl.widen_column(path, "id", "long")
+    dl.widen_column(path, "v", "double")
+    snap = dl.snapshot(path)
+    assert [f.path for f in snap.files] == before  # zero files touched
+    assert snap.schema["id"].dataType.simpleString() == "bigint"
+    prev = snap.schema["id"].metadata["delta.typeWidening.previousTypes"]
+    assert prev[0]["fromType"] == "int" and prev[0]["toType"] == "bigint"
+    assert "typeWidening" in snap.protocol["readerFeatures"]
+    # old int32 files scan under the widened schema; wide appends land
+    big = 2**40
+    dl.write_delta(
+        spark.createDataFrame([(big, 1.5)], "id long, v double"), path
+    )
+    got = {r["id"] for r in dl.read_delta(spark, path).collect()}
+    assert got == set(range(5)) | {big}
+
+
+def test_widen_column_decimal_precision_growth(spark, tmp_path):
+    path = str(tmp_path / "widen_dec")
+    dl.write_delta(
+        spark.createDataFrame([("1.25",)], "s string")
+        .select(F.col("s").cast("decimal(5,2)").alias("amt")),
+        path,
+    )
+    dl.widen_column(path, "amt", "decimal(12,2)")
+    snap = dl.snapshot(path)
+    assert snap.schema["amt"].dataType.simpleString() == "decimal(12,2)"
+    assert [str(r["amt"]) for r in dl.read_delta(spark, path).collect()] \
+        == ["1.25"]
+
+
+def test_widen_column_refusals(spark, tmp_path):
+    path = str(tmp_path / "widen_bad")
+    dl.write_delta(
+        spark.createDataFrame([(1, "x")], "id long, s string"), path
+    )
+    with pytest.raises(dl.DeltaLiteError, match="not a legal widening"):
+        dl.widen_column(path, "id", "int")  # narrowing
+    with pytest.raises(dl.DeltaLiteError, match="not a legal widening"):
+        dl.widen_column(path, "s", "long")
+    with pytest.raises(dl.DeltaLiteError, match="no such column"):
+        dl.widen_column(path, "nope", "long")
+
+
+def test_widen_nested_and_on_mapped_table(spark, tmp_path):
+    """Widening composes with column mapping and the DDL family."""
+    mapped = str(tmp_path / "widen_cm")
+    build_column_mapped_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)],
+            "id int, grp string, score float",
+        ),
+        mapped,
+        physical={"id": "col-9a1b", "grp": "col-7f3e", "score": "col-0c42"},
+        partition_by=["grp"],
+    )
+    dl.widen_column(mapped, "id", "long")
+    snap = dl.snapshot(mapped)
+    assert snap.schema["id"].dataType.simpleString() == "bigint"
+    # mapping metadata survived
+    assert snap.schema["id"].metadata[
+        "delta.columnMapping.physicalName"
+    ] == "col-9a1b"
+    assert "columnMapping" in snap.protocol["readerFeatures"]
+    df = dl.read_delta(spark, mapped)
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+    # rename after widen keeps the widening history
+    dl.rename_column(mapped, "id", "ident")
+    snap = dl.snapshot(mapped)
+    assert snap.schema["ident"].metadata[
+        "delta.typeWidening.previousTypes"
+    ][0]["toType"] == "bigint"
