@@ -360,6 +360,23 @@ def _typed_partition_value(raw, dt):
     raise ValueError(f"unsupported partition column type {name!r}")
 
 
+def _schema_signature(schema_json_str):
+    """Order-sensitive (name, type) signature of a Delta schemaString —
+    the comparison behind the mid-stream schema-change guard (metadata
+    like column-mapping ids does NOT count as a change; a rename, drop,
+    add, or retype does)."""
+    import json as _json
+
+    try:
+        parsed = _json.loads(schema_json_str or "{}")
+    except ValueError:
+        return None
+    return [
+        (f.get("name"), _json.dumps(f.get("type"), sort_keys=True))
+        for f in parsed.get("fields", [])
+    ]
+
+
 class DeltaLiteStreamReader(DataSourceStreamReader):
     """Micro-batch STREAMING source over a delta_lite table — the
     jar-less equivalent of Delta's streaming source: the offset is the
@@ -373,7 +390,7 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
     literals (delta data files do not store partition columns)."""
 
     def __init__(self, path: str, schema_json: str, starting_version=None,
-                 ignore_changes=False):
+                 ignore_changes=False, physical_names=None):
         from . import delta_lite
 
         if not delta_lite.is_delta_table(path):
@@ -382,6 +399,9 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         self.schema_json = schema_json
         self.starting_version = starting_version
         self.ignore_changes = ignore_changes
+        #: logical -> physical column names (column-mapped tables); the
+        #: parquet files and partitionValues are keyed physically
+        self.physical_names = dict(physical_names or {})
 
     def initialOffset(self) -> dict:
         # option("startingVersion", N): begin at version N's dataChange
@@ -427,6 +447,19 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
                     if not line:
                         continue
                     action = _json.loads(line)
+                    md = action.get("metaData")
+                    if md is not None and _schema_signature(
+                        md.get("schemaString")
+                    ) != _schema_signature(self.schema_json):
+                        # delta-spark fails a running stream on a schema
+                        # change for the same reason: rows after the
+                        # change cannot bind to the stream's fixed
+                        # schema (a RENAME would silently read nulls)
+                        raise ValueError(
+                            f"delta_lite stream: version {v} changed the "
+                            "table schema; restart the stream to pick up "
+                            "the new schema"
+                        )
                     add = action.get("add")
                     remove = action.get("remove")
                     if add and add.get("dataChange", True):
@@ -478,11 +511,14 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         cols = {name: table.column(name).to_pylist() for name in table.column_names}
         n = table.num_rows
         fields = schema.fields
+        phys = self.physical_names
         for i in range(n):
             yield tuple(
-                _typed_partition_value(pvals.get(f.name), f.dataType)
-                if f.name in pvals
-                else cols[f.name][i]
+                _typed_partition_value(
+                    pvals.get(phys.get(f.name, f.name)), f.dataType
+                )
+                if phys.get(f.name, f.name) in pvals
+                else cols[phys.get(f.name, f.name)][i]
                 for f in fields
             )
 
@@ -588,6 +624,14 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
                         operation = action["commitInfo"].get("operation")
                         ts_ms = action["commitInfo"].get("timestamp")
                     elif "metaData" in action:
+                        if _schema_signature(
+                            action["metaData"].get("schemaString")
+                        ) != _schema_signature(self.schema_json):
+                            raise ValueError(
+                                f"delta_lite change feed: version {v} "
+                                "changed the table schema; restart the "
+                                "stream to pick up the new schema"
+                            )
                         cdf_on = (
                             str(
                                 (action["metaData"].get("configuration") or {})
@@ -743,11 +787,18 @@ class DeltaLiteDataSource(DataSource):
                 self.options.get("startingversion"),
                 physical_names=phys,
             )
+        phys = {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
         return DeltaLiteStreamReader(
             self.options["path"],
             schema.json(),
             self.options.get("startingversion"),
             str(self.options.get("ignorechanges", "")).lower() == "true",
+            physical_names=phys,
         )
 
 

@@ -1039,3 +1039,30 @@ def test_timestamp_as_of(spark, table):
         dl.read_delta(spark, table, timestamp_ms=500)
     with pytest.raises(dl.DeltaLiteError, match="not both"):
         dl.read_delta(spark, table, version=1, timestamp_ms=2500)
+
+
+def test_streaming_source_fails_on_mid_stream_schema_change(
+    spark, table, tmp_path
+):
+    """A RENAME/DROP COLUMN between drains changes the schema the
+    running stream bound at start — the source must fail the batch
+    (delta-spark behavior), never read the renamed column as nulls.
+    Metadata-only commits that do NOT change the schema (CHECK
+    constraint add) stream through fine."""
+    dl.write_delta(
+        _people(spark, 0, 3), table,
+        column_mapping="name",
+    )
+    ck, out = str(tmp_path / "c"), str(tmp_path / "o")
+    assert _drain_stream(spark, table, ck, out).count() == 3
+    # a schema-neutral metadata commit does not trip the guard
+    dl.add_check_constraint(spark, table, "pos", "score >= 0")
+    dl.write_delta(_people(spark, 3, 4), table)
+    assert _drain_stream(spark, table, ck, out).count() == 4
+    dl.drop_check_constraint(table, "pos")
+    dl.rename_column(table, "score", "points")
+    dl.write_delta(
+        _people(spark, 4, 5).withColumnRenamed("score", "points"), table
+    )
+    with pytest.raises(Exception, match="changed the table schema"):
+        _drain_stream(spark, table, ck, out)
