@@ -252,3 +252,16 @@ def test_add_column_guards(spark, table):
     rows = {r["id"]: r["score"] for r in
             il.read_iceberg(spark, table).collect()}
     assert all(v is None for v in rows.values())
+
+
+def test_incremental_scan_resolves_renamed_names(spark, table):
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    _write(spark, table, [Row(id=500, grp="a", points=5.5)])
+    inc = il.read_iceberg_incremental(spark, table, from_snapshot=1)
+    assert inc.columns == ["id", "grp", "points"]
+    assert [(r["id"], r["points"]) for r in inc.collect()] == [(500, 5.5)]
+    # a range beginning BEFORE the rename still resolves: the old
+    # file scans under its as-written name and projects to current
+    _write(spark, table, [Row(id=501, grp="b", points=6.5)])
+    inc2 = il.read_iceberg_incremental(spark, table, from_snapshot=3)
+    assert sorted(r["id"] for r in inc2.collect()) == [501]
