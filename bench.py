@@ -126,6 +126,20 @@ BASELINES = {
     "stream_iceberg_upsert_sink": (2.755, 9),
     "sink_iceberg_delete_where": (2.344, 9),
     "sink_lakehouse_update": (2.766, 9),
+    # round-10 promotions (quiet run 2026-08-16, normalized by
+    # md5 calibration 0.099 vs 0.0664 ref)
+    "src_iceberg_v3_dv_read": (1.336, 10),
+    "sink_iceberg_v3_dv_merge": (2.011, 10),
+    "src_iceberg_v3_row_lineage": (0.759, 10),
+    "sink_delta_dv_merge": (1.4, 10),
+    "sink_delta_dv_update": (1.612, 10),
+    "src_delta_nested_mapping": (0.404, 10),
+    "sink_delta_row_tracking": (3.452, 10),
+    "src_delta_row_tracking_read": (0.948, 10),
+    "sink_delta_column_ddl": (0.39, 10),
+    "sink_iceberg_column_ddl": (0.416, 10),
+    "sink_delta_nested_mapped_write": (0.584, 10),
+    "src_uniform_mapped_export": (0.752, 10),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -139,21 +153,8 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-10 additions (promoted to BASELINES next round)
-    "src_iceberg_v3_dv_read",
-    "sink_iceberg_v3_dv_merge",
-    "src_iceberg_v3_row_lineage",
-    "sink_delta_dv_merge",
-    "sink_delta_dv_update",
-    "src_delta_nested_mapping",
-    "sink_delta_row_tracking",
-    "src_delta_row_tracking_read",
-    # round-10 second session: column DDL both formats, nested mapped
-    # writes, uniform-over-mapped export
-    "sink_delta_column_ddl",
-    "sink_iceberg_column_ddl",
-    "sink_delta_nested_mapped_write",
-    "src_uniform_mapped_export",
+    # (round-10 close: all 12 r10 gates promoted to BASELINES with
+    # quiet-run normalized times; next round's new gates enter here)
 ]
 
 
