@@ -2017,6 +2017,143 @@ def drop_column(path: str, column: str) -> int:
     )
 
 
+def enable_column_mapping(path: str) -> int:
+    """Upgrade an EXISTING unmapped table to column mapping mode
+    ``name`` (delta-spark's ``ALTER TABLE SET TBLPROPERTIES
+    ('delta.columnMapping.mode'='name')`` migration): every current
+    field keeps its on-disk name as its ``physicalName`` (the files
+    already carry those names, so nothing rewrites) and mints a field
+    id; the protocol advances to reader 2 / writer 5 (or the
+    ``columnMapping`` feature on a table-features protocol).  After
+    this, RENAME/DROP COLUMN and physicalized struct writes are
+    available on a legacy table — a pure metadata commit."""
+    snap = snapshot(path)
+    if _column_mapping_mode(snap.configuration) != "none":
+        raise DeltaLiteError("column mapping is already enabled")
+    fields = []
+    for i, f in enumerate(snap.schema.fields):
+        meta = dict(f.metadata or {})
+        meta["delta.columnMapping.id"] = i + 1
+        meta["delta.columnMapping.physicalName"] = f.name
+        fields.append(
+            StructField(f.name, f.dataType, f.nullable, metadata=meta)
+        )
+    conf = dict(snap.configuration)
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+    proto = dict(snap.protocol or _PROTOCOL)
+    if proto.get("readerFeatures") is not None:
+        proto["readerFeatures"] = sorted(
+            set(proto["readerFeatures"]) | {"columnMapping"}
+        )
+        proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or []) | {"columnMapping"}
+        )
+    else:
+        proto["minReaderVersion"] = max(
+            int(proto.get("minReaderVersion", 1)), 2
+        )
+        proto["minWriterVersion"] = max(
+            int(proto.get("minWriterVersion", 2)), 5
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "properties": {"delta.columnMapping.mode": "name"}
+                },
+            }
+        },
+        {"protocol": proto},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": StructType(fields).json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, conf):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "enable_column_mapping"
+        )
+    return version
+
+
+#: table properties whose value changes carry protocol/layout
+#: obligations a blind SET cannot honor — each needs its dedicated
+#: migration path (or is a creation-time-only choice)
+_GUARDED_PROPERTIES = (
+    "delta.columnMapping.",          # enable_column_mapping
+    "delta.enableRowTracking",       # write-path backfill required
+    "delta.constraints.",            # add/drop_check_constraint validate
+    "delta.identity.",               # field metadata, not table props
+)
+
+
+def set_delta_properties(path: str, properties: dict) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES`` — metadata-only property
+    merge; a value of None removes the key (UNSET).  Properties with
+    protocol or layout obligations (column mapping, row tracking,
+    CHECK constraints, identity) refuse and name their dedicated
+    path.  Safe-by-construction toggles (``delta.appendOnly``,
+    ``delta.enableChangeDataFeed``, ``delta.enableDeletionVectors``,
+    retention windows, custom user properties) commit directly; the
+    writer paths already honor them per-commit."""
+    snap = snapshot(path)
+    for key in properties:
+        if any(key.startswith(g) for g in _GUARDED_PROPERTIES):
+            raise DeltaLiteError(
+                f"property {key!r} carries protocol/layout obligations; "
+                "use its dedicated path (enable_column_mapping, "
+                "add_check_constraint, write_delta creation options)"
+            )
+    conf = dict(snap.configuration)
+    for k, v in properties.items():
+        if v is None:
+            conf.pop(k, None)
+        else:
+            conf[k] = str(v)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "properties": {
+                        k: (v if v is None else str(v))
+                        for k, v in properties.items()
+                    }
+                },
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema_string,
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, conf):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "set_delta_properties"
+        )
+    return version
+
+
 #: PROTOCOL.md §Type Widening — the stable widenings delta-spark 4.x
 #: accepts whose parquet scan-side upcast Spark performs natively
 #: (int32 files read under a long/double schema, float under double).

@@ -400,3 +400,104 @@ def test_widen_nested_and_on_mapped_table(spark, tmp_path):
     assert snap.schema["ident"].metadata[
         "delta.typeWidening.previousTypes"
     ][0]["toType"] == "bigint"
+
+
+# ----------------------------------------- property DDL / mapping upgrade
+
+
+def test_enable_column_mapping_on_legacy_table(spark, tmp_path):
+    """The migration that unlocks column DDL on a legacy table: every
+    field keeps its on-disk name as physicalName (zero files touched),
+    then RENAME works and post-rename appends keep writing the OLD
+    physical name."""
+    path = str(tmp_path / "legacy")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, label=f"l{i}") for i in range(4)]
+        ).select("id", "label"),
+        path,
+    )
+    with pytest.raises(dl.DeltaLiteError, match="columnMapping"):
+        dl.rename_column(path, "label", "name")
+    before = [f.path for f in dl.snapshot(path).files]
+    dl.enable_column_mapping(path)
+    snap = dl.snapshot(path)
+    assert [f.path for f in snap.files] == before
+    assert snap.configuration["delta.columnMapping.mode"] == "name"
+    f = snap.schema["label"]
+    assert f.metadata["delta.columnMapping.physicalName"] == "label"
+    assert snap.protocol["minReaderVersion"] >= 2
+    with pytest.raises(dl.DeltaLiteError, match="already enabled"):
+        dl.enable_column_mapping(path)
+    dl.rename_column(path, "label", "name")
+    got = dl.read_delta(spark, path)
+    assert got.columns == ["id", "name"]
+    dl.write_delta(
+        spark.createDataFrame([Row(id=9, name="l9")]).select("id", "name"),
+        path,
+    )
+    snap = dl.snapshot(path)
+    new_file = [p for p in (f.path for f in snap.files) if p not in before]
+    raw = spark.read.parquet(os.path.join(path, new_file[0]))
+    assert "label" in raw.columns and "name" not in raw.columns
+    assert sorted(
+        r["id"] for r in dl.read_delta(spark, path).collect()
+    ) == [0, 1, 2, 3, 9]
+
+
+def test_set_delta_properties_toggles_and_guards(spark, tmp_path):
+    path = str(tmp_path / "props")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1)]).select("id"), path
+    )
+    v = dl.set_delta_properties(
+        path, {"delta.enableChangeDataFeed": "true", "custom.owner": "etl"}
+    )
+    snap = dl.snapshot(path)
+    assert snap.version == v
+    assert snap.configuration["custom.owner"] == "etl"
+    assert snap.configuration["delta.enableChangeDataFeed"] == "true"
+    # CDF is live from this version on
+    dl.write_delta(
+        spark.createDataFrame([Row(id=2)]).select("id"), path
+    )
+    feed = dl.read_change_feed(spark, path, v + 1, v + 1)
+    assert [(r["id"], r["_change_type"]) for r in feed.collect()] \
+        == [(2, "insert")]
+    # UNSET removes
+    dl.set_delta_properties(path, {"custom.owner": None})
+    assert "custom.owner" not in dl.snapshot(path).configuration
+    # guarded properties refuse and point at the dedicated path
+    for bad in (
+        "delta.columnMapping.mode",
+        "delta.enableRowTracking",
+        "delta.constraints.x",
+    ):
+        with pytest.raises(dl.DeltaLiteError, match="dedicated path"):
+            dl.set_delta_properties(path, {bad: "true"})
+
+
+def test_enable_mapping_then_drop_hides_legacy_bytes(spark, tmp_path):
+    path = str(tmp_path / "legacy2")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, secret=f"s{i}", keep=i * 2) for i in range(3)]
+        ).select("id", "secret", "keep"),
+        path,
+    )
+    dl.enable_column_mapping(path)
+    dl.drop_column(path, "secret")
+    df = dl.read_delta(spark, path)
+    assert df.columns == ["id", "keep"]
+    # re-add mints a FRESH physical name even though the legacy file
+    # carries a physical column literally named "secret"
+    dl.write_delta(
+        spark.createDataFrame([Row(id=7, keep=1, secret="new")])
+        .select("id", "keep", "secret"),
+        path,
+        schema_mode="evolve",
+    )
+    rows = {r["id"]: r["secret"] for r in
+            dl.read_delta(spark, path).collect()}
+    assert rows[7] == "new"
+    assert all(rows[i] is None for i in range(3))
