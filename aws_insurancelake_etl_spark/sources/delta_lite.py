@@ -3337,6 +3337,142 @@ def optimize(
     }
 
 
+def reorg_purge(spark: SparkSession, path: str) -> dict:
+    """``REORG TABLE ... APPLY (PURGE)``: physically rewrite exactly
+    the files that still carry soft-deleted bytes — a deletion vector,
+    or parquet columns no current schema field maps to (the bytes a
+    DROP COLUMN left behind; the GDPR lever).  Untouched files are
+    untouched; the commit is ``dataChange=false`` (row set identical,
+    streams see nothing) and row-tracking ids ride into the rewritten
+    files materialized.  After the tombstone retention window,
+    ``vacuum`` reclaims the old files and the dropped bytes are GONE
+    from disk, which a metadata-only DROP alone never guarantees.
+
+    Footer checks are one cached driver-side read per live file —
+    O(files) metadata, the same class as the planner itself.  Returns
+    {"version", "files_purged", "dv_files_purged"} (version None when
+    nothing needed purging)."""
+    import dataclasses
+
+    import pyarrow.parquet as _pq
+
+    snap = snapshot(path)
+    _guard_writable(snap, operation="REORG")
+    mode = _column_mapping_mode(snap.configuration)
+
+    def _expected_names(schema) -> set:
+        from pyspark.sql.types import ArrayType, MapType
+        from pyspark.sql.types import StructType as _ST
+
+        out: set = set()
+
+        def walk_dt(dt):
+            if isinstance(dt, _ST):
+                for f in dt.fields:
+                    out.add(
+                        _phys_field_name(f) if mode != "none" else f.name
+                    )
+                    walk_dt(f.dataType)
+            elif isinstance(dt, ArrayType):
+                walk_dt(dt.elementType)
+            elif isinstance(dt, MapType):
+                walk_dt(dt.valueType)
+
+        for f in schema.fields:
+            out.add(_phys_field_name(f) if mode != "none" else f.name)
+            walk_dt(f.dataType)
+        return out
+
+    def _footer_names(arrow_schema) -> set:
+        out: set = set()
+
+        def walk(field):
+            out.add(field.name)
+            for i in range(field.type.num_fields):
+                walk(field.type.field(i))
+
+        for f in arrow_schema:
+            walk(f)
+        return out
+
+    expected = _expected_names(snap.schema)
+    # row-tracking materialized columns and internal names are legal
+    # extras in every file
+    expected |= {
+        c
+        for c in _rt_col_names(snap.configuration)
+        if c
+    }
+    part_cols, phys = _mapping_of(snap)
+    expected |= {(phys or {}).get(c, c) for c in part_cols}
+    selected, dv_count = [], 0
+    for a in snap.files:
+        if a.deletion_vector:
+            selected.append(a)
+            dv_count += 1
+            continue
+        footer = _footer_names(
+            _pq.read_schema(os.path.join(path, a.path))
+        )
+        if footer - expected:
+            selected.append(a)
+    if not selected:
+        return {"version": None, "files_purged": 0, "dv_files_purged": 0}
+    rt = _row_tracking_on(snap.configuration)
+    rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
+    rt = rt and bool(rt_id_col)
+    sub = dataclasses.replace(snap, files=selected)
+    df = _read_snapshot(spark, sub, with_row_ids=rt)
+    if rt:
+        df = df.withColumnRenamed("_row_id", rt_id_col).withColumnRenamed(
+            "_row_commit_version", rt_cv_col
+        )
+    adds = _stage_data_files(
+        _to_physical(df, phys, snap.schema),
+        path,
+        [(phys or {}).get(c, c) for c in part_cols],
+    )
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "REORG",
+                "engine": "delta-lite",
+                "operationParameters": {"applyPurge": True},
+            }
+        }
+    ]
+    actions += [
+        {
+            "remove": {
+                "path": quote(a.path, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for a in selected
+    ]
+    for a in adds:
+        a.data_change = False
+    version = snap.version + 1
+    rt_actions = _assign_row_ids(
+        snap.configuration, snap.domain_metadata, adds, version, path
+    )
+    actions += [_add_json(a) for a in adds] + rt_actions
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        _discard_staged(path, adds)
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "reorg_purge"
+        )
+    _maybe_checkpoint(path, version)
+    return {
+        "version": version,
+        "files_purged": len(selected),
+        "dv_files_purged": dv_count,
+    }
+
+
 def _delete_partition_metadata_only(
     spark: SparkSession, path: str, snap: Snapshot, predicate: str
 ):

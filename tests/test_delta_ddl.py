@@ -501,3 +501,82 @@ def test_enable_mapping_then_drop_hides_legacy_bytes(spark, tmp_path):
             dl.read_delta(spark, path).collect()}
     assert rows[7] == "new"
     assert all(rows[i] is None for i in range(3))
+
+
+# --------------------------------------------------- REORG APPLY PURGE
+
+
+def test_reorg_purge_removes_dropped_bytes_and_dvs(spark, tmp_path):
+    path = str(tmp_path / "reorg")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, secret=f"s{i}", keep=float(i)) for i in range(8)]
+        ).select("id", "secret", "keep").orderBy("id").coalesce(1),
+        path,
+        column_mapping="name",
+    )
+    phys_secret = dl.snapshot(path).schema["secret"].metadata[
+        "delta.columnMapping.physicalName"
+    ]
+    dl.drop_column(path, "secret")
+    dl.delete_delta(spark, path, "id >= 6", use_deletion_vectors=True)
+    res = dl.reorg_purge(spark, path)
+    assert res["files_purged"] >= 1 and res["dv_files_purged"] >= 1
+    snap = dl.snapshot(path)
+    # the rewritten files carry neither the dropped bytes nor a DV
+    for f in snap.files:
+        assert f.deletion_vector is None
+        raw = spark.read.parquet(os.path.join(path, f.path))
+        assert phys_secret not in raw.columns
+    got = dl.read_delta(spark, path)
+    assert sorted(r["id"] for r in got.collect()) == list(range(6))
+    # idempotent: nothing left to purge
+    res2 = dl.reorg_purge(spark, path)
+    assert res2 == {
+        "version": None, "files_purged": 0, "dv_files_purged": 0
+    }
+    # dataChange=false: an append-only stream replays nothing
+    assert all(not f.data_change for f in snap.files)
+
+
+def test_reorg_purge_untouched_files_stay(spark, tmp_path):
+    path = str(tmp_path / "reorg2")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v"), path
+    )
+    clean = dl.snapshot(path).files[0].path
+    dl.write_delta(
+        spark.createDataFrame([Row(id=2, v=2.0)]).select("id", "v"), path
+    )
+    dirty = [f.path for f in dl.snapshot(path).files if f.path != clean]
+    dl.delete_delta(spark, path, "id = 2", use_deletion_vectors=True)
+    res = dl.reorg_purge(spark, path)
+    assert res["files_purged"] == 1
+    after = {f.path for f in dl.snapshot(path).files}
+    assert clean in after and dirty[0] not in after
+    assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) \
+        == [1]
+
+
+def test_reorg_purge_preserves_row_ids(spark, tmp_path):
+    path = str(tmp_path / "reorg_rt")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(6)]
+        ).select("id", "v").orderBy("id").coalesce(1),
+        path,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    ids_before = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, path, row_tracking=True).collect()
+    }
+    dl.delete_delta(spark, path, "id = 3", use_deletion_vectors=True)
+    dl.reorg_purge(spark, path)
+    ids_after = {
+        r["id"]: r["_row_id"]
+        for r in dl.read_delta(spark, path, row_tracking=True).collect()
+    }
+    assert ids_after == {
+        k: v for k, v in ids_before.items() if k != 3
+    }
