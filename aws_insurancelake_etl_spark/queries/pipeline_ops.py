@@ -6067,3 +6067,65 @@ def src_uniform_mapped_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     if {e["field-id"] for e in nm} != ids:
         raise RuntimeError("name mapping does not cover every field id")
     return iceberg_lite.read_iceberg(spark, ice)
+
+
+@register(
+    "src_iceberg_nested_types",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 11 <> 0 THEN c_name END AS profile_name,
+           CASE WHEN c_custkey % 11 <> 0
+                THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+           END AS balance_cents,
+           c_mktsegment AS tag0
+    FROM customer
+    WHERE c_custkey % 2 = 0 AND c_acctbal >= 0
+    """,
+)
+def src_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NESTED TYPES (round 10 — closes a silent mis-declaration
+    that CRASHED reads: struct columns used to land in metadata as
+    'string').  Struct/list columns now commit spec-shaped nested
+    schema objects with unique field ids at every level
+    (spec §Schemas), appends preserve those ids, and MOR DELETE
+    composes (the position-delete anti-join is type-agnostic).  The
+    gate writes a struct+list table, deletes on a NESTED predicate,
+    and flattens for the value-level oracle — null structs included."""
+    from ..sources import iceberg_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+    src = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 2 == 0
+    ).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 != 0,
+            F.struct(
+                F.col("c_name").alias("name"),
+                cents.alias("balance_cents"),
+            ),
+        ).alias("profile"),
+        F.array(F.col("c_mktsegment")).alias("tags"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-nested-") + "/t"
+    iceberg_lite.write_iceberg(spark, src, tbl)
+    # nested ids are unique across every level (in-gate spec check)
+    meta = iceberg_lite._load_metadata(tbl)
+    cur = iceberg_lite._current_schema_of(meta)
+    ids = []
+    for f in cur["fields"]:
+        ids.append(int(f["id"]))
+        ids.extend(iceberg_lite._walk_type_ids(f["type"]))
+    if len(set(ids)) != len(ids):
+        raise RuntimeError(f"duplicate nested field ids: {sorted(ids)}")
+    iceberg_lite.delete_iceberg(spark, tbl, "bal < 0")
+    out = iceberg_lite.read_iceberg(spark, tbl)
+    return out.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.balance_cents").alias("balance_cents"),
+        F.element_at("tags", 1).alias("tag0"),
+    )

@@ -1993,18 +1993,45 @@ def _spark_schema_from_meta(meta: dict):
         schema = schemas[-1]
     if not schema:
         return None
+    from pyspark.sql.types import ArrayType, MapType
+
+    def conv(ice):
+        if isinstance(ice, dict):
+            kind = ice.get("type")
+            if kind == "struct":
+                subs = []
+                for sub in ice.get("fields", []):
+                    t = conv(sub.get("type"))
+                    if t is None:
+                        return None
+                    subs.append(StructField(sub["name"], t, True))
+                return StructType(subs)
+            if kind == "list":
+                el = conv(ice.get("element"))
+                if el is None:
+                    return None
+                return ArrayType(
+                    el, not bool(ice.get("element-required"))
+                )
+            if kind == "map":
+                k = conv(ice.get("key"))
+                v = conv(ice.get("value"))
+                if k is None or v is None:
+                    return None
+                return MapType(
+                    k, v, not bool(ice.get("value-required"))
+                )
+            return None
+        m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice or "")
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        return simple.get(ice)
+
     fields = []
     for f in schema.get("fields", []):
-        ice = f.get("type")
-        if not isinstance(ice, str):
-            return None  # nested types: fall back
-        m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice)
-        if m:
-            spark_t = DecimalType(int(m.group(1)), int(m.group(2)))
-        else:
-            spark_t = simple.get(ice)
+        spark_t = conv(f.get("type"))
         if spark_t is None:
-            return None
+            return None  # unknown types: fall back to parquet footers
         fields.append(StructField(f["name"], spark_t, True))
     return StructType(fields)
 
@@ -2105,59 +2132,167 @@ def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
     # floor at last-column-id: after DROP COLUMN the current schema's
     # max id can sit below a RETIRED field's id — reusing it would bind
     # the old field's bounds maps and equality-delete references to the
-    # new column (the spec's id-reuse prohibition)
-    max_id = max(
-        max((int(f["id"]) for f in fields), default=0),
-        int(meta.get("last-column-id", 0) or 0),
-    )
+    # new column (the spec's id-reuse prohibition).  Nested ids count.
+    max_id = int(meta.get("last-column-id", 0) or 0)
+    for f in fields:
+        max_id = max(max_id, int(f["id"]), *(
+            list(_walk_type_ids(f["type"])) or [0]
+        ))
+    counter = {"v": max_id}
+
+    def mint() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
     widen = {("int", "long"), ("float", "double")}
     for f in df.schema.fields:
-        simple = f.dataType.simpleString()
-        if simple.startswith("decimal"):
-            ice = simple
-        elif simple.startswith("timestamp"):
-            ice = "timestamptz"
-        else:
-            ice = _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
+        # signature first (ids all zero — no ids are minted unless the
+        # column is genuinely new)
+        sig = _ice_type_sig(_ice_type_of(f.dataType, lambda: 0))
         have = by_name.get(f.name)
         if have is None:
-            max_id += 1
-            new = {"id": max_id, "name": f.name, "required": False,
-                   "type": ice}
+            fid = mint()
+            new = {"id": fid, "name": f.name, "required": False,
+                   "type": _ice_type_of(f.dataType, mint)}
             fields.append(new)
             by_name[f.name] = new
-        elif have["type"] != ice:
-            if (have["type"], ice) in widen:
+        elif _ice_type_sig(have["type"]) != sig:
+            ice = _ice_type_of(f.dataType, lambda: 0)
+            both_str = isinstance(have["type"], str) and isinstance(
+                ice, str
+            )
+            if both_str and (have["type"], ice) in widen:
                 have["type"] = ice  # promotion, id preserved
-            elif (ice, have["type"]) in widen:
+            elif both_str and (ice, have["type"]) in widen:
                 pass  # narrower write into a wider column: fine
             else:
                 raise IcebergLiteError(
                     f"append retypes column {f.name!r} "
                     f"{have['type']} -> {ice}; only int->long and "
-                    "float->double promotions are legal evolution"
+                    "float->double promotions are legal evolution "
+                    "(nested shape changes included)"
                 )
     return fields
 
 
+def _ice_type_of(dt, mint):
+    """Spark DataType -> Iceberg schema type (spec §Schemas): nested
+    struct/list/map become the spec's JSON object forms, every nested
+    field/element/key/value minting a fresh field id via ``mint()`` —
+    ids are the identity at EVERY nesting level."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _SchST
+
+    if isinstance(dt, _SchST):
+        fields = []
+        for f in dt.fields:
+            fid = mint()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _ice_type_of(f.dataType, mint),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, ArrayType):
+        eid = mint()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _ice_type_of(dt.elementType, mint),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, MapType):
+        kid = mint()
+        vid = mint()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _ice_type_of(dt.keyType, mint),
+            "value-id": vid,
+            "value": _ice_type_of(dt.valueType, mint),
+            "value-required": not dt.valueContainsNull,
+        }
+    simple = dt.simpleString()
+    if simple.startswith("decimal"):
+        return simple  # spark decimal(P,S) == iceberg decimal(P,S)
+    if simple.startswith("timestamp"):
+        return "timestamptz"
+    return _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
+
+
+def _ice_type_sig(t):
+    """Structural signature of an iceberg type IGNORING field ids — the
+    evolution comparison: an append whose nested shape matches the
+    table keeps the table's ids; a shape change refuses."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _ice_type_sig(f["type"]),
+                     bool(f.get("required")))
+                    for f in t.get("fields", [])
+                ),
+            )
+        if kind == "list":
+            return (
+                "list", _ice_type_sig(t.get("element")),
+                bool(t.get("element-required")),
+            )
+        if kind == "map":
+            return (
+                "map", _ice_type_sig(t.get("key")),
+                _ice_type_sig(t.get("value")),
+                bool(t.get("value-required")),
+            )
+    return t
+
+
+def _walk_type_ids(t):
+    """Yield every NESTED field id inside an iceberg type object."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                yield int(f["id"])
+                yield from _walk_type_ids(f["type"])
+        elif kind == "list":
+            yield int(t["element-id"])
+            yield from _walk_type_ids(t.get("element"))
+        elif kind == "map":
+            yield int(t["key-id"])
+            yield int(t["value-id"])
+            yield from _walk_type_ids(t.get("key"))
+            yield from _walk_type_ids(t.get("value"))
+
+
 def _ice_schema_fields(df) -> list[dict]:
-    """Iceberg schema fields (with 1-based FIELD IDS by column position)
-    for the table metadata — equality-delete manifests name their
-    equated columns by these ids (spec §Equality Delete Files), so every
-    committed metadata must carry them.  Accepts a DataFrame or a
-    StructType."""
+    """Iceberg schema fields (with 1-based FIELD IDS by column position;
+    nested struct/list/map fields mint ids continuing past the
+    top-level block) for the table metadata — equality-delete manifests
+    name their equated columns by these ids (spec §Equality Delete
+    Files), so every committed metadata must carry them.  Accepts a
+    DataFrame or a StructType."""
     schema = df if not hasattr(df, "schema") else df.schema
+    counter = {"v": len(schema.fields)}
+
+    def mint() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
     fields = []
     for i, f in enumerate(schema.fields):
-        simple = f.dataType.simpleString()
-        if simple.startswith("decimal"):
-            ice = simple  # spark decimal(P,S) == iceberg decimal(P,S)
-        elif simple.startswith("timestamp"):
-            ice = "timestamptz"
-        else:
-            ice = _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
         fields.append(
-            {"id": i + 1, "name": f.name, "required": False, "type": ice}
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _ice_type_of(f.dataType, mint),
+            }
         )
     return fields
 
@@ -4306,7 +4441,10 @@ def _last_column_id(meta: dict) -> int:
         [meta["schema"]] if meta.get("schema") else []
     ):
         for f in s.get("fields", []):
-            seen = max(seen, int(f["id"]))
+            seen = max(
+                seen, int(f["id"]),
+                *(list(_walk_type_ids(f["type"])) or [0]),
+            )
     return max(explicit, seen)
 
 

@@ -153,8 +153,9 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: all 12 r10 gates promoted to BASELINES with
-    # quiet-run normalized times; next round's new gates enter here)
+    # (round-10 close: the first 12 r10 gates were promoted to
+    # BASELINES with quiet-run normalized times)
+    "src_iceberg_nested_types",
 ]
 
 

@@ -1350,3 +1350,69 @@ def test_delete_iceberg_row_path_position_deletes(spark, tmp_path):
     assert got2 == got
     _, dels = iceberg_lite.plan_scan(path)
     assert dels == []
+
+
+# --------------------------------------------------- nested types (r10)
+
+
+def test_nested_types_roundtrip_and_evolution(spark, tmp_path):
+    """round 10: struct/list/map columns get spec-shaped nested schema
+    metadata (unique field ids at every level) instead of the former
+    'string' mis-declaration that crashed reads; appends preserve the
+    ids, and nested shape CHANGES refuse as illegal evolution."""
+    path = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [
+            Row(id=1, info=Row(city="x", zip=7), tags=["a", "b"]),
+            Row(id=2, info=None, tags=[]),
+        ]
+    ).select("id", "info", "tags")
+    iceberg_lite.write_iceberg(spark, df, path)
+    meta = iceberg_lite._load_metadata(path)
+    cur = iceberg_lite._current_schema_of(meta)
+    info = next(f for f in cur["fields"] if f["name"] == "info")
+    assert info["type"]["type"] == "struct"
+    nested_ids = [f["id"] for f in info["type"]["fields"]]
+    top_ids = [f["id"] for f in cur["fields"]]
+    all_ids = top_ids + nested_ids + [
+        next(f for f in cur["fields"] if f["name"] == "tags")["type"][
+            "element-id"
+        ]
+    ]
+    assert len(set(all_ids)) == len(all_ids)
+    assert iceberg_lite._last_column_id(meta) == max(all_ids)
+    out = iceberg_lite.read_iceberg(spark, path)
+    got = {r["id"]: (r["info"], list(r["tags"])) for r in out.collect()}
+    assert got[1] == (Row(city="x", zip=7), ["a", "b"])
+    assert got[2] == (None, [])
+    # same-shape append keeps the schema (no new schema version)
+    iceberg_lite.write_iceberg(
+        spark, df.withColumn("id", df.id + 10), path
+    )
+    meta2 = iceberg_lite._load_metadata(path)
+    assert iceberg_lite._current_schema_of(meta2)["fields"] == cur["fields"]
+    # nested shape change refuses
+    bad = spark.createDataFrame(
+        [Row(id=99, info=Row(city="y"), tags=["z"])]
+    ).select("id", "info", "tags")
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="retypes"):
+        iceberg_lite.write_iceberg(spark, bad, path)
+
+
+def test_nested_types_compose_with_dml_and_top_level_ddl(spark, tmp_path):
+    path = str(tmp_path / "nested_dml")
+    df = spark.createDataFrame(
+        [Row(id=i, info=Row(score=float(i))) for i in range(6)]
+    ).select("id", "info")
+    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.delete_iceberg(spark, path, "info.score >= 4.0")
+    assert sorted(
+        r["id"] for r in iceberg_lite.read_iceberg(spark, path).collect()
+    ) == [0, 1, 2, 3]
+    # top-level rename of a struct COLUMN (not its fields) works
+    iceberg_lite.alter_iceberg_schema(path, renames={"info": "details"})
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert out.columns == ["id", "details"]
+    assert {r["details"]["score"] for r in out.collect()} == {
+        0.0, 1.0, 2.0, 3.0
+    }
