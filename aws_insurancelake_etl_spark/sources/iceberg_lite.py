@@ -1179,6 +1179,22 @@ def read_iceberg(
     # tables that actually declare defaults.  Non-primitive defaults
     # (struct/list JSON values) stay a named refusal.
     _defaults_meta = _load_metadata(table_path)
+    if snapshot_id is not None:
+        # spec §Scan Planning: a time-travel read uses the SNAPSHOT's
+        # schema, not the table's current one — after a RENAME, reading
+        # an old snapshot surfaces the names its consumers saw then.
+        # Implemented by re-pointing current-schema-id for this read;
+        # the name-resolution machinery below handles the rest.
+        _tt_id = _resolve_ref(_defaults_meta, snapshot_id)
+        for _s in _defaults_meta.get("snapshots") or []:
+            if _s.get("snapshot-id") == _tt_id:
+                _ssid = _s.get("schema-id")
+                if _ssid is not None and _ssid != _defaults_meta.get(
+                    "current-schema-id"
+                ):
+                    _defaults_meta = dict(_defaults_meta)
+                    _defaults_meta["current-schema-id"] = _ssid
+                break
     column_defaults: dict = {}
     for s in _defaults_meta.get("schemas") or (
         [_defaults_meta["schema"]] if _defaults_meta.get("schema") else []

@@ -179,13 +179,16 @@ def test_rename_on_v3_preserves_row_lineage(spark, tmp_path):
 
 
 def test_snapshot_time_travel_reads_old_schema_names(spark, table):
-    """Time travel to a pre-rename snapshot... still reads CURRENT
-    metadata schema (Iceberg semantics: schema is table-level, not
-    snapshot-level, unless a reader asks for the snapshot's schema) —
-    the rows resolve either way."""
+    """spec §Scan Planning: a time-travel read uses the SNAPSHOT's
+    schema — after the rename, snapshot 1 still reads as 'score'
+    while the current table reads as 'points'."""
     il.alter_iceberg_schema(table, renames={"score": "points"})
     df = il.read_iceberg(spark, table, snapshot_id=1)
-    assert df.count() == 8 and "points" in df.columns
+    assert df.count() == 8 and "score" in df.columns
+    assert "points" in il.read_iceberg(spark, table).columns
+    # values identical either way
+    old = {(r["id"], r["score"]) for r in df.collect()}
+    assert old == {(i, float(i)) for i in range(8)}
 
 
 # ---------------------------------------------------------- ADD COLUMN
