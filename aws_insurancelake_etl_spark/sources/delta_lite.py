@@ -462,7 +462,11 @@ def _hive_consistent(files, part_cols) -> bool:
             # them regardless of layout
             return False
         segs = f.path.split("/")[:-1]
-        if len(segs) < len(part_cols):
+        if len(segs) != len(part_cols):
+            # an intermediate non-``col=val`` dir (e.g. an iceberg
+            # ``data/`` root after CONVERT) breaks Spark's basePath
+            # partition discovery — those layouts take the log-literal
+            # union path instead
             return False
         for col, seg in zip(part_cols, segs[-len(part_cols):]):
             if "=" not in seg:
@@ -4533,6 +4537,123 @@ def convert_to_delta(
             f"version 0 of {path} was committed concurrently"
         )
     return {"version": 0, "files": len(adds)}
+
+
+def convert_iceberg_to_delta(spark: SparkSession, path: str) -> dict:
+    """``CONVERT TO DELTA iceberg.`path``` — the inverse of
+    ``export_uniform``: a version-0 delta log lands INSIDE the iceberg
+    table directory, referencing the CURRENT snapshot's live data
+    files in place (O(files) metadata, zero bytes copied — the only
+    viable conversion at 100 TB).  The iceberg metadata stays on disk
+    untouched, so existing iceberg readers keep working against their
+    (now frozen) snapshot history while delta writers take over.
+
+    Faithfulness rules: the schema comes from the iceberg metadata
+    (field names/types; nested types included).  IDENTITY partition
+    specs map to delta partitionColumns only when the partition values
+    also live in the data files (they do for iceberg-written tables;
+    delta readers then scan them like any column, and partitionValues
+    carry the manifest literals for pruning).  TRANSFORMED specs
+    (bucket/day/...) have no delta equivalent — the table converts as
+    unpartitioned, values still in-data.  Refuses: live position/
+    equality deletes or deletion vectors (MOR debt delta cannot
+    represent — run ``rewrite_data_files`` first), schema-altered
+    tables whose files straddle schemas (compact first), and
+    ``add_files``-imported external files (paths outside the root)."""
+    from . import iceberg_lite as il
+
+    if is_delta_table(path):
+        raise DeltaLiteError(f"already a delta table: {path}")
+    if not il.is_iceberg_table(path):
+        raise DeltaLiteError(f"not an iceberg table: {path}")
+    files, deletes = il.plan_scan(path)
+    if deletes:
+        raise DeltaLiteError(
+            f"iceberg table carries {len(deletes)} live delete "
+            "file(s)/deletion vector(s); run rewrite_data_files to "
+            "fold them in before converting"
+        )
+    meta = il._load_metadata(path)
+    if il._name_history(meta) is not None:
+        raise DeltaLiteError(
+            "iceberg table has rename/drop schema history across live "
+            "files; run rewrite_data_files first so every file carries "
+            "current names"
+        )
+    schema = il._spark_schema_from_meta(meta)
+    if schema is None:
+        raise DeltaLiteError(
+            "iceberg metadata schema does not map to Spark types"
+        )
+    root = os.path.abspath(path)
+    spec_fields = il._partition_spec_fields(meta)
+    identity_parts = [
+        f.source for f in spec_fields if f.transform == "identity"
+    ]
+    all_identity = identity_parts and len(identity_parts) == len(
+        spec_fields
+    )
+    part_by = identity_parts if all_identity else []
+    # spec field name -> source column (identity: partition values in
+    # the manifest are keyed by FIELD name; delta wants column names)
+    by_field = {f.name: f.source for f in spec_fields}
+    adds = []
+    for f in files:
+        ap = os.path.abspath(f.path)
+        if not ap.startswith(root + os.sep):
+            raise DeltaLiteError(
+                f"data file {f.path} lives outside the table root "
+                "(add_files import); re-import before converting"
+            )
+        rel = os.path.relpath(ap, root).replace(os.sep, "/")
+        pvals = {}
+        if part_by:
+            for fname, value in (f.partition or {}).items():
+                col = by_field.get(fname, fname)
+                if col in part_by:
+                    pvals[col] = None if value is None else str(value)
+        adds.append(
+            AddFile(
+                path=rel,
+                partition_values=pvals,
+                size=os.path.getsize(ap),
+                modification_time=int(os.path.getmtime(ap) * 1000),
+                stats=_footer_stats(ap),
+            )
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CONVERT",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "numFiles": len(adds),
+                    "sourceFormat": "iceberg",
+                },
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": part_by,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    actions += [_add_json(a) for a in adds]
+    if not _try_commit(_log_dir(path), 0, actions):
+        raise ConcurrentWriteError(
+            f"version 0 of {path} was committed concurrently"
+        )
+    return {
+        "version": 0,
+        "files": len(adds),
+        "partition_by": part_by,
+    }
 
 
 def clone_delta(

@@ -369,3 +369,57 @@ def test_external_hive_read_is_single_scan(spark, tmp_path):
     assert plan.count("Scan parquet") == 1, plan
     assert "Union" not in plan, plan
     assert _ids(mirror) == list(range(24))
+
+
+# ---------------------------------------- iceberg -> delta conversion
+
+
+def test_convert_iceberg_to_delta_in_place(spark, tmp_path):
+    src = str(tmp_path / "ice2d")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i % 2 == 0 else "b", v=float(i))
+         for i in range(10)]
+    ).select("id", "grp", "v")
+    il.write_iceberg(spark, df, src, partition_by=["grp"])
+    res = dl.convert_iceberg_to_delta(spark, src)
+    assert res["files"] >= 2 and res["partition_by"] == ["grp"]
+    got = dl.read_delta(spark, src)
+    assert _ids(got) == list(range(10))
+    assert {r["grp"] for r in got.collect()} == {"a", "b"}
+    # pruning via the converted partitionValues
+    assert _ids(dl.read_delta(spark, src, partition_filter={"grp": "a"})) \
+        == [0, 2, 4, 6, 8]
+    # iceberg metadata still present and readable (frozen history)
+    assert _ids(il.read_iceberg(spark, src)) == list(range(10))
+    # delta writers take over
+    dl.write_delta(
+        spark.createDataFrame([Row(id=50, grp="a", v=0.5)])
+        .select("id", "grp", "v"),
+        src,
+    )
+    assert _ids(dl.read_delta(spark, src)) == list(range(10)) + [50]
+
+
+def test_convert_iceberg_refusals(spark, tmp_path):
+    # MOR debt refuses with the compaction hint
+    src = str(tmp_path / "ice2d_mor")
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(6)]
+    ).select("id", "v")
+    il.write_iceberg(spark, df, src)
+    il.delete_iceberg(spark, src, "id = 3")
+    with pytest.raises(dl.DeltaLiteError, match="rewrite_data_files"):
+        dl.convert_iceberg_to_delta(spark, src)
+    # folding the deletes in lifts it
+    il.rewrite_data_files(spark, src)
+    res = dl.convert_iceberg_to_delta(spark, src)
+    assert res["files"] >= 1
+    assert _ids(dl.read_delta(spark, src)) == [0, 1, 2, 4, 5]
+    # transformed partition spec converts as UNPARTITIONED
+    src2 = str(tmp_path / "ice2d_bucket")
+    il.write_iceberg(
+        spark, df, src2, partition_by=["bucket(4, id)"]
+    )
+    res2 = dl.convert_iceberg_to_delta(spark, src2)
+    assert res2["partition_by"] == []
+    assert _ids(dl.read_delta(spark, src2)) == list(range(6))
