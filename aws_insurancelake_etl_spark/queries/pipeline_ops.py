@@ -6129,3 +6129,49 @@ def src_iceberg_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.balance_cents").alias("balance_cents"),
         F.element_at("tags", 1).alias("tag0"),
     )
+
+
+@register(
+    "src_convert_iceberg_to_delta",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O'
+    """,
+)
+def src_convert_iceberg_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA from an identity-partitioned ICEBERG table
+    (round 10): a version-0 delta log referencing the live snapshot's
+    files in place — O(files) metadata, zero bytes copied, the only
+    viable migration at 100 TB.  The delta read prunes on the
+    converted partitionValues (in-gate: the non-matching partitions'
+    files are never opened — log-literal pruning), and the frozen
+    iceberg metadata stays readable.  Oracle = the pruned partition."""
+    from ..sources import delta_lite, iceberg_lite
+
+    base = t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 3 == 0
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-ice2delta-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base, tbl, partition_by=["o_orderstatus"]
+    )
+    res = delta_lite.convert_iceberg_to_delta(spark, tbl)
+    if res["partition_by"] != ["o_orderstatus"]:
+        raise RuntimeError(f"identity spec did not map: {res}")
+    # both engines agree on the full table
+    n_delta = delta_lite.read_delta(spark, tbl).count()
+    n_ice = iceberg_lite.read_iceberg(spark, tbl).count()
+    if n_delta != n_ice:
+        raise RuntimeError(f"engines disagree: {n_delta} != {n_ice}")
+    return delta_lite.read_delta(
+        spark, tbl, partition_filter={"o_orderstatus": "O"}
+    )

@@ -156,6 +156,7 @@ EXTENDED: list[str] = [
     # (round-10 close: the first 12 r10 gates were promoted to
     # BASELINES with quiet-run normalized times)
     "src_iceberg_nested_types",
+    "src_convert_iceberg_to_delta",
 ]
 
 
