@@ -2788,6 +2788,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # round 9: every write/MERGE validates delta.constraints.* CHECK
     # expressions (NULL passes, SQL semantics) before committing
     "checkConstraints",
+    # round 10: LIQUID CLUSTERING — the clustering column set rides in
+    # the delta.clustering domain; appends are free-form (spec: the
+    # feature imposes no write-path layout duty) and OPTIMIZE clusters
+    # by the stored set (set_clustering / optimize below)
+    "clustering",
 }
 
 
@@ -3244,6 +3249,101 @@ def vacuum(path: str, retention_ms: int = 0) -> list:
 
 
 
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def set_clustering(path: str, columns) -> int:
+    """``ALTER TABLE ... CLUSTER BY (cols)`` — Delta LIQUID CLUSTERING:
+    the clustering column set commits as the ``delta.clustering``
+    domain metadata (+ the ``clustering`` and ``domainMetadata`` writer
+    features), and :func:`optimize` without an explicit ``zorder_by``
+    clusters by the stored set.  Unlike Hive partitioning this is
+    metadata: appends stay free-form, the layout duty lives entirely in
+    OPTIMIZE, and the clustering key can be CHANGED later without
+    rewriting anything (``CLUSTER BY`` again) — the property that makes
+    it the evolvable layout choice at 100 TB.  ``columns=[]`` is
+    ``CLUSTER BY NONE``.  Refuses partitioned tables (delta-spark:
+    clustering and Hive partitioning are exclusive)."""
+    columns = list(columns or [])
+    snap = snapshot(path)
+    if snap.partition_columns:
+        raise DeltaLiteError(
+            "CLUSTER BY on a Hive-partitioned table is not supported "
+            "(they are exclusive layout choices, as in delta-spark)"
+        )
+    have = {f.name for f in snap.schema.fields}
+    missing = [c for c in columns if c not in have]
+    if missing:
+        raise DeltaLiteError(f"no such clustering columns: {missing}")
+    proto = dict(snap.protocol or _PROTOCOL)
+    feats = set(proto.get("writerFeatures") or [])
+    if proto.get("writerFeatures") is None:
+        proto = {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                {"clustering", "domainMetadata", "appendOnly",
+                 "invariants"}
+            ),
+        }
+        if proto["minReaderVersion"] >= 2:
+            proto["writerFeatures"] = sorted(
+                set(proto["writerFeatures"]) | {"columnMapping"}
+            )
+    else:
+        proto["writerFeatures"] = sorted(
+            feats | {"clustering", "domainMetadata"}
+        )
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "CLUSTER BY",
+                "engine": "delta-lite",
+                "operationParameters": {"columns": columns},
+            }
+        },
+        {"protocol": proto},
+        {
+            "domainMetadata": {
+                "domain": _CLUSTERING_DOMAIN,
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in columns]}
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "set_clustering"
+        )
+    return version
+
+
+def clustering_columns(snap: Snapshot) -> list:
+    """The table's liquid-clustering column list ([] when unset)."""
+    raw = (snap.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
+    if not raw:
+        return []
+    try:
+        paths = json.loads(raw).get("clusteringColumns") or []
+    except ValueError:
+        return []
+    out = []
+    for p in paths:
+        if isinstance(p, list) and len(p) == 1:
+            out.append(p[0])
+        elif isinstance(p, str):
+            out.append(p)
+        else:
+            raise DeltaLiteError(
+                f"nested clustering path {p!r} not supported"
+            )
+    return out
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -3268,6 +3368,13 @@ def optimize(
     _guard_writable(snap, operation="OPTIMIZE")
     if not snap.files:
         return {"version": snap.version, "files_before": 0, "files_after": 0}
+    clustered_by = []
+    if not zorder_by:
+        # LIQUID CLUSTERING: OPTIMIZE without an explicit key clusters
+        # by the table's stored delta.clustering column set
+        clustered_by = clustering_columns(snap)
+        if clustered_by:
+            zorder_by = clustered_by
     rt = _row_tracking_on(snap.configuration)
     rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
     rt = rt and bool(rt_id_col)
@@ -3338,6 +3445,7 @@ def optimize(
         "version": version,
         "files_before": len(snap.files),
         "files_after": len(adds),
+        "clustered_by": clustered_by,
     }
 
 

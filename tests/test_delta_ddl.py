@@ -580,3 +580,64 @@ def test_reorg_purge_preserves_row_ids(spark, tmp_path):
     assert ids_after == {
         k: v for k, v in ids_before.items() if k != 3
     }
+
+
+# ----------------------------------------------------- liquid clustering
+
+
+def test_liquid_clustering_set_and_optimize(spark, tmp_path):
+    path = str(tmp_path / "liquid")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, k=i % 7, v=float(i)) for i in range(100)]
+        ).select("id", "k", "v"),
+        path,
+    )
+    dl.set_clustering(path, ["k", "id"])
+    snap = dl.snapshot(path)
+    assert dl.clustering_columns(snap) == ["k", "id"]
+    assert "clustering" in snap.protocol["writerFeatures"]
+    # appends stay free-form (no layout duty on the write path)
+    dl.write_delta(
+        spark.createDataFrame([Row(id=200, k=3, v=1.0)])
+        .select("id", "k", "v"),
+        path,
+    )
+    # OPTIMIZE without an explicit key clusters by the stored set
+    res = dl.optimize(spark, path, target_files=4)
+    assert res["clustered_by"] == ["k", "id"]
+    assert res["files_after"] <= 4
+    got = dl.read_delta(spark, path)
+    assert got.count() == 101
+    # clustered files have tight k-ranges: every file's k-span is
+    # smaller than the global span (the point of clustering)
+    snap = dl.snapshot(path)
+    spans = []
+    for f in snap.files:
+        stats = f.stats or {}
+        lo = stats.get("minValues", {}).get("k")
+        hi = stats.get("maxValues", {}).get("k")
+        if lo is not None and hi is not None:
+            spans.append(int(hi) - int(lo))
+    assert spans and min(spans) < 6  # global span is 6 (0..6)
+    # CLUSTER BY NONE clears; optimize falls back to plain coalesce
+    dl.set_clustering(path, [])
+    assert dl.clustering_columns(dl.snapshot(path)) == []
+    res2 = dl.optimize(spark, path, target_files=2)
+    assert res2["clustered_by"] == []
+
+
+def test_liquid_clustering_guards(spark, tmp_path):
+    part = str(tmp_path / "liq_part")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1, g="a")]).select("id", "g"),
+        part, partition_by=["g"],
+    )
+    with pytest.raises(dl.DeltaLiteError, match="partitioned"):
+        dl.set_clustering(part, ["id"])
+    flat = str(tmp_path / "liq_flat")
+    dl.write_delta(
+        spark.createDataFrame([Row(id=1)]).select("id"), flat
+    )
+    with pytest.raises(dl.DeltaLiteError, match="no such clustering"):
+        dl.set_clustering(flat, ["nope"])
