@@ -4504,6 +4504,40 @@ def read_change_feed(
     return reduce(lambda a, b: a.unionByName(b), pieces)
 
 
+def describe_detail(path: str) -> dict:
+    """``DESCRIBE DETAIL`` — the table's operational one-row summary
+    (delta-spark's shape): format, numFiles, sizeInBytes, schema,
+    partition/clustering columns, table properties, protocol, and the
+    feature roster — everything an operator needs before deciding on
+    OPTIMIZE/VACUUM/REORG, all from one log replay (zero data files
+    opened)."""
+    snap = snapshot(path)
+    dvs = sum(1 for f in snap.files if f.deletion_vector)
+    return {
+        "format": "delta",
+        "location": os.path.abspath(path),
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(int(f.size) for f in snap.files),
+        "numDeletionVectors": dvs,
+        "version": snap.version,
+        "schema": snap.schema_string,
+        "partitionColumns": list(snap.partition_columns),
+        "clusteringColumns": clustering_columns(snap),
+        "properties": dict(snap.configuration),
+        "minReaderVersion": int(
+            (snap.protocol or {}).get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": int(
+            (snap.protocol or {}).get("minWriterVersion", 2)
+        ),
+        "tableFeatures": sorted(
+            set((snap.protocol or {}).get("readerFeatures") or [])
+            | set((snap.protocol or {}).get("writerFeatures") or [])
+        ),
+        "numTombstones": len(snap.tombstones),
+    }
+
+
 def history(path: str) -> list:
     """``DESCRIBE HISTORY`` equivalent: one dict per version 0..latest
     (version, operation, engine, operationParameters, timestamp —

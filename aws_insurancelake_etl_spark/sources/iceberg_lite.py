@@ -1066,6 +1066,51 @@ def inspect_manifests(
     )
 
 
+def inspect_entries(
+    spark: SparkSession, table_path: str, snapshot_id=None
+) -> DataFrame:
+    """The ``$entries`` metadata table: one row per manifest ENTRY of
+    the snapshot — status (0 existing / 1 added / 2 deleted), owning
+    snapshot, sequence number, and the entry's file path/content/
+    record count.  The manifest-level view (``$manifests``) shows
+    metadata bloat; this shows churn — which commits added or logically
+    deleted which files — all O(manifest bytes), zero data opened."""
+    meta = _load_metadata(table_path)
+    rebase = _rebaser(meta, table_path)
+    target = _resolve_ref(meta, snapshot_id) if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in meta.get("snapshots") or []
+         if s.get("snapshot-id") == target),
+        None,
+    )
+    rows = []
+    if snap is not None:
+        for mf in _read_manifest_rows(rebase(snap["manifest-list"])):
+            m_content = int(mf.get("content") or 0)
+            for e in _read_manifest_rows(rebase(mf["manifest_path"])):
+                df_rec = e.get("data_file") or {}
+                rows.append(
+                    (
+                        int(e.get("status") or 0),
+                        int(e.get("snapshot_id") or
+                            mf.get("added_snapshot_id") or 0),
+                        int(e.get("sequence_number") or
+                            mf.get("sequence_number") or 0),
+                        m_content,
+                        df_rec.get("file_path"),
+                        int(df_rec.get("record_count") or 0),
+                        int(df_rec.get("file_size_in_bytes") or 0),
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "status int, snapshot_id long, sequence_number long, "
+        "content int, file_path string, record_count long, "
+        "file_size_in_bytes long",
+    )
+
+
 def inspect_refs(spark: SparkSession, table_path: str) -> DataFrame:
     """The ``$refs`` metadata table: one row per branch/tag."""
     rows = [

@@ -641,3 +641,21 @@ def test_liquid_clustering_guards(spark, tmp_path):
     )
     with pytest.raises(dl.DeltaLiteError, match="no such clustering"):
         dl.set_clustering(flat, ["nope"])
+
+
+def test_describe_detail(spark, tmp_path):
+    path = str(tmp_path / "detail")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(5)]
+        ).select("id", "v").coalesce(1),
+        path,
+    )
+    dl.set_clustering(path, ["id"])
+    dl.delete_delta(spark, path, "id = 0", use_deletion_vectors=True)
+    d = dl.describe_detail(path)
+    assert d["format"] == "delta" and d["numFiles"] == 1
+    assert d["numDeletionVectors"] == 1
+    assert d["clusteringColumns"] == ["id"]
+    assert "clustering" in d["tableFeatures"]
+    assert d["sizeInBytes"] > 0 and d["version"] == dl.snapshot(path).version

@@ -1416,3 +1416,25 @@ def test_nested_types_compose_with_dml_and_top_level_ddl(spark, tmp_path):
     assert {r["details"]["score"] for r in out.collect()} == {
         0.0, 1.0, 2.0, 3.0
     }
+
+
+def test_inspect_entries_shows_churn(spark, tmp_path):
+    path = str(tmp_path / "entries")
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(6)]
+    ).select("id", "v")
+    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.write_iceberg(
+        spark, df.withColumn("id", df.id + 10), path
+    )
+    iceberg_lite.delete_iceberg(spark, path, "id = 1")
+    ent = iceberg_lite.inspect_entries(spark, path)
+    rows = ent.collect()
+    assert all(r["record_count"] > 0 for r in rows)
+    data = [r for r in rows if r["content"] == 0]
+    deletes = [r for r in rows if r["content"] == 1]
+    assert len(deletes) == 1 and deletes[0]["status"] == 1
+    assert {r["snapshot_id"] for r in data} == {1, 2}
+    # time travel: snapshot 1 shows only the first commit's entries
+    ent1 = iceberg_lite.inspect_entries(spark, path, snapshot_id=1)
+    assert {r["snapshot_id"] for r in ent1.collect()} == {1}
