@@ -1553,11 +1553,102 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         json.dump({"version": snap_version, "size": len(rows)}, fh)
 
 
+#: file actions per V2-checkpoint SIDECAR; above this count the top
+#: json carries sidecar references instead of inline adds.  A 10M-file
+#: table's checkpoint cannot be one JSON document — sidecars are the
+#: spec's sharding mechanism (and each sidecar is independently
+#: readable, so a massively parallel reader can fan out over them).
+V2_SIDECAR_ACTIONS = 50_000
+
+
+def _write_v2_sidecars(log_dir: str, file_rows: list) -> list:
+    """Write ``file_rows`` ({"add": ...} / {"remove": ...}) into
+    ``_delta_log/_sidecars/*.parquet`` shards of ``V2_SIDECAR_ACTIONS``
+    each; returns the ``sidecar`` action dicts for the top file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int64()),
+                                    ("sizeInBytes", pa.int64()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def _conv(row):
+        add = row.get("add")
+        if add is not None:
+            add = dict(add)
+            add["partitionValues"] = sorted(
+                (add.get("partitionValues") or {}).items()
+            )
+            if isinstance(add.get("stats"), dict):
+                add["stats"] = json.dumps(
+                    add["stats"], separators=(",", ":")
+                )
+        return {"add": add, "remove": row.get("remove")}
+
+    refs = []
+    for i in range(0, len(file_rows), V2_SIDECAR_ACTIONS):
+        shard = [_conv(r) for r in file_rows[i:i + V2_SIDECAR_ACTIONS]]
+        name = f"{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(side_dir, name)
+        pq.write_table(pa.Table.from_pylist(shard, schema=schema), dest)
+        refs.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(dest),
+                }
+            }
+        )
+    return refs
+
+
 def _write_v2_checkpoint(path: str, snap: Snapshot) -> None:
-    """V2 checkpoint, json form with inline actions (PROTOCOL.md §V2
-    Checkpoint Table Feature): checkpointMetadata + protocol + metaData
-    + the live adds and tombstone removes, at
-    ``N.checkpoint.<uuid>.json``."""
+    """V2 checkpoint (PROTOCOL.md §V2 Checkpoint Table Feature):
+    checkpointMetadata + protocol + metaData in the top json at
+    ``N.checkpoint.<uuid>.json``; file actions ride INLINE below
+    ``V2_SIDECAR_ACTIONS`` of them, else shard into
+    ``_delta_log/_sidecars/*.parquet`` SIDECAR files the top json
+    references — one JSON document cannot hold a 10M-file table."""
     log_dir = _log_dir(path)
     name = f"{snap.version:020d}.checkpoint.{uuid.uuid4().hex}.json"
     rows = [
@@ -1581,8 +1672,8 @@ def _write_v2_checkpoint(path: str, snap: Snapshot) -> None:
         }
         for domain, conf in sorted(snap.domain_metadata.items())
     ]
-    rows += [_add_json(a) for a in snap.files]
-    rows += [
+    file_rows = [_add_json(a) for a in snap.files]
+    file_rows += [
         {
             "remove": {
                 "path": rel,
@@ -1592,6 +1683,10 @@ def _write_v2_checkpoint(path: str, snap: Snapshot) -> None:
         }
         for rel, ts in sorted(snap.tombstones.items())
     ]
+    if len(file_rows) > V2_SIDECAR_ACTIONS:
+        rows += _write_v2_sidecars(log_dir, file_rows)
+    else:
+        rows += file_rows
     with open(os.path.join(log_dir, name), "x", encoding="utf-8") as fh:
         for row in rows:
             fh.write(json.dumps(row, separators=(",", ":")) + "\n")

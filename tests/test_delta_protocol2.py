@@ -1196,3 +1196,48 @@ def test_nested_mapping_append_physicalizes_all_levels(spark, tmp_path):
     assert got[9]["prof"]["acct"]["seg"] == "Y"
     assert got[9]["attrs"]["m"]["w"] == 1
     assert got[2]["prof"] is None  # old null struct stays null
+
+
+def test_v2_checkpoint_writer_shards_sidecars(spark, tmp_path, monkeypatch):
+    """round 10: the v2-checkpoint WRITER shards file actions into
+    _sidecars/*.parquet above V2_SIDECAR_ACTIONS — one JSON document
+    cannot hold a 10M-file table.  The top json carries only
+    checkpointMetadata/protocol/metaData + sidecar refs, and replay
+    (tail deleted) resolves every file through the shards."""
+    import glob as _glob
+    import json as _json
+
+    monkeypatch.setattr(dl, "V2_SIDECAR_ACTIONS", 3)
+    path = str(tmp_path / "v2side")
+    _one_file_table(spark, path, 0, 3)
+    _to_v2_checkpoint(path, 0, fmt="json", sidecar=False)
+    for i in range(4):
+        _one_file_table(spark, path, 10 * (i + 1), 10 * (i + 1) + 2)
+    expected = _ids(dl.read_delta(spark, path))
+    version = dl.snapshot(path).version
+    dl._write_checkpoint(path, version)
+    log = os.path.join(path, "_delta_log")
+    (top,) = _glob.glob(
+        os.path.join(log, f"{version:020d}.checkpoint.*.json")
+    )
+    actions = [
+        _json.loads(line) for line in open(top) if line.strip()
+    ]
+    kinds = [next(iter(a)) for a in actions]
+    assert "sidecar" in kinds and "add" not in kinds
+    shards = [a["sidecar"]["path"] for a in actions if "sidecar" in a]
+    assert len(shards) == 2  # 5 adds at 3 actions/shard
+    for s in shards:
+        assert os.path.exists(os.path.join(log, "_sidecars", s))
+    # replay from the sharded checkpoint alone
+    for v in range(version + 1):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    assert _ids(dl.read_delta(spark, path)) == expected
+    # appends on top keep working
+    dl.write_delta(
+        spark.createDataFrame([Row(id=999, v=9.0)]).select("id", "v"),
+        path,
+    )
+    assert 999 in _ids(dl.read_delta(spark, path))
