@@ -586,6 +586,126 @@ def _logical_col(col, dt):
     return col
 
 
+def _nested_superset(small, big) -> bool:
+    """True when ``big`` contains every field of ``small`` at every
+    nesting level (by name) with identical primitive types — the
+    admissibility test for nested schema evolution (``big`` may add
+    fields anywhere; nothing may change type or disappear)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(small, _ST) and isinstance(big, _ST):
+        by_name = {f.name: f for f in big.fields}
+        return all(
+            f.name in by_name
+            and _nested_superset(f.dataType, by_name[f.name].dataType)
+            for f in small.fields
+        )
+    if isinstance(small, ArrayType) and isinstance(big, ArrayType):
+        return _nested_superset(small.elementType, big.elementType)
+    if isinstance(small, MapType) and isinstance(big, MapType):
+        return small.keyType.simpleString() == big.keyType.simpleString() \
+            and _nested_superset(small.valueType, big.valueType)
+    return small.simpleString() == big.simpleString()
+
+
+def _merge_nested(table_dt, df_dt, mint=None):
+    """The EVOLVED type: table fields first (their metadata — mapping
+    ids, physical names — intact), df-new nested fields appended
+    (``mint()`` supplies fresh mapping ids on mapped tables; None
+    leaves new fields bare for unmapped ones).  Callers must have
+    checked ``_nested_superset(table_dt, df_dt)`` first."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(table_dt, _ST):
+        df_by_name = {f.name: f for f in df_dt.fields}
+        out = []
+        for tf in table_dt.fields:
+            out.append(
+                StructField(
+                    tf.name,
+                    _merge_nested(
+                        tf.dataType, df_by_name[tf.name].dataType, mint
+                    ),
+                    True,
+                    metadata=dict(tf.metadata or {}),
+                )
+            )
+        have = {f.name for f in table_dt.fields}
+        for nf in df_dt.fields:
+            if nf.name in have:
+                continue
+            if mint is None:
+                out.append(StructField(nf.name, nf.dataType, True))
+            else:
+                fid = mint()
+                inner = nf.dataType
+                if _contains_struct(inner):
+                    inner = _mint_with(inner, mint)
+                out.append(
+                    StructField(
+                        nf.name,
+                        inner,
+                        True,
+                        metadata={
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": (
+                                f"col-{uuid.uuid4().hex[:8]}"
+                            ),
+                        },
+                    )
+                )
+        return _ST(out)
+    if isinstance(table_dt, ArrayType):
+        return ArrayType(
+            _merge_nested(table_dt.elementType, df_dt.elementType, mint),
+            table_dt.containsNull,
+        )
+    if isinstance(table_dt, MapType):
+        return MapType(
+            table_dt.keyType,
+            _merge_nested(table_dt.valueType, df_dt.valueType, mint),
+            table_dt.valueContainsNull,
+        )
+    return table_dt
+
+
+def _mint_with(dt, mint):
+    """:func:`_mint_mapped_datatype` driven by a closure counter."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        out = []
+        for f in dt.fields:
+            fid = mint()
+            out.append(
+                StructField(
+                    f.name,
+                    _mint_with(f.dataType, mint)
+                    if _contains_struct(f.dataType)
+                    else f.dataType,
+                    True,
+                    metadata={
+                        "delta.columnMapping.id": fid,
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4().hex[:8]}"
+                        ),
+                    },
+                )
+            )
+        return _ST(out)
+    if isinstance(dt, ArrayType):
+        return ArrayType(_mint_with(dt.elementType, mint), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            dt.keyType, _mint_with(dt.valueType, mint),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _mint_mapped_datatype(dt, max_id: int):
     """Stamp ``delta.columnMapping.id`` / ``physicalName`` metadata on
     every NESTED field of a newly-mapped column's type (mapping writers
@@ -631,32 +751,51 @@ def _mapping_of(snap: Snapshot):
     return [inv.get(c, c) for c in snap.partition_columns], phys
 
 
-def _physical_col(col, dt):
+def _physical_col(col, dt, df_dt=None):
     """Rebuild a LOGICAL-shaped column as its PHYSICAL (on-disk) shape
     — the exact inverse of :func:`_logical_col`: every nested struct
     field renamed to its ``delta.columnMapping.physicalName`` (null-
     preserving: a null struct stays null), arrays map the rebuild over
-    elements, maps over values.  Identity for primitive types."""
+    elements, maps over values.  Identity for primitive types.
+    ``df_dt`` is the DataFrame's ACTUAL (possibly narrower) shape after
+    nested evolution: table fields the df lacks write as typed
+    nulls."""
     from pyspark.sql.types import ArrayType, MapType
     from pyspark.sql.types import StructType as _ST
 
     if isinstance(dt, _ST):
-        rebuilt = F.struct(
-            *[
-                _physical_col(col[f.name], f.dataType).alias(
-                    _phys_field_name(f)
-                )
-                for f in dt.fields
-            ]
+        have = (
+            {f.name: f.dataType for f in df_dt.fields}
+            if isinstance(df_dt, _ST)
+            else {f.name: f.dataType for f in dt.fields}
         )
-        return F.when(col.isNotNull(), rebuilt)
+        parts = []
+        for f in dt.fields:
+            if f.name in have:
+                parts.append(
+                    _physical_col(
+                        col[f.name], f.dataType, have[f.name]
+                    ).alias(_phys_field_name(f))
+                )
+            else:
+                parts.append(
+                    F.lit(None)
+                    .cast(_physical_datatype(f.dataType))
+                    .alias(_phys_field_name(f))
+                )
+        return F.when(col.isNotNull(), F.struct(*parts))
     if isinstance(dt, ArrayType) and _contains_struct(dt.elementType):
-        return F.transform(col, lambda x: _physical_col(x, dt.elementType))
+        inner = df_dt.elementType if isinstance(df_dt, ArrayType) else None
+        return F.transform(
+            col, lambda x: _physical_col(x, dt.elementType, inner)
+        )
     if isinstance(dt, MapType) and _contains_struct(dt.valueType):
+        inner = df_dt.valueType if isinstance(df_dt, MapType) else None
         return F.map_from_arrays(
             F.map_keys(col),
             F.transform(
-                F.map_values(col), lambda v: _physical_col(v, dt.valueType)
+                F.map_values(col),
+                lambda v: _physical_col(v, dt.valueType, inner),
             ),
         )
     return col
@@ -687,13 +826,16 @@ def _to_physical(df: DataFrame, phys, schema: StructType | None = None) -> DataF
                 "table needs the table schema's nested physical names "
                 "(column absent from it)"
             )
-        if f.dataType.simpleString() != dt.simpleString():
+        if not _nested_superset(dt, f.dataType):
             raise DeltaLiteError(
-                f"struct column {c!r} shape {dt.simpleString()} != table "
-                f"schema {f.dataType.simpleString()}; nested schema "
-                "evolution on mapped tables is not supported"
+                f"struct column {c!r} shape {dt.simpleString()} does "
+                f"not fit the table schema {f.dataType.simpleString()} "
+                "(a write may OMIT nested fields, never add or retype "
+                "them — evolve the schema first)"
             )
-        cols.append(_physical_col(F.col(c), f.dataType).alias(phys.get(c, c)))
+        cols.append(
+            _physical_col(F.col(c), f.dataType, dt).alias(phys.get(c, c))
+        )
     return df.select(*cols)
 
 
@@ -2429,6 +2571,7 @@ def write_delta(
     partition_by = list(partition_by or [])
     existing = None
     evolved = False
+    schema_override_evolve = None  # nested-evolution merged schema
     phys = None  # logical -> physical (column-mapped tables only)
     idm: dict = {}  # identity metadata of the EXISTING table
     identity_assigned: list = []  # identity cols minted THIS write
@@ -2498,10 +2641,15 @@ def write_delta(
             if _schema_key(df.schema) != _schema_key(existing.schema):
                 old_names = {f.name for f in existing.schema.fields}
                 new_by_name = {f.name: f for f in df.schema.fields}
+                # shared columns must be a NESTED SUPERSET of the
+                # table's (new nested fields may appear anywhere; no
+                # field may change type or disappear) — for primitives
+                # this is exactly the old equality check
                 shared_ok = all(
                     f.name in new_by_name
-                    and new_by_name[f.name].dataType.simpleString()
-                    == f.dataType.simpleString()
+                    and _nested_superset(
+                        f.dataType, new_by_name[f.name].dataType
+                    )
                     for f in existing.schema.fields
                 )
                 if schema_mode != "evolve" or not shared_ok:
@@ -2509,18 +2657,52 @@ def write_delta(
                         "append schema mismatch: "
                         f"{_schema_key(df.schema)} vs {_schema_key(existing.schema)}"
                         + (
-                            " (schema_mode='evolve' only ADDS columns; "
-                            "existing columns must match)"
+                            " (schema_mode='evolve' only ADDS columns — "
+                            "top-level or nested; existing fields must "
+                            "keep their types)"
                             if schema_mode == "evolve"
                             else " (pass schema_mode='evolve' to add columns)"
                         )
                     )
                 added = [f for f in df.schema.fields if f.name not in old_names]
+                nested_grown = [
+                    f
+                    for f in existing.schema.fields
+                    if new_by_name[f.name].dataType.simpleString()
+                    != f.dataType.simpleString()
+                ]
                 df = df.select(
                     *[f.name for f in existing.schema.fields],
                     *[f.name for f in added],
                 )
                 evolved = True
+                if nested_grown:
+                    # UNMAPPED evolved schemaString: table's nested
+                    # order first, df-new nested fields appended (the
+                    # mapped path merges later, minting ids).  File
+                    # reads are name-based at every level, so files
+                    # written before the growth read the new nested
+                    # fields as null.
+                    merged_fields = [
+                        StructField(
+                            f.name,
+                            _merge_nested(
+                                f.dataType,
+                                new_by_name[f.name].dataType,
+                                None,
+                            ),
+                            True,
+                            metadata=dict(f.metadata or {}),
+                        )
+                        for f in existing.schema.fields
+                    ] + [
+                        StructField(
+                            f.name, f.dataType, True,
+                            metadata=dict(f.metadata or {}),
+                        )
+                        for f in added
+                    ]
+                    schema_override_evolve = StructType(merged_fields)
     schema_override = None  # schemaString carrier for gen/identity meta
     if existing is None and (generated_columns or identity_columns):
         if column_mapping is not None:
@@ -2590,10 +2772,36 @@ def write_delta(
                 default=0,
             )
         phys = dict(phys or {})
+
+        def _mint_next() -> int:
+            nonlocal max_id
+            max_id += 1
+            return max_id
+
         fields = []
         for f in df.schema.fields:
             if f.name in old_fields:
-                fields.append(old_fields[f.name])
+                old_f = old_fields[f.name]
+                if (
+                    _contains_struct(old_f.dataType)
+                    and old_f.dataType.simpleString()
+                    != f.dataType.simpleString()
+                ):
+                    # NESTED evolution on a mapped table: table fields
+                    # keep their ids/physical names, new nested fields
+                    # mint fresh ones
+                    fields.append(
+                        StructField(
+                            old_f.name,
+                            _merge_nested(
+                                old_f.dataType, f.dataType, _mint_next
+                            ),
+                            True,
+                            metadata=dict(old_f.metadata or {}),
+                        )
+                    )
+                else:
+                    fields.append(old_f)
                 meta = old_fields[f.name].metadata or {}
                 phys.setdefault(
                     f.name, meta.get("delta.columnMapping.physicalName")
@@ -2777,6 +2985,8 @@ def write_delta(
                         if mapped_schema is not None
                         else schema_override.json()
                         if schema_override is not None
+                        else schema_override_evolve.json()
+                        if schema_override_evolve is not None
                         else df.schema.json()
                     ),
                     "partitionColumns": partition_by,

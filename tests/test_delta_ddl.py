@@ -542,18 +542,24 @@ def test_reorg_purge_removes_dropped_bytes_and_dvs(spark, tmp_path):
 def test_reorg_purge_untouched_files_stay(spark, tmp_path):
     path = str(tmp_path / "reorg2")
     dl.write_delta(
-        spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v"), path
+        spark.createDataFrame([Row(id=1, v=1.0)]).select("id", "v")
+        .coalesce(1),
+        path,
     )
-    clean = dl.snapshot(path).files[0].path
+    clean = {f.path for f in dl.snapshot(path).files}
     dl.write_delta(
-        spark.createDataFrame([Row(id=2, v=2.0)]).select("id", "v"), path
+        spark.createDataFrame([Row(id=2, v=2.0)]).select("id", "v")
+        .coalesce(1),
+        path,
     )
-    dirty = [f.path for f in dl.snapshot(path).files if f.path != clean]
     dl.delete_delta(spark, path, "id = 2", use_deletion_vectors=True)
+    (dv_file,) = [
+        f.path for f in dl.snapshot(path).files if f.deletion_vector
+    ]
     res = dl.reorg_purge(spark, path)
     assert res["files_purged"] == 1
     after = {f.path for f in dl.snapshot(path).files}
-    assert clean in after and dirty[0] not in after
+    assert clean <= after and dv_file not in after
     assert sorted(r["id"] for r in dl.read_delta(spark, path).collect()) \
         == [1]
 
@@ -659,3 +665,97 @@ def test_describe_detail(spark, tmp_path):
     assert d["clusteringColumns"] == ["id"]
     assert "clustering" in d["tableFeatures"]
     assert d["sizeInBytes"] > 0 and d["version"] == dl.snapshot(path).version
+
+
+# --------------------------------------------- nested schema evolution
+
+
+def test_nested_evolution_unmapped(spark, tmp_path):
+    path = str(tmp_path / "nev")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=1, info=Row(a=10))]
+        ).select("id", "info"),
+        path,
+    )
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=2, info=Row(a=20, b="x"))]
+        ).select("id", "info"),
+        path,
+        schema_mode="evolve",
+    )
+    snap = dl.snapshot(path)
+    assert [f.name for f in snap.schema["info"].dataType.fields] \
+        == ["a", "b"]
+    got = {r["id"]: (r["info"]["a"], r["info"]["b"])
+           for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: (10, None), 2: (20, "x")}
+    # retype refuses
+    with pytest.raises(dl.DeltaLiteError, match="schema mismatch"):
+        dl.write_delta(
+            spark.createDataFrame(
+                [Row(id=3, info=Row(a="not-an-int", b="y"))]
+            ).select("id", "info"),
+            path,
+            schema_mode="evolve",
+        )
+
+
+def test_nested_evolution_mapped_mints_ids(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nev_cm")
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=1, info=Row(a=10))]
+        ).select("id", "info"),
+        path,
+        column_mapping="name",
+    )
+    max_before = int(
+        dl.snapshot(path).configuration["delta.columnMapping.maxColumnId"]
+    )
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=2, info=Row(a=20, b="x"))]
+        ).select("id", "info"),
+        path,
+        schema_mode="evolve",
+    )
+    snap = dl.snapshot(path)
+    bf = snap.schema["info"].dataType["b"]
+    assert bf.metadata["delta.columnMapping.id"] > max_before
+    assert bf.metadata["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    assert int(
+        snap.configuration["delta.columnMapping.maxColumnId"]
+    ) == bf.metadata["delta.columnMapping.id"]
+    # the new file carries physical names only, at every level
+    new_file = snap.files[-1].path
+    arrow = pq.read_schema(os.path.join(path, new_file))
+
+    def names(field):
+        out = {field.name}
+        for i in range(field.type.num_fields):
+            out |= names(field.type.field(i))
+        return out
+
+    all_names = set().union(*(names(f) for f in arrow))
+    assert {"info", "a", "b", "id"}.isdisjoint(all_names)
+    got = {r["id"]: (r["info"]["a"], r["info"]["b"])
+           for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: (10, None), 2: (20, "x")}
+    # a THIRD append at the evolved shape keeps the ids stable
+    dl.write_delta(
+        spark.createDataFrame(
+            [Row(id=3, info=Row(a=30, b="z"))]
+        ).select("id", "info"),
+        path,
+    )
+    snap2 = dl.snapshot(path)
+    assert snap2.schema["info"].dataType["b"].metadata[
+        "delta.columnMapping.id"
+    ] == bf.metadata["delta.columnMapping.id"]
+    assert dl.read_delta(spark, path).count() == 3
