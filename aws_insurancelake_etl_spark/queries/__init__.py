@@ -48,12 +48,12 @@ _MODULES = (
 
 # The round driver's differential oracle checks the FIRST 50 registered
 # queries.  Round-10 window (tools/driver_window.py --mode staleness,
-# VERDICT r9 item 3): the 14 round-10 gates with no driver row yet
+# VERDICT r9 item 3): the 15 round-10 gates with no driver row yet
 # (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
 # column mapping read AND write, delta row tracking, rename/drop
 # column DDL on both formats, uniform-over-mapped export), then the
-# 36 OLDEST green rows — all 26 r1-era rows (predating the oracle
-# canonicalizer fixes) and 10 of the 29 r3-era rows.  Churn-ranked
+# 35 OLDEST green rows — all 26 r1-era rows (predating the oracle
+# canonicalizer fixes) and 9 of the 29 r3-era rows.  Churn-ranked
 # gates step aside this round: every r10-churned gate was re-verified
 # by this round's full registry sweeps (sf0.01 green; sf0.1 at round
 # close); after r10 no gate's latest driver row is older than r3, and
@@ -73,6 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_uniform_mapped_export",  # never
     "src_iceberg_nested_types",  # never
     "src_convert_iceberg_to_delta",  # never
+    "sink_delta_ddl_lifecycle",  # never
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -108,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_pairs",  # last green r3
     "dedup_ngram_jaccard",  # last green r3
     "dedup_simhash",  # last green r3
-    "dedup_winnowing_pairs",  # last green r3
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

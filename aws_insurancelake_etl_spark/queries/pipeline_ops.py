@@ -6175,3 +6175,61 @@ def src_convert_iceberg_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_lite.read_delta(
         spark, tbl, partition_filter={"o_orderstatus": "O"}
     )
+
+
+@register(
+    "sink_delta_ddl_lifecycle",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0 AND l_linenumber = 1
+      AND CAST(l_quantity AS BIGINT) < 40
+    """,
+)
+def sink_delta_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Delta DDL lifecycle on one table (round 10): create
+    unmapped -> ``enable_column_mapping`` (physicalName := on-disk
+    name, zero files) -> ``widen_column`` qty int->bigint (metadata
+    only; old int32 files scan under the wide schema) -> RENAME ->
+    ``set_clustering`` + OPTIMIZE (liquid clustering: layout follows
+    the stored key) -> DV DELETE -> ``reorg_purge`` (DV bytes
+    physically rewritten) -> read.  Every step is the production
+    migration path a 100 TB estate takes without rewriting anything
+    it does not have to; in-gate asserts the metadata-only steps
+    touched zero files and purge left zero DVs."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") % 7 == 0) & (F.col("l_linenumber") == 1)
+    ).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty0"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-lifecycle-") + "/t"
+    delta_lite.write_delta(base, tbl, mode="overwrite")
+    files0 = [f.path for f in delta_lite.snapshot(tbl).files]
+    delta_lite.enable_column_mapping(tbl)
+    delta_lite.widen_column(tbl, "qty0", "long")
+    delta_lite.rename_column(tbl, "qty0", "qty")
+    if [f.path for f in delta_lite.snapshot(tbl).files] != files0:
+        raise RuntimeError("metadata-only DDL steps touched data files")
+    delta_lite.set_clustering(tbl, ["l_orderkey"])
+    res = delta_lite.optimize(spark, tbl, target_files=4)
+    if res["clustered_by"] != ["l_orderkey"]:
+        raise RuntimeError(f"liquid clustering did not engage: {res}")
+    delta_lite.delete_delta(
+        spark, tbl, "qty >= 40", use_deletion_vectors=True
+    )
+    purged = delta_lite.reorg_purge(spark, tbl)
+    snap = delta_lite.snapshot(tbl)
+    if any(f.deletion_vector for f in snap.files):
+        raise RuntimeError("reorg_purge left a deletion vector")
+    if purged["dv_files_purged"] < 1:
+        raise RuntimeError(f"nothing purged: {purged}")
+    return delta_lite.read_delta(spark, tbl)

@@ -157,6 +157,7 @@ EXTENDED: list[str] = [
     # BASELINES with quiet-run normalized times)
     "src_iceberg_nested_types",
     "src_convert_iceberg_to_delta",
+    "sink_delta_ddl_lifecycle",
 ]
 
 
