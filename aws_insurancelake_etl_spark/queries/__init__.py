@@ -106,9 +106,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cluster_components",  # last green r3
     "dedup_exact",  # last green r3
     "dedup_lsh_verified",  # last green r3
-    "dedup_minhash_pairs",  # last green r3
-    "dedup_ngram_jaccard",  # last green r3
-    "dedup_simhash",  # last green r3
+    "emb_kmeans_clusters",  # last green r3
+    "sketch_kmv_distinct",  # last green r3
+    "text_token_stats",  # last green r3
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

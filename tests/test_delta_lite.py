@@ -365,7 +365,7 @@ def test_append_schema_evolve_adds_columns(spark, table):
     assert rows[0] is None and rows[4] == "NL"  # old files read null
     # type drift is still an error under evolve
     drift = _people(spark, 9, 10).withColumn("score", F.lit("oops"))
-    with pytest.raises(dl.DeltaLiteError, match="existing columns"):
+    with pytest.raises(dl.DeltaLiteError, match="existing fields"):
         dl.write_delta(drift.select("id", "grp", "score"),
                        table, schema_mode="evolve")
     assert v == 1
