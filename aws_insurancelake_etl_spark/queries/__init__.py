@@ -48,12 +48,12 @@ _MODULES = (
 
 # The round driver's differential oracle checks the FIRST 50 registered
 # queries.  Round-10 window (tools/driver_window.py --mode staleness,
-# VERDICT r9 item 3): the 15 round-10 gates with no driver row yet
+# VERDICT r9 item 3): the 16 round-10 gates with no driver row yet
 # (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
 # column mapping read AND write, delta row tracking, rename/drop
 # column DDL on both formats, uniform-over-mapped export), then the
-# 35 OLDEST green rows — all 26 r1-era rows (predating the oracle
-# canonicalizer fixes) and 9 of the 29 r3-era rows.  Churn-ranked
+# 34 OLDEST green rows — all 26 r1-era rows (predating the oracle
+# canonicalizer fixes) and 8 of the 29 r3-era rows.  Churn-ranked
 # gates step aside this round: every r10-churned gate was re-verified
 # by this round's full registry sweeps (sf0.01 green; sf0.1 at round
 # close); after r10 no gate's latest driver row is older than r3, and
@@ -74,6 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_nested_types",  # never
     "src_convert_iceberg_to_delta",  # never
     "sink_delta_ddl_lifecycle",  # never
+    "src_iceberg_changelog",  # never
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -103,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_numeric_audit",  # last green r3
     "ann_cosine_topk",  # last green r3
     "ann_ivf_label_topk",  # last green r3
-    "dedup_cluster_components",  # last green r3
     "dedup_exact",  # last green r3
     "dedup_lsh_verified",  # last green r3
     "emb_kmeans_clusters",  # last green r3

@@ -6233,3 +6233,57 @@ def sink_delta_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     if purged["dv_files_purged"] < 1:
         raise RuntimeError(f"nothing purged: {purged}")
     return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "src_iceberg_changelog",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_snapshot_id
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+           'delete',
+           CAST(3 AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 = 5
+    """,
+)
+def src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG scan (round 10 — the iceberg twin of delta's
+    change feed): row-level inserts/deletes per snapshot in a range.
+    Fixture: append %4==0 (snap 1), append %4==1 (snap 2), MOR DELETE
+    %10==5 (snap 3), compaction (snap 4).  The changelog over (1, 4]
+    must contain exactly snap 2's inserts and snap 3's deleted rows —
+    materialized from the position-delete files back into full rows by
+    a (file, pos) join against the parent snapshot, executor-side —
+    and NOTHING for the compaction (dataChange-free by construction).
+    """
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-ice-changelog-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 4 == 0), tbl
+    )
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 4 == 1), tbl
+    )
+    iceberg_lite.delete_iceberg(spark, tbl, "o_orderkey % 10 = 5")
+    iceberg_lite.rewrite_data_files(spark, tbl)
+    log = iceberg_lite.read_iceberg_changelog(spark, tbl, from_snapshot=1)
+    if [r for r in log.select("_commit_snapshot_id").distinct().collect()
+            if r[0] == 4]:
+        raise RuntimeError("compaction leaked into the changelog")
+    return log.select(
+        "o_orderkey", "cents", "_change_type", "_commit_snapshot_id"
+    )

@@ -923,6 +923,211 @@ def read_iceberg_incremental(
     return spark.read.parquet(*[f.path for f in new_files])
 
 
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot,
+    to_snapshot=None,
+) -> DataFrame:
+    """CHANGELOG SCAN (Iceberg's ``create_changelog_view``): the
+    ROW-LEVEL changes committed by snapshots in ``(from, to]`` — each
+    row tagged ``_change_type`` (``insert``/``delete``),
+    ``_commit_snapshot_id`` and ``_commit_timestamp_ms``.  Per
+    snapshot: ``append`` emits the added files' rows as inserts;
+    ``overwrite`` (MERGE/UPDATE/DV-delete) emits its added files as
+    inserts AND materializes its new position-delete/deletion-vector
+    entries back into full deleted rows (a (file, pos) anti-identity:
+    the pairs join the PARENT snapshot's scan — rows never transit the
+    driver); ``delete`` (metadata-only partition drop) emits the
+    removed files' live rows as deletes; ``replace`` (compaction) emits
+    nothing — the row set did not change, which is the property that
+    makes compaction invisible downstream.  Refuses equality-delete
+    commits (their deleted rows are defined by predicate against prior
+    state, not by position — replay those through
+    :func:`upsert_iceberg_equality`'s source stream) and
+    rename/drop-altered tables (split ranges at the schema change).
+
+    This is the Iceberg-side twin of delta_lite's
+    :func:`~.delta_lite.read_change_feed`.
+    """
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table_path)
+    if _name_history(meta) is not None:
+        raise IcebergLiteError(
+            "changelog over a RENAME/DROP-COLUMN-altered table is not "
+            "supported; split the range at the schema-change commit"
+        )
+    from_id = _resolve_ref(meta, from_snapshot)
+    to_id = (
+        meta.get("current-snapshot-id")
+        if to_snapshot is None
+        else _resolve_ref(meta, to_snapshot)
+    )
+    snaps = sorted(
+        (s for s in meta.get("snapshots") or []),
+        key=lambda s: s["snapshot-id"],
+    )
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_id not in ids or to_id not in ids:
+        raise IcebergLiteError(
+            f"snapshot bounds ({from_id}, {to_id}] not in {ids}"
+        )
+    parts = []
+    prev_id = from_id
+    for s in snaps:
+        sid = s["snapshot-id"]
+        if sid <= from_id or sid > to_id:
+            continue
+        op = (s.get("summary") or {}).get("operation", "append")
+        ts = int(s.get("timestamp-ms") or 0)
+        if op == "replace":
+            prev_id = sid
+            continue
+        files_now, dels_now = plan_scan(table_path, snapshot_id=sid)
+        files_prev, dels_prev = plan_scan(
+            table_path, snapshot_id=prev_id
+        )
+        prev_paths = {f.path for f in files_prev}
+        added = [f for f in files_now if f.path not in prev_paths]
+        now_paths = {f.path for f in files_now}
+        removed = [f for f in files_prev if f.path not in now_paths]
+        prev_del_paths = {d.path for d in dels_prev}
+        new_deletes = [
+            d for d in dels_now if d.path not in prev_del_paths
+        ]
+        if any(d.content == 2 for d in new_deletes):
+            raise IcebergLiteError(
+                f"snapshot {sid} commits equality-delete files; the "
+                "changelog cannot materialize predicate deletes — "
+                "replay the upsert source instead"
+            )
+        tag = [
+            F.lit(sid).alias("_commit_snapshot_id"),
+            F.lit(ts).alias("_commit_timestamp_ms"),
+        ]
+        if added:
+            ins = spark.read.parquet(*[f.path for f in added])
+            parts.append(
+                ins.select(
+                    "*", F.lit("insert").alias("_change_type"), *tag
+                )
+            )
+        if new_deletes or (removed and op != "replace"):
+            # parent-state scan once per changing snapshot; (file,pos)
+            # pairs (from position-delete parquet and decoded DVs)
+            # and whole removed files both resolve against it
+            parent = read_iceberg(
+                spark, table_path, snapshot_id=prev_id, _row_refs=True
+            )
+            sel = None
+            if removed:
+                sel = F.col("__ice_file").isin(
+                    [f.path for f in removed]
+                )
+            if new_deletes:
+                pos_pairs = []
+                by_orig = {f.orig_path: f for f in files_prev}
+                dv_plan = []
+                pos_files = []
+                for d in new_deletes:
+                    if d.file_format == "PUFFIN":
+                        ref = by_orig.get(d.referenced_data_file)
+                        if ref is not None:
+                            dv_plan.append(
+                                (d.path, d.content_offset,
+                                 d.content_size, ref.path)
+                            )
+                    else:
+                        pos_files.append(d)
+                del_rows = None
+                if pos_files:
+                    fmap = spark.createDataFrame(
+                        [(f.orig_path, f.path) for f in files_prev],
+                        "orig string, __del_file string",
+                    )
+                    del_rows = (
+                        spark.read.parquet(*[d.path for d in pos_files])
+                        .select(
+                            F.col("file_path").alias("orig"),
+                            F.col("pos").cast("long").alias("__del_pos"),
+                        )
+                        .join(F.broadcast(fmap), "orig")
+                        .select("__del_file", "__del_pos")
+                    )
+                if dv_plan:
+                    dv_df = spark.createDataFrame(
+                        dv_plan,
+                        "dfile string, off long, size long, "
+                        "__del_file string",
+                    )
+
+                    def _decode(batches):
+                        import pandas as pd
+
+                        from .puffin_lite import read_dv
+
+                        for pdf in batches:
+                            for dfile, off, size, local in zip(
+                                pdf["dfile"], pdf["off"], pdf["size"],
+                                pdf["__del_file"],
+                            ):
+                                pos = read_dv(dfile, int(off), int(size))
+                                yield pd.DataFrame(
+                                    {
+                                        "__del_file": [local] * len(pos),
+                                        "__del_pos": pd.Series(
+                                            pos, dtype="int64"
+                                        ),
+                                    }
+                                )
+
+                    dv_rows = dv_df.repartition(
+                        max(1, min(len(dv_plan), 64))
+                    ).mapInPandas(
+                        _decode, "__del_file string, __del_pos long"
+                    )
+                    del_rows = (
+                        dv_rows if del_rows is None
+                        else del_rows.unionByName(dv_rows)
+                    )
+                if del_rows is not None:
+                    hit = (
+                        parent.join(
+                            del_rows,
+                            (F.col("__ice_file") == F.col("__del_file"))
+                            & (F.col("__ice_pos") == F.col("__del_pos")),
+                            "left_semi",
+                        )
+                    )
+                    parts.append(
+                        hit.drop("__ice_file", "__ice_pos").select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            *tag,
+                        )
+                    )
+            if sel is not None:
+                parts.append(
+                    parent.where(sel)
+                    .drop("__ice_file", "__ice_pos")
+                    .select(
+                        "*", F.lit("delete").alias("_change_type"), *tag
+                    )
+                )
+        prev_id = sid
+    if not parts:
+        raise IcebergLiteError(
+            f"no row changes in ({from_id}, {to_id}] (empty changelog "
+            "reads need a schema source this reader intentionally does "
+            "not guess)"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ------------------------------------------------------ metadata tables
 #
 # Iceberg exposes table internals as queryable METADATA TABLES

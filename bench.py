@@ -158,6 +158,7 @@ EXTENDED: list[str] = [
     "src_iceberg_nested_types",
     "src_convert_iceberg_to_delta",
     "sink_delta_ddl_lifecycle",
+    "src_iceberg_changelog",
 ]
 
 

@@ -1438,3 +1438,73 @@ def test_inspect_entries_shows_churn(spark, tmp_path):
     # time travel: snapshot 1 shows only the first commit's entries
     ent1 = iceberg_lite.inspect_entries(spark, path, snapshot_id=1)
     assert {r["snapshot_id"] for r in ent1.collect()} == {1}
+
+
+# -------------------------------------------------------- changelog scan
+
+
+def test_changelog_inserts_deletes_and_compaction(spark, tmp_path):
+    path = str(tmp_path / "changelog")
+    df1 = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(6)]
+    ).select("id", "v").orderBy("id").coalesce(1)
+    iceberg_lite.write_iceberg(spark, df1, path)            # snap 1
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=10, v=10.0)]).select("id", "v"),
+        path,
+    )                                                       # snap 2
+    iceberg_lite.delete_iceberg(spark, path, "id in (1, 3)")  # snap 3 (MOR)
+    iceberg_lite.rewrite_data_files(spark, path)            # snap 4 (replace)
+    log = iceberg_lite.read_iceberg_changelog(spark, path, from_snapshot=1)
+    rows = [
+        (r["id"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in log.collect()
+    ]
+    assert (10, "insert", 2) in rows
+    assert (1, "delete", 3) in rows and (3, "delete", 3) in rows
+    # compaction emits NOTHING
+    assert not [r for r in rows if r[2] == 4]
+    assert len(rows) == 3
+
+
+def test_changelog_dv_and_partition_drop(spark, tmp_path):
+    path = str(tmp_path / "changelog_v3")
+    df = spark.createDataFrame(
+        [Row(id=i, grp="a" if i < 3 else "b", v=float(i))
+         for i in range(6)]
+    ).select("id", "grp", "v").orderBy("id").coalesce(1)
+    iceberg_lite.write_iceberg(
+        spark, df, path, partition_by=["grp"], format_version=3
+    )                                                       # snap 1
+    iceberg_lite.delete_iceberg(spark, path, "id = 4")      # snap 2 (DV)
+    iceberg_lite.delete_iceberg(spark, path, "grp = 'a'")   # snap 3 (meta-only)
+    log = iceberg_lite.read_iceberg_changelog(spark, path, from_snapshot=1)
+    got = sorted(
+        (r["id"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in log.collect()
+    )
+    assert (4, "delete", 2) in got
+    dropped = [r for r in got if r[2] == 3]
+    assert sorted(r[0] for r in dropped) == [0, 1, 2]
+    assert all(r[1] == "delete" for r in dropped)
+
+
+def test_changelog_refuses_equality_deletes(spark, tmp_path):
+    path = str(tmp_path / "changelog_eq")
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(4)]
+    ).select("id", "v")
+    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame([Row(id=1, v=99.0)]).select("id", "v"),
+        path,
+        keys=["id"],
+    )
+    with pytest.raises(
+        iceberg_lite.IcebergLiteError, match="equality-delete"
+    ):
+        iceberg_lite.read_iceberg_changelog(
+            spark, path, from_snapshot=1
+        ).collect()
