@@ -6287,3 +6287,59 @@ def src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.select(
         "o_orderkey", "cents", "_change_type", "_commit_snapshot_id"
     )
+
+
+@register(
+    "src_iceberg_changelog_upsert",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) + 1
+               AS cents,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 20 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+           'insert'
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+           'delete'
+    FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def src_iceberg_changelog_upsert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Changelog over an EQUALITY-DELETE upsert commit (round 10 —
+    closes the changelog's predicate-delete refusal): snap 1 appends
+    %4==0; snap 2 is one ``upsert_iceberg_equality`` whose source is
+    the %20==0 rows repriced (+1 cent, the update half) plus the
+    %4==1 rows (the pure-insert half).  The changelog over (1, 2]
+    must contain a DELETE for each matched key's OLD version —
+    materialized by a null-safe key semi-join against the parent
+    snapshot, one distributed join per key-field set, rows never on
+    the driver — and an INSERT for every source row; pure inserts
+    emit no delete.  Reference parity: Iceberg
+    ``create_changelog_view`` over a Flink-CDC upsert stream."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-ice-changelog-up-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 4 == 0), tbl
+    )
+    source = base.where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", (F.col("cents") + 1).alias("cents")
+    ).unionByName(base.where(F.col("o_orderkey") % 4 == 1))
+    iceberg_lite.upsert_iceberg_equality(
+        spark, source, tbl, keys=["o_orderkey"]
+    )
+    log = iceberg_lite.read_iceberg_changelog(spark, tbl, from_snapshot=1)
+    return log.select("o_orderkey", "cents", "_change_type")

@@ -941,11 +941,19 @@ def read_iceberg_changelog(
     driver); ``delete`` (metadata-only partition drop) emits the
     removed files' live rows as deletes; ``replace`` (compaction) emits
     nothing — the row set did not change, which is the property that
-    makes compaction invisible downstream.  Refuses equality-delete
-    commits (their deleted rows are defined by predicate against prior
-    state, not by position — replay those through
-    :func:`upsert_iceberg_equality`'s source stream) and
-    rename/drop-altered tables (split ranges at the schema change).
+    makes compaction invisible downstream.  EQUALITY-DELETE commits
+    (the Flink-CDC / :func:`upsert_iceberg_equality` shape) materialize
+    their deleted rows by a null-safe LEFT SEMI join of the PARENT
+    snapshot's scan against the delete files' key tuples — one join per
+    distinct (equality_ids, partition-scope field set), the same
+    grouping as the read path, so a whole partitioned CDC stream's
+    commit is one anti-identity join, not one per partition value.  The
+    spec's strictly-smaller-sequence rule is satisfied by construction:
+    every parent-snapshot file predates the delete's commit, and rows
+    the commit itself adds are never candidates.  A key tuple matching
+    no live parent row (the pure-insert half of an upsert) emits no
+    delete row, mirroring Delta CDF.  Refuses rename/drop-altered
+    tables (split ranges at the schema change).
 
     This is the Iceberg-side twin of delta_lite's
     :func:`~.delta_lite.read_change_feed`.
@@ -996,12 +1004,8 @@ def read_iceberg_changelog(
         new_deletes = [
             d for d in dels_now if d.path not in prev_del_paths
         ]
-        if any(d.content == 2 for d in new_deletes):
-            raise IcebergLiteError(
-                f"snapshot {sid} commits equality-delete files; the "
-                "changelog cannot materialize predicate deletes — "
-                "replay the upsert source instead"
-            )
+        eq_new = [d for d in new_deletes if d.content == 2]
+        new_deletes = [d for d in new_deletes if d.content != 2]
         tag = [
             F.lit(sid).alias("_commit_snapshot_id"),
             F.lit(ts).alias("_commit_timestamp_ms"),
@@ -1013,10 +1017,11 @@ def read_iceberg_changelog(
                     "*", F.lit("insert").alias("_change_type"), *tag
                 )
             )
-        if new_deletes or (removed and op != "replace"):
+        if new_deletes or eq_new or (removed and op != "replace"):
             # parent-state scan once per changing snapshot; (file,pos)
-            # pairs (from position-delete parquet and decoded DVs)
-            # and whole removed files both resolve against it
+            # pairs (from position-delete parquet and decoded DVs),
+            # equality-delete key tuples, and whole removed files all
+            # resolve against it
             parent = read_iceberg(
                 spark, table_path, snapshot_id=prev_id, _row_refs=True
             )
@@ -1100,6 +1105,101 @@ def read_iceberg_changelog(
                             "left_semi",
                         )
                     )
+                    parts.append(
+                        hit.drop("__ice_file", "__ice_pos").select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            *tag,
+                        )
+                    )
+            if eq_new:
+                # Materialize predicate deletes: the parent rows a key
+                # tuple hits ARE the deleted rows.  Same grouping and
+                # scope semantics as read_iceberg's apply path — one
+                # null-safe semi-join per (equality_ids, scope fields),
+                # scope VALUES travel as broadcast join keys.
+                names_by_id = _field_names_by_id(meta)
+                scope_spec: dict = {}
+                for _spid in [
+                    sp.get("spec-id", 0)
+                    for sp in meta.get("partition-specs") or [{}]
+                ]:
+                    for pf in _partition_spec_fields(meta, _spid):
+                        scope_spec.setdefault(pf.name, pf)
+                parent_cols = [
+                    c for c in parent.columns
+                    if c not in ("__ice_file", "__ice_pos")
+                ]
+                parent_types = dict(parent.dtypes)
+                eq_groups: dict = {}
+                for d in eq_new:
+                    sfields = tuple(sc[0] for sc in d.partition_scope)
+                    eq_groups.setdefault(
+                        (d.equality_ids, sfields), []
+                    ).append(d)
+                for (eq_ids, sfields), group in sorted(eq_groups.items()):
+                    try:
+                        cols = [names_by_id[i] for i in eq_ids]
+                    except KeyError as exc:
+                        raise IcebergLiteError(
+                            f"equality_ids {eq_ids} not in table schema"
+                        ) from exc
+                    missing = [c for c in cols if c not in parent_cols]
+                    if missing:
+                        raise IcebergLiteError(
+                            "equality-delete columns absent from the "
+                            f"parent scan: {missing}"
+                        )
+                    scope_exprs = []
+                    for pcol in sfields:
+                        field = scope_spec.get(pcol)
+                        if field is not None and field.kind != "identity":
+                            expr = transform_expr(
+                                field.transform,
+                                field.source,
+                                parent_types.get(field.source, "string"),
+                            )
+                        else:
+                            expr = F.col(
+                                field.source if field is not None else pcol
+                            )
+                        scope_exprs.append(expr.cast("string"))
+                    eq_map = spark.createDataFrame(
+                        [
+                            (d.path, *[
+                                dict(d.partition_scope).get(pcol)
+                                for pcol in sfields
+                            ])
+                            for d in group
+                        ],
+                        ", ".join(
+                            ["dfile string"]
+                            + [
+                                f"__eq_scope_{i} string"
+                                for i in range(len(sfields))
+                            ]
+                        ),
+                    )
+                    del_vals = (
+                        spark.read.parquet(*[d.path for d in group])
+                        .select(
+                            *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                            F.regexp_replace(
+                                F.col("_metadata.file_path"),
+                                "^file:/+", "/",
+                            ).alias("dfile"),
+                        )
+                        .join(F.broadcast(eq_map), "dfile")
+                        .drop("dfile")
+                    )
+                    cond = F.lit(True)
+                    for c in cols:
+                        cond = cond & F.col(c).eqNullSafe(
+                            F.col(f"__eq_{c}")
+                        )
+                    for i, expr in enumerate(scope_exprs):
+                        cond = cond & (expr == F.col(f"__eq_scope_{i}"))
+                    hit = parent.join(del_vals, cond, "left_semi")
                     parts.append(
                         hit.drop("__ice_file", "__ice_pos").select(
                             "*",

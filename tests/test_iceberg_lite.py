@@ -1490,21 +1490,56 @@ def test_changelog_dv_and_partition_drop(spark, tmp_path):
     assert all(r[1] == "delete" for r in dropped)
 
 
-def test_changelog_refuses_equality_deletes(spark, tmp_path):
+def test_changelog_materializes_equality_deletes(spark, tmp_path):
+    """An upsert commit's changelog = deletes for the OLD versions of
+    matched keys (materialized by the key semi-join against the parent
+    snapshot) + inserts for every source row; a key matching nothing
+    (the pure insert) emits no delete."""
     path = str(tmp_path / "changelog_eq")
     df = spark.createDataFrame(
         [Row(id=i, v=float(i)) for i in range(4)]
     ).select("id", "v")
-    iceberg_lite.write_iceberg(spark, df, path)
+    iceberg_lite.write_iceberg(spark, df, path)             # snap 1
     iceberg_lite.upsert_iceberg_equality(
         spark,
-        spark.createDataFrame([Row(id=1, v=99.0)]).select("id", "v"),
+        spark.createDataFrame(
+            [Row(id=1, v=99.0), Row(id=9, v=9.0)]
+        ).select("id", "v"),
         path,
         keys=["id"],
+    )                                                       # snap 2
+    log = iceberg_lite.read_iceberg_changelog(spark, path, from_snapshot=1)
+    got = sorted(
+        (r["id"], float(r["v"]), r["_change_type"], r["_commit_snapshot_id"])
+        for r in log.collect()
     )
-    with pytest.raises(
-        iceberg_lite.IcebergLiteError, match="equality-delete"
-    ):
-        iceberg_lite.read_iceberg_changelog(
-            spark, path, from_snapshot=1
-        ).collect()
+    assert got == [
+        (1, 1.0, "delete", 2),   # old version of the matched key
+        (1, 99.0, "insert", 2),  # new version
+        (9, 9.0, "insert", 2),   # pure insert: no delete row
+    ]
+
+
+def test_changelog_scoped_equality_deletes(spark, tmp_path):
+    """Partition-scoped equality deletes delete only within their
+    partition: the same key value in another partition survives."""
+    path = str(tmp_path / "changelog_eq_scoped")
+    df = spark.createDataFrame(
+        [Row(id=i % 3, grp="a" if i < 3 else "b", v=float(i))
+         for i in range(6)]
+    ).select("id", "grp", "v").orderBy("v").coalesce(1)
+    iceberg_lite.write_iceberg(spark, df, path, partition_by=["grp"])
+    iceberg_lite.upsert_iceberg_equality(
+        spark,
+        spark.createDataFrame(
+            [Row(id=1, grp="a", v=50.0)]
+        ).select("id", "grp", "v"),
+        path,
+        keys=["id", "grp"],
+    )
+    log = iceberg_lite.read_iceberg_changelog(spark, path, from_snapshot=1)
+    dels = [
+        (r["id"], r["grp"], float(r["v"]))
+        for r in log.collect() if r["_change_type"] == "delete"
+    ]
+    assert dels == [(1, "a", 1.0)]  # grp='b' id=1 (v=4.0) untouched
