@@ -52,8 +52,8 @@ _MODULES = (
 # (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
 # column mapping read AND write, delta row tracking, rename/drop
 # column DDL on both formats, uniform-over-mapped export), then the
-# 33 OLDEST green rows — all 26 r1-era rows (predating the oracle
-# canonicalizer fixes) and 7 of the 29 r3-era rows.  Churn-ranked
+# 32 OLDEST green rows — all 26 r1-era rows (predating the oracle
+# canonicalizer fixes) and 6 of the 29 r3-era rows.  Churn-ranked
 # gates step aside this round: every r10-churned gate was re-verified
 # by this round's full registry sweeps (sf0.01 green; sf0.1 at round
 # close); after r10 no gate's latest driver row is older than r3, and
@@ -76,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink_delta_ddl_lifecycle",  # never
     "src_iceberg_changelog",  # never
     "src_iceberg_changelog_upsert",  # never (round-10 third session)
+    "src_uniform_nested_partitioned",  # never (round-10 third session)
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -108,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact",  # last green r3
     "dedup_lsh_verified",  # last green r3
     "emb_kmeans_clusters",  # last green r3
-    "sketch_kmv_distinct",  # last green r3
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -69,6 +69,158 @@ class IcebergLiteError(RuntimeError):
 #: names, never rewritten in place) — the v3 default-materialization
 #: presence check hits this instead of re-reading footers every scan
 _FOOTER_COLS_CACHE: dict = {}
+_FOOTER_SCHEMA_CACHE: dict = {}
+
+
+def _footer_schema(path: str):
+    """Cached pyarrow footer schema (metadata stripped) — data files
+    are uuid-named and immutable once committed, so nested-name
+    resolution pays the driver-side footer I/O once per file, ever."""
+    import pyarrow.parquet as _nspq
+
+    sch = _FOOTER_SCHEMA_CACHE.get(path)
+    if sch is None:
+        sch = _FOOTER_SCHEMA_CACHE[path] = _nspq.read_schema(
+            path
+        ).remove_metadata()
+    return sch
+
+
+def _nm_phys_datatype(dt, entries, arrow_type):
+    """Physicalized copy of a LOGICAL Spark datatype for one file:
+    struct field names at every level replaced by the name-mapping
+    alias actually present in the file's arrow subtree (spec §Name
+    Mapping: resolve by trying the listed names against the file).
+    ``entries`` is the nm subtree (list of {names[, fields]}) for this
+    level; ``arrow_type`` the file's matching arrow type (None =
+    absent; names then stay logical and read null)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(dt, _ST):
+        arrow_names = {}
+        if arrow_type is not None:
+            try:
+                arrow_names = {
+                    arrow_type.field(i).name: arrow_type.field(i).type
+                    for i in range(arrow_type.num_fields)
+                }
+            except (AttributeError, TypeError):
+                arrow_names = {}
+        out = []
+        for f in dt.fields:
+            entry = next(
+                (
+                    e for e in (entries or [])
+                    if f.name in (e.get("names") or [])
+                ),
+                None,
+            )
+            candidates = (entry or {}).get("names") or [f.name]
+            pname = next(
+                (n for n in candidates if n in arrow_names), f.name
+            )
+            out.append(
+                StructField(
+                    pname,
+                    _nm_phys_datatype(
+                        f.dataType,
+                        (entry or {}).get("fields"),
+                        arrow_names.get(pname),
+                    ),
+                    True,
+                )
+            )
+        return _ST(out)
+    if isinstance(dt, ArrayType):
+        el_entry = next(
+            (
+                e for e in (entries or [])
+                if "element" in (e.get("names") or [])
+            ),
+            None,
+        )
+        arrow_el = None
+        if arrow_type is not None:
+            arrow_el = getattr(
+                getattr(arrow_type, "value_field", None), "type", None
+            )
+        return ArrayType(
+            _nm_phys_datatype(
+                dt.elementType,
+                (el_entry or {}).get("fields") or entries,
+                arrow_el,
+            ),
+            dt.containsNull,
+        )
+    if isinstance(dt, MapType):
+        v_entry = next(
+            (
+                e for e in (entries or [])
+                if "value" in (e.get("names") or [])
+            ),
+            None,
+        )
+        arrow_v = None
+        if arrow_type is not None:
+            arrow_v = getattr(
+                getattr(arrow_type, "item_field", None), "type", None
+            )
+        return MapType(
+            dt.keyType,
+            _nm_phys_datatype(
+                dt.valueType,
+                (v_entry or {}).get("fields") or entries,
+                arrow_v,
+            ),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _nm_rebuild(col, logical_dt, phys_dt):
+    """Projection expression renaming a physicalized nested column back
+    to LOGICAL names — pure Catalyst (struct/transform/map_from_arrays
+    over the physical scan), zero Python, zero shuffle; identity for
+    primitives."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(logical_dt, _ST):
+        rebuilt = F.struct(
+            *[
+                _nm_rebuild(
+                    col[pf.name], lf.dataType, pf.dataType
+                ).alias(lf.name)
+                for lf, pf in zip(logical_dt.fields, phys_dt.fields)
+            ]
+        )
+        return F.when(col.isNotNull(), rebuilt)
+    if isinstance(logical_dt, ArrayType) and isinstance(
+        phys_dt, ArrayType
+    ):
+        if phys_dt.elementType == logical_dt.elementType:
+            return col
+        return F.transform(
+            col,
+            lambda x: _nm_rebuild(
+                x, logical_dt.elementType, phys_dt.elementType
+            ),
+        )
+    if isinstance(logical_dt, MapType) and isinstance(phys_dt, MapType):
+        if phys_dt.valueType == logical_dt.valueType:
+            return col
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col),
+                lambda v: _nm_rebuild(
+                    v, logical_dt.valueType, phys_dt.valueType
+                ),
+            ),
+        )
+    return col
 
 
 def _schema_of(path: str) -> dict:
@@ -1717,12 +1869,22 @@ def read_iceberg(
     # where parquet carries the Delta PHYSICAL names while the Iceberg
     # schema names are logical
     nm_alias = None
+    nm_entry_by_id: dict = {}
+    nm_nested = False
     _props = _defaults_meta.get("properties") or {}
     if _props.get("schema.name-mapping.default"):
+        _nm_raw = json.loads(_props["schema.name-mapping.default"])
         nm_alias = {
             int(e["field-id"]): list(e.get("names") or [])
-            for e in json.loads(_props["schema.name-mapping.default"])
+            for e in _nm_raw
+            if e.get("field-id") is not None
         }
+        nm_entry_by_id = {
+            int(e["field-id"]): e
+            for e in _nm_raw
+            if e.get("field-id") is not None
+        }
+        nm_nested = any(e.get("fields") for e in _nm_raw)
     if (history is not None or nm_alias is not None) and table_schema is None:
         raise IcebergLiteError(
             "schema-altered or name-mapped table whose metadata schema "
@@ -1733,12 +1895,6 @@ def read_iceberg(
             "add_files-imported (external) data files on a RENAME/DROP-"
             "COLUMN-altered table are not supported — import again "
             "under the current schema instead"
-        )
-    if nm_alias is not None and (hive_bases or ext_groups):
-        raise IcebergLiteError(
-            "name-mapped tables whose external files need identity "
-            "partition values attached are not supported (the attach "
-            "path is not name-mapping-aware)"
         )
     ids_by_name = {}
     if history is not None:
@@ -1782,6 +1938,33 @@ def read_iceberg(
             names.append(name)
         return tuple(names)
 
+    def _nested_dts(sample_path: str, phys_of: dict) -> dict:
+        """NESTED name mapping: per-field PHYSICALIZED datatype for one
+        file group (struct field names at every level resolved against
+        the group's footer — all group files share one fingerprint).
+        Empty when nothing needs a rebuild, which keeps flat-mapped and
+        unmapped groups on the zero-overhead path."""
+        out: dict = {}
+        if not nm_nested or scan_schema is None:
+            return out
+        sample = _footer_schema(sample_path)
+        arrow_by_name = {
+            sample.field(i).name: sample.field(i).type
+            for i in range(len(sample.names))
+        }
+        for fld in scan_schema.fields:
+            pname = phys_of.get(fld.name)
+            if pname is None:
+                continue
+            entry = nm_entry_by_id.get(ids_by_name.get(fld.name))
+            if entry and entry.get("fields"):
+                pdt = _nm_phys_datatype(
+                    fld.dataType, entry["fields"], arrow_by_name.get(pname)
+                )
+                if pdt != fld.dataType:
+                    out[fld.name] = pdt
+        return out
+
     # group internal files by (as-written name signature, which
     # DEFAULTED columns they physically lack); the single identity
     # group is the normal one-scan path.  Footer schemas are cached
@@ -1789,7 +1972,7 @@ def read_iceberg(
     # committed, so repeated reads of a defaulted table pay the
     # driver-side footer I/O once, not per read.
     resolve_names = history is not None or nm_alias is not None
-    default_groups = {(None, ()): internal}
+    default_groups = {(None, (), None): internal}
     if (
         (column_defaults or resolve_names)
         and internal
@@ -1804,10 +1987,16 @@ def read_iceberg(
                     sorted(c for c in column_defaults if c not in present)
                 )
             sig = _sig_for(f) if resolve_names else None
-            default_groups.setdefault((sig, missing), []).append(f)
+            # nested name mapping: files may differ in nested PHYSICAL
+            # layout, which the top-level signature cannot see — the
+            # footer schema fingerprint splits those groups (cached,
+            # one read per file ever)
+            fp = str(_footer_schema(f.path)) if nm_nested else None
+            default_groups.setdefault((sig, missing, fp), []).append(f)
     parts = []
-    for (sig, missing_defaults), group in sorted(
-        default_groups.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+    for (sig, missing_defaults, _fp), group in sorted(
+        default_groups.items(),
+        key=lambda kv: (str(kv[0][0]), kv[0][1], str(kv[0][2])),
     ):
         if not group:
             continue
@@ -1821,11 +2010,16 @@ def read_iceberg(
                 phys_of = dict(
                     zip([f.name for f in scan_schema.fields], sig)
                 )
+        nested_dt_of = (
+            _nested_dts(group[0].path, phys_of) if group else {}
+        )
         if scan_schema is not None:
             sub_schema = StructType(
                 [
                     StructField(
-                        phys_of[fld.name], fld.dataType, True
+                        phys_of[fld.name],
+                        nested_dt_of.get(fld.name, fld.dataType),
+                        True,
                     )
                     for fld in scan_schema.fields
                     if fld.name not in missing_defaults
@@ -1846,7 +2040,7 @@ def read_iceberg(
         absent_here = scan_schema is not None and any(
             phys_of[fld.name] is None for fld in scan_schema.fields
         )
-        if missing_defaults or renamed_here or absent_here:
+        if missing_defaults or renamed_here or absent_here or nested_dt_of:
             cols = []
             for fld in scan_schema.fields:
                 pname = phys_of[fld.name]
@@ -1866,6 +2060,14 @@ def read_iceberg(
                         .cast(fld.dataType)
                         .alias(fld.name)
                     )
+                elif fld.name in nested_dt_of:
+                    cols.append(
+                        _nm_rebuild(
+                            F.col(pname),
+                            fld.dataType,
+                            nested_dt_of[fld.name],
+                        ).alias(fld.name)
+                    )
                 else:
                     cols.append(F.col(pname).alias(fld.name))
             df = df.select(
@@ -1876,7 +2078,29 @@ def read_iceberg(
     for (_miss, base), group in sorted(hive_bases.items()):
         # ONE basePath scan reconstructs the identity partition columns
         # for every hive-consistent external file under this root —
-        # the manifest values were verified against the dir names above
+        # the manifest values were verified against the dir names above.
+        # On a name-mapped table this scan can only express IDENTITY
+        # resolution (the enable_column_mapping migration, where
+        # physical == logical); files whose footer needs a real alias
+        # re-route to the per-partition attach path below.
+        if nm_alias is not None:
+            aliased = []
+            ident = []
+            for f in group:
+                sig = _sig_for(f)
+                ok = all(
+                    name == fld.name
+                    or (name is None and fld.name in _miss)
+                    for fld, name in zip(scan_schema.fields, sig)
+                )
+                (ident if ok else aliased).append(f)
+            group = ident
+            for f in aliased:
+                ext_groups.append(
+                    ([f], {c: f.partition[c] for c in _miss})
+                )
+            if not group:
+                continue
         df = (
             spark.read.schema(scan_schema)
             .option("basePath", base)
@@ -1889,18 +2113,70 @@ def read_iceberg(
         )
         parts.append(df.select(*order))
     for group, attach in ext_groups:
-        sub = StructType(
-            [f for f in scan_schema.fields if f.name not in attach]
-        )
-        df = spark.read.schema(sub).parquet(*[f.path for f in group])
-        if need_meta:
-            df = _with_meta(df)
-        for c, v in attach.items():
-            df = df.withColumn(c, F.lit(v).cast(dtype_by_name[c]))
-        order = [f.name for f in scan_schema.fields] + (
-            ["__ice_file", "__ice_pos"] if need_meta else []
-        )
-        parts.append(df.select(*order))
+        # name-mapped files read under their AS-WRITTEN (physical)
+        # names — resolved per file against the footer, grouped by
+        # signature — then project back to logical; unmapped files
+        # keep the identity fast path
+        if nm_alias is not None:
+            by_sig: dict = {}
+            for f in group:
+                fp = str(_footer_schema(f.path)) if nm_nested else None
+                by_sig.setdefault((_sig_for(f), fp), []).append(f)
+            subgroups = sorted(by_sig.items(), key=lambda kv: str(kv[0]))
+        else:
+            subgroups = [((None, None), group)]
+        for (sig, _fp), grp in subgroups:
+            if sig is None:
+                phys_of = {f.name: f.name for f in scan_schema.fields}
+            else:
+                phys_of = dict(
+                    zip([f.name for f in scan_schema.fields], sig)
+                )
+            nested_dt_of = _nested_dts(grp[0].path, phys_of)
+            sub = StructType(
+                [
+                    StructField(
+                        phys_of[f.name],
+                        nested_dt_of.get(f.name, f.dataType),
+                        True,
+                    )
+                    for f in scan_schema.fields
+                    if f.name not in attach
+                    and phys_of[f.name] is not None
+                ]
+            )
+            df = spark.read.schema(sub).parquet(*[f.path for f in grp])
+            if need_meta:
+                df = _with_meta(df)
+            cols = []
+            for fld in scan_schema.fields:
+                pname = phys_of[fld.name]
+                if fld.name in attach:
+                    cols.append(
+                        F.lit(attach[fld.name])
+                        .cast(dtype_by_name[fld.name])
+                        .alias(fld.name)
+                    )
+                elif pname is None:
+                    cols.append(
+                        F.lit(None).cast(fld.dataType).alias(fld.name)
+                    )
+                elif fld.name in nested_dt_of:
+                    cols.append(
+                        _nm_rebuild(
+                            F.col(pname),
+                            fld.dataType,
+                            nested_dt_of[fld.name],
+                        ).alias(fld.name)
+                    )
+                else:
+                    cols.append(F.col(pname).alias(fld.name))
+            parts.append(
+                df.select(
+                    *cols,
+                    *(["__ice_file", "__ice_pos"] if need_meta else []),
+                )
+            )
     reader = parts[0]
     for p in parts[1:]:
         reader = reader.unionByName(p)
@@ -4024,6 +4300,119 @@ def rewrite_data_files(
     }
 
 
+def _mapped_ice_fields(schema) -> list[dict]:
+    """Iceberg schema fields for a COLUMN-MAPPED delta schema: field id
+    := ``delta.columnMapping.id`` at every struct level — stable across
+    both logs, so repeated exports after Delta evolution keep resolving.
+    List element / map key+value ids (which Delta does not assign) mint
+    past the largest mapping id; name-mapping resolution never consults
+    them."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    def max_id(dt) -> int:
+        if isinstance(dt, _ST):
+            return max(
+                [0]
+                + [
+                    max(
+                        int((f.metadata or {}).get(
+                            "delta.columnMapping.id", 0
+                        )),
+                        max_id(f.dataType),
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, ArrayType):
+            return max_id(dt.elementType)
+        if isinstance(dt, MapType):
+            return max(max_id(dt.keyType), max_id(dt.valueType))
+        return 0
+
+    counter = {"v": max_id(schema)}
+
+    def mint() -> int:
+        counter["v"] += 1
+        return counter["v"]
+
+    def conv(dt):
+        if isinstance(dt, _ST):
+            out = []
+            for f in dt.fields:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                out.append(
+                    {
+                        "id": int(fid) if fid is not None else mint(),
+                        "name": f.name,
+                        "required": False,
+                        "type": conv(f.dataType),
+                    }
+                )
+            return {"type": "struct", "fields": out}
+        if isinstance(dt, ArrayType):
+            return {
+                "type": "list",
+                "element-id": mint(),
+                "element": conv(dt.elementType),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, MapType):
+            return {
+                "type": "map",
+                "key-id": mint(),
+                "key": conv(dt.keyType),
+                "value-id": mint(),
+                "value": conv(dt.valueType),
+                "value-required": not dt.valueContainsNull,
+            }
+        return _ice_type_of(dt, mint)
+
+    return conv(schema)["fields"]
+
+
+def _nm_entries_of(schema) -> list[dict]:
+    """spec §Name Mapping entries for a column-mapped delta schema —
+    RECURSIVE: each struct field (at any depth) aliases its Delta
+    physical name to the logical one under its mapping id; list/map
+    levels pass through as the spec's ``element``/``key``/``value``
+    named entries so struct fields inside collections resolve too."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    def sub_of(dt):
+        if isinstance(dt, _ST):
+            return [entry_of(f) for f in dt.fields]
+        if isinstance(dt, ArrayType):
+            inner = sub_of(dt.elementType)
+            if inner:
+                return [{"names": ["element"], "fields": inner}]
+            return None
+        if isinstance(dt, MapType):
+            inner = sub_of(dt.valueType)
+            if inner:
+                return [
+                    {"names": ["key"]},
+                    {"names": ["value"], "fields": inner},
+                ]
+            return None
+        return None
+
+    def entry_of(field) -> dict:
+        md = field.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", field.name)
+        e = {
+            "field-id": int(md["delta.columnMapping.id"]),
+            "names": sorted({phys, field.name}),
+        }
+        inner = sub_of(field.dataType)
+        if inner:
+            e["fields"] = inner
+        return e
+
+    return [entry_of(f) for f in schema.fields]
+
+
 def export_uniform(delta_path: str, iceberg_path: str) -> dict:
     """UniForm-shape export (Databricks Universal Format / Apache
     XTable's delta->iceberg direction): commit ICEBERG METADATA over a
@@ -4051,7 +4440,6 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
     from the logical schema) — the same constraint real UniForm
     documents.  Returns {"snapshot_id", "files", "dv_files",
     "delta_version"}."""
-    from .delta_lite import _contains_struct as _has_struct
     from .delta_lite import snapshot as _delta_snapshot
 
     snap = _delta_snapshot(delta_path)
@@ -4060,27 +4448,17 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
     ).lower() != "none"
     phys_by_logical: dict = {}
     if mapped:
-        # round 10: FLAT column mapping exports through the spec's NAME
+        # round 10: column mapping exports through the spec's NAME
         # MAPPING (``schema.name-mapping.default``) — the parquet files
         # keep their Delta physical names and Iceberg readers resolve
-        # them to field ids through the alias list.  Nested structs
-        # would need nested name mappings: refused by name.
-        nested = [
-            f.name for f in snap.schema.fields if _has_struct(f.dataType)
-        ]
-        if nested:
-            raise IcebergLiteError(
-                "cannot export uniform metadata over a column-mapped "
-                f"delta table with struct columns {nested} (nested "
-                "name mapping not supported)"
-            )
-        if snap.partition_columns:
-            raise IcebergLiteError(
-                "cannot export uniform metadata over a PARTITIONED "
-                "column-mapped delta table (identity partition values "
-                "live outside the data files, and the external-file "
-                "attach path is not name-mapping-aware)"
-            )
+        # them to field ids through the alias list, RECURSIVELY for
+        # struct fields at any depth (third session: nested entries).
+        # Partitioned mapped tables export too (round 10, third
+        # session): manifest tuples carry LOGICAL partition keys, the
+        # reader's attach path resolves each file's data columns
+        # through the name mapping and attaches the partition literal
+        # from the manifest — Delta's physically-named hive dirs never
+        # need to parse.
         phys_by_logical = {
             f.name: (f.metadata or {}).get(
                 "delta.columnMapping.physicalName", f.name
@@ -4168,18 +4546,14 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
         # a v2 mirror created before the source grew DVs upgrades in
         # place (metadata-only) so the v3 delete entries are legal
         upgrade_iceberg_format(iceberg_path, 3)
-    fields = _ice_schema_fields(snap.schema)
     if mapped:
-        # Iceberg field ids := the Delta columnMapping ids — stable
-        # across both logs, so repeated exports after Delta evolution
-        # keep resolving (and equality of ids makes the name-mapping
-        # alias list unambiguous)
-        mapping_ids = {
-            f.name: int((f.metadata or {}).get("delta.columnMapping.id"))
-            for f in snap.schema.fields
-        }
-        for fd in fields:
-            fd["id"] = mapping_ids[fd["name"]]
+        # Iceberg field ids := the Delta columnMapping ids at every
+        # struct level — stable across both logs, so repeated exports
+        # after Delta evolution keep resolving (and equality of ids
+        # makes the name-mapping alias list unambiguous)
+        fields = _mapped_ice_fields(snap.schema)
+    else:
+        fields = _ice_schema_fields(snap.schema)
     snap_id = _commit_snapshot(
         iceberg_path,
         part_cols,
@@ -4195,20 +4569,7 @@ def export_uniform(delta_path: str, iceberg_path: str) -> dict:
             iceberg_path,
             {
                 "schema.name-mapping.default": json.dumps(
-                    [
-                        {
-                            "field-id": fd["id"],
-                            "names": sorted(
-                                {
-                                    phys_by_logical.get(
-                                        fd["name"], fd["name"]
-                                    ),
-                                    fd["name"],
-                                }
-                            ),
-                        }
-                        for fd in fields
-                    ]
+                    _nm_entries_of(snap.schema)
                 )
             },
         )
