@@ -1036,42 +1036,46 @@ def read_iceberg_incremental(
     history = _name_history(meta)
     if history is not None:
         # RENAME/DROP-COLUMN-altered table: appended files carry the
-        # names of the schema they were written under — resolve them
-        # and project to CURRENT names (one schema per pure-append
-        # range is the overwhelmingly common case; a range straddling
-        # a rename refuses rather than mixing)
+        # names of the schema they were written under — resolve each
+        # per-schema group (via its snapshot's schema-id) and project
+        # to CURRENT names; a range straddling a rename scans one
+        # group per distinct schema and unions (round 10, third
+        # session — previously a named refusal).  Unaltered tables
+        # never reach this branch.
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructField, StructType
 
-        sids = {_file_schema_id(history, f) for f in new_files}
-        if len(sids) > 1:
-            raise IcebergLiteError(
-                "incremental range straddles a column rename/drop "
-                f"(schemas {sorted(sids)}); split the range at the "
-                "schema-change commit"
-            )
-        smap = history["maps"].get(sids.pop(), {})
         table_schema = _spark_schema_from_meta(meta)
         if table_schema is None:
             raise IcebergLiteError(
                 "schema-altered table whose metadata schema does not "
                 "map to Spark types; refusing a name-ambiguous read"
             )
-        sub, out = [], []
-        for fld in table_schema.fields:
-            fid = history["cur_ids"].get(fld.name)
-            pname = smap.get(fid) if fid is not None else fld.name
-            if pname is None:
-                out.append(
-                    F.lit(None).cast(fld.dataType).alias(fld.name)
-                )
-            else:
-                sub.append(StructField(pname, fld.dataType, True))
-                out.append(F.col(pname).alias(fld.name))
-        df = spark.read.schema(StructType(sub)).parquet(
-            *[f.path for f in new_files]
-        )
-        return df.select(*out)
+        by_sid: dict = {}
+        for f in new_files:
+            by_sid.setdefault(_file_schema_id(history, f), []).append(f)
+        parts = []
+        for sid in sorted(by_sid, key=lambda s: (s is None, s)):
+            smap = history["maps"].get(sid, {})
+            sub, out = [], []
+            for fld in table_schema.fields:
+                fid = history["cur_ids"].get(fld.name)
+                pname = smap.get(fid) if fid is not None else fld.name
+                if pname is None:
+                    out.append(
+                        F.lit(None).cast(fld.dataType).alias(fld.name)
+                    )
+                else:
+                    sub.append(StructField(pname, fld.dataType, True))
+                    out.append(F.col(pname).alias(fld.name))
+            df = spark.read.schema(StructType(sub)).parquet(
+                *[f.path for f in by_sid[sid]]
+            )
+            parts.append(df.select(*out))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        return result
     return spark.read.parquet(*[f.path for f in new_files])
 
 

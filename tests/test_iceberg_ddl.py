@@ -268,3 +268,16 @@ def test_incremental_scan_resolves_renamed_names(spark, table):
     _write(spark, table, [Row(id=501, grp="b", points=6.5)])
     inc2 = il.read_iceberg_incremental(spark, table, from_snapshot=3)
     assert sorted(r["id"] for r in inc2.collect()) == [501]
+
+
+def test_incremental_scan_straddles_a_rename(spark, table):
+    """Round 10, third session (previously a named refusal): a range
+    whose appends span a RENAME scans one per-schema group per
+    distinct as-written naming and unions under CURRENT names."""
+    _write(spark, table, [Row(id=600, grp="a", score=1.0)])  # pre-rename
+    il.alter_iceberg_schema(table, renames={"score": "points"})
+    _write(spark, table, [Row(id=601, grp="b", points=2.0)])  # post
+    inc = il.read_iceberg_incremental(spark, table, from_snapshot=1)
+    assert inc.columns == ["id", "grp", "points"]
+    got = {r["id"]: r["points"] for r in inc.collect()}
+    assert got == {600: 1.0, 601: 2.0}
