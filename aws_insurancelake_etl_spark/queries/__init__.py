@@ -77,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_changelog",  # never
     "src_iceberg_changelog_upsert",  # never (round-10 third session)
     "src_uniform_nested_partitioned",  # never (round-10 third session)
+    "sink_iceberg_nested_ddl",  # never (round-10 fourth session)
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -105,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "yoy_customer_retention",  # last green r1
     "agg_numeric_audit",  # last green r3
     "ann_cosine_topk",  # last green r3
-    "ann_ivf_label_topk",  # last green r3
     "dedup_exact",  # last green r3
     "dedup_lsh_verified",  # last green r3
     "emb_kmeans_clusters",  # last green r3

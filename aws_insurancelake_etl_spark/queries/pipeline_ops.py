@@ -5951,6 +5951,88 @@ def sink_iceberg_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_iceberg_nested_ddl",
+    """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 3 = 1 THEN c_name END AS profile_name,
+           cents AS balance_cents
+    FROM (SELECT c_custkey, c_name,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                     AS cents
+          FROM customer WHERE c_custkey % 3 IN (0, 1))
+    WHERE cents % 2 <> 0
+    """,
+)
+def sink_iceberg_nested_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-field DDL on Iceberg (round 10): dotted paths address
+    struct fields — ``rename`` and ``drop`` mutate the leaf inside the
+    schema tree, ``add`` appends a fresh-id field to the parent struct;
+    all pure METADATA commits (spec §Schema Evolution applies at every
+    level).  Files written under the OLD nested layout scan as their
+    own schema-id group under the as-written nested type and rebuild
+    to current names BY FIELD ID (pure Catalyst struct rebuild), so a
+    dropped-then-re-added nested NAME reads null on old rows — the
+    retired field's bytes are unreachable.  Flow: create on %3==0 ->
+    rename profile.cents->balance_cents -> drop profile.name -> re-add
+    profile.name -> append %3==1 under the new shape -> MOR DELETE on
+    a NESTED predicate.  In-gate asserts the DDLs touched zero data
+    files and the re-added nested field id is fresh."""
+    from ..sources import iceberg_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            F.col("c_name").alias("name"), cents.alias("cents")
+        ).alias("profile"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-nested-ddl-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("id") % 3 == 0), tbl
+    )
+    files0 = sorted(f.path for f in iceberg_lite.plan_files(tbl))
+    iceberg_lite.alter_iceberg_schema(
+        tbl, renames={"profile.cents": "balance_cents"}
+    )
+    iceberg_lite.alter_iceberg_schema(tbl, drops=["profile.name"])
+    meta = iceberg_lite._load_metadata(tbl)
+    last_id = int(meta["last-column-id"])
+    iceberg_lite.alter_iceberg_schema(tbl, adds={"profile.name": "string"})
+    if sorted(f.path for f in iceberg_lite.plan_files(tbl)) != files0:
+        raise RuntimeError("nested DDL touched data files")
+    meta = iceberg_lite._load_metadata(tbl)
+    cur = iceberg_lite._current_schema_of(meta)
+    profile = next(f for f in cur["fields"] if f["name"] == "profile")
+    readded = next(
+        f for f in profile["type"]["fields"] if f["name"] == "name"
+    )
+    if int(readded["id"]) <= last_id:
+        raise RuntimeError(
+            f"re-added nested field reused a retired id ({readded['id']})"
+        )
+    fresh = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 1
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.struct(
+            cents.alias("balance_cents"), F.col("c_name").alias("name")
+        ).alias("profile"),
+    )
+    iceberg_lite.write_iceberg(spark, fresh, tbl)
+    iceberg_lite.delete_iceberg(
+        spark, tbl, "profile.balance_cents % 2 = 0"
+    )
+    out = iceberg_lite.read_iceberg(spark, tbl)
+    return out.select(
+        "id",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.balance_cents").alias("balance_cents"),
+    )
+
+
+@register(
     "sink_delta_nested_mapped_write",
     """
     SELECT c_custkey,

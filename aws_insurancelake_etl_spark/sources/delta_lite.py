@@ -671,6 +671,78 @@ def _merge_nested(table_dt, df_dt, mint=None):
     return table_dt
 
 
+def _remap_overwrite(old_dt, new_dt, mint):
+    """Field-id REUSE semantics for a schema-changing OVERWRITE of a
+    mapped table (delta-spark ``overwriteSchema``): nested fields
+    present in BOTH schemas (matched by logical name, per level) keep
+    their ``columnMapping.id``/``physicalName``; genuinely-new fields
+    mint fresh ones; removed fields simply vanish — their ids retire
+    forever because ``maxColumnId`` is monotone.  A field whose KIND
+    changes (struct -> primitive or back) re-mints its nested ids; the
+    overwrite replaces every data file, so no old bytes can bind."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    if isinstance(new_dt, _ST):
+        old_by = (
+            {f.name: f for f in old_dt.fields}
+            if isinstance(old_dt, _ST)
+            else {}
+        )
+        out = []
+        for nf in new_dt.fields:
+            of = old_by.get(nf.name)
+            if of is not None:
+                out.append(
+                    StructField(
+                        nf.name,
+                        _remap_overwrite(of.dataType, nf.dataType, mint),
+                        True,
+                        metadata=dict(of.metadata or {}),
+                    )
+                )
+            else:
+                fid = mint()
+                out.append(
+                    StructField(
+                        nf.name,
+                        _mint_with(nf.dataType, mint)
+                        if _contains_struct(nf.dataType)
+                        else nf.dataType,
+                        True,
+                        metadata={
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": (
+                                f"col-{uuid.uuid4().hex[:8]}"
+                            ),
+                        },
+                    )
+                )
+        return _ST(out)
+    if isinstance(new_dt, ArrayType):
+        return ArrayType(
+            _remap_overwrite(
+                old_dt.elementType
+                if isinstance(old_dt, ArrayType)
+                else None,
+                new_dt.elementType,
+                mint,
+            ),
+            new_dt.containsNull,
+        )
+    if isinstance(new_dt, MapType):
+        return MapType(
+            new_dt.keyType,
+            _remap_overwrite(
+                old_dt.valueType if isinstance(old_dt, MapType) else None,
+                new_dt.valueType,
+                mint,
+            ),
+            new_dt.valueContainsNull,
+        )
+    return new_dt
+
+
 def _mint_with(dt, mint):
     """:func:`_mint_mapped_datatype` driven by a closure counter."""
     from pyspark.sql.types import ArrayType, MapType
@@ -2542,8 +2614,10 @@ def write_delta(
     rename-safe layout Databricks-default tables use.  Appends (and
     evolve-appends, which mint NEW ids/physical names for added
     columns) to an already-mapped table physicalize automatically; a
-    schema-CHANGING overwrite of a mapped table raises (id reuse
-    semantics are a deliberate non-goal).
+    schema-CHANGING overwrite of a mapped table keeps surviving
+    columns' ids/physical names (matched by logical name at every
+    nesting level), mints fresh ids for new columns, and retires
+    dropped ids forever (``maxColumnId`` is monotone — no reuse).
 
     ``generated_columns`` (CREATION only): {name: SQL expression} —
     PROTOCOL.md §Generated Columns (``delta.generationExpression``
@@ -2573,6 +2647,7 @@ def write_delta(
     evolved = False
     schema_override_evolve = None  # nested-evolution merged schema
     phys = None  # logical -> physical (column-mapped tables only)
+    ow_remap = False  # mapped overwrite with a CHANGED schema
     idm: dict = {}  # identity metadata of the EXISTING table
     identity_assigned: list = []  # identity cols minted THIS write
     if is_delta_table(path):
@@ -2627,10 +2702,12 @@ def write_delta(
             if mode == "overwrite" and _schema_key(df.schema) != _schema_key(
                 existing.schema
             ):
-                raise DeltaLiteError(
-                    "schema-changing overwrite of a column-mapped table "
-                    "is not supported (field-id reuse semantics)"
-                )
+                # schema-CHANGING overwrite (round 10, closes a named
+                # refusal): survivors keep their mapping ids/physical
+                # names (matched by logical name, delta-spark's
+                # assignColumnIdAndPhysicalName), new columns mint,
+                # dropped ids retire (maxColumnId is monotone)
+                ow_remap = True
         if mode == "append":
             if partition_by and partition_by != existing.partition_columns:
                 raise DeltaLiteError(
@@ -2782,7 +2859,22 @@ def write_delta(
         for f in df.schema.fields:
             if f.name in old_fields:
                 old_f = old_fields[f.name]
-                if (
+                if ow_remap and old_f.dataType.simpleString() != (
+                    f.dataType.simpleString()
+                ):
+                    # overwrite reshaped this survivor: keep its id/
+                    # physical name, remap nested fields by name
+                    fields.append(
+                        StructField(
+                            f.name,
+                            _remap_overwrite(
+                                old_f.dataType, f.dataType, _mint_next
+                            ),
+                            True,
+                            metadata=dict(old_f.metadata or {}),
+                        )
+                    )
+                elif (
                     _contains_struct(old_f.dataType)
                     and old_f.dataType.simpleString()
                     != f.dataType.simpleString()

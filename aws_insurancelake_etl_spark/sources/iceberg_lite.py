@@ -1976,7 +1976,8 @@ def read_iceberg(
     # committed, so repeated reads of a defaulted table pay the
     # driver-side footer I/O once, not per read.
     resolve_names = history is not None or nm_alias is not None
-    default_groups = {(None, (), None): internal}
+    hist_nested = bool(history and history.get("nested"))
+    default_groups = {(None, (), None, None): internal}
     if (
         (column_defaults or resolve_names)
         and internal
@@ -1996,11 +1997,20 @@ def read_iceberg(
             # footer schema fingerprint splits those groups (cached,
             # one read per file ever)
             fp = str(_footer_schema(f.path)) if nm_nested else None
-            default_groups.setdefault((sig, missing, fp), []).append(f)
+            # nested RENAME/DROP history: each schema-id scans as its
+            # own group under its as-written nested layout
+            sid_key = (
+                _file_schema_id(history, f) if hist_nested else None
+            )
+            default_groups.setdefault(
+                (sig, missing, fp, sid_key), []
+            ).append(f)
     parts = []
-    for (sig, missing_defaults, _fp), group in sorted(
+    for (sig, missing_defaults, _fp, sid_key), group in sorted(
         default_groups.items(),
-        key=lambda kv: (str(kv[0][0]), kv[0][1], str(kv[0][2])),
+        key=lambda kv: (
+            str(kv[0][0]), kv[0][1], str(kv[0][2]), str(kv[0][3]),
+        ),
     ):
         if not group:
             continue
@@ -2017,6 +2027,24 @@ def read_iceberg(
         nested_dt_of = (
             _nested_dts(group[0].path, phys_of) if group else {}
         )
+        # nested schema HISTORY: scan this group under its schema-id's
+        # as-written nested layout, rebuild to current names by field id
+        hist_rb_of: dict = {}
+        if sid_key is not None and scan_schema is not None:
+            wr_types = history["types"].get(sid_key, {})
+            for fld in scan_schema.fields:
+                fid = ids_by_name.get(fld.name)
+                cur_t = history["cur_types"].get(fid)
+                wr_t = wr_types.get(fid)
+                if cur_t is None or wr_t is None:
+                    continue
+                if (
+                    isinstance(cur_t, dict) or isinstance(wr_t, dict)
+                ) and _names_tree(cur_t) != _names_tree(wr_t):
+                    sp = _spark_type_from_ice(wr_t)
+                    if sp is not None:
+                        nested_dt_of[fld.name] = sp
+                        hist_rb_of[fld.name] = (cur_t, wr_t)
         if scan_schema is not None:
             sub_schema = StructType(
                 [
@@ -2063,6 +2091,12 @@ def read_iceberg(
                         )
                         .cast(fld.dataType)
                         .alias(fld.name)
+                    )
+                elif fld.name in hist_rb_of:
+                    cols.append(
+                        _hist_rebuild(
+                            F.col(pname), *hist_rb_of[fld.name]
+                        ).alias(fld.name)
                     )
                 elif fld.name in nested_dt_of:
                     cols.append(
@@ -2589,16 +2623,14 @@ _ICEBERG_TO_SPARK_TYPE = {
 }
 
 
-def _spark_schema_from_meta(meta: dict):
-    """The CURRENT metadata schema as a Spark StructType, or None when
-    any field's type has no mapping (reads then fall back to parquet
-    self-description).  Reading by the TABLE schema is what makes
-    schema evolution work: files written before an added column simply
-    surface it as null, and files carrying dropped/extra columns do not
-    leak them."""
+def _spark_type_from_ice(ice):
+    """One iceberg schema type -> Spark DataType, or None when there is
+    no mapping.  Plain type objects, never ``fromDDL``: this also runs
+    inside Python DataSource workers, which have no JVM session."""
     import re as _re
 
     from pyspark.sql.types import (
+        ArrayType,
         BinaryType,
         BooleanType,
         DateType,
@@ -2607,6 +2639,7 @@ def _spark_schema_from_meta(meta: dict):
         FloatType,
         IntegerType,
         LongType,
+        MapType,
         StringType,
         StructField,
         StructType,
@@ -2614,8 +2647,6 @@ def _spark_schema_from_meta(meta: dict):
         TimestampType,
     )
 
-    # plain type objects, never fromDDL: this also runs inside Python
-    # DataSource workers, which have no JVM session to parse DDL with
     simple = {
         "long": LongType(),
         "int": IntegerType(),
@@ -2629,6 +2660,43 @@ def _spark_schema_from_meta(meta: dict):
         "timestamp": TimestampNTZType(),
         "uuid": StringType(),
     }
+    if isinstance(ice, dict):
+        kind = ice.get("type")
+        if kind == "struct":
+            subs = []
+            for sub in ice.get("fields", []):
+                t = _spark_type_from_ice(sub.get("type"))
+                if t is None:
+                    return None
+                subs.append(StructField(sub["name"], t, True))
+            return StructType(subs)
+        if kind == "list":
+            el = _spark_type_from_ice(ice.get("element"))
+            if el is None:
+                return None
+            return ArrayType(el, not bool(ice.get("element-required")))
+        if kind == "map":
+            k = _spark_type_from_ice(ice.get("key"))
+            v = _spark_type_from_ice(ice.get("value"))
+            if k is None or v is None:
+                return None
+            return MapType(k, v, not bool(ice.get("value-required")))
+        return None
+    m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice or "")
+    if m:
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    return simple.get(ice)
+
+
+def _spark_schema_from_meta(meta: dict):
+    """The CURRENT metadata schema as a Spark StructType, or None when
+    any field's type has no mapping (reads then fall back to parquet
+    self-description).  Reading by the TABLE schema is what makes
+    schema evolution work: files written before an added column simply
+    surface it as null, and files carrying dropped/extra columns do not
+    leak them."""
+    from pyspark.sql.types import StructField, StructType
+
     schemas = meta.get("schemas") or []
     cur_id = meta.get("current-schema-id", 0)
     schema = None
@@ -2639,43 +2707,9 @@ def _spark_schema_from_meta(meta: dict):
         schema = schemas[-1]
     if not schema:
         return None
-    from pyspark.sql.types import ArrayType, MapType
-
-    def conv(ice):
-        if isinstance(ice, dict):
-            kind = ice.get("type")
-            if kind == "struct":
-                subs = []
-                for sub in ice.get("fields", []):
-                    t = conv(sub.get("type"))
-                    if t is None:
-                        return None
-                    subs.append(StructField(sub["name"], t, True))
-                return StructType(subs)
-            if kind == "list":
-                el = conv(ice.get("element"))
-                if el is None:
-                    return None
-                return ArrayType(
-                    el, not bool(ice.get("element-required"))
-                )
-            if kind == "map":
-                k = conv(ice.get("key"))
-                v = conv(ice.get("value"))
-                if k is None or v is None:
-                    return None
-                return MapType(
-                    k, v, not bool(ice.get("value-required"))
-                )
-            return None
-        m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", ice or "")
-        if m:
-            return DecimalType(int(m.group(1)), int(m.group(2)))
-        return simple.get(ice)
-
     fields = []
     for f in schema.get("fields", []):
-        spark_t = conv(f.get("type"))
+        spark_t = _spark_type_from_ice(f.get("type"))
         if spark_t is None:
             return None  # unknown types: fall back to parquet footers
         fields.append(StructField(f["name"], spark_t, True))
@@ -2718,7 +2752,28 @@ def _name_history(meta: dict):
         for m in maps.values()
         for fid, name in m.items()
     )
-    if not renamed and not retired_reuse:
+    # NESTED naming history (round 10): a struct field renamed/dropped+
+    # re-added INSIDE a column changes no top-level name, but files
+    # written under the old nested layout must scan under it and
+    # rebuild to current names BY FIELD ID (never by name — a re-added
+    # nested name must not resurrect the retired field's bytes)
+    cur_types = {
+        int(f["id"]): f["type"] for f in cur.get("fields", [])
+    }
+    types = {
+        int(s.get("schema-id") or 0): {
+            int(f["id"]): f["type"] for f in s.get("fields", [])
+        }
+        for s in schemas
+    }
+    nested = any(
+        fid in m
+        and (isinstance(t, dict) or isinstance(m[fid], dict))
+        and _names_tree(m[fid]) != _names_tree(t)
+        for m in types.values()
+        for fid, t in cur_types.items()
+    )
+    if not renamed and not retired_reuse and not nested:
         return None
     seq_map = {}
     for snap in meta.get("snapshots") or []:
@@ -2730,7 +2785,88 @@ def _name_history(meta: dict):
         "cur_map": cur_map,
         "cur_ids": {n: i for i, n in cur_map.items()},
         "seq_map": seq_map,
+        "nested": nested,
+        "types": types,
+        "cur_types": cur_types,
     }
+
+
+def _names_tree(ice):
+    """The (id -> name) assignment of an iceberg type, recursively —
+    the part of the schema a RENAME/DROP/RE-ADD changes.  Primitives
+    (and primitive promotions, which the parquet reader upcasts
+    natively) contribute nothing, so pure widening history never forces
+    the grouped-scan path."""
+    if not isinstance(ice, dict):
+        return None
+    kind = ice.get("type")
+    if kind == "struct":
+        return tuple(sorted(
+            (int(f["id"]), f["name"], _names_tree(f["type"]))
+            for f in ice.get("fields", [])
+        ))
+    if kind == "list":
+        return ("list", _names_tree(ice.get("element")))
+    return (
+        "map", _names_tree(ice.get("key")),
+        _names_tree(ice.get("value")),
+    )
+
+
+def _hist_rebuild(col, cur_ice, wr_ice):
+    """Projection rebuilding a column scanned under its AS-WRITTEN
+    nested layout (``wr_ice``) into the CURRENT schema's layout
+    (``cur_ice``), matched by FIELD ID at every level — pure Catalyst
+    (struct/transform/map_from_arrays), zero Python.  Nested fields the
+    file predates read null; retired ids' bytes are unreachable."""
+    from pyspark.sql import functions as F
+
+    if cur_ice == wr_ice:
+        return col
+    if not isinstance(cur_ice, dict):
+        cur_sp = _spark_type_from_ice(cur_ice)
+        # promoted primitive: the group scanned the as-written type
+        return col.cast(cur_sp) if cur_sp is not None else col
+    kind = cur_ice.get("type")
+    if kind == "struct":
+        wr_by_id = {}
+        if isinstance(wr_ice, dict):
+            wr_by_id = {
+                int(f["id"]): f for f in wr_ice.get("fields", [])
+            }
+        parts = []
+        for cf in cur_ice.get("fields", []):
+            wf = wr_by_id.get(int(cf["id"]))
+            if wf is None:
+                parts.append(
+                    F.lit(None)
+                    .cast(_spark_type_from_ice(cf["type"]))
+                    .alias(cf["name"])
+                )
+            else:
+                parts.append(
+                    _hist_rebuild(
+                        col[wf["name"]], cf["type"], wf["type"]
+                    ).alias(cf["name"])
+                )
+        return F.when(col.isNotNull(), F.struct(*parts))
+    if kind == "list":
+        return F.transform(
+            col,
+            lambda x: _hist_rebuild(
+                x, cur_ice.get("element"), wr_ice.get("element")
+            ),
+        )
+    # map: keys never change shape (no evolution on keys)
+    return F.map_from_arrays(
+        F.map_keys(col),
+        F.transform(
+            F.map_values(col),
+            lambda v: _hist_rebuild(
+                v, cur_ice.get("value"), wr_ice.get("value")
+            ),
+        ),
+    )
 
 
 def _file_schema_id(history: dict, f) -> int:
@@ -2790,7 +2926,6 @@ def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
         counter["v"] += 1
         return counter["v"]
 
-    widen = {("int", "long"), ("float", "double")}
     for f in df.schema.fields:
         # signature first (ids all zero — no ids are minted unless the
         # column is genuinely new)
@@ -2803,22 +2938,127 @@ def _evolve_schema_fields(meta: dict, df: DataFrame) -> list[dict]:
             fields.append(new)
             by_name[f.name] = new
         elif _ice_type_sig(have["type"]) != sig:
-            ice = _ice_type_of(f.dataType, lambda: 0)
-            both_str = isinstance(have["type"], str) and isinstance(
-                ice, str
+            have["type"] = _merge_ice_type(
+                have["type"], _ice_type_of(f.dataType, lambda: 0),
+                mint, f.name,
             )
-            if both_str and (have["type"], ice) in widen:
-                have["type"] = ice  # promotion, id preserved
-            elif both_str and (ice, have["type"]) in widen:
-                pass  # narrower write into a wider column: fine
-            else:
-                raise IcebergLiteError(
-                    f"append retypes column {f.name!r} "
-                    f"{have['type']} -> {ice}; only int->long and "
-                    "float->double promotions are legal evolution "
-                    "(nested shape changes included)"
-                )
     return fields
+
+
+_WIDEN = {("int", "long"), ("float", "double")}
+
+
+def _merge_ice_type(have, want, mint, path):
+    """Recursive NESTED shape evolution (spec §Schema Evolution applies
+    at every level): struct fields match by NAME and keep their ids,
+    genuinely-new nested fields mint fresh ids, fields the append omits
+    stay in the schema (their values read null for the new files);
+    int->long / float->double promote in place; any other retype —
+    including struct<->list<->map<->primitive kind changes — refuses.
+    ``want`` carries zero ids (the caller converts with a null minter);
+    ids are only ever minted for fields that do not exist yet."""
+    have_is_dict = isinstance(have, dict)
+    want_is_dict = isinstance(want, dict)
+    if not have_is_dict and not want_is_dict:
+        if have == want:
+            return have
+        if (have, want) in _WIDEN:
+            return want  # promotion, id preserved
+        if (want, have) in _WIDEN:
+            return have  # narrower write into a wider column: fine
+        raise IcebergLiteError(
+            f"append retypes {path!r} {have} -> {want}; only "
+            "int->long and float->double promotions are legal evolution"
+        )
+    if (
+        not have_is_dict
+        or not want_is_dict
+        or have.get("type") != want.get("type")
+    ):
+        raise IcebergLiteError(
+            f"append changes the kind of {path!r} "
+            f"({have if not have_is_dict else have.get('type')} -> "
+            f"{want if not want_is_dict else want.get('type')}); "
+            "struct/list/map kind changes are not legal evolution"
+        )
+    kind = have.get("type")
+    if kind == "struct":
+        merged = {"type": "struct", "fields": []}
+        want_by_name = {w["name"]: w for w in want.get("fields", [])}
+        seen = set()
+        for hf in have.get("fields", []):
+            g = dict(hf)
+            wf = want_by_name.get(hf["name"])
+            if wf is not None:
+                seen.add(hf["name"])
+                g["type"] = _merge_ice_type(
+                    hf["type"], wf["type"], mint,
+                    f"{path}.{hf['name']}",
+                )
+            merged["fields"].append(g)
+        for wf in want.get("fields", []):
+            if wf["name"] in seen:
+                continue
+            fid = mint()
+            merged["fields"].append({
+                "id": fid, "name": wf["name"], "required": False,
+                "type": _remint_ids(wf["type"], mint),
+            })
+        return merged
+    if kind == "list":
+        g = dict(have)
+        g["element"] = _merge_ice_type(
+            have.get("element"), want.get("element"), mint,
+            f"{path}.element",
+        )
+        return g
+    # map: keys are identity (no evolution), values recurse
+    if _ice_type_sig(have.get("key")) != _ice_type_sig(want.get("key")):
+        raise IcebergLiteError(
+            f"append retypes the map KEY of {path!r}; map keys do not "
+            "evolve"
+        )
+    g = dict(have)
+    g["value"] = _merge_ice_type(
+        have.get("value"), want.get("value"), mint, f"{path}.value"
+    )
+    return g
+
+
+def _remint_ids(ice, mint):
+    """A deep copy of an iceberg type with every nested field id minted
+    fresh — for brand-new nested fields arriving via evolution (their
+    caller-side ids are the null minter's zeros)."""
+    if not isinstance(ice, dict):
+        return ice
+    kind = ice.get("type")
+    if kind == "struct":
+        # evolution-added fields are optional at every level (spec:
+        # new fields cannot be required without a default)
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": mint(), "name": f["name"],
+                    "required": False,
+                    "type": _remint_ids(f["type"], mint),
+                }
+                for f in ice.get("fields", [])
+            ],
+        }
+    if kind == "list":
+        return {
+            "type": "list", "element-id": mint(),
+            "element": _remint_ids(ice.get("element"), mint),
+            "element-required": bool(ice.get("element-required")),
+        }
+    return {
+        "type": "map", "key-id": mint(),
+        "key": _remint_ids(ice.get("key"), mint),
+        "value-id": mint(),
+        "value": _remint_ids(ice.get("value"), mint),
+        "value-required": bool(ice.get("value-required")),
+    }
 
 
 def _ice_type_of(dt, mint):
@@ -5179,6 +5419,12 @@ def _last_column_id(meta: dict) -> int:
     return max(explicit, seen)
 
 
+_ADDABLE_ICE_TYPES = frozenset({
+    "long", "int", "double", "float", "string", "boolean", "date",
+    "binary", "timestamptz", "timestamp", "uuid",
+})
+
+
 def alter_iceberg_schema(
     table_path: str,
     renames: dict | None = None,
@@ -5194,8 +5440,12 @@ def alter_iceberg_schema(
     mark so a later re-add of a dropped NAME mints a fresh id and the
     dropped data can never resurrect.
 
-    Top-level columns only (iceberg_lite models nested types opaquely);
-    dotted paths refuse by name.  Renaming or dropping a column that a
+    DOTTED PATHS address NESTED struct fields (``info.city``) — renames
+    and drops mutate the leaf field inside a deep-copied schema tree,
+    preserving every field id on the path, and adds append a fresh-id
+    primitive field to the parent struct (defaults refuse on nested
+    adds: initial-default materialization is a per-COLUMN read feature).
+    Renaming or dropping a column that a
     LIVE equality-delete file equates on refuses — those delete rows
     are matched by reading the delete parquet under the current column
     names, so the DDL would break their application (fold the deletes
@@ -5208,29 +5458,114 @@ def alter_iceberg_schema(
     InsuranceLake Consume layer evolves schemas between loads).
     Returns {"schema_id", "version"}.
     """
+    import copy as _copy
+
     renames = dict(renames or {})
     drops = list(drops or [])
     adds = dict(adds or {})
     if not renames and not drops and not adds:
         raise IcebergLiteError("alter_iceberg_schema: nothing to do")
-    for c in list(renames) + drops + list(adds):
-        if "." in c:
-            raise IcebergLiteError(
-                f"nested column path {c!r}: iceberg_lite alters "
-                "top-level columns only"
-            )
     meta = _load_metadata(table_path)
     cur = _current_schema_of(meta)
-    fields = [dict(f) for f in cur.get("fields", [])]
+    # deep copy: nested renames/drops mutate struct type dicts in place
+    fields = _copy.deepcopy(list(cur.get("fields", [])))
     by_name = {f["name"]: f for f in fields}
-    for c in list(renames) + drops:
-        if c not in by_name:
-            raise IcebergLiteError(f"no such column {c!r}")
     overlap = set(renames) & set(drops)
     if overlap:
         raise IcebergLiteError(
             f"columns both renamed and dropped: {sorted(overlap)}"
         )
+
+    def _resolve_path(path: str):
+        """Walk a dotted path through struct types; returns the parent
+        struct's mutable fields list and the leaf field dict."""
+        parts = path.split(".")
+        cur_fields = fields
+        for i, seg in enumerate(parts):
+            hit = next(
+                (f for f in cur_fields if f["name"] == seg), None
+            )
+            if hit is None:
+                raise IcebergLiteError(f"no such column {path!r}")
+            if i == len(parts) - 1:
+                return cur_fields, hit
+            t = hit["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise IcebergLiteError(
+                    f"{'.'.join(parts[: i + 1])!r} is not a struct; "
+                    f"cannot address {path!r}"
+                )
+            cur_fields = t["fields"]
+
+    # split nested (dotted) operations out; they run on the deep copy
+    # before the top-level pass
+    nested_renames = {c: n for c, n in renames.items() if "." in c}
+    nested_drops = [c for c in drops if "." in c]
+    nested_adds = {c: s for c, s in adds.items() if "." in c}
+    renames = {c: n for c, n in renames.items() if "." not in c}
+    drops = [c for c in drops if "." not in c]
+    adds = {c: s for c, s in adds.items() if "." not in c}
+    nested_touched_ids: set[int] = set()
+    nested_dropped_ids: set[int] = set()
+    for path in sorted(nested_drops):
+        parent, leaf = _resolve_path(path)
+        if len(parent) == 1:
+            raise IcebergLiteError(
+                f"cannot drop {path!r}: it is the only field of its "
+                "struct"
+            )
+        nested_touched_ids.add(int(leaf["id"]))
+        nested_touched_ids.update(_walk_type_ids(leaf["type"]))
+        nested_dropped_ids.add(int(leaf["id"]))
+        parent.remove(leaf)
+    for path, new_name in sorted(nested_renames.items()):
+        parent, leaf = _resolve_path(path)
+        if "." in new_name:
+            raise IcebergLiteError(
+                f"rename target {new_name!r} must be a bare field name"
+            )
+        if any(f["name"] == new_name for f in parent if f is not leaf):
+            raise IcebergLiteError(
+                f"rename {path!r} -> {new_name!r} collides inside its "
+                "struct"
+            )
+        nested_touched_ids.add(int(leaf["id"]))
+        leaf["name"] = new_name
+    next_id = _last_column_id(meta)
+    for path, spec in sorted(nested_adds.items()):
+        parent_path, _, leaf_name = path.rpartition(".")
+        _, p_field = _resolve_path(parent_path)
+        t = p_field["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise IcebergLiteError(
+                f"cannot add {path!r}: {parent_path!r} is not a struct"
+            )
+        if any(f["name"] == leaf_name for f in t["fields"]):
+            raise IcebergLiteError(
+                f"cannot add {path!r}: it already exists"
+            )
+        if isinstance(spec, dict):
+            if spec.get("default") is not None:
+                raise IcebergLiteError(
+                    f"add {path!r}: defaults on NESTED fields are not "
+                    "supported (initial-default materialization is a "
+                    "per-column read feature)"
+                )
+            spec = spec.get("type")
+        if spec not in _ADDABLE_ICE_TYPES and not str(spec).startswith(
+            "decimal("
+        ):
+            raise IcebergLiteError(
+                f"add {path!r}: unsupported iceberg type {spec!r}"
+            )
+        next_id += 1
+        t["fields"].append({
+            "id": next_id, "name": leaf_name, "required": False,
+            "type": spec,
+        })
+    for c in list(renames) + drops:
+        if c not in by_name:
+            raise IcebergLiteError(f"no such column {c!r}")
     # guard: live equality-delete files reference equated columns by id,
     # but their parquet payload is read under CURRENT names — refuse
     # altering any equated column while such deletes are live
@@ -5242,7 +5577,9 @@ def alter_iceberg_schema(
     for d in live_deletes:
         if d.content == 2:
             eq_ids_live.update(d.equality_ids or ())
-    touched_ids = {int(by_name[c]["id"]) for c in list(renames) + drops}
+    touched_ids = {
+        int(by_name[c]["id"]) for c in list(renames) + drops
+    } | nested_touched_ids
     bad_eq = touched_ids & eq_ids_live
     if bad_eq:
         raise IcebergLiteError(
@@ -5261,10 +5598,10 @@ def alter_iceberg_schema(
     dropped_spec = {
         c for c in drops if int(by_name[c]["id"]) in spec_source_ids
     }
-    if dropped_spec:
+    if dropped_spec or (nested_dropped_ids & spec_source_ids):
         raise IcebergLiteError(
             f"cannot drop active partition source columns "
-            f"{sorted(dropped_spec)}"
+            f"{sorted(dropped_spec) or sorted(nested_dropped_ids & spec_source_ids)}"
         )
     final_names = {
         renames.get(f["name"], f["name"])
@@ -5292,11 +5629,7 @@ def alter_iceberg_schema(
     # rows whose writer omits the column store nothing and read the
     # same value (``write-default``, set equal at add time — changing
     # it later is a named non-goal).  Defaults require format v3.
-    known_types = {
-        "long", "int", "double", "float", "string", "boolean", "date",
-        "binary", "timestamptz", "timestamp", "uuid",
-    }
-    next_id = _last_column_id(meta)
+    known_types = _ADDABLE_ICE_TYPES
     fv = max(2, int(meta.get("format-version", 2)))
     for name, spec in sorted(adds.items()):
         if name in final_names:

@@ -306,17 +306,95 @@ def test_column_mapping_cdf_roundtrip(spark, tmp_path):
     ]
 
 
-def test_column_mapping_schema_changing_overwrite_refuses(spark, tmp_path):
+def test_column_mapping_schema_changing_overwrite_remaps(spark, tmp_path):
+    """Round 10 (closes a named refusal): overwriteSchema on a mapped
+    table — survivors keep (id, physicalName) matched by logical name,
+    new columns mint past maxColumnId, dropped ids retire forever."""
     path = str(tmp_path / "cm_ow")
     dl.write_delta(
-        spark.createDataFrame([Row(id=1)]).select("id"), path,
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, name string, score double"
+        ),
+        path,
         column_mapping="name",
     )
-    with pytest.raises(dl.DeltaLiteError, match="schema-changing overwrite"):
-        dl.write_delta(
-            spark.createDataFrame([Row(other="x")]).select("other"), path,
-            mode="overwrite",
+    before = {
+        f.name: dict(f.metadata)
+        for f in dl.snapshot(path).schema.fields
+    }
+    dl.write_delta(
+        spark.createDataFrame(
+            [(2, "b", "NYC")], "id int, name string, city string"
+        ),
+        path,
+        mode="overwrite",
+    )
+    snap = dl.snapshot(path)
+    after = {f.name: dict(f.metadata) for f in snap.schema.fields}
+    for c in ("id", "name"):
+        assert (
+            after[c]["delta.columnMapping.id"]
+            == before[c]["delta.columnMapping.id"]
         )
+        assert (
+            after[c]["delta.columnMapping.physicalName"]
+            == before[c]["delta.columnMapping.physicalName"]
+        )
+    assert "score" not in after
+    old_max = max(m["delta.columnMapping.id"] for m in before.values())
+    assert after["city"]["delta.columnMapping.id"] > old_max
+    assert int(
+        snap.configuration["delta.columnMapping.maxColumnId"]
+    ) >= after["city"]["delta.columnMapping.id"]
+    rows = dl.read_delta(spark, path).collect()
+    assert [(r["id"], r["city"]) for r in rows] == [(2, "NYC")]
+    # a later append physicalizes through the remapped schema
+    dl.write_delta(
+        spark.createDataFrame(
+            [(3, "c", "LA")], "id int, name string, city string"
+        ),
+        path,
+    )
+    assert dl.read_delta(spark, path).count() == 2
+
+
+def test_column_mapping_nested_overwrite_keeps_surviving_ids(
+    spark, tmp_path
+):
+    path = str(tmp_path / "cm_ow_nested")
+    dl.write_delta(
+        spark.createDataFrame(
+            [(1, ("x", 5))], "id int, info struct<name:string, score:int>"
+        ),
+        path,
+        column_mapping="name",
+    )
+    info0 = next(
+        f for f in dl.snapshot(path).schema.fields if f.name == "info"
+    )
+    n0 = {f.name: dict(f.metadata) for f in info0.dataType.fields}
+    dl.write_delta(
+        spark.createDataFrame(
+            [(2, ("y", "NYC"))],
+            "id int, info struct<name:string, city:string>",
+        ),
+        path,
+        mode="overwrite",
+    )
+    info1 = next(
+        f for f in dl.snapshot(path).schema.fields if f.name == "info"
+    )
+    n1 = {f.name: dict(f.metadata) for f in info1.dataType.fields}
+    assert (
+        n1["name"]["delta.columnMapping.id"]
+        == n0["name"]["delta.columnMapping.id"]
+    )
+    assert "score" not in n1
+    assert n1["city"]["delta.columnMapping.id"] > max(
+        m["delta.columnMapping.id"] for m in n0.values()
+    )
+    r = dl.read_delta(spark, path).collect()[0]
+    assert r["info"]["city"] == "NYC" and r["info"]["name"] == "y"
 
 
 def test_column_mapping_with_deletion_vector_composes(spark, tmp_path):

@@ -125,7 +125,9 @@ def test_alter_guards(spark, tmp_path, table):
         il.alter_iceberg_schema(table, renames={"score": "id"})
     with pytest.raises(il.IcebergLiteError, match="nothing to do"):
         il.alter_iceberg_schema(table)
-    with pytest.raises(il.IcebergLiteError, match="top-level"):
+    # dotted paths are supported (round 10) — a missing root still
+    # errors by name
+    with pytest.raises(il.IcebergLiteError, match="no such column"):
         il.alter_iceberg_schema(table, drops=["a.b"])
     with pytest.raises(il.IcebergLiteError, match="every column"):
         il.alter_iceberg_schema(table, drops=["id", "grp", "score"])
@@ -281,3 +283,131 @@ def test_incremental_scan_straddles_a_rename(spark, table):
     assert inc.columns == ["id", "grp", "points"]
     got = {r["id"]: r["points"] for r in inc.collect()}
     assert got == {600: 1.0, 601: 2.0}
+
+
+# ---------------------------------------------------------------- nested
+
+
+@pytest.fixture()
+def nested_table(spark, tmp_path):
+    path = str(tmp_path / "nt")
+    df = spark.createDataFrame(
+        [(1, ("alice", 10)), (2, ("bob", 20))],
+        "id int, info struct<name:string, score:int>",
+    )
+    il.write_iceberg(spark, df, path)
+    return path
+
+
+def test_nested_rename_resolves_old_files(spark, nested_table):
+    il.alter_iceberg_schema(
+        nested_table, renames={"info.score": "points"}
+    )
+    rows = il.read_iceberg(spark, nested_table).orderBy("id").collect()
+    assert [r["info"]["points"] for r in rows] == [10, 20]
+    # append under the new name; both naming eras union cleanly
+    df = spark.createDataFrame(
+        [(3, ("carol", 30))], "id int, info struct<name:string, points:int>"
+    )
+    il.write_iceberg(spark, df, nested_table)
+    rows = il.read_iceberg(spark, nested_table).orderBy("id").collect()
+    assert [r["info"]["points"] for r in rows] == [10, 20, 30]
+
+
+def test_nested_drop_then_readd_never_resurrects(spark, nested_table):
+    il.alter_iceberg_schema(nested_table, drops=["info.score"])
+    rows = il.read_iceberg(spark, nested_table).orderBy("id").collect()
+    assert "score" not in rows[0]["info"].asDict()
+    il.alter_iceberg_schema(nested_table, adds={"info.score": "long"})
+    rows = il.read_iceberg(spark, nested_table).orderBy("id").collect()
+    # the re-added field has a FRESH id: old bytes stay unreachable
+    assert all(r["info"]["score"] is None for r in rows)
+    meta = il._load_metadata(nested_table)
+    cur = il._current_schema_of(meta)
+    ids = [cur["fields"][0]["id"]]
+    for f in cur["fields"]:
+        ids.extend(il._walk_type_ids(f["type"]))
+    assert len(set(ids)) == len(ids)
+
+
+def test_nested_ddl_zero_files_touched(spark, nested_table):
+    import glob, os
+
+    data = sorted(glob.glob(os.path.join(nested_table, "data", "*")))
+    before = [(p, os.path.getmtime(p)) for p in data]
+    il.alter_iceberg_schema(nested_table, renames={"info.name": "nm"})
+    il.alter_iceberg_schema(nested_table, adds={"info.extra": "string"})
+    after = [
+        (p, os.path.getmtime(p))
+        for p in sorted(glob.glob(os.path.join(nested_table, "data", "*")))
+    ]
+    assert before == after
+
+
+def test_nested_guards(spark, nested_table):
+    with pytest.raises(il.IcebergLiteError, match="collides"):
+        il.alter_iceberg_schema(
+            nested_table, renames={"info.score": "name"}
+        )
+    with pytest.raises(il.IcebergLiteError, match="no such column"):
+        il.alter_iceberg_schema(nested_table, drops=["info.nope"])
+    with pytest.raises(il.IcebergLiteError, match="only field"):
+        il.alter_iceberg_schema(
+            nested_table, drops=["info.name", "info.score"]
+        )
+    with pytest.raises(il.IcebergLiteError, match="not a struct"):
+        il.alter_iceberg_schema(nested_table, renames={"id.x": "y"})
+    with pytest.raises(il.IcebergLiteError, match="NESTED"):
+        il.alter_iceberg_schema(
+            nested_table,
+            adds={"info.d": {"type": "int", "default": 7}},
+        )
+
+
+def test_nested_rename_composes_with_mor_delete(spark, nested_table):
+    il.alter_iceberg_schema(
+        nested_table, renames={"info.score": "points"}
+    )
+    il.delete_iceberg(spark, nested_table, "info.points = 10")
+    rows = il.read_iceberg(spark, nested_table).collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_nested_evolution_on_append_mints_and_widens(spark, tmp_path):
+    path = str(tmp_path / "evo")
+    df1 = spark.createDataFrame(
+        [(1, ("a", 1))], "id int, info struct<name:string, score:int>"
+    )
+    il.write_iceberg(spark, df1, path)
+    df2 = spark.createDataFrame(
+        [(2, ("b", 2, "NYC"))],
+        "id int, info struct<name:string, score:long, city:string>",
+    )
+    il.write_iceberg(spark, df2, path)
+    meta = il._load_metadata(path)
+    cur = il._current_schema_of(meta)
+    info = next(f for f in cur["fields"] if f["name"] == "info")
+    by_name = {f["name"]: f for f in info["type"]["fields"]}
+    assert by_name["score"]["type"] == "long"  # widened in place
+    assert "city" in by_name
+    rows = il.read_iceberg(spark, path).orderBy("id").collect()
+    assert rows[0]["info"]["city"] is None
+    assert rows[1]["info"]["city"] == "NYC"
+    # omitted nested field reads null for the narrow append
+    df3 = spark.createDataFrame(
+        [(3, ("c",))], "id int, info struct<name:string>"
+    )
+    il.write_iceberg(spark, df3, path)
+    r3 = il.read_iceberg(spark, path).where("id = 3").collect()[0]
+    assert r3["info"]["score"] is None
+
+
+def test_nested_evolution_refuses_kind_change(spark, tmp_path):
+    path = str(tmp_path / "evo2")
+    df1 = spark.createDataFrame(
+        [(1, ("a",))], "id int, info struct<name:string>"
+    )
+    il.write_iceberg(spark, df1, path)
+    df2 = spark.createDataFrame([(2, "flat")], "id int, info string")
+    with pytest.raises(il.IcebergLiteError, match="kind"):
+        il.write_iceberg(spark, df2, path)

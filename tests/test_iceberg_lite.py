@@ -1391,11 +1391,23 @@ def test_nested_types_roundtrip_and_evolution(spark, tmp_path):
     )
     meta2 = iceberg_lite._load_metadata(path)
     assert iceberg_lite._current_schema_of(meta2)["fields"] == cur["fields"]
-    # nested shape change refuses
-    bad = spark.createDataFrame(
+    # nested field OMISSION is legal evolution (round 10): the omitted
+    # field stays in the schema and reads null for the new rows
+    narrower = spark.createDataFrame(
         [Row(id=99, info=Row(city="y"), tags=["z"])]
     ).select("id", "info", "tags")
-    with pytest.raises(iceberg_lite.IcebergLiteError, match="retypes"):
+    iceberg_lite.write_iceberg(spark, narrower, path)
+    r99 = (
+        iceberg_lite.read_iceberg(spark, path)
+        .where("id = 99")
+        .collect()[0]
+    )
+    assert r99["info"]["city"] == "y" and r99["info"]["zip"] is None
+    # a KIND change (struct -> primitive) still refuses
+    bad = spark.createDataFrame(
+        [Row(id=100, info="flat", tags=["z"])]
+    ).select("id", "info", "tags")
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="kind"):
         iceberg_lite.write_iceberg(spark, bad, path)
 
 

@@ -115,26 +115,28 @@ def test_driver_window_covers_every_operator_family():
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
     # r10 rotation (tools/driver_window.py --mode staleness, VERDICT r9
-    # item 3): the 8 round-10 gates with no driver row lead (iceberg v3
-    # DV read/DML/row lineage, delta DV merge/update, nested column
-    # mapping, delta row tracking write + doctored read), then the 42
-    # OLDEST green rows — the
-    # r1-era block plus the oldest r3 rows.  Sentinels: every
-    # never-checked round-10 gate plus staleness representatives from
-    # both eras.
+    # item 3): the 19 round-10 gates with no driver row lead (iceberg
+    # v3 DV read/DML/row lineage, delta DV merge/update, nested column
+    # mapping, delta row tracking, column DDL on both formats, nested
+    # mapped writes, UniForm exports, conversions, changelog, nested
+    # DDL), then the 31 OLDEST green rows — the r1-era block plus the
+    # oldest r3 rows.  Sentinels: never-checked round-10 gates plus
+    # staleness representatives from both eras.
     for sentinel in ("src_iceberg_v3_dv_read", "sink_iceberg_v3_dv_merge",
                      "src_iceberg_v3_row_lineage", "src_delta_nested_mapping",
                      "sink_delta_dv_merge", "sink_delta_dv_update",
                      "sink_delta_row_tracking",
                      "src_delta_row_tracking_read",
+                     "sink_delta_column_ddl", "sink_iceberg_column_ddl",
+                     "src_iceberg_changelog", "sink_iceberg_nested_ddl",
                      "q5_region_supplier_revenue", "q16_supplier_count",
                      "q22_wealthy_inactive", "scan_filter_project",
                      "scd2_customer_history", "window_rank_orders",
                      "yoy_customer_retention", "tr_date_roundtrip",
                      "unpivot_measures", "dedup_exact",
                      "dedup_lsh_verified", "ann_cosine_topk",
-                     "emb_kmeans_clusters", "sketch_kmv_distinct",
-                     "agg_numeric_audit", "text_token_stats"):
+                     "emb_kmeans_clusters",
+                     "agg_numeric_audit"):
         assert sentinel in window, sentinel
 
 
