@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_iceberg_changelog_upsert",  # never (round-10 third session)
     "src_uniform_nested_partitioned",  # never (round-10 third session)
     "sink_iceberg_nested_ddl",  # never (round-10 fourth session)
+    "sink_iceberg_write_default",  # never (round-10 fourth session)
     "q16_supplier_count",  # last green r1
     "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
@@ -99,7 +100,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tr_date_roundtrip",  # last green r1
     "tr_implieddecimal",  # last green r1
     "unpivot_measures",  # last green r1
-    "window_analytics_deciles",  # last green r1
     "window_rank_orders",  # last green r1
     "window_running_sum",  # last green r1
     "window_share_of_segment",  # last green r1

@@ -5066,6 +5066,86 @@ def src_iceberg_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_iceberg_write_default",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           CASE WHEN o_orderkey % 7 = 3 AND o_orderstatus = 'F'
+                THEN o_orderstatus ELSE 'open' END AS bucket
+    FROM orders WHERE o_orderkey % 7 IN (0, 3)
+    """,
+)
+def sink_iceberg_write_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 COLUMN DEFAULTS, both halves (round 10 — the write
+    half closes a named refusal): ``initial-default`` surfaces for
+    files written BEFORE the column existed (read-side projection, one
+    footer check per file, only on defaulted tables) and
+    ``write-default`` MATERIALIZES into the data files of appends that
+    omit the column (spec v3 §Default values — what conforming writers
+    do, keeping files self-contained).  Flow: create v3 on %7==0 ->
+    ADD COLUMN bucket DEFAULT 'open' -> append %7==3 carrying explicit
+    values for 'F' rows and omitting the column otherwise (two
+    appends).  In-gate asserts the omitting append's files physically
+    CARRY the default."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-iceberg-wd-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark,
+        base.where(F.col("o_orderkey") % 7 == 0).drop("o_orderstatus"),
+        tbl,
+        format_version=3,
+    )
+    files0 = {
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(tbl, "data", "*.parquet"))
+    }
+    iceberg_lite.alter_iceberg_schema(
+        tbl, adds={"bucket": {"type": "string", "default": "open"}}
+    )
+    later = base.where(F.col("o_orderkey") % 7 == 3)
+    # explicit values for the finished rows...
+    iceberg_lite.write_iceberg(
+        spark,
+        later.where(F.col("o_orderstatus") == "F")
+        .withColumn("bucket", F.col("o_orderstatus"))
+        .drop("o_orderstatus"),
+        tbl,
+    )
+    # ...and an OMITTING append for the rest: write-default materializes
+    iceberg_lite.write_iceberg(
+        spark,
+        later.where(F.col("o_orderstatus") != "F").drop("o_orderstatus"),
+        tbl,
+    )
+    new_files = [
+        p
+        for p in _glob.glob(os.path.join(tbl, "data", "*.parquet"))
+        if os.path.basename(p) not in files0
+    ]
+    if not new_files or any(
+        "bucket" not in _pq.read_schema(p).names for p in new_files
+    ):
+        raise RuntimeError(
+            "write-default was not materialized into the appended files"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
     "sink_iceberg_schema_evolution",
     """
     SELECT o_orderkey,

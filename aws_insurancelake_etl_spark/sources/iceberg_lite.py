@@ -2767,9 +2767,7 @@ def _name_history(meta: dict):
         for s in schemas
     }
     nested = any(
-        fid in m
-        and (isinstance(t, dict) or isinstance(m[fid], dict))
-        and _names_tree(m[fid]) != _names_tree(t)
+        fid in m and _nested_naming_conflict(t, m[fid])
         for m in types.values()
         for fid, t in cur_types.items()
     )
@@ -2789,6 +2787,47 @@ def _name_history(meta: dict):
         "types": types,
         "cur_types": cur_types,
     }
+
+
+def _nested_naming_conflict(cur_ice, old_ice) -> bool:
+    """Whether files written under ``old_ice`` can NOT be read under
+    the current type by plain name matching: a field id bound to a
+    DIFFERENT name (rename — the old file's column would read null),
+    or a name bound to a different id in each era (drop + re-add — the
+    retired field's bytes would resurrect).  Pure nested ADDs/DROPs
+    keep (id, name) bindings consistent and read fine natively, so
+    they do NOT force the grouped-scan path."""
+    if not (isinstance(cur_ice, dict) and isinstance(old_ice, dict)):
+        return False
+    if cur_ice.get("type") != old_ice.get("type"):
+        return False  # kind change: old bytes unreadable either way
+    kind = cur_ice.get("type")
+    if kind == "struct":
+        cur_fields = cur_ice.get("fields", [])
+        old_fields = old_ice.get("fields", [])
+        old_by_id = {int(f["id"]): f for f in old_fields}
+        old_by_name = {f["name"]: int(f["id"]) for f in old_fields}
+        for cf in cur_fields:
+            of = old_by_id.get(int(cf["id"]))
+            if of is not None and of["name"] != cf["name"]:
+                return True  # renamed nested field
+            oid = old_by_name.get(cf["name"])
+            if oid is not None and oid != int(cf["id"]):
+                return True  # retired name re-added under a new id
+            if of is not None and _nested_naming_conflict(
+                cf["type"], of["type"]
+            ):
+                return True
+        return False
+    if kind == "list":
+        return _nested_naming_conflict(
+            cur_ice.get("element"), old_ice.get("element")
+        )
+    return _nested_naming_conflict(
+        cur_ice.get("key"), old_ice.get("key")
+    ) or _nested_naming_conflict(
+        cur_ice.get("value"), old_ice.get("value")
+    )
 
 
 def _names_tree(ice):
@@ -3235,6 +3274,11 @@ def _stage_iceberg_data(
         for src in sorted(
             _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True)
         ):
+            if _footer_rows(src) == 0:
+                # empty input partitions produce zero-row part files;
+                # committing them would bloat manifests (and every
+                # later scan plans them) for no data
+                continue
             rel_dir = os.path.relpath(os.path.dirname(src), out)
             segs = [] if rel_dir == "." else rel_dir.split(os.sep)
             pvals = {}
@@ -3376,6 +3420,23 @@ def write_iceberg(
             )
         if not partition_by or same:
             partition_by = table_parts
+        # spec v3 §Default values, WRITE side (round 10 — closes a
+        # named refusal): an append that omits a column carrying
+        # ``write-default`` materializes the default INTO the data
+        # files (what spec-conforming writers do), so the files are
+        # self-contained instead of leaning on the read-side
+        # initial-default projection
+        cur_schema = _current_schema_of(meta)
+        have_cols = set(df.columns)
+        for fd in cur_schema.get("fields", []):
+            wd = fd.get("write-default")
+            if wd is None or fd["name"] in have_cols:
+                continue
+            sp = _spark_type_from_ice(fd.get("type"))
+            if sp is not None:
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(fd["name"], F.lit(wd).cast(sp))
     staged = _stage_iceberg_data(df, table_path, partition_by)
     attempt = 0
     while True:
@@ -5625,10 +5686,11 @@ def alter_iceberg_schema(
     # ADD COLUMN (spec §Schema Evolution; v3 §Default values): new
     # fields mint ids past last-column-id.  A default makes rows
     # written BEFORE the column surface it instead of null
-    # (``initial-default``, materialized per-file by read_iceberg) and
-    # rows whose writer omits the column store nothing and read the
-    # same value (``write-default``, set equal at add time — changing
-    # it later is a named non-goal).  Defaults require format v3.
+    # (``initial-default``, materialized per-file by read_iceberg);
+    # appends that omit the column MATERIALIZE ``write-default`` into
+    # their data files (write_iceberg, round 10 — spec-conforming
+    # writer behavior; changing the default later is still a named
+    # non-goal).  Defaults require format v3.
     known_types = _ADDABLE_ICE_TYPES
     fv = max(2, int(meta.get("format-version", 2)))
     for name, spec in sorted(adds.items()):

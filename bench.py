@@ -159,6 +159,10 @@ EXTENDED: list[str] = [
     "src_convert_iceberg_to_delta",
     "sink_delta_ddl_lifecycle",
     "src_iceberg_changelog",
+    "src_iceberg_changelog_upsert",
+    "src_uniform_nested_partitioned",
+    "sink_iceberg_nested_ddl",
+    "sink_iceberg_write_default",
 ]
 
 

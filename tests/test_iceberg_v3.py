@@ -493,3 +493,58 @@ def test_merge_binds_evolved_schema(spark, tmp_path):
     got = {r["id"]: (r["v"], r["tag"])
            for r in il.read_iceberg(spark, path).collect()}
     assert got[0] == (0.5, "y") and got[1] == (1.0, None)
+
+
+def test_write_default_materializes_into_new_files(spark, tmp_path):
+    """Round 10 (closes a named refusal): an append that OMITS a column
+    carrying write-default materializes the default INTO its data
+    files — spec-conforming writer behavior, files self-contained."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=1)]).select("id"),
+        path,
+        format_version=3,
+    )
+    il.alter_iceberg_schema(
+        path, adds={"tier": {"type": "string", "default": "std"}}
+    )
+    il.write_iceberg(
+        spark, spark.createDataFrame([Row(id=2)]).select("id"), path
+    )
+    got = {r["id"]: r["tier"]
+           for r in il.read_iceberg(spark, path).collect()}
+    assert got == {1: "std", 2: "std"}
+    carrying = [
+        p
+        for p in glob.glob(os.path.join(path, "data", "*.parquet"))
+        if "tier" in pq.read_schema(p).names
+    ]
+    assert len(carrying) == 1
+    assert pq.read_table(carrying[0]).to_pydict()["tier"] == ["std"]
+    # explicit values still win over the default
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([Row(id=3, tier="gold")]).select(
+            "id", "tier"
+        ),
+        path,
+    )
+    got = {r["id"]: r["tier"]
+           for r in il.read_iceberg(spark, path).collect()}
+    assert got[3] == "gold"
+
+
+def test_staging_skips_empty_part_files(spark, tmp_path):
+    """A tiny append on a many-core session must not commit zero-row
+    data files (manifest bloat every later scan would plan)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(id=1), Row(id=2)]).select("id")
+    il.write_iceberg(spark, df, path)  # parallelism > row count
+    files = il.plan_files(path)
+    assert all(f.record_count > 0 for f in files)
+    assert sum(f.record_count for f in files) == 2
