@@ -140,6 +140,16 @@ BASELINES = {
     "sink_iceberg_column_ddl": (0.416, 10),
     "sink_delta_nested_mapped_write": (0.584, 10),
     "src_uniform_mapped_export": (0.752, 10),
+    # round-10 fourth-session promotions (quiet run 2026-08-16,
+    # regressions: {}; md5 calibration 0.0589 vs 0.0664 ref)
+    "src_iceberg_nested_types": (1.844, 10),
+    "src_convert_iceberg_to_delta": (0.894, 10),
+    "sink_delta_ddl_lifecycle": (2.223, 10),
+    "src_iceberg_changelog": (3.627, 10),
+    "src_iceberg_changelog_upsert": (1.744, 10),
+    "src_uniform_nested_partitioned": (1.995, 10),
+    "sink_iceberg_nested_ddl": (2.264, 10),
+    "sink_iceberg_write_default": (0.849, 10),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -153,16 +163,8 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: the first 12 r10 gates were promoted to
-    # BASELINES with quiet-run normalized times)
-    "src_iceberg_nested_types",
-    "src_convert_iceberg_to_delta",
-    "sink_delta_ddl_lifecycle",
-    "src_iceberg_changelog",
-    "src_iceberg_changelog_upsert",
-    "src_uniform_nested_partitioned",
-    "sink_iceberg_nested_ddl",
-    "sink_iceberg_write_default",
+    # (round-10 close: every r10 gate is promoted to BASELINES with
+    # quiet-run normalized times — the list empties until new gates)
 ]
 
 
