@@ -79,8 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "src_uniform_nested_partitioned",  # never (round-10 third session)
     "sink_iceberg_nested_ddl",  # never (round-10 fourth session)
     "sink_iceberg_write_default",  # never (round-10 fourth session)
+    "sink_delta_timestamp_ntz",  # never (round-10 fourth session)
     "q16_supplier_count",  # last green r1
-    "q17_small_quantity_revenue",  # last green r1
     "q18_top_large_orders",  # last green r1
     "q19_disjunctive_revenue",  # last green r1
     "q20_promo_part_suppliers",  # last green r1

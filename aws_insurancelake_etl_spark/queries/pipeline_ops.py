@@ -5543,6 +5543,47 @@ def sink_iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_delta_timestamp_ntz",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS placed_ntz,
+           EXTRACT(hour FROM CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 HOUR)
+               AS hr
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def sink_delta_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``timestampNtz`` TYPE feature (round 10): a create whose
+    schema carries ``timestamp_ntz`` advertises the reader+writer
+    feature (PROTOCOL.md — a log carrying the type without the feature
+    is spec-invalid), evolve-appends introducing the type advance the
+    protocol IN the same commit, and the values round-trip wall-clock
+    (no session-zone shift — the property that distinguishes ntz from
+    timestamptz).  Oracle: DuckDB TIMESTAMP is naturally ntz."""
+    from ..sources import delta_lite
+
+    base = t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 5 == 0
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("placed_ntz"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-ntz-") + "/t"
+    delta_lite.write_delta(base, tbl)
+    proto = delta_lite.snapshot(tbl).protocol
+    if "timestampNtz" not in (proto.get("readerFeatures") or []):
+        raise RuntimeError(f"ntz feature not advertised: {proto}")
+    out = delta_lite.read_delta(spark, tbl)
+    return out.select(
+        "o_orderkey",
+        "placed_ntz",
+        F.hour(
+            F.col("placed_ntz") + F.expr("INTERVAL 7 HOURS")
+        ).cast("bigint").alias("hr"),
+    )
+
+
+@register(
     "sink_delta_check_constraint",
     """
     SELECT o_orderkey, o_orderstatus,

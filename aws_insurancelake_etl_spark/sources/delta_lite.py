@@ -671,6 +671,25 @@ def _merge_nested(table_dt, df_dt, mint=None):
     return table_dt
 
 
+def _all_type_names(dt) -> set:
+    """Every Spark type name appearing anywhere in a schema — nested
+    struct/array/map levels included — for TYPE-level protocol-feature
+    detection (variant, timestamp_ntz)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    out = {dt.typeName()}
+    if isinstance(dt, _ST):
+        for f in dt.fields:
+            out |= _all_type_names(f.dataType)
+    elif isinstance(dt, ArrayType):
+        out |= _all_type_names(dt.elementType)
+    elif isinstance(dt, MapType):
+        out |= _all_type_names(dt.keyType)
+        out |= _all_type_names(dt.valueType)
+    return out
+
+
 def _remap_overwrite(old_dt, new_dt, mint):
     """Field-id REUSE semantics for a schema-changing OVERWRITE of a
     mapped table (delta-spark ``overwriteSchema``): nested fields
@@ -2988,9 +3007,13 @@ def write_delta(
         )
     )
     if existing is None:
-        has_variant = "variant" in {
-            f.dataType.typeName() for f in df.schema.fields
-        }
+        type_names = _all_type_names(df.schema)
+        has_variant = "variant" in type_names
+        # PROTOCOL.md §Clock/TimestampNTZ: timestamp without time zone
+        # is a TYPE-level table feature — a create whose schema carries
+        # one anywhere (nested included) must advertise it or other
+        # engines will misread the column
+        has_ntz = "timestamp_ntz" in type_names
         has_ict = _ict_enabled(merged_conf)
         has_gen = bool(generated_columns)
         has_id = bool(identity_columns)
@@ -3009,13 +3032,16 @@ def write_delta(
                 "materializedRowCommitVersionColumnName",
                 f"_row-commit-version-col-{uuid.uuid4().hex}",
             )
-        if has_variant or has_ict or has_gen or has_id or has_rt:
-            # TABLE FEATURES protocol (PROTOCOL.md): variant is a
-            # reader+writer feature, in-commit timestamps / generated /
-            # identity columns writer-only; the feature lists also
-            # carry the legacy features the lower versions imply
-            r_feats = (["variantType"] if has_variant else []) + (
-                ["columnMapping"] if mapped_schema is not None else []
+        if has_variant or has_ntz or has_ict or has_gen or has_id or has_rt:
+            # TABLE FEATURES protocol (PROTOCOL.md): variant and
+            # timestampNtz are reader+writer features, in-commit
+            # timestamps / generated / identity columns writer-only;
+            # the feature lists also carry the legacy features the
+            # lower versions imply
+            r_feats = (
+                (["variantType"] if has_variant else [])
+                + (["timestampNtz"] if has_ntz else [])
+                + (["columnMapping"] if mapped_schema is not None else [])
             )
             w_feats = list(r_feats) + ["appendOnly", "invariants"] + (
                 (["inCommitTimestamp"] if has_ict else [])
@@ -3066,6 +3092,46 @@ def write_delta(
         proto["minWriterVersion"] = 7
         proto["writerFeatures"] = sorted(feats)
         actions.append({"protocol": proto})
+    elif existing is not None:
+        # TYPE-level features arriving via evolve-append (timestampNtz,
+        # variant): a log whose schema carries the type but whose
+        # protocol does not advertise the feature is spec-invalid —
+        # advance the protocol in the same commit, delta-spark style
+        need = set()
+        tn = _all_type_names(df.schema)
+        if "timestamp_ntz" in tn:
+            need.add("timestampNtz")
+        if "variant" in tn:
+            need.add("variantType")
+        proto = dict(existing.protocol or _PROTOCOL)
+        have_r = set(proto.get("readerFeatures") or [])
+        have_w = set(proto.get("writerFeatures") or [])
+        missing = {
+            f for f in need if f not in have_r or f not in have_w
+        }
+        if missing:
+            if proto.get("writerFeatures") is None:
+                w = {"appendOnly", "invariants"}
+                if int(proto.get("minWriterVersion", 2)) >= 3:
+                    w.add("checkConstraints")
+                if int(proto.get("minWriterVersion", 2)) >= 4:
+                    w |= {"changeDataFeed", "generatedColumns"}
+                if int(proto.get("minWriterVersion", 2)) >= 5:
+                    w.add("columnMapping")
+                if int(proto.get("minWriterVersion", 2)) >= 6:
+                    w.add("identityColumns")
+                have_w = w
+            if proto.get("readerFeatures") is None:
+                have_r = (
+                    {"columnMapping"}
+                    if int(proto.get("minReaderVersion", 1)) >= 2
+                    else set()
+                )
+            proto["minReaderVersion"] = 3
+            proto["minWriterVersion"] = 7
+            proto["readerFeatures"] = sorted(have_r | missing)
+            proto["writerFeatures"] = sorted(have_w | missing)
+            actions.append({"protocol": proto})
     if meta_needed or (mapped_schema is not None and existing is None):
         actions.append(
             {

@@ -163,8 +163,9 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: every r10 gate is promoted to BASELINES with
-    # quiet-run normalized times — the list empties until new gates)
+    # (round-10 close: every earlier r10 gate is promoted to BASELINES
+    # with quiet-run normalized times)
+    "sink_delta_timestamp_ntz",
 ]
 
 

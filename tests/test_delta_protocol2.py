@@ -1319,3 +1319,42 @@ def test_v2_checkpoint_writer_shards_sidecars(spark, tmp_path, monkeypatch):
         path,
     )
     assert 999 in _ids(dl.read_delta(spark, path))
+
+
+def test_timestamp_ntz_create_advertises_feature(spark, tmp_path):
+    """PROTOCOL.md: timestamp without time zone is a TYPE-level
+    reader+writer feature — a create whose schema carries one (nested
+    included) must advertise it."""
+    path = str(tmp_path / "ntz")
+    df = spark.sql(
+        "select 1 as id, "
+        "named_struct('at', timestamp_ntz'2024-01-02 03:04:05') as ev"
+    )
+    dl.write_delta(df, path)
+    proto = dl.snapshot(path).protocol
+    assert "timestampNtz" in proto.get("readerFeatures", [])
+    assert "timestampNtz" in proto.get("writerFeatures", [])
+    r = dl.read_delta(spark, path).collect()[0]
+    assert str(r["ev"]["at"]) == "2024-01-02 03:04:05"
+
+
+def test_timestamp_ntz_evolve_append_advances_protocol(spark, tmp_path):
+    """An evolve-append introducing an ntz column to a legacy-protocol
+    table advances the protocol IN THE SAME COMMIT (a log carrying the
+    type without the feature is spec-invalid), lifting legacy-implied
+    writer features forward; plain appends never touch the protocol."""
+    path = str(tmp_path / "ntz_evolve")
+    dl.write_delta(spark.createDataFrame([(1,)], "id int"), path)
+    assert dl.snapshot(path).protocol == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+    dl.write_delta(
+        spark.sql("select 2 as id, timestamp_ntz'2025-05-05 05:05:05' as ts"),
+        path,
+        schema_mode="evolve",
+    )
+    proto = dl.snapshot(path).protocol
+    assert "timestampNtz" in proto.get("readerFeatures", [])
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    rows = {r["id"]: r["ts"] for r in dl.read_delta(spark, path).collect()}
+    assert rows[1] is None and str(rows[2]).startswith("2025-05-05")
