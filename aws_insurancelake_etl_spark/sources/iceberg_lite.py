@@ -3143,6 +3143,8 @@ def _ice_type_of(dt, mint):
     simple = dt.simpleString()
     if simple.startswith("decimal"):
         return simple  # spark decimal(P,S) == iceberg decimal(P,S)
+    if simple == "timestamp_ntz":
+        return "timestamp"  # spec: timestamp WITHOUT zone
     if simple.startswith("timestamp"):
         return "timestamptz"
     return _SPARK_TO_ICEBERG_TYPE.get(simple, "string")

@@ -1555,3 +1555,24 @@ def test_changelog_scoped_equality_deletes(spark, tmp_path):
         for r in log.collect() if r["_change_type"] == "delete"
     ]
     assert dels == [(1, "a", 1.0)]  # grp='b' id=1 (v=4.0) untouched
+
+
+def test_timestamp_ntz_commits_spec_timestamp_type(spark, tmp_path):
+    """Spark timestamp_ntz -> iceberg 'timestamp' (WITHOUT zone) and
+    timestamptz stays 'timestamptz' (round 10: ntz used to
+    mis-declare as timestamptz); values round-trip wall-clock."""
+    path = str(tmp_path / "ntz")
+    df = spark.sql(
+        "select 1 as id, timestamp_ntz'2024-01-02 03:04:05' as ts, "
+        "timestamp'2024-01-02 03:04:05Z' as tz"
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    cur = iceberg_lite._current_schema_of(
+        iceberg_lite._load_metadata(path)
+    )
+    types = {f["name"]: f["type"] for f in cur["fields"]}
+    assert types["ts"] == "timestamp"
+    assert types["tz"] == "timestamptz"
+    out = iceberg_lite.read_iceberg(spark, path)
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    assert str(out.collect()[0]["ts"]) == "2024-01-02 03:04:05"
