@@ -2597,6 +2597,78 @@ def widen_column(path: str, column: str, new_type: str) -> int:
     return version
 
 
+def add_column(path: str, column: str, sql_type: str) -> int:
+    """``ALTER TABLE ADD COLUMN col type`` — a pure METADATA commit:
+    the schemaString gains one NULLABLE field and every existing data
+    file reads NULL for it (the snapshot schema is authoritative over
+    each file, the same rule evolve-append relies on; zero files
+    touched at any scale).  On a column-mapped table the new field
+    mints a fresh id + physical name past ``maxColumnId`` (nested
+    struct/array/map element fields mint ids at every level).  Dotted
+    (nested) targets refuse — nested adds go through evolve-append."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if "." in column:
+        raise DeltaLiteError(
+            f"add_column: nested target {column!r} not supported; "
+            "append with schema_mode='evolve' instead"
+        )
+    try:
+        new_dt = _parse_datatype_string(sql_type)
+    except Exception as exc:
+        raise DeltaLiteError(
+            f"add_column: cannot parse type {sql_type!r}"
+        ) from exc
+    snap = snapshot(path)
+    if any(f.name == column for f in snap.schema.fields):
+        raise DeltaLiteError(f"column {column!r} already exists")
+    conf = dict(snap.configuration)
+    mode = conf.get("delta.columnMapping.mode", "none")
+    meta: dict = {}
+    if mode in ("name", "id"):
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+        top_id = max_id + 1
+        new_dt, max_id = _mint_mapped_datatype(new_dt, top_id)
+        meta = {
+            "delta.columnMapping.id": top_id,
+            "delta.columnMapping.physicalName":
+                f"col-{uuid.uuid4().hex[:8]}",
+        }
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    new_schema = StructType(
+        list(snap.schema.fields)
+        + [StructField(column, new_dt, True, metadata=meta)]
+    )
+    version = snap.version + 1
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "ADD COLUMNS",
+                "engine": "delta-lite",
+                "operationParameters": {
+                    "column": column, "type": sql_type,
+                },
+            }
+        },
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": new_schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "add_column"
+        )
+    return version
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -3333,6 +3405,7 @@ def _dv_mode(snap: Snapshot, use_deletion_vectors) -> bool:
 def merge_delta(
     spark: SparkSession, source: DataFrame, path: str, keys,
     max_retries: int = 3, use_deletion_vectors: bool | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """Copy-on-write ``MERGE INTO <path> USING source ON keys WHEN
     MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
@@ -3373,6 +3446,12 @@ def merge_delta(
     every 1 GB file one of those rows lands in.  The read-side debt is
     the DV anti-join until OPTIMIZE rewrites.  Returns additionally
     ``dv_files`` (touched files re-added with a DV).
+
+    ``delete_keys`` (the SQL front-end's ``WHEN MATCHED THEN DELETE``
+    lowering): target rows whose keys appear in this frame are
+    tombstoned in the SAME commit but get no replacement row — the
+    general-MERGE delete clause with one atomic version.  Its key set
+    must be disjoint from the source's.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     dup = (
@@ -3396,6 +3475,7 @@ def merge_delta(
             return _merge_once(
                 spark, source, path, keys, attempt,
                 use_deletion_vectors=use_deletion_vectors,
+                delete_keys=delete_keys,
             )
         except ConcurrentWriteError:
             if attempt >= max_retries:
@@ -3406,6 +3486,7 @@ def merge_delta(
 def _merge_once(
     spark: SparkSession, source: DataFrame, path: str, keys: list,
     attempt: int, use_deletion_vectors: bool | None = None,
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """One optimistic MERGE attempt against the CURRENT snapshot; raises
     ``ConcurrentWriteError`` (after discarding staged files) if another
@@ -3419,6 +3500,13 @@ def _merge_once(
     if [f.name for f in source.schema.fields] != schema_cols:
         source = source.select(*schema_cols)  # raises if a column is missing
     src_keys = source.select(*keys).distinct()
+    # the TOMBSTONE key set: matched rows replaced by the source, plus
+    # (general MERGE's delete clause) matched rows removed outright
+    tomb_keys = (
+        src_keys.unionByName(delete_keys.select(*keys)).distinct()
+        if delete_keys is not None
+        else src_keys
+    )
     # Partition pruning for the touched-file search: when the partition
     # columns are part of the merge key, a match can only live in a
     # partition the SOURCE actually carries — so the scan for touched
@@ -3433,7 +3521,7 @@ def _merge_once(
     if part_cols and set(part_cols) <= set(keys):
         src_parts = {
             tuple(_pv_str(row[c]) for c in part_cols)
-            for row in source.select(*part_cols).distinct().collect()
+            for row in tomb_keys.select(*part_cols).distinct().collect()
         }
         search_snap = Snapshot(
             table_path=snap.table_path,
@@ -3461,7 +3549,9 @@ def _merge_once(
     # upsert scans a handful of files instead of the table.  Files
     # without stats (or with a cross-type comparison) are never skipped.
     key0 = keys[0]
-    kb = source.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
+    kb = tomb_keys.agg(
+        F.min(key0).alias("lo"), F.max(key0).alias("hi")
+    ).collect()[0]
     if kb["lo"] is not None:
 
         def _overlaps(f, lo=kb["lo"], hi=kb["hi"]):
@@ -3497,7 +3587,7 @@ def _merge_once(
     )
     touched_uris = {
         r["__dl_path"]
-        for r in target.join(F.broadcast(src_keys), keys, "left_semi")
+        for r in target.join(F.broadcast(tomb_keys), keys, "left_semi")
         .select("__dl_path")
         .distinct()
         .collect()
@@ -3516,7 +3606,7 @@ def _merge_once(
             descriptors = _stage_dvs(
                 spark, path, snap,
                 target.where(F.col("__dl_path").isin(list(touched_uris)))
-                .join(F.broadcast(src_keys), keys, "left_semi")
+                .join(F.broadcast(tomb_keys), keys, "left_semi")
                 .select("__dl_path", "__dl_pos"),
             )
         new_data = source.select(*schema_cols)
@@ -3524,7 +3614,7 @@ def _merge_once(
         survivors = (
             target.where(F.col("__dl_path").isin(list(touched_uris)))
             .drop("__dl_path")
-            .join(F.broadcast(src_keys), keys, "left_anti")
+            .join(F.broadcast(tomb_keys), keys, "left_anti")
             if touched_uris
             else None
         )
@@ -3581,6 +3671,18 @@ def _merge_once(
                     .withColumn("_change_type", F.lit("insert"))
                 )
             )
+            if delete_keys is not None:
+                # the delete clause's rows leave the table: one
+                # `delete` change per removed target row
+                changes = changes.unionByName(
+                    target.where(F.col("__dl_path").isin(list(touched_uris)))
+                    .drop("__dl_path", "__dl_pos",
+                          "_row_id", "_row_commit_version")
+                    .join(F.broadcast(delete_keys.select(*keys).distinct()),
+                          keys, "left_semi")
+                    .join(F.broadcast(src_keys), keys, "left_anti")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
         else:
             changes = src.withColumn("_change_type", F.lit("insert"))
         # one cdc file per TOUCHED data file, not per shuffle partition:

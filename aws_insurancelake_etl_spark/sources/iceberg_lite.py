@@ -4204,6 +4204,7 @@ def merge_iceberg(
     table_path: str,
     keys,
     max_retries: int = 3,
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """MERGE-ON-READ upsert: ``MERGE INTO table USING source ON keys
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``,
@@ -4219,7 +4220,12 @@ def merge_iceberg(
     Conflict handling mirrors ``delta_lite.merge_delta``: losing the
     metadata O_EXCL race discards this attempt's delete files and
     re-executes the match against the fresh snapshot (re-execution is
-    serialization-equivalent); ``max_retries`` bounds it."""
+    serialization-equivalent); ``max_retries`` bounds it.
+
+    ``delete_keys`` (the SQL front-end's ``WHEN MATCHED THEN DELETE``
+    lowering): target rows whose keys appear in this frame are
+    tombstoned in the SAME snapshot with no replacement row.  Its key
+    set must be disjoint from the source's."""
     from pyspark.sql import functions as F
 
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -4236,7 +4242,8 @@ def merge_iceberg(
     while True:
         try:
             return _merge_once_iceberg(
-                spark, source, table_path, keys, attempt
+                spark, source, table_path, keys, attempt,
+                delete_keys=delete_keys,
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
@@ -4246,7 +4253,7 @@ def merge_iceberg(
 
 def _merge_once_iceberg(
     spark: SparkSession, source: DataFrame, table_path: str, keys: list,
-    attempt: int,
+    attempt: int, delete_keys: DataFrame | None = None,
 ) -> dict:
     import shutil
     import tempfile
@@ -4278,6 +4285,13 @@ def _merge_once_iceberg(
             "appended_files": len(data_entries), "retries": attempt,
         }
     src_keys = source.select(*keys).distinct()
+    # the TOMBSTONE key set: matched rows replaced by the source, plus
+    # (general MERGE's delete clause) matched rows removed outright
+    tomb_keys = (
+        src_keys.unionByName(delete_keys.select(*keys)).distinct()
+        if delete_keys is not None
+        else src_keys
+    )
     # MANIFEST-BOUNDS SKIPPING for the touched-file search: a data file
     # whose [lower, upper] range on the first merge key cannot contain
     # any source key is never opened — the Iceberg twin of delta_lite's
@@ -4287,7 +4301,7 @@ def _merge_once_iceberg(
     # changes the delete set.
     search_files = files
     key0 = keys[0]
-    kb = source.agg(
+    kb = tomb_keys.agg(
         F.min(key0).alias("lo"), F.max(key0).alias("hi")
     ).collect()[0]
     bounds = None
@@ -4325,14 +4339,14 @@ def _merge_once_iceberg(
         # v3: matched rows become DELETION VECTORS, never new
         # position-delete parquet (forbidden by the spec's v3 rules)
         matched_local = target.join(
-            F.broadcast(src_keys), keys, "left_semi"
+            F.broadcast(tomb_keys), keys, "left_semi"
         ).select("__ice_file", "__ice_pos")
         delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
             spark, table_path, matched_local, files, _deletes
         )
     else:
         matched = (
-            target.join(F.broadcast(src_keys), keys, "left_semi")
+            target.join(F.broadcast(tomb_keys), keys, "left_semi")
             .join(F.broadcast(file_map), "__ice_file")
             .select(
                 F.col("orig").alias("file_path"),

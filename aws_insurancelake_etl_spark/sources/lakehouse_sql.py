@@ -1,0 +1,1337 @@
+"""SQL text front-end for the jar-less lakehouse.
+
+The reference drives its entity table with SQL *text* — ``MERGE INTO
+... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+(reference ``etl_consume_entity_match.py:449-455``) — so a user
+switching from the reference expects to hand the engine a SQL string,
+not a Python call.  :func:`lakehouse_sql` accepts that exact text (and
+the rest of the DML/DDL/utility surface) against bare ``delta.`path```
+/ ``iceberg.`path``` table references, with no extension jars.
+
+Spark-first split of labor:
+
+- **SELECT / WITH / VALUES are never interpreted here.**  Lakehouse
+  table references (including ``VERSION AS OF`` / ``TIMESTAMP AS OF``
+  travel) are rewritten to temp views over the protocol readers and
+  the statement goes to Catalyst verbatim — the full Spark SQL surface
+  (joins, windows, CTEs, subqueries) works over lakehouse paths with
+  filter/column pushdown reaching the planned parquet scans.
+- Only the statements Spark cannot target at a bare path without a
+  catalog plugin (MERGE/UPDATE/DELETE/INSERT/CREATE/ALTER/OPTIMIZE/
+  VACUUM/DESCRIBE HISTORY/RESTORE) are parsed, with a bounded grammar,
+  and routed to the :mod:`delta_lite` / :mod:`iceberg_lite` verbs.
+  Every WHERE / SET / ON fragment is passed through to Catalyst as an
+  expression — this module never evaluates SQL itself.
+
+MERGE support:
+
+- the reference's canonical form (``UPDATE SET *`` / ``INSERT *`` on
+  an equality key conjunction) dispatches straight to
+  ``merge_delta`` / ``merge_iceberg`` (COW-touched-file / MOR shapes);
+- the GENERAL form (``SET col = expr`` assignments, per-clause ``AND``
+  conditions, ``INSERT (cols) VALUES (exprs)``, missing clauses)
+  lowers to the same primitives: matched pairs compute their
+  replacement rows via a distributed join (first-matching-clause-wins,
+  one-shot against the OLD row), unfired matched rows are simply left
+  out of the merge source so they are never tombstoned, and not-matched
+  source rows project through their insert clause.  ``WHEN MATCHED
+  THEN DELETE`` additionally routes fired keys through the primitives'
+  ``delete_keys`` tombstone set (same commit).
+
+Grammar limits are named errors, never silent misbehavior.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakehouseSqlError(Exception):
+    pass
+
+
+# --------------------------------------------------------------- tokens
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+|--[^\n]*)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<bt>`[^`]*`)
+      | (?P<dq>"[^"]*")
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<punct><=|>=|<>|!=|==|\|\||\.|,|\(|\)|\*|=|<|>|\+|-|/|%|\[|\]|\{|\}|:|;|\?|&|\||!|~|\^|@|\#|\$)
+    """,
+    re.X,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    start: int
+    end: int
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def _tokenize(sql: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise LakehouseSqlError(
+                f"cannot tokenize SQL at offset {pos}: {sql[pos:pos+20]!r}"
+            )
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        toks.append(_Tok(m.lastgroup, m.group(), m.start(), m.end()))
+    return toks
+
+
+@dataclass
+class _TableRef:
+    fmt: str            # "delta" | "iceberg"
+    path: str
+    version: int | None = None       # delta version / iceberg snapshot id
+    ts_ms: int | None = None
+
+
+@dataclass
+class _MergeClause:
+    matched: bool
+    cond: str | None = None
+    action: str = ""                     # update_star|update|delete|insert_star|insert
+    assignments: dict = field(default_factory=dict)   # col -> expr text
+    insert_cols: list = field(default_factory=list)
+    insert_exprs: list = field(default_factory=list)
+
+
+class _P:
+    """Token cursor over the original SQL text (slices preserve the
+    user's exact expression text for Catalyst passthrough)."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    # -- cursor ----------------------------------------------------
+    def at_end(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def peek(self, k: int = 0) -> _Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def is_words(self, *words: str) -> bool:
+        for k, w in enumerate(words):
+            t = self.peek(k)
+            if t is None or t.kind != "word" or t.upper != w:
+                return False
+        return True
+
+    def take_words(self, *words: str) -> bool:
+        if self.is_words(*words):
+            self.i += len(words)
+            return True
+        return False
+
+    def expect_words(self, *words: str) -> None:
+        if not self.take_words(*words):
+            t = self.peek()
+            got = t.text if t else "<end>"
+            raise LakehouseSqlError(
+                f"expected {' '.join(words)!r}, got {got!r} "
+                f"(offset {t.start if t else len(self.sql)})"
+            )
+
+    def is_punct(self, p: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "punct" and t.text == p
+
+    def take_punct(self, p: str) -> bool:
+        if self.is_punct(p):
+            self.i += 1
+            return True
+        return False
+
+    def expect_punct(self, p: str) -> None:
+        if not self.take_punct(p):
+            t = self.peek()
+            raise LakehouseSqlError(
+                f"expected {p!r}, got {t.text if t else '<end>'!r}"
+            )
+
+    def slice(self, a: int, b: int) -> str:
+        """Original SQL text spanned by tokens [a, b)."""
+        if a >= b:
+            return ""
+        return self.sql[self.toks[a].start : self.toks[b - 1].end]
+
+    # -- table refs --------------------------------------------------
+    def try_table_ref(self, travel_ok: bool = True) -> _TableRef | None:
+        t0, t1, t2 = self.peek(0), self.peek(1), self.peek(2)
+        if (
+            t0 is None or t0.kind != "word"
+            or t0.upper not in ("DELTA", "ICEBERG")
+            or t1 is None or t1.text != "."
+            or t2 is None or t2.kind != "bt"
+        ):
+            return None
+        ref = _TableRef(fmt=t0.upper.lower(), path=t2.text[1:-1])
+        self.i += 3
+        # optional time travel: [FOR] VERSION|TIMESTAMP AS OF <v>
+        save = self.i
+        self.take_words("FOR")
+        if self.take_words("VERSION", "AS", "OF"):
+            t = self.peek()
+            if t is None or t.kind != "num":
+                raise LakehouseSqlError("VERSION AS OF needs an integer")
+            ref.version = int(t.text)
+            self.i += 1
+        elif self.take_words("TIMESTAMP", "AS", "OF"):
+            t = self.peek()
+            if t is None or t.kind not in ("str", "num"):
+                raise LakehouseSqlError(
+                    "TIMESTAMP AS OF needs a string or epoch-ms literal"
+                )
+            ref.ts_ms = _parse_ts_ms(t.text)
+            self.i += 1
+        else:
+            self.i = save
+        if (ref.version is not None or ref.ts_ms is not None) and not travel_ok:
+            raise LakehouseSqlError(
+                "time travel is not allowed on a DML/DDL target"
+            )
+        return ref
+
+    def expect_table_ref(self, travel_ok: bool = False) -> _TableRef:
+        ref = self.try_table_ref(travel_ok=travel_ok)
+        if ref is None:
+            t = self.peek()
+            raise LakehouseSqlError(
+                "expected a lakehouse table reference "
+                "(delta.`/path` or iceberg.`/path`), got "
+                f"{t.text if t else '<end>'!r}"
+            )
+        return ref
+
+    def try_alias(self, stop_words: frozenset) -> str | None:
+        if self.take_words("AS"):
+            t = self.peek()
+            if t is None or t.kind != "word":
+                raise LakehouseSqlError("expected alias after AS")
+            self.i += 1
+            return t.text
+        t = self.peek()
+        if t is not None and t.kind == "word" and t.upper not in stop_words:
+            self.i += 1
+            return t.text
+        return None
+
+    def scan_until_words(self, *stop: str) -> int:
+        """Advance to (and return the index of) the next top-level
+        occurrence of any stop word; parens nest.  Returns the token
+        index where the stop word starts (or end)."""
+        depth = 0
+        while not self.at_end():
+            t = self.peek()
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.upper in stop:
+                break
+            self.i += 1
+        return self.i
+
+    def split_top_level(self, a: int, b: int, sep_word: str | None,
+                        sep_punct: str | None) -> list[tuple[int, int]]:
+        """Split token range [a,b) on a top-level separator; returns
+        list of (start, end) token index pairs."""
+        parts = []
+        depth = 0
+        start = a
+        j = a
+        while j < b:
+            t = self.toks[j]
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                depth -= 1
+            elif depth == 0 and (
+                (sep_word and t.kind == "word" and t.upper == sep_word)
+                or (sep_punct and t.kind == "punct" and t.text == sep_punct)
+            ):
+                parts.append((start, j))
+                start = j + 1
+            j += 1
+        parts.append((start, b))
+        return parts
+
+
+def _parse_ts_ms(lit: str) -> int:
+    if lit[0] == "'":
+        from datetime import datetime, timezone
+
+        raw = lit[1:-1].replace("''", "'")
+        try:
+            dt = datetime.fromisoformat(raw)
+        except ValueError as exc:
+            raise LakehouseSqlError(
+                f"TIMESTAMP AS OF: cannot parse {raw!r} (ISO-8601 needed)"
+            ) from exc
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    return int(float(lit))
+
+
+# ----------------------------------------------------------- dispatch
+
+
+def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run one SQL statement against lakehouse paths.  Always returns a
+    DataFrame: query results for SELECT, a two-column
+    ``(metric, value)`` frame for DML/DDL/utility statements."""
+    p = _P(sql.strip().rstrip(";"))
+    t0 = p.peek()
+    if t0 is None:
+        raise LakehouseSqlError("empty SQL statement")
+    head = t0.upper if t0.kind == "word" else ""
+    if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+        return spark.sql(_rewrite_reads(spark, p.sql))
+    if head == "MERGE":
+        return _exec_merge(spark, p)
+    if head == "UPDATE":
+        return _exec_update(spark, p)
+    if head == "DELETE":
+        return _exec_delete(spark, p)
+    if head == "INSERT":
+        return _exec_insert(spark, p)
+    if head == "CREATE":
+        return _exec_create(spark, p)
+    if head == "ALTER":
+        return _exec_alter(spark, p)
+    if head == "OPTIMIZE":
+        return _exec_optimize(spark, p)
+    if head == "VACUUM":
+        return _exec_vacuum(spark, p)
+    if head == "DESCRIBE":
+        return _exec_describe(spark, p)
+    if head == "RESTORE":
+        return _exec_restore(spark, p)
+    raise LakehouseSqlError(
+        f"unsupported statement head {t0.text!r}; supported: SELECT/WITH, "
+        "MERGE, UPDATE, DELETE, INSERT, CREATE TABLE AS, ALTER TABLE, "
+        "OPTIMIZE, VACUUM, DESCRIBE HISTORY, RESTORE"
+    )
+
+
+def _metrics_df(spark: SparkSession, d: dict) -> DataFrame:
+    rows = [(k, "" if d[k] is None else str(d[k])) for k in sorted(d)]
+    return spark.createDataFrame(rows, "metric string, value string")
+
+
+def _validate_ref(ref: _TableRef) -> None:
+    from . import delta_lite, iceberg_lite
+
+    if ref.fmt == "delta":
+        if not delta_lite.is_delta_table(ref.path):
+            hint = (
+                "; the path IS an iceberg table — use iceberg.`...`"
+                if iceberg_lite.is_iceberg_table(ref.path)
+                else ""
+            )
+            raise LakehouseSqlError(
+                f"not a delta table: {ref.path}{hint}"
+            )
+    else:
+        if not iceberg_lite.is_iceberg_table(ref.path):
+            hint = (
+                "; the path IS a delta table — use delta.`...`"
+                if delta_lite.is_delta_table(ref.path)
+                else ""
+            )
+            raise LakehouseSqlError(
+                f"not an iceberg table: {ref.path}{hint}"
+            )
+
+
+def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    _validate_ref(ref)
+    if ref.fmt == "delta":
+        return delta_lite.read_delta(
+            spark, ref.path, version=ref.version, timestamp_ms=ref.ts_ms
+        )
+    sid = ref.version
+    if ref.ts_ms is not None:
+        sid = iceberg_lite.snapshot_as_of_timestamp(ref.path, ref.ts_ms)
+    return iceberg_lite.read_iceberg(spark, ref.path, snapshot_id=sid)
+
+
+def _rewrite_reads(spark: SparkSession, sql: str) -> str:
+    """Replace every ``delta.`p``` / ``iceberg.`p``` reference (plus a
+    trailing travel clause) with a temp view over the protocol reader;
+    return the rewritten statement for Catalyst."""
+    p = _P(sql)
+    out: list[str] = []
+    consumed = 0
+    while not p.at_end():
+        mark = p.i
+        ref = p.try_table_ref(travel_ok=True)
+        if ref is None:
+            p.i += 1
+            continue
+        start_off = p.toks[mark].start
+        end_off = p.toks[p.i - 1].end
+        view = f"__lh_sql_{_uuid.uuid4().hex[:12]}"
+        _read_ref(spark, ref).createOrReplaceTempView(view)
+        out.append(sql[consumed:start_off])
+        out.append(view)
+        consumed = end_off
+    out.append(sql[consumed:])
+    return "".join(out)
+
+
+# ----------------------------------------------------------------- MERGE
+
+_SOURCE_STOPS = frozenset({"ON"})
+_TARGET_STOPS = frozenset({"USING"})
+
+
+def _exec_merge(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("MERGE", "INTO")
+    target = p.expect_table_ref()
+    t_alias = p.try_alias(_TARGET_STOPS)
+    p.expect_words("USING")
+    source_df, s_alias_default = _parse_merge_source(spark, p)
+    s_alias = p.try_alias(_SOURCE_STOPS) or s_alias_default
+    p.expect_words("ON")
+    on_start = p.i
+    on_end = p.scan_until_words("WHEN")
+    on_text = p.slice(on_start, on_end)
+    if not on_text:
+        raise LakehouseSqlError("MERGE needs an ON condition")
+    clauses = _parse_merge_clauses(p)
+    if not p.at_end():
+        t = p.peek()
+        raise LakehouseSqlError(f"unexpected trailing tokens at {t.text!r}")
+    if not clauses:
+        raise LakehouseSqlError("MERGE needs at least one WHEN clause")
+
+    keys = _equi_keys(p, on_text, t_alias, s_alias)
+    _validate_ref(target)
+
+    # Canonical fast path: the reference's exact shape.
+    is_canonical = (
+        len(clauses) == 2
+        and clauses[0].matched and clauses[0].action == "update_star"
+        and clauses[0].cond is None
+        and not clauses[1].matched and clauses[1].action == "insert_star"
+        and clauses[1].cond is None
+    ) or (
+        len(clauses) == 2
+        and clauses[1].matched and clauses[1].action == "update_star"
+        and clauses[1].cond is None
+        and not clauses[0].matched and clauses[0].action == "insert_star"
+        and clauses[0].cond is None
+    )
+    src = _rename_source_keys(source_df, keys)
+    key_cols = [k[0] for k in keys]
+    if is_canonical:
+        if target.fmt == "delta":
+            res = delta_lite.merge_delta(spark, src, target.path, key_cols)
+        else:
+            res = iceberg_lite.merge_iceberg(
+                spark, src, target.path, key_cols
+            )
+        return _metrics_df(spark, res)
+    return _exec_general_merge(
+        spark, target, src, t_alias or "t", s_alias or "s",
+        on_text, key_cols, clauses,
+    )
+
+
+def _parse_merge_source(
+    spark: SparkSession, p: _P
+) -> tuple[DataFrame, str | None]:
+    if p.take_punct("("):
+        start = p.i
+        depth = 0
+        while not p.at_end():
+            t = p.peek()
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            p.i += 1
+        sub = p.slice(start, p.i)
+        p.expect_punct(")")
+        return spark.sql(_rewrite_reads(spark, sub)), None
+    ref = p.try_table_ref(travel_ok=True)
+    if ref is not None:
+        return _read_ref(spark, ref), None
+    t = p.peek()
+    if t is not None and t.kind == "word":
+        p.i += 1
+        return spark.table(t.text), None
+    raise LakehouseSqlError(
+        "MERGE USING expects a subquery, a lakehouse table reference, "
+        "or a temp-view name"
+    )
+
+
+def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
+    clauses: list[_MergeClause] = []
+    while p.take_words("WHEN"):
+        matched = True
+        if p.take_words("NOT", "MATCHED"):
+            matched = False
+            if p.take_words("BY"):
+                which = p.peek()
+                if which is not None and which.upper == "SOURCE":
+                    raise LakehouseSqlError(
+                        "WHEN NOT MATCHED BY SOURCE is not supported"
+                    )
+                p.expect_words("TARGET")
+        else:
+            p.expect_words("MATCHED")
+        cond = None
+        if p.take_words("AND"):
+            a = p.i
+            b = p.scan_until_words("THEN")
+            cond = p.slice(a, b)
+        p.expect_words("THEN")
+        cl = _MergeClause(matched=matched, cond=cond)
+        if matched:
+            if p.take_words("DELETE"):
+                cl.action = "delete"
+            else:
+                p.expect_words("UPDATE", "SET")
+                if p.take_punct("*"):
+                    cl.action = "update_star"
+                else:
+                    cl.action = "update"
+                    cl.assignments = _parse_assignments(
+                        p, stop=("WHEN",)
+                    )
+        else:
+            p.expect_words("INSERT")
+            if p.take_punct("*"):
+                cl.action = "insert_star"
+            else:
+                cl.action = "insert"
+                p.expect_punct("(")
+                cols = []
+                while True:
+                    tok = p.peek()
+                    if tok is None or tok.kind != "word":
+                        raise LakehouseSqlError(
+                            "INSERT column list expects identifiers"
+                        )
+                    name = tok.text
+                    p.i += 1
+                    # tolerate t-alias qualification
+                    if p.take_punct("."):
+                        nxt = p.peek()
+                        if nxt is None or nxt.kind != "word":
+                            raise LakehouseSqlError("bad INSERT column")
+                        name = nxt.text
+                        p.i += 1
+                    cols.append(name)
+                    if p.take_punct(")"):
+                        break
+                    p.expect_punct(",")
+                cl.insert_cols = cols
+                p.expect_words("VALUES")
+                p.expect_punct("(")
+                a = p.i
+                depth = 0
+                while not p.at_end():
+                    t = p.peek()
+                    if t.kind == "punct" and t.text == "(":
+                        depth += 1
+                    elif t.kind == "punct" and t.text == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    p.i += 1
+                parts = p.split_top_level(a, p.i, None, ",")
+                cl.insert_exprs = [p.slice(x, y) for x, y in parts]
+                p.expect_punct(")")
+                if len(cl.insert_cols) != len(cl.insert_exprs):
+                    raise LakehouseSqlError(
+                        "INSERT column list and VALUES arity differ"
+                    )
+        clauses.append(cl)
+    return clauses
+
+
+def _parse_assignments(p: _P, stop: tuple) -> dict:
+    """``col = expr [, col = expr ...]`` up to a top-level stop word."""
+    a = p.i
+    b = p.scan_until_words(*stop)
+    out: dict[str, str] = {}
+    for x, y in p.split_top_level(a, b, None, ","):
+        # LHS: [alias.]col  '='  expr-text
+        j = x
+        if j >= y or p.toks[j].kind != "word":
+            raise LakehouseSqlError("SET expects `col = expr` pairs")
+        col = p.toks[j].text
+        j += 1
+        if j < y and p.toks[j].text == "." and p.toks[j].kind == "punct":
+            j += 1
+            if j >= y or p.toks[j].kind != "word":
+                raise LakehouseSqlError("bad SET target")
+            col = p.toks[j].text
+            j += 1
+        if j >= y or p.toks[j].text != "=":
+            raise LakehouseSqlError(f"SET {col}: expected '='")
+        j += 1
+        expr = p.slice(j, y)
+        if not expr:
+            raise LakehouseSqlError(f"SET {col}: empty expression")
+        if col in out:
+            raise LakehouseSqlError(f"SET assigns {col!r} twice")
+        out[col] = expr
+    return out
+
+
+def _equi_keys(
+    p: _P, on_text: str, t_alias: str | None, s_alias: str | None
+) -> list[tuple[str, str]]:
+    """Parse ``t.k = s.k [AND ...]`` into (target_col, source_col)
+    pairs.  A general ON condition is a named limit: the merge
+    primitives tombstone by key."""
+    q = _P(on_text)
+    parts = q.split_top_level(0, len(q.toks), "AND", None)
+    keys: list[tuple[str, str]] = []
+
+    def side(x: int, y: int) -> tuple[str | None, str]:
+        # [alias .] col  (or backticked col)
+        j = x
+        alias = None
+        tok = q.toks[j]
+        if tok.kind not in ("word", "bt"):
+            raise LakehouseSqlError(
+                f"MERGE ON must be an equality conjunction of columns; "
+                f"got {q.slice(x, y)!r}"
+            )
+        name = tok.text.strip("`")
+        j += 1
+        if j < y and q.toks[j].text == ".":
+            alias = name
+            j += 1
+            if j >= y or q.toks[j].kind not in ("word", "bt"):
+                raise LakehouseSqlError("bad column in MERGE ON")
+            name = q.toks[j].text.strip("`")
+            j += 1
+        if j != y:
+            raise LakehouseSqlError(
+                f"MERGE ON side is not a plain column: {q.slice(x, y)!r}"
+            )
+        return alias, name
+
+    for x, y in parts:
+        eqs = q.split_top_level(x, y, None, "=")
+        if len(eqs) != 2:
+            raise LakehouseSqlError(
+                f"MERGE ON term is not an equality: {q.slice(x, y)!r}"
+            )
+        (a_alias, a_col) = side(*eqs[0])
+        (b_alias, b_col) = side(*eqs[1])
+        if t_alias and a_alias == t_alias:
+            tgt, srcc = a_col, b_col
+        elif t_alias and b_alias == t_alias:
+            tgt, srcc = b_col, a_col
+        elif s_alias and a_alias == s_alias:
+            tgt, srcc = b_col, a_col
+        elif s_alias and b_alias == s_alias:
+            tgt, srcc = a_col, b_col
+        elif a_alias is None and b_alias is None and a_col == b_col:
+            tgt, srcc = a_col, b_col
+        else:
+            raise LakehouseSqlError(
+                f"cannot attribute MERGE ON term {q.slice(x, y)!r} to "
+                "target/source aliases"
+            )
+        keys.append((tgt, srcc))
+    return keys
+
+
+def _rename_source_keys(src: DataFrame, keys: list) -> DataFrame:
+    for tgt, srcc in keys:
+        if tgt != srcc:
+            if tgt in src.columns:
+                raise LakehouseSqlError(
+                    f"source already has a column named {tgt!r}; cannot "
+                    f"rename key {srcc!r} onto it"
+                )
+            src = src.withColumnRenamed(srcc, tgt)
+    return src
+
+
+def _exec_general_merge(
+    spark: SparkSession,
+    target: _TableRef,
+    src: DataFrame,
+    t_alias: str,
+    s_alias: str,
+    on_text: str,
+    key_cols: list,
+    clauses: list,
+) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    live = _read_ref(spark, target)
+    schema_cols = [f.name for f in live.schema.fields]
+    dtypes = {f.name: f.dataType for f in live.schema.fields}
+    # ON text may reference the source through its pre-rename columns;
+    # the renamed frame keeps the target names, so rebuild the ON over
+    # key equality directly (semantically identical by construction;
+    # PLAIN equality, matching the primitives' semi-join: null keys
+    # never match)
+    on_expr = None
+    for k in key_cols:
+        term = F.col(f"{t_alias}.{k}") == F.col(f"{s_alias}.{k}")
+        on_expr = term if on_expr is None else (on_expr & term)
+    lt = live.alias(t_alias)
+    ls = src.alias(s_alias)
+    pair = lt.join(ls, on_expr, "inner")
+
+    matched_clauses = [c for c in clauses if c.matched]
+    insert_clauses = [c for c in clauses if not c.matched]
+
+    def clause_cond(c) -> F.Column:
+        return F.expr(c.cond) if c.cond else F.lit(True)
+
+    # first-matching-clause-wins over the MATCHED set
+    fired_updates = []
+    delete_keys_df = None
+    prior = F.lit(False)
+    for c in matched_clauses:
+        this = clause_cond(c) & ~prior
+        prior = prior | clause_cond(c)
+        if c.action == "delete":
+            dk = pair.where(this).select(
+                *[F.col(f"{t_alias}.{k}").alias(k) for k in key_cols]
+            )
+            delete_keys_df = (
+                dk if delete_keys_df is None else delete_keys_df.unionByName(dk)
+            )
+            continue
+        if c.action == "update_star":
+            assignments = {col: f"{s_alias}.{col}" for col in schema_cols}
+        else:
+            assignments = c.assignments
+            unknown = set(assignments) - set(schema_cols)
+            if unknown:
+                raise LakehouseSqlError(
+                    f"UPDATE SET names unknown columns {sorted(unknown)}"
+                )
+        fired_updates.append(
+            pair.where(this).select(
+                *[
+                    F.expr(assignments[col]).cast(dtypes[col]).alias(col)
+                    if col in assignments
+                    else F.col(f"{t_alias}.{col}").alias(col)
+                    for col in schema_cols
+                ]
+            )
+        )
+
+    # NOT MATCHED source rows, first-matching-insert-clause-wins
+    inserts = []
+    if insert_clauses:
+        unmatched = ls.join(lt, on_expr, "left_anti")
+        prior = F.lit(False)
+        for c in insert_clauses:
+            this = clause_cond(c) & ~prior
+            prior = prior | clause_cond(c)
+            if c.action == "insert_star":
+                proj = {col: F.col(f"{s_alias}.{col}") for col in schema_cols}
+            else:
+                norm = dict(zip(c.insert_cols, c.insert_exprs))
+                unknown = set(norm) - set(schema_cols)
+                if unknown:
+                    raise LakehouseSqlError(
+                        f"INSERT names unknown columns {sorted(unknown)}"
+                    )
+                proj = {
+                    col: F.expr(norm[col]) if col in norm else F.lit(None)
+                    for col in schema_cols
+                }
+            inserts.append(
+                unmatched.where(this).select(
+                    *[
+                        proj[col].cast(dtypes[col]).alias(col)
+                        for col in schema_cols
+                    ]
+                )
+            )
+
+    combined = None
+    for part in fired_updates + inserts:
+        combined = part if combined is None else combined.unionByName(part)
+
+    if combined is None and delete_keys_df is None:
+        raise LakehouseSqlError("MERGE parsed to no effective clause")
+    if combined is None:
+        # delete-only MERGE: empty replacement set
+        combined = spark.createDataFrame([], live.schema)
+    if target.fmt == "delta":
+        res = delta_lite.merge_delta(
+            spark, combined, target.path, key_cols,
+            delete_keys=delete_keys_df,
+        )
+    else:
+        res = iceberg_lite.merge_iceberg(
+            spark, combined, target.path, key_cols,
+            delete_keys=delete_keys_df,
+        )
+    return _metrics_df(spark, res)
+
+
+# ------------------------------------------------------ UPDATE / DELETE
+
+
+def _exec_update(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("UPDATE")
+    ref = p.expect_table_ref()
+    p.try_alias(frozenset({"SET"}))
+    p.expect_words("SET")
+    assignments = _parse_assignments(p, stop=("WHERE",))
+    predicate = "true"
+    if p.take_words("WHERE"):
+        predicate = p.slice(p.i, len(p.toks))
+        p.i = len(p.toks)
+    if not p.at_end():
+        raise LakehouseSqlError("unexpected trailing tokens in UPDATE")
+    _validate_ref(ref)
+    if ref.fmt == "delta":
+        res = delta_lite.update_delta(spark, ref.path, assignments, predicate)
+    else:
+        res = iceberg_lite.update_iceberg(
+            spark, ref.path, assignments, predicate
+        )
+    return _metrics_df(spark, res)
+
+
+def _exec_delete(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("DELETE", "FROM")
+    ref = p.expect_table_ref()
+    p.try_alias(frozenset({"WHERE"}))
+    predicate = "true"
+    if p.take_words("WHERE"):
+        predicate = p.slice(p.i, len(p.toks))
+        p.i = len(p.toks)
+    if not p.at_end():
+        raise LakehouseSqlError("unexpected trailing tokens in DELETE")
+    _validate_ref(ref)
+    if ref.fmt == "delta":
+        res = delta_lite.delete_delta(spark, ref.path, predicate)
+    else:
+        res = iceberg_lite.delete_iceberg(spark, ref.path, predicate)
+    return _metrics_df(spark, res)
+
+
+# --------------------------------------------------------------- INSERT
+
+
+def _exec_insert(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("INSERT")
+    overwrite = False
+    if p.take_words("OVERWRITE"):
+        overwrite = True
+        p.take_words("TABLE")
+    else:
+        p.expect_words("INTO")
+        p.take_words("TABLE")
+    ref = p.expect_table_ref()
+    cols: list[str] | None = None
+    if p.is_punct("(") :
+        # lookahead: a '(' here is a column list only if it contains
+        # bare identifiers and commas (otherwise it's `(SELECT ...)`)
+        save = p.i
+        p.take_punct("(")
+        maybe = []
+        ok = True
+        while True:
+            t = p.peek()
+            if t is None:
+                ok = False
+                break
+            if t.kind == "word" and t.upper in ("SELECT", "WITH", "VALUES"):
+                ok = False
+                break
+            if t.kind != "word":
+                ok = False
+                break
+            maybe.append(t.text)
+            p.i += 1
+            if p.take_punct(")"):
+                break
+            if not p.take_punct(","):
+                ok = False
+                break
+        if ok and maybe:
+            cols = maybe
+        else:
+            p.i = save
+    query = p.slice(p.i, len(p.toks))
+    if not query:
+        raise LakehouseSqlError("INSERT needs a query")
+    df = spark.sql(_rewrite_reads(spark, query))
+    _validate_ref(ref)
+    snap_schema = _read_ref(spark, ref).schema
+    schema_cols = [f.name for f in snap_schema.fields]
+    if cols is None:
+        if len(df.columns) != len(schema_cols):
+            raise LakehouseSqlError(
+                f"INSERT arity mismatch: query has {len(df.columns)} "
+                f"columns, table has {len(schema_cols)}"
+            )
+        df = df.toDF(*schema_cols)
+    else:
+        unknown = set(cols) - set(schema_cols)
+        if unknown:
+            raise LakehouseSqlError(
+                f"INSERT names unknown columns {sorted(unknown)}"
+            )
+        if len(cols) != len(df.columns):
+            raise LakehouseSqlError(
+                "INSERT column list and query arity differ"
+            )
+        df = df.toDF(*cols)
+        by = {f.name: f for f in snap_schema.fields}
+        df = df.select(
+            *[
+                F.col(c).cast(by[c].dataType).alias(c)
+                if c in cols
+                else F.lit(None).cast(by[c].dataType).alias(c)
+                for c in schema_cols
+            ]
+        )
+    df = df.select(
+        *[
+            F.col(c).cast(f.dataType).alias(c)
+            for c, f in zip(df.columns, snap_schema.fields)
+        ]
+    )
+    if ref.fmt == "delta":
+        v = delta_lite.write_delta(
+            df, ref.path, mode="overwrite" if overwrite else "append"
+        )
+        return _metrics_df(spark, {"version": v, "mode":
+                                   "overwrite" if overwrite else "append"})
+    if overwrite:
+        raise LakehouseSqlError(
+            "INSERT OVERWRITE on iceberg is not supported; DELETE FROM "
+            "then INSERT INTO, or CREATE OR REPLACE the table"
+        )
+    sid = iceberg_lite.write_iceberg(spark, df, ref.path)
+    return _metrics_df(spark, {"snapshot_id": sid, "mode": "append"})
+
+
+# --------------------------------------------------------------- CREATE
+
+
+def _exec_create(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("CREATE")
+    replace = p.take_words("OR", "REPLACE")
+    p.expect_words("TABLE")
+    if p.take_words("IF", "NOT", "EXISTS"):
+        raise LakehouseSqlError("IF NOT EXISTS is not supported")
+    ref = p.expect_table_ref()
+    if p.take_words("USING"):
+        t = p.peek()
+        if t is None or t.upper not in ("DELTA", "ICEBERG"):
+            raise LakehouseSqlError("USING expects DELTA or ICEBERG")
+        if t.upper.lower() != ref.fmt:
+            raise LakehouseSqlError(
+                f"USING {t.text} disagrees with the {ref.fmt}.`...` prefix"
+            )
+        p.i += 1
+    partition_by: list[str] = []
+    if p.take_words("PARTITIONED", "BY"):
+        p.expect_punct("(")
+        a = p.i
+        depth = 0
+        while not p.at_end():
+            t = p.peek()
+            if t.kind == "punct" and t.text == "(":
+                depth += 1
+            elif t.kind == "punct" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            p.i += 1
+        partition_by = [
+            p.slice(x, y).strip()
+            for x, y in p.split_top_level(a, p.i, None, ",")
+        ]
+        p.expect_punct(")")
+    props: dict = {}
+    if p.take_words("TBLPROPERTIES"):
+        props = _parse_props(p)
+    p.expect_words("AS")
+    query = p.slice(p.i, len(p.toks))
+    if not query:
+        raise LakehouseSqlError("CREATE TABLE AS needs a query")
+    df = spark.sql(_rewrite_reads(spark, query))
+    import os
+
+    exists = (
+        delta_lite.is_delta_table(ref.path)
+        if ref.fmt == "delta"
+        else iceberg_lite.is_iceberg_table(ref.path)
+    )
+    if exists and not replace:
+        raise LakehouseSqlError(
+            f"table already exists at {ref.path}; use CREATE OR REPLACE"
+        )
+    if ref.fmt == "delta":
+        v = delta_lite.write_delta(
+            df, ref.path,
+            mode="overwrite" if exists else "append",
+            partition_by=partition_by or None,
+            configuration=props or None,
+        )
+        return _metrics_df(spark, {"version": v})
+    if exists:
+        # REPLACE on iceberg: drop the table dir's metadata lineage by
+        # writing into a fresh table — refuse rather than half-replace
+        raise LakehouseSqlError(
+            "CREATE OR REPLACE over an existing iceberg table is not "
+            "supported; DELETE FROM + INSERT, or write to a new path"
+        )
+    os.makedirs(ref.path, exist_ok=True)
+    sid = iceberg_lite.write_iceberg(
+        spark, df, ref.path, partition_by=partition_by or None
+    )
+    if props:
+        iceberg_lite.set_iceberg_properties(ref.path, props)
+    return _metrics_df(spark, {"snapshot_id": sid})
+
+
+def _parse_props(p: _P) -> dict:
+    p.expect_punct("(")
+    props: dict = {}
+    while True:
+        t = p.peek()
+        if t is None:
+            raise LakehouseSqlError("unterminated TBLPROPERTIES")
+        if t.kind not in ("str", "word", "bt", "dq"):
+            raise LakehouseSqlError(f"bad property key {t.text!r}")
+        key = t.text.strip("'\"`").replace("''", "'")
+        p.i += 1
+        # dotted bare keys: a.b.c
+        while p.is_punct("."):
+            p.take_punct(".")
+            nt = p.peek()
+            if nt is None or nt.kind != "word":
+                raise LakehouseSqlError("bad property key")
+            key += "." + nt.text
+            p.i += 1
+        p.expect_punct("=")
+        v = p.peek()
+        if v is None or v.kind not in ("str", "word", "num", "dq"):
+            raise LakehouseSqlError(f"bad property value for {key!r}")
+        props[key] = v.text.strip("'\"").replace("''", "'")
+        p.i += 1
+        if p.take_punct(")"):
+            break
+        p.expect_punct(",")
+    return props
+
+
+# ---------------------------------------------------------------- ALTER
+
+_SQL_TO_ICE = {
+    "bigint": "long", "long": "long", "int": "int", "integer": "int",
+    "smallint": "int", "double": "double", "float": "float",
+    "string": "string", "varchar": "string", "boolean": "boolean",
+    "date": "date", "binary": "binary", "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp", "uuid": "uuid",
+}
+
+
+def _parse_sql_type(p: _P) -> str:
+    t = p.peek()
+    if t is None or t.kind != "word":
+        raise LakehouseSqlError("expected a SQL type")
+    base = t.text
+    p.i += 1
+    if p.take_punct("("):
+        args = []
+        while not p.is_punct(")"):
+            a = p.peek()
+            if a is None:
+                raise LakehouseSqlError("unterminated type arguments")
+            args.append(a.text)
+            p.i += 1
+            p.take_punct(",")
+        p.expect_punct(")")
+        return f"{base}({','.join(args)})"
+    return base
+
+
+def _ice_type(sql_type: str) -> str:
+    st = sql_type.lower()
+    if st.startswith("decimal("):
+        return st
+    try:
+        return _SQL_TO_ICE[st]
+    except KeyError:
+        raise LakehouseSqlError(
+            f"type {sql_type!r} has no iceberg mapping "
+            f"(supported: {sorted(_SQL_TO_ICE)}, decimal(p,s))"
+        ) from None
+
+
+def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("ALTER", "TABLE")
+    ref = p.expect_table_ref()
+    _validate_ref(ref)
+    if p.take_words("RENAME", "COLUMN"):
+        old = _expect_ident(p)
+        p.expect_words("TO")
+        new = _expect_ident(p)
+        if ref.fmt == "delta":
+            v = delta_lite.rename_column(ref.path, old, new)
+            return _metrics_df(spark, {"version": v})
+        res = iceberg_lite.alter_iceberg_schema(ref.path, renames={old: new})
+        return _metrics_df(spark, res)
+    if p.take_words("DROP", "COLUMN"):
+        colname = _expect_ident(p)
+        if ref.fmt == "delta":
+            v = delta_lite.drop_column(ref.path, colname)
+            return _metrics_df(spark, {"version": v})
+        res = iceberg_lite.alter_iceberg_schema(ref.path, drops=[colname])
+        return _metrics_df(spark, res)
+    if p.take_words("ADD", "COLUMNS") or p.take_words("ADD", "COLUMN"):
+        had_paren = p.take_punct("(")
+        adds: list[tuple[str, str]] = []
+        while True:
+            colname = _expect_ident(p)
+            sql_type = _parse_sql_type(p)
+            adds.append((colname, sql_type))
+            if had_paren and p.take_punct(")"):
+                break
+            if not p.take_punct(","):
+                break
+        if had_paren and not p.at_end():
+            raise LakehouseSqlError("trailing tokens after ADD COLUMNS")
+        if ref.fmt == "delta":
+            v = None
+            for colname, sql_type in adds:
+                v = delta_lite.add_column(ref.path, colname, sql_type)
+            return _metrics_df(spark, {"version": v})
+        res = iceberg_lite.alter_iceberg_schema(
+            ref.path,
+            adds={c: _ice_type(t) for c, t in adds},
+        )
+        return _metrics_df(spark, res)
+    if p.take_words("ALTER", "COLUMN") or p.take_words("CHANGE", "COLUMN"):
+        colname = _expect_ident(p)
+        p.expect_words("TYPE")
+        sql_type = _parse_sql_type(p)
+        if ref.fmt == "delta":
+            v = delta_lite.widen_column(ref.path, colname, sql_type)
+            return _metrics_df(spark, {"version": v})
+        raise LakehouseSqlError(
+            "ALTER COLUMN TYPE on iceberg is not supported here"
+        )
+    if p.take_words("SET", "TBLPROPERTIES"):
+        props = _parse_props(p)
+        if ref.fmt == "delta":
+            v = delta_lite.set_delta_properties(ref.path, props)
+        else:
+            v = iceberg_lite.set_iceberg_properties(ref.path, props)
+        return _metrics_df(spark, {"version": v})
+    if p.take_words("UNSET", "TBLPROPERTIES"):
+        p.expect_punct("(")
+        keys = []
+        while not p.is_punct(")"):
+            t = p.peek()
+            if t is None:
+                raise LakehouseSqlError("unterminated UNSET TBLPROPERTIES")
+            if t.kind in ("str", "dq"):
+                keys.append(t.text.strip("'\"").replace("''", "'"))
+                p.i += 1
+            elif t.kind == "word":
+                key = t.text
+                p.i += 1
+                while p.is_punct("."):
+                    p.take_punct(".")
+                    nt = p.peek()
+                    key += "." + nt.text
+                    p.i += 1
+                keys.append(key)
+            else:
+                raise LakehouseSqlError(f"bad property key {t.text!r}")
+            p.take_punct(",")
+        p.expect_punct(")")
+        props = {k: None for k in keys}
+        if ref.fmt == "delta":
+            v = delta_lite.set_delta_properties(ref.path, props)
+        else:
+            v = iceberg_lite.set_iceberg_properties(ref.path, props)
+        return _metrics_df(spark, {"version": v})
+    t = p.peek()
+    raise LakehouseSqlError(
+        f"unsupported ALTER TABLE verb at {t.text if t else '<end>'!r}; "
+        "supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN(S), "
+        "ALTER COLUMN TYPE (delta), SET/UNSET TBLPROPERTIES"
+    )
+
+
+def _expect_ident(p: _P) -> str:
+    t = p.peek()
+    if t is None or t.kind not in ("word", "bt"):
+        raise LakehouseSqlError(
+            f"expected an identifier, got {t.text if t else '<end>'!r}"
+        )
+    p.i += 1
+    name = t.text.strip("`")
+    # dotted nested path
+    while p.is_punct("."):
+        save = p.i
+        p.take_punct(".")
+        nt = p.peek()
+        if nt is None or nt.kind not in ("word", "bt"):
+            p.i = save
+            break
+        name += "." + nt.text.strip("`")
+        p.i += 1
+    return name
+
+
+# ------------------------------------------------------------ utilities
+
+
+def _exec_optimize(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("OPTIMIZE")
+    ref = p.expect_table_ref()
+    _validate_ref(ref)
+    zorder = None
+    if p.take_words("ZORDER", "BY"):
+        had = p.take_punct("(")
+        zorder = []
+        while True:
+            zorder.append(_expect_ident(p))
+            if not p.take_punct(","):
+                break
+        if had:
+            p.expect_punct(")")
+    if ref.fmt == "delta":
+        target = max(1, spark.sparkContext.defaultParallelism)
+        res = delta_lite.optimize(spark, ref.path, target, zorder_by=zorder)
+        return _metrics_df(spark, res)
+    if zorder:
+        raise LakehouseSqlError("ZORDER BY is delta-only here; iceberg "
+                                "OPTIMIZE maps to rewrite_data_files")
+    res = iceberg_lite.rewrite_data_files(spark, ref.path)
+    return _metrics_df(spark, res)
+
+
+def _exec_vacuum(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("VACUUM")
+    ref = p.expect_table_ref()
+    _validate_ref(ref)
+    retention_ms = 0
+    if p.take_words("RETAIN"):
+        t = p.peek()
+        if t is None or t.kind != "num":
+            raise LakehouseSqlError("RETAIN needs a number of hours")
+        retention_ms = int(float(t.text) * 3_600_000)
+        p.i += 1
+        p.expect_words("HOURS")
+    if ref.fmt == "delta":
+        removed = delta_lite.vacuum(ref.path, retention_ms=retention_ms)
+        return _metrics_df(spark, {"files_removed": len(removed)})
+    res = iceberg_lite.remove_orphan_files(ref.path)
+    return _metrics_df(spark, res)
+
+
+def _exec_describe(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("DESCRIBE")
+    if p.take_words("HISTORY"):
+        ref = p.expect_table_ref()
+        _validate_ref(ref)
+        if ref.fmt == "delta":
+            rows = delta_lite.history(ref.path)
+            return spark.createDataFrame(
+                [
+                    (
+                        int(r.get("version", -1)),
+                        str(r.get("operation", "")),
+                        int(r.get("timestamp", 0)),
+                    )
+                    for r in rows
+                ],
+                "version long, operation string, timestamp long",
+            )
+        return iceberg_lite.inspect_history(spark, ref.path)
+    if p.take_words("DETAIL"):
+        ref = p.expect_table_ref()
+        _validate_ref(ref)
+        if ref.fmt != "delta":
+            raise LakehouseSqlError("DESCRIBE DETAIL is delta-only")
+        return _metrics_df(spark, delta_lite.describe_detail(ref.path))
+    raise LakehouseSqlError("DESCRIBE supports HISTORY and DETAIL")
+
+
+def _exec_restore(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("RESTORE", "TABLE")
+    ref = p.expect_table_ref()
+    _validate_ref(ref)
+    p.expect_words("TO", "VERSION", "AS", "OF")
+    t = p.peek()
+    if t is None or t.kind != "num":
+        raise LakehouseSqlError("RESTORE needs an integer version")
+    v = int(t.text)
+    p.i += 1
+    if ref.fmt == "delta":
+        res = delta_lite.restore(ref.path, v)
+        return _metrics_df(spark, res)
+    res = iceberg_lite.rollback_to_snapshot(ref.path, v)
+    return _metrics_df(spark, res)

@@ -1,0 +1,356 @@
+"""SQL text front-end (`sources/lakehouse_sql.py`): the reference's
+MERGE-as-SQL contract (etl_consume_entity_match.py:449-455) plus the
+DML/DDL surface, driven end-to-end as SQL strings against delta_lite /
+iceberg_lite paths."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_insurancelake_etl_spark.sources import delta_lite, iceberg_lite
+from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+    LakehouseSqlError,
+    lakehouse_sql,
+)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def delta_tbl(spark, tmp_path):
+    path = str(tmp_path / "dtbl")
+    df = _mk(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, name string, amount double",
+    )
+    delta_lite.write_delta(df, path)
+    return path
+
+
+@pytest.fixture()
+def ice_tbl(spark, tmp_path):
+    path = str(tmp_path / "itbl")
+    df = _mk(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, name string, amount double",
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    return path
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ------------------------------------------------------------- SELECT
+
+
+def test_select_rewrites_delta_ref(spark, delta_tbl):
+    out = lakehouse_sql(
+        spark,
+        f"SELECT id, amount * 2 AS dbl FROM delta.`{delta_tbl}` "
+        "WHERE id >= 3 ORDER BY id",
+    )
+    assert _rows(out, "id", "dbl") == [(3, 60.0), (4, 80.0)]
+
+
+def test_select_join_across_formats(spark, delta_tbl, ice_tbl):
+    out = lakehouse_sql(
+        spark,
+        f"SELECT d.id, i.name FROM delta.`{delta_tbl}` d "
+        f"JOIN iceberg.`{ice_tbl}` i ON d.id = i.id WHERE d.id <= 2",
+    )
+    assert _rows(out, "id", "name") == [(1, "a"), (2, "b")]
+
+
+def test_select_version_travel(spark, delta_tbl):
+    delta_lite.delete_delta(spark, delta_tbl, "id = 1")
+    now = lakehouse_sql(spark, f"SELECT id FROM delta.`{delta_tbl}`")
+    old = lakehouse_sql(
+        spark, f"SELECT id FROM delta.`{delta_tbl}` VERSION AS OF 0"
+    )
+    assert now.count() == 3 and old.count() == 4
+
+
+def test_wrong_format_prefix_is_a_named_error(spark, ice_tbl):
+    with pytest.raises(LakehouseSqlError, match="IS an iceberg table"):
+        lakehouse_sql(spark, f"SELECT * FROM delta.`{ice_tbl}`")
+
+
+# -------------------------------------------------------------- MERGE
+
+
+MERGE_CANON = (
+    "MERGE INTO {fmt}.`{path}` t USING __src s ON t.id = s.id "
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_canonical_reference_shape(spark, delta_tbl, ice_tbl, fmt):
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    src = _mk(
+        spark,
+        [(2, "B!", 99.0), (5, "e", 50.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__src")
+    lakehouse_sql(spark, MERGE_CANON.format(fmt=fmt, path=path))
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert _rows(read, "id", "name", "amount") == [
+        (1, "a", 10.0), (2, "B!", 99.0), (3, "c", 30.0),
+        (4, "d", 40.0), (5, "e", 50.0),
+    ]
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_general_set_exprs_and_conditions(spark, delta_tbl, ice_tbl, fmt):
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    src = _mk(
+        spark,
+        [(1, "x", 1.0), (2, "y", 2.0), (5, "e", 50.0)],
+        "id int, name string, bump double",
+    )
+    src.createOrReplaceTempView("__src2")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO {fmt}.`{path}` t USING __src2 s ON t.id = s.id "
+        "WHEN MATCHED AND t.amount < 15 THEN "
+        "  UPDATE SET amount = t.amount + s.bump, name = upper(s.name) "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)",
+    )
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    # id=1 fired (amount 10<15): 10+1, upper('x'); id=2 matched but NOT
+    # fired (20>=15): untouched; id=5 inserted with NULL amount
+    assert _rows(read, "id", "name", "amount") == [
+        (1, "X", 11.0), (2, "b", 20.0), (3, "c", 30.0),
+        (4, "d", 40.0), (5, "e", None),
+    ]
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_delete_clause_one_commit(spark, delta_tbl, ice_tbl, fmt):
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    before_version = (
+        delta_lite.snapshot(path).version
+        if fmt == "delta"
+        else len(iceberg_lite.snapshot_ids(path))
+    )
+    src = _mk(
+        spark,
+        [(1, "gone", 0.0), (2, "upd", 99.0), (6, "new", 60.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__src3")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO {fmt}.`{path}` t USING __src3 s ON t.id = s.id "
+        "WHEN MATCHED AND s.name = 'gone' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert _rows(read, "id", "name", "amount") == [
+        (2, "upd", 99.0), (3, "c", 30.0), (4, "d", 40.0), (6, "new", 60.0),
+    ]
+    after_version = (
+        delta_lite.snapshot(path).version
+        if fmt == "delta"
+        else len(iceberg_lite.snapshot_ids(path))
+    )
+    assert after_version == before_version + 1, "delete clause must not cost a second commit"
+
+
+def test_merge_source_subquery_with_lakehouse_ref(spark, delta_tbl, ice_tbl):
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{delta_tbl}` t USING "
+        f"(SELECT id, concat(name, '!') AS name, amount FROM iceberg.`{ice_tbl}` "
+        "WHERE id = 1) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    read = delta_lite.read_delta(spark, delta_tbl)
+    assert (1, "a!", 10.0) in _rows(read, "id", "name", "amount")
+
+
+def test_merge_general_on_condition_refuses(spark, delta_tbl):
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("__s4")
+    with pytest.raises(LakehouseSqlError, match="equality"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{delta_tbl}` t USING __s4 s ON t.id > s.id "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+
+
+def test_merge_not_matched_by_source_refuses(spark, delta_tbl):
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("__s5")
+    with pytest.raises(LakehouseSqlError, match="BY SOURCE"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{delta_tbl}` t USING __s5 s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+
+
+# ------------------------------------------------------ UPDATE / DELETE
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_update_and_delete_sql(spark, delta_tbl, ice_tbl, fmt):
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    lakehouse_sql(
+        spark,
+        f"UPDATE {fmt}.`{path}` SET amount = amount * 10 WHERE id <= 2",
+    )
+    lakehouse_sql(spark, f"DELETE FROM {fmt}.`{path}` WHERE name = 'c'")
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert _rows(read, "id", "amount") == [
+        (1, 100.0), (2, 200.0), (4, 40.0),
+    ]
+
+
+# -------------------------------------------------------------- INSERT
+
+
+def test_insert_into_and_overwrite(spark, delta_tbl):
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO delta.`{delta_tbl}` VALUES (9, 'z', 90.0)",
+    )
+    assert delta_lite.read_delta(spark, delta_tbl).count() == 5
+    lakehouse_sql(
+        spark,
+        f"INSERT OVERWRITE delta.`{delta_tbl}` "
+        f"SELECT id, name, amount FROM delta.`{delta_tbl}` WHERE id = 9",
+    )
+    assert _rows(delta_lite.read_delta(spark, delta_tbl), "id") == [(9,)]
+
+
+def test_insert_with_column_list_fills_nulls(spark, ice_tbl):
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO iceberg.`{ice_tbl}` (id, name) VALUES (7, 'g')",
+    )
+    read = iceberg_lite.read_iceberg(spark, ice_tbl)
+    assert (7, "g", None) in _rows(read, "id", "name", "amount")
+
+
+# ------------------------------------------------------ CREATE TABLE AS
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_ctas_partitioned_with_props(spark, delta_tbl, tmp_path, fmt):
+    newp = str(tmp_path / f"ctas_{fmt}")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE {fmt}.`{newp}` PARTITIONED BY (name) "
+        "TBLPROPERTIES ('owner' = 'etl') AS "
+        f"SELECT id, name, amount FROM delta.`{delta_tbl}` WHERE id <= 2",
+    )
+    read = (
+        delta_lite.read_delta(spark, newp)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, newp)
+    )
+    assert read.count() == 2
+    if fmt == "delta":
+        assert delta_lite.snapshot(newp).partition_columns == ["name"]
+        assert delta_lite.snapshot(newp).configuration.get("owner") == "etl"
+
+
+# ------------------------------------------------------------- ALTER
+
+
+def test_alter_table_delta_lifecycle(spark, delta_tbl):
+    delta_lite.enable_column_mapping(delta_tbl)
+    lakehouse_sql(
+        spark, f"ALTER TABLE delta.`{delta_tbl}` RENAME COLUMN name TO label"
+    )
+    lakehouse_sql(
+        spark, f"ALTER TABLE delta.`{delta_tbl}` ADD COLUMN note string"
+    )
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE delta.`{delta_tbl}` SET TBLPROPERTIES ('a.b' = '1')",
+    )
+    read = delta_lite.read_delta(spark, delta_tbl)
+    assert "label" in read.columns and "note" in read.columns
+    assert read.where(F.col("note").isNull()).count() == 4
+    assert delta_lite.snapshot(delta_tbl).configuration["a.b"] == "1"
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE delta.`{delta_tbl}` UNSET TBLPROPERTIES (a.b)",
+    )
+    assert "a.b" not in delta_lite.snapshot(delta_tbl).configuration
+
+
+def test_alter_table_iceberg_add_drop(spark, ice_tbl):
+    lakehouse_sql(
+        spark, f"ALTER TABLE iceberg.`{ice_tbl}` ADD COLUMN flag boolean"
+    )
+    lakehouse_sql(
+        spark, f"ALTER TABLE iceberg.`{ice_tbl}` DROP COLUMN amount"
+    )
+    read = iceberg_lite.read_iceberg(spark, ice_tbl)
+    assert set(read.columns) == {"id", "name", "flag"}
+
+
+def test_add_column_is_metadata_only(spark, delta_tbl):
+    files_before = {a.path for a in delta_lite.snapshot(delta_tbl).files}
+    lakehouse_sql(
+        spark, f"ALTER TABLE delta.`{delta_tbl}` ADD COLUMN extra bigint"
+    )
+    files_after = {a.path for a in delta_lite.snapshot(delta_tbl).files}
+    assert files_before == files_after
+
+
+# ------------------------------------------------- utility statements
+
+
+def test_optimize_vacuum_history_restore(spark, tmp_path):
+    path = str(tmp_path / "util")
+    for i in range(3):
+        delta_lite.write_delta(
+            _mk(spark, [(i, float(i))], "id int, v double"), path
+        )
+    out = lakehouse_sql(spark, f"OPTIMIZE delta.`{path}`")
+    assert out.where("metric = 'files_after'").count() == 1
+    hist = lakehouse_sql(spark, f"DESCRIBE HISTORY delta.`{path}`")
+    assert hist.count() >= 4
+    lakehouse_sql(
+        spark, f"RESTORE TABLE delta.`{path}` TO VERSION AS OF 0"
+    )
+    assert delta_lite.read_delta(spark, path).count() == 1
+    out = lakehouse_sql(spark, f"VACUUM delta.`{path}` RETAIN 0 HOURS")
+    assert out.first()["metric"] == "files_removed"
+
+
+def test_unsupported_statement_names_itself(spark):
+    with pytest.raises(LakehouseSqlError, match="unsupported statement"):
+        lakehouse_sql(spark, "GRANT ALL TO someone")
