@@ -57,8 +57,14 @@ _MODULES = (
 # gates step aside this round: every r10-churned gate was re-verified
 # by this round's full registry sweeps (sf0.01 green; sf0.1 at round
 # close); after r10 no gate's latest driver row is older than r3, and
-# the remaining r3 rows rotate in r11.
+# the remaining r3 rows rotate in r11.  Fifth session: the 3 new SQL
+# front-end gates take the head (never outranks stale); 3 non-sentinel
+# r1 rows whose operator family keeps another window representative
+# (setops/tr/window) step back to the r11 rotation.
 DRIVER_WINDOW: tuple[str, ...] = (
+    "sql_merge_canonical",  # never (round-10 fifth session, SQL front-end)
+    "sql_merge_general_clauses",  # never (round-10 fifth session)
+    "sql_ctas_ddl_lifecycle",  # never (round-10 fifth session)
     "src_iceberg_v3_dv_read",  # never
     "sink_iceberg_v3_dv_merge",  # never
     "src_iceberg_v3_row_lineage",  # never
@@ -95,13 +101,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scd2_customer_history",  # last green r1
     "setops_except_custkeys",  # last green r1
     "setops_union_aligned_feed",  # last green r1
-    "setops_union_intersect",  # last green r1
-    "tr_changetype_cast",  # last green r1
     "tr_date_roundtrip",  # last green r1
     "tr_implieddecimal",  # last green r1
     "unpivot_measures",  # last green r1
     "window_rank_orders",  # last green r1
-    "window_running_sum",  # last green r1
     "window_share_of_segment",  # last green r1
     "yoy_customer_retention",  # last green r1
     "agg_numeric_audit",  # last green r3

@@ -6607,3 +6607,231 @@ def src_iceberg_changelog_upsert(
     )
     log = iceberg_lite.read_iceberg_changelog(spark, tbl, from_snapshot=1)
     return log.select("o_orderkey", "cents", "_change_type")
+
+
+@register(
+    "sql_merge_canonical",
+    """
+    WITH base AS (
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS bal_cents
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    src AS (
+        SELECT c_custkey, upper(c_name) AS c_name, bal_cents * 3 AS bal_cents
+        FROM base WHERE c_custkey % 14 = 0
+        UNION ALL
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 11 = 0
+    ),
+    merged AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT * FROM base
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+    )
+    SELECT 'delta' AS engine, c_custkey, c_name, bal_cents FROM merged
+    UNION ALL
+    SELECT 'iceberg' AS engine, c_custkey, c_name, bal_cents FROM merged
+    """,
+)
+def sql_merge_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's MERGE contract as SQL TEXT (round 10,
+    ``sources/lakehouse_sql.py``): the engine's user-facing surface is
+    a SQL string — ``MERGE INTO <t> USING <s> ON <k> WHEN MATCHED THEN
+    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` (reference
+    ``etl_consume_entity_match.py:449-455``) — dispatched through the
+    SQL front-end to BOTH jar-less formats (delta COW touched-file
+    rewrite, iceberg MOR position deletes) against ONE oracle.  The
+    gate feeds the identical text to both engines; any divergence in
+    parse, key attribution, or upsert semantics breaks the hash."""
+    from ..sources import delta_lite, iceberg_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("bal_cents"),
+    ).where(F.col("c_custkey") % 7 == 0)
+    src = base.where(F.col("c_custkey") % 14 == 0).select(
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        (F.col("bal_cents") * 3).alias("bal_cents"),
+    ).unionByName(
+        t(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("bal_cents"),
+        ).where((F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 11 == 0))
+    )
+    src.createOrReplaceTempView("__gate_merge_src")
+    root = tempfile.mkdtemp(prefix="gate-sql-merge-")
+    d_tbl, i_tbl = root + "/delta", root + "/ice"
+    delta_lite.write_delta(base, d_tbl)
+    iceberg_lite.write_iceberg(spark, base, i_tbl)
+    text = (
+        "MERGE INTO {fmt}.`{path}` t USING __gate_merge_src s "
+        "ON t.c_custkey = s.c_custkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    lakehouse_sql(spark, text.format(fmt="delta", path=d_tbl))
+    lakehouse_sql(spark, text.format(fmt="iceberg", path=i_tbl))
+    cols = ["c_custkey", "c_name", "bal_cents"]
+    return lakehouse_sql(
+        spark,
+        f"SELECT 'delta' AS engine, {', '.join(cols)} FROM delta.`{d_tbl}` "
+        "UNION ALL "
+        f"SELECT 'iceberg' AS engine, {', '.join(cols)} FROM iceberg.`{i_tbl}`",
+    )
+
+
+@register(
+    "sql_merge_general_clauses",
+    """
+    WITH tgt AS (
+        SELECT p_partkey, p_brand,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               p_size
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    src AS (
+        SELECT p_partkey, p_brand, price_cents, p_size FROM tgt
+        WHERE p_partkey % 10 = 0
+        UNION ALL
+        SELECT p_partkey, p_brand,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+               p_size
+        FROM part WHERE p_partkey % 5 <> 0 AND p_partkey % 13 = 0
+    ),
+    matched AS (
+        SELECT tgt.p_partkey,
+               CASE WHEN src.price_cents < 50000 THEN 'delete'
+                    ELSE 'update' END AS verdict,
+               tgt.price_cents + src.price_cents AS new_cents,
+               upper(src.p_brand) AS new_brand,
+               tgt.p_size AS keep_size
+        FROM tgt JOIN src ON tgt.p_partkey = src.p_partkey
+    )
+    SELECT t.p_partkey,
+           COALESCE(m.new_brand, t.p_brand) AS p_brand,
+           COALESCE(m.new_cents, t.price_cents) AS price_cents,
+           t.p_size
+    FROM tgt t LEFT JOIN matched m ON t.p_partkey = m.p_partkey
+    WHERE m.verdict IS NULL OR m.verdict = 'update'
+    UNION ALL
+    SELECT s.p_partkey, 'NEW' AS p_brand, s.price_cents,
+           CAST(NULL AS INTEGER) AS p_size
+    FROM src s
+    WHERE s.p_partkey NOT IN (SELECT p_partkey FROM tgt)
+      AND s.p_size > 10
+    """,
+)
+def sql_merge_general_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General SQL MERGE beyond the reference's canonical form (round
+    10): per-clause AND conditions with first-matching-clause-wins, a
+    DELETE clause, SET expressions over both aliases, and a partial
+    INSERT (cols) VALUES list — all lowered onto the ONE-COMMIT
+    iceberg MOR primitive (delete-clause keys ride the new
+    ``delete_keys`` tombstone set; unfired matched rows never enter
+    the merge source, so they are never tombstoned).  The gate asserts
+    the whole statement lands as exactly one new snapshot."""
+    from ..sources import iceberg_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        "p_size",
+    )
+    tgt = part.where(F.col("p_partkey") % 5 == 0)
+    src = tgt.where(F.col("p_partkey") % 10 == 0).unionByName(
+        part.where(
+            (F.col("p_partkey") % 5 != 0) & (F.col("p_partkey") % 13 == 0)
+        )
+    )
+    src.createOrReplaceTempView("__gate_gmerge_src")
+    tbl = tempfile.mkdtemp(prefix="gate-sql-gmerge-") + "/t"
+    iceberg_lite.write_iceberg(spark, tgt, tbl)
+    n_before = len(iceberg_lite.snapshot_ids(tbl))
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO iceberg.`{tbl}` t USING __gate_gmerge_src s "
+        "ON t.p_partkey = s.p_partkey "
+        "WHEN MATCHED AND s.price_cents < 50000 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET "
+        "  price_cents = t.price_cents + s.price_cents, "
+        "  p_brand = upper(s.p_brand) "
+        "WHEN NOT MATCHED AND s.p_size > 10 THEN "
+        "  INSERT (p_partkey, p_brand, price_cents) "
+        "  VALUES (s.p_partkey, 'NEW', s.price_cents)",
+    )
+    n_after = len(iceberg_lite.snapshot_ids(tbl))
+    if n_after != n_before + 1:
+        raise RuntimeError(
+            f"general MERGE cost {n_after - n_before} commits, wanted 1"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl)
+
+
+@register(
+    "sql_ctas_ddl_lifecycle",
+    """
+    WITH base AS (
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON nation.n_regionkey = region.r_regionkey
+    )
+    SELECT n_nationkey, n_name, r_name,
+           CASE WHEN r_name = 'EUROPE' THEN 'EU' END AS zone
+    FROM base
+    WHERE r_name <> 'ASIA'
+    """,
+)
+def sql_ctas_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL-text table lifecycle (round 10): CREATE TABLE AS
+    over a cross-format SELECT (the query itself joins an ICEBERG ref
+    with a parquet view), then ALTER TABLE ADD COLUMN (metadata-only —
+    the gate asserts zero data files changed), UPDATE SET against the
+    new column, DELETE FROM, and a final SELECT — every step a SQL
+    string through the front-end, nothing a reference user would have
+    to re-express as Python."""
+    from ..sources import delta_lite, iceberg_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    root = tempfile.mkdtemp(prefix="gate-sql-ddl-")
+    i_tbl = root + "/ice_nation"
+    iceberg_lite.write_iceberg(spark, t(spark, sf_dir, "nation"), i_tbl)
+    t(spark, sf_dir, "region").createOrReplaceTempView("__gate_region")
+    d_tbl = root + "/life"
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE delta.`{d_tbl}` AS "
+        f"SELECT n.n_nationkey, n.n_name, r.r_name FROM iceberg.`{i_tbl}` n "
+        "JOIN __gate_region r ON n.n_regionkey = r.r_regionkey",
+    )
+    files_before = {a.path for a in delta_lite.snapshot(d_tbl).files}
+    lakehouse_sql(
+        spark, f"ALTER TABLE delta.`{d_tbl}` ADD COLUMN zone string"
+    )
+    files_after = {a.path for a in delta_lite.snapshot(d_tbl).files}
+    if files_before != files_after:
+        raise RuntimeError("ADD COLUMN touched data files")
+    lakehouse_sql(
+        spark,
+        f"UPDATE delta.`{d_tbl}` SET zone = 'EU' WHERE r_name = 'EUROPE'",
+    )
+    lakehouse_sql(spark, f"DELETE FROM delta.`{d_tbl}` WHERE r_name = 'ASIA'")
+    return lakehouse_sql(
+        spark,
+        f"SELECT n_nationkey, n_name, r_name, zone FROM delta.`{d_tbl}`",
+    )

@@ -166,6 +166,10 @@ EXTENDED: list[str] = [
     # (round-10 close: every earlier r10 gate is promoted to BASELINES
     # with quiet-run normalized times)
     "sink_delta_timestamp_ntz",
+    # round-10 fifth session: the SQL text front-end
+    "sql_merge_canonical",
+    "sql_merge_general_clauses",
+    "sql_ctas_ddl_lifecycle",
 ]
 
 
