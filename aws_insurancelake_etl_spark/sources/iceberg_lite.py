@@ -4621,6 +4621,44 @@ def rewrite_data_files(
     }
 
 
+def overwrite_iceberg(
+    spark: SparkSession, df: DataFrame, table_path: str
+) -> int:
+    """``INSERT OVERWRITE TABLE`` — one REPLACE snapshot whose manifest
+    list carries ONLY the new data files: every prior data and delete
+    file drops out of the live metadata tree in a single commit (zero
+    old files opened at any table size; their bytes are reclaimed by
+    :func:`expire_snapshots`), exactly Iceberg's static-overwrite
+    ``ReplaceSnapshot`` shape.  The incoming frame must carry the
+    table's CURRENT column set (any order); schema changes go through
+    ``alter_iceberg_schema`` / evolve-append, never silently through an
+    overwrite.  Returns the new snapshot id."""
+    meta = _load_metadata(table_path)
+    part_cols = _partition_spec_fields(meta)
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    tbl_schema = _spark_schema_from_meta(meta)
+    if tbl_schema is not None:
+        names = [f.name for f in tbl_schema.fields]
+        if sorted(df.columns) != sorted(names):
+            raise IcebergLiteError(
+                f"INSERT OVERWRITE schema mismatch: table has {names}, "
+                f"frame has {list(df.columns)}; evolve the schema first"
+            )
+        df = df.select(*names)
+    data_entries = _stage_iceberg_data(df, table_path, part_cols)
+    try:
+        return _commit_snapshot(
+            table_path, part_cols,
+            data_entries=data_entries, delete_entries=[],
+            expect_version=planned_version,
+            replace=True,
+        )
+    except ConcurrentIcebergWrite:
+        _discard_staged_iceberg(table_path, [r for r, *_ in data_entries])
+        raise
+
+
 def _mapped_ice_fields(schema) -> list[dict]:
     """Iceberg schema fields for a COLUMN-MAPPED delta schema: field id
     := ``delta.columnMapping.id`` at every struct level — stable across

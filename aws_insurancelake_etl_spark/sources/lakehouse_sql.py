@@ -951,10 +951,8 @@ def _exec_insert(spark: SparkSession, p: _P) -> DataFrame:
         return _metrics_df(spark, {"version": v, "mode":
                                    "overwrite" if overwrite else "append"})
     if overwrite:
-        raise LakehouseSqlError(
-            "INSERT OVERWRITE on iceberg is not supported; DELETE FROM "
-            "then INSERT INTO, or CREATE OR REPLACE the table"
-        )
+        sid = iceberg_lite.overwrite_iceberg(spark, df, ref.path)
+        return _metrics_df(spark, {"snapshot_id": sid, "mode": "overwrite"})
     sid = iceberg_lite.write_iceberg(spark, df, ref.path)
     return _metrics_df(spark, {"snapshot_id": sid, "mode": "append"})
 
@@ -1027,12 +1025,20 @@ def _exec_create(spark: SparkSession, p: _P) -> DataFrame:
         )
         return _metrics_df(spark, {"version": v})
     if exists:
-        # REPLACE on iceberg: drop the table dir's metadata lineage by
-        # writing into a fresh table — refuse rather than half-replace
-        raise LakehouseSqlError(
-            "CREATE OR REPLACE over an existing iceberg table is not "
-            "supported; DELETE FROM + INSERT, or write to a new path"
-        )
+        # REPLACE keeps the table's history (snapshot lineage survives,
+        # time travel to the pre-replace state still works) but must
+        # not silently change the layout: same columns, same
+        # partitioning (or none specified)
+        if partition_by:
+            raise LakehouseSqlError(
+                "CREATE OR REPLACE cannot change iceberg partitioning; "
+                "omit PARTITIONED BY (layout is kept) or use "
+                "write_iceberg(evolve_partition_spec=True)"
+            )
+        sid = iceberg_lite.overwrite_iceberg(spark, df, ref.path)
+        if props:
+            iceberg_lite.set_iceberg_properties(ref.path, props)
+        return _metrics_df(spark, {"snapshot_id": sid})
     os.makedirs(ref.path, exist_ok=True)
     sid = iceberg_lite.write_iceberg(
         spark, df, ref.path, partition_by=partition_by or None

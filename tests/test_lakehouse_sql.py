@@ -354,3 +354,53 @@ def test_optimize_vacuum_history_restore(spark, tmp_path):
 def test_unsupported_statement_names_itself(spark):
     with pytest.raises(LakehouseSqlError, match="unsupported statement"):
         lakehouse_sql(spark, "GRANT ALL TO someone")
+
+
+def test_iceberg_insert_overwrite_replace_snapshot(spark, ice_tbl):
+    # fold in a MOR delete first so the overwrite must supersede
+    # delete files too, not just data files
+    iceberg_lite.delete_iceberg(spark, ice_tbl, "id = 4")
+    n_before = len(iceberg_lite.snapshot_ids(ice_tbl))
+    lakehouse_sql(
+        spark,
+        f"INSERT OVERWRITE iceberg.`{ice_tbl}` "
+        f"SELECT id, name, amount * 100 AS amount FROM iceberg.`{ice_tbl}` "
+        "WHERE id <= 2",
+    )
+    assert len(iceberg_lite.snapshot_ids(ice_tbl)) == n_before + 1
+    read = iceberg_lite.read_iceberg(spark, ice_tbl)
+    assert _rows(read, "id", "amount") == [(1, 1000.0), (2, 2000.0)]
+    # time travel to the pre-overwrite snapshot still sees 3 live rows
+    old = iceberg_lite.read_iceberg(
+        spark, ice_tbl, snapshot_id=iceberg_lite.snapshot_ids(ice_tbl)[-2]
+    )
+    assert old.count() == 3
+
+
+def test_iceberg_create_or_replace(spark, ice_tbl, delta_tbl):
+    lakehouse_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE iceberg.`{ice_tbl}` AS "
+        f"SELECT id, name, amount FROM delta.`{delta_tbl}` WHERE id = 1",
+    )
+    assert iceberg_lite.read_iceberg(spark, ice_tbl).count() == 1
+    with pytest.raises(LakehouseSqlError, match="partitioning"):
+        lakehouse_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE iceberg.`{ice_tbl}` "
+            "PARTITIONED BY (name) AS SELECT 1 AS id",
+        )
+
+
+def test_iceberg_overwrite_schema_mismatch_refuses(spark, ice_tbl):
+    # wrong arity trips the dispatcher's own check; wrong NAMES at the
+    # right arity trip overwrite_iceberg's schema guard (positional
+    # INSERT renames, so drive the primitive directly)
+    with pytest.raises(LakehouseSqlError, match="arity"):
+        lakehouse_sql(
+            spark,
+            f"INSERT OVERWRITE iceberg.`{ice_tbl}` SELECT 1 AS wrong",
+        )
+    bad = spark.createDataFrame([(1, "x", 1.0)], "a int, b string, c double")
+    with pytest.raises(iceberg_lite.IcebergLiteError, match="schema mismatch"):
+        iceberg_lite.overwrite_iceberg(spark, bad, ice_tbl)
