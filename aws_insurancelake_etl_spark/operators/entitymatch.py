@@ -285,7 +285,25 @@ def merge_into_primary(
     ON gid = gid WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
     (``etl_consume_entity_match.py:443-455``).  On plain parquet tables the
     same result is an anti-join + union rewrite.  For a TRANSACTIONAL
-    path-based target without catalog support, use ``merge_into_delta``."""
+    path-based target without catalog support, use ``merge_into_delta``,
+    or pass a ``delta.`/path``` / ``iceberg.`/path``` reference — those
+    route through the jar-less SQL front-end
+    (:mod:`..sources.lakehouse_sql`) and commit the same one-snapshot
+    MERGE the reference's catalog would."""
+    import re as _re
+
+    if _re.match(r"^(delta|iceberg)\.`", primary_table.strip()):
+        from ..sources.lakehouse_sql import lakehouse_sql
+
+        matched.createOrReplaceTempView("__em_incoming")
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO {primary_table} t USING __em_incoming s "
+            f"ON t.{global_id} = s.{global_id} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        return
     try:
         matched.createOrReplaceTempView("__em_incoming")
         spark.sql(

@@ -404,3 +404,21 @@ def test_iceberg_overwrite_schema_mismatch_refuses(spark, ice_tbl):
     bad = spark.createDataFrame([(1, "x", 1.0)], "a int, b string, c double")
     with pytest.raises(iceberg_lite.IcebergLiteError, match="schema mismatch"):
         iceberg_lite.overwrite_iceberg(spark, bad, ice_tbl)
+
+
+def test_merge_into_primary_routes_lakehouse_refs(spark, tmp_path):
+    from aws_insurancelake_etl_spark.operators.entitymatch import (
+        merge_into_primary,
+    )
+
+    path = str(tmp_path / "primary")
+    base = _mk(spark, [("g1", "x"), ("g2", "y")], "gid string, name string")
+    iceberg_lite.write_iceberg(spark, base, path)
+    incoming = _mk(
+        spark, [("g2", "Y!"), ("g3", "z")], "gid string, name string"
+    )
+    merge_into_primary(spark, incoming, f"iceberg.`{path}`", "gid")
+    read = iceberg_lite.read_iceberg(spark, path)
+    assert _rows(read, "gid", "name") == [
+        ("g1", "x"), ("g2", "Y!"), ("g3", "z"),
+    ]
