@@ -3507,6 +3507,13 @@ def _merge_once(
         if delete_keys is not None
         else src_keys
     )
+    # The plain-MERGE tombstone set is source-sized — broadcast it.  A
+    # delete_keys set (the SQL front-end's DELETE / BY SOURCE clauses)
+    # can be TARGET-sized, so leave the strategy to AQE, which still
+    # broadcasts when the runtime size allows.
+    tomb_hint = (
+        F.broadcast(tomb_keys) if delete_keys is None else tomb_keys
+    )
     # Partition pruning for the touched-file search: when the partition
     # columns are part of the merge key, a match can only live in a
     # partition the SOURCE actually carries — so the scan for touched
@@ -3587,7 +3594,7 @@ def _merge_once(
     )
     touched_uris = {
         r["__dl_path"]
-        for r in target.join(F.broadcast(tomb_keys), keys, "left_semi")
+        for r in target.join(tomb_hint, keys, "left_semi")
         .select("__dl_path")
         .distinct()
         .collect()
@@ -3606,7 +3613,7 @@ def _merge_once(
             descriptors = _stage_dvs(
                 spark, path, snap,
                 target.where(F.col("__dl_path").isin(list(touched_uris)))
-                .join(F.broadcast(tomb_keys), keys, "left_semi")
+                .join(tomb_hint, keys, "left_semi")
                 .select("__dl_path", "__dl_pos"),
             )
         new_data = source.select(*schema_cols)
@@ -3614,7 +3621,7 @@ def _merge_once(
         survivors = (
             target.where(F.col("__dl_path").isin(list(touched_uris)))
             .drop("__dl_path")
-            .join(F.broadcast(tomb_keys), keys, "left_anti")
+            .join(tomb_hint, keys, "left_anti")
             if touched_uris
             else None
         )

@@ -4292,6 +4292,11 @@ def _merge_once_iceberg(
         if delete_keys is not None
         else src_keys
     )
+    # source-sized tombstone sets broadcast; a delete_keys set (SQL
+    # DELETE / BY SOURCE clauses) can be target-sized — let AQE decide
+    tomb_hint = (
+        F.broadcast(tomb_keys) if delete_keys is None else tomb_keys
+    )
     # MANIFEST-BOUNDS SKIPPING for the touched-file search: a data file
     # whose [lower, upper] range on the first merge key cannot contain
     # any source key is never opened — the Iceberg twin of delta_lite's
@@ -4339,14 +4344,14 @@ def _merge_once_iceberg(
         # v3: matched rows become DELETION VECTORS, never new
         # position-delete parquet (forbidden by the spec's v3 rules)
         matched_local = target.join(
-            F.broadcast(tomb_keys), keys, "left_semi"
+            tomb_hint, keys, "left_semi"
         ).select("__ice_file", "__ice_pos")
         delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
             spark, table_path, matched_local, files, _deletes
         )
     else:
         matched = (
-            target.join(F.broadcast(tomb_keys), keys, "left_semi")
+            target.join(tomb_hint, keys, "left_semi")
             .join(F.broadcast(file_map), "__ice_file")
             .select(
                 F.col("orig").alias("file_path"),

@@ -110,6 +110,7 @@ class _TableRef:
 @dataclass
 class _MergeClause:
     matched: bool
+    by_source: bool = False              # WHEN NOT MATCHED BY SOURCE
     cond: str | None = None
     action: str = ""                     # update_star|update|delete|insert_star|insert
     assignments: dict = field(default_factory=dict)   # col -> expr text
@@ -505,15 +506,16 @@ def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
     clauses: list[_MergeClause] = []
     while p.take_words("WHEN"):
         matched = True
+        by_source = False
         if p.take_words("NOT", "MATCHED"):
             matched = False
             if p.take_words("BY"):
                 which = p.peek()
                 if which is not None and which.upper == "SOURCE":
-                    raise LakehouseSqlError(
-                        "WHEN NOT MATCHED BY SOURCE is not supported"
-                    )
-                p.expect_words("TARGET")
+                    p.i += 1
+                    by_source = True
+                else:
+                    p.expect_words("TARGET")
         else:
             p.expect_words("MATCHED")
         cond = None
@@ -522,7 +524,23 @@ def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
             b = p.scan_until_words("THEN")
             cond = p.slice(a, b)
         p.expect_words("THEN")
-        cl = _MergeClause(matched=matched, cond=cond)
+        cl = _MergeClause(matched=matched, by_source=by_source, cond=cond)
+        if by_source:
+            # target rows with no source twin: DELETE or UPDATE only
+            # (INSERT is meaningless — there is no source row)
+            if p.take_words("DELETE"):
+                cl.action = "delete"
+            else:
+                p.expect_words("UPDATE", "SET")
+                if p.take_punct("*"):
+                    raise LakehouseSqlError(
+                        "BY SOURCE UPDATE SET * has no source row to "
+                        "copy; assign explicit expressions"
+                    )
+                cl.action = "update"
+                cl.assignments = _parse_assignments(p, stop=("WHEN",))
+            clauses.append(cl)
+            continue
         if matched:
             if p.take_words("DELETE"):
                 cl.action = "delete"
@@ -720,7 +738,8 @@ def _exec_general_merge(
     pair = lt.join(ls, on_expr, "inner")
 
     matched_clauses = [c for c in clauses if c.matched]
-    insert_clauses = [c for c in clauses if not c.matched]
+    insert_clauses = [c for c in clauses if not c.matched and not c.by_source]
+    by_source_clauses = [c for c in clauses if c.by_source]
 
     def clause_cond(c) -> F.Column:
         return F.expr(c.cond) if c.cond else F.lit(True)
@@ -790,12 +809,54 @@ def _exec_general_merge(
                 )
             )
 
+    # WHEN NOT MATCHED BY SOURCE: target rows with no source twin.
+    # DELETE keys join the tombstone set; UPDATE rows are tombstoned by
+    # key and re-appended transformed.  The clause set can be
+    # TARGET-sized, so the primitives drop the broadcast hint whenever
+    # delete_keys rides along (AQE still broadcasts small sets).
+    if by_source_clauses:
+        orphans = lt.join(ls, on_expr, "left_anti")
+        prior = F.lit(False)
+        for c in by_source_clauses:
+            this = clause_cond(c) & ~prior
+            prior = prior | clause_cond(c)
+            if c.action == "delete":
+                dk = orphans.where(this).select(
+                    *[F.col(f"{t_alias}.{k}").alias(k) for k in key_cols]
+                )
+                delete_keys_df = (
+                    dk if delete_keys_df is None
+                    else delete_keys_df.unionByName(dk)
+                )
+                continue
+            unknown = set(c.assignments) - set(schema_cols)
+            if unknown:
+                raise LakehouseSqlError(
+                    f"BY SOURCE UPDATE SET names unknown columns "
+                    f"{sorted(unknown)}"
+                )
+            fired_updates.append(
+                orphans.where(this).select(
+                    *[
+                        F.expr(c.assignments[col]).cast(dtypes[col]).alias(col)
+                        if col in c.assignments
+                        else F.col(f"{t_alias}.{col}").alias(col)
+                        for col in schema_cols
+                    ]
+                )
+            )
+
     combined = None
     for part in fired_updates + inserts:
         combined = part if combined is None else combined.unionByName(part)
 
     if combined is None and delete_keys_df is None:
         raise LakehouseSqlError("MERGE parsed to no effective clause")
+    if by_source_clauses and delete_keys_df is None:
+        # a BY SOURCE UPDATE can make the merge source target-sized;
+        # an (empty) delete_keys frame tells the primitive to drop its
+        # broadcast hint and let AQE size the tombstone join
+        delete_keys_df = live.select(*key_cols).limit(0)
     if combined is None:
         # delete-only MERGE: empty replacement set
         combined = spark.createDataFrame([], live.schema)

@@ -204,13 +204,71 @@ def test_merge_general_on_condition_refuses(spark, delta_tbl):
         )
 
 
-def test_merge_not_matched_by_source_refuses(spark, delta_tbl):
-    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("__s5")
-    with pytest.raises(LakehouseSqlError, match="BY SOURCE"):
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_merge_not_matched_by_source_sync(spark, delta_tbl, ice_tbl, fmt):
+    """The snapshot-sync MERGE: source is the authoritative state —
+    matched rows update, unmatched source rows insert, target orphans
+    DELETE — one commit."""
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    src = _mk(
+        spark,
+        [(2, "B", 2.0), (5, "e", 5.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__s5")
+    before_version = (
+        delta_lite.snapshot(path).version
+        if fmt == "delta"
+        else len(iceberg_lite.snapshot_ids(path))
+    )
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO {fmt}.`{path}` t USING __s5 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert _rows(read, "id", "name", "amount") == [
+        (2, "B", 2.0), (5, "e", 5.0),
+    ]
+    after_version = (
+        delta_lite.snapshot(path).version
+        if fmt == "delta"
+        else len(iceberg_lite.snapshot_ids(path))
+    )
+    assert after_version == before_version + 1
+
+
+def test_merge_by_source_conditional_update(spark, delta_tbl):
+    src = _mk(spark, [(1, "a", 10.0)], "id int, name string, amount double")
+    src.createOrReplaceTempView("__s6")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{delta_tbl}` t USING __s6 s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.amount >= 30 THEN "
+        "  UPDATE SET name = 'stale' "
+        "WHEN NOT MATCHED BY SOURCE AND t.amount < 30 THEN DELETE",
+    )
+    read = delta_lite.read_delta(spark, delta_tbl)
+    # id=1 matched (untouched); id=2 orphan amount 20 -> deleted;
+    # id=3 (30) and id=4 (40) orphans -> renamed 'stale'
+    assert _rows(read, "id", "name", "amount") == [
+        (1, "a", 10.0), (3, "stale", 30.0), (4, "stale", 40.0),
+    ]
+
+
+def test_merge_by_source_update_star_refuses(spark, delta_tbl):
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("__s7")
+    with pytest.raises(LakehouseSqlError, match="no source row"):
         lakehouse_sql(
             spark,
-            f"MERGE INTO delta.`{delta_tbl}` t USING __s5 s ON t.id = s.id "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+            f"MERGE INTO delta.`{delta_tbl}` t USING __s7 s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
         )
 
 
