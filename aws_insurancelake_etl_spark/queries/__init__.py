@@ -65,6 +65,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_merge_canonical",  # never (round-10 fifth session, SQL front-end)
     "sql_merge_general_clauses",  # never (round-10 fifth session)
     "sql_ctas_ddl_lifecycle",  # never (round-10 fifth session)
+    "sql_merge_sync_by_source",  # never (round-10 fifth session)
     "src_iceberg_v3_dv_read",  # never
     "sink_iceberg_v3_dv_merge",  # never
     "src_iceberg_v3_row_lineage",  # never
@@ -93,7 +94,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q21_sole_failing_supplier",  # last green r1
     "q22_wealthy_inactive",  # last green r1
     "q5_region_supplier_revenue",  # last green r1
-    "q6_forecast_revenue",  # last green r1
     "q7_nation_volume",  # last green r1
     "q8_market_share",  # last green r1
     "q9_product_profit",  # last green r1

@@ -6835,3 +6835,72 @@ def sql_ctas_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT n_nationkey, n_name, r_name, zone FROM delta.`{d_tbl}`",
     )
+
+
+@register(
+    "sql_merge_sync_by_source",
+    """
+    WITH tgt AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    src AS (
+        SELECT o_orderkey, o_orderstatus, cents + 7 AS cents
+        FROM tgt WHERE o_orderkey % 12 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        FROM orders WHERE o_orderkey % 6 <> 0 AND o_orderkey % 15 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT o_orderkey, 'X' AS o_orderstatus, cents FROM tgt
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      AND cents >= 10000000
+    """,
+)
+def sql_merge_sync_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-sync MERGE (round 10, fifth session): the source is the
+    authoritative state — matched rows UPDATE SET *, unmatched source
+    rows INSERT *, and target ORPHANS (rows with no source twin) either
+    mark stale (``BY SOURCE AND cents >= 10000000 THEN UPDATE``) or
+    DELETE, all in ONE delta commit.  The orphan set is target-sized,
+    so the primitive drops its broadcast hint (AQE sizes the tombstone
+    join) — the shape that keeps a 100 TB nightly sync planable."""
+    from ..sources import delta_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tgt = base.where(F.col("o_orderkey") % 6 == 0)
+    src = tgt.where(F.col("o_orderkey") % 12 == 0).select(
+        "o_orderkey", "o_orderstatus", (F.col("cents") + 7).alias("cents")
+    ).unionByName(
+        base.where(
+            (F.col("o_orderkey") % 6 != 0) & (F.col("o_orderkey") % 15 == 0)
+        )
+    )
+    src.createOrReplaceTempView("__gate_sync_src")
+    tbl = tempfile.mkdtemp(prefix="gate-sql-sync-") + "/t"
+    delta_lite.write_delta(tgt, tbl)
+    v_before = delta_lite.snapshot(tbl).version
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{tbl}` t USING __gate_sync_src s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.cents >= 10000000 THEN "
+        "  UPDATE SET o_orderstatus = 'X' "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    if delta_lite.snapshot(tbl).version != v_before + 1:
+        raise RuntimeError("sync MERGE must land as exactly one commit")
+    return delta_lite.read_delta(spark, tbl)

@@ -335,10 +335,17 @@ def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _exec_describe(spark, p)
     if head == "RESTORE":
         return _exec_restore(spark, p)
+    if head == "CALL":
+        return _exec_call(spark, p)
+    if head == "REORG":
+        return _exec_reorg(spark, p)
+    if head == "CONVERT":
+        return _exec_convert(spark, p)
     raise LakehouseSqlError(
         f"unsupported statement head {t0.text!r}; supported: SELECT/WITH, "
         "MERGE, UPDATE, DELETE, INSERT, CREATE TABLE AS, ALTER TABLE, "
-        "OPTIMIZE, VACUUM, DESCRIBE HISTORY, RESTORE"
+        "OPTIMIZE, VACUUM, DESCRIBE HISTORY, RESTORE, CALL system.*, "
+        "REORG TABLE, CONVERT TO DELTA"
     )
 
 
@@ -1401,4 +1408,207 @@ def _exec_restore(spark: SparkSession, p: _P) -> DataFrame:
         res = delta_lite.restore(ref.path, v)
         return _metrics_df(spark, res)
     res = iceberg_lite.rollback_to_snapshot(ref.path, v)
+    return _metrics_df(spark, res)
+
+
+# --------------------------------------------------- CALL procedures
+
+_ICE_PROCS = frozenset({
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rewrite_manifests", "rollback_to_snapshot", "fast_forward",
+    "add_files",
+})
+
+
+def _parse_call_literal(p: _P):
+    t = p.peek()
+    if t is None:
+        raise LakehouseSqlError("unterminated CALL argument list")
+    if t.kind == "str":
+        p.i += 1
+        return t.text[1:-1].replace("''", "'")
+    if t.kind == "num":
+        p.i += 1
+        return float(t.text) if "." in t.text else int(t.text)
+    if t.kind == "punct" and t.text == "-":
+        p.i += 1
+        n = p.peek()
+        if n is None or n.kind != "num":
+            raise LakehouseSqlError("bad negative literal in CALL")
+        p.i += 1
+        return -(float(n.text) if "." in n.text else int(n.text))
+    if t.kind == "word" and t.upper in ("TRUE", "FALSE"):
+        p.i += 1
+        return t.upper == "TRUE"
+    raise LakehouseSqlError(
+        f"CALL arguments must be string/number/boolean literals, got "
+        f"{t.text!r}"
+    )
+
+
+def _exec_call(spark: SparkSession, p: _P) -> DataFrame:
+    """``CALL system.<proc>(<table-ref> [, name => literal]...)`` — the
+    Iceberg maintenance-procedure surface (Spark's
+    ``CALL catalog.system.expire_snapshots(...)`` shape), with the
+    table as a lakehouse reference instead of a catalog name."""
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("CALL")
+    # optional `system.` qualifier
+    if p.is_words("SYSTEM") and p.peek(1) is not None and p.peek(1).text == ".":
+        p.i += 2
+    t = p.peek()
+    if t is None or t.kind != "word":
+        raise LakehouseSqlError("CALL expects a procedure name")
+    proc = t.text.lower()
+    p.i += 1
+    if proc not in _ICE_PROCS:
+        raise LakehouseSqlError(
+            f"unknown procedure {proc!r}; supported: {sorted(_ICE_PROCS)}"
+        )
+    p.expect_punct("(")
+    ref = p.expect_table_ref()
+    args: dict = {}
+    while p.take_punct(","):
+        name_tok = p.peek()
+        if name_tok is None or name_tok.kind != "word":
+            raise LakehouseSqlError("CALL named argument expected")
+        p.i += 1
+        p.expect_punct("=")
+        p.expect_punct(">")
+        args[name_tok.text.lower()] = _parse_call_literal(p)
+    p.expect_punct(")")
+    if not p.at_end():
+        raise LakehouseSqlError("unexpected trailing tokens after CALL")
+    _validate_ref(ref)
+    if ref.fmt != "iceberg":
+        raise LakehouseSqlError(
+            f"procedure {proc!r} targets iceberg tables; delta maintenance "
+            "uses OPTIMIZE / VACUUM / REORG TABLE"
+        )
+
+    def want(allowed: set) -> None:
+        extra = set(args) - allowed
+        if extra:
+            raise LakehouseSqlError(
+                f"{proc} does not accept {sorted(extra)}; allowed: "
+                f"{sorted(allowed)}"
+            )
+
+    if proc == "expire_snapshots":
+        want({"keep_last", "older_than_ms"})
+        res = iceberg_lite.expire_snapshots(
+            ref.path,
+            keep_last=int(args.get("keep_last", 1)),
+            older_than_ms=args.get("older_than_ms"),
+        )
+    elif proc == "remove_orphan_files":
+        want({"dry_run"})
+        res = iceberg_lite.remove_orphan_files(
+            ref.path, dry_run=bool(args.get("dry_run", False))
+        )
+    elif proc == "rewrite_data_files":
+        want({"target_files", "zorder_by"})
+        zo = args.get("zorder_by")
+        res = iceberg_lite.rewrite_data_files(
+            spark, ref.path,
+            target_files=args.get("target_files"),
+            zorder_by=[c.strip() for c in zo.split(",")] if zo else None,
+        )
+    elif proc == "rewrite_manifests":
+        want(set())
+        res = iceberg_lite.rewrite_manifests(ref.path)
+    elif proc == "rollback_to_snapshot":
+        want({"snapshot_id"})
+        if "snapshot_id" not in args:
+            raise LakehouseSqlError(
+                "rollback_to_snapshot needs snapshot_id => <id>"
+            )
+        res = iceberg_lite.rollback_to_snapshot(
+            ref.path, int(args["snapshot_id"])
+        )
+    elif proc == "fast_forward":
+        want({"source_branch", "to"})
+        if "source_branch" not in args:
+            raise LakehouseSqlError(
+                "fast_forward needs source_branch => '<branch>'"
+            )
+        res = iceberg_lite.fast_forward(
+            ref.path, args["source_branch"], to=args.get("to", "main")
+        )
+    else:  # add_files
+        want({"source_dir"})
+        if "source_dir" not in args:
+            raise LakehouseSqlError("add_files needs source_dir => '<dir>'")
+        res = iceberg_lite.add_files(spark, ref.path, args["source_dir"])
+    if not isinstance(res, dict):
+        res = {"version": res}
+    return _metrics_df(spark, res)
+
+
+def _exec_reorg(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite
+
+    p.expect_words("REORG", "TABLE")
+    ref = p.expect_table_ref()
+    p.expect_words("APPLY")
+    p.expect_punct("(")
+    p.expect_words("PURGE")
+    p.expect_punct(")")
+    _validate_ref(ref)
+    if ref.fmt != "delta":
+        raise LakehouseSqlError(
+            "REORG TABLE APPLY (PURGE) is delta-only; iceberg uses "
+            "CALL system.rewrite_data_files"
+        )
+    return _metrics_df(spark, delta_lite.reorg_purge(spark, ref.path))
+
+
+def _exec_convert(spark: SparkSession, p: _P) -> DataFrame:
+    """``CONVERT TO DELTA iceberg.`p``` (in-place iceberg→delta) or
+    ``CONVERT TO DELTA parquet.`p` [PARTITIONED BY (col type, ...)]``
+    (plain-directory import) — both O(files) metadata commits."""
+    from . import delta_lite
+
+    p.expect_words("CONVERT", "TO", "DELTA")
+    ref = p.try_table_ref(travel_ok=False)
+    if ref is not None:
+        if ref.fmt != "iceberg":
+            raise LakehouseSqlError(
+                "CONVERT TO DELTA takes an iceberg.`...` or "
+                "parquet.`...` source"
+            )
+        _validate_ref(ref)
+        return _metrics_df(
+            spark, delta_lite.convert_iceberg_to_delta(spark, ref.path)
+        )
+    t0, t1, t2 = p.peek(0), p.peek(1), p.peek(2)
+    if (
+        t0 is None or t0.upper != "PARQUET"
+        or t1 is None or t1.text != "."
+        or t2 is None or t2.kind != "bt"
+    ):
+        raise LakehouseSqlError(
+            "CONVERT TO DELTA expects iceberg.`path` or parquet.`path`"
+        )
+    path = t2.text[1:-1]
+    p.i += 3
+    partition_by: list[str] = []
+    partition_schema: dict = {}
+    if p.take_words("PARTITIONED", "BY"):
+        p.expect_punct("(")
+        while True:
+            colname = _expect_ident(p)
+            partition_by.append(colname)
+            nxt = p.peek()
+            if nxt is not None and nxt.kind == "word":
+                partition_schema[colname] = _parse_sql_type(p)
+            if p.take_punct(")"):
+                break
+            p.expect_punct(",")
+    res = delta_lite.convert_to_delta(
+        spark, path,
+        partition_by=partition_by or None,
+        partition_schema=partition_schema or None,
+    )
     return _metrics_df(spark, res)

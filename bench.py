@@ -170,6 +170,7 @@ EXTENDED: list[str] = [
     "sql_merge_canonical",
     "sql_merge_general_clauses",
     "sql_ctas_ddl_lifecycle",
+    "sql_merge_sync_by_source",
 ]
 
 

@@ -480,3 +480,89 @@ def test_merge_into_primary_routes_lakehouse_refs(spark, tmp_path):
     assert _rows(read, "gid", "name") == [
         ("g1", "x"), ("g2", "Y!"), ("g3", "z"),
     ]
+
+
+# ------------------------------------------------ CALL / REORG / CONVERT
+
+
+def test_call_expire_and_orphans(spark, ice_tbl):
+    iceberg_lite.write_iceberg(
+        spark, _mk(spark, [(9, "i", 9.0)], "id int, name string, amount double"),
+        ice_tbl,
+    )
+    out = lakehouse_sql(
+        spark,
+        f"CALL system.expire_snapshots(iceberg.`{ice_tbl}`, keep_last => 1)",
+    )
+    vals = {r["metric"]: r["value"] for r in out.collect()}
+    assert vals["expired"] not in ("", "[]")
+    out = lakehouse_sql(
+        spark,
+        f"CALL system.remove_orphan_files(iceberg.`{ice_tbl}`, dry_run => true)",
+    )
+    vals = {r["metric"]: r["value"] for r in out.collect()}
+    assert vals["deleted"] == "0"
+
+
+def test_call_rewrite_data_files_folds_mor_debt(spark, ice_tbl):
+    iceberg_lite.delete_iceberg(spark, ice_tbl, "id = 2")
+    out = lakehouse_sql(
+        spark,
+        f"CALL system.rewrite_data_files(iceberg.`{ice_tbl}`, target_files => 1)",
+    )
+    vals = {r["metric"]: r["value"] for r in out.collect()}
+    assert vals["rewritten"] == "True"
+    assert iceberg_lite.read_iceberg(spark, ice_tbl).count() == 3
+    _, deletes = iceberg_lite.plan_scan(ice_tbl)
+    assert not deletes
+
+
+def test_call_rollback(spark, ice_tbl):
+    first = iceberg_lite.snapshot_ids(ice_tbl)[0]
+    iceberg_lite.delete_iceberg(spark, ice_tbl, "id <= 2")
+    lakehouse_sql(
+        spark,
+        f"CALL system.rollback_to_snapshot(iceberg.`{ice_tbl}`, "
+        f"snapshot_id => {first})",
+    )
+    assert iceberg_lite.read_iceberg(spark, ice_tbl).count() == 4
+
+
+def test_call_on_delta_names_the_right_tools(spark, delta_tbl):
+    with pytest.raises(LakehouseSqlError, match="OPTIMIZE / VACUUM"):
+        lakehouse_sql(
+            spark,
+            f"CALL system.expire_snapshots(delta.`{delta_tbl}`)",
+        )
+
+
+def test_call_unknown_arg_refuses(spark, ice_tbl):
+    with pytest.raises(LakehouseSqlError, match="does not accept"):
+        lakehouse_sql(
+            spark,
+            f"CALL system.rewrite_manifests(iceberg.`{ice_tbl}`, bogus => 1)",
+        )
+
+
+def test_reorg_purge_sql(spark, delta_tbl):
+    delta_lite.set_delta_properties(
+        delta_tbl, {"delta.enableDeletionVectors": "true"}
+    )
+    delta_lite.delete_delta(spark, delta_tbl, "id = 1")
+    out = lakehouse_sql(
+        spark, f"REORG TABLE delta.`{delta_tbl}` APPLY (PURGE)"
+    )
+    assert out.where("metric = 'files_purged'").count() == 1
+    assert delta_lite.read_delta(spark, delta_tbl).count() == 3
+
+
+def test_convert_to_delta_from_iceberg_sql(spark, ice_tbl):
+    lakehouse_sql(spark, f"CONVERT TO DELTA iceberg.`{ice_tbl}`")
+    assert delta_lite.read_delta(spark, ice_tbl).count() == 4
+
+
+def test_convert_to_delta_from_parquet_sql(spark, tmp_path):
+    pdir = str(tmp_path / "plain")
+    _mk(spark, [(1, "a"), (2, "b")], "id int, v string").write.parquet(pdir)
+    lakehouse_sql(spark, f"CONVERT TO DELTA parquet.`{pdir}`")
+    assert delta_lite.read_delta(spark, pdir).count() == 2
