@@ -5550,6 +5550,7 @@ def alter_iceberg_schema(
     renames: dict | None = None,
     drops: list | None = None,
     adds: dict | None = None,
+    widens: dict | None = None,
 ) -> dict:
     """``ALTER TABLE RENAME COLUMN`` / ``DROP COLUMN`` — a pure
     METADATA commit (spec §Schema Evolution: renames and drops never
@@ -5574,6 +5575,16 @@ def alter_iceberg_schema(
     have nothing to bind to); renaming one is fine — the spec resolves
     its source by id.
 
+    ``widens`` maps a (possibly dotted) column path to a WIDER iceberg
+    type — the spec's valid type promotions only (``int -> long``,
+    ``float -> double``, ``decimal(P,S) -> decimal(P'>P,S)``).  Like
+    every other verb here it is a pure metadata commit: old files keep
+    their narrow physical type and scan under the widened schema
+    (Spark's native parquet upcast, the same machinery as
+    ``delta_lite.widen_column``); field ids are untouched, so bounds
+    maps and partition specs keep resolving — and ``bucket`` transforms
+    stay stable because the spec hashes int and long identically.
+
     Mirrors Spark-on-Iceberg ``ALTER TABLE`` DDL (reference: the
     InsuranceLake Consume layer evolves schemas between loads).
     Returns {"schema_id", "version"}.
@@ -5583,7 +5594,8 @@ def alter_iceberg_schema(
     renames = dict(renames or {})
     drops = list(drops or [])
     adds = dict(adds or {})
-    if not renames and not drops and not adds:
+    widens = dict(widens or {})
+    if not renames and not drops and not adds and not widens:
         raise IcebergLiteError("alter_iceberg_schema: nothing to do")
     meta = _load_metadata(table_path)
     cur = _current_schema_of(meta)
@@ -5651,6 +5663,34 @@ def alter_iceberg_schema(
             )
         nested_touched_ids.add(int(leaf["id"]))
         leaf["name"] = new_name
+    for path, new_t in sorted(widens.items()):
+        _, leaf = _resolve_path(path)
+        old_t = leaf["type"]
+        ok = isinstance(old_t, str) and (old_t, new_t) in (
+            ("int", "long"), ("float", "double")
+        )
+        if (
+            isinstance(old_t, str)
+            and old_t.startswith("decimal(")
+            and str(new_t).startswith("decimal(")
+        ):
+            op_, os_ = (
+                int(x) for x in old_t[8:-1].replace(" ", "").split(",")
+            )
+            np_, ns_ = (
+                int(x) for x in str(new_t)[8:-1].replace(" ", "").split(",")
+            )
+            ok = ns_ == os_ and np_ > op_
+        if not ok:
+            raise IcebergLiteError(
+                f"widen {path!r}: {old_t!r} -> {new_t!r} is not a legal "
+                "iceberg type promotion (int->long, float->double, "
+                "decimal precision growth at the same scale)"
+            )
+        # a widened column equated by a live equality delete would be
+        # read back under a different type — same guard as rename/drop
+        nested_touched_ids.add(int(leaf["id"]))
+        leaf["type"] = new_t
     next_id = _last_column_id(meta)
     for path, spec in sorted(nested_adds.items()):
         parent_path, _, leaf_name = path.rpartition(".")

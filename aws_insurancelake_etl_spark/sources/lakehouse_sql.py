@@ -1243,9 +1243,10 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
         if ref.fmt == "delta":
             v = delta_lite.widen_column(ref.path, colname, sql_type)
             return _metrics_df(spark, {"version": v})
-        raise LakehouseSqlError(
-            "ALTER COLUMN TYPE on iceberg is not supported here"
+        res = iceberg_lite.alter_iceberg_schema(
+            ref.path, widens={colname: _ice_type(sql_type)}
         )
+        return _metrics_df(spark, res)
     if p.take_words("SET", "TBLPROPERTIES"):
         props = _parse_props(p)
         if ref.fmt == "delta":

@@ -9,6 +9,7 @@ file's sequence number to its snapshot's recorded ``schema-id``.
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from aws_insurancelake_etl_spark.sources import iceberg_lite as il
 
@@ -411,3 +412,61 @@ def test_nested_evolution_refuses_kind_change(spark, tmp_path):
     df2 = spark.createDataFrame([(2, "flat")], "id int, info string")
     with pytest.raises(il.IcebergLiteError, match="kind"):
         il.write_iceberg(spark, df2, path)
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """ALTER COLUMN TYPE (spec type promotion): int->long and decimal
+    precision growth commit one metadata version, zero files touched;
+    narrow files scan under the wide schema; appends write wide."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+
+    path = str(tmp_path / "widen")
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)],
+        "id int, qty int, price float",
+    ).withColumn(
+        "amt", F.col("qty").cast("decimal(6,2)")
+    )
+    iceberg_lite.write_iceberg(spark, df, path)
+    import glob
+    files_before = set(glob.glob(path + "/data/**/*.parquet", recursive=True))
+    iceberg_lite.alter_iceberg_schema(
+        path,
+        widens={"qty": "long", "price": "double", "amt": "decimal(10,2)"},
+    )
+    assert set(
+        glob.glob(path + "/data/**/*.parquet", recursive=True)
+    ) == files_before
+    read = iceberg_lite.read_iceberg(spark, path)
+    dtypes = dict(read.dtypes)
+    assert dtypes["qty"] == "bigint"
+    assert dtypes["price"] == "double"
+    assert dtypes["amt"] == "decimal(10,2)"
+    assert sorted(r["qty"] for r in read.collect()) == [10, 20]
+    # appends land wide and read together with the narrow files
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(3, 2**40, 9.5)], "id int, qty long, price double"
+        ).withColumn("amt", F.lit(12345678.25).cast("decimal(10,2)")),
+        path,
+    )
+    read = iceberg_lite.read_iceberg(spark, path)
+    assert read.count() == 3
+    assert read.where(F.col("qty") == 2**40).count() == 1
+
+
+def test_widen_rejects_narrowing_and_kind_changes(spark, tmp_path):
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+
+    path = str(tmp_path / "widen-bad")
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, 2**40)], "id int, big long"),
+        path,
+    )
+    import pytest as _pytest
+    with _pytest.raises(iceberg_lite.IcebergLiteError, match="promotion"):
+        iceberg_lite.alter_iceberg_schema(path, widens={"big": "int"})
+    with _pytest.raises(iceberg_lite.IcebergLiteError, match="promotion"):
+        iceberg_lite.alter_iceberg_schema(path, widens={"id": "string"})

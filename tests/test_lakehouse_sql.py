@@ -566,3 +566,13 @@ def test_convert_to_delta_from_parquet_sql(spark, tmp_path):
     _mk(spark, [(1, "a"), (2, "b")], "id int, v string").write.parquet(pdir)
     lakehouse_sql(spark, f"CONVERT TO DELTA parquet.`{pdir}`")
     assert delta_lite.read_delta(spark, pdir).count() == 2
+
+
+def test_alter_column_type_iceberg_sql(spark, ice_tbl):
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE iceberg.`{ice_tbl}` ALTER COLUMN id TYPE bigint",
+    )
+    read = iceberg_lite.read_iceberg(spark, ice_tbl)
+    assert dict(read.dtypes)["id"] == "bigint"
+    assert read.count() == 4
