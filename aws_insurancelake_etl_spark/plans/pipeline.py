@@ -133,7 +133,14 @@ def cleanse_to_consume(
         target_table = match.group(1).strip('`"').split(".")[-1]
         sql_text = sql_text[match.end():]
 
-    df = spark.sql(sql_text).cache()
+    # SQL files may reference lakehouse paths (delta.`/p` /
+    # iceberg.`/p`, incl. time travel) alongside catalog tables — the
+    # front-end rewrites those refs to temp views over the protocol
+    # readers and hands the statement to Catalyst unchanged, so a
+    # plain-catalog SQL file costs nothing extra
+    from ..sources.lakehouse_sql import _rewrite_reads
+
+    df = spark.sql(_rewrite_reads(spark, sql_text)).cache()
     ctx.log_lineage("sparksql", df=df, sql=sql_text)
     if ctx.lineage is not None:
         ctx.lineage.numeric_audit(df)

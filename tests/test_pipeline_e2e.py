@@ -253,3 +253,32 @@ def test_zorder_layout_bounds_both_dimensions(spark, ctx):
     lin_spans = file_spans(spark.table("layoutdb.linear_x").inputFiles())
     assert all(s["y"] >= 250 for s in lin_spans)
     assert spark.table("layoutdb.zorder_xy").count() == 256 * 256
+
+
+def test_consume_sql_reads_lakehouse_refs(ctx, spark, tmp_path):
+    """A spark-*.sql consume file can join the cleanse catalog table
+    with a delta/iceberg path reference — rewritten to protocol-reader
+    views, the rest of the statement goes to Catalyst verbatim."""
+    from aws_insurancelake_etl_spark.plans.pipeline import cleanse_to_consume
+    from aws_insurancelake_etl_spark.sources import delta_lite
+
+    dim = str(tmp_path / "dim")
+    delta_lite.write_delta(
+        spark.createDataFrame(
+            [("r1", "EAST"), ("r2", "WEST")], "rk string, region string"
+        ),
+        dim,
+    )
+    spark.createDataFrame(
+        [(1, "r1", 10.0), (2, "r2", 20.0), (3, "r1", 30.0)],
+        "id int, rk string, v double",
+    ).createOrReplaceTempView("fact_src")
+    res = cleanse_to_consume(
+        ctx,
+        f"SELECT f.id, d.region, f.v FROM fact_src f "
+        f"JOIN delta.`{dim}` d ON f.rk = d.rk",
+        database="testdb_lh",
+        table="fact_with_region",
+    )
+    got = sorted((r["id"], r["region"]) for r in res.df.collect())
+    assert got == [(1, "EAST"), (2, "WEST"), (3, "EAST")]
