@@ -718,3 +718,35 @@ def test_delta_nested_mapping_read_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "Exchange" not in plan  # pure per-file projection
+
+
+def test_lakehouse_sql_select_pushdown(spark, tmp_path):
+    """The SQL front-end's SELECT rewrite must not cost pushdown: a
+    filter + narrow projection over a delta.`path` reference reaches
+    the parquet scan (PushedFilters + pruned ReadSchema) exactly as a
+    direct read would — the temp view is a plain logical alias."""
+    from aws_insurancelake_etl_spark.sources import delta_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql,
+    )
+
+    path = str(tmp_path / "audit")
+    delta_lite.write_delta(
+        spark.range(1000).selectExpr(
+            "id", "id * 2 AS a", "id * 3 AS b", "CAST(id AS STRING) AS c",
+            "id * 5 AS d",
+        ),
+        path,
+    )
+    df = lakehouse_sql(
+        spark, f"SELECT id, a FROM delta.`{path}` WHERE b > 100"
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "PushedFilters:" in plan and "GreaterThan(b,100)" in plan
+    schemas = read_schemas(plan)
+    # 5 columns in the table; the scan reads only id, a, b
+    assert schemas and max(s.count(":") for s in schemas) <= 3
+    assert "Exchange" not in plan
