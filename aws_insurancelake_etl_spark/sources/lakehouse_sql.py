@@ -335,6 +335,8 @@ def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _exec_describe(spark, p)
     if head == "RESTORE":
         return _exec_restore(spark, p)
+    if head == "SHOW":
+        return _exec_show(spark, p)
     if head == "CALL":
         return _exec_call(spark, p)
     if head == "REORG":
@@ -379,9 +381,31 @@ def _validate_ref(ref: _TableRef) -> None:
             )
 
 
+_ICE_META_TABLES = frozenset({
+    "snapshots", "history", "files", "delete_files", "manifests",
+    "entries", "refs", "partitions",
+})
+
+
 def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
     from . import delta_lite, iceberg_lite
 
+    # Iceberg metadata tables: iceberg.`/path$snapshots` etc. — the
+    # SQL twin of Spark-on-Iceberg's `db.table.snapshots`
+    path, dollar, meta_tbl = ref.path.rpartition("$")
+    if dollar and meta_tbl in _ICE_META_TABLES and "/" not in meta_tbl:
+        if ref.fmt != "iceberg":
+            raise LakehouseSqlError(
+                f"metadata table ${meta_tbl} is iceberg-only; delta has "
+                "DESCRIBE HISTORY / DESCRIBE DETAIL"
+            )
+        if ref.version is not None or ref.ts_ms is not None:
+            raise LakehouseSqlError(
+                "time travel on a $metadata table is not supported"
+            )
+        base = _TableRef(fmt="iceberg", path=path)
+        _validate_ref(base)
+        return getattr(iceberg_lite, f"inspect_{meta_tbl}")(spark, path)
     _validate_ref(ref)
     if ref.fmt == "delta":
         return delta_lite.read_delta(
@@ -1410,6 +1434,49 @@ def _exec_restore(spark: SparkSession, p: _P) -> DataFrame:
         return _metrics_df(spark, res)
     res = iceberg_lite.rollback_to_snapshot(ref.path, v)
     return _metrics_df(spark, res)
+
+
+def _exec_show(spark: SparkSession, p: _P) -> DataFrame:
+    from . import delta_lite, iceberg_lite
+
+    p.expect_words("SHOW")
+    if p.take_words("TBLPROPERTIES"):
+        ref = p.expect_table_ref()
+        _validate_ref(ref)
+        if ref.fmt == "delta":
+            props = dict(delta_lite.snapshot(ref.path).configuration)
+        else:
+            from .iceberg_lite import _load_metadata
+
+            props = dict(_load_metadata(ref.path).get("properties") or {})
+        rows = [(k, str(v)) for k, v in sorted(props.items())]
+        return spark.createDataFrame(rows, "key string, value string")
+    if p.take_words("PARTITIONS"):
+        ref = p.expect_table_ref()
+        _validate_ref(ref)
+        if ref.fmt == "iceberg":
+            return iceberg_lite.inspect_partitions(spark, ref.path)
+        snap = delta_lite.snapshot(ref.path)
+        if not snap.partition_columns:
+            raise LakehouseSqlError("table is not partitioned")
+        part_cols = snap.partition_columns
+        _, phys = delta_lite._mapping_of(snap)
+        phys = phys or {}
+        tuples = {
+            tuple(
+                f.partition_values.get(phys.get(c, c),
+                                       f.partition_values.get(c))
+                for c in part_cols
+            )
+            for f in snap.files
+        }
+        rows = sorted(
+            tuples,
+            key=lambda t: tuple("" if v is None else str(v) for v in t),
+        )
+        schema = ", ".join(f"`{c}` string" for c in part_cols)
+        return spark.createDataFrame(rows, schema)
+    raise LakehouseSqlError("SHOW supports TBLPROPERTIES and PARTITIONS")
 
 
 # --------------------------------------------------- CALL procedures

@@ -576,3 +576,47 @@ def test_alter_column_type_iceberg_sql(spark, ice_tbl):
     read = iceberg_lite.read_iceberg(spark, ice_tbl)
     assert dict(read.dtypes)["id"] == "bigint"
     assert read.count() == 4
+
+
+# ------------------------------------------------- SHOW / $metadata
+
+
+def test_show_tblproperties_and_partitions(spark, tmp_path):
+    dpath = str(tmp_path / "showd")
+    delta_lite.write_delta(
+        _mk(spark, [(1, "a"), (2, "b"), (3, "a")], "id int, seg string"),
+        dpath,
+        partition_by=["seg"],
+        configuration={"owner": "ops"},
+    )
+    props = lakehouse_sql(spark, f"SHOW TBLPROPERTIES delta.`{dpath}`")
+    assert ("owner", "ops") in _rows(props, "key", "value")
+    parts = lakehouse_sql(spark, f"SHOW PARTITIONS delta.`{dpath}`")
+    assert _rows(parts, "seg") == [("a",), ("b",)]
+
+
+def test_iceberg_metadata_tables_via_select(spark, ice_tbl):
+    iceberg_lite.delete_iceberg(spark, ice_tbl, "id = 1")
+    snaps = lakehouse_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM iceberg.`{ice_tbl}$snapshots`",
+    )
+    assert snaps.first()["n"] == 2
+    hist = lakehouse_sql(spark, f"SELECT * FROM iceberg.`{ice_tbl}$history`")
+    assert hist.count() == 2
+    dels = lakehouse_sql(
+        spark, f"SELECT * FROM iceberg.`{ice_tbl}$delete_files`"
+    )
+    assert dels.count() >= 1
+    parts = lakehouse_sql(
+        spark,
+        f"SELECT record_count FROM iceberg.`{ice_tbl}$partitions`",
+    )
+    assert parts.count() >= 1
+
+
+def test_metadata_table_on_delta_names_alternative(spark, delta_tbl):
+    with pytest.raises(LakehouseSqlError, match="DESCRIBE HISTORY"):
+        lakehouse_sql(
+            spark, f"SELECT * FROM delta.`{delta_tbl}$snapshots`"
+        )
