@@ -197,9 +197,16 @@ class _P:
         self.take_words("FOR")
         if self.take_words("VERSION", "AS", "OF"):
             t = self.peek()
-            if t is None or t.kind != "num":
-                raise LakehouseSqlError("VERSION AS OF needs an integer")
-            ref.version = int(t.text)
+            if t is not None and t.kind == "num":
+                ref.version = int(t.text)
+            elif t is not None and t.kind == "str":
+                # a NAMED REF (branch/tag) — iceberg resolves it; delta
+                # refuses at read time
+                ref.version = t.text[1:-1].replace("''", "'")
+            else:
+                raise LakehouseSqlError(
+                    "VERSION AS OF needs an integer or a branch/tag name"
+                )
             self.i += 1
         elif self.take_words("TIMESTAMP", "AS", "OF"):
             t = self.peek()
@@ -408,6 +415,11 @@ def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
         return getattr(iceberg_lite, f"inspect_{meta_tbl}")(spark, path)
     _validate_ref(ref)
     if ref.fmt == "delta":
+        if isinstance(ref.version, str):
+            raise LakehouseSqlError(
+                "delta VERSION AS OF takes an integer; branch/tag names "
+                "are iceberg refs"
+            )
         return delta_lite.read_delta(
             spark, ref.path, version=ref.version, timestamp_ms=ref.ts_ms
         )
@@ -966,6 +978,15 @@ def _exec_insert(spark: SparkSession, p: _P) -> DataFrame:
         p.expect_words("INTO")
         p.take_words("TABLE")
     ref = p.expect_table_ref()
+    branch = None
+    if p.take_words("BRANCH"):
+        branch = _expect_ident(p)
+        if ref.fmt != "iceberg":
+            raise LakehouseSqlError("INSERT ... BRANCH is iceberg-only")
+        if overwrite:
+            raise LakehouseSqlError(
+                "INSERT OVERWRITE into a branch is not supported"
+            )
     cols: list[str] | None = None
     if p.is_punct("(") :
         # lookahead: a '(' here is a column list only if it contains
@@ -1045,7 +1066,9 @@ def _exec_insert(spark: SparkSession, p: _P) -> DataFrame:
     if overwrite:
         sid = iceberg_lite.overwrite_iceberg(spark, df, ref.path)
         return _metrics_df(spark, {"snapshot_id": sid, "mode": "overwrite"})
-    sid = iceberg_lite.write_iceberg(spark, df, ref.path)
+    sid = iceberg_lite.write_iceberg(
+        spark, df, ref.path, branch=branch or "main"
+    )
     return _metrics_df(spark, {"snapshot_id": sid, "mode": "append"})
 
 
@@ -1278,6 +1301,31 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
         else:
             v = iceberg_lite.set_iceberg_properties(ref.path, props)
         return _metrics_df(spark, {"version": v})
+    for kw, rt in (("BRANCH", "branch"), ("TAG", "tag")):
+        if p.take_words("CREATE", kw):
+            name = _expect_ident(p)
+            sid = None
+            if p.take_words("AS", "OF", "VERSION"):
+                t = p.peek()
+                if t is None or t.kind != "num":
+                    raise LakehouseSqlError("AS OF VERSION needs an integer")
+                sid = int(t.text)
+                p.i += 1
+            if ref.fmt != "iceberg":
+                raise LakehouseSqlError(
+                    f"CREATE {kw} is iceberg-only (spec snapshot refs); "
+                    "delta time-travels by version number"
+                )
+            res = iceberg_lite.create_ref(
+                ref.path, name, ref_type=rt, snapshot_id=sid
+            )
+            return _metrics_df(spark, res)
+        if p.take_words("DROP", kw):
+            name = _expect_ident(p)
+            if ref.fmt != "iceberg":
+                raise LakehouseSqlError(f"DROP {kw} is iceberg-only")
+            iceberg_lite.drop_ref(ref.path, name)
+            return _metrics_df(spark, {"dropped": name})
     if p.take_words("UNSET", "TBLPROPERTIES"):
         p.expect_punct("(")
         keys = []
@@ -1311,7 +1359,8 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
     raise LakehouseSqlError(
         f"unsupported ALTER TABLE verb at {t.text if t else '<end>'!r}; "
         "supported: RENAME COLUMN, DROP COLUMN, ADD COLUMN(S), "
-        "ALTER COLUMN TYPE (delta), SET/UNSET TBLPROPERTIES"
+        "ALTER COLUMN TYPE, SET/UNSET TBLPROPERTIES, "
+        "CREATE/DROP BRANCH|TAG (iceberg)"
     )
 
 

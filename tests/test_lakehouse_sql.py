@@ -620,3 +620,59 @@ def test_metadata_table_on_delta_names_alternative(spark, delta_tbl):
         lakehouse_sql(
             spark, f"SELECT * FROM delta.`{delta_tbl}$snapshots`"
         )
+
+
+# ---------------------------------------------------- branches / tags
+
+
+def test_branch_tag_wap_via_sql(spark, ice_tbl):
+    """Write-audit-publish as SQL text: CREATE BRANCH, INSERT into it
+    (main unchanged), audit the branch with VERSION AS OF '<name>',
+    publish with CALL fast_forward, tag the result."""
+    lakehouse_sql(
+        spark, f"ALTER TABLE iceberg.`{ice_tbl}` CREATE BRANCH audit"
+    )
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO iceberg.`{ice_tbl}` BRANCH audit "
+        "VALUES (5, 'e', 50.0)",
+    )
+    main_now = lakehouse_sql(spark, f"SELECT * FROM iceberg.`{ice_tbl}`")
+    branch_now = lakehouse_sql(
+        spark,
+        f"SELECT * FROM iceberg.`{ice_tbl}` VERSION AS OF 'audit'",
+    )
+    assert main_now.count() == 4 and branch_now.count() == 5
+    lakehouse_sql(
+        spark,
+        f"CALL system.fast_forward(iceberg.`{ice_tbl}`, "
+        "source_branch => 'audit')",
+    )
+    assert lakehouse_sql(
+        spark, f"SELECT * FROM iceberg.`{ice_tbl}`"
+    ).count() == 5
+    lakehouse_sql(
+        spark, f"ALTER TABLE iceberg.`{ice_tbl}` CREATE TAG published"
+    )
+    lakehouse_sql(spark, f"DELETE FROM iceberg.`{ice_tbl}` WHERE id = 5")
+    tagged = lakehouse_sql(
+        spark,
+        f"SELECT * FROM iceberg.`{ice_tbl}` VERSION AS OF 'published'",
+    )
+    assert tagged.count() == 5
+    lakehouse_sql(
+        spark, f"ALTER TABLE iceberg.`{ice_tbl}` DROP TAG published"
+    )
+    with pytest.raises(Exception, match="unknown snapshot ref"):
+        lakehouse_sql(
+            spark,
+            f"SELECT * FROM iceberg.`{ice_tbl}` VERSION AS OF 'published'",
+        ).count()
+
+
+def test_delta_version_as_of_name_refuses(spark, delta_tbl):
+    with pytest.raises(LakehouseSqlError, match="integer"):
+        lakehouse_sql(
+            spark,
+            f"SELECT * FROM delta.`{delta_tbl}` VERSION AS OF 'branch'",
+        )
