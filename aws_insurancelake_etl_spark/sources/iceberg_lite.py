@@ -4313,6 +4313,31 @@ def _merge_once_iceberg(
     if kb["lo"] is not None:
         bounds = {key0: (kb["lo"], kb["hi"])}
         bounded = plan_scan(table_path, bounds_filter=bounds)[0]
+        if not bounded:
+            # NO live file's [lower, upper] can contain any tombstone
+            # key — nothing can match, so the MERGE degenerates to a
+            # pure append (the insert-only upsert on a key-clustered
+            # table; previously this crashed the bounded live read)
+            data_entries = _stage_iceberg_data(source, table_path, part_cols)
+            try:
+                snap_id = _commit_snapshot(
+                    table_path, part_cols,
+                    data_entries=data_entries, delete_entries=[],
+                    expect_version=planned_version,
+                    schema_fields=_ice_schema_fields(source),
+                )
+            except ConcurrentIcebergWrite:
+                _discard_staged_iceberg(
+                    table_path, [r for r, *_ in data_entries]
+                )
+                raise
+            return {
+                "snapshot_id": snap_id, "deleted_rows": 0,
+                "delete_files": 0,
+                "appended_files": len(data_entries),
+                "files_scanned": 0, "files_total": len(files),
+                "retries": attempt,
+            }
         if len(bounded) < len(files):
             search_files = bounded
         else:

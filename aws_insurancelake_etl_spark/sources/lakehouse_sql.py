@@ -55,6 +55,38 @@ class LakehouseSqlError(Exception):
     pass
 
 
+# ------------------------------------------------------ name registry
+#
+# The reference addresses its entity table by CATALOG NAME
+# (`etl_consume_entity_match.py` uses `catalog.db.table`); this
+# registry lets SQL statements name a lakehouse path the same way —
+# ``register_table("dw.entities", "iceberg", "/lake/entities")`` makes
+# ``MERGE INTO dw.entities ...`` work everywhere a ``delta.`path```
+# reference does.  In SELECT text a registered name is recognized only
+# in TABLE POSITION (after FROM / JOIN), so a column or alias that
+# happens to share the name is never rewritten.
+
+_REGISTRY: dict[str, tuple[str, str]] = {}
+
+
+def register_table(name: str, fmt: str, path: str) -> None:
+    """Bind ``name`` (``db.table`` or bare) to a lakehouse path for SQL
+    statements run through :func:`lakehouse_sql`."""
+    if fmt not in ("delta", "iceberg"):
+        raise LakehouseSqlError(f"format must be delta|iceberg, got {fmt!r}")
+    if not re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)?", name):
+        raise LakehouseSqlError(f"bad table name {name!r}")
+    _REGISTRY[name] = (fmt, path)
+
+
+def unregister_table(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
+
+def registered_tables() -> dict:
+    return dict(_REGISTRY)
+
+
 # --------------------------------------------------------------- tokens
 
 _TOKEN_RE = re.compile(
@@ -103,8 +135,9 @@ def _tokenize(sql: str) -> list[_Tok]:
 class _TableRef:
     fmt: str            # "delta" | "iceberg"
     path: str
-    version: int | None = None       # delta version / iceberg snapshot id
+    version: int | str | None = None  # delta version / iceberg snapshot|ref
     ts_ms: int | None = None
+    alias_hint: str | None = None     # registered name's last segment
 
 
 @dataclass
@@ -181,17 +214,36 @@ class _P:
         return self.sql[self.toks[a].start : self.toks[b - 1].end]
 
     # -- table refs --------------------------------------------------
-    def try_table_ref(self, travel_ok: bool = True) -> _TableRef | None:
+    def try_table_ref(
+        self, travel_ok: bool = True, names_ok: bool = True
+    ) -> _TableRef | None:
         t0, t1, t2 = self.peek(0), self.peek(1), self.peek(2)
+        ref = None
         if (
-            t0 is None or t0.kind != "word"
-            or t0.upper not in ("DELTA", "ICEBERG")
-            or t1 is None or t1.text != "."
-            or t2 is None or t2.kind != "bt"
+            t0 is not None and t0.kind == "word"
+            and t0.upper in ("DELTA", "ICEBERG")
+            and t1 is not None and t1.text == "."
+            and t2 is not None and t2.kind == "bt"
         ):
+            ref = _TableRef(fmt=t0.upper.lower(), path=t2.text[1:-1])
+            self.i += 3
+        elif names_ok and t0 is not None and t0.kind == "word":
+            # a REGISTERED name: db.table (two words over a dot) wins
+            # over a bare name
+            if (
+                t1 is not None and t1.text == "."
+                and t2 is not None and t2.kind == "word"
+                and f"{t0.text}.{t2.text}" in _REGISTRY
+            ):
+                fmt, path = _REGISTRY[f"{t0.text}.{t2.text}"]
+                ref = _TableRef(fmt=fmt, path=path, alias_hint=t2.text)
+                self.i += 3
+            elif t0.text in _REGISTRY:
+                fmt, path = _REGISTRY[t0.text]
+                ref = _TableRef(fmt=fmt, path=path, alias_hint=t0.text)
+                self.i += 1
+        if ref is None:
             return None
-        ref = _TableRef(fmt=t0.upper.lower(), path=t2.text[1:-1])
-        self.i += 3
         # optional time travel: [FOR] VERSION|TIMESTAMP AS OF <v>
         save = self.i
         self.take_words("FOR")
@@ -306,6 +358,15 @@ def _parse_ts_ms(lit: str) -> int:
             dt = dt.replace(tzinfo=timezone.utc)
         return int(dt.timestamp() * 1000)
     return int(float(lit))
+
+
+_CLAUSE_KEYWORDS = frozenset({
+    "WHERE", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+    "GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT", "HAVING",
+    "WHEN", "THEN", "USING", "NATURAL", "LATERAL", "WINDOW", "QUALIFY",
+    "SEMI", "ANTI", "PIVOT", "UNPIVOT", "TABLESAMPLE", "DISTRIBUTE",
+    "SORT", "CLUSTER", "OFFSET", "FETCH",
+})
 
 
 # ----------------------------------------------------------- dispatch
@@ -436,18 +497,38 @@ def _rewrite_reads(spark: SparkSession, sql: str) -> str:
     p = _P(sql)
     out: list[str] = []
     consumed = 0
+    prev_word = ""
     while not p.at_end():
         mark = p.i
-        ref = p.try_table_ref(travel_ok=True)
+        tok = p.peek()
+        # registered NAMES are recognized only in table position (after
+        # FROM / JOIN), so columns/aliases sharing a name never rewrite;
+        # explicit delta.`p` / iceberg.`p` refs rewrite anywhere
+        ref = p.try_table_ref(
+            travel_ok=True, names_ok=prev_word in ("FROM", "JOIN")
+        )
         if ref is None:
+            prev_word = tok.upper if tok.kind == "word" else ""
             p.i += 1
             continue
+        prev_word = ""
         start_off = p.toks[mark].start
         end_off = p.toks[p.i - 1].end
         view = f"__lh_sql_{_uuid.uuid4().hex[:12]}"
         _read_ref(spark, ref).createOrReplaceTempView(view)
         out.append(sql[consumed:start_off])
         out.append(view)
+        if ref.alias_hint:
+            # a registered NAME may be qualified in expressions
+            # (`dims.id`); keep that working by aliasing the view back
+            # to the name — unless the user wrote their own alias next
+            nxt = p.peek()
+            writes_own_alias = nxt is not None and (
+                (nxt.kind == "word" and nxt.upper not in _CLAUSE_KEYWORDS)
+                or (nxt.kind == "word" and nxt.upper == "AS")
+            )
+            if not writes_own_alias:
+                out.append(f" AS {ref.alias_hint}")
         consumed = end_off
     out.append(sql[consumed:])
     return "".join(out)

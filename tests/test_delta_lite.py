@@ -1066,3 +1066,23 @@ def test_streaming_source_fails_on_mid_stream_schema_change(
     )
     with pytest.raises(Exception, match="changed the table schema"):
         _drain_stream(spark, table, ck, out)
+
+
+def test_merge_insert_only_out_of_bounds_keys(spark, tmp_path):
+    """Delta twin of the iceberg out-of-bounds MERGE: stats skipping
+    leaves zero searchable files; the merge must append cleanly."""
+    from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+    path = str(tmp_path / "oob")
+    dl.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        path,
+    )
+    res = dl.merge_delta(
+        spark,
+        spark.createDataFrame([(100, "x")], "id int, v string"),
+        path,
+        keys=["id"],
+    )
+    assert res["files_rewritten"] == 0
+    assert dl.read_delta(spark, path).count() == 3

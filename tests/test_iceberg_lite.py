@@ -1576,3 +1576,26 @@ def test_timestamp_ntz_commits_spec_timestamp_type(spark, tmp_path):
     out = iceberg_lite.read_iceberg(spark, path)
     assert dict(out.dtypes)["ts"] == "timestamp_ntz"
     assert str(out.collect()[0]["ts"]) == "2024-01-02 03:04:05"
+
+
+def test_merge_insert_only_out_of_bounds_keys(spark, tmp_path):
+    """A MERGE whose source keys all fall OUTSIDE every file's bounds
+    (the insert-only upsert on a key-clustered table) must degenerate
+    to a pure append — it used to crash the bounds-filtered live read
+    with 'no data files in snapshot'."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "oob")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        path,
+    )
+    res = il.merge_iceberg(
+        spark,
+        spark.createDataFrame([(100, "x"), (101, "y")], "id int, v string"),
+        path,
+        keys=["id"],
+    )
+    assert res["deleted_rows"] == 0 and res["files_scanned"] == 0
+    assert il.read_iceberg(spark, path).count() == 4

@@ -676,3 +676,53 @@ def test_delta_version_as_of_name_refuses(spark, delta_tbl):
             spark,
             f"SELECT * FROM delta.`{delta_tbl}` VERSION AS OF 'branch'",
         )
+
+
+# ---------------------------------------------------- name registry
+
+
+def test_registered_names_work_everywhere(spark, delta_tbl, ice_tbl):
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        register_table,
+        unregister_table,
+    )
+
+    register_table("dw.facts", "delta", delta_tbl)
+    register_table("dims", "iceberg", ice_tbl)
+    try:
+        out = lakehouse_sql(
+            spark,
+            "SELECT f.id, d.name FROM dw.facts f "
+            "JOIN dims d ON f.id = d.id WHERE f.id <= 2",
+        )
+        assert _rows(out, "id", "name") == [(1, "a"), (2, "b")]
+        lakehouse_sql(spark, "UPDATE dw.facts SET amount = 0 WHERE id = 1")
+        assert delta_lite.read_delta(spark, delta_tbl).where(
+            "amount = 0"
+        ).count() == 1
+        spark.createDataFrame(
+            [(9, "n", 1.0)], "id int, name string, amount double"
+        ).createOrReplaceTempView("__reg_src")
+        lakehouse_sql(
+            spark,
+            "MERGE INTO dims t USING __reg_src s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        assert iceberg_lite.read_iceberg(spark, ice_tbl).count() == 5
+        # a COLUMN named like a registered table must not rewrite: the
+        # alias expression `dims.name` is not in table position
+        out = lakehouse_sql(
+            spark, "SELECT dims.name FROM dims WHERE dims.id = 1"
+        )
+        assert out.count() == 1
+    finally:
+        unregister_table("dw.facts")
+        unregister_table("dims")
+
+
+def test_unregistered_name_falls_back_to_spark_catalog(spark, delta_tbl):
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "plain_view"
+    )
+    out = lakehouse_sql(spark, "SELECT * FROM plain_view")
+    assert out.count() == 1
