@@ -4351,19 +4351,28 @@ def _merge_once_iceberg(
     # bounds_filter (file-level pruning + a row-level residual that
     # cannot drop a matchable row, since every source key lies inside
     # [lo, hi]).
+    fv = max(2, int(meta.get("format-version", 2)))
     live = read_iceberg(
-        spark, table_path, bounds_filter=bounds, _row_refs=True
+        spark, table_path, bounds_filter=bounds, _row_refs=True,
+        row_lineage=fv >= 3,
     )
     schema_cols = [
-        c for c in live.columns if c not in ("__ice_file", "__ice_pos")
+        c
+        for c in live.columns
+        if c not in (
+            "__ice_file", "__ice_pos",
+            "_row_id", "_last_updated_sequence_number",
+        )
     ]
     source = source.select(*schema_cols)
-    target = live.select(*keys, "__ice_file", "__ice_pos")
+    target = live.select(
+        *keys, "__ice_file", "__ice_pos",
+        *(["_row_id"] if fv >= 3 else []),
+    )
     file_map = spark.createDataFrame(
         [(f.path, f.orig_path) for f in search_files],
         "__ice_file string, orig string",
     )
-    fv = max(2, int(meta.get("format-version", 2)))
     drop_dv_refs: frozenset = frozenset()
     if fv >= 3:
         # v3: matched rows become DELETION VECTORS, never new
@@ -4374,6 +4383,19 @@ def _merge_once_iceberg(
         delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
             spark, table_path, matched_local, files, _deletes
         )
+        # spec §Row Lineage: an UPDATED row keeps its _row_id — carry
+        # the matched target row's id onto its source twin,
+        # MATERIALIZED into the new file (nulls on pure inserts resolve
+        # positionally, minting fresh ids; duplicate-key targets map to
+        # their smallest id, matching this MERGE's one-replacement-
+        # per-key semantics).  _last_updated_sequence_number stays
+        # absent so it inherits the new commit's sequence number.
+        id_map = (
+            target.join(F.broadcast(src_keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.min("_row_id").alias("_row_id"))
+        )
+        source = source.join(id_map, keys, "left")
     else:
         matched = (
             target.join(tomb_hint, keys, "left_semi")
@@ -4424,7 +4446,10 @@ def _merge_once_iceberg(
             data_entries=data_entries,
             delete_entries=delete_entries,
             expect_version=planned_version,
-            schema_fields=_ice_schema_fields(source),
+            # schema from the TABLE columns only — the v3 path's
+            # materialized _row_id is a file-level lineage column,
+            # never part of the table schema
+            schema_fields=_ice_schema_fields(source.select(*schema_cols)),
             drop_dv_refs=drop_dv_refs,
         )
     except ConcurrentIcebergWrite:

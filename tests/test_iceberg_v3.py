@@ -548,3 +548,39 @@ def test_staging_skips_empty_part_files(spark, tmp_path):
     files = il.plan_files(path)
     assert all(f.record_count > 0 for f in files)
     assert sum(f.record_count for f in files) == 2
+
+
+def test_merge_preserves_row_ids_for_updated_rows(spark, tmp_path):
+    """Spec §Row Lineage: a MERGE-updated row keeps its _row_id (its
+    _last_updated_sequence_number advances to the new commit);
+    inserted rows mint fresh ids."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "rl-merge")
+    il.write_iceberg(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                              "id int, v string"),
+        path,
+        format_version=3,
+    )
+    before = {
+        r["id"]: r["_row_id"]
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    il.merge_iceberg(
+        spark,
+        spark.createDataFrame([(2, "B!"), (9, "new")], "id int, v string"),
+        path,
+        keys=["id"],
+    )
+    after = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in il.read_iceberg(spark, path, row_lineage=True).collect()
+    }
+    assert after[2][0] == before[2], "updated row must keep its _row_id"
+    assert after[1][0] == before[1] and after[3][0] == before[3]
+    assert after[9][0] not in set(before.values()), "insert mints fresh id"
+    assert after[2][1] > after[1][1], (
+        "updated row's last-updated sequence must advance past carried rows"
+    )
