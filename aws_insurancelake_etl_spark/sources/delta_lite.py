@@ -3587,10 +3587,13 @@ def _merge_once(
         )
     # COW moves survivor rows to new files, so a row-tracked read also
     # carries _row_id/_row_commit_version for materialization; the DV
-    # shape leaves survivors in place (ids stable for free)
+    # shape leaves survivors in place (ids stable for free).  Either
+    # way, UPDATED rows must keep their target row's id (PROTOCOL.md
+    # §Row Tracking — stable ids across DML), so the read carries ids
+    # whenever the table tracks rows.
     target = _read_snapshot(
         spark, search_snap, with_path=not dv, with_pos=dv,
-        with_row_ids=rt and not dv and bool(rt_id_col),
+        with_row_ids=rt and bool(rt_id_col),
     )
     touched_uris = {
         r["__dl_path"]
@@ -3604,6 +3607,22 @@ def _merge_once(
     unknown = touched_rel - {a.path for a in snap.files}
     if unknown:
         raise DeltaLiteError(f"matched files not in snapshot: {sorted(unknown)}")
+    # Row tracking: an UPDATED row keeps its id (stable across DML) —
+    # carry the matched target row's _row_id onto its source twin,
+    # materialized into the new files.  Inserts stay null and mint
+    # fresh ids from the new files' baseRowId blocks; the row COMMIT
+    # version is left unmaterialized for source rows so it resolves to
+    # the new file's defaultRowCommitVersion (the row was modified by
+    # this commit).  Duplicate-key targets map to their smallest id,
+    # matching this MERGE's one-replacement-per-key semantics.
+    src_aug = source.select(*schema_cols)
+    if rt and rt_id_col:
+        id_map = (
+            target.join(F.broadcast(src_keys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.min("_row_id").alias(rt_id_col))
+        )
+        src_aug = src_aug.join(id_map, keys, "left")
     descriptors = []
     if dv:
         # deletion-vector shape: matched rows tombstone into per-file
@@ -3616,7 +3635,7 @@ def _merge_once(
                 .join(tomb_hint, keys, "left_semi")
                 .select("__dl_path", "__dl_pos"),
             )
-        new_data = source.select(*schema_cols)
+        new_data = src_aug
     else:
         survivors = (
             target.where(F.col("__dl_path").isin(list(touched_uris)))
@@ -3634,11 +3653,9 @@ def _merge_once(
                 "_row_id", rt_id_col
             ).withColumnRenamed("_row_commit_version", rt_cv_col)
         new_data = (
-            survivors.unionByName(
-                source.select(*schema_cols), allowMissingColumns=True
-            )
+            survivors.unionByName(src_aug, allowMissingColumns=True)
             if survivors is not None
-            else source.select(*schema_cols)
+            else src_aug
         )
     adds = _stage_data_files(
         _to_physical(new_data, phys, snap.schema),

@@ -302,14 +302,22 @@ class _P:
 
     def scan_until_words(self, *stop: str) -> int:
         """Advance to (and return the index of) the next top-level
-        occurrence of any stop word; parens nest.  Returns the token
-        index where the stop word starts (or end)."""
+        occurrence of any stop word; parens AND ``CASE ... END`` nest
+        (a CASE expression's own WHEN/THEN must never terminate a
+        MERGE clause scan).  Returns the token index where the stop
+        word starts (or end)."""
         depth = 0
         while not self.at_end():
             t = self.peek()
             if t.kind == "punct" and t.text == "(":
                 depth += 1
             elif t.kind == "punct" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif t.kind == "word" and t.upper == "CASE":
+                depth += 1
+            elif t.kind == "word" and t.upper == "END":
                 if depth == 0:
                     break
                 depth -= 1
@@ -320,8 +328,9 @@ class _P:
 
     def split_top_level(self, a: int, b: int, sep_word: str | None,
                         sep_punct: str | None) -> list[tuple[int, int]]:
-        """Split token range [a,b) on a top-level separator; returns
-        list of (start, end) token index pairs."""
+        """Split token range [a,b) on a top-level separator; parens and
+        ``CASE ... END`` nest.  Returns (start, end) token index
+        pairs."""
         parts = []
         depth = 0
         start = a
@@ -331,6 +340,10 @@ class _P:
             if t.kind == "punct" and t.text == "(":
                 depth += 1
             elif t.kind == "punct" and t.text == ")":
+                depth -= 1
+            elif t.kind == "word" and t.upper == "CASE":
+                depth += 1
+            elif t.kind == "word" and t.upper == "END":
                 depth -= 1
             elif depth == 0 and (
                 (sep_word and t.kind == "word" and t.upper == sep_word)
@@ -823,6 +836,11 @@ def _equi_keys(
 
 def _rename_source_keys(src: DataFrame, keys: list) -> DataFrame:
     for tgt, srcc in keys:
+        if srcc not in src.columns:
+            raise LakehouseSqlError(
+                f"MERGE ON names source column {srcc!r}, which the "
+                f"source does not have (columns: {list(src.columns)})"
+            )
         if tgt != srcc:
             if tgt in src.columns:
                 raise LakehouseSqlError(

@@ -203,3 +203,42 @@ def test_enable_on_existing_table_upgrades_protocol(spark, tmp_path):
                           use_deletion_vectors=False)
     got = _ids(spark, path)
     assert got[11] == (1, res["version"])
+
+
+def test_merge_preserves_row_ids_for_updated_rows(spark, tmp_path):
+    """PROTOCOL.md §Row Tracking: ids are stable across DML — a
+    MERGE-updated row keeps its _row_id in BOTH shapes (COW rewrite
+    and DV tombstone+append); inserts mint fresh ids; the updated
+    row's commit version advances."""
+    from aws_insurancelake_etl_spark.sources import delta_lite as dl
+
+    for dv in (False, True):
+        path = str(tmp_path / f"rt-merge-{dv}")
+        dl.write_delta(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+            ),
+            path,
+            configuration={
+                "delta.enableRowTracking": "true",
+                **({"delta.enableDeletionVectors": "true"} if dv else {}),
+            },
+        )
+        before = {
+            r["id"]: r["_row_id"]
+            for r in dl.read_delta(spark, path, row_tracking=True).collect()
+        }
+        dl.merge_delta(
+            spark,
+            spark.createDataFrame([(2, "B!"), (9, "new")], "id int, v string"),
+            path,
+            keys=["id"],
+        )
+        after = {
+            r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in dl.read_delta(spark, path, row_tracking=True).collect()
+        }
+        assert after[2][0] == before[2], f"dv={dv}: updated row lost its id"
+        assert after[1][0] == before[1] and after[3][0] == before[3]
+        assert after[9][0] not in set(before.values())
+        assert after[2][1] > after[3][1] if not dv else True

@@ -726,3 +726,40 @@ def test_unregistered_name_falls_back_to_spark_catalog(spark, delta_tbl):
     )
     out = lakehouse_sql(spark, "SELECT * FROM plain_view")
     assert out.count() == 1
+
+
+def test_case_when_inside_merge_clauses(spark, delta_tbl):
+    """A CASE expression's own WHEN/THEN/END must not terminate the
+    MERGE clause scan."""
+    src = _mk(
+        spark,
+        [(1, "x", 1.0), (5, "e", 50.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__case_src")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{delta_tbl}` t USING __case_src s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND (CASE WHEN s.amount < 10 THEN true ELSE false END) "
+        "THEN UPDATE SET name = CASE WHEN t.amount > 5 THEN 'big' "
+        "ELSE 'small' END, amount = s.amount "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    read = delta_lite.read_delta(spark, delta_tbl)
+    assert _rows(read, "id", "name", "amount") == [
+        (1, "big", 1.0), (2, "b", 20.0), (3, "c", 30.0),
+        (4, "d", 40.0), (5, "e", 50.0),
+    ]
+
+
+def test_case_when_in_update_set(spark, ice_tbl):
+    lakehouse_sql(
+        spark,
+        f"UPDATE iceberg.`{ice_tbl}` SET name = CASE WHEN amount >= 30 "
+        "THEN upper(name) ELSE name END WHERE id >= 2",
+    )
+    read = iceberg_lite.read_iceberg(spark, ice_tbl)
+    assert _rows(read, "id", "name") == [
+        (1, "a"), (2, "b"), (3, "C"), (4, "D"),
+    ]
