@@ -3774,6 +3774,45 @@ def _merge_once(
     }
 
 
+def truncate_delta(spark: SparkSession, path: str) -> dict:
+    """``TRUNCATE TABLE`` — a pure METADATA commit: one remove action
+    per live file, zero files opened at any table size (the retention
+    sweep's whole-table form; bytes reclaim via :func:`vacuum`).  On a
+    CDF-enabled table the change feed must carry the deleted rows, so
+    truncate routes through :func:`delete_delta` (which reads exactly
+    once to stage them) rather than silently dropping changes."""
+    snap = snapshot(path)
+    _guard_writable(snap, operation="TRUNCATE")
+    if _cdf_enabled(snap):
+        return delete_delta(spark, path, "true")
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "TRUNCATE",
+                "engine": "delta-lite",
+            }
+        }
+    ] + [
+        {
+            "remove": {
+                "path": quote(a.path, safe="/="),
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+            }
+        }
+        for a in snap.files
+    ]
+    version = snap.version + 1
+    if not _try_commit(_log_dir(path), version, actions, snap.configuration):
+        raise ConcurrentWriteError(
+            f"version {version} was committed concurrently; re-run "
+            "truncate_delta"
+        )
+    _maybe_checkpoint(path, version)
+    return {"version": version, "files_removed": len(snap.files)}
+
+
 def vacuum(path: str, retention_ms: int = 0) -> list:
     """Delete data files no longer referenced by the CURRENT snapshot
     whose tombstones are older than the retention window.  Tombstones

@@ -1720,6 +1720,40 @@ def read_iceberg(
                 )
             column_defaults[f["name"]] = dv
     if not files:
+        # a TRUNCATEd / fully-deleted table reads as zero rows under
+        # the METADATA schema — the spec's schema source; only when the
+        # metadata carries an unmappable type does the reader refuse
+        # rather than guess
+        empty_schema = _spark_schema_from_meta(_defaults_meta)
+        if empty_schema is not None:
+            if _row_refs:
+                from pyspark.sql.types import (
+                    LongType, StringType, StructField, StructType,
+                )
+
+                empty_schema = StructType(
+                    list(empty_schema.fields)
+                    + [
+                        StructField("__ice_file", StringType(), True),
+                        StructField("__ice_pos", LongType(), True),
+                    ]
+                )
+            if row_lineage:
+                from pyspark.sql.types import (
+                    LongType, StructField, StructType,
+                )
+
+                empty_schema = StructType(
+                    list(empty_schema.fields)
+                    + [
+                        StructField("_row_id", LongType(), True),
+                        StructField(
+                            "_last_updated_sequence_number",
+                            LongType(), True,
+                        ),
+                    ]
+                )
+            return spark.createDataFrame([], empty_schema)
         raise IcebergLiteError(
             f"no data files in snapshot (table {table_path}); "
             "empty-table reads need a schema source this reader "
@@ -4673,6 +4707,31 @@ def rewrite_data_files(
         "delete_files_before": len(deletes),
         "files_after": len(data_entries),
         "rewritten": True,
+    }
+
+
+def truncate_iceberg(table_path: str) -> dict:
+    """``TRUNCATE TABLE`` — one REPLACE snapshot with an empty manifest
+    list: every data and delete file drops out of the live tree, zero
+    files opened at any table size (bytes reclaim via
+    :func:`expire_snapshots`).  The truncated table reads as zero rows
+    under the metadata schema; every prior snapshot stays
+    travelable."""
+    files, deletes = plan_scan(table_path)
+    meta = _load_metadata(table_path)
+    part_cols = _partition_spec_fields(meta)
+    meta_dir = os.path.join(table_path, "metadata")
+    planned_version = (_metadata_versions(meta_dir) or [0])[-1]
+    snap_id = _commit_snapshot(
+        table_path, part_cols,
+        data_entries=[], delete_entries=[],
+        expect_version=planned_version,
+        replace=True,
+    )
+    return {
+        "snapshot_id": snap_id,
+        "files_removed": len(files),
+        "delete_files_removed": len(deletes),
     }
 
 

@@ -424,6 +424,17 @@ def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _exec_reorg(spark, p)
     if head == "CONVERT":
         return _exec_convert(spark, p)
+    if head == "TRUNCATE":
+        p.expect_words("TRUNCATE", "TABLE")
+        ref = p.expect_table_ref()
+        _validate_ref(ref)
+        from . import delta_lite, iceberg_lite
+
+        if ref.fmt == "delta":
+            return _metrics_df(
+                spark, delta_lite.truncate_delta(spark, ref.path)
+            )
+        return _metrics_df(spark, iceberg_lite.truncate_iceberg(ref.path))
     raise LakehouseSqlError(
         f"unsupported statement head {t0.text!r}; supported: SELECT/WITH, "
         "MERGE, UPDATE, DELETE, INSERT, CREATE TABLE AS, ALTER TABLE, "

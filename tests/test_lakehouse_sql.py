@@ -763,3 +763,43 @@ def test_case_when_in_update_set(spark, ice_tbl):
     assert _rows(read, "id", "name") == [
         (1, "a"), (2, "b"), (3, "C"), (4, "D"),
     ]
+
+
+# ------------------------------------------------------------ TRUNCATE
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_truncate_is_metadata_only_and_travelable(spark, delta_tbl, ice_tbl, fmt):
+    path = delta_tbl if fmt == "delta" else ice_tbl
+    import glob
+    files_before = set(glob.glob(path + "/**/*.parquet", recursive=True))
+    out = lakehouse_sql(spark, f"TRUNCATE TABLE {fmt}.`{path}`")
+    vals = {r["metric"]: r["value"] for r in out.collect()}
+    assert int(vals["files_removed"]) >= 1
+    # zero files touched on disk — pure metadata
+    assert set(glob.glob(path + "/**/*.parquet", recursive=True)) >= files_before
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert read.count() == 0
+    assert set(read.columns) == {"id", "name", "amount"}
+    old = lakehouse_sql(
+        spark,
+        f"SELECT * FROM {fmt}.`{path}` VERSION AS OF "
+        + ("0" if fmt == "delta" else "1"),
+    )
+    assert old.count() == 4
+
+
+def test_truncate_delta_cdf_emits_deletes(spark, tmp_path):
+    path = str(tmp_path / "trunc-cdf")
+    delta_lite.write_delta(
+        _mk(spark, [(1, "a"), (2, "b")], "id int, v string"),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{path}`")
+    feed = delta_lite.read_change_feed(spark, path, starting_version=1)
+    assert feed.where("_change_type = 'delete'").count() == 2
