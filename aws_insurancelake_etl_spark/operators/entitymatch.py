@@ -292,7 +292,7 @@ def merge_into_primary(
     MERGE the reference's catalog would."""
     import re as _re
 
-    if _re.match(r"^(delta|iceberg)\.`", primary_table.strip()):
+    if _re.match(r"^(delta|iceberg)\.`", primary_table.strip(), _re.I):
         from ..sources.lakehouse_sql import lakehouse_sql
 
         matched.createOrReplaceTempView("__em_incoming")

@@ -138,9 +138,9 @@ def cleanse_to_consume(
     # front-end rewrites those refs to temp views over the protocol
     # readers and hands the statement to Catalyst unchanged, so a
     # plain-catalog SQL file costs nothing extra
-    from ..sources.lakehouse_sql import _rewrite_reads
+    from ..sources.lakehouse_sql import sql_over_refs
 
-    df = spark.sql(_rewrite_reads(spark, sql_text)).cache()
+    df = sql_over_refs(spark, sql_text).cache()
     ctx.log_lineage("sparksql", df=df, sql=sql_text)
     if ctx.lineage is not None:
         ctx.lineage.numeric_audit(df)

@@ -2598,47 +2598,59 @@ def widen_column(path: str, column: str, new_type: str) -> int:
 
 
 def add_column(path: str, column: str, sql_type: str) -> int:
-    """``ALTER TABLE ADD COLUMN col type`` — a pure METADATA commit:
-    the schemaString gains one NULLABLE field and every existing data
-    file reads NULL for it (the snapshot schema is authoritative over
-    each file, the same rule evolve-append relies on; zero files
-    touched at any scale).  On a column-mapped table the new field
-    mints a fresh id + physical name past ``maxColumnId`` (nested
-    struct/array/map element fields mint ids at every level).  Dotted
-    (nested) targets refuse — nested adds go through evolve-append."""
+    """One-column convenience over :func:`add_columns`."""
+    return add_columns(path, [(column, sql_type)])
+
+
+def add_columns(path: str, columns: list) -> int:
+    """``ALTER TABLE ADD COLUMNS (col type, ...)`` — ONE pure METADATA
+    commit for the whole list (a multi-column DDL must never land
+    half-applied): the schemaString gains the NULLABLE fields and every
+    existing data file reads NULL for them (the snapshot schema is
+    authoritative over each file, the same rule evolve-append relies
+    on; zero files touched at any scale).  On a column-mapped table
+    each new field mints a fresh id + physical name past
+    ``maxColumnId`` (nested struct/array/map element fields mint ids at
+    every level).  Dotted (nested) targets refuse — nested adds go
+    through evolve-append."""
     from pyspark.sql.types import _parse_datatype_string
 
-    if "." in column:
-        raise DeltaLiteError(
-            f"add_column: nested target {column!r} not supported; "
-            "append with schema_mode='evolve' instead"
-        )
-    try:
-        new_dt = _parse_datatype_string(sql_type)
-    except Exception as exc:
-        raise DeltaLiteError(
-            f"add_column: cannot parse type {sql_type!r}"
-        ) from exc
+    if not columns:
+        raise DeltaLiteError("add_columns: nothing to add")
     snap = snapshot(path)
-    if any(f.name == column for f in snap.schema.fields):
-        raise DeltaLiteError(f"column {column!r} already exists")
+    existing = {f.name for f in snap.schema.fields}
     conf = dict(snap.configuration)
     mode = conf.get("delta.columnMapping.mode", "none")
-    meta: dict = {}
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+    new_fields = []
+    for column, sql_type in columns:
+        if "." in column:
+            raise DeltaLiteError(
+                f"add_columns: nested target {column!r} not supported; "
+                "append with schema_mode='evolve' instead"
+            )
+        try:
+            new_dt = _parse_datatype_string(sql_type)
+        except Exception as exc:
+            raise DeltaLiteError(
+                f"add_columns: cannot parse type {sql_type!r}"
+            ) from exc
+        if column in existing:
+            raise DeltaLiteError(f"column {column!r} already exists")
+        existing.add(column)
+        meta: dict = {}
+        if mode in ("name", "id"):
+            top_id = max_id + 1
+            new_dt, max_id = _mint_mapped_datatype(new_dt, top_id)
+            meta = {
+                "delta.columnMapping.id": top_id,
+                "delta.columnMapping.physicalName":
+                    f"col-{uuid.uuid4().hex[:8]}",
+            }
+        new_fields.append(StructField(column, new_dt, True, metadata=meta))
     if mode in ("name", "id"):
-        max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
-        top_id = max_id + 1
-        new_dt, max_id = _mint_mapped_datatype(new_dt, top_id)
-        meta = {
-            "delta.columnMapping.id": top_id,
-            "delta.columnMapping.physicalName":
-                f"col-{uuid.uuid4().hex[:8]}",
-        }
         conf["delta.columnMapping.maxColumnId"] = str(max_id)
-    new_schema = StructType(
-        list(snap.schema.fields)
-        + [StructField(column, new_dt, True, metadata=meta)]
-    )
+    new_schema = StructType(list(snap.schema.fields) + new_fields)
     version = snap.version + 1
     actions = [
         {
@@ -2646,7 +2658,7 @@ def add_column(path: str, column: str, sql_type: str) -> int:
                 "operation": "ADD COLUMNS",
                 "engine": "delta-lite",
                 "operationParameters": {
-                    "column": column, "type": sql_type,
+                    "columns": [c for c, _ in columns],
                 },
             }
         },
@@ -2664,7 +2676,7 @@ def add_column(path: str, column: str, sql_type: str) -> int:
     if not _try_commit(_log_dir(path), version, actions, snap.configuration):
         raise ConcurrentWriteError(
             f"version {version} was committed concurrently; re-run "
-            "add_column"
+            "add_columns"
         )
     return version
 
@@ -3514,6 +3526,9 @@ def _merge_once(
     tomb_hint = (
         F.broadcast(tomb_keys) if delete_keys is None else tomb_keys
     )
+    # same rule for every key-set derived from the (possibly
+    # BY-SOURCE-augmented, target-sized) merge source
+    src_hint = F.broadcast(src_keys) if delete_keys is None else src_keys
     # Partition pruning for the touched-file search: when the partition
     # columns are part of the merge key, a match can only live in a
     # partition the SOURCE actually carries — so the scan for touched
@@ -3618,7 +3633,7 @@ def _merge_once(
     src_aug = source.select(*schema_cols)
     if rt and rt_id_col:
         id_map = (
-            target.join(F.broadcast(src_keys), keys, "left_semi")
+            target.join(src_hint, keys, "left_semi")
             .groupBy(*keys)
             .agg(F.min("_row_id").alias(rt_id_col))
         )
@@ -3674,9 +3689,13 @@ def _merge_once(
                 target.where(F.col("__dl_path").isin(list(touched_uris)))
                 .drop("__dl_path", "__dl_pos",
                       "_row_id", "_row_commit_version")
-                .join(F.broadcast(src_keys), keys, "left_semi")
+                .join(src_hint, keys, "left_semi")
             )
             matched_keys = matched_target.select(*keys).distinct()
+            mk_hint = (
+                F.broadcast(matched_keys) if delete_keys is None
+                else matched_keys
+            )
             changes = (
                 matched_target.withColumn(
                     "_change_type", F.lit("update_preimage")
@@ -3691,7 +3710,7 @@ def _merge_once(
                     .withColumn("_change_type", F.lit("update_postimage"))
                 )
                 .unionByName(
-                    src.join(F.broadcast(matched_keys), keys, "left_anti")
+                    src.join(mk_hint, keys, "left_anti")
                     .withColumn("_change_type", F.lit("insert"))
                 )
             )
@@ -3702,9 +3721,9 @@ def _merge_once(
                     target.where(F.col("__dl_path").isin(list(touched_uris)))
                     .drop("__dl_path", "__dl_pos",
                           "_row_id", "_row_commit_version")
-                    .join(F.broadcast(delete_keys.select(*keys).distinct()),
+                    .join(delete_keys.select(*keys).distinct(),
                           keys, "left_semi")
-                    .join(F.broadcast(src_keys), keys, "left_anti")
+                    .join(src_keys, keys, "left_anti")
                     .withColumn("_change_type", F.lit("delete"))
                 )
         else:

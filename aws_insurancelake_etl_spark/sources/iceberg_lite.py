@@ -4351,7 +4351,15 @@ def _merge_once_iceberg(
             # NO live file's [lower, upper] can contain any tombstone
             # key — nothing can match, so the MERGE degenerates to a
             # pure append (the insert-only upsert on a key-clustered
-            # table; previously this crashed the bounded live read)
+            # table; previously this crashed the bounded live read).
+            # The append still projects to the TABLE schema, same as
+            # the main path: a missing column is a named error, an
+            # extra column never leaks into data files.
+            tbl_schema = _spark_schema_from_meta(meta)
+            if tbl_schema is not None:
+                source = source.select(
+                    *[f.name for f in tbl_schema.fields]
+                )
             data_entries = _stage_iceberg_data(source, table_path, part_cols)
             try:
                 snap_id = _commit_snapshot(
@@ -4425,7 +4433,13 @@ def _merge_once_iceberg(
         # per-key semantics).  _last_updated_sequence_number stays
         # absent so it inherits the new commit's sequence number.
         id_map = (
-            target.join(F.broadcast(src_keys), keys, "left_semi")
+            # src_keys can be target-sized when delete_keys rides along
+            # (BY SOURCE updates) — the hint follows the same rule as
+            # tomb_hint
+            target.join(
+                F.broadcast(src_keys) if delete_keys is None else src_keys,
+                keys, "left_semi",
+            )
             .groupBy(*keys)
             .agg(F.min("_row_id").alias("_row_id"))
         )

@@ -90,10 +90,10 @@ def registered_tables() -> dict:
 # --------------------------------------------------------------- tokens
 
 _TOKEN_RE = re.compile(
-    r"""(?P<ws>\s+|--[^\n]*)
-      | (?P<str>'(?:[^']|'')*')
+    r"""(?P<ws>\s+|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
+      | (?P<str>'(?:[^'\\]|''|\\.)*')
       | (?P<bt>`[^`]*`)
-      | (?P<dq>"[^"]*")
+      | (?P<dq>"(?:[^"\\]|\\.)*")
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
       | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<punct><=|>=|<>|!=|==|\|\||\.|,|\(|\)|\*|=|<|>|\+|-|/|%|\[|\]|\{|\}|:|;|\?|&|\||!|~|\^|@|\#|\$)
@@ -114,16 +114,24 @@ class _Tok:
         return self.text.upper()
 
 
-def _tokenize(sql: str) -> list[_Tok]:
+def _tokenize(sql: str, strict: bool = True) -> list[_Tok]:
+    """``strict=False`` (the SELECT-rewrite path): an unmatchable
+    character is skipped instead of raising — it can never be part of
+    a lakehouse reference, and the rewriter must not reject SQL that
+    Catalyst itself would accept."""
     toks: list[_Tok] = []
     pos = 0
     n = len(sql)
     while pos < n:
         m = _TOKEN_RE.match(sql, pos)
         if not m:
-            raise LakehouseSqlError(
-                f"cannot tokenize SQL at offset {pos}: {sql[pos:pos+20]!r}"
-            )
+            if strict:
+                raise LakehouseSqlError(
+                    f"cannot tokenize SQL at offset {pos}: "
+                    f"{sql[pos:pos+20]!r}"
+                )
+            pos += 1
+            continue
         pos = m.end()
         if m.lastgroup == "ws":
             continue
@@ -155,9 +163,9 @@ class _P:
     """Token cursor over the original SQL text (slices preserve the
     user's exact expression text for Catalyst passthrough)."""
 
-    def __init__(self, sql: str):
+    def __init__(self, sql: str, strict: bool = True):
         self.sql = sql
-        self.toks = _tokenize(sql)
+        self.toks = _tokenize(sql, strict=strict)
         self.i = 0
 
     # -- cursor ----------------------------------------------------
@@ -395,7 +403,7 @@ def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
         raise LakehouseSqlError("empty SQL statement")
     head = t0.upper if t0.kind == "word" else ""
     if head in ("SELECT", "WITH", "VALUES", "TABLE"):
-        return spark.sql(_rewrite_reads(spark, p.sql))
+        return sql_over_refs(spark, p.sql)
     if head == "MERGE":
         return _exec_merge(spark, p)
     if head == "UPDATE":
@@ -514,11 +522,26 @@ def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
     return iceberg_lite.read_iceberg(spark, ref.path, snapshot_id=sid)
 
 
-def _rewrite_reads(spark: SparkSession, sql: str) -> str:
+def sql_over_refs(spark: SparkSession, sql: str) -> DataFrame:
+    """Rewrite lakehouse references to temp views, hand the statement
+    to Catalyst, then DROP the views (analysis is eager, so the
+    returned frame's plan no longer needs them — repeated statements
+    must not leak one catalog entry per reference)."""
+    views: list[str] = []
+    df = spark.sql(_rewrite_reads(spark, sql, views))
+    for v in views:
+        spark.catalog.dropTempView(v)
+    return df
+
+
+def _rewrite_reads(
+    spark: SparkSession, sql: str, views: list | None = None
+) -> str:
     """Replace every ``delta.`p``` / ``iceberg.`p``` reference (plus a
     trailing travel clause) with a temp view over the protocol reader;
-    return the rewritten statement for Catalyst."""
-    p = _P(sql)
+    return the rewritten statement for Catalyst.  Created view names
+    append to ``views`` when given (callers drop them post-analysis)."""
+    p = _P(sql, strict=False)
     out: list[str] = []
     consumed = 0
     prev_word = ""
@@ -540,6 +563,8 @@ def _rewrite_reads(spark: SparkSession, sql: str) -> str:
         end_off = p.toks[p.i - 1].end
         view = f"__lh_sql_{_uuid.uuid4().hex[:12]}"
         _read_ref(spark, ref).createOrReplaceTempView(view)
+        if views is not None:
+            views.append(view)
         out.append(sql[consumed:start_off])
         out.append(view)
         if ref.alias_hint:
@@ -579,7 +604,7 @@ def _exec_merge(spark: SparkSession, p: _P) -> DataFrame:
     on_text = p.slice(on_start, on_end)
     if not on_text:
         raise LakehouseSqlError("MERGE needs an ON condition")
-    clauses = _parse_merge_clauses(p)
+    clauses = _parse_merge_clauses(p, t_alias)
     if not p.at_end():
         t = p.peek()
         raise LakehouseSqlError(f"unexpected trailing tokens at {t.text!r}")
@@ -636,7 +661,7 @@ def _parse_merge_source(
             p.i += 1
         sub = p.slice(start, p.i)
         p.expect_punct(")")
-        return spark.sql(_rewrite_reads(spark, sub)), None
+        return sql_over_refs(spark, sub), None
     ref = p.try_table_ref(travel_ok=True)
     if ref is not None:
         return _read_ref(spark, ref), None
@@ -650,7 +675,9 @@ def _parse_merge_source(
     )
 
 
-def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
+def _parse_merge_clauses(
+    p: _P, t_alias: str | None = None
+) -> list[_MergeClause]:
     clauses: list[_MergeClause] = []
     while p.take_words("WHEN"):
         matched = True
@@ -686,7 +713,9 @@ def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
                         "copy; assign explicit expressions"
                     )
                 cl.action = "update"
-                cl.assignments = _parse_assignments(p, stop=("WHEN",))
+                cl.assignments = _parse_assignments(
+                    p, stop=("WHEN",), allowed_qualifier=t_alias
+                )
             clauses.append(cl)
             continue
         if matched:
@@ -699,7 +728,7 @@ def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
                 else:
                     cl.action = "update"
                     cl.assignments = _parse_assignments(
-                        p, stop=("WHEN",)
+                        p, stop=("WHEN",), allowed_qualifier=t_alias
                     )
         else:
             p.expect_words("INSERT")
@@ -753,8 +782,13 @@ def _parse_merge_clauses(p: _P) -> list[_MergeClause]:
     return clauses
 
 
-def _parse_assignments(p: _P, stop: tuple) -> dict:
-    """``col = expr [, col = expr ...]`` up to a top-level stop word."""
+def _parse_assignments(
+    p: _P, stop: tuple, allowed_qualifier: str | None = None
+) -> dict:
+    """``col = expr [, col = expr ...]`` up to a top-level stop word.
+    A qualified target (``alias.col``) is accepted only when the alias
+    is the TARGET's — a source alias or a nested struct path must not
+    silently retarget a top-level column."""
     a = p.i
     b = p.scan_until_words(*stop)
     out: dict[str, str] = {}
@@ -766,11 +800,23 @@ def _parse_assignments(p: _P, stop: tuple) -> dict:
         col = p.toks[j].text
         j += 1
         if j < y and p.toks[j].text == "." and p.toks[j].kind == "punct":
+            qualifier = col
             j += 1
             if j >= y or p.toks[j].kind != "word":
                 raise LakehouseSqlError("bad SET target")
             col = p.toks[j].text
             j += 1
+            if j < y and p.toks[j].text == "." and p.toks[j].kind == "punct":
+                raise LakehouseSqlError(
+                    f"SET target {qualifier}.{col}...: deeper paths are "
+                    "not supported"
+                )
+            if qualifier != allowed_qualifier:
+                raise LakehouseSqlError(
+                    f"SET target {qualifier}.{col}: {qualifier!r} is not "
+                    "the target alias — nested struct fields and "
+                    "source-qualified targets are not assignable"
+                )
         if j >= y or p.toks[j].text != "=":
             raise LakehouseSqlError(f"SET {col}: expected '='")
         j += 1
@@ -895,7 +941,11 @@ def _exec_general_merge(
     by_source_clauses = [c for c in clauses if c.by_source]
 
     def clause_cond(c) -> F.Column:
-        return F.expr(c.cond) if c.cond else F.lit(True)
+        # NULL-safe: a NULL condition must count as "did not fire", not
+        # poison the first-match-wins chain through three-valued logic
+        if not c.cond:
+            return F.lit(True)
+        return F.coalesce(F.expr(c.cond), F.lit(False))
 
     # first-matching-clause-wins over the MATCHED set
     fired_updates = []
@@ -1005,6 +1055,24 @@ def _exec_general_merge(
 
     if combined is None and delete_keys_df is None:
         raise LakehouseSqlError("MERGE parsed to no effective clause")
+    if delete_keys_df is not None and combined is not None:
+        # the primitives' contract: a key must not be BOTH tombstoned-
+        # without-replacement and replaced — two source rows matching
+        # one target key through different clauses.  Real MERGE raises
+        # the multiple-source-rows error; so do we.
+        overlap = (
+            combined.select(*key_cols)
+            .join(delete_keys_df.select(*key_cols).distinct(),
+                  key_cols, "inner")
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise LakehouseSqlError(
+                f"key {tuple(overlap[0][k] for k in key_cols)} fires both "
+                "a DELETE clause and an UPDATE/INSERT clause (multiple "
+                "source rows match one target row)"
+            )
     if by_source_clauses and delete_keys_df is None:
         # a BY SOURCE UPDATE can make the merge source target-sized;
         # an (empty) delete_keys frame tells the primitive to drop its
@@ -1034,9 +1102,11 @@ def _exec_update(spark: SparkSession, p: _P) -> DataFrame:
 
     p.expect_words("UPDATE")
     ref = p.expect_table_ref()
-    p.try_alias(frozenset({"SET"}))
+    upd_alias = p.try_alias(frozenset({"SET"}))
     p.expect_words("SET")
-    assignments = _parse_assignments(p, stop=("WHERE",))
+    assignments = _parse_assignments(
+        p, stop=("WHERE",), allowed_qualifier=upd_alias
+    )
     predicate = "true"
     if p.take_words("WHERE"):
         predicate = p.slice(p.i, len(p.toks))
@@ -1130,7 +1200,7 @@ def _exec_insert(spark: SparkSession, p: _P) -> DataFrame:
     query = p.slice(p.i, len(p.toks))
     if not query:
         raise LakehouseSqlError("INSERT needs a query")
-    df = spark.sql(_rewrite_reads(spark, query))
+    df = sql_over_refs(spark, query)
     _validate_ref(ref)
     snap_schema = _read_ref(spark, ref).schema
     schema_cols = [f.name for f in snap_schema.fields]
@@ -1229,7 +1299,7 @@ def _exec_create(spark: SparkSession, p: _P) -> DataFrame:
     query = p.slice(p.i, len(p.toks))
     if not query:
         raise LakehouseSqlError("CREATE TABLE AS needs a query")
-    df = spark.sql(_rewrite_reads(spark, query))
+    df = sql_over_refs(spark, query)
     import os
 
     exists = (
@@ -1384,9 +1454,7 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
         if had_paren and not p.at_end():
             raise LakehouseSqlError("trailing tokens after ADD COLUMNS")
         if ref.fmt == "delta":
-            v = None
-            for colname, sql_type in adds:
-                v = delta_lite.add_column(ref.path, colname, sql_type)
+            v = delta_lite.add_columns(ref.path, adds)
             return _metrics_df(spark, {"version": v})
         res = iceberg_lite.alter_iceberg_schema(
             ref.path,
@@ -1542,6 +1610,12 @@ def _exec_vacuum(spark: SparkSession, p: _P) -> DataFrame:
     if ref.fmt == "delta":
         removed = delta_lite.vacuum(ref.path, retention_ms=retention_ms)
         return _metrics_df(spark, {"files_removed": len(removed)})
+    if retention_ms:
+        raise LakehouseSqlError(
+            "iceberg VACUUM maps to remove_orphan_files, which has no "
+            "retention window — use CALL system.expire_snapshots("
+            "..., older_than_ms => ...) for time-based retention"
+        )
     res = iceberg_lite.remove_orphan_files(ref.path)
     return _metrics_df(spark, res)
 

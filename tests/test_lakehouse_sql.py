@@ -803,3 +803,105 @@ def test_truncate_delta_cdf_emits_deletes(spark, tmp_path):
     lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{path}`")
     feed = delta_lite.read_change_feed(spark, path, starting_version=1)
     assert feed.where("_change_type = 'delete'").count() == 2
+
+
+# ------------------------------------------- review-finding regressions
+
+
+def test_null_clause_condition_does_not_poison_chain(spark, delta_tbl):
+    """Three-valued logic: a NULL clause condition counts as not-fired;
+    later clauses must still fire for that row."""
+    src = _mk(
+        spark,
+        [(1, None, 1.0), (2, "ok", 2.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__null_src")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{delta_tbl}` t USING __null_src s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.name = 'gone' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET amount = s.amount",
+    )
+    read = delta_lite.read_delta(spark, delta_tbl)
+    # id=1: s.name IS NULL -> delete-cond NULL -> falls to UPDATE
+    assert _rows(read, "id", "amount") == [
+        (1, 1.0), (2, 2.0), (3, 30.0), (4, 40.0),
+    ]
+
+
+def test_delete_and_update_same_key_refuses(spark, delta_tbl):
+    src = _mk(
+        spark,
+        [(1, "gone", 0.0), (1, "upd", 9.0)],
+        "id int, name string, amount double",
+    )
+    src.createOrReplaceTempView("__dup_src")
+    with pytest.raises(LakehouseSqlError, match="multiple source rows"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{delta_tbl}` t USING __dup_src s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.name = 'gone' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+def test_escaped_quotes_and_comments_tokenize(spark, delta_tbl):
+    out = lakehouse_sql(
+        spark,
+        "SELECT id, /* block 'comment' */ "
+        "regexp_replace(name, 'a', 'O\\'Brien') AS who "
+        f"FROM delta.`{delta_tbl}` WHERE id = 1",
+    )
+    assert out.first()["who"] == "O'Brien"
+
+
+def test_set_wrong_qualifier_refuses(spark, delta_tbl):
+    spark.createDataFrame(
+        [(1, 5.0)], "id int, amount double"
+    ).createOrReplaceTempView("__q_src")
+    with pytest.raises(LakehouseSqlError, match="not the target alias"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{delta_tbl}` t USING __q_src s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET s.amount = 1",
+        )
+    with pytest.raises(LakehouseSqlError, match="not the target alias"):
+        lakehouse_sql(
+            spark,
+            f"UPDATE delta.`{delta_tbl}` SET addr.city = 'X'",
+        )
+
+
+def test_add_columns_is_one_commit(spark, delta_tbl):
+    v0 = delta_lite.snapshot(delta_tbl).version
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE delta.`{delta_tbl}` ADD COLUMNS (a int, b string)",
+    )
+    assert delta_lite.snapshot(delta_tbl).version == v0 + 1
+    cols = set(delta_lite.read_delta(spark, delta_tbl).columns)
+    assert {"a", "b"} <= cols
+
+
+def test_vacuum_iceberg_retain_refuses(spark, ice_tbl):
+    with pytest.raises(LakehouseSqlError, match="expire_snapshots"):
+        lakehouse_sql(spark, f"VACUUM iceberg.`{ice_tbl}` RETAIN 1 HOURS")
+
+
+def test_rewrite_leaves_no_temp_views(spark, delta_tbl):
+    before = {
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__lh_sql_")
+    }
+    lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM delta.`{delta_tbl}`"
+    ).collect()
+    after = {
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("__lh_sql_")
+    }
+    assert after <= before
