@@ -6904,3 +6904,78 @@ def sql_merge_sync_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if delta_lite.snapshot(tbl).version != v_before + 1:
         raise RuntimeError("sync MERGE must land as exactly one commit")
     return delta_lite.read_delta(spark, tbl)
+
+
+@register(
+    "sql_wap_branch_lifecycle",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    staged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderkey % 11 = 3 AND o_orderkey % 2 = 0
+    )
+    SELECT * FROM base
+    UNION ALL
+    SELECT * FROM staged
+    """,
+)
+def sql_wap_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish entirely as SQL text (round 10, fifth
+    session): CREATE BRANCH → INSERT INTO ... BRANCH (main asserted
+    unchanged in-gate) → CALL fast_forward (publish) → CREATE TAG →
+    a later DELETE on main → read VERSION AS OF '<tag>' — the tag
+    must still see exactly the published state, which is the oracle.
+    Branch commits, ref resolution, pointer-advance publish, and
+    named-ref time travel all ride one gate."""
+    from ..sources import iceberg_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-sql-wap-") + "/t"
+    iceberg_lite.write_iceberg(
+        spark, base.where(F.col("o_orderkey") % 11 == 0), tbl
+    )
+    base.where(
+        (F.col("o_orderkey") % 11 == 3) & (F.col("o_orderkey") % 2 == 0)
+    ).createOrReplaceTempView("__gate_wap_staged")
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{tbl}` CREATE BRANCH audit")
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO iceberg.`{tbl}` BRANCH audit "
+        "SELECT * FROM __gate_wap_staged",
+    )
+    main_rows = lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM iceberg.`{tbl}`"
+    ).first()["n"]
+    branch_rows = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM iceberg.`{tbl}` VERSION AS OF 'audit'",
+    ).first()["n"]
+    if not (branch_rows > main_rows):
+        raise RuntimeError("branch write leaked into main before publish")
+    lakehouse_sql(
+        spark,
+        f"CALL system.fast_forward(iceberg.`{tbl}`, "
+        "source_branch => 'audit')",
+    )
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{tbl}` CREATE TAG published")
+    lakehouse_sql(
+        spark, f"DELETE FROM iceberg.`{tbl}` WHERE o_orderkey % 4 = 0"
+    )
+    return lakehouse_sql(
+        spark,
+        f"SELECT * FROM iceberg.`{tbl}` VERSION AS OF 'published'",
+    )

@@ -177,8 +177,9 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 fifth session: everything promoted to BASELINES with
-    # the 2026-08-16 14:23 quiet-run normalized times)
+    # post-promotion fifth-session addition: WAP-as-SQL lifecycle
+    # (promotes with its first quiet-run number, standing rule)
+    "sql_wap_branch_lifecycle",
 ]
 
 
