@@ -122,7 +122,8 @@ def test_driver_window_covers_every_operator_family():
     # DDL), then the 31 OLDEST green rows — the r1-era block plus the
     # oldest r3 rows.  Sentinels: never-checked round-10 gates plus
     # staleness representatives from both eras.
-    for sentinel in ("src_iceberg_v3_dv_read", "sink_iceberg_v3_dv_merge",
+    for sentinel in ("sql_merge_canonical", "sql_merge_sync_by_source",
+                     "src_iceberg_v3_dv_read", "sink_iceberg_v3_dv_merge",
                      "src_iceberg_v3_row_lineage", "src_delta_nested_mapping",
                      "sink_delta_dv_merge", "sink_delta_dv_update",
                      "sink_delta_row_tracking",
