@@ -164,6 +164,9 @@ BASELINES = {
     "sql_merge_general_clauses": (2.422, 10),
     "sql_ctas_ddl_lifecycle": (0.967, 10),
     "sql_merge_sync_by_source": (2.607, 10),
+    # close-out quiet run (2026-08-16 16:07, md5 calib 0.0984, shuffle
+    # probe 0.59 s — slow-but-consistent host, regressions {}):
+    "sql_wap_branch_lifecycle": (0.994, 10),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -177,9 +180,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # post-promotion fifth-session addition: WAP-as-SQL lifecycle
-    # (promotes with its first quiet-run number, standing rule)
-    "sql_wap_branch_lifecycle",
+    # (round-10 close: all 102 queries gated; nothing extended)
 ]
 
 
