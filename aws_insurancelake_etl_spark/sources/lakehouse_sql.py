@@ -393,6 +393,32 @@ _CLAUSE_KEYWORDS = frozenset({
 # ----------------------------------------------------------- dispatch
 
 
+def lakehouse_sql_script(spark: SparkSession, script: str) -> DataFrame:
+    """Run a ``;``-separated script (the reference's SQL-file shape,
+    ``etl_cleanse_to_consume.py:212-223`` splits view DDL the same
+    way) sequentially through :func:`lakehouse_sql`; returns the LAST
+    statement's frame.  Semicolons inside strings/backticks/comments
+    do not split."""
+    toks = _tokenize(script, strict=False)
+    stmts: list[str] = []
+    start = 0
+    for t in toks:
+        if t.kind == "punct" and t.text == ";":
+            stmt = script[start:t.start].strip()
+            if stmt:
+                stmts.append(stmt)
+            start = t.end
+    tail = script[start:].strip()
+    if tail:
+        stmts.append(tail)
+    if not stmts:
+        raise LakehouseSqlError("empty SQL script")
+    out = None
+    for stmt in stmts:
+        out = lakehouse_sql(spark, stmt)
+    return out
+
+
 def lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run one SQL statement against lakehouse paths.  Always returns a
     DataFrame: query results for SELECT, a two-column

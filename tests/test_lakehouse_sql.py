@@ -905,3 +905,21 @@ def test_rewrite_leaves_no_temp_views(spark, delta_tbl):
         if t.name.startswith("__lh_sql_")
     }
     assert after <= before
+
+
+def test_script_runs_statements_in_order(spark, tmp_path):
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+    )
+
+    path = str(tmp_path / "script")
+    out = lakehouse_sql_script(
+        spark,
+        f"""
+        CREATE TABLE delta.`{path}` AS SELECT 1 AS id, 'a;b' AS v;
+        INSERT INTO delta.`{path}` VALUES (2, 'c');
+        UPDATE delta.`{path}` SET v = 'Z' WHERE id = 2;
+        SELECT * FROM delta.`{path}` ORDER BY id
+        """,
+    )
+    assert _rows(out, "id", "v") == [(1, "a;b"), (2, "Z")]

@@ -624,3 +624,64 @@ def test_dq_rule_parser_total(spark, fragments):
         compiler.compile(text)
     except DQRuleError:
         pass
+
+
+# --------------------------------------------------- SQL front-end fuzz
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=120,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sql_tokenizer_total_on_printable_ascii(s):
+    """Strict tokenization either succeeds or raises the module's own
+    error — never IndexError/AttributeError; lenient mode never raises
+    at all (the SELECT-rewrite path must accept anything Catalyst
+    might)."""
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        LakehouseSqlError,
+        _tokenize,
+    )
+
+    try:
+        _tokenize(s, strict=True)
+    except LakehouseSqlError:
+        pass
+    _tokenize(s, strict=False)  # must be total
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["MERGE", "INTO", "USING", "ON", "WHEN", "MATCHED", "THEN",
+             "UPDATE", "SET", "DELETE", "INSERT", "VALUES", "NOT", "AND",
+             "SELECT", "FROM", "WHERE", "*", "(", ")", ",", "=", ".",
+             "t", "s", "x", "'lit'", "1", "CASE", "END", "delta",
+             "`"]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sql_parser_raises_only_named_errors(words):
+    """Arbitrary keyword soup must produce LakehouseSqlError (or parse
+    into a plan whose ANALYSIS may fail later) — never an internal
+    IndexError/KeyError/UnboundLocalError from the parser itself.
+    Statements that would touch Spark are cut off by using an
+    unresolvable path, so no session is needed."""
+    from aws_insurancelake_etl_spark.sources import lakehouse_sql as m
+
+    sql = " ".join(words)
+
+    class _NoSpark:
+        def __getattr__(self, item):  # any spark use aborts the test path
+            raise m.LakehouseSqlError("spark touched")
+
+    try:
+        m.lakehouse_sql(_NoSpark(), sql)
+    except m.LakehouseSqlError:
+        pass
