@@ -66,6 +66,7 @@ def collect_to_cleanse(
     config: DatasetConfig,
     partition: dict[str, str],
     allow_schema_change: str = "permissive",
+    table_format: str = "parquet",
 ) -> StageResult:
     spark = ctx.spark
     execution_id = str(ctx.arg("execution_id", "local-run"))
@@ -105,7 +106,10 @@ def collect_to_cleanse(
     if ctx.lineage is not None:
         write_df, finish_audit = ctx.lineage.numeric_audit_observed(df)
 
-    write_cleanse_table(write_df, database, table, partition, ctx, allow_schema_change)
+    write_cleanse_table(
+        write_df, database, table, partition, ctx, allow_schema_change,
+        table_format=table_format,
+    )
     observed_rows = None
     if finish_audit is not None:
         observed_rows = finish_audit().get("row_count")

@@ -41,10 +41,62 @@ def write_cleanse_table(
     partition: dict[str, str],
     ctx: RunContext,
     allow_schema_change: str = "permissive",
+    table_format: str = "parquet",
+    table_location: str | None = None,
 ) -> None:
     """Idempotent per-partition append: schema gate → drop partition →
-    dynamic-partition append saveAsTable."""
+    dynamic-partition append saveAsTable.
+
+    ``table_format="delta"|"iceberg"`` lands the Cleanse zone on a
+    TRANSACTIONAL table instead of hive parquet: the partition clear is
+    a partition-aligned DELETE (metadata-only on both formats — y/m/d
+    are identity partition columns), the append is the format's own
+    commit with its schema gate (``strict`` maps to the format's exact-
+    schema append; anything looser appends with evolution), every load
+    stays time-travelable, and the table registers under
+    ``database.table`` in the SQL front-end's name registry so consume
+    SQL files keep referencing it by name."""
     spark = ctx.spark
+    if table_format in ("delta", "iceberg"):
+        import os
+
+        from ..sources import delta_lite, iceberg_lite
+        from ..sources.lakehouse_sql import register_table
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        path = table_location or os.path.join(
+            warehouse, f"{database}.lakehouse", table
+        )
+        pred = " AND ".join(
+            f"{k} = '{v}'" for k, v in partition.items()
+        )
+        if table_format == "delta":
+            if delta_lite.is_delta_table(path):
+                delta_lite.delete_delta(spark, path, pred)
+            delta_lite.write_delta(
+                df, path, partition_by=PARTITION_KEYS,
+                schema_mode=(
+                    "strict" if allow_schema_change == "strict" else "evolve"
+                ),
+            )
+        else:
+            os.makedirs(path, exist_ok=True)
+            if iceberg_lite.is_iceberg_table(path):
+                iceberg_lite.delete_iceberg(spark, path, pred)
+            iceberg_lite.write_iceberg(
+                spark, df, path, partition_by=PARTITION_KEYS
+            )
+        try:
+            register_table(f"{database}.{table}", table_format, path)
+        except Exception:
+            pass  # non-identifier db/table names stay path-addressed
+        ctx.log_lineage(
+            "write", df=df, table=f"{database}.{table}",
+            partition=partition,
+        )
+        return
     create_database(spark, database)
     new_schema = [
         {"Name": field.name, "Type": field.dataType.simpleString()}

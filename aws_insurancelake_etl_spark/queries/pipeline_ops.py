@@ -11,6 +11,7 @@ the oracle reproduces only the *expected output* in ANSI SQL.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import uuid
@@ -6979,3 +6980,75 @@ def sql_wap_branch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"SELECT * FROM iceberg.`{tbl}` VERSION AS OF 'published'",
     )
+
+
+@register(
+    "pipeline_cleanse_lakehouse",
+    """
+    SELECT c_custkey AS customer_id,
+           c_name AS name,
+           CAST(CAST(c_acctbal AS DECIMAL(16,2)) AS DOUBLE) AS acct_balance,
+           c_mktsegment AS market_segment,
+           'retail' AS lineofbusiness,
+           '2024' AS year, '06' AS month, '15' AS day
+    FROM customer
+    WHERE c_acctbal >= 0 AND c_mktsegment <> 'MACHINERY'
+    """,
+)
+def pipeline_cleanse_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Collect-to-Cleanse pipeline landing on a TRANSACTIONAL
+    delta table (round 10, fifth session): same config/transform/DQ
+    path as ``pipeline_collect_to_cleanse``, but
+    ``table_format='delta'`` — the partition clear is a partition-
+    aligned DELETE, the load is one commit, and the gate runs the stage
+    TWICE to prove per-partition idempotence on the lakehouse shape
+    before reading the table back through the SQL front-end's name
+    registry."""
+    from ..config import load_dataset_config
+    from ..context import RunContext
+    from ..plans.pipeline import collect_to_cleanse
+    from ..sources.lakehouse_sql import lakehouse_sql, unregister_table
+
+    root = tempfile.mkdtemp(prefix="gate-lh-cleanse-")
+    (
+        t(spark, sf_dir, "customer")
+        .coalesce(1)
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(f"{root}/drop")
+    )
+    shutil.rmtree(f"{root}/drop/_temporary", ignore_errors=True)
+    src = f"{root}/drop"
+    db = "gate_lh_cleanse"
+    config_dir = f"{root}/etl-config"
+    os.makedirs(config_dir)
+    with open(f"{config_dir}/{db}-customers.json", "w") as fh:
+        json.dump(_PIPE_SPEC, fh)
+    with open(f"{config_dir}/{db}-customers.csv", "w") as fh:
+        fh.write(_PIPE_MAPPING)
+    with open(f"{config_dir}/dq-{db}-customers.json", "w") as fh:
+        json.dump(_PIPE_DQ, fh)
+    cfg = load_dataset_config(config_dir, db, "customers")
+    ctx = RunContext(
+        spark=spark,
+        args={"execution_id": "gate-lh", "base_file_name": "customers.csv"},
+    )
+    try:
+        for _ in range(2):  # idempotence on the lakehouse shape
+            collect_to_cleanse(
+                ctx, src, db, "customers", cfg,
+                {"year": "2024", "month": "06", "day": "15"},
+                table_format="delta",
+            )
+        out = lakehouse_sql(
+            spark,
+            "SELECT customer_id, name, acct_balance, market_segment, "
+            "lineofbusiness, year, month, day "
+            f"FROM {db}.customers",
+        )
+        out = out.withColumn(
+            "acct_balance", F.col("acct_balance").cast("double")
+        )
+        return out.localCheckpoint()
+    finally:
+        unregister_table(f"{db}.customers")

@@ -180,7 +180,9 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: all 102 queries gated; nothing extended)
+    # post-close addition: the lakehouse cleanse zone (promotes with
+    # its first quiet-run number, standing rule)
+    "pipeline_cleanse_lakehouse",
 ]
 
 

@@ -282,3 +282,62 @@ def test_consume_sql_reads_lakehouse_refs(ctx, spark, tmp_path):
     )
     got = sorted((r["id"], r["region"]) for r in res.df.collect())
     assert got == [(1, "EAST"), (2, "WEST"), (3, "EAST")]
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_cleanse_zone_on_lakehouse_table(ctx, spark, tmp_path, fmt):
+    """Collect-to-Cleanse with table_format=delta|iceberg: the write is
+    a transactional commit, a re-run of the SAME partition is
+    idempotent (partition-aligned DELETE then append), and downstream
+    consume SQL reads the table by NAME through the registry."""
+    import csv as _csv
+
+    from aws_insurancelake_etl_spark.config import DatasetConfig
+    from aws_insurancelake_etl_spark.plans.pipeline import (
+        cleanse_to_consume,
+        collect_to_cleanse,
+    )
+    from aws_insurancelake_etl_spark.sources import delta_lite, iceberg_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    src = tmp_path / "drop.csv"
+    with open(src, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["policy_id", "premium"])
+        w.writerows([[1, "100.5"], [2, "200.25"], [3, "-5"]])
+    cfg = DatasetConfig(
+        input_spec={"csv": {"header": True}},
+        transform_spec={
+            "changetype": {"premium": "Decimal(16,2)"},
+            "filterrows": [{"condition": "premium >= 0"}],
+        },
+        mapping=None,
+        dq_rules={},
+    )
+    db = f"lkz_{fmt}"
+    part = {"year": "2026", "month": "08", "day": "16"}
+    for _ in range(2):  # second run must be idempotent
+        res = collect_to_cleanse(
+            ctx, str(src), db, "policies", cfg, part,
+            table_format=fmt,
+        )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    path = f"{warehouse}/{db}.lakehouse/policies"
+    read = (
+        delta_lite.read_delta(spark, path)
+        if fmt == "delta"
+        else iceberg_lite.read_iceberg(spark, path)
+    )
+    assert read.count() == 2  # filtered, not doubled
+    try:
+        out = cleanse_to_consume(
+            ctx,
+            f"SELECT policy_id, premium * 2 AS dbl FROM {db}.policies",
+            database=db + "_consume",
+            table="policy_dbl",
+        )
+        assert sorted(r["policy_id"] for r in out.df.collect()) == [1, 2]
+    finally:
+        unregister_table(f"{db}.policies")
