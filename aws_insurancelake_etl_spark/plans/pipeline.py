@@ -126,6 +126,7 @@ def cleanse_to_consume(
     table: str,
     config: DatasetConfig | None = None,
     substitutions: dict | None = None,
+    table_format: str = "parquet",
 ) -> StageResult:
     spark = ctx.spark
     execution_id = str(ctx.arg("execution_id", "local-run"))
@@ -154,7 +155,9 @@ def cleanse_to_consume(
     qwriter = quarantine_writer(ctx, database, partition, execution_id)
     df, _ = run_dq_stage(df, dq_rules, "after_sparksql", ctx, target_table, qwriter)
 
-    write_consume_table(df, database, target_table, ctx)
+    write_consume_table(
+        df, database, target_table, ctx, table_format=table_format
+    )
 
     if config and config.view_sql:
         create_database(spark, database)

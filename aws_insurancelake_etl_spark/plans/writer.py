@@ -121,9 +121,57 @@ def write_consume_table(
     table: str,
     ctx: RunContext,
     partition_keys: list[str] | None = None,
+    table_format: str = "parquet",
+    table_location: str | None = None,
 ) -> None:
-    """Full-table rewrite: the Consume table is rebuilt every run."""
+    """Full-table rewrite: the Consume table is rebuilt every run.
+
+    ``table_format="delta"|"iceberg"``: the rebuild is ONE transactional
+    overwrite commit (delta ``mode=overwrite`` / iceberg REPLACE
+    snapshot) instead of a drop-and-recreate — readers mid-rebuild see
+    the previous version, never a half-written table — and the name
+    registers for SQL-by-name access."""
     spark = ctx.spark
+    if table_format in ("delta", "iceberg"):
+        import os
+
+        from ..sources import delta_lite, iceberg_lite
+        from ..sources.lakehouse_sql import register_table
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        path = table_location or os.path.join(
+            warehouse, f"{database}.lakehouse", table
+        )
+        keys = partition_keys if partition_keys is not None else PARTITION_KEYS
+        keys = [k for k in keys if k in df.columns]
+        if table_format == "delta":
+            delta_lite.write_delta(
+                df, path,
+                mode=(
+                    "overwrite" if delta_lite.is_delta_table(path)
+                    else "append"
+                ),
+                partition_by=keys or None,
+                schema_mode="evolve",
+            )
+        else:
+            os.makedirs(path, exist_ok=True)
+            if iceberg_lite.is_iceberg_table(path):
+                iceberg_lite.overwrite_iceberg(spark, df, path)
+            else:
+                iceberg_lite.write_iceberg(
+                    spark, df, path, partition_by=keys or None
+                )
+        try:
+            register_table(f"{database}.{table}", table_format, path)
+        except Exception:
+            pass
+        ctx.log_lineage(
+            "write", df=df, table=f"{database}.{table}", mode="rewrite"
+        )
+        return
     create_database(spark, database)
     keys = partition_keys if partition_keys is not None else PARTITION_KEYS
     keys = [k for k in keys if k in df.columns]

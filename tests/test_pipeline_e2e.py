@@ -341,3 +341,40 @@ def test_cleanse_zone_on_lakehouse_table(ctx, spark, tmp_path, fmt):
         assert sorted(r["policy_id"] for r in out.df.collect()) == [1, 2]
     finally:
         unregister_table(f"{db}.policies")
+
+
+def test_consume_zone_on_lakehouse_rebuild(ctx, spark, tmp_path):
+    """cleanse_to_consume(table_format='iceberg'): the full-table
+    rebuild is a REPLACE snapshot — a second run overwrites in ONE
+    commit and the previous consume state stays travelable."""
+    from aws_insurancelake_etl_spark.plans.pipeline import cleanse_to_consume
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, v double"
+    ).createOrReplaceTempView("consume_src")
+    db = "lkz_consume_ice"
+    try:
+        cleanse_to_consume(
+            ctx, "SELECT id, v FROM consume_src", database=db,
+            table="agg", table_format="iceberg",
+        )
+        cleanse_to_consume(
+            ctx, "SELECT id, v * 2 AS v FROM consume_src", database=db,
+            table="agg", table_format="iceberg",
+        )
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir"
+        ).replace("file:", "")
+        path = f"{warehouse}/{db}.lakehouse/agg"
+        now = iceberg_lite.read_iceberg(spark, path)
+        assert sorted(r["v"] for r in now.collect()) == [20.0, 40.0]
+        snaps = iceberg_lite.snapshot_ids(path)
+        assert len(snaps) == 2
+        old = iceberg_lite.read_iceberg(spark, path, snapshot_id=snaps[0])
+        assert sorted(r["v"] for r in old.collect()) == [10.0, 20.0]
+    finally:
+        unregister_table(f"{db}.agg")
