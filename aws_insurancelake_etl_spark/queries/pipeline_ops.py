@@ -7019,7 +7019,7 @@ def pipeline_cleanse_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(f"{root}/drop/_temporary", ignore_errors=True)
     src = f"{root}/drop"
-    db = "gate_lh_cleanse"
+    db = f"gate_lh_cleanse_{uuid.uuid4().hex[:8]}"
     config_dir = f"{root}/etl-config"
     os.makedirs(config_dir)
     with open(f"{config_dir}/{db}-customers.json", "w") as fh:
