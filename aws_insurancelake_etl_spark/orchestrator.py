@@ -63,8 +63,13 @@ def run_pipeline(
     audit_log: str | None = None,
     entitymatch_spec: dict | None = None,
     allow_schema_change: str = "permissive",
+    table_format: str = "parquet",
 ) -> dict:
-    """Run the full pipeline for one dropped file; returns a run summary."""
+    """Run the full pipeline for one dropped file; returns a run summary.
+
+    ``table_format="delta"|"iceberg"`` lands BOTH zones on
+    transactional tables (partition-aligned clears, one-commit
+    rebuilds, time travel, SQL-by-name via the registry)."""
     args = parse_drop_path(dropped_file, landing_root)
     database, table = args["database"], args["table"]
     execution_id = str(uuid.uuid4())
@@ -82,7 +87,8 @@ def run_pipeline(
                      "partition": args["partition"], "stages": []}
 
     result = collect_to_cleanse(
-        ctx, dropped_file, database, table, config, args["partition"], allow_schema_change
+        ctx, dropped_file, database, table, config, args["partition"],
+        allow_schema_change, table_format=table_format,
     )
     summary["stages"].append("collect_to_cleanse")
     # The row count was observed inside the cleanse write job itself
@@ -102,6 +108,7 @@ def run_pipeline(
             table=table,
             config=config,
             substitutions={"database": database, "table": table, **args["partition"]},
+            table_format=table_format,
         )
         summary["stages"].append("cleanse_to_consume")
         if entitymatch_spec:

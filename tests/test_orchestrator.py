@@ -156,3 +156,55 @@ def test_succeeded_run_records_row_count_for_drift_history(spark, tmp_path):
     item = [i for i in audit.items().values()
             if i["source_key"] == "rcdb/t"][0]
     assert item["row_count"] == 3 and item["job_latest_status"] == "SUCCEEDED"
+
+
+def test_run_pipeline_lakehouse_zones(spark, tmp_path):
+    """run_pipeline(table_format='delta'): both zones land on
+    transactional tables, consume SQL resolves the cleanse table by
+    NAME through the registry, and a re-drop of the same partition is
+    idempotent."""
+    from aws_insurancelake_etl_spark.sources import delta_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        registered_tables,
+        unregister_table,
+    )
+
+    landing = tmp_path / "landing"
+    drop = landing / "lkdb" / "claims" / "2024" / "01" / "15"
+    drop.mkdir(parents=True)
+    (drop / "claims-day1.csv").write_text(
+        "ClaimNo,Amount,Status\n1,100.50,open\n2,200.00,closed\n"
+    )
+    config_dir = tmp_path / "cfg"
+    config_dir.mkdir()
+    (config_dir / "lkdb-claims.json").write_text(json.dumps({
+        "input_spec": {"csv": {"header": True}},
+        "transform_spec": {"titlecase": ["status"]},
+    }))
+    (config_dir / "spark-lkdb-claims.sql").write_text(
+        "SELECT claimno, status, year, month, day FROM {database}.{table}"
+    )
+    try:
+        for _ in range(2):  # re-drop of the same partition: idempotent
+            summary = run_pipeline(
+                spark,
+                str(drop / "claims-day1.csv"),
+                landing_root=str(landing),
+                config_dir=str(config_dir),
+                table_format="delta",
+            )
+        assert summary["stages"] == [
+            "collect_to_cleanse", "cleanse_to_consume",
+        ]
+        regs = registered_tables()
+        assert "lkdb.claims" in regs and "lkdb_consume.claims" in regs
+        cl_path = regs["lkdb.claims"][1]
+        co_path = regs["lkdb_consume.claims"][1]
+        assert delta_lite.read_delta(spark, cl_path).count() == 2
+        assert delta_lite.read_delta(spark, co_path).count() == 2
+        # the consume rebuild committed per run: versions advanced,
+        # previous state travelable
+        assert delta_lite.snapshot(co_path).version >= 1
+    finally:
+        unregister_table("lkdb.claims")
+        unregister_table("lkdb_consume.claims")
