@@ -60,12 +60,17 @@ _MODULES = (
 # the remaining r3 rows rotate in r11.  Fifth session: the 3 new SQL
 # front-end gates take the head (never outranks stale); 3 non-sentinel
 # r1 rows whose operator family keeps another window representative
-# (setops/tr/window) step back to the r11 rotation.
+# (setops/tr/window) step back to the r11 rotation.  Late fifth
+# session: the WAP-lifecycle and lakehouse-pipeline gates join
+# (never-checked); q19/q20 (the TPC-H family keeps 8 other window
+# representatives) rotate to r11.
 DRIVER_WINDOW: tuple[str, ...] = (
     "sql_merge_canonical",  # never (round-10 fifth session, SQL front-end)
     "sql_merge_general_clauses",  # never (round-10 fifth session)
     "sql_ctas_ddl_lifecycle",  # never (round-10 fifth session)
     "sql_merge_sync_by_source",  # never (round-10 fifth session)
+    "sql_wap_branch_lifecycle",  # never (round-10 fifth session)
+    "pipeline_cleanse_lakehouse",  # never (round-10 fifth session)
     "src_iceberg_v3_dv_read",  # never
     "sink_iceberg_v3_dv_merge",  # never
     "src_iceberg_v3_row_lineage",  # never
@@ -89,8 +94,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink_delta_timestamp_ntz",  # never (round-10 fourth session)
     "q16_supplier_count",  # last green r1
     "q18_top_large_orders",  # last green r1
-    "q19_disjunctive_revenue",  # last green r1
-    "q20_promo_part_suppliers",  # last green r1
     "q21_sole_failing_supplier",  # last green r1
     "q22_wealthy_inactive",  # last green r1
     "q5_region_supplier_revenue",  # last green r1
