@@ -167,6 +167,9 @@ BASELINES = {
     # close-out quiet run (2026-08-16 16:07, md5 calib 0.0984, shuffle
     # probe 0.59 s — slow-but-consistent host, regressions {}):
     "sql_wap_branch_lifecycle": (0.994, 10),
+    # final close-out quiet run (2026-08-16 17:03, md5 calib 0.0727,
+    # shuffle probe 0.50 s, regressions {}):
+    "pipeline_cleanse_lakehouse": (2.176, 10),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -180,9 +183,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # post-close addition: the lakehouse cleanse zone (promotes with
-    # its first quiet-run number, standing rule)
-    "pipeline_cleanse_lakehouse",
+    # (round-10 close: all 103 queries gated; nothing extended)
 ]
 
 
