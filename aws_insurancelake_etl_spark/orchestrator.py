@@ -112,25 +112,71 @@ def run_pipeline(
         )
         summary["stages"].append("cleanse_to_consume")
         if entitymatch_spec:
-            primary_table = f"{database}_consume.{entitymatch_spec['primary_entity_table']}"
-            if spark.catalog.tableExists(primary_table):
-                primary = spark.table(primary_table)
-                matched = entity_match(consume.df, primary, entitymatch_spec,
-                                       persist_intermediates=True)
-                merge_into_primary(
-                    spark, matched, primary_table, entitymatch_spec["global_id_field"]
-                )
-            else:
-                from pyspark.sql import functions as F  # noqa: PLC0415
+            from pyspark.sql import functions as F  # noqa: PLC0415
 
-                gid = entitymatch_spec["global_id_field"]
-                first = consume.df.withColumn(
-                    gid,
-                    F.coalesce(
-                        F.col(gid) if gid in consume.df.columns else F.lit(None), F.expr("uuid()")
-                    ),
+            gid = entitymatch_spec["global_id_field"]
+            primary_name = entitymatch_spec["primary_entity_table"]
+            if table_format in ("delta", "iceberg"):
+                # lakehouse primary: a transactional path table upserted
+                # through the SQL front-end's MERGE (one commit)
+                from .plans.writer import lakehouse_table_path  # noqa: PLC0415
+                from .sources import delta_lite, iceberg_lite  # noqa: PLC0415
+
+                ppath = lakehouse_table_path(
+                    spark, f"{database}_consume", primary_name
                 )
-                first.write.mode("overwrite").format("parquet").saveAsTable(primary_table)
+                exists = (
+                    delta_lite.is_delta_table(ppath)
+                    if table_format == "delta"
+                    else iceberg_lite.is_iceberg_table(ppath)
+                )
+                if exists:
+                    primary = (
+                        delta_lite.read_delta(spark, ppath)
+                        if table_format == "delta"
+                        else iceberg_lite.read_iceberg(spark, ppath)
+                    )
+                    matched = entity_match(
+                        consume.df, primary, entitymatch_spec,
+                        persist_intermediates=True,
+                    )
+                    merge_into_primary(
+                        spark, matched,
+                        f"{table_format}.`{ppath}`", gid,
+                    )
+                else:
+                    first = consume.df.withColumn(
+                        gid,
+                        F.coalesce(
+                            F.col(gid) if gid in consume.df.columns
+                            else F.lit(None),
+                            F.expr("uuid()"),
+                        ),
+                    )
+                    if table_format == "delta":
+                        delta_lite.write_delta(first, ppath)
+                    else:
+                        import os as _os  # noqa: PLC0415
+
+                        _os.makedirs(ppath, exist_ok=True)
+                        iceberg_lite.write_iceberg(spark, first, ppath)
+            else:
+                primary_table = f"{database}_consume.{primary_name}"
+                if spark.catalog.tableExists(primary_table):
+                    primary = spark.table(primary_table)
+                    matched = entity_match(consume.df, primary, entitymatch_spec,
+                                           persist_intermediates=True)
+                    merge_into_primary(
+                        spark, matched, primary_table, gid
+                    )
+                else:
+                    first = consume.df.withColumn(
+                        gid,
+                        F.coalesce(
+                            F.col(gid) if gid in consume.df.columns else F.lit(None), F.expr("uuid()")
+                        ),
+                    )
+                    first.write.mode("overwrite").format("parquet").saveAsTable(primary_table)
             summary["stages"].append("entity_match")
 
     if audit_log:

@@ -164,5 +164,26 @@ def cleanse_to_consume(
         for statement in config.view_sql.split(";"):
             statement = statement.strip()
             if statement:
-                spark.sql(statement.format(**(substitutions or {})))
+                _run_view_statement(
+                    spark, statement.format(**(substitutions or {}))
+                )
     return StageResult(df=df, database=database, table=target_table)
+
+
+def _run_view_statement(spark, statement: str) -> None:
+    """View DDL may reference lakehouse tables (paths or registered
+    names).  Those rewrite to TEMP views, and Spark refuses a permanent
+    view over a temporary one — so when a rewrite happened, the created
+    view becomes TEMPORARY too (the underlying __lh views are kept for
+    the session: the view's stored plan references them by name)."""
+    from ..sources.lakehouse_sql import _rewrite_reads
+
+    views: list = []
+    rewritten = _rewrite_reads(spark, statement, views)
+    if views and re.match(
+        r"\s*create\s+(or\s+replace\s+)?view\b", rewritten, re.IGNORECASE
+    ):
+        rewritten = re.sub(
+            r"(?i)\bview\b", "TEMPORARY VIEW", rewritten, count=1
+        )
+    spark.sql(rewritten)

@@ -24,6 +24,76 @@ from ..context import RunContext
 PARTITION_KEYS = ["year", "month", "day"]
 
 
+def lakehouse_table_path(
+    spark, database: str, table: str, table_location: str | None = None
+) -> str:
+    """Resolve a lakehouse zone table's directory under the session
+    warehouse (``<warehouse>/<database>.lakehouse/<table>``)."""
+    import os
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    if warehouse.startswith("file:"):
+        warehouse = warehouse.removeprefix("file:")
+    return table_location or os.path.join(
+        warehouse, f"{database}.lakehouse", table
+    )
+
+
+def _register_lakehouse(database: str, table: str, fmt: str, path: str) -> None:
+    from ..sources.lakehouse_sql import register_table
+
+    try:
+        register_table(f"{database}.{table}", fmt, path)
+    except Exception:
+        pass  # non-identifier db/table names stay path-addressed
+
+
+def _lakehouse_schema_gate(
+    spark, fmt: str, path: str, df, allow_schema_change: str
+) -> bool:
+    """Apply the SAME evolution policy matrix the parquet path enforces
+    (catalog.check_schema_change: strict/reorder/evolve/permissive,
+    invalid policies raise) against the lakehouse table's CURRENT
+    schema.  Returns whether the table exists."""
+    from ..catalog import check_schema_change
+    from ..sources import delta_lite, iceberg_lite
+
+    if fmt == "delta":
+        exists = delta_lite.is_delta_table(path)
+        cur = delta_lite.snapshot(path).schema if exists else None
+    else:
+        exists = iceberg_lite.is_iceberg_table(path)
+        cur = None
+        if exists:
+            from ..sources.iceberg_lite import (
+                _load_metadata,
+                _spark_schema_from_meta,
+            )
+
+            cur = _spark_schema_from_meta(_load_metadata(path))
+    if not exists or cur is None:
+        # still validate the policy STRING (typos must raise here too)
+        check_schema_change([], [], allow_schema_change)
+        return exists
+    existing = [
+        {"Name": f.name, "Type": f.dataType.simpleString()}
+        for f in cur.fields
+    ]
+    incoming = [
+        {"Name": f.name, "Type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+    if not check_schema_change(existing, incoming, allow_schema_change):
+        raise RuntimeError(
+            f"Schema change for lakehouse table {path} is not allowed "
+            f"under policy {allow_schema_change!r}: {existing} -> "
+            f"{incoming}"
+        )
+    return exists
+
+
 def add_partition_columns(df: DataFrame, partition: dict[str, str],
                           execution_id: str | None = None) -> DataFrame:
     """Inject zero-padded y/m/d string partition columns (+ execution_id),
@@ -61,37 +131,31 @@ def write_cleanse_table(
         import os
 
         from ..sources import delta_lite, iceberg_lite
-        from ..sources.lakehouse_sql import register_table
 
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).replace("file:", "")
-        path = table_location or os.path.join(
-            warehouse, f"{database}.lakehouse", table
+        path = lakehouse_table_path(spark, database, table, table_location)
+        # the SAME four-policy evolution matrix the parquet path runs
+        # (strict/reorder/evolve/permissive; bad policy strings raise)
+        exists = _lakehouse_schema_gate(
+            spark, table_format, path, df, allow_schema_change
         )
         pred = " AND ".join(
             f"{k} = '{v}'" for k, v in partition.items()
         )
         if table_format == "delta":
-            if delta_lite.is_delta_table(path):
+            if exists:
                 delta_lite.delete_delta(spark, path, pred)
             delta_lite.write_delta(
                 df, path, partition_by=PARTITION_KEYS,
-                schema_mode=(
-                    "strict" if allow_schema_change == "strict" else "evolve"
-                ),
+                schema_mode="evolve",  # policy already enforced above
             )
         else:
             os.makedirs(path, exist_ok=True)
-            if iceberg_lite.is_iceberg_table(path):
+            if exists:
                 iceberg_lite.delete_iceberg(spark, path, pred)
             iceberg_lite.write_iceberg(
                 spark, df, path, partition_by=PARTITION_KEYS
             )
-        try:
-            register_table(f"{database}.{table}", table_format, path)
-        except Exception:
-            pass  # non-identifier db/table names stay path-addressed
+        _register_lakehouse(database, table, table_format, path)
         ctx.log_lineage(
             "write", df=df, table=f"{database}.{table}",
             partition=partition,
@@ -134,16 +198,11 @@ def write_consume_table(
     spark = ctx.spark
     if table_format in ("delta", "iceberg"):
         import os
+        import shutil as _shutil
 
         from ..sources import delta_lite, iceberg_lite
-        from ..sources.lakehouse_sql import register_table
 
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).replace("file:", "")
-        path = table_location or os.path.join(
-            warehouse, f"{database}.lakehouse", table
-        )
+        path = lakehouse_table_path(spark, database, table, table_location)
         keys = partition_keys if partition_keys is not None else PARTITION_KEYS
         keys = [k for k in keys if k in df.columns]
         if table_format == "delta":
@@ -159,15 +218,32 @@ def write_consume_table(
         else:
             os.makedirs(path, exist_ok=True)
             if iceberg_lite.is_iceberg_table(path):
-                iceberg_lite.overwrite_iceberg(spark, df, path)
+                from ..sources.iceberg_lite import (
+                    _load_metadata,
+                    _spark_schema_from_meta,
+                )
+
+                cur = _spark_schema_from_meta(_load_metadata(path))
+                same_cols = cur is not None and sorted(
+                    f.name for f in cur.fields
+                ) == sorted(df.columns)
+                if same_cols:
+                    iceberg_lite.overwrite_iceberg(spark, df, path)
+                else:
+                    # the consume SQL changed its column set: mirror the
+                    # parquet path's drop-and-recreate (the rewrite is
+                    # authoritative; wedging on the old schema is worse
+                    # than losing its travel history)
+                    _shutil.rmtree(path)
+                    os.makedirs(path, exist_ok=True)
+                    iceberg_lite.write_iceberg(
+                        spark, df, path, partition_by=keys or None
+                    )
             else:
                 iceberg_lite.write_iceberg(
                     spark, df, path, partition_by=keys or None
                 )
-        try:
-            register_table(f"{database}.{table}", table_format, path)
-        except Exception:
-            pass
+        _register_lakehouse(database, table, table_format, path)
         ctx.log_lineage(
             "write", df=df, table=f"{database}.{table}", mode="rewrite"
         )

@@ -402,15 +402,18 @@ def lakehouse_sql_script(spark: SparkSession, script: str) -> DataFrame:
     toks = _tokenize(script, strict=False)
     stmts: list[str] = []
     start = 0
+
+    def _keep(segment: str) -> None:
+        # a comment-only segment (e.g. a trailing "-- done") tokenizes
+        # to nothing — skip it instead of failing the script
+        if segment.strip() and _tokenize(segment, strict=False):
+            stmts.append(segment.strip())
+
     for t in toks:
         if t.kind == "punct" and t.text == ";":
-            stmt = script[start:t.start].strip()
-            if stmt:
-                stmts.append(stmt)
+            _keep(script[start:t.start])
             start = t.end
-    tail = script[start:].strip()
-    if tail:
-        stmts.append(tail)
+    _keep(script[start:])
     if not stmts:
         raise LakehouseSqlError("empty SQL script")
     out = None

@@ -208,3 +208,58 @@ def test_run_pipeline_lakehouse_zones(spark, tmp_path):
     finally:
         unregister_table("lkdb.claims")
         unregister_table("lkdb_consume.claims")
+
+
+def test_run_pipeline_lakehouse_entity_match(spark, tmp_path):
+    """Entity match on lakehouse runs: the primary is a transactional
+    path table — first run seeds it with uuid gids, the second upserts
+    through the SQL front-end's MERGE (one commit)."""
+    from aws_insurancelake_etl_spark.plans.writer import lakehouse_table_path
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    landing = tmp_path / "landing"
+    drop = landing / "emdb" / "cust" / "2024" / "02" / "02"
+    drop.mkdir(parents=True)
+    (drop / "cust-a.csv").write_text(
+        "CustId,Name\n1,ann\n2,bob\n"
+    )
+    config_dir = tmp_path / "cfg"
+    config_dir.mkdir()
+    (config_dir / "emdb-cust.json").write_text(json.dumps({
+        "input_spec": {"csv": {"header": True}},
+        "transform_spec": {},
+    }))
+    (config_dir / "spark-emdb-cust.sql").write_text(
+        "SELECT custid, name FROM {database}.{table}"
+    )
+    spec = {
+        "primary_entity_table": "cust_primary",
+        "global_id_field": "gid",
+        "exact_match_fields": {
+            "source_primary_key": "custid",
+            "source_system_key": "name",
+        },
+    }
+    try:
+        for _ in range(2):
+            summary = run_pipeline(
+                spark,
+                str(drop / "cust-a.csv"),
+                landing_root=str(landing),
+                config_dir=str(config_dir),
+                entitymatch_spec=spec,
+                table_format="iceberg",
+            )
+        assert "entity_match" in summary["stages"]
+        ppath = lakehouse_table_path(spark, "emdb_consume", "cust_primary")
+        primary = iceberg_lite.read_iceberg(spark, ppath)
+        assert primary.count() == 2
+        assert primary.where("gid IS NULL").count() == 0
+        # second run upserted (MERGE), not doubled
+        assert len(iceberg_lite.snapshot_ids(ppath)) >= 2
+    finally:
+        unregister_table("emdb.cust")
+        unregister_table("emdb_consume.cust")

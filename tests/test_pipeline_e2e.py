@@ -378,3 +378,114 @@ def test_consume_zone_on_lakehouse_rebuild(ctx, spark, tmp_path):
         assert sorted(r["v"] for r in old.collect()) == [10.0, 20.0]
     finally:
         unregister_table(f"{db}.agg")
+
+
+def test_lakehouse_strict_policy_blocks_schema_change(ctx, spark, tmp_path):
+    """The lakehouse cleanse write honors the SAME policy matrix as
+    parquet: strict refuses an added column on both formats; a typo'd
+    policy raises."""
+    from aws_insurancelake_etl_spark.plans.writer import (
+        add_partition_columns,
+        write_cleanse_table,
+    )
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    part = {"year": "2026", "month": "01", "day": "01"}
+    for fmt in ("delta", "iceberg"):
+        db = f"strict_{fmt}"
+        loc = str(tmp_path / fmt)
+        base = add_partition_columns(
+            spark.createDataFrame([(1, "a")], "id int, v string"), part
+        )
+        write_cleanse_table(
+            base, db, "t", part, ctx, "strict",
+            table_format=fmt, table_location=loc,
+        )
+        wider = add_partition_columns(
+            spark.createDataFrame(
+                [(2, "b", 9.0)], "id int, v string, extra double"
+            ),
+            part,
+        )
+        with pytest.raises(RuntimeError, match="not allowed"):
+            write_cleanse_table(
+                wider, db, "t", part, ctx, "strict",
+                table_format=fmt, table_location=loc,
+            )
+        with pytest.raises(RuntimeError, match="Unsupported value"):
+            write_cleanse_table(
+                base, db, "t", part, ctx, "premissive",
+                table_format=fmt, table_location=loc,
+            )
+        unregister_table(f"{db}.t")
+
+
+def test_lakehouse_view_sql_over_registry(ctx, spark, tmp_path):
+    """view_sql referencing a lakehouse-registered consume table: the
+    rewrite makes the view TEMPORARY (Spark forbids permanent views
+    over temp relations) and it must be queryable."""
+    from aws_insurancelake_etl_spark.config import DatasetConfig
+    from aws_insurancelake_etl_spark.plans.pipeline import cleanse_to_consume
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0)], "id int, v double"
+    ).createOrReplaceTempView("vsrc")
+    db = "lkz_view"
+    cfg = DatasetConfig(
+        input_spec={}, transform_spec={}, mapping=None, dq_rules={},
+        view_sql=f"CREATE OR REPLACE VIEW vz AS SELECT * FROM {db}.agg",
+    )
+    try:
+        cleanse_to_consume(
+            ctx, "SELECT id, v FROM vsrc", database=db, table="agg",
+            config=cfg, table_format="delta",
+        )
+        assert spark.table("vz").count() == 1
+    finally:
+        unregister_table(f"{db}.agg")
+
+
+def test_iceberg_consume_rebuild_survives_schema_change(ctx, spark, tmp_path):
+    from aws_insurancelake_etl_spark.plans.pipeline import cleanse_to_consume
+    from aws_insurancelake_etl_spark.plans.writer import lakehouse_table_path
+    from aws_insurancelake_etl_spark.sources import iceberg_lite
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        unregister_table,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0)], "id int, v double"
+    ).createOrReplaceTempView("csrc")
+    db = "lkz_reshape"
+    try:
+        cleanse_to_consume(
+            ctx, "SELECT id, v FROM csrc", database=db, table="agg",
+            table_format="iceberg",
+        )
+        cleanse_to_consume(
+            ctx, "SELECT id, v AS renamed FROM csrc", database=db,
+            table="agg", table_format="iceberg",
+        )
+        path = lakehouse_table_path(spark, db, "agg")
+        read = iceberg_lite.read_iceberg(spark, path)
+        assert set(read.columns) == {"id", "renamed"}
+    finally:
+        unregister_table(f"{db}.agg")
+
+
+def test_script_trailing_comment_ok(spark, tmp_path):
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        lakehouse_sql_script,
+    )
+
+    path = str(tmp_path / "tc")
+    out = lakehouse_sql_script(
+        spark,
+        f"CREATE TABLE delta.`{path}` AS SELECT 1 AS id;\n-- done\n",
+    )
+    assert out is not None
