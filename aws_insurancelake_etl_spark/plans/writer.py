@@ -41,11 +41,13 @@ def lakehouse_table_path(
     )
 
 
-def _register_lakehouse(database: str, table: str, fmt: str, path: str) -> None:
+def _register_lakehouse(
+    spark, database: str, table: str, fmt: str, path: str
+) -> None:
     from ..sources.lakehouse_sql import register_table
 
     try:
-        register_table(f"{database}.{table}", fmt, path)
+        register_table(f"{database}.{table}", fmt, path, spark=spark)
     except Exception:
         pass  # non-identifier db/table names stay path-addressed
 
@@ -155,7 +157,7 @@ def write_cleanse_table(
             iceberg_lite.write_iceberg(
                 spark, df, path, partition_by=PARTITION_KEYS
             )
-        _register_lakehouse(database, table, table_format, path)
+        _register_lakehouse(spark, database, table, table_format, path)
         ctx.log_lineage(
             "write", df=df, table=f"{database}.{table}",
             partition=partition,
@@ -243,7 +245,7 @@ def write_consume_table(
                 iceberg_lite.write_iceberg(
                     spark, df, path, partition_by=keys or None
                 )
-        _register_lakehouse(database, table, table_format, path)
+        _register_lakehouse(spark, database, table, table_format, path)
         ctx.log_lineage(
             "write", df=df, table=f"{database}.{table}", mode="rewrite"
         )
