@@ -86,6 +86,31 @@ def _footer_schema(path: str):
     return sch
 
 
+def _footer_cols(path: str) -> frozenset:
+    """Cached footer column names: top-level names PLUS dotted
+    struct-leaf paths (round 11: nested ADD COLUMN defaults group
+    files by whether the nested path physically exists).  Dotted
+    entries can never collide with plain names, so top-level
+    membership checks are unaffected."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _dpq
+
+    present = _FOOTER_COLS_CACHE.get(path)
+    if present is None:
+        sch = _dpq.read_schema(path)
+        paths: set = set()
+
+        def _walk(fields, prefix):
+            for fld in fields:
+                paths.add(prefix + fld.name)
+                if _pa.types.is_struct(fld.type):
+                    _walk(fld.type, prefix + fld.name + ".")
+
+        _walk(sch, "")
+        present = _FOOTER_COLS_CACHE[path] = frozenset(paths)
+    return present
+
+
 def _nm_phys_datatype(dt, entries, arrow_type):
     """Physicalized copy of a LOGICAL Spark datatype for one file:
     struct field names at every level replaced by the name-mapping
@@ -1701,7 +1726,49 @@ def read_iceberg(
                     _defaults_meta = dict(_defaults_meta)
                     _defaults_meta["current-schema-id"] = _ssid
                 break
+    # name (possibly DOTTED for fields added inside structs) ->
+    # (iceberg type object, JSON single-value).  Non-primitive values
+    # materialize through _default_literal; defaults on fields nested
+    # inside list/map elements stay a named refusal (there is no
+    # per-row position to attach them to).
     column_defaults: dict = {}
+
+    def _collect_defaults(fields, prefix, in_container):
+        for f in fields:
+            dv = f.get("initial-default")
+            pathname = prefix + f["name"]
+            if dv is not None:
+                if in_container:
+                    raise IcebergLiteError(
+                        f"field {pathname!r} carries an initial-default "
+                        "inside a list/map element; materializing "
+                        "defaults there is not supported"
+                    )
+                column_defaults[pathname] = (f.get("type"), dv)
+            t = f.get("type")
+            if isinstance(t, dict):
+                kind = t.get("type")
+                if kind == "struct":
+                    _collect_defaults(
+                        t.get("fields", []), pathname + ".", in_container
+                    )
+                elif kind == "list" and isinstance(
+                    t.get("element"), dict
+                ) and t["element"].get("type") == "struct":
+                    _collect_defaults(
+                        t["element"].get("fields", []),
+                        pathname + ".",
+                        True,
+                    )
+                elif kind == "map" and isinstance(
+                    t.get("value"), dict
+                ) and t["value"].get("type") == "struct":
+                    _collect_defaults(
+                        t["value"].get("fields", []),
+                        pathname + ".",
+                        True,
+                    )
+
     for s in _defaults_meta.get("schemas") or (
         [_defaults_meta["schema"]] if _defaults_meta.get("schema") else []
     ):
@@ -1709,16 +1776,18 @@ def read_iceberg(
             _defaults_meta.get("current-schema-id", 0), None,
         ):
             continue
-        for f in s.get("fields", []):
-            dv = f.get("initial-default")
-            if dv is None:
-                continue
-            if isinstance(dv, (dict, list)):
-                raise IcebergLiteError(
-                    f"column {f['name']!r} carries a non-primitive v3 "
-                    "initial-default; refusing rather than misreading"
-                )
-            column_defaults[f["name"]] = dv
+        _collect_defaults(s.get("fields", []), "", False)
+
+    def _default_col(name):
+        ice_t, dv = column_defaults[name]
+        lit = _default_literal(ice_t, dv)
+        if lit is None:
+            raise IcebergLiteError(
+                f"column {name!r}: v3 initial-default {dv!r} has no "
+                f"faithful Spark mapping for type {ice_t!r}; refusing "
+                "rather than misreading"
+            )
+        return lit
     if not files:
         # a TRUNCATEd / fully-deleted table reads as zero rows under
         # the METADATA schema — the spec's schema source; only when the
@@ -1839,7 +1908,9 @@ def read_iceberg(
             if cols is None:
                 cols = cols_cache[d] = set(_pq.read_schema(f.path).names)
             missing_defaults = sorted(
-                c for c in column_defaults if c not in cols
+                c
+                for c in column_defaults
+                if c not in _footer_cols(f.path)
             )
             if missing_defaults:
                 raise IcebergLiteError(
@@ -1941,16 +2012,6 @@ def read_iceberg(
         ids_by_name = {
             n: i for i, n in _field_names_by_id(_defaults_meta).items()
         }
-
-    def _footer_cols(path: str) -> frozenset:
-        import pyarrow.parquet as _dpq
-
-        present = _FOOTER_COLS_CACHE.get(path)
-        if present is None:
-            present = _FOOTER_COLS_CACHE[path] = frozenset(
-                _dpq.read_schema(path).names
-            )
-        return present
 
     def _sig_for(f) -> tuple:
         """Per-file AS-WRITTEN name for every scan-schema field (None =
@@ -2112,15 +2173,15 @@ def read_iceberg(
                 pname = phys_of[fld.name]
                 if fld.name in missing_defaults:
                     cols.append(
-                        F.lit(column_defaults[fld.name])
+                        _default_col(fld.name)
                         .cast(fld.dataType)
                         .alias(fld.name)
                     )
                 elif pname is None:
-                    default = (column_defaults or {}).get(fld.name)
+                    has_default = fld.name in (column_defaults or {})
                     cols.append(
                         (
-                            F.lit(default) if default is not None
+                            _default_col(fld.name) if has_default
                             else F.lit(None)
                         )
                         .cast(fld.dataType)
@@ -2146,6 +2207,20 @@ def read_iceberg(
                 *cols,
                 *(["__ice_file", "__ice_pos"] if need_meta else []),
             )
+            # NESTED initial-defaults (round 11): this group's files
+            # physically lack the dotted path, so the parquet scan
+            # surfaced null there for every row — inject the default
+            # unconditionally via withField (null parent structs stay
+            # null: a row whose struct is null has no fields to
+            # default).  Files carrying the path are in other groups
+            # and keep their stored values, legitimate nulls included.
+            for mpath in missing_defaults:
+                if "." not in mpath:
+                    continue
+                head, _, rest = mpath.partition(".")
+                df = df.withColumn(
+                    head, F.col(head).withField(rest, _default_col(mpath))
+                )
         parts.append(df)
     for (_miss, base), group in sorted(hive_bases.items()):
         # ONE basePath scan reconstructs the identity partition columns
@@ -2720,6 +2795,222 @@ def _spark_type_from_ice(ice):
     if m:
         return DecimalType(int(m.group(1)), int(m.group(2)))
     return simple.get(ice)
+
+
+def _default_literal(ice, value):
+    """An iceberg JSON single-value (spec Appendix D: struct = object
+    keyed by FIELD ID strings, list = array, map = {"keys": [...],
+    "values": [...]}, binary = hex string, temporal = ISO strings) as a
+    Spark literal Column of the matching type — the v3
+    initial-/write-default materialization expression.  Returns None
+    when the (type, value) pair has no faithful mapping; callers
+    refuse by name rather than misread."""
+    from pyspark.sql import functions as F
+
+    sp = _spark_type_from_ice(ice)
+    if sp is None:
+        return None
+    if value is None:
+        return F.lit(None).cast(sp)
+    if isinstance(ice, dict):
+        kind = ice.get("type")
+        if kind == "struct":
+            if not isinstance(value, dict):
+                return None
+            parts = []
+            for sub in ice.get("fields", []):
+                sub_v = value.get(str(sub["id"]))
+                c = _default_literal(sub.get("type"), sub_v)
+                if c is None:
+                    return None
+                parts.append(c.alias(sub["name"]))
+            return F.struct(*parts).cast(sp)
+        if kind == "list":
+            if not isinstance(value, list):
+                return None
+            items = [
+                _default_literal(ice.get("element"), v) for v in value
+            ]
+            if any(i is None for i in items):
+                return None
+            if not items:
+                return F.array().cast(sp)
+            return F.array(*items).cast(sp)
+        if kind == "map":
+            if not isinstance(value, dict):
+                return None
+            keys = value.get("keys")
+            vals = value.get("values")
+            if not isinstance(keys, list) or not isinstance(vals, list):
+                return None
+            kc = [_default_literal(ice.get("key"), k) for k in keys]
+            vc = [_default_literal(ice.get("value"), v) for v in vals]
+            if any(c is None for c in kc) or any(c is None for c in vc):
+                return None
+            if not kc:
+                return F.map_from_arrays(F.array(), F.array()).cast(sp)
+            return F.map_from_arrays(
+                F.array(*kc), F.array(*vc)
+            ).cast(sp)
+        return None
+    if isinstance(value, (dict, list)):
+        return None  # composite value on a primitive type
+    if ice == "binary" or str(ice).startswith("fixed"):
+        try:
+            return F.lit(bytes.fromhex(value)).cast(sp)
+        except (TypeError, ValueError):
+            return None
+    return F.lit(value).cast(sp)
+
+
+def _valid_default_json(ice, value) -> bool:
+    """Pure structural twin of :func:`_default_literal` — DDL-time
+    validation without building Columns (alter_iceberg_schema has no
+    session).  True when the JSON single-value fits the iceberg type."""
+    if value is None:
+        return True
+    if isinstance(ice, dict):
+        kind = ice.get("type")
+        if kind == "struct":
+            if not isinstance(value, dict):
+                return False
+            by_id = {str(f["id"]): f["type"] for f in ice.get("fields", [])}
+            return set(value) <= set(by_id) and all(
+                _valid_default_json(by_id[k], v) for k, v in value.items()
+            )
+        if kind == "list":
+            return isinstance(value, list) and all(
+                _valid_default_json(ice.get("element"), v) for v in value
+            )
+        if kind == "map":
+            return (
+                isinstance(value, dict)
+                and isinstance(value.get("keys"), list)
+                and isinstance(value.get("values"), list)
+                and len(value["keys"]) == len(value["values"])
+                and all(
+                    _valid_default_json(ice.get("key"), k)
+                    for k in value["keys"]
+                )
+                and all(
+                    _valid_default_json(ice.get("value"), v)
+                    for v in value["values"]
+                )
+            )
+        return False
+    if ice == "binary" or str(ice).startswith("fixed"):
+        try:
+            bytes.fromhex(value)
+            return True
+        except (TypeError, ValueError):
+            return False
+    return not isinstance(value, (dict, list))
+
+
+def _mint_ice_type_ids(t, next_id: int):
+    """A deep copy of iceberg type object ``t`` with every nested field
+    minting the next fresh id (``element-id``/``key-id``/``value-id``
+    included) — used by ADD COLUMN of struct/list/map types.  Returns
+    (typed object, last id used)."""
+    if not isinstance(t, dict):
+        return t, next_id
+    kind = t.get("type")
+    if kind == "struct":
+        fields = []
+        for f in t.get("fields", []):
+            next_id += 1
+            fid = next_id
+            sub_t, next_id = _mint_ice_type_ids(f.get("type"), next_id)
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f["name"],
+                    "required": False,
+                    "type": sub_t,
+                }
+            )
+        return {"type": "struct", "fields": fields}, next_id
+    if kind == "list":
+        next_id += 1
+        eid = next_id
+        el_t, next_id = _mint_ice_type_ids(t.get("element"), next_id)
+        return (
+            {
+                "type": "list",
+                "element-id": eid,
+                "element": el_t,
+                "element-required": False,
+            },
+            next_id,
+        )
+    if kind == "map":
+        next_id += 1
+        kid = next_id
+        next_id += 1
+        vid = next_id
+        k_t, next_id = _mint_ice_type_ids(t.get("key"), next_id)
+        v_t, next_id = _mint_ice_type_ids(t.get("value"), next_id)
+        return (
+            {
+                "type": "map",
+                "key-id": kid,
+                "value-id": vid,
+                "key": k_t,
+                "value": v_t,
+                "value-required": False,
+            },
+            next_id,
+        )
+    return t, next_id
+
+
+def _name_keyed_to_id_keyed(ice, value):
+    """API convenience -> spec storage form: a struct default given as
+    a NAME-keyed dict (the caller cannot know ids that are minted in
+    the same commit) re-keys recursively by the minted field ids.
+    Already-id-keyed input (all keys digits matching ids) passes
+    through.  Lists/maps recurse into their element/value types."""
+    if not isinstance(ice, dict) or value is None:
+        return value
+    kind = ice.get("type")
+    if kind == "struct" and isinstance(value, dict):
+        by_id = {str(f["id"]) for f in ice.get("fields", [])}
+        if set(value) <= by_id:
+            return {
+                k: _name_keyed_to_id_keyed(
+                    next(
+                        f["type"]
+                        for f in ice["fields"]
+                        if str(f["id"]) == k
+                    ),
+                    v,
+                )
+                for k, v in value.items()
+            }
+        out = {}
+        for f in ice.get("fields", []):
+            if f["name"] in value:
+                out[str(f["id"])] = _name_keyed_to_id_keyed(
+                    f["type"], value[f["name"]]
+                )
+        return out
+    if kind == "list" and isinstance(value, list):
+        return [
+            _name_keyed_to_id_keyed(ice.get("element"), v) for v in value
+        ]
+    if kind == "map" and isinstance(value, dict):
+        keys = value.get("keys", [])
+        vals = value.get("values", [])
+        return {
+            "keys": [
+                _name_keyed_to_id_keyed(ice.get("key"), k) for k in keys
+            ],
+            "values": [
+                _name_keyed_to_id_keyed(ice.get("value"), v)
+                for v in vals
+            ],
+        }
+    return value
 
 
 def _spark_schema_from_meta(meta: dict):
@@ -3464,15 +3755,65 @@ def write_iceberg(
         # initial-default projection
         cur_schema = _current_schema_of(meta)
         have_cols = set(df.columns)
+        from pyspark.sql import functions as F
+
         for fd in cur_schema.get("fields", []):
             wd = fd.get("write-default")
             if wd is None or fd["name"] in have_cols:
                 continue
-            sp = _spark_type_from_ice(fd.get("type"))
-            if sp is not None:
-                from pyspark.sql import functions as F
+            lit = _default_literal(fd.get("type"), wd)
+            if lit is not None:
+                df = df.withColumn(fd["name"], lit)
+        # NESTED write-defaults (round 11): an append whose struct
+        # column omits a defaulted nested field materializes it into
+        # the staged files (same conformance as the top-level case)
 
-                df = df.withColumn(fd["name"], F.lit(wd).cast(sp))
+        def _df_type_at(schema, parts):
+            """The Spark type at a dotted path, walking STRUCTS only;
+            None when any segment is absent or non-struct-nested."""
+            from pyspark.sql.types import StructType as _ST
+
+            cur = schema
+            for seg in parts:
+                if not isinstance(cur, _ST):
+                    return None
+                hit = next(
+                    (f for f in cur.fields if f.name == seg), None
+                )
+                if hit is None:
+                    return None
+                cur = hit.dataType
+            return cur
+
+        def _nested_wd(fields, prefix):
+            nonlocal df
+            for fd in fields:
+                t = fd.get("type")
+                wd = fd.get("write-default")
+                pathname = prefix + fd["name"]
+                parts = pathname.split(".")
+                if wd is not None and prefix:
+                    from pyspark.sql.types import StructType as _ST
+
+                    parent_t = _df_type_at(df.schema, parts[:-1])
+                    leaf_t = _df_type_at(df.schema, parts)
+                    if (
+                        parts[0] in have_cols
+                        and isinstance(parent_t, _ST)
+                        and leaf_t is None
+                    ):
+                        lit = _default_literal(t, wd)
+                        if lit is not None:
+                            df = df.withColumn(
+                                parts[0],
+                                F.col(parts[0]).withField(
+                                    pathname.partition(".")[2], lit
+                                ),
+                            )
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    _nested_wd(t.get("fields", []), pathname + ".")
+
+        _nested_wd(cur_schema.get("fields", []), "")
     staged = _stage_iceberg_data(df, table_path, partition_by)
     attempt = 0
     while True:
@@ -5687,8 +6028,13 @@ def alter_iceberg_schema(
     DOTTED PATHS address NESTED struct fields (``info.city``) — renames
     and drops mutate the leaf field inside a deep-copied schema tree,
     preserving every field id on the path, and adds append a fresh-id
-    primitive field to the parent struct (defaults refuse on nested
-    adds: initial-default materialization is a per-COLUMN read feature).
+    field to the parent struct.  Round 11: nested adds accept DEFAULTS
+    too (v3; read_iceberg groups files per-footer by whether the
+    nested path physically exists and injects the default via
+    ``withField``), and both nested and top-level adds accept
+    COMPOSITE struct/list/map types (nested ids minted past
+    last-column-id) with struct/list/map default values in the spec's
+    JSON single-value form.
     Renaming or dropping a column that a
     LIVE equality-delete file equates on refuses — those delete rows
     are matched by reading the delete parquet under the current column
@@ -5815,6 +6161,55 @@ def alter_iceberg_schema(
         nested_touched_ids.add(int(leaf["id"]))
         leaf["type"] = new_t
     next_id = _last_column_id(meta)
+    fv = max(2, int(meta.get("format-version", 2)))
+
+    def _prep_add(label: str, spec):
+        """Normalize one ADD COLUMN spec -> (typed object with minted
+        nested ids, id-keyed default or None), advancing ``next_id``.
+        Composite (struct/list/map) types mint ids for every nested
+        field; defaults (v3 §Default values) accept the spec's
+        id-keyed JSON single-value form or, for convenience, a
+        NAME-keyed struct dict (ids are minted in this same commit, so
+        the caller cannot know them)."""
+        nonlocal next_id
+        if isinstance(spec, dict) and spec.get("type") in (
+            "struct", "list", "map"
+        ):
+            # the spec IS a composite iceberg type object
+            ice_type, default = spec, None
+        elif isinstance(spec, dict):
+            # wrapper form: {"type": <str or composite dict>, "default": v}
+            ice_type, default = spec.get("type"), spec.get("default")
+        else:
+            ice_type, default = spec, None
+        if isinstance(ice_type, dict):
+            if _spark_type_from_ice(ice_type) is None:
+                raise IcebergLiteError(
+                    f"add {label!r}: unmappable iceberg type "
+                    f"{ice_type!r}"
+                )
+            ice_type, next_id = _mint_ice_type_ids(ice_type, next_id)
+        elif ice_type not in _ADDABLE_ICE_TYPES and not str(
+            ice_type
+        ).startswith("decimal("):
+            raise IcebergLiteError(
+                f"add {label!r}: unsupported iceberg type {ice_type!r}"
+            )
+        if default is not None:
+            if fv < 3:
+                raise IcebergLiteError(
+                    f"add {label!r} with a default requires "
+                    "format-version 3 (run upgrade_iceberg_format first)"
+                )
+            default = _name_keyed_to_id_keyed(ice_type, default)
+            if not _valid_default_json(ice_type, default):
+                raise IcebergLiteError(
+                    f"add {label!r}: default {default!r} does not fit "
+                    f"iceberg type {ice_type!r} (spec Appendix D JSON "
+                    "single-value form)"
+                )
+        return ice_type, default
+
     for path, spec in sorted(nested_adds.items()):
         parent_path, _, leaf_name = path.rpartition(".")
         _, p_field = _resolve_path(parent_path)
@@ -5827,25 +6222,16 @@ def alter_iceberg_schema(
             raise IcebergLiteError(
                 f"cannot add {path!r}: it already exists"
             )
-        if isinstance(spec, dict):
-            if spec.get("default") is not None:
-                raise IcebergLiteError(
-                    f"add {path!r}: defaults on NESTED fields are not "
-                    "supported (initial-default materialization is a "
-                    "per-column read feature)"
-                )
-            spec = spec.get("type")
-        if spec not in _ADDABLE_ICE_TYPES and not str(spec).startswith(
-            "decimal("
-        ):
-            raise IcebergLiteError(
-                f"add {path!r}: unsupported iceberg type {spec!r}"
-            )
+        ice_type, default = _prep_add(path, spec)
         next_id += 1
-        t["fields"].append({
+        fd = {
             "id": next_id, "name": leaf_name, "required": False,
-            "type": spec,
-        })
+            "type": ice_type,
+        }
+        if default is not None:
+            fd["initial-default"] = default
+            fd["write-default"] = default
+        t["fields"].append(fd)
     for c in list(renames) + drops:
         if c not in by_name:
             raise IcebergLiteError(f"no such column {c!r}")
@@ -5912,44 +6298,24 @@ def alter_iceberg_schema(
     # appends that omit the column MATERIALIZE ``write-default`` into
     # their data files (write_iceberg, round 10 — spec-conforming
     # writer behavior; changing the default later is still a named
-    # non-goal).  Defaults require format v3.
-    known_types = _ADDABLE_ICE_TYPES
-    fv = max(2, int(meta.get("format-version", 2)))
+    # non-goal).  Defaults require format v3.  Round 11: composite
+    # (struct/list/map) column adds mint nested field ids, and
+    # struct/list/map DEFAULT values are accepted in the spec's JSON
+    # single-value form (Appendix D; struct values may be given
+    # name-keyed for convenience — ids are minted in this commit).
     for name, spec in sorted(adds.items()):
         if name in final_names:
             raise IcebergLiteError(
                 f"cannot add column {name!r}: it already exists"
             )
         final_names.add(name)
-        if isinstance(spec, str):
-            ice_type, default = spec, None
-        else:
-            ice_type = spec.get("type")
-            default = spec.get("default")
-        if ice_type not in known_types and not str(ice_type).startswith(
-            "decimal("
-        ):
-            raise IcebergLiteError(
-                f"add column {name!r}: unsupported iceberg type "
-                f"{ice_type!r}"
-            )
+        ice_type, default = _prep_add(name, spec)
         next_id += 1
         fd = {
             "id": next_id, "name": name, "required": False,
             "type": ice_type,
         }
         if default is not None:
-            if fv < 3:
-                raise IcebergLiteError(
-                    f"add column {name!r} with a default requires "
-                    "format-version 3 (run upgrade_iceberg_format "
-                    "first)"
-                )
-            if isinstance(default, (dict, list)):
-                raise IcebergLiteError(
-                    f"add column {name!r}: non-primitive defaults are "
-                    "not supported"
-                )
             fd["initial-default"] = default
             fd["write-default"] = default
         new_fields.append(fd)

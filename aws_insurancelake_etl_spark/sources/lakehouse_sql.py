@@ -1553,6 +1553,38 @@ def _ice_type(sql_type: str) -> str:
         ) from None
 
 
+def _parse_sql_literal(p: _P):
+    """One scalar SQL literal -> its Python value (iceberg JSON
+    single-value form): 'str', numbers (optionally signed), TRUE/
+    FALSE, NULL.  Composite defaults go through the Python API."""
+    t = p.peek()
+    if t is None:
+        raise LakehouseSqlError("expected a literal after DEFAULT")
+    if t.kind == "str":
+        p.i += 1
+        return t.text[1:-1].replace("''", "'")
+    neg = False
+    if t.kind == "punct" and t.text in ("-", "+"):
+        neg = t.text == "-"
+        p.i += 1
+        t = p.peek()
+    if t is not None and t.kind == "num":
+        p.i += 1
+        v = float(t.text) if ("." in t.text or "e" in t.text.lower()) \
+            else int(t.text)
+        return -v if neg else v
+    if t is not None and t.kind == "word" and t.upper in (
+        "TRUE", "FALSE", "NULL"
+    ):
+        p.i += 1
+        return {"TRUE": True, "FALSE": False, "NULL": None}[t.upper]
+    raise LakehouseSqlError(
+        f"unsupported DEFAULT literal {t.text if t else '<end>'!r} "
+        "(strings, numbers, TRUE/FALSE, NULL; composite defaults go "
+        "through the Python API)"
+    )
+
+
 def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
     from . import delta_lite, iceberg_lite
 
@@ -1577,11 +1609,14 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
         return _metrics_df(spark, res)
     if p.take_words("ADD", "COLUMNS") or p.take_words("ADD", "COLUMN"):
         had_paren = p.take_punct("(")
-        adds: list[tuple[str, str]] = []
+        adds: list[tuple[str, str, object]] = []
         while True:
             colname = _expect_ident(p)
             sql_type = _parse_sql_type(p)
-            adds.append((colname, sql_type))
+            default = None
+            if p.take_words("DEFAULT"):
+                default = _parse_sql_literal(p)
+            adds.append((colname, sql_type, default))
             if had_paren and p.take_punct(")"):
                 break
             if not p.take_punct(","):
@@ -1589,11 +1624,25 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
         if had_paren and not p.at_end():
             raise LakehouseSqlError("trailing tokens after ADD COLUMNS")
         if ref.fmt == "delta":
-            v = delta_lite.add_columns(ref.path, adds)
+            if any(d is not None for _, _, d in adds):
+                raise LakehouseSqlError(
+                    "ADD COLUMN ... DEFAULT is iceberg-only here (v3 "
+                    "initial-defaults); delta adds read as null"
+                )
+            v = delta_lite.add_columns(
+                ref.path, [(c, t) for c, t, _ in adds]
+            )
             return _metrics_df(spark, {"version": v})
         res = iceberg_lite.alter_iceberg_schema(
             ref.path,
-            adds={c: _ice_type(t) for c, t in adds},
+            adds={
+                c: (
+                    _ice_type(t)
+                    if d is None
+                    else {"type": _ice_type(t), "default": d}
+                )
+                for c, t, d in adds
+            },
         )
         return _metrics_df(spark, res)
     if p.take_words("ALTER", "COLUMN") or p.take_words("CHANGE", "COLUMN"):

@@ -358,10 +358,82 @@ def test_nested_guards(spark, nested_table):
         )
     with pytest.raises(il.IcebergLiteError, match="not a struct"):
         il.alter_iceberg_schema(nested_table, renames={"id.x": "y"})
-    with pytest.raises(il.IcebergLiteError, match="NESTED"):
+    # round 11: nested defaults are SUPPORTED on v3 — on a v2 table
+    # they refuse by format version, the genuinely ambiguous case left
+    with pytest.raises(il.IcebergLiteError, match="format-version 3"):
         il.alter_iceberg_schema(
             nested_table,
             adds={"info.d": {"type": "int", "default": 7}},
+        )
+
+
+def test_nested_add_with_default_on_v3(spark, nested_table):
+    """Round 11 (VERDICT r10 #3): nested ADD COLUMN with a default on a
+    v3 table — pre-add rows surface the default, a post-add append
+    omitting the field materializes the write-default, and an explicit
+    append keeps its stored values."""
+    il.upgrade_iceberg_format(nested_table, 3)
+    il.alter_iceberg_schema(
+        nested_table, adds={"info.d": {"type": "int", "default": 7}}
+    )
+    got = {r["id"]: r["info"]["d"]
+           for r in il.read_iceberg(spark, nested_table).collect()}
+    assert got == {1: 7, 2: 7}
+    df = spark.createDataFrame(
+        [(3, ("carol", 30, 5))],
+        "id int, info struct<name:string, score:int, d:int>",
+    )
+    il.write_iceberg(spark, df, nested_table)
+    omit = spark.createDataFrame(
+        [(4, ("dave", 40))],
+        "id int, info struct<name:string, score:int>",
+    )
+    il.write_iceberg(spark, omit, nested_table)
+    got = {r["id"]: r["info"]["d"]
+           for r in il.read_iceberg(spark, nested_table).collect()}
+    assert got == {1: 7, 2: 7, 3: 5, 4: 7}
+
+
+def test_composite_add_with_struct_default_on_v3(spark, tmp_path):
+    """Round 11: struct-typed ADD COLUMN with a struct default (spec
+    Appendix D JSON single-value, stored id-keyed)."""
+    path = str(tmp_path / "cd")
+    df = spark.createDataFrame([(1,)], "id int")
+    il.write_iceberg(spark, df, path, format_version=3)
+    il.alter_iceberg_schema(
+        path,
+        adds={
+            "meta": {
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {"name": "src", "type": "string"},
+                        {"name": "ver", "type": "int"},
+                    ],
+                },
+                "default": {"src": "legacy", "ver": 0},
+            }
+        },
+    )
+    meta = il._load_metadata(path)
+    fd = next(
+        f
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+        for f in s["fields"]
+        if f["name"] == "meta"
+    )
+    assert all(k.isdigit() for k in fd["initial-default"])
+    # nested ids minted past last-column-id, unique
+    ids = [fd["id"]] + list(il._walk_type_ids(fd["type"]))
+    assert len(ids) == len(set(ids))
+    assert meta["last-column-id"] >= max(ids)
+    row = il.read_iceberg(spark, path).collect()[0]
+    assert row["meta"]["src"] == "legacy" and row["meta"]["ver"] == 0
+    # a default that does not fit its type refuses by name
+    with pytest.raises(il.IcebergLiteError, match="does not fit"):
+        il.alter_iceberg_schema(
+            path, adds={"bad": {"type": "int", "default": {"x": 1}}}
         )
 
 

@@ -364,12 +364,16 @@ def test_initial_default_materializes_for_pre_add_files(spark, tmp_path):
     assert 1 not in got and got[2] == "EMEA" and len(got) == 5
 
 
-def test_non_primitive_default_refused_by_name(spark, tmp_path):
+def test_unmappable_default_refused_by_name(spark, tmp_path):
+    """Round 11 narrows the old blanket non-primitive refusal: struct/
+    list defaults now materialize; what still refuses is a default
+    VALUE that does not fit its declared type (here a dict on a
+    string column — another engine's doctored metadata)."""
     path = str(tmp_path / "t")
     _table(spark, path, 0, 3)
     _doctor_default(path, {"nested": 1})
-    with pytest.raises(il.IcebergLiteError, match="non-primitive"):
-        il.read_iceberg(spark, path)
+    with pytest.raises(il.IcebergLiteError, match="no faithful"):
+        il.read_iceberg(spark, path).collect()
 
 
 def test_delete_files_metadata_table(spark, tmp_path):
