@@ -257,3 +257,140 @@ def streaming_upsert_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------- kafka
+#
+# A 100 TB training-data pipeline usually lands from a bus, not a drop
+# directory.  Spark's Kafka source lives in a separate jar
+# (spark-sql-kafka-0-10) that this container does not ship, so the
+# reader is GATED: the option mapping is pure and unit-testable
+# offline, and the entry point refuses by name when the provider class
+# is absent instead of surfacing Spark's opaque
+# "Failed to find data source: kafka".
+
+
+class KafkaSourceUnavailable(RuntimeError):
+    """spark-sql-kafka-0-10 jar is not on the classpath."""
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the Kafka source provider class is loadable."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topics: list[str] | str | None = None,
+    *,
+    subscribe_pattern: str | None = None,
+    assign: dict | None = None,
+    starting_offsets: str | dict = "earliest",
+    ending_offsets: str | dict | None = None,
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    kafka_options: dict | None = None,
+) -> dict:
+    """The ``spark.readStream.format('kafka')`` option map (pure —
+    unit-testable without the jar).  Exactly one of ``topics`` /
+    ``subscribe_pattern`` / ``assign`` selects the subscription mode;
+    dict offsets serialize to the JSON form Spark expects;
+    ``kafka_options`` pass through under the ``kafka.`` prefix."""
+    import json as _json
+
+    chosen = [
+        x
+        for x in (topics, subscribe_pattern, assign)
+        if x is not None and x != []
+    ]
+    if len(chosen) != 1:
+        raise ValueError(
+            "exactly one of topics / subscribe_pattern / assign must be "
+            "given"
+        )
+    opts: dict = {"kafka.bootstrap.servers": bootstrap_servers}
+    if topics is not None:
+        opts["subscribe"] = (
+            topics if isinstance(topics, str) else ",".join(topics)
+        )
+    elif subscribe_pattern is not None:
+        opts["subscribePattern"] = subscribe_pattern
+    else:
+        opts["assign"] = _json.dumps(assign)
+    opts["startingOffsets"] = (
+        starting_offsets
+        if isinstance(starting_offsets, str)
+        else _json.dumps(starting_offsets)
+    )
+    if ending_offsets is not None:
+        opts["endingOffsets"] = (
+            ending_offsets
+            if isinstance(ending_offsets, str)
+            else _json.dumps(ending_offsets)
+        )
+    opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(int(max_offsets_per_trigger))
+    for k, v in (kafka_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        opts[key] = str(v)
+    return opts
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str] | str | None = None,
+    *,
+    value_schema: StructType | str | None = None,
+    value_format: str = "json",
+    include_headers: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """A streaming DataFrame over Kafka records.
+
+    ``value_format='json'`` with a ``value_schema`` parses the value
+    bytes via ``from_json`` into a ``data`` struct column alongside the
+    record metadata (key/topic/partition/offset/timestamp);
+    ``value_format='raw'`` keeps ``value`` as binary.  Refuses by name
+    when the Kafka jar is absent — add
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark ver>``
+    to the session and this entry point activates unchanged."""
+    if not kafka_available(spark):
+        raise KafkaSourceUnavailable(
+            "the Kafka source (spark-sql-kafka-0-10 jar) is not on the "
+            "classpath; start the session with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version> "
+            "to enable read_kafka_stream"
+        )
+    opts = kafka_reader_options(bootstrap_servers, topics, **kwargs)
+    reader = spark.readStream.format("kafka").options(**opts)
+    if include_headers:
+        reader = reader.option("includeHeaders", "true")
+    df = reader.load()
+    if value_format == "raw":
+        return df
+    if value_format != "json":
+        raise ValueError(
+            f"value_format must be json|raw, got {value_format!r}"
+        )
+    out = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value_str"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+        *(["headers"] if include_headers else []),
+    )
+    if value_schema is not None:
+        out = out.withColumn(
+            "data", F.from_json("value_str", value_schema)
+        ).drop("value_str")
+    return out

@@ -561,3 +561,56 @@ def test_iceberg_stream_source_tails_appends_and_refuses_merges(
     )
     with _pytest.raises(Exception, match="not pure appends"):
         q3.awaitTermination(120)
+
+
+def test_kafka_reader_options_mapping():
+    """Pure option mapping for the jar-gated Kafka source (VERDICT r10
+    #7) — testable without the jar."""
+    from aws_insurancelake_etl_spark.streaming.ingest import (
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092",
+        ["t1", "t2"],
+        starting_offsets={"t1": {"0": 23}},
+        max_offsets_per_trigger=1000,
+        fail_on_data_loss=False,
+        kafka_options={"security.protocol": "SASL_SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["startingOffsets"] == '{"t1": {"0": 23}}'
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    patt = kafka_reader_options("b:9092", subscribe_pattern="logs-.*")
+    assert patt["subscribePattern"] == "logs-.*"
+    assign = kafka_reader_options("b:9092", assign={"t1": [0, 1]})
+    assert assign["assign"] == '{"t1": [0, 1]}'
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exactly one"):
+        kafka_reader_options("b:9092", ["t"], subscribe_pattern="x")
+    with _pt.raises(ValueError, match="exactly one"):
+        kafka_reader_options("b:9092")
+
+
+def test_kafka_refuses_by_name_without_jar(spark):
+    """In-container (no spark-sql-kafka jar) the entry point refuses
+    with a named, actionable error — never Spark's opaque 'failed to
+    find data source'."""
+    import pytest as _pt
+
+    from aws_insurancelake_etl_spark.streaming.ingest import (
+        KafkaSourceUnavailable,
+        kafka_available,
+        read_kafka_stream,
+    )
+
+    if kafka_available(spark):
+        _pt.skip("kafka jar present; the refusal path is inert")
+    with _pt.raises(KafkaSourceUnavailable, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "b:9092", ["t"])
