@@ -551,6 +551,8 @@ def _lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _exec_restore(spark, p)
     if head == "SHOW":
         return _exec_show(spark, p)
+    if head == "ANALYZE":
+        return _exec_analyze(spark, p)
     if head == "CALL":
         return _exec_call(spark, p)
     if head == "REORG":
@@ -571,8 +573,8 @@ def _lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
     raise LakehouseSqlError(
         f"unsupported statement head {t0.text!r}; supported: SELECT/WITH, "
         "MERGE, UPDATE, DELETE, INSERT, CREATE TABLE AS, ALTER TABLE, "
-        "OPTIMIZE, VACUUM, DESCRIBE HISTORY, RESTORE, CALL system.*, "
-        "REORG TABLE, CONVERT TO DELTA"
+        "OPTIMIZE, VACUUM, ANALYZE TABLE, DESCRIBE HISTORY, RESTORE, "
+        "CALL system.*, REORG TABLE, CONVERT TO DELTA"
     )
 
 
@@ -612,6 +614,162 @@ _ICE_META_TABLES = frozenset({
 })
 
 
+# ------------------------------------------------------- table stats
+#
+# ANALYZE persists row count, on-disk bytes, and per-column NDVs into
+# the table's own properties (a pure metadata commit on both formats).
+# The payoff at scale: a lakehouse read plan is rarely a bare file
+# scan (DV anti-joins, union branches over default groups, CDF
+# reconstruction), so Catalyst's size estimate for the temp view blows
+# past spark.sql.autoBroadcastJoinThreshold and a 2 MB dimension table
+# sort-merge-joins a 100 TB fact.  Fresh stats that say the table fits
+# inject an explicit broadcast hint at the SELECT rewrite instead.
+
+_STATS_PREFIX = "spark.graft.stats."
+
+
+def analyze_table(
+    spark: SparkSession, fmt: str, path: str, columns=None
+) -> dict:
+    """Compute and persist table statistics (SQL: ``ANALYZE TABLE ref
+    COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL COLUMNS]``).
+
+    One aggregation pass over the table: row count plus HLL++ NDV per
+    requested column (``approx_count_distinct`` — JVM-side partial
+    aggregation; one pass total, vs one distinct+shuffle per column a
+    sketch-per-column pass would cost).  On-disk bytes come from the
+    snapshot's file metadata (no data I/O).  The freshness marker is
+    the delta version / iceberg current-snapshot-id at compute time, so
+    a grown table can never mis-broadcast off stale numbers."""
+    import os as _os
+
+    from . import delta_lite, iceberg_lite
+
+    ref = _TableRef(fmt=fmt, path=path)
+    _validate_ref(ref)
+    df = _read_ref(spark, _TableRef(fmt=fmt, path=path))
+    if columns == "all":
+        cols = list(df.columns)
+    else:
+        cols = [c for c in (columns or []) if c in df.columns]
+        bad = [c for c in (columns or []) if c not in df.columns]
+        if bad:
+            raise LakehouseSqlError(
+                f"ANALYZE: no such columns {bad} in {path}"
+            )
+    aggs = [F.count(F.lit(1)).alias("__rc")] + [
+        F.approx_count_distinct(F.col(c)).alias(f"__ndv_{i}")
+        for i, c in enumerate(cols)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    if fmt == "delta":
+        snap = delta_lite.snapshot(path)
+        size_bytes = sum(int(a.size or 0) for a in snap.files)
+        marker = str(snap.version)
+    else:
+        files, _ = iceberg_lite.plan_scan(path)
+        size_bytes = sum(
+            _os.path.getsize(f.path)
+            for f in files
+            if _os.path.exists(f.path)
+        )
+        marker = str(
+            iceberg_lite._load_metadata(path).get("current-snapshot-id")
+        )
+    props = {
+        _STATS_PREFIX + "row_count": int(row["__rc"]),
+        _STATS_PREFIX + "size_bytes": int(size_bytes),
+        _STATS_PREFIX + "marker": marker,
+    }
+    for i, c in enumerate(cols):
+        props[_STATS_PREFIX + f"ndv.{c}"] = int(row[f"__ndv_{i}"])
+    if fmt == "delta":
+        delta_lite.set_delta_properties(path, props)
+    else:
+        iceberg_lite.set_iceberg_properties(path, props)
+    return {
+        "row_count": int(row["__rc"]),
+        "size_bytes": int(size_bytes),
+        "ndv": {c: int(row[f"__ndv_{i}"]) for i, c in enumerate(cols)},
+        "marker": marker,
+    }
+
+
+def table_stats(fmt: str, path: str, fresh_only: bool = True) -> dict | None:
+    """Stored ANALYZE stats, or None when absent — or STALE when
+    ``fresh_only`` (delta: any commit after the stats' version+1
+    invalidates, the +1 being the property commit itself; iceberg: the
+    current snapshot id must match, property commits do not make new
+    snapshots)."""
+    from . import delta_lite, iceberg_lite
+
+    if fmt == "delta":
+        snap = delta_lite.snapshot(path)
+        props = snap.configuration
+    else:
+        meta = iceberg_lite._load_metadata(path)
+        props = meta.get("properties") or {}
+    raw = {
+        k[len(_STATS_PREFIX):]: v
+        for k, v in props.items()
+        if k.startswith(_STATS_PREFIX)
+    }
+    if "row_count" not in raw:
+        return None
+    if fresh_only:
+        if fmt == "delta":
+            if snap.version > int(raw.get("marker", -10)) + 1:
+                return None
+        else:
+            if str(meta.get("current-snapshot-id")) != raw.get("marker"):
+                return None
+    out = {
+        "row_count": int(raw["row_count"]),
+        "size_bytes": int(raw.get("size_bytes", -1)),
+        "marker": raw.get("marker"),
+        "ndv": {
+            k[len("ndv."):]: int(v)
+            for k, v in raw.items()
+            if k.startswith("ndv.")
+        },
+    }
+    return out
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    except Exception:
+        return 10 * 1024 * 1024
+    s = str(raw).strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if s.endswith(suffix):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
+def _maybe_broadcast(spark: SparkSession, ref: _TableRef, df: DataFrame):
+    """Inject a broadcast hint when FRESH stats prove the table fits
+    under autoBroadcastJoinThreshold (the hint is inert outside a
+    join).  Time-travel reads skip: stats describe the current
+    snapshot only."""
+    if ref.version is not None or ref.ts_ms is not None:
+        return df
+    try:
+        st = table_stats(ref.fmt, ref.path)
+    except Exception:
+        return df
+    thr = _broadcast_threshold(spark)
+    if st and thr > 0 and 0 <= st["size_bytes"] <= thr:
+        return F.broadcast(df)
+    return df
+
+
 def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
     from . import delta_lite, iceberg_lite
 
@@ -638,13 +796,20 @@ def _read_ref(spark: SparkSession, ref: _TableRef) -> DataFrame:
                 "delta VERSION AS OF takes an integer; branch/tag names "
                 "are iceberg refs"
             )
-        return delta_lite.read_delta(
-            spark, ref.path, version=ref.version, timestamp_ms=ref.ts_ms
+        return _maybe_broadcast(
+            spark,
+            ref,
+            delta_lite.read_delta(
+                spark, ref.path, version=ref.version,
+                timestamp_ms=ref.ts_ms,
+            ),
         )
     sid = ref.version
     if ref.ts_ms is not None:
         sid = iceberg_lite.snapshot_as_of_timestamp(ref.path, ref.ts_ms)
-    return iceberg_lite.read_iceberg(spark, ref.path, snapshot_id=sid)
+    return _maybe_broadcast(
+        spark, ref, iceberg_lite.read_iceberg(spark, ref.path, snapshot_id=sid)
+    )
 
 
 def sql_over_refs(spark: SparkSession, sql: str) -> DataFrame:
@@ -1551,6 +1716,32 @@ def _ice_type(sql_type: str) -> str:
             f"type {sql_type!r} has no iceberg mapping "
             f"(supported: {sorted(_SQL_TO_ICE)}, decimal(p,s))"
         ) from None
+
+
+def _exec_analyze(spark: SparkSession, p: _P) -> DataFrame:
+    """``ANALYZE TABLE ref COMPUTE STATISTICS [FOR COLUMNS a, b |
+    FOR ALL COLUMNS]`` — see :func:`analyze_table`."""
+    p.expect_words("ANALYZE", "TABLE")
+    ref = p.expect_table_ref()
+    p.expect_words("COMPUTE", "STATISTICS")
+    columns = None
+    if p.take_words("FOR", "ALL", "COLUMNS"):
+        columns = "all"
+    elif p.take_words("FOR", "COLUMNS"):
+        columns = [_expect_ident(p)]
+        while p.take_punct(","):
+            columns.append(_expect_ident(p))
+    if not p.at_end():
+        raise LakehouseSqlError("trailing tokens after ANALYZE")
+    res = analyze_table(spark, ref.fmt, ref.path, columns=columns)
+    flat = {
+        "row_count": res["row_count"],
+        "size_bytes": res["size_bytes"],
+        "marker": res["marker"],
+    }
+    for c, v in res["ndv"].items():
+        flat[f"ndv.{c}"] = v
+    return _metrics_df(spark, flat)
 
 
 def _parse_sql_literal(p: _P):

@@ -977,3 +977,84 @@ def test_lakehouse_names_scope(spark, delta_tbl):
         with lakehouse_names(spark, {"scoped_t": ("delta", delta_tbl)}):
             raise RuntimeError("boom")
     assert "scoped_t" not in registered_tables(spark)
+
+
+def test_analyze_table_stats_roundtrip(spark, delta_tbl, ice_tbl):
+    """ANALYZE persists row count / bytes / NDVs in table properties on
+    both formats; table_stats reads them back."""
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        analyze_table,
+        table_stats,
+    )
+
+    res = analyze_table(spark, "delta", delta_tbl, columns=["id", "name"])
+    assert res["row_count"] == 4
+    assert res["ndv"]["id"] == 4
+    st = table_stats("delta", delta_tbl)
+    assert st["row_count"] == 4 and st["size_bytes"] > 0
+    res_i = analyze_table(spark, "iceberg", ice_tbl, columns="all")
+    assert res_i["row_count"] == 4 and res_i["ndv"]["name"] == 4
+    assert table_stats("iceberg", ice_tbl)["row_count"] == 4
+
+
+def test_analyze_sql_statement(spark, delta_tbl):
+    out = lakehouse_sql(
+        spark,
+        f"ANALYZE TABLE delta.`{delta_tbl}` COMPUTE STATISTICS "
+        "FOR COLUMNS id",
+    )
+    got = {r["metric"]: r["value"] for r in out.collect()}
+    assert got["row_count"] == "4" and got["ndv.id"] == "4"
+
+
+def test_stale_stats_never_broadcast(spark, delta_tbl):
+    """A data commit after ANALYZE invalidates the stats — a grown
+    table must not mis-broadcast off old numbers."""
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        analyze_table,
+        table_stats,
+    )
+
+    analyze_table(spark, "delta", delta_tbl)
+    assert table_stats("delta", delta_tbl) is not None
+    delta_lite.write_delta(
+        _mk(spark, [(9, "z", 90.0)], "id int, name string, amount double"),
+        delta_tbl,
+        mode="append",
+    )
+    assert table_stats("delta", delta_tbl) is None  # stale
+    assert table_stats("delta", delta_tbl, fresh_only=False) is not None
+
+
+def test_stats_inject_broadcast_hint(spark, tmp_path):
+    """Fresh stats under the threshold put strategy=broadcast on the
+    join against the lakehouse table; without stats the complex DV
+    read plan loses the size estimate and no hint appears."""
+    path = str(tmp_path / "dim")
+    dim = spark.range(500).selectExpr("id AS k", "concat('n', id) AS name")
+    delta_lite.write_delta(
+        dim, path,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_lite.delete_delta(spark, path, "k % 10 = 0")
+    spark.range(50000).selectExpr(
+        "id % 500 AS k", "id AS v"
+    ).createOrReplaceTempView("fact_sih")
+    q = (
+        "SELECT count(*) AS n FROM fact_sih "
+        f"JOIN delta.`{path}` d ON fact_sih.k = d.k"
+    )
+    before = (
+        lakehouse_sql(spark, q)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "strategy=broadcast" not in before
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        analyze_table,
+    )
+
+    analyze_table(spark, "delta", path, columns=["k"])
+    after_df = lakehouse_sql(spark, q)
+    after = after_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in after
+    assert after_df.collect()[0]["n"] == 45000
