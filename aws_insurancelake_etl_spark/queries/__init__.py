@@ -47,74 +47,67 @@ _MODULES = (
 )
 
 # The round driver's differential oracle checks the FIRST 50 registered
-# queries.  Round-10 window (tools/driver_window.py --mode staleness,
-# VERDICT r9 item 3): the 16 round-10 gates with no driver row yet
-# (iceberg v3 DV read/DML/row lineage, delta DV merge/update, nested
-# column mapping read AND write, delta row tracking, rename/drop
-# column DDL on both formats, uniform-over-mapped export), then the
-# 32 OLDEST green rows — all 26 r1-era rows (predating the oracle
-# canonicalizer fixes) and 6 of the 29 r3-era rows.  Churn-ranked
-# gates step aside this round: every r10-churned gate was re-verified
-# by this round's full registry sweeps (sf0.01 green; sf0.1 at round
-# close); after r10 no gate's latest driver row is older than r3, and
-# the remaining r3 rows rotate in r11.  Fifth session: the 3 new SQL
-# front-end gates take the head (never outranks stale); 3 non-sentinel
-# r1 rows whose operator family keeps another window representative
-# (setops/tr/window) step back to the r11 rotation.  Late fifth
-# session: the WAP-lifecycle and lakehouse-pipeline gates join
-# (never-checked); q19/q20 (the TPC-H family keeps 8 other window
-# representatives) rotate to r11.
+# queries.  Round-11 window (tools/driver_window.py --mode staleness —
+# VERDICT r10 item 2, the rotation's FINAL leg): the 3 round-11 gates
+# with no driver row yet (nested mapped evolution, iceberg v3
+# nested/composite defaults, ANALYZE-driven broadcast), then the 47
+# OLDEST rows — all 8 remaining r1-era rows (predating the oracle
+# canonicalizer fixes; gone from the record after this round), all 24
+# r3-era rows, and the 15 oldest r4 rows.  That spends 47 of 50 slots
+# on staleness (the judge asked for >= 45); the 22 youngest r4 rows
+# rotate in r12, after which no row predates r10.  Churn-ranked gates
+# are covered by the round's full registry sweeps at sf0.01 + sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "sql_merge_canonical",  # never (round-10 fifth session, SQL front-end)
-    "sql_merge_general_clauses",  # never (round-10 fifth session)
-    "sql_ctas_ddl_lifecycle",  # never (round-10 fifth session)
-    "sql_merge_sync_by_source",  # never (round-10 fifth session)
-    "sql_wap_branch_lifecycle",  # never (round-10 fifth session)
-    "pipeline_cleanse_lakehouse",  # never (round-10 fifth session)
-    "src_iceberg_v3_dv_read",  # never
-    "sink_iceberg_v3_dv_merge",  # never
-    "src_iceberg_v3_row_lineage",  # never
-    "src_delta_nested_mapping",  # never
-    "sink_delta_dv_merge",  # never
-    "sink_delta_dv_update",  # never
-    "sink_delta_row_tracking",  # never
-    "src_delta_row_tracking_read",  # never
-    "sink_delta_column_ddl",  # never
-    "sink_iceberg_column_ddl",  # never
-    "sink_delta_nested_mapped_write",  # never
-    "src_uniform_mapped_export",  # never
-    "src_iceberg_nested_types",  # never
-    "src_convert_iceberg_to_delta",  # never
-    "sink_delta_ddl_lifecycle",  # never
-    "src_iceberg_changelog",  # never
-    "src_iceberg_changelog_upsert",  # never (round-10 third session)
-    "src_uniform_nested_partitioned",  # never (round-10 third session)
-    "sink_iceberg_nested_ddl",  # never (round-10 fourth session)
-    "sink_iceberg_write_default",  # never (round-10 fourth session)
-    "sink_delta_timestamp_ntz",  # never (round-10 fourth session)
-    "q16_supplier_count",  # last green r1
-    "q18_top_large_orders",  # last green r1
-    "q21_sole_failing_supplier",  # last green r1
-    "q22_wealthy_inactive",  # last green r1
-    "q5_region_supplier_revenue",  # last green r1
-    "q7_nation_volume",  # last green r1
-    "q8_market_share",  # last green r1
-    "q9_product_profit",  # last green r1
-    "scan_filter_project",  # last green r1
-    "scd2_customer_history",  # last green r1
-    "setops_except_custkeys",  # last green r1
-    "setops_union_aligned_feed",  # last green r1
-    "tr_date_roundtrip",  # last green r1
-    "tr_implieddecimal",  # last green r1
-    "unpivot_measures",  # last green r1
-    "window_rank_orders",  # last green r1
-    "window_share_of_segment",  # last green r1
-    "yoy_customer_retention",  # last green r1
-    "agg_numeric_audit",  # last green r3
-    "ann_cosine_topk",  # last green r3
-    "dedup_exact",  # last green r3
-    "dedup_lsh_verified",  # last green r3
-    "emb_kmeans_clusters",  # last green r3
+    "sink_delta_nested_mapped_evolve",  # never (round 11)
+    "sink_iceberg_nested_default",  # never (round 11)
+    "sql_analyze_broadcast_stats",  # never (round 11)
+    "q17_small_quantity_revenue",  # last green r1
+    "q19_disjunctive_revenue",  # last green r1
+    "q20_promo_part_suppliers",  # last green r1
+    "q6_forecast_revenue",  # last green r1
+    "setops_union_intersect",  # last green r1
+    "tr_changetype_cast",  # last green r1
+    "window_analytics_deciles",  # last green r1
+    "window_running_sum",  # last green r1
+    "ann_ivf_label_topk",  # last green r3
+    "dedup_cluster_components",  # last green r3
+    "dedup_minhash_pairs",  # last green r3
+    "dedup_ngram_jaccard",  # last green r3
+    "dedup_simhash",  # last green r3
+    "dedup_winnowing_pairs",  # last green r3
+    "dq_profile_orders",  # last green r3
+    "emb_near_dup_pairs",  # last green r3
+    "emb_rp_lsh_signatures",  # last green r3
+    "sketch_kmv_distinct",  # last green r3
+    "text_token_stats",  # last green r3
+    "tr_combine_literal",  # last green r3
+    "tr_currency_parse",  # last green r3
+    "tr_earnedpremium",  # last green r3
+    "tr_enddate_policymonths",  # last green r3
+    "tr_filterrows",  # last green r3
+    "tr_fixedwidth_slice",  # last green r3
+    "tr_hash_redact",  # last green r3
+    "tr_lookup_join",  # last green r3
+    "tr_math_family",  # last green r3
+    "tr_merge_coalesce",  # last green r3
+    "tr_multilookup_join",  # last green r3
+    "tr_regex_extract_replace",  # last green r3
+    "tr_titlecase",  # last green r3
+    "ann_ivf_kmeans_topk",  # last green r4
+    "ann_recall_eval",  # last green r4
+    "dedup_cluster_star",  # last green r4
+    "dedup_containment_pairs",  # last green r4
+    "dedup_incremental_lsh",  # last green r4
+    "dedup_keep_list",  # last green r4
+    "dedup_minhash_signature",  # last green r4
+    "doc_fingerprint",  # last green r4
+    "docs_curated_corpus",  # last green r4
+    "docs_pack_shards",  # last green r4
+    "docs_split_assign",  # last green r4
+    "emb_int8_quantize",  # last green r4
+    "emb_label_centroids",  # last green r4
+    "emb_label_norm_stats",  # last green r4
+    "evt_asof_last_purchase",  # last green r4
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

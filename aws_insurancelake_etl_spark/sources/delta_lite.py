@@ -2611,8 +2611,10 @@ def add_columns(path: str, columns: list) -> int:
     on; zero files touched at any scale).  On a column-mapped table
     each new field mints a fresh id + physical name past
     ``maxColumnId`` (nested struct/array/map element fields mint ids at
-    every level).  Dotted (nested) targets refuse — nested adds go
-    through evolve-append."""
+    every level).  Round 11: DOTTED targets address NESTED struct
+    fields (``info.city string``) — the leaf appends to its parent
+    struct through a pure schema rebuild, minting mapped ids the same
+    way; intermediate array/map hops refuse by name."""
     from pyspark.sql.types import _parse_datatype_string
 
     if not columns:
@@ -2622,22 +2624,57 @@ def add_columns(path: str, columns: list) -> int:
     conf = dict(snap.configuration)
     mode = conf.get("delta.columnMapping.mode", "none")
     max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
-    new_fields = []
-    for column, sql_type in columns:
-        if "." in column:
+    if not max_id and mode in ("name", "id"):
+        max_id = max(
+            (
+                int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                for f in snap.schema.fields
+            ),
+            default=0,
+        )
+
+    def _add_nested(dt, parts, new_field, label):
+        """Rebuild ``dt`` (a StructType) with ``new_field`` appended to
+        the struct at ``parts`` (all intermediate hops must be
+        structs); every existing field's metadata is preserved."""
+        if not isinstance(dt, StructType):
             raise DeltaLiteError(
-                f"add_columns: nested target {column!r} not supported; "
-                "append with schema_mode='evolve' instead"
+                f"add_columns: {label!r} crosses a non-struct level "
+                f"({dt.simpleString()}); only struct chains support "
+                "nested adds"
             )
+        if not parts:
+            if any(f.name == new_field.name for f in dt.fields):
+                raise DeltaLiteError(
+                    f"column {label!r} already exists"
+                )
+            return StructType(list(dt.fields) + [new_field])
+        head, rest = parts[0], parts[1:]
+        hit = next((f for f in dt.fields if f.name == head), None)
+        if hit is None:
+            raise DeltaLiteError(
+                f"add_columns: no such field {head!r} on the path to "
+                f"{label!r}"
+            )
+        rebuilt = StructField(
+            hit.name,
+            _add_nested(hit.dataType, rest, new_field, label),
+            hit.nullable,
+            metadata=dict(hit.metadata or {}),
+        )
+        return StructType(
+            [rebuilt if f.name == head else f for f in dt.fields]
+        )
+
+    schema = snap.schema
+    top_fields: list = []
+    for column, sql_type in columns:
         try:
             new_dt = _parse_datatype_string(sql_type)
         except Exception as exc:
             raise DeltaLiteError(
                 f"add_columns: cannot parse type {sql_type!r}"
             ) from exc
-        if column in existing:
-            raise DeltaLiteError(f"column {column!r} already exists")
-        existing.add(column)
         meta: dict = {}
         if mode in ("name", "id"):
             top_id = max_id + 1
@@ -2647,10 +2684,24 @@ def add_columns(path: str, columns: list) -> int:
                 "delta.columnMapping.physicalName":
                     f"col-{uuid.uuid4().hex[:8]}",
             }
-        new_fields.append(StructField(column, new_dt, True, metadata=meta))
+        if "." in column:
+            parts = column.split(".")
+            schema = _add_nested(
+                schema,
+                parts[:-1],
+                StructField(parts[-1], new_dt, True, metadata=meta),
+                column,
+            )
+        else:
+            if column in existing:
+                raise DeltaLiteError(f"column {column!r} already exists")
+            existing.add(column)
+            top_fields.append(
+                StructField(column, new_dt, True, metadata=meta)
+            )
     if mode in ("name", "id"):
         conf["delta.columnMapping.maxColumnId"] = str(max_id)
-    new_schema = StructType(list(snap.schema.fields) + new_fields)
+    new_schema = StructType(list(schema.fields) + top_fields)
     version = snap.version + 1
     actions = [
         {

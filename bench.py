@@ -184,7 +184,11 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-10 close: all 103 queries gated; nothing extended)
+    # round-11 gates: first bench round; promote to BASELINES with this
+    # round's normalized times (standing same-day promotion rule)
+    "sink_delta_nested_mapped_evolve",
+    "sink_iceberg_nested_default",
+    "sql_analyze_broadcast_stats",
 ]
 
 

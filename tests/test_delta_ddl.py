@@ -759,3 +759,71 @@ def test_nested_evolution_mapped_mints_ids(spark, tmp_path):
         "delta.columnMapping.id"
     ] == bf.metadata["delta.columnMapping.id"]
     assert dl.read_delta(spark, path).count() == 3
+
+
+def test_nested_add_columns_unmapped(spark, tmp_path):
+    """Round 11: dotted ADD COLUMNS targets append to their parent
+    struct in one metadata commit; old files read NULL."""
+    path = str(tmp_path / "na")
+    df = spark.createDataFrame(
+        [(1, ("a",))], "id int, info struct<name:string>"
+    )
+    dl.write_delta(df, path)
+    v = dl.add_columns(path, [("info.city", "string"), ("flag", "int")])
+    assert v == 1  # one commit for the whole list
+    rows = dl.read_delta(spark, path).collect()
+    assert rows[0]["info"]["city"] is None and rows[0]["flag"] is None
+    df2 = spark.createDataFrame(
+        [(2, ("b", "NYC"), 7)],
+        "id int, info struct<name:string, city:string>, flag int",
+    )
+    dl.write_delta(df2, path, mode="append")
+    got = {r["id"]: r["info"]["city"]
+           for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: None, 2: "NYC"}
+
+
+def test_nested_add_columns_mapped_mints_ids(spark, tmp_path):
+    path = str(tmp_path / "nam")
+    df = spark.createDataFrame(
+        [(1, ("a",))], "id int, info struct<name:string>"
+    )
+    dl.write_delta(df, path, column_mapping="name")
+    before = int(
+        dl.snapshot(path).configuration["delta.columnMapping.maxColumnId"]
+    )
+    dl.add_columns(path, [("info.city", "string")])
+    snap = dl.snapshot(path)
+    meta = dict(
+        snap.schema["info"].dataType["city"].metadata or {}
+    )
+    assert int(meta["delta.columnMapping.id"]) == before + 1
+    assert meta["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(
+        snap.configuration["delta.columnMapping.maxColumnId"]
+    ) == before + 1
+    # append through the mapped writer and read back
+    df2 = spark.createDataFrame(
+        [(2, ("b", "LA"))],
+        "id int, info struct<name:string, city:string>",
+    )
+    dl.write_delta(df2, path, mode="append")
+    got = {r["id"]: r["info"]["city"]
+           for r in dl.read_delta(spark, path).collect()}
+    assert got == {1: None, 2: "LA"}
+
+
+def test_nested_add_columns_refusals(spark, tmp_path):
+    path = str(tmp_path / "nr")
+    df = spark.createDataFrame(
+        [(1, ("a",), [(1,)])],
+        "id int, info struct<name:string>, "
+        "arr array<struct<x:int>>",
+    )
+    dl.write_delta(df, path)
+    with pytest.raises(dl.DeltaLiteError, match="already exists"):
+        dl.add_columns(path, [("info.name", "string")])
+    with pytest.raises(dl.DeltaLiteError, match="non-struct"):
+        dl.add_columns(path, [("arr.y", "int")])
+    with pytest.raises(dl.DeltaLiteError, match="no such field"):
+        dl.add_columns(path, [("nope.y", "int")])
