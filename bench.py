@@ -171,6 +171,11 @@ BASELINES = {
     # final close-out quiet run (2026-08-16 17:03, md5 calib 0.0727,
     # shuffle probe 0.50 s, regressions {}):
     "pipeline_cleanse_lakehouse": (2.176, 10),
+    # round-11 gates, first quiet run 2026-08-16 (md5 calib 0.0696,
+    # shuffle probe 0.467 s; regressions: {})
+    "sink_delta_nested_mapped_evolve": (1.957, 11),
+    "sink_iceberg_nested_default": (0.656, 11),
+    "sql_analyze_broadcast_stats": (1.89, 11),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -184,11 +189,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-11 gates: first bench round; promote to BASELINES with this
-    # round's normalized times (standing same-day promotion rule)
-    "sink_delta_nested_mapped_evolve",
-    "sink_iceberg_nested_default",
-    "sql_analyze_broadcast_stats",
+    # (round-11: all 106 queries gated; nothing extended)
 ]
 
 
