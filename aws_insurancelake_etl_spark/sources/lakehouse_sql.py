@@ -695,13 +695,53 @@ def analyze_table(
     }
 
 
+# (fmt, path, on-disk latest version) -> table_stats result; keyed by
+# the CURRENT log/metadata version (one listdir), so a commit
+# invalidates the entry and a cache hit never replays the delta log —
+# _maybe_broadcast runs per parsed table reference and must not add a
+# log replay to every SELECT.
+_STATS_CACHE: dict = {}
+
+
 def table_stats(fmt: str, path: str, fresh_only: bool = True) -> dict | None:
     """Stored ANALYZE stats, or None when absent — or STALE when
     ``fresh_only`` (delta: any commit after the stats' version+1
     invalidates, the +1 being the property commit itself; iceberg: the
     current snapshot id must match, property commits do not make new
     snapshots)."""
+    import os as _os
+
     from . import delta_lite, iceberg_lite
+
+    if fmt == "delta":
+        log_dir = _os.path.join(path, "_delta_log")
+        try:
+            disk_ver = max(
+                (
+                    n
+                    for n in _os.listdir(log_dir)
+                    if n.endswith(".json") or n.endswith(".parquet")
+                ),
+                default="",
+            )
+        except OSError:
+            disk_ver = ""
+    else:
+        meta_dir = _os.path.join(path, "metadata")
+        try:
+            disk_ver = max(
+                (
+                    n
+                    for n in _os.listdir(meta_dir)
+                    if n.endswith(".metadata.json")
+                ),
+                default="",
+            )
+        except OSError:
+            disk_ver = ""
+    cache_key = (fmt, path, disk_ver, fresh_only)
+    if cache_key in _STATS_CACHE:
+        return _STATS_CACHE[cache_key]
 
     if fmt == "delta":
         snap = delta_lite.snapshot(path)
@@ -714,25 +754,31 @@ def table_stats(fmt: str, path: str, fresh_only: bool = True) -> dict | None:
         for k, v in props.items()
         if k.startswith(_STATS_PREFIX)
     }
-    if "row_count" not in raw:
-        return None
+    out = None
+    stale = False
     if fresh_only:
         if fmt == "delta":
-            if snap.version > int(raw.get("marker", -10)) + 1:
-                return None
+            stale = "row_count" in raw and snap.version > int(
+                raw.get("marker", -10)
+            ) + 1
         else:
-            if str(meta.get("current-snapshot-id")) != raw.get("marker"):
-                return None
-    out = {
-        "row_count": int(raw["row_count"]),
-        "size_bytes": int(raw.get("size_bytes", -1)),
-        "marker": raw.get("marker"),
-        "ndv": {
-            k[len("ndv."):]: int(v)
-            for k, v in raw.items()
-            if k.startswith("ndv.")
-        },
-    }
+            stale = "row_count" in raw and str(
+                meta.get("current-snapshot-id")
+            ) != raw.get("marker")
+    if "row_count" in raw and not stale:
+        out = {
+            "row_count": int(raw["row_count"]),
+            "size_bytes": int(raw.get("size_bytes", -1)),
+            "marker": raw.get("marker"),
+            "ndv": {
+                k[len("ndv."):]: int(v)
+                for k, v in raw.items()
+                if k.startswith("ndv.")
+            },
+        }
+    if len(_STATS_CACHE) > 4096:
+        _STATS_CACHE.clear()
+    _STATS_CACHE[cache_key] = out
     return out
 
 
