@@ -5425,6 +5425,39 @@ def convert_iceberg_to_delta(spark: SparkSession, path: str) -> dict:
         raise DeltaLiteError(
             "iceberg metadata schema does not map to Spark types"
         )
+
+    # v3 initial-defaults (round 11): delta has no per-column default
+    # concept, so a file that physically lacks a defaulted column would
+    # silently flip from the default to NULL after conversion — refuse
+    # unless every live file carries every defaulted path (footer
+    # checks are cached; rewrite_data_files materializes defaults
+    # because it rewrites through the default-injecting read path).
+    def _default_paths(fields, prefix):
+        for fd in fields:
+            if fd.get("initial-default") is not None:
+                yield prefix + fd["name"]
+            t = fd.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                yield from _default_paths(
+                    t.get("fields", []), prefix + fd["name"] + "."
+                )
+
+    dpaths = list(
+        _default_paths(il._current_schema_of(meta).get("fields", []), "")
+    )
+    if dpaths:
+        for f in files:
+            missing = [
+                p for p in dpaths if p not in il._footer_cols(f.path)
+            ]
+            if missing:
+                raise DeltaLiteError(
+                    f"iceberg v3 initial-default column(s) {missing} "
+                    f"are not materialized in data file {f.path}; delta "
+                    "has no initial-default (converted old files would "
+                    "silently read NULL) — run rewrite_data_files to "
+                    "materialize them, then convert"
+                )
     root = os.path.abspath(path)
     spec_fields = il._partition_spec_fields(meta)
     identity_parts = [

@@ -5013,9 +5013,44 @@ def rewrite_data_files(
     "delete_files_before", "files_after", "rewritten"}.
     """
     files, deletes = plan_scan(table_path)
+
+    def _unmaterialized_defaults() -> bool:
+        # v3 initial-defaults are read-side debt too (round 11): a file
+        # physically lacking a defaulted path leans on the reader's
+        # projection; the rewrite materializes the value (it reads
+        # through the default-injecting path), which CONVERT TO DELTA
+        # requires.  Footer checks are cached per immutable file.
+        def walk(fields, prefix):
+            for fd in fields:
+                if fd.get("initial-default") is not None:
+                    yield prefix + fd["name"]
+                t = fd.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    yield from walk(
+                        t.get("fields", []), prefix + fd["name"] + "."
+                    )
+
+        dpaths = list(
+            walk(
+                _current_schema_of(_load_metadata(table_path)).get(
+                    "fields", []
+                ),
+                "",
+            )
+        )
+        if not dpaths:
+            return False
+        return any(
+            p not in _footer_cols(f.path) for f in files for p in dpaths
+        )
+
     if zorder_by:
         pass  # a layout request always rewrites
-    elif not deletes and (target_files is None or len(files) <= target_files):
+    elif (
+        not deletes
+        and (target_files is None or len(files) <= target_files)
+        and not _unmaterialized_defaults()
+    ):
         return {
             "snapshot_id": None,
             "files_before": len(files),

@@ -490,3 +490,26 @@ def test_convert_iceberg_refusals(spark, tmp_path):
     res2 = dl.convert_iceberg_to_delta(spark, src2)
     assert res2["partition_by"] == []
     assert _ids(dl.read_delta(spark, src2)) == list(range(6))
+
+
+def test_convert_refuses_unmaterialized_defaults(spark, tmp_path):
+    """Round 11: delta has no initial-default, so converting a v3
+    table whose old files lean on the read-side default projection
+    would silently flip those values to NULL — refuse by name;
+    rewrite_data_files now counts unmaterialized defaults as
+    read-side debt, materializes them, and unblocks the convert."""
+    src = str(tmp_path / "t")
+    il.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), src,
+        format_version=3,
+    )
+    il.alter_iceberg_schema(
+        src, adds={"region": {"type": "string", "default": "EMEA"}}
+    )
+    with pytest.raises(dl.DeltaLiteError, match="initial-default"):
+        dl.convert_iceberg_to_delta(spark, src)
+    r = il.rewrite_data_files(spark, src)
+    assert r["rewritten"] is True
+    dl.convert_iceberg_to_delta(spark, src)
+    rows = dl.read_delta(spark, src).collect()
+    assert rows[0]["region"] == "EMEA"
