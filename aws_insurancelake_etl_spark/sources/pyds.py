@@ -802,6 +802,120 @@ class DeltaLiteDataSource(DataSource):
         )
 
 
+def _ice_default_py(ice, value):
+    """Iceberg Appendix-D JSON single-value -> the plain python value a
+    Python DataSource row yields (struct = tuple in field order, list =
+    list, map = dict, temporal/decimal/binary parsed).  None when the
+    pair has no faithful mapping — callers refuse by name."""
+    import datetime
+    from decimal import Decimal
+
+    if value is None:
+        return None
+    if isinstance(ice, dict):
+        kind = ice.get("type")
+        if kind == "struct":
+            if not isinstance(value, dict):
+                return None
+            return {
+                f["name"]: _ice_default_py(
+                    f.get("type"), value.get(str(f["id"]))
+                )
+                for f in ice.get("fields", [])
+            }
+        if kind == "list":
+            if not isinstance(value, list):
+                return None
+            return [
+                _ice_default_py(ice.get("element"), v) for v in value
+            ]
+        if kind == "map":
+            if not isinstance(value, dict):
+                return None
+            return {
+                _ice_default_py(ice.get("key"), k): _ice_default_py(
+                    ice.get("value"), v
+                )
+                for k, v in zip(
+                    value.get("keys", []), value.get("values", [])
+                )
+            }
+        return None
+    if isinstance(value, (dict, list)):
+        return None
+    try:
+        if ice == "date":
+            return datetime.date.fromisoformat(value)
+        if ice in ("timestamp", "timestamptz"):
+            return datetime.datetime.fromisoformat(value)
+        if ice == "binary" or str(ice).startswith("fixed"):
+            return bytes.fromhex(value)
+        if str(ice).startswith("decimal("):
+            return Decimal(value)
+    except (TypeError, ValueError):
+        return None
+    return value
+
+
+def _ice_default_values(schema_obj) -> list:
+    """[(path segments tuple, python value)] for every defaulted field
+    reachable through struct chains in an iceberg schema object."""
+    out = []
+
+    def walk(fields, prefix):
+        for f in fields:
+            dv = f.get("initial-default")
+            segs = prefix + (f["name"],)
+            if dv is not None:
+                pv = _ice_default_py(f.get("type"), dv)
+                if pv is None:
+                    raise ValueError(
+                        f"field {'.'.join(segs)!r}: v3 initial-default "
+                        f"{dv!r} has no faithful python mapping for "
+                        f"type {f.get('type')!r}"
+                    )
+                out.append((segs, pv))
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), segs)
+
+    walk(schema_obj.get("fields", []), ())
+    return out
+
+
+def _pa_paths(pa_schema) -> set:
+    """Dotted struct paths present in a pyarrow schema (worker-side
+    twin of iceberg_lite._footer_cols)."""
+    import pyarrow as pa
+
+    paths = set()
+
+    def walk(fields, prefix):
+        for f in fields:
+            paths.add(prefix + f.name)
+            if pa.types.is_struct(f.type):
+                walk(f.type, prefix + f.name + ".")
+
+    walk(pa_schema, "")
+    return paths
+
+
+def _inject_nested_default(value, segs, default):
+    """Set ``segs`` (relative to this struct dict) to ``default`` in a
+    row's struct value; null structs stay null (no fields to
+    default)."""
+    if value is None:
+        return None
+    out = dict(value)
+    if len(segs) == 1:
+        out[segs[0]] = default
+    else:
+        out[segs[0]] = _inject_nested_default(
+            out.get(segs[0]), segs[1:], default
+        )
+    return out
+
+
 class IcebergLiteStreamReader(DataSourceStreamReader):
     """Micro-batch STREAMING source over an iceberg_lite table — the
     jar-less twin of Iceberg's Spark streaming read: the offset is the
@@ -826,6 +940,16 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
         self.path = path
         self.schema_json = schema_json
         self.starting_snapshot = starting_snapshot
+        # v3 initial-defaults (round 11): files predating a defaulted
+        # column must stream the DEFAULT, not null — the same contract
+        # as read_iceberg.  Computed once driver-side as plain python
+        # values ((path segments, value) pairs), applied per-file in
+        # read() only when the file's footer lacks the path.
+        self.defaults = _ice_default_values(
+            iceberg_lite._current_schema_of(
+                iceberg_lite._load_metadata(path)
+            )
+        )
 
     def _current(self) -> int:
         from . import iceberg_lite
@@ -914,12 +1038,42 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
             for name in table.column_names
         }
         n = table.num_rows
+        # v3 initial-defaults: paths this FILE physically lacks fill
+        # the default (the read_iceberg contract); files carrying the
+        # path keep stored values, legitimate nulls included
+        fills = {}  # top-level name -> constant
+        nested_fills = []  # (head, tail segments, constant)
+        if self.defaults:
+            present = _pa_paths(table.schema)
+            for segs, pv in self.defaults:
+                if ".".join(segs) in present:
+                    continue
+                if len(segs) == 1:
+                    fills[segs[0]] = pv
+                elif segs[0] in cols:
+                    nested_fills.append((segs[0], segs[1:], pv))
+                elif segs[0] in fills:
+                    # a struct column absent from the file whose OWN
+                    # default predates this nested field's default:
+                    # each field's default resolves independently, so
+                    # the later-added leaf injects into the constant
+                    # (matches the batch reader's withField order)
+                    fills[segs[0]] = _inject_nested_default(
+                        fills[segs[0]], list(segs[1:]), pv
+                    )
+        for head, tail, pv in nested_fills:
+            cols[head] = [
+                _inject_nested_default(v, list(tail), pv)
+                for v in cols[head]
+            ]
         # iceberg data files store source columns (identity partitions
         # included); a column the file predates reads as null (schema
-        # evolution)
+        # evolution) — unless it carries an initial-default (above)
         for i in range(n):
             yield tuple(
-                cols[f.name][i] if f.name in cols else None
+                cols[f.name][i]
+                if f.name in cols
+                else fills.get(f.name)
                 for f in schema.fields
             )
 

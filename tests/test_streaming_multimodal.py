@@ -614,3 +614,67 @@ def test_kafka_refuses_by_name_without_jar(spark):
         _pt.skip("kafka jar present; the refusal path is inert")
     with _pt.raises(KafkaSourceUnavailable, match="spark-sql-kafka"):
         read_kafka_stream(spark, "b:9092", ["t"])
+
+
+def test_iceberg_stream_source_surfaces_v3_defaults(spark, tmp_path):
+    """Round 11: the streaming source fills v3 initial-defaults for
+    files predating the column — top-level, struct-typed, and nested —
+    exactly like the batch reader (which is the oracle here)."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite, pyds
+
+    pyds.register(spark)
+    path = str(tmp_path / "idflt")
+    iceberg_lite.write_iceberg(
+        spark, spark.createDataFrame([(1,), (2,)], "id int"), path,
+        format_version=3,
+    )
+    iceberg_lite.alter_iceberg_schema(
+        path,
+        adds={
+            "region": {"type": "string", "default": "EMEA"},
+            "s": {
+                "type": {
+                    "type": "struct",
+                    "fields": [{"name": "a", "type": "int"}],
+                },
+                "default": {"a": 5},
+            },
+        },
+    )
+    iceberg_lite.write_iceberg(
+        spark,
+        spark.sql(
+            "select 3 as id, 'APAC' as region, named_struct('a', 9) as s"
+        ),
+        path,
+    )
+    iceberg_lite.alter_iceberg_schema(
+        path, adds={"s.b": {"type": "string", "default": "nb"}}
+    )
+    q = (
+        spark.readStream.format("iceberg_lite")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("idflt_t")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "cp")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["id"], r["region"], r["s"]["a"], r["s"]["b"])
+        for r in spark.table("idflt_t").collect()
+    )
+    batch = sorted(
+        (r["id"], r["region"], r["s"]["a"], r["s"]["b"])
+        for r in iceberg_lite.read_iceberg(spark, path).collect()
+    )
+    assert streamed == batch
+    assert streamed == [
+        (1, "EMEA", 5, "nb"),
+        (2, "EMEA", 5, "nb"),
+        (3, "APAC", 9, "nb"),
+    ]
