@@ -2068,7 +2068,35 @@ def _exec_describe(spark: SparkSession, p: _P) -> DataFrame:
         if ref.fmt != "delta":
             raise LakehouseSqlError("DESCRIBE DETAIL is delta-only")
         return _metrics_df(spark, delta_lite.describe_detail(ref.path))
-    raise LakehouseSqlError("DESCRIBE supports HISTORY and DETAIL")
+    # plain DESCRIBE [TABLE] ref — the Spark-SQL column listing
+    p.take_words("TABLE")
+    ref = p.try_table_ref(travel_ok=True)
+    if ref is None:
+        raise LakehouseSqlError(
+            "DESCRIBE supports HISTORY, DETAIL, and [TABLE] <ref>"
+        )
+    df = _read_ref(spark, ref)
+    rows = [
+        (f.name, f.dataType.simpleString(), "")
+        for f in df.schema.fields
+    ]
+    if ref.fmt == "delta":
+        part = delta_lite.snapshot(ref.path).partition_columns
+        _, phys = delta_lite._mapping_of(delta_lite.snapshot(ref.path))
+        inv = {v: k for k, v in (phys or {}).items()}
+        part = [inv.get(c, c) for c in part]
+    else:
+        meta = iceberg_lite._load_metadata(ref.path)
+        part = [
+            f.name
+            for f in iceberg_lite._partition_spec_fields(meta)
+        ]
+    if part:
+        rows.append(("# Partition Information", "", ""))
+        rows.extend((c, "", "") for c in part)
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string"
+    )
 
 
 def _exec_restore(spark: SparkSession, p: _P) -> DataFrame:

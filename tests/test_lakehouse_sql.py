@@ -1058,3 +1058,14 @@ def test_stats_inject_broadcast_hint(spark, tmp_path):
     after = after_df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in after
     assert after_df.collect()[0]["n"] == 45000
+
+
+def test_describe_table_lists_columns(spark, delta_tbl, ice_tbl):
+    rows = lakehouse_sql(
+        spark, f"DESCRIBE TABLE delta.`{delta_tbl}`"
+    ).collect()
+    assert [(r["col_name"], r["data_type"]) for r in rows[:3]] == [
+        ("id", "int"), ("name", "string"), ("amount", "double"),
+    ]
+    rows_i = lakehouse_sql(spark, f"DESCRIBE iceberg.`{ice_tbl}`").collect()
+    assert [r["col_name"] for r in rows_i[:3]] == ["id", "name", "amount"]
