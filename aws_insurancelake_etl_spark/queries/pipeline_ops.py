@@ -7362,3 +7362,74 @@ def sql_analyze_broadcast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     spark.catalog.dropTempView(view)
     return out
+
+
+@register(
+    "sink_delta_nested_add_column",
+    """
+    SELECT c_custkey,
+           c_name AS profile_name,
+           CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment END AS segment
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def sink_delta_nested_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta NESTED ``ADD COLUMN`` (round 11, symmetry with the
+    iceberg side): ``ALTER TABLE ... ADD COLUMN profile.segment
+    STRING`` through the SQL front-end appends the leaf to its parent
+    struct in ONE metadata commit — zero data files touched (asserted
+    in-gate) — on a COLUMN-MAPPED table, minting a fresh
+    ``delta.columnMapping.id``/``physicalName`` for the leaf.  Old
+    files read NULL; a post-DDL append carries values through the
+    mapped writer."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources import delta_lite
+    from ..sources.lakehouse_sql import lakehouse_sql
+
+    base = t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    ).select(
+        "c_custkey",
+        F.struct(F.col("c_name").alias("name")).alias("profile"),
+        "c_mktsegment",
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-delta-nac-") + "/t"
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 6 != 0).drop("c_mktsegment"),
+        tbl,
+        column_mapping="name",
+    )
+    files0 = set(_glob.glob(_os.path.join(tbl, "*.parquet")))
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE delta.`{tbl}` ADD COLUMN profile.segment STRING",
+    )
+    if set(_glob.glob(_os.path.join(tbl, "*.parquet"))) != files0:
+        raise RuntimeError("nested ADD COLUMN must touch zero data files")
+    snap = delta_lite.snapshot(tbl)
+    leaf_meta = dict(
+        snap.schema["profile"].dataType["segment"].metadata or {}
+    )
+    if not leaf_meta.get("delta.columnMapping.id"):
+        raise RuntimeError(
+            f"nested add on a mapped table must mint an id: {leaf_meta}"
+        )
+    delta_lite.write_delta(
+        base.where(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            F.struct(
+                F.col("profile.name").alias("name"),
+                F.col("c_mktsegment").alias("segment"),
+            ).alias("profile"),
+        ),
+        tbl,
+        mode="append",
+    )
+    out = delta_lite.read_delta(spark, tbl)
+    return out.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.segment").alias("segment"),
+    )
