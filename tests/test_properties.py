@@ -685,3 +685,91 @@ def test_sql_parser_raises_only_named_errors(words):
         m.lakehouse_sql(_NoSpark(), sql)
     except m.LakehouseSqlError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Round 11: iceberg v3 default-value machinery — pure-function properties
+# ---------------------------------------------------------------------------
+
+_ICE_PRIMS = st.sampled_from(
+    ["int", "long", "double", "string", "boolean"]
+)
+
+
+def _value_for(ice):
+    return {
+        "int": st.integers(-(2**31), 2**31 - 1),
+        "long": st.integers(-(2**62), 2**62 - 1),
+        "double": st.floats(allow_nan=False, allow_infinity=False,
+                            width=32),
+        "string": st.text(max_size=20),
+        "boolean": st.booleans(),
+    }[ice]
+
+
+@st.composite
+def _struct_type_and_default(draw):
+    n = draw(st.integers(1, 4))
+    names = draw(
+        st.lists(
+            st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    fields = []
+    name_default = {}
+    for i, nm in enumerate(names):
+        prim = draw(_ICE_PRIMS)
+        fields.append(
+            {"id": 100 + i, "name": nm, "required": False, "type": prim}
+        )
+        if draw(st.booleans()):
+            name_default[nm] = draw(_value_for(prim))
+    return {"type": "struct", "fields": fields}, name_default
+
+
+@given(_struct_type_and_default())
+@settings(max_examples=50, deadline=None)
+def test_name_keyed_default_rekeys_and_validates(td):
+    """_name_keyed_to_id_keyed: name-keyed struct defaults re-key by
+    field id; the result always passes _valid_default_json; id-keyed
+    input round-trips unchanged."""
+    from aws_insurancelake_etl_spark.sources.iceberg_lite import (
+        _name_keyed_to_id_keyed,
+        _valid_default_json,
+    )
+
+    ice, by_name = td
+    id_keyed = _name_keyed_to_id_keyed(ice, by_name)
+    assert _valid_default_json(ice, id_keyed)
+    by_id = {str(f["id"]): f["name"] for f in ice["fields"]}
+    assert {by_id[k] for k in id_keyed} == set(by_name)
+    # already-id-keyed input is a fixed point
+    assert _name_keyed_to_id_keyed(ice, id_keyed) == id_keyed
+
+
+@given(_struct_type_and_default())
+@settings(max_examples=30, deadline=None)
+def test_default_literal_matches_python_values(spark, td):
+    """_default_literal (Spark literal) and pyds._ice_default_py
+    (plain python) agree on every struct default — the batch/stream
+    parity invariant."""
+    from aws_insurancelake_etl_spark.sources.iceberg_lite import (
+        _default_literal,
+        _name_keyed_to_id_keyed,
+    )
+    from aws_insurancelake_etl_spark.sources.pyds import _ice_default_py
+
+    ice, by_name = td
+    id_keyed = _name_keyed_to_id_keyed(ice, by_name)
+    lit = _default_literal(ice, id_keyed)
+    assert lit is not None
+    row = spark.range(1).select(lit.alias("v")).collect()[0]["v"]
+    py = _ice_default_py(ice, id_keyed)
+    for f in ice["fields"]:
+        got = row[f["name"]]
+        want = py.get(f["name"])
+        if isinstance(want, float) and got is not None:
+            assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+        else:
+            assert got == want
