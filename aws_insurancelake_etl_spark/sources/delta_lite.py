@@ -508,6 +508,39 @@ def _phys_field_name(f) -> str:
     return phys
 
 
+def _max_mapping_id(schema: StructType) -> int:
+    """The highest ``delta.columnMapping.id`` anywhere in the schema —
+    nested struct/array/map element fields included (round-11 review:
+    a top-level-only scan can re-mint a NESTED field's id on a table
+    whose configuration lacks maxColumnId)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _ST
+
+    def walk_dt(dt) -> int:
+        if isinstance(dt, _ST):
+            return max(
+                (
+                    max(
+                        int(
+                            (f.metadata or {}).get(
+                                "delta.columnMapping.id", 0
+                            )
+                        ),
+                        walk_dt(f.dataType),
+                    )
+                    for f in dt.fields
+                ),
+                default=0,
+            )
+        if isinstance(dt, ArrayType):
+            return walk_dt(dt.elementType)
+        if isinstance(dt, MapType):
+            return max(walk_dt(dt.keyType), walk_dt(dt.valueType))
+        return 0
+
+    return walk_dt(schema)
+
+
 def _physical_names(schema: StructType) -> dict:
     """TOP-LEVEL logical -> physical column names from the schemaString
     field metadata (PROTOCOL.md §Column Mapping: every field carries
@@ -2625,13 +2658,7 @@ def add_columns(path: str, columns: list) -> int:
     mode = conf.get("delta.columnMapping.mode", "none")
     max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
     if not max_id and mode in ("name", "id"):
-        max_id = max(
-            (
-                int((f.metadata or {}).get("delta.columnMapping.id", 0))
-                for f in snap.schema.fields
-            ),
-            default=0,
-        )
+        max_id = _max_mapping_id(snap.schema)
 
     def _add_nested(dt, parts, new_field, label):
         """Rebuild ``dt`` (a StructType) with ``new_field`` appended to
@@ -2994,14 +3021,8 @@ def write_delta(
             else {}
         )
         max_id = int(merged_conf.get("delta.columnMapping.maxColumnId", 0) or 0)
-        if not max_id and old_fields:
-            max_id = max(
-                (
-                    int((f.metadata or {}).get("delta.columnMapping.id", 0))
-                    for f in old_fields.values()
-                ),
-                default=0,
-            )
+        if not max_id and existing is not None:
+            max_id = _max_mapping_id(existing.schema)
         phys = dict(phys or {})
 
         def _mint_next() -> int:

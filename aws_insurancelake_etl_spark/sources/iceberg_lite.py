@@ -2079,14 +2079,53 @@ def read_iceberg(
         and scan_schema is not None
     ):
         default_groups = {}
+        if (
+            column_defaults
+            and hist_nested
+            and any("." in c for c in column_defaults)
+        ):
+            # nested defaults combined with NESTED rename/drop history
+            # would need per-schema-id as-written leaf resolution to
+            # decide footer presence — refuse rather than risk reading
+            # a renamed leaf's stored values as the default
+            raise IcebergLiteError(
+                "nested initial-defaults on a table with nested "
+                "rename/drop history are not supported; run "
+                "rewrite_data_files to materialize the defaults first"
+            )
         for f in internal:
+            sig = _sig_for(f) if resolve_names else None
             missing = ()
             if column_defaults:
                 present = _footer_cols(f.path)
-                missing = tuple(
-                    sorted(c for c in column_defaults if c not in present)
+                # footer presence must be judged under the file's
+                # AS-WRITTEN names (round-11 review: after RENAME x->y
+                # the defaults are keyed 'y' but the file stores 'x' —
+                # checking 'y' against the footer would project the
+                # default OVER real stored values)
+                aw = (
+                    dict(
+                        zip([fl.name for fl in scan_schema.fields], sig)
+                    )
+                    if sig is not None
+                    else None
                 )
-            sig = _sig_for(f) if resolve_names else None
+
+                def _aw_path(c):
+                    head, dot, rest = c.partition(".")
+                    h = aw.get(head, head) if aw is not None else head
+                    if h is None:
+                        return None  # field predates this file: missing
+                    return h + ("." + rest if dot else "")
+
+                missing = tuple(
+                    sorted(
+                        c
+                        for c in column_defaults
+                        if _aw_path(c) is None
+                        or _aw_path(c) not in present
+                    )
+                )
             # nested name mapping: files may differ in nested PHYSICAL
             # layout, which the top-level signature cannot see — the
             # footer schema fingerprint splits those groups (cached,
@@ -2863,6 +2902,28 @@ def _default_literal(ice, value):
     return F.lit(value).cast(sp)
 
 
+def _merge_nested_write_defaults(ice, value):
+    """A struct default value with every nested field's OWN
+    write-default merged in where the stored value predates that field
+    (each field's default resolves independently — spec §Default
+    values).  Recurses through struct chains; non-struct types pass
+    through."""
+    if not isinstance(ice, dict) or ice.get("type") != "struct":
+        return value
+    if not isinstance(value, dict):
+        return value
+    out = dict(value)
+    for f in ice.get("fields", []):
+        key = str(f["id"])
+        if key not in out and f.get("write-default") is not None:
+            out[key] = f["write-default"]
+        if key in out:
+            out[key] = _merge_nested_write_defaults(
+                f.get("type"), out[key]
+            )
+    return out
+
+
 def _valid_default_json(ice, value) -> bool:
     """Pure structural twin of :func:`_default_literal` — DDL-time
     validation without building Columns (alter_iceberg_schema has no
@@ -2901,6 +2962,47 @@ def _valid_default_json(ice, value) -> bool:
     if ice == "binary" or str(ice).startswith("fixed"):
         try:
             bytes.fromhex(value)
+            return True
+        except (TypeError, ValueError):
+            return False
+    # primitive TYPE agreement (round-11 review: a type-mismatched
+    # DEFAULT must refuse at DDL time, not surface as a NULL/ANSI cast
+    # error at read time)
+    if ice in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if ice in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        )
+    if ice == "boolean":
+        return isinstance(value, bool)
+    if ice in ("string", "uuid"):
+        return isinstance(value, str)
+    if str(ice).startswith("decimal("):
+        if isinstance(value, bool) or not isinstance(
+            value, (int, float, str)
+        ):
+            return False
+        try:
+            from decimal import Decimal, InvalidOperation
+
+            Decimal(str(value))
+            return True
+        except (InvalidOperation, ValueError):
+            return False
+    if ice == "date":
+        import datetime
+
+        try:
+            datetime.date.fromisoformat(str(value))
+            return True
+        except (TypeError, ValueError):
+            return False
+    if ice in ("timestamp", "timestamptz"):
+        import datetime
+
+        try:
+            datetime.datetime.fromisoformat(str(value))
             return True
         except (TypeError, ValueError):
             return False
@@ -2987,6 +3089,15 @@ def _name_keyed_to_id_keyed(ice, value):
                 )
                 for k, v in value.items()
             }
+        names = {f["name"] for f in ice.get("fields", [])}
+        unknown = set(value) - names
+        if unknown:
+            # a typo'd key must never silently vanish into an
+            # empty/partial stored default
+            raise IcebergLiteError(
+                f"struct default keys {sorted(unknown)} match neither a "
+                f"field id nor a field name of {sorted(names)}"
+            )
         out = {}
         for f in ice.get("fields", []):
             if f["name"] in value:
@@ -3761,7 +3872,17 @@ def write_iceberg(
             wd = fd.get("write-default")
             if wd is None or fd["name"] in have_cols:
                 continue
-            lit = _default_literal(fd.get("type"), wd)
+            # nested fields added AFTER this column's own default may
+            # carry their own write-defaults the stored (id-keyed)
+            # value predates — each field's default resolves
+            # independently, so merge them in before building the
+            # literal (otherwise the staged file would physically
+            # carry NULL and the read path, seeing the path present,
+            # would never apply the default)
+            lit = _default_literal(
+                fd.get("type"),
+                _merge_nested_write_defaults(fd.get("type"), wd),
+            )
             if lit is not None:
                 df = df.withColumn(fd["name"], lit)
         # NESTED write-defaults (round 11): an append whose struct

@@ -2081,10 +2081,7 @@ def _exec_describe(spark: SparkSession, p: _P) -> DataFrame:
         for f in df.schema.fields
     ]
     if ref.fmt == "delta":
-        part = delta_lite.snapshot(ref.path).partition_columns
-        _, phys = delta_lite._mapping_of(delta_lite.snapshot(ref.path))
-        inv = {v: k for k, v in (phys or {}).items()}
-        part = [inv.get(c, c) for c in part]
+        part, _ = delta_lite._mapping_of(delta_lite.snapshot(ref.path))
     else:
         meta = iceberg_lite._load_metadata(ref.path)
         part = [

@@ -859,14 +859,23 @@ def _ice_default_py(ice, value):
 
 def _ice_default_values(schema_obj) -> list:
     """[(path segments tuple, python value)] for every defaulted field
-    reachable through struct chains in an iceberg schema object."""
+    reachable through struct chains in an iceberg schema object.
+    Defaults inside LIST/MAP elements refuse — exactly like the batch
+    reader (iceberg_lite._collect_defaults); the two readers must
+    never disagree on the same table."""
     out = []
 
-    def walk(fields, prefix):
+    def walk(fields, prefix, in_container):
         for f in fields:
             dv = f.get("initial-default")
             segs = prefix + (f["name"],)
             if dv is not None:
+                if in_container:
+                    raise ValueError(
+                        f"field {'.'.join(segs)!r} carries an "
+                        "initial-default inside a list/map element; "
+                        "materializing defaults there is not supported"
+                    )
                 pv = _ice_default_py(f.get("type"), dv)
                 if pv is None:
                     raise ValueError(
@@ -876,10 +885,20 @@ def _ice_default_values(schema_obj) -> list:
                     )
                 out.append((segs, pv))
             t = f.get("type")
-            if isinstance(t, dict) and t.get("type") == "struct":
-                walk(t.get("fields", []), segs)
+            if isinstance(t, dict):
+                kind = t.get("type")
+                if kind == "struct":
+                    walk(t.get("fields", []), segs, in_container)
+                elif kind == "list" and isinstance(
+                    t.get("element"), dict
+                ) and t["element"].get("type") == "struct":
+                    walk(t["element"].get("fields", []), segs, True)
+                elif kind == "map" and isinstance(
+                    t.get("value"), dict
+                ) and t["value"].get("type") == "struct":
+                    walk(t["value"].get("fields", []), segs, True)
 
-    walk(schema_obj.get("fields", []), ())
+    walk(schema_obj.get("fields", []), (), False)
     return out
 
 

@@ -542,3 +542,99 @@ def test_widen_rejects_narrowing_and_kind_changes(spark, tmp_path):
         iceberg_lite.alter_iceberg_schema(path, widens={"big": "int"})
     with _pytest.raises(iceberg_lite.IcebergLiteError, match="promotion"):
         iceberg_lite.alter_iceberg_schema(path, widens={"id": "string"})
+
+
+def test_write_default_merges_later_nested_defaults(spark, tmp_path):
+    """Round-11 review: an append omitting a defaulted struct column
+    must materialize LATER-ADDED nested fields' own write-defaults,
+    not NULL (each field's default resolves independently)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "wdm")
+    il.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path,
+        format_version=3,
+    )
+    il.alter_iceberg_schema(
+        path,
+        adds={
+            "meta": {
+                "type": {
+                    "type": "struct",
+                    "fields": [{"name": "src", "type": "string"}],
+                },
+                "default": {"src": "legacy"},
+            }
+        },
+    )
+    il.alter_iceberg_schema(
+        path, adds={"meta.ver": {"type": "int", "default": 7}}
+    )
+    before = set(glob.glob(os.path.join(path, "data", "*.parquet")))
+    il.write_iceberg(
+        spark, spark.createDataFrame([(2,)], "id int"), path
+    )
+    new = [
+        f
+        for f in glob.glob(os.path.join(path, "data", "*.parquet"))
+        if f not in before
+    ]
+    staged = pq.read_table(new[0]).column("meta").to_pylist()
+    assert staged == [{"src": "legacy", "ver": 7}]
+    got = {
+        r["id"]: (r["meta"]["src"], r["meta"]["ver"])
+        for r in il.read_iceberg(spark, path).collect()
+    }
+    assert got == {1: ("legacy", 7), 2: ("legacy", 7)}
+
+
+def test_renamed_defaulted_column_keeps_stored_values(spark, tmp_path):
+    """Round-11 review: after RENAME x->y, files that physically carry
+    'x' must read their STORED values, not the default (footer
+    presence is judged under as-written names)."""
+    path = str(tmp_path / "rdc")
+    il.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path,
+        format_version=3,
+    )
+    il.alter_iceberg_schema(path, adds={"x": {"type": "int", "default": 9}})
+    il.write_iceberg(
+        spark, spark.createDataFrame([(2, 42)], "id int, x int"), path
+    )
+    il.alter_iceberg_schema(path, renames={"x": "y"})
+    got = {r["id"]: r["y"] for r in il.read_iceberg(spark, path).collect()}
+    assert got == {1: 9, 2: 42}
+
+
+def test_default_value_validation_refusals(spark, tmp_path):
+    path = str(tmp_path / "dvv")
+    il.write_iceberg(
+        spark, spark.createDataFrame([(1,)], "id int"), path,
+        format_version=3,
+    )
+    # typo'd name key must raise, never silently drop
+    with pytest.raises(il.IcebergLiteError, match="neither a field id"):
+        il.alter_iceberg_schema(
+            path,
+            adds={
+                "m": {
+                    "type": {
+                        "type": "struct",
+                        "fields": [{"name": "src", "type": "string"}],
+                    },
+                    "default": {"srk": "l"},
+                }
+            },
+        )
+    # type-mismatched scalar refuses at DDL time
+    with pytest.raises(il.IcebergLiteError, match="does not fit"):
+        il.alter_iceberg_schema(
+            path, adds={"prio": {"type": "int", "default": "high"}}
+        )
+    with pytest.raises(il.IcebergLiteError, match="does not fit"):
+        il.alter_iceberg_schema(
+            path, adds={"flag": {"type": "boolean", "default": 1}}
+        )
