@@ -7297,8 +7297,8 @@ def sink_iceberg_nested_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment AS seg,
            COUNT(*) AS n,
-           SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
-               AS BIGINT)) AS cents
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+               AS BIGINT)) AS BIGINT) AS cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_custkey % 3 = 0 AND c.c_custkey % 9 <> 0

@@ -114,30 +114,31 @@ def test_driver_window_covers_every_operator_family():
     assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == list(DRIVER_WINDOW)
     window = set(DRIVER_WINDOW)
-    # r10 rotation (tools/driver_window.py --mode staleness, VERDICT r9
-    # item 3): the 19 round-10 gates with no driver row lead (iceberg
-    # v3 DV read/DML/row lineage, delta DV merge/update, nested column
-    # mapping, delta row tracking, column DDL on both formats, nested
-    # mapped writes, UniForm exports, conversions, changelog, nested
-    # DDL), then the 31 OLDEST green rows — the r1-era block plus the
-    # oldest r3 rows.  Sentinels: never-checked round-10 gates plus
-    # staleness representatives from both eras.
-    for sentinel in ("sql_merge_canonical", "sql_merge_sync_by_source",
-                     "src_iceberg_v3_dv_read", "sink_iceberg_v3_dv_merge",
-                     "src_iceberg_v3_row_lineage", "src_delta_nested_mapping",
-                     "sink_delta_dv_merge", "sink_delta_dv_update",
-                     "sink_delta_row_tracking",
-                     "src_delta_row_tracking_read",
-                     "sink_delta_column_ddl", "sink_iceberg_column_ddl",
-                     "src_iceberg_changelog", "sink_iceberg_nested_ddl",
-                     "q5_region_supplier_revenue", "q16_supplier_count",
-                     "q22_wealthy_inactive", "scan_filter_project",
-                     "scd2_customer_history", "window_rank_orders",
-                     "yoy_customer_retention", "tr_date_roundtrip",
-                     "unpivot_measures", "dedup_exact",
-                     "dedup_lsh_verified", "ann_cosine_topk",
-                     "emb_kmeans_clusters",
-                     "agg_numeric_audit"):
+    # r11 rotation (tools/driver_window.py --mode staleness, VERDICT
+    # r10 item 2 — the rotation's final leg): the 4 round-11 gates with
+    # no driver row lead (nested mapped evolution, iceberg v3 nested/
+    # composite defaults, nested delta ADD COLUMN, ANALYZE broadcast),
+    # then the 46 OLDEST rows — all 8 r1-era, all 24 r3-era, and the 14
+    # oldest r4 rows.  Sentinels: the never-checked head plus staleness
+    # representatives from each era.
+    for sentinel in ("sink_delta_nested_mapped_evolve",
+                     "sink_iceberg_nested_default",
+                     "sink_delta_nested_add_column",
+                     "sql_analyze_broadcast_stats",
+                     # r1-era block (pre-canonicalizer rows, last leg)
+                     "q17_small_quantity_revenue",
+                     "q19_disjunctive_revenue", "q6_forecast_revenue",
+                     "setops_union_intersect", "tr_changetype_cast",
+                     "window_analytics_deciles", "window_running_sum",
+                     # r3-era block
+                     "dedup_minhash_pairs", "dedup_simhash",
+                     "dq_profile_orders", "sketch_kmv_distinct",
+                     "text_token_stats", "tr_lookup_join",
+                     "tr_earnedpremium", "tr_currency_parse",
+                     # oldest r4 rows
+                     "ann_recall_eval", "dedup_incremental_lsh",
+                     "doc_fingerprint", "docs_pack_shards",
+                     "emb_int8_quantize", "emb_label_centroids"):
         assert sentinel in window, sentinel
 
 
