@@ -176,6 +176,9 @@ BASELINES = {
     "sink_delta_nested_mapped_evolve": (1.957, 11),
     "sink_iceberg_nested_default": (0.656, 11),
     "sql_analyze_broadcast_stats": (1.89, 11),
+    # round-11 late gate, quiet run 2026-08-16 21:4x (md5 0.0750,
+    # shuffle 0.456 s; regressions: {})
+    "sink_delta_nested_add_column": (0.426, 11),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -189,8 +192,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-11 late gate: first bench round; promote at round close
-    "sink_delta_nested_add_column",
+    # (round-11 close: all 107 queries gated; nothing extended)
 ]
 
 
