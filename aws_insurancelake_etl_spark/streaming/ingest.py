@@ -394,3 +394,49 @@ def read_kafka_stream(
             "data", F.from_json("value_str", value_schema)
         ).drop("value_str")
     return out
+
+
+def read_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str] | str | None = None,
+    *,
+    ending_offsets: str | dict = "latest",
+    value_schema: StructType | str | None = None,
+    value_format: str = "json",
+    **kwargs,
+) -> DataFrame:
+    """The BATCH twin of :func:`read_kafka_stream`
+    (``spark.read.format('kafka')`` — bounded [starting, ending)
+    offsets; the backfill shape).  Same option mapping, same named
+    refusal when the jar is absent."""
+    if not kafka_available(spark):
+        raise KafkaSourceUnavailable(
+            "the Kafka source (spark-sql-kafka-0-10 jar) is not on the "
+            "classpath; start the session with --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version> "
+            "to enable read_kafka_batch"
+        )
+    opts = kafka_reader_options(
+        bootstrap_servers, topics, ending_offsets=ending_offsets, **kwargs
+    )
+    df = spark.read.format("kafka").options(**opts).load()
+    if value_format == "raw":
+        return df
+    if value_format != "json":
+        raise ValueError(
+            f"value_format must be json|raw, got {value_format!r}"
+        )
+    out = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value_str"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+    if value_schema is not None:
+        out = out.withColumn(
+            "data", F.from_json("value_str", value_schema)
+        ).drop("value_str")
+    return out

@@ -678,3 +678,18 @@ def test_iceberg_stream_source_surfaces_v3_defaults(spark, tmp_path):
         (2, "EMEA", 5, "nb"),
         (3, "APAC", 9, "nb"),
     ]
+
+
+def test_kafka_batch_refuses_by_name_without_jar(spark):
+    import pytest as _pt
+
+    from aws_insurancelake_etl_spark.streaming.ingest import (
+        KafkaSourceUnavailable,
+        kafka_available,
+        read_kafka_batch,
+    )
+
+    if kafka_available(spark):
+        _pt.skip("kafka jar present; the refusal path is inert")
+    with _pt.raises(KafkaSourceUnavailable, match="spark-sql-kafka"):
+        read_kafka_batch(spark, "b:9092", ["t"])
