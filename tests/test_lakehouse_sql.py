@@ -1069,3 +1069,33 @@ def test_describe_table_lists_columns(spark, delta_tbl, ice_tbl):
     ]
     rows_i = lakehouse_sql(spark, f"DESCRIBE iceberg.`{ice_tbl}`").collect()
     assert [r["col_name"] for r in rows_i[:3]] == ["id", "name", "amount"]
+
+
+def test_stats_broadcast_skips_time_travel(spark, tmp_path):
+    """Stats describe the CURRENT snapshot — a VERSION AS OF read must
+    never inherit the broadcast hint (the historical snapshot may be
+    arbitrarily larger)."""
+    path = str(tmp_path / "ttd")
+    delta_lite.write_delta(
+        spark.range(10).selectExpr("id AS k"), path
+    )
+    from aws_insurancelake_etl_spark.sources.lakehouse_sql import (
+        analyze_table,
+    )
+
+    analyze_table(spark, "delta", path)
+    spark.range(1000).selectExpr(
+        "id % 10 AS k", "id AS v"
+    ).createOrReplaceTempView("fact_tt")
+    current = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM fact_tt f JOIN delta.`{path}` d "
+        "ON f.k = d.k",
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in current
+    travel = lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM fact_tt f "
+        f"JOIN delta.`{path}` VERSION AS OF 0 d ON f.k = d.k",
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in travel
