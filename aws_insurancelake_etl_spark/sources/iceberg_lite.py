@@ -3583,7 +3583,29 @@ def _ice_type_of(dt, mint):
         return "timestamp"  # spec: timestamp WITHOUT zone
     if simple.startswith("timestamp"):
         return "timestamptz"
-    return _SPARK_TO_ICEBERG_TYPE.get(simple, "string")
+    if simple == "variant":
+        # iceberg v3 §Variant exists, but this container's pyarrow
+        # cannot even OPEN parquet footers carrying the VARIANT
+        # LogicalType (staging/stats/bounds all read footers) —
+        # refuse by name rather than committing metadata that calls
+        # the column a string.  delta_lite WRITES variant fine (its
+        # staging is Spark-side).
+        raise IcebergLiteError(
+            "variant columns are not supported by write_iceberg in "
+            "this environment (pyarrow lacks the parquet VARIANT "
+            "LogicalType the footer machinery needs); use delta_lite "
+            "for variant writes or cast to a string/struct column"
+        )
+    if simple.startswith("char(") or simple.startswith("varchar("):
+        return "string"
+    try:
+        return _SPARK_TO_ICEBERG_TYPE[simple]
+    except KeyError:
+        raise IcebergLiteError(
+            f"spark type {simple!r} has no iceberg mapping; refusing "
+            "rather than committing metadata that misdescribes the "
+            "column"
+        ) from None
 
 
 def _ice_type_sig(t):
@@ -3935,6 +3957,10 @@ def write_iceberg(
                     _nested_wd(t.get("fields", []), pathname + ".")
 
         _nested_wd(cur_schema.get("fields", []), "")
+    # schema-mapping validation BEFORE staging: an unmappable type
+    # (variant incl.) must refuse by name here, not blow up mid-stage
+    # in the footer machinery with files already on disk
+    _ice_schema_fields(df)
     staged = _stage_iceberg_data(df, table_path, partition_by)
     attempt = 0
     while True:

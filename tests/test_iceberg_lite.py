@@ -1599,3 +1599,16 @@ def test_merge_insert_only_out_of_bounds_keys(spark, tmp_path):
     )
     assert res["deleted_rows"] == 0 and res["files_scanned"] == 0
     assert il.read_iceberg(spark, path).count() == 4
+
+
+def test_variant_and_unknown_types_refuse_by_name(spark, tmp_path):
+    """Round 11: an unmappable Spark type (variant incl.) must refuse
+    at write time, never commit metadata calling the column a string
+    (silent misdescription another engine would then trust)."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "vr")
+    df = spark.sql("select 1 as id, parse_json('{\"a\": 1}') as v")
+    with pytest.raises(il.IcebergLiteError, match="variant"):
+        il.write_iceberg(spark, df, path, format_version=3)
+    assert not il.is_iceberg_table(path)
