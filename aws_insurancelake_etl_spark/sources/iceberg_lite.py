@@ -4462,6 +4462,20 @@ def _commit_snapshot(
         or [{"spec-id": 0, "fields": []}],
         "default-spec-id": commit_spec_id,
     }
+    # spec §Table Metadata: properties (and the metadata sections this
+    # writer does not manage) persist across snapshot commits — a
+    # data commit must never clear `owner`, stored ANALYZE stats, or
+    # another engine's sort-orders/statistics entries (round-11 fix:
+    # they were silently dropped)
+    for carry in (
+        "properties",
+        "sort-orders",
+        "default-sort-order-id",
+        "statistics",
+        "partition-statistics",
+    ):
+        if (meta or {}).get(carry) is not None:
+            new_meta[carry] = meta[carry]
     if fv >= 3:
         new_meta["next-row-id"] = first_row_id + assigned_rows
     if schemas:

@@ -1612,3 +1612,17 @@ def test_variant_and_unknown_types_refuse_by_name(spark, tmp_path):
     with pytest.raises(il.IcebergLiteError, match="variant"):
         il.write_iceberg(spark, df, path, format_version=3)
     assert not il.is_iceberg_table(path)
+
+
+def test_properties_persist_across_snapshot_commits(spark, tmp_path):
+    """Round-11 fix: data commits must carry table properties forward
+    (spec §Table Metadata) — appends/DML were silently clearing
+    `owner`, stored ANALYZE stats, and any other engine's entries."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "pp")
+    il.write_iceberg(spark, spark.range(3).selectExpr("id"), path)
+    il.set_iceberg_properties(path, {"owner": "etl"})
+    il.write_iceberg(spark, spark.range(3, 6).selectExpr("id"), path)
+    il.delete_iceberg(spark, path, "id = 4")
+    assert il._load_metadata(path).get("properties") == {"owner": "etl"}
