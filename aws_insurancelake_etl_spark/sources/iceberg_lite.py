@@ -5211,6 +5211,7 @@ def rewrite_data_files(
         not deletes
         and (target_files is None or len(files) <= target_files)
         and not _unmaterialized_defaults()
+        and not _default_sort_columns(_load_metadata(table_path))
     ):
         return {
             "snapshot_id": None,
@@ -5230,6 +5231,7 @@ def rewrite_data_files(
     # _last_updated_sequence_number — bumping the latter to the
     # compaction commit would falsely mark every row as just-changed)
     df = read_iceberg(spark, table_path, row_lineage=fv >= 3)
+    sort_cols = _default_sort_columns(meta)
     if zorder_by:
         from ..operators.layout import zorder_key  # noqa: PLC0415
 
@@ -5239,6 +5241,25 @@ def rewrite_data_files(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
+    elif sort_cols:
+        # the table's DEFAULT SORT ORDER (spec §Sort Orders): range-
+        # partition + sort-within on the declared keys so the rewrite
+        # delivers the clustering the order promises (bounds pruning)
+        from pyspark.sql import functions as F
+
+        exprs = [
+            (F.col(c).asc_nulls_first() if nf else F.col(c).asc_nulls_last())
+            if asc
+            else (
+                F.col(c).desc_nulls_first()
+                if nf
+                else F.col(c).desc_nulls_last()
+            )
+            for c, asc, nf in sort_cols
+        ]
+        df = df.repartitionByRange(
+            target_files or max(len(files), 1), *[c for c, _, _ in sort_cols]
+        ).sortWithinPartitions(*exprs)
     elif target_files:
         df = df.coalesce(target_files)
     data_entries = _stage_iceberg_data(df, table_path, part_cols)
@@ -5627,6 +5648,118 @@ def set_iceberg_properties(table_path: str, properties: dict) -> int:
             "set_iceberg_properties"
         )
     return version
+
+
+def set_sort_order(table_path: str, order: list) -> dict:
+    """Declare the table's DEFAULT SORT ORDER (spec §Sort Orders;
+    Spark-on-Iceberg ``ALTER TABLE ... WRITE ORDERED BY``): a pure
+    metadata commit appending a sort-orders entry with a fresh
+    order-id and pointing default-sort-order-id at it.
+
+    ``order`` is ``[(column, direction, null_order)]`` with direction
+    ``asc|desc`` and null_order ``nulls-first|nulls-last`` (defaults:
+    asc, nulls-first — the spec's defaults for asc).  Transforms other
+    than identity are a named non-goal.  :func:`rewrite_data_files`
+    honors the default order when no explicit zorder is requested —
+    range-partition + sort-within, so bounds pruning gets the
+    clustering the order promises.  Per-FILE ``sort-order-id`` stamping
+    in manifests is a named limit (this writer's manifest schema
+    omits the optional field 140)."""
+    meta = _load_metadata(table_path)
+    fields = []
+    known = {
+        f["name"]: int(f["id"])
+        for f in _current_schema_of(meta).get("fields", [])
+    }
+    for entry in order:
+        if isinstance(entry, str):
+            col, direction, nulls = entry, "asc", "nulls-first"
+        else:
+            col = entry[0]
+            direction = entry[1] if len(entry) > 1 else "asc"
+            nulls = (
+                entry[2]
+                if len(entry) > 2
+                else ("nulls-first" if direction == "asc" else "nulls-last")
+            )
+        if col not in known:
+            raise IcebergLiteError(
+                f"set_sort_order: no such column {col!r}"
+            )
+        if direction not in ("asc", "desc"):
+            raise IcebergLiteError(
+                f"set_sort_order: direction must be asc|desc, got "
+                f"{direction!r}"
+            )
+        if nulls not in ("nulls-first", "nulls-last"):
+            raise IcebergLiteError(
+                "set_sort_order: null order must be "
+                f"nulls-first|nulls-last, got {nulls!r}"
+            )
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": known[col],
+                "direction": direction,
+                "null-order": nulls,
+            }
+        )
+    if not fields:
+        raise IcebergLiteError("set_sort_order: empty order")
+    orders = [dict(o) for o in meta.get("sort-orders") or []]
+    new_id = max(
+        (int(o.get("order-id") or 0) for o in orders), default=0
+    ) + 1
+    orders.append({"order-id": new_id, "fields": fields})
+    new_meta = dict(meta)
+    new_meta["sort-orders"] = orders
+    new_meta["default-sort-order-id"] = new_id
+    meta_dir = os.path.join(table_path, "metadata")
+    version = (_metadata_versions(meta_dir) or [0])[-1] + 1
+    if not _try_commit_metadata(table_path, version, new_meta):
+        raise ConcurrentIcebergWrite(
+            f"metadata v{version} was committed concurrently; re-run "
+            "set_sort_order"
+        )
+    return {"order_id": new_id, "version": version}
+
+
+def _default_sort_columns(meta: dict) -> list:
+    """[(column name, ascending?, nulls_first?)] of the default sort
+    order, [] when unsorted/unknown (order-id 0 is the spec's
+    'unsorted')."""
+    oid = int(meta.get("default-sort-order-id") or 0)
+    if not oid:
+        return []
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders") or []
+            if int(o.get("order-id") or 0) == oid
+        ),
+        None,
+    )
+    if order is None:
+        return []
+    try:
+        names = _field_names_by_id(meta)
+    except IcebergLiteError:
+        names = {}
+    out = []
+    for f in order.get("fields", []):
+        if (f.get("transform") or "identity") != "identity":
+            return []  # transformed sort keys: honor-nothing, by name
+        name = names.get(int(f.get("source-id") or -1))
+        if name is None:
+            return []
+        out.append(
+            (
+                name,
+                (f.get("direction") or "asc") == "asc",
+                (f.get("null-order") or "nulls-first") == "nulls-first",
+            )
+        )
+    return out
 
 
 def rewrite_manifests(table_path: str) -> dict:

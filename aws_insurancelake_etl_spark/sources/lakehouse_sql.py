@@ -1844,6 +1844,38 @@ def _exec_alter(spark: SparkSession, p: _P) -> DataFrame:
             return _metrics_df(spark, {"version": v})
         res = iceberg_lite.alter_iceberg_schema(ref.path, drops=[colname])
         return _metrics_df(spark, res)
+    if p.take_words("WRITE", "ORDERED", "BY"):
+        # Spark-on-Iceberg: ALTER TABLE t WRITE ORDERED BY k ASC NULLS
+        # FIRST, v DESC — declares the default sort order (iceberg-only)
+        if ref.fmt != "iceberg":
+            raise LakehouseSqlError(
+                "WRITE ORDERED BY is iceberg-only (spec §Sort Orders); "
+                "delta uses OPTIMIZE ZORDER BY / CLUSTER BY"
+            )
+        p.take_punct("(")
+        order = []
+        while True:
+            col = _expect_ident(p)
+            direction = "asc"
+            if p.take_words("DESC"):
+                direction = "desc"
+            elif p.take_words("ASC"):
+                pass
+            nulls = None
+            if p.take_words("NULLS", "FIRST"):
+                nulls = "nulls-first"
+            elif p.take_words("NULLS", "LAST"):
+                nulls = "nulls-last"
+            if nulls is None:
+                nulls = "nulls-first" if direction == "asc" else "nulls-last"
+            order.append((col, direction, nulls))
+            if not p.take_punct(","):
+                break
+        p.take_punct(")")
+        if not p.at_end():
+            raise LakehouseSqlError("trailing tokens after WRITE ORDERED BY")
+        res = iceberg_lite.set_sort_order(ref.path, order)
+        return _metrics_df(spark, res)
     if p.take_words("ADD", "COLUMNS") or p.take_words("ADD", "COLUMN"):
         had_paren = p.take_punct("(")
         adds: list[tuple[str, str, object]] = []

@@ -1626,3 +1626,42 @@ def test_properties_persist_across_snapshot_commits(spark, tmp_path):
     il.write_iceberg(spark, spark.range(3, 6).selectExpr("id"), path)
     il.delete_iceberg(spark, path, "id = 4")
     assert il._load_metadata(path).get("properties") == {"owner": "etl"}
+
+
+def test_sort_order_declared_and_honored(spark, tmp_path):
+    """Round 11 (spec §Sort Orders): set_sort_order commits the
+    metadata entry; rewrite_data_files range-clusters by the default
+    order so per-file bounds become disjoint (the pruning payoff);
+    properties/order survive later commits."""
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "so")
+    df = spark.range(1000).selectExpr(
+        "cast(id * 2654435761 % 1000 as int) AS k", "id AS v"
+    )
+    il.write_iceberg(spark, df.repartition(4), path)
+    res = il.set_sort_order(path, [("k", "asc", "nulls-first")])
+    meta = il._load_metadata(path)
+    assert meta["default-sort-order-id"] == res["order_id"]
+    assert meta["sort-orders"][-1]["fields"][0]["direction"] == "asc"
+    out = il.rewrite_data_files(spark, path, target_files=4)
+    assert out["rewritten"] is True
+    # after the sorted rewrite, k-bounds across files are disjoint
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in il.plan_files(path):
+        t = pq.read_table(f.path, columns=["k"])
+        ks = t.column("k").to_pylist()
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping k ranges {ranges}"
+    # the order survives a later data commit (carry-forward)
+    il.write_iceberg(
+        spark, spark.range(5).selectExpr("cast(id as int) AS k", "id AS v"),
+        path,
+    )
+    assert il._load_metadata(path)["default-sort-order-id"] == res["order_id"]
+    with pytest.raises(il.IcebergLiteError, match="no such column"):
+        il.set_sort_order(path, [("nope",)])

@@ -1099,3 +1099,27 @@ def test_stats_broadcast_skips_time_travel(spark, tmp_path):
         f"JOIN delta.`{path}` VERSION AS OF 0 d ON f.k = d.k",
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in travel
+
+
+def test_write_ordered_by_sql(spark, ice_tbl, delta_tbl):
+    out = lakehouse_sql(
+        spark,
+        f"ALTER TABLE iceberg.`{ice_tbl}` WRITE ORDERED BY "
+        "id ASC NULLS FIRST, amount DESC",
+    )
+    got = {r["metric"]: r["value"] for r in out.collect()}
+    assert got["order_id"] == "1"
+    from aws_insurancelake_etl_spark.sources.iceberg_lite import (
+        _load_metadata,
+    )
+
+    meta = _load_metadata(ice_tbl)
+    flds = meta["sort-orders"][-1]["fields"]
+    assert [(f["direction"], f["null-order"]) for f in flds] == [
+        ("asc", "nulls-first"), ("desc", "nulls-last"),
+    ]
+    with pytest.raises(LakehouseSqlError, match="iceberg-only"):
+        lakehouse_sql(
+            spark,
+            f"ALTER TABLE delta.`{delta_tbl}` WRITE ORDERED BY id",
+        )
