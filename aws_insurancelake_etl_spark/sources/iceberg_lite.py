@@ -4394,12 +4394,33 @@ def _commit_snapshot(
     else:
         operation = "append"
     snapshots = list((meta or {}).get("snapshots") or [])
+    # spec §Snapshots recommended metrics (round 11): the added-*
+    # counts come free from this commit's staged entries; engines and
+    # ops UIs ($snapshots) read them for monitoring and CDC sizing
+    summary = {"operation": operation}
+    if data_entries:
+        summary["added-data-files"] = str(len(data_entries))
+        summary["added-records"] = str(
+            sum(int(e[2]) for e in data_entries)
+        )
+        summary["added-files-size"] = str(
+            sum(int(e[3]) for e in data_entries)
+        )
+    if delete_entries:
+        summary["added-delete-files"] = str(len(delete_entries))
+        summary["added-position-deletes"] = str(
+            sum(
+                int(e[2])
+                for e in delete_entries
+                if int(e[4]) == 1
+            )
+        )
     snap_rec = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": int(_time.time() * 1000),
         "manifest-list": f"{location}/{ml_rel}",
-        "summary": {"operation": operation},
+        "summary": summary,
     }
     if fv >= 3:
         snap_rec["first-row-id"] = first_row_id
