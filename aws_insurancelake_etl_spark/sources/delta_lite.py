@@ -3149,7 +3149,27 @@ def write_delta(
         if id_meta_changed:
             schema_override = StructType(fields)
     actions = [
-        {"commitInfo": {"operation": mode.upper(), "engine": "delta-lite"}},
+        {
+            "commitInfo": {
+                "operation": mode.upper(),
+                "engine": "delta-lite",
+                # delta-spark shape: DESCRIBE HISTORY consumers read
+                # these for monitoring (round 11); rows come from the
+                # staged footer stats, bytes from the add sizes
+                "operationMetrics": {
+                    "numFiles": str(len(adds)),
+                    "numOutputRows": str(
+                        sum(
+                            int((a.stats or {}).get("numRecords", 0) or 0)
+                            for a in adds
+                        )
+                    ),
+                    "numOutputBytes": str(
+                        sum(int(a.size or 0) for a in adds)
+                    ),
+                },
+            }
+        },
     ]
     meta_needed = (
         existing is None
@@ -5289,6 +5309,7 @@ def history(path: str) -> list:
                 "operation": info.get("operation"),
                 "engine": info.get("engine"),
                 "operationParameters": info.get("operationParameters"),
+                "operationMetrics": info.get("operationMetrics"),
                 # the timestamp timestampAsOf resolves against
                 # (inCommitTimestamp is authoritative when present)
                 "timestamp": info.get("inCommitTimestamp")

@@ -1086,3 +1086,17 @@ def test_merge_insert_only_out_of_bounds_keys(spark, tmp_path):
     )
     assert res["files_rewritten"] == 0
     assert dl.read_delta(spark, path).count() == 3
+
+
+def test_history_carries_operation_metrics(spark, tmp_path):
+    """Round 11: write commits record delta-spark-shaped
+    operationMetrics (numFiles/numOutputRows/numOutputBytes) and
+    DESCRIBE HISTORY surfaces them."""
+    path = str(tmp_path / "om")
+    dl.write_delta(
+        spark.range(7).selectExpr("id").coalesce(2), path
+    )
+    m = dl.history(path)[0]["operationMetrics"]
+    assert m["numOutputRows"] == "7"
+    assert int(m["numFiles"]) >= 1
+    assert int(m["numOutputBytes"]) > 0
