@@ -3842,6 +3842,18 @@ def _merge_once(
                     "predicate": " AND ".join(keys),
                     **({"deletionVectors": True} if dv else {}),
                 },
+                "operationMetrics": {
+                    "numTargetFilesAdded": str(len(adds)),
+                    "numTargetFilesRemoved": str(
+                        0 if dv else len(touched_rel)
+                    ),
+                    "numOutputRows": str(
+                        sum(
+                            int((a.stats or {}).get("numRecords", 0) or 0)
+                            for a in adds
+                        )
+                    ),
+                },
             }
         }
     ]
