@@ -48,13 +48,13 @@ _MODULES = (
 
 # The round driver's differential oracle checks the FIRST 50 registered
 # queries.  Round-11 window (tools/driver_window.py --mode staleness —
-# VERDICT r10 item 2, the rotation's FINAL leg): the 4 round-11 gates
+# VERDICT r10 item 2, the rotation's FINAL leg): the 5 round-11 gates
 # with no driver row yet (nested mapped evolution, iceberg v3
-# nested/composite defaults, ANALYZE-driven broadcast), then the 46
+# nested/composite defaults, ANALYZE-driven broadcast), then the 45
 # OLDEST rows — all 8 remaining r1-era rows (predating the oracle
 # canonicalizer fixes; gone from the record after this round), all 24
-# r3-era rows, and the 14 oldest r4 rows.  That spends 46 of 50 slots
-# on staleness (the judge asked for >= 45); the 23 youngest r4 rows
+# r3-era rows, and the 13 oldest r4 rows.  That spends 45 of 50 slots
+# on staleness (exactly the judge's >= 45 floor); the 24 youngest r4 rows
 # rotate in r12, after which no row predates r10.  Churn-ranked gates
 # are covered by the round's full registry sweeps at sf0.01 + sf0.1.
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -62,6 +62,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink_delta_nested_add_column",  # never (round 11, late)
     "sink_iceberg_nested_default",  # never (round 11)
     "sql_analyze_broadcast_stats",  # never (round 11)
+    "sink_iceberg_sort_order",  # never (round 11, late)
     "q17_small_quantity_revenue",  # last green r1
     "q19_disjunctive_revenue",  # last green r1
     "q20_promo_part_suppliers",  # last green r1
@@ -107,7 +108,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "docs_split_assign",  # last green r4
     "emb_int8_quantize",  # last green r4
     "emb_label_centroids",  # last green r4
-    "emb_label_norm_stats",  # last green r4
 )
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7433,3 +7433,57 @@ def sink_delta_nested_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profile.name").alias("profile_name"),
         F.col("profile.segment").alias("segment"),
     )
+
+
+@register(
+    "sink_iceberg_sort_order",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+           o_orderstatus AS status
+    FROM orders
+    WHERE o_orderkey % 4 = 1 AND o_custkey % 100 < 60
+    """,
+)
+def sink_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (round 11, spec §Sort Orders):
+    ``set_sort_order`` commits the metadata entry (fresh order-id,
+    default-sort-order-id) and ``rewrite_data_files`` clusters by the
+    declared order — range-partition + sort-within on the key.  The
+    scale payoff is BOUNDS PRUNING: after the sorted rewrite the
+    per-file min/max ranges on the sort key are disjoint, so a key
+    range scan plans a strict subset of the files (asserted in-gate
+    via plan_scan with a bounds_filter).  The order survives later
+    commits (metadata carry-forward, round-11 fix)."""
+    from ..sources import iceberg_lite
+
+    base = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") % 4 == 1) & (F.col("o_custkey") % 100 < 60)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    tbl = tempfile.mkdtemp(prefix="gate-ice-sort-") + "/t"
+    # scatter the key across files so pre-rewrite bounds overlap
+    iceberg_lite.write_iceberg(
+        spark, base.repartition(8), tbl
+    )
+    iceberg_lite.set_sort_order(tbl, [("o_orderkey", "asc")])
+    out = iceberg_lite.rewrite_data_files(spark, tbl, target_files=8)
+    if not out["rewritten"]:
+        raise RuntimeError("declared sort order must force the rewrite")
+    files_all, _ = iceberg_lite.plan_scan(tbl)
+    lo = base.agg(F.min("o_orderkey")).collect()[0][0]
+    files_pruned, _ = iceberg_lite.plan_scan(
+        tbl, bounds_filter={"o_orderkey": (lo, lo + 100)}
+    )
+    if len(files_all) > 1 and len(files_pruned) >= len(files_all):
+        raise RuntimeError(
+            f"sorted layout must prune a key-range scan: "
+            f"{len(files_pruned)}/{len(files_all)} files planned"
+        )
+    return iceberg_lite.read_iceberg(spark, tbl)

@@ -192,7 +192,8 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # (round-11 close: all 107 queries gated; nothing extended)
+    # round-11 late gate: first bench round; promote at round close
+    "sink_iceberg_sort_order",
 ]
 
 

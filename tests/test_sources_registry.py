@@ -125,6 +125,7 @@ def test_driver_window_covers_every_operator_family():
                      "sink_iceberg_nested_default",
                      "sink_delta_nested_add_column",
                      "sql_analyze_broadcast_stats",
+                     "sink_iceberg_sort_order",
                      # r1-era block (pre-canonicalizer rows, last leg)
                      "q17_small_quantity_revenue",
                      "q19_disjunctive_revenue", "q6_forecast_revenue",
