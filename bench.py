@@ -179,6 +179,9 @@ BASELINES = {
     # round-11 late gate, quiet run 2026-08-16 21:4x (md5 0.0750,
     # shuffle 0.456 s; regressions: {})
     "sink_delta_nested_add_column": (0.426, 11),
+    # round-11 final gate, quiet run (md5 0.083, shuffle 0.389 s;
+    # regressions: {})
+    "sink_iceberg_sort_order": (0.474, 11),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -192,8 +195,7 @@ ABS_SLACK_SEC = 0.5
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
 EXTENDED: list[str] = [
-    # round-11 late gate: first bench round; promote at round close
-    "sink_iceberg_sort_order",
+    # (round-11 close: all 108 queries gated; nothing extended)
 ]
 
 
