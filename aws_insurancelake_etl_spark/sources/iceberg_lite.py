@@ -1638,9 +1638,23 @@ def snapshot_ids(table_path: str) -> list[int]:
 
 def snapshot_as_of_timestamp(table_path: str, ts_ms: int):
     """Snapshot id current as of ``ts_ms`` (Iceberg's
-    ``TIMESTAMP AS OF``): the newest snapshot whose timestamp-ms is
-    <= the bound, or None when the table predates nothing."""
+    ``TIMESTAMP AS OF``), resolved against the SNAPSHOT-LOG when the
+    table carries one (spec §Table Metadata: the log records every
+    change of current-snapshot-id, so after a ROLLBACK "as of now" is
+    the rolled-back-TO snapshot — creation timestamps alone cannot
+    express that).  Tables without a log (older writers) fall back to
+    snapshot creation times.  None when the table postdates the
+    bound."""
     meta = _load_metadata(table_path)
+    log = meta.get("snapshot-log") or []
+    if log:
+        best = None
+        best_ts = -1
+        for entry in log:
+            st = int(entry.get("timestamp-ms") or 0)
+            if st <= ts_ms and st >= best_ts:
+                best, best_ts = entry.get("snapshot-id"), st
+        return best
     best = None
     best_ts = -1
     for snap in meta.get("snapshots") or []:
@@ -3791,6 +3805,61 @@ def _write_manifest(
 def _try_commit_metadata(table_path: str, version: int, meta: dict) -> bool:
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    # spec §Table Metadata history lists (round 11), maintained
+    # CENTRALLY so every verb gets them: `metadata-log` records the
+    # superseded metadata file, `snapshot-log` records every change of
+    # current-snapshot-id — the list TIMESTAMP AS OF must resolve
+    # against (after a rollback, "as of now" is the rolled-back-TO
+    # snapshot; creation timestamps alone cannot express that).
+    import time as _lg_time
+
+    meta = dict(meta)
+    prev_versions = _metadata_versions(meta_dir)
+    now_ms = int(_lg_time.time() * 1000)
+    if prev_versions:
+        prev_v = prev_versions[-1]
+        prev_file = os.path.join(meta_dir, f"v{prev_v}.metadata.json")
+        try:
+            with open(prev_file, encoding="utf-8") as fh:
+                prev_meta = json.load(fh)
+        except (OSError, ValueError):
+            prev_meta = {}
+        mlog = list(prev_meta.get("metadata-log") or [])
+        mlog.append(
+            {
+                "timestamp-ms": int(
+                    prev_meta.get("last-updated-ms") or now_ms
+                ),
+                "metadata-file": f"{table_path}/metadata/"
+                f"v{prev_v}.metadata.json",
+            }
+        )
+        keep = int(
+            (meta.get("properties") or {}).get(
+                "write.metadata.previous-versions-max", 100
+            )
+            or 100
+        )
+        meta["metadata-log"] = mlog[-keep:]
+        slog = list(prev_meta.get("snapshot-log") or [])
+        if meta.get("current-snapshot-id") is not None and meta.get(
+            "current-snapshot-id"
+        ) != prev_meta.get("current-snapshot-id"):
+            slog.append(
+                {
+                    "timestamp-ms": now_ms,
+                    "snapshot-id": meta["current-snapshot-id"],
+                }
+            )
+        meta["snapshot-log"] = slog
+    elif meta.get("current-snapshot-id") is not None:
+        meta["snapshot-log"] = [
+            {
+                "timestamp-ms": now_ms,
+                "snapshot-id": meta["current-snapshot-id"],
+            }
+        ]
+    meta["last-updated-ms"] = now_ms
     target = os.path.join(meta_dir, f"v{version}.metadata.json")
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

@@ -1665,3 +1665,33 @@ def test_sort_order_declared_and_honored(spark, tmp_path):
     assert il._load_metadata(path)["default-sort-order-id"] == res["order_id"]
     with pytest.raises(il.IcebergLiteError, match="no such column"):
         il.set_sort_order(path, [("nope",)])
+
+
+def test_snapshot_log_resolves_timestamp_travel_after_rollback(
+    spark, tmp_path
+):
+    """Round 11 (spec §Table Metadata): the snapshot-log records every
+    current-snapshot-id change, so TIMESTAMP AS OF 'now' after a
+    ROLLBACK resolves to the rolled-back-TO snapshot — creation
+    timestamps alone would wrongly give the newest snapshot."""
+    import time as _t
+
+    from aws_insurancelake_etl_spark.sources import iceberg_lite as il
+
+    path = str(tmp_path / "sl")
+    il.write_iceberg(spark, spark.range(3).selectExpr("id"), path)
+    _t.sleep(0.05)
+    il.write_iceberg(spark, spark.range(3, 6).selectExpr("id"), path)
+    _t.sleep(0.05)
+    il.rollback_to_snapshot(path, 1)
+    _t.sleep(0.05)
+    sid = il.snapshot_as_of_timestamp(path, int(_t.time() * 1000))
+    assert sid == 1
+    meta = il._load_metadata(path)
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1, 2, 1]
+    assert len(meta["metadata-log"]) >= 1
+    rows = sorted(
+        r["id"]
+        for r in il.read_iceberg(spark, path, snapshot_id=sid).collect()
+    )
+    assert rows == [0, 1, 2]
