@@ -2740,6 +2740,10 @@ def _manifest_schema(part_cols: list[str]) -> list[tuple]:
             {"name": "content_offset", "type": ["null", "long"]},
             {"name": "content_size_in_bytes", "type": ["null", "long"]},
             {"name": "first_row_id", "type": ["null", "long"]},
+            # spec field 140: the sort order the file was written
+            # under (null = unsorted/unknown); stamped by sorted
+            # rewrites (round 11)
+            {"name": "sort_order_id", "type": ["null", "int"]},
         ],
     }
     return [
@@ -4125,6 +4129,7 @@ def _rewrite_delete_manifest_without(
                     dfile.get("content_offset"),
                     dfile.get("content_size_in_bytes"),
                     dfile.get("first_row_id"),
+                    dfile.get("sort_order_id"),
                 ),
             )
         )
@@ -4155,6 +4160,7 @@ def _commit_snapshot(
     branch: str = "main",
     format_version: int | None = None,
     drop_dv_refs: frozenset = frozenset(),
+    sort_order_id: int | None = None,
 ) -> int:
     """Write manifests + manifest list + next metadata json; the O_EXCL
     metadata create is the commit point.  ``expect_version``: fail fast
@@ -4426,6 +4432,14 @@ def _commit_snapshot(
                         # inheritance from the manifest list (spec
                         # preference — rewrites then materialize)
                         None,
+                        # sort_order_id (spec 140): only data files of
+                        # a sorted rewrite carry it
+                        (
+                            int(sort_order_id)
+                            if manifest_content == 0
+                            and sort_order_id is not None
+                            else None
+                        ),
                     ),
                 )
             )
@@ -5359,6 +5373,13 @@ def rewrite_data_files(
             data_entries=data_entries, delete_entries=[],
             expect_version=planned_version,
             replace=True,
+            # spec field 140: files written under the declared default
+            # order carry its id (zorder is not a declared order)
+            sort_order_id=(
+                int(meta.get("default-sort-order-id") or 0) or None
+                if (sort_cols and not zorder_by)
+                else None
+            ),
         )
     except ConcurrentIcebergWrite:
         _discard_staged_iceberg(table_path, [r for r, *_ in data_entries])
@@ -5951,6 +5972,7 @@ def _carry_commit(
                         dfile.get("content_offset"),
                         dfile.get("content_size_in_bytes"),
                         fri,
+                        dfile.get("sort_order_id"),
                     ),
                 )
             )

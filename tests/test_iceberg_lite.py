@@ -1657,6 +1657,16 @@ def test_sort_order_declared_and_honored(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping k ranges {ranges}"
+    # files of the sorted rewrite are stamped with the order id
+    # (spec data_file field 140)
+    meta2 = il._load_metadata(path)
+    ml = meta2["snapshots"][-1]["manifest-list"]
+    mf = il._read_manifest_rows(ml)[0]
+    stamped = {
+        e["data_file"].get("sort_order_id")
+        for e in il._read_manifest_rows(mf["manifest_path"])
+    }
+    assert stamped == {res["order_id"]}
     # the order survives a later data commit (carry-forward)
     il.write_iceberg(
         spark, spark.range(5).selectExpr("cast(id as int) AS k", "id AS v"),
