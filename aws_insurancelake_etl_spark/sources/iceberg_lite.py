@@ -5773,9 +5773,9 @@ def set_sort_order(table_path: str, order: list) -> dict:
     than identity are a named non-goal.  :func:`rewrite_data_files`
     honors the default order when no explicit zorder is requested —
     range-partition + sort-within, so bounds pruning gets the
-    clustering the order promises.  Per-FILE ``sort-order-id`` stamping
-    in manifests is a named limit (this writer's manifest schema
-    omits the optional field 140)."""
+    clustering the order promises — and stamps ``sort-order-id``
+    (spec data_file field 140) on the rewritten files' manifest
+    entries."""
     meta = _load_metadata(table_path)
     fields = []
     known = {
