@@ -3558,20 +3558,53 @@ def merge_delta(
     must be disjoint from the source's.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    dup = (
-        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
-    )
-    if dup:
-        raise DeltaLiteError(
-            f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
-            "a target row may match at most one source row"
-        )
     # CHECK constraints + generated columns gate the NEW/UPDATED rows
     # (all of which come from the source; survivors were validated
     # when they landed) — MERGE must honor the same writer contracts
     # as write_delta
     _snap0 = snapshot(path)
     source = _apply_generated(source, _snap0.schema)
+    # The source plan is re-used by every downstream pass (duplicate
+    # check, key bounds, touched-file search, survivor rewrite, CDC);
+    # for SQL-front-end merges it is itself a multi-join over the
+    # TARGET, so re-evaluating it per pass multiplied the whole merge's
+    # scan work.  localCheckpoint materializes it exactly once and
+    # truncates the plan (guide §3.3 / §5): every later pass reads the
+    # materialized blocks.  O(|source|) executor storage — the merge
+    # already stages the full source as new data files, so this does
+    # not change the cost class.
+    source = source.localCheckpoint(eager=True)
+    if delete_keys is not None:
+        delete_keys = delete_keys.localCheckpoint(eager=True)
+    # Duplicate-key check and first-key bounds (for footer-stats file
+    # skipping in _merge_once) in ONE aggregate job over the
+    # checkpointed source: dup ⇔ count(*) > count(distinct key tuple).
+    key0 = keys[0]
+    agg = source.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.struct(*keys)).alias("__nd"),
+        F.min(key0).alias("__lo"),
+        F.max(key0).alias("__hi"),
+    ).collect()[0]
+    if agg["__n"] != agg["__nd"]:
+        dup = (
+            source.groupBy(*keys).count()
+            .where(F.col("count") > 1).limit(1).collect()
+        )
+        raise DeltaLiteError(
+            f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}; "
+            "a target row may match at most one source row"
+        )
+    key_bounds = (agg["__lo"], agg["__hi"])
+    if delete_keys is not None:
+        db = delete_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        lo, hi = key_bounds
+        if db["lo"] is not None:
+            lo = db["lo"] if lo is None else min(lo, db["lo"])
+            hi = db["hi"] if hi is None else max(hi, db["hi"])
+        key_bounds = (lo, hi)
     _enforce_constraints(source, _snap0.configuration)
     attempt = 0
     while True:
@@ -3579,7 +3612,7 @@ def merge_delta(
             return _merge_once(
                 spark, source, path, keys, attempt,
                 use_deletion_vectors=use_deletion_vectors,
-                delete_keys=delete_keys,
+                delete_keys=delete_keys, key_bounds=key_bounds,
             )
         except ConcurrentWriteError:
             if attempt >= max_retries:
@@ -3591,6 +3624,7 @@ def _merge_once(
     spark: SparkSession, source: DataFrame, path: str, keys: list,
     attempt: int, use_deletion_vectors: bool | None = None,
     delete_keys: DataFrame | None = None,
+    key_bounds: tuple | None = None,
 ) -> dict:
     """One optimistic MERGE attempt against the CURRENT snapshot; raises
     ``ConcurrentWriteError`` (after discarding staged files) if another
@@ -3663,12 +3697,14 @@ def _merge_once(
     # upsert scans a handful of files instead of the table.  Files
     # without stats (or with a cross-type comparison) are never skipped.
     key0 = keys[0]
-    kb = tomb_keys.agg(
-        F.min(key0).alias("lo"), F.max(key0).alias("hi")
-    ).collect()[0]
-    if kb["lo"] is not None:
+    if key_bounds is None:  # direct _merge_once callers (none today)
+        kb_row = tomb_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        key_bounds = (kb_row["lo"], kb_row["hi"])
+    if key_bounds[0] is not None:
 
-        def _overlaps(f, lo=kb["lo"], hi=kb["hi"]):
+        def _overlaps(f, lo=key_bounds[0], hi=key_bounds[1]):
             st = f.stats or {}
             # footer stats are keyed by the ON-DISK (physical) name
             k = phys.get(key0, key0)
@@ -3714,6 +3750,25 @@ def _merge_once(
     unknown = touched_rel - {a.path for a in snap.files}
     if unknown:
         raise DeltaLiteError(f"matched files not in snapshot: {sorted(unknown)}")
+    # Every later pass (id map, DV staging, survivor rewrite, CDC) only
+    # needs rows from the TOUCHED files — read exactly those through a
+    # subset snapshot instead of filtering the full-table plan on
+    # __dl_path, so the rewrite scan opens |touched| files, not |table|
+    # (guide §2.4/§6: the filter-on-metadata-column shape does not
+    # prune the file list).
+    from dataclasses import replace as _dc_replace
+
+    touched_target = (
+        _read_snapshot(
+            spark,
+            _dc_replace(snap, files=[f for f in snap.files
+                                     if f.path in touched_rel]),
+            with_path=not dv, with_pos=dv,
+            with_row_ids=rt and bool(rt_id_col),
+        )
+        if touched_rel
+        else None
+    )
     # Row tracking: an UPDATED row keeps its id (stable across DML) —
     # carry the matched target row's _row_id onto its source twin,
     # materialized into the new files.  Inserts stay null and mint
@@ -3724,8 +3779,11 @@ def _merge_once(
     # matching this MERGE's one-replacement-per-key semantics.
     src_aug = source.select(*schema_cols)
     if rt and rt_id_col:
+        # matched rows live in touched files by definition, so the id
+        # map reads the touched subset only
+        id_src = touched_target if touched_target is not None else target
         id_map = (
-            target.join(src_hint, keys, "left_semi")
+            id_src.join(src_hint, keys, "left_semi")
             .groupBy(*keys)
             .agg(F.min("_row_id").alias(rt_id_col))
         )
@@ -3735,20 +3793,20 @@ def _merge_once(
         # deletion-vector shape: matched rows tombstone into per-file
         # DVs; only the SOURCE stages as new files — survivors stay in
         # their untouched bytes behind the new descriptors
-        if touched_uris:
+        if touched_target is not None:
             descriptors = _stage_dvs(
                 spark, path, snap,
-                target.where(F.col("__dl_path").isin(list(touched_uris)))
+                touched_target
                 .join(tomb_hint, keys, "left_semi")
                 .select("__dl_path", "__dl_pos"),
             )
         new_data = src_aug
     else:
         survivors = (
-            target.where(F.col("__dl_path").isin(list(touched_uris)))
+            touched_target
             .drop("__dl_path")
             .join(tomb_hint, keys, "left_anti")
-            if touched_uris
+            if touched_target is not None
             else None
         )
         if survivors is not None and rt and rt_id_col:
@@ -3776,9 +3834,9 @@ def _merge_once(
         # rest of the source insert.  Staged BEFORE the commit so the
         # cdc actions land atomically with the data swap.
         src = source.select(*schema_cols)
-        if touched_uris:
+        if touched_target is not None:
             matched_target = (
-                target.where(F.col("__dl_path").isin(list(touched_uris)))
+                touched_target
                 .drop("__dl_path", "__dl_pos",
                       "_row_id", "_row_commit_version")
                 .join(src_hint, keys, "left_semi")
@@ -3810,7 +3868,7 @@ def _merge_once(
                 # the delete clause's rows leave the table: one
                 # `delete` change per removed target row
                 changes = changes.unionByName(
-                    target.where(F.col("__dl_path").isin(list(touched_uris)))
+                    touched_target
                     .drop("__dl_path", "__dl_pos",
                           "_row_id", "_row_commit_version")
                     .join(delete_keys.select(*keys).distinct(),
@@ -4506,10 +4564,14 @@ def delete_delta(
         spark, snap, with_path=True, with_row_ids=rt
     )
     cond = F.expr(predicate)
-    touched_uris = {
-        r["__dl_path"]
-        for r in target.where(cond).select("__dl_path").distinct().collect()
-    }
+    # ONE pass finds the touched files AND the matched-row count
+    # (previously a distinct-collect plus a separate count re-scanned
+    # the table twice — guide §1.2: remove unnecessary passes).
+    per_file = (
+        target.where(cond).groupBy("__dl_path").count().collect()
+    )
+    touched_uris = {r["__dl_path"] for r in per_file}
+    n_deleted = sum(r["count"] for r in per_file)
     if not touched_uris:
         return {
             "version": snap.version,
@@ -4519,8 +4581,16 @@ def delete_delta(
         }
 
     touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
-    touched_df = target.where(F.col("__dl_path").isin(list(touched_uris)))
-    n_deleted = touched_df.where(cond).count()
+    # rewrite reads ONLY the touched files via a subset snapshot (the
+    # __dl_path filter shape scans every file of the table)
+    from dataclasses import replace as _dc_replace
+
+    touched_df = _read_snapshot(
+        spark,
+        _dc_replace(snap, files=[f for f in snap.files
+                                 if f.path in touched_rel]),
+        with_path=True, with_row_ids=rt,
+    )
     survivors = touched_df.where(~cond | cond.isNull()).drop("__dl_path")
     if rt:
         # COW delete MOVES the surviving rows: both row-tracking fields
@@ -4650,10 +4720,13 @@ def update_delta(
         spark, snap, with_path=not dv, with_pos=dv, with_row_ids=rt
     )
     cond = F.expr(predicate)
-    touched_uris = {
-        r["__dl_path"]
-        for r in target.where(cond).select("__dl_path").distinct().collect()
-    }
+    # ONE pass finds the touched files AND the matched-row count
+    # (previously distinct-collect + count = two full scans)
+    per_file = (
+        target.where(cond).groupBy("__dl_path").count().collect()
+    )
+    touched_uris = {r["__dl_path"] for r in per_file}
+    n_updated = sum(r["count"] for r in per_file)
     if not touched_uris:
         return {
             "version": snap.version,
@@ -4662,17 +4735,24 @@ def update_delta(
             "files_kept": len(snap.files),
         }
     touched_rel = {_uri_to_rel(u, path) for u in touched_uris}
+    # every later pass reads ONLY the touched files via a subset
+    # snapshot (matched rows live there by definition)
+    from dataclasses import replace as _dc_replace
+
+    touched_target = _read_snapshot(
+        spark,
+        _dc_replace(snap, files=[f for f in snap.files
+                                 if f.path in touched_rel]),
+        with_path=not dv, with_pos=dv, with_row_ids=rt,
+    )
     descriptors = []
     if dv:
         descriptors = _stage_dvs(
             spark, path, snap,
-            target.where(cond).select("__dl_path", "__dl_pos"),
+            touched_target.where(cond).select("__dl_path", "__dl_pos"),
         )
-    touched_df = target.where(
-        F.col("__dl_path").isin(list(touched_uris))
-    ).drop("__dl_path", "__dl_pos")
+    touched_df = touched_target.drop("__dl_path", "__dl_pos")
     matched = touched_df.where(cond)
-    n_updated = matched.count()
     order = [f.name for f in snap.schema.fields]
     updated = matched.select(
         *[

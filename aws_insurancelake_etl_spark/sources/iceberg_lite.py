@@ -4869,21 +4869,50 @@ def merge_iceberg(
     from pyspark.sql import functions as F
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    dup = (
-        source.groupBy(*keys).count().where(F.col("count") > 1)
-        .limit(1).collect()
-    )
-    if dup:
+    # The source plan is re-evaluated by every downstream pass (dup
+    # check, key bounds, touched search, DV/delete staging, data
+    # staging) — and SQL-front-end merge sources are themselves
+    # multi-join plans over the target.  Materialize it exactly once
+    # (guide §3.3 plan truncation); O(|source|) executor storage, the
+    # same cost class as the data files the merge stages anyway.
+    source = source.localCheckpoint(eager=True)
+    if delete_keys is not None:
+        delete_keys = delete_keys.localCheckpoint(eager=True)
+    # duplicate-key check + first-key bounds (for manifest-bounds file
+    # skipping in _merge_once_iceberg) in ONE aggregate job:
+    # dup ⇔ count(*) > count(distinct key tuple)
+    key0 = keys[0]
+    agg = source.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.struct(*keys)).alias("__nd"),
+        F.min(key0).alias("__lo"),
+        F.max(key0).alias("__hi"),
+    ).collect()[0]
+    if agg["__n"] != agg["__nd"]:
+        dup = (
+            source.groupBy(*keys).count().where(F.col("count") > 1)
+            .limit(1).collect()
+        )
         raise IcebergLiteError(
             f"MERGE source has duplicate key "
             f"{tuple(dup[0][k] for k in keys)}"
         )
+    key_bounds = (agg["__lo"], agg["__hi"])
+    if delete_keys is not None:
+        db = delete_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        lo, hi = key_bounds
+        if db["lo"] is not None:
+            lo = db["lo"] if lo is None else min(lo, db["lo"])
+            hi = db["hi"] if hi is None else max(hi, db["hi"])
+        key_bounds = (lo, hi)
     attempt = 0
     while True:
         try:
             return _merge_once_iceberg(
                 spark, source, table_path, keys, attempt,
-                delete_keys=delete_keys,
+                delete_keys=delete_keys, key_bounds=key_bounds,
             )
         except ConcurrentIcebergWrite:
             if attempt >= max_retries:
@@ -4894,6 +4923,7 @@ def merge_iceberg(
 def _merge_once_iceberg(
     spark: SparkSession, source: DataFrame, table_path: str, keys: list,
     attempt: int, delete_keys: DataFrame | None = None,
+    key_bounds: tuple | None = None,
 ) -> dict:
     import shutil
     import tempfile
@@ -4946,12 +4976,14 @@ def _merge_once_iceberg(
     # changes the delete set.
     search_files = files
     key0 = keys[0]
-    kb = tomb_keys.agg(
-        F.min(key0).alias("lo"), F.max(key0).alias("hi")
-    ).collect()[0]
+    if key_bounds is None:  # direct _merge_once callers (none today)
+        kb_row = tomb_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        key_bounds = (kb_row["lo"], kb_row["hi"])
     bounds = None
-    if kb["lo"] is not None:
-        bounds = {key0: (kb["lo"], kb["hi"])}
+    if key_bounds[0] is not None:
+        bounds = {key0: (key_bounds[0], key_bounds[1])}
         bounded = plan_scan(table_path, bounds_filter=bounds)[0]
         if not bounded:
             # NO live file's [lower, upper] can contain any tombstone
@@ -5156,6 +5188,9 @@ def upsert_iceberg_equality(
         snap_id = write_iceberg(spark, source, table_path)
         return {"snapshot_id": snap_id, "delete_files": 0,
                 "appended_files": -1, "retries": 0}
+    # the source is evaluated twice (distinct-key delete file + data
+    # append) — materialize it once, same rationale as merge_iceberg
+    source = source.localCheckpoint(eager=True)
     attempt = 0
     while True:
         try:
@@ -6335,6 +6370,11 @@ def update_iceberg(
         live.where(F.expr(predicate))
         .join(F.broadcast(file_map), "__ice_file")
     )
+    # matched feeds BOTH the position/DV staging pass and the
+    # transformed-copy append — materialize the (predicate-pruned) MOR
+    # read once instead of paying the full read (incl. delete
+    # anti-joins) twice
+    matched = matched.localCheckpoint(eager=True)
     dtypes = dict(live.dtypes)
     updated = matched.select(
         *[
