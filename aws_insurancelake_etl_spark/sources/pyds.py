@@ -25,6 +25,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
@@ -154,19 +155,46 @@ def _to_avro_value(dt, value):
     return value
 
 
+def _from_arrow_value(dt, value):
+    """Convert a ``pyarrow`` ``to_pylist()`` value tree into the shapes
+    avro_lite encodes: struct dicts → tuples (schema field order), map
+    pair-lists → dicts, arrays → lists, binary stays bytes."""
+    from pyspark.sql import types as T
+
+    if value is None:
+        return None
+    if isinstance(dt, T.StructType):
+        return tuple(
+            _from_arrow_value(f.dataType, value.get(f.name))
+            for f in dt.fields
+        )
+    if isinstance(dt, T.ArrayType):
+        return [_from_arrow_value(dt.elementType, v) for v in value]
+    if isinstance(dt, T.MapType):
+        return {
+            k: _from_arrow_value(dt.valueType, v) for k, v in value
+        }
+    return value
+
+
 @dataclass
 class _AvroCommit(WriterCommitMessage):
     tmp_path: str
     final_path: str
 
 
-class AvroLiteWriter(DataSourceWriter):
+class AvroLiteWriter(DataSourceArrowWriter):
     """Distributed Avro SINK: each task writes its partition to one
     container file under a temp name; the driver-side ``commit`` renames
     every temp into place (and clears pre-existing files on overwrite),
     ``abort`` removes them — the standard two-phase file commit, so a
     failed job leaves no half-written ``*.avro`` visible.  Assumes the
-    path is shared storage (same contract as every file sink)."""
+    path is shared storage (same contract as every file sink).
+
+    An ``DataSourceArrowWriter``: partitions arrive as Arrow
+    RecordBatches instead of pickled Rows (guide §4.1 — control HOW
+    efficiently columns cross the boundary), and cells convert to the
+    encoder's shapes column-wise via ``to_pylist``."""
 
     def __init__(self, path: str, schema, overwrite: bool):
         self.path = path
@@ -186,13 +214,25 @@ class AvroLiteWriter(DataSourceWriter):
              else _spark_type_to_avro(f.dataType, f.name))
             for f in fields
         ]
-        rows = [
-            tuple(
-                _to_avro_value(f.dataType, value)
-                for f, value in zip(fields, row)
-            )
-            for row in iterator
-        ]
+        simple = all(
+            f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "string", "boolean", "binary")
+            for f in fields
+        )
+        rows: list = []
+        for batch in iterator:
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            if simple:
+                rows.extend(zip(*cols))
+            else:
+                rows.extend(
+                    tuple(
+                        _from_arrow_value(f.dataType, v)
+                        for f, v in zip(fields, row)
+                    )
+                    for row in zip(*cols)
+                )
         base = f"part-{uuid.uuid4().hex}.avro"
         tmp = os.path.join(self.path, f"_tmp_{base}")
         write_avro(tmp, names, types, rows, codec="deflate")
@@ -360,6 +400,48 @@ def _typed_partition_value(raw, dt):
     raise ValueError(f"unsupported partition column type {name!r}")
 
 
+def _arrow_batch_or_none(spark_schema, file_table, col_name_of, const_cols):
+    """Build ONE pyarrow RecordBatch matching ``spark_schema`` exactly
+    (the Arrow schema Spark's Python DataSource worker declares via
+    ``to_arrow_schema``), or ``None`` when any column cannot be
+    represented losslessly — the caller then falls back to row tuples.
+
+    Yielding RecordBatches instead of per-row tuples keeps the whole
+    file's data in Arrow form end to end (guide §4.2): the per-row
+    Python loop, the per-cell ``to_pylist`` conversion, and the
+    pickle-per-row serialization all disappear; Spark's worker streams
+    the batch to the JVM verbatim.
+
+    ``col_name_of(field_name)``: the FILE column carrying the field
+    (``None`` = attached from metadata).  ``const_cols[field_name]``:
+    the per-file constant for attached fields (partition literals,
+    schema-evolution defaults, change-type/version/timestamp columns).
+    """
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    n = file_table.num_rows
+    try:
+        pa_schema = to_arrow_schema(spark_schema)
+        arrays = []
+        for f, pf in zip(spark_schema.fields, pa_schema):
+            fname = col_name_of(f.name)
+            if fname is not None:
+                arrays.append(
+                    file_table.column(fname).combine_chunks().cast(pf.type)
+                )
+            else:
+                v = const_cols[f.name]
+                arrays.append(
+                    pa.nulls(n, pf.type)
+                    if v is None
+                    else pa.array([v] * n, type=pf.type)
+                )
+        return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
+    except Exception:  # noqa: BLE001 — any lossy column -> row fallback
+        return None
+
+
 def _schema_signature(schema_json_str):
     """Order-sensitive (name, type) signature of a Delta schemaString —
     the comparison behind the mid-stream schema-change guard (metadata
@@ -508,10 +590,31 @@ class DeltaLiteStreamReader(DataSourceStreamReader):
         rel, pvals = _json.loads(partition.value)
         schema = StructType.fromJson(_json.loads(self.schema_json))
         table = pq.read_table(_os.path.join(self.path, rel))
-        cols = {name: table.column(name).to_pylist() for name in table.column_names}
-        n = table.num_rows
         fields = schema.fields
         phys = self.physical_names
+        # Arrow fast path (guide §4.2): one RecordBatch per file,
+        # partition literals attached as constant arrays
+        batch = _arrow_batch_or_none(
+            schema,
+            table,
+            lambda name: (
+                None
+                if phys.get(name, name) in pvals
+                else phys.get(name, name)
+            ),
+            {
+                f.name: _typed_partition_value(
+                    pvals.get(phys.get(f.name, f.name)), f.dataType
+                )
+                for f in fields
+                if phys.get(f.name, f.name) in pvals
+            },
+        )
+        if batch is not None:
+            yield batch
+            return
+        cols = {name: table.column(name).to_pylist() for name in table.column_names}
+        n = table.num_rows
         for i in range(n):
             yield tuple(
                 _typed_partition_value(
@@ -699,6 +802,51 @@ class DeltaLiteCDFStreamReader(DataSourceStreamReader):
         schema = StructType.fromJson(_json.loads(self.schema_json))
         phys = self.physical_names
         table = pq.read_table(_os.path.join(self.path, rel))
+        # Arrow fast path (guide §4.2): data columns straight from the
+        # parquet table, partition/change/version/timestamp columns as
+        # constant arrays — no per-row Python loop, no pickle
+        from pyspark.sql.types import (
+            LongType as _Long,
+            StringType as _Str,
+            StructField as _SF,
+            TimestampType as _Ts,
+        )
+
+        out_schema = StructType(
+            list(schema.fields)
+            + [
+                _SF("_change_type", _Str()),
+                _SF("_commit_version", _Long()),
+                _SF("_commit_timestamp", _Ts()),
+            ]
+        )
+        extras = {"_change_type", "_commit_version", "_commit_timestamp"}
+
+        def _file_col(name):
+            if name == "_change_type":
+                return "_change_type" if kind == "cdc" else None
+            if name in extras:
+                return None
+            pname = phys.get(name, name)
+            return None if (pname in pvals or name in pvals) else pname
+
+        consts = {
+            "_commit_version": version,
+            "_commit_timestamp": datetime.datetime.fromtimestamp(
+                ts_ms / 1000.0, tz=datetime.timezone.utc
+            ),
+        }
+        if kind != "cdc":
+            consts["_change_type"] = kind
+        for f in schema.fields:
+            pname = phys.get(f.name, f.name)
+            if pname in pvals or f.name in pvals:
+                raw = pvals.get(pname, pvals.get(f.name))
+                consts[f.name] = _typed_partition_value(raw, f.dataType)
+        batch = _arrow_batch_or_none(out_schema, table, _file_col, consts)
+        if batch is not None:
+            yield batch
+            return
         cols = {
             name: table.column(name).to_pylist()
             for name in table.column_names
@@ -1052,11 +1200,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
 
         schema = StructType.fromJson(_json.loads(self.schema_json))
         table = pq.read_table(partition.value)
-        cols = {
-            name: table.column(name).to_pylist()
-            for name in table.column_names
-        }
-        n = table.num_rows
+        file_cols = set(table.column_names)
         # v3 initial-defaults: paths this FILE physically lacks fill
         # the default (the read_iceberg contract); files carrying the
         # path keep stored values, legitimate nulls included
@@ -1069,7 +1213,7 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     continue
                 if len(segs) == 1:
                     fills[segs[0]] = pv
-                elif segs[0] in cols:
+                elif segs[0] in file_cols:
                     nested_fills.append((segs[0], segs[1:], pv))
                 elif segs[0] in fills:
                     # a struct column absent from the file whose OWN
@@ -1080,6 +1224,28 @@ class IcebergLiteStreamReader(DataSourceStreamReader):
                     fills[segs[0]] = _inject_nested_default(
                         fills[segs[0]], list(segs[1:]), pv
                     )
+        # Arrow fast path (guide §4.2): when no nested in-file default
+        # injection is needed, ship the parquet table as ONE
+        # RecordBatch — absent columns become constant/null arrays
+        if not nested_fills:
+            batch = _arrow_batch_or_none(
+                schema,
+                table,
+                lambda name: name if name in file_cols else None,
+                {
+                    f.name: fills.get(f.name)
+                    for f in schema.fields
+                    if f.name not in file_cols
+                },
+            )
+            if batch is not None:
+                yield batch
+                return
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
+        n = table.num_rows
         for head, tail, pv in nested_fills:
             cols[head] = [
                 _inject_nested_default(v, list(tail), pv)
