@@ -41,6 +41,45 @@ def register(name: str, oracle: str | None = None):
     return wrap
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_conf(spark):
+    """Size streaming STATE partitioning to the stateful operator's
+    keyspace instead of the session's batch shuffle width.  Batch
+    shuffles self-correct at runtime (AQE coalescing); a streaming
+    stateful operator has no AQE — its partition count is frozen into
+    the first checkpoint and every micro-batch pays one state-store
+    open/commit/maintenance cycle per partition forever.  With the
+    core-count constant (32) that is pure per-batch overhead for the
+    small keyspaces these operators group on; measured on the iceberg
+    source gate the stateful addBatch drops ~5x.  Production keyspaces
+    (millions of users) size UP via SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    — the value to pick scales with distinct keys x state row width,
+    not with cores."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _drain_stream(spark, writer):
+    """Start an availableNow stream under keyspace-sized state
+    partitioning (:func:`_stream_state_conf`) and block until it
+    drains.  The conf must span ``start()`` through termination because
+    micro-batch planning happens on the stream thread after start."""
+    with _stream_state_conf(spark):
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+
+
 _PIPE_SPEC = {
     "input_spec": {"csv": {"header": True}},
     "transform_spec": {
@@ -197,14 +236,12 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     windowed = windowed_event_counts(stream)
     sink = f"gate_stream_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         windowed.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink)
 
 
@@ -329,15 +366,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = stateful_user_totals(stream)
     sink = f"gate_stateful_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         out.writeStream.format("memory")
         .queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="gate-stateful-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink)
 
 
@@ -375,14 +410,12 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("decimal(18,2)"), 2).cast("double").alias("value"),
     )
     sink = f"gate_stream_dedup_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         deduped.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink)
 
 
@@ -647,14 +680,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     sink = f"gate_dupwm_{run_id}"
-    query = (
+    query = _drain_stream(
+        spark,
         stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select("user_id", "event_type").distinct()
 
 
@@ -947,14 +978,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"gate_stream_sess_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink)
 
 
@@ -1005,14 +1034,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
     )
     sink = f"gate_ssj_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         joined.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select(
         F.col("p_user").alias("user_id"),
         F.col("p_id").alias("purchase_id"),
@@ -1101,14 +1128,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     sink = f"gate_ssloj_{run_id}"
-    query = (
+    query = _drain_stream(
+        spark,
         joined.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return (
         spark.table(sink)
         .where(F.col("p_user") >= 0)  # drop the sentinel's own row
@@ -1275,10 +1300,11 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(files_dir)
         .select("user_id", "value")
     )
-    query = streaming_upsert_totals(
-        stream, table, tempfile.mkdtemp(prefix=f"gate-upsert-ckpt-{run_id}-")
-    )
-    query.awaitTermination()
+    with _stream_state_conf(spark):
+        query = streaming_upsert_totals(
+            stream, table, tempfile.mkdtemp(prefix=f"gate-upsert-ckpt-{run_id}-")
+        )
+        query.awaitTermination()
     return spark.table(table).select(
         "user_id", "n_events", F.col("total_value").cast("double").alias("total_value")
     )
@@ -1402,14 +1428,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_above_profile"),
     )
     sink = f"gate_enrich_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink)
 
 
@@ -1520,14 +1544,12 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = f"gate_late_{run_id}"
-    query = (
+    query = _drain_stream(
+        spark,
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -2413,8 +2435,8 @@ def src_iceberg_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("price_cents"),
         )
-        .orderBy("o_orderkey")
         .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
         # the builder re-derives this plan once per partition value plus
         # once per count — materialize the single-threaded sort ONCE
         .localCheckpoint()
@@ -2588,8 +2610,8 @@ def src_iceberg_v3_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("price_cents"),
         )
-        .orderBy("o_orderkey")
         .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
         .localCheckpoint()
     )
     counts = {
@@ -2736,13 +2758,13 @@ def src_iceberg_v3_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     iceberg_lite.write_iceberg(
         spark,
         base.where(F.col("o_orderkey") % 9 == 0)
-        .orderBy("o_orderkey").coalesce(1),
+        .coalesce(1).sortWithinPartitions("o_orderkey"),
         tbl, format_version=3,
     )
     iceberg_lite.write_iceberg(
         spark,
         base.where(F.col("o_orderkey") % 9 == 1)
-        .orderBy("o_orderkey").coalesce(1),
+        .coalesce(1).sortWithinPartitions("o_orderkey"),
         tbl,
     )
     return iceberg_lite.read_iceberg(spark, tbl, row_lineage=True)
@@ -2955,13 +2977,11 @@ def stream_delta_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(files_dir)
     )
-    query = (
+    query = _drain_stream(
+        spark,
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", f"{drop}/ckpt")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return delta_lite.read_delta(spark, table)
 
 
@@ -3053,13 +3073,11 @@ def stream_iceberg_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(files_dir)
     )
-    query = (
+    query = _drain_stream(
+        spark,
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", f"{drop}/ckpt")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return iceberg_lite.read_iceberg(spark, table)
 
 
@@ -3093,7 +3111,8 @@ def stream_delta_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_lite.write_delta(cust.where(F.col("c_custkey") % 3 == 0), tbl)
     delta_lite.write_delta(cust.where(F.col("c_custkey") % 3 == 1), tbl)
     sink = f"gate_dsrc_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         spark.readStream.format("delta_lite")
         .load(tbl)
         .groupBy("c_mktsegment")
@@ -3104,10 +3123,7 @@ def stream_delta_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select(
         "c_mktsegment",
         "n_customers",
@@ -3766,8 +3782,8 @@ def src_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for mod in (0, 1):
         df = (
             base.where(F.col("o_orderkey") % 6 == mod)
-            .orderBy("o_orderkey")
             .coalesce(1)
+            .sortWithinPartitions("o_orderkey")
         )
         delta_lite.write_delta(df, tbl)
         snap = delta_lite.snapshot(tbl)
@@ -3897,7 +3913,8 @@ def stream_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyds.register(spark)
     tbl = _cdf_fixture_table(spark, sf_dir)
     sink = f"gate_cdfs_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         spark.readStream.format("delta_lite")
         .option("readChangeFeed", "true")
         .option("startingVersion", 1)
@@ -3905,10 +3922,7 @@ def stream_delta_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select(
         "o_orderkey", "o_orderstatus", "price_cents",
         "_change_type", "_commit_version",
@@ -4137,13 +4151,13 @@ def sink_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = tempfile.mkdtemp(prefix="gate-delta-rt-") + "/t"
     delta_lite.write_delta(
         base.where(F.col("o_orderkey") % 3 == 0)
-        .orderBy("o_orderkey").coalesce(1),
+        .coalesce(1).sortWithinPartitions("o_orderkey"),
         tbl,
         configuration={"delta.enableRowTracking": "true"},
     )
     delta_lite.write_delta(
         base.where(F.col("o_orderkey") % 3 == 1)
-        .orderBy("o_orderkey").coalesce(1),
+        .coalesce(1).sortWithinPartitions("o_orderkey"),
         tbl, mode="append",
     )
     delta_lite.update_delta(
@@ -4223,9 +4237,9 @@ def src_delta_row_tracking_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     rcv_col = "_row-commit-version-col-fixture"
     tbl = _tempfile.mkdtemp(prefix="gate-delta-rtr-") + "/t"
     _os.makedirs(tbl, exist_ok=True)
-    f1 = base.where(F.col("o_orderkey") % 4 == 0).orderBy(
+    f1 = base.where(F.col("o_orderkey") % 4 == 0).coalesce(1).sortWithinPartitions(
         "o_orderkey"
-    ).coalesce(1)
+    )
     w = Window.orderBy("o_orderkey")
     f2 = (
         base.where(F.col("o_orderkey") % 4 == 1)
@@ -4241,8 +4255,8 @@ def src_delta_row_tracking_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             rcv_col,
             F.when(F.col("o_orderkey") % 13 != 3, F.lit(7).cast("long")),
         )
-        .orderBy("o_orderkey")
         .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
         .drop("__rn")
     )
     staging = _tempfile.mkdtemp(prefix="_rt_stage_", dir=tbl)
@@ -5239,7 +5253,8 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cust.where(F.col("c_custkey") % 3 == 1), tbl
     )
     sink = f"gate_isrc_{uuid.uuid4().hex[:12]}"
-    query = (
+    query = _drain_stream(
+        spark,
         spark.readStream.format("iceberg_lite")
         .load(tbl)
         .groupBy("c_mktsegment")
@@ -5250,10 +5265,7 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
     )
-    query.awaitTermination()
     return spark.table(sink).select(
         "c_mktsegment",
         "n_customers",
