@@ -5056,10 +5056,16 @@ def _merge_once_iceberg(
     drop_dv_refs: frozenset = frozenset()
     if fv >= 3:
         # v3: matched rows become DELETION VECTORS, never new
-        # position-delete parquet (forbidden by the spec's v3 rules)
-        matched_local = target.join(
+        # position-delete parquet (forbidden by the spec's v3 rules).
+        # The MATCHED set feeds two consumers — DV staging and the
+        # row-id carry map (re-executed inside data staging) — each of
+        # which would otherwise replay the whole MOR read (deletes
+        # applied).  Materialize it once: O(|matched|) narrow rows,
+        # never the data payload.
+        matched_tomb = target.join(
             tomb_hint, keys, "left_semi"
-        ).select("__ice_file", "__ice_pos")
+        ).localCheckpoint(eager=True)
+        matched_local = matched_tomb.select("__ice_file", "__ice_pos")
         delete_entries, drop_dv_refs, deleted_rows = _stage_iceberg_dvs(
             spark, table_path, matched_local, files, _deletes
         )
@@ -5071,12 +5077,12 @@ def _merge_once_iceberg(
         # per-key semantics).  _last_updated_sequence_number stays
         # absent so it inherits the new commit's sequence number.
         id_map = (
-            # src_keys can be target-sized when delete_keys rides along
-            # (BY SOURCE updates) — the hint follows the same rule as
-            # tomb_hint
-            target.join(
-                F.broadcast(src_keys) if delete_keys is None else src_keys,
-                keys, "left_semi",
+            # restrict to SOURCE-matched rows: matched_tomb may also
+            # hold delete_keys-matched rows, which get no replacement
+            (
+                matched_tomb
+                if delete_keys is None
+                else matched_tomb.join(src_keys, keys, "left_semi")
             )
             .groupBy(*keys)
             .agg(F.min("_row_id").alias("_row_id"))
