@@ -1199,10 +1199,15 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     under THREE models at once (first-touch, last-touch, linear), per
     touch type.  One pass: the purchase-touch join is driven by the
     user_id equi key (the time window rides as a residual predicate),
-    then two rank windows + a count window per purchase decide each
-    touch's role.  Exact-decimal sums for the winner-takes-all models;
-    the linear split is double division (each purchase's value divides
-    by its own touch count) rounded at the end."""
+    then one rank window + a count window per purchase decide each
+    touch's role: because (t_ts, t_id) is a total order within each
+    purchase (event ids are unique), the last touch is simply the row
+    whose ascending rank equals the partition's touch count, so the
+    descending-ordered second window (a full extra Sort pass over the
+    joined rows) is never computed.  Exact-decimal sums for the
+    winner-takes-all models; the linear split is double division (each
+    purchase's value divides by its own touch count) rounded at the
+    end."""
     ev = read_events(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
@@ -1224,12 +1229,14 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_n = Window.partitionBy("p_id")
     w_first = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
-    w_last = Window.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    # rk_last == 1 (row_number over the DESC ordering) is equivalent to
+    # rk_first == n_touches: (t_ts, t_id) totally orders each partition
+    # since t_id (event_id) is unique, so the descending window — and
+    # its extra full Sort of the joined rows — is eliminated.
     ranked = joined.select(
         "p_id", "v", "touch_type",
         F.count(F.lit(1)).over(w_n).alias("n_touches"),
         F.row_number().over(w_first).alias("rk_first"),
-        F.row_number().over(w_last).alias("rk_last"),
     )
     zero = F.lit(0).cast("decimal(18,2)")
     return ranked.groupBy("touch_type").agg(
@@ -1237,7 +1244,14 @@ def evt_funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("rk_first") == 1, F.col("v")).otherwise(zero)), 2)
         .cast("double")
         .alias("first_touch_value"),
-        F.round(F.sum(F.when(F.col("rk_last") == 1, F.col("v")).otherwise(zero)), 2)
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk_first") == F.col("n_touches"), F.col("v")
+                ).otherwise(zero)
+            ),
+            2,
+        )
         .cast("double")
         .alias("last_touch_value"),
         F.round(
