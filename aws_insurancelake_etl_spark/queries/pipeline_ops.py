@@ -6558,8 +6558,11 @@ def src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     iceberg_lite.delete_iceberg(spark, tbl, "o_orderkey % 10 = 5")
     iceberg_lite.rewrite_data_files(spark, tbl)
     log = iceberg_lite.read_iceberg_changelog(spark, tbl, from_snapshot=1)
-    if [r for r in log.select("_commit_snapshot_id").distinct().collect()
-            if r[0] == 4]:
+    # plan-time guard: the compaction commit (snap 4) must be excluded
+    # by the changelog's replace-rule — checked from driver metadata so
+    # the changelog is not executed twice; the oracle differential would
+    # catch any runtime leak in the returned rows
+    if 4 in iceberg_lite.changelog_commit_ids(tbl, from_snapshot=1):
         raise RuntimeError("compaction leaked into the changelog")
     return log.select(
         "o_orderkey", "cents", "_change_type", "_commit_snapshot_id"

@@ -1636,6 +1636,33 @@ def snapshot_ids(table_path: str) -> list[int]:
     return [s["snapshot-id"] for s in meta.get("snapshots") or []]
 
 
+def changelog_commit_ids(
+    table_path: str, from_snapshot, to_snapshot=None
+) -> list[int]:
+    """Snapshot ids a :func:`read_iceberg_changelog` scan over
+    ``(from, to]`` can draw rows from: every non-``replace`` snapshot in
+    the range.  ``replace`` (compaction) commits are excluded at plan
+    time by the same rule the changelog reader applies, so callers can
+    assert compaction invisibility from driver metadata alone instead of
+    executing the changelog an extra time."""
+    meta = _load_metadata(table_path)
+    from_id = _resolve_ref(meta, from_snapshot)
+    to_id = (
+        meta.get("current-snapshot-id")
+        if to_snapshot is None
+        else _resolve_ref(meta, to_snapshot)
+    )
+    return [
+        s["snapshot-id"]
+        for s in sorted(
+            meta.get("snapshots") or [], key=lambda s: s["snapshot-id"]
+        )
+        if from_id < s["snapshot-id"] <= to_id
+        and (s.get("summary") or {}).get("operation", "append")
+        != "replace"
+    ]
+
+
 def snapshot_as_of_timestamp(table_path: str, ts_ms: int):
     """Snapshot id current as of ``ts_ms`` (Iceberg's
     ``TIMESTAMP AS OF``), resolved against the SNAPSHOT-LOG when the
