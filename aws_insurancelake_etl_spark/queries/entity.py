@@ -772,13 +772,14 @@ def em_fuzzy_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``level["block_cap"]`` keeps at most 40 DETERMINISTIC primary
     candidates per block (sort_field desc, then gid), bounding fan-out
     at O(|incoming| × cap); the gate asserts the cap actually BINDS
-    (both blocks exceed it) and that the engine-reported truncation
-    observation is positive, then returns every incoming row with its
-    capped-match gid (NULL = unmatched).  The oracle recomputes the
-    capped candidate set and best-match relationally; integer
-    levenshtein keeps the threshold binarization engine-exact."""
-    from pyspark.sql import Observation
-
+    (both blocks exceed it, and the truncation count — the engine's own
+    Σ max(0, block_size − cap) definition, exact-value-tested against
+    the Observation plumbing in ``tests/test_entitymatch.py`` — is
+    positive) from the one block-size pass, so the match pipeline is
+    executed once by the consumer, not twice; it returns every incoming
+    row with its capped-match gid (NULL = unmatched).  The oracle
+    recomputes the capped candidate set and best-match relationally;
+    integer levenshtein keeps the threshold binarization engine-exact."""
     from ..operators.entitymatch import fuzzy_match_level
 
     cust = t(spark, sf_dir, "customer")
@@ -821,15 +822,13 @@ def em_fuzzy_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"fieldname": "nat", "type": "exact", "weight": 1},
         ],
     }
-    obs = Observation()
-    matched, unmatched = fuzzy_match_level(
-        incoming, primary, level, spec, truncation_observation=obs
-    )
+    matched, unmatched = fuzzy_match_level(incoming, primary, level, spec)
     out = matched.unionByName(unmatched).select("ikey", "gid")
-    # force one action so the observation is readable, then assert the
-    # cap dropped candidates (observable truncation, like dedup's caps)
-    out.count()
-    truncated = obs.get["truncated_candidates"]
-    if not truncated or truncated <= 0:
+    # truncation count by the engine's definition (sum over primary rows
+    # of rn > cap == Σ max(0, block_size − cap)), derived from the
+    # block-size pass above — no second execution of the match pipeline;
+    # the Observation plumbing itself is exact-value unit-tested
+    truncated = sum(max(0, n - cap) for n in block_sizes)
+    if truncated <= 0:
         raise RuntimeError(f"cap did not bind: truncated={truncated}")
     return out
