@@ -963,6 +963,22 @@ def _to_physical(df: DataFrame, phys, schema: StructType | None = None) -> DataF
     return df.select(*cols)
 
 
+def _meta_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-side metadata list -> DataFrame on an explicitly sized
+    RDD.  ``spark.createDataFrame(list)`` parallelizes into
+    defaultParallelism slices (32 on the bench session), so every
+    broadcast build of an O(files) map — row-id bases, DV descriptors,
+    partition tuples — scheduled a 32-task stage for a handful of rows.
+    Sizing the slice count from the row count (one slice per 64k
+    entries, minimum one) makes those builds one task without changing
+    a single row; the maps are O(files) driver state either way."""
+    rows = list(rows)
+    slices = max(1, len(rows) // 65536)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def _resolve_dv_path(table_path: str, dv: dict) -> tuple[str, str]:
     """Resolve a deletionVector descriptor to ('file', absolute path) or
     ('inline', z85 payload) per PROTOCOL.md storage types: 'u' = table-
@@ -1010,7 +1026,8 @@ def _dv_positions_df(spark: SparkSession, snap: Snapshot, files) -> DataFrame:
                 int(f.deletion_vector.get("cardinality", -1)),
             )
         )
-    desc = spark.createDataFrame(
+    desc = _meta_df(
+        spark,
         rows,
         "__dv_file string, kind string, payload string, "
         "offset long, size long, cardinality long",
@@ -1227,7 +1244,8 @@ def _read_snapshot(
         )
     rid_cols = []
     if with_row_ids:
-        rt_map = spark.createDataFrame(
+        rt_map = _meta_df(
+            spark,
             [
                 (
                     # _metadata.file_path is percent-encoded — key the
@@ -4423,7 +4441,8 @@ def _delete_partition_metadata_only(
     if not tuples:
         return None
     rows = [(i, *t) for i, t in enumerate(tuples)]
-    raw = spark.createDataFrame(
+    raw = _meta_df(
+        spark,
         rows,
         StructType(
             [StructField("__pt_idx", LongType(), False)]
@@ -4560,9 +4579,10 @@ def delete_delta(
     rt = _row_tracking_on(snap.configuration)
     rt_id_col, rt_cv_col = _rt_col_names(snap.configuration)
     rt = rt and bool(rt_id_col)
-    target = _read_snapshot(
-        spark, snap, with_path=True, with_row_ids=rt
-    )
+    # probe pass: __dl_path only — row-tracking ids are attached on the
+    # touched-files rewrite read, not here (no broadcast map join in
+    # the probe plan)
+    target = _read_snapshot(spark, snap, with_path=True)
     cond = F.expr(predicate)
     # ONE pass finds the touched files AND the matched-row count
     # (previously a distinct-collect plus a separate count re-scanned
@@ -4712,12 +4732,12 @@ def update_delta(
         )
     if set(set_exprs) & set(_identity_meta(snap.schema)):
         raise DeltaLiteError("identity columns are not settable")
-    # an UPDATE always MOVES the transformed rows to new files, so a
-    # row-tracked read carries _row_id for materialization in BOTH
-    # shapes (the moved copy keeps its id; _row_commit_version is left
-    # out so it defaults to the new commit)
+    # the PROBE pass needs only __dl_path (+ DV filtering) to find
+    # touched files and matched counts — row-tracking ids are attached
+    # only on the touched-files rewrite read below, so the probe plan
+    # carries no broadcast row-id map join
     target = _read_snapshot(
-        spark, snap, with_path=not dv, with_pos=dv, with_row_ids=rt
+        spark, snap, with_path=not dv, with_pos=dv
     )
     cond = F.expr(predicate)
     # ONE pass finds the touched files AND the matched-row count

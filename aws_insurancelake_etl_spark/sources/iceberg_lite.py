@@ -576,6 +576,22 @@ def _coerce_partition_value(value):
     return i if str(i) == s else s
 
 
+def _meta_df(spark, rows, schema):
+    """Driver-side metadata list -> DataFrame on an explicitly sized
+    RDD.  ``spark.createDataFrame(list)`` parallelizes into
+    defaultParallelism slices (32 on the bench session), so every
+    broadcast build of an O(files) map — file/sequence maps, DV plans,
+    equality-delete scopes — scheduled a 32-task stage for a handful of
+    rows.  One slice per 64k entries (minimum one) makes those builds
+    one task without changing a single row; the maps are O(files)
+    driver state either way."""
+    rows = list(rows)
+    slices = max(1, len(rows) // 65536)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )
+
+
 def plan_files(
     table_path: str, snapshot_id=None, partition_filter=None,
     bounds_filter=None,
@@ -1228,7 +1244,8 @@ def read_iceberg_changelog(
                         pos_files.append(d)
                 del_rows = None
                 if pos_files:
-                    fmap = spark.createDataFrame(
+                    fmap = _meta_df(
+                        spark,
                         [(f.orig_path, f.path) for f in files_prev],
                         "orig string, __del_file string",
                     )
@@ -1242,7 +1259,8 @@ def read_iceberg_changelog(
                         .select("__del_file", "__del_pos")
                     )
                 if dv_plan:
-                    dv_df = spark.createDataFrame(
+                    dv_df = _meta_df(
+                        spark,
                         dv_plan,
                         "dfile string, off long, size long, "
                         "__del_file string",
@@ -1345,7 +1363,8 @@ def read_iceberg_changelog(
                                 field.source if field is not None else pcol
                             )
                         scope_exprs.append(expr.cast("string"))
-                    eq_map = spark.createDataFrame(
+                    eq_map = _meta_df(
+                        spark,
                         [
                             (d.path, *[
                                 dict(d.partition_scope).get(pcol)
@@ -1432,7 +1451,8 @@ def inspect_snapshots(spark: SparkSession, table_path: str) -> DataFrame:
         )
         for s in meta.get("snapshots") or []
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "snapshot_id long, sequence_number long, committed_at_ms long, "
         "operation string, manifest_list string",
@@ -1453,7 +1473,8 @@ def inspect_history(spark: SparkSession, table_path: str) -> DataFrame:
         )
         for s in meta.get("snapshots") or []
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "made_current_at_ms long, snapshot_id long, "
         "is_current_ancestor boolean",
@@ -1476,7 +1497,8 @@ def inspect_files(
         )
         for f in files
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "file_path string, partition map<string,string>, "
         "record_count long, sequence_number long",
@@ -1506,7 +1528,8 @@ def inspect_delete_files(
         )
         for d in deletes
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "file_path string, file_format string, content int, "
         "record_count long, sequence_number long, "
@@ -1545,7 +1568,8 @@ def inspect_manifests(
                     len(entries),
                 )
             )
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "path string, length long, partition_spec_id int, content int, "
         "sequence_number long, added_snapshot_id long, entry_count long",
@@ -1589,7 +1613,8 @@ def inspect_entries(
                         int(df_rec.get("file_size_in_bytes") or 0),
                     )
                 )
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "status int, snapshot_id long, sequence_number long, "
         "content int, file_path string, record_count long, "
@@ -1603,7 +1628,8 @@ def inspect_refs(spark: SparkSession, table_path: str) -> DataFrame:
         (name, r.get("type"), int(r.get("snapshot-id")))
         for name, r in sorted(list_refs(table_path).items())
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows, "name string, type string, snapshot_id long"
     )
 
@@ -1625,7 +1651,8 @@ def inspect_partitions(
     rows = [
         (dict(key), rec, cnt) for key, (rec, cnt) in sorted(agg.items())
     ]
-    return spark.createDataFrame(
+    return _meta_df(
+        spark,
         rows,
         "partition map<string,string>, record_count long, file_count long",
     )
@@ -2444,7 +2471,8 @@ def read_iceberg(
             dv_covered.add(ref.path)
     # O(data files) mapping: as-written path -> (local path, data seq,
     # DV-covered flag for the supersede rule)
-    file_map = spark.createDataFrame(
+    file_map = _meta_df(
+        spark,
         [
             (f.orig_path, f.path, f.sequence_number, f.path in dv_covered)
             for f in files
@@ -2452,8 +2480,9 @@ def read_iceberg(
         "orig string, local string, data_seq long, has_dv boolean",
     )
     if dv_plan:
-        dv_df = spark.createDataFrame(
-            dv_plan, "dfile string, off long, size long, __ice_file string"
+        dv_df = _meta_df(
+            spark, dv_plan,
+            "dfile string, off long, size long, __ice_file string",
         )
 
         def _decode_dvs(batches):
@@ -2479,7 +2508,8 @@ def read_iceberg(
         data = data.join(dv_rows, ["__ice_file", "__ice_pos"], "left_anti")
     if pos_deletes:
         # O(delete files) mapping: local delete file -> its sequence number
-        del_map = spark.createDataFrame(
+        del_map = _meta_df(
+            spark,
             [(d.path, d.sequence_number) for d in pos_deletes],
             "dfile string, delete_seq long",
         )
@@ -2592,7 +2622,8 @@ def read_iceberg(
                     expr = F.col(src)
                 scope_exprs.append((pcol, expr.cast("string")))
             # O(delete files) mapping: file -> (sequence, scope values)
-            eq_map = spark.createDataFrame(
+            eq_map = _meta_df(
+                spark,
                 [
                     (d.path, d.sequence_number, *[
                         dict(d.partition_scope).get(pcol)
@@ -2630,7 +2661,8 @@ def read_iceberg(
         # sequence number (fresh/updated rows were last touched by the
         # commit that wrote the file).  One broadcast O(files) map
         # join, zero extra scans.
-        lin = spark.createDataFrame(
+        lin = _meta_df(
+            spark,
             [(f.path, f.first_row_id, f.sequence_number) for f in files],
             "__ice_file string, __ice_fri long, __ice_seq long",
         )
@@ -4750,7 +4782,8 @@ def _stage_iceberg_dvs(
     counts only rows not previously dead."""
     from pyspark.sql import functions as F
 
-    file_map = spark.createDataFrame(
+    file_map = _meta_df(
+        spark,
         [(f.path, f.orig_path, f.sequence_number) for f in files],
         "__ice_file string, orig string, data_seq long",
     )
@@ -4771,7 +4804,8 @@ def _stage_iceberg_dvs(
     if pos_parquet:
         # fold still-applicable v2 position deletes for TOUCHED files
         # into their new DVs (upgraded-table case)
-        del_map = spark.createDataFrame(
+        del_map = _meta_df(
+            spark,
             [(d.path, d.sequence_number) for d in pos_parquet],
             "dfile string, delete_seq long",
         )
@@ -5076,7 +5110,8 @@ def _merge_once_iceberg(
         *keys, "__ice_file", "__ice_pos",
         *(["_row_id"] if fv >= 3 else []),
     )
-    file_map = spark.createDataFrame(
+    file_map = _meta_df(
+        spark,
         [(f.path, f.orig_path) for f in search_files],
         "__ice_file string, orig string",
     )
@@ -6191,7 +6226,8 @@ def delete_iceberg(
                     "" if v is None else str(v) for v in t
                 ),
             )
-            raw = spark.createDataFrame(
+            raw = _meta_df(
+                spark,
                 [(i, *t) for i, t in enumerate(tuples)],
                 StructType(
                     [StructField("__pt_idx", LongType(), False)]
@@ -6287,7 +6323,8 @@ def delete_iceberg(
             files, _dels,
         )
     else:
-        file_map = spark.createDataFrame(
+        file_map = _meta_df(
+            spark,
             [(f.path, f.orig_path) for f in files],
             "__ice_file string, orig string",
         )
@@ -6395,7 +6432,8 @@ def update_iceberg(
     unknown = set(set_exprs) - set(schema_cols)
     if unknown:
         raise IcebergLiteError(f"unknown SET columns {sorted(unknown)}")
-    file_map = spark.createDataFrame(
+    file_map = _meta_df(
+        spark,
         [(f.path, f.orig_path) for f in files],
         "__ice_file string, orig string",
     )

@@ -579,8 +579,10 @@ def _lakehouse_sql(spark: SparkSession, sql: str) -> DataFrame:
 
 
 def _metrics_df(spark: SparkSession, d: dict) -> DataFrame:
+    from .delta_lite import _meta_df
+
     rows = [(k, "" if d[k] is None else str(d[k])) for k in sorted(d)]
-    return spark.createDataFrame(rows, "metric string, value string")
+    return _meta_df(spark, rows, "metric string, value string")
 
 
 def _validate_ref(ref: _TableRef) -> None:
@@ -2082,7 +2084,10 @@ def _exec_describe(spark: SparkSession, p: _P) -> DataFrame:
         _validate_ref(ref)
         if ref.fmt == "delta":
             rows = delta_lite.history(ref.path)
-            return spark.createDataFrame(
+            from .delta_lite import _meta_df
+
+            return _meta_df(
+                spark,
                 [
                     (
                         int(r.get("version", -1)),
@@ -2123,8 +2128,10 @@ def _exec_describe(spark: SparkSession, p: _P) -> DataFrame:
     if part:
         rows.append(("# Partition Information", "", ""))
         rows.extend((c, "", "") for c in part)
-    return spark.createDataFrame(
-        rows, "col_name string, data_type string, comment string"
+    from .delta_lite import _meta_df
+
+    return _meta_df(
+        spark, rows, "col_name string, data_type string, comment string"
     )
 
 
@@ -2160,8 +2167,10 @@ def _exec_show(spark: SparkSession, p: _P) -> DataFrame:
             from .iceberg_lite import _load_metadata
 
             props = dict(_load_metadata(ref.path).get("properties") or {})
+        from .delta_lite import _meta_df
+
         rows = [(k, str(v)) for k, v in sorted(props.items())]
-        return spark.createDataFrame(rows, "key string, value string")
+        return _meta_df(spark, rows, "key string, value string")
     if p.take_words("PARTITIONS"):
         ref = p.expect_table_ref()
         _validate_ref(ref)
@@ -2185,8 +2194,10 @@ def _exec_show(spark: SparkSession, p: _P) -> DataFrame:
             tuples,
             key=lambda t: tuple("" if v is None else str(v) for v in t),
         )
+        from .delta_lite import _meta_df
+
         schema = ", ".join(f"`{c}` string" for c in part_cols)
-        return spark.createDataFrame(rows, schema)
+        return _meta_df(spark, rows, schema)
     raise LakehouseSqlError("SHOW supports TBLPROPERTIES and PARTITIONS")
 
 
