@@ -2479,6 +2479,46 @@ def read_iceberg(
         ],
         "orig string, local string, data_seq long, has_dv boolean",
     )
+    # PLAN-TIME untouched-file bypass (guide §6 file skipping, §1.2
+    # order-1): every delete kind carries a sequence rule — a DV names
+    # its file outright, a position delete applies only to files with
+    # data_seq <= delete_seq, an equality delete only to STRICTLY older
+    # files — so a data file whose sequence number post-dates every
+    # delete (the freshly-appended half of an equality upsert, for
+    # example) provably cannot lose a row.  Those files' rows bypass
+    # the whole anti-join chain instead of streaming through 1-3 joins
+    # whose condition is constant-false for them.  Purely integer
+    # metadata the planner already holds; row-level conditions on the
+    # touched branch are unchanged, so results are identical.
+    max_pos_seq = max(
+        (d.sequence_number for d in pos_deletes), default=None
+    )
+    max_eq_seq = max(
+        (d.sequence_number for d in eq_deletes), default=None
+    )
+
+    def _maybe_touched(f) -> bool:
+        if f.path in dv_covered:
+            return True
+        if (
+            pos_deletes
+            and max_pos_seq >= f.sequence_number
+            and f.path not in dv_covered
+        ):
+            return True
+        return bool(eq_deletes) and max_eq_seq > f.sequence_number
+
+    untouched_bypass = None
+    touched_paths = [f.path for f in files if _maybe_touched(f)]
+    if (
+        deletes
+        and "__ice_file" in data.columns
+        and len(touched_paths) < len(files)
+        and len(files) <= 4096  # InSet literal list stays plan-cheap
+    ):
+        in_touched = F.col("__ice_file").isin(touched_paths)
+        untouched_bypass = data.where(~in_touched)
+        data = data.where(in_touched)
     if dv_plan:
         dv_df = _meta_df(
             spark, dv_plan,
@@ -2651,6 +2691,10 @@ def read_iceberg(
             for i, (_pcol, expr) in enumerate(scope_exprs):
                 cond = cond & (expr == F.col(f"__eq_scope_{i}"))
             data = data.join(del_rows, cond, "left_anti")
+        data = data.drop("data_seq")
+    if untouched_bypass is not None:
+        # rows of files no delete can touch rejoin after the chain
+        data = data.unionByName(untouched_bypass)
     if row_lineage:
         # _row_id: a MATERIALIZED value in the data file wins (spec
         # §Row Lineage — UPDATE/compaction write the moved row's id
