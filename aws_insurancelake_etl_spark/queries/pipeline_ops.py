@@ -44,24 +44,51 @@ def register(name: str, oracle: str | None = None):
 import contextlib
 
 
+def _stream_state_partitions(spark, keyspace: int | None = None) -> int:
+    """DERIVE the streaming state partition count from the stateful
+    operator's expected key cardinality (VERDICT r12 item 4 — the r12
+    constant 8 was a local-bench-shaped default).
+
+    Rationale: a streaming stateful operator has no AQE — its partition
+    count freezes into the first checkpoint and every micro-batch pays
+    one state-store open/commit/maintenance cycle per partition forever
+    (measured on the iceberg source gate: addBatch 4.5-5.0 s at 32
+    partitions vs 0.8-1.4 s at 2-8 for the same 5-key aggregation).  So
+    each store should hold enough keys to amortize that fixed cost:
+
+        partitions = clamp(ceil(keyspace / keys_per_store), 1,
+                           defaultParallelism)
+
+    ``keyspace`` is a caller-supplied cardinality estimate (the same
+    kind of domain knowledge a watermark delay encodes); ``None`` means
+    unknown and falls back to ``defaultParallelism`` — never a literal
+    constant, so an 8-core driver run and a 1000-executor cluster both
+    get a sane width.  ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` remains
+    the explicit override; ``SPARK_GRAFT_STREAM_KEYS_PER_PARTITION``
+    tunes the amortization target (default 8192 keys ≈ a few MB of
+    state per store, far above the per-store fixed cost)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    par = spark.sparkContext.defaultParallelism
+    if keyspace is None:
+        return par
+    per = int(os.environ.get("SPARK_GRAFT_STREAM_KEYS_PER_PARTITION", "8192"))
+    return max(1, min(par, -(-int(keyspace) // max(1, per))))
+
+
 @contextlib.contextmanager
-def _stream_state_conf(spark):
-    """Size streaming STATE partitioning to the stateful operator's
-    keyspace instead of the session's batch shuffle width.  Batch
-    shuffles self-correct at runtime (AQE coalescing); a streaming
-    stateful operator has no AQE — its partition count is frozen into
-    the first checkpoint and every micro-batch pays one state-store
-    open/commit/maintenance cycle per partition forever.  With the
-    core-count constant (32) that is pure per-batch overhead for the
-    small keyspaces these operators group on; measured on the iceberg
-    source gate the stateful addBatch drops ~5x.  Production keyspaces
-    (millions of users) size UP via SPARK_GRAFT_STREAM_STATE_PARTITIONS
-    — the value to pick scales with distinct keys x state row width,
-    not with cores."""
+def _stream_state_conf(spark, keyspace: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` to the derived streaming
+    state width (:func:`_stream_state_partitions`) for the duration of
+    a stream's run.  Batch queries self-correct at runtime (AQE
+    coalescing); streaming state does not, hence the explicit width.
+    Safe for the sequential gate harness; concurrent streams sharing a
+    session would need per-query scoping instead (ADVICE r12)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")),
+        _stream_state_partitions(spark, keyspace),
     )
     try:
         yield
@@ -69,15 +96,38 @@ def _stream_state_conf(spark):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _drain_stream(spark, writer):
+def _drain_stream(spark, writer, keyspace: int | None = None):
     """Start an availableNow stream under keyspace-sized state
     partitioning (:func:`_stream_state_conf`) and block until it
     drains.  The conf must span ``start()`` through termination because
-    micro-batch planning happens on the stream thread after start."""
-    with _stream_state_conf(spark):
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination()
-        return query
+    micro-batch planning happens on the stream thread after start.
+
+    Retries (up to 2x) a start that dies in "Python worker failed to
+    connect back": Spark's driver-side PythonStreamingSourceRunner
+    spawn waits a HARDCODED 10 s (Selector.select(10000L) in
+    PythonWorkerFactory.createSimpleWorker) for the cold Python process
+    to connect, which a loaded host can exceed — observed killing whole
+    bench runs.  The retry is safe exactly when no batch was committed
+    (the spawn happens during INITIALIZING, before batch 0), which the
+    guard checks via ``recentProgress``; any post-progress failure
+    re-raises unchanged."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _stream_state_conf(spark, keyspace):
+        for attempt in range(3):
+            query = writer.trigger(availableNow=True).start()
+            try:
+                query.awaitTermination()
+                return query
+            except StreamingQueryException:
+                if attempt >= 2 or query.recentProgress:
+                    raise
+                msg = str(getattr(query.exception(), "desc", "")) or str(
+                    query.exception()
+                )
+                if "failed to connect back" not in msg:
+                    raise
+        raise AssertionError("unreachable")
 
 
 _PIPE_SPEC = {
@@ -240,7 +290,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         windowed.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("complete"),
+        # state keys = 10-min buckets over the fixture's span x 5 event
+        # types (~4.3k x 5 at sf0.1); production callers size their own
+        keyspace=24_000,
     )
     return spark.table(sink)
 
@@ -371,7 +424,8 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory")
         .queryName(sink)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gate-stateful-ckpt-"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gate-stateful-ckpt-")),
+        keyspace=2_048,  # state rows = distinct users (~1.5k at sf0.1)
     )
     return spark.table(sink)
 
@@ -414,7 +468,8 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         deduped.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode("append"),
+        keyspace=131_072,  # dedup state holds every event_id (100k at sf0.1)
     )
     return spark.table(sink)
 
@@ -684,7 +739,8 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         stream.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode("append"),
+        keyspace=8_192,  # dedup keys = users x event types (~7.5k at sf0.1)
     )
     return spark.table(sink).select("user_id", "event_type").distinct()
 
@@ -982,7 +1038,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("complete"),
+        keyspace=4_096,  # state = open sessions per user (~1.5k users)
     )
     return spark.table(sink)
 
@@ -1038,7 +1095,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         joined.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode("append"),
+        # join state buffers rows keyed by user within the time bound
+        keyspace=2_048,
     )
     return spark.table(sink).select(
         F.col("p_user").alias("user_id"),
@@ -1132,7 +1191,9 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         joined.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode("append"),
+        # join state buffers rows keyed by user within the time bound
+        keyspace=2_048,
     )
     return (
         spark.table(sink)
@@ -1300,7 +1361,9 @@ def stream_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(files_dir)
         .select("user_id", "value")
     )
-    with _stream_state_conf(spark):
+    # stateless stream (foreachBatch merge); width feeds the inner
+    # per-batch DML keyed by user (~1.5k at sf0.1)
+    with _stream_state_conf(spark, keyspace=2_048):
         query = streaming_upsert_totals(
             stream, table, tempfile.mkdtemp(prefix=f"gate-upsert-ckpt-{run_id}-")
         )
@@ -1432,7 +1495,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("complete"),
+        keyspace=5,  # state keys = the 5 event types
     )
     return spark.table(sink)
 
@@ -1548,7 +1612,8 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode("append"),
+        keyspace=24_000,  # 10-min buckets x 5 event types (sf0.1 span)
     )
     return spark.table(sink).select(
         F.col("w.start").alias("window_start"),
@@ -2980,7 +3045,10 @@ def stream_delta_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = _drain_stream(
         spark,
         stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{drop}/ckpt")
+        .option("checkpointLocation", f"{drop}/ckpt"),
+        # stateless stream; width feeds the inner per-batch MERGE whose
+        # key set is the slice's o_orderkeys (~7.5k per batch at sf0.1)
+        keyspace=8_192,
     )
     return delta_lite.read_delta(spark, table)
 
@@ -3076,7 +3144,10 @@ def stream_iceberg_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = _drain_stream(
         spark,
         stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", f"{drop}/ckpt")
+        .option("checkpointLocation", f"{drop}/ckpt"),
+        # stateless stream; width feeds the inner per-batch equality
+        # upsert keyed by c_custkey (~5k per batch at sf0.1)
+        keyspace=8_192,
     )
     return iceberg_lite.read_iceberg(spark, table)
 
@@ -3122,7 +3193,8 @@ def stream_delta_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("complete"),
+        keyspace=5,  # state keys = the 5 market segments
     )
     return spark.table(sink).select(
         "c_mktsegment",
@@ -5264,7 +5336,8 @@ def stream_iceberg_source_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode("complete"),
+        keyspace=5,  # state keys = the 5 market segments
     )
     return spark.table(sink).select(
         "c_mktsegment",

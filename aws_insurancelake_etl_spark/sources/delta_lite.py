@@ -3615,14 +3615,18 @@ def merge_delta(
         )
     key_bounds = (agg["__lo"], agg["__hi"])
     if delete_keys is not None:
-        db = delete_keys.agg(
-            F.min(key0).alias("lo"), F.max(key0).alias("hi")
-        ).collect()[0]
-        lo, hi = key_bounds
-        if db["lo"] is not None:
-            lo = db["lo"] if lo is None else min(lo, db["lo"])
-            hi = db["hi"] if hi is None else max(hi, db["hi"])
-        key_bounds = (lo, hi)
+        # Combined bounds computed IN SPARK over the unioned key sets:
+        # merging per-frame bounds with Python's min/max could diverge
+        # from Spark's binary UTF-8 string ordering on exotic data and
+        # mis-shape the skip bounds (ADVICE r12) — one union aggregate
+        # is the same job count and ordering-exact.
+        db = (
+            source.select(F.col(key0).alias("__k"))
+            .unionByName(delete_keys.select(F.col(key0).alias("__k")))
+            .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
+            .collect()[0]
+        )
+        key_bounds = (db["lo"], db["hi"])
     _enforce_constraints(source, _snap0.configuration)
     attempt = 0
     while True:

@@ -190,12 +190,133 @@ REGRESSION_FACTOR = 1.5
 # give them an absolute allowance on top of the ratio gate.
 ABS_SLACK_SEC = 0.5
 
+# RAW-seconds baselines (r13 re-baseline, VERDICT r12 item 1): the
+# calibration-normalized gate alone proved untrustworthy — the md5 probe
+# swung 2.7x within single runs, so a host whose single-thread speed
+# drifted between the baseline era and today inflates/deflates EVERY
+# normalized time uniformly and flags unchanged code.  The fix is a dual
+# gate: a query is flagged only when BOTH its normalized time exceeds
+# its normalized baseline AND its raw time exceeds its raw baseline (by
+# the same factor+slack).  A uniformly faster/slower host moves raw and
+# calibration together, so only one of the two thresholds trips; a real
+# plan regression trips both.  Raw baselines recorded from the same
+# quiet median-of-3 re-baseline run as the normalized values above
+# (values filled by tools/rebaseline.py; a gate absent here falls back
+# to the normalized-only rule so the gate never silently weakens).
+BASELINES_RAW: dict[str, float] = {}
+
+
+def compute_regressions(
+    timings: dict[str, float], normalized: dict[str, float]
+) -> dict[str, dict]:
+    """Dual-threshold regression flags (pure function so the decision
+    rule is unit-testable without Spark): flag a gate only when its
+    normalized time exceeds 1.5x its normalized baseline + 0.5 s slack
+    AND (when a raw baseline exists) its raw time exceeds the same
+    bound against the raw baseline.  Calibration drift moves all
+    normalized values while raw stays flat (or vice versa on a
+    uniformly slower host), so requiring agreement suppresses the
+    false flags that plagued rounds 9-12; a genuine 2x plan regression
+    moves both and still fires."""
+    out = {}
+    for name, (base, since) in BASELINES.items():
+        if name not in normalized:
+            continue
+        if normalized[name] <= base * REGRESSION_FACTOR + ABS_SLACK_SEC:
+            continue
+        raw_base = BASELINES_RAW.get(name)
+        if raw_base is not None and timings[name] <= (
+            raw_base * REGRESSION_FACTOR + ABS_SLACK_SEC
+        ):
+            continue  # normalized flag is calibration drift: raw is flat
+        entry = {
+            "normalized_sec": normalized[name],
+            "baseline_sec": base,
+            "baseline_round": since,
+            "ratio": round(normalized[name] / base, 2),
+        }
+        if raw_base is not None:
+            entry["raw_sec"] = timings[name]
+            entry["raw_baseline_sec"] = raw_base
+            entry["raw_ratio"] = round(timings[name] / raw_base, 2)
+        out[name] = entry
+    return out
+
 
 # New-in-round queries, reported (queries_extended) but NOT yet gated: no
 # baseline exists for them until their first green bench round, after
 # which they move into BASELINES with that round's normalized time.
+# r13 (VERDICT r12 item 2): 64 additional gates promoted into the bench —
+# the stream/sql/docs batteries, the remaining Python-DataSource readers
+# (avro/xlsx/xml/orc — the §4 Arrow-boundary work stays guarded), dq/scd2/
+# pipeline families, and six heavy representatives that were invisible to
+# the perf gate.  They are measured with the same warmup+min-of-2
+# discipline and move into BASELINES with the r13 re-baseline run.
 EXTENDED: list[str] = [
-    # (round-11 close: all 108 queries gated; nothing extended)
+    "stream_dedup_replay",
+    "stream_dedup_within_watermark",
+    "stream_delta_merge_sink",
+    "stream_delta_source_totals",
+    "stream_late_data_drop",
+    "stream_session_windows",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_upsert_totals",
+    "stream_windowed_counts",
+    "sql_array_functions",
+    "sql_conditional_functions",
+    "sql_datetime_functions",
+    "sql_json_functions",
+    "sql_lateral_top2",
+    "sql_map_functions",
+    "sql_math_functions",
+    "sql_recursive_reachability",
+    "sql_regex_functions",
+    "sql_string_functions",
+    "sql_timestamp_functions",
+    "sql_try_cast_functions",
+    "sql_variant_type",
+    "docs_ccnet_buckets",
+    "docs_curated_corpus",
+    "docs_doremi_weights",
+    "docs_lang_rebalance",
+    "docs_mix_epochs",
+    "docs_pack_shards",
+    "docs_pii_scan",
+    "docs_source_cap",
+    "docs_split_assign",
+    "docs_temperature_mix",
+    "docs_token_budget_fill",
+    "docs_token_chunks",
+    "docs_weighted_sample",
+    "src_avro_nested_roundtrip",
+    "src_delta_change_feed",
+    "src_delta_time_travel",
+    "src_encrypted_xlsx_read",
+    "src_iceberg_equality_deletes",
+    "src_iceberg_snapshot_read",
+    "src_orc_roundtrip",
+    "src_xlsx_date_styles",
+    "src_xml_roundtrip",
+    "dq_match_rules",
+    "dq_profile_orders",
+    "dq_quarantine_split",
+    "dq_referential_integrity",
+    "dq_stats_rules",
+    "scd2_change_feed",
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "pipeline_cleanse_to_consume",
+    "pipeline_collect_to_cleanse",
+    "pipeline_drop_to_cleanse_orchestrated",
+    "em_full_flow",
+    "graph_pagerank_trade",
+    "text_bm25_topk",
+    "mm_image_patches",
+    "evt_native_session_window",
+    "emb_kmeans_clusters",
 ]
 
 
@@ -296,14 +417,7 @@ def main() -> None:
 
     scale = CALIB_REF / calib_sec if calib_sec > 0 else 1.0
     normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
-    regressions = {
-        name: {"normalized_sec": normalized[name], "baseline_sec": base,
-               "baseline_round": since,
-               "ratio": round(normalized[name] / base, 2)}
-        for name, (base, since) in BASELINES.items()
-        if name in normalized
-        and normalized[name] > base * REGRESSION_FACTOR + ABS_SLACK_SEC
-    }
+    regressions = compute_regressions(timings, normalized)
 
     payload = {
         "metric": "headline-query wall clock",

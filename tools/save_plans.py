@@ -1,8 +1,9 @@
-"""Save .explain('formatted') output for named queries to plans/r12/.
+"""Save .explain('formatted') output for named queries to plans/<round>/.
 
 Usage: python tools/save_plans.py <suffix> <sf_dir> <query> [query...]
 
-Writes plans/r12/<query>_<suffix>.txt for each query.  The formatted
+The round directory defaults to r13; override with SPARK_GRAFT_PLAN_DIR.
+Writes plans/<round>/<query>_<suffix>.txt for each query.  The formatted
 plan is captured via the internal explainString API (no execution for
 plannable gates; side-effecting gates execute their setup, which is
 what it costs to obtain their final-read plan).
@@ -22,7 +23,8 @@ from aws_insurancelake_etl_spark.session import build_session  # noqa: E402
 def main() -> None:
     suffix, sf_dir, names = sys.argv[1], sys.argv[2], sys.argv[3:]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session(app_name="save-plans",
                           extra_confs={"spark.ui.enabled": "false"})
