@@ -935,7 +935,20 @@ def cosine_prefix_pairs(
         .where(F.col("cum") >= threshold - 1e-9)
         .select(F.col(id_col).alias("ida"), "token")
     )
-    probes = tf.select(F.col(id_col).alias("idb"), "token")
+    # Candidates = indexed ⋈ INDEXED, not indexed ⋈ all postings
+    # (PPJoin's prefix-intersect formulation; r13, VERDICT item 8).
+    # LOSSLESS: the scan order (df_bucket DESC, token) is GLOBAL, so for
+    # any pair with cos(x,y) >= t the LAST shared token j* in that order
+    # satisfies, for BOTH docs, cum(j*) >= Σ_{k∈shared} w·maxw >=
+    # Σ_{k∈shared} w_x·w_y = cos >= t — j* is indexed in x AND in y, and
+    # the pair is generated via j*.  A doc none of whose shared tokens
+    # is indexed proves cos < t - 1e-9 < t (the old one-sided rule);
+    # requiring BOTH prefixes to contain the token only removes pairs
+    # that rule already proves sub-threshold.  The probe side shrinks
+    # from every posting to the indexed tail — hot (high-df) tokens sit
+    # at the front of the scan order, so their postings drop out of the
+    # candidate join on both sides, not just one.
+    probes = indexed.select(F.col("ida").alias("idb"), "token")
     cand = (
         indexed.join(probes, "token")
         .where(F.col("ida") != F.col("idb"))
