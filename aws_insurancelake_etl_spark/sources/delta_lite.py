@@ -1244,40 +1244,56 @@ def _read_snapshot(
         )
     rid_cols = []
     if with_row_ids:
-        rt_map = _meta_df(
-            spark,
-            [
-                (
-                    # _metadata.file_path is percent-encoded — key the
-                    # map the same way the DV join above does, or every
-                    # file whose path needs encoding reads null ids
-                    quote(
-                        os.path.join(snap.table_path, pf.path), safe="/="
-                    ),
-                    pf.add.base_row_id,
-                    pf.add.default_row_commit_version,
-                )
-                for pf in files
-            ],
-            "__rt_file string, __rt_base long, __rt_dcv long",
-        )
+        # _metadata.file_path is percent-encoded — key the map the
+        # same way the DV join above does, or every file whose path
+        # needs encoding reads null ids
+        rt_rows = [
+            (
+                quote(os.path.join(snap.table_path, pf.path), safe="/="),
+                pf.add.base_row_id,
+                pf.add.default_row_commit_version,
+            )
+            for pf in files
+        ]
         scan_file = F.regexp_replace(F.col("__dl_path"), "^file:/+", "/")
-        df = df.join(
-            F.broadcast(rt_map), scan_file == F.col("__rt_file"), "left"
-        )
+        if len(rt_rows) <= 1024:
+            # small file set: the O(files) map rides in the plan as a
+            # LITERAL map lookup — no DataFrame build, no broadcast
+            # exchange, one fewer Spark job per row-tracking read
+            # (element_at misses yield null, matching the left join)
+            rt_lookup = F.element_at(
+                F.create_map(
+                    *[
+                        e
+                        for key, base, dcv in rt_rows
+                        for e in (
+                            F.lit(key),
+                            F.struct(
+                                F.lit(base).cast("long").alias("b"),
+                                F.lit(dcv).cast("long").alias("d"),
+                            ),
+                        )
+                    ]
+                ),
+                scan_file,
+            )
+            rt_base, rt_dcv = rt_lookup["b"], rt_lookup["d"]
+        else:
+            rt_map = _meta_df(
+                spark, rt_rows, "__rt_file string, __rt_base long, __rt_dcv long"
+            )
+            df = df.join(
+                F.broadcast(rt_map), scan_file == F.col("__rt_file"), "left"
+            )
+            rt_base, rt_dcv = F.col("__rt_base"), F.col("__rt_dcv")
         mat_id = F.col(rt_id_col) if rt_id_col else F.lit(None).cast("long")
         mat_cv = F.col(rt_cv_col) if rt_cv_col else F.lit(None).cast("long")
         rid_cols = [
             F.coalesce(
                 mat_id,
-                F.when(
-                    F.col("__rt_base").isNotNull(),
-                    F.col("__rt_base") + F.col("__dl_pos"),
-                ),
+                F.when(rt_base.isNotNull(), rt_base + F.col("__dl_pos")),
             ).alias("_row_id"),
-            F.coalesce(mat_cv, F.col("__rt_dcv")).alias(
-                "_row_commit_version"
-            ),
+            F.coalesce(mat_cv, rt_dcv).alias("_row_commit_version"),
         ]
     return df.select(*final_cols, *path_col, *rid_cols)
 

@@ -592,6 +592,59 @@ def _meta_df(spark, rows, schema):
     )
 
 
+#: largest metadata map embedded in the plan as a literal; bigger maps
+#: fall back to a broadcast-join DataFrame (plan size stays bounded)
+_LIT_MAP_MAX = 1024
+
+
+def _lit_lookup(rows, key_col, fields):
+    """O(files) metadata map as a LITERAL plan expression instead of a
+    broadcast-join DataFrame: ``element_at(map<key, struct<...>>, key)``.
+    Each broadcast build costs one Spark job (the exchange materializes
+    eagerly) plus a join; for the small maps the planner holds anyway
+    (file -> sequence/row-id-base/DV descriptors) a literal map is pure
+    codegen — zero jobs, zero exchanges.  A missing key yields null,
+    matching a left-join miss (callers relying on inner-join semantics
+    filter on a non-null field, which a null struct fails).
+
+    ``rows``: [(key, v1, v2, ...)]; ``fields``: [(name, ddl_type), ...]
+    aligned with v1.. — returns the struct Column."""
+    from pyspark.sql import functions as F
+
+    entries = []
+    for key, *vals in rows:
+        entries.append(F.lit(key))
+        entries.append(
+            F.struct(
+                *[
+                    F.lit(v).cast(ddl).alias(name)
+                    for (name, ddl), v in zip(fields, vals)
+                ]
+            )
+        )
+    return F.element_at(F.create_map(*entries), key_col)
+
+
+def _attach_orig(spark, df, files):
+    """Attach each planned row's as-written path (``orig``) from its
+    local ``__ice_file`` — literal lookup when the file set is small
+    (no broadcast-build job), broadcast map join otherwise.  Every
+    ``__ice_file`` comes from the plan's own file set, so the lookup
+    never misses (== the inner join it replaces)."""
+    from pyspark.sql import functions as F
+
+    rows = [(f.path, f.orig_path) for f in files]
+    if len(rows) <= _LIT_MAP_MAX:
+        return df.withColumn(
+            "orig",
+            _lit_lookup(rows, F.col("__ice_file"), [("orig", "string")])[
+                "orig"
+            ],
+        )
+    fm = _meta_df(spark, rows, "__ice_file string, orig string")
+    return df.join(F.broadcast(fm), "__ice_file")
+
+
 def plan_files(
     table_path: str, snapshot_id=None, partition_filter=None,
     bounds_filter=None,
@@ -2470,14 +2523,21 @@ def read_iceberg(
             )
             dv_covered.add(ref.path)
     # O(data files) mapping: as-written path -> (local path, data seq,
-    # DV-covered flag for the supersede rule)
-    file_map = _meta_df(
-        spark,
-        [
-            (f.orig_path, f.path, f.sequence_number, f.path in dv_covered)
-            for f in files
-        ],
-        "orig string, local string, data_seq long, has_dv boolean",
+    # DV-covered flag for the supersede rule).  Small tables embed it
+    # as a literal plan expression (zero broadcast-build jobs,
+    # _lit_lookup); only large file sets build the DataFrame form.
+    file_rows = [
+        (f.orig_path, f.path, f.sequence_number, f.path in dv_covered)
+        for f in files
+    ]
+    lit_meta = len(file_rows) <= _LIT_MAP_MAX
+    file_map = (
+        None
+        if lit_meta
+        else _meta_df(
+            spark, file_rows,
+            "orig string, local string, data_seq long, has_dv boolean",
+        )
     )
     # PLAN-TIME untouched-file bypass (guide §6 file skipping, §1.2
     # order-1): every delete kind carries a sequence rule — a DV names
@@ -2548,24 +2608,53 @@ def read_iceberg(
         data = data.join(dv_rows, ["__ice_file", "__ice_pos"], "left_anti")
     if pos_deletes:
         # O(delete files) mapping: local delete file -> its sequence number
-        del_map = _meta_df(
-            spark,
-            [(d.path, d.sequence_number) for d in pos_deletes],
-            "dfile string, delete_seq long",
+        del_base = spark.read.parquet(
+            *[d.path for d in pos_deletes]
+        ).select(
+            F.col("file_path").alias("orig"),
+            F.col("pos").cast("long").alias("__ice_pos"),
+            _norm(F.col("_metadata.file_path")).alias("dfile"),
         )
-        del_rows = (
-            spark.read.parquet(*[d.path for d in pos_deletes])
-            .select(
-                F.col("file_path").alias("orig"),
-                F.col("pos").cast("long").alias("__ice_pos"),
-                _norm(F.col("_metadata.file_path")).alias("dfile"),
+        if lit_meta and len(pos_deletes) <= _LIT_MAP_MAX:
+            # both maps as literal lookups: a delete row referencing a
+            # file outside the plan reads a null struct and fails the
+            # non-null seq comparison — same rows the inner join kept
+            dsq = _lit_lookup(
+                [(d.path, d.sequence_number) for d in pos_deletes],
+                F.col("dfile"), [("delete_seq", "long")],
             )
-            .join(F.broadcast(del_map), "dfile")
-            .join(F.broadcast(file_map), "orig")
-            .where(F.col("delete_seq") >= F.col("data_seq"))
-            .where(~F.col("has_dv"))
-            .select(F.col("local").alias("__ice_file"), "__ice_pos")
-        )
+            fm = _lit_lookup(
+                file_rows, F.col("orig"),
+                [("local", "string"), ("data_seq", "long"),
+                 ("has_dv", "boolean")],
+            )
+            del_rows = (
+                del_base
+                .withColumn("__dsq", dsq)
+                .withColumn("__fm", fm)
+                .where(F.col("__dsq.delete_seq") >= F.col("__fm.data_seq"))
+                .where(~F.col("__fm.has_dv"))
+                .select(F.col("__fm.local").alias("__ice_file"), "__ice_pos")
+            )
+        else:
+            if file_map is None:  # small file set but huge delete set
+                file_map = _meta_df(
+                    spark, file_rows,
+                    "orig string, local string, data_seq long, has_dv boolean",
+                )
+            del_map = _meta_df(
+                spark,
+                [(d.path, d.sequence_number) for d in pos_deletes],
+                "dfile string, delete_seq long",
+            )
+            del_rows = (
+                del_base
+                .join(F.broadcast(del_map), "dfile")
+                .join(F.broadcast(file_map), "orig")
+                .where(F.col("delete_seq") >= F.col("data_seq"))
+                .where(~F.col("has_dv"))
+                .select(F.col("local").alias("__ice_file"), "__ice_pos")
+            )
         data = data.join(del_rows, ["__ice_file", "__ice_pos"], "left_anti")
     if eq_deletes:
         # Equality deletes (spec §Equality Delete Files): a delete row
@@ -2600,14 +2689,25 @@ def read_iceberg(
             for f in _partition_spec_fields(scope_meta, _sid):
                 scope_spec.setdefault(f.name, f)
         base_types = dict(reader.dtypes)
-        data = data.join(
-            F.broadcast(
-                file_map.select(
-                    F.col("local").alias("__ice_file"), "data_seq"
-                )
-            ),
-            "__ice_file",
-        )
+        if lit_meta:
+            # every data row's __ice_file is in the plan's file set, so
+            # the literal lookup never misses (== the old inner join)
+            data = data.withColumn(
+                "data_seq",
+                _lit_lookup(
+                    [(local, seq) for _o, local, seq, _dv in file_rows],
+                    F.col("__ice_file"), [("data_seq", "long")],
+                )["data_seq"],
+            )
+        else:
+            data = data.join(
+                F.broadcast(
+                    file_map.select(
+                        F.col("local").alias("__ice_file"), "data_seq"
+                    )
+                ),
+                "__ice_file",
+            )
         # Group by (equality_ids, scope FIELD NAMES) — not scope VALUES:
         # every delete file of a partitioned CDC stream shares one field
         # set, so the whole stream applies as ONE anti-join whose scope
@@ -2662,29 +2762,49 @@ def read_iceberg(
                     expr = F.col(src)
                 scope_exprs.append((pcol, expr.cast("string")))
             # O(delete files) mapping: file -> (sequence, scope values)
-            eq_map = _meta_df(
-                spark,
-                [
-                    (d.path, d.sequence_number, *[
-                        dict(d.partition_scope).get(pcol)
-                        for pcol in scope_fields
-                    ])
-                    for d in group
-                ],
-                ", ".join(
-                    ["dfile string", "delete_seq long"]
-                    + [f"__eq_scope_{i} string" for i in range(len(scope_fields))]
-                ),
+            eq_rows = [
+                (d.path, d.sequence_number, *[
+                    dict(d.partition_scope).get(pcol)
+                    for pcol in scope_fields
+                ])
+                for d in group
+            ]
+            eq_base = spark.read.parquet(
+                *[d.path for d in group]
+            ).select(
+                *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                _norm(F.col("_metadata.file_path")).alias("dfile"),
             )
-            del_rows = (
-                spark.read.parquet(*[d.path for d in group])
-                .select(
-                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
-                    _norm(F.col("_metadata.file_path")).alias("dfile"),
+            if len(eq_rows) <= _LIT_MAP_MAX:
+                # literal lookup never misses: dfile ranges over
+                # exactly this group's delete files
+                eqm = _lit_lookup(
+                    eq_rows, F.col("dfile"),
+                    [("delete_seq", "long")]
+                    + [(f"__eq_scope_{i}", "string")
+                       for i in range(len(scope_fields))],
                 )
-                .join(F.broadcast(eq_map), "dfile")
-                .drop("dfile")
-            )
+                del_rows = eq_base.select(
+                    "*",
+                    eqm["delete_seq"].alias("delete_seq"),
+                    *[
+                        eqm[f"__eq_scope_{i}"].alias(f"__eq_scope_{i}")
+                        for i in range(len(scope_fields))
+                    ],
+                ).drop("dfile")
+            else:
+                eq_map = _meta_df(
+                    spark,
+                    eq_rows,
+                    ", ".join(
+                        ["dfile string", "delete_seq long"]
+                        + [f"__eq_scope_{i} string"
+                           for i in range(len(scope_fields))]
+                    ),
+                )
+                del_rows = eq_base.join(
+                    F.broadcast(eq_map), "dfile"
+                ).drop("dfile")
             cond = F.col("delete_seq") > F.col("data_seq")
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
@@ -2705,11 +2825,7 @@ def read_iceberg(
         # sequence number (fresh/updated rows were last touched by the
         # commit that wrote the file).  One broadcast O(files) map
         # join, zero extra scans.
-        lin = _meta_df(
-            spark,
-            [(f.path, f.first_row_id, f.sequence_number) for f in files],
-            "__ice_file string, __ice_fri long, __ice_seq long",
-        )
+        lin_rows = [(f.path, f.first_row_id, f.sequence_number) for f in files]
         mat_rid = (
             F.col("_row_id")
             if "_row_id" in data.columns
@@ -2720,8 +2836,24 @@ def read_iceberg(
             if "_last_updated_sequence_number" in data.columns
             else F.lit(None).cast("long")
         )
+        if len(lin_rows) <= _LIT_MAP_MAX:
+            # literal lookup never misses: __ice_file ranges over the
+            # plan's own file set (== the old inner join)
+            linm = _lit_lookup(
+                lin_rows, F.col("__ice_file"),
+                [("__ice_fri", "long"), ("__ice_seq", "long")],
+            )
+            data = data.withColumn(
+                "__ice_fri", linm["__ice_fri"]
+            ).withColumn("__ice_seq", linm["__ice_seq"])
+        else:
+            lin = _meta_df(
+                spark, lin_rows,
+                "__ice_file string, __ice_fri long, __ice_seq long",
+            )
+            data = data.join(F.broadcast(lin), "__ice_file")
         data = (
-            data.join(F.broadcast(lin), "__ice_file")
+            data
             .withColumn(
                 "__ice_rid",
                 F.coalesce(
@@ -4826,11 +4958,6 @@ def _stage_iceberg_dvs(
     counts only rows not previously dead."""
     from pyspark.sql import functions as F
 
-    file_map = _meta_df(
-        spark,
-        [(f.path, f.orig_path, f.sequence_number) for f in files],
-        "__ice_file string, orig string, data_seq long",
-    )
     by_orig = {f.orig_path: f for f in files}
     old_dv: dict = {}
     for d in deletes:
@@ -4853,6 +4980,11 @@ def _stage_iceberg_dvs(
             [(d.path, d.sequence_number) for d in pos_parquet],
             "dfile string, delete_seq long",
         )
+        file_map = _meta_df(
+            spark,
+            [(f.path, f.orig_path, f.sequence_number) for f in files],
+            "__ice_file string, orig string, data_seq long",
+        )
         touched = matched.select("__ice_file").distinct()
         old_rows = (
             spark.read.parquet(*[d.path for d in pos_parquet])
@@ -4871,9 +5003,7 @@ def _stage_iceberg_dvs(
             .withColumn("__ice_old", F.lit(True))
         )
         rows = rows.unionByName(old_rows)
-    rows = rows.join(
-        F.broadcast(file_map.select("__ice_file", "orig")), "__ice_file"
-    )
+    rows = _attach_orig(spark, rows, files)
     table = table_path
 
     def write_group(pdf):
@@ -5154,11 +5284,6 @@ def _merge_once_iceberg(
         *keys, "__ice_file", "__ice_pos",
         *(["_row_id"] if fv >= 3 else []),
     )
-    file_map = _meta_df(
-        spark,
-        [(f.path, f.orig_path) for f in search_files],
-        "__ice_file string, orig string",
-    )
     drop_dv_refs: frozenset = frozenset()
     if fv >= 3:
         # v3: matched rows become DELETION VECTORS, never new
@@ -5195,13 +5320,11 @@ def _merge_once_iceberg(
         )
         source = source.join(id_map, keys, "left")
     else:
-        matched = (
-            target.join(tomb_hint, keys, "left_semi")
-            .join(F.broadcast(file_map), "__ice_file")
-            .select(
-                F.col("orig").alias("file_path"),
-                F.col("__ice_pos").alias("pos"),
-            )
+        matched = _attach_orig(
+            spark, target.join(tomb_hint, keys, "left_semi"), search_files
+        ).select(
+            F.col("orig").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
         )
         # spec: position delete files sorted by file_path then pos
         stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
@@ -6367,18 +6490,11 @@ def delete_iceberg(
             files, _dels,
         )
     else:
-        file_map = _meta_df(
-            spark,
-            [(f.path, f.orig_path) for f in files],
-            "__ice_file string, orig string",
-        )
-        matched = (
-            live.where(F.expr(predicate))
-            .join(F.broadcast(file_map), "__ice_file")
-            .select(
-                F.col("orig").alias("file_path"),
-                F.col("__ice_pos").alias("pos"),
-            )
+        matched = _attach_orig(
+            spark, live.where(F.expr(predicate)), files
+        ).select(
+            F.col("orig").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
         )
         stage = tempfile.mkdtemp(prefix="_ice_del_", dir=table_path)
         delete_entries = []
@@ -6476,15 +6592,7 @@ def update_iceberg(
     unknown = set(set_exprs) - set(schema_cols)
     if unknown:
         raise IcebergLiteError(f"unknown SET columns {sorted(unknown)}")
-    file_map = _meta_df(
-        spark,
-        [(f.path, f.orig_path) for f in files],
-        "__ice_file string, orig string",
-    )
-    matched = (
-        live.where(F.expr(predicate))
-        .join(F.broadcast(file_map), "__ice_file")
-    )
+    matched = _attach_orig(spark, live.where(F.expr(predicate)), files)
     # matched feeds BOTH the position/DV staging pass and the
     # transformed-copy append — materialize the (predicate-pruned) MOR
     # read once instead of paying the full read (incl. delete
