@@ -856,6 +856,40 @@ def test_bpe_learn_merges_matches_reference(spark):
     assert got == expected, (got, expected)
 
 
+def test_bpe_per_merge_checkpoint_keeps_trajectory(spark):
+    """r13 changed the trainer to ``localCheckpoint`` after EVERY merge
+    (iteration i used to re-execute all i prior folds inside its
+    aggregation — quadratic total fold work).  Materialization must not
+    change the learned trajectory: pin it against the pure-Python
+    reference trainer on corpora stressing fold edge cases — the pair
+    created by merge1 winning iteration 2 (abc), l==r greedy folds,
+    text collisions (symbol 'ab' already present when (a,b) merges),
+    and pair exhaustion before n_merges."""
+    from aws_insurancelake_etl_spark.operators.textanalysis import (
+        bpe_learn_merges,
+    )
+
+    corpora = {
+        "new-pair-wins": ["abc"] * 10,
+        "l==r": ["aaaa aaa aa a"] * 5,
+        "collision": ["ab a b aab"] * 7,
+        "exhaustion": ["zzzzz"],
+        "mixed": ["the cat sat on the mat", "the bat and the cat"] * 3,
+    }
+    for label, docs in corpora.items():
+        freqs = {}
+        for line in docs:
+            for w in line.split():
+                freqs[w] = freqs.get(w, 0) + 1
+        for n in (1, 3, 8):
+            expected = _ref_bpe(dict(freqs), n)
+            df = spark.createDataFrame([(d,) for d in docs], "text string")
+            _, merges = bpe_learn_merges(df, n_merges=n)
+            got = [(r["left"], r["right"], r["pair_count"])
+                   for r in merges.orderBy("rank").collect()]
+            assert got == expected, (label, n, got, expected)
+
+
 def test_bpe_encode_reproduces_trained_symbolization(spark):
     from aws_insurancelake_etl_spark.operators.textanalysis import (
         bpe_encode,
