@@ -916,7 +916,44 @@ def cosine_prefix_pairs(
     or doc keys); the prefix rule bounds the candidate blow-up the same
     way ``DEFAULT_POSTING_CAP`` bounds LSH buckets, but WITHOUT losing
     pairs.  Window state is per-document (vocabulary of one doc).
+
+    EXACT-duplicate class collapse (r13): documents with identical
+    ``(token, cnt)`` multisets have identical vectors, so the all-pairs
+    join runs on one REPRESENTATIVE per class and the pair set expands
+    afterwards — cross-class pairs copy the representatives' cosine
+    (same dot, same norms, bit-identical), within-class pairs are
+    exactly 1.0.  Classes are keyed by the full sorted (token, cnt)
+    array (set semantics, no hashing — a hash collision would merge
+    distinct classes), one corpus-sized shuffle.  Exact-dedup before
+    near-dedup is the standard LLM-curation ordering; on corpora with
+    duplicate classes of size k the candidate join shrinks by k², which
+    is exactly where the 10x scale smoke showed the verify join
+    saturating memory bandwidth (PERFORMANCE.md r13).
     """
+    sig = tf.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("token", "cnt"))
+        ).alias("__sig")
+    )
+    classes = sig.groupBy("__sig").agg(
+        F.min(id_col).alias("__rep"),
+        F.collect_list(id_col).alias("__members"),
+        F.count(F.lit(1)).alias("__csize"),
+    )
+    # one narrow row per class, consumed by four joins (rep semi-filter,
+    # two expansion sides, within-class pairs): materialize WITHOUT the
+    # heavy signature array so the signature shuffle runs once
+    members = (
+        classes.select(
+            "__rep", F.explode("__members").alias(id_col), "__csize"
+        )
+        .localCheckpoint()
+    )
+    tf = tf.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
     n2 = tf.groupBy(id_col).agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
     )
@@ -978,9 +1015,43 @@ def cosine_prefix_pairs(
     cosine = F.col("dot") / F.sqrt(
         F.col("n2a").cast("double") * F.col("n2b").cast("double")
     )
-    return (
+    rep_pairs = (
         dots.join(na, "id_lo")
         .join(nb, "id_hi")
         .where(cosine >= threshold)
         .select("id_lo", "id_hi", F.round(cosine, 4).alias("cosine"))
     )
+    # expand representative pairs back to member pairs: every member of
+    # class(lo) x every member of class(hi) shares the reps' EXACT
+    # cosine (identical vectors -> identical integer dot and norms)
+    mlo = members.select(
+        F.col("__rep").alias("id_lo"), F.col(id_col).alias("__a")
+    )
+    mhi = members.select(
+        F.col("__rep").alias("id_hi"), F.col(id_col).alias("__b")
+    )
+    cross = (
+        rep_pairs.join(mlo, "id_lo")
+        .join(mhi, "id_hi")
+        .select(
+            F.least("__a", "__b").alias("id_lo"),
+            F.greatest("__a", "__b").alias("id_hi"),
+            "cosine",
+        )
+    )
+    if threshold > 1.0:
+        return cross  # identical vectors (cos = 1.0) cannot reach t
+    within = (
+        members.where(F.col("__csize") > 1)
+        .select("__rep", F.col(id_col).alias("__a"))
+        .join(
+            members.select("__rep", F.col(id_col).alias("__b")), "__rep"
+        )
+        .where(F.col("__a") < F.col("__b"))
+        .select(
+            F.col("__a").alias("id_lo"),
+            F.col("__b").alias("id_hi"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    return cross.unionByName(within)

@@ -799,6 +799,42 @@ def test_cosine_prefix_pairs_matches_brute_force(spark):
         assert got == expected, (t, got, expected)
 
 
+def test_cosine_prefix_pairs_exact_dup_classes(spark):
+    """r13 collapses identical (token, cnt) multisets to one
+    representative before the all-pairs join and expands afterwards —
+    the pair set must still equal brute force exactly: within-class
+    pairs at cosine 1.0, cross-class pairs carrying the reps' cosine
+    to every member combination, and docs whose vectors merely OVERLAP
+    (not identical) must not be merged."""
+    from aws_insurancelake_etl_spark.operators.dedup import (
+        cosine_prefix_pairs,
+    )
+
+    rows = [
+        # class A: three identical docs (ids deliberately interleaved)
+        (1, "alpha", 3), (1, "beta", 2),
+        (7, "alpha", 3), (7, "beta", 2),
+        (4, "alpha", 3), (4, "beta", 2),
+        # class B: two identical docs, near-dup of A
+        (2, "alpha", 3), (2, "beta", 2), (2, "gamma", 1),
+        (9, "alpha", 3), (9, "beta", 2), (9, "gamma", 1),
+        # same tokens as A but different counts -> NOT class A
+        (5, "alpha", 2), (5, "beta", 3),
+        # singleton orthogonal doc
+        (6, "zeta", 9),
+    ]
+    for t in (0.5, 0.8, 0.95, 1.0):
+        expected = _brute_cosine_pairs(rows, t)
+        tf = spark.createDataFrame(
+            rows, "doc_id long, token string, cnt long"
+        )
+        got = {
+            (r["id_lo"], r["id_hi"]): r["cosine"]
+            for r in cosine_prefix_pairs(tf, t).collect()
+        }
+        assert got == expected, (t, got, expected)
+
+
 def test_cosine_prefix_pairs_prunes_hot_tokens(spark):
     """A token shared by every document must stay UNINDEXED (its cum
     bound sits below threshold for common-first ordering), so the
