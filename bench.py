@@ -23,165 +23,194 @@ from aws_insurancelake_etl_spark.session import build_session  # noqa: E402
 
 # Versioned per-query CALIB-NORMALIZED baselines (seconds at calib_ref
 # 0.0664).  The reference publishes no throughput numbers, so the
-# baseline is self-referential: each query's baseline is its normalized
-# time from the FIRST round it ran green (column "since").  Host speed
-# drifts between rounds (CPU steal on a shared VM); dividing by the md5
-# calibration normalizes that — see PERFORMANCE.md findings 17/20: the
-# round-4 17.63 s @ calib 0.0668 matches the judge's 18.09 s @ 0.0664.
-# The gate below fails the run when any query's normalized time exceeds
-# 1.5× its baseline + 0.5 s absolute slack.
+# baseline is self-referential.  RE-BASELINED IN ROUND 13 (VERDICT r12
+# items 1/2/5): every gate — the original 108 plus the 64 gates the
+# r13 bench newly measures — re-recorded from two full bench runs on
+# the final r13 tree (2026-08-18, md5 calib [0.0893, 0.0977], shuffle probe
+# [0.6948, 1.0929]), taking the per-gate MIN across runs of the bench's own
+# min-of-2 warm passes: this host throttles multi-core stages in
+# bursts (PERFORMANCE.md finding 50), and a burst-inflated baseline
+# would hide real regressions, while min-of-minima matches the
+# steady-state number the gate compares against.  The pre-r13
+# era-by-era history lives in git (bench.py at 80c2d93 and earlier).
+# The gate below fails the run when a query exceeds 1.5x baseline +
+# 0.5 s slack on BOTH the normalized and raw axes (see
+# compute_regressions).
 CALIB_REF = 0.0664
 BASELINES = {
     # name: (baseline_normalized_sec, since_round)
-    # r1-era rows re-baselined in round 8 (VERDICT r7 item 4): the r1
-    # values were single-shot-calibration era (finding 45: +/-34%); each
-    # row below tagged "re-baselined r8" is the MEDIAN of 3 full bench
-    # runs on 2026-08-15 under median-of-3 interleaved calibration, with
-    # the original r1 value preserved in the comment.
-    "q1_pricing_summary": (1.006, 8),  # re-baselined r8 (median of 3; was 0.717 at r1)
-    "q3_shipping_priority": (0.982, 8),  # re-baselined r8 (median of 3; was 0.569 at r1)
-    "q5_region_supplier_revenue": (0.689, 8),  # re-baselined r8 (median of 3; was 0.547 at r1)
-    "scan_filter_project": (0.22, 8),  # re-baselined r8 (median of 3; was 0.146 at r1)
-    "agg_grouping_sets": (0.843, 8),  # re-baselined r8 (median of 3; was 0.544 at r1)
-    "window_running_sum": (0.512, 8),  # re-baselined r8 (median of 3; was 0.32 at r1)
-    "window_rank_orders": (0.526, 8),  # re-baselined r8 (median of 3; was 0.343 at r1)
-    "kv_pivot_map_agg": (0.385, 8),  # re-baselined r8 (median of 3; was 0.253 at r1)
-    "tr_earnedpremium": (0.647, 8),  # re-baselined r8 (median of 3; was 0.264 at r1)
-    "tr_hash_redact": (0.162, 8),  # re-baselined r8 (median of 3; was 0.099 at r1)
-    "em_fuzzy_blocked": (1.086, 8),  # re-baselined r8 (median of 3; was 0.889 at r1)
-    "text_token_stats": (0.287, 8),  # re-baselined r8 (median of 3; was 0.202 at r1)
-    "dedup_minhash_pairs": (1.702, 8),  # re-baselined r8 (median of 3; was 1.527 at r1)
-    "dedup_ngram_jaccard": (0.032, 8),  # re-baselined r8 (median of 3; was 1.891 at r1)
-    "ann_cosine_topk": (0.463, 8),  # re-baselined r8 (median of 3; was 0.398 at r1)
-    "q18_top_large_orders": (1.033, 8),  # re-baselined r8 (median of 3; was 0.668 at r1)
-    "evt_asof_last_purchase": (0.433, 8),  # re-baselined r8 (median of 3; was 0.329 at r1)
-    "evt_sessionize": (0.675, 8),  # re-baselined r8 (median of 3; was 0.454 at r1)
-    "q9_product_profit": (0.998, 8),  # re-baselined r8 (median of 3; was 0.651 at r1)
-    "q13_customer_distribution": (0.63, 8),  # re-baselined r8 (median of 3; was 0.412 at r1)
-    "q21_sole_failing_supplier": (1.168, 8),  # re-baselined r8 (median of 3; was 0.743 at r1)
-    "dedup_cluster_components": (0.148, 8),  # re-baselined r8 (median of 3; was 3.104 at r1)
-    # round-5 flagships, promoted to the gated set in round 6 with their
-    # r5 normalized times (BENCH_r05.json queries_extended_normalized)
-    "docs_quality_ensemble": (0.27, 5),
-    "docs_curation_funnel": (0.896, 5),
-    "evt_funnel_attribution": (0.758, 5),
-    "ann_mips_norm_augment": (0.463, 5),
-    "sketch_kmv_set_ops": (0.55, 5),
-    # round-6 additions, promoted in round 7 with their r6 normalized
-    # times (BENCH_r06.json queries_extended_normalized — VERDICT r6
-    # item 3: unbaselined queries are invisible to the regression gate)
-    "dedup_cap_skew_stress": (1.318, 6),
-    "sketch_kmv_merge_tables": (1.244, 6),
-    "mm_decode_featurize": (0.832, 6),
-    "mm_audio_featurize": (0.838, 6),
-    "dedup_keep_best": (4.991, 6),
-    "docs_unimax_allocation": (0.721, 6),
-    "sink_avro_write_roundtrip": (1.65, 6),
-    "sink_delta_merge_upsert": (1.723, 6),
-    "src_delta_partition_prune": (1.074, 6),
-    "sketch_hll_cardinality": (0.967, 6),
-    "dedup_cosine_prefix_pairs": (5.734, 6),
-    "text_bpe_learn_merges": (2.244, 6),
-    "layout_zorder_cells": (0.808, 6),
-    "docs_leakage_free_split": (0.991, 6),
-    # round-7 additions, promoted in round 8 with their r7 normalized
-    # times (BENCH_r07.json queries_extended_normalized — VERDICT r7
-    # item 4)
-    "src_iceberg_position_deletes": (1.679, 7),
-    "sink_iceberg_merge_mor": (1.956, 7),
-    # round-8 additions, promoted in round 9 (VERDICT r8 item 2) with a
-    # full quiet-host bench run measured 2026-08-15 at the start of r9
-    "sink_iceberg_eq_upsert": (1.937, 8),
-    "sink_iceberg_compaction": (4.242, 8),
-    "src_delta_deletion_vectors": (1.559, 8),
-    "src_delta_column_mapping": (0.562, 8),
-    "stream_delta_cdf_rows": (2.713, 8),
-    "em_fuzzy_skew_stress": (2.491, 8),
-    "sink_delta_dv_delete": (2.493, 8),
-    "src_iceberg_bounds_pruning": (0.598, 8),
-    "sink_delta_cm_roundtrip": (1.786, 8),
-    # round-9 additions, promoted in round 10 (VERDICT r9 item 4) with
-    # the judge's quiet-run normalized times (calib 0.0665 ≈ the 0.0664
-    # reference — healthy host during that run)
-    "src_iceberg_day_partition": (0.801, 9),
-    "sink_iceberg_bucket_upsert": (3.534, 9),
-    "src_delta_type_widening": (0.539, 9),
-    "src_delta_variant": (0.398, 9),
-    "src_iceberg_ref_read": (0.69, 9),
-    "src_standard_encrypted_xlsx": (0.342, 9),
-    "sink_iceberg_spec_evolution": (1.133, 9),
-    "src_delta_ict_travel": (0.757, 9),
-    "src_iceberg_incremental": (0.737, 9),
-    "src_iceberg_partitions_meta": (0.914, 9),
-    "sink_iceberg_schema_evolution": (0.619, 9),
-    "stream_iceberg_source_totals": (3.731, 9),
-    "sink_iceberg_rollback": (0.648, 9),
-    "sink_iceberg_wap_publish": (0.787, 9),
-    "sink_delta_shallow_clone": (1.205, 9),
-    "src_convert_to_delta": (0.868, 9),
-    "sink_iceberg_add_files": (1.349, 9),
-    "sink_iceberg_manifest_rewrite": (2.662, 9),
-    "sink_delta_identity_generated": (0.748, 9),
-    "src_uniform_iceberg_over_delta": (1.801, 9),
-    "sink_delta_check_constraint": (0.888, 9),
-    "stream_iceberg_upsert_sink": (2.755, 9),
-    "sink_iceberg_delete_where": (2.344, 9),
-    "sink_lakehouse_update": (2.766, 9),
-    # round-10 promotions (quiet run 2026-08-16, normalized by
-    # md5 calibration 0.099 vs 0.0664 ref)
-    "src_iceberg_v3_dv_read": (1.336, 10),
-    # RE-BASELINED in the fifth-session quiet run (2026-08-16 14:23):
-    # v3 MERGE now carries _row_id for updated rows per spec §Row
-    # Lineage — an A/B against the prior commit measured the carry at
-    # ~+25% warm (3.8 -> 4.7 s raw); the rest of the gap vs the old
-    # 2.011 is baseline-day calibration.  Keeping the old number would
-    # flag the spec fix as a regression forever.
-    "sink_iceberg_v3_dv_merge": (3.58, 10),
-    "src_iceberg_v3_row_lineage": (0.759, 10),
-    "sink_delta_dv_merge": (1.4, 10),
-    "sink_delta_dv_update": (1.612, 10),
-    "src_delta_nested_mapping": (0.404, 10),
-    "sink_delta_row_tracking": (3.452, 10),
-    "src_delta_row_tracking_read": (0.948, 10),
-    "sink_delta_column_ddl": (0.39, 10),
-    "sink_iceberg_column_ddl": (0.416, 10),
-    "sink_delta_nested_mapped_write": (0.584, 10),
-    "src_uniform_mapped_export": (0.752, 10),
-    # round-10 fourth-session promotions (quiet run 2026-08-16,
-    # regressions: {}; md5 calibration 0.0589 vs 0.0664 ref)
-    "src_iceberg_nested_types": (1.844, 10),
-    "src_convert_iceberg_to_delta": (0.894, 10),
-    "sink_delta_ddl_lifecycle": (2.223, 10),
-    "src_iceberg_changelog": (3.627, 10),
-    "src_iceberg_changelog_upsert": (1.744, 10),
-    "src_uniform_nested_partitioned": (1.995, 10),
-    "sink_iceberg_nested_ddl": (2.264, 10),
-    "sink_iceberg_write_default": (0.849, 10),
-    # fifth-session promotions (quiet run 2026-08-16 14:23, md5 calib
-    # 0.0752 vs the 0.0664 ref, shuffle probe 0.52 s — healthy host):
-    # the SQL text front-end gates + the timestamp_ntz holdover
-    "sink_delta_timestamp_ntz": (0.289, 10),
-    "sql_merge_canonical": (2.705, 10),
-    "sql_merge_general_clauses": (2.422, 10),
-    "sql_ctas_ddl_lifecycle": (0.967, 10),
-    "sql_merge_sync_by_source": (2.607, 10),
-    # close-out quiet run (2026-08-16 16:07, md5 calib 0.0984, shuffle
-    # probe 0.59 s — slow-but-consistent host, regressions {}):
-    "sql_wap_branch_lifecycle": (0.994, 10),
-    # final close-out quiet run (2026-08-16 17:03, md5 calib 0.0727,
-    # shuffle probe 0.50 s, regressions {}):
-    "pipeline_cleanse_lakehouse": (2.176, 10),
-    # round-11 gates, first quiet run 2026-08-16 (md5 calib 0.0696,
-    # shuffle probe 0.467 s; regressions: {})
-    "sink_delta_nested_mapped_evolve": (1.957, 11),
-    "sink_iceberg_nested_default": (0.656, 11),
-    "sql_analyze_broadcast_stats": (1.89, 11),
-    # round-11 late gate, quiet run 2026-08-16 21:4x (md5 0.0750,
-    # shuffle 0.456 s; regressions: {})
-    "sink_delta_nested_add_column": (0.426, 11),
-    # round-11 final gate, quiet run (md5 0.083, shuffle 0.389 s;
-    # regressions: {})
-    "sink_iceberg_sort_order": (0.474, 11),
+    "agg_grouping_sets": (0.577, 13),
+    "ann_cosine_topk": (0.253, 13),
+    "ann_mips_norm_augment": (0.404, 13),
+    "dedup_cap_skew_stress": (0.674, 13),
+    "dedup_cluster_components": (0.126, 13),
+    "dedup_cosine_prefix_pairs": (2.284, 13),
+    "dedup_keep_best": (0.689, 13),
+    "dedup_minhash_pairs": (1.225, 13),
+    "dedup_ngram_jaccard": (0.016, 13),
+    "docs_ccnet_buckets": (1.277, 13),
+    "docs_curated_corpus": (0.391, 13),
+    "docs_curation_funnel": (0.637, 13),
+    "docs_doremi_weights": (1.074, 13),
+    "docs_lang_rebalance": (0.319, 13),
+    "docs_leakage_free_split": (0.653, 13),
+    "docs_mix_epochs": (0.557, 13),
+    "docs_pack_shards": (0.217, 13),
+    "docs_pii_scan": (0.386, 13),
+    "docs_quality_ensemble": (0.223, 13),
+    "docs_source_cap": (0.178, 13),
+    "docs_split_assign": (0.199, 13),
+    "docs_temperature_mix": (0.264, 13),
+    "docs_token_budget_fill": (0.222, 13),
+    "docs_token_chunks": (0.246, 13),
+    "docs_unimax_allocation": (0.406, 13),
+    "docs_weighted_sample": (0.179, 13),
+    "dq_match_rules": (1.915, 13),
+    "dq_profile_orders": (0.270, 13),
+    "dq_quarantine_split": (0.129, 13),
+    "dq_referential_integrity": (0.365, 13),
+    "dq_stats_rules": (0.905, 13),
+    "em_full_flow": (5.061, 13),
+    "em_fuzzy_blocked": (0.652, 13),
+    "em_fuzzy_skew_stress": (1.032, 13),
+    "emb_kmeans_clusters": (0.122, 13),
+    "evt_asof_last_purchase": (0.295, 13),
+    "evt_funnel_attribution": (0.621, 13),
+    "evt_native_session_window": (0.777, 13),
+    "evt_sessionize": (0.444, 13),
+    "graph_pagerank_trade": (1.922, 13),
+    "kv_pivot_map_agg": (0.230, 13),
+    "layout_zorder_cells": (0.474, 13),
+    "mm_audio_featurize": (0.524, 13),
+    "mm_decode_featurize": (0.508, 13),
+    "mm_image_patches": (0.145, 13),
+    "pipeline_cleanse_lakehouse": (1.839, 13),
+    "pipeline_cleanse_to_consume": (1.000, 13),
+    "pipeline_collect_to_cleanse": (1.361, 13),
+    "pipeline_drop_to_cleanse_orchestrated": (0.726, 13),
+    "q13_customer_distribution": (0.382, 13),
+    "q18_top_large_orders": (0.661, 13),
+    "q1_pricing_summary": (0.649, 13),
+    "q21_sole_failing_supplier": (0.716, 13),
+    "q3_shipping_priority": (0.553, 13),
+    "q5_region_supplier_revenue": (0.480, 13),
+    "q9_product_profit": (0.626, 13),
+    "scan_filter_project": (0.149, 13),
+    "scd2_change_feed": (0.389, 13),
+    "scd2_customer_history": (0.382, 13),
+    "scd2_point_in_time_join": (0.810, 13),
+    "sink_avro_write_roundtrip": (1.115, 13),
+    "sink_delta_check_constraint": (0.621, 13),
+    "sink_delta_cm_roundtrip": (1.168, 13),
+    "sink_delta_column_ddl": (0.366, 13),
+    "sink_delta_ddl_lifecycle": (1.143, 13),
+    "sink_delta_dv_delete": (1.503, 13),
+    "sink_delta_dv_merge": (1.098, 13),
+    "sink_delta_dv_update": (1.106, 13),
+    "sink_delta_identity_generated": (0.472, 13),
+    "sink_delta_merge_upsert": (1.077, 13),
+    "sink_delta_nested_add_column": (0.370, 13),
+    "sink_delta_nested_mapped_evolve": (1.777, 13),
+    "sink_delta_nested_mapped_write": (0.551, 13),
+    "sink_delta_row_tracking": (1.603, 13),
+    "sink_delta_shallow_clone": (0.713, 13),
+    "sink_delta_timestamp_ntz": (0.245, 13),
+    "sink_iceberg_add_files": (0.943, 13),
+    "sink_iceberg_bucket_upsert": (2.288, 13),
+    "sink_iceberg_column_ddl": (0.391, 13),
+    "sink_iceberg_compaction": (0.756, 13),
+    "sink_iceberg_delete_where": (0.824, 13),
+    "sink_iceberg_eq_upsert": (0.934, 13),
+    "sink_iceberg_manifest_rewrite": (1.260, 13),
+    "sink_iceberg_merge_mor": (1.229, 13),
+    "sink_iceberg_nested_ddl": (0.967, 13),
+    "sink_iceberg_nested_default": (0.604, 13),
+    "sink_iceberg_rollback": (0.430, 13),
+    "sink_iceberg_schema_evolution": (0.434, 13),
+    "sink_iceberg_sort_order": (0.548, 13),
+    "sink_iceberg_spec_evolution": (0.775, 13),
+    "sink_iceberg_v3_dv_merge": (1.992, 13),
+    "sink_iceberg_wap_publish": (0.553, 13),
+    "sink_iceberg_write_default": (0.611, 13),
+    "sink_lakehouse_update": (1.040, 13),
+    "sketch_hll_cardinality": (0.627, 13),
+    "sketch_kmv_merge_tables": (0.713, 13),
+    "sketch_kmv_set_ops": (0.536, 13),
+    "sql_analyze_broadcast_stats": (1.331, 13),
+    "sql_array_functions": (0.316, 13),
+    "sql_conditional_functions": (0.175, 13),
+    "sql_ctas_ddl_lifecycle": (0.954, 13),
+    "sql_datetime_functions": (0.172, 13),
+    "sql_json_functions": (0.194, 13),
+    "sql_lateral_top2": (0.410, 13),
+    "sql_map_functions": (0.167, 13),
+    "sql_math_functions": (0.236, 13),
+    "sql_merge_canonical": (1.858, 13),
+    "sql_merge_general_clauses": (1.522, 13),
+    "sql_merge_sync_by_source": (2.146, 13),
+    "sql_recursive_reachability": (1.886, 13),
+    "sql_regex_functions": (0.134, 13),
+    "sql_string_functions": (0.182, 13),
+    "sql_timestamp_functions": (0.170, 13),
+    "sql_try_cast_functions": (0.189, 13),
+    "sql_variant_type": (0.164, 13),
+    "sql_wap_branch_lifecycle": (0.807, 13),
+    "src_avro_nested_roundtrip": (0.629, 13),
+    "src_convert_iceberg_to_delta": (0.541, 13),
+    "src_convert_to_delta": (0.465, 13),
+    "src_delta_change_feed": (0.181, 13),
+    "src_delta_column_mapping": (0.336, 13),
+    "src_delta_deletion_vectors": (0.630, 13),
+    "src_delta_ict_travel": (0.527, 13),
+    "src_delta_nested_mapping": (0.487, 13),
+    "src_delta_partition_prune": (0.691, 13),
+    "src_delta_row_tracking_read": (0.683, 13),
+    "src_delta_time_travel": (0.542, 13),
+    "src_delta_type_widening": (0.385, 13),
+    "src_delta_variant": (0.282, 13),
+    "src_encrypted_xlsx_read": (0.275, 13),
+    "src_iceberg_bounds_pruning": (0.385, 13),
+    "src_iceberg_changelog": (1.374, 13),
+    "src_iceberg_changelog_upsert": (1.119, 13),
+    "src_iceberg_day_partition": (0.549, 13),
+    "src_iceberg_equality_deletes": (1.778, 13),
+    "src_iceberg_incremental": (0.519, 13),
+    "src_iceberg_nested_types": (0.614, 13),
+    "src_iceberg_partitions_meta": (0.526, 13),
+    "src_iceberg_position_deletes": (0.818, 13),
+    "src_iceberg_ref_read": (0.451, 13),
+    "src_iceberg_snapshot_read": (1.195, 13),
+    "src_iceberg_v3_dv_read": (1.025, 13),
+    "src_iceberg_v3_row_lineage": (0.444, 13),
+    "src_orc_roundtrip": (0.249, 13),
+    "src_standard_encrypted_xlsx": (0.254, 13),
+    "src_uniform_iceberg_over_delta": (1.123, 13),
+    "src_uniform_mapped_export": (0.706, 13),
+    "src_uniform_nested_partitioned": (1.274, 13),
+    "src_xlsx_date_styles": (0.225, 13),
+    "src_xml_roundtrip": (0.434, 13),
+    "stream_dedup_replay": (2.040, 13),
+    "stream_dedup_within_watermark": (5.204, 13),
+    "stream_delta_cdf_rows": (1.710, 13),
+    "stream_delta_merge_sink": (1.983, 13),
+    "stream_delta_source_totals": (1.914, 13),
+    "stream_iceberg_source_totals": (2.313, 13),
+    "stream_iceberg_upsert_sink": (1.526, 13),
+    "stream_late_data_drop": (1.871, 13),
+    "stream_session_windows": (1.433, 13),
+    "stream_stateful_user_totals": (2.014, 13),
+    "stream_static_enrich": (0.671, 13),
+    "stream_stream_join": (1.772, 13),
+    "stream_stream_left_outer": (6.409, 13),
+    "stream_upsert_totals": (1.448, 13),
+    "stream_windowed_counts": (1.002, 13),
+    "text_bm25_topk": (1.314, 13),
+    "text_bpe_learn_merges": (1.475, 13),
+    "text_token_stats": (0.202, 13),
+    "tr_earnedpremium": (0.354, 13),
+    "tr_hash_redact": (0.092, 13),
+    "window_rank_orders": (0.360, 13),
+    "window_running_sum": (0.362, 13),
 }
 HEADLINE = list(BASELINES)
 REGRESSION_FACTOR = 1.5
@@ -191,19 +220,185 @@ REGRESSION_FACTOR = 1.5
 ABS_SLACK_SEC = 0.5
 
 # RAW-seconds baselines (r13 re-baseline, VERDICT r12 item 1): the
-# calibration-normalized gate alone proved untrustworthy — the md5 probe
-# swung 2.7x within single runs, so a host whose single-thread speed
-# drifted between the baseline era and today inflates/deflates EVERY
-# normalized time uniformly and flags unchanged code.  The fix is a dual
-# gate: a query is flagged only when BOTH its normalized time exceeds
-# its normalized baseline AND its raw time exceeds its raw baseline (by
-# the same factor+slack).  A uniformly faster/slower host moves raw and
-# calibration together, so only one of the two thresholds trips; a real
-# plan regression trips both.  Raw baselines recorded from the same
-# quiet median-of-3 re-baseline run as the normalized values above
-# (values filled by tools/rebaseline.py; a gate absent here falls back
-# to the normalized-only rule so the gate never silently weakens).
-BASELINES_RAW: dict[str, float] = {}
+# dual gate flags a query only when BOTH its normalized AND raw time
+# exceed 1.5x baseline + 0.5 s (see compute_regressions).  Recorded
+# from the same two quiet full-bench runs as BASELINES above, per-gate
+# min across runs; a gate absent here falls back to the
+# normalized-only rule so the gate never silently weakens.
+BASELINES_RAW: dict[str, float] = {
+    "agg_grouping_sets": 0.776,
+    "ann_cosine_topk": 0.340,
+    "ann_mips_norm_augment": 0.595,
+    "dedup_cap_skew_stress": 0.982,
+    "dedup_cluster_components": 0.173,
+    "dedup_cosine_prefix_pairs": 3.360,
+    "dedup_keep_best": 1.014,
+    "dedup_minhash_pairs": 1.648,
+    "dedup_ngram_jaccard": 0.024,
+    "docs_ccnet_buckets": 1.718,
+    "docs_curated_corpus": 0.526,
+    "docs_curation_funnel": 0.938,
+    "docs_doremi_weights": 1.580,
+    "docs_lang_rebalance": 0.429,
+    "docs_leakage_free_split": 0.961,
+    "docs_mix_epochs": 0.802,
+    "docs_pack_shards": 0.296,
+    "docs_pii_scan": 0.568,
+    "docs_quality_ensemble": 0.328,
+    "docs_source_cap": 0.245,
+    "docs_split_assign": 0.267,
+    "docs_temperature_mix": 0.389,
+    "docs_token_budget_fill": 0.327,
+    "docs_token_chunks": 0.360,
+    "docs_unimax_allocation": 0.598,
+    "docs_weighted_sample": 0.263,
+    "dq_match_rules": 2.818,
+    "dq_profile_orders": 0.397,
+    "dq_quarantine_split": 0.189,
+    "dq_referential_integrity": 0.507,
+    "dq_stats_rules": 1.217,
+    "em_full_flow": 7.447,
+    "em_fuzzy_blocked": 0.959,
+    "em_fuzzy_skew_stress": 1.518,
+    "emb_kmeans_clusters": 0.169,
+    "evt_asof_last_purchase": 0.397,
+    "evt_funnel_attribution": 0.909,
+    "evt_native_session_window": 1.092,
+    "evt_sessionize": 0.621,
+    "graph_pagerank_trade": 2.598,
+    "kv_pivot_map_agg": 0.322,
+    "layout_zorder_cells": 0.698,
+    "mm_audio_featurize": 0.771,
+    "mm_decode_featurize": 0.748,
+    "mm_image_patches": 0.195,
+    "pipeline_cleanse_lakehouse": 2.706,
+    "pipeline_cleanse_to_consume": 1.472,
+    "pipeline_collect_to_cleanse": 2.002,
+    "pipeline_drop_to_cleanse_orchestrated": 0.977,
+    "q13_customer_distribution": 0.562,
+    "q18_top_large_orders": 0.889,
+    "q1_pricing_summary": 0.955,
+    "q21_sole_failing_supplier": 1.053,
+    "q3_shipping_priority": 0.744,
+    "q5_region_supplier_revenue": 0.677,
+    "q9_product_profit": 0.921,
+    "scan_filter_project": 0.201,
+    "scd2_change_feed": 0.523,
+    "scd2_customer_history": 0.514,
+    "scd2_point_in_time_join": 1.089,
+    "sink_avro_write_roundtrip": 1.640,
+    "sink_delta_check_constraint": 0.914,
+    "sink_delta_cm_roundtrip": 1.696,
+    "sink_delta_column_ddl": 0.538,
+    "sink_delta_ddl_lifecycle": 1.682,
+    "sink_delta_dv_delete": 2.211,
+    "sink_delta_dv_merge": 1.615,
+    "sink_delta_dv_update": 1.627,
+    "sink_delta_identity_generated": 0.695,
+    "sink_delta_merge_upsert": 1.585,
+    "sink_delta_nested_add_column": 0.544,
+    "sink_delta_nested_mapped_evolve": 2.614,
+    "sink_delta_nested_mapped_write": 0.810,
+    "sink_delta_row_tracking": 2.359,
+    "sink_delta_shallow_clone": 1.049,
+    "sink_delta_timestamp_ntz": 0.361,
+    "sink_iceberg_add_files": 1.388,
+    "sink_iceberg_bucket_upsert": 3.367,
+    "sink_iceberg_column_ddl": 0.576,
+    "sink_iceberg_compaction": 1.113,
+    "sink_iceberg_delete_where": 1.212,
+    "sink_iceberg_eq_upsert": 1.374,
+    "sink_iceberg_manifest_rewrite": 1.854,
+    "sink_iceberg_merge_mor": 1.808,
+    "sink_iceberg_nested_ddl": 1.423,
+    "sink_iceberg_nested_default": 0.888,
+    "sink_iceberg_rollback": 0.633,
+    "sink_iceberg_schema_evolution": 0.639,
+    "sink_iceberg_sort_order": 0.806,
+    "sink_iceberg_spec_evolution": 1.140,
+    "sink_iceberg_v3_dv_merge": 2.931,
+    "sink_iceberg_wap_publish": 0.813,
+    "sink_iceberg_write_default": 0.899,
+    "sink_lakehouse_update": 1.530,
+    "sketch_hll_cardinality": 0.922,
+    "sketch_kmv_merge_tables": 1.049,
+    "sketch_kmv_set_ops": 0.789,
+    "sql_analyze_broadcast_stats": 1.959,
+    "sql_array_functions": 0.425,
+    "sql_conditional_functions": 0.235,
+    "sql_ctas_ddl_lifecycle": 1.404,
+    "sql_datetime_functions": 0.231,
+    "sql_json_functions": 0.281,
+    "sql_lateral_top2": 0.551,
+    "sql_map_functions": 0.224,
+    "sql_math_functions": 0.317,
+    "sql_merge_canonical": 2.734,
+    "sql_merge_general_clauses": 2.204,
+    "sql_merge_sync_by_source": 3.158,
+    "sql_recursive_reachability": 2.537,
+    "sql_regex_functions": 0.197,
+    "sql_string_functions": 0.246,
+    "sql_timestamp_functions": 0.244,
+    "sql_try_cast_functions": 0.263,
+    "sql_variant_type": 0.220,
+    "sql_wap_branch_lifecycle": 1.188,
+    "src_avro_nested_roundtrip": 0.926,
+    "src_convert_iceberg_to_delta": 0.796,
+    "src_convert_to_delta": 0.684,
+    "src_delta_change_feed": 0.267,
+    "src_delta_column_mapping": 0.494,
+    "src_delta_deletion_vectors": 0.927,
+    "src_delta_ict_travel": 0.775,
+    "src_delta_nested_mapping": 0.716,
+    "src_delta_partition_prune": 1.016,
+    "src_delta_row_tracking_read": 1.005,
+    "src_delta_time_travel": 0.798,
+    "src_delta_type_widening": 0.567,
+    "src_delta_variant": 0.415,
+    "src_encrypted_xlsx_read": 0.405,
+    "src_iceberg_bounds_pruning": 0.567,
+    "src_iceberg_changelog": 2.021,
+    "src_iceberg_changelog_upsert": 1.646,
+    "src_iceberg_day_partition": 0.808,
+    "src_iceberg_equality_deletes": 2.616,
+    "src_iceberg_incremental": 0.764,
+    "src_iceberg_nested_types": 0.903,
+    "src_iceberg_partitions_meta": 0.774,
+    "src_iceberg_position_deletes": 1.204,
+    "src_iceberg_ref_read": 0.663,
+    "src_iceberg_snapshot_read": 1.758,
+    "src_iceberg_v3_dv_read": 1.508,
+    "src_iceberg_v3_row_lineage": 0.653,
+    "src_orc_roundtrip": 0.367,
+    "src_standard_encrypted_xlsx": 0.374,
+    "src_uniform_iceberg_over_delta": 1.653,
+    "src_uniform_mapped_export": 1.039,
+    "src_uniform_nested_partitioned": 1.875,
+    "src_xlsx_date_styles": 0.331,
+    "src_xml_roundtrip": 0.639,
+    "stream_dedup_replay": 3.001,
+    "stream_dedup_within_watermark": 7.657,
+    "stream_delta_cdf_rows": 2.516,
+    "stream_delta_merge_sink": 2.918,
+    "stream_delta_source_totals": 2.816,
+    "stream_iceberg_source_totals": 3.403,
+    "stream_iceberg_upsert_sink": 2.245,
+    "stream_late_data_drop": 2.753,
+    "stream_session_windows": 2.095,
+    "stream_stateful_user_totals": 2.964,
+    "stream_static_enrich": 0.987,
+    "stream_stream_join": 2.608,
+    "stream_stream_left_outer": 8.619,
+    "stream_upsert_totals": 1.947,
+    "stream_windowed_counts": 1.347,
+    "text_bm25_topk": 1.767,
+    "text_bpe_learn_merges": 2.171,
+    "text_token_stats": 0.275,
+    "tr_earnedpremium": 0.501,
+    "tr_hash_redact": 0.124,
+    "window_rank_orders": 0.500,
+    "window_running_sum": 0.487,
+}
 
 
 def compute_regressions(
@@ -252,72 +447,7 @@ def compute_regressions(
 # pipeline families, and six heavy representatives that were invisible to
 # the perf gate.  They are measured with the same warmup+min-of-2
 # discipline and move into BASELINES with the r13 re-baseline run.
-EXTENDED: list[str] = [
-    "stream_dedup_replay",
-    "stream_dedup_within_watermark",
-    "stream_delta_merge_sink",
-    "stream_delta_source_totals",
-    "stream_late_data_drop",
-    "stream_session_windows",
-    "stream_stateful_user_totals",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_upsert_totals",
-    "stream_windowed_counts",
-    "sql_array_functions",
-    "sql_conditional_functions",
-    "sql_datetime_functions",
-    "sql_json_functions",
-    "sql_lateral_top2",
-    "sql_map_functions",
-    "sql_math_functions",
-    "sql_recursive_reachability",
-    "sql_regex_functions",
-    "sql_string_functions",
-    "sql_timestamp_functions",
-    "sql_try_cast_functions",
-    "sql_variant_type",
-    "docs_ccnet_buckets",
-    "docs_curated_corpus",
-    "docs_doremi_weights",
-    "docs_lang_rebalance",
-    "docs_mix_epochs",
-    "docs_pack_shards",
-    "docs_pii_scan",
-    "docs_source_cap",
-    "docs_split_assign",
-    "docs_temperature_mix",
-    "docs_token_budget_fill",
-    "docs_token_chunks",
-    "docs_weighted_sample",
-    "src_avro_nested_roundtrip",
-    "src_delta_change_feed",
-    "src_delta_time_travel",
-    "src_encrypted_xlsx_read",
-    "src_iceberg_equality_deletes",
-    "src_iceberg_snapshot_read",
-    "src_orc_roundtrip",
-    "src_xlsx_date_styles",
-    "src_xml_roundtrip",
-    "dq_match_rules",
-    "dq_profile_orders",
-    "dq_quarantine_split",
-    "dq_referential_integrity",
-    "dq_stats_rules",
-    "scd2_change_feed",
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
-    "pipeline_cleanse_to_consume",
-    "pipeline_collect_to_cleanse",
-    "pipeline_drop_to_cleanse_orchestrated",
-    "em_full_flow",
-    "graph_pagerank_trade",
-    "text_bm25_topk",
-    "mm_image_patches",
-    "evt_native_session_window",
-    "emb_kmeans_clusters",
-]
+EXTENDED: list[str] = []  # all 172 gates promoted into BASELINES in r13
 
 
 def materialize(df) -> None:
