@@ -549,6 +549,28 @@ def main() -> None:
     normalized = {name: round(sec * scale, 3) for name, sec in timings.items()}
     regressions = compute_regressions(timings, normalized)
 
+    # Transient-burst recheck (PERFORMANCE.md finding 50): this host
+    # throttles multi-core stages in bursts — identical trees measured
+    # 126 s and 232 s totals an hour apart, and a burst can push one
+    # gate past BOTH dual-gate thresholds within a single run.  A
+    # genuine plan regression persists across re-measurement minutes
+    # later; a burst does not.  Re-time ONLY the flagged gates (min
+    # with the existing sample — the same discipline as the two timed
+    # passes) and recompute; the payload records which gates went
+    # through the recheck so a persisting flag is known to have
+    # survived three samples, not two.
+    rechecked: list[str] = []
+    if regressions:
+        for name in sorted(regressions):
+            rechecked.append(name)
+            start = time.time()
+            materialize(queries[name](spark, sf_dir))
+            elapsed = round(time.time() - start, 3)
+            if elapsed < timings[name]:
+                timings[name] = elapsed
+                normalized[name] = round(elapsed * scale, 3)
+        regressions = compute_regressions(timings, normalized)
+
     payload = {
         "metric": "headline-query wall clock",
         "value": round(sum(timings.values()), 3),
@@ -563,6 +585,7 @@ def main() -> None:
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
         "regressions": regressions,
+        "burst_rechecked": rechecked,
         "queries_extended": extended,
         "queries_extended_normalized": {
             name: round(sec * scale, 3) for name, sec in extended.items()
